@@ -1,0 +1,88 @@
+#!/usr/bin/env python
+"""Benchmark harness — BASELINE.md query classes at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Method mirrors the reference harness (Benchmarks/run_benchmark.py:489-559):
+wall-clock per query, 1 warm-up iteration discarded, median of N runs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+ITERATIONS = int(os.environ.get("BENCH_ITERATIONS", "3"))
+
+# BASELINE.md table C — id → catalog query name
+BENCH_QUERIES = {
+    "B01_count_star": "agg_count_star",
+    "B02_groupby_count": "agg_groupby_count",
+    "B03_groupby_avg": "agg_groupby_avg",
+    "B04_groupby_multicol": "agg_groupby_multicol",
+    "B05_groupby_highcard": "agg_groupby_highcard",
+    "B06_sort_topk": "sort_topk",
+    "B07_approx_median": "agg_approx_percentile",
+    "B08_join_star": "join_star_agg",
+    "B09_window_moving_avg": "window_moving_avg",
+    "B10_multistep": "join_multistep_tpch_q3",
+    "B11_approx_ndv": "agg_approx_count_distinct",
+    "B12_stream_window": "stream_tumbling_window",
+    "B13_dedup_minhash": "dedup_minhash_lsh",
+    "B14_sim_topk": "sim_cosine_topk",
+    "B15_text_quality": "text_quality",
+}
+
+
+def main() -> None:
+    from heavydb_spark.queries import QUERIES
+    from heavydb_spark.session import get_spark
+
+    spark = get_spark(app_name="heavydb_spark_bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    sf = None
+    if "sf" in SF_DIR:
+        try:
+            sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[1])
+        except ValueError:
+            pass
+
+    results: dict[str, float] = {}
+    for bench_id, qname in BENCH_QUERIES.items():
+        fn = QUERIES[qname]
+        times = []
+        for i in range(ITERATIONS + 1):
+            t0 = time.perf_counter()
+            # count() forces full execution without driver-side collect
+            fn(spark, SF_DIR).count()
+            dt = time.perf_counter() - t0
+            if i > 0:  # discard warm-up
+                times.append(dt)
+        results[bench_id] = round(statistics.median(times), 4)
+        print(f"# {bench_id}: {results[bench_id]}s", file=sys.stderr)
+
+    total = round(sum(results.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "bench_suite_median_total",
+                "value": total,
+                "unit": "sec",
+                "queries": results,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

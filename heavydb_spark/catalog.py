@@ -1,0 +1,69 @@
+"""Fixture catalog: the driver's parquet tables as DataFrames / temp views.
+
+Reference analogue: HeavyDB's SQLite system catalog + fragmenter metadata
+(Catalog/Catalog.cpp, Fragmenter/InsertOrderFragmenter.h). In Spark the
+catalog role collapses into `spark.read.parquet` + temp views; fragment
+min/max pruning (QueryEngine/InputMetadata.cpp) is played by parquet
+row-group statistics and partition pruning, which Catalyst applies
+automatically when plans stay declarative.
+
+Scale note: everything here is a lazy scan — no collect, no pandas.
+At 100 TB these same calls produce splittable columnar scans whose
+column pruning / predicate pushdown is visible in `.explain`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from heavydb_spark.session import apply_runtime_conf
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Small dimension tables a planner should always broadcast in joins.
+BROADCAST_TABLES = {"region", "nation"}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one driver table; normalizes events.ts (parquet TIMESTAMP NANOS).
+
+    Spark has no nanosecond timestamp type; with
+    `spark.sql.legacy.parquet.nanosAsLong` the column arrives as int64
+    nanoseconds and we convert to TIMESTAMP_NTZ at microsecond precision
+    (the documented precision delta — SURVEY.md §1.2 TIMESTAMP(9)).
+    Integer `div` keeps the full int64 domain (a double round-trip would
+    lose precision above 2^53).
+    """
+    apply_runtime_conf(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+        )
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
+) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in names}
+
+
+def register_views(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
+) -> None:
+    """Register each table as a temp view for `engine.sql(...)`."""
+    for name in names:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

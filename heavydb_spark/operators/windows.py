@@ -1,0 +1,64 @@
+"""Window-function gaps vs the reference (SURVEY.md §2.5).
+
+The reference's window kinds (Shared/sqldefs.h:143-173) are Spark
+built-ins except FORWARD_FILL / BACKWARD_FILL and
+CONDITIONAL_CHANGE_EVENT, provided here as plan-level compositions
+(QueryEngine/WindowContext.cpp:534 computes these natively; we get the
+same semantics from ignore-nulls last/first and a lag+running-sum).
+
+All helpers return Columns usable inside `.select`/`.withColumn`; they
+stay JVM-side (no UDFs) so whole-stage codegen applies. Window state at
+scale: Spark sorts each partition (like the reference's sortPartition,
+WindowContext.cpp:1238); skewed partition keys are the scale hazard —
+callers should partition on reasonably-distributed keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, Window, WindowSpec
+from pyspark.sql import functions as F
+
+
+def forward_fill(col: Column, partition_by, order_by) -> Column:
+    """Last non-null value at-or-before the current row.
+
+    Reference: FORWARD_FILL (sqldefs.h:170, WindowContext fill kinds).
+    """
+    w = (
+        Window.partitionBy(*_as_list(partition_by))
+        .orderBy(*_as_list(order_by))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return F.last(col, ignorenulls=True).over(w)
+
+
+def backward_fill(col: Column, partition_by, order_by) -> Column:
+    """First non-null value at-or-after the current row (BACKWARD_FILL)."""
+    w = (
+        Window.partitionBy(*_as_list(partition_by))
+        .orderBy(*_as_list(order_by))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    return F.first(col, ignorenulls=True).over(w)
+
+
+def conditional_change_event(expr: Column, partition_by, order_by) -> Column:
+    """Running count of times `expr` changes value within the partition.
+
+    Reference: CONDITIONAL_CHANGE_EVENT (sqldefs.h:173). Implemented as
+    lag-compare + running sum — two window passes over one sort order,
+    which Catalyst executes in a single Window physical node chain.
+    """
+    w_row = Window.partitionBy(*_as_list(partition_by)).orderBy(
+        *_as_list(order_by)
+    )
+    changed = (
+        ~expr.eqNullSafe(F.lag(expr).over(w_row))
+        & F.lag(expr).over(w_row).isNotNull()
+    ).cast("long")
+    w_run = w_row.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return F.sum(changed).over(w_run)
+
+
+def _as_list(x):
+    return x if isinstance(x, (list, tuple)) else [x]

@@ -1,0 +1,259 @@
+"""Training-data pipeline operators (BASELINE.json extension surface):
+dedup, similarity search, text analysis — over documents/embeddings.
+
+Approximate sketches (minhash, simhash, LSH ANN) have no SQL oracle
+(engine-specific hashing) → rows-only driver check; every exact variant
+is fully oracle-verified.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from heavydb_spark.operators import dedup, similarity, text
+from heavydb_spark.queries.registry import query
+from heavydb_spark.queries.util import T
+
+# --------------------------------------------------------------- dedup
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS fp, min(doc_id) AS keeper_id, count(*) AS copies
+    FROM documents GROUP BY md5(text) ORDER BY fp
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup by content hash — one hash-shuffle groupBy."""
+    d = T(spark, sf_dir, "documents")
+    return dedup.exact_dedup_by_hash(d, "text", "doc_id").orderBy("fp")
+
+
+@query(
+    "dedup_fingerprint",
+    oracle="""
+    SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'),
+                                   '\\s+', ' ', 'g'))) AS fp,
+           min(doc_id) AS keeper_id,
+           count(*) AS copies
+    FROM documents
+    GROUP BY 1 ORDER BY fp
+    """,
+)
+def dedup_fingerprint(spark, sf_dir):
+    """Normalization-fingerprint dedup (rolling-hash analogue — text.py
+    fingerprint: lowercase → strip non-alnum → collapse ws → md5)."""
+    d = T(spark, sf_dir, "documents")
+    return (
+        d.withColumn("fp", text.fingerprint(F.col("text")))
+        .groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("keeper_id"),
+            F.count(F.lit(1)).alias("copies"),
+        )
+        .orderBy("fp")
+    )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle="""
+    WITH sh AS (
+        SELECT DISTINCT doc_id AS doc, shingle
+        FROM (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       range(1, len(string_split_regex(trim(text), '\\s+')) - 1),
+                       i -> concat_ws(' ',
+                            string_split_regex(trim(text), '\\s+')[i],
+                            string_split_regex(trim(text), '\\s+')[i+1],
+                            string_split_regex(trim(text), '\\s+')[i+2])
+                   )) AS shingle
+            FROM documents
+        )
+    ), sizes AS (
+        SELECT doc, count(*) AS n_sh FROM sh GROUP BY doc
+    ), inter AS (
+        SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+        GROUP BY a.doc, b.doc
+    )
+    SELECT doc_a, doc_b,
+           round(CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc = doc_a
+    JOIN sizes sb ON sb.doc = doc_b
+    WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.2
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Exact 3-gram Jaccard near-dup pairs (shingle equi-join blocking —
+    operators/dedup.py ngram_jaccard_pairs)."""
+    d = T(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(
+        d, "doc_id", "text", n=3, threshold=0.2
+    ).orderBy("doc_a", "doc_b")
+
+
+@query("dedup_minhash_lsh")  # xxhash64-based sketch → rows-only check
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-dup candidates: shingle → minhash(64 perms) →
+    16 bands → bucket equi-join → signature-agreement estimate."""
+    d = T(spark, sf_dir, "documents")
+    return dedup.minhash_dedup_pairs(
+        d, "doc_id", "text", n=3, num_perm=64, bands=16, threshold=0.2
+    ).orderBy("doc_a", "doc_b")
+
+
+@query("dedup_simhash")  # xxhash64-based sketch → rows-only check
+def dedup_simhash(spark, sf_dir):
+    """SimHash near-dup pairs: 64-bit fingerprints, 16-bit chunk
+    blocking, hamming<=12 verification."""
+    d = T(spark, sf_dir, "documents")
+    return dedup.simhash_neardup_pairs(d, "doc_id", "text", max_hamming=12).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+# ---------------------------------------------------- similarity search
+
+
+@query(
+    "sim_cosine_topk",
+    oracle="""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id,
+           round(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(qv AS DOUBLE[]))
+                 / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+                    * sqrt(list_dot_product(CAST(qv AS DOUBLE[]), CAST(qv AS DOUBLE[])))), 6) AS cos_sim
+    FROM embeddings, q
+    WHERE vec_id <> 0
+    ORDER BY cos_sim DESC, vec_id LIMIT 10
+    """,
+)
+def sim_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k (the exactness baseline): O(n·d) scan,
+    no shuffle until TakeOrdered. Query vector = vec_id 0."""
+    e = T(spark, sf_dir, "embeddings")
+    qvec = e.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return similarity.cosine_topk(
+        e.filter(F.col("vec_id") != 0), "embedding", qvec, k=10
+    )
+
+
+@query("sim_ann_lsh")  # LSH bucketing (seeded hyperplanes) → rows-only check
+def sim_ann_lsh(spark, sf_dir):
+    """ANN top-k via random-hyperplane LSH bucket probe — the 100 TB
+    scale path (bucket column precomputable + partition-prunable)."""
+    e = T(spark, sf_dir, "embeddings")
+    qvec = e.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return similarity.ann_topk_lsh(
+        e.filter(F.col("vec_id") != 0), "embedding", qvec, k=10, n_planes=4
+    )
+
+
+@query("sim_embedding_neardup")  # LSH blocking → rows-only check
+def sim_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs via LSH blocking + exact verify."""
+    e = T(spark, sf_dir, "embeddings")
+    return similarity.embedding_neardup_pairs(
+        e, threshold=0.8, n_planes=4
+    ).orderBy("id_a", "id_b")
+
+
+# -------------------------------------------------------- text analysis
+
+
+@query(
+    "text_token_stats",
+    oracle="""
+    SELECT doc_id,
+           length(text) AS n_chars_m,
+           len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+           CAST(list_sum(list_transform(string_split_regex(trim(text), '\\s+'),
+                                        w -> CAST(ceil(length(w) / 4.0) AS INT))) AS INT) AS n_bpe_ish
+    FROM documents ORDER BY doc_id
+    """,
+)
+def text_token_stats(spark, sf_dir):
+    """Token counting: whitespace tokens + BPE-ish subword estimate
+    (operators/text.py)."""
+    d = T(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_chars_m"),
+        text.token_count(F.col("text")).alias("n_tokens"),
+        text.bpe_ish_token_count(F.col("text")).cast("int").alias("n_bpe_ish"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "text_quality",
+    oracle="""
+    SELECT doc_id,
+           length(text) AS q_chars,
+           len(string_split_regex(trim(text), '\\s+')) AS q_tokens,
+           round(length(text) / len(string_split_regex(trim(text), '\\s+')), 4) AS q_avg_token_len,
+           round(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / length(text), 4) AS q_alpha_ratio,
+           round(length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0 / length(text), 4) AS q_digit_ratio,
+           round(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) * 1.0 / length(text), 4) AS q_punct_ratio,
+           round(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                                 t -> t IN ('the', 'a', 'of', 'and'))) * 1.0
+                 / len(string_split_regex(trim(text), '\\s+')), 4) AS q_stopword_ratio
+    FROM documents ORDER BY doc_id
+    """,
+)
+def text_quality(spark, sf_dir):
+    """Quality scoring: length/alpha/digit/punct/stopword ratios."""
+    d = T(spark, sf_dir, "documents")
+    return text.quality_features(d).select(
+        "doc_id",
+        "q_chars",
+        "q_tokens",
+        "q_avg_token_len",
+        "q_alpha_ratio",
+        "q_digit_ratio",
+        "q_punct_ratio",
+        "q_stopword_ratio",
+    ).orderBy("doc_id")
+
+
+@query(
+    "text_lang_id",
+    oracle="""
+    WITH scored AS (
+        SELECT doc_id, lang,
+               len(list_filter(string_split_regex(lower(text), '\\s+'),
+                   t -> t IN ('the','a','of','and'))) AS s_en,
+               len(list_filter(string_split_regex(lower(text), '\\s+'),
+                   t -> t IN ('el','la','de','y'))) AS s_es,
+               len(list_filter(string_split_regex(lower(text), '\\s+'),
+                   t -> t IN ('le','la','de','et'))) AS s_fr,
+               len(list_filter(string_split_regex(lower(text), '\\s+'),
+                   t -> t IN ('der','die','das','und'))) AS s_de,
+               len(list_filter(string_split_regex(lower(text), '\\s+'),
+                   t -> t IN ('de5','le5','shi4','he2'))) AS s_zh
+        FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE
+             WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
+             WHEN s_de >= greatest(s_en, s_es, s_fr, s_zh) THEN 'de'
+             WHEN s_en >= greatest(s_es, s_fr, s_zh) THEN 'en'
+             WHEN s_es >= greatest(s_fr, s_zh) THEN 'es'
+             WHEN s_fr >= greatest(s_zh) THEN 'fr'
+             ELSE 'zh'
+           END AS pred_lang
+    FROM scored ORDER BY doc_id
+    """,
+)
+def text_lang_id(spark, sf_dir):
+    """Language-ID heuristic: argmax of per-language marker-token counts,
+    first-in-code-order tie-break ('de' < 'en' < 'es' < 'fr' < 'zh') —
+    mirrored exactly in the oracle CASE chain."""
+    d = T(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", "lang", text.lang_id(F.col("text")).alias("pred_lang")
+    ).orderBy("doc_id")

@@ -1,0 +1,361 @@
+"""Join surface (SURVEY.md §2.3; Shared/sqldefs.h:252-260).
+
+The reference supports INNER/LEFT/SEMI/ANTI, left-deep multi-way joins
+(RelLeftDeepInnerJoin.cpp), hash tables per join (PerfectJoinHashTable /
+BaselineJoinHashTable), and loop joins for theta quals (JoinLoop.h:31).
+Spark picks broadcast/shuffled-hash/sort-merge per side automatically;
+we add explicit `broadcast()` hints for dimension tables — the analogue
+of the reference's REPLICATED tables (TableDescriptor.h:119).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from heavydb_spark.queries.registry import query
+from heavydb_spark.queries.util import T, r2
+
+
+@query(
+    "join_star_agg",
+    oracle="""
+    SELECT n_name, round(sum(l_extendedprice), 2) AS revenue, count(*) AS n
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name ORDER BY n_name
+    """,
+)
+def join_star_agg(spark, sf_dir):
+    """B08: multi-way star join. Left-deep hash-join chain in the
+    reference (create_left_deep_join, RelAlgDag.cpp:3780); here the fact
+    table joins shuffle-free against broadcast dimensions."""
+    li = T(spark, sf_dir, "lineitem")
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    n = T(spark, sf_dir, "nation")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            r2(F.sum("l_extendedprice")).alias("revenue"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("n_name")
+    )
+
+
+@query(
+    "join_left_outer",
+    oracle="""
+    SELECT c_mktsegment,
+           count(*) AS n_rows,
+           count(o_orderkey) AS n_matched,
+           count(*) - count(o_orderkey) AS n_customers_no_orders
+    FROM customer
+    LEFT JOIN orders ON c_custkey = o_custkey AND o_totalprice > 450000
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+def join_left_outer(spark, sf_dir):
+    """LEFT OUTER with a join-side filter (OuterJoinOptViaNullRejection
+    does NOT fire since the filter is in the ON clause)."""
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders")
+    return (
+        c.join(
+            o,
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("o_totalprice") > 450000),
+            "left",
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("o_orderkey").alias("n_matched"),
+            (F.count(F.lit(1)) - F.count("o_orderkey")).alias(
+                "n_customers_no_orders"
+            ),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@query(
+    "join_semi",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS n
+    FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+def join_semi(spark, sf_dir):
+    """SEMI join (sqldefs.h:255; from IN-subquery decorrelation,
+    HeavyDBParser.java:285) → Spark left_semi."""
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("c_mktsegment")
+    )
+
+
+@query(
+    "join_anti",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS n
+    FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+def join_anti(spark, sf_dir):
+    """ANTI join (sqldefs.h:256, NOT-IN decorrelation). o_custkey is
+    non-null in the fixture so left_anti matches NOT IN semantics."""
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("c_mktsegment")
+    )
+
+
+@query(
+    "join_multi_key",
+    oracle="""
+    SELECT l_returnflag, count(*) AS n, round(sum(s_acctbal), 2) AS bal
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey AND l_linenumber = (s_suppkey % 7) + 1
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def join_multi_key(spark, sf_dir):
+    """Composite-key join (baseline hash table, BaselineJoinHashTable.h:49;
+    adjacent equi-quals coalesced, EquiJoinCondition.cpp)."""
+    li = T(spark, sf_dir, "lineitem")
+    s = T(spark, sf_dir, "supplier")
+    return (
+        li.join(
+            broadcast(s),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("l_linenumber") == (F.col("s_suppkey") % 7) + 1),
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            r2(F.sum("s_acctbal")).alias("bal"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "join_theta_loop",
+    oracle="""
+    SELECT r_name, count(*) AS n_other_nations
+    FROM region
+    JOIN nation ON n_regionkey <> r_regionkey
+    GROUP BY r_name ORDER BY r_name
+    """,
+)
+def join_theta_loop(spark, sf_dir):
+    """Theta (non-equi) join → loop join in the reference (JoinLoop.h:31
+    UpperBound) → BroadcastNestedLoopJoin in Spark."""
+    r = T(spark, sf_dir, "region")
+    n = T(spark, sf_dir, "nation")
+    return (
+        r.join(broadcast(n), F.col("n_regionkey") != F.col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(F.count(F.lit(1)).alias("n_other_nations"))
+        .orderBy("r_name")
+    )
+
+
+@query(
+    "join_range_qual",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+      AND l_shipdate >= o_orderdate
+      AND l_shipdate < o_orderdate + INTERVAL 60 DAY
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def join_range_qual(spark, sf_dir):
+    """Equi + range qual (RangeJoinHashTable.h:21 analogue): the equi key
+    drives the hash join, the range qual is a post-probe filter."""
+    li = T(spark, sf_dir, "lineitem")
+    o = T(spark, sf_dir, "orders")
+    return (
+        li.join(
+            o,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("l_shipdate") >= F.col("o_orderdate"))
+            & (
+                F.col("l_shipdate")
+                < F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")
+            ),
+        )
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("o_orderstatus")
+    )
+
+
+@query(
+    "join_null_safe",
+    oracle="""
+    SELECT count(*) AS n
+    FROM (SELECT nullif(o_orderstatus, 'P') AS k, o_orderkey FROM orders) a
+    JOIN (SELECT nullif(o_orderstatus, 'P') AS k, o_orderkey FROM orders) b
+      ON a.k IS NOT DISTINCT FROM b.k AND a.o_orderkey = b.o_orderkey
+    """,
+)
+def join_null_safe(spark, sf_dir):
+    """Null-safe equality BW_EQ (sqldefs.h:33) → Spark `<=>`
+    (eqNullSafe), DuckDB IS NOT DISTINCT FROM."""
+    o = T(spark, sf_dir, "orders")
+    a = o.select(
+        F.nullif(F.col("o_orderstatus"), F.lit("P")).alias("k"), "o_orderkey"
+    ).alias("a")
+    b = o.select(
+        F.nullif(F.col("o_orderstatus"), F.lit("P")).alias("k"), "o_orderkey"
+    ).alias("b")
+    return a.join(
+        b,
+        F.col("a.k").eqNullSafe(F.col("b.k"))
+        & (F.col("a.o_orderkey") == F.col("b.o_orderkey")),
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "subquery_scalar",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice > (SELECT 0.999999 * max(o_totalprice) FROM orders)
+    ORDER BY o_orderkey
+    """,
+)
+def subquery_scalar(spark, sf_dir):
+    """Scalar subquery — SINGLE_VALUE agg inserted by the planner
+    (sqldefs.h:85); Catalyst does the same via ScalarSubquery."""
+    o = T(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        WHERE o_totalprice > (SELECT 0.999999 * max(o_totalprice) FROM orders)
+        ORDER BY o_orderkey
+        """
+    )
+
+
+@query(
+    "subquery_correlated_exists",
+    oracle="""
+    SELECT s_suppkey, s_name
+    FROM supplier
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_suppkey = s_suppkey AND l_quantity > 49.9
+    )
+    ORDER BY s_suppkey
+    """,
+)
+def subquery_correlated_exists(spark, sf_dir):
+    """Correlated EXISTS (decorrelated to semi join —
+    Tests/CorrelatedSubqueryTest.cpp pattern)."""
+    T(spark, sf_dir, "supplier").createOrReplaceTempView("supplier")
+    T(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT s_suppkey, s_name
+        FROM supplier
+        WHERE EXISTS (
+            SELECT 1 FROM lineitem
+            WHERE l_suppkey = s_suppkey AND l_quantity > 49.9
+        )
+        ORDER BY s_suppkey
+        """
+    )
+
+
+@query(
+    "subquery_in_select",
+    oracle="""
+    SELECT p_partkey, p_name
+    FROM part
+    WHERE p_partkey IN (
+        SELECT l_partkey FROM lineitem WHERE l_quantity >= 49.95
+    )
+    ORDER BY p_partkey
+    """,
+)
+def subquery_in_select(spark, sf_dir):
+    """IN-subquery → semi join (rewriteConstrainedByIn, QueryRewrite.h:46)."""
+    T(spark, sf_dir, "part").createOrReplaceTempView("part")
+    T(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT p_partkey, p_name
+        FROM part
+        WHERE p_partkey IN (
+            SELECT l_partkey FROM lineitem WHERE l_quantity >= 49.95
+        )
+        ORDER BY p_partkey
+        """
+    )
+
+
+@query(
+    "join_multistep_tpch_q3",
+    oracle="""
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+)
+def join_multistep_tpch_q3(spark, sf_dir):
+    """B10 MultiStep: TPC-H Q3 shape — filter pushdown through joins
+    (JoinFilterPushDown.h:26; Catalyst does it statically)."""
+    c = T(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = T(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp_ntz")
+    )
+    li = T(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15 00:00:00").cast("timestamp_ntz")
+    )
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            r2(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.col("o_orderdate"), F.col("l_orderkey"))
+        .limit(10)
+    )

@@ -1,0 +1,338 @@
+"""Scalar function library parity (SURVEY.md §2.8).
+
+One query per family, each exercising many functions at once against the
+DuckDB oracle. Engine-specific spellings are resolved to semantically
+identical formulas on both sides (e.g. Spark `weekday` == DuckDB
+`isodow - 1`; Spark `regexp_count` == DuckDB `len(regexp_extract_all)`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from heavydb_spark.queries.registry import query
+from heavydb_spark.queries.util import T, r4, r6
+
+
+@query(
+    "fn_string_basic",
+    oracle="""
+    SELECT p_partkey,
+           lower(p_name) AS lname,
+           upper(p_brand) AS ubrand,
+           length(p_name) AS name_len,
+           reverse(p_type) AS rtype,
+           substring(p_name, 2, 5) AS sub,
+           left(p_name, 3) AS l3,
+           right(p_name, 3) AS r3,
+           lpad(p_brand, 12, '*') AS padded,
+           trim(concat('  ', p_name, '  ')) AS trimmed,
+           replace(p_name, ' ', '_') AS replaced,
+           split_part(p_name, ' ', 2) AS second_word,
+           concat(p_brand, '|', p_type) AS joined,
+           repeat(left(p_brand, 2), 2) AS rep,
+           strpos(p_name, 'e') AS pos_e,
+           contains(p_name, 'red') AS has_red,
+           starts_with(p_type, 'ECO') AS is_eco,
+           ends_with(p_name, 't') AS ends_t
+    FROM part WHERE p_partkey < 200 ORDER BY p_partkey
+    """,
+)
+def fn_string_basic(spark, sf_dir):
+    """LOWER/UPPER/LEN/REVERSE/SUBSTR/LEFT/RIGHT/LPAD/TRIM/REPLACE/
+    SPLIT_PART/CONCAT/REPEAT/POSITION/CONTAINS/STARTSWITH/ENDSWITH
+    (Shared/sqldefs.h:92-141, StringOps/StringOps.cpp)."""
+    p = T(spark, sf_dir, "part").filter(F.col("p_partkey") < 200)
+    return p.select(
+        "p_partkey",
+        F.lower("p_name").alias("lname"),
+        F.upper("p_brand").alias("ubrand"),
+        F.length("p_name").alias("name_len"),
+        F.reverse("p_type").alias("rtype"),
+        F.substring("p_name", 2, 5).alias("sub"),
+        F.substring("p_name", 1, 3).alias("l3"),
+        F.col("p_name").substr(F.length("p_name") - 2, F.lit(3)).alias("r3"),
+        F.lpad("p_brand", 12, "*").alias("padded"),
+        F.trim(F.concat(F.lit("  "), F.col("p_name"), F.lit("  "))).alias("trimmed"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("replaced"),
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(2)).alias("second_word"),
+        F.concat(F.col("p_brand"), F.lit("|"), F.col("p_type")).alias("joined"),
+        F.repeat(F.substring("p_brand", 1, 2), 2).alias("rep"),
+        F.instr(F.col("p_name"), "e").alias("pos_e"),
+        F.col("p_name").contains("red").alias("has_red"),
+        F.col("p_type").startswith("ECO").alias("is_eco"),
+        F.col("p_name").endswith("t").alias("ends_t"),
+    ).orderBy("p_partkey")
+
+
+@query(
+    "fn_string_regex",
+    oracle="""
+    SELECT doc_id,
+           regexp_replace(substring(text, 1, 60), '[aeiou]', '#', 'g') AS devoweled,
+           regexp_extract(text, '([a-z]+)', 1) AS first_word,
+           len(regexp_extract_all(substring(text, 1, 200), 'the')) AS n_the,
+           regexp_matches(text, '^[a-z]') AS starts_lower
+    FROM documents WHERE doc_id < 100 ORDER BY doc_id
+    """,
+)
+def fn_string_regex(spark, sf_dir):
+    """REGEXP_REPLACE/REGEXP_SUBSTR/REGEXP_COUNT (sqldefs.h regex ops;
+    QueryEngine/RegexpFunctions.cpp)."""
+    d = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return d.select(
+        "doc_id",
+        F.regexp_replace(F.substring("text", 1, 60), "[aeiou]", "#").alias("devoweled"),
+        F.regexp_extract(F.col("text"), "([a-z]+)", 1).alias("first_word"),
+        F.regexp_count(F.substring("text", 1, 200), F.lit("the")).alias("n_the"),
+        F.col("text").rlike("^[a-z]").alias("starts_lower"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "fn_string_distance",
+    oracle="""
+    SELECT n_name,
+           levenshtein(n_name, 'UNITED STATES') AS lev,
+           round(jaro_winkler_similarity(n_name, 'UNITED STATES'), 6) AS jw
+    FROM nation ORDER BY n_name
+    """,
+)
+def fn_string_distance(spark, sf_dir):
+    """LEVENSHTEIN_DISTANCE (Spark native) + JAROWINKLER_SIMILARITY
+    (pandas UDF, functions/strings.py — StringOps.cpp kernels)."""
+    from heavydb_spark.functions.strings import jaro_winkler_similarity
+
+    n = T(spark, sf_dir, "nation")
+    return n.select(
+        "n_name",
+        F.levenshtein(F.col("n_name"), F.lit("UNITED STATES")).alias("lev"),
+        F.round(
+            jaro_winkler_similarity(F.col("n_name"), F.lit("UNITED STATES")), 6
+        ).alias("jw"),
+    ).orderBy("n_name")
+
+
+@query(
+    "fn_datetime",
+    oracle="""
+    SELECT o_orderkey,
+           year(o_orderdate) AS y,
+           quarter(o_orderdate) AS q,
+           month(o_orderdate) AS m,
+           day(o_orderdate) AS d,
+           isodow(o_orderdate) - 1 AS wd,
+           dayofyear(o_orderdate) AS doy,
+           weekofyear(o_orderdate) AS woy,
+           CAST(extract(epoch FROM o_orderdate) AS BIGINT) AS ep,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS mon_start,
+           CAST(date_trunc('quarter', o_orderdate) AS TIMESTAMP) AS q_start,
+           CAST(date_trunc('week', o_orderdate) AS TIMESTAMP) AS wk_start,
+           o_orderdate + INTERVAL 90 DAY AS plus90,
+           o_orderdate - INTERVAL 2 MONTH AS minus2m,
+           date_diff('day', o_orderdate, TIMESTAMP '2000-01-01 00:00:00') AS days_to_y2k,
+           last_day(CAST(o_orderdate AS DATE)) AS month_end
+    FROM orders WHERE o_orderkey < 300 ORDER BY o_orderkey
+    """,
+)
+def fn_datetime(spark, sf_dir):
+    """EXTRACT/DATE_TRUNC/DATEADD/DATEDIFF surface (ExtractFromTime.h:77,
+    DateTruncate.h:27, DateAdd.h:42, DateTimeTranslator.h:29)."""
+    o = T(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 300)
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("y"),
+        F.quarter("o_orderdate").alias("q"),
+        F.month("o_orderdate").alias("m"),
+        F.dayofmonth("o_orderdate").alias("d"),
+        F.weekday("o_orderdate").alias("wd"),
+        F.dayofyear("o_orderdate").alias("doy"),
+        F.weekofyear("o_orderdate").alias("woy"),
+        F.unix_timestamp(
+            F.col("o_orderdate").cast("timestamp")
+        ).alias("ep"),
+        F.date_trunc("month", "o_orderdate").cast("timestamp_ntz").alias("mon_start"),
+        F.date_trunc("quarter", "o_orderdate").cast("timestamp_ntz").alias("q_start"),
+        F.date_trunc("week", "o_orderdate").cast("timestamp_ntz").alias("wk_start"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 90 DAY")).alias("plus90"),
+        (F.col("o_orderdate") - F.expr("INTERVAL 2 MONTH")).alias("minus2m"),
+        F.expr(
+            "timestampdiff(DAY, o_orderdate, TIMESTAMP_NTZ '2000-01-01 00:00:00')"
+        ).alias("days_to_y2k"),
+        F.last_day(F.col("o_orderdate").cast("date")).alias("month_end"),
+    ).orderBy("o_orderkey")
+
+
+@query(
+    "fn_math",
+    oracle="""
+    SELECT o_orderkey,
+           abs(o_totalprice - 250000) AS abs_diff,
+           CAST(sign(o_totalprice - 250000) AS DOUBLE) AS sgn,
+           round(o_totalprice, -3) AS round_k,
+           CAST(floor(o_totalprice / 1000) AS BIGINT) AS floor_k,
+           CAST(ceil(o_totalprice / 1000) AS BIGINT) AS ceil_k,
+           round(sqrt(o_totalprice), 6) AS sqrt_p,
+           round(ln(o_totalprice), 6) AS ln_p,
+           round(log10(o_totalprice), 6) AS log10_p,
+           round(exp(o_totalprice / 1000000), 6) AS exp_p,
+           round(power(o_totalprice / 100000, 2), 6) AS pow_p,
+           mod(CAST(o_orderkey AS BIGINT), 7) AS mod7,
+           round(sin(o_totalprice / 100000), 6) AS sin_x,
+           round(atan2(o_totalprice, 100000.0), 6) AS atan2_x,
+           round(degrees(o_totalprice / 1000000), 6) AS deg_x,
+           CASE WHEN o_totalprice < 0 THEN 0
+                WHEN o_totalprice >= 500000 THEN 6
+                ELSE CAST(floor(o_totalprice / 500000 * 5) AS INT) + 1 END AS bucket
+    FROM orders WHERE o_orderkey < 300 ORDER BY o_orderkey
+    """,
+)
+def fn_math(spark, sf_dir):
+    """Math extension functions (QueryEngine/ExtensionFunctions.hpp: Acos..
+    Tanh, Exp, Log, Power, Round, Floor/Ceil, degrees/radians) +
+    WIDTH_BUCKET (translateWidthBucket) — bucket formula mirrored in the
+    oracle since DuckDB 1.0 lacks width_bucket."""
+    o = T(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 300)
+    return o.select(
+        "o_orderkey",
+        F.abs(F.col("o_totalprice") - 250000).alias("abs_diff"),
+        F.signum(F.col("o_totalprice") - 250000).alias("sgn"),
+        F.round(F.col("o_totalprice"), -3).alias("round_k"),
+        F.floor(F.col("o_totalprice") / 1000).alias("floor_k"),
+        F.ceil(F.col("o_totalprice") / 1000).alias("ceil_k"),
+        r6(F.sqrt("o_totalprice")).alias("sqrt_p"),
+        r6(F.log(F.col("o_totalprice"))).alias("ln_p"),
+        r6(F.log10("o_totalprice")).alias("log10_p"),
+        r6(F.exp(F.col("o_totalprice") / 1000000)).alias("exp_p"),
+        r6(F.pow(F.col("o_totalprice") / 100000, 2)).alias("pow_p"),
+        (F.col("o_orderkey").cast("bigint") % 7).alias("mod7"),
+        r6(F.sin(F.col("o_totalprice") / 100000)).alias("sin_x"),
+        r6(F.atan2(F.col("o_totalprice"), F.lit(100000.0))).alias("atan2_x"),
+        r6(F.degrees(F.col("o_totalprice") / 1000000)).alias("deg_x"),
+        F.width_bucket(F.col("o_totalprice"), F.lit(0.0), F.lit(500000.0), F.lit(5)).alias("bucket"),
+    ).orderBy("o_orderkey")
+
+
+@query(
+    "fn_cast_trycast",
+    oracle="""
+    SELECT d.doc_id,
+           CAST(d.n_chars AS DOUBLE) AS chars_dbl,
+           CAST(d.n_chars AS VARCHAR) AS chars_str,
+           TRY_CAST(d.lang AS INT) AS lang_int,
+           TRY_CAST(substring(d.source, 4, 10) AS INT) AS src_num,
+           CAST(round(d.n_chars / 100.0, 0) AS INT) AS chars_h
+    FROM documents d WHERE d.doc_id < 200 ORDER BY d.doc_id
+    """,
+)
+def fn_cast_trycast(spark, sf_dir):
+    """CAST / TRY_CAST (CastIR.cpp; TRY_STRING_CAST sqldefs.h:128)."""
+    d = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return d.select(
+        "doc_id",
+        F.col("n_chars").cast("double").alias("chars_dbl"),
+        F.col("n_chars").cast("string").alias("chars_str"),
+        F.col("lang").try_cast("int").alias("lang_int"),
+        F.substring("source", 4, 10).try_cast("int").alias("src_num"),
+        F.round(F.col("n_chars") / 100.0, 0).cast("int").alias("chars_h"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "fn_json_value",
+    oracle="""
+    SELECT event_id,
+           json_extract_string(props, '$.k') AS k_str,
+           TRY_CAST(json_extract_string(props, '$.k') AS INT) AS k_int
+    FROM events WHERE event_id < 500 ORDER BY event_id
+    """,
+)
+def fn_json_value(spark, sf_dir):
+    """JSON_VALUE (sqldefs.h:129) → get_json_object."""
+    ev = T(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        F.get_json_object("props", "$.k").try_cast("int").alias("k_int"),
+    ).orderBy("event_id")
+
+
+@query(
+    "fn_encode_hash",
+    oracle="""
+    SELECT n_name,
+           to_base64(CAST(n_name AS BLOB)) AS b64,
+           CAST(from_base64(to_base64(CAST(n_name AS BLOB))) AS VARCHAR) AS roundtrip,
+           md5(n_name) AS h_md5,
+           sha256(n_name) AS h_sha256,
+           greatest(n_nationkey, n_regionkey * 5) AS g,
+           least(n_nationkey, n_regionkey * 5) AS l
+    FROM nation ORDER BY n_name
+    """,
+)
+def fn_encode_hash(spark, sf_dir):
+    """BASE64_ENCODE/DECODE + HASH (sqldefs.h:121-137; md5/sha256 as the
+    cross-engine-stable HASH surface) + GREATEST/LEAST."""
+    n = T(spark, sf_dir, "nation")
+    return n.select(
+        "n_name",
+        F.base64(F.col("n_name").cast("binary")).alias("b64"),
+        F.unbase64(F.base64(F.col("n_name").cast("binary"))).cast("string").alias("roundtrip"),
+        F.md5(F.col("n_name").cast("binary")).alias("h_md5"),
+        F.sha2(F.col("n_name").cast("binary"), 256).alias("h_sha256"),
+        F.greatest(F.col("n_nationkey"), F.col("n_regionkey") * 5).alias("g"),
+        F.least(F.col("n_nationkey"), F.col("n_regionkey") * 5).alias("l"),
+    ).orderBy("n_name")
+
+
+@query(
+    "fn_array_ops",
+    oracle="""
+    SELECT vec_id,
+           len(embedding) AS dim,
+           round(CAST(embedding[1] AS DOUBLE), 6) AS first_el,
+           round(CAST(embedding[64] AS DOUBLE), 6) AS last_el,
+           round(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                  CAST(embedding AS DOUBLE[])), 6) AS self_dot
+    FROM embeddings WHERE vec_id < 100 ORDER BY vec_id
+    """,
+)
+def fn_array_ops(spark, sf_dir):
+    """ARRAY ops: CARDINALITY / array_at / DOT_PRODUCT
+    (QueryEngine/ArrayOps.cpp:246, translateDotProduct)."""
+    from heavydb_spark.functions.arrays import dot_product
+
+    e = T(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.element_at("embedding", 1).cast("double"), 6).alias("first_el"),
+        F.round(F.element_at("embedding", 64).cast("double"), 6).alias("last_el"),
+        F.round(dot_product(F.col("embedding"), F.col("embedding")), 6).alias("self_dot"),
+    ).orderBy("vec_id")
+
+
+@query(
+    "fn_unnest_explode",
+    oracle="""
+    SELECT vec_id, pos, round(val, 6) AS val
+    FROM (
+        SELECT vec_id,
+               generate_subscripts(embedding, 1) AS pos,
+               CAST(unnest(embedding) AS DOUBLE) AS val
+        FROM embeddings WHERE vec_id < 5
+    ) ORDER BY vec_id, pos
+    """,
+)
+def fn_unnest_explode(spark, sf_dir):
+    """UNNEST (SQLOps kUNNEST, sqldefs.h:53) → posexplode."""
+    e = T(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 5)
+    return (
+        e.select("vec_id", F.posexplode("embedding").alias("pos0", "val"))
+        .select(
+            "vec_id",
+            (F.col("pos0") + 1).alias("pos"),
+            F.round(F.col("val").cast("double"), 6).alias("val"),
+        )
+        .orderBy("vec_id", "pos")
+    )

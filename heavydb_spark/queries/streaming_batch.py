@@ -1,0 +1,141 @@
+"""Streaming-semantics operators, batch-verifiable form (SURVEY.md §2.11).
+
+The reference has no streaming operators (ingest only — KafkaImporter.cpp,
+StreamImporter.cpp); these are the declared extension surface. Each query
+runs the SAME aggregation shape Structured Streaming would run (window /
+session_window / dropDuplicates), executed in batch mode over the events
+table so the DuckDB oracle can verify it. The true streaming forms live
+in heavydb_spark/streaming/ and are exercised by tests/test_streaming.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from heavydb_spark.queries.registry import query
+from heavydb_spark.queries.util import T, r2
+
+
+@query(
+    "stream_tumbling_window",
+    oracle="""
+    SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start,
+           event_type,
+           count(*) AS n,
+           round(sum(value), 2) AS total
+    FROM events
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def stream_tumbling_window(spark, sf_dir):
+    """B12: tumbling window agg — `window()` is epoch-aligned exactly
+    like DuckDB time_bucket."""
+    ev = T(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes").alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            r2(F.sum("value")).alias("total"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n", "total"
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+@query(
+    "stream_sliding_window",
+    oracle="""
+    WITH expanded AS (
+        SELECT unnest([time_bucket(INTERVAL '5 minutes', ts),
+                       time_bucket(INTERVAL '5 minutes', ts) - INTERVAL 5 MINUTE]) AS window_start,
+               value
+        FROM events
+    )
+    SELECT window_start, count(*) AS n, round(sum(value), 2) AS total
+    FROM expanded
+    GROUP BY window_start ORDER BY window_start
+    """,
+)
+def stream_sliding_window(spark, sf_dir):
+    """Sliding window (10 min window, 5 min slide): each event lands in 2
+    windows — the oracle expands membership explicitly."""
+    ev = T(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            r2(F.sum("value")).alias("total"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n", "total")
+        .orderBy("window_start")
+    )
+
+
+@query(
+    "stream_session_window",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sessions AS (
+        SELECT user_id, ts, value,
+               sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM flagged
+    )
+    SELECT user_id, min(ts) AS session_start, count(*) AS n,
+           round(sum(value), 2) AS total
+    FROM sessions GROUP BY user_id, sid
+    ORDER BY user_id, session_start
+    """,
+)
+def stream_session_window(spark, sf_dir):
+    """session_window(ts, '30 minutes') — gap-based sessions; the oracle
+    reproduces the same gap semantics via lag+cumsum."""
+    ev = T(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), F.col("user_id")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            r2(F.sum("value")).alias("total"),
+        )
+        .select(
+            "user_id", F.col("w.start").alias("session_start"), "n", "total"
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+@query(
+    "stream_dedup_events",
+    oracle="""
+    SELECT event_type, count(*) AS n
+    FROM (
+        SELECT DISTINCT ON (user_id, event_type,
+                            time_bucket(INTERVAL '1 hour', ts))
+               user_id, event_type
+        FROM events ORDER BY user_id, event_type,
+                             time_bucket(INTERVAL '1 hour', ts), ts
+    )
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def stream_dedup_events(spark, sf_dir):
+    """dropDuplicates on (user, type, hour-bucket) — the watermarked
+    streaming dedup pattern (dropDuplicatesWithinWatermark), batch form."""
+    ev = T(spark, sf_dir, "events")
+    return (
+        ev.withColumn("hour_bucket", F.date_trunc("hour", "ts"))
+        .dropDuplicates(["user_id", "event_type", "hour_bucket"])
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type")
+    )

@@ -1,0 +1,95 @@
+"""COPY FROM / COPY TO — import/export surface (SURVEY.md §2.1).
+
+Reference: ImportExport/Importer.cpp (delimited import, 6k LoC),
+SourceType.h:27-36 (CSV/Parquet/regex/geo/raster/ODBC), QueryExporterCSV
+.cpp (COPY TO). Spark-first: `spark.read`/`df.write` already implement
+parallel parse, type coercion, compression — this module maps HeavyDB
+COPY options onto reader/writer options and adds the regex-parsed-file
+source (regexp_extract over spark.read.text).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# HeavyDB COPY option → Spark CSV reader option
+# (ImportExport/CopyParams defaults: delimiter ',', header true, quote '"')
+_CSV_OPTION_MAP = {
+    "delimiter": "sep",
+    "quote": "quote",
+    "escape": "escape",
+    "header": "header",
+    "null_str": "nullValue",
+    "line_delimiter": "lineSep",
+}
+
+
+def copy_from_csv(
+    spark: SparkSession,
+    path: str,
+    schema: str | None = None,
+    **copy_params,
+) -> DataFrame:
+    """COPY <table> FROM '<path>' WITH (...) — CSV/TSV import."""
+    reader = spark.read.format("csv")
+    opts = {"header": "true", "inferSchema": "true"}
+    for k, v in copy_params.items():
+        opts[_CSV_OPTION_MAP.get(k, k)] = str(v).lower() if isinstance(v, bool) else v
+    if schema:
+        reader = reader.schema(schema)
+        opts.pop("inferSchema", None)
+    return reader.options(**opts).load(path)
+
+
+def copy_from_parquet(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def copy_from_regex(
+    spark: SparkSession, path: str, line_regex: str, columns: list[str]
+) -> DataFrame:
+    """REGEX_PARSED_FILE source (SourceType.h:31): one capture group per
+    column, applied to each line of a text file."""
+    lines = spark.read.text(path)
+    return lines.select(
+        *[
+            F.regexp_extract(F.col("value"), line_regex, i + 1).alias(col)
+            for i, col in enumerate(columns)
+        ]
+    )
+
+
+def copy_to_csv(df: DataFrame, path: str, **copy_params) -> None:
+    """COPY (query) TO '<path>' (QueryExporterCSV.cpp)."""
+    opts = {"header": "true"}
+    for k, v in copy_params.items():
+        opts[_CSV_OPTION_MAP.get(k, k)] = str(v).lower() if isinstance(v, bool) else v
+    df.write.mode("overwrite").options(**opts).csv(path)
+
+
+def copy_to_parquet(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def create_external_table(
+    spark: SparkSession, name: str, path: str, fmt: str = "parquet"
+) -> None:
+    """Foreign/FSI table analogue (DataMgr/ForeignStorage/*): query in
+    place without import — Spark external table."""
+    spark.sql(
+        f"CREATE TABLE IF NOT EXISTS {name} USING {fmt} LOCATION '{path}'"
+    )
+
+
+def ctas(spark: SparkSession, name: str, query: str, fmt: str = "parquet") -> None:
+    """CREATE TABLE AS SELECT (DBHandler.cpp:6680 CTAS dispatch)."""
+    spark.sql(f"CREATE TABLE {name} USING {fmt} AS {query}")
+
+
+def insert_into(spark: SparkSession, name: str, query: str) -> None:
+    """INSERT INTO ... SELECT (ITAS, DBHandler.cpp:6680)."""
+    spark.sql(f"INSERT INTO {name} {query}")
