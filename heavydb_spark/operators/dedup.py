@@ -47,6 +47,18 @@ def exact_dedup_by_hash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 # ------------------------------------------------------------- shingles
 
+
+def _spread(df: DataFrame, key_col: str) -> DataFrame:
+    """Hash-repartition on the key before CPU-heavy narrow transforms.
+
+    A small single-file scan arrives as 1 partition; explode+hash would
+    then run on one core. Partitioning by the key also pre-aligns the
+    data with the downstream groupBy(key), so Catalyst elides the second
+    shuffle — net cost is one small shuffle of raw rows.
+    """
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, F.col(key_col))
+
 def token_shingles(text_col: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles of a text column (JVM higher-order
     functions; no UDF)."""
@@ -80,13 +92,7 @@ def ngram_jaccard_pairs(
     At scale, hot shingles (stop-phrases) create join skew; mitigate by
     dropping shingles above a document-frequency cap (`max_df`).
     """
-    sh = (
-        df.select(
-            F.col(id_col).alias("doc"),
-            F.explode(token_shingles(F.col(text_col), n)).alias("shingle"),
-        )
-        .distinct()
-    )
+    sh = _shingle_rows(df, id_col, text_col, n).distinct()
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -108,6 +114,53 @@ def ngram_jaccard_pairs(
 
 # ---------------------------------------------------------- minhash/LSH
 
+def _shingle_rows(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """(doc, shingle) rows via posexplode(tokens) + window lead —
+    every expression whole-stage-codegen'd (the higher-order-function
+    formulation, token_shingles, is ~10x slower for row pipelines
+    because lambda bodies don't codegen or CSE)."""
+    from pyspark.sql import Window
+
+    tok = _spread(df, id_col).select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+")).alias(
+            "pos", "t"
+        ),
+    )
+    w = Window.partitionBy("doc").orderBy("pos")
+    leads = [F.col("t")] + [F.lead("t", j).over(w) for j in range(1, n)]
+    return (
+        tok.select("doc", *[c.alias(f"t{j}") for j, c in enumerate(leads)])
+        .filter(F.col(f"t{n-1}").isNotNull())
+        .select(
+            "doc",
+            F.concat_ws(" ", *[F.col(f"t{j}") for j in range(n)]).alias(
+                "shingle"
+            ),
+        )
+    )
+
+
+# Deterministic odd multipliers/offsets for affine rehashing
+# h_i(x) = a_i * h(x) + b_i (mod 2^64) — splitmix64-style constants.
+def _affine_constants(k: int) -> list[tuple[int, int]]:
+    out = []
+    s = 0x9E3779B97F4A7C15
+    x = 0x243F6A8885A308D3
+    for _ in range(k):
+        x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        a = x | 1  # odd multiplier
+        x = (x * 6364136223846793005 + s) % (1 << 64)
+        out.append((a, x))
+    return out
+
+
+def _to_i64(v: int) -> int:
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,
@@ -117,22 +170,31 @@ def minhash_signatures(
 ) -> DataFrame:
     """Per-doc minhash signature as an array<long> of length num_perm.
 
-    Permutation i is xxhash64(shingle, i) — Spark-native, deterministic.
-    Computed with one explode + groupBy(min) per permutation expressed as
-    array aggregation (no Python).
+    Each shingle is hashed ONCE (xxhash64); the num_perm permutations
+    are affine transforms a_i*h+b_i over the base hash, expressed as
+    num_perm plain `min` aggregates — the whole pipeline is shuffle-on-
+    doc + map-side partial aggregation, fully inside whole-stage
+    codegen. Duplicate shingles need no dedup (min is idempotent).
     """
-    sh = df.select(
-        F.col(id_col).alias("doc"),
-        token_shingles(F.col(text_col), n).alias("shingles"),
+    base = _shingle_rows(df, id_col, text_col, n).select(
+        "doc", F.xxhash64("shingle").alias("h")
     )
-    # min over shingles of xxhash64(shingle, perm) for each perm
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(num_perm - 1)),
-        lambda p: F.array_min(
-            F.transform(F.col("shingles"), lambda s: F.xxhash64(s, p))
-        ),
+    consts = _affine_constants(num_perm)
+    aggs = [
+        F.min(
+            F.col("h") * F.lit(_to_i64(a)).cast("long")
+            + F.lit(_to_i64(b)).cast("long")
+        ).alias(f"m{i}")
+        for i, (a, b) in enumerate(consts)
+    ]
+    return (
+        base.groupBy("doc")
+        .agg(*aggs)
+        .select(
+            "doc",
+            F.array(*[F.col(f"m{i}") for i in range(num_perm)]).alias("sig"),
+        )
     )
-    return sh.select("doc", sig.alias("sig"))
 
 
 def minhash_lsh_candidates(
@@ -177,9 +239,10 @@ def minhash_dedup_pairs(
     threshold: float = 0.8,
 ) -> DataFrame:
     """Full MinHash+LSH near-dup pipeline: candidates by banding, then
-    exact verification by signature agreement ratio (estimate of
-    jaccard). Returns (doc_a, doc_b, est_jaccard)."""
-    sigs = minhash_signatures(df, id_col, text_col, n, num_perm)
+    verification by signature agreement ratio (jaccard estimate).
+    Returns (doc_a, doc_b, est_jaccard). Signatures are persisted —
+    they feed both banding and verification."""
+    sigs = minhash_signatures(df, id_col, text_col, n, num_perm).persist()
     cands = minhash_lsh_candidates(sigs, bands, num_perm // bands)
     a = sigs.withColumnRenamed("doc", "doc_a").withColumnRenamed("sig", "sig_a")
     b = sigs.withColumnRenamed("doc", "doc_b").withColumnRenamed("sig", "sig_b")
@@ -207,7 +270,7 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     fingerprint. Implemented as explode → 64 conditional sums → bit
     reassembly with shiftleft/bitwise-or — one shuffle on doc id.
     """
-    tok = df.select(
+    tok = _spread(df, id_col).select(
         F.col(id_col).alias("doc"),
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("t"),
     ).withColumn("h", F.xxhash64("t"))

@@ -19,7 +19,11 @@ import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from heavydb_spark.functions.arrays import cosine_similarity, dot_product
+from heavydb_spark.functions.arrays import (
+    cosine_similarity,
+    dot_product,
+    l2_norm,
+)
 
 
 def _vec_lit(vec) -> Column:
@@ -113,9 +117,19 @@ def embedding_neardup_pairs(
     """
     dim = len(df.select(vec_col).first()[0])
     planes = hyperplanes(dim, n_planes, seed)
-    with_b = df.select(
-        F.col(id_col).alias("vid"), F.col(vec_col).alias("v")
-    ).withColumn("bucket", lsh_bucket(F.col("v"), planes))
+    # Normalize once per row (not per pair): pair cosine is then a plain
+    # dot product — 1/3 of the per-pair vector math.
+    norm = l2_norm(F.col(vec_col))
+    with_b = (
+        df.select(
+            F.col(id_col).alias("vid"),
+            F.transform(
+                F.col(vec_col), lambda x: x.cast("double") / norm
+            ).alias("vn"),
+        )
+        .withColumn("bucket", lsh_bucket(F.col("vn"), planes))
+        .persist()
+    )
     a, b = with_b.alias("a"), with_b.alias("b")
     return (
         a.join(
@@ -127,7 +141,7 @@ def embedding_neardup_pairs(
             F.col("a.vid").alias("id_a"),
             F.col("b.vid").alias("id_b"),
             F.round(
-                cosine_similarity(F.col("a.v"), F.col("b.v")), 6
+                dot_product(F.col("a.vn"), F.col("b.vn")), 6
             ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)

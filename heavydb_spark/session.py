@@ -27,6 +27,9 @@ _BUILD_CONF = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Deterministic, tz-independent semantics (oracle = DuckDB, tz-naive).
     "spark.sql.session.timeZone": "UTC",
+    # Wraparound integer arithmetic (hash pipelines rely on it); the
+    # reference likewise runs non-ANSI int64 compute (SURVEY.md §7.3).
+    "spark.sql.ansi.enabled": "false",
     # Driver testdata stores events.ts as parquet TIMESTAMP(NANOS) which
     # Spark has no native type for; read as long, convert in catalog.py.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
@@ -42,6 +45,7 @@ RUNTIME_CONF = {
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.adaptive.enabled": "true",
+    "spark.sql.ansi.enabled": "false",
 }
 
 
