@@ -56,7 +56,23 @@ def uses_sort_merge_join(df: DataFrame) -> bool:
 
 
 def whole_stage_codegen_count(df: DataFrame) -> int:
-    return plan_string(df, "simple").count("WholeStageCodegen")
+    """Number of fused codegen stages (the Tungsten analogue of the
+    reference's per-query LLVM module). With AQE the simple plan hides
+    codegen markers pre-execution, so use the codegen explain mode."""
+    spark = df.sparkSession
+    old = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        s = plan_string(df, "codegen")
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old)
+    marker = "WholeStageCodegen subtrees"
+    for line in s.splitlines():
+        if marker in line:  # "Found N WholeStageCodegen subtrees."
+            for tok in line.split():
+                if tok.isdigit():
+                    return int(tok)
+    return s.count("WholeStageCodegen")
 
 
 def shuffle_count(df: DataFrame) -> int:

@@ -28,4 +28,5 @@ from heavydb_spark.queries import (  # noqa: F401,E402
     tablefuncs,
     datapipe,
     streaming_batch,
+    extended,
 )

@@ -1,0 +1,246 @@
+"""Extended operator surface: graph, ML, geo, DML post-images
+(SURVEY.md §2.10 UDTFs, §2.8 geo, §2.1 UPDATE/DELETE).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from heavydb_spark.functions import geo
+from heavydb_spark.operators import graph, ml, mutation
+from heavydb_spark.operators.series import generate_random_strings
+from heavydb_spark.queries.registry import query
+from heavydb_spark.queries.util import T, r4
+
+
+def _edges(spark, sf_dir):
+    """Deterministic sparse bipartite graph: supplier —(big lineitem)— part.
+    Node ids: suppliers as-is, parts offset by 100000."""
+    li = T(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_quantity") > 49.5)
+        .select(
+            F.col("l_suppkey").cast("long").alias("src"),
+            (F.lit(100000) + F.col("l_partkey")).cast("long").alias("dst"),
+        )
+        .distinct()
+    )
+
+
+@query(
+    "tf_graph_shortest_paths",
+    oracle="""
+    WITH RECURSIVE edges AS (
+        SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS src,
+               CAST(100000 + l_partkey AS BIGINT) AS dst
+        FROM lineitem WHERE l_quantity > 49.5
+    ), und AS (
+        SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+    ), walk AS (
+        SELECT CAST(1 AS BIGINT) AS node, 0 AS dist
+        UNION ALL
+        SELECT u.dst, w.dist + 1
+        FROM walk w JOIN und u ON u.src = w.node
+        WHERE w.dist < 4
+    )
+    SELECT node, CAST(min(dist) AS INT) AS dist
+    FROM walk GROUP BY node ORDER BY node
+    """,
+)
+def tf_graph_shortest_paths(spark, sf_dir):
+    """tf_graph_shortest_paths_distances (GraphTableFunctions.hpp:348):
+    frontier BFS from supplier node 1, 4 hops, undirected. Oracle =
+    DuckDB recursive CTE with min-dist aggregation."""
+    e = _edges(spark, sf_dir)
+    return graph.shortest_paths_distances(
+        e, source=1, max_hops=4, directed=False
+    ).orderBy("node")
+
+
+@query(
+    "ml_linear_reg",
+    oracle="""
+    SELECT round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+           round(regr_r2(l_extendedprice, l_quantity), 6) AS r2
+    FROM lineitem
+    """,
+)
+def ml_linear_reg(spark, sf_dir):
+    """linear_reg_fit / r2_score (MLTableFunctions.hpp) — closed-form
+    OLS as moment aggregates; r2 = corr² for simple regression."""
+    li = T(spark, sf_dir, "lineitem")
+    return li.agg(
+        r4(F.covar_samp("l_quantity", "l_extendedprice") / F.var_samp("l_quantity")).alias("slope"),
+        r4(
+            F.avg("l_extendedprice")
+            - (F.covar_samp("l_quantity", "l_extendedprice") / F.var_samp("l_quantity"))
+            * F.avg("l_quantity")
+        ).alias("intercept"),
+        F.round(F.pow(F.corr("l_quantity", "l_extendedprice"), 2), 6).alias("r2"),
+    )
+
+
+@query("ml_kmeans")  # iterative MLlib → rows-only check
+def ml_kmeans(spark, sf_dir):
+    """tf_kmeans over embeddings (MLTableFunctions.hpp) via pyspark.ml."""
+    e = T(spark, sf_dir, "embeddings")
+    return (
+        ml.kmeans_fit(e, "embedding", k=4, seed=42)
+        .groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("cluster_id")
+    )
+
+
+@query("ml_pca_project")  # iterative MLlib → rows-only check
+def ml_pca_project(spark, sf_dir):
+    """pca_fit / PCA_PROJECT analogue."""
+    e = T(spark, sf_dir, "embeddings")
+    return (
+        ml.pca_project(e, "embedding", k=2)
+        .select("vec_id", F.round(F.abs(F.element_at("pca_arr", 1)), 4).alias("pc1_abs"))
+        .orderBy("vec_id")
+    )
+
+
+@query(
+    "geo_point_distance",
+    oracle="""
+    WITH pts AS (
+        SELECT s_suppkey,
+               CAST(mod(s_suppkey * 7, 360) - 180 AS DOUBLE) AS x,
+               CAST(mod(s_suppkey * 3, 170) - 85 AS DOUBLE) AS y
+        FROM supplier
+    )
+    SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b,
+           round(sqrt((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)), 6) AS eucl,
+           round(2 * 6371008.8 * asin(sqrt(
+               pow(sin((radians(b.y) - radians(a.y)) / 2), 2)
+               + cos(radians(a.y)) * cos(radians(b.y))
+                 * pow(sin((radians(b.x) - radians(a.x)) / 2), 2))), 4) AS meters,
+           (sqrt((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)) <= 50.0) AS within50
+    FROM pts a JOIN pts b ON a.s_suppkey < b.s_suppkey
+    WHERE a.s_suppkey <= 20 AND b.s_suppkey <= 20
+    ORDER BY id_a, id_b
+    """,
+)
+def geo_point_distance(spark, sf_dir):
+    """ST_Point/ST_Distance/distance_in_meters/ST_DWithin subset
+    (ExtensionFunctionsGeo.hpp) over derived point columns."""
+    s = T(spark, sf_dir, "supplier").filter(F.col("s_suppkey") <= 20)
+    pts = s.select(
+        "s_suppkey",
+        geo.st_point(
+            (F.col("s_suppkey") * 7 % 360 - 180),
+            (F.col("s_suppkey") * 3 % 170 - 85),
+        ).alias("p"),
+    )
+    a, b = pts.alias("a"), pts.alias("b")
+    pa, pb = F.col("a.p"), F.col("b.p")
+    return (
+        a.join(b, F.col("a.s_suppkey") < F.col("b.s_suppkey"))
+        .select(
+            F.col("a.s_suppkey").alias("id_a"),
+            F.col("b.s_suppkey").alias("id_b"),
+            F.round(geo.st_distance(pa, pb), 6).alias("eucl"),
+            F.round(geo.st_distance_sphere(pa, pb), 4).alias("meters"),
+            geo.st_dwithin(pa, pb, 50.0).alias("within50"),
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+@query(
+    "geo_grid_join",
+    oracle="""
+    WITH pts AS (
+        SELECT c_custkey AS id,
+               CAST(mod(c_custkey * 13, 1000) AS DOUBLE) / 10 AS x,
+               CAST(mod(c_custkey * 17, 1000) AS DOUBLE) / 10 AS y
+        FROM customer
+    )
+    SELECT CAST(floor(x / 10) AS BIGINT) AS cx,
+           CAST(floor(y / 10) AS BIGINT) AS cy,
+           count(*) AS n
+    FROM pts GROUP BY 1, 2 ORDER BY cx, cy
+    """,
+)
+def geo_grid_join(spark, sf_dir):
+    """Grid-cell bucketing — the equi-joinable prefilter behind the
+    reference's bounding-box-intersect join (BoundingBoxIntersectJoin-
+    HashTable.h:29): count points per cell."""
+    c = T(spark, sf_dir, "customer")
+    pts = c.select(
+        F.col("c_custkey").alias("id"),
+        geo.st_point(
+            (F.col("c_custkey") * 13 % 1000) / 10.0,
+            (F.col("c_custkey") * 17 % 1000) / 10.0,
+        ).alias("p"),
+    )
+    cell = geo.grid_cell(F.col("p"), 10.0)
+    return (
+        pts.select(cell.alias("cell"))
+        .groupBy(F.col("cell.cx").alias("cx"), F.col("cell.cy").alias("cy"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("cx", "cy")
+    )
+
+
+@query(
+    "dml_update_postimage",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice > 400000 THEN '0-REWRITTEN'
+                ELSE o_orderpriority END AS o_orderpriority,
+           CASE WHEN o_totalprice > 400000 THEN o_totalprice * 0.9
+                ELSE o_totalprice END AS o_totalprice
+    FROM orders
+    WHERE o_orderkey < 1000
+    ORDER BY o_orderkey
+    """,
+)
+def dml_update_postimage(spark, sf_dir):
+    """UPDATE post-image (executeUpdate, RelAlgExecutor.cpp:2163): the
+    projection rewrite the reference writes back via StorageIOFacility —
+    here the declarative post-image (write path: operators/mutation.py,
+    tested in tests/test_dml.py)."""
+    o = T(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 1000)
+    post = mutation.update_projection(
+        o,
+        F.col("o_totalprice") > 400000,
+        {
+            "o_orderpriority": F.lit("0-REWRITTEN"),
+            "o_totalprice": F.col("o_totalprice") * 0.9,
+        },
+    )
+    return post.select("o_orderkey", "o_orderpriority", "o_totalprice").orderBy(
+        "o_orderkey"
+    )
+
+
+@query(
+    "dml_delete_postimage",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n
+    FROM orders
+    WHERE NOT (o_totalprice < 100000)
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def dml_delete_postimage(spark, sf_dir):
+    """DELETE post-image (executeDelete, RelAlgExecutor.cpp:2327)."""
+    o = T(spark, sf_dir, "orders")
+    post = mutation.delete_filter(o, F.col("o_totalprice") < 100000)
+    return (
+        post.groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("o_orderstatus")
+    )
+
+
+@query("tf_generate_random_strings")  # xxhash64-derived → rows-only check
+def tf_generate_random_strings(spark, sf_dir):
+    """generate_random_strings (UtilityTableFunctions.h:49) —
+    deterministic seeded strings via spark.range + xxhash64."""
+    return generate_random_strings(spark, 1000, length=10, seed=42).orderBy("id")

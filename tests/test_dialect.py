@@ -1,0 +1,58 @@
+"""HeavyDB SQL dialect shim (heavydb_spark/dialect.py) — each rewrite
+rule string-checked and executed through Engine.sql."""
+
+from __future__ import annotations
+
+import pytest
+
+from heavydb_spark import dialect
+
+
+@pytest.mark.parametrize(
+    "src,expected",
+    [
+        ("DATEADD('day', 3, o_orderdate)", "timestampadd(DAY, 3, o_orderdate)"),
+        ("DATEDIFF('month', a, b)", "timestampdiff(MONTH, a, b)"),
+        ("DATEPART('year', d)", "extract(YEAR FROM d)"),
+        ("DATE_TRUNC(day, x)", "date_trunc('day', x)"),
+        ("LIKELY(x > 1)", "(x > 1)"),
+        ("UNLIKELY(x > 1)", "(x > 1)"),
+        ("SAMPLE(x)", "any_value(x)"),
+        ("SAMPLE_RATIO(0.1)", "(rand() < 0.1)"),
+        ("APPROX_MEDIAN(x)", "approx_percentile(x, 0.5)"),
+        ("CHAR_LENGTH(s)", "length(s)"),
+    ],
+)
+def test_rewrite_rules(src, expected):
+    assert dialect.rewrite(f"SELECT {src}") == f"SELECT {expected}"
+
+
+def test_passthrough_untouched():
+    q = "SELECT l_returnflag, count(*) FROM lineitem GROUP BY 1 ORDER BY 1"
+    assert dialect.rewrite(q) == q
+
+
+def test_dialect_queries_execute(engine):
+    """End-to-end: HeavyDB-dialect statements run via Engine.sql."""
+    df = engine.sql(
+        """
+        SELECT l_returnflag,
+               SAMPLE(l_orderkey) AS k,
+               APPROX_MEDIAN(l_extendedprice) AS med,
+               DATEADD('day', 7, MIN(l_shipdate)) AS d7,
+               DATEDIFF('day', MIN(l_shipdate), MAX(l_shipdate)) AS span
+        FROM lineitem
+        WHERE LIKELY(l_quantity > 0)
+        GROUP BY l_returnflag
+        """
+    )
+    rows = df.collect()
+    assert len(rows) == 3
+    assert all(r["span"] > 0 for r in rows)
+
+
+def test_width_bucket_native(engine):
+    df = engine.sql(
+        "SELECT width_bucket(o_totalprice, 0, 500000, 5) AS b FROM orders LIMIT 5"
+    )
+    assert df.count() == 5

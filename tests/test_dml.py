@@ -1,0 +1,83 @@
+"""DML write path: copy-on-write UPDATE/DELETE, CTAS, INSERT
+(UpdelStorageTest.cpp / CtasUpdateTest.cpp analogues)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from heavydb_spark.operators import mutation
+from heavydb_spark.sources import copy_io
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture()
+def scratch_table(spark):
+    d = tempfile.mkdtemp(prefix="dml_")
+    table_dir = os.path.join(d, "orders")
+    spark.read.parquet(f"{SF_DIR}/orders.parquet").write.parquet(table_dir)
+    yield table_dir
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_update_cow(spark, scratch_table):
+    before = spark.read.parquet(scratch_table)
+    n_before = before.count()
+    n_target = before.filter(F.col("o_totalprice") > 300000).count()
+    assert n_target > 0
+
+    mutation.apply_update_cow(
+        spark,
+        scratch_table,
+        F.col("o_totalprice") > 300000,
+        {"o_orderpriority": F.lit("X-UPDATED")},
+    )
+    after = spark.read.parquet(scratch_table)
+    assert after.count() == n_before
+    assert after.filter(F.col("o_orderpriority") == "X-UPDATED").count() == n_target
+    # untouched rows keep original values
+    assert (
+        after.filter(
+            (F.col("o_totalprice") <= 300000)
+            & (F.col("o_orderpriority") == "X-UPDATED")
+        ).count()
+        == 0
+    )
+
+
+def test_delete_cow(spark, scratch_table):
+    before = spark.read.parquet(scratch_table)
+    n_before = before.count()
+    n_del = before.filter(F.col("o_orderstatus") == "F").count()
+    mutation.apply_delete_cow(spark, scratch_table, F.col("o_orderstatus") == "F")
+    after = spark.read.parquet(scratch_table)
+    assert after.count() == n_before - n_del
+    assert after.filter(F.col("o_orderstatus") == "F").count() == 0
+
+
+def test_ctas_insert_roundtrip(spark):
+    """CTAS + INSERT INTO ... SELECT (DBHandler.cpp:6680 dispatch)."""
+    try:
+        spark.read.parquet(f"{SF_DIR}/nation.parquet").createOrReplaceTempView(
+            "nation_src"
+        )
+        spark.sql("DROP TABLE IF EXISTS nation_ctas")
+        copy_io.ctas(
+            spark,
+            "nation_ctas",
+            "SELECT n_nationkey, n_name FROM nation_src WHERE n_regionkey = 0",
+        )
+        n0 = spark.table("nation_ctas").count()
+        copy_io.insert_into(
+            spark,
+            "nation_ctas",
+            "SELECT n_nationkey, n_name FROM nation_src WHERE n_regionkey = 1",
+        )
+        n1 = spark.table("nation_ctas").count()
+        assert n1 > n0 > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS nation_ctas")

@@ -1,0 +1,88 @@
+"""Unit tests for operator-library pieces not fully covered by oracle
+parity: multimodal plumbing, graph path reconstruction, arrays/geo
+helpers, generate_series edge cases, Arrow surface."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from heavydb_spark.functions.arrays import cosine_similarity, dot_product
+from heavydb_spark.operators import multimodal
+from heavydb_spark.operators.graph import shortest_path
+from heavydb_spark.operators.series import generate_series
+
+
+def test_generate_series_edges(spark):
+    assert generate_series(spark, 1, 10, 3).count() == 4      # 1,4,7,10
+    assert generate_series(spark, 10, 1, -3).count() == 4     # 10,7,4,1
+    assert generate_series(spark, 5, 5, 1).count() == 1
+    with pytest.raises(ValueError):
+        generate_series(spark, 1, 10, 0)
+
+
+def test_dot_product_and_cosine(spark):
+    df = spark.createDataFrame(
+        [([1.0, 2.0, 3.0], [4.0, 5.0, 6.0])], "a array<double>, b array<double>"
+    )
+    row = df.select(
+        dot_product(F.col("a"), F.col("b")).alias("d"),
+        F.round(cosine_similarity(F.col("a"), F.col("a")), 9).alias("self"),
+    ).first()
+    assert row["d"] == 32.0
+    assert row["self"] == 1.0
+
+
+def test_graph_shortest_path_reconstruction(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 5), (5, 4), (4, 9)], "src long, dst long"
+    )
+    path = shortest_path(edges, source=1, target=9, max_hops=5).collect()
+    nodes = [r["node"] for r in sorted(path, key=lambda r: r["path_step"])]
+    assert nodes[0] == 1 and nodes[-1] == 9
+    assert len(nodes) == 4  # 1 → (2|5) → .. → 4 → 9 is 3 hops
+    # min-id tiebreak picks 1→2→3→4? no: backward walk picks min pred
+    assert nodes == [1, 2, 3, 9] or nodes == [1, 5, 4, 9] or nodes == [1, 2, 4, 9]
+
+
+def test_graph_unreachable(spark):
+    edges = spark.createDataFrame([(1, 2), (3, 4)], "src long, dst long")
+    path = shortest_path(edges, source=1, target=4, max_hops=4)
+    assert path.count() == 0
+
+
+def test_multimodal_feature_extraction(spark):
+    media = multimodal.synthetic_media(spark, 30)
+    feats = multimodal.extract_features(media)
+    rows = feats.collect()
+    assert len(rows) == 30
+    assert all(r["n_bytes"] > 0 for r in rows)
+    assert len({r["payload_hash"] for r in rows}) == 30  # all distinct
+    # deterministic across runs
+    again = {r["media_id"]: r["payload_hash"] for r in multimodal.extract_features(media).collect()}
+    assert again == {r["media_id"]: r["payload_hash"] for r in rows}
+
+
+def test_multimodal_frame_sampling(spark):
+    media = multimodal.synthetic_media(spark, 30)
+    frames = multimodal.sample_video_frames(media, every_ms=1000)
+    per = frames.groupBy("media_id").count().collect()
+    durations = {
+        r["media_id"]: r["duration_ms"]
+        for r in media.filter(F.col("kind") == "video").collect()
+    }
+    for r in per:
+        expected = (durations[r["media_id"]] - 1) // 1000 + 1
+        assert r["count"] == expected
+
+
+def test_multimodal_decode_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        multimodal._decode_image(b"bytes")
+
+
+def test_arrow_result_surface(engine):
+    """sql_execute_df analogue (DBHandler.cpp:1457) returns Arrow."""
+    tbl = engine.sql_arrow("SELECT 1 AS a, 'x' AS b")
+    assert tbl.num_rows == 1
+    assert tbl.column_names == ["a", "b"]

@@ -1,0 +1,68 @@
+"""Physical-plan shape assertions — the '100 TB survival' gate.
+
+Reference analogues: fragment skipping (InputMetadata.cpp) → parquet
+PushedFilters; lazy column fetch (PlanState.h:47) → pruned ReadSchema;
+REPLICATED tables (TableDescriptor.h:119) → broadcast joins; JIT fusion
+(NativeCodegen.cpp) → WholeStageCodegen spans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from heavydb_spark.plans import checks
+from heavydb_spark.queries import QUERIES
+from tests.conftest import SF_DIR
+
+
+def test_filter_pushed_to_scan(spark):
+    df = QUERIES["scan_project_filter"](spark, SF_DIR)
+    assert checks.has_pushed_filters(df), checks.plan_string(df)
+
+
+def test_column_pruning(spark):
+    """A 4-column projection over an 11-column table must not read all
+    11 columns from parquet."""
+    df = QUERIES["scan_project_filter"](spark, SF_DIR)
+    cols = checks.read_schema_columns(df)
+    assert cols, "no ReadSchema found"
+    assert len(set(cols)) <= 6, cols
+
+
+def test_star_join_broadcasts_dimensions(spark):
+    df = QUERIES["join_star_agg"](spark, SF_DIR)
+    assert checks.uses_broadcast_join(df), checks.plan_string(df, "simple")
+
+
+def test_whole_stage_codegen_present(spark):
+    df = QUERIES["pricing_summary"](spark, SF_DIR)
+    assert checks.whole_stage_codegen_count(df) >= 1
+
+
+def test_groupby_shuffle_budget(spark):
+    """Single group-by = at most one shuffle before the final sort."""
+    df = QUERIES["agg_groupby_count"](spark, SF_DIR)
+    assert checks.shuffle_count(df) <= 2, checks.plan_string(df, "simple")
+
+
+def test_semi_anti_join_planned(spark):
+    from heavydb_spark.queries.util import T
+
+    c = T(spark, SF_DIR, "customer")
+    o = T(spark, SF_DIR, "orders")
+    semi = c.join(o, c["c_custkey"] == o["o_custkey"], "left_semi")
+    s = checks.plan_string(semi, "simple")
+    assert "LeftSemi" in s or "Semi" in s, s
+
+
+def test_partition_pruning_on_partitioned_layout(spark, tmp_path):
+    """PARTITION BY layout + equality filter → scan lists only the
+    matching partition directory (PartitionFilters)."""
+    out = str(tmp_path / "orders_bystatus")
+    spark.read.parquet(f"{SF_DIR}/orders.parquet").write.partitionBy(
+        "o_orderstatus"
+    ).parquet(out)
+    df = spark.read.parquet(out).filter(F.col("o_orderstatus") == "F")
+    s = checks.plan_string(df)
+    assert "PartitionFilters" in s
+    assert "o_orderstatus" in s.split("PartitionFilters", 1)[1][:200]

@@ -1,0 +1,77 @@
+"""Import/export surface: COPY FROM/TO CSV, regex source, external table
+(ImportExportTest.cpp / ForeignTableDmlTest.cpp analogues)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pytest
+
+from heavydb_spark.sources import copy_io
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="src_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_csv_roundtrip(spark, tmpdir):
+    """COPY TO csv → COPY FROM csv preserves rows + values."""
+    nation = spark.read.parquet(f"{SF_DIR}/nation.parquet")
+    out = os.path.join(tmpdir, "nation_csv")
+    copy_io.copy_to_csv(nation, out, delimiter="|")
+    back = copy_io.copy_from_csv(spark, out, delimiter="|")
+    assert back.count() == nation.count()
+    assert set(back.columns) == set(nation.columns)
+    orig = {tuple(r) for r in nation.collect()}
+    rt = {tuple(r) for r in back.collect()}
+    assert orig == rt
+
+
+def test_copy_from_regex(spark, tmpdir):
+    """REGEX_PARSED_FILE source (SourceType.h:31)."""
+    log = os.path.join(tmpdir, "app.log")
+    with open(log, "w") as f:
+        f.write("2024-01-01 INFO starting up\n")
+        f.write("2024-01-02 WARN low memory\n")
+        f.write("2024-01-03 ERROR crash imminent\n")
+    df = copy_io.copy_from_regex(
+        spark, log, r"^(\S+) (\S+) (.*)$", ["d", "level", "msg"]
+    )
+    rows = {tuple(r) for r in df.collect()}
+    assert ("2024-01-02", "WARN", "low memory") in rows
+    assert len(rows) == 3
+
+
+def test_external_table(spark, tmpdir):
+    """Foreign table (FSI) analogue: query-in-place without import."""
+    spark.sql("DROP TABLE IF EXISTS region_ext")
+    src = os.path.join(tmpdir, "region")
+    spark.read.parquet(f"{SF_DIR}/region.parquet").write.parquet(src)
+    copy_io.create_external_table(spark, "region_ext", src)
+    assert spark.table("region_ext").count() == 5
+    spark.sql("DROP TABLE region_ext")
+
+
+def test_parquet_partitioned_export(spark, tmpdir):
+    """COPY TO with PARTITION BY — the layout that enables partition
+    pruning at scale."""
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    out = os.path.join(tmpdir, "orders_part")
+    copy_io.copy_to_parquet(orders, out, partition_by=["o_orderstatus"])
+    statuses = [
+        p for p in os.listdir(out) if p.startswith("o_orderstatus=")
+    ]
+    assert len(statuses) >= 2
+    back = spark.read.parquet(out)
+    assert back.count() == orders.count()
+    # partition-pruned read touches a single directory
+    one = back.filter(back["o_orderstatus"] == "F")
+    from heavydb_spark.plans.checks import plan_string
+
+    assert "o_orderstatus" in plan_string(one)
