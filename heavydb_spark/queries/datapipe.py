@@ -257,3 +257,66 @@ def text_lang_id(spark, sf_dir):
     return d.select(
         "doc_id", "lang", text.lang_id(F.col("text")).alias("pred_lang")
     ).orderBy("doc_id")
+
+
+@query(
+    "mm_media_features",
+    oracle="""
+    SELECT doc_id AS media_id,
+           'image' AS kind,
+           octet_length(encode(text)) AS n_bytes,
+           md5(text) AS payload_hash,
+           0 AS feat_dim
+    FROM documents WHERE doc_id < 500 ORDER BY media_id
+    """,
+)
+def mm_media_features(spark, sf_dir):
+    """Multimodal feature extraction over opaque binary payloads via
+    Arrow-batched mapInPandas (operators/multimodal.py). Payloads are the
+    utf-8 bytes of document text so the byte-level features (length,
+    md5) are oracle-checkable; a real corpus would carry encoded
+    image/audio bytes through the identical plan."""
+    from heavydb_spark.operators.multimodal import extract_features
+
+    d = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.lit(0).alias("width"),
+        F.lit(0).alias("height"),
+        F.lit(0).cast("long").alias("duration_ms"),
+    )
+    return extract_features(media).select(
+        "media_id", "kind", "n_bytes", "payload_hash", "feat_dim"
+    ).orderBy("media_id")
+
+
+@query(
+    "mm_frame_sample",
+    oracle="""
+    SELECT doc_id AS media_id, unnest(generate_series(0, (doc_id % 10000) + 499, 1000)) AS frame_ts_ms
+    FROM documents WHERE doc_id < 200 ORDER BY media_id, frame_ts_ms
+    """,
+)
+def mm_frame_sample(spark, sf_dir):
+    """Video frame-sampling plan (operators/multimodal.py
+    sample_video_frames): one row per sampled frame timestamp derived
+    from metadata duration_ms = doc_id % 10000 + 500; only pixel decode
+    is stubbed, the explode fan-out is the real scale path."""
+    from heavydb_spark.operators.multimodal import sample_video_frames
+
+    d = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("kind"),
+        F.lit(None).cast("binary").alias("payload"),
+        F.lit("video/mp4").alias("mime"),
+        F.lit(0).alias("width"),
+        F.lit(0).alias("height"),
+        (F.col("doc_id") % 10000 + 500).alias("duration_ms"),
+    )
+    return sample_video_frames(media, every_ms=1000).orderBy(
+        "media_id", "frame_ts_ms"
+    )

@@ -336,3 +336,64 @@ def fn_unnest_explode(spark, sf_dir):
         )
         .orderBy("vec_id", "pos")
     )
+
+
+@query(
+    "fn_string_extra",
+    oracle="""
+    SELECT p_partkey,
+           upper(left(p_brand, 1)) || lower(substring(p_brand, 2)) AS icap,
+           substr(p_name, 1, 2) || 'XX' || substr(p_name, 5) AS olay,
+           'v' || repeat(' ', 3) || 'w' AS spaced,
+           ltrim('  ' || p_brand) AS lt,
+           rtrim(p_brand || '  ') AS rt,
+           base64(encode(p_brand)) AS b64,
+           replace(p_name, ' ', '+') AS urlenc,
+           translate(p_brand, '#', '_') AS trans
+    FROM part WHERE p_partkey < 200 ORDER BY p_partkey
+    """,
+)
+def fn_string_extra(spark, sf_dir):
+    """INITCAP/OVERLAY/SPACE/LTRIM/RTRIM/BASE64_ENCODE/URL_ENCODE
+    (Shared/sqldefs.h:92-141; StringOps/StringOps.cpp kernels). p_brand is
+    single-token and p_name is [a-z ]+, so the DuckDB oracle can emulate
+    INITCAP and form-encoded URL_ENCODE (space -> '+') exactly."""
+    p = T(spark, sf_dir, "part").filter(F.col("p_partkey") < 200)
+    return p.select(
+        "p_partkey",
+        F.initcap("p_brand").alias("icap"),
+        F.overlay("p_name", F.lit("XX"), 3, 2).alias("olay"),
+        F.concat(F.lit("v"), F.expr("space(3)"), F.lit("w")).alias("spaced"),
+        F.ltrim(F.concat(F.lit("  "), F.col("p_brand"))).alias("lt"),
+        F.rtrim(F.concat(F.col("p_brand"), F.lit("  "))).alias("rt"),
+        F.base64(F.encode("p_brand", "utf-8")).alias("b64"),
+        F.url_encode("p_name").alias("urlenc"),
+        F.translate("p_brand", "#", "_").alias("trans"),
+    ).orderBy("p_partkey")
+
+
+@query(
+    "fn_datetime_week_variants",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderdate AS DATE) - CAST(dayofweek(o_orderdate) AS INT)
+               AS wk_sunday,
+           CAST(o_orderdate AS DATE) - ((CAST(dayofweek(o_orderdate) AS INT) + 1) % 7)
+               AS wk_saturday,
+           CAST(floor(hour(o_orderdate) / 6) + 1 AS INT) AS quarterday
+    FROM orders WHERE o_orderkey < 300 ORDER BY o_orderkey
+    """,
+)
+def fn_datetime_week_variants(spark, sf_dir):
+    """DATE_TRUNC WEEK_SUNDAY / WEEK_SATURDAY and EXTRACT QUARTERDAY —
+    HeavyDB-specific fields with no Spark builtin
+    (QueryEngine/DateTruncate.h:27-46, ExtractFromTime.h:77-98).
+    Spark dayofweek is 1=Sunday; DuckDB's is 0=Sunday."""
+    o = T(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 300)
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        F.date_sub(d, F.dayofweek(d) - 1).alias("wk_sunday"),
+        F.date_sub(d, F.dayofweek(d) % 7).alias("wk_saturday"),
+        (F.floor(F.hour("o_orderdate") / 6) + 1).cast("int").alias("quarterday"),
+    ).orderBy("o_orderkey")
