@@ -154,6 +154,20 @@ def sim_ann_lsh(spark, sf_dir):
     )
 
 
+@query("sim_ann_ivf")  # KMeans-trained index (iterative MLlib) -> rows-only check
+def sim_ann_ivf(spark, sf_dir):
+    """ANN top-k via IVF (KMeans coarse quantizer + nprobe list probe) —
+    the data-adaptive scale path: with the table partitioned by list_id
+    a probe scans nprobe/n_lists of the data (operators/similarity.py
+    ann_topk_ivf)."""
+    e = T(spark, sf_dir, "embeddings")
+    qvec = e.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return similarity.ann_topk_ivf(
+        e.filter(F.col("vec_id") != 0), "embedding", qvec, k=10,
+        n_lists=8, nprobe=2,
+    )
+
+
 @query("sim_embedding_neardup")  # LSH blocking → rows-only check
 def sim_embedding_neardup(spark, sf_dir):
     """Embedding-cosine near-dup pairs via LSH blocking + exact verify."""

@@ -86,3 +86,27 @@ def test_arrow_result_surface(engine):
     tbl = engine.sql_arrow("SELECT 1 AS a, 'x' AS b")
     assert tbl.num_rows == 1
     assert tbl.column_names == ["a", "b"]
+
+
+def test_ivf_ann_matches_bruteforce_top1(spark):
+    """IVF probe must recover the exact nearest neighbor when probing
+    enough lists (recall sanity for the data-adaptive ANN path)."""
+    from pyspark.sql import functions as F
+
+    from heavydb_spark.catalog import load_table
+    from heavydb_spark.operators import similarity
+
+    from conftest import SF_DIR
+    e = load_table(spark, SF_DIR, "embeddings").filter(F.col("vec_id") < 2000)
+    qvec = e.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    base = e.filter(F.col("vec_id") != 0)
+    exact = similarity.cosine_topk(base, "embedding", qvec, k=5).collect()
+    approx = similarity.ann_topk_ivf(
+        base, "embedding", qvec, k=5, n_lists=4, nprobe=4
+    ).collect()
+    # probing all lists == exact
+    assert [r.vec_id for r in approx] == [r.vec_id for r in exact]
+    ap2 = similarity.ann_topk_ivf(
+        base, "embedding", qvec, k=5, n_lists=4, nprobe=1
+    ).collect()
+    assert len(ap2) == 5
