@@ -161,20 +161,22 @@ def _to_i64(v: int) -> int:
     return v - (1 << 64) if v >= (1 << 63) else v
 
 
-def minhash_signatures(
+def _minhash_wide(
     df: DataFrame,
     id_col: str,
     text_col: str,
     n: int = 3,
     num_perm: int = 64,
 ) -> DataFrame:
-    """Per-doc minhash signature as an array<long> of length num_perm.
+    """Per-doc minhash signature in wide form: columns doc, m0..m{k-1}.
 
     Each shingle is hashed ONCE (xxhash64); the num_perm permutations
     are affine transforms a_i*h+b_i over the base hash, expressed as
     num_perm plain `min` aggregates — the whole pipeline is shuffle-on-
     doc + map-side partial aggregation, fully inside whole-stage
     codegen. Duplicate shingles need no dedup (min is idempotent).
+    The wide form lets band hashes be computed as plain multi-arg
+    xxhash64 over columns (codegen) instead of array slices (HOF).
     """
     base = _shingle_rows(df, id_col, text_col, n).select(
         "doc", F.xxhash64("shingle").alias("h")
@@ -187,13 +189,39 @@ def minhash_signatures(
         ).alias(f"m{i}")
         for i, (a, b) in enumerate(consts)
     ]
-    return (
-        base.groupBy("doc")
-        .agg(*aggs)
-        .select(
-            "doc",
-            F.array(*[F.col(f"m{i}") for i in range(num_perm)]).alias("sig"),
-        )
+    return base.groupBy("doc").agg(*aggs)
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_perm: int = 64,
+) -> DataFrame:
+    """Per-doc minhash signature as an array<long> of length num_perm."""
+    return _minhash_wide(df, id_col, text_col, n, num_perm).select(
+        "doc",
+        F.array(*[F.col(f"m{i}") for i in range(num_perm)]).alias("sig"),
+    )
+
+
+def _banded(wide: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
+    """(doc, band, band_hash) rows: band hash = multi-arg xxhash64 over
+    that band's min columns — no higher-order functions, whole plan in
+    codegen."""
+    return wide.select(
+        "doc",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        *[f"m{b * rows_per_band + j}" for j in range(rows_per_band)]
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "band_hash"),
     )
 
 
@@ -202,20 +230,15 @@ def minhash_lsh_candidates(
 ) -> DataFrame:
     """LSH banding: docs agreeing on all rows of any band become a
     candidate pair. One explode (docs × bands) + equi-join on
-    (band, band_hash) — the scale-safe candidate generator."""
-    banded = sigs.select(
-        "doc",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.xxhash64(
-                    F.concat_ws(
-                        ",", F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
-                    )
-                ),
-            )
-        ).alias("band", "band_hash"),
-    )
+    (band, band_hash) — the scale-safe candidate generator.
+    Accepts wide (m0..mk) or array (sig) signature form."""
+    if "sig" in sigs.columns:
+        num_perm = bands * rows_per_band
+        sigs = sigs.select(
+            "doc",
+            *[F.element_at("sig", i + 1).alias(f"m{i}") for i in range(num_perm)],
+        )
+    banded = _banded(sigs, bands, rows_per_band)
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(
@@ -240,12 +263,17 @@ def minhash_dedup_pairs(
 ) -> DataFrame:
     """Full MinHash+LSH near-dup pipeline: candidates by banding, then
     verification by signature agreement ratio (jaccard estimate).
-    Returns (doc_a, doc_b, est_jaccard). Signatures are persisted —
-    they feed both banding and verification."""
-    sigs = minhash_signatures(df, id_col, text_col, n, num_perm).persist()
-    cands = minhash_lsh_candidates(sigs, bands, num_perm // bands)
-    a = sigs.withColumnRenamed("doc", "doc_a").withColumnRenamed("sig", "sig_a")
-    b = sigs.withColumnRenamed("doc", "doc_b").withColumnRenamed("sig", "sig_b")
+    Returns (doc_a, doc_b, est_jaccard). The wide signature relation is
+    persisted — it feeds both banding and verification, so the
+    shingle+agg stages run once, and band/array projections off it stay
+    in whole-stage codegen."""
+    wide = _minhash_wide(df, id_col, text_col, n, num_perm).persist()
+    cands = minhash_lsh_candidates(wide, bands, num_perm // bands)
+    sig_arr = wide.select(
+        "doc", F.array(*[F.col(f"m{i}") for i in range(num_perm)]).alias("sig")
+    )
+    a = sig_arr.withColumnRenamed("doc", "doc_a").withColumnRenamed("sig", "sig_a")
+    b = sig_arr.withColumnRenamed("doc", "doc_b").withColumnRenamed("sig", "sig_b")
     est = F.size(
         F.filter(
             F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
