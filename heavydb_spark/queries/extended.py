@@ -244,3 +244,101 @@ def tf_generate_random_strings(spark, sf_dir):
     """generate_random_strings (UtilityTableFunctions.h:49) —
     deterministic seeded strings via spark.range + xxhash64."""
     return generate_random_strings(spark, 1000, length=10, seed=42).orderBy("id")
+
+
+@query(
+    "geo_bbox_join",
+    oracle="""
+    WITH boxes AS (
+        SELECT n_nationkey AS box_id,
+               CAST(mod(n_nationkey * 11, 80) AS DOUBLE) AS xmin,
+               CAST(mod(n_nationkey * 19, 80) AS DOUBLE) AS ymin,
+               CAST(mod(n_nationkey * 11, 80) + 12 AS DOUBLE) AS xmax,
+               CAST(mod(n_nationkey * 19, 80) + 9 AS DOUBLE) AS ymax
+        FROM nation
+    ), pts AS (
+        SELECT c_custkey AS pt_id,
+               CAST(mod(c_custkey * 13, 1000) AS DOUBLE) / 10 AS x,
+               CAST(mod(c_custkey * 17, 1000) AS DOUBLE) / 10 AS y
+        FROM customer
+    )
+    SELECT box_id, pt_id
+    FROM boxes JOIN pts
+      ON x >= xmin AND x <= xmax AND y >= ymin AND y <= ymax
+    ORDER BY box_id, pt_id
+    """,
+)
+def geo_bbox_join(spark, sf_dir):
+    """Bounding-box-intersect join (BoundingBoxIntersectJoinHashTable.h
+    :29): grid-cell explode + equi-join + exact containment — never a
+    cross join. Boxes derive from nation, points from customer."""
+    from heavydb_spark.operators.spatial import bbox_intersect_join
+
+    n = T(spark, sf_dir, "nation")
+    boxes = n.select(
+        F.col("n_nationkey").alias("box_id"),
+        (F.col("n_nationkey") * 11 % 80).cast("double").alias("xmin"),
+        (F.col("n_nationkey") * 19 % 80).cast("double").alias("ymin"),
+        ((F.col("n_nationkey") * 11 % 80) + 12).cast("double").alias("xmax"),
+        ((F.col("n_nationkey") * 19 % 80) + 9).cast("double").alias("ymax"),
+    )
+    c = T(spark, sf_dir, "customer")
+    pts = c.select(
+        F.col("c_custkey").alias("pt_id"),
+        ((F.col("c_custkey") * 13 % 1000) / 10.0).alias("x"),
+        ((F.col("c_custkey") * 17 % 1000) / 10.0).alias("y"),
+    )
+    return (
+        bbox_intersect_join(boxes, pts, cell_size=10.0)
+        .select("box_id", "pt_id")
+        .orderBy("box_id", "pt_id")
+    )
+
+
+@query(
+    "geo_range_join",
+    oracle="""
+    WITH pts AS (
+        SELECT s_suppkey AS id,
+               CAST(mod(s_suppkey * 29, 500) AS DOUBLE) / 10 AS x,
+               CAST(mod(s_suppkey * 31, 500) AS DOUBLE) / 10 AS y
+        FROM supplier
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           round(sqrt((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)), 6) AS dist
+    FROM pts a JOIN pts b
+      ON a.id < b.id
+     AND sqrt((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)) < 5.0
+    ORDER BY id_a, id_b
+    """,
+)
+def geo_range_join(spark, sf_dir):
+    """Range join ST_Distance(a,b) < r (RangeJoinHashTable.h:21): 3x3
+    neighbor-cell equi-join + exact distance verify; pair appears
+    exactly once. Points derive from supplier."""
+    from heavydb_spark.operators.spatial import range_join
+
+    s = T(spark, sf_dir, "supplier")
+    pts = s.select(
+        F.col("s_suppkey").alias("id"),
+        ((F.col("s_suppkey") * 29 % 500) / 10.0).alias("x"),
+        ((F.col("s_suppkey") * 31 % 500) / 10.0).alias("y"),
+    )
+    a = pts.toDF("id_a", "xa", "ya")
+    b = pts.toDF("id_b", "xb", "yb")
+    return (
+        range_join(a, b, radius=5.0, left_point=("xa", "ya"), right_point=("xb", "yb"))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.sqrt(
+                    (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb"))
+                    + (F.col("ya") - F.col("yb")) * (F.col("ya") - F.col("yb"))
+                ),
+                6,
+            ).alias("dist"),
+        )
+        .orderBy("id_a", "id_b")
+    )

@@ -348,7 +348,7 @@ def fn_unnest_explode(spark, sf_dir):
            ltrim('  ' || p_brand) AS lt,
            rtrim(p_brand || '  ') AS rt,
            base64(encode(p_brand)) AS b64,
-           replace(p_name, ' ', '+') AS urlenc,
+           replace(p_name, ' ', '%20') AS urlenc,
            translate(p_brand, '#', '_') AS trans
     FROM part WHERE p_partkey < 200 ORDER BY p_partkey
     """,
@@ -357,7 +357,13 @@ def fn_string_extra(spark, sf_dir):
     """INITCAP/OVERLAY/SPACE/LTRIM/RTRIM/BASE64_ENCODE/URL_ENCODE
     (Shared/sqldefs.h:92-141; StringOps/StringOps.cpp kernels). p_brand is
     single-token and p_name is [a-z ]+, so the DuckDB oracle can emulate
-    INITCAP and form-encoded URL_ENCODE (space -> '+') exactly."""
+    INITCAP and percent-style URL_ENCODE (space -> '%20') exactly.
+    URL_ENCODE uses the engine's registered pandas UDF (functions/
+    strings.py, percent-encoding like the reference's StringOps kernel)
+    called as a function object so it cannot be shadowed by - or lose
+    to - the differently-spelled Spark builtin (form-encoding)."""
+    from heavydb_spark.functions.strings import url_encode
+
     p = T(spark, sf_dir, "part").filter(F.col("p_partkey") < 200)
     return p.select(
         "p_partkey",
@@ -367,7 +373,7 @@ def fn_string_extra(spark, sf_dir):
         F.ltrim(F.concat(F.lit("  "), F.col("p_brand"))).alias("lt"),
         F.rtrim(F.concat(F.col("p_brand"), F.lit("  "))).alias("rt"),
         F.base64(F.encode("p_brand", "utf-8")).alias("b64"),
-        F.url_encode("p_name").alias("urlenc"),
+        url_encode(F.col("p_name")).alias("urlenc"),
         F.translate("p_brand", "#", "_").alias("trans"),
     ).orderBy("p_partkey")
 
