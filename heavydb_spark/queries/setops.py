@@ -88,4 +88,7 @@ def except_keys(spark, sf_dir):
         .filter(F.col("c_acctbal") > 9000)
         .select(F.col("c_nationkey").alias("nk"))
     )
-    return s.exceptAll(c).distinct().orderBy("nk")
+    # subtract == set EXCEPT; exceptAll().distinct() would be wrong (a key
+    # occurring more often on the left than the right survives the
+    # per-occurrence subtraction and then the distinct).
+    return s.subtract(c).orderBy("nk")
