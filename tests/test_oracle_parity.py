@@ -46,3 +46,29 @@ def test_entry_contract(spark):
     o = e.oracle_sql()
     assert set(o) <= set(q)
     assert len(q) >= 40
+
+
+# FIXTURES.md §3 config looping: the reference runs every query on CPU
+# AND GPU device types (ExecuteTest.cpp:608); our analogue is config
+# axes that change the physical execution — codegen off forces the
+# interpreted path, AQE off forces static planning. A representative
+# slice (one query per operator family) reruns under each.
+CONFIG_SLICE = [
+    "pricing_summary", "join_star_agg", "window_range_interval",
+    "agg_mode", "fn_datetime", "union_distinct", "subquery_scalar",
+    "dedup_exact", "text_quality", "geo_bbox_join",
+]
+
+
+@pytest.mark.parametrize("conf,value", [
+    ("spark.sql.codegen.wholeStage", "false"),
+    ("spark.sql.adaptive.enabled", "false"),
+])
+@pytest.mark.parametrize("name", CONFIG_SLICE)
+def test_oracle_parity_config_loop(spark, ddb, conf, value, name):
+    old = spark.conf.get(conf)
+    spark.conf.set(conf, value)
+    try:
+        compare_query(spark, ddb, name, SF_DIR)
+    finally:
+        spark.conf.set(conf, old)
