@@ -59,6 +59,27 @@ _REWRITES: list[tuple[re.Pattern, str]] = [
      lambda m: f"approx_percentile({m.group(1)}, 0.5)"),
     # HeavyDB CHAR_LENGTH on none-encoded text == Spark length
     (re.compile(r"\bCHAR_LENGTH\s*\(", re.IGNORECASE), "length("),
+    # Table functions: FROM TABLE(generate_series(a, b[, step])) —
+    # UtilityTableFunctions.h:28-30. sequence() is inclusive-stop like
+    # the reference, JVM-native, and handles int and timestamp+interval.
+    (
+        re.compile(
+            r"\bTABLE\s*\(\s*generate_series\s*\(([^)]*)\)\s*\)", re.IGNORECASE
+        ),
+        lambda m: f"(SELECT explode(sequence({m.group(1)})) AS series)",
+    ),
+    # FROM TABLE(generate_random_strings(n, len)) — deterministic
+    # xxhash64-derived strings over a parallel range source (:49).
+    (
+        re.compile(
+            r"\bTABLE\s*\(\s*generate_random_strings\s*\(\s*([0-9]+)\s*,\s*([0-9]+)\s*\)\s*\)",
+            re.IGNORECASE,
+        ),
+        lambda m: (
+            f"(SELECT id, substring(lower(hex(xxhash64(id, 42))), 1, {m.group(2)})"
+            f" AS rand_str FROM range({m.group(1)}))"
+        ),
+    ),
 ]
 
 

@@ -56,3 +56,32 @@ def test_width_bucket_native(engine):
         "SELECT width_bucket(o_totalprice, 0, 500000, 5) AS b FROM orders LIMIT 5"
     )
     assert df.count() == 5
+
+
+def test_table_function_generate_series(engine):
+    rows = engine.sql(
+        "SELECT series FROM TABLE(generate_series(1, 9, 2)) ORDER BY series"
+    ).collect()
+    assert [r.series for r in rows] == [1, 3, 5, 7, 9]
+
+
+def test_table_function_generate_series_ts(engine):
+    rows = engine.sql(
+        "SELECT series FROM TABLE(generate_series("
+        "TIMESTAMP '2024-01-01 00:00:00', TIMESTAMP '2024-01-01 03:00:00', "
+        "INTERVAL 1 HOUR)) ORDER BY series"
+    ).collect()
+    assert len(rows) == 4
+
+
+def test_table_function_generate_random_strings(engine):
+    rows = engine.sql(
+        "SELECT * FROM TABLE(generate_random_strings(5, 8))"
+    ).collect()
+    assert len(rows) == 5
+    assert all(len(r.rand_str) == 8 for r in rows)
+    # deterministic: same call gives same strings
+    again = engine.sql(
+        "SELECT * FROM TABLE(generate_random_strings(5, 8))"
+    ).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
