@@ -81,3 +81,37 @@ def test_ctas_insert_roundtrip(spark):
         assert n1 > n0 > 0
     finally:
         spark.sql("DROP TABLE IF EXISTS nation_ctas")
+
+
+def test_sql_update_statement(engine):
+    """UPDATE through Engine.sql (sql_execute_impl DML dispatch,
+    DBHandler.cpp:6626) — copy-on-write view replacement."""
+    spark = engine.spark
+    engine.table("orders").createOrReplaceTempView("orders_mut")
+    n_target = engine.sql(
+        "SELECT count(*) AS c FROM orders_mut WHERE o_orderkey < 50"
+    ).collect()[0].c
+    res = engine.sql(
+        "UPDATE orders_mut SET o_orderpriority = 'Z-SQL', "
+        "o_totalprice = o_totalprice + 1 WHERE o_orderkey < 50"
+    ).collect()
+    assert res[0].rows_affected == n_target
+    after = engine.sql(
+        "SELECT count(*) AS c FROM orders_mut WHERE o_orderpriority = 'Z-SQL'"
+    ).collect()
+    assert after[0].c == n_target
+    spark.catalog.dropTempView("orders_mut")
+
+
+def test_sql_delete_statement(engine):
+    spark = engine.spark
+    engine.table("orders").createOrReplaceTempView("orders_del")
+    total = engine.sql("SELECT count(*) AS c FROM orders_del").collect()[0].c
+    n_target = engine.sql(
+        "SELECT count(*) AS c FROM orders_del WHERE o_orderstatus = 'F'"
+    ).collect()[0].c
+    res = engine.sql("DELETE FROM orders_del WHERE o_orderstatus = 'F'").collect()
+    assert res[0].rows_affected == n_target
+    left = engine.sql("SELECT count(*) AS c FROM orders_del").collect()[0].c
+    assert left == total - n_target
+    spark.catalog.dropTempView("orders_del")
