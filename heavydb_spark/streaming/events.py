@@ -91,3 +91,79 @@ def run_to_memory(df: DataFrame, name: str, spark: SparkSession):
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def stateful_sessionize(
+    events: DataFrame, gap_minutes: int = 30, delay: str = "1 hour"
+) -> DataFrame:
+    """Custom stateful sessionization via applyInPandasWithState — the
+    extension-surface analogue of tf_compute_dwell_times
+    (SessionizeTableFunctions.hpp) over an unbounded stream.
+
+    Per user_id, events accumulate into an open session carried in group
+    state across micro-batches; a gap > gap_minutes closes the session
+    and emits (user_id, session_start, session_end, n_events). The last
+    open session per user stays in state (flushed by event-time timeout
+    on a live stream). Arrow-batched; state is three scalars per user,
+    so state size is O(users), not O(events).
+
+    Assumes per-key event-time-ordered arrival ACROSS micro-batches
+    (within a batch, rows are sorted here) — the same contract as the
+    reference's sessionize table function (SessionizeTableFunctions.hpp
+    operates on sorted cursors) and the usual shape of a Kafka topic
+    partitioned by user. Disorder bounded by the watermark delay would
+    need an event-time buffer in state (O(lag) per user) — not
+    implemented.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = gap_minutes * 60 * 1_000_000
+    out_schema = (
+        "user_id long, session_start timestamp, session_end timestamp, "
+        "n_events long"
+    )
+    state_schema = "start long, last long, n long"
+
+    def fn(key, pdf_iter, state: "GroupState"):
+        import pandas as pd
+
+        (user_id,) = key
+        start, last, n = state.get if state.exists else (None, None, 0)
+        closed = []
+        for pdf in pdf_iter:
+            for t in pdf["ts"].sort_values():
+                us = int(t.value // 1000)  # ns -> µs
+                if start is None:
+                    start, last, n = us, us, 1
+                elif us - last > gap_us:
+                    closed.append((user_id, start, last, n))
+                    start, last, n = us, us, 1
+                else:
+                    last, n = us, n + 1
+        if state.hasTimedOut:
+            if start is not None:
+                closed.append((user_id, start, last, n))
+            state.remove()
+        else:
+            state.update((start, last, n))
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [c[0] for c in closed],
+                    "session_start": [pd.Timestamp(c[1], unit="us") for c in closed],
+                    "session_end": [pd.Timestamp(c[2], unit="us") for c in closed],
+                    "n_events": [c[3] for c in closed],
+                }
+            )
+
+    return (
+        events.withWatermark("ts", delay)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            out_schema,
+            state_schema,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )

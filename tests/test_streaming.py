@@ -82,3 +82,91 @@ def test_streaming_dedup(spark, event_stream_dir):
     n_events = load_table(spark, SF_DIR, "events").count()
     assert got.count() == n_events  # fixture has unique event_ids
     assert got.select("event_id").distinct().count() == n_events
+
+
+def _ordered_stream_dir(spark, tmp_path_factory):
+    """Events split into 4 time-range files with increasing mtimes so
+    the file source delivers micro-batches in event-time order (the
+    stateful sessionizer's documented arrival contract)."""
+    import glob
+    import os
+    import shutil
+
+    d = str(tmp_path_factory.mktemp("events_ordered"))
+    ev = load_table(spark, SF_DIR, "events").orderBy("ts").collect()
+    n = len(ev)
+    schema = load_table(spark, SF_DIR, "events").schema
+    for i in range(4):
+        chunk = ev[i * n // 4 : (i + 1) * n // 4]
+        tmp = os.path.join(d, f"_tmp{i}")
+        spark.createDataFrame(chunk, schema).coalesce(1).write.parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dest = os.path.join(d, f"{i:02d}.parquet")
+        shutil.move(part, dest)
+        shutil.rmtree(tmp)
+        os.utime(dest, (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
+    return d
+
+
+def test_stateful_sessionize_matches_batch(spark, tmp_path_factory):
+    """applyInPandasWithState sessionizer: closed sessions from the
+    stream must equal batch-computed sessions minus each user's final
+    (still-open) session."""
+    from pyspark.sql import Window
+
+    ev_stream = stream_ops.read_event_stream(
+        spark, _ordered_stream_dir(spark, tmp_path_factory)
+    )
+    got = _run_stream_append(
+        spark, stream_ops.stateful_sessionize(ev_stream, gap_minutes=30),
+        "stateful_sessions",
+    )
+    got_rows = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in got.collect()
+    }
+
+    # batch expectation: gap>30min starts a new session; drop the last
+    # session per user (open at stream end, still in state)
+    ev = load_table(spark, SF_DIR, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    sess = (
+        ev.withColumn("prev", F.lag("ts").over(w))
+        .withColumn(
+            "new_sess",
+            (
+                F.col("prev").isNull()
+                | (F.expr("timestampdiff(SECOND, prev, ts)") > 1800)
+            ).cast("int"),
+        )
+        .withColumn("sid", F.sum("new_sess").over(w))
+        .groupBy("user_id", "sid")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    last_sid = sess.groupBy("user_id").agg(F.max("sid").alias("max_sid"))
+    expected = (
+        sess.join(last_sid, "user_id")
+        .filter(F.col("sid") < F.col("max_sid"))
+        .select("user_id", "session_start", "session_end", "n_events")
+    )
+    exp_rows = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in expected.collect()
+    }
+    assert got_rows == exp_rows
+
+
+def _run_stream_append(spark, df, name):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
