@@ -59,6 +59,18 @@ _REWRITES: list[tuple[re.Pattern, str]] = [
      lambda m: f"approx_percentile({m.group(1)}, 0.5)"),
     # HeavyDB CHAR_LENGTH on none-encoded text == Spark length
     (re.compile(r"\bCHAR_LENGTH\s*\(", re.IGNORECASE), "length("),
+    # APPROX_COUNT_DISTINCT(x, e): e is an error PERCENT 1..100
+    # (RelAlgTranslator.cpp:296-305); precision = ceil(2*log2(1.04/rate))
+    # (HyperLogLog.h:113 hll_size_for_rate). Spark's rsd is the same
+    # rate as a fraction (precision = ceil(2*log2(1.06/rsd))) — so the
+    # mapping is simply rsd = e/100.
+    (
+        re.compile(
+            r"\bAPPROX_COUNT_DISTINCT\s*\(([^(),]+),\s*(\d+)\s*\)",
+            re.IGNORECASE,
+        ),
+        lambda m: f"approx_count_distinct({m.group(1)}, {int(m.group(2)) / 100.0})",
+    ),
     # Table functions: FROM TABLE(generate_series(a, b[, step])) —
     # UtilityTableFunctions.h:28-30. sequence() is inclusive-stop like
     # the reference, JVM-native, and handles int and timestamp+interval.

@@ -85,3 +85,20 @@ def test_table_function_generate_random_strings(engine):
         "SELECT * FROM TABLE(generate_random_strings(5, 8))"
     ).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_approx_count_distinct_error_rate(engine):
+    """APPROX_COUNT_DISTINCT(x, e) error-percent arg -> Spark rsd
+    (HyperLogLog.h:113 hll_size_for_rate; e/100 == rsd)."""
+    exact = engine.sql(
+        "SELECT count(DISTINCT l_partkey) AS c FROM lineitem"
+    ).collect()[0].c
+    approx = engine.sql(
+        "SELECT APPROX_COUNT_DISTINCT(l_partkey, 2) AS c FROM lineitem"
+    ).collect()[0].c
+    assert abs(approx - exact) / exact < 0.1
+    # 1-arg form still works (default precision)
+    approx1 = engine.sql(
+        "SELECT APPROX_COUNT_DISTINCT(l_partkey) AS c FROM lineitem"
+    ).collect()[0].c
+    assert abs(approx1 - exact) / exact < 0.1
