@@ -120,5 +120,13 @@ class Engine:
         """Execute and return an Arrow table (Arrow IPC result surface)."""
         return self.sql(query).toArrow()
 
+    def explain(self, query: str, mode: str = "formatted") -> str:
+        """EXPLAIN surface (reference: EXPLAIN / EXPLAIN CALCITE
+        statements, ParserWrapper.h) — returns the physical plan."""
+        df = self.sql(query)
+        return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+            df._jdf.queryExecution(), mode
+        )
+
     def stop(self) -> None:
         self.spark.stop()

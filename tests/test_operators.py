@@ -110,3 +110,37 @@ def test_ivf_ann_matches_bruteforce_top1(spark):
         base, "embedding", qvec, k=5, n_lists=4, nprobe=1
     ).collect()
     assert len(ap2) == 5
+
+
+def test_salted_join_matches_plain_join(spark):
+    """Salted join must produce exactly the rows of the plain equi-join,
+    including a heavily skewed key."""
+    from pyspark.sql import functions as F
+
+    from heavydb_spark.operators.skew import salted_count, salted_join
+
+    # 90% of rows share key 1 (the hot key)
+    skewed = spark.range(10000).select(
+        F.when(F.col("id") % 10 < 9, F.lit(1)).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("payload"),
+    )
+    dim = spark.range(0, 10000, 1).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("dval")
+    )
+    plain = salted = None
+    plain = skewed.join(dim, "k").groupBy().agg(
+        F.count(F.lit(1)).alias("n"), F.sum("payload").alias("sp"), F.sum("dval").alias("sd")
+    ).collect()[0]
+    salted = salted_join(skewed, dim, "k", salt_factor=8).groupBy().agg(
+        F.count(F.lit(1)).alias("n"), F.sum("payload").alias("sp"), F.sum("dval").alias("sd")
+    ).collect()[0]
+    assert (plain.n, plain.sp, plain.sd) == (salted.n, salted.sp, salted.sd)
+
+    counts = {r.k: r.n for r in salted_count(skewed, "k", 16).collect()}
+    assert counts[1] == 9000
+    assert sum(counts.values()) == 10000
+
+
+def test_engine_explain(engine):
+    plan = engine.explain("SELECT count(*) FROM lineitem")
+    assert "Physical Plan" in plan or "Scan" in plan
