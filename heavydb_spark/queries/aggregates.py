@@ -334,6 +334,8 @@ def agg_rollup(spark, sf_dir):
     """,
 )
 def agg_cube(spark, sf_dir):
+    """CUBE — GROUP BY extension the reference rejects
+    (RelAlgDag.cpp:3305); included because Spark provides it free."""
     return (
         T(spark, sf_dir, "orders")
         .cube("o_orderstatus", "o_orderpriority")

