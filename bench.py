@@ -38,6 +38,8 @@ BENCH_QUERIES = {
     "B13_dedup_minhash": "dedup_minhash_lsh",
     "B14_sim_topk": "sim_cosine_topk",
     "B15_text_quality": "text_quality",
+    "B16_tpch_q5": "join_multistep_tpch_q5",
+    "B17_bbox_join": "geo_bbox_join",
 }
 
 
