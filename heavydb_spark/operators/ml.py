@@ -99,3 +99,51 @@ def pca_project(
         .withColumn("pca_arr", vector_to_array(F.col("pca")))
         .drop("features", "pca")
     )
+
+
+def tree_reg_fit_predict(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    kind: str = "random_forest",
+    seed: int = 42,
+) -> DataFrame:
+    """decision_tree/gbt/random_forest_reg_fit + ml_reg_predict
+    (MLTableFunctions.hpp) via pyspark.ml regressors: fit on the input,
+    return (row features..., prediction). Distributed fit; prediction is
+    a model.transform (JVM-side), never a driver loop."""
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.regression import (
+        DecisionTreeRegressor,
+        GBTRegressor,
+        RandomForestRegressor,
+    )
+
+    reg_cls = {
+        "decision_tree": DecisionTreeRegressor,
+        "gbt": GBTRegressor,
+        "random_forest": RandomForestRegressor,
+    }[kind]
+    va = VectorAssembler(inputCols=feature_cols, outputCol="features")
+    assembled = va.transform(df)
+    kwargs = {"labelCol": label_col, "featuresCol": "features", "seed": seed}
+    model = reg_cls(**kwargs).fit(assembled)
+    return model.transform(assembled).select(
+        *feature_cols, label_col, F.col("prediction")
+    )
+
+
+def r2_score(df: DataFrame, label_col: str, pred_col: str) -> DataFrame:
+    """r2_score UDTF analogue: 1 - SS_res/SS_tot as one aggregate."""
+    mean_y = F.avg(label_col)
+    ss_res = F.sum(
+        (F.col(label_col) - F.col(pred_col)) * (F.col(label_col) - F.col(pred_col))
+    )
+    stats = df.agg(
+        ss_res.alias("ss_res"),
+        F.sum(F.col(label_col) * F.col(label_col)).alias("syy"),
+        F.sum(label_col).alias("sy"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    ss_tot = F.col("syy") - F.col("sy") * F.col("sy") / F.col("n")
+    return stats.select((1 - F.col("ss_res") / ss_tot).alias("r2"))

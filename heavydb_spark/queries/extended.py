@@ -342,3 +342,42 @@ def geo_range_join(spark, sf_dir):
         )
         .orderBy("id_a", "id_b")
     )
+
+
+@query("ml_forest_predict")  # randomized/iterative MLlib fit → rows-only check
+def ml_forest_predict(spark, sf_dir):
+    """random_forest_reg_fit + ml_reg_predict (MLTableFunctions.hpp):
+    predict o_totalprice rank proxy from customer features; returns one
+    prediction row per input (operators/ml.py tree_reg_fit_predict)."""
+    from heavydb_spark.operators.ml import tree_reg_fit_predict
+
+    o = T(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000).select(
+        F.col("o_custkey").cast("double").alias("f1"),
+        F.dayofyear("o_orderdate").cast("double").alias("f2"),
+        F.col("o_totalprice").alias("label"),
+    )
+    return tree_reg_fit_predict(o, ["f1", "f2"], "label", kind="decision_tree")
+
+
+@query(
+    "ml_r2_score",
+    oracle="""
+    WITH d AS (
+        SELECT o_totalprice AS y, 100000 + 50 * o_custkey AS yhat
+        FROM orders WHERE o_orderkey < 2000
+    )
+    SELECT round(1 - sum((y - yhat) * (y - yhat))
+                 / (sum(y * y) - sum(y) * sum(y) / count(*)), 6) AS r2
+    FROM d
+    """,
+)
+def ml_r2_score(spark, sf_dir):
+    """r2_score (MLTableFunctions.hpp) as a single distributed
+    aggregate, oracle-checked against the algebraic identity."""
+    from heavydb_spark.operators.ml import r2_score
+
+    o = T(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000).select(
+        F.col("o_totalprice").alias("y"),
+        (F.lit(100000) + 50 * F.col("o_custkey")).alias("yhat"),
+    )
+    return r2_score(o, "y", "yhat").select(F.round("r2", 6).alias("r2"))
