@@ -148,14 +148,15 @@ def in_list_filter(spark, sf_dir):
 @query(
     "like_regexp_filter",
     oracle="""
-    SELECT p_type, count(*) AS n
+    SELECT p_type, count(*) AS n,
+           count_if(p_name ILIKE '%RED%') AS n_ilike
     FROM part
     WHERE p_name LIKE '%red%' OR regexp_matches(p_name, '^(blue|green) ')
     GROUP BY p_type ORDER BY p_type
     """,
 )
 def like_regexp_filter(spark, sf_dir):
-    """LIKE / REGEXP predicates (translateLike/translateRegexp,
+    """LIKE / ILIKE / REGEXP predicates (translateLike/translateRegexp,
     QueryEngine/RegexpFunctions.cpp)."""
     p = T(spark, sf_dir, "part")
     return (
@@ -164,7 +165,10 @@ def like_regexp_filter(spark, sf_dir):
             | F.col("p_name").rlike("^(blue|green) ")
         )
         .groupBy("p_type")
-        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_if(F.col("p_name").ilike("%RED%")).alias("n_ilike"),
+        )
         .orderBy("p_type")
     )
 
