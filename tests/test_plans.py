@@ -96,3 +96,40 @@ def test_partition_pruning(spark, tmp_path):
     assert "PartitionFilters" in plan
     expected = o.filter(F.col("o_month") == target).count()
     assert df.count() == expected
+
+
+def test_bucketed_join_avoids_shuffle(spark):
+    """HeavyDB sharded join parity (TableDescriptor.h:65-66, shard-to-
+    shard join): two tables bucketed on the join key join WITHOUT a
+    shuffle exchange on either side."""
+    from pyspark.sql import functions as F
+
+    from heavydb_spark.catalog import load_table
+    from tests.conftest import SF_DIR
+
+    o = load_table(spark, SF_DIR, "orders")
+    c = load_table(spark, SF_DIR, "customer")
+    spark.sql("DROP TABLE IF EXISTS orders_bkt")
+    spark.sql("DROP TABLE IF EXISTS customer_bkt")
+    (o.write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .mode("overwrite").saveAsTable("orders_bkt"))
+    (c.withColumnRenamed("c_custkey", "o_custkey")
+        .write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .mode("overwrite").saveAsTable("customer_bkt"))
+    # disable broadcast so the co-located path (not broadcast) is chosen
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("orders_bkt").join(
+            spark.table("customer_bkt"), "o_custkey"
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        n = j.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "Exchange" not in plan
+    assert "SortMergeJoin" in plan
+    expected = o.join(c, o.o_custkey == c.c_custkey).count()
+    assert n == expected
+    spark.sql("DROP TABLE orders_bkt")
+    spark.sql("DROP TABLE customer_bkt")
