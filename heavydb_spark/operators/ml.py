@@ -147,3 +147,96 @@ def r2_score(df: DataFrame, label_col: str, pred_col: str) -> DataFrame:
     )
     ss_tot = F.col("syy") - F.col("sy") * F.col("sy") / F.col("n")
     return stats.select((1 - F.col("ss_res") / ss_tot).alias("r2"))
+
+
+def dbscan(
+    df: DataFrame,
+    id_col: str,
+    x_col: str,
+    y_col: str,
+    eps: float,
+    min_pts: int = 4,
+    max_iter: int = 20,
+) -> DataFrame:
+    """dbscan UDTF analogue (MLTableFunctions.hpp) for 2-D points,
+    expressed as relational operators:
+
+    1. neighbor pairs via the grid-cell range join (operators/spatial.py
+       shape — 3x3 neighbor-cell equi-join + exact distance, never a
+       cross join);
+    2. core points = points with >= min_pts neighbors (incl. self);
+    3. clusters = connected components over core-core edges, computed by
+       iterative min-label propagation (each round one join + groupBy;
+       rounds ~ graph diameter, looped with persist + convergence count);
+    4. border points adopt the min cluster label of any neighboring core;
+       noise keeps label -1.
+
+    Returns (id, cluster) with cluster = min point id in the component
+    (stable, engine-independent), -1 for noise.
+    """
+    from heavydb_spark.operators.spatial import range_join
+
+    pts = df.select(
+        F.col(id_col).alias("pid"),
+        F.col(x_col).cast("double").alias("px"),
+        F.col(y_col).cast("double").alias("py"),
+    )
+    a = pts.toDF("id_a", "xa", "ya")
+    b = pts.toDF("id_b", "xb", "yb")
+    pairs = range_join(
+        a, b, radius=eps, left_point=("xa", "ya"), right_point=("xb", "yb")
+    ).select("id_a", "id_b").persist()
+
+    deg = pairs.groupBy("id_a").agg(F.count(F.lit(1)).alias("deg"))
+    core = deg.filter(F.col("deg") >= min_pts).select(
+        F.col("id_a").alias("cid")
+    ).persist()
+
+    cc = pairs.join(core.withColumnRenamed("cid", "id_a"), "id_a").join(
+        core.withColumnRenamed("cid", "id_b"), "id_b"
+    ).select("id_a", "id_b")
+    labels = core.select(F.col("cid").alias("node"), F.col("cid").alias("label"))
+    for _ in range(max_iter):
+        prop = (
+            cc.join(labels, cc.id_b == labels.node)
+            .groupBy(F.col("id_a").alias("node"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(prop, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist() if labels is not None else None
+        labels = new_labels
+        if changed == 0:
+            break
+
+    border = (
+        pairs.join(core.withColumnRenamed("cid", "id_b"), "id_b")
+        .join(labels.withColumnRenamed("node", "id_b"), "id_b")
+        .groupBy(F.col("id_a").alias("pid2"))
+        .agg(F.min("label").alias("border_label"))
+    )
+    out = (
+        pts.join(labels.withColumnRenamed("node", "pid"), "pid", "left")
+        .join(border.withColumnRenamed("pid2", "pid"), "pid", "left")
+        .select(
+            F.col("pid").alias(id_col),
+            F.coalesce("label", "border_label", F.lit(-1)).alias("cluster"),
+        )
+    )
+    pairs.unpersist()
+    core.unpersist()
+    return out

@@ -381,3 +381,25 @@ def ml_r2_score(spark, sf_dir):
         (F.lit(100000) + 50 * F.col("o_custkey")).alias("yhat"),
     )
     return r2_score(o, "y", "yhat").select(F.round("r2", 6).alias("r2"))
+
+
+@query("ml_dbscan")  # iterative label propagation → rows-only check
+def ml_dbscan(spark, sf_dir):
+    """dbscan (MLTableFunctions.hpp) over derived 2-D points: grid-cell
+    range join for neighbors, min-label propagation for components
+    (operators/ml.py dbscan). Returns cluster sizes."""
+    from heavydb_spark.operators.ml import dbscan
+
+    c = T(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 500)
+    # 7 well-separated blobs: centers 15 apart, jitter radius ~2
+    pts = c.select(
+        F.col("c_custkey").alias("pid"),
+        ((F.col("c_custkey") % 7) * 15 + (F.col("c_custkey") * 13 % 10) / 2.5).alias("x"),
+        ((F.col("c_custkey") * 29 % 10) / 2.5).alias("y"),
+    )
+    return (
+        dbscan(pts, "pid", "x", "y", eps=3.0, min_pts=4)
+        .groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("cluster")
+    )

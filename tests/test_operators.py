@@ -144,3 +144,26 @@ def test_salted_join_matches_plain_join(spark):
 def test_engine_explain(engine):
     plan = engine.explain("SELECT count(*) FROM lineitem")
     assert "Physical Plan" in plan or "Scan" in plan
+
+
+def test_dbscan_two_clusters_and_noise(spark):
+    """DBSCAN on two dense grids + an isolated point: two components,
+    noise labeled -1 (dbscan UDTF analogue, MLTableFunctions.hpp)."""
+    from pyspark.sql import functions as F
+
+    from heavydb_spark.operators.ml import dbscan
+
+    rows = []
+    pid = 0
+    for cx in (0.0, 100.0):  # two well-separated 4x4 grids, spacing 1
+        for i in range(4):
+            for j in range(4):
+                rows.append((pid, cx + i, j * 1.0))
+                pid += 1
+    rows.append((pid, 50.0, 50.0))  # isolated noise point
+    df = spark.createDataFrame(rows, "pid long, x double, y double")
+    got = {r.pid: r.cluster for r in dbscan(df, "pid", "x", "y", eps=1.5, min_pts=4).collect()}
+    c0 = {got[i] for i in range(16)}
+    c1 = {got[i] for i in range(16, 32)}
+    assert len(c0) == 1 and len(c1) == 1 and c0 != c1
+    assert got[32] == -1
