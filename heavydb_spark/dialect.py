@@ -26,8 +26,9 @@ from __future__ import annotations
 
 import re
 
-# (pattern, replacement) applied in order, case-insensitive.
-_REWRITES: list[tuple[re.Pattern, str]] = [
+# Rewrites that consume a quoted unit argument — these must run BEFORE
+# string-literal masking because the unit ('day', 'year'...) IS a literal.
+_QUOTED_ARG_REWRITES: list[tuple[re.Pattern, str]] = [
     # DATEADD('day', 1, x) -> timestampadd(DAY, 1, x)
     (
         re.compile(r"\bDATEADD\s*\(\s*'(\w+)'\s*,", re.IGNORECASE),
@@ -41,6 +42,10 @@ _REWRITES: list[tuple[re.Pattern, str]] = [
         re.compile(r"\bDATEPART\s*\(\s*'(\w+)'\s*,\s*", re.IGNORECASE),
         lambda m: f"extract({m.group(1).upper()} FROM ",
     ),
+]
+
+# (pattern, replacement) applied in order, case-insensitive.
+_REWRITES: list[tuple[re.Pattern, str]] = [
     # DATE_TRUNC(day, x) with a bare (unquoted) field name -> quoted
     (
         re.compile(r"\bDATE_TRUNC\s*\(\s*([A-Za-z_]+)\s*,", re.IGNORECASE),
@@ -95,9 +100,26 @@ _REWRITES: list[tuple[re.Pattern, str]] = [
 ]
 
 
+_LITERAL = re.compile(r"'(?:[^']|'')*'")
+
+
 def rewrite(sql: str) -> str:
-    """Rewrite a HeavyDB-dialect SQL string into Spark SQL."""
+    """Rewrite a HeavyDB-dialect SQL string into Spark SQL.
+
+    Single-quoted string literals are masked before the textual rewrites
+    run, so function-looking text inside a literal (e.g. a LIKE pattern
+    containing "SAMPLE(") passes through byte-identical."""
     out = sql
+    for pat, repl in _QUOTED_ARG_REWRITES:
+        out = pat.sub(repl, out)
+
+    literals: list[str] = []
+
+    def _mask(m: re.Match) -> str:
+        literals.append(m.group(0))
+        return f"\x00{len(literals) - 1}\x00"
+
+    out = _LITERAL.sub(_mask, out)
     for pat, repl in _REWRITES:
         out = pat.sub(repl, out)
-    return out
+    return re.sub(r"\x00(\d+)\x00", lambda m: literals[int(m.group(1))], out)

@@ -102,3 +102,18 @@ def test_approx_count_distinct_error_rate(engine):
         "SELECT APPROX_COUNT_DISTINCT(l_partkey) AS c FROM lineitem"
     ).collect()[0].c
     assert abs(approx1 - exact) / exact < 0.1
+
+
+def test_rewrite_leaves_string_literals_alone():
+    from heavydb_spark.dialect import rewrite
+
+    sql = "SELECT 'SAMPLE(x)' AS a, 'DATE_TRUNC(day, t)' AS b, SAMPLE(y) AS c FROM t"
+    out = rewrite(sql)
+    assert "'SAMPLE(x)'" in out
+    assert "'DATE_TRUNC(day, t)'" in out
+    assert "any_value(y)" in out
+    # escaped quotes inside literals survive
+    sql2 = "SELECT 'it''s LIKELY(fine)' AS a, LIKELY(x > 1) AS b FROM t"
+    out2 = rewrite(sql2)
+    assert "'it''s LIKELY(fine)'" in out2
+    assert "(x > 1)" in out2 and "LIKELY" not in out2.replace("'it''s LIKELY(fine)'", "")
