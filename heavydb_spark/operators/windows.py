@@ -62,3 +62,23 @@ def conditional_change_event(expr: Column, partition_by, order_by) -> Column:
 
 def _as_list(x):
     return x if isinstance(x, (list, tuple)) else [x]
+
+
+def lag_in_frame(col: Column, offset: int, w: WindowSpec) -> Column:
+    """LAG_IN_FRAME (sqldefs.h:154): the value `offset` rows before the
+    current row, RESTRICTED to the window frame — NULL if that falls
+    outside the frame. `w` must be ordered with a frame ending at
+    CURRENT ROW. Plain LAG ignores framing; this is the frame-aware
+    variant, emulated with a frame-ordered list aggregate."""
+    lst = F.collect_list(col).over(w)
+    return F.when(
+        F.size(lst) > offset, F.element_at(lst, F.size(lst) - offset)
+    )
+
+
+def lead_in_frame(col: Column, offset: int, w: WindowSpec) -> Column:
+    """LEAD_IN_FRAME (sqldefs.h:156): `offset` rows after the current
+    row within the frame; `w` must be ordered with a frame starting at
+    CURRENT ROW."""
+    lst = F.collect_list(col).over(w)
+    return F.when(F.size(lst) > offset, F.element_at(lst, offset + 1))

@@ -290,3 +290,43 @@ def window_conditional_change_event(spark, sf_dir):
         ).alias("change_events"),
         F.col("ts").alias("_ts"),
     ).orderBy("user_id", "_ts", "event_id").drop("_ts")
+
+
+@query(
+    "window_lag_lead_in_frame",
+    oracle="""
+    WITH t AS (
+        SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
+               list(l_quantity) OVER (
+                   PARTITION BY l_suppkey ORDER BY l_orderkey, l_linenumber
+                   ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS lb,
+               list(l_quantity) OVER (
+                   PARTITION BY l_suppkey ORDER BY l_orderkey, l_linenumber
+                   ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS lf
+        FROM lineitem WHERE l_orderkey < 300
+    )
+    SELECT l_suppkey, l_orderkey, l_linenumber,
+           CASE WHEN len(lb) > 1 THEN list_extract(lb, len(lb) - 1) END AS lag_f,
+           CASE WHEN len(lf) > 2 THEN list_extract(lf, 3) END AS lead_f
+    FROM t ORDER BY l_suppkey, l_orderkey, l_linenumber
+    """,
+)
+def window_lag_lead_in_frame(spark, sf_dir):
+    """LAG_IN_FRAME / LEAD_IN_FRAME (sqldefs.h:154,156) — frame-aware
+    lag/lead the reference computes natively in WindowContext; emulated
+    with frame-ordered list aggregation (operators/windows.py)."""
+    from pyspark.sql import Window
+
+    from heavydb_spark.operators.windows import lag_in_frame, lead_in_frame
+
+    li = T(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 300)
+    base = Window.partitionBy("l_suppkey").orderBy("l_orderkey", "l_linenumber")
+    wb = base.rowsBetween(-3, Window.currentRow)
+    wf = base.rowsBetween(Window.currentRow, 3)
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        lag_in_frame(F.col("l_quantity"), 1, wb).alias("lag_f"),
+        lead_in_frame(F.col("l_quantity"), 2, wf).alias("lead_f"),
+    ).orderBy("l_suppkey", "l_orderkey", "l_linenumber")
