@@ -17,3 +17,16 @@ from heavydb_spark.functions.arrays import register_array_functions
 def register_all(spark: SparkSession) -> None:
     register_string_functions(spark)
     register_array_functions(spark)
+
+
+def single_value(col):
+    """SINGLE_VALUE aggregate (sqldefs.h:85): the group's value, erroring
+    if the group holds more than one distinct value — the runtime check
+    the reference's planner inserts under scalar subqueries. JVM-side:
+    raise_error fires inside codegen, no UDF."""
+    from pyspark.sql import functions as F
+
+    return F.when(
+        F.count_distinct(col) > 1,
+        F.raise_error(F.lit("more than one row returned by SINGLE_VALUE")),
+    ).otherwise(F.first(col, ignorenulls=True))

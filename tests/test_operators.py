@@ -167,3 +167,21 @@ def test_dbscan_two_clusters_and_noise(spark):
     c1 = {got[i] for i in range(16, 32)}
     assert len(c0) == 1 and len(c1) == 1 and c0 != c1
     assert got[32] == -1
+
+
+def test_single_value_semantics(spark):
+    """SINGLE_VALUE (sqldefs.h:85): returns the value for 1-distinct
+    groups, errors when a group has >1 distinct value."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from heavydb_spark.functions import single_value
+
+    ok = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (2, "b")], "k int, v string"
+    )
+    got = {r.k: r.sv for r in ok.groupBy("k").agg(single_value(F.col("v")).alias("sv")).collect()}
+    assert got == {1: "a", 2: "b"}
+    bad = spark.createDataFrame([(1, "a"), (1, "z")], "k int, v string")
+    with _pytest.raises(Exception, match="SINGLE_VALUE"):
+        bad.groupBy("k").agg(single_value(F.col("v")).alias("sv")).collect()
