@@ -167,3 +167,96 @@ def stateful_sessionize(
             GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def _split_sessions(
+    sorted_ts_us: list, gap_us: int, wm_us: int
+) -> tuple[list, list]:
+    """Pure session splitter for the buffered sessionizer: returns
+    (closed_sessions, remaining_ts). A session [start..end] is CLOSED
+    only when end + gap < watermark — no future event (all >= watermark)
+    can extend it. Everything else stays buffered."""
+    closed, cur = [], []
+    for t in sorted_ts_us:
+        if not cur or t - cur[-1] <= gap_us:
+            cur.append(t)
+        else:
+            closed.append(cur)
+            cur = [t]
+    if cur:
+        closed.append(cur)
+    final, remaining = [], []
+    for sess in closed:
+        if sess[-1] + gap_us < wm_us and not remaining:
+            final.append((sess[0], sess[-1], len(sess)))
+        else:
+            remaining.extend(sess)
+    return final, remaining
+
+
+def stateful_sessionize_buffered(
+    events: DataFrame, gap_minutes: int = 30, delay: str = "2 days"
+) -> DataFrame:
+    """Out-of-order-tolerant stateful sessionization: event times buffer
+    in group state and sessions are emitted only once the event-time
+    watermark guarantees no future event can extend them. Handles
+    arbitrary arrival disorder bounded by `delay` (the contract the
+    ordered variant, stateful_sessionize, does not make); state per user
+    is O(events within the watermark lag), the price of that guarantee.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    gap_us = gap_minutes * 60 * 1_000_000
+    out_schema = (
+        "user_id long, session_start timestamp, session_end timestamp, "
+        "n_events long"
+    )
+    state_schema = "buf array<long>"
+
+    def fn(key, pdf_iter, state):
+        import pandas as pd
+
+        (user_id,) = key
+        buf = list(state.get[0]) if state.exists else []
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        for pdf in pdf_iter:
+            # Spark does NOT filter sub-watermark rows for arbitrary
+            # stateful ops; drop them here (the watermark contract) so a
+            # closed session can never have been extendable.
+            buf.extend(
+                us
+                for t in pdf["ts"]
+                if (us := int(t.value // 1000)) >= wm_us
+            )
+        buf.sort()
+        closed, remaining = _split_sessions(buf, gap_us, wm_us)
+        if remaining:
+            state.update((remaining,))
+            # wake when the earliest buffered session could close (or
+            # just past the watermark) so final sessions flush even if
+            # the key never receives another event
+            first_close_ms = (remaining[0] + gap_us) // 1000 + 1
+            state.setTimeoutTimestamp(max(first_close_ms, state.getCurrentWatermarkMs() + 1))
+        elif state.exists:
+            state.remove()
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(closed),
+                    "session_start": [pd.Timestamp(s, unit="us") for s, _, _ in closed],
+                    "session_end": [pd.Timestamp(e, unit="us") for _, e, _ in closed],
+                    "n_events": [n for _, _, n in closed],
+                }
+            )
+
+    return (
+        events.withWatermark("ts", delay)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            out_schema,
+            state_schema,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -136,7 +136,7 @@ def test_stateful_sessionize_matches_batch(spark, tmp_path_factory):
             "new_sess",
             (
                 F.col("prev").isNull()
-                | (F.expr("timestampdiff(SECOND, prev, ts)") > 1800)
+                | (F.col("ts") > F.col("prev") + F.expr("INTERVAL 30 MINUTES"))
             ).cast("int"),
         )
         .withColumn("sid", F.sum("new_sess").over(w))
@@ -170,3 +170,97 @@ def _run_stream_append(spark, df, name):
     )
     q.awaitTermination(120)
     return spark.table(name)
+
+
+def _bounded_disorder_dir(spark, tmp_path_factory):
+    """Time-quartile files, but ~10% of each quartile's tail events are
+    displaced into the NEXT file — genuine cross-batch disorder bounded
+    by <2 days (inside the watermark delay), the case buffering exists
+    for."""
+    import glob
+    import os
+    import shutil
+
+    d = str(tmp_path_factory.mktemp("events_disorder"))
+    ev = sorted(
+        load_table(spark, SF_DIR, "events").collect(), key=lambda r: r.ts
+    )
+    n = len(ev)
+    schema = load_table(spark, SF_DIR, "events").schema
+    files = [list(ev[i * n // 4 : (i + 1) * n // 4]) for i in range(4)]
+    # displace every 3rd of the last 30 events of files 0-2 into the
+    # next file — ~1 day of displacement, safely inside the 2-day
+    # watermark delay (disorder beyond the delay is dropped by design)
+    for i in range(3):
+        tail = files[i][-30:]
+        moved = tail[::3]
+        files[i] = [r for r in files[i] if r not in moved]
+        files[i + 1] = moved + files[i + 1]
+    for i, chunk in enumerate(files):
+        tmp = os.path.join(d, f"_tmp{i}")
+        spark.createDataFrame(chunk, schema).coalesce(1).write.parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dest = os.path.join(d, f"{i:02d}.parquet")
+        shutil.move(part, dest)
+        shutil.rmtree(tmp)
+        os.utime(dest, (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
+    return d
+
+
+def test_buffered_sessionize_out_of_order(spark, tmp_path_factory):
+    """Buffered sessionizer under bounded cross-batch disorder: every
+    emitted session must exactly match a batch-computed session, with
+    no duplicates, and sessions safely past the watermark must all be
+    emitted despite arrival disorder."""
+    import datetime
+
+    from pyspark.sql import Window
+
+    ev_stream = stream_ops.read_event_stream(
+        spark, _bounded_disorder_dir(spark, tmp_path_factory)
+    )
+    got = _run_stream_append(
+        spark,
+        stream_ops.stateful_sessionize_buffered(
+            ev_stream, gap_minutes=30, delay="2 days"
+        ),
+        "buffered_sessions",
+    )
+    got_rows = [
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in got.collect()
+    ]
+    assert len(got_rows) == len(set(got_rows)), "duplicate sessions emitted"
+
+    ev = load_table(spark, SF_DIR, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    sess = (
+        ev.withColumn("prev", F.lag("ts").over(w))
+        .withColumn(
+            "new_sess",
+            (
+                F.col("prev").isNull()
+                | (F.col("ts") > F.col("prev") + F.expr("INTERVAL 30 MINUTES"))
+            ).cast("int"),
+        )
+        .withColumn("sid", F.sum("new_sess").over(w))
+        .groupBy("user_id", "sid")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    batch_rows = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in sess.collect()
+    }
+    assert set(got_rows) <= batch_rows, "emitted session not in batch truth"
+
+    # coverage: sessions ending 3+ days before the global max must have
+    # closed (watermark delay is 2 days)
+    max_ts = ev.agg(F.max("ts")).first()[0]
+    cutoff = max_ts - datetime.timedelta(days=3)
+    must_have = {b for b in batch_rows if b[2] < cutoff}
+    missing = must_have - set(got_rows)
+    assert not missing, f"{len(missing)} safely-final sessions not emitted"
