@@ -334,3 +334,26 @@ def mm_frame_sample(spark, sf_dir):
     return sample_video_frames(media, every_ms=1000).orderBy(
         "media_id", "frame_ts_ms"
     )
+
+
+@query(
+    "llm_transform_template",
+    oracle="""
+    SELECT doc_id,
+           'Summarize in one line: ' || substring(text, 1, 40) AS llm_out
+    FROM documents WHERE doc_id < 200 ORDER BY doc_id
+    """,
+)
+def llm_transform_template(spark, sf_dir):
+    """LLM_TRANSFORM (Shared/sqldefs.h:134) with the deterministic
+    template backend: the Arrow-batched mapInPandas plumbing is the real
+    scale path; the model call is pluggable (operators/llm.py; the
+    endpoint backend is stubbed in this container)."""
+    from heavydb_spark.operators.llm import llm_transform
+
+    d = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 200).select(
+        "doc_id", F.substring("text", 1, 40).alias("snippet")
+    )
+    return llm_transform(
+        d, "snippet", "Summarize in one line: {input}"
+    ).select("doc_id", "llm_out").orderBy("doc_id")
