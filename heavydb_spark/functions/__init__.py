@@ -30,3 +30,6 @@ def single_value(col):
         F.count_distinct(col) > 1,
         F.raise_error(F.lit("more than one row returned by SINGLE_VALUE")),
     ).otherwise(F.first(col, ignorenulls=True))
+
+
+from heavydb_spark.functions.udaf import geometric_mean  # noqa: F401,E402

@@ -403,3 +403,27 @@ def fn_datetime_week_variants(spark, sf_dir):
         F.date_sub(d, F.dayofweek(d) % 7).alias("wk_saturday"),
         (F.floor(F.hour("o_orderdate") / 6) + 1).cast("int").alias("quarterday"),
     ).orderBy("o_orderkey")
+
+
+@query(
+    "fn_udaf_geomean",
+    oracle="""
+    SELECT l_returnflag,
+           round(exp(avg(ln(l_extendedprice))), 4) AS gm
+    FROM lineitem WHERE l_extendedprice > 0
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def fn_udaf_geomean(spark, sf_dir):
+    """User-defined aggregate via GROUPED_AGG pandas_udf (§2.9 UDAF
+    surface): geometric mean per group, oracle-checked against the
+    exp(avg(ln)) identity."""
+    from heavydb_spark.functions import geometric_mean
+
+    gm = geometric_mean()
+    li = T(spark, sf_dir, "lineitem").filter(F.col("l_extendedprice") > 0)
+    return (
+        li.groupBy("l_returnflag")
+        .agg(F.round(gm(F.col("l_extendedprice")), 4).alias("gm"))
+        .orderBy("l_returnflag")
+    )
