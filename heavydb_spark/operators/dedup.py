@@ -117,26 +117,24 @@ def ngram_jaccard_pairs(
 def _shingle_rows(
     df: DataFrame, id_col: str, text_col: str, n: int = 3
 ) -> DataFrame:
-    """(doc, shingle) rows via posexplode(tokens) + window lead —
-    every expression whole-stage-codegen'd (the higher-order-function
-    formulation, token_shingles, is ~10x slower for row pipelines
-    because lambda bodies don't codegen or CSE)."""
-    from pyspark.sql import Window
+    """(doc, shingle) rows via slice + arrays_zip + one explode.
 
-    tok = _spread(df, id_col).select(
-        F.col(id_col).alias("doc"),
-        F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+")).alias(
-            "pos", "t"
-        ),
+    slice/arrays_zip are plain expressions (whole-stage codegen, no
+    lambda), and unlike the window-lead formulation there is no
+    per-partition sort — measured ~40% faster at sf0.1. The lambda
+    (`transform`) formulation is ~10x slower still: HOF bodies neither
+    codegen nor CSE."""
+    tokens = F.split(F.trim(F.col(text_col)), r"\s+")
+    k = F.greatest(F.size(tokens) - (n - 1), F.lit(0))
+    zipped = F.arrays_zip(
+        *[F.slice(tokens, j + 1, k).alias(f"t{j}") for j in range(n)]
     )
-    w = Window.partitionBy("doc").orderBy("pos")
-    leads = [F.col("t")] + [F.lead("t", j).over(w) for j in range(1, n)]
     return (
-        tok.select("doc", *[c.alias(f"t{j}") for j, c in enumerate(leads)])
-        .filter(F.col(f"t{n-1}").isNotNull())
+        _spread(df, id_col)
+        .select(F.col(id_col).alias("doc"), F.explode(zipped).alias("s"))
         .select(
             "doc",
-            F.concat_ws(" ", *[F.col(f"t{j}") for j in range(n)]).alias(
+            F.concat_ws(" ", *[F.col(f"s.t{j}") for j in range(n)]).alias(
                 "shingle"
             ),
         )
