@@ -403,3 +403,36 @@ def ml_dbscan(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("cluster")
     )
+
+
+@query(
+    "tf_geo_rasterize",
+    oracle="""
+    WITH pts AS (
+        SELECT CAST(mod(c_custkey * 13, 1000) AS DOUBLE) / 10 AS x,
+               CAST(mod(c_custkey * 17, 1000) AS DOUBLE) / 10 AS y,
+               c_acctbal AS z
+        FROM customer
+    )
+    SELECT floor(x / 5) * 5 AS bin_x,
+           floor(y / 5) * 5 AS bin_y,
+           round(avg(z), 4) AS z
+    FROM pts GROUP BY 1, 2 ORDER BY bin_x, bin_y
+    """,
+)
+def tf_geo_rasterize(spark, sf_dir):
+    """tf_geo_rasterize (GeoRasterTableFunctions.hpp:1242): pixel-bin
+    aggregation of point values — one groupBy on the synthetic pixel
+    key (operators/spatial.py geo_rasterize)."""
+    from heavydb_spark.operators.spatial import geo_rasterize
+
+    c = T(spark, sf_dir, "customer")
+    pts = c.select(
+        ((F.col("c_custkey") * 13 % 1000) / 10.0).alias("x"),
+        ((F.col("c_custkey") * 17 % 1000) / 10.0).alias("y"),
+        F.col("c_acctbal").alias("z"),
+    )
+    r = geo_rasterize(pts, bin_size=5.0, agg="avg")
+    return r.select(
+        "bin_x", "bin_y", F.round("z", 4).alias("z")
+    ).orderBy("bin_x", "bin_y")
