@@ -140,3 +140,52 @@ def geo_rasterize(
         .agg(aggs[agg].alias("z"))
     )
     return out
+
+
+def cross_section_1d(
+    points: DataFrame,
+    x1: float,
+    y1: float,
+    x2: float,
+    y2: float,
+    num_points: int,
+    bin_size: float,
+    point_cols: tuple[str, str] = ("x", "y"),
+    value_col: str = "z",
+) -> DataFrame:
+    """tf_cross_section_1d (CrossSectionTableFunctions.hpp:326): sample
+    a point-cloud variable at `num_points` evenly spaced stations along
+    the segment (x1,y1)→(x2,y2). Each station reads the pixel-bin
+    average at its location (the rasterize-then-lookup shape the
+    reference uses; stations with no data in their pixel return NULL).
+
+    Plan: rasterize once (one groupBy), generate stations with
+    sequence+explode (no driver loop), broadcast-join stations to
+    pixels — station count is tiny next to the raster.
+    """
+    if num_points <= 1:
+        raise ValueError("num_points must be > 1")
+    raster = geo_rasterize(
+        points, bin_size, "avg", point_cols, value_col
+    )
+    spark = points.sparkSession
+    steps = spark.range(num_points).select(
+        (F.col("id") / (num_points - 1)).alias("t")
+    )
+    stations = steps.select(
+        (F.lit(x1) + F.col("t") * (x2 - x1)).alias("sx"),
+        (F.lit(y1) + F.col("t") * (y2 - y1)).alias("sy"),
+    ).select(
+        "sx",
+        "sy",
+        (F.floor(F.col("sx") / bin_size) * bin_size).alias("bin_x"),
+        (F.floor(F.col("sy") / bin_size) * bin_size).alias("bin_y"),
+    )
+    from pyspark.sql.functions import broadcast
+
+    return (
+        broadcast(stations)
+        .join(raster, ["bin_x", "bin_y"], "left")
+        .select("sx", "sy", F.col("z"))
+        .orderBy("sx", "sy")
+    )

@@ -436,3 +436,46 @@ def tf_geo_rasterize(spark, sf_dir):
     return r.select(
         "bin_x", "bin_y", F.round("z", 4).alias("z")
     ).orderBy("bin_x", "bin_y")
+
+
+@query(
+    "tf_cross_section_1d",
+    oracle="""
+    WITH pts AS (
+        SELECT CAST(mod(c_custkey * 13, 1000) AS DOUBLE) / 10 AS x,
+               CAST(mod(c_custkey * 17, 1000) AS DOUBLE) / 10 AS y,
+               c_acctbal AS z
+        FROM customer
+    ), raster AS (
+        SELECT floor(x / 5) * 5 AS bin_x, floor(y / 5) * 5 AS bin_y,
+               avg(z) AS z
+        FROM pts GROUP BY 1, 2
+    ), stations AS (
+        SELECT CAST(i AS DOUBLE) / 20 AS t
+        FROM generate_series(0, 20) s(i)
+    ), st AS (
+        SELECT 0 + t * 90 AS sx, 10 + t * 70 AS sy FROM stations
+    )
+    SELECT sx, sy, round(r.z, 4) AS z
+    FROM st
+    LEFT JOIN raster r
+      ON floor(sx / 5) * 5 = r.bin_x AND floor(sy / 5) * 5 = r.bin_y
+    ORDER BY sx, sy
+    """,
+)
+def tf_cross_section_1d(spark, sf_dir):
+    """tf_cross_section_1d (CrossSectionTableFunctions.hpp:326): 21
+    stations along (0,10)->(90,80) reading the 5-unit pixel-bin average
+    (operators/spatial.py cross_section_1d)."""
+    from heavydb_spark.operators.spatial import cross_section_1d
+
+    c = T(spark, sf_dir, "customer")
+    pts = c.select(
+        ((F.col("c_custkey") * 13 % 1000) / 10.0).alias("x"),
+        ((F.col("c_custkey") * 17 % 1000) / 10.0).alias("y"),
+        F.col("c_acctbal").alias("z"),
+    )
+    r = cross_section_1d(
+        pts, 0.0, 10.0, 90.0, 80.0, num_points=21, bin_size=5.0
+    )
+    return r.select("sx", "sy", F.round("z", 4).alias("z")).orderBy("sx", "sy")
