@@ -142,7 +142,7 @@ def generate_sql(seed: int) -> str:
     return sql
 
 
-@pytest.mark.parametrize("seed", range(30))
+@pytest.mark.parametrize("seed", range(60))
 def test_randomized_filter_agg(engine, ddb, seed):
     sql = generate_sql(seed)
     sdf = engine.sql(sql)
