@@ -264,3 +264,50 @@ def ann_topk_ivf(
         .orderBy(F.desc("cos_sim"), F.col(id_col))
         .limit(k)
     )
+
+
+def feature_similarity(
+    df: DataFrame,
+    key_col: str,
+    feature_col: str,
+    metric_col: str,
+    query_features: dict,
+) -> DataFrame:
+    """tf_feature_similarity (SimilarityTableFunctions.hpp): cosine
+    similarity of every key's sparse (feature -> metric) vector against
+    ONE query vector.
+
+    The query vector is O(features) scalars — broadcast as a literal
+    relation; the corpus side stays distributed (per-key aggregates, one
+    equi-join on feature). No cross join, no driver-side math on data.
+    """
+    from pyspark.sql.functions import broadcast
+
+    spark = df.sparkSession
+    q = spark.createDataFrame(
+        [(k, float(v)) for k, v in query_features.items()],
+        f"{feature_col} string, qval double",
+    )
+    q_norm = float(np.sqrt(sum(v * v for v in query_features.values())))
+    v = df.groupBy(key_col, feature_col).agg(
+        F.sum(metric_col).cast("double").alias("val")
+    )
+    norms = v.groupBy(key_col).agg(
+        F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("norm")
+    )
+    dots = (
+        v.join(broadcast(q), feature_col)
+        .groupBy(key_col)
+        .agg(F.sum(F.col("val") * F.col("qval")).alias("dot"))
+    )
+    return (
+        norms.join(dots, key_col, "left")
+        .select(
+            key_col,
+            F.round(
+                F.coalesce(F.col("dot"), F.lit(0.0))
+                / (F.col("norm") * F.lit(q_norm)),
+                6,
+            ).alias("cos_sim"),
+        )
+    )

@@ -357,3 +357,41 @@ def llm_transform_template(spark, sf_dir):
     return llm_transform(
         d, "snippet", "Summarize in one line: {input}"
     ).select("doc_id", "llm_out").orderBy("doc_id")
+
+
+@query(
+    "tf_feature_query_similarity",
+    oracle="""
+    WITH v AS (
+        SELECT l_suppkey AS key, l_returnflag AS feature,
+               CAST(sum(l_quantity) AS DOUBLE) AS val
+        FROM lineitem GROUP BY 1, 2
+    ), q(feature, qval) AS (
+        VALUES ('A', 1.0), ('N', 2.0), ('R', 0.5)
+    ), norms AS (
+        SELECT key, sqrt(sum(val * val)) AS norm FROM v GROUP BY key
+    ), dots AS (
+        SELECT key, sum(val * qval) AS dot
+        FROM v JOIN q USING (feature) GROUP BY key
+    )
+    SELECT n.key AS l_suppkey,
+           round(coalesce(d.dot, 0) / (n.norm * sqrt(1.0 + 4.0 + 0.25)), 6)
+               AS cos_sim
+    FROM norms n LEFT JOIN dots d ON n.key = d.key
+    ORDER BY l_suppkey
+    """,
+)
+def tf_feature_query_similarity(spark, sf_dir):
+    """tf_feature_similarity (SimilarityTableFunctions.hpp): per-key
+    sparse feature vectors vs one broadcast query vector — sparse
+    algebra on long format, no cross join."""
+    li = T(spark, sf_dir, "lineitem")
+    pairs = li.select(
+        F.col("l_suppkey"),
+        F.col("l_returnflag").alias("feature"),
+        F.col("l_quantity").alias("metric"),
+    )
+    return similarity.feature_similarity(
+        pairs, "l_suppkey", "feature", "metric",
+        {"A": 1.0, "N": 2.0, "R": 0.5},
+    ).orderBy("l_suppkey")
