@@ -61,7 +61,14 @@ TABLES = {
 
 
 def _predicate(rng: random.Random, spec: dict) -> str:
-    kind = rng.choice(["num_cmp", "num_between", "str_in", "str_like", "date_cmp", "null_check"])
+    if spec["strs"] and spec.get("date"):
+        # original list/order — keeps historical seeds reproducible
+        kinds = ["num_cmp", "num_between", "str_in", "str_like", "date_cmp", "null_check"]
+    else:
+        kinds = ["num_cmp", "num_between", "null_check"]
+        if spec["strs"]:
+            kinds += ["str_in", "str_like"]
+    kind = rng.choice(kinds)
     if kind == "num_cmp":
         col = rng.choice(spec["nums"])
         lo, hi = spec["num_ranges"][col]
@@ -157,3 +164,70 @@ def test_randomized_filter_agg(engine, ddb, seed):
     s_c = canonical([[r[i] for i in sidx] for r in srows])
     o_c = canonical([[r[i] for i in oidx] for r in orows])
     assert s_c == o_c, f"seed={seed} sql={sql}\nspark={s_c[:3]}\noracle={o_c[:3]}"
+
+# dimension-table specs for the join generator ONLY (keeping TABLES
+# untouched preserves the single-table generator's historical seeds)
+DIM_TABLES = {}
+DIM_TABLES["customer"] = {
+    "nums": ["c_custkey", "c_nationkey", "c_acctbal"],
+    "strs": [("c_mktsegment", ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"])],
+    "date": None,
+    "num_ranges": {"c_custkey": (1, 150), "c_nationkey": (0, 24), "c_acctbal": (-999, 9999)},
+}
+DIM_TABLES["part"] = {
+    "nums": ["p_partkey", "p_retailprice"] if False else ["p_partkey"],
+    "strs": [("p_brand", ["Brand#1", "Brand#2", "Brand#3", "Brand#4", "Brand#5"])],
+    "date": None,
+    "num_ranges": {"p_partkey": (1, 200)},
+}
+DIM_TABLES["nation"] = {
+    "nums": ["n_nationkey", "n_regionkey"],
+    "strs": [],
+    "date": None,
+    "num_ranges": {"n_nationkey": (0, 24), "n_regionkey": (0, 4)},
+}
+
+
+JOINS = [
+    # (left, right, condition, extra join type choices)
+    ("orders", "customer", "o_custkey = c_custkey"),
+    ("lineitem", "orders", "l_orderkey = o_orderkey"),
+    ("lineitem", "part", "l_partkey = p_partkey"),
+    ("customer", "nation", "c_nationkey = n_nationkey"),
+]
+
+
+def generate_join_sql(seed: int) -> str:
+    rng = random.Random(10_000 + seed)
+    lt, rt, cond = rng.choice(JOINS)
+    how = rng.choice(["JOIN", "LEFT JOIN", "JOIN", "JOIN"])
+    specs = {**TABLES, **DIM_TABLES}
+    lspec, rspec = specs.get(lt), specs.get(rt)
+    preds = []
+    if lspec:
+        preds.append(_predicate(rng, lspec))
+    if rspec and rng.random() < 0.5:
+        preds.append(_predicate(rng, rspec))
+    where = " AND ".join(preds) if preds else "1 = 1"
+    aggs = [_agg(rng, lspec or rspec, f"a{i}") for i in range(rng.randint(1, 3))]
+    return (
+        f"SELECT {', '.join(aggs)} FROM {lt} {how} {rt} ON {cond} "
+        f"WHERE {where}"
+    )
+
+
+@pytest.mark.parametrize("seed", range(20))
+def test_randomized_join_agg(engine, ddb, seed):
+    sql = generate_join_sql(seed)
+    sdf = engine.sql(sql)
+    srows = [tuple(r) for r in sdf.collect()]
+    scols = [c.lower() for c in sdf.columns]
+    ores = ddb.sql(sql)
+    orows = ores.fetchall()
+    ocols = [c.lower() for c in ores.columns]
+    assert sorted(scols) == sorted(ocols), sql
+    sidx = [scols.index(c) for c in sorted(scols)]
+    oidx = [ocols.index(c) for c in sorted(ocols)]
+    s_c = canonical([[r[i] for i in sidx] for r in srows])
+    o_c = canonical([[r[i] for i in oidx] for r in orows])
+    assert s_c == o_c, f"seed={seed} sql={sql}"
