@@ -167,7 +167,7 @@ def agg_exact_median(spark, sf_dir):
     "agg_count_if_sum_if",
     oracle="""
     SELECT o_orderstatus,
-           count_if(o_totalprice > 100000) AS n_big,
+           CAST(count_if(o_totalprice > 100000) AS BIGINT) AS n_big,
            round(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice ELSE 0 END), 2) AS urgent_total
     FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
     """,

@@ -149,7 +149,7 @@ def in_list_filter(spark, sf_dir):
     "like_regexp_filter",
     oracle="""
     SELECT p_type, count(*) AS n,
-           count_if(p_name ILIKE '%RED%') AS n_ilike
+           CAST(count_if(p_name ILIKE '%RED%') AS BIGINT) AS n_ilike
     FROM part
     WHERE p_name LIKE '%red%' OR regexp_matches(p_name, '^(blue|green) ')
     GROUP BY p_type ORDER BY p_type

@@ -131,7 +131,7 @@ def fn_string_distance(spark, sf_dir):
            o_orderdate + INTERVAL 90 DAY AS plus90,
            o_orderdate - INTERVAL 2 MONTH AS minus2m,
            date_diff('day', o_orderdate, TIMESTAMP '2000-01-01 00:00:00') AS days_to_y2k,
-           last_day(CAST(o_orderdate AS DATE)) AS month_end
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end
     FROM orders WHERE o_orderkey < 300 ORDER BY o_orderkey
     """,
 )
@@ -159,7 +159,9 @@ def fn_datetime(spark, sf_dir):
         F.expr(
             "timestampdiff(DAY, o_orderdate, TIMESTAMP_NTZ '2000-01-01 00:00:00')"
         ).alias("days_to_y2k"),
-        F.last_day(F.col("o_orderdate").cast("date")).alias("month_end"),
+        F.last_day(F.col("o_orderdate").cast("date"))
+        .cast("timestamp_ntz")
+        .alias("month_end"),
     ).orderBy("o_orderkey")
 
 
@@ -382,10 +384,10 @@ def fn_string_extra(spark, sf_dir):
     "fn_datetime_week_variants",
     oracle="""
     SELECT o_orderkey,
-           CAST(o_orderdate AS DATE) - CAST(dayofweek(o_orderdate) AS INT)
-               AS wk_sunday,
-           CAST(o_orderdate AS DATE) - ((CAST(dayofweek(o_orderdate) AS INT) + 1) % 7)
-               AS wk_saturday,
+           CAST(CAST(o_orderdate AS DATE) - CAST(dayofweek(o_orderdate) AS INT)
+               AS TIMESTAMP) AS wk_sunday,
+           CAST(CAST(o_orderdate AS DATE) - ((CAST(dayofweek(o_orderdate) AS INT) + 1) % 7)
+               AS TIMESTAMP) AS wk_saturday,
            CAST(floor(hour(o_orderdate) / 6) + 1 AS INT) AS quarterday
     FROM orders WHERE o_orderkey < 300 ORDER BY o_orderkey
     """,
@@ -399,8 +401,12 @@ def fn_datetime_week_variants(spark, sf_dir):
     d = F.col("o_orderdate").cast("date")
     return o.select(
         "o_orderkey",
-        F.date_sub(d, F.dayofweek(d) - 1).alias("wk_sunday"),
-        F.date_sub(d, F.dayofweek(d) % 7).alias("wk_saturday"),
+        F.date_sub(d, F.dayofweek(d) - 1)
+        .cast("timestamp_ntz")
+        .alias("wk_sunday"),
+        F.date_sub(d, F.dayofweek(d) % 7)
+        .cast("timestamp_ntz")
+        .alias("wk_saturday"),
         (F.floor(F.hour("o_orderdate") / 6) + 1).cast("int").alias("quarterday"),
     ).orderBy("o_orderkey")
 
