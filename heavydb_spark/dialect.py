@@ -55,27 +55,8 @@ _REWRITES: list[tuple[re.Pattern, str]] = [
     (re.compile(r"\b(?:LIKELY|UNLIKELY)\s*\(", re.IGNORECASE), "("),
     # SAMPLE(x) aggregate -> any_value(x)   (sqldefs.h:84)
     (re.compile(r"\bSAMPLE\s*\(", re.IGNORECASE), "any_value("),
-    # SAMPLE_RATIO(r) -> (rand() < r)
-    (
-        re.compile(r"\bSAMPLE_RATIO\s*\(([^)]*)\)", re.IGNORECASE),
-        lambda m: f"(rand() < {m.group(1)})",
-    ),
-    (re.compile(r"\bAPPROX_MEDIAN\s*\(([^)]*)\)", re.IGNORECASE),
-     lambda m: f"approx_percentile({m.group(1)}, 0.5)"),
     # HeavyDB CHAR_LENGTH on none-encoded text == Spark length
     (re.compile(r"\bCHAR_LENGTH\s*\(", re.IGNORECASE), "length("),
-    # APPROX_COUNT_DISTINCT(x, e): e is an error PERCENT 1..100
-    # (RelAlgTranslator.cpp:296-305); precision = ceil(2*log2(1.04/rate))
-    # (HyperLogLog.h:113 hll_size_for_rate). Spark's rsd is the same
-    # rate as a fraction (precision = ceil(2*log2(1.06/rsd))) — so the
-    # mapping is simply rsd = e/100.
-    (
-        re.compile(
-            r"\bAPPROX_COUNT_DISTINCT\s*\(([^(),]+),\s*(\d+)\s*\)",
-            re.IGNORECASE,
-        ),
-        lambda m: f"approx_count_distinct({m.group(1)}, {int(m.group(2)) / 100.0})",
-    ),
     # Table functions: FROM TABLE(generate_series(a, b[, step])) —
     # UtilityTableFunctions.h:28-30. sequence() is inclusive-stop like
     # the reference, JVM-native, and handles int and timestamp+interval.
@@ -103,6 +84,74 @@ _REWRITES: list[tuple[re.Pattern, str]] = [
 _LITERAL = re.compile(r"'(?:[^']|'')*'")
 
 
+def _split_top_level(args: str) -> list[str]:
+    """Split an argument string at top-level commas (paren-depth aware)."""
+    parts, depth, cur = [], 0, []
+    for ch in args:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    parts.append("".join(cur).strip())
+    return parts
+
+
+def _rewrite_call(sql: str, fname: str, make) -> str:
+    """Replace every call `fname(args)` with `make(args)` — the argument
+    span is found by balanced-paren scan, so nested calls like
+    APPROX_MEDIAN(abs(x - 1)) rewrite correctly (a bare [^)]* regex
+    cannot). `make` returns the replacement text or None to leave the
+    call untouched."""
+    pat = re.compile(r"\b" + fname + r"\s*\(", re.IGNORECASE)
+    out, pos = [], 0
+    while True:
+        m = pat.search(sql, pos)
+        if not m:
+            out.append(sql[pos:])
+            return "".join(out)
+        depth, i = 1, m.end()
+        while i < len(sql) and depth:
+            if sql[i] == "(":
+                depth += 1
+            elif sql[i] == ")":
+                depth -= 1
+            i += 1
+        args = sql[m.end() : i - 1]
+        repl = make(args)
+        out.append(sql[pos : m.start()])
+        out.append(repl if repl is not None else sql[m.start() : i])
+        pos = i
+
+
+def _approx_count_distinct(args: str) -> str | None:
+    """APPROX_COUNT_DISTINCT(x, e): e is an error PERCENT 1..100
+    (RelAlgTranslator.cpp:296-305); precision = ceil(2*log2(1.04/rate))
+    (HyperLogLog.h:113 hll_size_for_rate). Spark's rsd is the same rate
+    as a fraction, so rsd = e/100 — but Spark rejects rsd > ~0.39
+    (HyperLogLogPlusPlus max), while the reference accepts up to 100;
+    clamp so the full reference argument range executes (at the cost of
+    a tighter-than-requested error for e > 39)."""
+    parts = _split_top_level(args)
+    if len(parts) != 2 or not re.fullmatch(r"\d+", parts[1]):
+        return None
+    rsd = min(int(parts[1]) / 100.0, 0.39)
+    return f"approx_count_distinct({parts[0]}, {rsd})"
+
+
+# Balanced-paren rewrites applied after _REWRITES (literals still masked).
+_CALL_REWRITES = [
+    # SAMPLE_RATIO(r) -> (rand() < r)
+    ("SAMPLE_RATIO", lambda args: f"(rand() < {args})"),
+    ("APPROX_MEDIAN", lambda args: f"approx_percentile({args}, 0.5)"),
+    ("APPROX_COUNT_DISTINCT", _approx_count_distinct),
+]
+
+
 def rewrite(sql: str) -> str:
     """Rewrite a HeavyDB-dialect SQL string into Spark SQL.
 
@@ -122,4 +171,6 @@ def rewrite(sql: str) -> str:
     out = _LITERAL.sub(_mask, out)
     for pat, repl in _REWRITES:
         out = pat.sub(repl, out)
+    for fname, make in _CALL_REWRITES:
+        out = _rewrite_call(out, fname, make)
     return re.sub(r"\x00(\d+)\x00", lambda m: literals[int(m.group(1))], out)

@@ -48,18 +48,6 @@ def reg_predict(
     )
 
 
-def r2_score(df: DataFrame, y_col: str, pred_col: str) -> DataFrame:
-    """r2_score UDTF analogue: 1 - SS_res/SS_tot, one aggregate pass."""
-    meany = df.agg(F.avg(y_col).alias("m")).first()["m"]
-    return df.agg(
-        (
-            1
-            - F.sum(F.pow(F.col(y_col) - F.col(pred_col), 2))
-            / F.sum(F.pow(F.col(y_col) - F.lit(meany), 2))
-        ).alias("r2")
-    )
-
-
 def kmeans_fit(
     df: DataFrame,
     vec_col: str,

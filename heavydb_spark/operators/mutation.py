@@ -40,8 +40,13 @@ def update_projection(
 
 def delete_filter(df: DataFrame, cond: Column) -> DataFrame:
     """Post-image of DELETE WHERE cond (the $deleted-column analogue is
-    simply the complement filter)."""
-    return df.filter(~cond)
+    the complement filter).
+
+    SQL DELETE removes only rows where the predicate is TRUE; rows where
+    it evaluates NULL must survive. A bare `~cond` is NULL for those rows
+    (filtered out), so coalesce the predicate to FALSE first.
+    """
+    return df.filter(~F.coalesce(cond, F.lit(False)))
 
 
 def _atomic_swap(tmp_dir: str, table_dir: str) -> None:

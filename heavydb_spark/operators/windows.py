@@ -69,16 +69,28 @@ def lag_in_frame(col: Column, offset: int, w: WindowSpec) -> Column:
     current row, RESTRICTED to the window frame — NULL if that falls
     outside the frame. `w` must be ordered with a frame ending at
     CURRENT ROW. Plain LAG ignores framing; this is the frame-aware
-    variant, emulated with a frame-ordered list aggregate."""
-    lst = F.collect_list(col).over(w)
+    variant, emulated with a frame-ordered list aggregate.
+
+    The value is wrapped in a struct before collect_list — collect_list
+    drops bare NULL elements (shifting offsets) but never drops structs,
+    so NULL values survive at their correct frame position.
+
+    Memory note: the per-row list is O(frame length); with an
+    unbounded-preceding frame on a huge partition this is the hazard the
+    reference's segment tree avoids — bound the frame at scale."""
+    lst = F.collect_list(F.struct(col.alias("v"))).over(w)
     return F.when(
-        F.size(lst) > offset, F.element_at(lst, F.size(lst) - offset)
+        F.size(lst) > offset,
+        F.element_at(lst, F.size(lst) - offset).getField("v"),
     )
 
 
 def lead_in_frame(col: Column, offset: int, w: WindowSpec) -> Column:
     """LEAD_IN_FRAME (sqldefs.h:156): `offset` rows after the current
     row within the frame; `w` must be ordered with a frame starting at
-    CURRENT ROW."""
-    lst = F.collect_list(col).over(w)
-    return F.when(F.size(lst) > offset, F.element_at(lst, offset + 1))
+    CURRENT ROW. NULL-safe via struct wrapping (see lag_in_frame)."""
+    lst = F.collect_list(F.struct(col.alias("v"))).over(w)
+    return F.when(
+        F.size(lst) > offset,
+        F.element_at(lst, offset + 1).getField("v"),
+    )

@@ -146,6 +146,14 @@ def stateful_sessionize(
             state.remove()
         else:
             state.update((start, last, n))
+            if last is not None:
+                # flush the open session once the event-time watermark
+                # passes last+gap — without this, hasTimedOut never fires
+                # and the final session per user is never emitted
+                timeout_ms = last // 1000 + gap_minutes * 60 * 1000 + 1
+                state.setTimeoutTimestamp(
+                    max(timeout_ms, state.getCurrentWatermarkMs() + 1)
+                )
         if closed:
             yield pd.DataFrame(
                 {

@@ -117,3 +117,30 @@ def test_rewrite_leaves_string_literals_alone():
     out2 = rewrite(sql2)
     assert "'it''s LIKELY(fine)'" in out2
     assert "(x > 1)" in out2 and "LIKELY" not in out2.replace("'it''s LIKELY(fine)'", "")
+
+
+def test_approx_count_distinct_high_error_clamped(engine):
+    """Reference accepts error percent 1..100; Spark rejects rsd>~0.39.
+    The rewrite clamps so the full reference range executes."""
+    exact = engine.sql(
+        "SELECT count(DISTINCT l_partkey) AS c FROM lineitem"
+    ).collect()[0].c
+    approx = engine.sql(
+        "SELECT APPROX_COUNT_DISTINCT(l_partkey, 90) AS c FROM lineitem"
+    ).collect()[0].c
+    assert approx > 0 and abs(approx - exact) / exact < 0.8
+
+
+def test_nested_paren_rewrites():
+    """Balanced-paren rewriting: nested calls inside the argument must
+    not truncate the rewrite span (the old [^)]* regex did)."""
+    from heavydb_spark.dialect import rewrite
+
+    out = rewrite("SELECT APPROX_MEDIAN(abs(x - nvl(y, 0))) AS m FROM t")
+    assert "approx_percentile(abs(x - nvl(y, 0)), 0.5)" in out
+    out2 = rewrite("SELECT SAMPLE_RATIO(least(r, 0.5)) FROM t")
+    assert "(rand() < least(r, 0.5))" in out2
+    out3 = rewrite(
+        "SELECT APPROX_COUNT_DISTINCT(coalesce(a, b), 10) AS c FROM t"
+    )
+    assert "approx_count_distinct(coalesce(a, b), 0.1)" in out3

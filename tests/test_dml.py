@@ -59,6 +59,17 @@ def test_delete_cow(spark, scratch_table):
     assert after.filter(F.col("o_orderstatus") == "F").count() == 0
 
 
+def test_delete_null_predicate(spark):
+    """DELETE must remove only rows where the predicate is TRUE — rows
+    where it evaluates NULL survive (and rows_affected agrees)."""
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, 5.0)], "id long, v double"
+    )
+    post = mutation.delete_filter(df, F.col("v") > 6)
+    kept = sorted(r.id for r in post.collect())
+    assert kept == [2, 3]  # id=2 (NULL predicate) must survive
+
+
 def test_ctas_insert_roundtrip(spark):
     """CTAS + INSERT INTO ... SELECT (DBHandler.cpp:6680 dispatch)."""
     try:

@@ -185,3 +185,55 @@ def test_single_value_semantics(spark):
     bad = spark.createDataFrame([(1, "a"), (1, "z")], "k int, v string")
     with _pytest.raises(Exception, match="SINGLE_VALUE"):
         bad.groupBy("k").agg(single_value(F.col("v")).alias("sv")).collect()
+
+
+def test_lag_lead_in_frame_with_nulls(spark):
+    """NULL values must occupy their frame position (collect_list drops
+    bare NULLs; the struct wrapping keeps them) and be returnable."""
+    from pyspark.sql import Window
+
+    from heavydb_spark.operators.windows import lag_in_frame, lead_in_frame
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, 30.0), (4, 40.0)], "i long, v double"
+    )
+    wb = (
+        Window.partitionBy(F.lit(1))
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy(F.lit(1))
+        .orderBy("i")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    rows = {
+        r.i: (r.lag1, r.lead1)
+        for r in df.select(
+            "i",
+            lag_in_frame(F.col("v"), 1, wb).alias("lag1"),
+            lead_in_frame(F.col("v"), 1, wf).alias("lead1"),
+        ).collect()
+    }
+    # lag1 at i=3 is the NULL at i=2, NOT 10.0 (which a NULL-dropping
+    # list would return); lead1 at i=1 likewise.
+    assert rows[3][0] is None and rows[1][1] is None
+    assert rows[2][0] == 10.0 and rows[2][1] == 30.0
+    assert rows[4][0] == 30.0 and rows[4][1] is None
+    assert rows[1][0] is None  # frame too short
+
+
+def test_no_duplicate_toplevel_defs():
+    """Guard against silently-shadowing duplicate module-level
+    definitions (a dead r2_score slipped through in round 1)."""
+    import ast
+    import pathlib
+
+    pkg = pathlib.Path(__file__).resolve().parent.parent / "heavydb_spark"
+    for path in sorted(pkg.rglob("*.py")):
+        tree = ast.parse(path.read_text())
+        seen: set[str] = set()
+        for node in tree.body:
+            if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)):
+                assert node.name not in seen, f"{path}: duplicate def {node.name}"
+                seen.add(node.name)

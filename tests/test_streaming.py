@@ -110,8 +110,12 @@ def _ordered_stream_dir(spark, tmp_path_factory):
 
 def test_stateful_sessionize_matches_batch(spark, tmp_path_factory):
     """applyInPandasWithState sessionizer: closed sessions from the
-    stream must equal batch-computed sessions minus each user's final
-    (still-open) session."""
+    stream must equal batch-computed sessions, where a user's final
+    session counts as closed iff the event-time timeout could fire for
+    it (end + gap < final watermark = max_ts - delay) — availableNow
+    runs a trailing timeout batch that flushes those."""
+    import datetime
+
     from pyspark.sql import Window
 
     ev_stream = stream_ops.read_event_stream(
@@ -126,8 +130,9 @@ def test_stateful_sessionize_matches_batch(spark, tmp_path_factory):
         for r in got.collect()
     }
 
-    # batch expectation: gap>30min starts a new session; drop the last
-    # session per user (open at stream end, still in state)
+    # batch expectation: gap>30min starts a new session; the last
+    # session per user is included iff its flush timeout (end + 30min
+    # gap) precedes the final watermark (max_ts - 1h delay)
     ev = load_table(spark, SF_DIR, "events")
     w = Window.partitionBy("user_id").orderBy("ts")
     sess = (
@@ -147,10 +152,18 @@ def test_stateful_sessionize_matches_batch(spark, tmp_path_factory):
             F.count(F.lit(1)).alias("n_events"),
         )
     )
+    max_ts = ev.agg(F.max("ts")).first()[0]
+    final_wm = max_ts - datetime.timedelta(hours=1)
     last_sid = sess.groupBy("user_id").agg(F.max("sid").alias("max_sid"))
     expected = (
         sess.join(last_sid, "user_id")
-        .filter(F.col("sid") < F.col("max_sid"))
+        .filter(
+            (F.col("sid") < F.col("max_sid"))
+            | (
+                F.col("session_end") + F.expr("INTERVAL 30 MINUTES")
+                < F.lit(final_wm)
+            )
+        )
         .select("user_id", "session_start", "session_end", "n_events")
     )
     exp_rows = {
