@@ -262,10 +262,14 @@ def minhash_dedup_pairs(
     """Full MinHash+LSH near-dup pipeline: candidates by banding, then
     verification by signature agreement ratio (jaccard estimate).
     Returns (doc_a, doc_b, est_jaccard). The wide signature relation is
-    persisted — it feeds both banding and verification, so the
+    localCheckpoint'ed — it feeds both banding and verification, so the
     shingle+agg stages run once, and band/array projections off it stay
-    in whole-stage codegen."""
-    wide = _minhash_wide(df, id_col, text_col, n, num_perm).persist()
+    in whole-stage codegen. Checkpoint (not persist): blocks are freed
+    by the ContextCleaner when the result is garbage-collected, so
+    repeated calls don't leak cache entries."""
+    wide = _minhash_wide(df, id_col, text_col, n, num_perm).localCheckpoint(
+        eager=False
+    )
     cands = minhash_lsh_candidates(wide, bands, num_perm // bands)
     sig_arr = wide.select(
         "doc", F.array(*[F.col(f"m{i}") for i in range(num_perm)]).alias("sig")

@@ -7,12 +7,59 @@ Spark-first: iterative frontier BFS over an edge DataFrame. Each hop is
 one distributed join + union + min-aggregate; the driver only controls
 the loop (standard Pregel-style pattern, same shape GraphFrames uses).
 State stays a DataFrame throughout — no collect of nodes or edges.
+
+Reused iteration state is localCheckpoint'ed rather than persist'ed:
+checkpoint blocks are dropped by the ContextCleaner once the DataFrame
+is garbage-collected, so repeated calls in one session don't accumulate
+cache-registry entries (persist() entries live until explicit
+unpersist, which a lazily-returned DataFrame cannot schedule).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _bfs(
+    edges: DataFrame,
+    source: int,
+    src_col: str,
+    dst_col: str,
+    max_hops: int,
+    directed: bool = True,
+) -> DataFrame:
+    """Frontier BFS from `source`; returns (node, dist, pred) where pred
+    is the minimum-id predecessor on some shortest path (NULL at the
+    source). Each hop is one join + min-aggregate, shuffle-bounded by
+    the frontier size, not the graph size."""
+    e = edges.select(
+        F.col(src_col).cast("long").alias("src"),
+        F.col(dst_col).cast("long").alias("dst"),
+    )
+    if not directed:
+        e = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    e = e.distinct().localCheckpoint(eager=False)
+
+    spark = edges.sparkSession
+    dist = spark.createDataFrame(
+        [(source, 0, None)], "node LONG, dist INT, pred LONG"
+    )
+    frontier = dist
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(e, frontier["node"] == e["src"])
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("src").alias("pred"))
+            .join(dist.select("node"), "node", "left_anti")
+            .select("node", F.lit(hop).alias("dist"), "pred")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        dist = dist.union(nxt)
+        frontier = nxt
+    return dist
 
 
 def shortest_paths_distances(
@@ -23,39 +70,11 @@ def shortest_paths_distances(
     max_hops: int = 10,
     directed: bool = True,
 ) -> DataFrame:
-    """Distances (in hops) from `source` to every reachable node.
-
-    tf_graph_shortest_paths_distances analogue for unweighted graphs.
-    Frontier BFS: hop k joins the current frontier against the edge
-    list; `dist` table keeps the first (minimal) hop count per node.
-    Each iteration is checkpoint-free and shuffle-bounded by the
-    frontier size, not the graph size.
-    """
-    e = edges.select(
-        F.col(src_col).cast("long").alias("src"),
-        F.col(dst_col).cast("long").alias("dst"),
+    """Distances (in hops) from `source` to every reachable node —
+    tf_graph_shortest_paths_distances analogue for unweighted graphs."""
+    return _bfs(edges, source, src_col, dst_col, max_hops, directed).select(
+        "node", "dist"
     )
-    if not directed:
-        e = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    e = e.distinct().persist()
-
-    spark = edges.sparkSession
-    dist = spark.createDataFrame([(source, 0)], "node LONG, dist INT")
-    frontier = dist
-    for hop in range(1, max_hops + 1):
-        nxt = (
-            frontier.join(e, frontier["node"] == e["src"])
-            .select(F.col("dst").alias("node"))
-            .distinct()
-            .join(dist, "node", "left_anti")
-            .withColumn("dist", F.lit(hop))
-        )
-        nxt = nxt.persist()
-        if nxt.isEmpty():
-            break
-        dist = dist.union(nxt)
-        frontier = nxt
-    return dist
 
 
 def shortest_path(
@@ -67,33 +86,32 @@ def shortest_path(
     max_hops: int = 10,
 ) -> DataFrame:
     """tf_graph_shortest_path analogue: one row per hop along a shortest
-    source→target path (path reconstructed by backward walk over the
-    distance table — max_hops joins, all distributed)."""
-    dist = shortest_paths_distances(
-        edges, source, src_col, dst_col, max_hops
-    ).persist()
-    e = edges.select(
-        F.col(src_col).cast("long").alias("src"),
-        F.col(dst_col).cast("long").alias("dst"),
-    ).distinct()
+    source→target path.
 
-    t = dist.filter(F.col("node") == target)
-    if t.isEmpty():
-        return dist.sparkSession.createDataFrame([], "path_step INT, node LONG")
-    d_target = t.first()["dist"]
-    # walk backwards: at step k pick the min-id predecessor with dist k-1
-    steps = [(d_target, target)]
-    current = target
-    for k in range(d_target, 0, -1):
-        pred = (
-            e.filter(F.col("dst") == current)
-            .join(dist.filter(F.col("dist") == k - 1),
-                  e["src"] == F.col("node"))
-            .agg(F.min("node").alias("p"))
-            .first()["p"]
-        )
-        steps.append((k - 1, int(pred)))
-        current = int(pred)
-    return dist.sparkSession.createDataFrame(
-        sorted(steps), "path_step INT, node LONG"
+    The BFS records each node's min-id predecessor, so reconstruction is
+    a backward join chain over the (small) distance table — one Spark
+    action for the target distance and one for the final collect, never
+    a per-hop driver round-trip.
+    """
+    dist = _bfs(edges, source, src_col, dst_col, max_hops).localCheckpoint(
+        eager=True
     )
+    spark = dist.sparkSession
+    t = dist.filter(F.col("node") == target).first()
+    if t is None:
+        return spark.createDataFrame([], "path_step INT, node LONG")
+    d_target = t["dist"]
+    # walk pred pointers in plan space: step k's row is the predecessor
+    # of step k+1's — d_target self-joins on the checkpointed table,
+    # collected once
+    cur = dist.filter(F.col("node") == target)
+    steps = [cur.select(F.lit(d_target).alias("path_step"), "node")]
+    for k in range(d_target - 1, -1, -1):
+        cur = dist.join(
+            cur.select(F.col("pred").alias("node")), "node"
+        )
+        steps.append(cur.select(F.lit(k).alias("path_step"), "node"))
+    out = steps[0]
+    for s in steps[1:]:
+        out = out.union(s)
+    return out.orderBy("path_step")

@@ -171,14 +171,18 @@ def dbscan(
     )
     a = pts.toDF("id_a", "xa", "ya")
     b = pts.toDF("id_b", "xb", "yb")
+    # localCheckpoint (not persist) for every reused relation: blocks
+    # are dropped on GC, so repeated dbscan calls don't leak cache
+    # entries (persist would need an unpersist the lazily-returned
+    # result cannot schedule)
     pairs = range_join(
         a, b, radius=eps, left_point=("xa", "ya"), right_point=("xb", "yb")
-    ).select("id_a", "id_b").persist()
+    ).select("id_a", "id_b").localCheckpoint(eager=False)
 
     deg = pairs.groupBy("id_a").agg(F.count(F.lit(1)).alias("deg"))
     core = deg.filter(F.col("deg") >= min_pts).select(
         F.col("id_a").alias("cid")
-    ).persist()
+    ).localCheckpoint(eager=False)
 
     cc = pairs.join(core.withColumnRenamed("cid", "id_a"), "id_a").join(
         core.withColumnRenamed("cid", "id_b"), "id_b"
@@ -198,7 +202,7 @@ def dbscan(
                     F.col("label"), F.coalesce("nbr_label", F.col("label"))
                 ).alias("label"),
             )
-            .persist()
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
@@ -206,7 +210,6 @@ def dbscan(
             .filter(F.col("n.label") != F.col("o.label"))
             .count()
         )
-        labels.unpersist() if labels is not None else None
         labels = new_labels
         if changed == 0:
             break
@@ -225,6 +228,4 @@ def dbscan(
             F.coalesce("label", "border_label", F.lit(-1)).alias("cluster"),
         )
     )
-    pairs.unpersist()
-    core.unpersist()
     return out

