@@ -71,6 +71,155 @@ def st_contains_bbox(
     )
 
 
+# ---------------------------------------------------------------- polygons
+#
+# POLYGON = array<ring>, ring = array<struct<x double, y double>>; ring 0
+# is the outer boundary, later rings are holes (the reference's
+# render-group layout, Geospatial/Types.h GeoPolygon). Rings may be open
+# or closed (repeated first point contributes a zero-length edge — both
+# forms give identical results). Columnar doubles, no WKB/WKT parsing,
+# all higher-order-function Column expressions (JVM-side).
+#
+# Reference semantics: ST_Area / ST_Perimeter / ST_Centroid /
+# ST_Contains in QueryEngine/ExtensionFunctionsGeo.hpp (area via
+# triangle fan ~ shoelace; centroid area-weighted with hole subtraction;
+# contains via winding/parity test). Shapes tested against
+# Tests/GeospatialTest.cpp expectations in tests/test_operators.py.
+
+
+def _ring_edge_terms(ring: Column, term) -> Column:
+    """Map each cyclic edge (p_i, p_{i+1 mod n}) of `ring` to
+    `term(a, b)` — the building block for shoelace sums, perimeter and
+    ray casting."""
+    return F.transform(
+        ring,
+        lambda p, i: term(
+            p, F.element_at(ring, ((i + F.lit(1)) % F.size(ring)) + F.lit(1))
+        ),
+    )
+
+
+def _fsum(arr: Column) -> Column:
+    return F.aggregate(arr, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def ring_signed_area(ring: Column) -> Column:
+    """0.5 * Σ (x_i·y_{i+1} − x_{i+1}·y_i): positive for CCW rings."""
+    return (
+        _fsum(
+            _ring_edge_terms(
+                ring, lambda a, b: a["x"] * b["y"] - b["x"] * a["y"]
+            )
+        )
+        / 2.0
+    )
+
+
+def ring_perimeter(ring: Column) -> Column:
+    return _fsum(
+        _ring_edge_terms(
+            ring,
+            lambda a, b: F.sqrt(
+                (a["x"] - b["x"]) * (a["x"] - b["x"])
+                + (a["y"] - b["y"]) * (a["y"] - b["y"])
+            ),
+        )
+    )
+
+
+def st_area(poly: Column) -> Column:
+    """|outer| minus Σ|holes| — orientation-independent, like the
+    reference's ST_Area (ExtensionFunctionsGeo.hpp area functions)."""
+    ring_areas = F.transform(poly, lambda r: F.abs(ring_signed_area(r)))
+    outer = F.element_at(ring_areas, 1)
+    return outer * 2 - _fsum(ring_areas)  # outer - (sum - outer)
+
+
+def st_perimeter(poly: Column) -> Column:
+    """Sum of all ring lengths (outer + holes), per OGC/PostGIS and the
+    reference's ST_Perimeter."""
+    return _fsum(F.transform(poly, ring_perimeter))
+
+
+def st_centroid(poly: Column) -> Column:
+    """Area-weighted centroid with holes subtracted; returns
+    struct<x,y>. Per-ring centroid uses the standard shoelace moment
+    (sign cancels, so it is orientation-independent); rings weight
+    +|A| (outer) / −|A| (holes)."""
+
+    def _moment(ring: Column, coord: str) -> Column:
+        # Σ (c_i + c_{i+1}) · cross_i   — divided by 6·signed_area later
+        return _fsum(
+            _ring_edge_terms(
+                ring,
+                lambda a, b: (a[coord] + b[coord])
+                * (a["x"] * b["y"] - b["x"] * a["y"]),
+            )
+        )
+
+    # weighted sums over rings: w_r · centroid_r where w_r = ±|A_r|.
+    # centroid_r = moment / (6·signed_A_r); w_r·centroid_r =
+    # sign_flag · |A_r| · moment / (6·signed_A_r) = sign_flag·moment·
+    # sign(A_r)/6 … fold the signs directly:
+    def _weighted(coord: str) -> Column:
+        terms = F.transform(
+            poly,
+            lambda r, i: F.when(
+                i == 0, _moment(r, coord) * F.signum(ring_signed_area(r))
+            ).otherwise(
+                -_moment(r, coord) * F.signum(ring_signed_area(r))
+            )
+            / 6.0,
+        )
+        return _fsum(terms)
+
+    area = st_area(poly)
+    return F.struct(
+        (_weighted("x") / area).alias("x"),
+        (_weighted("y") / area).alias("y"),
+    )
+
+
+def st_contains_point(poly: Column, px: Column, py: Column) -> Column:
+    """Even-odd ray cast over every ring's edges (hole edges flip
+    parity, so a point inside a hole is outside the polygon) —
+    ST_Contains(POLYGON, POINT). Points exactly on an edge follow
+    half-open crossing semantics (consistent between engines; the
+    reference treats boundaries similarly via its winding test)."""
+    crossings = F.transform(
+        poly,
+        lambda ring: _fsum(
+            _ring_edge_terms(
+                ring,
+                lambda a, b: F.when(
+                    ((a["y"] > py) != (b["y"] > py))
+                    & (
+                        px
+                        < a["x"]
+                        + (b["x"] - a["x"]) * (py - a["y"]) / (b["y"] - a["y"])
+                    ),
+                    F.lit(1.0),
+                ).otherwise(F.lit(0.0)),
+            )
+        ),
+    )
+    return (_fsum(crossings).cast("long") % 2) == 1
+
+
+def st_polygon_bbox(poly: Column) -> Column:
+    """struct<xmin,ymin,xmax,ymax> of the outer ring — the coarse
+    filter for containment joins (BoundingBoxIntersectJoinHashTable.h)."""
+    outer = F.element_at(poly, 1)
+    xs = F.transform(outer, lambda p: p["x"])
+    ys = F.transform(outer, lambda p: p["y"])
+    return F.struct(
+        F.array_min(xs).alias("xmin"),
+        F.array_min(ys).alias("ymin"),
+        F.array_max(xs).alias("xmax"),
+        F.array_max(ys).alias("ymax"),
+    )
+
+
 def grid_cell(p: Column, cell_size: float) -> Column:
     """Grid-cell id for bucketed spatial joins (the Spark-side analogue
     of the reference's binned range-join hash, RangeJoinHashTable.h:21):

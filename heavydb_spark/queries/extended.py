@@ -479,3 +479,163 @@ def tf_cross_section_1d(spark, sf_dir):
         pts, 0.0, 10.0, 90.0, 80.0, num_points=21, bin_size=5.0
     )
     return r.select("sx", "sy", F.round("z", 4).alias("z")).orderBy("sx", "sy")
+
+
+# ----------------------------------------------------------- polygon geo
+
+_POLY_ORACLE_RINGS = """
+    th AS (
+        SELECT n_nationkey, i, 2*pi()*i/8 AS th
+        FROM nation, generate_series(0, 7) AS t(i)
+    ),
+    vo AS (
+        SELECT n_nationkey, 0 AS ring, i,
+               n_nationkey*10.0 + (2 + 0.9*sin(3*th + n_nationkey))*cos(th) AS x,
+               (n_nationkey%5)*7.0 + (2 + 0.9*sin(3*th + n_nationkey))*sin(th) AS y
+        FROM th
+    ),
+    vh AS (
+        SELECT n_nationkey, 1 AS ring, h.i,
+               n_nationkey*10.0 + h.dx AS x,
+               (n_nationkey%5)*7.0 + h.dy AS y
+        FROM nation,
+             (VALUES (0, -0.5, -0.5), (1, 0.5, -0.5),
+                     (2, 0.5, 0.5), (3, -0.5, 0.5)) AS h(i, dx, dy)
+    ),
+    v AS (SELECT * FROM vo UNION ALL SELECT * FROM vh),
+    e AS (
+        SELECT n_nationkey, ring, x, y,
+               coalesce(lead(x) OVER w, first_value(x) OVER w) AS x2,
+               coalesce(lead(y) OVER w, first_value(y) OVER w) AS y2
+        FROM v WINDOW w AS (PARTITION BY n_nationkey, ring ORDER BY i)
+    )
+"""
+
+
+def _nation_polygons(spark, sf_dir):
+    """Deterministic irregular octagon per nation (radius modulated by
+    sin(3θ+key) so the shape is asymmetric) with a unit-square hole at
+    the center — ring 0 outer, ring 1 hole. Built identically in the
+    DuckDB oracles (_POLY_ORACLE_RINGS), so the shoelace/ray-cast
+    implementations are cross-validated against an independent SQL
+    formulation."""
+    import math
+
+    n = T(spark, sf_dir, "nation")
+    nk = F.col("n_nationkey").cast("double")
+    cx = nk * 10.0
+    cy = (F.col("n_nationkey") % 5).cast("double") * 7.0
+
+    def vertex(i):
+        th = F.lit(2 * math.pi) * i / F.lit(8)
+        r = F.lit(2.0) + F.lit(0.9) * F.sin(F.lit(3) * th + nk)
+        return F.struct(
+            (cx + r * F.cos(th)).alias("x"), (cy + r * F.sin(th)).alias("y")
+        )
+
+    outer = F.transform(
+        F.sequence(F.lit(0), F.lit(7)), lambda i: vertex(i.cast("double"))
+    )
+    hole = F.array(
+        F.struct((cx - 0.5).alias("x"), (cy - 0.5).alias("y")),
+        F.struct((cx + 0.5).alias("x"), (cy - 0.5).alias("y")),
+        F.struct((cx + 0.5).alias("x"), (cy + 0.5).alias("y")),
+        F.struct((cx - 0.5).alias("x"), (cy + 0.5).alias("y")),
+    )
+    return n.select(
+        "n_nationkey", F.array(outer, hole).alias("poly")
+    )
+
+
+@query(
+    "geo_polygon_props",
+    oracle="""
+    WITH """ + _POLY_ORACLE_RINGS + """,
+    r AS (
+        SELECT n_nationkey, ring,
+               sum(x*y2 - x2*y)/2 AS sa,
+               sum(sqrt((x-x2)*(x-x2) + (y-y2)*(y-y2))) AS perim,
+               sum((x+x2)*(x*y2 - x2*y)) AS mx,
+               sum((y+y2)*(x*y2 - x2*y)) AS my
+        FROM e GROUP BY n_nationkey, ring
+    )
+    SELECT n_nationkey,
+           round(sum(CASE WHEN ring=0 THEN abs(sa) ELSE -abs(sa) END), 4) AS area,
+           round(sum(perim), 4) AS perimeter,
+           round(sum((CASE WHEN ring=0 THEN 1 ELSE -1 END) * mx * sign(sa) / 6)
+                 / sum(CASE WHEN ring=0 THEN abs(sa) ELSE -abs(sa) END), 4) AS cx,
+           round(sum((CASE WHEN ring=0 THEN 1 ELSE -1 END) * my * sign(sa) / 6)
+                 / sum(CASE WHEN ring=0 THEN abs(sa) ELSE -abs(sa) END), 4) AS cy
+    FROM r GROUP BY n_nationkey ORDER BY n_nationkey
+    """,
+)
+def geo_polygon_props(spark, sf_dir):
+    """ST_Area / ST_Perimeter / ST_Centroid on polygons with holes
+    (ExtensionFunctionsGeo.hpp area/perimeter/centroid; shapes per
+    Tests/GeospatialTest.cpp conventions). Oracle recomputes shoelace
+    sums in SQL over the same generated rings."""
+    polys = _nation_polygons(spark, sf_dir)
+    cen = geo.st_centroid(F.col("poly"))
+    return polys.select(
+        "n_nationkey",
+        F.round(geo.st_area(F.col("poly")), 4).alias("area"),
+        F.round(geo.st_perimeter(F.col("poly")), 4).alias("perimeter"),
+        F.round(cen["x"], 4).alias("cx"),
+        F.round(cen["y"], 4).alias("cy"),
+    ).orderBy("n_nationkey")
+
+
+@query(
+    "geo_polygon_contains_join",
+    oracle="""
+    WITH """ + _POLY_ORACLE_RINGS + """,
+    pts AS (
+        SELECT c_custkey,
+               CAST(c_custkey % 251 AS DOUBLE) AS px,
+               CAST((c_custkey*7) % 31 AS DOUBLE) AS py
+        FROM customer
+    ),
+    crossing AS (
+        SELECT e.n_nationkey, p.c_custkey,
+               sum(CASE WHEN (e.y > p.py) <> (e.y2 > p.py)
+                        THEN CASE WHEN p.px < e.x + (e.x2 - e.x)*(p.py - e.y)/(e.y2 - e.y)
+                                  THEN 1 ELSE 0 END
+                        ELSE 0 END) AS k
+        FROM e, pts p
+        GROUP BY e.n_nationkey, p.c_custkey
+    )
+    SELECT n_nationkey, CAST(count(*) AS BIGINT) AS n_inside
+    FROM crossing WHERE k % 2 = 1
+    GROUP BY n_nationkey ORDER BY n_nationkey
+    """,
+)
+def geo_polygon_contains_join(spark, sf_dir):
+    """Point-in-polygon containment join — the reference's flagship geo
+    workload (Tests/GeospatialJoinTest.cpp, ST_Contains on POLYGON):
+    bbox prefilter (broadcast of the small polygon side, the
+    BoundingBoxIntersectJoinHashTable analogue) + exact even-odd
+    ray-cast verify, points inside the hole excluded. Scale shape: the
+    polygon relation broadcasts; the point side never shuffles."""
+    polys = _nation_polygons(spark, sf_dir).withColumn(
+        "bbox", geo.st_polygon_bbox(F.col("poly"))
+    )
+    c = T(spark, sf_dir, "customer").select(
+        "c_custkey",
+        (F.col("c_custkey") % 251).cast("double").alias("px"),
+        ((F.col("c_custkey") * 7) % 31).cast("double").alias("py"),
+    )
+    j = (
+        c.join(
+            F.broadcast(polys),
+            (F.col("px") >= F.col("bbox.xmin"))
+            & (F.col("px") <= F.col("bbox.xmax"))
+            & (F.col("py") >= F.col("bbox.ymin"))
+            & (F.col("py") <= F.col("bbox.ymax")),
+        )
+        .filter(geo.st_contains_point(F.col("poly"), F.col("px"), F.col("py")))
+    )
+    return (
+        j.groupBy("n_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_inside"))
+        .orderBy("n_nationkey")
+    )

@@ -237,3 +237,63 @@ def test_no_duplicate_toplevel_defs():
             if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)):
                 assert node.name not in seen, f"{path}: duplicate def {node.name}"
                 seen.add(node.name)
+
+
+def test_polygon_analytic_shapes(spark):
+    """ST_Area/Perimeter/Centroid/Contains on hand-computable shapes
+    (Tests/GeospatialTest.cpp conventions: square, square-with-hole,
+    L-shape; holes flip containment)."""
+    from heavydb_spark.functions import geo
+
+    def ring(*pts):
+        return F.array(
+            *[
+                F.struct(F.lit(float(x)).alias("x"), F.lit(float(y)).alias("y"))
+                for x, y in pts
+            ]
+        )
+
+    # 4x4 square (0,0)-(4,4) with 1x1 hole (1,1)-(2,2), CCW outer, CCW
+    # hole (orientation must not matter)
+    sq_hole = F.array(
+        ring((0, 0), (4, 0), (4, 4), (0, 4)),
+        ring((1, 1), (2, 1), (2, 2), (1, 2)),
+    )
+    # L-shape: 2x2 square minus top-right 1x1 => centroid (0.8333, 0.8333)
+    ell = F.array(ring((0, 0), (2, 0), (2, 1), (1, 1), (1, 2), (0, 2)))
+    df = spark.range(1).select(
+        geo.st_area(sq_hole).alias("a1"),
+        geo.st_perimeter(sq_hole).alias("p1"),
+        geo.st_area(ell).alias("a2"),
+        F.round(geo.st_centroid(ell)["x"], 4).alias("cx2"),
+        F.round(geo.st_centroid(ell)["y"], 4).alias("cy2"),
+        geo.st_contains_point(sq_hole, F.lit(0.5), F.lit(0.5)).alias("in_body"),
+        geo.st_contains_point(sq_hole, F.lit(1.5), F.lit(1.5)).alias("in_hole"),
+        geo.st_contains_point(sq_hole, F.lit(5.0), F.lit(2.0)).alias("outside"),
+        geo.st_polygon_bbox(sq_hole).alias("bbox"),
+    )
+    r = df.first()
+    assert r.a1 == 15.0           # 16 - 1
+    assert r.p1 == 20.0           # 16 + 4
+    assert r.a2 == 3.0
+    assert (r.cx2, r.cy2) == (0.8333, 0.8333)  # 5/6
+    assert r.in_body and not r.in_hole and not r.outside
+    assert (r.bbox.xmin, r.bbox.ymin, r.bbox.xmax, r.bbox.ymax) == (0, 0, 4, 4)
+
+    # closed-ring form (repeated first point) gives identical results
+    sq_closed = F.array(ring((0, 0), (4, 0), (4, 4), (0, 4), (0, 0)))
+    r2 = spark.range(1).select(
+        geo.st_area(sq_closed).alias("a"),
+        geo.st_perimeter(sq_closed).alias("p"),
+        F.round(geo.st_centroid(sq_closed)["x"], 4).alias("cx"),
+    ).first()
+    assert (r2.a, r2.p, r2.cx) == (16.0, 16.0, 2.0)
+
+    # CW (reversed) outer ring: same area/centroid
+    sq_cw = F.array(ring((0, 4), (4, 4), (4, 0), (0, 0)))
+    r3 = spark.range(1).select(
+        geo.st_area(sq_cw).alias("a"),
+        F.round(geo.st_centroid(sq_cw)["y"], 4).alias("cy"),
+        geo.st_contains_point(sq_cw, F.lit(1.0), F.lit(1.0)).alias("inside"),
+    ).first()
+    assert (r3.a, r3.cy, r3.inside) == (16.0, 2.0, True)
