@@ -18,8 +18,14 @@ Covered HeavyDB-isms (SURVEY.md §2.8, Shared/sqldefs.h):
 - LIKELY(p) / UNLIKELY(p)               -> p        (pure hints)
 - SAMPLE_RATIO(r)                       -> rand() < r
 - APPROX_MEDIAN(x)                      -> approx_percentile(x, 0.5)
-- CONDITIONAL_CHANGE_EVENT / FORWARD_FILL / BACKWARD_FILL — provided as
-  window helpers in operators/windows.py (not string-rewritten).
+- FORWARD_FILL / BACKWARD_FILL / CONDITIONAL_CHANGE_EVENT /
+  LAG_IN_FRAME / LEAD_IN_FRAME window SQL (sqldefs.h:154-173)
+                                        -> ignore-nulls last/first and
+                                           frame-ordered list compositions
+- ML_PREDICT('model', f1, ...)          -> inlined registered linear model
+- LLM_TRANSFORM(x, 'template')          -> template substitution (the
+                                           deterministic backend; endpoint
+                                           path in operators/llm.py)
 """
 
 from __future__ import annotations
@@ -85,20 +91,41 @@ _LITERAL = re.compile(r"'(?:[^']|'')*'")
 
 
 def _split_top_level(args: str) -> list[str]:
-    """Split an argument string at top-level commas (paren-depth aware)."""
-    parts, depth, cur = [], 0, []
+    """Split an argument string at top-level commas (paren-depth and
+    single-quote aware, so literals containing commas/parens survive)."""
+    parts, depth, cur, in_q = [], 0, [], False
     for ch in args:
-        if ch == "(":
-            depth += 1
-        elif ch == ")":
-            depth -= 1
-        if ch == "," and depth == 0:
+        if ch == "'":
+            in_q = not in_q
+        elif not in_q:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+        if ch == "," and depth == 0 and not in_q:
             parts.append("".join(cur).strip())
             cur = []
         else:
             cur.append(ch)
     parts.append("".join(cur).strip())
     return parts
+
+
+def _scan_balanced(sql: str, start: int) -> int:
+    """Given `start` just past an opening paren, return the index just
+    past its matching close paren (quote-aware)."""
+    depth, i, in_q = 1, start, False
+    while i < len(sql) and depth:
+        ch = sql[i]
+        if ch == "'":
+            in_q = not in_q
+        elif not in_q:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+        i += 1
+    return i
 
 
 def _rewrite_call(sql: str, fname: str, make) -> str:
@@ -114,13 +141,7 @@ def _rewrite_call(sql: str, fname: str, make) -> str:
         if not m:
             out.append(sql[pos:])
             return "".join(out)
-        depth, i = 1, m.end()
-        while i < len(sql) and depth:
-            if sql[i] == "(":
-                depth += 1
-            elif sql[i] == ")":
-                depth -= 1
-            i += 1
+        i = _scan_balanced(sql, m.end())
         args = sql[m.end() : i - 1]
         repl = make(args)
         out.append(sql[pos : m.start()])
@@ -152,6 +173,164 @@ _CALL_REWRITES = [
 ]
 
 
+# ------------------------------------------------------------------ models
+#
+# ML_PREDICT('model', f1[, f2...]) — MLPredictCodegen.cpp inlines the
+# fitted model into the kernel; here a registered linear model is
+# inlined into the SQL expression (codegen'd arithmetic, no UDF).
+class LinearModel:
+    def __init__(self, intercept: float, coefs: list[float]):
+        self.intercept = float(intercept)
+        self.coefs = [float(c) for c in coefs]
+
+
+MODELS: dict[str, LinearModel] = {}
+
+
+def register_model(name: str, intercept: float, coefs: list[float]) -> None:
+    """Register a linear model for ML_PREDICT SQL rewriting (the
+    CREATE MODEL / ML_PREDICT surface, Parser/ParserNode.h
+    CreateModelStmt)."""
+    MODELS[name.lower()] = LinearModel(intercept, coefs)
+
+
+def _ml_predict(args: str) -> str:
+    parts = _split_top_level(args)
+    name = parts[0].strip().strip("'").lower()
+    feats = parts[1:]
+    model = MODELS.get(name)
+    if model is None:
+        raise ValueError(
+            f"ML_PREDICT: no model named '{name}' registered "
+            f"(register_model(name, intercept, coefs))"
+        )
+    if len(feats) != len(model.coefs):
+        raise ValueError(
+            f"ML_PREDICT('{name}'): {len(feats)} features for "
+            f"{len(model.coefs)} coefficients"
+        )
+    terms = [repr(model.intercept)] + [
+        f"({c!r}) * ({f})" for c, f in zip(model.coefs, feats)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _llm_transform(args: str) -> str:
+    """LLM_TRANSFORM(x, 'template') — the deterministic template
+    backend (operators/llm.py) as a SQL expression: `{input}` in the
+    template substitutes the column value. The endpoint-backed variant
+    stays in operators/llm.py (mapInPandas batching)."""
+    x, tpl = _split_top_level(args)
+    return (
+        f"(CASE WHEN ({x}) IS NULL THEN NULL "
+        f"ELSE replace({tpl}, '{{input}}', ({x})) END)"
+    )
+
+
+# Rewrites that consume string-literal arguments — run BEFORE masking.
+_PREMASK_CALL_REWRITES = [
+    ("ML_PREDICT", _ml_predict),
+    ("LLM_TRANSFORM", _llm_transform),
+]
+
+
+# --------------------------------------------------- window-function SQL
+#
+# HeavyDB window kinds with no Spark builtin (Shared/sqldefs.h:154-173),
+# rewritten as expression-local window compositions so reference-shaped
+# SQL runs through engine.sql unchanged. FORWARD/BACKWARD_FILL map to
+# ignore-nulls last/first; CONDITIONAL_CHANGE_EVENT and
+# LAG/LEAD_IN_FRAME use a frame-ordered struct list (NULL-safe; the
+# prefix list is O(frame) per row — the DataFrame helpers in
+# operators/windows.py are the recommended hot path, this is the SQL
+# compatibility path).
+
+_FRAME_RE = re.compile(r"\b(ROWS|RANGE)\b", re.IGNORECASE)
+_OVER_RE = re.compile(r"\s*OVER\s*\(", re.IGNORECASE)
+
+_TO_CURRENT = "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+_FROM_CURRENT = "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING"
+
+
+def _with_frame(win: str, frame: str) -> str:
+    return win if _FRAME_RE.search(win) else f"{win} {frame}"
+
+
+def _rewrite_window_call(sql: str, fname: str, make) -> str:
+    """Replace `fname(args) OVER (winspec)` with make(args, winspec).
+    Calls without an OVER clause are left untouched."""
+    pat = re.compile(r"\b" + fname + r"\s*\(", re.IGNORECASE)
+    out, pos = [], 0
+    while True:
+        m = pat.search(sql, pos)
+        if not m:
+            out.append(sql[pos:])
+            return "".join(out)
+        i = _scan_balanced(sql, m.end())
+        args = sql[m.end() : i - 1]
+        mo = _OVER_RE.match(sql, i)
+        if not mo:
+            out.append(sql[pos:i])
+            pos = i
+            continue
+        j = _scan_balanced(sql, mo.end())
+        win = sql[mo.end() : j - 1]
+        out.append(sql[pos : m.start()])
+        out.append(make(_split_top_level(args), win))
+        pos = j
+
+
+def _forward_fill(args: list[str], win: str) -> str:
+    return f"last({args[0]}, true) OVER ({_with_frame(win, _TO_CURRENT)})"
+
+
+def _backward_fill(args: list[str], win: str) -> str:
+    return f"first({args[0]}, true) OVER ({_with_frame(win, _FROM_CURRENT)})"
+
+
+def _cce(args: list[str], win: str) -> str:
+    ell = (
+        f"collect_list(named_struct('v', ({args[0]}))) "
+        f"OVER ({_with_frame(win, _TO_CURRENT)})"
+    )
+    changed = (
+        f"transform(sequence(2, size({ell})), i -> "
+        f"element_at({ell}, i-1).v IS NOT NULL AND "
+        f"NOT (element_at({ell}, i).v <=> element_at({ell}, i-1).v))"
+    )
+    return (
+        f"(CASE WHEN size({ell}) < 2 THEN CAST(0 AS BIGINT) "
+        f"ELSE CAST(size(filter({changed}, b -> b)) AS BIGINT) END)"
+    )
+
+
+def _lag_in_frame(args: list[str], win: str) -> str:
+    x, k = args[0], args[1]
+    ell = f"collect_list(named_struct('v', ({x}))) OVER ({win})"
+    return (
+        f"(CASE WHEN size({ell}) > ({k}) "
+        f"THEN element_at({ell}, size({ell}) - ({k})).v END)"
+    )
+
+
+def _lead_in_frame(args: list[str], win: str) -> str:
+    x, k = args[0], args[1]
+    ell = f"collect_list(named_struct('v', ({x}))) OVER ({win})"
+    return (
+        f"(CASE WHEN size({ell}) > ({k}) "
+        f"THEN element_at({ell}, ({k}) + 1).v END)"
+    )
+
+
+_WINDOW_REWRITES = [
+    ("FORWARD_FILL", _forward_fill),
+    ("BACKWARD_FILL", _backward_fill),
+    ("CONDITIONAL_CHANGE_EVENT", _cce),
+    ("LAG_IN_FRAME", _lag_in_frame),
+    ("LEAD_IN_FRAME", _lead_in_frame),
+]
+
+
 def rewrite(sql: str) -> str:
     """Rewrite a HeavyDB-dialect SQL string into Spark SQL.
 
@@ -161,6 +340,8 @@ def rewrite(sql: str) -> str:
     out = sql
     for pat, repl in _QUOTED_ARG_REWRITES:
         out = pat.sub(repl, out)
+    for fname, make in _PREMASK_CALL_REWRITES:
+        out = _rewrite_call(out, fname, make)
 
     literals: list[str] = []
 
@@ -173,4 +354,6 @@ def rewrite(sql: str) -> str:
         out = pat.sub(repl, out)
     for fname, make in _CALL_REWRITES:
         out = _rewrite_call(out, fname, make)
+    for fname, make in _WINDOW_REWRITES:
+        out = _rewrite_window_call(out, fname, make)
     return re.sub(r"\x00(\d+)\x00", lambda m: literals[int(m.group(1))], out)

@@ -74,6 +74,16 @@ class Engine:
     def table(self, name: str) -> DataFrame:
         return self.spark.table(name)
 
+    def register_model(
+        self, name: str, intercept: float, coefs: list[float]
+    ) -> "Engine":
+        """Register a linear model for ML_PREDICT('name', f1, ...) SQL
+        (the CREATE MODEL / ML_PREDICT surface; the model is inlined
+        into the expression at rewrite time, MLPredictCodegen.cpp
+        analogue)."""
+        dialect.register_model(name, intercept, coefs)
+        return self
+
     # -- entry point A/C analogue (DBHandler.cpp:1285 / QueryRunner.cpp) -
     def sql(self, query: str) -> DataFrame:
         """Run a HeavyDB-dialect SQL statement; returns a DataFrame.

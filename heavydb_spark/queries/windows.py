@@ -330,3 +330,50 @@ def window_lag_lead_in_frame(spark, sf_dir):
         lag_in_frame(F.col("l_quantity"), 1, wb).alias("lag_f"),
         lead_in_frame(F.col("l_quantity"), 2, wf).alias("lead_f"),
     ).orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+
+
+@query(
+    "sql_dialect_window_fill",
+    oracle="""
+    SELECT user_id, event_id,
+           last_value(v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ff,
+           first_value(v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS bf,
+           CAST(sum(CASE WHEN prev_type IS NOT NULL AND prev_type <> event_type
+                    THEN 1 ELSE 0 END) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cce
+    FROM (
+        SELECT user_id, event_id, ts, event_type,
+               CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v,
+               lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        FROM events
+    ) WHERE user_id < 12
+    ORDER BY user_id, ts, event_id
+    """,
+)
+def sql_dialect_window_fill(spark, sf_dir):
+    """HeavyDB-dialect window SQL through engine.sql — FORWARD_FILL /
+    BACKWARD_FILL / CONDITIONAL_CHANGE_EVENT in their reference syntax
+    (Shared/sqldefs.h:170-173), string-rewritten by dialect.py rather
+    than built via the DataFrame API."""
+    from heavydb_spark.engine import Engine
+
+    eng = Engine(spark).attach(sf_dir)
+    return eng.sql("""
+        SELECT user_id, event_id,
+               FORWARD_FILL(CASE WHEN event_type = 'error' THEN NULL
+                            ELSE value END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id) AS ff,
+               BACKWARD_FILL(CASE WHEN event_type = 'error' THEN NULL
+                             ELSE value END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id) AS bf,
+               CONDITIONAL_CHANGE_EVENT(event_type)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id) AS cce,
+               ts AS _ts
+        FROM events WHERE user_id < 12
+        ORDER BY user_id, _ts, event_id
+    """).drop("_ts")

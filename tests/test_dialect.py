@@ -144,3 +144,119 @@ def test_nested_paren_rewrites():
         "SELECT APPROX_COUNT_DISTINCT(coalesce(a, b), 10) AS c FROM t"
     )
     assert "approx_count_distinct(coalesce(a, b), 0.1)" in out3
+
+
+def test_window_fill_sql_matches_helper(engine):
+    """Reference-shaped FORWARD_FILL/BACKWARD_FILL window SQL
+    (Shared/sqldefs.h:170-171) through engine.sql equals the DataFrame
+    helpers."""
+    from pyspark.sql import functions as F
+
+    from heavydb_spark.operators.windows import backward_fill, forward_fill
+
+    got = engine.sql("""
+        SELECT event_id,
+               FORWARD_FILL(CASE WHEN event_type = 'error' THEN NULL
+                            ELSE value END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id) AS ff,
+               BACKWARD_FILL(CASE WHEN event_type = 'error' THEN NULL
+                             ELSE value END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id) AS bf
+        FROM events WHERE user_id < 10
+    """).collect()
+    ev = engine.table("events").filter(F.col("user_id") < 10)
+    v = F.when(F.col("event_type") == "error", None).otherwise(F.col("value"))
+    want = ev.select(
+        "event_id",
+        forward_fill(v, ["user_id"], ["ts", "event_id"]).alias("ff"),
+        backward_fill(v, ["user_id"], ["ts", "event_id"]).alias("bf"),
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+def test_conditional_change_event_sql_matches_helper(engine):
+    """CONDITIONAL_CHANGE_EVENT window SQL (sqldefs.h:173) through
+    engine.sql equals the lag+running-sum helper."""
+    from pyspark.sql import functions as F
+
+    from heavydb_spark.operators.windows import conditional_change_event
+
+    got = engine.sql("""
+        SELECT event_id,
+               CONDITIONAL_CHANGE_EVENT(event_type)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id) AS cce
+        FROM events WHERE user_id < 10
+    """).collect()
+    ev = engine.table("events").filter(F.col("user_id") < 10)
+    want = ev.select(
+        "event_id",
+        conditional_change_event(
+            F.col("event_type"), ["user_id"], ["ts", "event_id"]
+        ).alias("cce"),
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+def test_lag_lead_in_frame_sql_matches_helper(engine):
+    """LAG_IN_FRAME/LEAD_IN_FRAME window SQL (sqldefs.h:154,156) with an
+    explicit frame through engine.sql equals the helpers."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from heavydb_spark.operators.windows import lag_in_frame, lead_in_frame
+
+    got = engine.sql("""
+        SELECT l_orderkey, l_linenumber,
+               LAG_IN_FRAME(l_quantity, 2) OVER (
+                   PARTITION BY l_suppkey ORDER BY l_orderkey, l_linenumber
+                   ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS lag_f,
+               LEAD_IN_FRAME(l_quantity, 2) OVER (
+                   PARTITION BY l_suppkey ORDER BY l_orderkey, l_linenumber
+                   ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS lead_f
+        FROM lineitem WHERE l_orderkey < 200
+    """).collect()
+    li = engine.table("lineitem").filter(F.col("l_orderkey") < 200)
+    base = Window.partitionBy("l_suppkey").orderBy("l_orderkey", "l_linenumber")
+    want = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        lag_in_frame(
+            F.col("l_quantity"), 2, base.rowsBetween(-3, Window.currentRow)
+        ).alias("lag_f"),
+        lead_in_frame(
+            F.col("l_quantity"), 2, base.rowsBetween(Window.currentRow, 3)
+        ).alias("lead_f"),
+    ).collect()
+    key = lambda t: tuple((v is None, v) for v in t)  # noqa: E731
+    assert sorted(map(tuple, got), key=key) == sorted(map(tuple, want), key=key)
+
+
+def test_ml_predict_sql(engine):
+    """ML_PREDICT('model', features...) inlines a registered linear
+    model (MLPredictCodegen.cpp analogue)."""
+    import pytest as _pytest
+
+    engine.register_model("price_per_qty", 10.0, [2.5])
+    rows = engine.sql("""
+        SELECT l_quantity,
+               ML_PREDICT('price_per_qty', l_quantity) AS pred
+        FROM lineitem WHERE l_orderkey < 10
+    """).collect()
+    assert rows and all(
+        abs(r.pred - (10.0 + 2.5 * r.l_quantity)) < 1e-9 for r in rows
+    )
+    with _pytest.raises(Exception, match="no model named"):
+        engine.sql("SELECT ML_PREDICT('missing', 1.0) AS p").collect()
+
+
+def test_llm_transform_sql(engine):
+    """LLM_TRANSFORM(x, 'template') SQL form — deterministic template
+    backend; NULL input stays NULL; literal commas/parens in the
+    template survive."""
+    rows = engine.sql("""
+        SELECT LLM_TRANSFORM(n_name, 'Classify (region, tone): {input}!') AS t,
+               LLM_TRANSFORM(CAST(NULL AS STRING), 'x: {input}') AS tnull
+        FROM nation WHERE n_nationkey = 0
+    """).collect()
+    assert rows[0].t == "Classify (region, tone): NATION_0!"
+    assert rows[0].tnull is None
