@@ -67,3 +67,33 @@ def register_views(
     """Register each table as a temp view for `engine.sql(...)`."""
     for name in names:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+# Money columns per fixture table — the NUMERIC(18,2)-typed surface the
+# reference gives these TPC-H columns (Shared/sqltypes.h:56-71 stores
+# DECIMAL as scaled int64; SURVEY.md §7.3 DECIMAL fidelity).
+DECIMAL_COLUMNS: dict[str, tuple[str, ...]] = {
+    "lineitem": ("l_extendedprice", "l_discount", "l_tax"),
+    "orders": ("o_totalprice",),
+    "part": ("p_retailprice",),
+    "supplier": ("s_acctbal",),
+    "customer": ("c_acctbal",),
+}
+
+
+def load_table_decimal(
+    spark: SparkSession, sf_dir: str, name: str, precision: int = 18,
+    scale: int = 2,
+) -> DataFrame:
+    """Typed view: money columns cast to DECIMAL(precision, scale).
+
+    Matches the reference's NUMERIC storage (scaled int64) for exact
+    money arithmetic: decimal sums/products are exact, unlike the
+    DOUBLE fixtures. Divergence to note: on downscale casts Spark
+    rounds HALF_UP while the reference's scaled-int conversion (and
+    DuckDB) truncates — pinned in tests/test_types.py.
+    """
+    df = load_table(spark, sf_dir, name)
+    for c in DECIMAL_COLUMNS.get(name, ()):
+        df = df.withColumn(c, F.col(c).cast(f"decimal({precision},{scale})"))
+    return df

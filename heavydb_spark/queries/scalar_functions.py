@@ -433,3 +433,52 @@ def fn_udaf_geomean(spark, sf_dir):
         .agg(F.round(gm(F.col("l_extendedprice")), 4).alias("gm"))
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "fn_decimal",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS STRING) AS sum_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS STRING) AS revenue,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                    * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS STRING) AS revenue_tax,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                 / CAST(sum(l_quantity) AS DOUBLE), 6) AS price_per_unit
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def fn_decimal(spark, sf_dir):
+    """DECIMAL(18,2) money arithmetic on the typed view
+    (catalog.load_table_decimal): exact scaled sums and scale-composed
+    products, compared as strings so floating point cannot mask drift
+    — the reference's NUMERIC storage semantics (Shared/sqltypes.h:
+    56-71). Division is performed in DOUBLE on both sides: decimal
+    division rules differ by engine (reference scaled-int division,
+    QueryEngine/DecimalDivision.h; DuckDB converts to DOUBLE; Spark
+    keeps decimal with rescale) — pinned in tests/test_types.py.
+    """
+    from heavydb_spark.catalog import load_table_decimal
+
+    li = load_table_decimal(spark, sf_dir, "lineitem")
+    price, disc, tax = (
+        F.col("l_extendedprice"), F.col("l_discount"), F.col("l_tax"),
+    )
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(price).cast("string").alias("sum_price"),
+            F.sum(price * (F.lit(1) - disc)).cast("string").alias("revenue"),
+            F.sum(price * (F.lit(1) - disc) * (F.lit(1) + tax))
+            .cast("string")
+            .alias("revenue_tax"),
+            F.round(
+                F.sum(price).cast("double") / F.sum("l_quantity").cast("double"), 6
+            ).alias("price_per_unit"),
+        )
+        .orderBy("l_returnflag")
+    )

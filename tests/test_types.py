@@ -114,3 +114,69 @@ def test_typed_fixture_parity(spark, ddb, sql):
     s_c = canonical([[r[i] for i in sidx] for r in srows])
     o_c = canonical([[r[i] for i in oidx] for r in orows])
     assert s_c == o_c, f"{sql}\nspark={s_c}\noracle={o_c}"
+
+
+def test_decimal_semantics(spark):
+    """Pin DECIMAL(18,2) semantics on the typed view (reference stores
+    NUMERIC as scaled int64, Shared/sqltypes.h:56-71):
+
+    - sums/products are EXACT (no FP drift), with composed scales
+      (s1+s2 on multiply, max on add) — matches the reference's scaled
+      arithmetic;
+    - downscale CAST rounds HALF_UP in Spark; the reference's scaled-
+      int conversion truncates (documented divergence, the one place
+      the engines differ — QueryEngine/DecimalDivision.h's truncating
+      division is the same family);
+    - decimal/decimal division keeps DECIMAL in Spark (rescaled per
+      Spark's rules) while DuckDB falls back to DOUBLE — division for
+      oracle queries is therefore done in DOUBLE on both sides.
+    """
+    from decimal import Decimal
+
+    df = spark.sql("""
+        SELECT CAST('0.10' AS DECIMAL(18,2)) AS d,
+               CAST('123.456' AS DECIMAL(18,3)) AS d3,
+               CAST('100.10' AS DECIMAL(18,2)) AS p,
+               CAST('3.00' AS DECIMAL(18,2)) AS q
+    """)
+    r = df.selectExpr(
+        "CAST(d3 AS DECIMAL(18,2)) AS half_up",
+        "p * q AS prod",
+        "p + d3 AS added",
+        "p / q AS ratio",
+    )
+    row = r.first()
+    # HALF_UP on downscale (123.456 -> 123.46; DuckDB/reference truncate
+    # to 123.45)
+    assert row.half_up == Decimal("123.46")
+    # multiply composes scale 2+2=4, exactly
+    assert row.prod == Decimal("300.3000")
+    # add takes max scale, exactly
+    assert row.added == Decimal("223.556")
+    # division stays decimal (Spark scale rule: max(6, s1+p2+1))
+    assert dict(r.dtypes)["ratio"].startswith("decimal")
+    assert abs(float(row.ratio) - 100.10 / 3.00) < 1e-9
+
+    # exact accumulation: 10k * 0.10 == 1000.00 exactly as DECIMAL
+    from pyspark.sql import functions as F
+
+    s = (
+        spark.range(10_000)
+        .select(F.lit("0.10").cast("decimal(18,2)").alias("d"))
+        .agg(F.sum("d").alias("s"))
+        .first()["s"]
+    )
+    assert s == Decimal("1000.00")
+
+
+def test_decimal_typed_view(spark):
+    """catalog.load_table_decimal casts every registered money column
+    and leaves the rest untouched."""
+    from heavydb_spark.catalog import DECIMAL_COLUMNS, load_table_decimal
+    from tests.conftest import SF_DIR
+
+    li = load_table_decimal(spark, SF_DIR, "lineitem")
+    types = dict(li.dtypes)
+    for c in DECIMAL_COLUMNS["lineitem"]:
+        assert types[c] == "decimal(18,2)", c
+    assert types["l_quantity"] == "double"  # untouched
