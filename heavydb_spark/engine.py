@@ -34,11 +34,32 @@ _DELETE_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 
+# HeavyDB CREATE TABLE ... WITH (storage options) — Parser/ParserNode.h
+# CreateTableStmt. Options map to Spark physical layout: shard_count +
+# SHARD KEY -> CLUSTERED BY ... INTO n BUCKETS (co-located shard joins),
+# fragment_size -> maxRecordsPerFile (fragment = file row group target).
+_CREATE_WITH_RE = re.compile(
+    r"^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?(\w+)\s*(.*?)\s*"
+    r"WITH\s*\((.*)\)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_SHARD_KEY_RE = re.compile(r"^\s*SHARD\s+KEY\s*\(\s*(\w+)\s*\)\s*$", re.IGNORECASE)
 
-def _split_assignments(set_clause: str) -> dict[str, str]:
-    """Split `a = e1, b = e2` on top-level commas only."""
+# HeavyDB column types -> Spark DDL types (Shared/sqltypes.h); ENCODING
+# clauses are storage hints with no Spark equivalent and are dropped
+# (dictionary/delta encoding happens inside parquet).
+_TYPE_REWRITES: list[tuple[re.Pattern, str]] = [
+    (re.compile(r"\bTEXT\b", re.IGNORECASE), "STRING"),
+    (re.compile(r"\bTIMESTAMP\s*\(\s*\d\s*\)", re.IGNORECASE), "TIMESTAMP"),
+    (re.compile(r"\bTIME\b(?!STAMP)", re.IGNORECASE), "INT"),
+    (re.compile(r"\s+ENCODING\s+\w+\s*(\(\s*\d+\s*\))?", re.IGNORECASE), ""),
+]
+
+
+def _split_top_level_defs(clause: str) -> list[str]:
+    """Split on top-level commas only (paren/bracket-depth aware)."""
     parts, depth, cur = [], 0, []
-    for ch in set_clause:
+    for ch in clause:
         if ch in "([":
             depth += 1
         elif ch in ")]":
@@ -49,8 +70,13 @@ def _split_assignments(set_clause: str) -> dict[str, str]:
         else:
             cur.append(ch)
     parts.append("".join(cur))
+    return [p for p in (s.strip() for s in parts) if p]
+
+
+def _split_assignments(set_clause: str) -> dict[str, str]:
+    """Split `a = e1, b = e2` on top-level commas only."""
     out = {}
-    for p in parts:
+    for p in _split_top_level_defs(set_clause):
         name, expr = p.split("=", 1)
         out[name.strip()] = expr.strip()
     return out
@@ -99,7 +125,81 @@ class Engine:
         m = _DELETE_RE.match(query)
         if m:
             return self._dml_delete(m.group(1), m.group(2))
+        m = _CREATE_WITH_RE.match(query)
+        if m:
+            return self._ddl_create_with(
+                m.group(1) or "", m.group(2), m.group(3), m.group(4)
+            )
         return self.spark.sql(dialect.rewrite(query))
+
+    def _ddl_create_with(
+        self, if_not_exists: str, name: str, body: str, options: str
+    ) -> DataFrame:
+        """CREATE TABLE ... WITH (shard_count=, fragment_size=, ...)
+        (Parser/ParserNode.h CreateTableStmt) -> Spark DDL.
+
+        shard_count + SHARD KEY (col) -> CLUSTERED BY (col) INTO
+        shard_count BUCKETS (the shard-to-shard co-located join layout,
+        TableDescriptor.h:65-66); fragment_size -> the
+        maxRecordsPerFile table option (fragment = per-file row target,
+        Fragmenter/InsertOrderFragmenter). Unknown storage-tuning
+        options are preserved as TBLPROPERTIES for introspection.
+        Handles both the column-list form and CTAS
+        (`CREATE TABLE t AS (SELECT ...) WITH (...)`).
+        """
+        opts: dict[str, str] = {}
+        for part in _split_assignments(options).items():
+            opts[part[0].lower()] = part[1].strip().strip("'\"")
+
+        shard_key: str | None = None
+        body = body.strip()
+        cols_clause = ctas_select = None
+        if body.startswith("("):
+            kept = []
+            for d in _split_top_level_defs(body[1:-1]):
+                mk = _SHARD_KEY_RE.match(d)
+                if mk:
+                    shard_key = mk.group(1)
+                    continue
+                for pat, repl in _TYPE_REWRITES:
+                    d = pat.sub(repl, d)
+                kept.append(d.strip())
+            cols_clause = "(" + ", ".join(kept) + ")"
+        elif body.upper().startswith("AS"):
+            sel = body[2:].strip()
+            if sel.startswith("(") and sel.endswith(")"):
+                sel = sel[1:-1]
+            ctas_select = dialect.rewrite(sel)
+        else:
+            raise ValueError(f"unsupported CREATE TABLE body: {body[:60]}")
+
+        shard_count = opts.pop("shard_count", None)
+        if shard_count is not None:
+            shard_key = shard_key or opts.pop("shard_key", None)
+            if not shard_key:
+                raise ValueError(
+                    "shard_count requires a SHARD KEY (col) column entry"
+                )
+        fragment_size = opts.pop("fragment_size", None)
+
+        stmt = [f"CREATE TABLE {if_not_exists}{name}"]
+        if cols_clause:
+            stmt.append(cols_clause)
+        stmt.append("USING PARQUET")
+        if fragment_size is not None:
+            stmt.append(f"OPTIONS ('maxRecordsPerFile' '{int(fragment_size)}')")
+        if shard_count is not None:
+            stmt.append(
+                f"CLUSTERED BY ({shard_key}) INTO {int(shard_count)} BUCKETS"
+            )
+        if opts:
+            props = ", ".join(
+                f"'heavydb.{k}' = '{v}'" for k, v in sorted(opts.items())
+            )
+            stmt.append(f"TBLPROPERTIES ({props})")
+        if ctas_select:
+            stmt.append(f"AS {ctas_select}")
+        return self.spark.sql(" ".join(stmt))
 
     def _dml_update(self, table: str, set_clause: str, where: str | None) -> DataFrame:
         from heavydb_spark.operators.mutation import update_projection

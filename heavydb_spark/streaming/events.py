@@ -23,14 +23,59 @@ EVENT_SCHEMA = (
 )
 
 
+def parse_kafka_events(raw: DataFrame) -> DataFrame:
+    """Kafka wire records -> events rows (KafkaImporter.cpp's
+    row-parsing stage as a declarative transform).
+
+    `raw` has the Kafka source schema (key/value binary, topic,
+    partition, offset, timestamp). The JSON payload is parsed against
+    EVENT_SCHEMA; malformed or tombstone payloads (from_json yields an
+    all-NULL struct in PERMISSIVE mode) are rejected by requiring the
+    event_id key — the importer's reject-and-continue behavior
+    (KafkaImporter.cpp rejected-row accounting). Works identically on a
+    streaming or a batch DataFrame, so the parse logic is unit-testable
+    without a broker.
+    """
+    parsed = raw.select(
+        F.from_json(
+            F.col("value").cast("string"), EVENT_SCHEMA
+        ).alias("event")
+    )
+    return parsed.filter(F.col("event.event_id").isNotNull()).select("event.*")
+
+
 def read_event_stream(
     spark: SparkSession,
-    source_dir: str,
+    source_dir: str | None = None,
     fmt: str = "parquet",
     max_files_per_trigger: int = 1,
+    kafka_bootstrap: str | None = None,
+    kafka_topic: str = "events",
+    starting_offsets: str = "earliest",
 ) -> DataFrame:
-    """File-based streaming ingest (the Kafka/stdin importer analogue —
-    swap for `format("kafka")` + from_json in production)."""
+    """Streaming ingest — the ImportExport/KafkaImporter.cpp /
+    StreamImporter.cpp analogue.
+
+    Default is the file source (no broker in the test container). Pass
+    `fmt="kafka"` with `kafka_bootstrap` to read a JSON-encoded events
+    topic: format("kafka") -> from_json(EVENT_SCHEMA) -> normalized
+    rows, the same schema either way, so every downstream operator is
+    source-agnostic.
+    """
+    if fmt == "kafka":
+        if not kafka_bootstrap:
+            raise ValueError(
+                "fmt='kafka' requires kafka_bootstrap "
+                "(host:port of the broker)"
+            )
+        raw = (
+            spark.readStream.format("kafka")
+            .option("kafka.bootstrap.servers", kafka_bootstrap)
+            .option("subscribe", kafka_topic)
+            .option("startingOffsets", starting_offsets)
+            .load()
+        )
+        return parse_kafka_events(raw)
     return (
         spark.readStream.format(fmt)
         .schema(EVENT_SCHEMA)

@@ -260,3 +260,84 @@ def test_llm_transform_sql(engine):
     """).collect()
     assert rows[0].t == "Classify (region, tone): NATION_0!"
     assert rows[0].tnull is None
+
+
+def test_create_table_with_options_sharded_join(engine):
+    """HeavyDB CREATE TABLE ... WITH (shard_count=..., fragment_size=...)
+    + SHARD KEY (Parser/ParserNode.h CreateTableStmt) maps to a bucketed
+    Spark table; two tables sharded on the join key join with NO
+    shuffle exchange (TableDescriptor.h:65-66 shard-to-shard join)."""
+    spark = engine.spark
+    for t in ("orders_sh", "customer_sh"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    engine.sql("""
+        CREATE TABLE orders_sh (
+            o_orderkey BIGINT,
+            o_custkey BIGINT,
+            o_totalprice DOUBLE,
+            o_orderpriority TEXT ENCODING DICT(32),
+            SHARD KEY (o_custkey)
+        ) WITH (shard_count=8, fragment_size=32000000, max_rollback_epochs=3)
+    """)
+    engine.sql("""
+        CREATE TABLE customer_sh (
+            c_custkey BIGINT,
+            c_name TEXT,
+            SHARD KEY (c_custkey)
+        ) WITH (shard_count=8)
+    """)
+    try:
+        # bucketing metadata + preserved storage options
+        desc = spark.sql("DESCRIBE EXTENDED orders_sh").collect()
+        txt = "\n".join(str(r) for r in desc)
+        assert "o_custkey" in txt and "8" in txt
+        tbl = spark.sql("SHOW TBLPROPERTIES orders_sh").collect()
+        props = {r.key: r.value for r in tbl}
+        assert props.get("heavydb.max_rollback_epochs") == "3"
+
+        engine.sql("""
+            INSERT INTO orders_sh
+            SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+            FROM orders
+        """)
+        engine.sql(
+            "INSERT INTO customer_sh SELECT c_custkey, c_name FROM customer"
+        )
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            j = engine.sql("""
+                SELECT o.o_orderkey, c.c_name FROM orders_sh o
+                JOIN customer_sh c ON o.o_custkey = c.c_custkey
+            """)
+            plan = j._jdf.queryExecution().executedPlan().toString()
+            n = j.count()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        assert "Exchange" not in plan
+        expected = engine.sql("""
+            SELECT count(*) AS n FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+        """).collect()[0].n
+        assert n == expected
+    finally:
+        for t in ("orders_sh", "customer_sh"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_create_table_with_ctas(engine):
+    """CTAS form: CREATE TABLE t AS (SELECT ...) WITH (fragment_size=N)."""
+    spark = engine.spark
+    spark.sql("DROP TABLE IF EXISTS nation_frag")
+    try:
+        engine.sql("""
+            CREATE TABLE nation_frag AS (
+                SELECT n_nationkey, n_name FROM nation
+            ) WITH (fragment_size=10)
+        """)
+        got = spark.table("nation_frag")
+        assert got.count() == engine.table("nation").count()
+        # fragment_size=10 -> maxRecordsPerFile=10 -> 25 rows span >2 files
+        assert len(got.inputFiles()) >= 3
+    finally:
+        spark.sql("DROP TABLE IF EXISTS nation_frag")

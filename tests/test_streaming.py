@@ -277,3 +277,40 @@ def test_buffered_sessionize_out_of_order(spark, tmp_path_factory):
     must_have = {b for b in batch_rows if b[2] < cutoff}
     missing = must_have - set(got_rows)
     assert not missing, f"{len(missing)} safely-final sessions not emitted"
+
+
+def test_parse_kafka_events_batch(spark):
+    """Kafka value-payload parsing (KafkaImporter.cpp row parse +
+    reject behavior), unit-tested on a batch DataFrame with the Kafka
+    wire schema — no broker in the container; read_event_stream
+    applies the same transform to format('kafka')."""
+    import json
+
+    rows = [
+        (None, json.dumps({
+            "event_id": 1, "ts": "2024-01-01T10:00:00", "user_id": 7,
+            "event_type": "click", "value": 1.5, "props": "{}",
+        }).encode()),
+        (None, json.dumps({
+            "event_id": 2, "ts": "2024-01-01T10:05:00", "user_id": 8,
+            "event_type": "view", "value": None, "props": None,
+        }).encode()),
+        (None, b"{ not json"),       # malformed -> rejected
+        (None, None),                # tombstone -> rejected
+    ]
+    raw = spark.createDataFrame(rows, "key binary, value binary")
+    got = stream_ops.parse_kafka_events(raw)
+    assert got.columns == [
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    ]
+    out = {r.event_id: r for r in got.collect()}
+    assert set(out) == {1, 2}
+    assert out[1].user_id == 7 and abs(out[1].value - 1.5) < 1e-12
+    assert out[2].value is None
+    assert str(out[1].ts).startswith("2024-01-01 10:00:00")
+
+
+def test_read_event_stream_kafka_gate(spark):
+    """fmt='kafka' without a bootstrap server is a config error."""
+    with pytest.raises(ValueError, match="kafka_bootstrap"):
+        stream_ops.read_event_stream(spark, fmt="kafka")
