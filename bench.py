@@ -57,19 +57,33 @@ def main() -> None:
         except ValueError:
             pass
 
+    # Contamination evidence: a shared-machine run shows elevated load
+    # and a cold/warm ratio far from the steady-state ~1-5x; row counts
+    # prove every timed run did the full work.
+    load_start = os.getloadavg()[0]
+
     results: dict[str, float] = {}
+    cold: dict[str, float] = {}
+    rows: dict[str, int] = {}
     for bench_id, qname in BENCH_QUERIES.items():
         fn = QUERIES[qname]
         times = []
         for i in range(ITERATIONS + 1):
             t0 = time.perf_counter()
             # count() forces full execution without driver-side collect
-            fn(spark, SF_DIR).count()
+            n = fn(spark, SF_DIR).count()
             dt = time.perf_counter() - t0
-            if i > 0:  # discard warm-up
+            if i == 0:  # first run = cold (plan + shuffle files + JIT)
+                cold[bench_id] = round(dt, 4)
+                rows[bench_id] = n
+            else:
                 times.append(dt)
         results[bench_id] = round(statistics.median(times), 4)
-        print(f"# {bench_id}: {results[bench_id]}s", file=sys.stderr)
+        print(
+            f"# {bench_id}: {results[bench_id]}s "
+            f"(cold {cold[bench_id]}s, {rows[bench_id]} rows)",
+            file=sys.stderr,
+        )
 
     total = round(sum(results.values()), 4)
     print(
@@ -80,6 +94,12 @@ def main() -> None:
                 "unit": "sec",
                 "queries": results,
                 "sf": sf,
+                "cold": cold,
+                "rows": rows,
+                "iterations": ITERATIONS,
+                "load_avg_start": round(load_start, 2),
+                "load_avg_end": round(os.getloadavg()[0], 2),
+                "cpus": os.cpu_count(),
             }
         )
     )
