@@ -220,6 +220,89 @@ def st_polygon_bbox(poly: Column) -> Column:
     )
 
 
+# ------------------------------------------------------------ WKT surface
+#
+# ST_GeomFromText / ST_AsText for POINT and POLYGON — the reference's
+# WKT import/export path (Geospatial/Types.cpp GeoPoint/GeoPolygon WKT
+# constructors). Parsing is pure Column expressions (regexp + split +
+# transform); coordinates round-trip exactly (Spark's double<->string
+# conversion is shortest-roundtrip).
+
+
+def st_geomfromtext_point(wkt: Column) -> Column:
+    """'POINT (x y)' -> struct<x,y>."""
+    x = F.regexp_extract(wkt, r"(?i)POINT\s*\(\s*(\S+)\s+(\S+)\s*\)", 1)
+    y = F.regexp_extract(wkt, r"(?i)POINT\s*\(\s*(\S+)\s+(\S+)\s*\)", 2)
+    return F.struct(
+        x.cast("double").alias("x"), y.cast("double").alias("y")
+    )
+
+
+def st_astext_point(p: Column) -> Column:
+    return F.concat(
+        F.lit("POINT ("),
+        p["x"].cast("string"),
+        F.lit(" "),
+        p["y"].cast("string"),
+        F.lit(")"),
+    )
+
+
+def st_geomfromtext_polygon(wkt: Column) -> Column:
+    """'POLYGON ((x y, ...), (x y, ...))' -> array-of-rings; first ring
+    outer, rest holes (OGC ring order, Geospatial/Types.cpp)."""
+    body = F.regexp_replace(wkt, r"(?i)^\s*POLYGON\s*\(\s*\(", "")
+    body = F.regexp_replace(body, r"\)\s*\)\s*$", "")
+    rings = F.split(body, r"\)\s*,\s*\(")
+
+    def parse_point(pt: Column) -> Column:
+        parts = F.split(F.trim(pt), r"\s+")
+        return F.struct(
+            F.element_at(parts, 1).cast("double").alias("x"),
+            F.element_at(parts, 2).cast("double").alias("y"),
+        )
+
+    return F.transform(
+        rings, lambda r: F.transform(F.split(r, ","), parse_point)
+    )
+
+
+def st_astext_polygon(poly: Column) -> Column:
+    def ring_text(r: Column) -> Column:
+        return F.concat(
+            F.lit("("),
+            F.array_join(
+                F.transform(
+                    r,
+                    lambda p: F.concat(
+                        p["x"].cast("string"), F.lit(" "), p["y"].cast("string")
+                    ),
+                ),
+                ", ",
+            ),
+            F.lit(")"),
+        )
+
+    return F.concat(
+        F.lit("POLYGON ("),
+        F.array_join(F.transform(poly, ring_text), ", "),
+        F.lit(")"),
+    )
+
+
+def st_transform_4326_900913(p: Column) -> Column:
+    """ST_Transform(point, 900913): WGS-84 lon/lat -> Web Mercator
+    meters, with the reference's exact constants
+    (QueryEngine/ExtensionFunctions.hpp:402-409 conv_4326_900913_x/y)."""
+    return F.struct(
+        (p["x"] * 111319.490778).alias("x"),
+        (
+            6378136.99911
+            * F.log(F.tan(0.00872664626 * p["y"] + 0.785398163397))
+        ).alias("y"),
+    )
+
+
 def grid_cell(p: Column, cell_size: float) -> Column:
     """Grid-cell id for bucketed spatial joins (the Spark-side analogue
     of the reference's binned range-join hash, RangeJoinHashTable.h:21):

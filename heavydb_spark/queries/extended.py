@@ -639,3 +639,71 @@ def geo_polygon_contains_join(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_inside"))
         .orderBy("n_nationkey")
     )
+
+
+@query(
+    "geo_wkt_roundtrip",
+    oracle="""
+    WITH """ + _POLY_ORACLE_RINGS + """,
+    r AS (
+        SELECT n_nationkey, ring,
+               sum(x*y2 - x2*y)/2 AS sa,
+               sum((x+x2)*(x*y2 - x2*y)) AS mx,
+               sum((y+y2)*(x*y2 - x2*y)) AS my
+        FROM e GROUP BY n_nationkey, ring
+    )
+    SELECT n_nationkey,
+           round(sum(CASE WHEN ring=0 THEN abs(sa) ELSE -abs(sa) END), 4) AS area,
+           round(sum((CASE WHEN ring=0 THEN 1 ELSE -1 END) * mx * sign(sa) / 6)
+                 / sum(CASE WHEN ring=0 THEN abs(sa) ELSE -abs(sa) END), 4) AS cx,
+           round(sum((CASE WHEN ring=0 THEN 1 ELSE -1 END) * my * sign(sa) / 6)
+                 / sum(CASE WHEN ring=0 THEN abs(sa) ELSE -abs(sa) END), 4) AS cy
+    FROM r GROUP BY n_nationkey ORDER BY n_nationkey
+    """,
+)
+def geo_wkt_roundtrip(spark, sf_dir):
+    """WKT export + import round-trip (Geospatial/Types.cpp WKT
+    constructors): polygons serialized with ST_AsText, re-parsed with
+    ST_GeomFromText, then measured — identical area/centroid to the
+    direct computation proves the text round-trip is lossless
+    (shortest-roundtrip double formatting)."""
+    polys = _nation_polygons(spark, sf_dir)
+    wkt = geo.st_astext_polygon(F.col("poly"))
+    reparsed = geo.st_geomfromtext_polygon(wkt)
+    cen = geo.st_centroid(reparsed)
+    return polys.select(
+        "n_nationkey",
+        F.round(geo.st_area(reparsed), 4).alias("area"),
+        F.round(cen["x"], 4).alias("cx"),
+        F.round(cen["y"], 4).alias("cy"),
+    ).orderBy("n_nationkey")
+
+
+@query(
+    "geo_transform_900913",
+    oracle="""
+    SELECT c_custkey,
+           round(CAST((c_custkey % 151) - 75 AS DOUBLE) * 111319.490778, 4) + 0.0 AS mx,
+           round(6378136.99911 * ln(tan(0.00872664626
+                 * CAST(((c_custkey*7) % 121) - 60 AS DOUBLE)
+                 + 0.785398163397)), 4) + 0.0 AS my
+    FROM customer WHERE c_custkey < 500 ORDER BY c_custkey
+    """,
+)
+def geo_transform_900913(spark, sf_dir):
+    """ST_Transform(pt, 900913) — WGS-84 to Web Mercator with the
+    reference's exact constants (ExtensionFunctions.hpp:402-409
+    conv_4326_900913_x/y); oracle applies the same closed form."""
+    c = T(spark, sf_dir, "customer").filter(F.col("c_custkey") < 500)
+    p = geo.st_point(
+        (F.col("c_custkey") % 151) - 75,
+        ((F.col("c_custkey") * 7) % 121) - 60,
+    )
+    t = geo.st_transform_4326_900913(p)
+    # + 0.0 normalizes IEEE negative zero after rounding (the reference
+    # constant is not exactly pi/4, so lat=0 gives -5.7e-6 -> -0.0000)
+    return c.select(
+        "c_custkey",
+        (F.round(t["x"], 4) + 0.0).alias("mx"),
+        (F.round(t["y"], 4) + 0.0).alias("my"),
+    ).orderBy("c_custkey")

@@ -60,6 +60,30 @@ def copy_from_regex(
     )
 
 
+def copy_from_geo_csv(
+    spark: SparkSession,
+    path: str,
+    geo_col: str = "geom",
+    geo_type: str = "polygon",
+    **copy_params,
+) -> DataFrame:
+    """COPY FROM with source_type='geo_file' (SourceType.h:29,
+    ImportExport geo import path for delimited WKT): a CSV whose
+    `geo_col` holds WKT is parsed into the typed geometry
+    representation (struct point / array-of-rings polygon) so every
+    ST_* operator applies directly. Parsing is Column expressions —
+    distributed, no GDAL dependency (shapefile/geodatabase containers
+    are out of scope; WKT/CSV is the interchange form)."""
+    from heavydb_spark.functions import geo
+
+    df = copy_from_csv(spark, path, **copy_params)
+    parser = {
+        "point": geo.st_geomfromtext_point,
+        "polygon": geo.st_geomfromtext_polygon,
+    }[geo_type]
+    return df.withColumn(geo_col, parser(F.col(geo_col)))
+
+
 def copy_to_csv(df: DataFrame, path: str, **copy_params) -> None:
     """COPY (query) TO '<path>' (QueryExporterCSV.cpp)."""
     opts = {"header": "true"}

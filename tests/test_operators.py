@@ -297,3 +297,44 @@ def test_polygon_analytic_shapes(spark):
         geo.st_contains_point(sq_cw, F.lit(1.0), F.lit(1.0)).alias("inside"),
     ).first()
     assert (r3.a, r3.cy, r3.inside) == (16.0, 2.0, True)
+
+
+def test_wkt_parse_and_format(spark):
+    """ST_GeomFromText/ST_AsText on literal WKT (Geospatial/Types.cpp
+    WKT forms; shapes from Tests/GeospatialTest.cpp)."""
+    from heavydb_spark.functions import geo
+
+    wkt = "POLYGON ((0 0, 4 0, 4 4, 0 4), (1 1, 2 1, 2 2, 1 2))"
+    df = spark.createDataFrame([(wkt,)], "w string")
+    poly = geo.st_geomfromtext_polygon(F.col("w"))
+    r = df.select(
+        geo.st_area(poly).alias("a"),
+        F.size(poly).alias("n_rings"),
+        geo.st_contains_point(poly, F.lit(1.5), F.lit(1.5)).alias("in_hole"),
+        geo.st_astext_polygon(poly).alias("back"),
+        geo.st_astext_point(
+            geo.st_geomfromtext_point(F.lit("POINT (2.5 -3.5)"))
+        ).alias("pt"),
+    ).first()
+    assert r.a == 15.0 and r.n_rings == 2 and not r.in_hole
+    assert r.back == "POLYGON ((0.0 0.0, 4.0 0.0, 4.0 4.0, 0.0 4.0), (1.0 1.0, 2.0 1.0, 2.0 2.0, 1.0 2.0))"
+    assert r.pt == "POINT (2.5 -3.5)"
+
+
+def test_transform_900913_known_values(spark):
+    """Web-mercator transform pinned to the reference constants: the
+    equator/prime-meridian origin maps to (0, 0) and x is linear in
+    longitude."""
+    from heavydb_spark.functions import geo
+
+    df = spark.createDataFrame([(0.0, 0.0), (180.0, 45.0)], "lon double, lat double")
+    rows = df.select(
+        geo.st_transform_4326_900913(
+            geo.st_point(F.col("lon"), F.col("lat"))
+        ).alias("m")
+    ).collect()
+    # the reference's 0.785398163397 is not exactly pi/4, so the origin
+    # lands ~6e-6 m off the equator — sub-millimeter
+    assert abs(rows[0].m.x) < 1e-9 and abs(rows[0].m.y) < 1e-4
+    assert abs(rows[1].m.x - 180.0 * 111319.490778) < 1e-6
+    assert abs(rows[1].m.y - 5621521.5) < 2000  # ~45N web mercator

@@ -75,3 +75,39 @@ def test_parquet_partitioned_export(spark, tmpdir):
     from heavydb_spark.plans.checks import plan_string
 
     assert "o_orderstatus" in plan_string(one)
+
+
+def test_copy_from_geo_csv(spark, tmp_path):
+    """Geo CSV import: WKT column parsed to typed geometry during COPY
+    (SourceType.h:29 geo file source; WKT interchange form)."""
+    from pyspark.sql import functions as F
+
+    from heavydb_spark.functions import geo
+    from heavydb_spark.sources import copy_io
+
+    p = tmp_path / "shapes.csv"
+    p.write_text(
+        'id,geom\n'
+        '1,"POLYGON ((0 0, 4 0, 4 4, 0 4))"\n'
+        '2,"POLYGON ((0 0, 2 0, 2 2, 0 2), (0.5 0.5, 1 0.5, 1 1, 0.5 1))"\n'
+    )
+    df = copy_io.copy_from_geo_csv(spark, str(p), geo_col="geom")
+    rows = {
+        r.id: r.a
+        for r in df.select(
+            "id", geo.st_area(F.col("geom")).alias("a")
+        ).collect()
+    }
+    assert rows == {1: 16.0, 2: 3.75}
+
+    q = tmp_path / "pts.csv"
+    q.write_text('id,geom\n1,"POINT (3 4)"\n')
+    pts = copy_io.copy_from_geo_csv(
+        spark, str(q), geo_col="geom", geo_type="point"
+    )
+    r = pts.select(
+        geo.st_distance(
+            F.col("geom"), geo.st_point(F.lit(0.0), F.lit(0.0))
+        ).alias("d")
+    ).first()
+    assert r.d == 5.0
