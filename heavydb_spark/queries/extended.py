@@ -624,15 +624,17 @@ def geo_polygon_contains_join(spark, sf_dir):
         (F.col("c_custkey") % 251).cast("double").alias("px"),
         ((F.col("c_custkey") * 7) % 31).cast("double").alias("py"),
     )
-    j = (
-        c.join(
-            F.broadcast(polys),
-            (F.col("px") >= F.col("bbox.xmin"))
-            & (F.col("px") <= F.col("bbox.xmax"))
-            & (F.col("py") >= F.col("bbox.ymin"))
-            & (F.col("py") <= F.col("bbox.ymax")),
-        )
-        .filter(geo.st_contains_point(F.col("poly"), F.col("px"), F.col("py")))
+    # single conjunction with bbox FIRST: codegen short-circuits && left
+    # to right, so the cheap bbox test gates the O(edges) ray cast (a
+    # separate .filter() gets pushed into the join condition ahead of
+    # the bbox terms by Catalyst, inverting the evaluation order)
+    j = c.join(
+        F.broadcast(polys),
+        (F.col("px") >= F.col("bbox.xmin"))
+        & (F.col("px") <= F.col("bbox.xmax"))
+        & (F.col("py") >= F.col("bbox.ymin"))
+        & (F.col("py") <= F.col("bbox.ymax"))
+        & geo.st_contains_point(F.col("poly"), F.col("px"), F.col("py")),
     )
     return (
         j.groupBy("n_nationkey")
