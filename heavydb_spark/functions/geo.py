@@ -220,6 +220,82 @@ def st_polygon_bbox(poly: Column) -> Column:
     )
 
 
+# -------------------------------------------------------------- linestrings
+#
+# LINESTRING = array<struct<x,y>> (open path — no closing edge, unlike
+# rings). Geospatial/Types.h GeoLineString; ST_Length / ST_NPoints /
+# ST_StartPoint / ST_EndPoint / ST_Distance(point, linestring) from
+# ExtensionFunctionsGeo.hpp.
+
+
+def _open_edges(ls: Column, term) -> Column:
+    """term(a, b) over consecutive point pairs, NO wrap-around edge."""
+    n = F.size(ls)
+    return F.zip_with(
+        F.slice(ls, 1, n - 1), F.slice(ls, 2, n - 1), term
+    )
+
+
+def st_length(ls: Column) -> Column:
+    return _fsum(
+        _open_edges(
+            ls,
+            lambda a, b: F.sqrt(
+                (a["x"] - b["x"]) * (a["x"] - b["x"])
+                + (a["y"] - b["y"]) * (a["y"] - b["y"])
+            ),
+        )
+    )
+
+
+def st_npoints(ls: Column) -> Column:
+    return F.size(ls)
+
+
+def st_startpoint(ls: Column) -> Column:
+    return F.element_at(ls, 1)
+
+
+def st_endpoint(ls: Column) -> Column:
+    return F.element_at(ls, -1)
+
+
+def st_distance_point_linestring(
+    px: Column, py: Column, ls: Column
+) -> Column:
+    """Min distance from (px,py) to any segment: per-segment projection
+    parameter t clamped to [0,1], then point-to-projection distance —
+    the same segment walk as ST_Distance(POINT, LINESTRING)
+    (ExtensionFunctionsGeo.hpp distance_point_line kernels)."""
+
+    def seg_dist(a: Column, b: Column) -> Column:
+        dx, dy = b["x"] - a["x"], b["y"] - a["y"]
+        seg_len2 = dx * dx + dy * dy
+        t_raw = ((px - a["x"]) * dx + (py - a["y"]) * dy) / seg_len2
+        t = F.when(seg_len2 == 0, F.lit(0.0)).otherwise(
+            F.least(F.greatest(t_raw, F.lit(0.0)), F.lit(1.0))
+        )
+        cx, cy = a["x"] + t * dx, a["y"] + t * dy
+        return F.sqrt((px - cx) * (px - cx) + (py - cy) * (py - cy))
+
+    return F.array_min(_open_edges(ls, seg_dist))
+
+
+def st_geomfromtext_linestring(wkt: Column) -> Column:
+    """'LINESTRING (x y, x y, ...)' -> array<struct<x,y>>."""
+    body = F.regexp_replace(wkt, r"(?i)^\s*LINESTRING\s*\(", "")
+    body = F.regexp_replace(body, r"\)\s*$", "")
+
+    def parse_point(pt: Column) -> Column:
+        parts = F.split(F.trim(pt), r"\s+")
+        return F.struct(
+            F.element_at(parts, 1).cast("double").alias("x"),
+            F.element_at(parts, 2).cast("double").alias("y"),
+        )
+
+    return F.transform(F.split(body, ","), parse_point)
+
+
 # ------------------------------------------------------------ WKT surface
 #
 # ST_GeomFromText / ST_AsText for POINT and POLYGON — the reference's

@@ -360,3 +360,61 @@ def simhash_neardup_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """(node, component) over the near-dup pair graph; component = min
+    node id in the connected component — the cluster-collapse step that
+    turns candidate pairs into a canonical-keeper assignment (each doc
+    keeps component == its own id, duplicates point at their keeper).
+
+    Min-label propagation: each round is one equi-join + min-aggregate,
+    rounds ~ graph diameter (near-dup clusters are shallow — a few
+    rounds). Iteration state is localCheckpoint'ed so repeated calls
+    don't leak cache entries and lineage doesn't grow per round.
+    """
+    und = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    und = (
+        und.union(
+            und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    labels = (
+        und.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        prop = (
+            und.join(labels, und["dst"] == labels["node"])
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.min("label").alias("nbr"))
+        )
+        new_labels = (
+            labels.join(prop, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nbr", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("node", F.col("label").alias("component"))

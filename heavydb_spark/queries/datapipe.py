@@ -410,3 +410,56 @@ def tf_feature_query_similarity(spark, sf_dir):
         pairs, "l_suppkey", "feature", "metric",
         {"A": 1.0, "N": 2.0, "R": 0.5},
     ).orderBy("l_suppkey")
+
+
+@query(
+    "dedup_connected_components",
+    oracle="""
+    WITH RECURSIVE sh AS (
+        SELECT DISTINCT doc_id AS doc, shingle
+        FROM (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       range(1, len(string_split_regex(trim(text), '\\s+')) - 1),
+                       i -> concat_ws(' ',
+                            string_split_regex(trim(text), '\\s+')[i],
+                            string_split_regex(trim(text), '\\s+')[i+1],
+                            string_split_regex(trim(text), '\\s+')[i+2])
+                   )) AS shingle
+            FROM documents
+        )
+    ), sizes AS (
+        SELECT doc, count(*) AS n_sh FROM sh GROUP BY doc
+    ), inter AS (
+        SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+        GROUP BY a.doc, b.doc
+    ), prs AS (
+        SELECT doc_a, doc_b FROM inter
+        JOIN sizes sa ON sa.doc = doc_a
+        JOIN sizes sb ON sb.doc = doc_b
+        WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.2
+    ), und AS (
+        SELECT doc_a AS src, doc_b AS dst FROM prs
+        UNION SELECT doc_b, doc_a FROM prs
+    ), reach AS (
+        SELECT src AS node, src AS r FROM und
+        UNION
+        SELECT u.src, reach.r FROM und u JOIN reach ON u.dst = reach.node
+    )
+    SELECT node AS doc_id, min(r) AS canonical_id
+    FROM reach GROUP BY node ORDER BY doc_id
+    """,
+)
+def dedup_connected_components(spark, sf_dir):
+    """Near-dup cluster collapse: exact n-gram Jaccard pairs ->
+    connected components -> canonical keeper per cluster (min doc_id).
+    The step that turns pairwise candidates into a dedup keep-list;
+    oracle = DuckDB recursive-CTE reachability with min aggregation."""
+    d = T(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.2)
+    return (
+        dedup.connected_components(pairs)
+        .select(F.col("node").alias("doc_id"), F.col("component").alias("canonical_id"))
+        .orderBy("doc_id")
+    )

@@ -504,7 +504,7 @@ _POLY_ORACLE_RINGS = """
     ),
     v AS (SELECT * FROM vo UNION ALL SELECT * FROM vh),
     e AS (
-        SELECT n_nationkey, ring, x, y,
+        SELECT n_nationkey, ring, i, x, y,
                coalesce(lead(x) OVER w, first_value(x) OVER w) AS x2,
                coalesce(lead(y) OVER w, first_value(y) OVER w) AS y2
         FROM v WINDOW w AS (PARTITION BY n_nationkey, ring ORDER BY i)
@@ -709,3 +709,49 @@ def geo_transform_900913(spark, sf_dir):
         (F.round(t["x"], 4) + 0.0).alias("mx"),
         (F.round(t["y"], 4) + 0.0).alias("my"),
     ).orderBy("c_custkey")
+
+
+@query(
+    "geo_linestring_props",
+    oracle="""
+    WITH """ + _POLY_ORACLE_RINGS + """
+    SELECT n_nationkey,
+           round(sum(sqrt((x-x2)*(x-x2) + (y-y2)*(y-y2)))
+                 FILTER (WHERE i < 7), 4) AS path_len,
+           CAST(8 AS INT) AS npoints,
+           round(min(CASE WHEN (x2-x)*(x2-x) + (y2-y)*(y2-y) = 0 THEN
+                    sqrt((n_nationkey*10.0 + 1 - x)*(n_nationkey*10.0 + 1 - x)
+                         + ((n_nationkey%5)*7.0 - y)*((n_nationkey%5)*7.0 - y))
+                ELSE
+                    sqrt(pow(n_nationkey*10.0 + 1
+                         - (x + least(greatest(((n_nationkey*10.0 + 1 - x)*(x2-x)
+                                + ((n_nationkey%5)*7.0 - y)*(y2-y))
+                               / ((x2-x)*(x2-x) + (y2-y)*(y2-y)), 0), 1) * (x2-x)), 2)
+                       + pow((n_nationkey%5)*7.0
+                         - (y + least(greatest(((n_nationkey*10.0 + 1 - x)*(x2-x)
+                                + ((n_nationkey%5)*7.0 - y)*(y2-y))
+                               / ((x2-x)*(x2-x) + (y2-y)*(y2-y)), 0), 1) * (y2-y)), 2))
+                END) FILTER (WHERE i < 7), 4) AS dist_center1
+    FROM e WHERE ring = 0
+    GROUP BY n_nationkey ORDER BY n_nationkey
+    """,
+)
+def geo_linestring_props(spark, sf_dir):
+    """LINESTRING surface (Geospatial/Types.h GeoLineString): the
+    octagon's outer vertices as an OPEN path — ST_Length (no closing
+    edge), ST_NPoints, and ST_Distance(POINT, LINESTRING) from a point
+    offset from each shape's center; oracle recomputes the segment
+    walk in SQL over the same generated vertices."""
+    polys = _nation_polygons(spark, sf_dir)
+    ls = F.element_at(F.col("poly"), 1)  # outer ring, treated as a path
+    nk = F.col("n_nationkey").cast("double")
+    px = nk * 10.0 + 1.0
+    py = (F.col("n_nationkey") % 5).cast("double") * 7.0
+    return polys.select(
+        "n_nationkey",
+        F.round(geo.st_length(ls), 4).alias("path_len"),
+        geo.st_npoints(ls).alias("npoints"),
+        F.round(
+            geo.st_distance_point_linestring(px, py, ls), 4
+        ).alias("dist_center1"),
+    ).orderBy("n_nationkey")

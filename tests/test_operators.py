@@ -338,3 +338,25 @@ def test_transform_900913_known_values(spark):
     assert abs(rows[0].m.x) < 1e-9 and abs(rows[0].m.y) < 1e-4
     assert abs(rows[1].m.x - 180.0 * 111319.490778) < 1e-6
     assert abs(rows[1].m.y - 5621521.5) < 2000  # ~45N web mercator
+
+
+def test_linestring_analytic(spark):
+    """ST_Length/NPoints/Start/End/Distance on a hand-computable path +
+    WKT parse (Geospatial/Types.h GeoLineString)."""
+    from heavydb_spark.functions import geo
+
+    ls = geo.st_geomfromtext_linestring(
+        F.lit("LINESTRING (0 0, 3 0, 3 4)")
+    )
+    r = spark.range(1).select(
+        geo.st_length(ls).alias("len"),
+        geo.st_npoints(ls).alias("np"),
+        geo.st_startpoint(ls)["x"].alias("sx"),
+        geo.st_endpoint(ls)["y"].alias("ey"),
+        # (5, 0): nearest point on segment (3,0)-(3,4) is (3,0) -> dist 2
+        geo.st_distance_point_linestring(F.lit(5.0), F.lit(0.0), ls).alias("d1"),
+        # (1, 1): nearest is (1,0) on the first segment -> dist 1
+        geo.st_distance_point_linestring(F.lit(1.0), F.lit(1.0), ls).alias("d2"),
+    ).first()
+    assert (r.len, r.np, r.sx, r.ey) == (7.0, 3, 0.0, 4.0)
+    assert (r.d1, r.d2) == (2.0, 1.0)
