@@ -755,3 +755,66 @@ def geo_linestring_props(spark, sf_dir):
             geo.st_distance_point_linestring(px, py, ls), 4
         ).alias("dist_center1"),
     ).orderBy("n_nationkey")
+
+
+@query(
+    "tf_geo_rasterize_slope",
+    oracle="""
+    WITH pts AS (
+        SELECT CAST(mod(c_custkey * 13, 1000) AS DOUBLE) / 10 AS x,
+               CAST(mod(c_custkey * 17, 1000) AS DOUBLE) / 10 AS y,
+               c_acctbal AS z
+        FROM customer
+    ), raster AS (
+        SELECT CAST(floor(x / 5) AS BIGINT) AS ix,
+               CAST(floor(y / 5) AS BIGINT) AS iy,
+               avg(z) AS z
+        FROM pts GROUP BY 1, 2
+    ), nb AS (
+        SELECT t.ix, t.iy, count(*) AS n_nbr,
+               max(CASE WHEN s.ix = t.ix - 1 AND s.iy = t.iy - 1 THEN s.z END) AS n0,
+               max(CASE WHEN s.ix = t.ix     AND s.iy = t.iy - 1 THEN s.z END) AS n1,
+               max(CASE WHEN s.ix = t.ix + 1 AND s.iy = t.iy - 1 THEN s.z END) AS n2,
+               max(CASE WHEN s.ix = t.ix - 1 AND s.iy = t.iy     THEN s.z END) AS n3,
+               max(CASE WHEN s.ix = t.ix + 1 AND s.iy = t.iy     THEN s.z END) AS n5,
+               max(CASE WHEN s.ix = t.ix - 1 AND s.iy = t.iy + 1 THEN s.z END) AS n6,
+               max(CASE WHEN s.ix = t.ix     AND s.iy = t.iy + 1 THEN s.z END) AS n7,
+               max(CASE WHEN s.ix = t.ix + 1 AND s.iy = t.iy + 1 THEN s.z END) AS n8
+        FROM raster t JOIN raster s
+          ON abs(s.ix - t.ix) <= 1 AND abs(s.iy - t.iy) <= 1
+        GROUP BY t.ix, t.iy HAVING count(*) = 9
+    )
+    SELECT CAST(ix * 5.0 AS DOUBLE) AS bin_x, CAST(iy * 5.0 AS DOUBLE) AS bin_y,
+           round(degrees(atan(sqrt(
+               pow(((n8 + 2*n5 + n2) - (n6 + 2*n3 + n0)) / 40.0, 2)
+             + pow(((n6 + 2*n7 + n8) - (n0 + 2*n1 + n2)) / 40.0, 2)))), 4) AS slope,
+           round(CASE WHEN sqrt(
+               pow(((n8 + 2*n5 + n2) - (n6 + 2*n3 + n0)) / 40.0, 2)
+             + pow(((n6 + 2*n7 + n8) - (n0 + 2*n1 + n2)) / 40.0, 2)) < 0.0001
+             THEN NULL
+             ELSE degrees(atan2(((n8 + 2*n5 + n2) - (n6 + 2*n3 + n0)) / 40.0,
+                                ((n6 + 2*n7 + n8) - (n0 + 2*n1 + n2)) / 40.0)) + 180.0
+           END, 4) AS aspect
+    FROM nb ORDER BY bin_x, bin_y
+    """,
+)
+def tf_geo_rasterize_slope(spark, sf_dir):
+    """tf_geo_rasterize_slope (GeoRasterTableFunctions.hpp:993): Horn
+    3x3 slope/aspect over the rasterized grid; cells with incomplete
+    neighborhoods omitted, aspect NULL on flat cells — oracle
+    recomputes the finite differences in SQL."""
+    from heavydb_spark.operators.spatial import geo_rasterize_slope
+
+    c = T(spark, sf_dir, "customer")
+    pts = c.select(
+        ((F.col("c_custkey") * 13 % 1000) / 10.0).alias("x"),
+        ((F.col("c_custkey") * 17 % 1000) / 10.0).alias("y"),
+        F.col("c_acctbal").alias("z"),
+    )
+    r = geo_rasterize_slope(pts, bin_size=5.0)
+    return r.select(
+        "bin_x",
+        "bin_y",
+        F.round("slope", 4).alias("slope"),
+        F.round("aspect", 4).alias("aspect"),
+    ).orderBy("bin_x", "bin_y")
