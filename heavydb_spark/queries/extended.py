@@ -761,10 +761,10 @@ def geo_linestring_props(spark, sf_dir):
     "tf_geo_rasterize_slope",
     oracle="""
     WITH pts AS (
-        SELECT CAST(mod(c_custkey * 13, 1000) AS DOUBLE) / 10 AS x,
-               CAST(mod(c_custkey * 17, 1000) AS DOUBLE) / 10 AS y,
-               c_acctbal AS z
-        FROM customer
+        SELECT CAST(mod(event_id * 13, 1000) AS DOUBLE) / 10 AS x,
+               CAST(mod(event_id * 17, 1000) AS DOUBLE) / 10 AS y,
+               value AS z
+        FROM events
     ), raster AS (
         SELECT CAST(floor(x / 5) AS BIGINT) AS ix,
                CAST(floor(y / 5) AS BIGINT) AS iy,
@@ -805,11 +805,11 @@ def tf_geo_rasterize_slope(spark, sf_dir):
     recomputes the finite differences in SQL."""
     from heavydb_spark.operators.spatial import geo_rasterize_slope
 
-    c = T(spark, sf_dir, "customer")
-    pts = c.select(
-        ((F.col("c_custkey") * 13 % 1000) / 10.0).alias("x"),
-        ((F.col("c_custkey") * 17 % 1000) / 10.0).alias("y"),
-        F.col("c_acctbal").alias("z"),
+    ev = T(spark, sf_dir, "events")
+    pts = ev.select(
+        ((F.col("event_id") * 13 % 1000) / 10.0).alias("x"),
+        ((F.col("event_id") * 17 % 1000) / 10.0).alias("y"),
+        F.col("value").alias("z"),
     )
     r = geo_rasterize_slope(pts, bin_size=5.0)
     return r.select(
