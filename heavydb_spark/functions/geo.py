@@ -220,6 +220,79 @@ def st_polygon_bbox(poly: Column) -> Column:
     )
 
 
+def _poly_edges(poly: Column) -> Column:
+    """All cyclic edges of every ring as structs (ax,ay,bx,by)."""
+    return F.flatten(
+        F.transform(
+            poly,
+            lambda ring: _ring_edge_terms(
+                ring,
+                lambda a, b: F.struct(
+                    a["x"].alias("ax"),
+                    a["y"].alias("ay"),
+                    b["x"].alias("bx"),
+                    b["y"].alias("by"),
+                ),
+            ),
+        )
+    )
+
+
+def _segments_intersect(e1: Column, e2: Column) -> Column:
+    """Segment intersection via the orientation method (proper crossing
+    or collinear touch)."""
+
+    def cross(ox, oy, ax, ay, bx, by):
+        return (ax - ox) * (by - oy) - (ay - oy) * (bx - ox)
+
+    p1x, p1y, p2x, p2y = e1["ax"], e1["ay"], e1["bx"], e1["by"]
+    q1x, q1y, q2x, q2y = e2["ax"], e2["ay"], e2["bx"], e2["by"]
+    d1 = cross(q1x, q1y, q2x, q2y, p1x, p1y)
+    d2 = cross(q1x, q1y, q2x, q2y, p2x, p2y)
+    d3 = cross(p1x, p1y, p2x, p2y, q1x, q1y)
+    d4 = cross(p1x, p1y, p2x, p2y, q2x, q2y)
+    proper = (((d1 > 0) & (d2 < 0)) | ((d1 < 0) & (d2 > 0))) & (
+        ((d3 > 0) & (d4 < 0)) | ((d3 < 0) & (d4 > 0))
+    )
+
+    def on_seg(d, px, py, ax, ay, bx, by):
+        return (
+            (d == 0)
+            & (px <= F.greatest(ax, bx))
+            & (px >= F.least(ax, bx))
+            & (py <= F.greatest(ay, by))
+            & (py >= F.least(ay, by))
+        )
+
+    return (
+        proper
+        | on_seg(d1, p1x, p1y, q1x, q1y, q2x, q2y)
+        | on_seg(d2, p2x, p2y, q1x, q1y, q2x, q2y)
+        | on_seg(d3, q1x, q1y, p1x, p1y, p2x, p2y)
+        | on_seg(d4, q2x, q2y, p1x, p1y, p2x, p2y)
+    )
+
+
+def st_intersects(pa: Column, pb: Column) -> Column:
+    """ST_Intersects(POLYGON, POLYGON): filled regions overlap iff some
+    boundary edges (any ring — holes included) intersect, or one
+    polygon's outer-ring vertex lies strictly inside the other (full
+    even-odd containment, so a polygon entirely inside the other's
+    hole correctly does NOT intersect). ExtensionFunctionsGeo.hpp
+    polygon-polygon intersects semantics."""
+    ea, eb = _poly_edges(pa), _poly_edges(pb)
+    edges_cross = F.exists(
+        ea, lambda e1: F.exists(eb, lambda e2: _segments_intersect(e1, e2))
+    )
+    va = F.element_at(F.element_at(pa, 1), 1)
+    vb = F.element_at(F.element_at(pb, 1), 1)
+    return (
+        edges_cross
+        | st_contains_point(pa, vb["x"], vb["y"])
+        | st_contains_point(pb, va["x"], va["y"])
+    )
+
+
 # -------------------------------------------------------------- linestrings
 #
 # LINESTRING = array<struct<x,y>> (open path — no closing edge, unlike

@@ -818,3 +818,103 @@ def tf_geo_rasterize_slope(spark, sf_dir):
         F.round("slope", 4).alias("slope"),
         F.round("aspect", 4).alias("aspect"),
     ).orderBy("bin_x", "bin_y")
+
+
+@query(
+    "geo_polygon_intersects",
+    oracle="""
+    WITH th AS (
+        SELECT n_nationkey, i, 2*pi()*i/8 AS th
+        FROM nation, generate_series(0, 7) AS t(i)
+    ),
+    vo AS (
+        SELECT n_nationkey, i,
+               n_nationkey*10.0 + (2 + 0.9*sin(3*th + n_nationkey))*cos(th) AS x,
+               (n_nationkey%5)*7.0 + (2 + 0.9*sin(3*th + n_nationkey))*sin(th) AS y
+        FROM th
+    ),
+    ea AS (
+        SELECT n_nationkey, x, y,
+               coalesce(lead(x) OVER w, first_value(x) OVER w) AS x2,
+               coalesce(lead(y) OVER w, first_value(y) OVER w) AS y2
+        FROM vo WINDOW w AS (PARTITION BY n_nationkey ORDER BY i)
+    ),
+    eb AS (
+        SELECT n_nationkey,
+               n_nationkey*10.0 - (y - (n_nationkey%5)*7.0) + 3.8 AS x,
+               (n_nationkey%5)*7.0 + (x - n_nationkey*10.0) + 0.4 AS y,
+               n_nationkey*10.0 - (y2 - (n_nationkey%5)*7.0) + 3.8 AS x2,
+               (n_nationkey%5)*7.0 + (x2 - n_nationkey*10.0) + 0.4 AS y2
+        FROM ea
+    ),
+    seg AS (
+        SELECT a.n_nationkey,
+               max(CASE WHEN (
+                   ((  (b.x2-b.x)*(a.y-b.y)  - (b.y2-b.y)*(a.x-b.x)  > 0) <>
+                    (  (b.x2-b.x)*(a.y2-b.y) - (b.y2-b.y)*(a.x2-b.x) > 0))
+                   AND
+                   ((  (a.x2-a.x)*(b.y-a.y)  - (a.y2-a.y)*(b.x-a.x)  > 0) <>
+                    (  (a.x2-a.x)*(b.y2-a.y) - (a.y2-a.y)*(b.x2-a.x) > 0))
+               ) THEN 1 ELSE 0 END) AS crossing
+        FROM ea a JOIN eb b USING (n_nationkey)
+        GROUP BY a.n_nationkey
+    ),
+    vb0 AS (
+        SELECT n_nationkey,
+               n_nationkey*10.0 - (y - (n_nationkey%5)*7.0) + 3.8 AS px,
+               (n_nationkey%5)*7.0 + (x - n_nationkey*10.0) + 0.4 AS py
+        FROM vo WHERE i = 0
+    ),
+    va0 AS (
+        SELECT n_nationkey, x AS px, y AS py FROM vo WHERE i = 0
+    ),
+    b_in_a AS (
+        SELECT e.n_nationkey,
+               sum(CASE WHEN (e.y > p.py) <> (e.y2 > p.py)
+                        THEN CASE WHEN p.px < e.x + (e.x2 - e.x)*(p.py - e.y)/(e.y2 - e.y)
+                                  THEN 1 ELSE 0 END ELSE 0 END) % 2 AS inside
+        FROM ea e JOIN vb0 p USING (n_nationkey) GROUP BY e.n_nationkey
+    ),
+    a_in_b AS (
+        SELECT e.n_nationkey,
+               sum(CASE WHEN (e.y > p.py) <> (e.y2 > p.py)
+                        THEN CASE WHEN p.px < e.x + (e.x2 - e.x)*(p.py - e.y)/(e.y2 - e.y)
+                                  THEN 1 ELSE 0 END ELSE 0 END) % 2 AS inside
+        FROM eb e JOIN va0 p USING (n_nationkey) GROUP BY e.n_nationkey
+    )
+    SELECT s.n_nationkey,
+           (s.crossing = 1 OR ba.inside = 1 OR ab.inside = 1) AS intersects
+    FROM seg s
+    JOIN b_in_a ba USING (n_nationkey)
+    JOIN a_in_b ab USING (n_nationkey)
+    ORDER BY s.n_nationkey
+    """,
+)
+def geo_polygon_intersects(spark, sf_dir):
+    """ST_Intersects(POLYGON, POLYGON) — each nation's octagon against
+    a 90-degree-rotated copy shifted (+3.8, +0.4); radii vary with the key so the outcome
+    differs per nation. Oracle recomputes proper segment crossings +
+    mutual first-vertex containment in SQL (single-ring shapes, so the
+    proper-crossing test is decisive whenever boundaries meet
+    non-degenerately). Spark side uses the full edge-pair + even-odd
+    containment expression (functions/geo.py st_intersects)."""
+    polys = _nation_polygons(spark, sf_dir).select(
+        "n_nationkey", F.slice(F.col("poly"), 1, 1).alias("pa")
+    )
+    nk = F.col("n_nationkey").cast("double")
+    cx = nk * 10.0
+    cy = (F.col("n_nationkey") % 5).cast("double") * 7.0
+    shift = F.transform(
+        F.col("pa"),
+        lambda ring: F.transform(
+            ring,
+            lambda p: F.struct(
+                (cx - (p["y"] - cy) + 3.8).alias("x"),
+                (cy + (p["x"] - cx) + 0.4).alias("y"),
+            ),
+        ),
+    )
+    return polys.select(
+        "n_nationkey",
+        geo.st_intersects(F.col("pa"), shift).alias("intersects"),
+    ).orderBy("n_nationkey")

@@ -84,6 +84,27 @@ def read_event_stream(
     )
 
 
+def ingest_stream_to_table(
+    df: DataFrame,
+    table: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Continuous table ingest — the importer's actual job
+    (KafkaImporter.cpp / StreamImporter.cpp append rows to a table):
+    stream -> managed table with exactly-once file-sink semantics via
+    the checkpoint. availableNow=True drains what's available and
+    stops (batch-incremental ingest); False runs continuously.
+    Returns the StreamingQuery handle.
+    """
+    return (
+        df.writeStream.format("parquet")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=available_now)
+        .toTable(table)
+    )
+
+
 def with_watermark(events: DataFrame, delay: str = "30 minutes") -> DataFrame:
     """Late-data bound; state for windows older than max(ts)-delay is
     dropped — bounded state at 100 TB/day stream rates."""

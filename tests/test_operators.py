@@ -360,3 +360,36 @@ def test_linestring_analytic(spark):
     ).first()
     assert (r.len, r.np, r.sx, r.ey) == (7.0, 3, 0.0, 4.0)
     assert (r.d1, r.d2) == (2.0, 1.0)
+
+
+def test_polygon_intersects(spark):
+    """ST_Intersects(POLYGON, POLYGON): overlap, containment, disjoint,
+    edge-touch, and the inside-a-hole case."""
+    from heavydb_spark.functions import geo
+
+    def sq(x0, y0, s):
+        return "POLYGON (({0} {1}, {2} {1}, {2} {3}, {0} {3}))".format(
+            x0, y0, x0 + s, y0 + s
+        )
+
+    donut = (
+        "POLYGON ((0 0, 10 0, 10 10, 0 10), (2 2, 8 2, 8 8, 2 8))"
+    )
+    cases = [
+        (sq(0, 0, 4), sq(2, 2, 4), True),    # partial overlap
+        (sq(0, 0, 10), sq(3, 3, 2), True),   # containment
+        (sq(0, 0, 2), sq(5, 5, 2), False),   # disjoint
+        (sq(0, 0, 2), sq(2, 0, 2), True),    # edge touch
+        (donut, sq(4, 4, 2), False),         # entirely inside the hole
+        (donut, sq(4, 4, 5), True),          # crosses the hole boundary
+    ]
+    df = spark.createDataFrame(cases, "wa string, wb string, expected boolean")
+    got = df.select(
+        "expected",
+        geo.st_intersects(
+            geo.st_geomfromtext_polygon(F.col("wa")),
+            geo.st_geomfromtext_polygon(F.col("wb")),
+        ).alias("got"),
+    ).collect()
+    for r in got:
+        assert r.got == r.expected, r

@@ -314,3 +314,32 @@ def test_read_event_stream_kafka_gate(spark):
     """fmt='kafka' without a bootstrap server is a config error."""
     with pytest.raises(ValueError, match="kafka_bootstrap"):
         stream_ops.read_event_stream(spark, fmt="kafka")
+
+
+def test_ingest_stream_to_table(spark, event_stream_dir, tmp_path):
+    """Stream -> managed table ingest (KafkaImporter append job):
+    all events land exactly once; a second run with the same
+    checkpoint ingests nothing new."""
+    spark.sql("DROP TABLE IF EXISTS events_ingest")
+    ckpt = str(tmp_path / "ckpt")
+    try:
+        q = stream_ops.ingest_stream_to_table(
+            stream_ops.read_event_stream(spark, event_stream_dir),
+            "events_ingest",
+            ckpt,
+        )
+        q.awaitTermination(120)
+        n_src = load_table(spark, SF_DIR, "events").count()
+        got = spark.table("events_ingest")
+        assert got.count() == n_src
+        assert got.select("event_id").distinct().count() == n_src
+        # idempotent re-run: checkpoint prevents re-ingest
+        q2 = stream_ops.ingest_stream_to_table(
+            stream_ops.read_event_stream(spark, event_stream_dir),
+            "events_ingest",
+            ckpt,
+        )
+        q2.awaitTermination(120)
+        assert spark.table("events_ingest").count() == n_src
+    finally:
+        spark.sql("DROP TABLE IF EXISTS events_ingest")
