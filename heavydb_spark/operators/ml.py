@@ -229,3 +229,19 @@ def dbscan(
         )
     )
     return out
+
+
+def supported_ml_frameworks(spark) -> DataFrame:
+    """supported_ml_frameworks UDTF (MLTableFunctions.hpp): one row per
+    available ML backend with availability/default flags — here the
+    Spark MLlib backend plus the closed-form aggregate path."""
+    try:
+        import pyspark.ml  # noqa: F401
+
+        mllib_ok = True
+    except ImportError:  # pragma: no cover
+        mllib_ok = False
+    return spark.createDataFrame(
+        [("spark-mllib", mllib_ok, True), ("closed-form-agg", True, False)],
+        "ml_framework string, available boolean, is_default boolean",
+    )

@@ -341,3 +341,32 @@ def test_create_table_with_ctas(engine):
         assert len(got.inputFiles()) >= 3
     finally:
         spark.sql("DROP TABLE IF EXISTS nation_frag")
+
+
+def test_show_and_alter_passthrough(engine):
+    """SHOW / ALTER DDL-isms (Parser/ParserNode.h Show*/Alter* stmt
+    classes) pass through engine.sql to Spark's equivalents."""
+    spark = engine.spark
+    spark.sql("DROP TABLE IF EXISTS alter_demo")
+    try:
+        engine.sql("CREATE TABLE alter_demo (a BIGINT, b TEXT) WITH (fragment_size=1000)")
+        tabs = {r.tableName for r in engine.sql("SHOW TABLES").collect()}
+        assert "alter_demo" in tabs
+        engine.sql("ALTER TABLE alter_demo ADD COLUMNS (c DOUBLE)")
+        cols = [f.name for f in spark.table("alter_demo").schema.fields]
+        assert cols == ["a", "b", "c"]
+        engine.sql("ALTER TABLE alter_demo RENAME TO alter_demo2")
+        assert spark.table("alter_demo2").columns == ["a", "b", "c"]
+        desc = engine.sql("SHOW COLUMNS IN alter_demo2").collect()
+        assert len(desc) == 3
+    finally:
+        spark.sql("DROP TABLE IF EXISTS alter_demo")
+        spark.sql("DROP TABLE IF EXISTS alter_demo2")
+
+
+def test_supported_ml_frameworks(spark):
+    from heavydb_spark.operators.ml import supported_ml_frameworks
+
+    rows = {r.ml_framework: (r.available, r.is_default)
+            for r in supported_ml_frameworks(spark).collect()}
+    assert rows["spark-mllib"] == (True, True)
