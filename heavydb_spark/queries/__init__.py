@@ -102,6 +102,15 @@ _PRIORITY = [
     "dml_delete_postimage",
     # SQL-dialect-routed query (engine.sql path)
     "sql_dialect_window_fill",
+    # round-2 additions: new operator families first seen this round
+    "dedup_connected_components",
+    "tf_geo_rasterize_slope",
+    # remaining new geo variants (same family as geo_polygon_props;
+    # verified if the driver budget extends past 50)
+    "geo_wkt_roundtrip",
+    "geo_transform_900913",
+    "geo_linestring_props",
+    "geo_polygon_intersects",
 ]
 
 
