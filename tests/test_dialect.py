@@ -370,3 +370,44 @@ def test_supported_ml_frameworks(spark):
     rows = {r.ml_framework: (r.available, r.is_default)
             for r in supported_ml_frameworks(spark).collect()}
     assert rows["spark-mllib"] == (True, True)
+
+
+# ---------------------------------------------------------- properties
+
+def test_rewrite_idempotent_and_literal_safe():
+    """Property (hypothesis): rewriting is idempotent, and single-quoted
+    literals — including ones containing function-looking text, commas,
+    parens, escaped quotes — survive byte-identical."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from heavydb_spark.dialect import rewrite
+
+    lit_body = st.text(
+        alphabet="abcXYZ09 ,()'%{}_SAMPLE(x)LIKELY",
+        max_size=24,
+    ).map(lambda s: s.replace("'", "''"))
+    literal = lit_body.map(lambda s: f"'{s}'")
+    ident = st.sampled_from(["a", "b_1", "col", "x"])
+    call = st.sampled_from([
+        "SAMPLE({0})", "LIKELY({0} > 1)", "APPROX_MEDIAN({0})",
+        "SAMPLE_RATIO(0.5)", "CHAR_LENGTH({0})",
+        "DATEADD('day', 1, {0})", "coalesce({0}, nvl({0}, 1))",
+        "FORWARD_FILL({0}) OVER (PARTITION BY {0} ORDER BY {0})",
+    ]).flatmap(lambda t: ident.map(lambda i: t.format(i)))
+    piece = st.one_of(literal, ident, call)
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(piece, min_size=1, max_size=5))
+    def prop(pieces):
+        sql = "SELECT " + ", ".join(pieces) + " FROM t"
+        out = rewrite(sql)
+        assert rewrite(out) == out, f"not idempotent: {sql!r} -> {out!r}"
+        # literals survive byte-identical
+        for p in pieces:
+            if p.startswith("'"):
+                assert p in out, f"literal {p!r} mangled in {out!r}"
+        # no masking sentinels leak
+        assert "\x00" not in out
+
+    prop()
