@@ -263,3 +263,123 @@ def geo_rasterize_slope(
         slope.alias("slope"),
         aspect.alias("aspect"),
     )
+
+
+# Marching-squares case table: corner bits 1=z00 (BL), 2=z10 (BR),
+# 4=z11 (TR), 8=z01 (TL), bit set when corner > contour value; each
+# case lists the edge pairs ("L","B","R","T") a segment connects.
+# Saddles (5, 10) use the fixed two-segment convention (no center
+# disambiguation), matching a deterministic oracle.
+_MS_CASES: dict[int, list[tuple[str, str]]] = {
+    0: [], 15: [],
+    1: [("L", "B")], 14: [("L", "B")],
+    2: [("B", "R")], 13: [("B", "R")],
+    3: [("L", "R")], 12: [("L", "R")],
+    4: [("T", "R")], 11: [("T", "R")],
+    6: [("B", "T")], 9: [("B", "T")],
+    7: [("L", "T")], 8: [("L", "T")],
+    5: [("L", "T"), ("B", "R")],
+    10: [("L", "B"), ("T", "R")],
+}
+
+
+def raster_contour_lines(
+    points: DataFrame,
+    bin_size: float,
+    contour_value: float,
+    point_cols: tuple[str, str] = ("x", "y"),
+    value_col: str = "z",
+) -> DataFrame:
+    """tf_raster_contour_lines (GeoRasterTableFunctions.hpp contour
+    UDTFs): marching-squares iso-line segments at `contour_value` over
+    the rasterized field. Returns (x1, y1, x2, y2) per segment, with
+    linear interpolation along cell edges.
+
+    Plan shape: rasterize (one groupBy on integer bin indices), explode
+    each cell value to the 4 anchor cells whose 2x2 window contains it,
+    pivot the window with a second groupBy (complete windows only),
+    classify into the 16-case table, emit 0-2 segments per cell via one
+    array + explode — all expression-level, no UDFs, two hash shuffles
+    total, embarrassingly parallel like the reference's tbb loop.
+    """
+    px, py = (F.col(c) for c in point_cols)
+    raster = points.groupBy(
+        F.floor(px / bin_size).cast("long").alias("ix"),
+        F.floor(py / bin_size).cast("long").alias("iy"),
+    ).agg(F.avg(value_col).alias("z"))
+
+    # corner k of anchor cell (ax, ay): z00=(ax,ay) z10=(ax+1,ay)
+    # z11=(ax+1,ay+1) z01=(ax,ay+1); a raster cell is corner (dx,dy) of
+    # anchor (ix-dx, iy-dy)
+    offs = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dy in (0, 1)
+            for dx in (0, 1)
+        ]
+    )
+    contrib = raster.select("ix", "iy", "z", F.explode(offs).alias("o")).select(
+        (F.col("ix") - F.col("o.dx")).alias("ax"),
+        (F.col("iy") - F.col("o.dy")).alias("ay"),
+        F.col("o.dx").alias("dx"),
+        F.col("o.dy").alias("dy"),
+        "z",
+    )
+    corner = {
+        (0, 0): "z00", (1, 0): "z10", (1, 1): "z11", (0, 1): "z01",
+    }
+    cells = (
+        contrib.groupBy("ax", "ay")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            *[
+                F.max(
+                    F.when(
+                        (F.col("dx") == dx) & (F.col("dy") == dy), F.col("z")
+                    )
+                ).alias(name)
+                for (dx, dy), name in corner.items()
+            ],
+        )
+        .filter(F.col("n") == 4)
+    )
+
+    t = F.lit(float(contour_value))
+    z00, z10, z11, z01 = (F.col(c) for c in ("z00", "z10", "z11", "z01"))
+    config = (
+        (z00 > t).cast("int")
+        + (z10 > t).cast("int") * 2
+        + (z11 > t).cast("int") * 4
+        + (z01 > t).cast("int") * 8
+    )
+
+    def frac(a, b):
+        return (t - a) / (b - a)
+
+    bx = F.col("ax").cast("double") * bin_size
+    by = F.col("ay").cast("double") * bin_size
+    edge_pts = {
+        "B": (bx + frac(z00, z10) * bin_size, by),
+        "R": (bx + bin_size, by + frac(z10, z11) * bin_size),
+        "T": (bx + frac(z01, z11) * bin_size, by + bin_size),
+        "L": (bx, by + frac(z00, z01) * bin_size),
+    }
+
+    def seg(e1: str, e2: str):
+        (x1, y1), (x2, y2) = edge_pts[e1], edge_pts[e2]
+        return F.struct(
+            x1.alias("x1"), y1.alias("y1"), x2.alias("x2"), y2.alias("y2")
+        )
+
+    segs = F.lit(None).cast(
+        "array<struct<x1:double,y1:double,x2:double,y2:double>>"
+    )
+    expr = None
+    for case, pairs in _MS_CASES.items():
+        arr = F.array(*[seg(a, b) for a, b in pairs]) if pairs else segs
+        cond = config == case
+        expr = F.when(cond, arr) if expr is None else expr.when(cond, arr)
+    return (
+        cells.withColumn("seg", F.explode(expr))
+        .select("seg.x1", "seg.y1", "seg.x2", "seg.y2")
+    )

@@ -918,3 +918,74 @@ def geo_polygon_intersects(spark, sf_dir):
         "n_nationkey",
         geo.st_intersects(F.col("pa"), shift).alias("intersects"),
     ).orderBy("n_nationkey")
+
+
+@query(
+    "tf_raster_contour",
+    oracle="""
+    WITH pts AS (
+        SELECT CAST(mod(event_id * 13, 1000) AS DOUBLE) / 10 AS x,
+               CAST(mod(event_id * 17, 1000) AS DOUBLE) / 10 AS y,
+               value AS z
+        FROM events
+    ), raster AS (
+        SELECT CAST(floor(x / 5) AS BIGINT) AS ix,
+               CAST(floor(y / 5) AS BIGINT) AS iy,
+               avg(z) AS z
+        FROM pts GROUP BY 1, 2
+    ), cells AS (
+        SELECT a.ix AS ax, a.iy AS ay,
+               a.z AS z00, b.z AS z10, c.z AS z11, d.z AS z01
+        FROM raster a
+        JOIN raster b ON b.ix = a.ix + 1 AND b.iy = a.iy
+        JOIN raster c ON c.ix = a.ix + 1 AND c.iy = a.iy + 1
+        JOIN raster d ON d.ix = a.ix     AND d.iy = a.iy + 1
+    ), cfg AS (
+        SELECT ax, ay,
+               CAST(z00 > 45.0 AS INT) + 2*CAST(z10 > 45.0 AS INT)
+             + 4*CAST(z11 > 45.0 AS INT) + 8*CAST(z01 > 45.0 AS INT) AS config,
+               ax*5.0 + (45.0 - z00)/(z10 - z00)*5.0 AS xb, ay*5.0 AS yb,
+               ax*5.0 + 5.0 AS xr, ay*5.0 + (45.0 - z10)/(z11 - z10)*5.0 AS yr,
+               ax*5.0 + (45.0 - z01)/(z11 - z01)*5.0 AS xt, ay*5.0 + 5.0 AS yt,
+               ax*5.0 AS xl, ay*5.0 + (45.0 - z00)/(z01 - z00)*5.0 AS yl
+        FROM cells
+    ), m AS (
+        SELECT * FROM (VALUES
+            (1,'L','B'), (14,'L','B'), (2,'B','R'), (13,'B','R'),
+            (3,'L','R'), (12,'L','R'), (4,'T','R'), (11,'T','R'),
+            (6,'B','T'), (9,'B','T'),  (7,'L','T'), (8,'L','T'),
+            (5,'L','T'), (5,'B','R'),  (10,'L','B'), (10,'T','R')
+        ) AS v(config, e1, e2)
+    )
+    SELECT round(CASE m.e1 WHEN 'B' THEN xb WHEN 'R' THEN xr
+                           WHEN 'T' THEN xt ELSE xl END, 6) AS x1,
+           round(CASE m.e1 WHEN 'B' THEN yb WHEN 'R' THEN yr
+                           WHEN 'T' THEN yt ELSE yl END, 6) AS y1,
+           round(CASE m.e2 WHEN 'B' THEN xb WHEN 'R' THEN xr
+                           WHEN 'T' THEN xt ELSE xl END, 6) AS x2,
+           round(CASE m.e2 WHEN 'B' THEN yb WHEN 'R' THEN yr
+                           WHEN 'T' THEN yt ELSE yl END, 6) AS y2
+    FROM cfg JOIN m ON m.config = cfg.config
+    ORDER BY x1, y1, x2, y2
+    """,
+)
+def tf_raster_contour(spark, sf_dir):
+    """tf_raster_contour_lines (GeoRasterTableFunctions.hpp contour
+    UDTFs): marching-squares iso-segments at z=45 over the events
+    raster; the oracle replays the same 16-case table (as a VALUES
+    join) and edge interpolation in SQL."""
+    from heavydb_spark.operators.spatial import raster_contour_lines
+
+    ev = T(spark, sf_dir, "events")
+    pts = ev.select(
+        ((F.col("event_id") * 13 % 1000) / 10.0).alias("x"),
+        ((F.col("event_id") * 17 % 1000) / 10.0).alias("y"),
+        F.col("value").alias("z"),
+    )
+    segs = raster_contour_lines(pts, bin_size=5.0, contour_value=45.0)
+    return segs.select(
+        F.round("x1", 6).alias("x1"),
+        F.round("y1", 6).alias("y1"),
+        F.round("x2", 6).alias("x2"),
+        F.round("y2", 6).alias("y2"),
+    ).orderBy("x1", "y1", "x2", "y2")

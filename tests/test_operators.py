@@ -393,3 +393,40 @@ def test_polygon_intersects(spark):
     ).collect()
     for r in got:
         assert r.got == r.expected, r
+
+
+def test_raster_contour_linear_field(spark):
+    """Marching squares on z = x: the iso-line at t is the exact
+    vertical line x = t (every segment endpoint interpolates to t)."""
+    from heavydb_spark.operators.spatial import raster_contour_lines
+
+    pts = [(float(i), float(j), float(i)) for i in range(8) for j in range(8)]
+    df = spark.createDataFrame(pts, "x double, y double, z double")
+    segs = raster_contour_lines(df, bin_size=1.0, contour_value=3.5).collect()
+    assert segs, "no contour segments emitted"
+    for s in segs:
+        assert abs(s.x1 - 3.5) < 1e-9 and abs(s.x2 - 3.5) < 1e-9
+        assert abs(abs(s.y2 - s.y1) - 1.0) < 1e-9  # one cell tall
+
+
+def test_raster_contour_cone(spark):
+    """Radial cone z = 20 - dist: the t=14 contour approximates the
+    radius-6 circle; every interpolated endpoint sits within one cell
+    of it and the segment count is a closed-loop-sized set."""
+    import math
+
+    from heavydb_spark.operators.spatial import raster_contour_lines
+
+    cx = cy = 10.0
+    pts = [
+        (float(i), float(j), 20.0 - math.hypot(i - cx, j - cy))
+        for i in range(21)
+        for j in range(21)
+    ]
+    df = spark.createDataFrame(pts, "x double, y double, z double")
+    segs = raster_contour_lines(df, bin_size=1.0, contour_value=14.0).collect()
+    assert len(segs) >= 16  # ring around the peak
+    for s in segs:
+        for (x, y) in ((s.x1, s.y1), (s.x2, s.y2)):
+            r = math.hypot(x - cx, y - cy)
+            assert abs(r - 6.0) < 1.0, (x, y, r)
