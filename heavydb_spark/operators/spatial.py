@@ -383,3 +383,31 @@ def raster_contour_lines(
         cells.withColumn("seg", F.explode(expr))
         .select("seg.x1", "seg.y1", "seg.x2", "seg.y2")
     )
+
+
+def geo_multi_rasterize(
+    points: DataFrame,
+    bin_size: float,
+    value_aggs: dict[str, str],
+    point_cols: tuple[str, str] = ("x", "y"),
+) -> DataFrame:
+    """tf_geo_multi_rasterize (GeoRasterTableFunctions.hpp multi-column
+    variant): one raster pass aggregating SEVERAL value columns, each
+    with its own RasterAggType — still a single hash-shuffle groupBy
+    (the multi-agg is map-side partial like any Spark aggregation).
+    `value_aggs` maps column -> agg in {count,min,max,sum,avg}.
+    """
+    px, py = (F.col(c) for c in point_cols)
+    fns = {
+        "count": F.count, "min": F.min, "max": F.max,
+        "sum": F.sum, "avg": F.avg,
+    }
+    aggs = []
+    for col, agg in value_aggs.items():
+        if agg not in fns:
+            raise ValueError(f"unsupported raster agg {agg!r}")
+        aggs.append(fns[agg](col).alias(f"{col}_{agg}"))
+    return points.groupBy(
+        (F.floor(px / bin_size) * bin_size).alias("bin_x"),
+        (F.floor(py / bin_size) * bin_size).alias("bin_y"),
+    ).agg(*aggs)

@@ -430,3 +430,22 @@ def test_raster_contour_cone(spark):
         for (x, y) in ((s.x1, s.y1), (s.x2, s.y2)):
             r = math.hypot(x - cx, y - cy)
             assert abs(r - 6.0) < 1.0, (x, y, r)
+
+
+def test_multi_rasterize(spark):
+    """tf_geo_multi_rasterize: several value columns aggregated in one
+    raster pass, each with its own agg."""
+    from heavydb_spark.operators.spatial import geo_multi_rasterize
+
+    pts = spark.createDataFrame(
+        [(0.5, 0.5, 10.0, 1.0), (0.6, 0.4, 20.0, 3.0), (1.5, 0.5, 5.0, 7.0)],
+        "x double, y double, elev double, weight double",
+    )
+    r = {
+        (row.bin_x, row.bin_y): (row.elev_avg, row.weight_sum)
+        for row in geo_multi_rasterize(
+            pts, 1.0, {"elev": "avg", "weight": "sum"}
+        ).collect()
+    }
+    assert r[(0.0, 0.0)] == (15.0, 4.0)
+    assert r[(1.0, 0.0)] == (5.0, 7.0)
