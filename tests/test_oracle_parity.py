@@ -72,3 +72,15 @@ def test_oracle_parity_config_loop(spark, ddb, conf, value, name):
         compare_query(spark, ddb, name, SF_DIR)
     finally:
         spark.conf.set(conf, old)
+
+
+def test_priority_names_all_registered():
+    """Every name in the registration-priority list must exist in the
+    catalog — a rename would otherwise silently drop a family out of
+    the driver's bounded correctness window."""
+    from heavydb_spark.queries import QUERIES, _PRIORITY
+
+    missing = [n for n in _PRIORITY if n not in QUERIES]
+    assert not missing, f"priority names not registered: {missing}"
+    # and the window-front names are unique
+    assert len(_PRIORITY) == len(set(_PRIORITY))
