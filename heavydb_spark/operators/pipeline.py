@@ -1,0 +1,323 @@
+"""Training-data pipeline operators beyond dedup/similarity: benchmark
+decontamination, deterministic sampling/mixing, PII scrubbing, and
+sequence packing.
+
+These extend the reference's data-pipeline surface (ImportExport +
+StringOps are the closest analogues — e.g. regex scrubbing reuses the
+REGEXP_REPLACE kernel family of StringOps/StringOps.cpp) with the
+operations a 100 TB LLM training-data build needs. Everything here is
+JVM-side expression work except `pack_sequences`, whose greedy reset
+semantics are inherently sequential per group and run as one Arrow
+batch per group via applyInPandas.
+
+Scale notes (100 TB):
+- decontamination is a shingle equi-join (same blocking shape as
+  operators/dedup.py ngram_jaccard_pairs) — never a cross join; the
+  test side is usually tiny, so its shingle relation broadcasts.
+- sampling/mixing filter on a *portable* multiplicative hash of the id
+  (exact-arithmetic in int64 range), so the sample is reproducible
+  across engines and runs, pushes down to the scan as a cheap
+  predicate, and needs no shuffle at all.
+- pii_scrub is pure regexp_replace chains — whole-stage codegen.
+- pack_sequences shuffles once on the group key; each group's greedy
+  scan is O(group) in a single Arrow batch.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Mapping
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from heavydb_spark.operators.dedup import token_shingles
+
+# ------------------------------------------------------------ sampling
+
+# Knuth multiplicative hash on a 31-bit modulus: exact in int64 for any
+# bigint id (id is reduced mod 2^31-1 first), identical arithmetic in
+# Spark and ANSI SQL — reproducible sampling without engine-specific
+# hash functions.
+_M31 = 2_147_483_647  # 2^31 - 1
+_A = 48_271  # MINSTD multiplier
+
+
+def portable_hash(id_col: Column) -> Column:
+    """Deterministic pseudo-uniform value in [0, 2^31-1) from a bigint
+    id, using only +/*/% so any SQL engine reproduces it exactly.
+
+    Two LCG rounds: one round leaves small consecutive ids unmixed
+    (id*A stays below the modulus until id ~ 44k), so a second
+    multiply — whose effective stride A^2 mod M wraps immediately —
+    equidistributes even dense id ranges. All intermediates stay
+    < 2^63 (max (M-1)*A ~ 1.04e14)."""
+    r = F.pmod(id_col.cast("long"), F.lit(_M31))
+    r = F.pmod(r * _A + 11, F.lit(_M31))
+    return F.pmod(r * _A, F.lit(_M31))
+
+
+def portable_hash_sql(id_expr: str) -> str:
+    """The ANSI-SQL text of `portable_hash` (for oracles and pushdown
+    into external engines)."""
+    r0 = f"((({id_expr}) % {_M31} + {_M31}) % {_M31})"
+    r1 = f"(({r0} * {_A} + 11) % {_M31})"
+    return f"({r1} * {_A}) % {_M31}"
+
+
+def sample_hash(df: DataFrame, id_col: str, fraction: float) -> DataFrame:
+    """Deterministic Bernoulli-style sample: keep rows whose portable
+    hash falls under `fraction` of the hash space. A pure filter — no
+    shuffle, reproducible, and pushable to the scan."""
+    cut = int(fraction * _M31)
+    return df.filter(portable_hash(F.col(id_col)) < cut)
+
+
+def sample_stratified(
+    df: DataFrame, group_col: str, id_col: str, n_per_group: int
+) -> DataFrame:
+    """Deterministic stratified sample: the `n_per_group` rows with the
+    smallest portable hash in each group (a seeded without-replacement
+    draw). One hash shuffle on the group key; the per-group sort is
+    window-local. At 100 TB prefer a two-phase variant (per-partition
+    top-n then global top-n) — Spark's window TopK already does the
+    partial rank pushdown under AQE."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        portable_hash(F.col(id_col)).asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n_per_group)
+        .drop("__rn")
+    )
+
+
+def mix_sources(
+    df: DataFrame, source_col: str, id_col: str, weights: Mapping[str, float]
+) -> DataFrame:
+    """Weighted source mixing: keep a deterministic `weights[source]`
+    fraction of each source's rows (sources absent from `weights` drop
+    to 0). The standard data-mixture step of a training-data build —
+    a single codegen'd filter, no shuffle."""
+    h = portable_hash(F.col(id_col))
+    cut = None
+    for src, wgt in weights.items():
+        c = F.when(F.col(source_col) == src, F.lit(int(wgt * _M31)))
+        cut = c if cut is None else cut.when(
+            F.col(source_col) == src, F.lit(int(wgt * _M31))
+        )
+    cut = cut.otherwise(F.lit(0)) if cut is not None else F.lit(0)
+    return df.filter(h < cut)
+
+
+# ----------------------------------------------------- decontamination
+
+
+def decontaminate_ngram(
+    train: DataFrame,
+    test: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    min_overlap: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination: train docs sharing >= `min_overlap`
+    distinct word n-grams with ANY test doc, with the matched test doc
+    and overlap count — the n-gram-collision contamination check used
+    on LLM pretraining corpora.
+
+    Plan: both sides explode to distinct (doc, shingle) rows; shingle
+    equi-join (blocking — never all-pairs); count distinct shared
+    shingles per (train, test) pair. The test relation is tiny next to
+    the corpus, so Spark broadcasts its shingles; at 100 TB this is one
+    scan of train + a broadcast hash join.
+    """
+    tr = (
+        train.select(
+            F.col(id_col).alias("train_id"),
+            F.explode(token_shingles(F.col(text_col), n)).alias("shingle"),
+        )
+        .distinct()
+    )
+    te = (
+        test.select(
+            F.col(id_col).alias("test_id"),
+            F.explode(token_shingles(F.col(text_col), n)).alias("shingle"),
+        )
+        .distinct()
+    )
+    return (
+        tr.join(F.broadcast(te), "shingle")
+        .groupBy("train_id", "test_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_overlap)
+    )
+
+
+# --------------------------------------------------------- PII scrub
+
+# Patterns use only syntax shared by Java regex (Spark) and RE2
+# (DuckDB/Go): no backrefs, no lookaround.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\+?\d{3}[-. ]\d{3}[-. ]\d{4}", "<PHONE>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+)
+
+
+def pii_scrub(text_col: Column) -> Column:
+    """Redact common PII shapes (email, phone, SSN, IPv4) with typed
+    placeholder tokens — chained regexp_replace, fully codegen'd
+    (StringOps/StringOps.cpp REGEXP_REPLACE analogue)."""
+    out = text_col
+    for _, pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def pii_scrub_sql(text_expr: str) -> str:
+    """ANSI-SQL (DuckDB-compatible) text of `pii_scrub` for oracles."""
+    out = text_expr
+    for _, pat, repl in PII_PATTERNS:
+        # standard SQL strings pass backslashes through verbatim — only
+        # quotes need escaping
+        sql_pat = pat.replace("'", "''")
+        out = f"regexp_replace({out}, '{sql_pat}', '{repl}', 'g')"
+    return out
+
+
+# ----------------------------------------------------- sequence packing
+
+
+def pack_sequences(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    tokens_col: str,
+    budget: int,
+) -> DataFrame:
+    """Greedy sequence packing: within each group (ordered by id),
+    assign docs to consecutive bins such that a bin's token total never
+    exceeds `budget` unless a single doc alone exceeds it — the
+    pre-tokenization packing step that turns documents into
+    fixed-length training sequences.
+
+    The reset-on-overflow recurrence is inherently sequential per
+    group, so each group runs as one Arrow batch (applyInPandas) with a
+    vector-free O(n) scan; the only shuffle is the groupBy on
+    `group_col`. Output: (group, id, tokens, bin_id, bin_fill).
+    """
+    out_schema = (
+        f"{group_col} string, {id_col} long, {tokens_col} long, "
+        "bin_id long, bin_fill long"
+    )
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        bins, fills = [], []
+        bin_id, fill = 0, 0
+        first = True
+        for tok in pdf[tokens_col]:
+            tok = int(tok)
+            if not first and fill + tok > budget:
+                bin_id += 1
+                fill = tok
+            else:
+                fill += tok
+            first = False
+            bins.append(bin_id)
+            fills.append(fill)
+        pdf = pdf[[group_col, id_col, tokens_col]].copy()
+        pdf["bin_id"] = bins
+        pdf["bin_fill"] = fills
+        return pdf
+
+    proj = df.select(
+        F.col(group_col),
+        F.col(id_col).cast("long").alias(id_col),
+        F.col(tokens_col).cast("long").alias(tokens_col),
+    )
+    return proj.groupBy(group_col).applyInPandas(_pack, out_schema)
+
+
+# ------------------------------------------------- dictionary encoding
+
+
+def build_dictionary(df: DataFrame, col: str) -> DataFrame:
+    """String-dictionary build (reference StringDictionary/
+    StringDictionary.cpp; TEXT ENCODING DICT of Shared/sqltypes.h):
+    distinct values get dense 0-based ids in value-sort order.
+
+    Scale-safe dense numbering without a single-partition window:
+    range-partition the distinct values by `col`, number rows within
+    each partition locally, then add per-partition offsets (a
+    metadata-sized prefix sum broadcast back). The global sort is the
+    one unavoidable cost of an ordered dictionary — same as the
+    reference's sorted-id build.
+    """
+    from pyspark.sql import Window
+
+    distinct = (
+        df.select(F.col(col).alias("value"))
+        .filter(F.col("value").isNotNull())
+        .distinct()
+        .repartitionByRange(F.col("value"))
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    local = distinct.withColumn(
+        "__local",
+        F.row_number().over(
+            Window.partitionBy("__pid").orderBy("value")
+        ),
+    )
+    offsets = (
+        local.groupBy("__pid")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .withColumn(
+            "__offset",
+            F.coalesce(
+                F.sum("__cnt").over(
+                    Window.orderBy("__pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("__pid", "__offset")
+    )
+    return (
+        local.join(F.broadcast(offsets), "__pid")
+        .select(
+            (F.col("__local") - 1 + F.col("__offset")).alias("code"),
+            "value",
+        )
+    )
+
+
+def dictionary_encode(
+    df: DataFrame, cols: Iterable[str]
+) -> tuple[DataFrame, dict[str, DataFrame]]:
+    """Encode string columns to dense integer codes via broadcast join
+    against their dictionaries (the reference's encoded-column scan
+    shape: fragments store codes; the dictionary translates at the
+    edges). Returns (encoded df with `<col>_code` columns, dicts)."""
+    dicts: dict[str, DataFrame] = {}
+    out = df
+    for col in cols:
+        d = build_dictionary(df, col)
+        dicts[col] = d
+        out = out.join(
+            F.broadcast(
+                d.select(
+                    F.col("value").alias(col),
+                    F.col("code").alias(f"{col}_code"),
+                )
+            ),
+            col,
+            "left",
+        )
+    return out, dicts

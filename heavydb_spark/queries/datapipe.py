@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from heavydb_spark.operators import dedup, similarity, text
+from heavydb_spark.operators import dedup, pipeline, similarity, text
 from heavydb_spark.queries.registry import query
 from heavydb_spark.queries.util import T
 
@@ -463,3 +463,215 @@ def dedup_connected_components(spark, sf_dir):
         .select(F.col("node").alias("doc_id"), F.col("component").alias("canonical_id"))
         .orderBy("doc_id")
     )
+
+
+# ------------------------------------------- pipeline build operators
+
+# Portable multiplicative hash used by the sampling/mixing queries —
+# identical arithmetic in Spark and the DuckDB oracle (operators/
+# pipeline.py portable_hash).
+_PH_DOC = pipeline.portable_hash_sql("doc_id")
+
+
+@query(
+    "pipe_decontaminate",
+    oracle="""
+    WITH sh AS (
+        SELECT DISTINCT doc_id, shingle
+        FROM (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       range(1, len(string_split_regex(trim(text), '\\s+')) - 1),
+                       i -> concat_ws(' ',
+                            string_split_regex(trim(text), '\\s+')[i],
+                            string_split_regex(trim(text), '\\s+')[i+1],
+                            string_split_regex(trim(text), '\\s+')[i+2])
+                   )) AS shingle
+            FROM documents
+        )
+    ), tr AS (
+        SELECT doc_id AS train_id, shingle FROM sh WHERE doc_id % 10 <> 0
+    ), te AS (
+        SELECT doc_id AS test_id, shingle FROM sh WHERE doc_id % 10 = 0
+    )
+    SELECT train_id, test_id, count(*) AS n_shared
+    FROM tr JOIN te USING (shingle)
+    GROUP BY train_id, test_id
+    HAVING count(*) >= 2
+    ORDER BY train_id, test_id
+    """,
+)
+def pipe_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: train docs (doc_id % 10 != 0) sharing
+    >= 2 distinct 3-grams with any held-out doc (doc_id % 10 == 0).
+    Shingle equi-join with the tiny test side broadcast — the n-gram
+    contamination check of an LLM corpus build."""
+    d = T(spark, sf_dir, "documents")
+    train = d.filter(F.col("doc_id") % 10 != 0)
+    test = d.filter(F.col("doc_id") % 10 == 0)
+    return pipeline.decontaminate_ngram(
+        train, test, "doc_id", "text", n=3, min_overlap=2
+    ).orderBy("train_id", "test_id")
+
+
+@query(
+    "pipe_sample_stratified",
+    oracle=f"""
+    WITH h AS (
+        SELECT doc_id, source, ({_PH_DOC}) AS ph FROM documents
+    ), r AS (
+        SELECT doc_id, source,
+               row_number() OVER (PARTITION BY source ORDER BY ph, doc_id) AS rn
+        FROM h
+    )
+    SELECT source, doc_id FROM r WHERE rn <= 10 ORDER BY source, doc_id
+    """,
+)
+def pipe_sample_stratified(spark, sf_dir):
+    """Deterministic stratified sample: 10 docs per source, chosen by
+    portable-hash order (a seeded without-replacement draw both
+    engines reproduce exactly)."""
+    d = T(spark, sf_dir, "documents")
+    return (
+        pipeline.sample_stratified(d, "source", "doc_id", 10)
+        .select("source", "doc_id")
+        .orderBy("source", "doc_id")
+    )
+
+
+@query(
+    "pipe_mix_sources",
+    oracle=f"""
+    SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM (
+        SELECT source, n_chars, ({_PH_DOC}) AS ph FROM documents
+    )
+    WHERE ph < CASE source
+        WHEN 'web' THEN CAST(0.5 * 2147483647 AS BIGINT)
+        WHEN 'books' THEN CAST(0.9 * 2147483647 AS BIGINT)
+        WHEN 'code' THEN CAST(0.25 * 2147483647 AS BIGINT)
+        ELSE 0 END
+    GROUP BY source ORDER BY source
+    """,
+)
+def pipe_mix_sources(spark, sf_dir):
+    """Weighted source mixing (web 50% / books 90% / code 25%, others
+    dropped): the data-mixture step of a corpus build as one
+    deterministic codegen'd filter — no shuffle, no sampling state."""
+    d = T(spark, sf_dir, "documents")
+    mixed = pipeline.mix_sources(
+        d, "source", "doc_id", {"web": 0.5, "books": 0.9, "code": 0.25}
+    )
+    return (
+        mixed.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "pipe_pii_scrub",
+    oracle=f"""
+    SELECT doc_id,
+           {pipeline.pii_scrub_sql("concat(text, ' reach me: user', doc_id, '@example.com or +1 555-123-4567, ssn 123-45-6789, host 10.0.0.', doc_id % 256)")} AS scrubbed
+    FROM documents
+    WHERE doc_id < 100
+    ORDER BY doc_id
+    """,
+)
+def pipe_pii_scrub(spark, sf_dir):
+    """PII redaction (email/phone/SSN/IPv4 -> typed placeholders) as
+    chained regexp_replace. The fixture text carries no PII, so the
+    query plants a deterministic PII suffix per doc on BOTH sides —
+    the parity check is non-vacuous."""
+    d = T(spark, sf_dir, "documents")
+    planted = F.concat(
+        F.col("text"),
+        F.lit(" reach me: user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1 555-123-4567, ssn 123-45-6789, host 10.0.0."),
+        (F.col("doc_id") % 256).cast("string"),
+    )
+    return (
+        d.filter(F.col("doc_id") < 100)
+        .select("doc_id", pipeline.pii_scrub(planted).alias("scrubbed"))
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "pipe_pack_sequences",
+    oracle="""
+    WITH RECURSIVE docs AS (
+        SELECT source, doc_id,
+               len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+               row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        FROM documents
+    ), pack AS (
+        SELECT source, doc_id, n_tokens, rn,
+               CAST(0 AS BIGINT) AS bin_id, n_tokens AS bin_fill
+        FROM docs WHERE rn = 1
+        UNION ALL
+        SELECT d.source, d.doc_id, d.n_tokens, d.rn,
+               CASE WHEN p.bin_fill + d.n_tokens > 120
+                    THEN p.bin_id + 1 ELSE p.bin_id END,
+               CASE WHEN p.bin_fill + d.n_tokens > 120
+                    THEN d.n_tokens ELSE p.bin_fill + d.n_tokens END
+        FROM docs d
+        JOIN pack p ON d.source = p.source AND d.rn = p.rn + 1
+    )
+    SELECT source, doc_id, n_tokens, bin_id, bin_fill
+    FROM pack ORDER BY source, doc_id
+    """,
+)
+def pipe_pack_sequences(spark, sf_dir):
+    """Greedy sequence packing to a 120-token budget per (source) bin —
+    the packing step that turns documents into fixed-length training
+    sequences. Spark runs the sequential reset recurrence one Arrow
+    batch per group (applyInPandas); the oracle replays it as a
+    DuckDB recursive CTE."""
+    d = T(spark, sf_dir, "documents")
+    toks = d.select(
+        "source",
+        "doc_id",
+        F.size(F.split(F.trim("text"), r"\s+")).alias("n_tokens"),
+    )
+    return pipeline.pack_sequences(
+        toks, "source", "doc_id", "n_tokens", budget=120
+    ).orderBy("source", "doc_id")
+
+
+@query(
+    "pipe_dictionary_encode",
+    oracle="""
+    WITH dl AS (
+        SELECT lang AS value,
+               dense_rank() OVER (ORDER BY lang) - 1 AS code
+        FROM (SELECT DISTINCT lang FROM documents WHERE lang IS NOT NULL)
+    ), ds AS (
+        SELECT source AS value,
+               dense_rank() OVER (ORDER BY source) - 1 AS code
+        FROM (SELECT DISTINCT source FROM documents WHERE source IS NOT NULL)
+    )
+    SELECT d.doc_id, dl.code AS lang_code, ds.code AS source_code
+    FROM documents d
+    LEFT JOIN dl ON dl.value = d.lang
+    LEFT JOIN ds ON ds.value = d.source
+    ORDER BY d.doc_id
+    """,
+)
+def pipe_dictionary_encode(spark, sf_dir):
+    """String-dictionary encoding (StringDictionary/StringDictionary.cpp;
+    TEXT ENCODING DICT of Shared/sqltypes.h): dense value-ordered codes
+    built without a single-partition window (range partition + local
+    row_number + broadcast offsets), applied via broadcast join."""
+    d = T(spark, sf_dir, "documents")
+    encoded, _ = pipeline.dictionary_encode(d, ["lang", "source"])
+    return encoded.select(
+        "doc_id",
+        F.col("lang_code").cast("long").alias("lang_code"),
+        F.col("source_code").cast("long").alias("source_code"),
+    ).orderBy("doc_id")

@@ -449,3 +449,86 @@ def test_multi_rasterize(spark):
     }
     assert r[(0.0, 0.0)] == (15.0, 4.0)
     assert r[(1.0, 0.0)] == (5.0, 7.0)
+
+
+def test_pack_sequences_invariants(spark):
+    """Greedy packing: bins are contiguous per group, fill never
+    exceeds budget unless a single doc alone does, and every doc
+    lands in exactly one bin."""
+    from heavydb_spark.operators.pipeline import pack_sequences
+
+    rows = [("a", i, t) for i, t in enumerate([40, 50, 60, 200, 10, 10])]
+    rows += [("b", i, t) for i, t in enumerate([100, 100, 1])]
+    df = spark.createDataFrame(rows, "src string, id long, tok long")
+    out = pack_sequences(df, "src", "id", "tok", budget=100).collect()
+    assert len(out) == len(rows)
+    by_grp: dict = {}
+    for r in out:
+        by_grp.setdefault(r.src, []).append(r)
+    for grp, rs in by_grp.items():
+        rs.sort(key=lambda r: r.id)
+        fills: dict = {}
+        for r in rs:
+            fills.setdefault(r.bin_id, 0)
+            fills[r.bin_id] += r.tok
+        for b, f in fills.items():
+            docs = [r for r in rs if r.bin_id == b]
+            assert f <= 100 or len(docs) == 1, (grp, b, f)
+        bins = [r.bin_id for r in rs]
+        assert bins == sorted(bins)
+        assert bins[0] == 0 and set(bins) == set(range(max(bins) + 1))
+    # group a: [40+50], [60], [200], [10+10]
+    a = {r.id: r.bin_id for r in by_grp["a"]}
+    assert a == {0: 0, 1: 0, 2: 1, 3: 2, 4: 3, 5: 3}
+
+
+def test_dictionary_codes_dense_and_ordered(spark):
+    """build_dictionary: codes are 0..n-1 dense and value-ordered, with
+    no single-partition global window in the plan path."""
+    from heavydb_spark.operators.pipeline import build_dictionary
+
+    vals = [(w,) for w in "zeta alpha mu beta alpha zeta kappa".split()]
+    df = spark.createDataFrame(vals, "s string")
+    d = build_dictionary(df, "s").collect()
+    got = {r.value: r.code for r in d}
+    ordered = sorted(got)
+    assert got == {v: i for i, v in enumerate(ordered)}
+
+
+def test_sample_hash_deterministic_and_unbiased(spark):
+    from heavydb_spark.operators.pipeline import sample_hash
+
+    df = spark.range(0, 20000).withColumnRenamed("id", "k")
+    a = sample_hash(df, "k", 0.25).count()
+    b = sample_hash(df, "k", 0.25).count()
+    assert a == b
+    assert abs(a / 20000 - 0.25) < 0.02
+
+
+def test_decontaminate_finds_planted_overlap(spark):
+    from heavydb_spark.operators.pipeline import decontaminate_ngram
+
+    train = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "completely unrelated text with different words here")],
+        "id long, text string",
+    )
+    test = spark.createDataFrame(
+        [(100, "quick brown fox jumps over a fence")],
+        "id long, text string",
+    )
+    hits = decontaminate_ngram(train, test, "id", "text", n=3, min_overlap=2).collect()
+    assert len(hits) == 1
+    assert hits[0].train_id == 1 and hits[0].test_id == 100
+    assert hits[0].n_shared >= 2
+
+
+def test_pii_scrub_patterns(spark):
+    from heavydb_spark.operators.pipeline import pii_scrub
+
+    df = spark.createDataFrame(
+        [("mail a.b+c@d-e.org call 555-123-4567 ssn 123-45-6789 ip 192.168.0.1",)],
+        "t string",
+    )
+    out = df.select(pii_scrub(F.col("t")).alias("s")).first().s
+    assert out == "mail <EMAIL> call <PHONE> ssn <SSN> ip <IP>"
