@@ -115,3 +115,103 @@ def shortest_path(
     for s in steps[1:]:
         out = out.union(s)
     return out.orderBy("path_step")
+
+
+def weighted_shortest_path(
+    edges: DataFrame,
+    source: int,
+    target: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "w",
+    max_iters: int = 50,
+) -> DataFrame:
+    """Single-source weighted shortest path source→target (Dijkstra
+    analogue of graph_shortest_path_impl, GraphTableFunctions.hpp:519).
+
+    Distributed Bellman-Ford with frontier pruning: each round relaxes
+    only edges out of nodes whose distance improved last round (one
+    join + union + min-aggregate). Converges in <= hop-diameter rounds
+    on non-negative weights; `max_iters` bounds pathological chains.
+    The state carries (dist, pred, hops) so path reconstruction needs
+    exactly one driver action to read the target's hop count, then
+    builds the pred-pointer walk as `hops` lazy joins — no per-hop
+    driver round-trip. Returns (path_step, node), 1-based like the
+    reference.
+
+    Iteration state is localCheckpoint'ed every round (blocks freed by
+    the ContextCleaner as superseded rounds are garbage-collected);
+    the convergence probe batches every round on the already-
+    materialized checkpoint, so each round is one relax job.
+    """
+    e = edges.select(
+        F.col(src_col).cast("long").alias("src"),
+        F.col(dst_col).cast("long").alias("dst"),
+        F.col(weight_col).cast("double").alias("w"),
+    ).localCheckpoint(eager=False)
+    spark = edges.sparkSession
+
+    dist = spark.createDataFrame(
+        [(source, 0.0, None, 0)],
+        "node LONG, dist DOUBLE, pred LONG, hops INT",
+    ).localCheckpoint(eager=True)
+    frontier = dist
+    for _ in range(max_iters):
+        cand = (
+            frontier.join(e, frontier["node"] == e["src"])
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("dist") + F.col("w")).alias("dist"),
+                F.col("src").alias("pred"),
+                (F.col("hops") + 1).alias("hops"),
+            )
+        )
+        merged = (
+            dist.select("node", "dist", "pred", "hops")
+            .unionByName(cand)
+            .groupBy("node")
+            .agg(F.min(F.struct("dist", "pred", "hops")).alias("m"))
+            .select(
+                "node",
+                F.col("m.dist").alias("dist"),
+                F.col("m.pred").alias("pred"),
+                F.col("m.hops").alias("hops"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        improved = (
+            merged.alias("n")
+            .join(dist.alias("o"), "node", "left")
+            .filter(
+                F.col("o.dist").isNull() | (F.col("n.dist") < F.col("o.dist"))
+            )
+            .select(
+                "node",
+                F.col("n.dist").alias("dist"),
+                F.col("n.pred").alias("pred"),
+                F.col("n.hops").alias("hops"),
+            )
+        )
+        dist = merged
+        frontier = improved
+        if improved.isEmpty():
+            break
+        # re-anchor the frontier on the checkpointed merged state so
+        # next round's lineage starts from a materialized plan
+        frontier = improved.localCheckpoint(eager=True)
+
+    t = dist.filter(F.col("node") == target).first()
+    if t is None:
+        return spark.createDataFrame([], "path_step INT, node LONG")
+    n_hops = t["hops"]
+    # pred-pointer walk in plan space: `n_hops` lazy joins against the
+    # checkpointed dist, one final collect by the caller
+    cur = dist.filter(F.col("node") == target)
+    steps = [cur.select(F.lit(n_hops + 1).alias("path_step"), "node")]
+    for k in range(n_hops, 0, -1):
+        cur = dist.join(cur.select(F.col("pred").alias("node")), "node")
+        steps.append(cur.select(F.lit(k).alias("path_step"), "node"))
+    out = steps[0]
+    for s in steps[1:]:
+        out = out.unionByName(s)
+    return out.orderBy("path_step")

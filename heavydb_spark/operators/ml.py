@@ -245,3 +245,120 @@ def supported_ml_frameworks(spark) -> DataFrame:
         [("spark-mllib", mllib_ok, True), ("closed-form-agg", True, False)],
         "ml_framework string, available boolean, is_default boolean",
     )
+
+
+def linear_reg_fit2(
+    df: DataFrame, x1_col: str, x2_col: str, y_col: str
+) -> DataFrame:
+    """Two-feature OLS via the closed-form normal equations on sample
+    (co)variances — one distributed aggregate and a symbolic 2x2
+    solve, so unlike the MLlib path it is exactly reproducible and
+    oracle-checkable. Output matches linear_reg_coefs
+    (MLTableFunctions.hpp): (coef_idx, coef), idx 0 = intercept.
+    """
+    s = df.agg(
+        F.var_samp(x1_col).alias("v11"),
+        F.var_samp(x2_col).alias("v22"),
+        F.covar_samp(x1_col, x2_col).alias("v12"),
+        F.covar_samp(x1_col, y_col).alias("c1"),
+        F.covar_samp(x2_col, y_col).alias("c2"),
+        F.avg(x1_col).alias("m1"),
+        F.avg(x2_col).alias("m2"),
+        F.avg(y_col).alias("my"),
+    )
+    det = F.col("v11") * F.col("v22") - F.col("v12") * F.col("v12")
+    b1 = (F.col("v22") * F.col("c1") - F.col("v12") * F.col("c2")) / det
+    b2 = (F.col("v11") * F.col("c2") - F.col("v12") * F.col("c1")) / det
+    b0 = F.col("my") - b1 * F.col("m1") - b2 * F.col("m2")
+    return s.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("coef_idx"), b0.alias("coef")),
+                F.struct(F.lit(1).alias("coef_idx"), b1.alias("coef")),
+                F.struct(F.lit(2).alias("coef_idx"), b2.alias("coef")),
+            )
+        ).alias("c")
+    ).select("c.coef_idx", "c.coef")
+
+
+def forest_var_importance(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    seed: int = 42,
+) -> DataFrame:
+    """random_forest_reg_fit(..., var_importance=true)
+    (MLTableFunctions.hpp): per-feature Gini/variance importance of a
+    fitted forest. The fit is MLlib-distributed; importances are
+    model metadata (feature-count-sized), emitted as a DataFrame."""
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.regression import RandomForestRegressor
+
+    va = VectorAssembler(inputCols=feature_cols, outputCol="features")
+    assembled = va.transform(df.select(*feature_cols, label_col))
+    model = RandomForestRegressor(
+        labelCol=label_col, featuresCol="features", seed=seed
+    ).fit(assembled)
+    imps = model.featureImportances.toArray().tolist()
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(f, float(i)) for f, i in zip(feature_cols, imps)],
+        "feature string, importance double",
+    )
+
+
+def get_decision_trees(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    num_trees: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """get_decision_trees (MLTableFunctions.hpp): per-tree structure of
+    a fitted forest — (tree_id, num_nodes, depth, weight). Model
+    metadata is O(trees), so emitting it from the driver is the same
+    metadata-sized step the reference performs."""
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.regression import RandomForestRegressor
+
+    va = VectorAssembler(inputCols=feature_cols, outputCol="features")
+    assembled = va.transform(df.select(*feature_cols, label_col))
+    model = RandomForestRegressor(
+        labelCol=label_col, featuresCol="features", numTrees=num_trees,
+        seed=seed,
+    ).fit(assembled)
+    rows = [
+        (i, t.numNodes, t.depth, float(w))
+        for i, (t, w) in enumerate(zip(model.trees, model.treeWeights))
+    ]
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        rows, "tree_id int, num_nodes int, depth int, weight double"
+    )
+
+
+def pca_fit(df: DataFrame, vec_col: str, k: int = 2) -> DataFrame:
+    """pca_fit (MLTableFunctions.hpp PCA model build): loading matrix +
+    explained variance of the top-k components as rows
+    (component_idx, feature_idx, loading, explained_variance)."""
+    try:
+        from pyspark.ml.feature import PCA
+        from pyspark.ml.functions import array_to_vector
+    except ImportError as exc:  # pragma: no cover
+        raise NotImplementedError("pyspark.ml unavailable") from exc
+
+    feat = df.withColumn("features", array_to_vector(F.col(vec_col)))
+    model = PCA(k=k, inputCol="features", outputCol="pca").fit(feat)
+    pc = model.pc.toArray()  # (n_features, k)
+    ev = model.explainedVariance.toArray()
+    rows = [
+        (c, f, float(pc[f][c]), float(ev[c]))
+        for c in range(pc.shape[1])
+        for f in range(pc.shape[0])
+    ]
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        rows,
+        "component_idx int, feature_idx int, loading double,"
+        " explained_variance double",
+    )

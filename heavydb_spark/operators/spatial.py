@@ -411,3 +411,192 @@ def geo_multi_rasterize(
         (F.floor(px / bin_size) * bin_size).alias("bin_x"),
         (F.floor(py / bin_size) * bin_size).alias("bin_y"),
     ).agg(*aggs)
+
+
+# Packing for (ix, iy) bin indices into one long node id: offsets keep
+# negatives positive, 2^21 bins per axis (±1M bins ~ raster side of 2M
+# cells — far beyond any practical raster extent).
+_BIN_OFF = 1 << 20
+_BIN_MUL = 1 << 21
+
+
+def _pack_bin(ix: Column, iy: Column) -> Column:
+    return (ix + _BIN_OFF) * _BIN_MUL + (iy + _BIN_OFF)
+
+
+def cross_section_2d(
+    points: DataFrame,
+    x1: float,
+    y1: float,
+    x2: float,
+    y2: float,
+    num_points_x: int,
+    num_points_y: int,
+    dwithin: float,
+    point_cols: tuple[str, str] = ("x", "y"),
+    level_col: str = "level",
+    value_col: str = "v",
+) -> DataFrame:
+    """tf_cross_section_2d (CrossSectionTableFunctions.hpp:134): a 2D
+    vertical slice through a 3D field — stations along the segment
+    (x1,y1)->(x2,y2) on the horizontal axis, `level_col` on the
+    vertical axis, cell value = the field sampled near the slice
+    plane.
+
+    The reference interpolates each grid cell from its 3 nearest
+    points (kd-tree IDW); the scalable re-expression is grid-average:
+    project every point onto the line (t = distance along it), keep
+    points within `dwithin` of the plane, bin (t, level) to the
+    num_points_x × num_points_y grid, and average values per cell —
+    a single groupBy, no spatial index, exact and deterministic (so
+    DuckDB can replay it as an oracle). Cells with no points are
+    omitted (reference emits inverse-distance fill instead).
+
+    Output: (x, y, color) with x = distance along the line at the
+    station center, y = level-bin center.
+    """
+    import math
+
+    px, py = (F.col(c) for c in point_cols)
+    dx, dy = x2 - x1, y2 - y1
+    line_len = math.sqrt(dx * dx + dy * dy)
+    if line_len == 0:
+        raise ValueError("degenerate cross-section line")
+    ux, uy = dx / line_len, dy / line_len
+    # projection along line and perpendicular offset (meters)
+    t = (px - x1) * ux + (py - y1) * uy
+    perp = (px - x1) * uy - (py - y1) * ux
+    lo = points.filter(
+        (F.abs(perp) <= dwithin) & (t >= 0) & (t <= line_len)
+    ).select(
+        t.alias("t"), F.col(level_col).alias("lvl"), F.col(value_col).alias("v")
+    )
+    stats = lo.agg(F.min("lvl").alias("lmin"), F.max("lvl").alias("lmax"))
+    binned = lo.join(F.broadcast(stats)).select(
+        F.least(
+            F.floor(F.col("t") / line_len * num_points_x),
+            F.lit(num_points_x - 1),
+        ).alias("bx"),
+        F.least(
+            F.floor(
+                (F.col("lvl") - F.col("lmin"))
+                / ((F.col("lmax") - F.col("lmin")) / num_points_y)
+            ),
+            F.lit(num_points_y - 1),
+        ).alias("by"),
+        "v",
+        "lmin",
+        "lmax",
+    )
+    cell_h = (F.col("lmax") - F.col("lmin")) / num_points_y
+    return (
+        binned.groupBy("bx", "by", "lmin", "lmax")
+        .agg(F.avg("v").alias("color"))
+        .select(
+            ((F.col("bx") + 0.5) * (line_len / num_points_x)).alias("x"),
+            (F.col("lmin") + (F.col("by") + 0.5) * cell_h).alias("y"),
+            "color",
+        )
+    )
+
+
+def raster_graph_shortest_slope_weighted_path(
+    points: DataFrame,
+    bin_size: float,
+    origin: tuple[float, float],
+    destination: tuple[float, float],
+    slope_weight_exponent: float = 3.0,
+    slope_pct_max: float = 100.0,
+    point_cols: tuple[str, str] = ("x", "y"),
+    value_col: str = "z",
+    max_iters: int | None = None,
+) -> DataFrame:
+    """tf_raster_graph_shortest_slope_weighted_path
+    (GraphTableFunctions.hpp:519): rasterize, build the 8-neighbor
+    slope-weighted graph, return the cheapest origin→destination path
+    as (path_step, x, y) rows, 1-based steps at bin centers.
+
+    Edge semantics match generate_raster_graph_edges
+    (GraphTableFunctions.hpp:460-514): directed edge cell→neighbor
+    dropped when slope% > slope_pct_max (uphill cap; downhill always
+    allowed), cost = dist * (1 + |slope|)^slope_weight_exponent with
+    dist = bin_size (axis) or bin_size*sqrt(2) (diagonal). Bins are on
+    the absolute floor(x/bin_size) grid rather than the reference's
+    data-min-anchored grid — same cells, shifted indices.
+
+    Scale shape mirrors the reference exactly: the 100 TB input is
+    reduced by ONE distributed groupBy to the raster grid (bounded by
+    (extent/bin_size)^2 cells — output-sized, not input-sized); the
+    Dijkstra then runs on that materialized grid in driver memory,
+    the same single-node boost::dijkstra step the reference performs
+    on its in-memory GeoRaster. For graphs too large to materialize,
+    use operators/graph.py weighted_shortest_path (distributed
+    Bellman-Ford) instead.
+    """
+    import heapq
+    import math
+
+    px, py = (F.col(c) for c in point_cols)
+    raster = (
+        points.groupBy(
+            F.floor(px / bin_size).cast("long").alias("ix"),
+            F.floor(py / bin_size).cast("long").alias("iy"),
+        )
+        .agg(F.avg(value_col).alias("z"))
+    )
+    grid = {(r["ix"], r["iy"]): r["z"] for r in raster.collect()}
+    spark = points.sparkSession
+
+    o_bin = (math.floor(origin[0] / bin_size), math.floor(origin[1] / bin_size))
+    d_bin = (
+        math.floor(destination[0] / bin_size),
+        math.floor(destination[1] / bin_size),
+    )
+    empty = spark.createDataFrame(
+        [], "path_step INT, x DOUBLE, y DOUBLE"
+    )
+    if o_bin not in grid or d_bin not in grid:
+        return empty
+
+    diag = math.sqrt(2.0) * bin_size
+    nbrs = [
+        (dx, dy, bin_size if dx == 0 or dy == 0 else diag)
+        for dx in (-1, 0, 1)
+        for dy in (-1, 0, 1)
+        if not (dx == 0 and dy == 0)
+    ]
+    dist: dict[tuple[int, int], float] = {o_bin: 0.0}
+    pred: dict[tuple[int, int], tuple[int, int]] = {}
+    heap = [(0.0, o_bin)]
+    while heap:
+        d, cell = heapq.heappop(heap)
+        if cell == d_bin:
+            break
+        if d > dist.get(cell, math.inf):
+            continue
+        z1 = grid[cell]
+        for dx, dy, step in nbrs:
+            ncell = (cell[0] + dx, cell[1] + dy)
+            z2 = grid.get(ncell)
+            if z2 is None:
+                continue
+            slope = (z2 - z1) / step
+            if slope * 100.0 > slope_pct_max:
+                continue
+            w = step * (1.0 + abs(slope)) ** slope_weight_exponent
+            nd = d + w
+            if nd < dist.get(ncell, math.inf):
+                dist[ncell] = nd
+                pred[ncell] = cell
+                heapq.heappush(heap, (nd, ncell))
+    if d_bin not in dist:
+        return empty
+    path = [d_bin]
+    while path[-1] != o_bin:
+        path.append(pred[path[-1]])
+    path.reverse()
+    rows = [
+        (i + 1, (c[0] + 0.5) * bin_size, (c[1] + 0.5) * bin_size)
+        for i, c in enumerate(path)
+    ]
+    return spark.createDataFrame(rows, "path_step INT, x DOUBLE, y DOUBLE")

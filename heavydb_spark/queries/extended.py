@@ -989,3 +989,164 @@ def tf_raster_contour(spark, sf_dir):
         F.round("x2", 6).alias("x2"),
         F.round("y2", 6).alias("y2"),
     ).orderBy("x1", "y1", "x2", "y2")
+
+
+@query("tf_raster_slope_path")  # iterative SSSP -> rows-only check
+def tf_raster_slope_path(spark, sf_dir):
+    """tf_raster_graph_shortest_slope_weighted_path
+    (GraphTableFunctions.hpp:519): slope-weighted cheapest path across
+    the events raster from (2.5,2.5) to (97.5,97.5) — distributed rasterize
+    reduction + exact Dijkstra on the materialized grid
+    (operators/spatial.py raster_graph_shortest_slope_weighted_path)."""
+    from heavydb_spark.operators.spatial import (
+        raster_graph_shortest_slope_weighted_path,
+    )
+
+    ev = T(spark, sf_dir, "events")
+    pts = ev.select(
+        ((F.col("event_id") * 13 % 1000) / 10.0).alias("x"),
+        ((F.col("event_id") * 17 % 1000) / 10.0).alias("y"),
+        F.col("value").alias("z"),
+    )
+    return raster_graph_shortest_slope_weighted_path(
+        pts,
+        bin_size=5.0,
+        origin=(2.5, 2.5),
+        destination=(97.5, 97.5),
+        slope_weight_exponent=2.0,
+        slope_pct_max=2000.0,
+    )
+
+
+@query(
+    "tf_cross_section_2d",
+    oracle="""
+    WITH pts AS (
+        SELECT CAST(mod(event_id * 13, 1000) AS DOUBLE) / 10 AS x,
+               CAST(mod(event_id * 17, 1000) AS DOUBLE) / 10 AS y,
+               CAST(mod(event_id * 7, 100) AS DOUBLE) AS lvl,
+               value AS v
+        FROM events
+    ), proj AS (
+        SELECT (x - 0.0) * (100.0 / sqrt(2.0 * 100.0 * 100.0))
+             + (y - 0.0) * (100.0 / sqrt(2.0 * 100.0 * 100.0)) AS t,
+               (x - 0.0) * (100.0 / sqrt(2.0 * 100.0 * 100.0))
+             - (y - 0.0) * (100.0 / sqrt(2.0 * 100.0 * 100.0)) AS perp,
+               lvl, v
+        FROM pts
+    ), kept AS (
+        SELECT t, lvl, v FROM proj
+        WHERE abs(perp) <= 15.0 AND t >= 0
+          AND t <= sqrt(2.0 * 100.0 * 100.0)
+    ), rng AS (
+        SELECT min(lvl) AS lmin, max(lvl) AS lmax FROM kept
+    ), binned AS (
+        SELECT least(CAST(floor(t / sqrt(2.0 * 100.0 * 100.0) * 20) AS BIGINT), 19) AS bx,
+               least(CAST(floor((lvl - lmin) / ((lmax - lmin) / 10.0)) AS BIGINT), 9) AS by,
+               v, lmin, lmax
+        FROM kept, rng
+    )
+    SELECT round((bx + 0.5) * (sqrt(2.0 * 100.0 * 100.0) / 20), 6) AS x,
+           round(lmin + (by + 0.5) * ((lmax - lmin) / 10.0), 6) AS y,
+           round(avg(v), 6) AS color
+    FROM binned GROUP BY bx, by, lmin, lmax
+    ORDER BY x, y
+    """,
+)
+def tf_cross_section_2d(spark, sf_dir):
+    """tf_cross_section_2d (CrossSectionTableFunctions.hpp:134): 2D
+    vertical slice along the (0,0)->(100,100) diagonal, 20 stations x
+    10 level bins, slab half-width 15 — grid-average re-expression of
+    the reference's kd-tree IDW sampling (one groupBy, no spatial
+    index; operators/spatial.py cross_section_2d)."""
+    from heavydb_spark.operators.spatial import cross_section_2d
+
+    ev = T(spark, sf_dir, "events")
+    pts = ev.select(
+        ((F.col("event_id") * 13 % 1000) / 10.0).alias("x"),
+        ((F.col("event_id") * 17 % 1000) / 10.0).alias("y"),
+        ((F.col("event_id") * 7 % 100).cast("double")).alias("level"),
+        F.col("value").alias("v"),
+    )
+    out = cross_section_2d(
+        pts, 0.0, 0.0, 100.0, 100.0,
+        num_points_x=20, num_points_y=10, dwithin=15.0,
+        point_cols=("x", "y"), level_col="level", value_col="v",
+    )
+    return out.select(
+        F.round("x", 6).alias("x"),
+        F.round("y", 6).alias("y"),
+        F.round("color", 6).alias("color"),
+    ).orderBy("x", "y")
+
+
+@query(
+    "ml_linear_reg2",
+    oracle="""
+    WITH s AS (
+        SELECT var_samp(l_quantity) AS v11,
+               var_samp(l_discount) AS v22,
+               covar_samp(l_quantity, l_discount) AS v12,
+               covar_samp(l_quantity, l_extendedprice) AS c1,
+               covar_samp(l_discount, l_extendedprice) AS c2,
+               avg(l_quantity) AS m1, avg(l_discount) AS m2,
+               avg(l_extendedprice) AS my
+        FROM lineitem
+    ), d AS (
+        SELECT *, v11 * v22 - v12 * v12 AS det FROM s
+    ), b AS (
+        SELECT (v22 * c1 - v12 * c2) / det AS b1,
+               (v11 * c2 - v12 * c1) / det AS b2,
+               m1, m2, my
+        FROM d
+    )
+    SELECT coef_idx, round(coef, 4) AS coef FROM (
+        SELECT 0 AS coef_idx, my - b1 * m1 - b2 * m2 AS coef FROM b
+        UNION ALL SELECT 1, b1 FROM b
+        UNION ALL SELECT 2, b2 FROM b
+    ) ORDER BY coef_idx
+    """,
+)
+def ml_linear_reg2(spark, sf_dir):
+    """linear_reg_coefs, two-feature form (MLTableFunctions.hpp):
+    closed-form normal equations over (co)variance aggregates —
+    exactly reproducible, so unlike the MLlib path it has a value
+    oracle (operators/ml.py linear_reg_fit2)."""
+    li = T(spark, sf_dir, "lineitem")
+    return (
+        ml.linear_reg_fit2(li, "l_quantity", "l_discount", "l_extendedprice")
+        .select("coef_idx", F.round("coef", 4).alias("coef"))
+        .orderBy("coef_idx")
+    )
+
+
+@query("ml_var_importance")  # randomized MLlib forest fit -> rows-only
+def ml_var_importance(spark, sf_dir):
+    """random_forest_reg_fit variable importances
+    (MLTableFunctions.hpp): per-feature importance of the fitted
+    forest (operators/ml.py forest_var_importance)."""
+    li = T(spark, sf_dir, "lineitem").limit(5000)
+    return ml.forest_var_importance(
+        li, ["l_quantity", "l_discount", "l_tax"], "l_extendedprice"
+    ).orderBy("feature")
+
+
+@query("ml_decision_trees")  # randomized MLlib forest fit -> rows-only
+def ml_decision_trees(spark, sf_dir):
+    """get_decision_trees (MLTableFunctions.hpp): structure rows of a
+    fitted forest (operators/ml.py get_decision_trees)."""
+    li = T(spark, sf_dir, "lineitem").limit(5000)
+    return ml.get_decision_trees(
+        li, ["l_quantity", "l_discount"], "l_extendedprice", num_trees=5
+    ).orderBy("tree_id")
+
+
+@query("ml_pca_fit")  # iterative MLlib eigendecomposition -> rows-only
+def ml_pca_fit(spark, sf_dir):
+    """pca_fit (MLTableFunctions.hpp): top-2 component loadings +
+    explained variance over the embeddings table
+    (operators/ml.py pca_fit)."""
+    e = T(spark, sf_dir, "embeddings")
+    return ml.pca_fit(e, "embedding", k=2).orderBy(
+        "component_idx", "feature_idx"
+    )

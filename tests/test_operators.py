@@ -532,3 +532,124 @@ def test_pii_scrub_patterns(spark):
     )
     out = df.select(pii_scrub(F.col("t")).alias("s")).first().s
     assert out == "mail <EMAIL> call <PHONE> ssn <SSN> ip <IP>"
+
+
+def test_weighted_shortest_path_prefers_cheap_detour(spark):
+    """Distributed Bellman-Ford: 1->2->3 (cost 2) beats direct 1->3
+    (cost 10); path steps are 1-based and ordered."""
+    from heavydb_spark.operators.graph import weighted_shortest_path
+
+    e = spark.createDataFrame(
+        [(1, 2, 1.0), (2, 3, 1.0), (1, 3, 10.0)],
+        "src long, dst long, w double",
+    )
+    p = [(r.path_step, r.node) for r in
+         weighted_shortest_path(e, 1, 3, max_iters=5).collect()]
+    assert p == [(1, 1), (2, 2), (3, 3)]
+
+
+def test_raster_slope_path_avoids_ridge(spark):
+    """Slope-weighted raster path: a flat detour beats climbing a
+    steep ridge between origin and destination."""
+    from heavydb_spark.operators.spatial import (
+        raster_graph_shortest_slope_weighted_path,
+    )
+
+    # 3x3 grid: center column is a high ridge; corners flat
+    pts = []
+    for ix in range(3):
+        for iy in range(3):
+            z = 100.0 if ix == 1 and iy != 2 else 0.0
+            pts.append((ix + 0.5, iy + 0.5, z))
+    df = spark.createDataFrame(pts, "x double, y double, z double")
+    path = raster_graph_shortest_slope_weighted_path(
+        df, 1.0, (0.5, 0.5), (2.5, 0.5),
+        slope_weight_exponent=3.0, slope_pct_max=1e9,
+    ).collect()
+    cells = [(r.x, r.y) for r in path]
+    assert cells[0] == (0.5, 0.5) and cells[-1] == (2.5, 0.5)
+    # must route through the flat top row (y=2.5), not the ridge cells
+    assert (1.5, 2.5) in cells
+    assert (1.5, 0.5) not in cells and (1.5, 1.5) not in cells
+
+
+def test_raster_slope_path_respects_slope_cap(spark):
+    """Uphill edges above slope_pct_max are dropped: a wall of
+    over-cap climb makes the destination unreachable."""
+    from heavydb_spark.operators.spatial import (
+        raster_graph_shortest_slope_weighted_path,
+    )
+
+    pts = []
+    for ix in range(3):
+        for iy in range(3):
+            z = 1000.0 if ix == 1 else 0.0
+            pts.append((ix + 0.5, iy + 0.5, z))
+    df = spark.createDataFrame(pts, "x double, y double, z double")
+    path = raster_graph_shortest_slope_weighted_path(
+        df, 1.0, (0.5, 0.5), (2.5, 0.5),
+        slope_weight_exponent=1.0, slope_pct_max=100.0,
+    ).collect()
+    assert path == []
+
+
+def test_cross_section_2d_grid_average(spark):
+    """2D cross-section: points project onto the line, off-slab points
+    are dropped, grid cells average their values."""
+    from heavydb_spark.operators.spatial import cross_section_2d
+
+    rows = [
+        # on the x-axis line, level 0 and 10
+        (1.0, 0.0, 0.0, 10.0),
+        (1.2, 0.0, 0.0, 20.0),
+        (9.0, 0.0, 10.0, 50.0),
+        # far off the slab -> dropped
+        (5.0, 99.0, 5.0, 999.0),
+    ]
+    df = spark.createDataFrame(rows, "x double, y double, level double, v double")
+    out = cross_section_2d(
+        df, 0.0, 0.0, 10.0, 0.0, num_points_x=5, num_points_y=2,
+        dwithin=1.0, level_col="level", value_col="v",
+    ).collect()
+    vals = {(round(r.x, 3), round(r.y, 3)): r.color for r in out}
+    assert len(vals) == 2
+    # station 0 (x in [0,2)) -> center 1.0; levels 0&0 -> low bin center 2.5
+    assert vals[(1.0, 2.5)] == 15.0
+    assert vals[(9.0, 7.5)] == 50.0
+
+
+def test_ml_accessor_udtfs(spark):
+    from heavydb_spark.operators.ml import (
+        forest_var_importance,
+        get_decision_trees,
+        linear_reg_fit2,
+        pca_fit,
+    )
+
+    df = spark.createDataFrame(
+        [(float(i), float(i % 7), 3.0 + 2.0 * i + 0.5 * (i % 7))
+         for i in range(200)],
+        "x1 double, x2 double, y double",
+    )
+    coefs = {r.coef_idx: r.coef for r in
+             linear_reg_fit2(df, "x1", "x2", "y").collect()}
+    assert abs(coefs[0] - 3.0) < 1e-6
+    assert abs(coefs[1] - 2.0) < 1e-6
+    assert abs(coefs[2] - 0.5) < 1e-6
+
+    imp = forest_var_importance(df, ["x1", "x2"], "y").collect()
+    assert {r.feature for r in imp} == {"x1", "x2"}
+    assert abs(sum(r.importance for r in imp) - 1.0) < 1e-6
+
+    trees = get_decision_trees(df, ["x1", "x2"], "y", num_trees=3).collect()
+    assert [r.tree_id for r in trees] == [0, 1, 2]
+    assert all(r.num_nodes >= 1 and r.depth >= 0 for r in trees)
+
+    vecs = spark.createDataFrame(
+        [([float(i), float(10 - i), 1.0],) for i in range(20)],
+        "emb array<double>",
+    )
+    comp = pca_fit(vecs, "emb", k=2).collect()
+    assert len(comp) == 6  # 2 components x 3 features
+    ev = {r.component_idx: r.explained_variance for r in comp}
+    assert ev[0] >= ev[1] >= 0.0
