@@ -460,3 +460,100 @@ def grid_cell(p: Column, cell_size: float) -> Column:
         F.floor(p["x"] / cell_size).cast("long").alias("cx"),
         F.floor(p["y"] / cell_size).cast("long").alias("cy"),
     )
+
+
+def st_numrings(poly: Column) -> Column:
+    """ST_NumRings (ExtensionFunctionsGeo.hpp ring-count accessors):
+    outer ring + holes."""
+    return F.size(poly)
+
+
+def st_npoints_polygon(poly: Column) -> Column:
+    """ST_NPoints over all rings of a polygon."""
+    return _fsum(F.transform(poly, lambda r: F.size(r).cast("double"))).cast(
+        "int"
+    )
+
+
+def st_buffer_point(
+    p: Column, radius: float, n_segments: int = 16
+) -> Column:
+    """ST_Buffer(POINT, r) (reference delegates to GEOS,
+    Geospatial/GeosRuntime.cpp): regular n-gon approximation of the
+    radius-r disc, as a single-ring polygon. Deterministic closed-form
+    vertices — the buffered ring composes with every polygon operator
+    here (area/perimeter/contains), and the approximation error is the
+    standard circle-to-n-gon sagitta (~r·(1-cos(pi/n)))."""
+    import math
+
+    two_pi = 2 * math.pi
+    ring = F.transform(
+        F.sequence(F.lit(0), F.lit(n_segments - 1)),
+        lambda i: F.struct(
+            (p["x"] + radius * F.cos(i.cast("double") * two_pi / n_segments)
+             ).alias("x"),
+            (p["y"] + radius * F.sin(i.cast("double") * two_pi / n_segments)
+             ).alias("y"),
+        ),
+    )
+    return F.array(ring)
+
+
+def st_intersection_bbox(a: Column, b: Column) -> Column:
+    """Envelope intersection of two polygons: the overlap rectangle of
+    their bounding boxes as struct<xmin,ymin,xmax,ymax>, NULL when the
+    envelopes are disjoint — the cheap pre-pass of ST_Intersection
+    (full polygon clipping is GEOS scope, like the reference's
+    Geospatial/GeosRuntime.cpp delegation)."""
+    ba, bb = st_polygon_bbox(a), st_polygon_bbox(b)
+    xmin = F.greatest(ba["xmin"], bb["xmin"])
+    ymin = F.greatest(ba["ymin"], bb["ymin"])
+    xmax = F.least(ba["xmax"], bb["xmax"])
+    ymax = F.least(ba["ymax"], bb["ymax"])
+    box = F.struct(
+        xmin.alias("xmin"), ymin.alias("ymin"),
+        xmax.alias("xmax"), ymax.alias("ymax"),
+    )
+    return F.when((xmin <= xmax) & (ymin <= ymax), box)
+
+
+def st_distance_point_polygon(
+    px: Column, py: Column, poly: Column
+) -> Column:
+    """ST_Distance(POINT, POLYGON) (ExtensionFunctionsGeo.hpp
+    distance_point_poly): 0 when the point is inside (holes count as
+    outside), else min distance over every ring's edges."""
+    edge_d = F.array_min(
+        F.flatten(
+            F.transform(
+                poly,
+                lambda ring: _ring_pt_dists(ring, px, py),
+            )
+        )
+    )
+    return F.when(st_contains_point(poly, px, py), F.lit(0.0)).otherwise(
+        edge_d
+    )
+
+
+def _ring_pt_dists(ring: Column, px: Column, py: Column) -> Column:
+    """Per-edge point distances for a closed ring (wraps last->first)."""
+    n = F.size(ring)
+
+    def seg_dist(a: Column, b: Column) -> Column:
+        dx, dy = b["x"] - a["x"], b["y"] - a["y"]
+        seg_len2 = dx * dx + dy * dy
+        t_raw = ((px - a["x"]) * dx + (py - a["y"]) * dy) / seg_len2
+        t = F.when(seg_len2 == 0, F.lit(0.0)).otherwise(
+            F.least(F.greatest(t_raw, F.lit(0.0)), F.lit(1.0))
+        )
+        cx, cy = a["x"] + t * dx, a["y"] + t * dy
+        return F.sqrt((px - cx) * (px - cx) + (py - cy) * (py - cy))
+
+    return F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: seg_dist(
+            F.element_at(ring, i),
+            F.element_at(ring, F.when(i == n, 1).otherwise(i + 1)),
+        ),
+    )

@@ -1150,3 +1150,83 @@ def ml_pca_fit(spark, sf_dir):
     return ml.pca_fit(e, "embedding", k=2).orderBy(
         "component_idx", "feature_idx"
     )
+
+
+@query(
+    "geo_accessors_distance",
+    oracle="""
+    WITH """ + _POLY_ORACLE_RINGS + """,
+    probe AS (
+        SELECT n_nationkey,
+               n_nationkey*10.0 + 4.0 AS px,
+               (n_nationkey%5)*7.0 + 1.0 AS py
+        FROM nation
+    ),
+    segd AS (
+        SELECT e.n_nationkey,
+               min(CASE WHEN (e.x2-e.x)*(e.x2-e.x)+(e.y2-e.y)*(e.y2-e.y) = 0
+                        THEN sqrt((p.px-e.x)*(p.px-e.x)+(p.py-e.y)*(p.py-e.y))
+                        ELSE sqrt(
+                          (p.px - (e.x + least(greatest(
+                             ((p.px-e.x)*(e.x2-e.x)+(p.py-e.y)*(e.y2-e.y))
+                             / ((e.x2-e.x)*(e.x2-e.x)+(e.y2-e.y)*(e.y2-e.y)), 0), 1)
+                             * (e.x2-e.x)))
+                          * (p.px - (e.x + least(greatest(
+                             ((p.px-e.x)*(e.x2-e.x)+(p.py-e.y)*(e.y2-e.y))
+                             / ((e.x2-e.x)*(e.x2-e.x)+(e.y2-e.y)*(e.y2-e.y)), 0), 1)
+                             * (e.x2-e.x)))
+                          +
+                          (p.py - (e.y + least(greatest(
+                             ((p.px-e.x)*(e.x2-e.x)+(p.py-e.y)*(e.y2-e.y))
+                             / ((e.x2-e.x)*(e.x2-e.x)+(e.y2-e.y)*(e.y2-e.y)), 0), 1)
+                             * (e.y2-e.y)))
+                          * (p.py - (e.y + least(greatest(
+                             ((p.px-e.x)*(e.x2-e.x)+(p.py-e.y)*(e.y2-e.y))
+                             / ((e.x2-e.x)*(e.x2-e.x)+(e.y2-e.y)*(e.y2-e.y)), 0), 1)
+                             * (e.y2-e.y))))
+                   END) AS edge_dist
+        FROM e JOIN probe p USING (n_nationkey)
+        GROUP BY e.n_nationkey
+    ),
+    crossing AS (
+        SELECT e.n_nationkey,
+               sum(CASE WHEN (e.y > p.py) <> (e.y2 > p.py)
+                        THEN CASE WHEN p.px < e.x + (e.x2 - e.x)*(p.py - e.y)/(e.y2 - e.y)
+                                  THEN 1 ELSE 0 END
+                        ELSE 0 END) AS k
+        FROM e JOIN probe p USING (n_nationkey)
+        GROUP BY e.n_nationkey
+    )
+    SELECT s.n_nationkey,
+           2 AS numrings,
+           12 AS npoints,
+           round(CASE WHEN c.k % 2 = 1 THEN 0.0 ELSE s.edge_dist END, 4) AS dist,
+           round(0.5 * 16 * 1.5 * 1.5 * sin(2*pi()/16), 4) AS buf_area
+    FROM segd s JOIN crossing c USING (n_nationkey)
+    ORDER BY s.n_nationkey
+    """,
+)
+def geo_accessors_distance(spark, sf_dir):
+    """ST_NumRings / ST_NPoints / ST_Distance(POINT, POLYGON) /
+    ST_Buffer(POINT, r) (ExtensionFunctionsGeo.hpp accessors +
+    distance_point_poly; buffer per Geospatial/GeosRuntime.cpp scope):
+    per-nation probe point against the holed polygon, plus the area of
+    a 16-gon buffer — Spark computes it via the generic shoelace over
+    the generated ring while the oracle uses the closed-form n-gon
+    area, cross-validating both paths."""
+    polys = _nation_polygons(spark, sf_dir)
+    nk = F.col("n_nationkey").cast("double")
+    px = nk * 10.0 + 4.0
+    py = (F.col("n_nationkey") % 5).cast("double") * 7.0 + 1.0
+    buf = geo.st_buffer_point(
+        geo.st_point(px, py), radius=1.5, n_segments=16
+    )
+    return polys.select(
+        "n_nationkey",
+        geo.st_numrings(F.col("poly")).alias("numrings"),
+        geo.st_npoints_polygon(F.col("poly")).alias("npoints"),
+        F.round(
+            geo.st_distance_point_polygon(px, py, F.col("poly")), 4
+        ).alias("dist"),
+        F.round(geo.st_area(buf), 4).alias("buf_area"),
+    ).orderBy("n_nationkey")

@@ -653,3 +653,59 @@ def test_ml_accessor_udtfs(spark):
     assert len(comp) == 6  # 2 components x 3 features
     ev = {r.component_idx: r.explained_variance for r in comp}
     assert ev[0] >= ev[1] >= 0.0
+
+
+def test_geo_buffer_and_point_polygon_distance(spark):
+    from heavydb_spark.functions import geo
+
+    # unit square with no holes
+    sq = F.array(F.array(
+        F.struct(F.lit(0.0).alias("x"), F.lit(0.0).alias("y")),
+        F.struct(F.lit(4.0).alias("x"), F.lit(0.0).alias("y")),
+        F.struct(F.lit(4.0).alias("x"), F.lit(4.0).alias("y")),
+        F.struct(F.lit(0.0).alias("x"), F.lit(4.0).alias("y")),
+    ))
+    df = spark.range(1).select(sq.alias("poly"))
+    row = df.select(
+        geo.st_numrings(F.col("poly")).alias("nr"),
+        geo.st_npoints_polygon(F.col("poly")).alias("np"),
+        geo.st_distance_point_polygon(F.lit(2.0), F.lit(2.0), F.col("poly")).alias("din"),
+        geo.st_distance_point_polygon(F.lit(6.0), F.lit(2.0), F.col("poly")).alias("dout"),
+        geo.st_distance_point_polygon(F.lit(7.0), F.lit(8.0), F.col("poly")).alias("dcorner"),
+    ).first()
+    assert row.nr == 1 and row.np == 4
+    assert row.din == 0.0
+    assert abs(row.dout - 2.0) < 1e-9
+    assert abs(row.dcorner - 5.0) < 1e-9  # 3-4-5 to corner (4,4)
+
+    # buffer: 64-gon area converges to pi r^2; bbox intersection
+    buf = geo.st_buffer_point(
+        geo.st_point(F.lit(10.0), F.lit(10.0)), 2.0, 64
+    )
+    a = spark.range(1).select(geo.st_area(buf).alias("a")).first().a
+    import math
+    assert abs(a - math.pi * 4.0) < 0.05
+
+    inter = spark.range(1).select(
+        geo.st_intersection_bbox(
+            sq,
+            F.array(F.array(
+                F.struct(F.lit(2.0).alias("x"), F.lit(2.0).alias("y")),
+                F.struct(F.lit(9.0).alias("x"), F.lit(2.0).alias("y")),
+                F.struct(F.lit(9.0).alias("x"), F.lit(9.0).alias("y")),
+                F.struct(F.lit(2.0).alias("x"), F.lit(9.0).alias("y")),
+            )),
+        ).alias("b")
+    ).first().b
+    assert (inter.xmin, inter.ymin, inter.xmax, inter.ymax) == (2.0, 2.0, 4.0, 4.0)
+    disjoint = spark.range(1).select(
+        geo.st_intersection_bbox(
+            sq,
+            F.array(F.array(
+                F.struct(F.lit(10.0).alias("x"), F.lit(10.0).alias("y")),
+                F.struct(F.lit(11.0).alias("x"), F.lit(10.0).alias("y")),
+                F.struct(F.lit(11.0).alias("x"), F.lit(11.0).alias("y")),
+            )),
+        ).alias("b")
+    ).first().b
+    assert disjoint is None
