@@ -600,3 +600,59 @@ def raster_graph_shortest_slope_weighted_path(
         for i, c in enumerate(path)
     ]
     return spark.createDataFrame(rows, "path_step INT, x DOUBLE, y DOUBLE")
+
+
+def raster_contour_polygons(
+    points: DataFrame,
+    bin_size: float,
+    contour_interval: float,
+    contour_offset: float = 0.0,
+    point_cols: tuple[str, str] = ("x", "y"),
+    value_col: str = "z",
+) -> DataFrame:
+    """tf_raster_contour_polygons (GDALTableFunctions.hpp:629): filled
+    contour bands of the rasterized field at
+    `contour_offset + k*contour_interval` levels. The reference emits
+    GDAL-traced band polygons; the distributed re-expression emits each
+    band as axis-aligned run rectangles — consecutive same-band cells
+    along a raster row merged into one rectangle (run-length merge via
+    the ix − row_number grouping trick), which is the polygon cover a
+    renderer tiles from anyway.
+
+    Output: (xmin, ymin, xmax, ymax, contour_value) where
+    contour_value is the band's lower contour level.
+
+    Plan: rasterize groupBy + one window over (iy, band) + one final
+    groupBy — three well-keyed shuffles, all codegen.
+    """
+    from pyspark.sql import Window
+
+    px, py = (F.col(c) for c in point_cols)
+    raster = points.groupBy(
+        F.floor(px / bin_size).cast("long").alias("ix"),
+        F.floor(py / bin_size).cast("long").alias("iy"),
+    ).agg(F.avg(value_col).alias("z"))
+    banded = raster.select(
+        "ix",
+        "iy",
+        F.floor((F.col("z") - contour_offset) / contour_interval)
+        .cast("long")
+        .alias("band"),
+    )
+    w = Window.partitionBy("iy", "band").orderBy("ix")
+    runs = banded.withColumn(
+        "run", F.col("ix") - F.row_number().over(w)
+    )
+    return (
+        runs.groupBy("iy", "band", "run")
+        .agg(F.min("ix").alias("ix0"), F.max("ix").alias("ix1"))
+        .select(
+            (F.col("ix0") * bin_size).alias("xmin"),
+            (F.col("iy") * bin_size).alias("ymin"),
+            ((F.col("ix1") + 1) * bin_size).alias("xmax"),
+            ((F.col("iy") + 1) * bin_size).alias("ymax"),
+            (F.col("band") * contour_interval + contour_offset).alias(
+                "contour_value"
+            ),
+        )
+    )

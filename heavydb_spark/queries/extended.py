@@ -1230,3 +1230,50 @@ def geo_accessors_distance(spark, sf_dir):
         ).alias("dist"),
         F.round(geo.st_area(buf), 4).alias("buf_area"),
     ).orderBy("n_nationkey")
+
+
+@query(
+    "tf_raster_contour_bands",
+    oracle="""
+    WITH pts AS (
+        SELECT CAST(mod(event_id * 13, 1000) AS DOUBLE) / 10 AS x,
+               CAST(mod(event_id * 17, 1000) AS DOUBLE) / 10 AS y,
+               value AS z
+        FROM events
+    ), raster AS (
+        SELECT CAST(floor(x / 5) AS BIGINT) AS ix,
+               CAST(floor(y / 5) AS BIGINT) AS iy, avg(z) AS z
+        FROM pts GROUP BY 1, 2
+    ), banded AS (
+        SELECT ix, iy, CAST(floor((z - 10.0) / 20.0) AS BIGINT) AS band
+        FROM raster
+    ), runs AS (
+        SELECT ix, iy, band,
+               ix - row_number() OVER (PARTITION BY iy, band ORDER BY ix) AS run
+        FROM banded
+    )
+    SELECT CAST(min(ix) * 5.0 AS DOUBLE) AS xmin,
+           CAST(iy * 5.0 AS DOUBLE) AS ymin,
+           CAST((max(ix) + 1) * 5.0 AS DOUBLE) AS xmax,
+           CAST((iy + 1) * 5.0 AS DOUBLE) AS ymax,
+           CAST(band * 20.0 + 10.0 AS DOUBLE) AS contour_value
+    FROM runs GROUP BY iy, band, run
+    ORDER BY ymin, xmin, contour_value
+    """,
+)
+def tf_raster_contour_bands(spark, sf_dir):
+    """tf_raster_contour_polygons (GDALTableFunctions.hpp:629): filled
+    contour bands (interval 20, offset 10) over the events raster as
+    run-length-merged band rectangles
+    (operators/spatial.py raster_contour_polygons)."""
+    from heavydb_spark.operators.spatial import raster_contour_polygons
+
+    ev = T(spark, sf_dir, "events")
+    pts = ev.select(
+        ((F.col("event_id") * 13 % 1000) / 10.0).alias("x"),
+        ((F.col("event_id") * 17 % 1000) / 10.0).alias("y"),
+        F.col("value").alias("z"),
+    )
+    return raster_contour_polygons(
+        pts, bin_size=5.0, contour_interval=20.0, contour_offset=10.0
+    ).orderBy("ymin", "xmin", "contour_value")

@@ -709,3 +709,20 @@ def test_geo_buffer_and_point_polygon_distance(spark):
         ).alias("b")
     ).first().b
     assert disjoint is None
+
+
+def test_raster_contour_bands_run_merge(spark):
+    """Band rectangles: consecutive same-band cells in a row merge into
+    one rectangle; different bands split."""
+    from heavydb_spark.operators.spatial import raster_contour_polygons
+
+    # row y=[0,1): z values 5,5,25 -> bands 0,0,1 with interval 20
+    pts = [(0.5, 0.5, 5.0), (1.5, 0.5, 5.0), (2.5, 0.5, 25.0)]
+    df = spark.createDataFrame(pts, "x double, y double, z double")
+    rows = sorted(
+        raster_contour_polygons(df, 1.0, 20.0, 0.0).collect(),
+        key=lambda r: r.xmin,
+    )
+    assert len(rows) == 2
+    assert (rows[0].xmin, rows[0].xmax, rows[0].contour_value) == (0.0, 2.0, 0.0)
+    assert (rows[1].xmin, rows[1].xmax, rows[1].contour_value) == (2.0, 3.0, 20.0)
