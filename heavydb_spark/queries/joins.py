@@ -382,8 +382,15 @@ def join_multistep_tpch_q3(spark, sf_dir):
 def join_multistep_tpch_q5(spark, sf_dir):
     """TPC-H Q5 shape: 6-table left-deep join tree with a region filter
     that must propagate through nation to prune suppliers (the
-    reference flattens to a left-deep tree, RelLeftDeepInnerJoin.cpp;
-    Catalyst reorders + broadcasts the four dimension sides)."""
+    reference flattens to a left-deep tree, RelLeftDeepInnerJoin.cpp).
+
+    Fact-centric join order: lineitem is the LEFT/probe side of every
+    join so the largest relation is never a broadcast build — at 100 TB
+    the fact table streams while customer/orders hash-join on their
+    keys and the true dims (supplier/nation/region) broadcast. (Written
+    the customer-first way, Catalyst's size estimate after column
+    pruning picks lineitem as the build side — a 33 MB broadcast at
+    sf0.1 and a non-plan at scale.)"""
     c = T(spark, sf_dir, "customer")
     o = T(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1994-01-01 00:00:00").cast("timestamp_ntz"))
@@ -394,15 +401,15 @@ def join_multistep_tpch_q5(spark, sf_dir):
     n = T(spark, sf_dir, "nation")
     r = T(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     return (
-        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
-        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .join(
-            s,
+            F.broadcast(s),
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
-        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
-        .join(r, F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("n_name")
         .agg(
             r2(
