@@ -139,3 +139,37 @@ def stream_dedup_events(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("event_type")
     )
+
+
+@query(
+    "stream_interval_join",
+    oracle="""
+    SELECT a.user_id,
+           a.ts AS l_ts, a.event_type AS l_type, round(a.value, 2) AS l_value,
+           b.ts AS r_ts, b.event_type AS r_type, round(b.value, 2) AS r_value
+    FROM events a
+    JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts > a.ts
+     AND b.ts <= a.ts + INTERVAL 10 MINUTE
+    WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+    ORDER BY a.user_id, l_ts, r_ts
+    """,
+)
+def stream_interval_join(spark, sf_dir):
+    """Stream-stream interval join, batch-verifiable form: click events
+    matched to same-user purchases within the next 10 minutes — the
+    attribution-join shape. The streaming form
+    (streaming/events.interval_join_streams) runs the identical plan
+    with watermarks bounding state; tests/test_streaming.py proves
+    stream==batch."""
+    from heavydb_spark.streaming.events import interval_join_streams
+
+    ev = T(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click")
+    buys = ev.filter(F.col("event_type") == "purchase")
+    out = interval_join_streams(clicks, buys, max_lag="10 minutes")
+    return out.select(
+        "user_id", "l_ts", "l_type", r2(F.col("l_value")).alias("l_value"),
+        "r_ts", "r_type", r2(F.col("r_value")).alias("r_value"),
+    ).orderBy("user_id", "l_ts", "r_ts")

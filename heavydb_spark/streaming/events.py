@@ -334,3 +334,47 @@ def stateful_sessionize_buffered(
             GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def interval_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    max_lag: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Watermarked stream-stream inner join (extension surface beyond
+    the reference, which only has streaming ingest — SURVEY.md §2.11):
+    match each left event to right events of the same key that occur
+    within (left.ts, left.ts + max_lag]. Both sides carry watermarks,
+    and the time-range predicate bounds the join state Spark must
+    retain — the canonical Structured Streaming interval join.
+
+    Works identically on batch DataFrames (the batch form is the
+    oracle-checkable analogue the catalog query uses).
+    """
+    l_ = left.select(
+        F.col(key).alias("k"),
+        F.col("ts").alias("l_ts"),
+        F.col("event_type").alias("l_type"),
+        F.col("value").alias("l_value"),
+    )
+    r_ = right.select(
+        F.col(key).alias("r_k"),
+        F.col("ts").alias("r_ts"),
+        F.col("event_type").alias("r_type"),
+        F.col("value").alias("r_value"),
+    )
+    if left.isStreaming:
+        l_ = l_.withWatermark("l_ts", watermark)
+    if right.isStreaming:
+        r_ = r_.withWatermark("r_ts", watermark)
+    cond = (
+        (F.col("k") == F.col("r_k"))
+        & (F.col("r_ts") > F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {max_lag}"))
+    )
+    return l_.join(r_, cond).select(
+        F.col("k").alias("user_id"),
+        "l_ts", "l_type", "l_value", "r_ts", "r_type", "r_value",
+    )

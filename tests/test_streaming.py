@@ -343,3 +343,39 @@ def test_ingest_stream_to_table(spark, event_stream_dir, tmp_path):
         assert spark.table("events_ingest").count() == n_src
     finally:
         spark.sql("DROP TABLE IF EXISTS events_ingest")
+
+
+def test_streaming_interval_join_equals_batch(spark, event_stream_dir):
+    """Watermarked stream-stream interval join produces exactly the
+    batch join's matches (append mode; state bounded by watermark +
+    range condition)."""
+    from pyspark.sql import functions as F
+
+    ev_stream = stream_ops.read_event_stream(spark, event_stream_dir)
+    clicks_s = ev_stream.filter(F.col("event_type") == "click")
+    buys_s = ev_stream.filter(F.col("event_type") == "purchase")
+    joined = stream_ops.interval_join_streams(
+        clicks_s, buys_s, max_lag="10 minutes", watermark="1 hour"
+    )
+    assert joined.isStreaming
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("t_ivjoin")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.user_id, r.l_ts, r.r_ts)
+        for r in spark.table("t_ivjoin").collect()
+    }
+
+    ev = load_table(spark, SF_DIR, "events")
+    batch = stream_ops.interval_join_streams(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+        max_lag="10 minutes",
+    )
+    want = {(r.user_id, r.l_ts, r.r_ts) for r in batch.collect()}
+    assert got == want and len(want) > 0
