@@ -44,73 +44,63 @@ from heavydb_spark.queries import (  # noqa: F401,E402
 # covers every family in SURVEY.md §2.
 # ---------------------------------------------------------------------------
 _PRIORITY = [
-    # oracle-type fixes from round 1 (re-verify the hash now matches)
-    "like_regexp_filter",
-    "agg_count_if_sum_if",
-    # set operations (after union_all, driver-unverified in r1)
-    "union_distinct",
-    "intersect_keys",
-    "except_keys",
-    # scalar function families
-    "fn_string_basic",
-    "fn_string_regex",
-    "fn_string_distance",
-    "fn_datetime",
-    "fn_datetime_week_variants",
-    "fn_math",
-    "fn_cast_trycast",
-    "fn_json_value",
-    "fn_encode_hash",
-    "fn_array_ops",
-    "fn_unnest_explode",
-    "fn_udaf_geomean",
-    "fn_decimal",
-    # table functions
-    "tf_generate_series",
-    "tf_generate_series_ts",
-    "tf_dwell_times",
-    "tf_feature_similarity",
-    "tf_graph_shortest_paths",
-    "tf_geo_rasterize",
-    "tf_cross_section_1d",
-    # training-data pipeline
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "sim_cosine_topk",
-    "sim_ann_ivf",
-    "text_token_stats",
-    "text_lang_id",
-    "mm_media_features",
-    "llm_transform_template",
-    # streaming (batch-form oracles)
-    "stream_tumbling_window",
-    "stream_session_window",
-    "stream_dedup_events",
-    # ML table functions
-    "ml_linear_reg",
-    "ml_r2_score",
-    # geo
-    "geo_point_distance",
-    "geo_bbox_join",
-    "geo_range_join",
-    "geo_polygon_props",
-    "geo_polygon_contains_join",
-    # DML post-images (delete NULL-predicate fix this round)
-    "dml_update_postimage",
-    "dml_delete_postimage",
-    # SQL-dialect-routed query (engine.sql path)
-    "sql_dialect_window_fill",
-    # round-2 additions: new operator families first seen this round
-    "dedup_connected_components",
-    "tf_geo_rasterize_slope",
-    # remaining new geo variants (same family as geo_polygon_props;
-    # verified if the driver budget extends past 50)
+    # --- round-3 additions (never driver-verified) ---
+    "pipe_decontaminate",
+    "pipe_sample_stratified",
+    "pipe_mix_sources",
+    "pipe_pii_scrub",
+    "pipe_pack_sequences",
+    "pipe_dictionary_encode",
+    "tf_raster_slope_path",
+    "tf_cross_section_2d",
+    "tf_raster_contour_bands",
+    "ml_linear_reg2",
+    "ml_var_importance",
+    "ml_decision_trees",
+    "ml_pca_fit",
+    "geo_accessors_distance",
+    "stream_interval_join",
+    "join_multistep_tpch_q10",
+    "join_multistep_tpch_q7",
+    # changed this round (fact-centric rewrite) — re-verify
+    "join_multistep_tpch_q5",
+    # --- registered in r1/r2 but never inside the driver window ---
     "geo_wkt_roundtrip",
     "geo_transform_900913",
     "geo_linestring_props",
     "geo_polygon_intersects",
+    "geo_grid_join",
+    "fn_string_extra",
+    "dedup_fingerprint",
+    "sim_ann_lsh",
+    "sim_embedding_neardup",
+    "text_quality",
+    "mm_frame_sample",
+    "tf_feature_query_similarity",
+    "stream_sliding_window",
+    "ml_kmeans",
+    "ml_pca_project",
+    "tf_generate_random_strings",
+    "ml_forest_predict",
+    "ml_dbscan",
+    "tf_raster_contour",
+    # --- regression slice: one green representative per family ---
+    "pricing_summary",
+    "scan_project_filter",
+    "join_star_agg",
+    "join_multistep_tpch_q3",
+    "agg_groupby_multicol",
+    "agg_count_if_sum_if",
+    "window_moving_avg",
+    "window_forward_fill",
+    "union_distinct",
+    "fn_datetime",
+    "fn_decimal",
+    "dedup_minhash_lsh",
+    "sim_cosine_topk",
+    "geo_polygon_contains_join",
+    "dml_update_postimage",
+    "sql_dialect_window_fill",
 ]
 
 
