@@ -117,3 +117,47 @@ def ctas(spark: SparkSession, name: str, query: str, fmt: str = "parquet") -> No
 def insert_into(spark: SparkSession, name: str, query: str) -> None:
     """INSERT INTO ... SELECT (ITAS, DBHandler.cpp:6680)."""
     spark.sql(f"INSERT INTO {name} {query}")
+
+
+def copy_from_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    partition_column: str | None = None,
+    num_partitions: int = 8,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    **options,
+) -> DataFrame:
+    """COPY FROM an external database (ImportExport/SourceType.h:27-36
+    kOdbc) via Spark's native JDBC source — the Spark-idiomatic ODBC
+    analogue. With a numeric `partition_column` + bounds, the read
+    fans out to `num_partitions` parallel range queries (the scale
+    path — a single-connection read is a bottleneck at any size).
+    Predicates and column pruning push down into the remote database
+    through the JDBC source.
+
+    No database (or JDBC driver jar) ships in this container, so the
+    wiring is exercised by tests only up to reader construction; a
+    real deployment passes e.g. url='jdbc:postgresql://...',
+    options=dict(user=..., password=..., driver=...).
+    """
+    reader = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+    )
+    if partition_column is not None:
+        if lower_bound is None or upper_bound is None:
+            raise ValueError(
+                "partition_column requires lower_bound and upper_bound"
+            )
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("numPartitions", str(num_partitions))
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+        )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load()

@@ -133,3 +133,41 @@ def test_bucketed_join_avoids_shuffle(spark):
     assert n == expected
     spark.sql("DROP TABLE orders_bkt")
     spark.sql("DROP TABLE customer_bkt")
+
+
+def test_q5_fact_table_never_broadcast(spark):
+    """The fact table (lineitem) must stream, not build a broadcast
+    hash relation — a 33 MB broadcast at sf0.1 is a non-plan at 100 TB.
+    Guards the fact-centric join order of join_multistep_tpch_q5/q10."""
+    import re
+
+    for name in ("join_multistep_tpch_q5", "join_multistep_tpch_q10"):
+        df = QUERIES[name](spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        builds = [
+            m.group(1)
+            for seg in plan.split("BroadcastExchange")[1:]
+            for m in [re.search(r"/(\w+)\.parquet", seg)]
+            if m
+        ]
+        assert builds and "lineitem" not in builds, (name, builds)
+
+
+def test_decontaminate_broadcasts_test_side(spark):
+    """Decontamination must broadcast the (small) test-side shingles,
+    never shuffle the corpus on the shingle key."""
+    df = QUERIES["pipe_decontaminate"](spark, SF_DIR)
+    assert checks.uses_broadcast_join(df), checks.plan_string(df, "simple")
+
+
+def test_sample_and_mix_are_scan_level_filters(spark):
+    """Deterministic sampling/mixing must plan as a pure filter over
+    the scan — zero shuffles before the final aggregation/sort."""
+    from heavydb_spark.operators.pipeline import mix_sources, sample_hash
+    from heavydb_spark.catalog import load_table
+
+    d = load_table(spark, SF_DIR, "documents")
+    assert checks.shuffle_count(sample_hash(d, "doc_id", 0.5)) == 0
+    assert checks.shuffle_count(
+        mix_sources(d, "source", "doc_id", {"web": 0.5})
+    ) == 0

@@ -111,3 +111,19 @@ def test_copy_from_geo_csv(spark, tmp_path):
         ).alias("d")
     ).first()
     assert r.d == 5.0
+
+
+def test_copy_from_jdbc_wiring(spark):
+    """JDBC (ODBC-analogue) source: reader construction validates
+    options; an actual connection fails fast without a driver — the
+    gate is explicit, not a silent stub."""
+    import pytest
+
+    from heavydb_spark.sources.copy_io import copy_from_jdbc
+
+    with pytest.raises(ValueError):
+        copy_from_jdbc(
+            spark, "jdbc:postgresql://h/db", "t", partition_column="id"
+        )
+    with pytest.raises(Exception):  # no driver in container
+        copy_from_jdbc(spark, "jdbc:postgresql://h/db", "t").count()
