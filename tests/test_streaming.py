@@ -354,8 +354,11 @@ def test_streaming_interval_join_equals_batch(spark, event_stream_dir):
     ev_stream = stream_ops.read_event_stream(spark, event_stream_dir)
     clicks_s = ev_stream.filter(F.col("event_type") == "click")
     buys_s = ev_stream.filter(F.col("event_type") == "purchase")
+    # the fixture spans ~30 days and the file source may split it into
+    # several unordered microbatches — a watermark wider than the span
+    # keeps every row on-time so stream==batch exactly
     joined = stream_ops.interval_join_streams(
-        clicks_s, buys_s, max_lag="10 minutes", watermark="1 hour"
+        clicks_s, buys_s, max_lag="10 minutes", watermark="60 days"
     )
     assert joined.isStreaming
     q = (
