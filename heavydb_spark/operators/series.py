@@ -52,3 +52,64 @@ def generate_random_strings(
             F.lower(F.hex(F.xxhash64(F.col("id"), F.lit(seed)))), 1, length
         ).alias("rand_str"),
     )
+
+
+def mandelbrot(
+    spark,
+    x_pixels: int,
+    y_pixels: int,
+    x_min: float,
+    x_max: float,
+    y_min: float,
+    y_max: float,
+    max_iterations: int,
+):
+    """tf_mandelbrot (ExampleTableFunctions.h:25 / .cpp:33-61): per
+    pixel (cx, cy) iterate z = z^2 + c from z=0 while |z|^2 < 4, up to
+    max_iterations; emit (x, y, num_iterations) with
+    cx = x*(x_max-x_min)/x_pixels + x_min (reference get_scale/pixel
+    mapping).
+
+    Spark-first: the pixel grid is one spark.range (parallel, no data
+    source), and the escape loop is a single F.aggregate fold over
+    sequence(1, max_iterations) carrying (zx, zy, n) in a struct — a
+    compute-bound embarrassingly-parallel map, the same shape the
+    reference's tbb::parallel_for gives it.
+    """
+    from pyspark.sql import functions as F
+
+    if x_pixels <= 0 or y_pixels <= 0:
+        raise ValueError("pixel counts must be positive")
+    if max_iterations <= 0 or max_iterations > 16384:
+        raise ValueError("max_iterations must be in (0, 16384]")
+    x_scale = (x_max - x_min) / x_pixels
+    y_scale = (y_max - y_min) / y_pixels
+    grid = spark.range(x_pixels * y_pixels).select(
+        (F.col("id") % x_pixels).alias("px"),
+        (F.col("id") / x_pixels).cast("long").alias("py"),
+    )
+    cx = (F.col("px") * x_scale + x_min).alias("x")
+    cy = (F.col("py") * y_scale + y_min).alias("y")
+    zero = F.struct(
+        F.lit(0.0).alias("zx"), F.lit(0.0).alias("zy"),
+        F.lit(0).alias("n"),
+    )
+    def step(acc, _):
+        zx, zy, n = acc["zx"], acc["zy"], acc["n"]
+        live = (zx * zx + zy * zy) < 4.0
+        return F.when(
+            live,
+            F.struct(
+                (zx * zx - zy * zy + F.col("x")).alias("zx"),
+                (2.0 * zx * zy + F.col("y")).alias("zy"),
+                (n + 1).alias("n"),
+            ),
+        ).otherwise(acc)
+
+    esc = F.aggregate(
+        F.sequence(F.lit(1), F.lit(max_iterations)), zero, step
+    )
+    return (
+        grid.select(cx, cy)
+        .select("x", "y", esc["n"].cast("int").alias("num_iterations"))
+    )

@@ -54,6 +54,7 @@ _PRIORITY = [
     "tf_raster_slope_path",
     "tf_cross_section_2d",
     "tf_raster_contour_bands",
+    "tf_mandelbrot",
     "ml_linear_reg2",
     "ml_var_importance",
     "ml_decision_trees",

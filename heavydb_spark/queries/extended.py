@@ -1277,3 +1277,42 @@ def tf_raster_contour_bands(spark, sf_dir):
     return raster_contour_polygons(
         pts, bin_size=5.0, contour_interval=20.0, contour_offset=10.0
     ).orderBy("ymin", "xmin", "contour_value")
+
+
+@query(
+    "tf_mandelbrot",
+    oracle="""
+    WITH RECURSIVE grid AS (
+        SELECT CAST(i % 32 AS BIGINT) AS px, CAST(i // 32 AS BIGINT) AS py
+        FROM range(0, 1024) AS t(i)
+    ), px AS (
+        SELECT px, py,
+               px * (1.0 - (-2.5)) / 32 + (-2.5) AS x,
+               py * (1.25 - (-1.25)) / 32 + (-1.25) AS y
+        FROM grid
+    ), it AS (
+        SELECT x, y, 0 AS n, CAST(0 AS DOUBLE) AS zx, CAST(0 AS DOUBLE) AS zy
+        FROM px
+        UNION ALL
+        SELECT x, y, n + 1, zx*zx - zy*zy + x, 2*zx*zy + y
+        FROM it
+        WHERE zx*zx + zy*zy < 4 AND n < 48
+    )
+    SELECT round(x, 6) AS x, round(y, 6) AS y,
+           CAST(max(n) AS INTEGER) AS num_iterations
+    FROM it GROUP BY x, y ORDER BY x, y
+    """,
+)
+def tf_mandelbrot(spark, sf_dir):
+    """tf_mandelbrot (ExampleTableFunctions.h:25): 32x32 escape-time
+    grid over [-2.5,1]x[-1.25,1.25], 48 iterations — the compute-only
+    UDTF surface. Oracle replays the identical recurrence as a DuckDB
+    recursive CTE, so the escape counts are value-checked exactly."""
+    from heavydb_spark.operators.series import mandelbrot
+
+    out = mandelbrot(spark, 32, 32, -2.5, 1.0, -1.25, 1.25, 48)
+    return out.select(
+        F.round("x", 6).alias("x"),
+        F.round("y", 6).alias("y"),
+        "num_iterations",
+    ).orderBy("x", "y")
