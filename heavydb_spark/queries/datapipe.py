@@ -183,12 +183,48 @@ def sim_ann_ivf(spark, sf_dir):
     )
 
 
-@query("sim_embedding_neardup")  # LSH blocking → rows-only check
+@query(
+    "sim_embedding_neardup",
+    oracle="""
+    WITH base AS (
+        SELECT vec_id, embedding FROM embeddings WHERE vec_id < 50
+    ), cand AS (
+        SELECT vec_id, embedding FROM base
+        UNION ALL
+        SELECT vec_id + 1000 AS vec_id, embedding FROM base
+    ), scored AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+                     / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+                        * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))),
+                     6) AS cos_sim
+        FROM cand a JOIN cand b ON a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, cos_sim FROM scored
+    WHERE cos_sim >= 0.8 ORDER BY id_a, id_b
+    """,
+)
 def sim_embedding_neardup(spark, sf_dir):
-    """Embedding-cosine near-dup pairs via LSH blocking + exact verify."""
+    """Embedding-cosine near-dup pairs via LSH blocking + exact verify.
+
+    The fixture's random embeddings have max pairwise cosine ~0.51, so
+    at threshold 0.8 the natural pair set is empty; the query plants
+    exact duplicates (vec_id + 1000 copies of vec_id < 50) on BOTH
+    sides so the check is non-vacuous. Identical vectors share every
+    hyperplane sign, hence always collide in the LSH bucket — blocking
+    provably loses none of the >=0.8 pairs here (no natural pair comes
+    near the threshold), which is what makes the exact oracle valid for
+    an approximate blocking scheme."""
     e = T(spark, sf_dir, "embeddings")
+    base = e.filter(F.col("vec_id") < 50).select("vec_id", "embedding")
+    dup = base.select(
+        (F.col("vec_id") + 1000).alias("vec_id"), F.col("embedding")
+    )
     return similarity.embedding_neardup_pairs(
-        e, threshold=0.8, n_planes=4, dim=len(_query_vec(spark, sf_dir))
+        base.unionByName(dup),
+        threshold=0.8,
+        n_planes=4,
+        dim=len(_query_vec(spark, sf_dir)),
     ).orderBy("id_a", "id_b")
 
 
@@ -539,6 +575,14 @@ def pipe_sample_stratified(spark, sf_dir):
     )
 
 
+# Weights keyed on the sources the documents fixture actually contains
+# (src0..src19), with integer cutoffs precomputed in Python — int()
+# truncates while SQL CAST rounds, so the oracle inlines the exact
+# cutoff constants instead of recomputing them from the float weight.
+_MIX_WEIGHTS = {"src0": 0.5, "src1": 0.9, "src2": 0.25}
+_MIX_CUTS = {s: int(w * pipeline._M31) for s, w in _MIX_WEIGHTS.items()}
+
+
 @query(
     "pipe_mix_sources",
     oracle=f"""
@@ -547,21 +591,19 @@ def pipe_sample_stratified(spark, sf_dir):
         SELECT source, n_chars, ({_PH_DOC}) AS ph FROM documents
     )
     WHERE ph < CASE source
-        WHEN 'web' THEN CAST(0.5 * 2147483647 AS BIGINT)
-        WHEN 'books' THEN CAST(0.9 * 2147483647 AS BIGINT)
-        WHEN 'code' THEN CAST(0.25 * 2147483647 AS BIGINT)
+        WHEN 'src0' THEN {_MIX_CUTS['src0']}
+        WHEN 'src1' THEN {_MIX_CUTS['src1']}
+        WHEN 'src2' THEN {_MIX_CUTS['src2']}
         ELSE 0 END
     GROUP BY source ORDER BY source
     """,
 )
 def pipe_mix_sources(spark, sf_dir):
-    """Weighted source mixing (web 50% / books 90% / code 25%, others
+    """Weighted source mixing (src0 50% / src1 90% / src2 25%, others
     dropped): the data-mixture step of a corpus build as one
     deterministic codegen'd filter — no shuffle, no sampling state."""
     d = T(spark, sf_dir, "documents")
-    mixed = pipeline.mix_sources(
-        d, "source", "doc_id", {"web": 0.5, "books": 0.9, "code": 0.25}
-    )
+    mixed = pipeline.mix_sources(d, "source", "doc_id", _MIX_WEIGHTS)
     return (
         mixed.groupBy("source")
         .agg(

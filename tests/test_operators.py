@@ -726,3 +726,60 @@ def test_raster_contour_bands_run_merge(spark):
     assert len(rows) == 2
     assert (rows[0].xmin, rows[0].xmax, rows[0].contour_value) == (0.0, 2.0, 0.0)
     assert (rows[1].xmin, rows[1].xmax, rows[1].contour_value) == (2.0, 3.0, 20.0)
+
+
+def test_mix_sources_keeps_weighted_fractions(spark):
+    """mix_sources value semantics on a synthetic frame: per-source
+    keep-rates track the weights, unlisted sources drop entirely, and
+    the survivor set is exactly the portable-hash cutoff filter (so a
+    rerun is byte-identical)."""
+    from heavydb_spark.operators.pipeline import _M31, mix_sources, portable_hash
+
+    n = 6000
+    df = spark.range(n).select(
+        F.col("id").alias("doc"),
+        F.concat(F.lit("s"), (F.col("id") % 3).cast("string")).alias("src"),
+    )
+    weights = {"s0": 0.5, "s1": 0.9}  # s2 unlisted -> dropped
+    out = mix_sources(df, "src", "doc", weights)
+    counts = {r.src: r.n for r in out.groupBy("src").agg(F.count("*").alias("n")).collect()}
+    assert "s2" not in counts
+    assert abs(counts["s0"] / (n / 3) - 0.5) < 0.05
+    assert abs(counts["s1"] / (n / 3) - 0.9) < 0.05
+    # survivors are exactly {hash < int(w * M31)} — determinism + cutoff math
+    kept = {r.doc for r in out.collect()}
+    expect = {
+        r.doc
+        for r in df.select("doc", "src", portable_hash(F.col("doc")).alias("h")).collect()
+        if r.src in weights and r.h < int(weights[r.src] * _M31)
+    }
+    assert kept == expect and kept
+
+
+def test_embedding_neardup_finds_planted_duplicates(spark):
+    """embedding_neardup_pairs on planted near-dups: exact copies and
+    colinear scaled copies (cosine exactly 1, same hyperplane signs →
+    guaranteed LSH collision) are all recovered; unrelated orthogonal
+    vectors produce no pair."""
+    from heavydb_spark.operators.similarity import embedding_neardup_pairs
+
+    dim = 8
+    base = [
+        [1.0, 2.0, -1.0, 0.5, 3.0, -2.0, 1.5, 0.25],
+        [-3.0, 1.0, 2.0, -0.5, 0.0, 1.0, -1.0, 2.0],
+    ]
+    rows = [(i, v) for i, v in enumerate(base)]
+    rows.append((10, base[0]))                       # exact duplicate of 0
+    rows.append((11, [x * 2.5 for x in base[1]]))    # scaled duplicate of 1
+    # orthogonal one-hot vectors: pairwise cosine 0 with everything above? not
+    # exactly, but far below threshold
+    rows.append((20, [0.0] * 7 + [1000.0]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in embedding_neardup_pairs(
+            df, threshold=0.95, n_planes=4, dim=dim
+        ).collect()
+    }
+    assert set(got) == {(0, 10), (1, 11)}
+    assert all(abs(v - 1.0) < 1e-6 for v in got.values())
