@@ -166,11 +166,15 @@ def weighted_shortest_path(
                 (F.col("hops") + 1).alias("hops"),
             )
         )
+        # Tie-break lexicographically on (dist, hops, pred): among
+        # equal-cost paths the fewest-hop one wins, so a node's stored
+        # hops always equals its stored pred's hops + 1 at fixpoint —
+        # the invariant the fixed-length pred walk below relies on.
         merged = (
             dist.select("node", "dist", "pred", "hops")
             .unionByName(cand)
             .groupBy("node")
-            .agg(F.min(F.struct("dist", "pred", "hops")).alias("m"))
+            .agg(F.min(F.struct("dist", "hops", "pred")).alias("m"))
             .select(
                 "node",
                 F.col("m.dist").alias("dist"),
@@ -179,11 +183,17 @@ def weighted_shortest_path(
             )
             .localCheckpoint(eager=True)
         )
+        # Any tuple change re-enters the frontier (not only a strict
+        # dist decrease): an equal-dist/fewer-hops or smaller-pred win
+        # must be re-relaxed so dependents refresh their hop counts.
         improved = (
             merged.alias("n")
             .join(dist.alias("o"), "node", "left")
             .filter(
-                F.col("o.dist").isNull() | (F.col("n.dist") < F.col("o.dist"))
+                F.col("o.dist").isNull()
+                | (F.col("n.dist") != F.col("o.dist"))
+                | (F.col("n.hops") != F.col("o.hops"))
+                | ~F.col("n.pred").eqNullSafe(F.col("o.pred"))
             )
             .select(
                 "node",

@@ -210,8 +210,9 @@ def pack_sequences(
     vector-free O(n) scan; the only shuffle is the groupBy on
     `group_col`. Output: (group, id, tokens, bin_id, bin_fill).
     """
+    gtype = df.schema[group_col].dataType.simpleString()
     out_schema = (
-        f"{group_col} string, {id_col} long, {tokens_col} long, "
+        f"{group_col} {gtype}, {id_col} long, {tokens_col} long, "
         "bin_id long, bin_fill long"
     )
 

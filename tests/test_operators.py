@@ -783,3 +783,36 @@ def test_embedding_neardup_finds_planted_duplicates(spark):
     }
     assert set(got) == {(0, 10), (1, 11)}
     assert all(abs(v - 1.0) < 1e-6 for v in got.values())
+
+
+def test_weighted_shortest_path_equal_cost_tiebreak(spark):
+    """Two equal-cost source→9 paths with different hop counts (2 hops
+    via 5, 4 hops via 2-3-4). The min tuple must prefer fewer hops so
+    every node's stored hops stays consistent with its pred chain —
+    otherwise the fixed-length pred walk from a downstream target
+    reconstructs a truncated/malformed path."""
+    from heavydb_spark.operators.graph import weighted_shortest_path
+
+    e = spark.createDataFrame(
+        [
+            (1, 5, 1.0), (5, 9, 1.0),                            # cost 2, 2 hops
+            (1, 2, 0.5), (2, 3, 0.5), (3, 4, 0.5), (4, 9, 0.5),  # cost 2, 4 hops
+            (9, 10, 1.0),
+        ],
+        "src long, dst long, w double",
+    )
+    p = [(r.path_step, r.node) for r in
+         weighted_shortest_path(e, 1, 10, max_iters=10).collect()]
+    assert p == [(1, 1), (2, 5), (3, 9), (4, 10)]
+
+
+def test_pack_sequences_integer_group_key(spark):
+    """pack_sequences must carry a non-string group column through the
+    applyInPandas schema (derived from the input type, not hardcoded)."""
+    from heavydb_spark.operators.pipeline import pack_sequences
+
+    df = spark.createDataFrame(
+        [(7, 0, 60), (7, 1, 60), (8, 0, 10)], "g int, id long, tok long"
+    )
+    out = pack_sequences(df, "g", "id", "tok", budget=100).collect()
+    assert {(r.g, r.id, r.bin_id) for r in out} == {(7, 0, 0), (7, 1, 1), (8, 0, 0)}
