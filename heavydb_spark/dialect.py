@@ -289,6 +289,12 @@ def _backward_fill(args: list[str], win: str) -> str:
 
 
 def _cce(args: list[str], win: str) -> str:
+    # Single-expression SQL form: materializes the frame prefix per row
+    # because Spark SQL cannot chain window functions in one expression
+    # (lag -> running sum needs two passes; lateral column aliases are
+    # rejected inside windows, UNSUPPORTED_FEATURE.LATERAL_COLUMN_ALIAS
+    # _IN_WINDOW). Use operators/windows.py conditional_change_event
+    # (lag + running sum, O(1) state) for large partitions.
     ell = (
         f"collect_list(named_struct('v', ({args[0]}))) "
         f"OVER ({_with_frame(win, _TO_CURRENT)})"
@@ -304,22 +310,45 @@ def _cce(args: list[str], win: str) -> str:
     )
 
 
+# LAG/LEAD_IN_FRAME accept constant ROWS frames anchored at CURRENT
+# ROW; the in-frame test then reduces to offset-vs-bound arithmetic on
+# a plain lag/lead (O(1) per row — no collect_list materialization).
+_LAG_FRAME_RE = re.compile(
+    r"\bROWS\s+BETWEEN\s+(UNBOUNDED|\d+)\s+PRECEDING\s+AND\s+CURRENT\s+ROW\s*$",
+    re.IGNORECASE,
+)
+_LEAD_FRAME_RE = re.compile(
+    r"\bROWS\s+BETWEEN\s+CURRENT\s+ROW\s+AND\s+(UNBOUNDED|\d+)\s+FOLLOWING\s*$",
+    re.IGNORECASE,
+)
+
+
 def _lag_in_frame(args: list[str], win: str) -> str:
     x, k = args[0], args[1]
-    ell = f"collect_list(named_struct('v', ({x}))) OVER ({win})"
-    return (
-        f"(CASE WHEN size({ell}) > ({k}) "
-        f"THEN element_at({ell}, size({ell}) - ({k})).v END)"
-    )
+    m = _LAG_FRAME_RE.search(win)
+    if not m:
+        raise ValueError(
+            "LAG_IN_FRAME requires a 'ROWS BETWEEN <N|UNBOUNDED> PRECEDING "
+            f"AND CURRENT ROW' frame, got window: {win!r}"
+        )
+    lag = f"lag(({x}), ({k})) OVER ({win[: m.start()].rstrip()})"
+    if m.group(1).upper() == "UNBOUNDED":
+        return lag
+    return f"(CASE WHEN ({k}) <= {m.group(1)} THEN {lag} END)"
 
 
 def _lead_in_frame(args: list[str], win: str) -> str:
     x, k = args[0], args[1]
-    ell = f"collect_list(named_struct('v', ({x}))) OVER ({win})"
-    return (
-        f"(CASE WHEN size({ell}) > ({k}) "
-        f"THEN element_at({ell}, ({k}) + 1).v END)"
-    )
+    m = _LEAD_FRAME_RE.search(win)
+    if not m:
+        raise ValueError(
+            "LEAD_IN_FRAME requires a 'ROWS BETWEEN CURRENT ROW AND "
+            f"<N|UNBOUNDED> FOLLOWING' frame, got window: {win!r}"
+        )
+    lead = f"lead(({x}), ({k})) OVER ({win[: m.start()].rstrip()})"
+    if m.group(1).upper() == "UNBOUNDED":
+        return lead
+    return f"(CASE WHEN ({k}) <= {m.group(1)} THEN {lead} END)"
 
 
 _WINDOW_REWRITES = [

@@ -15,7 +15,7 @@ callers should partition on reasonably-distributed keys.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, Window, WindowSpec
+from pyspark.sql import Column, Window
 from pyspark.sql import functions as F
 
 
@@ -64,33 +64,48 @@ def _as_list(x):
     return x if isinstance(x, (list, tuple)) else [x]
 
 
-def lag_in_frame(col: Column, offset: int, w: WindowSpec) -> Column:
+def lag_in_frame(
+    col: Column,
+    offset: int,
+    partition_by,
+    order_by,
+    preceding: int | None = None,
+) -> Column:
     """LAG_IN_FRAME (sqldefs.h:154): the value `offset` rows before the
-    current row, RESTRICTED to the window frame — NULL if that falls
-    outside the frame. `w` must be ordered with a frame ending at
-    CURRENT ROW. Plain LAG ignores framing; this is the frame-aware
-    variant, emulated with a frame-ordered list aggregate.
+    current row, RESTRICTED to a ROWS frame [`preceding` PRECEDING,
+    CURRENT ROW] (`preceding=None` = UNBOUNDED PRECEDING) — NULL if
+    that row falls outside the frame.
 
-    The value is wrapped in a struct before collect_list — collect_list
-    drops bare NULL elements (shifting offsets) but never drops structs,
-    so NULL values survive at their correct frame position.
-
-    Memory note: the per-row list is O(frame length); with an
-    unbounded-preceding frame on a huge partition this is the hazard the
-    reference's segment tree avoids — bound the frame at scale."""
-    lst = F.collect_list(F.struct(col.alias("v"))).over(w)
-    return F.when(
-        F.size(lst) > offset,
-        F.element_at(lst, F.size(lst) - offset).getField("v"),
+    For a constant ROWS frame the in-frame test is frame-shape
+    arithmetic, not data: row current−offset is inside iff
+    offset <= preceding, and plain LAG already yields NULL when the
+    row crosses the partition start. So this is O(1) state per row —
+    no per-row frame materialization (the memory role the reference's
+    segment tree plays, QueryEngine/Utils/SegmentTree.h; a
+    collect_list-over-frame emulation is O(frame) per row and dies on
+    wide frames at scale)."""
+    w = Window.partitionBy(*_as_list(partition_by)).orderBy(
+        *_as_list(order_by)
     )
+    if preceding is not None and offset > preceding:
+        return F.when(F.lit(False), col)  # typed NULL: out of frame everywhere
+    return F.lag(col, offset).over(w)
 
 
-def lead_in_frame(col: Column, offset: int, w: WindowSpec) -> Column:
+def lead_in_frame(
+    col: Column,
+    offset: int,
+    partition_by,
+    order_by,
+    following: int | None = None,
+) -> Column:
     """LEAD_IN_FRAME (sqldefs.h:156): `offset` rows after the current
-    row within the frame; `w` must be ordered with a frame starting at
-    CURRENT ROW. NULL-safe via struct wrapping (see lag_in_frame)."""
-    lst = F.collect_list(F.struct(col.alias("v"))).over(w)
-    return F.when(
-        F.size(lst) > offset,
-        F.element_at(lst, offset + 1).getField("v"),
+    row within a ROWS frame [CURRENT ROW, `following` FOLLOWING]
+    (`following=None` = UNBOUNDED FOLLOWING). Same O(1) arithmetic as
+    lag_in_frame — LEAD handles the partition-end clip."""
+    w = Window.partitionBy(*_as_list(partition_by)).orderBy(
+        *_as_list(order_by)
     )
+    if following is not None and offset > following:
+        return F.when(F.lit(False), col)
+    return F.lead(col, offset).over(w)

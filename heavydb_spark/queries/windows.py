@@ -313,22 +313,20 @@ def window_conditional_change_event(spark, sf_dir):
 )
 def window_lag_lead_in_frame(spark, sf_dir):
     """LAG_IN_FRAME / LEAD_IN_FRAME (sqldefs.h:154,156) — frame-aware
-    lag/lead the reference computes natively in WindowContext; emulated
-    with frame-ordered list aggregation (operators/windows.py)."""
-    from pyspark.sql import Window
-
+    lag/lead the reference computes natively in WindowContext; for
+    constant ROWS frames the in-frame test is offset-vs-bound
+    arithmetic on a plain lag/lead (operators/windows.py) — O(1) per
+    row, no frame materialization."""
     from heavydb_spark.operators.windows import lag_in_frame, lead_in_frame
 
     li = T(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 300)
-    base = Window.partitionBy("l_suppkey").orderBy("l_orderkey", "l_linenumber")
-    wb = base.rowsBetween(-3, Window.currentRow)
-    wf = base.rowsBetween(Window.currentRow, 3)
+    part, order = "l_suppkey", ["l_orderkey", "l_linenumber"]
     return li.select(
         "l_suppkey",
         "l_orderkey",
         "l_linenumber",
-        lag_in_frame(F.col("l_quantity"), 1, wb).alias("lag_f"),
-        lead_in_frame(F.col("l_quantity"), 2, wf).alias("lead_f"),
+        lag_in_frame(F.col("l_quantity"), 1, part, order, preceding=3).alias("lag_f"),
+        lead_in_frame(F.col("l_quantity"), 2, part, order, following=3).alias("lead_f"),
     ).orderBy("l_suppkey", "l_orderkey", "l_linenumber")
 
 

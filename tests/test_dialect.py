@@ -216,16 +216,12 @@ def test_lag_lead_in_frame_sql_matches_helper(engine):
         FROM lineitem WHERE l_orderkey < 200
     """).collect()
     li = engine.table("lineitem").filter(F.col("l_orderkey") < 200)
-    base = Window.partitionBy("l_suppkey").orderBy("l_orderkey", "l_linenumber")
+    part, order = "l_suppkey", ["l_orderkey", "l_linenumber"]
     want = li.select(
         "l_orderkey",
         "l_linenumber",
-        lag_in_frame(
-            F.col("l_quantity"), 2, base.rowsBetween(-3, Window.currentRow)
-        ).alias("lag_f"),
-        lead_in_frame(
-            F.col("l_quantity"), 2, base.rowsBetween(Window.currentRow, 3)
-        ).alias("lead_f"),
+        lag_in_frame(F.col("l_quantity"), 2, part, order, preceding=3).alias("lag_f"),
+        lead_in_frame(F.col("l_quantity"), 2, part, order, following=3).alias("lead_f"),
     ).collect()
     key = lambda t: tuple((v is None, v) for v in t)  # noqa: E731
     assert sorted(map(tuple, got), key=key) == sorted(map(tuple, want), key=key)

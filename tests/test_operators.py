@@ -188,39 +188,31 @@ def test_single_value_semantics(spark):
 
 
 def test_lag_lead_in_frame_with_nulls(spark):
-    """NULL values must occupy their frame position (collect_list drops
-    bare NULLs; the struct wrapping keeps them) and be returnable."""
-    from pyspark.sql import Window
-
+    """NULL values must occupy their frame position and be returnable;
+    an offset past a bounded frame is NULL for every row."""
     from heavydb_spark.operators.windows import lag_in_frame, lead_in_frame
 
     df = spark.createDataFrame(
         [(1, 10.0), (2, None), (3, 30.0), (4, 40.0)], "i long, v double"
     )
-    wb = (
-        Window.partitionBy(F.lit(1))
-        .orderBy("i")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    wf = (
-        Window.partitionBy(F.lit(1))
-        .orderBy("i")
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    )
+    part, order = F.lit(1), "i"
     rows = {
-        r.i: (r.lag1, r.lead1)
+        r.i: (r.lag1, r.lead1, r.lag_oof)
         for r in df.select(
             "i",
-            lag_in_frame(F.col("v"), 1, wb).alias("lag1"),
-            lead_in_frame(F.col("v"), 1, wf).alias("lead1"),
+            lag_in_frame(F.col("v"), 1, part, order).alias("lag1"),
+            lead_in_frame(F.col("v"), 1, part, order).alias("lead1"),
+            # offset 3 with a 2-PRECEDING frame: out of frame everywhere
+            lag_in_frame(F.col("v"), 3, part, order, preceding=2).alias("lag_oof"),
         ).collect()
     }
-    # lag1 at i=3 is the NULL at i=2, NOT 10.0 (which a NULL-dropping
-    # list would return); lead1 at i=1 likewise.
+    # lag1 at i=3 is the NULL at i=2, NOT 10.0 (a NULL-skipping
+    # emulation would return that); lead1 at i=1 likewise.
     assert rows[3][0] is None and rows[1][1] is None
     assert rows[2][0] == 10.0 and rows[2][1] == 30.0
     assert rows[4][0] == 30.0 and rows[4][1] is None
     assert rows[1][0] is None  # frame too short
+    assert all(v[2] is None for v in rows.values())
 
 
 def test_no_duplicate_toplevel_defs():
