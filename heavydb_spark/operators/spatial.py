@@ -509,7 +509,7 @@ def raster_graph_shortest_slope_weighted_path(
     slope_pct_max: float = 100.0,
     point_cols: tuple[str, str] = ("x", "y"),
     value_col: str = "z",
-    max_iters: int | None = None,
+    max_cells: int = 4_000_000,
 ) -> DataFrame:
     """tf_raster_graph_shortest_slope_weighted_path
     (GraphTableFunctions.hpp:519): rasterize, build the 8-neighbor
@@ -529,9 +529,11 @@ def raster_graph_shortest_slope_weighted_path(
     (extent/bin_size)^2 cells — output-sized, not input-sized); the
     Dijkstra then runs on that materialized grid in driver memory,
     the same single-node boost::dijkstra step the reference performs
-    on its in-memory GeoRaster. For graphs too large to materialize,
-    use operators/graph.py weighted_shortest_path (distributed
-    Bellman-Ford) instead.
+    on its in-memory GeoRaster. `max_cells` guards that
+    materialization: if the occupied raster exceeds it (counted
+    distributedly, before any collect), the call errors and points at
+    operators/graph.py weighted_shortest_path (distributed
+    Bellman-Ford), which handles graphs too large for one process.
     """
     import heapq
     import math
@@ -544,7 +546,19 @@ def raster_graph_shortest_slope_weighted_path(
         )
         .agg(F.avg(value_col).alias("z"))
     )
-    grid = {(r["ix"], r["iy"]): r["z"] for r in raster.collect()}
+    # limit(max_cells+1) bounds BOTH the transferred rows and the
+    # driver dict in the same job that computes the raster — an
+    # overflow is detected from one extra row, never a full collect.
+    cells = raster.limit(max_cells + 1).collect()
+    if len(cells) > max_cells:
+        raise ValueError(
+            f"raster exceeds max_cells={max_cells} occupied cells; the "
+            "driver-side Dijkstra would materialize the full grid. "
+            "Increase bin_size, raise max_cells, or use "
+            "heavydb_spark.operators.graph.weighted_shortest_path on the "
+            "cell-neighbor edge relation (distributed Bellman-Ford)."
+        )
+    grid = {(r["ix"], r["iy"]): r["z"] for r in cells}
     spark = points.sparkSession
 
     o_bin = (math.floor(origin[0] / bin_size), math.floor(origin[1] / bin_size))

@@ -808,3 +808,25 @@ def test_pack_sequences_integer_group_key(spark):
     )
     out = pack_sequences(df, "g", "id", "tok", budget=100).collect()
     assert {(r.g, r.id, r.bin_id) for r in out} == {(7, 0, 0), (7, 1, 1), (8, 0, 0)}
+
+
+def test_raster_slope_path_cell_cap_guard(spark):
+    """The driver-side Dijkstra must refuse to materialize a raster
+    above max_cells, pointing at the distributed fallback."""
+    import pytest as _pytest
+
+    from heavydb_spark.operators.spatial import (
+        raster_graph_shortest_slope_weighted_path,
+    )
+
+    pts = [(float(ix), float(iy), 0.0) for ix in range(6) for iy in range(6)]
+    df = spark.createDataFrame(pts, "x double, y double, z double")
+    with _pytest.raises(ValueError, match="weighted_shortest_path"):
+        raster_graph_shortest_slope_weighted_path(
+            df, 1.0, (0.5, 0.5), (5.5, 5.5), max_cells=10
+        )
+    # same call under the cap still routes
+    ok = raster_graph_shortest_slope_weighted_path(
+        df, 1.0, (0.5, 0.5), (5.5, 5.5), max_cells=100
+    ).collect()
+    assert ok[0].path_step == 1 and len(ok) >= 6
