@@ -486,30 +486,49 @@ def join_multistep_tpch_q7(spark, sf_dir):
     nation table joins TWICE under different roles (supplier-side and
     customer-side) with a disjunctive cross-nation predicate — the
     self-join-aliasing + OR-of-conjunctions case the reference routes
-    through its left-deep builder. Fact-centric: lineitem streams,
-    both nation copies broadcast, the nation-pair filter applies after
-    the last broadcast join (Catalyst cannot push a two-sided OR below
-    either join — semantically it needs both sides bound)."""
+    through its left-deep builder.
+
+    Catalyst cannot push the two-sided OR below either join (it needs
+    both sides bound), but its one-sided consequences ARE derivable by
+    hand: each side of the pair is one of the two nations, so supplier
+    and customer pre-filter to `n_name IN (the two nations)` via their
+    (broadcast, 2-row) nation joins BEFORE touching the fact — the
+    lineitem probe stream and the orders side of the orderkey shuffle
+    both shrink ~(2/|nation|) up front, and only the residual 2-of-4
+    combo filter remains after the joins. Plan-asserted in
+    tests/test_plans.py (In-filter pushed to both nation scans;
+    lineitem never a broadcast build)."""
     li = T(spark, sf_dir, "lineitem")
     s = T(spark, sf_dir, "supplier")
     o = T(spark, sf_dir, "orders")
     c = T(spark, sf_dir, "customer")
-    n1 = T(spark, sf_dir, "nation").select(
-        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    names = ("NATION_3", "NATION_9")
+    n1 = (
+        T(spark, sf_dir, "nation")
+        .filter(F.col("n_name").isin(*names))
+        .select(
+            F.col("n_nationkey").alias("n1_key"),
+            F.col("n_name").alias("supp_nation"),
+        )
     )
-    n2 = T(spark, sf_dir, "nation").select(
-        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    n2 = (
+        T(spark, sf_dir, "nation")
+        .filter(F.col("n_name").isin(*names))
+        .select(
+            F.col("n_nationkey").alias("n2_key"),
+            F.col("n_name").alias("cust_nation"),
+        )
     )
+    s_f = s.join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+    c_f = c.join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+    o_f = o.join(c_f, F.col("o_custkey") == F.col("c_custkey"))
     pair = (
         ((F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_9"))
         | ((F.col("supp_nation") == "NATION_9") & (F.col("cust_nation") == "NATION_3"))
     )
     return (
-        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(c, F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
-        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        li.join(F.broadcast(s_f), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o_f, F.col("l_orderkey") == F.col("o_orderkey"))
         .filter(pair)
         .groupBy(
             "supp_nation",

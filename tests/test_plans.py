@@ -171,3 +171,22 @@ def test_sample_and_mix_are_scan_level_filters(spark):
     assert checks.shuffle_count(
         mix_sources(d, "source", "doc_id", {"web": 0.5})
     ) == 0
+
+
+def test_q7_nation_filters_prepushed(spark):
+    """Q7's derivable one-sided nation filters must reach the nation
+    scans as pushed In-filters (supplier/customer shrink before the
+    fact join), and lineitem must never be a broadcast build."""
+    import re
+
+    df = QUERIES["join_multistep_tpch_q7"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    pushed = re.findall(r"PushedFilters: \[[^\]]*In\(n_name", plan)
+    assert len(pushed) >= 2, plan[:2000]
+    builds = [
+        m.group(1)
+        for seg in plan.split("BroadcastExchange")[1:]
+        for m in [re.search(r"/(\w+)\.parquet", seg)]
+        if m
+    ]
+    assert builds and "lineitem" not in builds, builds
