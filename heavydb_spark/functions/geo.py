@@ -557,3 +557,258 @@ def _ring_pt_dists(ring: Column, px: Column, py: Column) -> Column:
             F.element_at(ring, F.when(i == n, 1).otherwise(i + 1)),
         ),
     )
+
+
+# ---------------------------------------------------------- MULTI* types
+#
+# MULTIPOINT = array<point>, MULTILINESTRING = array<linestring>,
+# MULTIPOLYGON = array<polygon> — one more nesting level per compound
+# (Shared/sqltypes.h:84-97 kMULTIPOINT/kMULTILINESTRING/kMULTIPOLYGON;
+# Geospatial/Types.h GeoMultiPolygon). Component geometries are
+# disjoint per OGC, so aggregate accessors sum/any over components.
+
+
+def st_numgeometries(multi: Column) -> Column:
+    """ST_NumGeometries over any MULTI* geometry."""
+    return F.size(multi)
+
+
+def st_npoints_multipolygon(mp: Column) -> Column:
+    """Total vertex count over every ring of every polygon."""
+    return _fsum(
+        F.transform(
+            mp,
+            lambda poly: _fsum(
+                F.transform(poly, lambda r: F.size(r).cast("double"))
+            ),
+        )
+    ).cast("int")
+
+
+def st_area_multipolygon(mp: Column) -> Column:
+    """Σ component areas (holes subtracted per component)."""
+    return _fsum(F.transform(mp, st_area))
+
+
+def st_perimeter_multipolygon(mp: Column) -> Column:
+    return _fsum(F.transform(mp, st_perimeter))
+
+
+def st_length_multilinestring(mls: Column) -> Column:
+    return _fsum(F.transform(mls, st_length))
+
+
+def st_centroid_multipolygon(mp: Column) -> Column:
+    """Area-weighted centroid across components: Σ(area_i · c_i) / Σarea_i."""
+    wx = _fsum(F.transform(mp, lambda p: st_area(p) * st_centroid(p)["x"]))
+    wy = _fsum(F.transform(mp, lambda p: st_area(p) * st_centroid(p)["y"]))
+    total = st_area_multipolygon(mp)
+    return F.struct((wx / total).alias("x"), (wy / total).alias("y"))
+
+
+def st_contains_point_multipolygon(
+    mp: Column, px: Column, py: Column
+) -> Column:
+    """Any component contains the point (components disjoint per OGC)."""
+    return F.exists(mp, lambda p: st_contains_point(p, px, py))
+
+
+def st_geomfromtext_multipolygon(wkt: Column) -> Column:
+    """'MULTIPOLYGON (((x y, ...), (...)), ((...)))' ->
+    array-of-polygons (Geospatial/Types.cpp GeoMultiPolygon WKT)."""
+    body = F.regexp_replace(
+        wkt, r"(?i)^\s*MULTIPOLYGON\s*\(\s*\(\s*\(", ""
+    )
+    body = F.regexp_replace(body, r"\)\s*\)\s*\)\s*$", "")
+    polys = F.split(body, r"\)\s*\)\s*,\s*\(\s*\(")
+
+    def parse_point(pt: Column) -> Column:
+        parts = F.split(F.trim(pt), r"\s+")
+        return F.struct(
+            F.element_at(parts, 1).cast("double").alias("x"),
+            F.element_at(parts, 2).cast("double").alias("y"),
+        )
+
+    def parse_poly(ptxt: Column) -> Column:
+        rings = F.split(ptxt, r"\)\s*,\s*\(")
+        return F.transform(
+            rings, lambda r: F.transform(F.split(r, ","), parse_point)
+        )
+
+    return F.transform(polys, parse_poly)
+
+
+def st_astext_multipolygon(mp: Column) -> Column:
+    def ring_text(r: Column) -> Column:
+        return F.concat(
+            F.lit("("),
+            F.array_join(
+                F.transform(
+                    r,
+                    lambda p: F.concat(
+                        p["x"].cast("string"), F.lit(" "), p["y"].cast("string")
+                    ),
+                ),
+                ", ",
+            ),
+            F.lit(")"),
+        )
+
+    def poly_text(p: Column) -> Column:
+        return F.concat(
+            F.lit("("),
+            F.array_join(F.transform(p, ring_text), ", "),
+            F.lit(")"),
+        )
+
+    return F.concat(
+        F.lit("MULTIPOLYGON ("),
+        F.array_join(F.transform(mp, poly_text), ", "),
+        F.lit(")"),
+    )
+
+
+def st_geomfromtext_multipoint(wkt: Column) -> Column:
+    """'MULTIPOINT (x y, x y, ...)' (also accepts the parenthesized
+    '(x y), (x y)' form) -> array<point>."""
+    body = F.regexp_replace(wkt, r"(?i)^\s*MULTIPOINT\s*\(", "")
+    body = F.regexp_replace(body, r"\)\s*$", "")
+    body = F.regexp_replace(body, r"[()]", "")
+
+    def parse_point(pt: Column) -> Column:
+        parts = F.split(F.trim(pt), r"\s+")
+        return F.struct(
+            F.element_at(parts, 1).cast("double").alias("x"),
+            F.element_at(parts, 2).cast("double").alias("y"),
+        )
+
+    return F.transform(F.split(body, ","), parse_point)
+
+
+# ------------------------------------------------------ general transform
+#
+# ST_Transform beyond the 4326<->900913 pair: WGS-84 -> UTM zone
+# (EPSG 326xx) via the Gauss-Krueger/transverse-Mercator series
+# (3rd order in the third flattening n — sub-mm over a UTM zone).
+# Reference surface: the ST_Transform overloads of
+# QueryEngine/ExtensionFunctionsGeo.hpp (arbitrary SRID via proj);
+# here the projection math is closed-form so the same formula can run
+# as a Spark Column expression AND as oracle SQL text. Both variants
+# are generated from ONE formula over a tiny two-backend expression
+# builder, so the floating-point operation structure is identical and
+# results hash-match at 6 decimals.
+
+_WGS84_A = 6378137.0
+_WGS84_F = 1.0 / 298.257223563
+_UTM_K0 = 0.9996
+_UTM_E0 = 500000.0
+
+
+class _SqlExpr:
+    """String-building backend: arithmetic on parenthesized SQL text."""
+
+    def __init__(self, s: str):
+        self.s = f"({s})"
+
+    def _b(self, op, o):
+        o = o.s if isinstance(o, _SqlExpr) else repr(float(o))
+        return _SqlExpr(f"{self.s} {op} {o}")
+
+    def _rb(self, op, o):
+        o = o.s if isinstance(o, _SqlExpr) else repr(float(o))
+        return _SqlExpr(f"{o} {op} {self.s}")
+
+    def __add__(self, o):
+        return self._b("+", o)
+
+    def __radd__(self, o):
+        return self._rb("+", o)
+
+    def __sub__(self, o):
+        return self._b("-", o)
+
+    def __rsub__(self, o):
+        return self._rb("-", o)
+
+    def __mul__(self, o):
+        return self._b("*", o)
+
+    def __rmul__(self, o):
+        return self._rb("*", o)
+
+    def __truediv__(self, o):
+        return self._b("/", o)
+
+    def __neg__(self):
+        return _SqlExpr(f"-{self.s}")
+
+
+class _SqlOps:
+    @staticmethod
+    def fn(name):
+        return lambda x: _SqlExpr(f"{name}({x.s})")
+
+    def __init__(self):
+        for f in ("sin", "cos", "atan", "exp", "ln", "sqrt", "radians"):
+            setattr(self, f, self.fn(f))
+
+
+class _ColOps:
+    sin = staticmethod(F.sin)
+    cos = staticmethod(F.cos)
+    atan = staticmethod(F.atan)
+    exp = staticmethod(F.exp)
+    ln = staticmethod(F.log)
+    sqrt = staticmethod(F.sqrt)
+    radians = staticmethod(F.radians)
+
+
+def _utm_formula(ops, lon, lat, zone: int):
+    """Transverse-Mercator forward series, written once over either
+    backend. sinh/cosh/atanh are spelled with exp/ln so Spark and
+    DuckDB run the exact same primitive calls."""
+    n = _WGS84_F / (2.0 - _WGS84_F)
+    big_a = (_WGS84_A / (1.0 + n)) * (1.0 + n * n / 4.0 + n**4 / 64.0)
+    a1 = n / 2.0 - 2.0 * n * n / 3.0 + 5.0 * n**3 / 16.0
+    a2 = 13.0 * n * n / 48.0 - 3.0 * n**3 / 5.0
+    a3 = 61.0 * n**3 / 240.0
+    c1 = 2.0 * (n ** 0.5) / (1.0 + n)
+    lam0 = float(zone * 6 - 183)
+
+    def atanh(x):
+        return 0.5 * ops.ln((1.0 + x) / (1.0 - x))
+
+    def sinh(x):
+        return (ops.exp(x) - ops.exp(-x)) / 2.0
+
+    def cosh(x):
+        return (ops.exp(x) + ops.exp(-x)) / 2.0
+
+    phi = ops.radians(lat)
+    lam = ops.radians(lon - lam0)
+    s = ops.sin(phi)
+    t = sinh(atanh(s) - c1 * atanh(c1 * s))
+    xi = ops.atan(t / ops.cos(lam))
+    eta = atanh(ops.sin(lam) / ops.sqrt(1.0 + t * t))
+    east = eta
+    north = xi
+    for j, aj in ((1, a1), (2, a2), (3, a3)):
+        east = east + aj * ops.cos(2.0 * j * xi) * sinh(2.0 * j * eta)
+        north = north + aj * ops.sin(2.0 * j * xi) * cosh(2.0 * j * eta)
+    return (
+        _UTM_E0 + _UTM_K0 * big_a * east,
+        _UTM_K0 * big_a * north,
+    )
+
+
+def utm_from_wgs84(lon: Column, lat: Column, zone: int) -> Column:
+    """ST_Transform(point, EPSG 326xx): WGS-84 lon/lat -> UTM easting/
+    northing (northern-hemisphere false northing 0) as struct<x,y>."""
+    e, nn = _utm_formula(_ColOps(), lon.cast("double"), lat.cast("double"), zone)
+    return F.struct(e.alias("x"), nn.alias("y"))
+
+
+def utm_from_wgs84_sql(lon_expr: str, lat_expr: str, zone: int) -> tuple[str, str]:
+    """The ANSI-SQL text of `utm_from_wgs84` (for DuckDB oracles)."""
+    e, nn = _utm_formula(_SqlOps(), _SqlExpr(lon_expr), _SqlExpr(lat_expr), zone)
+    return e.s, nn.s

@@ -1316,3 +1316,252 @@ def tf_mandelbrot(spark, sf_dir):
         F.round("y", 6).alias("y"),
         "num_iterations",
     ).orderBy("x", "y")
+
+
+# ------------------------------------------------------- GEOS op subset
+#
+# ST_Union / ST_Intersection / ST_Difference / ST_ConvexHull / general
+# ST_Transform (RelAlgTranslatorGeo.cpp:333-337,810-819, GeosRuntime.cpp;
+# ExtensionFunctionsGeo.hpp ST_Transform overloads). Fixtures are
+# closed-form shapes parameterized by nation key, so DuckDB oracles
+# compute expected values without a spatial extension.
+
+
+def _geos_rects(spark, sf_dir):
+    """Two overlapping axis-aligned rectangles per nation: A =
+    [0, 4+k%3] x [0, 3+k%2], B = [2, 6+k%5] x [1, 5] — overlap widths
+    stay positive for every k, so all three boolean results are
+    non-empty."""
+    n = T(spark, sf_dir, "nation")
+    k = F.col("n_nationkey")
+
+    def rect(x0, y0, x1, y1):
+        return F.array(
+            F.array(
+                F.struct(x0.alias("x"), y0.alias("y")),
+                F.struct(x1.alias("x"), y0.alias("y")),
+                F.struct(x1.alias("x"), y1.alias("y")),
+                F.struct(x0.alias("x"), y1.alias("y")),
+            )
+        )
+
+    zero = F.lit(0.0)
+    return n.select(
+        "n_nationkey",
+        rect(
+            zero, zero,
+            (4 + k % 3).cast("double"), (3 + k % 2).cast("double"),
+        ).alias("pa"),
+        rect(
+            F.lit(2.0), F.lit(1.0),
+            (6 + k % 5).cast("double"), F.lit(5.0),
+        ).alias("pb"),
+    )
+
+
+@query(
+    "geo_geos_union_diff",
+    oracle="""
+    WITH p AS (
+        SELECT n_nationkey,
+               CAST(4 + n_nationkey % 3 AS DOUBLE) AS ax1,
+               CAST(3 + n_nationkey % 2 AS DOUBLE) AS ay1,
+               CAST(6 + n_nationkey % 5 AS DOUBLE) AS bx1
+        FROM nation
+    ), m AS (
+        SELECT n_nationkey,
+               ax1 * ay1 AS area_a,
+               (bx1 - 2) * 4 AS area_b,
+               (least(ax1, bx1) - 2) * (least(ay1, 5.0) - 1) AS area_i
+        FROM p
+    )
+    SELECT n_nationkey,
+           round(area_a + area_b - area_i, 4) AS union_area,
+           round(area_i, 4) AS inter_area,
+           round(area_a - area_i, 4) AS diff_area
+    FROM m ORDER BY n_nationkey
+    """,
+)
+def geo_geos_union_diff(spark, sf_dir):
+    """ST_Union / ST_Intersection / ST_Difference on per-nation
+    rectangle pairs (GEOS ops, RelAlgTranslatorGeo.cpp:333-337) via
+    exact trapezoid-overlay pandas UDF kernels (functions/geos.py);
+    areas checked against closed-form interval arithmetic."""
+    from heavydb_spark.functions import geos
+
+    r = _geos_rects(spark, sf_dir)
+    return r.select(
+        "n_nationkey",
+        F.round(
+            geo.st_area_multipolygon(geos.st_union(F.col("pa"), F.col("pb"))), 4
+        ).alias("union_area"),
+        F.round(
+            geo.st_area_multipolygon(
+                geos.st_intersection(F.col("pa"), F.col("pb"))
+            ),
+            4,
+        ).alias("inter_area"),
+        F.round(
+            geo.st_area_multipolygon(
+                geos.st_difference(F.col("pa"), F.col("pb"))
+            ),
+            4,
+        ).alias("diff_area"),
+    ).orderBy("n_nationkey")
+
+
+@query(
+    "geo_geos_convexhull",
+    oracle="""
+    WITH v AS (
+        SELECT n_nationkey, i,
+               n_nationkey*10.0
+                 + (2 + n_nationkey % 3) * cos(2*pi()*i/8) AS x,
+               (n_nationkey%5)*7.0
+                 + (2 + n_nationkey % 3) * sin(2*pi()*i/8) AS y
+        FROM nation, generate_series(0, 7) AS t(i)
+    ), e AS (
+        SELECT n_nationkey, x, y,
+               coalesce(lead(x) OVER w, first_value(x) OVER w) AS x2,
+               coalesce(lead(y) OVER w, first_value(y) OVER w) AS y2
+        FROM v WINDOW w AS (PARTITION BY n_nationkey ORDER BY i)
+    )
+    SELECT n_nationkey,
+           CAST(8 AS INTEGER) AS hull_points,
+           round(abs(sum(x*y2 - x2*y)/2), 4) AS hull_area,
+           round(sum(sqrt((x-x2)*(x-x2) + (y-y2)*(y-y2))), 4) AS hull_perim
+    FROM e GROUP BY n_nationkey ORDER BY n_nationkey
+    """,
+)
+def geo_geos_convexhull(spark, sf_dir):
+    """ST_ConvexHull (RelAlgTranslatorGeo.cpp:810-819) via monotone
+    chain: per nation, 8 regular-octagon vertices plus 4 strictly
+    interior points — the hull must recover exactly the octagon, so
+    vertex count, area and perimeter have closed oracles."""
+    import math
+
+    from heavydb_spark.functions import geos
+
+    n = T(spark, sf_dir, "nation")
+    nk = F.col("n_nationkey").cast("double")
+    cx, cy = nk * 10.0, (F.col("n_nationkey") % 5).cast("double") * 7.0
+    r = (2 + F.col("n_nationkey") % 3).cast("double")
+
+    def vert(i, scale):
+        th = F.lit(2 * math.pi) * i / F.lit(8)
+        return F.struct(
+            (cx + scale * F.cos(th)).alias("x"),
+            (cy + scale * F.sin(th)).alias("y"),
+        )
+
+    octagon = F.transform(
+        F.sequence(F.lit(0), F.lit(7)), lambda i: vert(i.cast("double"), r)
+    )
+    inner = F.transform(
+        F.sequence(F.lit(0), F.lit(3)),
+        lambda i: vert(i.cast("double") * 2 + 0.5, r * 0.3),
+    )
+    pts = n.select(
+        "n_nationkey", F.concat(octagon, inner).alias("pts")
+    )
+    hull = geos.st_convexhull(F.col("pts"))
+    return pts.select(
+        "n_nationkey",
+        geo.st_npoints_polygon(hull).alias("hull_points"),
+        F.round(geo.st_area(hull), 4).alias("hull_area"),
+        F.round(geo.st_perimeter(hull), 4).alias("hull_perim"),
+    ).orderBy("n_nationkey")
+
+
+@query(
+    "geo_multipolygon_props",
+    oracle="""
+    WITH p AS (
+        SELECT n_nationkey,
+               CAST(2 + n_nationkey % 3 AS DOUBLE) AS w1,
+               CAST(1 + n_nationkey % 2 AS DOUBLE) AS h2,
+               n_nationkey * 10.0 AS x0
+        FROM nation
+    )
+    SELECT n_nationkey,
+           CAST(2 AS INTEGER) AS num_geoms,
+           CAST(8 AS INTEGER) AS n_points,
+           round(w1 * 2 + 1 * h2, 4) AS total_area,
+           round((w1*2*(x0 + w1/2) + h2*(x0 + 5.5)) / (w1*2 + h2), 4) AS cx,
+           round((w1*2*1.0 + h2*(h2/2)) / (w1*2 + h2), 4) AS cy
+    FROM p ORDER BY n_nationkey
+    """,
+)
+def geo_multipolygon_props(spark, sf_dir):
+    """MULTIPOLYGON type surface (Shared/sqltypes.h:84-97,
+    Geospatial/Types.h GeoMultiPolygon; Tests/GeospatialTest.cpp
+    MULTIPOLYGON shapes): WKT round-trip + ST_NumGeometries /
+    ST_NPoints / ST_Area / ST_Centroid over two disjoint per-nation
+    rectangles. The geometry is serialized to WKT and re-parsed before
+    measuring, so the round-trip is part of what the oracle checks."""
+    n = T(spark, sf_dir, "nation")
+    k = F.col("n_nationkey")
+    x0 = k.cast("double") * 10.0
+    w1 = (2 + k % 3).cast("double")
+    h2 = (1 + k % 2).cast("double")
+
+    def rect(x_lo, y_lo, x_hi, y_hi):
+        return F.array(
+            F.array(
+                F.struct(x_lo.alias("x"), y_lo.alias("y")),
+                F.struct(x_hi.alias("x"), y_lo.alias("y")),
+                F.struct(x_hi.alias("x"), y_hi.alias("y")),
+                F.struct(x_lo.alias("x"), y_hi.alias("y")),
+            )
+        )
+
+    zero = F.lit(0.0)
+    mp = F.array(
+        rect(x0, zero, x0 + w1, F.lit(2.0)),
+        rect(x0 + F.lit(5.0), zero, x0 + F.lit(6.0), h2),
+    )
+    roundtrip = geo.st_geomfromtext_multipolygon(
+        geo.st_astext_multipolygon(mp)
+    )
+    cen = geo.st_centroid_multipolygon(roundtrip)
+    return n.select(
+        "n_nationkey",
+        geo.st_numgeometries(roundtrip).alias("num_geoms"),
+        geo.st_npoints_multipolygon(roundtrip).alias("n_points"),
+        F.round(geo.st_area_multipolygon(roundtrip), 4).alias("total_area"),
+        F.round(cen["x"], 4).alias("cx"),
+        F.round(cen["y"], 4).alias("cy"),
+    ).orderBy("n_nationkey")
+
+
+_UTM_LON_SQL = "6.0 + CAST(c_custkey % 600 AS DOUBLE) / 100"
+_UTM_LAT_SQL = "CAST((c_custkey*7) % 8000 AS DOUBLE) / 100"
+_UTM_E_SQL, _UTM_N_SQL = geo.utm_from_wgs84_sql(_UTM_LON_SQL, _UTM_LAT_SQL, 32)
+
+
+@query(
+    "geo_transform_utm",
+    oracle=f"""
+    SELECT c_custkey,
+           round({_UTM_E_SQL}, 4) + 0.0 AS utm_e,
+           round({_UTM_N_SQL}, 4) + 0.0 AS utm_n
+    FROM customer WHERE c_custkey < 400 ORDER BY c_custkey
+    """,
+)
+def geo_transform_utm(spark, sf_dir):
+    """General ST_Transform beyond the 900913 pair
+    (ExtensionFunctionsGeo.hpp ST_Transform overloads): WGS-84 ->
+    UTM zone 32N by the closed-form transverse-Mercator series
+    (functions/geo.py utm_from_wgs84). The oracle runs the SAME
+    formula as generated SQL text, so both engines execute an
+    identical floating-point operation structure (validated to 0.1 mm
+    against independent meridian-arc integration in tests)."""
+    c = T(spark, sf_dir, "customer").filter(F.col("c_custkey") < 400)
+    lon = F.lit(6.0) + (F.col("c_custkey") % 600).cast("double") / 100
+    lat = ((F.col("c_custkey") * 7) % 8000).cast("double") / 100
+    utm = geo.utm_from_wgs84(lon, lat, 32)
+    return c.select(
+        "c_custkey",
+        (F.round(utm["x"], 4) + 0.0).alias("utm_e"),
+        (F.round(utm["y"], 4) + 0.0).alias("utm_n"),
+    ).orderBy("c_custkey")

@@ -830,3 +830,130 @@ def test_raster_slope_path_cell_cap_guard(spark):
         df, 1.0, (0.5, 0.5), (5.5, 5.5), max_cells=100
     ).collect()
     assert ok[0].path_step == 1 and len(ok) >= 6
+
+
+def test_geos_boolean_ops_exact_areas(spark):
+    """Trapezoid-overlay boolean ops: rectangle pair and triangle-vs-
+    square closed forms, including a hole that re-enters the result
+    region (even-odd semantics through the sweep)."""
+    from heavydb_spark.functions import geo, geos
+
+    def P(*rings):
+        return [[{"x": float(x), "y": float(y)} for (x, y) in r] for r in rings]
+
+    rows = [
+        # id, A, B: rect/rect overlap 4
+        (1, P([(0, 0), (4, 0), (4, 3), (0, 3)]),
+            P([(2, 1), (6, 1), (6, 5), (2, 5)])),
+        # triangle containing a square
+        (2, P([(0, 0), (6, 0), (3, 6)]),
+            P([(2, 1), (4, 1), (4, 3), (2, 3)])),
+        # A has a hole inside the overlap region
+        (3, P([(0, 0), (4, 0), (4, 3), (0, 3)],
+              [(2.5, 1.5), (3, 1.5), (3, 2), (2.5, 2)]),
+            P([(2, 1), (6, 1), (6, 5), (2, 5)])),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "id long, pa array<array<struct<x:double,y:double>>>, "
+        "pb array<array<struct<x:double,y:double>>>",
+    )
+    got = {
+        r.id: (r.u, r.i, r.d)
+        for r in df.select(
+            "id",
+            F.round(geo.st_area_multipolygon(geos.st_union("pa", "pb")), 6).alias("u"),
+            F.round(geo.st_area_multipolygon(geos.st_intersection("pa", "pb")), 6).alias("i"),
+            F.round(geo.st_area_multipolygon(geos.st_difference("pa", "pb")), 6).alias("d"),
+        ).collect()
+    }
+    assert got[1] == (24.0, 4.0, 8.0)
+    assert got[2] == (18.0, 4.0, 14.0)      # A=18 contains B=4
+    # hole (.25) sits inside the overlap: B covers it in the union
+    # (24.0) and it cancels out of A\B (8.0); only A∩B loses it
+    assert got[3] == (24.0, 3.75, 8.0)
+    # result geometry composes with containment: a point in A∩B is in
+    # the intersection multipolygon, a point in the hole is not
+    inter = df.filter(F.col("id") == 3).select(
+        geos.st_intersection("pa", "pb").alias("mp")
+    )
+    hit = inter.select(
+        geo.st_contains_point_multipolygon(F.col("mp"), F.lit(3.5), F.lit(2.5)).alias("a"),
+        geo.st_contains_point_multipolygon(F.col("mp"), F.lit(2.7), F.lit(1.7)).alias("b"),
+    ).first()
+    assert hit.a is True and hit.b is False
+
+
+def test_geos_buffer_closed_forms(spark):
+    """Buffers as multi-shape unions: a horizontal segment with
+    4-gon (diamond) caps has area 2*r*L + 2*r^2; buffering a square
+    with diamond caps adds perimeter*r + 2*r^2 (corner diamonds
+    contribute half each); a holed square's hole shrinks."""
+    from heavydb_spark.functions import geo, geos
+
+    line = [[{"x": 0.0, "y": 0.0}, {"x": 4.0, "y": 0.0}]]
+    sq = [[(0, 0), (4, 0), (4, 4), (0, 4)]]
+    holed = [[(0, 0), (4, 0), (4, 4), (0, 4)],
+             [(1, 1), (3, 1), (3, 3), (1, 3)]]
+
+    def P(rings):
+        return [[{"x": float(x), "y": float(y)} for (x, y) in r] for r in rings]
+
+    df = spark.createDataFrame(
+        [(line[0], P(sq), P(holed))],
+        "ls array<struct<x:double,y:double>>, "
+        "sq array<array<struct<x:double,y:double>>>, "
+        "holed array<array<struct<x:double,y:double>>>",
+    )
+    row = df.select(
+        F.round(
+            geo.st_area_multipolygon(geos.st_buffer_linestring("ls", 1.0, 4)), 6
+        ).alias("line_area"),
+        F.round(
+            geo.st_area_multipolygon(geos.st_buffer_polygon("sq", 1.0, 4)), 6
+        ).alias("sq_area"),
+        F.round(
+            geo.st_area_multipolygon(geos.st_buffer_polygon("holed", 0.5, 4)), 6
+        ).alias("holed_area"),
+    ).first()
+    assert row.line_area == 10.0          # 2*1*4 + 2*1^2
+    assert row.sq_area == 34.0            # 16 + 16*1 + 2*1^2
+    # holed square: outer grows to (16 + 16*.5 + 2*.25) = 24.5, hole
+    # 2x2 shrinks by .5 on each side to 1x1 => -1 instead of -4
+    assert row.holed_area == 23.5
+
+
+def test_multipoint_wkt_and_multipolygon_roundtrip(spark):
+    from heavydb_spark.functions import geo
+
+    df = spark.createDataFrame(
+        [("MULTIPOINT (1 2, 3 4, 5 6)",),
+         ("MULTIPOINT ((1 2), (3 4), (5 6))",)],
+        "wkt string",
+    )
+    for r in df.select(
+        geo.st_geomfromtext_multipoint("wkt").alias("mp")
+    ).collect():
+        assert [(p.x, p.y) for p in r.mp] == [(1.0, 2.0), (3.0, 4.0), (5.0, 6.0)]
+
+    mp_wkt = "MULTIPOLYGON (((0 0, 2 0, 2 2, 0 2), (0.5 0.5, 1 0.5, 1 1, 0.5 1)), ((5 0, 6 0, 6 1, 5 1)))"
+    row = (
+        spark.createDataFrame([(mp_wkt,)], "wkt string")
+        .select(
+            geo.st_astext_multipolygon(
+                geo.st_geomfromtext_multipolygon("wkt")
+            ).alias("back"),
+            geo.st_numgeometries(
+                geo.st_geomfromtext_multipolygon("wkt")
+            ).alias("ng"),
+            F.round(
+                geo.st_area_multipolygon(
+                    geo.st_geomfromtext_multipolygon("wkt")
+                ), 6
+            ).alias("area"),
+        )
+        .first()
+    )
+    assert row.ng == 2
+    assert row.area == 4.75  # (4 - .25) + 1
+    assert row.back.replace(".0 ", " ").replace(".0,", ",").replace(".0)", ")") == mp_wkt
