@@ -30,6 +30,24 @@ def _vec_lit(vec) -> Column:
     return F.array(*[F.lit(float(x)) for x in vec])
 
 
+# (semantic-hash, column) -> embedding dimensionality, so plan-build
+# probes run once per distinct input plan instead of once per call
+_DIM_CACHE: dict[tuple[int, str], int] = {}
+
+
+def _probe_dim(df: DataFrame, vec_col: str) -> int:
+    try:
+        key = (df._jdf.queryExecution().analyzed().semanticHash(), vec_col)
+    except Exception:  # Spark Connect or API drift — probe uncached
+        key = None
+    if key is not None and key in _DIM_CACHE:
+        return _DIM_CACHE[key]
+    dim = len(df.select(vec_col).first()[0])
+    if key is not None:
+        _DIM_CACHE[key] = dim
+    return dim
+
+
 def cosine_topk(
     df: DataFrame,
     vec_col: str,
@@ -117,10 +135,12 @@ def embedding_neardup_pairs(
     join is never materialized.
 
     Pass `dim` (the embedding dimensionality) to avoid the one-row
-    probe job; when omitted it is read from the first row.
+    probe job; when omitted it is read from the first row once per
+    (plan, column) — memoized on the analyzed plan's semantic hash so
+    repeated calls in one session don't re-run the probe.
     """
     if dim is None:
-        dim = len(df.select(vec_col).first()[0])
+        dim = _probe_dim(df, vec_col)
     planes = hyperplanes(dim, n_planes, seed)
     # Normalize once per row (not per pair): pair cosine is then a plain
     # dot product — 1/3 of the per-pair vector math.

@@ -35,73 +35,78 @@ from heavydb_spark.queries import (  # noqa: F401,E402
 # Registration-order priority.
 #
 # The verify driver correctness-checks queries in registration order with a
-# bounded budget (round 1: exactly the first 50).  Round 1 proved the first
-# 50 families green, so round 2 front-loads one representative per
-# PREVIOUSLY-UNVERIFIED operator family (scalar functions, table functions,
-# data-pipeline, streaming, ML, geo, DML) plus the two queries whose oracle
-# types were fixed this round; near-duplicate variants and round-1-green
-# queries follow.  Between rounds the union of CORRECTNESS_r*.json rows then
-# covers every family in SURVEY.md §2.
+# bounded budget (~50 per round).  The union of the r1-r3 windows covered all
+# 135 pre-r4 queries with zero outstanding failures, so round 4 front-loads:
+# (1) the four new geo queries, (2) everything whose code changed this round,
+# (3) a full rotation of the rows-only sketch/iterative queries (their value
+# invariants are pytest-checked), then a per-family green regression slice.
 # ---------------------------------------------------------------------------
 _PRIORITY = [
-    # --- round-3 additions (never driver-verified) ---
-    "pipe_decontaminate",
-    "pipe_sample_stratified",
-    "pipe_mix_sources",
-    "pipe_pii_scrub",
-    "pipe_pack_sequences",
-    "pipe_dictionary_encode",
-    "tf_raster_slope_path",
-    "tf_cross_section_2d",
-    "tf_raster_contour_bands",
-    "tf_mandelbrot",
-    "ml_linear_reg2",
-    "ml_var_importance",
-    "ml_decision_trees",
-    "ml_pca_fit",
-    "geo_accessors_distance",
-    "stream_interval_join",
-    "join_multistep_tpch_q10",
-    "join_multistep_tpch_q7",
-    # changed this round (fact-centric rewrite) — re-verify
-    "join_multistep_tpch_q5",
-    # --- registered in r1/r2 but never inside the driver window ---
-    "geo_wkt_roundtrip",
-    "geo_transform_900913",
-    "geo_linestring_props",
-    "geo_polygon_intersects",
-    "geo_grid_join",
-    "fn_string_extra",
-    "dedup_fingerprint",
+    # --- round-4 additions (never driver-verified) ---
+    "geo_geos_union_diff",
+    "geo_geos_convexhull",
+    "geo_multipolygon_props",
+    "geo_transform_utm",
+    # --- code-touched in round 4 — re-verify ---
+    "pipe_mix_sources",          # now weights real fixture sources (non-vacuous)
+    "sim_embedding_neardup",     # planted duplicates + exact oracle (was rows-only)
+    "window_lag_lead_in_frame",  # collect_list emulation -> O(1) lag/lead
+    "join_multistep_tpch_q7",    # pre-pushed one-sided nation filters
+    "pipe_pack_sequences",       # group-column type derived from schema
+    "tf_raster_slope_path",      # driver-materialization cell cap
+    "sql_dialect_window_fill",   # dialect window-rewrite module touched
+    # --- rows-only rotation: every sketch/iterative query re-recorded
+    # this round (invariant value-tests live in tests/test_operators.py:
+    # kmeans cluster consistency, dbscan density, pca distances,
+    # var_importance simplex, planted-dup recovery) ---
+    "dedup_minhash_lsh",
+    "dedup_simhash",
     "sim_ann_lsh",
-    "sim_embedding_neardup",
-    "text_quality",
-    "mm_frame_sample",
-    "tf_feature_query_similarity",
-    "stream_sliding_window",
+    "sim_ann_ivf",
     "ml_kmeans",
     "ml_pca_project",
-    "tf_generate_random_strings",
+    "ml_pca_fit",
+    "ml_var_importance",
+    "ml_decision_trees",
     "ml_forest_predict",
     "ml_dbscan",
-    "tf_raster_contour",
+    "tf_generate_random_strings",
     # --- regression slice: one green representative per family ---
     "pricing_summary",
     "scan_project_filter",
     "join_star_agg",
     "join_multistep_tpch_q3",
+    "join_multistep_tpch_q5",
+    "join_multistep_tpch_q10",
     "agg_groupby_multicol",
     "agg_count_if_sum_if",
     "window_moving_avg",
     "window_forward_fill",
+    "window_conditional_change_event",
     "union_distinct",
     "fn_datetime",
     "fn_decimal",
-    "dedup_minhash_lsh",
+    "fn_string_extra",
     "sim_cosine_topk",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_connected_components",
+    "pipe_decontaminate",
+    "pipe_sample_stratified",
+    "pipe_pii_scrub",
+    "pipe_dictionary_encode",
+    "text_quality",
+    "text_lang_id",
+    "mm_frame_sample",
     "geo_polygon_contains_join",
+    "geo_bbox_join",
+    "geo_accessors_distance",
+    "tf_cross_section_2d",
+    "tf_mandelbrot",
+    "ml_linear_reg2",
+    "stream_interval_join",
+    "stream_sliding_window",
     "dml_update_postimage",
-    "sql_dialect_window_fill",
 ]
 
 

@@ -957,3 +957,59 @@ def test_multipoint_wkt_and_multipolygon_roundtrip(spark):
     assert row.ng == 2
     assert row.area == 4.75  # (4 - .25) + 1
     assert row.back.replace(".0 ", " ").replace(".0,", ",").replace(".0)", ")") == mp_wkt
+
+
+def test_kmeans_cluster_invariants(spark):
+    """kmeans invariants on 4 well-separated blobs: exactly k clusters
+    used, every blob is assigned one consistent cluster, and each row
+    sits nearer its own cluster centroid than any other (assignment
+    consistency)."""
+    import numpy as np
+
+    from heavydb_spark.operators.ml import kmeans_fit
+
+    centers = [(0.0, 0.0), (50.0, 0.0), (0.0, 50.0), (50.0, 50.0)]
+    rows = []
+    rid = 0
+    for bi, (cx, cy) in enumerate(centers):
+        for i in range(25):
+            rows.append(
+                (rid, bi, [cx + (i % 5) * 0.1, cy + (i // 5) * 0.1])
+            )
+            rid += 1
+    df = spark.createDataFrame(rows, "id long, blob int, emb array<double>")
+    got = kmeans_fit(df, "emb", k=4).select("id", "blob", "emb", "cluster_id").collect()
+    assert len({r.cluster_id for r in got}) == 4
+    blob_to_cluster = {}
+    for r in got:
+        blob_to_cluster.setdefault(r.blob, set()).add(r.cluster_id)
+    assert all(len(cs) == 1 for cs in blob_to_cluster.values())
+    # assignment consistency: own-centroid distance is minimal
+    pts = {c: [] for c in range(4)}
+    for r in got:
+        pts[r.cluster_id].append(r.emb)
+    cents = {c: np.mean(np.array(v), axis=0) for c, v in pts.items()}
+    for r in got:
+        d = {c: float(np.sum((np.array(r.emb) - cents[c]) ** 2)) for c in cents}
+        assert min(d, key=d.get) == r.cluster_id
+
+
+def test_pca_project_invariants(spark):
+    """pca_project on a rank-2 dataset: projection preserves pairwise
+    distances (the data lies in the principal plane) and k bounds the
+    output dimensionality."""
+    import numpy as np
+
+    from heavydb_spark.operators.ml import pca_project
+
+    rng = [(i, [float(i), float(2 * i % 13), float(i) + 2.0 * (2 * i % 13)])
+           for i in range(40)]
+    df = spark.createDataFrame(rng, "id long, emb array<double>")
+    out = {r.id: r.pca_arr for r in pca_project(df, "emb", k=2).collect()}
+    assert all(len(v) == 2 for v in out.values())
+    src = {i: np.array(e) for i, e in rng}
+    prj = {i: np.array(v) for i, v in out.items()}
+    for a, b in [(0, 1), (5, 17), (3, 39), (10, 20)]:
+        d_src = float(np.linalg.norm(src[a] - src[b]))
+        d_prj = float(np.linalg.norm(prj[a] - prj[b]))
+        assert abs(d_src - d_prj) < 1e-6 * max(1.0, d_src)
