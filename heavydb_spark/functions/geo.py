@@ -812,3 +812,62 @@ def utm_from_wgs84_sql(lon_expr: str, lat_expr: str, zone: int) -> tuple[str, st
     """The ANSI-SQL text of `utm_from_wgs84` (for DuckDB oracles)."""
     e, nn = _utm_formula(_SqlOps(), _SqlExpr(lon_expr), _SqlExpr(lat_expr), zone)
     return e.s, nn.s
+
+
+def _utm_inverse_formula(ops, easting, northing, zone: int):
+    """Inverse transverse-Mercator series (3rd order in n) — the other
+    direction of ExtensionFunctionsGeo.hpp's ST_Transform overloads."""
+    n = _WGS84_F / (2.0 - _WGS84_F)
+    big_a = (_WGS84_A / (1.0 + n)) * (1.0 + n * n / 4.0 + n**4 / 64.0)
+    b1 = n / 2.0 - 2.0 * n * n / 3.0 + 37.0 * n**3 / 96.0
+    b2 = n * n / 48.0 + n**3 / 15.0
+    b3 = 17.0 * n**3 / 480.0
+    d1 = 2.0 * n - 2.0 * n * n / 3.0 - 2.0 * n**3
+    d2 = 7.0 * n * n / 3.0 - 8.0 * n**3 / 5.0
+    d3 = 56.0 * n**3 / 15.0
+    lam0 = float(zone * 6 - 183)
+
+    def sinh(x):
+        return (ops.exp(x) - ops.exp(-x)) / 2.0
+
+    def cosh(x):
+        return (ops.exp(x) + ops.exp(-x)) / 2.0
+
+    xi = northing / (_UTM_K0 * big_a)
+    eta = (easting - _UTM_E0) / (_UTM_K0 * big_a)
+    xi_p = xi
+    eta_p = eta
+    for j, bj in ((1, b1), (2, b2), (3, b3)):
+        xi_p = xi_p - bj * ops.sin(2.0 * j * xi) * cosh(2.0 * j * eta)
+        eta_p = eta_p - bj * ops.cos(2.0 * j * xi) * sinh(2.0 * j * eta)
+    chi = ops.asin(ops.sin(xi_p) / cosh(eta_p))
+    phi = chi
+    for j, dj in ((1, d1), (2, d2), (3, d3)):
+        phi = phi + dj * ops.sin(2.0 * j * chi)
+    lam = ops.atan(sinh(eta_p) / ops.cos(xi_p))
+    return (
+        lam0 + ops.degrees(lam),
+        ops.degrees(phi),
+    )
+
+
+def utm_to_wgs84(easting: Column, northing: Column, zone: int) -> Column:
+    """ST_Transform(EPSG 326xx -> 4326): UTM easting/northing -> WGS-84
+    lon/lat struct<x,y> (inverse Krueger series; round-trips with
+    utm_from_wgs84 to ~1e-9 degrees)."""
+    ops = _ColOps()
+    ops.asin = F.asin
+    ops.degrees = F.degrees
+    lon, lat = _utm_inverse_formula(
+        ops, easting.cast("double"), northing.cast("double"), zone
+    )
+    return F.struct(lon.alias("x"), lat.alias("y"))
+
+
+def utm_to_wgs84_sql(e_expr: str, n_expr: str, zone: int) -> tuple[str, str]:
+    """ANSI-SQL text of `utm_to_wgs84` (for DuckDB oracles)."""
+    ops = _SqlOps()
+    ops.asin = _SqlOps.fn("asin")
+    ops.degrees = _SqlOps.fn("degrees")
+    lon, lat = _utm_inverse_formula(ops, _SqlExpr(e_expr), _SqlExpr(n_expr), zone)
+    return lon.s, lat.s

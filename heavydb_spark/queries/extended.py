@@ -1565,3 +1565,119 @@ def geo_transform_utm(spark, sf_dir):
         (F.round(utm["x"], 4) + 0.0).alias("utm_e"),
         (F.round(utm["y"], 4) + 0.0).alias("utm_n"),
     ).orderBy("c_custkey")
+
+
+# ---------------------------------------------------- point-cloud UDTFs
+
+_PC_X0 = "CAST(400000.0 + 1000.0 * n_nationkey AS DOUBLE)"
+_PC_Y0 = "CAST(5000000.0 + 500.0 * n_nationkey AS DOUBLE)"
+_PC_N = "200 + (n_nationkey % 5) * 100"
+_PC_LON_MIN, _PC_LAT_MIN = geo.utm_to_wgs84_sql(_PC_X0, _PC_Y0, 32)
+_PC_LON_MAX, _PC_LAT_MAX = geo.utm_to_wgs84_sql(
+    f"({_PC_X0}) + 95.0", f"({_PC_Y0}) + (({_PC_N}) / 20 - 1) * 5.0", 32
+)
+
+
+@query(
+    "tf_point_cloud_metadata",
+    oracle=f"""
+    SELECT 'synth://' || CAST(n_nationkey AS VARCHAR) AS file_path,
+           CAST(n_nationkey AS VARCHAR) AS file_name,
+           CAST(1 AS SMALLINT) AS version_major,
+           CAST(4 AS SMALLINT) AS version_minor,
+           CAST({_PC_N} AS BIGINT) AS num_points,
+           CAST(10 AS SMALLINT) AS num_dims,
+           32 AS specified_utm_zone,
+           {_PC_X0} AS source_x_min,
+           ({_PC_X0}) + 95.0 AS source_x_max,
+           {_PC_Y0} AS source_y_min,
+           ({_PC_Y0}) + (({_PC_N}) / 20 - 1) * 5.0 AS source_y_max,
+           CAST(100.0 AS DOUBLE) AS source_z_min,
+           CAST(112.0 AS DOUBLE) AS source_z_max,
+           round({_PC_LON_MIN}, 6) + 0.0 AS x_min_4326,
+           round({_PC_LON_MAX}, 6) + 0.0 AS x_max_4326,
+           round({_PC_LAT_MIN}, 6) + 0.0 AS y_min_4326,
+           round({_PC_LAT_MAX}, 6) + 0.0 AS y_max_4326
+    FROM nation ORDER BY file_path
+    """,
+)
+def tf_point_cloud_metadata(spark, sf_dir):
+    """tf_point_cloud_metadata (PointCloudTableFunctions.h:14): per-file
+    header/bounds rows over deterministic synthetic UTM tiles (the LAS
+    binary decoder is laspy-gated; sources/pointcloud.py), with
+    EPSG:4326 bounds from the closed-form inverse UTM transform. The
+    oracle replays the tile arithmetic AND the same generated inverse-
+    transform SQL."""
+    from heavydb_spark.sources.pointcloud import (
+        point_cloud_metadata,
+        synthetic_decoder,
+    )
+
+    files = T(spark, sf_dir, "nation").select(
+        F.concat(F.lit("synth://"), F.col("n_nationkey").cast("string")).alias(
+            "path"
+        )
+    )
+    m = point_cloud_metadata(spark, files, utm_zone=32, decoder=synthetic_decoder)
+    return m.select(
+        "file_path", "file_name", "version_major", "version_minor",
+        "num_points", "num_dims", "specified_utm_zone",
+        "source_x_min", "source_x_max", "source_y_min", "source_y_max",
+        "source_z_min", "source_z_max",
+        (F.round("x_min_4326", 6) + 0.0).alias("x_min_4326"),
+        (F.round("x_max_4326", 6) + 0.0).alias("x_max_4326"),
+        (F.round("y_min_4326", 6) + 0.0).alias("y_min_4326"),
+        (F.round("y_max_4326", 6) + 0.0).alias("y_max_4326"),
+    ).orderBy("file_path")
+
+
+@query(
+    "tf_load_point_cloud",
+    oracle="""
+    WITH f AS (
+        SELECT n_nationkey AS k, 200 + (n_nationkey % 5) * 100 AS n,
+               CAST(400000.0 + 1000.0 * n_nationkey AS DOUBLE) AS x0,
+               CAST(5000000.0 + 500.0 * n_nationkey AS DOUBLE) AS y0
+        FROM nation WHERE n_nationkey < 5
+    ), pts AS (
+        SELECT x0 + (i % 20) * 5.0 AS x,
+               y0 + (i // 20) * 5.0 AS y,
+               CAST(100.0 + (i % 7) * 2.0 AS DOUBLE) AS z,
+               CAST((i * 37) % 256 AS INTEGER) AS intensity,
+               CAST(i % 3 + 1 AS TINYINT) AS return_num,
+               CAST(3 AS TINYINT) AS num_returns,
+               CAST(i % 2 AS TINYINT) AS scan_direction_flag,
+               CAST(0 AS TINYINT) AS edge_of_flight_line_flag,
+               CAST(i % 4 + 1 AS SMALLINT) AS classification,
+               CAST(i % 21 - 10 AS TINYINT) AS scan_angle_rank
+        FROM f, generate_series(0, 399) AS t(i)
+        WHERE i < n
+    )
+    SELECT * FROM pts
+    WHERE x >= 400020.0 AND x <= 402085.0
+      AND y >= 5000000.0 AND y <= 5001005.0
+    ORDER BY x, y
+    """,
+)
+def tf_load_point_cloud(spark, sf_dir):
+    """tf_load_point_cloud (PointCloudTableFunctions.h:117): per-file
+    mapInPandas decode fan-out + bbox crop (the 4-arg overload's
+    require-clauses) over deterministic synthetic tiles — files k=3,4
+    fall wholly outside the box, k=0 and k=2 are partially cropped on
+    opposite x edges."""
+    from heavydb_spark.sources.pointcloud import (
+        load_point_cloud,
+        synthetic_decoder,
+    )
+
+    files = T(spark, sf_dir, "nation").filter(F.col("n_nationkey") < 5).select(
+        F.concat(F.lit("synth://"), F.col("n_nationkey").cast("string")).alias(
+            "path"
+        )
+    )
+    return load_point_cloud(
+        spark, files,
+        x_min=400020.0, x_max=402085.0,
+        y_min=5000000.0, y_max=5001005.0,
+        decoder=synthetic_decoder,
+    ).orderBy("x", "y")

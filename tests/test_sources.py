@@ -127,3 +127,61 @@ def test_copy_from_jdbc_wiring(spark):
         )
     with pytest.raises(Exception):  # no driver in container
         copy_from_jdbc(spark, "jdbc:postgresql://h/db", "t").count()
+
+
+def test_point_cloud_decoder_is_gated():
+    """The LAS binary decoder requires laspy (absent here) and must say
+    so, not silently fake data."""
+    import pytest as _pytest
+
+    from heavydb_spark.sources.pointcloud import _decode_las
+
+    with _pytest.raises(NotImplementedError, match="laspy"):
+        _decode_las("/tmp/tile.las")
+
+
+def test_point_cloud_load_and_metadata(spark):
+    """Synthetic tiles: per-file fan-out yields exactly the closed-form
+    lattice, the bbox crop filters, and metadata bounds agree with the
+    decoded points; 4326 bounds round-trip back to the source corner
+    within series accuracy."""
+    from heavydb_spark.functions.geo import utm_from_wgs84
+    from heavydb_spark.sources.pointcloud import (
+        load_point_cloud,
+        point_cloud_metadata,
+        synth_params,
+        synthetic_decoder,
+    )
+    from pyspark.sql import functions as F
+
+    files = ["synth://0", "synth://7"]
+    pts = load_point_cloud(spark, files, decoder=synthetic_decoder)
+    n0, n7 = synth_params(0)["n_points"], synth_params(7)["n_points"]
+    assert pts.count() == n0 + n7
+    cropped = load_point_cloud(
+        spark, files, 400000.0, 400010.0, 5000000.0, 5000100.0,
+        decoder=synthetic_decoder,
+    )
+    # x in {400000, 400005, 400010} (i%20 in 0..2), all 10 rows of file 0
+    assert cropped.count() == 30
+
+    m = {r.file_path: r for r in
+         point_cloud_metadata(spark, files, decoder=synthetic_decoder).collect()}
+    assert m["synth://0"].num_points == n0
+    assert m["synth://7"].source_x_min == synth_params(7)["x0"]
+    assert m["synth://7"].source_x_max == synth_params(7)["x0"] + 95.0
+    # inverse-transformed corner maps back onto the source corner
+    back = (
+        spark.range(1)
+        .select(
+            utm_from_wgs84(
+                F.lit(m["synth://0"].x_min_4326),
+                F.lit(m["synth://0"].y_min_4326),
+                32,
+            ).alias("p")
+        )
+        .first()
+        .p
+    )
+    assert abs(back.x - m["synth://0"].source_x_min) < 1e-3
+    assert abs(back.y - m["synth://0"].source_y_min) < 1e-3
