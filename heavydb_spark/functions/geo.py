@@ -871,3 +871,16 @@ def utm_to_wgs84_sql(e_expr: str, n_expr: str, zone: int) -> tuple[str, str]:
     ops.degrees = _SqlOps.fn("degrees")
     lon, lat = _utm_inverse_formula(ops, _SqlExpr(e_expr), _SqlExpr(n_expr), zone)
     return lon.s, lat.s
+
+
+def st_transform_900913_4326(p: Column) -> Column:
+    """ST_Transform(point, 900913 -> 4326): inverse Web Mercator with
+    the reference's constants (ExtensionFunctions.hpp conv_900913_4326
+    direction) — exact inverse of st_transform_4326_900913."""
+    return F.struct(
+        (p["x"] / 111319.490778).alias("x"),
+        (
+            (F.atan(F.exp(p["y"] / 6378136.99911)) - 0.785398163397)
+            / 0.00872664626
+        ).alias("y"),
+    )

@@ -1013,3 +1013,26 @@ def test_pca_project_invariants(spark):
         d_src = float(np.linalg.norm(src[a] - src[b]))
         d_prj = float(np.linalg.norm(prj[a] - prj[b]))
         assert abs(d_src - d_prj) < 1e-6 * max(1.0, d_src)
+
+
+def test_transform_inverses_roundtrip(spark):
+    """900913 and UTM transforms invert their forward counterparts."""
+    from heavydb_spark.functions import geo
+
+    df = spark.createDataFrame(
+        [(l, t) for l in (-120.0, -1.5, 0.0, 33.3) for t in (-55.0, 0.0, 48.9)],
+        "lon double, lat double",
+    )
+    p = geo.st_point(F.col("lon"), F.col("lat"))
+    back = geo.st_transform_900913_4326(geo.st_transform_4326_900913(p))
+    for r in df.select("lon", "lat", back.alias("b")).collect():
+        assert abs(r.b.x - r.lon) < 1e-9 and abs(r.b.y - r.lat) < 1e-9
+
+    utm_df = spark.createDataFrame(
+        [(l, t) for l in (6.5, 9.0, 11.5) for t in (1.0, 45.0, 70.0)],
+        "lon double, lat double",
+    )
+    utm = geo.utm_from_wgs84(F.col("lon"), F.col("lat"), 32)
+    inv = geo.utm_to_wgs84(utm["x"], utm["y"], 32)
+    for r in utm_df.select("lon", "lat", inv.alias("b")).collect():
+        assert abs(r.b.x - r.lon) < 1e-7 and abs(r.b.y - r.lat) < 1e-7

@@ -190,3 +190,14 @@ def test_q7_nation_filters_prepushed(spark):
         if m
     ]
     assert builds and "lineitem" not in builds, builds
+
+
+def test_geos_kernels_are_map_only(spark):
+    """The GEOS boolean/hull kernels are geometry-local pandas UDFs:
+    the plan up to the final sort must contain no shuffle exchange
+    (one narrow stage over the dimension scan)."""
+    for name in ("geo_geos_union_diff", "geo_geos_convexhull"):
+        df = QUERIES[name](spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        body = plan.split("Sort", 1)[-1]  # ignore the final presentation sort
+        assert "Exchange hashpartitioning" not in body, (name, plan[:1500])
