@@ -884,3 +884,26 @@ def st_transform_900913_4326(p: Column) -> Column:
             / 0.00872664626
         ).alias("y"),
     )
+
+
+def st_transform(p: Column, from_srid: int, to_srid: int) -> Column:
+    """SRID-dispatching ST_Transform (the reference's overload surface,
+    QueryEngine/ExtensionFunctionsGeo.hpp): supported pairs are
+    4326<->900913 and 4326<->UTM zones (EPSG 326xx northern); anything
+    else raises with the supported list (the reference delegates those
+    to proj, an out-of-container dependency)."""
+    if from_srid == to_srid:
+        return p
+    if (from_srid, to_srid) == (4326, 900913):
+        return st_transform_4326_900913(p)
+    if (from_srid, to_srid) == (900913, 4326):
+        return st_transform_900913_4326(p)
+    if from_srid == 4326 and 32601 <= to_srid <= 32660:
+        return utm_from_wgs84(p["x"], p["y"], to_srid - 32600)
+    if to_srid == 4326 and 32601 <= from_srid <= 32660:
+        return utm_to_wgs84(p["x"], p["y"], from_srid - 32600)
+    raise ValueError(
+        f"ST_Transform {from_srid}->{to_srid} unsupported; closed-form "
+        "pairs are 4326<->900913 and 4326<->EPSG 326xx (UTM north). "
+        "Arbitrary SRIDs need proj (reference: GDAL/proj delegation)."
+    )

@@ -70,6 +70,7 @@ def lag_in_frame(
     partition_by,
     order_by,
     preceding: int | None = None,
+    range_preceding=None,
 ) -> Column:
     """LAG_IN_FRAME (sqldefs.h:154): the value `offset` rows before the
     current row, RESTRICTED to a ROWS frame [`preceding` PRECEDING,
@@ -83,12 +84,25 @@ def lag_in_frame(
     no per-row frame materialization (the memory role the reference's
     segment tree plays, QueryEngine/Utils/SegmentTree.h; a
     collect_list-over-frame emulation is O(frame) per row and dies on
-    wide frames at scale)."""
+    wide frames at scale).
+
+    For a RANGE frame (interval framing on the single numeric/interval
+    order column, translateIntervalExprForWindowFraming) pass
+    `range_preceding` instead: the row `offset` back is in-frame iff
+    its order value is within `range_preceding` of the current one —
+    one extra lag over the order column, still O(1) state."""
     w = Window.partitionBy(*_as_list(partition_by)).orderBy(
         *_as_list(order_by)
     )
     if preceding is not None and offset > preceding:
         return F.when(F.lit(False), col)  # typed NULL: out of frame everywhere
+    if range_preceding is not None:
+        first = _as_list(order_by)[0]
+        order_col = F.col(first) if isinstance(first, str) else first
+        in_frame = (
+            F.lag(order_col, offset).over(w) >= order_col - range_preceding
+        )
+        return F.when(in_frame, F.lag(col, offset).over(w))
     return F.lag(col, offset).over(w)
 
 
@@ -98,14 +112,23 @@ def lead_in_frame(
     partition_by,
     order_by,
     following: int | None = None,
+    range_following=None,
 ) -> Column:
     """LEAD_IN_FRAME (sqldefs.h:156): `offset` rows after the current
     row within a ROWS frame [CURRENT ROW, `following` FOLLOWING]
-    (`following=None` = UNBOUNDED FOLLOWING). Same O(1) arithmetic as
-    lag_in_frame — LEAD handles the partition-end clip."""
+    (`following=None` = UNBOUNDED FOLLOWING), or a RANGE frame via
+    `range_following` (see lag_in_frame). Same O(1) arithmetic —
+    LEAD handles the partition-end clip."""
     w = Window.partitionBy(*_as_list(partition_by)).orderBy(
         *_as_list(order_by)
     )
     if following is not None and offset > following:
         return F.when(F.lit(False), col)
+    if range_following is not None:
+        first = _as_list(order_by)[0]
+        order_col = F.col(first) if isinstance(first, str) else first
+        in_frame = (
+            F.lead(order_col, offset).over(w) <= order_col + range_following
+        )
+        return F.when(in_frame, F.lead(col, offset).over(w))
     return F.lead(col, offset).over(w)

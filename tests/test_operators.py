@@ -1036,3 +1036,49 @@ def test_transform_inverses_roundtrip(spark):
     inv = geo.utm_to_wgs84(utm["x"], utm["y"], 32)
     for r in utm_df.select("lon", "lat", inv.alias("b")).collect():
         assert abs(r.b.x - r.lon) < 1e-7 and abs(r.b.y - r.lat) < 1e-7
+
+
+def test_lag_lead_in_frame_range_frames(spark):
+    """RANGE-framed LAG/LEAD_IN_FRAME: the offset row only counts when
+    its order value lies within the range bound of the current row."""
+    from heavydb_spark.operators.windows import lag_in_frame, lead_in_frame
+
+    # order values with a gap: 1, 2, 10, 11
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, 2.0), (10, 30.0), (11, 40.0)], "t long, v double"
+    )
+    rows = {
+        r.t: (r.lag1, r.lead1)
+        for r in df.select(
+            "t",
+            lag_in_frame(F.col("v"), 1, F.lit(1), "t", range_preceding=3).alias("lag1"),
+            lead_in_frame(F.col("v"), 1, F.lit(1), "t", range_following=3).alias("lead1"),
+        ).collect()
+    }
+    assert rows[2][0] == 1.0      # t=1 within 3 of t=2
+    assert rows[10][0] is None    # t=2 is 8 back — outside RANGE 3
+    assert rows[11][0] == 30.0
+    assert rows[1][1] == 2.0
+    assert rows[2][1] is None     # next row t=10 outside RANGE 3 ahead
+    assert rows[10][1] == 40.0
+
+
+def test_st_transform_srid_dispatch(spark):
+    import pytest as _pytest
+
+    from heavydb_spark.functions import geo
+
+    df = spark.createDataFrame([(9.5, 47.0)], "lon double, lat double")
+    p = geo.st_point(F.col("lon"), F.col("lat"))
+    merc = df.select(geo.st_transform(p, 4326, 900913).alias("m")).first().m
+    utm = df.select(geo.st_transform(p, 4326, 32632).alias("u")).first().u
+    back = df.select(
+        geo.st_transform(
+            geo.st_transform(p, 4326, 32632), 32632, 4326
+        ).alias("b")
+    ).first().b
+    assert abs(merc.x - 9.5 * 111319.490778) < 1e-6
+    assert 500000 - 60000 < utm.x < 500000 + 60000 and utm.y > 5e6
+    assert abs(back.x - 9.5) < 1e-7 and abs(back.y - 47.0) < 1e-7
+    with _pytest.raises(ValueError, match="unsupported"):
+        geo.st_transform(p, 2154, 4326)
