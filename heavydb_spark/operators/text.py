@@ -95,3 +95,35 @@ def fingerprint(text_col: Column) -> Column:
         )
     )
     return F.md5(norm)
+
+
+def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Repetition-based quality signals (the Gopher-rule family used to
+    filter boilerplate/spam from pretraining corpora): fraction of
+    tokens taken by the single most frequent word, fraction of bigrams
+    taken by the most frequent bigram, and the distinct-token ratio.
+
+    Pure higher-order-function Column expressions — O(distinct·n) per
+    document on the JVM, no shuffle, no Python."""
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+
+    def top_count(arr):
+        return F.array_max(
+            F.transform(
+                F.array_distinct(arr),
+                lambda w: F.size(F.filter(arr, lambda x: x == w)),
+            )
+        )
+
+    n = F.size(words)
+    bigrams = F.zip_with(
+        F.slice(words, 1, n - 1),
+        F.slice(words, 2, n - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    return df.select(
+        "*",
+        F.round(top_count(words) / n, 4).alias("r_top_word"),
+        F.round(top_count(bigrams) / F.size(bigrams), 4).alias("r_top_bigram"),
+        F.round(F.size(F.array_distinct(words)) / n, 4).alias("r_distinct"),
+    )

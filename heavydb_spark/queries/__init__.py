@@ -49,6 +49,7 @@ _PRIORITY = [
     "geo_transform_utm",
     "tf_point_cloud_metadata",
     "tf_load_point_cloud",
+    "text_repetition",
     # --- code-touched in round 4 — re-verify ---
     "pipe_mix_sources",          # now weights real fixture sources (non-vacuous)
     "sim_embedding_neardup",     # planted duplicates + exact oracle (was rows-only)

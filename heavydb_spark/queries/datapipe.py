@@ -717,3 +717,39 @@ def pipe_dictionary_encode(spark, sf_dir):
         F.col("lang_code").cast("long").alias("lang_code"),
         F.col("source_code").cast("long").alias("source_code"),
     ).orderBy("doc_id")
+
+
+@query(
+    "text_repetition",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words
+        FROM documents
+    ), b AS (
+        SELECT doc_id, words,
+               list_transform(
+                   range(1, len(words)),
+                   i -> concat_ws(' ', words[i], words[i+1])
+               ) AS bigrams
+        FROM w
+    )
+    SELECT doc_id,
+           round(list_max(list_transform(list_distinct(words),
+                     x -> len(list_filter(words, y -> y = x)))) * 1.0
+                 / len(words), 4) AS r_top_word,
+           round(list_max(list_transform(list_distinct(bigrams),
+                     x -> len(list_filter(bigrams, y -> y = x)))) * 1.0
+                 / len(bigrams), 4) AS r_top_bigram,
+           round(len(list_distinct(words)) * 1.0 / len(words), 4) AS r_distinct
+    FROM b ORDER BY doc_id
+    """,
+)
+def text_repetition(spark, sf_dir):
+    """Repetition quality signals (Gopher-style boilerplate filters):
+    most-frequent-word fraction, most-frequent-bigram fraction, and
+    distinct-token ratio per document (operators/text.py
+    repetition_features) — pure JVM higher-order expressions."""
+    d = T(spark, sf_dir, "documents")
+    return text.repetition_features(d).select(
+        "doc_id", "r_top_word", "r_top_bigram", "r_distinct"
+    ).orderBy("doc_id")

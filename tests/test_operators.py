@@ -1082,3 +1082,46 @@ def test_st_transform_srid_dispatch(spark):
     assert abs(back.x - 9.5) < 1e-7 and abs(back.y - 47.0) < 1e-7
     with _pytest.raises(ValueError, match="unsupported"):
         geo.st_transform(p, 2154, 4326)
+
+
+def test_geos_boolean_inclusion_exclusion_randomized(spark):
+    """Seeded random convex polygon pairs: the three overlay ops are
+    computed independently, so area(A∪B) = area(A)+area(B)−area(A∩B)
+    and area(A\\B) = area(A)−area(A∩B) cross-validate the sweep."""
+    import math
+    import random
+
+    from heavydb_spark.functions import geo, geos
+
+    rng = random.Random(1234)
+    rows = []
+    for i in range(12):
+        polys = []
+        for _ in range(2):
+            cx, cy = rng.uniform(-5, 5), rng.uniform(-5, 5)
+            n = rng.randint(3, 8)
+            angles = sorted(rng.uniform(0, 2 * math.pi) for _ in range(n))
+            r = [rng.uniform(1.0, 4.0) for _ in range(n)]
+            ring = [
+                {"x": cx + r[j] * math.cos(a), "y": cy + r[j] * math.sin(a)}
+                for j, a in enumerate(angles)
+            ]
+            polys.append([ring])
+        rows.append((i, polys[0], polys[1]))
+    df = spark.createDataFrame(
+        rows,
+        "id long, pa array<array<struct<x:double,y:double>>>, "
+        "pb array<array<struct<x:double,y:double>>>",
+    )
+    got = df.select(
+        "id",
+        geo.st_area(F.col("pa")).alias("a"),
+        geo.st_area(F.col("pb")).alias("b"),
+        geo.st_area_multipolygon(geos.st_union("pa", "pb")).alias("u"),
+        geo.st_area_multipolygon(geos.st_intersection("pa", "pb")).alias("i"),
+        geo.st_area_multipolygon(geos.st_difference("pa", "pb")).alias("d"),
+    ).collect()
+    for r in got:
+        assert abs(r.u - (r.a + r.b - r.i)) < 1e-7, (r.id, r.u, r.a, r.b, r.i)
+        assert abs(r.d - (r.a - r.i)) < 1e-7, (r.id, r.d, r.a, r.i)
+        assert r.i >= -1e-12 and r.u <= r.a + r.b + 1e-9
