@@ -907,3 +907,68 @@ def st_transform(p: Column, from_srid: int, to_srid: int) -> Column:
         "pairs are 4326<->900913 and 4326<->EPSG 326xx (UTM north). "
         "Arbitrary SRIDs need proj (reference: GDAL/proj delegation)."
     )
+
+
+# ------------------------------------------------- SQL function surface
+#
+# The reference's geo ops are SQL functions (ST_Point/ST_X/ST_Distance/
+# ST_DWithin/ST_Contains..., QueryEngine/ExtensionFunctionsGeo.hpp) —
+# register the point-math subset as Spark SQL scalar functions (CREATE
+# FUNCTION ... RETURN <expr>) so HeavyDB geo SQL strings run through
+# `engine.sql` and stay fully JVM-side (no Python UDF).
+
+_GEO_SQL_FUNCS = {
+    "st_point": """
+        CREATE OR REPLACE TEMPORARY FUNCTION st_point(x DOUBLE, y DOUBLE)
+        RETURNS STRUCT<x: DOUBLE, y: DOUBLE>
+        RETURN named_struct('x', x, 'y', y)
+    """,
+    "st_x": """
+        CREATE OR REPLACE TEMPORARY FUNCTION st_x(p STRUCT<x: DOUBLE, y: DOUBLE>)
+        RETURNS DOUBLE RETURN p.x
+    """,
+    "st_y": """
+        CREATE OR REPLACE TEMPORARY FUNCTION st_y(p STRUCT<x: DOUBLE, y: DOUBLE>)
+        RETURNS DOUBLE RETURN p.y
+    """,
+    "st_distance": """
+        CREATE OR REPLACE TEMPORARY FUNCTION st_distance(
+            a STRUCT<x: DOUBLE, y: DOUBLE>, b STRUCT<x: DOUBLE, y: DOUBLE>)
+        RETURNS DOUBLE
+        RETURN sqrt((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y))
+    """,
+    "st_dwithin": """
+        CREATE OR REPLACE TEMPORARY FUNCTION st_dwithin(
+            a STRUCT<x: DOUBLE, y: DOUBLE>, b STRUCT<x: DOUBLE, y: DOUBLE>,
+            d DOUBLE)
+        RETURNS BOOLEAN
+        RETURN sqrt((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)) <= d
+    """,
+    "distance_in_meters": """
+        CREATE OR REPLACE TEMPORARY FUNCTION distance_in_meters(
+            lon1 DOUBLE, lat1 DOUBLE, lon2 DOUBLE, lat2 DOUBLE)
+        RETURNS DOUBLE
+        RETURN 2 * 6371008.8 * asin(sqrt(
+            pow(sin((radians(lat2) - radians(lat1)) / 2), 2)
+            + cos(radians(lat1)) * cos(radians(lat2))
+              * pow(sin((radians(lon2) - radians(lon1)) / 2), 2)))
+    """,
+    "conv_4326_900913_x": """
+        CREATE OR REPLACE TEMPORARY FUNCTION conv_4326_900913_x(x DOUBLE)
+        RETURNS DOUBLE RETURN x * 111319.490778
+    """,
+    "conv_4326_900913_y": """
+        CREATE OR REPLACE TEMPORARY FUNCTION conv_4326_900913_y(y DOUBLE)
+        RETURNS DOUBLE
+        RETURN 6378136.99911 * ln(tan(0.00872664626 * y + 0.785398163397))
+    """,
+}
+
+
+def register_geo_functions(spark) -> None:
+    for ddl in _GEO_SQL_FUNCS.values():
+        try:
+            spark.sql(ddl)
+        except Exception:
+            # SQL scalar UDFs unavailable -> DataFrame helpers still work.
+            pass

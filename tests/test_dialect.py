@@ -407,3 +407,20 @@ def test_rewrite_idempotent_and_literal_safe():
         assert "\x00" not in out
 
     prop()
+
+
+def test_geo_sql_functions(engine):
+    """HeavyDB geo SQL (ST_Point/ST_X/ST_Distance/ST_DWithin/
+    distance_in_meters/conv_4326_900913, ExtensionFunctionsGeo.hpp)
+    runs through engine.sql as registered SQL scalar functions."""
+    row = engine.sql("""
+        SELECT ST_X(ST_Point(3.0, 4.0)) AS px,
+               ST_Distance(ST_Point(0.0, 0.0), ST_Point(3.0, 4.0)) AS d,
+               ST_DWithin(ST_Point(0.0, 0.0), ST_Point(3.0, 4.0), 5.0) AS w,
+               round(distance_in_meters(0.0, 0.0, 1.0, 0.0), 1) AS m,
+               conv_4326_900913_x(1.0) AS mx
+        FROM region LIMIT 1
+    """).first()
+    assert row.px == 3.0 and row.d == 5.0 and row.w is True
+    assert abs(row.m - 111194.9) < 200  # ~111.2 km per equatorial degree
+    assert abs(row.mx - 111319.490778) < 1e-6
