@@ -231,3 +231,56 @@ def test_randomized_join_agg(engine, ddb, seed):
     s_c = canonical([[r[i] for i in sidx] for r in srows])
     o_c = canonical([[r[i] for i in oidx] for r in orows])
     assert s_c == o_c, f"seed={seed} sql={sql}"
+
+
+# ------------------------------------------------- randomized windows
+#
+# Same seeded-generator approach over the §2.5 window surface
+# (ExecuteTest.cpp enumerates these by hand): random partition key,
+# a UNIQUE total order (so every rank/lag value is deterministic on
+# both engines), and a random window function incl. ROWS-framed
+# aggregates. The SQL runs verbatim on Spark and DuckDB.
+
+_WIN_PARTS = ["l_returnflag", "l_linestatus", "l_suppkey"]
+_WIN_VALS = ["l_quantity", "l_extendedprice", "l_partkey"]
+
+
+def generate_window_sql(seed: int) -> str:
+    rng = random.Random(10_000 + seed)
+    part = rng.choice(_WIN_PARTS)
+    val = rng.choice(_WIN_VALS)
+    order = "l_extendedprice, l_orderkey, l_linenumber"
+    win = f"PARTITION BY {part} ORDER BY {order}"
+    kind = rng.choice(
+        ["row_number", "rank", "dense_rank", "ntile", "lag", "lead",
+         "sum_rows", "min_rows", "count_rows", "cume_dist"]
+    )
+    if kind in ("row_number", "rank", "dense_rank"):
+        expr = f"{kind}() OVER ({win})"
+    elif kind == "ntile":
+        expr = f"ntile({rng.randint(2, 7)}) OVER ({win})"
+    elif kind in ("lag", "lead"):
+        expr = f"{kind}({val}, {rng.randint(1, 3)}) OVER ({win})"
+    elif kind == "cume_dist":
+        expr = f"round(cume_dist() OVER ({win}), 6)"
+    else:
+        fn = {"sum_rows": "sum", "min_rows": "min", "count_rows": "count"}[kind]
+        lo = rng.randint(1, 5)
+        frame = f"ROWS BETWEEN {lo} PRECEDING AND CURRENT ROW"
+        arg = f"CAST({val} AS DECIMAL(18, 3))" if fn == "sum" else val
+        expr = f"{fn}({arg}) OVER ({win} {frame})"
+    return (
+        f"SELECT l_orderkey, l_linenumber, {expr} AS w "
+        f"FROM lineitem WHERE l_orderkey < {rng.randint(300, 900)}"
+    )
+
+
+@pytest.mark.parametrize("seed", range(25))
+def test_randomized_windows(engine, ddb, seed):
+    sql = generate_window_sql(seed)
+    srows = [tuple(r) for r in engine.sql(sql).collect()]
+    orows = ddb.sql(sql).fetchall()
+    s_c, o_c = canonical(srows), canonical(orows)
+    assert len(s_c) == len(o_c), sql
+    mism = [p for p in zip(s_c, o_c) if p[0] != p[1]]
+    assert not mism, f"{sql}\nfirst mismatches: {mism[:3]}"
