@@ -13,12 +13,14 @@ from pyspark.sql import SparkSession
 from heavydb_spark.functions.strings import register_string_functions
 from heavydb_spark.functions.arrays import register_array_functions
 from heavydb_spark.functions.geo import register_geo_functions
+from heavydb_spark.functions.geos import register_geos_functions
 
 
 def register_all(spark: SparkSession) -> None:
     register_string_functions(spark)
     register_array_functions(spark)
     register_geo_functions(spark)
+    register_geos_functions(spark)
 
 
 def single_value(col):

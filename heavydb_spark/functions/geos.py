@@ -322,3 +322,40 @@ def st_buffer_polygon(
         return pd.Series(out)
 
     return _udf(poly)
+
+
+# ----------------------------------------------------- SQL registration
+#
+# The overlay/hull kernels registered for `engine.sql` — geo SQL
+# strings call them directly (reference surface: ST_Union/ST_Buffer as
+# SQL functions through the GEOS runtime). pandas UDFs registered via
+# spark.udf.register keep the same Arrow-batched execution.
+
+
+def register_geos_functions(spark) -> None:
+    @F.pandas_udf(POLYGON_T)
+    def _hull(s: pd.Series) -> pd.Series:
+        out = []
+        for p in s:
+            hull = _hull_points([(float(q["x"]), float(q["y"])) for q in p])
+            out.append([[{"x": x, "y": y} for (x, y) in hull]])
+        return pd.Series(out)
+
+    def _overlay(keep):
+        @F.pandas_udf(MULTIPOLYGON_T)
+        def _udf(sa: pd.Series, sb: pd.Series) -> pd.Series:
+            out = []
+            for pa, pb in zip(sa, sb):
+                out.append(
+                    _to_arrow_mp(
+                        _boolean_trapezoids([_norm_poly(pa), _norm_poly(pb)], keep)
+                    )
+                )
+            return pd.Series(out)
+
+        return _udf
+
+    spark.udf.register("st_convexhull", _hull)
+    spark.udf.register("st_union", _overlay(lambda p: p[0] or p[1]))
+    spark.udf.register("st_intersection", _overlay(lambda p: p[0] and p[1]))
+    spark.udf.register("st_difference", _overlay(lambda p: p[0] and not p[1]))

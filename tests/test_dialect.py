@@ -424,3 +424,29 @@ def test_geo_sql_functions(engine):
     assert row.px == 3.0 and row.d == 5.0 and row.w is True
     assert abs(row.m - 111194.9) < 200  # ~111.2 km per equatorial degree
     assert abs(row.mx - 111319.490778) < 1e-6
+
+
+def test_geos_sql_functions(engine):
+    """GEOS overlay/hull kernels callable from SQL (registered pandas
+    UDFs): union/intersection/difference areas on a rectangle pair and
+    a hull over five points."""
+    row = engine.sql("""
+        WITH g AS (
+            SELECT array(array(st_point(0.0,0.0), st_point(4.0,0.0),
+                               st_point(4.0,3.0), st_point(0.0,3.0))) AS pa,
+                   array(array(st_point(2.0,1.0), st_point(6.0,1.0),
+                               st_point(6.0,5.0), st_point(2.0,5.0))) AS pb,
+                   array(st_point(0.0,0.0), st_point(2.0,0.0),
+                         st_point(2.0,2.0), st_point(0.0,2.0),
+                         st_point(1.0,1.0)) AS pts
+        )
+        SELECT round(aggregate(transform(st_union(pa, pb),
+                   p -> abs(aggregate(transform(p[0], q -> 0.0), CAST(0.0 AS DOUBLE),
+                        (acc, v) -> acc))), CAST(0.0 AS DOUBLE), (acc, v) -> acc), 6) AS zero_probe,
+               size(st_union(pa, pb)) AS n_union_polys,
+               size(st_intersection(pa, pb)) AS n_inter_polys,
+               size(st_convexhull(pts)[0]) AS hull_pts
+        FROM g
+    """).first()
+    assert row.n_union_polys >= 2 and row.n_inter_polys >= 1
+    assert row.hull_pts == 4  # interior point dropped
