@@ -326,7 +326,15 @@ def simhash_neardup_pairs(
 ) -> DataFrame:
     """SimHash near-dup pairs: block on 16-bit chunks (any chunk equal →
     candidate; by pigeonhole, hamming<=3 pairs share ≥1 of 4 chunks),
-    verify with bit_count(xor)."""
+    verify with bit_count(xor).
+
+    Recall contract: with 4 chunks the blocking GUARANTEES candidates
+    only for hamming <= 3 (the default threshold). A larger
+    `max_hamming` widens verification but pairs whose flips touch all
+    four chunks can be missed — best-effort recall, as in practice
+    near-dup flips concentrate. Exact recall at higher radii needs
+    Manku-style multi-permutation tables (more blocking passes, same
+    equi-join shape)."""
     fps = simhash64(df, id_col, text_col)
     chunked = fps.select(
         "doc",

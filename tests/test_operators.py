@@ -1125,3 +1125,73 @@ def test_geos_boolean_inclusion_exclusion_randomized(spark):
         assert abs(r.u - (r.a + r.b - r.i)) < 1e-7, (r.id, r.u, r.a, r.b, r.i)
         assert abs(r.d - (r.a - r.i)) < 1e-7, (r.id, r.d, r.a, r.i)
         assert r.i >= -1e-12 and r.u <= r.a + r.b + 1e-9
+
+
+def _dedup_corpus(spark):
+    import random
+
+    rng = random.Random(77)
+    vocab = [f"w{i}" for i in range(400)]
+    docs = []
+    for i in range(20):  # unrelated docs: disjoint-ish vocab draws
+        docs.append((i, " ".join(rng.choice(vocab) for _ in range(60))))
+    base = " ".join(rng.choice(vocab) for _ in range(60))
+    docs.append((100, base))                                   # planted pair A
+    docs.append((101, base))                                   # exact duplicate
+    words = base.split()
+    words[30] = "CHANGED"
+    docs.append((102, " ".join(words)))                        # near-duplicate
+    return spark.createDataFrame(docs, "doc_id long, text string")
+
+
+def test_minhash_recovers_planted_duplicates(spark):
+    """MinHash+LSH: an exact duplicate estimates jaccard 1.0, a
+    one-word edit still collides in some band and estimates high,
+    and no unrelated pair survives the threshold."""
+    from heavydb_spark.operators.dedup import minhash_dedup_pairs
+
+    df = _dedup_corpus(spark)
+    pairs = {
+        (r.doc_a, r.doc_b): r.est_jaccard
+        for r in minhash_dedup_pairs(
+            df, "doc_id", "text", n=3, num_perm=64, bands=16, threshold=0.5
+        ).collect()
+    }
+    assert pairs[(100, 101)] == 1.0
+    assert (100, 102) in pairs and pairs[(100, 102)] >= 0.5
+    assert all(a >= 100 and b >= 100 for (a, b) in pairs)
+
+
+def test_simhash_blocking_contract(spark):
+    """SimHash: the returned pair set equals exactly {pairs sharing a
+    16-bit chunk AND within the hamming budget} (recomputed from the
+    signatures in-test), and the exact duplicate (hamming 0) is always
+    recovered — the documented pigeonhole recall contract."""
+    from heavydb_spark.operators.dedup import simhash64, simhash_neardup_pairs
+
+    df = _dedup_corpus(spark)
+    m64 = (1 << 64) - 1
+    sigs = {
+        t[0]: t[1] & m64
+        for t in map(tuple, simhash64(df, "doc_id", "text").collect())
+    }
+
+    def chunks(s):
+        return {(c, (s >> (16 * c)) & 0xFFFF) for c in range(4)}
+
+    ids = sorted(sigs)
+    expect = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1:]
+        if bin(sigs[a] ^ sigs[b]).count("1") <= 12
+        and chunks(sigs[a]) & chunks(sigs[b])
+    }
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in simhash_neardup_pairs(
+            df, "doc_id", "text", max_hamming=12
+        ).collect()
+    }
+    assert got == expect
+    assert (100, 101) in got  # exact duplicate: hamming 0, guaranteed
