@@ -310,45 +310,86 @@ def _cce(args: list[str], win: str) -> str:
     )
 
 
-# LAG/LEAD_IN_FRAME accept constant ROWS frames anchored at CURRENT
-# ROW; the in-frame test then reduces to offset-vs-bound arithmetic on
-# a plain lag/lead (O(1) per row — no collect_list materialization).
+# LAG/LEAD_IN_FRAME: the in-frame test reduces to O(1) arithmetic on a
+# plain lag/lead (no collect_list materialization) for every supported
+# frame shape: constant ROWS frames anchored at CURRENT ROW, constant
+# numeric RANGE frames anchored at CURRENT ROW (the offset row's order
+# value is compared against the bound via one extra lag/lead of the
+# ORDER BY expression), and the implicit default frame (RANGE UNBOUNDED
+# PRECEDING .. CURRENT ROW).
 _LAG_FRAME_RE = re.compile(
-    r"\bROWS\s+BETWEEN\s+(UNBOUNDED|\d+)\s+PRECEDING\s+AND\s+CURRENT\s+ROW\s*$",
+    r"\b(ROWS|RANGE)\s+BETWEEN\s+(UNBOUNDED|\d+(?:\.\d+)?)\s+PRECEDING"
+    r"\s+AND\s+CURRENT\s+ROW\s*$",
     re.IGNORECASE,
 )
 _LEAD_FRAME_RE = re.compile(
-    r"\bROWS\s+BETWEEN\s+CURRENT\s+ROW\s+AND\s+(UNBOUNDED|\d+)\s+FOLLOWING\s*$",
+    r"\b(ROWS|RANGE)\s+BETWEEN\s+CURRENT\s+ROW\s+AND"
+    r"\s+(UNBOUNDED|\d+(?:\.\d+)?)\s+FOLLOWING\s*$",
     re.IGNORECASE,
 )
+_ANY_FRAME_RE = re.compile(r"\b(ROWS|RANGE)\s+BETWEEN\b", re.IGNORECASE)
+_ORDER_EXPR_RE = re.compile(r"\bORDER\s+BY\s+(.+?)\s*$", re.IGNORECASE)
+
+
+def _order_expr(base_win: str, fname: str) -> str:
+    m = _ORDER_EXPR_RE.search(base_win)
+    if not m:
+        raise ValueError(f"{fname} window needs an ORDER BY: {base_win!r}")
+    # first ORDER BY expression, stripped of a trailing ASC/DESC
+    first = _split_top_level(m.group(1))[0]
+    return re.sub(r"\s+(ASC|DESC)\s*$", "", first, flags=re.IGNORECASE)
 
 
 def _lag_in_frame(args: list[str], win: str) -> str:
     x, k = args[0], args[1]
     m = _LAG_FRAME_RE.search(win)
     if not m:
-        raise ValueError(
-            "LAG_IN_FRAME requires a 'ROWS BETWEEN <N|UNBOUNDED> PRECEDING "
-            f"AND CURRENT ROW' frame, got window: {win!r}"
-        )
-    lag = f"lag(({x}), ({k})) OVER ({win[: m.start()].rstrip()})"
-    if m.group(1).upper() == "UNBOUNDED":
+        if _ANY_FRAME_RE.search(win):
+            raise ValueError(
+                "LAG_IN_FRAME requires a '<ROWS|RANGE> BETWEEN <N|UNBOUNDED> "
+                f"PRECEDING AND CURRENT ROW' frame, got window: {win!r}"
+            )
+        # implicit default frame = RANGE UNBOUNDED PRECEDING..CURRENT ROW:
+        # every preceding row is in-frame — plain lag
+        return f"lag(({x}), ({k})) OVER ({win})"
+    base = win[: m.start()].rstrip()
+    lag = f"lag(({x}), ({k})) OVER ({base})"
+    mode, bound = m.group(1).upper(), m.group(2)
+    if bound.upper() == "UNBOUNDED":
         return lag
-    return f"(CASE WHEN ({k}) <= {m.group(1)} THEN {lag} END)"
+    if mode == "ROWS":
+        return f"(CASE WHEN ({k}) <= {bound} THEN {lag} END)"
+    ord_e = _order_expr(base, "LAG_IN_FRAME")
+    return (
+        f"(CASE WHEN lag(({ord_e}), ({k})) OVER ({base}) >= "
+        f"({ord_e}) - {bound} THEN {lag} END)"
+    )
 
 
 def _lead_in_frame(args: list[str], win: str) -> str:
     x, k = args[0], args[1]
     m = _LEAD_FRAME_RE.search(win)
     if not m:
-        raise ValueError(
-            "LEAD_IN_FRAME requires a 'ROWS BETWEEN CURRENT ROW AND "
-            f"<N|UNBOUNDED> FOLLOWING' frame, got window: {win!r}"
-        )
-    lead = f"lead(({x}), ({k})) OVER ({win[: m.start()].rstrip()})"
-    if m.group(1).upper() == "UNBOUNDED":
+        if _ANY_FRAME_RE.search(win):
+            raise ValueError(
+                "LEAD_IN_FRAME requires a '<ROWS|RANGE> BETWEEN CURRENT ROW "
+                f"AND <N|UNBOUNDED> FOLLOWING' frame, got window: {win!r}"
+            )
+        # implicit default frame ends at CURRENT ROW: the lead target is
+        # never in-frame — typed NULL (the window call keeps the type)
+        return f"(CASE WHEN FALSE THEN lead(({x}), ({k})) OVER ({win}) END)"
+    base = win[: m.start()].rstrip()
+    lead = f"lead(({x}), ({k})) OVER ({base})"
+    mode, bound = m.group(1).upper(), m.group(2)
+    if bound.upper() == "UNBOUNDED":
         return lead
-    return f"(CASE WHEN ({k}) <= {m.group(1)} THEN {lead} END)"
+    if mode == "ROWS":
+        return f"(CASE WHEN ({k}) <= {bound} THEN {lead} END)"
+    ord_e = _order_expr(base, "LEAD_IN_FRAME")
+    return (
+        f"(CASE WHEN lead(({ord_e}), ({k})) OVER ({base}) <= "
+        f"({ord_e}) + {bound} THEN {lead} END)"
+    )
 
 
 _WINDOW_REWRITES = [

@@ -66,9 +66,14 @@ _SQL_FUNCS = {
 
 
 def register_array_functions(spark: SparkSession) -> None:
-    for ddl in _SQL_FUNCS.values():
+    import logging
+
+    for name, ddl in _SQL_FUNCS.items():
         try:
             spark.sql(ddl)
-        except Exception:
-            # SQL scalar UDFs unavailable → DataFrame helpers still work.
-            pass
+        except Exception as exc:
+            # SQL scalar UDFs unavailable → DataFrame helpers still
+            # work; log the skipped function for traceability.
+            logging.getLogger(__name__).warning(
+                "array SQL function %s not registered: %s", name, exc
+            )

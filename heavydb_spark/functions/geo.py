@@ -599,11 +599,17 @@ def st_length_multilinestring(mls: Column) -> Column:
 
 
 def st_centroid_multipolygon(mp: Column) -> Column:
-    """Area-weighted centroid across components: Σ(area_i · c_i) / Σarea_i."""
+    """Area-weighted centroid across components: Σ(area_i · c_i) / Σarea_i.
+    NULL for a degenerate (zero-total-area or empty) multipolygon —
+    e.g. st_intersection of disjoint polygons — rather than a
+    divide-by-zero."""
     wx = _fsum(F.transform(mp, lambda p: st_area(p) * st_centroid(p)["x"]))
     wy = _fsum(F.transform(mp, lambda p: st_area(p) * st_centroid(p)["y"]))
     total = st_area_multipolygon(mp)
-    return F.struct((wx / total).alias("x"), (wy / total).alias("y"))
+    return F.when(
+        total != 0,
+        F.struct((wx / total).alias("x"), (wy / total).alias("y")),
+    )
 
 
 def st_contains_point_multipolygon(
@@ -966,9 +972,15 @@ _GEO_SQL_FUNCS = {
 
 
 def register_geo_functions(spark) -> None:
-    for ddl in _GEO_SQL_FUNCS.values():
+    import logging
+
+    for name, ddl in _GEO_SQL_FUNCS.items():
         try:
             spark.sql(ddl)
-        except Exception:
-            # SQL scalar UDFs unavailable -> DataFrame helpers still work.
-            pass
+        except Exception as exc:
+            # SQL scalar UDFs unavailable -> DataFrame helpers still
+            # work; log which function failed so a later
+            # UNRESOLVED_ROUTINE is traceable to its cause.
+            logging.getLogger(__name__).warning(
+                "geo SQL function %s not registered: %s", name, exc
+            )

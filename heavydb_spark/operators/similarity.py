@@ -31,8 +31,14 @@ def _vec_lit(vec) -> Column:
 
 
 # (semantic-hash, column) -> embedding dimensionality, so plan-build
-# probes run once per distinct input plan instead of once per call
+# probes run once per distinct input plan instead of once per call.
+# Staleness caveat (same class as Spark's own relation/file-listing
+# caches): if the files behind an identical plan are rewritten with a
+# DIFFERENT embedding dim mid-session, pass `dim` explicitly — the
+# memo cannot see the data change. Bounded so a long-lived session
+# cannot grow it without limit.
 _DIM_CACHE: dict[tuple[int, str], int] = {}
+_DIM_CACHE_MAX = 64
 
 
 def _probe_dim(df: DataFrame, vec_col: str) -> int:
@@ -44,6 +50,8 @@ def _probe_dim(df: DataFrame, vec_col: str) -> int:
         return _DIM_CACHE[key]
     dim = len(df.select(vec_col).first()[0])
     if key is not None:
+        if len(_DIM_CACHE) >= _DIM_CACHE_MAX:
+            _DIM_CACHE.clear()
         _DIM_CACHE[key] = dim
     return dim
 

@@ -1327,6 +1327,18 @@ def tf_mandelbrot(spark, sf_dir):
 # compute expected values without a spatial extension.
 
 
+def _rect_poly(x0, y0, x1, y1):
+    """Axis-aligned rectangle as a single-ring POLYGON column."""
+    return F.array(
+        F.array(
+            F.struct(x0.alias("x"), y0.alias("y")),
+            F.struct(x1.alias("x"), y0.alias("y")),
+            F.struct(x1.alias("x"), y1.alias("y")),
+            F.struct(x0.alias("x"), y1.alias("y")),
+        )
+    )
+
+
 def _geos_rects(spark, sf_dir):
     """Two overlapping axis-aligned rectangles per nation: A =
     [0, 4+k%3] x [0, 3+k%2], B = [2, 6+k%5] x [1, 5] — overlap widths
@@ -1334,25 +1346,14 @@ def _geos_rects(spark, sf_dir):
     non-empty."""
     n = T(spark, sf_dir, "nation")
     k = F.col("n_nationkey")
-
-    def rect(x0, y0, x1, y1):
-        return F.array(
-            F.array(
-                F.struct(x0.alias("x"), y0.alias("y")),
-                F.struct(x1.alias("x"), y0.alias("y")),
-                F.struct(x1.alias("x"), y1.alias("y")),
-                F.struct(x0.alias("x"), y1.alias("y")),
-            )
-        )
-
     zero = F.lit(0.0)
     return n.select(
         "n_nationkey",
-        rect(
+        _rect_poly(
             zero, zero,
             (4 + k % 3).cast("double"), (3 + k % 2).cast("double"),
         ).alias("pa"),
-        rect(
+        _rect_poly(
             F.lit(2.0), F.lit(1.0),
             (6 + k % 5).cast("double"), F.lit(5.0),
         ).alias("pb"),
@@ -1504,21 +1505,10 @@ def geo_multipolygon_props(spark, sf_dir):
     x0 = k.cast("double") * 10.0
     w1 = (2 + k % 3).cast("double")
     h2 = (1 + k % 2).cast("double")
-
-    def rect(x_lo, y_lo, x_hi, y_hi):
-        return F.array(
-            F.array(
-                F.struct(x_lo.alias("x"), y_lo.alias("y")),
-                F.struct(x_hi.alias("x"), y_lo.alias("y")),
-                F.struct(x_hi.alias("x"), y_hi.alias("y")),
-                F.struct(x_lo.alias("x"), y_hi.alias("y")),
-            )
-        )
-
     zero = F.lit(0.0)
     mp = F.array(
-        rect(x0, zero, x0 + w1, F.lit(2.0)),
-        rect(x0 + F.lit(5.0), zero, x0 + F.lit(6.0), h2),
+        _rect_poly(x0, zero, x0 + w1, F.lit(2.0)),
+        _rect_poly(x0 + F.lit(5.0), zero, x0 + F.lit(6.0), h2),
     )
     roundtrip = geo.st_geomfromtext_multipolygon(
         geo.st_astext_multipolygon(mp)
@@ -1650,7 +1640,7 @@ def tf_point_cloud_metadata(spark, sf_dir):
                CAST(0 AS TINYINT) AS edge_of_flight_line_flag,
                CAST(i % 4 + 1 AS SMALLINT) AS classification,
                CAST(i % 21 - 10 AS TINYINT) AS scan_angle_rank
-        FROM f, generate_series(0, 399) AS t(i)
+        FROM f, generate_series(0, 599) AS t(i)
         WHERE i < n
     )
     SELECT * FROM pts

@@ -152,7 +152,16 @@ def load_point_cloud(
                 )
 
     pts = rel.mapInPandas(decode, POINT_SCHEMA)
-    if x_min is not None:
+    bounds = {"x_min": x_min, "x_max": x_max, "y_min": y_min, "y_max": y_max}
+    given = {k: v for k, v in bounds.items() if v is not None}
+    if given and len(given) < 4:
+        missing = sorted(set(bounds) - set(given))
+        raise ValueError(
+            f"load_point_cloud bbox needs all of x_min/x_max/y_min/y_max "
+            f"(or none); missing {missing} — a partial box would silently "
+            "compare against NULL"
+        )
+    if given:
         pts = pts.filter(
             (F.col("x") >= x_min)
             & (F.col("x") <= x_max)

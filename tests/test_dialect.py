@@ -450,3 +450,45 @@ def test_geos_sql_functions(engine):
     """).first()
     assert row.n_union_polys >= 2 and row.n_inter_polys >= 1
     assert row.hull_pts == 4  # interior point dropped
+
+
+def test_lag_lead_in_frame_default_and_range_frames(engine):
+    """LAG_IN_FRAME with the implicit default frame equals plain lag;
+    with a RANGE frame the offset row only counts when its order value
+    is inside the bound; LEAD_IN_FRAME under the default frame (which
+    ends at CURRENT ROW) is NULL everywhere."""
+    got = {
+        (r.l_orderkey, r.l_linenumber): (r.lag_d, r.lag_r, r.lead_d)
+        for r in engine.sql("""
+            SELECT l_orderkey, l_linenumber,
+                   LAG_IN_FRAME(l_quantity, 1) OVER (
+                       PARTITION BY l_suppkey ORDER BY l_orderkey, l_linenumber) AS lag_d,
+                   LAG_IN_FRAME(l_quantity, 1) OVER (
+                       PARTITION BY l_suppkey ORDER BY l_orderkey
+                       RANGE BETWEEN 50 PRECEDING AND CURRENT ROW) AS lag_r,
+                   LEAD_IN_FRAME(l_quantity, 1) OVER (
+                       PARTITION BY l_suppkey ORDER BY l_orderkey, l_linenumber) AS lead_d
+            FROM lineitem WHERE l_orderkey < 200
+        """).collect()
+    }
+    from pyspark.sql import functions as F
+
+    li = engine.table("lineitem").filter(F.col("l_orderkey") < 200)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("l_suppkey").orderBy("l_orderkey", "l_linenumber")
+    wr = Window.partitionBy("l_suppkey").orderBy("l_orderkey")
+    want = {
+        (r.l_orderkey, r.l_linenumber): (r.lag_d, r.lag_r)
+        for r in li.select(
+            "l_orderkey", "l_linenumber",
+            F.lag("l_quantity", 1).over(w).alias("lag_d"),
+            F.when(
+                F.lag("l_orderkey", 1).over(wr) >= F.col("l_orderkey") - 50,
+                F.lag("l_quantity", 1).over(wr),
+            ).alias("lag_r"),
+        ).collect()
+    }
+    assert got and all(
+        (g[0], g[1]) == want[k] and g[2] is None for k, g in got.items()
+    )

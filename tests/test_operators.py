@@ -1195,3 +1195,24 @@ def test_simhash_blocking_contract(spark):
     }
     assert got == expect
     assert (100, 101) in got  # exact duplicate: hamming 0, guaranteed
+
+
+def test_multipolygon_centroid_degenerate_is_null(spark):
+    """Centroid of a zero-area / empty multipolygon is NULL, not a
+    divide-by-zero — e.g. st_intersection of disjoint polygons."""
+    from heavydb_spark.functions import geo, geos
+
+    def P(*rings):
+        return [[{"x": float(x), "y": float(y)} for (x, y) in r] for r in rings]
+
+    df = spark.createDataFrame(
+        [(P([(0, 0), (1, 0), (1, 1), (0, 1)]), P([(5, 5), (6, 5), (6, 6), (5, 6)]))],
+        "pa array<array<struct<x:double,y:double>>>, "
+        "pb array<array<struct<x:double,y:double>>>",
+    )
+    row = df.select(
+        geo.st_centroid_multipolygon(
+            geos.st_intersection("pa", "pb")
+        ).alias("c")
+    ).first()
+    assert row.c is None

@@ -185,3 +185,18 @@ def test_point_cloud_load_and_metadata(spark):
     )
     assert abs(back.x - m["synth://0"].source_x_min) < 1e-3
     assert abs(back.y - m["synth://0"].source_y_min) < 1e-3
+
+
+def test_point_cloud_partial_bbox_rejected(spark):
+    import pytest as _pytest
+
+    from heavydb_spark.sources.pointcloud import (
+        load_point_cloud,
+        synthetic_decoder,
+    )
+
+    with _pytest.raises(ValueError, match="x_min/x_max/y_min/y_max"):
+        load_point_cloud(
+            spark, ["synth://0"], x_min=0.0, x_max=10.0,
+            decoder=synthetic_decoder,
+        )
