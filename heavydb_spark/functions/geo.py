@@ -397,9 +397,22 @@ def st_astext_point(p: Column) -> Column:
     )
 
 
+def _drop_closing_vertex(ring: Column) -> Column:
+    """WKT rings repeat the first vertex at the end; the reference's
+    stored form drops it (ST_NPoints('POLYGON((0 0,4 0,0 4,0 0))') = 3,
+    Tests/GeospatialTest.cpp ST_NPoints block) — normalize on parse."""
+    n = F.size(ring)
+    closed = (n > 1) & (
+        F.element_at(ring, 1) == F.element_at(ring, -1)
+    )
+    return F.when(closed, F.slice(ring, 1, n - 1)).otherwise(ring)
+
+
 def st_geomfromtext_polygon(wkt: Column) -> Column:
     """'POLYGON ((x y, ...), (x y, ...))' -> array-of-rings; first ring
-    outer, rest holes (OGC ring order, Geospatial/Types.cpp)."""
+    outer, rest holes (OGC ring order, Geospatial/Types.cpp). A
+    repeated closing vertex is dropped, matching the reference's
+    stored representation."""
     body = F.regexp_replace(wkt, r"(?i)^\s*POLYGON\s*\(\s*\(", "")
     body = F.regexp_replace(body, r"\)\s*\)\s*$", "")
     rings = F.split(body, r"\)\s*,\s*\(")
@@ -412,7 +425,10 @@ def st_geomfromtext_polygon(wkt: Column) -> Column:
         )
 
     return F.transform(
-        rings, lambda r: F.transform(F.split(r, ","), parse_point)
+        rings,
+        lambda r: _drop_closing_vertex(
+            F.transform(F.split(r, ","), parse_point)
+        ),
     )
 
 
@@ -638,7 +654,10 @@ def st_geomfromtext_multipolygon(wkt: Column) -> Column:
     def parse_poly(ptxt: Column) -> Column:
         rings = F.split(ptxt, r"\)\s*,\s*\(")
         return F.transform(
-            rings, lambda r: F.transform(F.split(r, ","), parse_point)
+            rings,
+            lambda r: _drop_closing_vertex(
+                F.transform(F.split(r, ","), parse_point)
+            ),
         )
 
     return F.transform(polys, parse_poly)

@@ -1216,3 +1216,41 @@ def test_multipolygon_centroid_degenerate_is_null(spark):
         ).alias("c")
     ).first()
     assert row.c is None
+
+
+def test_reference_wkt_conventions(spark):
+    """Literal expectations from the reference's own test suite
+    (Tests/GeospatialTest.cpp): WKT closing vertices are dropped on
+    parse (ST_NPoints of 'POLYGON((0 0, 4 0, 0 4, 0 0))' is 3), holed
+    polygon area is 2.0 - 0.02, and the two-component holed
+    MULTIPOLYGON area is (2.0 - 0.02) + (8.0 - 0.08)."""
+    from heavydb_spark.functions import geo
+
+    df = spark.createDataFrame(
+        [(
+            "POLYGON((0 0, 4 0, 0 4, 0 0))",
+            "POLYGON((1 0, 0 1, -1 0, 0 -1, 1 0),"
+            "(0.1 0, 0 0.1, -0.1 0, 0 -0.1, 0.1 0))",
+            "MULTIPOLYGON(((1 0, 0 1, -1 0, 0 -1, 1 0),"
+            " (0.1 0, 0 0.1, -0.1 0, 0 -0.1, 0.1 0)),"
+            " ((2 0, 0 2, -2 0, 0 -2, 2 0),"
+            " (0.2 0, 0 0.2, -0.2 0, 0 -0.2, 0.2 0)))",
+        )],
+        "tri string, holed string, mp string",
+    )
+    row = df.select(
+        geo.st_npoints_polygon(geo.st_geomfromtext_polygon("tri")).alias("np"),
+        geo.st_numrings(geo.st_geomfromtext_polygon("holed")).alias("nr"),
+        F.round(geo.st_area(geo.st_geomfromtext_polygon("holed")), 6).alias("a"),
+        F.round(
+            geo.st_area_multipolygon(geo.st_geomfromtext_multipolygon("mp")), 6
+        ).alias("ma"),
+        geo.st_npoints_multipolygon(
+            geo.st_geomfromtext_multipolygon("mp")
+        ).alias("mnp"),
+    ).first()
+    assert row.np == 3          # GeospatialTest.cpp:1172 (closing vertex dropped)
+    assert row.nr == 2
+    assert abs(row.a - 1.98) < 1e-9    # GeospatialTest.cpp:2164
+    assert abs(row.ma - 9.9) < 1e-9    # GeospatialTest.cpp:2171
+    assert row.mnp == 16        # (outer 4 + hole 4) per component, closing vertices dropped
