@@ -164,12 +164,32 @@ def _approx_count_distinct(args: str) -> str | None:
     return f"approx_count_distinct({parts[0]}, {rsd})"
 
 
+def _split_part_null_oob(args: str) -> str | None:
+    """HeavyDB SPLIT_PART returns NULL when the index is out of range
+    (StringOps/StringOps.cpp SplitPart::operator(): 'split_part_ was
+    out of range' -> null string; Tests/StringFunctionsTest.cpp:639
+    split_part('192.168.0.1','.',5) == NULL), while Spark's builtin
+    returns ''. Guard with a part-count check; the delimiter is
+    regex-quoted so split() counts literally. Legit empty parts
+    ('a..b' part 2) still return '' on both engines."""
+    parts = _split_top_level(args)
+    if len(parts) != 3:
+        return None
+    s, d, n = parts
+    count = f"size(split({s}, concat('\\\\Q', {d}, '\\\\E'), -1))"
+    return (
+        f"(CASE WHEN abs({n}) <= {count} "
+        f"THEN split_part({s}, {d}, {n}) END)"
+    )
+
+
 # Balanced-paren rewrites applied after _REWRITES (literals still masked).
 _CALL_REWRITES = [
     # SAMPLE_RATIO(r) -> (rand() < r)
     ("SAMPLE_RATIO", lambda args: f"(rand() < {args})"),
     ("APPROX_MEDIAN", lambda args: f"approx_percentile({args}, 0.5)"),
     ("APPROX_COUNT_DISTINCT", _approx_count_distinct),
+    ("SPLIT_PART", _split_part_null_oob),
 ]
 
 

@@ -492,3 +492,21 @@ def test_lag_lead_in_frame_default_and_range_frames(engine):
     assert got and all(
         (g[0], g[1]) == want[k] and g[2] is None for k, g in got.items()
     )
+
+
+def test_split_part_reference_semantics(engine):
+    """Reference SPLIT_PART expectations (StringFunctionsTest.cpp:631-639):
+    in-range parts, negative from-the-end indexing, and NULL (not '')
+    when the index exceeds the part count; a legitimately empty part is
+    still ''."""
+    row = engine.sql("""
+        SELECT SPLIT_PART('192.168.0.1', '.', 2) AS a,
+               SPLIT_PART('192.168.0.1', '.', -1) AS b,
+               SPLIT_PART('192.168.0.1', '.', 5) AS c,
+               SPLIT_PART('a..b', '.', 2) AS d
+        FROM region LIMIT 1
+    """).first()
+    assert row.a == "168"
+    assert row.b == "1"
+    assert row.c is None
+    assert row.d == ""
