@@ -190,6 +190,9 @@ _CALL_REWRITES = [
     ("APPROX_MEDIAN", lambda args: f"approx_percentile({args}, 0.5)"),
     ("APPROX_COUNT_DISTINCT", _approx_count_distinct),
     ("SPLIT_PART", _split_part_null_oob),
+    # HeavyDB INITCAP breaks words on punctuation too
+    # (StringOps/StringOps.h:295) — Spark's builtin is whitespace-only
+    ("INITCAP", lambda args: f"initcap_heavy({args})"),
 ]
 
 

@@ -94,6 +94,7 @@ def register_string_functions(spark: SparkSession) -> None:
     spark.udf.register("jarowinkler_similarity", jaro_winkler_similarity)
     spark.udf.register("url_encode", url_encode)
     spark.udf.register("url_decode", url_decode)
+    register_initcap_heavy(spark)
 
 
 # DataFrame-side conveniences (JVM-native where possible) -----------------
@@ -104,3 +105,40 @@ def base64_encode(col):  # HeavyDB BASE64_ENCODE (sqldefs.h:121)
 
 def base64_decode(col):
     return F.unbase64(col).cast("string")
+
+
+# HeavyDB INITCAP word boundaries: whitespace plus this punctuation set
+# (StringOps/StringOps.h:295 InitCap::delimiter_chars); Spark's builtin
+# initcap breaks only on whitespace, so 'mary-jane' differs. Emulated as
+# a JVM character fold (aggregate over the char array with (text,
+# prev-is-delimiter) state) — no Python in the path.
+_INITCAP_DELIMS = " \t\n\r!?@\"^#$&~_,.:;+-*%/|\\[](){}<>"
+
+
+def initcap_heavy(col):
+    chars = F.split(col, "")
+    init = F.struct(
+        F.lit("").alias("s"), F.lit(True).alias("d")
+    )
+    step = lambda acc, c: F.struct(  # noqa: E731
+        F.concat(
+            acc["s"], F.when(acc["d"], F.upper(c)).otherwise(F.lower(c))
+        ).alias("s"),
+        (F.instr(F.lit(_INITCAP_DELIMS), c) > 0).alias("d"),
+    )
+    return F.aggregate(chars, init, step, lambda acc: acc["s"])
+
+
+def register_initcap_heavy(spark: SparkSession) -> None:
+    delims = _INITCAP_DELIMS.replace("\\", "\\\\").replace("'", "''")
+    spark.sql(f"""
+        CREATE OR REPLACE TEMPORARY FUNCTION initcap_heavy(s STRING)
+        RETURNS STRING
+        RETURN aggregate(
+            split(s, ''),
+            named_struct('s', '', 'd', true),
+            (acc, c) -> named_struct(
+                's', concat(acc.s, CASE WHEN acc.d THEN upper(c) ELSE lower(c) END),
+                'd', instr('{delims}', c) > 0),
+            acc -> acc.s)
+    """)

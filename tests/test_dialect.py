@@ -510,3 +510,17 @@ def test_split_part_reference_semantics(engine):
     assert row.b == "1"
     assert row.c is None
     assert row.d == ""
+
+
+def test_initcap_reference_delimiters(engine):
+    """HeavyDB INITCAP capitalizes after punctuation delimiters
+    (StringOps/StringOps.h:295), not just whitespace: 'mary-jane' ->
+    'Mary-Jane' (Spark's builtin gives 'Mary-jane'); the literal case
+    from StringFunctionsTest.cpp:210 also holds."""
+    row = engine.sql("""
+        SELECT INITCAP('fUnNy CaSe') AS a,
+               INITCAP('mary-jane o.brien') AS b
+        FROM region LIMIT 1
+    """).first()
+    assert row.a == "Funny Case"
+    assert row.b == "Mary-Jane O.Brien"
