@@ -193,7 +193,55 @@ _CALL_REWRITES = [
     # HeavyDB INITCAP breaks words on punctuation too
     # (StringOps/StringOps.h:295) — Spark's builtin is whitespace-only
     ("INITCAP", lambda args: f"initcap_heavy({args})"),
+    ("REGEXP_SUBSTR", lambda args: _regexp_substr(args)),
 ]
+
+
+# POSIX bracket classes (boost::regex in the reference) -> Java regex
+# classes, applied to the pattern at runtime so pattern expressions
+# (not just literals) translate.
+# Replacements are the class CONTENTS ('[:alnum:]' -> 'A-Za-z0-9'),
+# because POSIX classes appear inside bracket expressions
+# ('[[:alnum:]._-]' must become '[A-Za-z0-9._-]').
+_POSIX_CLASSES = [
+    ("[:alnum:]", "A-Za-z0-9"),
+    ("[:alpha:]", "A-Za-z"),
+    ("[:digit:]", "0-9"),
+    ("[:upper:]", "A-Z"),
+    ("[:lower:]", "a-z"),
+    ("[:space:]", " \\t\\n\\r"),
+]
+
+
+def _regexp_substr(args: str) -> str | None:
+    """Full REGEXP_SUBSTR surface (StringOps/StringOps.h:504 RegexpSubstr;
+    Tests/StringFunctionsTest.cpp:763-830): (str, pattern[, start_pos
+    [, occurrence[, params[, group]]]]) — occurrence is 1-based and
+    wraps negatively (-1 = last match), 'i' in params makes the match
+    case-insensitive, and group applies only with the 'e' param. Maps
+    to regexp_extract_all over substr + element_at (NULL when the
+    occurrence is out of range, matching the reference)."""
+    parts = _split_top_level(args)
+    if len(parts) < 2 or len(parts) > 6:
+        return None
+    s, pat = parts[0], parts[1]
+    pos = parts[2] if len(parts) > 2 else "1"
+    occ = parts[3] if len(parts) > 3 else "1"
+    params = parts[4] if len(parts) > 4 else "''"
+    grp = parts[5] if len(parts) > 5 else "0"
+    jpat = pat
+    for posix, java in _POSIX_CLASSES:
+        jpat = f"replace({jpat}, '{posix}', '{java}')"
+    jpat = (
+        f"concat(CASE WHEN contains({params}, 'i') THEN '(?i)' "
+        f"ELSE '' END, {jpat})"
+    )
+    eff_grp = f"(CASE WHEN contains({params}, 'e') THEN ({grp}) ELSE 0 END)"
+    return (
+        f"(CASE WHEN ({occ}) <> 0 THEN element_at("
+        f"regexp_extract_all(substr({s}, {pos}), {jpat}, {eff_grp}), "
+        f"({occ})) END)"
+    )
 
 
 # ------------------------------------------------------------------ models

@@ -524,3 +524,49 @@ def test_initcap_reference_delimiters(engine):
     """).first()
     assert row.a == "Funny Case"
     assert row.b == "Mary-Jane O.Brien"
+
+
+def test_regexp_substr_reference_args(engine):
+    """REGEXP_SUBSTR positional args per the reference suite
+    (StringFunctionsTest.cpp:763-830): start position, occurrence
+    (incl. negative wrap), 'i' case param, and 'e'+group sub-match
+    extraction; POSIX classes translate to Java classes."""
+    q = """
+        WITH people(raw_email) AS (VALUES
+            ('therealjohnsmith@omnisci.com xx'),
+            ('bank john_banks@mapd.com'),
+            ('JOHN.WILSON@geops.net'),
+            ('sue4tw@example.com and sue.smith@example.com'))
+        SELECT
+            REGEXP_SUBSTR(raw_email, '[[:alnum:]._-]+@[[:alnum:]]+.[[:alnum:]]+') AS m2,
+            REGEXP_SUBSTR(raw_email, '[[:alnum:]._-]+@[[:alnum:]]+.[[:alnum:]]+', 20) AS m3,
+            REGEXP_SUBSTR(raw_email, '[[:alnum:]._-]+@[[:alnum:]]+.[[:alnum:]]+', 1, 2) AS m4,
+            REGEXP_SUBSTR(raw_email, '[[:alnum:]._-]+@[[:alnum:]]+.[[:alnum:]]+', 1, -1) AS mneg,
+            REGEXP_SUBSTR(raw_email, 'john[[:alnum:]._-]+@[[:alnum:]]+.[[:alnum:]]+', 1, 1, 'c') AS mc,
+            REGEXP_SUBSTR(raw_email, 'john[[:alnum:]._-]+@[[:alnum:]]+.[[:alnum:]]+', 1, 1, 'i') AS mi,
+            REGEXP_SUBSTR(raw_email, '([[:alnum:]._-]+)@([[:alnum:]]+.[[:alnum:]]+)', 1, 1, 'ce', 2) AS mg
+        FROM people
+    """
+    rows = engine.sql(q).collect()
+    assert [r.m2 for r in rows] == [
+        "therealjohnsmith@omnisci.com", "john_banks@mapd.com",
+        "JOHN.WILSON@geops.net", "sue4tw@example.com",
+    ]
+    assert [r.m3 for r in rows] == [
+        None, None, None, "sue.smith@example.com",
+    ]
+    assert [r.m4 for r in rows] == [None, None, None, "sue.smith@example.com"]
+    assert [r.mneg for r in rows] == [
+        "therealjohnsmith@omnisci.com", "john_banks@mapd.com",
+        "JOHN.WILSON@geops.net", "sue.smith@example.com",
+    ]
+    assert [r.mc for r in rows] == [
+        "johnsmith@omnisci.com", "john_banks@mapd.com", None, None,
+    ]
+    assert [r.mi for r in rows] == [
+        "johnsmith@omnisci.com", "john_banks@mapd.com",
+        "JOHN.WILSON@geops.net", None,
+    ]
+    assert [r.mg for r in rows] == [
+        "omnisci.com", "mapd.com", "geops.net", "example.com",
+    ]
