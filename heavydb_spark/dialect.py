@@ -194,6 +194,7 @@ _CALL_REWRITES = [
     # (StringOps/StringOps.h:295) — Spark's builtin is whitespace-only
     ("INITCAP", lambda args: f"initcap_heavy({args})"),
     ("REGEXP_SUBSTR", lambda args: _regexp_substr(args)),
+    ("REGEXP_REPLACE", lambda args: _regexp_replace_ext(args)),
 ]
 
 
@@ -213,6 +214,73 @@ _POSIX_CLASSES = [
 ]
 
 
+def _java_pattern(pat: str, params: str) -> str:
+    """Runtime POSIX-class translation + case-insensitivity flag."""
+    jpat = pat
+    for posix, java in _POSIX_CLASSES:
+        jpat = f"replace({jpat}, '{posix}', '{java}')"
+    return (
+        f"concat(CASE WHEN contains({params}, 'i') THEN '(?i)' "
+        f"ELSE '' END, {jpat})"
+    )
+
+
+def _regexp_replace_ext(args: str) -> str | None:
+    """Full REGEXP_REPLACE surface (StringOps.cpp RegexpReplace;
+    Tests/StringFunctionsTest.cpp:642-760): (str, pattern[, replacement
+    [, position[, occurrence[, params]]]]). Negative position wraps
+    from the end; occurrence 0 replaces all, n the nth match, -n the
+    nth-from-last; 'i' is case-insensitive. The nth-match replacement
+    reconstructs prefix/suffix from split() parts and
+    regexp_extract_all() matches, replacing only the isolated match
+    (anchored non-capturing wrap keeps group numbering for $k refs) —
+    all JVM expressions."""
+    parts = _split_top_level(args)
+    if len(parts) == 2:
+        s, pat = parts
+        return f"regexp_replace({s}, {_java_pattern(pat, chr(39)*2)}, '')"
+    if len(parts) == 3:
+        s, pat, rep = parts
+        return f"regexp_replace({s}, {_java_pattern(pat, chr(39)*2)}, {rep})"
+    if len(parts) < 4 or len(parts) > 6:
+        return None
+    s, pat, rep = parts[0], parts[1], parts[2]
+    pos = parts[3]
+    occ = parts[4] if len(parts) > 4 else "0"
+    prm = parts[5] if len(parts) > 5 else "''"
+    jp = _java_pattern(pat, prm)
+    pos_eff = (
+        f"(CASE WHEN ({pos}) < 0 THEN greatest(length({s}) + ({pos}) + 1, 1) "
+        f"ELSE ({pos}) END)"
+    )
+    head = f"substr({s}, 1, {pos_eff} - 1)"
+    sub = f"substr({s}, {pos_eff})"
+    all_rep = f"concat({head}, regexp_replace({sub}, {jp}, {rep}))"
+    p_arr = f"split({sub}, {jp}, -1)"
+    m_arr = f"regexp_extract_all({sub}, {jp}, 0)"
+    k = f"size({m_arr})"
+    n_eff = f"(CASE WHEN ({occ}) < 0 THEN {k} + ({occ}) + 1 ELSE ({occ}) END)"
+    pre = (
+        f"concat(CASE WHEN {n_eff} > 1 THEN aggregate(sequence(1, {n_eff} - 1), "
+        f"'', (acc, i) -> concat(acc, element_at({p_arr}, i), "
+        f"element_at({m_arr}, i))) ELSE '' END, element_at({p_arr}, {n_eff}))"
+    )
+    nth_rep = (
+        f"regexp_replace(element_at({m_arr}, {n_eff}), "
+        f"concat('^(?:', {jp}, ')$'), {rep})"
+    )
+    tail = (
+        f"aggregate(sequence({n_eff} + 1, {k} + 1), '', (acc, i) -> "
+        f"concat(acc, element_at({p_arr}, i), "
+        f"CASE WHEN i <= {k} THEN element_at({m_arr}, i) ELSE '' END))"
+    )
+    nth_case = (
+        f"(CASE WHEN {n_eff} < 1 OR {n_eff} > {k} THEN {s} "
+        f"ELSE concat({head}, {pre}, {nth_rep}, {tail}) END)"
+    )
+    return f"(CASE WHEN ({occ}) = 0 THEN {all_rep} ELSE {nth_case} END)"
+
+
 def _regexp_substr(args: str) -> str | None:
     """Full REGEXP_SUBSTR surface (StringOps/StringOps.h:504 RegexpSubstr;
     Tests/StringFunctionsTest.cpp:763-830): (str, pattern[, start_pos
@@ -229,13 +297,7 @@ def _regexp_substr(args: str) -> str | None:
     occ = parts[3] if len(parts) > 3 else "1"
     params = parts[4] if len(parts) > 4 else "''"
     grp = parts[5] if len(parts) > 5 else "0"
-    jpat = pat
-    for posix, java in _POSIX_CLASSES:
-        jpat = f"replace({jpat}, '{posix}', '{java}')"
-    jpat = (
-        f"concat(CASE WHEN contains({params}, 'i') THEN '(?i)' "
-        f"ELSE '' END, {jpat})"
-    )
+    jpat = _java_pattern(pat, params)
     eff_grp = f"(CASE WHEN contains({params}, 'e') THEN ({grp}) ELSE 0 END)"
     return (
         f"(CASE WHEN ({occ}) <> 0 THEN element_at("

@@ -570,3 +570,80 @@ def test_regexp_substr_reference_args(engine):
     assert [r.mg for r in rows] == [
         "omnisci.com", "mapd.com", "geops.net", "example.com",
     ]
+
+
+def test_regexp_replace_reference_args(engine):
+    """REGEXP_REPLACE position/occurrence/params semantics per the
+    reference suite (StringFunctionsTest.cpp:656-760), run on the
+    reference's own motto strings: start position skips earlier
+    matches (incl. negative wrap), occurrence 0 = all / n = nth /
+    -n = nth from last, and 'c'/'i' case params."""
+    q = """
+        WITH people(motto) AS (VALUES
+            ('All for one and one for all.'),
+            ('One plus one does not equal two.'),
+            ('What is the sound of one hand clapping?'),
+            ('Nothing exists entirely alone. Everything is always in relation to everything else.'))
+        SELECT
+            REGEXP_REPLACE(motto, '([Oo]ne)[[:space:]]', '$1..two ', 4) AS p4,
+            REGEXP_REPLACE(motto, '([Oo]ne)[[:space:]]', '$1..two ', -18) AS pneg,
+            REGEXP_REPLACE(motto, '([Oo]ne)[[:space:]]', '$1..two ', 1, 0) AS oc0,
+            REGEXP_REPLACE(motto, '([Oo]ne)[[:space:]]', '$1..two ', 1, 2) AS oc2,
+            REGEXP_REPLACE(motto, '([Oo]ne)[[:space:]]', '$1..two ', 1, -2) AS ocn2,
+            REGEXP_REPLACE(motto, '(one)[[:space:]]', '$1..two ', 1, 0, 'c') AS pc,
+            REGEXP_REPLACE(motto, '(one)[[:space:]]', '$1..two ', 1, 0, 'i') AS pi
+        FROM people
+    """
+    rows = engine.sql(q).collect()
+    assert [r.p4 for r in rows] == [
+        "All for one..two and one..two for all.",
+        "One plus one..two does not equal two.",
+        "What is the sound of one..two hand clapping?",
+        "Nothing exists entirely alone. Everything is always in relation to everything else.",
+    ]
+    assert [r.pneg for r in rows] == [
+        "All for one and one..two for all.",
+        "One plus one does not equal two.",
+        "What is the sound of one..two hand clapping?",
+        "Nothing exists entirely alone. Everything is always in relation to everything else.",
+    ]
+    assert [r.oc0 for r in rows] == [
+        "All for one..two and one..two for all.",
+        "One..two plus one..two does not equal two.",
+        "What is the sound of one..two hand clapping?",
+        "Nothing exists entirely alone. Everything is always in relation to everything else.",
+    ]
+    assert [r.oc2 for r in rows] == [
+        "All for one and one..two for all.",
+        "One plus one..two does not equal two.",
+        "What is the sound of one hand clapping?",
+        "Nothing exists entirely alone. Everything is always in relation to everything else.",
+    ]
+    assert [r.ocn2 for r in rows] == [
+        "All for one..two and one for all.",
+        "One..two plus one does not equal two.",
+        "What is the sound of one hand clapping?",
+        "Nothing exists entirely alone. Everything is always in relation to everything else.",
+    ]
+    assert [r.pc for r in rows] == [
+        "All for one..two and one..two for all.",
+        "One plus one..two does not equal two.",
+        "What is the sound of one..two hand clapping?",
+        "Nothing exists entirely alone. Everything is always in relation to everything else.",
+    ]
+    assert [r.pi for r in rows] == [
+        "All for one..two and one..two for all.",
+        "One..two plus one..two does not equal two.",
+        "What is the sound of one..two hand clapping?",
+        "Nothing exists entirely alone. Everything is always in relation to everything else.",
+    ]
+    # chuck-wood literal cases (StringFunctionsTest.cpp:749-760)
+    lit = engine.sql("""
+        SELECT REGEXP_REPLACE('How much wood would a wood chuck chuck if a wood chuck could chuck wood?',
+                              'wo[[:alnum:]]+d', 'metal', 1, 0, 'i') AS a,
+               REGEXP_REPLACE('How much wood would a wood chuck chuck if a wood chuck could chuck wood?',
+                              'wo[[:alnum:]]+d', 'should', 1, 2, 'i') AS b
+        FROM region LIMIT 1
+    """).first()
+    assert lit.a == "How much metal metal a metal chuck chuck if a metal chuck could chuck metal?"
+    assert lit.b == "How much wood should a wood chuck chuck if a wood chuck could chuck wood?"
