@@ -195,6 +195,7 @@ _CALL_REWRITES = [
     ("INITCAP", lambda args: f"initcap_heavy({args})"),
     ("REGEXP_SUBSTR", lambda args: _regexp_substr(args)),
     ("REGEXP_REPLACE", lambda args: _regexp_replace_ext(args)),
+    ("REGEXP_COUNT", lambda args: _regexp_count_ext(args)),
 ]
 
 
@@ -281,6 +282,22 @@ def _regexp_replace_ext(args: str) -> str | None:
     return f"(CASE WHEN ({occ}) = 0 THEN {all_rep} ELSE {nth_case} END)"
 
 
+def _regexp_count_ext(args: str) -> str | None:
+    """REGEXP_COUNT(str, pattern[, position[, params]]) — count of
+    matches at/after `position`, POSIX classes and 'i' flag as in the
+    other regex ops."""
+    parts = _split_top_level(args)
+    if len(parts) < 2 or len(parts) > 4:
+        return None
+    s, pat = parts[0], parts[1]
+    pos = parts[2] if len(parts) > 2 else "1"
+    prm = parts[3] if len(parts) > 3 else "''"
+    return (
+        f"size(regexp_extract_all(substr({s}, {pos}), "
+        f"{_java_pattern(pat, prm)}, 0))"
+    )
+
+
 def _regexp_substr(args: str) -> str | None:
     """Full REGEXP_SUBSTR surface (StringOps/StringOps.h:504 RegexpSubstr;
     Tests/StringFunctionsTest.cpp:763-830): (str, pattern[, start_pos
@@ -361,9 +378,33 @@ def _llm_transform(args: str) -> str:
 
 
 # Rewrites that consume string-literal arguments — run BEFORE masking.
+# DATE_TRUNC fields Spark lacks (QueryEngine/DateTruncate.cpp:196-236):
+# decade anchors at year x0, century at x01 (1901, 2001, ...),
+# millennium at x001 — the reference's (and Postgres') conventions.
+# Runs pre-mask so the quoted field literal is inspectable.
+_TRUNC_ANCHOR = {"decade": (10, 0), "century": (100, 1), "millennium": (1000, 1)}
+
+
+def _date_trunc_ext(args: str) -> str | None:
+    parts = _split_top_level(args)
+    if len(parts) != 2:
+        return None
+    field = parts[0].strip().strip("'\"").lower()
+    if field not in _TRUNC_ANCHOR:
+        return None
+    span, anchor = _TRUNC_ANCHOR[field]
+    d = parts[1]
+    if anchor == 0:
+        start = f"year({d}) - pmod(year({d}), {span})"
+    else:
+        start = f"year({d}) - pmod(year({d}) - 1, {span})"
+    return f"CAST(make_date({start}, 1, 1) AS TIMESTAMP)"
+
+
 _PREMASK_CALL_REWRITES = [
     ("ML_PREDICT", _ml_predict),
     ("LLM_TRANSFORM", _llm_transform),
+    ("DATE_TRUNC", _date_trunc_ext),
 ]
 
 

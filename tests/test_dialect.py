@@ -647,3 +647,37 @@ def test_regexp_replace_reference_args(engine):
     """).first()
     assert lit.a == "How much metal metal a metal chuck chuck if a metal chuck could chuck metal?"
     assert lit.b == "How much wood should a wood chuck chuck if a wood chuck could chuck wood?"
+
+
+def test_date_trunc_long_spans(engine):
+    """DATE_TRUNC decade/century/millennium (DateTruncate.cpp:196-236):
+    decade anchors at year x0, century at x01, millennium at x001 —
+    Spark's date_trunc silently NULLs these fields, so the dialect
+    computes them closed-form."""
+    row = engine.sql("""
+        SELECT DATE_TRUNC(decade, TIMESTAMP '1995-06-15 12:34:56') AS d,
+               DATE_TRUNC(century, TIMESTAMP '2000-12-31 23:59:59') AS c,
+               DATE_TRUNC(century, TIMESTAMP '2001-01-01 00:00:00') AS c2,
+               DATE_TRUNC(millennium, TIMESTAMP '1995-06-15 00:00:00') AS m
+        FROM region LIMIT 1
+    """).first()
+    assert str(row.d) == "1990-01-01 00:00:00"
+    assert str(row.c) == "1901-01-01 00:00:00"
+    assert str(row.c2) == "2001-01-01 00:00:00"
+    assert str(row.m) == "1001-01-01 00:00:00"
+    # ordinary fields keep Spark's native path
+    day = engine.sql(
+        "SELECT DATE_TRUNC(day, TIMESTAMP '1995-06-15 12:34:56') AS x FROM region LIMIT 1"
+    ).first().x
+    assert str(day) == "1995-06-15 00:00:00"
+
+
+def test_regexp_count_position_and_params(engine):
+    row = engine.sql("""
+        SELECT REGEXP_COUNT('one One ONE bone', '[Oo]ne') AS a,
+               REGEXP_COUNT('one One ONE bone', 'one', 1, 'i') AS b,
+               REGEXP_COUNT('one One ONE bone', '[Oo]ne', 5) AS c,
+               REGEXP_COUNT('a1b22c333', '[[:digit:]]+') AS d
+        FROM region LIMIT 1
+    """).first()
+    assert (row.a, row.b, row.c, row.d) == (3, 4, 2, 3)
