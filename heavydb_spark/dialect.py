@@ -34,16 +34,52 @@ import re
 
 # Rewrites that consume a quoted unit argument — these must run BEFORE
 # string-literal masking because the unit ('day', 'year'...) IS a literal.
+# DATEADD/DATEDIFF units Spark's timestampadd/-diff reject but the
+# reference supports (QueryEngine/DateAdd.h:42-61): expressed as a
+# scaled supported unit. NANOSECOND scales into microseconds
+# (truncating — Spark timestamps are µs, SURVEY §1.2 TIMESTAMP(9)).
+_DATEADD_SCALED = {
+    "DECADE": ("YEAR", 10),
+    "CENTURY": ("YEAR", 100),
+    "MILLENNIUM": ("YEAR", 1000),
+    "QUARTERDAY": ("HOUR", 6),
+    "WEEKDAY": ("DAY", 1),
+    "DAYOFYEAR": ("DAY", 1),
+}
+
+
+def _dateadd_call(args: str) -> str | None:
+    parts = _split_top_level(args)
+    if len(parts) != 3:
+        return None
+    unit = parts[0].strip().strip("'\"").upper()
+    n, d = parts[1], parts[2]
+    if unit == "NANOSECOND":
+        return f"timestampadd(MICROSECOND, ({n}) div 1000, {d})"
+    if unit in _DATEADD_SCALED:
+        su, mult = _DATEADD_SCALED[unit]
+        n_expr = n if mult == 1 else f"({n}) * {mult}"
+        return f"timestampadd({su}, {n_expr}, {d})"
+    return f"timestampadd({unit}, {n}, {d})"
+
+
+def _datediff_call(args: str) -> str | None:
+    parts = _split_top_level(args)
+    if len(parts) != 3:
+        return None
+    unit = parts[0].strip().strip("'\"").upper()
+    a, b = parts[1], parts[2]
+    if unit == "NANOSECOND":
+        return f"(timestampdiff(MICROSECOND, {a}, {b}) * 1000)"
+    if unit in _DATEADD_SCALED:
+        su, mult = _DATEADD_SCALED[unit]
+        if mult == 1:
+            return f"timestampdiff({su}, {a}, {b})"
+        return f"(timestampdiff({su}, {a}, {b}) div {mult})"
+    return f"timestampdiff({unit}, {a}, {b})"
+
+
 _QUOTED_ARG_REWRITES: list[tuple[re.Pattern, str]] = [
-    # DATEADD('day', 1, x) -> timestampadd(DAY, 1, x)
-    (
-        re.compile(r"\bDATEADD\s*\(\s*'(\w+)'\s*,", re.IGNORECASE),
-        lambda m: f"timestampadd({m.group(1).upper()},",
-    ),
-    (
-        re.compile(r"\bDATEDIFF\s*\(\s*'(\w+)'\s*,", re.IGNORECASE),
-        lambda m: f"timestampdiff({m.group(1).upper()},",
-    ),
     (
         re.compile(r"\bDATEPART\s*\(\s*'(\w+)'\s*,\s*", re.IGNORECASE),
         lambda m: f"extract({m.group(1).upper()} FROM ",
@@ -405,6 +441,11 @@ _PREMASK_CALL_REWRITES = [
     ("ML_PREDICT", _ml_predict),
     ("LLM_TRANSFORM", _llm_transform),
     ("DATE_TRUNC", _date_trunc_ext),
+    # DATEADD/DATEDIFF run pre-mask: the quoted unit IS a literal
+    ("DATEADD", _dateadd_call),
+    ("DATEDIFF", _datediff_call),
+    ("TIMESTAMPADD", _dateadd_call),
+    ("TIMESTAMPDIFF", _datediff_call),
 ]
 
 

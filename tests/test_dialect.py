@@ -681,3 +681,26 @@ def test_regexp_count_position_and_params(engine):
         FROM region LIMIT 1
     """).first()
     assert (row.a, row.b, row.c, row.d) == (3, 4, 2, 3)
+
+
+def test_dateadd_datediff_extended_units(engine):
+    """DATEADD/DATEDIFF units beyond Spark's list (DateAdd.h:42-61):
+    decade/century/millennium scale years, QUARTERDAY is 6 hours,
+    NANOSECOND truncates into the microsecond domain."""
+    row = engine.sql("""
+        SELECT DATEADD('decade', 2, TIMESTAMP '1995-06-15 01:02:03') AS dec2,
+               DATEADD('century', 1, TIMESTAMP '1995-06-15 01:02:03') AS cen1,
+               DATEADD('quarterday', 2, TIMESTAMP '1995-06-15 01:02:03') AS qd2,
+               DATEADD('nanosecond', 2500, TIMESTAMP '1995-06-15 01:02:03') AS ns,
+               DATEDIFF('decade', TIMESTAMP '1975-01-01 00:00:00',
+                                  TIMESTAMP '1999-12-31 00:00:00') AS ddec,
+               DATEDIFF('quarterday', TIMESTAMP '1995-06-15 00:00:00',
+                                      TIMESTAMP '1995-06-16 00:00:00') AS dqd
+        FROM region LIMIT 1
+    """).first()
+    assert str(row.dec2) == "2015-06-15 01:02:03"
+    assert str(row.cen1) == "2095-06-15 01:02:03"
+    assert str(row.qd2) == "1995-06-15 13:02:03"
+    assert str(row.ns) == "1995-06-15 01:02:03.000002"
+    assert row.ddec == 2
+    assert row.dqd == 4
