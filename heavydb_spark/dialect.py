@@ -232,6 +232,7 @@ _CALL_REWRITES = [
     ("REGEXP_SUBSTR", lambda args: _regexp_substr(args)),
     ("REGEXP_REPLACE", lambda args: _regexp_replace_ext(args)),
     ("REGEXP_COUNT", lambda args: _regexp_count_ext(args)),
+    ("EXTRACT", lambda args: _extract_ext(args)),
 ]
 
 
@@ -316,6 +317,46 @@ def _regexp_replace_ext(args: str) -> str | None:
         f"ELSE concat({head}, {pre}, {nth_rep}, {tail}) END)"
     )
     return f"(CASE WHEN ({occ}) = 0 THEN {all_rep} ELSE {nth_case} END)"
+
+
+def _week_number(d: str, start_dow: int) -> str:
+    """Week number with weeks starting on `start_dow` (Spark dayofweek
+    numbering: 1=Sunday..7=Saturday) and week 1 containing Jan 4 —
+    the reference's extract_week<OFFSET> rule
+    (ExtractFromTime.cpp:220-249) generalized from ISO."""
+    def ws(x: str) -> str:
+        return f"date_sub({x}, pmod(dayofweek({x}) - {start_dow}, 7))"
+
+    wstart = ws(f"CAST({d} AS DATE)")
+    wyear = f"year(date_add({wstart}, 3))"
+    jan4 = f"make_date({wyear}, 1, 4)"
+    return f"(CAST(datediff({wstart}, {ws(jan4)}) / 7 AS INT) + 1)"
+
+
+def _extract_ext(args: str) -> str | None:
+    """EXTRACT fields the reference supports beyond Spark's list
+    (ExtractFromTime.h:77-98 / .cpp): sub-second fields are
+    *-of-minute (seconds included), EPOCH/DATEEPOCH are unix seconds,
+    ISODOW is Monday=1..7, QUARTERDAY 1..4, WEEK_SUNDAY/WEEK_SATURDAY
+    shift the week start with week 1 still containing Jan 4."""
+    m = re.match(r"\s*([A-Za-z_]+)\s+FROM\s+(.*)$", args, re.DOTALL | re.IGNORECASE)
+    if not m:
+        return None
+    field, d = m.group(1).upper(), m.group(2)
+    sec = f"extract(SECOND FROM {d})"
+    mapping = {
+        "MILLISECOND": f"CAST(floor({sec} * 1000) AS BIGINT)",
+        "MICROSECOND": f"CAST(floor({sec} * 1000000) AS BIGINT)",
+        "NANOSECOND": f"CAST(floor({sec} * 1000000) AS BIGINT) * 1000",
+        "EPOCH": f"unix_timestamp({d})",
+        "DATEEPOCH": f"unix_timestamp(date_trunc('DAY', {d}))",
+        "DOW": f"(dayofweek({d}) - 1)",  # reference: Sunday=0 (Spark native DOW is Sunday=1)
+        "ISODOW": f"(pmod(dayofweek({d}) + 5, 7) + 1)",
+        "QUARTERDAY": f"(CAST(floor(hour({d}) / 6) AS INT) + 1)",
+        "WEEK_SUNDAY": _week_number(d, 1),
+        "WEEK_SATURDAY": _week_number(d, 7),
+    }
+    return mapping.get(field)
 
 
 def _regexp_count_ext(args: str) -> str | None:

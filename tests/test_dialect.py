@@ -704,3 +704,55 @@ def test_dateadd_datediff_extended_units(engine):
     assert str(row.ns) == "1995-06-15 01:02:03.000002"
     assert row.ddec == 2
     assert row.dqd == 4
+
+
+def test_extract_reference_fields(engine):
+    """EXTRACT fields beyond Spark's list (ExtractFromTime.cpp):
+    sub-second fields are of-the-minute (seconds included), epoch
+    fields in unix seconds, ISODOW Monday=1, QUARTERDAY 1..4, and the
+    Sunday/Saturday week variants (week 1 contains Jan 4)."""
+    row = engine.sql("""
+        SELECT EXTRACT(MILLISECOND FROM TIMESTAMP '1995-06-15 01:02:03.456789') AS ms,
+               EXTRACT(MICROSECOND FROM TIMESTAMP '1995-06-15 01:02:03.456789') AS us,
+               EXTRACT(NANOSECOND FROM TIMESTAMP '1995-06-15 01:02:03.456789') AS ns,
+               EXTRACT(EPOCH FROM TIMESTAMP '1970-01-02 00:00:01') AS ep,
+               EXTRACT(DATEEPOCH FROM TIMESTAMP '1970-01-02 13:45:00') AS dep,
+               EXTRACT(ISODOW FROM TIMESTAMP '1995-06-15 00:00:00') AS idow,
+               EXTRACT(DOW FROM TIMESTAMP '1995-06-15 00:00:00') AS dow,
+               EXTRACT(QUARTERDAY FROM TIMESTAMP '1995-06-15 13:00:00') AS qd,
+               EXTRACT(WEEK FROM TIMESTAMP '2024-01-04 00:00:00') AS wk,
+               EXTRACT(WEEK_SUNDAY FROM TIMESTAMP '2023-12-31 00:00:00') AS wks,
+               EXTRACT(WEEK_SATURDAY FROM TIMESTAMP '2023-12-30 00:00:00') AS wksat
+        FROM region LIMIT 1
+    """).first()
+    assert row.ms == 3456           # ms within the minute
+    assert row.us == 3456789
+    assert row.ns == 3456789000
+    assert row.ep == 86401
+    assert row.dep == 86400
+    assert row.idow == 4            # 1995-06-15 is Thursday
+    assert row.dow == 4             # Sunday=0 convention
+    assert row.qd == 3              # hour 13 -> third quarter-day
+    assert row.wk == 1              # Jan 4 is always week 1
+    # 2023-12-31 is a Sunday: it starts the Sunday-week containing
+    # Jan 4 2024 -> week 1 of 2024
+    assert row.wks == 1
+    # 2023-12-30 is a Saturday: it starts the Saturday-week containing
+    # Jan 4 2024? Jan 4 2024 is Thursday, its Saturday-week starts
+    # Dec 30 -> week 1
+    assert row.wksat == 1
+
+
+def test_week_monday_variant_matches_weekofyear(engine):
+    """The generalized week formula with Monday start must equal
+    Spark's ISO weekofyear across a date sweep — an independent
+    cross-check of the week-1-contains-Jan-4 generalization."""
+    from heavydb_spark.dialect import _week_number
+
+    rows = engine.sql(f"""
+        SELECT d, weekofyear(d) AS iso, {_week_number('d', 2)} AS gen
+        FROM (SELECT sequence(DATE '2019-12-20', DATE '2021-01-15') AS ds)
+        LATERAL VIEW explode(ds) t AS d
+    """).collect()
+    bad = [(str(r.d), r.iso, r.gen) for r in rows if r.iso != r.gen]
+    assert not bad, bad[:5]
