@@ -467,10 +467,23 @@ def _date_trunc_ext(args: str) -> str | None:
     if len(parts) != 2:
         return None
     field = parts[0].strip().strip("'\"").lower()
+    d = parts[1]
+    if field in ("week_sunday", "week_saturday"):
+        # DateTruncate.h week variants: start-of-week with the shifted
+        # first day (Spark dayofweek: 1=Sunday..7=Saturday)
+        start_dow = 1 if field == "week_sunday" else 7
+        return (
+            f"CAST(date_sub(CAST({d} AS DATE), "
+            f"pmod(dayofweek({d}) - {start_dow}, 7)) AS TIMESTAMP)"
+        )
+    if field == "quarterday":
+        return (
+            f"(date_trunc('DAY', {d}) + make_interval(0, 0, 0, 0, "
+            f"CAST(floor(hour({d}) / 6) * 6 AS INT), 0, 0))"
+        )
     if field not in _TRUNC_ANCHOR:
         return None
     span, anchor = _TRUNC_ANCHOR[field]
-    d = parts[1]
     if anchor == 0:
         start = f"year({d}) - pmod(year({d}), {span})"
     else:

@@ -756,3 +756,22 @@ def test_week_monday_variant_matches_weekofyear(engine):
     """).collect()
     bad = [(str(r.d), r.iso, r.gen) for r in rows if r.iso != r.gen]
     assert not bad, bad[:5]
+
+
+def test_date_trunc_week_variants_and_quarterday(engine):
+    """DATE_TRUNC WEEK_SUNDAY/WEEK_SATURDAY/QUARTERDAY
+    (DateTruncate.h:27-46) through engine.sql — Spark's date_trunc
+    silently NULLs these fields."""
+    row = engine.sql("""
+        SELECT DATE_TRUNC(week_sunday, TIMESTAMP '1995-06-15 13:02:03') AS ws,
+               DATE_TRUNC(week_saturday, TIMESTAMP '1995-06-15 13:02:03') AS wsat,
+               DATE_TRUNC(week, TIMESTAMP '1995-06-15 13:02:03') AS wmon,
+               DATE_TRUNC(quarterday, TIMESTAMP '1995-06-15 13:02:03') AS qd
+        FROM region LIMIT 1
+    """).first()
+    # 1995-06-15 is Thursday: Sunday-week starts 06-11, Saturday-week
+    # 06-10, Monday-week 06-12; hour 13 truncates to 12:00
+    assert str(row.ws) == "1995-06-11 00:00:00"
+    assert str(row.wsat) == "1995-06-10 00:00:00"
+    assert str(row.wmon) == "1995-06-12 00:00:00"
+    assert str(row.qd) == "1995-06-15 12:00:00"
