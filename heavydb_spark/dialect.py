@@ -7,11 +7,25 @@ strings run unchanged through `spark.sql`. Rewrites are deliberately
 textual and conservative — most statements pass through untouched.
 
 Covered HeavyDB-isms (SURVEY.md §2.8, Shared/sqldefs.h):
-- DATEADD('day', n, d) / TIMESTAMPADD   -> timestampadd(DAY, n, d)
+- DATEADD('day', n, d) / TIMESTAMPADD   -> timestampadd(DAY, n, d);
+  decade/century/millennium/quarterday/weekday/dayofyear/nanosecond
+  units scale into supported ones (DateAdd.h:42-61)
 - DATEDIFF('day', a, b)                 -> timestampdiff(DAY, a, b)
+  (same extended-unit scaling)
 - DATEPART('year', d)                   -> extract(YEAR FROM d)
-- DATE_TRUNC(day, d)  (bare field)      -> date_trunc('day', d)
-- EXTRACT(dateepoch FROM d)             -> unix_timestamp-style epoch
+- DATE_TRUNC(day, d)  (bare field)      -> date_trunc('day', d);
+  decade/century/millennium anchors (x0/x01/x001) plus
+  week_sunday/week_saturday/quarterday closed forms
+  (DateTruncate.cpp:196-236)
+- EXTRACT: MILLI/MICRO/NANOSECOND (of-minute), EPOCH/DATEEPOCH,
+  DOW (Sunday=0), ISODOW, QUARTERDAY, WEEK_SUNDAY/WEEK_SATURDAY
+  (ExtractFromTime.cpp; week 1 contains Jan 4)
+- REGEXP_SUBSTR / REGEXP_REPLACE / REGEXP_COUNT full argument
+  surfaces (position, occurrence incl. negative wrap, 'c'/'i' params,
+  'e'+group) with POSIX-class translation (StringOps.cpp kernels)
+- SPLIT_PART out-of-range -> NULL (StringOps.cpp SplitPart)
+- INITCAP with the reference's punctuation word boundaries
+  (StringOps.h:295) via the registered initcap_heavy
 - SAMPLE(x)                             -> any_value(x)
 - SINGLE_VALUE(x)                       -> single_value UDAF semantics
                                            (first + runtime assert)
