@@ -85,3 +85,59 @@ def apply_delete_cow(
     tmp = tempfile.mkdtemp(prefix="cow_", dir=os.path.dirname(table_dir))
     post.write.mode("overwrite").parquet(tmp)
     _atomic_swap(tmp, table_dir)
+
+
+def update_from(
+    df: DataFrame,
+    on: list[str],
+    source: DataFrame,
+    set_map: dict[str, str],
+    cond: Column | None = None,
+) -> DataFrame:
+    """Post-image of a correlated-subquery UPDATE —
+    UPDATE t SET col = (SELECT src_col FROM source WHERE join keys
+    match) [WHERE cond] (Tests/CorrelatedSubqueryTest.cpp
+    Update.Correlated family).
+
+    Reference semantics: a row matching no source row is assigned NULL
+    (scalar subquery over empty set); a source with DUPLICATE join
+    keys errors at runtime (Update.CorrelatedWithInnerDuplicatesFails)
+    — enforced with a window count + raise_error, JVM-side. `set_map`
+    maps target column -> source column; source columns must not
+    collide with df's names."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*on)
+    src_cols = list(set_map.values())
+    guarded = source.select(
+        *on,
+        F.count(F.lit(1)).over(w).alias("__n"),
+        *[F.col(c) for c in src_cols],
+    ).select(
+        *on,
+        *[
+            F.when(
+                F.col("__n") > 1,
+                F.raise_error(
+                    F.lit(
+                        "correlated UPDATE: subquery returns more than one "
+                        "row per key (CorrelatedWithInnerDuplicatesFails)"
+                    )
+                ),
+            )
+            .otherwise(F.col(c))
+            .alias(c)
+            for c in src_cols
+        ],
+    )
+    joined = df.join(guarded, on, "left")
+    hit = cond if cond is not None else F.lit(True)
+    out_cols = []
+    for name in df.columns:
+        if name in set_map:
+            out_cols.append(
+                F.when(hit, F.col(set_map[name])).otherwise(F.col(name)).alias(name)
+            )
+        else:
+            out_cols.append(F.col(name))
+    return joined.select(*out_cols)

@@ -50,6 +50,9 @@ _PRIORITY = [
     "tf_point_cloud_metadata",
     "tf_load_point_cloud",
     "text_repetition",
+    "subquery_correlated_scalar",
+    "subquery_not_in_nulls",
+    "dml_update_correlated_postimage",
     # --- code-touched in round 4 — re-verify ---
     "pipe_mix_sources",          # now weights real fixture sources (non-vacuous)
     "sim_embedding_neardup",     # planted duplicates + exact oracle (was rows-only)

@@ -1671,3 +1671,45 @@ def tf_load_point_cloud(spark, sf_dir):
         y_min=5000000.0, y_max=5001005.0,
         decoder=synthetic_decoder,
     ).orderBy("x", "y")
+
+
+@query(
+    "dml_update_correlated_postimage",
+    oracle="""
+    WITH agg AS (
+        SELECT l_suppkey AS k,
+               round(CAST(avg(l_extendedprice) AS DOUBLE), 2) AS avg_price
+        FROM lineitem WHERE l_quantity > 40 GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey,
+           CASE WHEN s.s_nationkey < 13 THEN a.avg_price
+                ELSE round(CAST(s.s_acctbal AS DOUBLE), 2) END AS s_acctbal
+    FROM supplier s LEFT JOIN agg a ON s.s_suppkey = a.k
+    ORDER BY s.s_suppkey
+    """,
+)
+def dml_update_correlated_postimage(spark, sf_dir):
+    """Correlated-subquery UPDATE post-image
+    (Tests/CorrelatedSubqueryTest.cpp Update.Correlated):
+    UPDATE supplier SET s_acctbal = (SELECT avg(big-line price) FROM
+    lineitem WHERE l_suppkey = s_suppkey) WHERE s_nationkey < 13 —
+    unmatched rows in the WHERE set become NULL (empty scalar
+    subquery), rows outside it keep their balance; duplicate inner
+    keys would raise (operators/mutation.py update_from)."""
+    from heavydb_spark.operators.mutation import update_from
+
+    s = T(spark, sf_dir, "supplier")
+    li = T(spark, sf_dir, "lineitem")
+    agg = (
+        li.filter(F.col("l_quantity") > 40)
+        .groupBy(F.col("l_suppkey").alias("s_suppkey"))
+        .agg(F.round(F.avg("l_extendedprice"), 2).alias("__avg_price"))
+    )
+    post = update_from(
+        s.withColumn("s_acctbal", F.round(F.col("s_acctbal").cast("double"), 2)),
+        ["s_suppkey"],
+        agg,
+        {"s_acctbal": "__avg_price"},
+        cond=F.col("s_nationkey") < 13,
+    )
+    return post.select("s_suppkey", "s_acctbal").orderBy("s_suppkey")

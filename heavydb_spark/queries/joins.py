@@ -542,3 +542,64 @@ def join_multistep_tpch_q7(spark, sf_dir):
         )
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
+
+
+@query(
+    "subquery_correlated_scalar",
+    oracle="""
+    SELECT s_suppkey, s_name,
+           (SELECT round(CAST(max(l_extendedprice) AS DOUBLE), 2)
+            FROM lineitem WHERE l_suppkey = s_suppkey AND l_quantity > 45)
+               AS max_big_price
+    FROM supplier ORDER BY s_suppkey
+    """,
+)
+def subquery_correlated_scalar(spark, sf_dir):
+    """Correlated scalar subquery in the SELECT list
+    (Tests/CorrelatedSubqueryTest.cpp Select.Correlated): per-outer-row
+    aggregate over a filtered inner relation, NULL when the inner set
+    is empty — Catalyst decorrelates to a left outer aggregate join,
+    the same rewrite the reference's Calcite frontend applies."""
+    T(spark, sf_dir, "supplier").createOrReplaceTempView("supplier")
+    T(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT s_suppkey, s_name,
+               (SELECT round(CAST(max(l_extendedprice) AS DOUBLE), 2)
+                FROM lineitem WHERE l_suppkey = s_suppkey AND l_quantity > 45)
+                   AS max_big_price
+        FROM supplier ORDER BY s_suppkey
+        """
+    )
+
+
+@query(
+    "subquery_not_in_nulls",
+    oracle="""
+    SELECT p_partkey FROM part
+    WHERE p_partkey NOT IN (
+        SELECT CASE WHEN l_quantity > 49.97 THEN NULL ELSE l_partkey END
+        FROM lineitem WHERE l_partkey < 50
+    )
+    ORDER BY p_partkey
+    """,
+)
+def subquery_not_in_nulls(spark, sf_dir):
+    """NOT IN with a NULLABLE inner expression — the three-valued-logic
+    decorrelation case the reference's Calcite frontend guards
+    specially (HeavyDBParser.java:285-325 NOT-IN policy): if the inner
+    set contains any NULL, NOT IN yields no rows unless the comparison
+    is definitely true-for-all. Both engines must agree on null-aware
+    anti-join semantics."""
+    T(spark, sf_dir, "part").createOrReplaceTempView("part")
+    T(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT p_partkey FROM part
+        WHERE p_partkey NOT IN (
+            SELECT CASE WHEN l_quantity > 49.97 THEN NULL ELSE l_partkey END
+            FROM lineitem WHERE l_partkey < 50
+        )
+        ORDER BY p_partkey
+        """
+    )

@@ -126,3 +126,39 @@ def test_sql_delete_statement(engine):
     left = engine.sql("SELECT count(*) AS c FROM orders_del").collect()[0].c
     assert left == total - n_target
     spark.catalog.dropTempView("orders_del")
+
+
+def test_update_from_correlated_semantics(spark):
+    """Correlated-subquery UPDATE post-image (CorrelatedSubqueryTest.cpp
+    Update.Correlated): matched rows take the source value, unmatched
+    rows are set to NULL (scalar subquery over empty set), rows outside
+    the WHERE keep their original value; duplicate source keys error
+    (Update.CorrelatedWithInnerDuplicatesFails)."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from heavydb_spark.operators.mutation import update_from
+
+    t = spark.createDataFrame(
+        [(1, 10.0, "a"), (2, 20.0, "a"), (3, 30.0, "b")],
+        "id long, val double, grp string",
+    )
+    src = spark.createDataFrame(
+        [(1, 100.0), (3, 300.0)], "id long, new_val double"
+    )
+    out = {r.id: r.val for r in update_from(t, ["id"], src, {"val": "new_val"}).collect()}
+    assert out == {1: 100.0, 2: None, 3: 300.0}
+    # WHERE restricts the assignment: row 3 (grp b) keeps its value;
+    # row 2 satisfies the WHERE and is assigned the empty-subquery NULL
+    out2 = {
+        r.id: r.val
+        for r in update_from(
+            t, ["id"], src, {"val": "new_val"}, cond=F.col("grp") == "a"
+        ).collect()
+    }
+    assert out2 == {1: 100.0, 2: None, 3: 30.0}
+    dup = spark.createDataFrame(
+        [(1, 100.0), (1, 101.0)], "id long, new_val double"
+    )
+    with _pytest.raises(Exception, match="more than one"):
+        update_from(t, ["id"], dup, {"val": "new_val"}).collect()
