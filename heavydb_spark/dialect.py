@@ -182,8 +182,10 @@ def _rewrite_call(sql: str, fname: str, make) -> str:
     """Replace every call `fname(args)` with `make(args)` — the argument
     span is found by balanced-paren scan, so nested calls like
     APPROX_MEDIAN(abs(x - 1)) rewrite correctly (a bare [^)]* regex
-    cannot). `make` returns the replacement text or None to leave the
-    call untouched."""
+    cannot). Arguments are rewritten recursively FIRST, so a same-name
+    call nested inside another's arguments (DATEADD of a DATEADD) gets
+    reference semantics too. `make` returns the replacement text or
+    None to leave the call untouched."""
     pat = re.compile(r"\b" + fname + r"\s*\(", re.IGNORECASE)
     out, pos = [], 0
     while True:
@@ -192,10 +194,10 @@ def _rewrite_call(sql: str, fname: str, make) -> str:
             out.append(sql[pos:])
             return "".join(out)
         i = _scan_balanced(sql, m.end())
-        args = sql[m.end() : i - 1]
+        args = _rewrite_call(sql[m.end() : i - 1], fname, make)
         repl = make(args)
         out.append(sql[pos : m.start()])
-        out.append(repl if repl is not None else sql[m.start() : i])
+        out.append(repl if repl is not None else f"{sql[m.start():m.end()]}{args})")
         pos = i
 
 
@@ -228,7 +230,7 @@ def _split_part_null_oob(args: str) -> str | None:
     s, d, n = parts
     count = f"size(split({s}, concat('\\\\Q', {d}, '\\\\E'), -1))"
     return (
-        f"(CASE WHEN abs({n}) <= {count} "
+        f"(CASE WHEN ({n}) <> 0 AND abs({n}) <= {count} "
         f"THEN split_part({s}, {d}, {n}) END)"
     )
 
@@ -308,27 +310,31 @@ def _regexp_replace_ext(args: str) -> str | None:
     head = f"substr({s}, 1, {pos_eff} - 1)"
     sub = f"substr({s}, {pos_eff})"
     all_rep = f"concat({head}, regexp_replace({sub}, {jp}, {rep}))"
+    # bind the split parts (p) and matches (m) ONCE via a one-element
+    # transform — the lambda body references t.p/t.m, so the two full
+    # regex scans run once per row instead of once per use site
     p_arr = f"split({sub}, {jp}, -1)"
     m_arr = f"regexp_extract_all({sub}, {jp}, 0)"
-    k = f"size({m_arr})"
+    k = "size(t.m)"
     n_eff = f"(CASE WHEN ({occ}) < 0 THEN {k} + ({occ}) + 1 ELSE ({occ}) END)"
     pre = (
         f"concat(CASE WHEN {n_eff} > 1 THEN aggregate(sequence(1, {n_eff} - 1), "
-        f"'', (acc, i) -> concat(acc, element_at({p_arr}, i), "
-        f"element_at({m_arr}, i))) ELSE '' END, element_at({p_arr}, {n_eff}))"
+        f"'', (acc, i) -> concat(acc, element_at(t.p, i), "
+        f"element_at(t.m, i))) ELSE '' END, element_at(t.p, {n_eff}))"
     )
     nth_rep = (
-        f"regexp_replace(element_at({m_arr}, {n_eff}), "
+        f"regexp_replace(element_at(t.m, {n_eff}), "
         f"concat('^(?:', {jp}, ')$'), {rep})"
     )
     tail = (
         f"aggregate(sequence({n_eff} + 1, {k} + 1), '', (acc, i) -> "
-        f"concat(acc, element_at({p_arr}, i), "
-        f"CASE WHEN i <= {k} THEN element_at({m_arr}, i) ELSE '' END))"
+        f"concat(acc, element_at(t.p, i), "
+        f"CASE WHEN i <= {k} THEN element_at(t.m, i) ELSE '' END))"
     )
     nth_case = (
-        f"(CASE WHEN {n_eff} < 1 OR {n_eff} > {k} THEN {s} "
-        f"ELSE concat({head}, {pre}, {nth_rep}, {tail}) END)"
+        f"element_at(transform(array(named_struct('p', {p_arr}, 'm', {m_arr})), "
+        f"t -> CASE WHEN {n_eff} < 1 OR {n_eff} > {k} THEN {s} "
+        f"ELSE concat({head}, {pre}, {nth_rep}, {tail}) END), 1)"
     )
     return f"(CASE WHEN ({occ}) = 0 THEN {all_rep} ELSE {nth_case} END)"
 
@@ -406,7 +412,13 @@ def _regexp_substr(args: str) -> str | None:
     params = parts[4] if len(parts) > 4 else "''"
     grp = parts[5] if len(parts) > 5 else "0"
     jpat = _java_pattern(pat, params)
-    eff_grp = f"(CASE WHEN contains({params}, 'e') THEN ({grp}) ELSE 0 END)"
+    # with 'e', a missing/zero group means the FIRST capture group
+    # (RegexpSubstr::set_sub_match_info, StringOps.cpp:708-716:
+    # match[wrapped+1])
+    eff_grp = (
+        f"(CASE WHEN contains({params}, 'e') "
+        f"THEN greatest(({grp}), 1) ELSE 0 END)"
+    )
     return (
         f"(CASE WHEN ({occ}) <> 0 THEN element_at("
         f"regexp_extract_all(substr({s}, {pos}), {jpat}, {eff_grp}), "

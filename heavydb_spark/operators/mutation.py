@@ -109,34 +109,30 @@ def update_from(
 
     w = Window.partitionBy(*on)
     src_cols = list(set_map.values())
-    guarded = source.select(
+    counted = source.select(
         *on,
         F.count(F.lit(1)).over(w).alias("__n"),
         *[F.col(c) for c in src_cols],
-    ).select(
-        *on,
-        *[
-            F.when(
-                F.col("__n") > 1,
-                F.raise_error(
-                    F.lit(
-                        "correlated UPDATE: subquery returns more than one "
-                        "row per key (CorrelatedWithInnerDuplicatesFails)"
-                    )
-                ),
-            )
-            .otherwise(F.col(c))
-            .alias(c)
-            for c in src_cols
-        ],
     )
-    joined = df.join(guarded, on, "left")
+    joined = df.join(counted, on, "left")
     hit = cond if cond is not None else F.lit(True)
+    # duplicate-key error fires only for rows the UPDATE actually
+    # targets (the reference evaluates the correlated subquery per
+    # targeted outer row — an unreferenced duplicate key is legal)
+    dup_err = F.raise_error(
+        F.lit(
+            "correlated UPDATE: subquery returns more than one "
+            "row per key (CorrelatedWithInnerDuplicatesFails)"
+        )
+    )
     out_cols = []
     for name in df.columns:
         if name in set_map:
+            new_val = F.when(F.col("__n") > 1, dup_err).otherwise(
+                F.col(set_map[name])
+            )
             out_cols.append(
-                F.when(hit, F.col(set_map[name])).otherwise(F.col(name)).alias(name)
+                F.when(hit, new_val).otherwise(F.col(name)).alias(name)
             )
         else:
             out_cols.append(F.col(name))

@@ -775,3 +775,58 @@ def test_date_trunc_week_variants_and_quarterday(engine):
     assert str(row.wsat) == "1995-06-10 00:00:00"
     assert str(row.wmon) == "1995-06-12 00:00:00"
     assert str(row.qd) == "1995-06-15 12:00:00"
+
+
+def test_nested_same_name_rewrites(engine):
+    """Same-name calls nested inside a rewritten call's arguments must
+    also be rewritten (recursive argument rewriting): nested DATEADD
+    with an extended unit, nested SPLIT_PART NULL-propagation, and a
+    nested POSIX REGEXP_REPLACE."""
+    row = engine.sql("""
+        SELECT DATEADD('day', 1, DATEADD('decade', 1, TIMESTAMP '1995-06-15 01:00:00')) AS d,
+               SPLIT_PART(SPLIT_PART('a.b|c', '|', 5), '.', 1) AS sp,
+               REGEXP_REPLACE(REGEXP_REPLACE('a1b2', '[[:digit:]]', ''), 'b', 'X') AS rr
+        FROM region LIMIT 1
+    """).first()
+    assert str(row.d) == "2005-06-16 01:00:00"
+    assert row.sp is None      # inner out-of-range NULL propagates
+    assert row.rr == "aX"      # inner POSIX class translated
+
+
+def test_regexp_substr_e_param_defaults_to_first_group(engine):
+    """'e' without an explicit group extracts the FIRST capture group
+    (StringOps.cpp:708-716 sub-match defaulting)."""
+    row = engine.sql("""
+        SELECT REGEXP_SUBSTR('user@dom.com', '([a-z]+)@([a-z.]+)', 1, 1, 'ce') AS a,
+               REGEXP_SUBSTR('user@dom.com', '([a-z]+)@([a-z.]+)', 1, 1, 'ce', 2) AS b
+        FROM region LIMIT 1
+    """).first()
+    assert row.a == "user"
+    assert row.b == "dom.com"
+
+
+def test_split_part_zero_index_is_null(engine):
+    row = engine.sql(
+        "SELECT SPLIT_PART('a.b.c', '.', 0) AS z FROM region LIMIT 1"
+    ).first()
+    assert row.z is None
+
+
+def test_initcap_column_and_sql_forms_agree(engine):
+    """Drift guard: the Column-API fold and the registered SQL function
+    implement the same delimiter set."""
+    from pyspark.sql import functions as F
+
+    from heavydb_spark.functions.strings import initcap_heavy
+
+    samples = [
+        "fUnNy CaSe", "mary-jane o.brien", "a_b(c)d[e]f", "x;y:z", "",
+        "123abc #tag", "UPPER lower MiXeD",
+    ]
+    df = engine.spark.createDataFrame([(s,) for s in samples], "t string")
+    df.createOrReplaceTempView("_icap_probe")
+    via_sql = [r.c for r in engine.sql(
+        "SELECT initcap_heavy(t) AS c FROM _icap_probe"
+    ).collect()]
+    via_col = [r.c for r in df.select(initcap_heavy(F.col("t")).alias("c")).collect()]
+    assert via_sql == via_col
