@@ -29,6 +29,7 @@ from heavydb_spark.queries import (  # noqa: F401,E402
     datapipe,
     streaming_batch,
     extended,
+    tpch,
 )
 
 # ---------------------------------------------------------------------------
@@ -49,6 +50,22 @@ _PRIORITY = [
     "geo_transform_utm",
     "tf_point_cloud_metadata",
     "tf_load_point_cloud",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q4_priority_exists",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q11_important_value",
+    "tpch_q12_priority_class",
+    "tpch_q13_order_distribution",
+    "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_cnt",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q18_large_orders",
+    "tpch_q19_disjunctive_join",
+    "tpch_q20_nested_in",
+    "tpch_q21_waiting_supplier",
+    "tpch_q22_global_sales",
     "text_repetition",
     "subquery_correlated_scalar",
     "subquery_not_in_nulls",
