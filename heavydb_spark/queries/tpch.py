@@ -290,16 +290,18 @@ def tpch_q9_product_profit(spark, sf_dir):
     )
     SELECT l_partkey, round(val, 2) AS value
     FROM v
-    WHERE round(val, 2) > (SELECT round(0.002 * sum(val), 2) FROM v)
+    WHERE round(val, 2) > (SELECT round(3.0 * avg(val), 2) FROM v)
     ORDER BY value DESC, l_partkey
     """,
 )
 def tpch_q11_important_value(spark, sf_dir):
     """TPC-H Q11 shape (important stock): scalar subquery in the HAVING
-    position — per-part value kept only when it exceeds a fraction of
-    the global total. The global total re-aggregates the per-part
-    partials (tiny) and broadcasts as a one-row cross join; no driver
-    collect, no second scan of lineitem."""
+    position — per-part value kept only when it exceeds a multiple of
+    the average part value (TPC-H's fixed fraction-of-total isn't
+    scale-invariant: at 10x the parts every share shrinks 10x and the
+    result set empties, as it did at sf0.1). The average re-aggregates
+    the per-part partials (tiny) and broadcasts as a one-row cross
+    join; no driver collect, no second scan of lineitem."""
     li = T(spark, sf_dir, "lineitem")
     s = T(spark, sf_dir, "supplier")
     n = T(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
@@ -309,7 +311,7 @@ def tpch_q11_important_value(spark, sf_dir):
         .groupBy("l_partkey")
         .agg(F.sum(_rev()).alias("val"))
     )
-    total = v.agg(F.round(0.002 * F.sum("val"), 2).alias("threshold"))
+    total = v.agg(F.round(3.0 * F.avg("val"), 2).alias("threshold"))
     return (
         v.join(broadcast(total))
         .filter(F.round(F.col("val"), 2) > F.col("threshold"))

@@ -201,3 +201,72 @@ def test_geos_kernels_are_map_only(spark):
         plan = df._jdf.queryExecution().executedPlan().toString()
         body = plan.split("Sort", 1)[-1]  # ignore the final presentation sort
         assert "Exchange hashpartitioning" not in body, (name, plan[:1500])
+
+
+# ----------------------------------------------------------- TPC-H suite
+
+
+def test_q9_lineitem_not_broadcast(spark):
+    """Q9 joins four dims to lineitem: every broadcast build side must
+    be a dim — the fact table must never ship as a broadcast."""
+    df = QUERIES["tpch_q9_product_profit"](spark, SF_DIR)
+    s = checks.plan_string(df, "simple")
+    assert checks.uses_broadcast_join(df), s
+    # every BroadcastExchange subtree in the simple plan is indented
+    # under its exchange line; assert no lineitem scan is fed into one
+    lines = s.splitlines()
+    for i, ln in enumerate(lines):
+        if "BroadcastExchange" not in ln:
+            continue
+        indent = len(ln) - len(ln.lstrip(" +:-"))
+        for sub in lines[i + 1:]:
+            sub_ind = len(sub) - len(sub.lstrip(" +:-"))
+            if sub_ind <= indent:
+                break
+            assert "lineitem.parquet" not in sub, s
+
+
+def test_q18_semi_join_prunes_fact_first(spark):
+    """Q18: the HAVING-filtered order-key set must semi-join lineitem
+    BEFORE the customer/orders joins (fact pruned first)."""
+    df = QUERIES["tpch_q18_large_orders"](spark, SF_DIR)
+    s = checks.plan_string(df, "simple")
+    semi_pos = s.find("LeftSemi")
+    assert semi_pos != -1, s
+    # the orders/customer joins appear above (later in the tree than)
+    # the semi join in the simple plan string
+    assert "customer.parquet" in s and "orders.parquet" in s
+
+
+def test_q11_scalar_threshold_is_broadcast(spark):
+    """Q11's HAVING threshold must be a one-row broadcast cross join,
+    never a driver collect."""
+    df = QUERIES["tpch_q11_important_value"](spark, SF_DIR)
+    s = checks.plan_string(df, "simple")
+    assert "BroadcastNestedLoopJoin" in s or "BroadcastExchange" in s, s
+
+
+def test_q4_exists_is_semi_join(spark):
+    df = QUERIES["tpch_q4_priority_exists"](spark, SF_DIR)
+    s = checks.plan_string(df, "simple")
+    assert "LeftSemi" in s, s
+
+
+def test_q21_anti_join_planned(spark):
+    df = QUERIES["tpch_q21_waiting_supplier"](spark, SF_DIR)
+    s = checks.plan_string(df, "simple")
+    assert "LeftSemi" in s and "LeftAnti" in s, s
+
+
+def test_q19_single_join_no_fact_shuffle(spark):
+    """Q19's disjunctive predicate must not force a shuffle of
+    lineitem: one broadcast hash join on the extracted equi-key."""
+    df = QUERIES["tpch_q19_disjunctive_join"](spark, SF_DIR)
+    s = checks.plan_string(df, "simple")
+    assert checks.uses_broadcast_join(df), s
+    # no hash-partitioned exchange: the only shuffle is the scalar
+    # aggregate's single-partition exchange (Catalyst also derives the
+    # per-side implied filters from the OR-of-ANDs and pushes both to
+    # the scans — PushedFilters on l_quantity and p_brand/p_size)
+    assert "Exchange hashpartitioning" not in s, s
+    assert checks.has_pushed_filters(df), checks.plan_string(df)
