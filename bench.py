@@ -40,6 +40,9 @@ BENCH_QUERIES = {
     "B15_text_quality": "text_quality",
     "B16_tpch_q5": "join_multistep_tpch_q5",
     "B17_bbox_join": "geo_bbox_join",
+    # r4 additions, self-baselined in BASELINE.md table C (no r1 number)
+    "B18_tpch_q9": "tpch_q9_product_profit",
+    "B19_tpch_q21": "tpch_q21_waiting_supplier",
 }
 
 
