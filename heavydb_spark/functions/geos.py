@@ -7,6 +7,9 @@ QueryEngine/GeosRuntime.cpp. This module reimplements the computational
 geometry directly (no GEOS dependency):
 
 - ST_ConvexHull: Andrew monotone chain over the vertex set.
+- ST_ConcaveHull: Moreira-Santos k-nearest-neighbors boundary walk
+  (auto-escalating k), the shape GEOS' concave-hull family
+  approximates.
 - ST_Union / ST_Intersection / ST_Difference: exact boolean overlay of
   simple polygons (holes included, even-odd) via trapezoid
   decomposition — slab the plane at every vertex y and every pairwise
@@ -182,6 +185,96 @@ def _hull_points(points) -> list[tuple[float, float]]:
     return lower[:-1] + upper[:-1]
 
 
+def _concave_hull_points(points, k) -> list[tuple[float, float]]:
+    """k-nearest-neighbors concave hull (Moreira & Santos 2007,
+    the algorithm GEOS' ST_ConcaveHull family approximates): walk the
+    boundary from the lowest point, at each step choosing among the k
+    nearest unvisited points the one making the sharpest clockwise turn
+    that does not cross the boundary built so far; if the walk strands
+    or leaves points outside, retry with k+1. Deterministic: ties break
+    on (angle, distance, x, y). Falls back to the convex hull when k
+    exceeds the point count."""
+    import math
+
+    pts = sorted(set(points))
+    if len(pts) <= 3:
+        return pts
+    k = max(3, min(k, len(pts) - 1))
+
+    def segs_cross(a, b, c, d):
+        def orient(p, q, r):
+            v = (q[0] - p[0]) * (r[1] - p[1]) - (q[1] - p[1]) * (r[0] - p[0])
+            return 0 if abs(v) < _EPS else (1 if v > 0 else -1)
+
+        o1, o2 = orient(a, b, c), orient(a, b, d)
+        o3, o4 = orient(c, d, a), orient(c, d, b)
+        return o1 != o2 and o3 != o4 and 0 not in (o1, o2, o3, o4)
+
+    def point_in_ring(p, ring):
+        # even-odd ray cast; boundary points count as inside
+        x, y = p
+        inside = False
+        n = len(ring)
+        for i in range(n):
+            (x1, y1), (x2, y2) = ring[i], ring[(i + 1) % n]
+            if (
+                min(x1, x2) - _EPS <= x <= max(x1, x2) + _EPS
+                and min(y1, y2) - _EPS <= y <= max(y1, y2) + _EPS
+                and abs((x2 - x1) * (y - y1) - (y2 - y1) * (x - x1)) < 1e-9
+            ):
+                return True
+            if (y1 > y) != (y2 > y):
+                xi = x1 + (y - y1) * (x2 - x1) / (y2 - y1)
+                if x < xi:
+                    inside = not inside
+        return inside
+
+    start = min(pts, key=lambda p: (p[1], p[0]))
+    while k < len(pts):
+        hull = [start]
+        used = {start}
+        prev_angle = math.pi  # incoming direction: walk starts heading +x
+        cur = start
+        ok = True
+        for _ in range(len(pts) * 2 + 4):
+            if len(hull) >= 4 and cur == start:
+                break
+            cand = sorted(
+                (p for p in pts if p not in used or (p == start and len(hull) >= 4)),
+                key=lambda p: (p[0] - cur[0]) ** 2 + (p[1] - cur[1]) ** 2,
+            )[:k]
+            best = None
+            scored = []
+            for p in cand:
+                ang = math.atan2(p[1] - cur[1], p[0] - cur[0])
+                # clockwise turn magnitude from the incoming direction
+                turn = (prev_angle - ang) % (2 * math.pi)
+                scored.append((-turn, (p[0] - cur[0]) ** 2 + (p[1] - cur[1]) ** 2, p))
+            for _, _, p in sorted(scored):
+                crosses = any(
+                    segs_cross(cur, p, hull[i], hull[i + 1])
+                    for i in range(len(hull) - 2)
+                )
+                if not crosses:
+                    best = p
+                    break
+            if best is None:
+                ok = False
+                break
+            hull.append(best)
+            prev_angle = math.atan2(cur[1] - best[1], cur[0] - best[0])
+            used.add(best)
+            cur = best
+        else:
+            ok = False
+        if ok and cur == start:
+            ring = hull[:-1]
+            if all(point_in_ring(p, ring) for p in pts):
+                return ring
+        k += 1
+    return _hull_points(pts)
+
+
 def _ngon(cx, cy, r, n):
     import math
 
@@ -244,6 +337,27 @@ def st_convexhull(pts: Column) -> Column:
         return pd.Series(out)
 
     return _hull_udf(pts)
+
+
+def st_concavehull(pts: Column, k: int = 3) -> Column:
+    """ST_ConcaveHull(MULTIPOINT, k) -> POLYGON (single ring).
+    RelAlgTranslatorGeo.cpp:336,819-825 GEOS delegation, reimplemented
+    as the Moreira-Santos k-NN boundary walk in a pandas UDF
+    (geometry-local); k is the neighbor budget (larger k → closer to
+    the convex hull), auto-escalated until the walk closes with every
+    point enclosed."""
+
+    @F.pandas_udf(POLYGON_T)
+    def _chull_udf(s: pd.Series) -> pd.Series:
+        out = []
+        for p in s:
+            ring = _concave_hull_points(
+                [(float(q["x"]), float(q["y"])) for q in p], k
+            )
+            out.append([[{"x": x, "y": y} for (x, y) in ring]])
+        return pd.Series(out)
+
+    return _chull_udf(pts)
 
 
 def _binary_overlay(a: Column, b: Column, keep) -> Column:
@@ -355,7 +469,18 @@ def register_geos_functions(spark) -> None:
 
         return _udf
 
+    @F.pandas_udf(POLYGON_T)
+    def _concave(s: pd.Series) -> pd.Series:
+        out = []
+        for p in s:
+            ring = _concave_hull_points(
+                [(float(q["x"]), float(q["y"])) for q in p], 3
+            )
+            out.append([[{"x": x, "y": y} for (x, y) in ring]])
+        return pd.Series(out)
+
     spark.udf.register("st_convexhull", _hull)
+    spark.udf.register("st_concavehull", _concave)
     spark.udf.register("st_union", _overlay(lambda p: p[0] or p[1]))
     spark.udf.register("st_intersection", _overlay(lambda p: p[0] and p[1]))
     spark.udf.register("st_difference", _overlay(lambda p: p[0] and not p[1]))

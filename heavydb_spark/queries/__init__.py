@@ -46,6 +46,7 @@ _PRIORITY = [
     # --- round-4 additions (never driver-verified) ---
     "geo_geos_union_diff",
     "geo_geos_convexhull",
+    "geo_geos_concavehull",
     "geo_multipolygon_props",
     "geo_transform_utm",
     "tf_point_cloud_metadata",

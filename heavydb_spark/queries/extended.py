@@ -1475,6 +1475,57 @@ def geo_geos_convexhull(spark, sf_dir):
 
 
 @query(
+    "geo_geos_concavehull",
+    oracle="""
+    SELECT n_nationkey,
+           CAST(16 AS INTEGER) AS hull_points,
+           round(12.0 * s * s, 4) AS hull_area,
+           round(16.0 * s, 4) AS hull_perim,
+           round(14.0 * s * s, 4) AS convex_area
+    FROM (
+        SELECT n_nationkey, CAST(1 + n_nationkey % 3 AS DOUBLE) AS s
+        FROM nation
+    )
+    ORDER BY n_nationkey
+    """,
+)
+def geo_geos_concavehull(spark, sf_dir):
+    """ST_ConcaveHull (RelAlgTranslatorGeo.cpp:336,819-825; GEOS
+    delegation) via the Moreira-Santos k-NN walk: per nation, a
+    unit-grid L-shape ([0,4s]^2 minus the open x>2s, y>2s quadrant,
+    21 lattice points) whose concave hull is exactly the L boundary —
+    area 12s^2, perimeter 16s, 16 boundary vertices — while the convex
+    hull closes the notch at 14s^2, so the oracle distinguishes the two
+    in closed form."""
+    from heavydb_spark.functions import geos
+
+    n = T(spark, sf_dir, "nation")
+    s = (1 + F.col("n_nationkey") % 3).cast("double")
+    cx = F.col("n_nationkey").cast("double") * 100.0
+    idx = F.sequence(F.lit(0), F.lit(24))
+    keep = F.filter(idx, lambda t: ~((F.floor(t / 5) > 2) & (t % 5 > 2)))
+    pts = n.select(
+        "n_nationkey",
+        F.transform(
+            keep,
+            lambda t: F.struct(
+                (cx + F.floor(t / 5).cast("double") * s).alias("x"),
+                ((t % 5).cast("double") * s).alias("y"),
+            ),
+        ).alias("pts"),
+    )
+    concave = geos.st_concavehull(F.col("pts"), 3)
+    convex = geos.st_convexhull(F.col("pts"))
+    return pts.select(
+        "n_nationkey",
+        geo.st_npoints_polygon(concave).alias("hull_points"),
+        F.round(geo.st_area(concave), 4).alias("hull_area"),
+        F.round(geo.st_perimeter(concave), 4).alias("hull_perim"),
+        F.round(geo.st_area(convex), 4).alias("convex_area"),
+    ).orderBy("n_nationkey")
+
+
+@query(
     "geo_multipolygon_props",
     oracle="""
     WITH p AS (

@@ -1254,3 +1254,74 @@ def test_reference_wkt_conventions(spark):
     assert abs(row.a - 1.98) < 1e-9    # GeospatialTest.cpp:2164
     assert abs(row.ma - 9.9) < 1e-9    # GeospatialTest.cpp:2171
     assert row.mnp == 16        # (outer 4 + hole 4) per component, closing vertices dropped
+
+
+def test_concave_hull_traces_l_shape():
+    """Moreira-Santos k-NN hull on a unit-grid L recovers the exact L
+    boundary (area 12, perimeter 16, 16 vertices) where the convex
+    hull closes the notch at area 14 — plain-python kernel check."""
+    import math
+
+    from heavydb_spark.functions.geos import (
+        _concave_hull_points,
+        _hull_points,
+        _shoelace,
+    )
+
+    pts = [
+        (float(i), float(j))
+        for i in range(5)
+        for j in range(5)
+        if not (i > 2 and j > 2)
+    ]
+    ring = _concave_hull_points(pts, 3)
+    assert len(ring) == 16
+    assert abs(abs(_shoelace(ring)) - 12.0) < 1e-9
+    perim = sum(
+        math.hypot(
+            ring[(i + 1) % len(ring)][0] - ring[i][0],
+            ring[(i + 1) % len(ring)][1] - ring[i][1],
+        )
+        for i in range(len(ring))
+    )
+    assert abs(perim - 16.0) < 1e-9
+    assert abs(abs(_shoelace(_hull_points(pts))) - 14.0) < 1e-9
+    # every input point is a lattice point of the L -> hull vertices
+    # must be input points
+    assert set(ring) <= set(pts)
+
+
+def test_concave_hull_degenerate_and_escalation():
+    from heavydb_spark.functions.geos import _concave_hull_points, _shoelace
+
+    # <=3 points: returned as-is
+    assert _concave_hull_points([(0.0, 0.0), (1.0, 0.0)], 3) == [
+        (0.0, 0.0),
+        (1.0, 0.0),
+    ]
+    # convex point set: concave hull == convex hull area (square)
+    sq = [(0.0, 0.0), (2.0, 0.0), (2.0, 2.0), (0.0, 2.0), (1.0, 1.0)]
+    ring = _concave_hull_points(sq, 3)
+    assert abs(abs(_shoelace(ring)) - 4.0) < 1e-9
+
+
+def test_concave_hull_sql_registration(spark):
+    from heavydb_spark.functions.geos import register_geos_functions
+
+    register_geos_functions(spark)
+    row = spark.sql(
+        """
+        SELECT st_concavehull(array(
+            named_struct('x', 0.0d, 'y', 0.0d),
+            named_struct('x', 1.0d, 'y', 0.0d),
+            named_struct('x', 2.0d, 'y', 0.0d),
+            named_struct('x', 2.0d, 'y', 1.0d),
+            named_struct('x', 2.0d, 'y', 2.0d),
+            named_struct('x', 1.0d, 'y', 2.0d),
+            named_struct('x', 0.0d, 'y', 2.0d),
+            named_struct('x', 0.0d, 'y', 1.0d),
+            named_struct('x', 1.0d, 'y', 1.0d)
+        )) AS hull
+        """
+    ).first()
+    assert len(row["hull"][0]) == 8  # square boundary, interior excluded
