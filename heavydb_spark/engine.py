@@ -45,6 +45,47 @@ _CREATE_WITH_RE = re.compile(
 )
 _SHARD_KEY_RE = re.compile(r"^\s*SHARD\s+KEY\s*\(\s*(\w+)\s*\)\s*$", re.IGNORECASE)
 
+# SHOW introspection commands (Parser/ParserNode.h ShowCreateTableStmt;
+# DdlCommandExecutor.cpp ShowTableDetailsCommand; exercised by
+# Tests/ShowCommandsDdlTest.cpp). Spark's native SHOW CREATE TABLE
+# rejects temp views, so the engine synthesizes the reference's output
+# shape from the catalog schema instead.
+_SHOW_CREATE_RE = re.compile(
+    r"^\s*SHOW\s+CREATE\s+TABLE\s+(\w+)\s*;?\s*$", re.IGNORECASE
+)
+_SHOW_DETAILS_RE = re.compile(
+    r"^\s*SHOW\s+TABLE\s+DETAILS(?:\s+(.+?))?\s*;?\s*$", re.IGNORECASE
+)
+
+# Spark type -> HeavyDB DDL type (inverse of _TYPE_REWRITES;
+# Shared/sqltypes.h names). Strings report the reference's default
+# dictionary encoding (StringDictionary, §1.3).
+_SPARK_TO_HEAVY_TYPES = {
+    "bigint": "BIGINT",
+    "int": "INTEGER",
+    "smallint": "SMALLINT",
+    "tinyint": "TINYINT",
+    "double": "DOUBLE",
+    "float": "FLOAT",
+    "boolean": "BOOLEAN",
+    "date": "DATE",
+    "timestamp": "TIMESTAMP(0)",
+    "timestamp_ntz": "TIMESTAMP(0)",
+    "string": "TEXT ENCODING DICT(32)",
+    "binary": "TEXT ENCODING NONE",
+}
+
+
+def _heavy_type(spark_type: str) -> str:
+    t = spark_type.lower()
+    if t in _SPARK_TO_HEAVY_TYPES:
+        return _SPARK_TO_HEAVY_TYPES[t]
+    if t.startswith("decimal"):
+        return t.upper()
+    if t.startswith("array<") and t.endswith(">"):
+        return _heavy_type(t[6:-1]) + "[]"
+    return t.upper()
+
 # HeavyDB column types -> Spark DDL types (Shared/sqltypes.h); ENCODING
 # clauses are storage hints with no Spark equivalent and are dropped
 # (dictionary/delta encoding happens inside parquet).
@@ -95,6 +136,7 @@ class Engine:
     def attach(self, sf_dir: str) -> "Engine":
         """Register the driver fixture tables as temp views."""
         catalog.register_views(self.spark, sf_dir)
+        self._attached_dir = sf_dir
         return self
 
     def table(self, name: str) -> DataFrame:
@@ -130,7 +172,68 @@ class Engine:
             return self._ddl_create_with(
                 m.group(1) or "", m.group(2), m.group(3), m.group(4)
             )
+        m = _SHOW_CREATE_RE.match(query)
+        if m:
+            return self._show_create_table(m.group(1))
+        m = _SHOW_DETAILS_RE.match(query)
+        if m:
+            return self._show_table_details(m.group(1))
         return self.spark.sql(dialect.rewrite(query))
+
+    def _show_create_table(self, name: str) -> DataFrame:
+        """SHOW CREATE TABLE t — the reference emits one row with the
+        reconstructed DDL string `CREATE TABLE t (\\n  col TYPE, ...);`
+        (ShowCommandsDdlTest.cpp:1446). Synthesized from the catalog
+        schema with Spark types mapped back to HeavyDB names; works for
+        temp views (Spark's native command rejects those)."""
+        schema = self.spark.table(name).schema
+        cols = ",\n  ".join(
+            f"{f.name} {_heavy_type(f.dataType.simpleString())}"
+            + ("" if f.nullable else " NOT NULL")
+            for f in schema.fields
+        )
+        stmt = f"CREATE TABLE {name} (\n  {cols});"
+        return self.spark.createDataFrame(
+            [(stmt,)], "create_table_statement STRING"
+        )
+
+    def _show_table_details(self, names_csv) -> DataFrame:
+        """SHOW TABLE DETAILS [t, ...] — the reference reports storage
+        internals per table (DdlCommandExecutor.cpp). The Spark
+        analogue keeps the identity/size columns that have meaning
+        here: table_name, column_count, row_count, and parquet file
+        count/bytes when the table maps to an attached fixture file."""
+        import os
+
+        if names_csv:
+            names = [n.strip() for n in names_csv.split(",") if n.strip()]
+        else:
+            names = [
+                t.name
+                for t in self.spark.catalog.listTables()
+                if t.tableType in ("TEMPORARY", "VIEW", "MANAGED", "EXTERNAL")
+            ]
+        rows = []
+        for n in sorted(names):
+            df = self.spark.table(n)
+            path = os.path.join(
+                getattr(self, "_attached_dir", ""), f"{n}.parquet"
+            )
+            size = os.path.getsize(path) if os.path.isfile(path) else None
+            rows.append(
+                (
+                    n,
+                    len(df.columns),
+                    df.count(),
+                    1 if size is not None else None,
+                    size,
+                )
+            )
+        return self.spark.createDataFrame(
+            rows,
+            "table_name STRING, column_count INT, row_count BIGINT, "
+            "data_file_count INT, total_data_file_size BIGINT",
+        )
 
     def _ddl_create_with(
         self, if_not_exists: str, name: str, body: str, options: str

@@ -830,3 +830,28 @@ def test_initcap_column_and_sql_forms_agree(engine):
     ).collect()]
     via_col = [r.c for r in df.select(initcap_heavy(F.col("t")).alias("c")).collect()]
     assert via_sql == via_col
+
+
+def test_show_create_table_synthesized(engine):
+    """SHOW CREATE TABLE reconstructs HeavyDB DDL from the catalog
+    schema (ShowCommandsDdlTest.cpp:1446 output shape), including for
+    temp views where Spark's native command errors."""
+    row = engine.sql("SHOW CREATE TABLE nation;").first()
+    stmt = row["create_table_statement"]
+    assert stmt.startswith("CREATE TABLE nation (\n")
+    assert "n_nationkey INTEGER" in stmt
+    assert "n_name TEXT ENCODING DICT(32)" in stmt
+    assert stmt.endswith(");")
+
+
+def test_show_table_details(engine):
+    """SHOW TABLE DETAILS lists identity/size columns per table; a
+    name list restricts and orders the output."""
+    rows = engine.sql("SHOW TABLE DETAILS nation, region").collect()
+    assert [r["table_name"] for r in rows] == ["nation", "region"]
+    nat = rows[0]
+    assert nat["column_count"] == 3
+    assert nat["row_count"] == 25
+    assert nat["total_data_file_size"] > 0
+    # bare form covers every attached table
+    assert engine.sql("SHOW TABLE DETAILS").count() >= 8
