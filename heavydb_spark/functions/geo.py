@@ -911,14 +911,33 @@ def st_transform_900913_4326(p: Column) -> Column:
     )
 
 
+def _bind_once(struct_col: Column, fn) -> Column:
+    """Evaluate `struct_col` once by binding it to a higher-order-
+    function lambda variable. The transform series reference their
+    input point dozens of times; naive Column composition would inline
+    the full input expression at every reference — a multiplicative
+    expression-tree blow-up that OOMs the driver at plan build when
+    transforms chain. The lambda variable is a leaf, so each series
+    stays O(its own size)."""
+    return F.element_at(F.transform(F.array(struct_col), fn), 1)
+
+
 def st_transform(p: Column, from_srid: int, to_srid: int) -> Column:
     """SRID-dispatching ST_Transform (the reference's overload surface,
-    QueryEngine/ExtensionFunctionsGeo.hpp): supported pairs are
-    4326<->900913 and 4326<->UTM zones (EPSG 326xx northern); anything
-    else raises with the supported list (the reference delegates those
-    to proj, an out-of-container dependency)."""
+    QueryEngine/ExtensionFunctionsGeo.hpp): closed-form SRIDs are 4326,
+    900913, and EPSG 326xx (UTM north); any supported pair composes
+    through the 4326 pivot (proj pivots datum-sharing pairs the same
+    way). Other SRIDs raise (the reference delegates them to proj, an
+    out-of-container dependency). The input point is lambda-bound once
+    so chained transforms can't blow up the expression tree."""
     if from_srid == to_srid:
         return p
+    return _bind_once(p, lambda q: _st_transform_leaf(q, from_srid, to_srid))
+
+
+def _st_transform_leaf(p: Column, from_srid: int, to_srid: int) -> Column:
+    """Dispatch on a leaf-like point (lambda variable or plain column
+    struct) — every branch may reference p.x/p.y freely."""
     if (from_srid, to_srid) == (4326, 900913):
         return st_transform_4326_900913(p)
     if (from_srid, to_srid) == (900913, 4326):
@@ -927,10 +946,21 @@ def st_transform(p: Column, from_srid: int, to_srid: int) -> Column:
         return utm_from_wgs84(p["x"], p["y"], to_srid - 32600)
     if to_srid == 4326 and 32601 <= from_srid <= 32660:
         return utm_to_wgs84(p["x"], p["y"], from_srid - 32600)
+    if 32601 <= from_srid <= 32660 and (
+        32601 <= to_srid <= 32660 or to_srid == 900913
+    ):
+        ll = utm_to_wgs84(p["x"], p["y"], from_srid - 32600)
+        return _bind_once(ll, lambda q: _st_transform_leaf(q, 4326, to_srid))
+    if from_srid == 900913 and 32601 <= to_srid <= 32660:
+        ll = st_transform_900913_4326(p)
+        return _bind_once(
+            ll, lambda q: utm_from_wgs84(q["x"], q["y"], to_srid - 32600)
+        )
     raise ValueError(
         f"ST_Transform {from_srid}->{to_srid} unsupported; closed-form "
-        "pairs are 4326<->900913 and 4326<->EPSG 326xx (UTM north). "
-        "Arbitrary SRIDs need proj (reference: GDAL/proj delegation)."
+        "SRIDs are 4326, 900913, and EPSG 326xx (UTM north), any pair "
+        "composed through 4326. Other SRIDs need proj (reference: "
+        "GDAL/proj delegation)."
     )
 
 

@@ -1325,3 +1325,31 @@ def test_concave_hull_sql_registration(spark):
         """
     ).first()
     assert len(row["hull"][0]) == 8  # square boundary, interior excluded
+
+
+def test_st_transform_composed_pairs(spark):
+    """UTM zone -> adjacent UTM zone and UTM <-> Web Mercator compose
+    through the 4326 pivot: round-trips recover the original lon/lat
+    to sub-millimeter (the closed-form series' accuracy)."""
+    from pyspark.sql import functions as F
+
+    from heavydb_spark.functions import geo
+
+    pts = spark.createDataFrame(
+        [(14.5, 46.0), (15.2, 47.3), (13.9, 45.1)], "lon DOUBLE, lat DOUBLE"
+    ).select(F.struct(F.col("lon").alias("x"), F.col("lat").alias("y")).alias("p"))
+
+    z33 = geo.st_transform(F.col("p"), 4326, 32633)
+    z34 = geo.st_transform(z33, 32633, 32634)
+    back = geo.st_transform(z34, 32634, 4326)
+    merc = geo.st_transform(z33, 32633, 900913)
+    merc_direct = geo.st_transform(F.col("p"), 4326, 900913)
+
+    rows = pts.select(
+        F.col("p"), back.alias("rt"), merc.alias("m1"), merc_direct.alias("m2")
+    ).collect()
+    for r in rows:
+        assert abs(r["rt"]["x"] - r["p"]["x"]) < 1e-7
+        assert abs(r["rt"]["y"] - r["p"]["y"]) < 1e-7
+        assert abs(r["m1"]["x"] - r["m2"]["x"]) < 0.01  # meters
+        assert abs(r["m1"]["y"] - r["m2"]["y"]) < 0.01
