@@ -67,6 +67,7 @@ _PRIORITY = [
     "tpch_q20_nested_in",
     "tpch_q21_waiting_supplier",
     "tpch_q22_global_sales",
+    "stream_interval_join_outer",
     "text_repetition",
     "subquery_correlated_scalar",
     "subquery_not_in_nulls",

@@ -173,3 +173,43 @@ def stream_interval_join(spark, sf_dir):
         "user_id", "l_ts", "l_type", r2(F.col("l_value")).alias("l_value"),
         "r_ts", "r_type", r2(F.col("r_value")).alias("r_value"),
     ).orderBy("user_id", "l_ts", "r_ts")
+
+
+@query(
+    "stream_interval_join_outer",
+    oracle="""
+    SELECT a.user_id,
+           a.ts AS l_ts, round(a.value, 2) AS l_value,
+           b.r_ts, b.r_type, round(b.r_value, 2) AS r_value
+    FROM events a
+    LEFT JOIN (
+        SELECT user_id AS r_uid, ts AS r_ts, event_type AS r_type,
+               value AS r_value
+        FROM events WHERE event_type = 'purchase'
+    ) b
+      ON a.user_id = b.r_uid
+     AND b.r_ts > a.ts
+     AND b.r_ts <= a.ts + INTERVAL 10 MINUTE
+    WHERE a.event_type = 'click'
+    ORDER BY a.user_id, l_ts, r_ts
+    """,
+)
+def stream_interval_join_outer(spark, sf_dir):
+    """LEFT OUTER stream-stream interval join, batch-verifiable form:
+    every click appears — attributed to same-user purchases within 10
+    minutes, or with null purchase columns (the attribution-timeout
+    shape). The streaming form emits the null row once the combined
+    watermark passes l_ts + max_lag; tests/test_streaming.py proves
+    stream==batch on time-ordered microbatches."""
+    from heavydb_spark.streaming.events import interval_join_streams
+
+    ev = T(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click")
+    buys = ev.filter(F.col("event_type") == "purchase")
+    out = interval_join_streams(
+        clicks, buys, max_lag="10 minutes", how="left_outer"
+    )
+    return out.select(
+        "user_id", "l_ts", r2(F.col("l_value")).alias("l_value"),
+        "r_ts", "r_type", r2(F.col("r_value")).alias("r_value"),
+    ).orderBy("user_id", "l_ts", "r_ts")

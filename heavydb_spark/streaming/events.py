@@ -342,17 +342,25 @@ def interval_join_streams(
     key: str = "user_id",
     max_lag: str = "10 minutes",
     watermark: str = "30 minutes",
+    how: str = "inner",
 ) -> DataFrame:
-    """Watermarked stream-stream inner join (extension surface beyond
-    the reference, which only has streaming ingest — SURVEY.md §2.11):
+    """Watermarked stream-stream join (extension surface beyond the
+    reference, which only has streaming ingest — SURVEY.md §2.11):
     match each left event to right events of the same key that occur
     within (left.ts, left.ts + max_lag]. Both sides carry watermarks,
     and the time-range predicate bounds the join state Spark must
     retain — the canonical Structured Streaming interval join.
 
+    `how`: "inner" or "left_outer". The outer form emits an unmatched
+    left row (null right columns) once the combined watermark passes
+    l_ts + max_lag — the attribution-with-timeout shape; state stays
+    watermark-bounded either way.
+
     Works identically on batch DataFrames (the batch form is the
     oracle-checkable analogue the catalog query uses).
     """
+    if how not in ("inner", "left_outer"):
+        raise ValueError(f"unsupported join type {how!r}")
     l_ = left.select(
         F.col(key).alias("k"),
         F.col("ts").alias("l_ts"),
@@ -374,7 +382,7 @@ def interval_join_streams(
         & (F.col("r_ts") > F.col("l_ts"))
         & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {max_lag}"))
     )
-    return l_.join(r_, cond).select(
+    return l_.join(r_, cond, how).select(
         F.col("k").alias("user_id"),
         "l_ts", "l_type", "l_value", "r_ts", "r_type", "r_value",
     )

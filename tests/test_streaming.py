@@ -382,3 +382,120 @@ def test_streaming_interval_join_equals_batch(spark, event_stream_dir):
     )
     want = {(r.user_id, r.l_ts, r.r_ts) for r in batch.collect()}
     assert got == want and len(want) > 0
+
+
+@pytest.fixture(scope="module")
+def event_stream_ordered_dir(spark, tmp_path_factory):
+    """Events split into 4 time-ordered parquet files (oldest file
+    written first, so the file source's oldest-first order yields
+    chronological micro-batches), plus a final sentinel file far in
+    the future whose batch pushes the watermark past every real row —
+    required for outer-join null emission before availableNow
+    terminates. Sentinel rows use user_id = -999 and are excluded
+    from comparisons."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    d = str(tmp_path_factory.mktemp("events_stream_ordered"))
+    ev = load_table(spark, SF_DIR, "events").orderBy("ts")
+    n = ev.count()
+    rows_per = (n + 3) // 4
+    ranked = ev.withColumn(
+        "rk", F.row_number().over(__import__("pyspark").sql.Window.orderBy("ts"))
+    )
+    for i in range(4):
+        part = ranked.filter(
+            (F.col("rk") > i * rows_per) & (F.col("rk") <= (i + 1) * rows_per)
+        ).drop("rk")
+        part.coalesce(1).write.mode("overwrite").parquet(f"{d}/f{i}")
+        _time.sleep(1.1)  # distinct mtimes -> deterministic source order
+    max_ts = ev.agg(F.max("ts")).first()[0]
+    sentinel = spark.createDataFrame(
+        [
+            (-1, -999, "click", 0.0, max_ts),
+            (-2, -999, "purchase", 0.0, max_ts),
+        ],
+        "event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, ts TIMESTAMP_NTZ",
+    ).select(
+        "event_id",
+        "user_id",
+        F.col("event_type"),
+        F.col("value"),
+        (F.col("ts") + F.expr("INTERVAL 365 DAYS")).alias("ts"),
+    )
+    template = load_table(spark, SF_DIR, "events").limit(0)
+    aligned = sentinel.select(
+        *[
+            (
+                F.col(c) if c in sentinel.columns else F.lit(None)
+            ).cast(template.schema[c].dataType).alias(c)
+            for c in template.columns
+        ]
+    )
+    aligned.coalesce(1).write.mode("overwrite").parquet(f"{d}/f4")
+    # A SECOND sentinel file even further out: state eviction in batch
+    # N uses the watermark computed at the end of batch N-1, so the
+    # unmatched rows of the last real batch flush only in a batch that
+    # runs AFTER the first sentinel advanced the watermark.
+    aligned.withColumn(
+        "ts", F.col("ts") + F.expr("INTERVAL 30 DAYS")
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/f5")
+    # flatten: move part files into d with ordered names
+    import glob
+    import shutil
+
+    for i in range(6):
+        src = glob.glob(f"{d}/f{i}/part-*.parquet")[0]
+        shutil.move(src, f"{d}/{i:02d}.parquet")
+        shutil.rmtree(f"{d}/f{i}")
+        _time.sleep(1.1)
+    return d
+
+
+def test_streaming_interval_join_outer_equals_batch(
+    spark, event_stream_ordered_dir
+):
+    """LEFT OUTER stream-stream interval join: with chronological
+    micro-batches (maxFilesPerTrigger=1) and a watermark-advancing
+    sentinel, the stream emits exactly the batch left join — matched
+    rows plus null-attributed clicks."""
+    from pyspark.sql import functions as F
+
+    ev_stream = stream_ops.read_event_stream(spark, event_stream_ordered_dir)
+    clicks_s = ev_stream.filter(F.col("event_type") == "click")
+    buys_s = ev_stream.filter(F.col("event_type") == "purchase")
+    # NOTE: the sentinel exclusion must NOT be a filter on the joined
+    # stream — Catalyst pushes it through the join into the file scan,
+    # eliminating the sentinel rows BELOW the watermark operator, so
+    # the watermark never advances and outer rows never emit. Filter
+    # after collection instead.
+    joined = stream_ops.interval_join_streams(
+        clicks_s, buys_s, max_lag="10 minutes", watermark="1 minute",
+        how="left_outer",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("t_ivjoin_outer")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+    got = {
+        (r.user_id, r.l_ts, r.r_ts)
+        for r in spark.table("t_ivjoin_outer").collect()
+        if r.user_id != -999
+    }
+
+    ev = load_table(spark, SF_DIR, "events")
+    batch = stream_ops.interval_join_streams(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+        max_lag="10 minutes",
+        how="left_outer",
+    )
+    want = {(r.user_id, r.l_ts, r.r_ts) for r in batch.collect()}
+    assert got == want
+    assert any(r_ts is None for (_, _, r_ts) in want)  # outer rows exist
+    assert len(want) > 0
