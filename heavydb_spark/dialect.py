@@ -239,6 +239,15 @@ def _split_part_null_oob(args: str) -> str | None:
 _CALL_REWRITES = [
     # SAMPLE_RATIO(r) -> (rand() < r)
     ("SAMPLE_RATIO", lambda args: f"(rand() < {args})"),
+    # ENCODE_TEXT(x): none-encoded -> dict-encoded TEXT
+    # (RelAlgTranslator kENCODE_TEXT). Dictionary encoding is a storage
+    # concern parquet handles internally — value-level identity.
+    ("ENCODE_TEXT", lambda args: f"({args})"),
+    # KEY_FOR_STRING(x): the dictionary id of a dict-encoded string
+    # (ExtensionFunctions key_for_string). Ids are engine-internal in
+    # the reference too; the contract is injectivity (equal keys <=>
+    # equal strings), supplied here by a 64-bit hash surrogate.
+    ("KEY_FOR_STRING", lambda args: f"xxhash64({args})"),
     ("APPROX_MEDIAN", lambda args: f"approx_percentile({args}, 0.5)"),
     ("APPROX_COUNT_DISTINCT", _approx_count_distinct),
     ("SPLIT_PART", _split_part_null_oob),
@@ -517,9 +526,27 @@ def _date_trunc_ext(args: str) -> str | None:
     return f"CAST(make_date({start}, 1, 1) AS TIMESTAMP)"
 
 
+def _strtok_to_array(args: str) -> str | None:
+    """STRTOK_TO_ARRAY(str, 'delims') (StringOpsIR.cpp kSTRTOK_TO_ARRAY,
+    StringFunctionsTest.cpp): split on ANY character of delims,
+    dropping empty tokens. The delimiter set becomes a \\Q-quoted Java
+    regex character class for Spark's split()."""
+    parts = _split_top_level(args)
+    if len(parts) != 2:
+        return None
+    m = re.match(r"^\s*'(.*)'\s*$", parts[1], re.DOTALL)
+    if not m:
+        return None
+    delims = m.group(1).replace("''", "'")
+    cls = "[\\\\Q" + delims + "\\\\E]"
+    return f"filter(split({parts[0]}, '{cls}'), x -> x <> '')"
+
+
 _PREMASK_CALL_REWRITES = [
     ("ML_PREDICT", _ml_predict),
     ("LLM_TRANSFORM", _llm_transform),
+    # quoted delimiter set IS a literal -> pre-mask
+    ("STRTOK_TO_ARRAY", _strtok_to_array),
     ("DATE_TRUNC", _date_trunc_ext),
     # DATEADD/DATEDIFF run pre-mask: the quoted unit IS a literal
     ("DATEADD", _dateadd_call),

@@ -855,3 +855,36 @@ def test_show_table_details(engine):
     assert nat["total_data_file_size"] > 0
     # bare form covers every attached table
     assert engine.sql("SHOW TABLE DETAILS").count() >= 8
+
+
+def test_strtok_to_array(engine):
+    """STRTOK_TO_ARRAY splits on ANY delimiter character and drops
+    empty tokens (StringOpsIR.cpp kSTRTOK_TO_ARRAY semantics,
+    StringFunctionsTest.cpp expectations)."""
+    row = engine.sql(
+        "SELECT STRTOK_TO_ARRAY('a.b-c', '.-') AS t1, "
+        "STRTOK_TO_ARRAY('a..b.', '.') AS t2, "
+        "STRTOK_TO_ARRAY('', '.') AS t3"
+    ).first()
+    assert row["t1"] == ["a", "b", "c"]
+    assert row["t2"] == ["a", "b"]
+    assert row["t3"] == []
+
+
+def test_encode_text_and_key_for_string(engine):
+    """ENCODE_TEXT is value-level identity (encoding is storage-side);
+    KEY_FOR_STRING is an injective engine-defined key: equal keys
+    if-and-only-if equal strings."""
+    row = engine.sql(
+        "SELECT ENCODE_TEXT(n_name) AS e, n_name FROM nation "
+        "WHERE n_nationkey = 0"
+    ).first()
+    assert row["e"] == row["n_name"]
+    agg = engine.sql(
+        "SELECT count(DISTINCT n_name) AS a, "
+        "count(DISTINCT KEY_FOR_STRING(n_name)) AS b, "
+        "count(DISTINCT KEY_FOR_STRING(r_name)) AS c "
+        "FROM nation JOIN region ON n_regionkey = r_regionkey"
+    ).first()
+    assert agg["a"] == agg["b"]
+    assert agg["c"] == 5
