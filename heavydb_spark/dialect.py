@@ -113,6 +113,29 @@ _REWRITES: list[tuple[re.Pattern, str]] = [
     (re.compile(r"\bSAMPLE\s*\(", re.IGNORECASE), "any_value("),
     # HeavyDB CHAR_LENGTH on none-encoded text == Spark length
     (re.compile(r"\bCHAR_LENGTH\s*\(", re.IGNORECASE), "length("),
+    # Array surface (Tests/ArrayTest.cpp / ExecuteTest.cpp array
+    # sections): UNNEST -> explode; ARRAY_LENGTH -> cardinality;
+    # {1, 2, 3} literals -> array(1, 2, 3) (string literals are masked
+    # by now, so braces inside strings pass through untouched).
+    (re.compile(r"\bUNNEST\s*\(", re.IGNORECASE), "explode("),
+    (re.compile(r"\bARRAY_LENGTH\s*\(", re.IGNORECASE), "cardinality("),
+    (re.compile(r"\{([^{}]*)\}"), r"array(\1)"),
+    # Quantified array comparisons `expr op ANY|ALL array_col`
+    # (ExecuteTest.cpp:11201-11243: `x - 5 = ANY arr_i16`). Rewritten
+    # to higher-order exists/forall, which generalizes every operator.
+    # The RHS must be a bare column (subquery ANY/ALL stays Spark's).
+    (
+        re.compile(
+            r"((?:\([^()]*\))|(?:[\w.\x00]+\s*[-+*/%]\s*)*[\w.\x00]+)"
+            r"\s*(=|<>|<=|>=|<|>)\s*"
+            r"(ANY|ALL)\s+([A-Za-z_][\w.]*)\b(?!\s*\()",
+            re.IGNORECASE,
+        ),
+        lambda m: (
+            f"{'exists' if m.group(3).upper() == 'ANY' else 'forall'}"
+            f"({m.group(4)}, _qe -> {m.group(1)} {m.group(2)} _qe)"
+        ),
+    ),
     # Table functions: FROM TABLE(generate_series(a, b[, step])) —
     # UtilityTableFunctions.h:28-30. sequence() is inclusive-stop like
     # the reference, JVM-native, and handles int and timestamp+interval.

@@ -888,3 +888,32 @@ def test_encode_text_and_key_for_string(engine):
     ).first()
     assert agg["a"] == agg["b"]
     assert agg["c"] == 5
+
+
+def test_array_sql_surface(engine):
+    """Reference array SQL (Tests/ArrayTest.cpp, ExecuteTest.cpp array
+    sections): {..} literals, ARRAY_APPEND/ARRAY_LENGTH/CARDINALITY,
+    UNNEST, and quantified comparisons `expr op ANY|ALL arr`."""
+    r = engine.sql(
+        "SELECT CARDINALITY(ARRAY_APPEND({1, 2}, 3)) AS n, "
+        "ARRAY_LENGTH({4, 5}) AS m"
+    ).first()
+    assert (r["n"], r["m"]) == (3, 2)
+    assert [
+        x["a"] for x in engine.sql("SELECT UNNEST({7, 8}) AS a").collect()
+    ] == [7, 8]
+    q = engine.sql(
+        "SELECT count(*) AS c FROM (SELECT 7 AS x, {1, 2, 3} AS arr) "
+        "WHERE x - 5 = ANY arr"
+    ).first()
+    assert q["c"] == 1
+    q2 = engine.sql(
+        "SELECT count(*) AS c FROM (SELECT {1, 2, 3} AS arr) "
+        "WHERE 0 < ALL arr AND 9 <> ANY arr"
+    ).first()
+    assert q2["c"] == 1
+    # subquery ANY must pass through to Spark untouched
+    from heavydb_spark import dialect
+
+    s = dialect.rewrite("SELECT * FROM t WHERE x = ANY (SELECT k FROM s)")
+    assert "= ANY (SELECT" in s
