@@ -113,6 +113,23 @@ _REWRITES: list[tuple[re.Pattern, str]] = [
     (re.compile(r"\bSAMPLE\s*\(", re.IGNORECASE), "any_value("),
     # HeavyDB CHAR_LENGTH on none-encoded text == Spark length
     (re.compile(r"\bCHAR_LENGTH\s*\(", re.IGNORECASE), "length("),
+    # Frame-aware window variants (sqldefs.h:166-173): Spark's
+    # first/last/nth_value already respect the frame clause, so the
+    # _IN_FRAME names are straight aliases (LAG/LEAD_IN_FRAME need the
+    # real rewrite in _WINDOW_REWRITES — offset lookups ignore frames
+    # in Spark).
+    (re.compile(r"\bFIRST_VALUE_IN_FRAME\s*\(", re.IGNORECASE), "first_value("),
+    (re.compile(r"\bLAST_VALUE_IN_FRAME\s*\(", re.IGNORECASE), "last_value("),
+    (re.compile(r"\bNTH_VALUE_IN_FRAME\s*\(", re.IGNORECASE), "nth_value("),
+    # CORRELATION is the reference's alias for CORR
+    (re.compile(r"\bCORRELATION(_FLOAT)?\s*\(", re.IGNORECASE),
+     lambda m: "CORR_FLOAT(" if m.group(1) else "corr("),
+    # APPROX_QUANTILE(x, q) == APPROX_PERCENTILE (sqldefs alias)
+    (re.compile(r"\bAPPROX_QUANTILE\s*\(", re.IGNORECASE), "approx_percentile("),
+    # CURRENT_TIME (TIME type has no Spark analogue -> HH:mm:ss string;
+    # \b keeps CURRENT_TIMESTAMP untouched)
+    (re.compile(r"\bCURRENT_TIME\b(?!\s*\()", re.IGNORECASE),
+     "date_format(current_timestamp(), 'HH:mm:ss')"),
     # Array surface (Tests/ArrayTest.cpp / ExecuteTest.cpp array
     # sections): UNNEST -> explode; ARRAY_LENGTH -> cardinality;
     # {1, 2, 3} literals -> array(1, 2, 3) (string literals are masked
@@ -259,9 +276,42 @@ def _split_part_null_oob(args: str) -> str | None:
 
 
 # Balanced-paren rewrites applied after _REWRITES (literals still masked).
+def _truncate_call(args: str) -> str | None:
+    """TRUNCATE(x[, n]): numeric truncation toward zero at scale n
+    (ExtensionFunctions.hpp Truncate overloads; n may be negative)."""
+    parts = _split_top_level(args)
+    if len(parts) == 1:
+        x, n = parts[0], "0"
+    elif len(parts) == 2:
+        x, n = parts
+    else:
+        return None
+    return (
+        f"(sign({x}) * floor(abs({x}) * power(10, {n})) / power(10, {n}))"
+    )
+
+
+# Float32-returning aggregate variants (ExtensionFunctions *_FLOAT
+# overload family): same math, result cast to FLOAT.
+_FLOAT_AGGS = [
+    ("STDDEV_POP_FLOAT", "stddev_pop"),
+    ("STDDEV_SAMP_FLOAT", "stddev_samp"),
+    ("VAR_POP_FLOAT", "var_pop"),
+    ("VAR_SAMP_FLOAT", "var_samp"),
+    ("COVAR_POP_FLOAT", "covar_pop"),
+    ("COVAR_SAMP_FLOAT", "covar_samp"),
+    ("CORR_FLOAT", "corr"),
+]
+
+
 _CALL_REWRITES = [
     # SAMPLE_RATIO(r) -> (rand() < r)
     ("SAMPLE_RATIO", lambda args: f"(rand() < {args})"),
+    ("TRUNCATE", _truncate_call),
+] + [
+    (name, (lambda base: lambda args: f"CAST({base}({args}) AS FLOAT)")(base))
+    for name, base in _FLOAT_AGGS
+] + [
     # ENCODE_TEXT(x): none-encoded -> dict-encoded TEXT
     # (RelAlgTranslator kENCODE_TEXT). Dictionary encoding is a storage
     # concern parquet handles internally — value-level identity.
@@ -565,12 +615,42 @@ def _strtok_to_array(args: str) -> str | None:
     return f"filter(split({parts[0]}, '{cls}'), x -> x <> '')"
 
 
+def _pg_extract(args: str) -> str | None:
+    """PG_EXTRACT('field', ts) — the Postgres-form two-arg extract
+    (ExtensionFunctionsDateTime alias). Normalized to EXTRACT(FIELD
+    FROM ts) so the extended-field handler downstream applies."""
+    parts = _split_top_level(args)
+    if len(parts) != 2:
+        return None
+    m = re.match(r"^\s*'(\w+)'\s*$", parts[0])
+    if not m:
+        return None
+    return f"EXTRACT({m.group(1).upper()} FROM {parts[1]})"
+
+
+def _datetime_now(args: str) -> str | None:
+    """DATETIME('NOW') literal (reference parser shortcut) -> now()."""
+    if args.strip().upper() == "'NOW'":
+        return "now()"
+    return None
+
+
 _PREMASK_CALL_REWRITES = [
     ("ML_PREDICT", _ml_predict),
     ("LLM_TRANSFORM", _llm_transform),
     # quoted delimiter set IS a literal -> pre-mask
     ("STRTOK_TO_ARRAY", _strtok_to_array),
+    # Postgres-form aliases: quoted field IS a literal -> pre-mask
+    ("PG_EXTRACT", _pg_extract),
+    ("DATETIME", _datetime_now),
     ("DATE_TRUNC", _date_trunc_ext),
+    # Postgres-form alias, identical semantics; standard fields (where
+    # the extended handler declines) fall back to plain date_trunc —
+    # Spark doesn't know the PG_ name
+    (
+        "PG_DATE_TRUNC",
+        lambda args: _date_trunc_ext(args) or f"date_trunc({args})",
+    ),
     # DATEADD/DATEDIFF run pre-mask: the quoted unit IS a literal
     ("DATEADD", _dateadd_call),
     ("DATEDIFF", _datediff_call),

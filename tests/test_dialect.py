@@ -917,3 +917,49 @@ def test_array_sql_surface(engine):
 
     s = dialect.rewrite("SELECT * FROM t WHERE x = ANY (SELECT k FROM s)")
     assert "= ANY (SELECT" in s
+
+
+def test_pg_aliases_and_truncate(engine):
+    """Postgres-form aliases and numeric TRUNCATE
+    (ExtensionFunctions.hpp PG_DATE_TRUNC / PG_EXTRACT / Truncate):
+    TRUNCATE cuts toward zero at signed scale."""
+    r = engine.sql(
+        "SELECT TRUNCATE(-3.78, 1) AS a, TRUNCATE(1267.0, -2) AS b, "
+        "TRUNCATE(9.99) AS c"
+    ).first()
+    assert (r["a"], r["b"], r["c"]) == (-3.7, 1200.0, 9.0)
+    r2 = engine.sql(
+        "SELECT PG_DATE_TRUNC('month', o_orderdate) AS m, "
+        "PG_EXTRACT('isodow', o_orderdate) AS d "
+        "FROM orders WHERE o_orderkey = 1"
+    ).first()
+    assert r2["m"].day == 1 and 1 <= r2["d"] <= 7
+
+
+def test_float_agg_variants_and_in_frame_windows(engine):
+    """*_FLOAT aggregates return float32; *_VALUE_IN_FRAME names map
+    to Spark's frame-aware first/last/nth_value."""
+    r = engine.sql(
+        "SELECT CORRELATION(l_quantity, l_extendedprice) AS c, "
+        "STDDEV_POP_FLOAT(l_quantity) AS s, "
+        "VAR_SAMP_FLOAT(l_discount) AS v FROM lineitem"
+    ).first()
+    assert r["c"] is not None and r["s"] > 0 and r["v"] > 0
+    rows = engine.sql(
+        "SELECT l_linenumber, FIRST_VALUE_IN_FRAME(l_linenumber) OVER "
+        "(PARTITION BY l_orderkey ORDER BY l_linenumber "
+        " ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS fv "
+        "FROM lineitem WHERE l_orderkey = 1 ORDER BY l_linenumber"
+    ).collect()
+    if len(rows) >= 2:
+        assert rows[1]["fv"] == rows[0]["l_linenumber"]
+
+
+def test_datetime_now_and_current_time(engine):
+    row = engine.sql(
+        "SELECT DATETIME('NOW') AS n, CURRENT_TIME AS t"
+    ).first()
+    assert row["n"] is not None
+    import re as _re
+
+    assert _re.match(r"^\d{2}:\d{2}:\d{2}$", row["t"])
