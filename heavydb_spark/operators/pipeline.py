@@ -322,3 +322,37 @@ def dictionary_encode(
             "left",
         )
     return out, dicts
+
+
+# ------------------------------------------- cross-corpus dedup policy
+
+
+def dedup_keep_best(
+    df: DataFrame,
+    cluster_col: str,
+    priority_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Cross-corpus dedup policy: within each duplicate cluster keep
+    exactly one row — the one with the best (lowest) priority, ties
+    broken by id. The standard multi-corpus corpus-build rule ("when a
+    document appears in both a curated and a crawled source, keep the
+    curated copy"), composing with any cluster key (exact fingerprint,
+    MinHash component id from dedup.connected_components, or a
+    normalized prefix).
+
+    Scale shape: ONE hash shuffle on the cluster key; the winner is a
+    map-side-combinable min over the (priority, id) struct — no window
+    function, no second pass over the data. Returns one row per
+    cluster: (cluster, keep_id, best_priority, n_dups).
+    """
+    return (
+        df.groupBy(F.col(cluster_col).alias("cluster"))
+        .agg(
+            F.min_by(
+                F.col(id_col), F.struct(F.col(priority_col), F.col(id_col))
+            ).alias("keep_id"),
+            F.min(priority_col).alias("best_priority"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+    )

@@ -68,6 +68,7 @@ _PRIORITY = [
     "tpch_q21_waiting_supplier",
     "tpch_q22_global_sales",
     "stream_interval_join_outer",
+    "pipe_dedup_keep_best",
     "text_repetition",
     "subquery_correlated_scalar",
     "subquery_not_in_nulls",

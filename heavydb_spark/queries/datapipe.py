@@ -753,3 +753,46 @@ def text_repetition(spark, sf_dir):
     return text.repetition_features(d).select(
         "doc_id", "r_top_word", "r_top_bigram", "r_distinct"
     ).orderBy("doc_id")
+
+
+@query(
+    "pipe_dedup_keep_best",
+    oracle="""
+    WITH k AS (
+        SELECT doc_id,
+               CAST(substr(source, 4) AS INTEGER) AS prio,
+               concat_ws(' ',
+                   string_split_regex(trim(text), '\\s+')[1],
+                   string_split_regex(trim(text), '\\s+')[2]) AS cluster
+        FROM documents
+    ), r AS (
+        SELECT cluster, doc_id, prio,
+               row_number() OVER (
+                   PARTITION BY cluster ORDER BY prio, doc_id) AS rn,
+               count(*) OVER (PARTITION BY cluster) AS n_dups,
+               min(prio) OVER (PARTITION BY cluster) AS best_priority
+        FROM k
+    )
+    SELECT cluster, doc_id AS keep_id, best_priority, n_dups
+    FROM r WHERE rn = 1
+    ORDER BY cluster, keep_id
+    """,
+)
+def pipe_dedup_keep_best(spark, sf_dir):
+    """Cross-corpus dedup policy: cluster on a normalized 2-token
+    prefix (standing in for any duplicate-cluster key) and keep the
+    copy from the best source (lowest source number, ties by doc_id) —
+    the keep-the-curated-copy rule of a multi-corpus build. Spark side
+    is a single min_by aggregation (one shuffle, map-side combinable);
+    the oracle's window formulation is value-identical."""
+    d = T(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    keyed = d.select(
+        "doc_id",
+        F.substring("source", 4, 10).cast("int").alias("prio"),
+        F.concat_ws(" ", toks.getItem(0), toks.getItem(1)).alias("cluster"),
+    )
+    return (
+        pipeline.dedup_keep_best(keyed, "cluster", "prio", "doc_id")
+        .orderBy("cluster", "keep_id")
+    )

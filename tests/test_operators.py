@@ -1353,3 +1353,25 @@ def test_st_transform_composed_pairs(spark):
         assert abs(r["rt"]["y"] - r["p"]["y"]) < 1e-7
         assert abs(r["m1"]["x"] - r["m2"]["x"]) < 0.01  # meters
         assert abs(r["m1"]["y"] - r["m2"]["y"]) < 0.01
+
+
+def test_dedup_keep_best_policy(spark):
+    """The keep-best rule prefers lower priority over lower id: a
+    cluster with (id=1, prio=5) and (id=9, prio=2) keeps id 9."""
+    from heavydb_spark.operators.pipeline import dedup_keep_best
+
+    df = spark.createDataFrame(
+        [
+            ("a", 1, 5),
+            ("a", 9, 2),
+            ("b", 3, 1),
+            ("b", 4, 1),   # priority tie -> lower id wins
+            ("c", 7, 9),
+        ],
+        "cluster STRING, doc_id INT, prio INT",
+    )
+    got = {
+        (r["cluster"], r["keep_id"], r["best_priority"], r["n_dups"])
+        for r in dedup_keep_best(df, "cluster", "prio", "doc_id").collect()
+    }
+    assert got == {("a", 9, 2, 2), ("b", 3, 1, 2), ("c", 7, 9, 1)}
