@@ -57,6 +57,17 @@ _SHOW_DETAILS_RE = re.compile(
     r"^\s*SHOW\s+TABLE\s+DETAILS(?:\s+(.+?))?\s*;?\s*$", re.IGNORECASE
 )
 
+# OPTIMIZE TABLE t [WITH (VACUUM='true')] — Parser/ParserNode.h:1243
+# OptimizeTableStmt: recompute chunk metadata and (with VACUUM) reclaim
+# deleted-row space. The Spark analogue of both is a managed-table file
+# rewrite: compaction folds the small files DML/appends leave behind
+# (copy-on-write deletes already materialize, so vacuum == compact) and
+# ANALYZE refreshes the statistics the optimizer plans from.
+_OPTIMIZE_RE = re.compile(
+    r"^\s*OPTIMIZE\s+TABLE\s+([\w.]+)\s*(?:WITH\s*\((.*?)\))?\s*;?\s*$",
+    re.IGNORECASE,
+)
+
 # Spark type -> HeavyDB DDL type (inverse of _TYPE_REWRITES;
 # Shared/sqltypes.h names). Strings report the reference's default
 # dictionary encoding (StringDictionary, §1.3).
@@ -178,7 +189,46 @@ class Engine:
         m = _SHOW_DETAILS_RE.match(query)
         if m:
             return self._show_table_details(m.group(1))
+        m = _OPTIMIZE_RE.match(query)
+        if m:
+            return self._optimize_table(m.group(1))
         return self.spark.sql(dialect.rewrite(query))
+
+    def _optimize_table(
+        self, name: str, target_file_rows: int = 1_000_000
+    ) -> DataFrame:
+        """OPTIMIZE TABLE: compact a managed table's files toward
+        `target_file_rows` rows per file and recompute optimizer
+        statistics. At scale this is the small-file compaction pass a
+        lakehouse runs after streaming/DML appends; statistics feed
+        Catalyst's join-strategy and AQE decisions (the reference's
+        chunk-metadata recompute). Temp views error, matching the
+        reference's rejection of views (ShowCommandsDdlTest.cpp)."""
+        cat = self.spark.catalog
+        is_temp = any(
+            t.name == name.split(".")[-1] and t.tableType == "TEMPORARY"
+            for t in cat.listTables()
+        )
+        if is_temp:
+            raise ValueError(
+                f"OPTIMIZE TABLE is not supported for temporary views: {name}"
+            )
+        df = self.spark.table(name)
+        n = df.count()
+        parts = max(1, -(-n // target_file_rows))
+        (
+            df.repartition(parts)
+            .write.mode("overwrite")
+            .format("parquet")
+            .saveAsTable(f"{name}__optimized_tmp")
+        )
+        self.spark.sql(f"DROP TABLE {name}")
+        self.spark.sql(f"ALTER TABLE {name}__optimized_tmp RENAME TO {name}")
+        self.spark.sql(f"ANALYZE TABLE {name} COMPUTE STATISTICS")
+        return self.spark.createDataFrame(
+            [(name, n, parts)],
+            "table_name STRING, row_count BIGINT, files INT",
+        )
 
     def _show_create_table(self, name: str) -> DataFrame:
         """SHOW CREATE TABLE t — the reference emits one row with the

@@ -162,3 +162,27 @@ def test_update_from_correlated_semantics(spark):
     )
     with _pytest.raises(Exception, match="more than one"):
         update_from(t, ["id"], dup, {"val": "new_val"}).collect()
+
+
+def test_optimize_table_compacts_and_analyzes(engine, spark, tmp_path):
+    """OPTIMIZE TABLE (Parser/ParserNode.h:1243 OptimizeTableStmt):
+    folds a fragmented managed table into right-sized files and
+    refreshes optimizer statistics; temp views are rejected like the
+    reference rejects views."""
+    import pytest as _pytest
+
+    spark.sql("DROP TABLE IF EXISTS opt_t")
+    spark.sql("DROP TABLE IF EXISTS opt_t__optimized_tmp")
+    try:
+        # deliberately fragmented: 8 files for 25 rows
+        spark.table("nation").repartition(8).write.saveAsTable("opt_t")
+        res = engine.sql("OPTIMIZE TABLE opt_t").first()
+        assert res["row_count"] == 25 and res["files"] == 1
+        assert spark.table("opt_t").count() == 25
+        stats = spark.sql("DESCRIBE EXTENDED opt_t").collect()
+        assert any("Statistics" in r["col_name"] for r in stats)
+        with _pytest.raises(Exception):
+            engine.sql("OPTIMIZE TABLE nation")  # temp view -> error
+    finally:
+        spark.sql("DROP TABLE IF EXISTS opt_t")
+        spark.sql("DROP TABLE IF EXISTS opt_t__optimized_tmp")
