@@ -57,6 +57,22 @@ _SHOW_DETAILS_RE = re.compile(
     r"^\s*SHOW\s+TABLE\s+DETAILS(?:\s+(.+?))?\s*;?\s*$", re.IGNORECASE
 )
 
+# DUMP TABLE t TO 'path' / RESTORE TABLE t FROM 'path' —
+# Parser/ParserNode.h:1442,1453 (Tests/DumpRestoreTest.cpp). The
+# reference archives table data + schema into a tarball; the Spark
+# analogue writes a self-describing parquet snapshot directory (parquet
+# embeds the schema) that RESTORE re-registers as a managed table.
+_DUMP_RE = re.compile(
+    r"^\s*DUMP\s+TABLE\s+([\w.]+)\s+TO\s+'([^']+)'\s*"
+    r"(?:WITH\s*\(.*?\))?\s*;?\s*$",
+    re.IGNORECASE,
+)
+_RESTORE_RE = re.compile(
+    r"^\s*RESTORE\s+TABLE\s+([\w.]+)\s+FROM\s+'([^']+)'\s*"
+    r"(?:WITH\s*\(.*?\))?\s*;?\s*$",
+    re.IGNORECASE,
+)
+
 # OPTIMIZE TABLE t [WITH (VACUUM='true')] — Parser/ParserNode.h:1243
 # OptimizeTableStmt: recompute chunk metadata and (with VACUUM) reclaim
 # deleted-row space. The Spark analogue of both is a managed-table file
@@ -192,6 +208,24 @@ class Engine:
         m = _OPTIMIZE_RE.match(query)
         if m:
             return self._optimize_table(m.group(1))
+        m = _DUMP_RE.match(query)
+        if m:
+            self.spark.table(m.group(1)).write.mode("errorifexists").parquet(
+                m.group(2)
+            )
+            return self.spark.createDataFrame(
+                [(m.group(1), m.group(2))], "table_name STRING, path STRING"
+            )
+        m = _RESTORE_RE.match(query)
+        if m:
+            (
+                self.spark.read.parquet(m.group(2))
+                .write.mode("errorifexists")
+                .saveAsTable(m.group(1))
+            )
+            return self.spark.createDataFrame(
+                [(m.group(1), m.group(2))], "table_name STRING, path STRING"
+            )
         return self.spark.sql(dialect.rewrite(query))
 
     def _optimize_table(

@@ -186,3 +186,25 @@ def test_optimize_table_compacts_and_analyzes(engine, spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS opt_t")
         spark.sql("DROP TABLE IF EXISTS opt_t__optimized_tmp")
+
+
+def test_dump_restore_table_roundtrip(engine, spark, tmp_path):
+    """DUMP TABLE .. TO / RESTORE TABLE .. FROM (ParserNode.h:1442,
+    1453; Tests/DumpRestoreTest.cpp): snapshot round-trips data and
+    schema; dumping onto an existing path errors (the reference also
+    refuses to overwrite an existing archive)."""
+    import pytest as _pytest
+
+    p = str(tmp_path / "dump_nation")
+    spark.sql("DROP TABLE IF EXISTS nation_restored")
+    try:
+        r = engine.sql(f"DUMP TABLE nation TO '{p}'").first()
+        assert r["path"] == p
+        engine.sql(f"RESTORE TABLE nation_restored FROM '{p}'")
+        got = spark.table("nation_restored")
+        assert got.count() == 25
+        assert got.schema == spark.table("nation").schema
+        with _pytest.raises(Exception):
+            engine.sql(f"DUMP TABLE nation TO '{p}'")  # existing archive
+    finally:
+        spark.sql("DROP TABLE IF EXISTS nation_restored")
