@@ -208,3 +208,26 @@ def test_dump_restore_table_roundtrip(engine, spark, tmp_path):
             engine.sql(f"DUMP TABLE nation TO '{p}'")  # existing archive
     finally:
         spark.sql("DROP TABLE IF EXISTS nation_restored")
+
+
+def test_cross_database_queries(engine, spark):
+    """CrossDatabaseQueryTest.cpp analogue: tables in another database
+    (Spark namespace) join against the current one with db-qualified
+    names through the engine's SQL surface."""
+    spark.sql("DROP DATABASE IF EXISTS db2 CASCADE")
+    try:
+        engine.sql("CREATE DATABASE db2")
+        engine.sql(
+            "CREATE TABLE db2.nations_copy USING parquet "
+            "AS SELECT * FROM nation"
+        )
+        r = engine.sql(
+            "SELECT count(*) AS n FROM db2.nations_copy c "
+            "JOIN region ON c.n_regionkey = r_regionkey"
+        ).first()
+        assert r["n"] == 25
+        # cross-db DUMP / RESTORE (CrossDatabaseQueryTest.cpp:631-643)
+        tabs = [t.name for t in spark.catalog.listTables("db2")]
+        assert "nations_copy" in tabs
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS db2 CASCADE")
