@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from heavydb_spark import catalog, dialect
+from heavydb_spark.dialect import _scan_balanced
 from heavydb_spark.functions import register_all
 from heavydb_spark.session import apply_runtime_conf, get_spark
 
@@ -56,6 +57,62 @@ _SHOW_CREATE_RE = re.compile(
 _SHOW_DETAILS_RE = re.compile(
     r"^\s*SHOW\s+TABLE\s+DETAILS(?:\s+(.+?))?\s*;?\s*$", re.IGNORECASE
 )
+
+# FROM TABLE(tf_name(CURSOR(SELECT ...), [name =>] arg, ...)) — the
+# reference's table-function invocation syntax (TableFunctionsFactory;
+# ~100 CURSOR call sites in Tests/TableFunctionsTest.cpp). The engine
+# executes the CURSOR subquery as the input DataFrame, dispatches to
+# the operator's DataFrame API, registers the result as a temp view,
+# and splices the view name into the outer statement. Cursor columns
+# bind positionally, like the reference's Cursor<...> field lists.
+_TF_CURSOR_RE = re.compile(
+    r"\bTABLE\s*\(\s*(\w+)\s*\(\s*CURSOR\s*\(", re.IGNORECASE
+)
+
+_TF_ARG_RE = re.compile(r"^\s*(?:(\w+)\s*=>\s*)?(.+?)\s*$", re.DOTALL)
+
+
+def _tf_dwell_times(cur: DataFrame, args: dict) -> DataFrame:
+    """tf_compute_dwell_times(CURSOR(entity[, site], ts), named args) —
+    SessionizeTableFunctions.hpp:37-40. Cursor columns bind
+    positionally: first = entity id, last = event timestamp."""
+    from heavydb_spark.operators import sessionize as _s
+
+    cols = cur.columns
+    gap = int(args.get("max_inactive_seconds", 1800))
+    out = _s.dwell_times(cur, cols[0], cols[-1], gap)
+    out = out.filter(
+        (F.col("n_events") >= int(args.get("min_dwell_points", 1)))
+        & (F.col("dwell_seconds") >= int(args.get("min_dwell_seconds", 0)))
+    )
+    return out
+
+
+def _tf_feature_self_similarity(cur: DataFrame, args: dict) -> DataFrame:
+    """tf_feature_self_similarity(CURSOR(key, feature, metric)) —
+    SimilarityTableFunctions.hpp."""
+    from heavydb_spark.operators import similarity as _sim
+
+    k, f_, m_ = cur.columns[0], cur.columns[1], cur.columns[2]
+    return _sim.feature_self_similarity(cur, k, f_, m_)
+
+
+def _tf_graph_shortest_paths(cur: DataFrame, args: dict) -> DataFrame:
+    """tf_graph_shortest_paths_distances(CURSOR(src, dst), origin) —
+    Graph/GraphTableFunctions: hop distances from the origin node."""
+    from heavydb_spark.operators import graph as _g
+
+    s, d = cur.columns[0], cur.columns[1]
+    origin = int(args.get("origin_node", args.get("0", 0)))
+    return _g.shortest_paths_distances(cur, origin, src_col=s, dst_col=d)
+
+
+_SQL_TABLE_FUNCTIONS = {
+    "tf_compute_dwell_times": _tf_dwell_times,
+    "tf_feature_self_similarity": _tf_feature_self_similarity,
+    "tf_graph_shortest_paths_distances": _tf_graph_shortest_paths,
+}
+
 
 # DUMP TABLE t TO 'path' / RESTORE TABLE t FROM 'path' —
 # Parser/ParserNode.h:1442,1453 (Tests/DumpRestoreTest.cpp). The
@@ -208,6 +265,8 @@ class Engine:
         m = _OPTIMIZE_RE.match(query)
         if m:
             return self._optimize_table(m.group(1))
+        if _TF_CURSOR_RE.search(query):
+            query = self._expand_cursor_table_functions(query)
         m = _DUMP_RE.match(query)
         if m:
             self.spark.table(m.group(1)).write.mode("errorifexists").parquet(
@@ -263,6 +322,46 @@ class Engine:
             [(name, n, parts)],
             "table_name STRING, row_count BIGINT, files INT",
         )
+
+    # -- CURSOR-form table functions ------------------------------------
+    _tf_view_counter = 0
+
+    def _expand_cursor_table_functions(self, sql: str) -> str:
+        """Replace every `TABLE(tf(CURSOR(sub), args...))` with a temp
+        view holding the executed table function's output."""
+        while True:
+            m = _TF_CURSOR_RE.search(sql)
+            if not m:
+                return sql
+            tf_name = m.group(1).lower()
+            cursor_end = _scan_balanced(sql, m.end())
+            subquery = sql[m.end() : cursor_end - 1]
+            # we are now inside the tf call at depth 1: scanning on
+            # consumes the remaining args and the tf's closing paren
+            tf_end = _scan_balanced(sql, cursor_end)
+            rest = sql[cursor_end : tf_end - 1].lstrip()
+            if rest.startswith(","):
+                rest = rest[1:]
+            args: dict[str, str] = {}
+            for i, part in enumerate(
+                p for p in _split_top_level_defs(rest) if p.strip()
+            ):
+                am = _TF_ARG_RE.match(part)
+                key = (am.group(1) or str(i)).lower()
+                args[key] = am.group(2).strip().strip("'\"")
+            table_end = sql.index(")", tf_end)
+            builder = _SQL_TABLE_FUNCTIONS.get(tf_name)
+            if builder is None:
+                raise ValueError(
+                    f"unknown table function {tf_name!r}; CURSOR-form SQL "
+                    f"supports {sorted(_SQL_TABLE_FUNCTIONS)}"
+                )
+            cur_df = self.sql(subquery)
+            out = builder(cur_df, args)
+            Engine._tf_view_counter += 1
+            view = f"__tf_cursor_{Engine._tf_view_counter}"
+            out.createOrReplaceTempView(view)
+            sql = sql[: m.start()] + view + sql[table_end + 1 :]
 
     def _show_create_table(self, name: str) -> DataFrame:
         """SHOW CREATE TABLE t — the reference emits one row with the

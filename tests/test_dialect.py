@@ -963,3 +963,40 @@ def test_datetime_now_and_current_time(engine):
     import re as _re
 
     assert _re.match(r"^\d{2}:\d{2}:\d{2}$", row["t"])
+
+
+def test_cursor_table_function_sql_forms(engine):
+    """The reference's TABLE(tf(CURSOR(SELECT ...), name => arg))
+    invocation syntax (TableFunctionsFactory; ~100 call sites in
+    Tests/TableFunctionsTest.cpp): the engine executes the CURSOR
+    subquery, dispatches to the operator, and splices the result back
+    into the outer statement. Cursor columns bind positionally."""
+    r = engine.sql(
+        "SELECT count(*) AS n FROM TABLE(tf_compute_dwell_times("
+        "CURSOR(SELECT user_id, ts FROM events), "
+        "min_dwell_points => 2, max_inactive_seconds => 3600))"
+    ).first()
+    assert r["n"] > 0
+    # equivalent to the DataFrame API result
+    from heavydb_spark.operators.sessionize import dwell_times
+    from pyspark.sql import functions as F
+
+    want = (
+        dwell_times(engine.table("events"), "user_id", "ts", 3600)
+        .filter(F.col("n_events") >= 2)
+        .count()
+    )
+    assert r["n"] == want
+
+    sim = engine.sql(
+        "SELECT * FROM TABLE(tf_feature_self_similarity("
+        "CURSOR(SELECT user_id, event_type, value FROM events))) "
+        "WHERE key_a = 0 ORDER BY key_b"
+    )
+    assert sim.count() > 0
+
+    unknown = "SELECT * FROM TABLE(tf_nope(CURSOR(SELECT 1)))"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown table function"):
+        engine.sql(unknown)
