@@ -107,10 +107,43 @@ def _tf_graph_shortest_paths(cur: DataFrame, args: dict) -> DataFrame:
     return _g.shortest_paths_distances(cur, origin, src_col=s, dst_col=d)
 
 
+def _tf_geo_rasterize(cur: DataFrame, args: dict) -> DataFrame:
+    """tf_geo_rasterize(CURSOR(x, y, z), bin_dim_meters, ...) —
+    GeoRasterTableFunctions.hpp:1242."""
+    from heavydb_spark.operators import spatial as _sp
+
+    x, y = cur.columns[0], cur.columns[1]
+    z = cur.columns[2] if len(cur.columns) > 2 else None
+    bin_dim = float(args.get("bin_dim_meters", args.get("0", 1.0)))
+    agg = args.get("agg_type", "AVG").lower()
+    if z is None:
+        z, agg = x, "count"
+    return _sp.geo_rasterize(
+        cur, bin_dim, agg=agg, point_cols=(x, y), value_col=z
+    )
+
+
+def _tf_kmeans(cur: DataFrame, args: dict) -> DataFrame:
+    """kmeans(CURSOR(id, features...), num_clusters, num_iterations) —
+    MLTableFunctions.hpp. Feature columns after the id are packed into
+    the vector the MLlib path consumes."""
+    from heavydb_spark.operators import ml as _ml
+
+    id_col, feats = cur.columns[0], cur.columns[1:]
+    packed = cur.select(
+        id_col, F.array(*[F.col(c).cast("double") for c in feats]).alias("vec")
+    )
+    k = int(args.get("num_clusters", args.get("0", 4)))
+    it = int(args.get("num_iterations", 10))
+    return _ml.kmeans_fit(packed, "vec", k=k, max_iter=it)
+
+
 _SQL_TABLE_FUNCTIONS = {
     "tf_compute_dwell_times": _tf_dwell_times,
     "tf_feature_self_similarity": _tf_feature_self_similarity,
     "tf_graph_shortest_paths_distances": _tf_graph_shortest_paths,
+    "tf_geo_rasterize": _tf_geo_rasterize,
+    "kmeans": _tf_kmeans,
 }
 
 

@@ -1000,3 +1000,22 @@ def test_cursor_table_function_sql_forms(engine):
 
     with _pytest.raises(ValueError, match="unknown table function"):
         engine.sql(unknown)
+
+
+def test_cursor_rasterize_and_kmeans_sql_forms(engine):
+    """tf_geo_rasterize and kmeans through the CURSOR SQL form
+    (GeoRasterTableFunctions.hpp:1242 / MLTableFunctions.hpp)."""
+    r = engine.sql(
+        "SELECT count(*) AS n FROM TABLE(tf_geo_rasterize("
+        "CURSOR(SELECT CAST(o_custkey AS DOUBLE) AS x, "
+        "CAST(o_orderkey % 97 AS DOUBLE) AS y, o_totalprice AS z "
+        "FROM orders), bin_dim_meters => 10.0, agg_type => 'MAX'))"
+    ).first()
+    assert r["n"] > 0
+    km = engine.sql(
+        "SELECT count(DISTINCT cluster_id) AS k FROM TABLE(kmeans("
+        "CURSOR(SELECT o_orderkey, o_totalprice, "
+        "CAST(o_custkey AS DOUBLE) FROM orders), "
+        "num_clusters => 3, num_iterations => 5))"
+    ).first()
+    assert km["k"] == 3
