@@ -69,6 +69,8 @@ _PRIORITY = [
     "tpch_q22_global_sales",
     "stream_interval_join_outer",
     "pipe_dedup_keep_best",
+    "tpcds_q36_hierarchy_rank",
+    "tpcds_cross_channel",
     "text_repetition",
     "subquery_correlated_scalar",
     "subquery_not_in_nulls",

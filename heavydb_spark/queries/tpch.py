@@ -859,3 +859,120 @@ def tpch_q22_global_sales(spark, sf_dir):
         )
         .orderBy("cntrycode")
     )
+
+
+# ------------------------------------------- TPC-DS-distinctive shapes
+#
+# The reference's rake harness also diffs all 99 TPC-DS queries against
+# PostgreSQL (Benchmarks/rake/README.md:6-31). Two shapes TPC-H lacks,
+# adapted to the fixture: a window function OVER a ROLLUP result
+# (TPC-DS Q36's lochierarchy rank) and a cross-channel UNION feeding
+# one aggregation (the Q71-family channel union).
+
+
+@query(
+    "tpcds_q36_hierarchy_rank",
+    oracle="""
+    WITH r AS (
+        SELECT p_type, p_brand,
+               CASE WHEN grouping(p_type) = 1 THEN 2
+                    WHEN grouping(p_brand) = 1 THEN 1 ELSE 0
+               END AS lochierarchy,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_size <= 25
+        GROUP BY ROLLUP(p_type, p_brand)
+    )
+    SELECT lochierarchy, p_type, p_brand, revenue,
+           rank() OVER (
+               PARTITION BY lochierarchy,
+                            CASE WHEN lochierarchy = 0 THEN p_type END
+               ORDER BY revenue DESC, p_brand
+           ) AS rank_within_parent
+    FROM r
+    ORDER BY lochierarchy DESC, p_type, p_brand
+    """,
+)
+def tpcds_q36_hierarchy_rank(spark, sf_dir):
+    """TPC-DS Q36 shape: RANK over a ROLLUP lattice — each node ranked
+    among its siblings (brands within a type; types within the grand
+    total), the grouping() function distinguishing lattice levels. The
+    rollup is one shuffle; the rank partitions by (level, parent), so
+    no global single-partition window."""
+    li = T(spark, sf_dir, "lineitem")
+    p = T(spark, sf_dir, "part").filter(F.col("p_size") <= 25)
+    from pyspark.sql import Window
+
+    r = (
+        li.join(broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .rollup("p_type", "p_brand")
+        .agg(
+            r2(F.sum(_rev())).alias("revenue"),
+            F.when(F.grouping("p_type") == 1, 2)
+            .when(F.grouping("p_brand") == 1, 1)
+            .otherwise(0)
+            .alias("lochierarchy"),
+        )
+    )
+    w = Window.partitionBy(
+        "lochierarchy",
+        F.when(F.col("lochierarchy") == 0, F.col("p_type")),
+    ).orderBy(F.desc("revenue"), F.col("p_brand"))
+    return (
+        r.select(
+            "lochierarchy", "p_type", "p_brand", "revenue",
+            F.rank().over(w).alias("rank_within_parent"),
+        )
+        .orderBy(F.desc("lochierarchy"), F.col("p_type"), F.col("p_brand"))
+    )
+
+
+@query(
+    "tpcds_cross_channel",
+    oracle="""
+    WITH ch AS (
+        SELECT 'urgent' AS channel, l_partkey, l_extendedprice, l_discount
+        FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+        UNION ALL
+        SELECT 'standard' AS channel, l_partkey, l_extendedprice, l_discount
+        FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+    )
+    SELECT channel, p_brand,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n_lines
+    FROM ch JOIN part ON p_partkey = l_partkey
+    WHERE p_size <= 10
+    GROUP BY channel, p_brand
+    ORDER BY channel, revenue DESC, p_brand
+    """,
+)
+def tpcds_cross_channel(spark, sf_dir):
+    """TPC-DS Q71-family shape: a UNION ALL of differently-filtered
+    channel slices feeding ONE aggregation — the union is free (no
+    shuffle, just concatenated scans); the single groupBy shuffles
+    once on (channel, brand)."""
+    li = T(spark, sf_dir, "lineitem")
+    o = T(spark, sf_dir, "orders")
+    p = T(spark, sf_dir, "part").filter(F.col("p_size") <= 10)
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    base = li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+    ch = base.filter(hi).select(
+        F.lit("urgent").alias("channel"), "l_partkey",
+        "l_extendedprice", "l_discount",
+    ).unionAll(
+        base.filter(~hi).select(
+            F.lit("standard").alias("channel"), "l_partkey",
+            "l_extendedprice", "l_discount",
+        )
+    )
+    return (
+        ch.join(broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("channel", "p_brand")
+        .agg(
+            r2(F.sum(_rev())).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy("channel", F.desc("revenue"), "p_brand")
+    )
