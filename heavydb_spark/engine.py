@@ -163,6 +163,11 @@ _RESTORE_RE = re.compile(
     re.IGNORECASE,
 )
 
+# VALIDATE [CLUSTER] — Parser/ParserNode.h ValidateStmt: consistency
+# check of table metadata vs storage. Spark analogue: every registered
+# table must open, scan, and agree with the catalog schema.
+_VALIDATE_RE = re.compile(r"^\s*VALIDATE(?:\s+CLUSTER)?\s*;?\s*$", re.IGNORECASE)
+
 # OPTIMIZE TABLE t [WITH (VACUUM='true')] — Parser/ParserNode.h:1243
 # OptimizeTableStmt: recompute chunk metadata and (with VACUUM) reclaim
 # deleted-row space. The Spark analogue of both is a managed-table file
@@ -298,6 +303,8 @@ class Engine:
         m = _OPTIMIZE_RE.match(query)
         if m:
             return self._optimize_table(m.group(1))
+        if _VALIDATE_RE.match(query):
+            return self._validate()
         if _TF_CURSOR_RE.search(query):
             query = self._expand_cursor_table_functions(query)
         m = _DUMP_RE.match(query)
@@ -354,6 +361,25 @@ class Engine:
         return self.spark.createDataFrame(
             [(name, n, parts)],
             "table_name STRING, row_count BIGINT, files INT",
+        )
+
+    def _validate(self) -> DataFrame:
+        """VALIDATE: every registered table must scan end-to-end and
+        match its catalog schema (the reference validates chunk
+        metadata against storage). One row per table with ok/error."""
+        rows = []
+        for t in self.spark.catalog.listTables():
+            try:
+                df = self.spark.table(t.name)
+                n = df.count()
+                ncols = len(df.schema.fields)
+                rows.append((t.name, "ok", n, ncols, None))
+            except Exception as exc:  # noqa: BLE001 — report, don't abort
+                rows.append((t.name, "error", None, None, str(exc)[:200]))
+        return self.spark.createDataFrame(
+            rows,
+            "table_name STRING, status STRING, row_count BIGINT, "
+            "column_count INT, error STRING",
         )
 
     # -- CURSOR-form table functions ------------------------------------

@@ -231,3 +231,14 @@ def test_cross_database_queries(engine, spark):
         assert "nations_copy" in tabs
     finally:
         spark.sql("DROP DATABASE IF EXISTS db2 CASCADE")
+
+
+def test_validate_reports_every_table(engine, spark):
+    """VALIDATE (ParserNode.h ValidateStmt): per-table end-to-end scan
+    + schema check, one status row each."""
+    rows = engine.sql("VALIDATE").collect()
+    assert len(rows) >= 8
+    by_name = {r["table_name"]: r for r in rows}
+    assert by_name["nation"]["status"] == "ok"
+    assert by_name["nation"]["row_count"] == 25
+    assert all(r["status"] == "ok" for r in rows), rows
