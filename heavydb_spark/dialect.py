@@ -143,7 +143,7 @@ _REWRITES: list[tuple[re.Pattern, str]] = [
     # The RHS must be a bare column (subquery ANY/ALL stays Spark's).
     (
         re.compile(
-            r"((?:\([^()]*\))|(?:[\w.\x00]+\s*[-+*/%]\s*)*[\w.\x00]+)"
+            r"((?:(?<![\w.])\([^()]*\))|(?:[\w.\x00]+\s*[-+*/%]\s*)*[\w.\x00]+(?:\([^()]*\))?)"
             r"\s*(=|<>|<=|>=|<|>)\s*"
             r"(ANY|ALL)\s+([A-Za-z_][\w.]*)\b(?!\s*\()",
             re.IGNORECASE,
@@ -610,7 +610,13 @@ def _strtok_to_array(args: str) -> str | None:
     m = re.match(r"^\s*'(.*)'\s*$", parts[1], re.DOTALL)
     if not m:
         return None
-    delims = m.group(1).replace("''", "'")
+    delims = m.group(1)  # keep '' doubling: re-embedded in a literal
+    if not delims:
+        # no delimiters: the whole (non-empty) string is one token
+        return (
+            f"filter(array({parts[0]}), "
+            "x -> x IS NOT NULL AND x <> '')"
+        )
     cls = "[\\\\Q" + delims + "\\\\E]"
     return f"filter(split({parts[0]}, '{cls}'), x -> x <> '')"
 

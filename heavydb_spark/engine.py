@@ -72,20 +72,45 @@ _TF_CURSOR_RE = re.compile(
 _TF_ARG_RE = re.compile(r"^\s*(?:(\w+)\s*=>\s*)?(.+?)\s*$", re.DOTALL)
 
 
+def _arg(args: dict, name: str, pos: int, default):
+    """Resolve a TF argument by name => value or by position — the
+    reference's invocation syntax allows both."""
+    if name in args:
+        return args[name]
+    return args.get(str(pos), default)
+
+
 def _tf_dwell_times(cur: DataFrame, args: dict) -> DataFrame:
-    """tf_compute_dwell_times(CURSOR(entity[, site], ts), named args) —
+    """tf_compute_dwell_times(CURSOR(entity[, site], ts), args) —
     SessionizeTableFunctions.hpp:37-40. Cursor columns bind
-    positionally: first = entity id, last = event timestamp."""
+    positionally: entity id, optional site id, event timestamp. With a
+    site column, sessions are per (entity, site) like the reference —
+    a user moving between sites starts a new session per site."""
     from heavydb_spark.operators import sessionize as _s
 
     cols = cur.columns
-    gap = int(args.get("max_inactive_seconds", 1800))
-    out = _s.dwell_times(cur, cols[0], cols[-1], gap)
-    out = out.filter(
-        (F.col("n_events") >= int(args.get("min_dwell_points", 1)))
-        & (F.col("dwell_seconds") >= int(args.get("min_dwell_seconds", 0)))
+    gap = int(_arg(args, "max_inactive_seconds", 2, 1800))
+    min_pts = int(_arg(args, "min_dwell_points", 0, 1))
+    min_secs = int(_arg(args, "min_dwell_seconds", 1, 0))
+    if len(cols) >= 3:
+        entity, site, ts = cols[0], cols[1], cols[-1]
+        keyed = cur.withColumn(
+            "__entity_site", F.concat_ws("\x1f", F.col(entity), F.col(site))
+        )
+        out = _s.dwell_times(keyed, "__entity_site", ts, gap)
+        split_ = F.split(F.col("__entity_site"), "\x1f")
+        out = out.select(
+            split_.getItem(0).alias(entity),
+            split_.getItem(1).alias(site),
+            "session_id", "session_start", "session_end",
+            "dwell_seconds", "n_events",
+        )
+    else:
+        out = _s.dwell_times(cur, cols[0], cols[-1], gap)
+    return out.filter(
+        (F.col("n_events") >= min_pts)
+        & (F.col("dwell_seconds") >= min_secs)
     )
-    return out
 
 
 def _tf_feature_self_similarity(cur: DataFrame, args: dict) -> DataFrame:
@@ -103,7 +128,7 @@ def _tf_graph_shortest_paths(cur: DataFrame, args: dict) -> DataFrame:
     from heavydb_spark.operators import graph as _g
 
     s, d = cur.columns[0], cur.columns[1]
-    origin = int(args.get("origin_node", args.get("0", 0)))
+    origin = int(_arg(args, "origin_node", 0, 0))
     return _g.shortest_paths_distances(cur, origin, src_col=s, dst_col=d)
 
 
@@ -114,8 +139,8 @@ def _tf_geo_rasterize(cur: DataFrame, args: dict) -> DataFrame:
 
     x, y = cur.columns[0], cur.columns[1]
     z = cur.columns[2] if len(cur.columns) > 2 else None
-    bin_dim = float(args.get("bin_dim_meters", args.get("0", 1.0)))
-    agg = args.get("agg_type", "AVG").lower()
+    bin_dim = float(_arg(args, "bin_dim_meters", 0, 1.0))
+    agg = str(_arg(args, "agg_type", 1, "AVG")).lower()
     if z is None:
         z, agg = x, "count"
     return _sp.geo_rasterize(
@@ -133,8 +158,8 @@ def _tf_kmeans(cur: DataFrame, args: dict) -> DataFrame:
     packed = cur.select(
         id_col, F.array(*[F.col(c).cast("double") for c in feats]).alias("vec")
     )
-    k = int(args.get("num_clusters", args.get("0", 4)))
-    it = int(args.get("num_iterations", 10))
+    k = int(_arg(args, "num_clusters", 0, 4))
+    it = int(_arg(args, "num_iterations", 1, 10))
     return _ml.kmeans_fit(packed, "vec", k=k, max_iter=it)
 
 
@@ -349,14 +374,40 @@ class Engine:
         df = self.spark.table(name)
         n = df.count()
         parts = max(1, -(-n // target_file_rows))
-        (
-            df.repartition(parts)
-            .write.mode("overwrite")
-            .format("parquet")
-            .saveAsTable(f"{name}__optimized_tmp")
-        )
-        self.spark.sql(f"DROP TABLE {name}")
-        self.spark.sql(f"ALTER TABLE {name}__optimized_tmp RENAME TO {name}")
+        # preserve the physical layout the table was created with —
+        # OPTIMIZE must not silently strip the CLUSTERED BY bucketing
+        # that CREATE TABLE WITH (shard_count=..) produced (the
+        # shuffle-free sharded-join property depends on it)
+        bucket_cols: list[str] = []
+        n_buckets = 0
+        for r in self.spark.sql(f"DESCRIBE FORMATTED {name}").collect():
+            cn = (r["col_name"] or "").strip()
+            if cn == "Num Buckets":
+                n_buckets = int(r["data_type"])
+            elif cn == "Bucket Columns":
+                bucket_cols = [
+                    c.strip(" `")
+                    for c in r["data_type"].strip("[]").split(",")
+                    if c.strip()
+                ]
+        writer = df.repartition(parts).write.mode("overwrite").format("parquet")
+        if n_buckets and bucket_cols:
+            writer = writer.bucketBy(n_buckets, *bucket_cols).sortBy(
+                *bucket_cols
+            )
+        tmp = f"{name}__optimized_tmp"
+        writer.saveAsTable(tmp)
+        # swap order keeps data reachable at every step: the original
+        # is parked under __old (not dropped first), so a failure
+        # between statements leaves both copies findable by name
+        old = f"{name}__optimized_old"
+        self.spark.sql(f"ALTER TABLE {name} RENAME TO {old}")
+        try:
+            self.spark.sql(f"ALTER TABLE {tmp} RENAME TO {name}")
+        except Exception:
+            self.spark.sql(f"ALTER TABLE {old} RENAME TO {name}")
+            raise
+        self.spark.sql(f"DROP TABLE {old}")
         self.spark.sql(f"ANALYZE TABLE {name} COMPUTE STATISTICS")
         return self.spark.createDataFrame(
             [(name, n, parts)],
@@ -383,11 +434,13 @@ class Engine:
         )
 
     # -- CURSOR-form table functions ------------------------------------
-    _tf_view_counter = 0
 
     def _expand_cursor_table_functions(self, sql: str) -> str:
         """Replace every `TABLE(tf(CURSOR(sub), args...))` with a temp
-        view holding the executed table function's output."""
+        view holding the executed table function's output. The view
+        must outlive this call (the returned DataFrame is lazy and may
+        be collected much later), so views persist for the session
+        under collision-free uuid names."""
         while True:
             m = _TF_CURSOR_RE.search(sql)
             if not m:
@@ -417,8 +470,12 @@ class Engine:
                 )
             cur_df = self.sql(subquery)
             out = builder(cur_df, args)
-            Engine._tf_view_counter += 1
-            view = f"__tf_cursor_{Engine._tf_view_counter}"
+            # uuid view name: concurrent Engine.sql calls (the pattern
+            # tests/test_concurrency.py supports) must never collide on
+            # a shared counter's view name
+            import uuid
+
+            view = f"__tf_cursor_{uuid.uuid4().hex[:12]}"
             out.createOrReplaceTempView(view)
             sql = sql[: m.start()] + view + sql[table_end + 1 :]
 
@@ -449,12 +506,17 @@ class Engine:
 
         if names_csv:
             names = [n.strip() for n in names_csv.split(",") if n.strip()]
+            count_rows = True
         else:
             names = [
                 t.name
                 for t in self.spark.catalog.listTables()
                 if t.tableType in ("TEMPORARY", "VIEW", "MANAGED", "EXTERNAL")
             ]
+            # bare form is a catalog browse: stay metadata-only (the
+            # reference reads chunk metadata) — a full count() of every
+            # table would make introspection O(total data)
+            count_rows = False
         rows = []
         for n in sorted(names):
             df = self.spark.table(n)
@@ -466,7 +528,7 @@ class Engine:
                 (
                     n,
                     len(df.columns),
-                    df.count(),
+                    df.count() if count_rows else None,
                     1 if size is not None else None,
                     size,
                 )

@@ -339,13 +339,9 @@ def st_convexhull(pts: Column) -> Column:
     return _hull_udf(pts)
 
 
-def st_concavehull(pts: Column, k: int = 3) -> Column:
-    """ST_ConcaveHull(MULTIPOINT, k) -> POLYGON (single ring).
-    RelAlgTranslatorGeo.cpp:336,819-825 GEOS delegation, reimplemented
-    as the Moreira-Santos k-NN boundary walk in a pandas UDF
-    (geometry-local); k is the neighbor budget (larger k → closer to
-    the convex hull), auto-escalated until the walk closes with every
-    point enclosed."""
+def _concave_udf(k: int):
+    """Shared pandas-UDF factory for the concave hull — the Column API
+    and the SQL registration must use the same kernel body."""
 
     @F.pandas_udf(POLYGON_T)
     def _chull_udf(s: pd.Series) -> pd.Series:
@@ -357,7 +353,17 @@ def st_concavehull(pts: Column, k: int = 3) -> Column:
             out.append([[{"x": x, "y": y} for (x, y) in ring]])
         return pd.Series(out)
 
-    return _chull_udf(pts)
+    return _chull_udf
+
+
+def st_concavehull(pts: Column, k: int = 3) -> Column:
+    """ST_ConcaveHull(MULTIPOINT, k) -> POLYGON (single ring).
+    RelAlgTranslatorGeo.cpp:336,819-825 GEOS delegation, reimplemented
+    as the Moreira-Santos k-NN boundary walk in a pandas UDF
+    (geometry-local); k is the neighbor budget (larger k → closer to
+    the convex hull), auto-escalated until the walk closes with every
+    point enclosed."""
+    return _concave_udf(k)(pts)
 
 
 def _binary_overlay(a: Column, b: Column, keep) -> Column:
@@ -469,18 +475,10 @@ def register_geos_functions(spark) -> None:
 
         return _udf
 
-    @F.pandas_udf(POLYGON_T)
-    def _concave(s: pd.Series) -> pd.Series:
-        out = []
-        for p in s:
-            ring = _concave_hull_points(
-                [(float(q["x"]), float(q["y"])) for q in p], 3
-            )
-            out.append([[{"x": x, "y": y} for (x, y) in ring]])
-        return pd.Series(out)
-
     spark.udf.register("st_convexhull", _hull)
-    spark.udf.register("st_concavehull", _concave)
+    # SQL form fixes k=3 (SQL scalar functions can't take a Python
+    # int); the Column API exposes the full neighbor budget
+    spark.udf.register("st_concavehull", _concave_udf(3))
     spark.udf.register("st_union", _overlay(lambda p: p[0] or p[1]))
     spark.udf.register("st_intersection", _overlay(lambda p: p[0] and p[1]))
     spark.udf.register("st_difference", _overlay(lambda p: p[0] and not p[1]))

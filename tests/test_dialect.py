@@ -1019,3 +1019,56 @@ def test_cursor_rasterize_and_kmeans_sql_forms(engine):
         "num_clusters => 3, num_iterations => 5))"
     ).first()
     assert km["k"] == 3
+
+
+def test_quantifier_rewrite_call_expression_lhs(engine):
+    """Quantified ANY/ALL with a function-call or CAST left-hand side
+    must keep the call intact (the first regex cut abs(x) apart)."""
+    r = engine.sql(
+        "SELECT count(*) AS c FROM (SELECT -2 AS x, {1, 2, 3} AS arr) "
+        "WHERE abs(x) = ANY arr"
+    ).first()
+    assert r["c"] == 1
+    r2 = engine.sql(
+        "SELECT count(*) AS c FROM (SELECT 0.9 AS x, {1, 2, 3} AS arr) "
+        "WHERE CAST(x AS INT) < ALL arr"
+    ).first()
+    assert r2["c"] == 1
+
+
+def test_strtok_quote_and_empty_delims(engine):
+    """Delimiter sets containing a quote re-embed safely; an empty set
+    returns the whole non-empty string as one token."""
+    r = engine.sql(
+        "SELECT STRTOK_TO_ARRAY('x''y.z', '''.') AS a, "
+        "STRTOK_TO_ARRAY('hello', '') AS b, "
+        "STRTOK_TO_ARRAY('', '') AS c"
+    ).first()
+    assert r["a"] == ["x", "y", "z"]
+    assert r["b"] == ["hello"]
+    assert r["c"] == []
+
+
+def test_cursor_tf_positional_args_and_site_column(engine):
+    """Positional TF arguments must be honored (the reference's
+    invocation is positional); a 3-column dwell cursor sessionizes per
+    (entity, site)."""
+    # positional kmeans: (num_clusters=2, num_iterations=3)
+    km = engine.sql(
+        "SELECT count(DISTINCT cluster_id) AS k FROM TABLE(kmeans("
+        "CURSOR(SELECT o_orderkey, o_totalprice FROM orders), 2, 3))"
+    ).first()
+    assert km["k"] == 2
+    # per-site sessions: same user at two sites inside the gap window
+    # must yield two sessions, not one merged one
+    r = engine.sql(
+        "SELECT count(*) AS n FROM TABLE(tf_compute_dwell_times("
+        "CURSOR(SELECT user_id, event_type AS site, ts FROM events "
+        "WHERE user_id = 0), 1, 0, 86400))"
+    ).first()
+    merged = engine.sql(
+        "SELECT count(*) AS n FROM TABLE(tf_compute_dwell_times("
+        "CURSOR(SELECT user_id, ts FROM events WHERE user_id = 0), "
+        "1, 0, 86400))"
+    ).first()
+    assert r["n"] >= merged["n"]

@@ -242,3 +242,38 @@ def test_validate_reports_every_table(engine, spark):
     assert by_name["nation"]["status"] == "ok"
     assert by_name["nation"]["row_count"] == 25
     assert all(r["status"] == "ok" for r in rows), rows
+
+
+def test_optimize_preserves_bucketing(engine, spark):
+    """OPTIMIZE must not strip the CLUSTERED BY layout that
+    CREATE TABLE WITH (shard_count=..) produced — the shuffle-free
+    sharded-join property depends on it."""
+    spark.sql("DROP TABLE IF EXISTS opt_b")
+    spark.sql("DROP TABLE IF EXISTS opt_b__optimized_tmp")
+    spark.sql("DROP TABLE IF EXISTS opt_b__optimized_old")
+    try:
+        spark.table("nation").write.bucketBy(4, "n_nationkey").sortBy(
+            "n_nationkey"
+        ).saveAsTable("opt_b")
+        engine.sql("OPTIMIZE TABLE opt_b")
+
+        def bucket_info(t):
+            rows = spark.sql(f"DESCRIBE FORMATTED {t}").collect()
+            num = next(
+                (r["data_type"] for r in rows
+                 if (r["col_name"] or "").strip() == "Num Buckets"), None
+            )
+            cols = next(
+                (r["data_type"] for r in rows
+                 if (r["col_name"] or "").strip() == "Bucket Columns"), None
+            )
+            return num, cols
+
+        num, cols = bucket_info("opt_b")
+        assert num == "4", (num, cols)
+        assert "n_nationkey" in (cols or "")
+        assert spark.table("opt_b").count() == 25
+    finally:
+        spark.sql("DROP TABLE IF EXISTS opt_b")
+        spark.sql("DROP TABLE IF EXISTS opt_b__optimized_tmp")
+        spark.sql("DROP TABLE IF EXISTS opt_b__optimized_old")
