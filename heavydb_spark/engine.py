@@ -163,11 +163,42 @@ def _tf_kmeans(cur: DataFrame, args: dict) -> DataFrame:
     return _ml.kmeans_fit(packed, "vec", k=k, max_iter=it)
 
 
+def _tf_geo_rasterize_slope(cur: DataFrame, args: dict) -> DataFrame:
+    """tf_geo_rasterize_slope(CURSOR(x, y, z), bin_dim_meters,
+    compute_slope_in_degrees) — GeoRasterTableFunctions.hpp:993."""
+    from heavydb_spark.operators import spatial as _sp
+
+    x, y, z = cur.columns[0], cur.columns[1], cur.columns[2]
+    bin_dim = float(_arg(args, "bin_dim_meters", 0, 1.0))
+    degrees = str(_arg(args, "compute_slope_in_degrees", 1, "true")).lower() in (
+        "true",
+        "1",
+    )
+    return _sp.geo_rasterize_slope(
+        cur, bin_dim, point_cols=(x, y), value_col=z, in_degrees=degrees
+    )
+
+
+def _tf_raster_contour_lines(cur: DataFrame, args: dict) -> DataFrame:
+    """tf_raster_contour_lines(CURSOR(x, y, z), bin_dim_meters,
+    contour_interval) — the marching-squares iso-line UDTF."""
+    from heavydb_spark.operators import spatial as _sp
+
+    x, y, z = cur.columns[0], cur.columns[1], cur.columns[2]
+    bin_dim = float(_arg(args, "bin_dim_meters", 0, 1.0))
+    contour = float(_arg(args, "contour_interval", 1, 0.0))
+    return _sp.raster_contour_lines(
+        cur, bin_dim, contour, point_cols=(x, y), value_col=z
+    )
+
+
 _SQL_TABLE_FUNCTIONS = {
     "tf_compute_dwell_times": _tf_dwell_times,
     "tf_feature_self_similarity": _tf_feature_self_similarity,
     "tf_graph_shortest_paths_distances": _tf_graph_shortest_paths,
     "tf_geo_rasterize": _tf_geo_rasterize,
+    "tf_geo_rasterize_slope": _tf_geo_rasterize_slope,
+    "tf_raster_contour_lines": _tf_raster_contour_lines,
     "kmeans": _tf_kmeans,
 }
 

@@ -1072,3 +1072,23 @@ def test_cursor_tf_positional_args_and_site_column(engine):
         "1, 0, 86400))"
     ).first()
     assert r["n"] >= merged["n"]
+
+
+def test_cursor_slope_and_contour_sql_forms(engine):
+    """tf_geo_rasterize_slope and tf_raster_contour_lines through the
+    CURSOR SQL form, positional and named args."""
+    base = (
+        "CURSOR(SELECT CAST(o_custkey % 40 AS DOUBLE) AS x, "
+        "CAST(o_orderkey % 40 AS DOUBLE) AS y, o_totalprice AS z "
+        "FROM orders)"
+    )
+    s = engine.sql(
+        f"SELECT count(*) AS n FROM TABLE(tf_geo_rasterize_slope({base}, "
+        "1.0, 'true'))"
+    ).first()
+    assert s["n"] > 0
+    c = engine.sql(
+        f"SELECT count(*) AS n FROM TABLE(tf_raster_contour_lines({base}, "
+        "bin_dim_meters => 1.0, contour_interval => 100000.0))"
+    ).first()
+    assert c["n"] > 0
