@@ -192,8 +192,31 @@ def _tf_raster_contour_lines(cur: DataFrame, args: dict) -> DataFrame:
     )
 
 
+def _tf_feature_similarity(cur: DataFrame, args: dict) -> DataFrame:
+    """tf_feature_similarity(CURSOR(key, feature, metric),
+    CURSOR(feature, metric)) — SimilarityTableFunctions.hpp. The second
+    cursor is the query vector: O(features) scalars collected to the
+    literal relation the operator broadcasts (documented driver-side
+    exception; the corpus side stays distributed)."""
+    from heavydb_spark.operators import similarity as _sim
+
+    qdf = _arg(args, "query_features", 0, None)
+    if not isinstance(qdf, DataFrame):
+        raise ValueError(
+            "tf_feature_similarity needs a second CURSOR(feature, metric) "
+            "argument with the query vector"
+        )
+    qcols = qdf.columns
+    query = {
+        r[qcols[0]]: float(r[qcols[1]]) for r in qdf.collect()
+    }
+    k, f_, m_ = cur.columns[0], cur.columns[1], cur.columns[2]
+    return _sim.feature_similarity(cur, k, f_, m_, query)
+
+
 _SQL_TABLE_FUNCTIONS = {
     "tf_compute_dwell_times": _tf_dwell_times,
+    "tf_feature_similarity": _tf_feature_similarity,
     "tf_feature_self_similarity": _tf_feature_self_similarity,
     "tf_graph_shortest_paths_distances": _tf_graph_shortest_paths,
     "tf_geo_rasterize": _tf_geo_rasterize,
@@ -485,13 +508,20 @@ class Engine:
             rest = sql[cursor_end : tf_end - 1].lstrip()
             if rest.startswith(","):
                 rest = rest[1:]
-            args: dict[str, str] = {}
+            args: dict[str, object] = {}
             for i, part in enumerate(
                 p for p in _split_top_level_defs(rest) if p.strip()
             ):
                 am = _TF_ARG_RE.match(part)
                 key = (am.group(1) or str(i)).lower()
-                args[key] = am.group(2).strip().strip("'\"")
+                val = am.group(2).strip()
+                cm = re.match(r"^CURSOR\s*\((.*)\)\s*$", val, re.I | re.S)
+                if cm:
+                    # secondary cursor argument (e.g. the query vector
+                    # of tf_feature_similarity) -> executed DataFrame
+                    args[key] = self.sql(cm.group(1))
+                else:
+                    args[key] = val.strip("'\"")
             table_end = sql.index(")", tf_end)
             builder = _SQL_TABLE_FUNCTIONS.get(tf_name)
             if builder is None:

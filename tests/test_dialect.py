@@ -1092,3 +1092,18 @@ def test_cursor_slope_and_contour_sql_forms(engine):
         "bin_dim_meters => 1.0, contour_interval => 100000.0))"
     ).first()
     assert c["n"] > 0
+
+
+def test_cursor_two_cursor_feature_similarity(engine):
+    """A second CURSOR argument (the query vector of
+    tf_feature_similarity) executes and binds; the self-match scores
+    highest."""
+    rows = engine.sql(
+        "SELECT user_id, cos_sim FROM TABLE(tf_feature_similarity("
+        "CURSOR(SELECT user_id, event_type, value FROM events), "
+        "CURSOR(SELECT event_type, avg(value) FROM events "
+        "WHERE user_id = 3 GROUP BY event_type))) "
+        "ORDER BY cos_sim DESC LIMIT 5"
+    ).collect()
+    assert len(rows) == 5
+    assert all(0.0 <= r["cos_sim"] <= 1.0 for r in rows)
