@@ -119,7 +119,8 @@ def _tf_feature_self_similarity(cur: DataFrame, args: dict) -> DataFrame:
     from heavydb_spark.operators import similarity as _sim
 
     k, f_, m_ = cur.columns[0], cur.columns[1], cur.columns[2]
-    return _sim.feature_self_similarity(cur, k, f_, m_)
+    tf_idf = str(_arg(args, "use_tf_idf", 0, "false")).lower() in ("true", "1")
+    return _sim.feature_self_similarity(cur, k, f_, m_, use_tf_idf=tf_idf)
 
 
 def _tf_graph_shortest_paths(cur: DataFrame, args: dict) -> DataFrame:
@@ -211,7 +212,8 @@ def _tf_feature_similarity(cur: DataFrame, args: dict) -> DataFrame:
         r[qcols[0]]: float(r[qcols[1]]) for r in qdf.collect()
     }
     k, f_, m_ = cur.columns[0], cur.columns[1], cur.columns[2]
-    return _sim.feature_similarity(cur, k, f_, m_, query)
+    tf_idf = str(_arg(args, "use_tf_idf", 1, "false")).lower() in ("true", "1")
+    return _sim.feature_similarity(cur, k, f_, m_, query, use_tf_idf=tf_idf)
 
 
 _SQL_TABLE_FUNCTIONS = {

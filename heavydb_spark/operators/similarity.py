@@ -183,18 +183,59 @@ def embedding_neardup_pairs(
     )
 
 
+def _idf_weights(
+    v: DataFrame, key_col: str, feature_col: str
+) -> DataFrame:
+    """Per-feature IDF weights, the reference's formula exactly
+    (TableFunctionsMatrix.hpp:403-421 idf_normalize):
+    idf(f) = ln((n_keys + 1) / df(f)) + 1, where df counts keys whose
+    cell value exceeds 0.001. Computed distributively: df is a
+    map-side-combinable conditional count, n_keys a one-row broadcast.
+    Features whose every cell is <= 0.001 get df = 0 -> idf = +inf,
+    matching the C++ division."""
+    nk = v.agg(F.countDistinct(key_col).alias("nk"))
+    return (
+        v.groupBy(feature_col)
+        .agg(
+            F.sum(F.when(F.col("val") > 0.001, 1).otherwise(0))
+            .cast("double")
+            .alias("df_cnt")
+        )
+        .join(F.broadcast(nk))
+        .select(
+            feature_col,
+            (F.log((F.col("nk") + 1.0) / F.col("df_cnt")) + 1.0).alias("idf"),
+        )
+    )
+
+
 def feature_self_similarity(
-    df: DataFrame, key_col: str, feature_col: str, metric_col: str
+    df: DataFrame,
+    key_col: str,
+    feature_col: str,
+    metric_col: str,
+    use_tf_idf: bool = False,
 ) -> DataFrame:
     """tf_feature_self_similarity: cosine similarity between every pair of
     `key` rows over their (feature → metric) sparse vectors.
 
     Sparse-vector algebra on long format: dot products via equi-join on
     feature (never a dense cross join), norms via per-key agg.
+
+    `use_tf_idf` (SimilarityTableFunctions.hpp:165) weights every cell
+    by the feature's IDF before the cosine — rare features dominate,
+    common ones wash out (the reference's normalize_by_idf path).
     """
     v = df.groupBy(key_col, feature_col).agg(
         F.sum(metric_col).cast("double").alias("val")
     )
+    if use_tf_idf:
+        idf = _idf_weights(v, key_col, feature_col)
+        v = (
+            v.join(F.broadcast(idf), feature_col)
+            .withColumn("val", F.col("val") * F.col("idf"))
+            .drop("idf")
+        )
     norms = v.groupBy(key_col).agg(
         F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("norm")
     )
@@ -307,6 +348,7 @@ def feature_similarity(
     feature_col: str,
     metric_col: str,
     query_features: dict,
+    use_tf_idf: bool = False,
 ) -> DataFrame:
     """tf_feature_similarity (SimilarityTableFunctions.hpp): cosine
     similarity of every key's sparse (feature -> metric) vector against
@@ -323,10 +365,32 @@ def feature_similarity(
         [(k, float(v)) for k, v in query_features.items()],
         f"{feature_col} string, qval double",
     )
-    q_norm = float(np.sqrt(sum(v * v for v in query_features.values())))
     v = df.groupBy(key_col, feature_col).agg(
         F.sum(metric_col).cast("double").alias("val")
     )
+    if use_tf_idf:
+        # the primary matrix defines the IDF; the query vector is
+        # weighted by the SAME idf vector (TableFunctionsMatrix.hpp:108)
+        idf = _idf_weights(v, key_col, feature_col)
+        v = (
+            v.join(broadcast(idf), feature_col)
+            .withColumn("val", F.col("val") * F.col("idf"))
+            .drop("idf")
+        )
+        q = (
+            q.join(broadcast(idf), feature_col, "left")
+            .withColumn(
+                "qval", F.col("qval") * F.coalesce(F.col("idf"), F.lit(1.0))
+            )
+            .drop("idf")
+        )
+        qn = q.agg(F.sqrt(F.sum(F.col("qval") * F.col("qval"))).alias("qn"))
+        q_norm_col = F.col("qn")
+    else:
+        q_norm_col = F.lit(
+            float(np.sqrt(sum(v_ * v_ for v_ in query_features.values())))
+        )
+        qn = None
     norms = v.groupBy(key_col).agg(
         F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("norm")
     )
@@ -335,14 +399,14 @@ def feature_similarity(
         .groupBy(key_col)
         .agg(F.sum(F.col("val") * F.col("qval")).alias("dot"))
     )
-    return (
-        norms.join(dots, key_col, "left")
-        .select(
-            key_col,
-            F.round(
-                F.coalesce(F.col("dot"), F.lit(0.0))
-                / (F.col("norm") * F.lit(q_norm)),
-                6,
-            ).alias("cos_sim"),
-        )
+    out = norms.join(dots, key_col, "left")
+    if qn is not None:
+        out = out.join(broadcast(qn))
+    return out.select(
+        key_col,
+        F.round(
+            F.coalesce(F.col("dot"), F.lit(0.0))
+            / (F.col("norm") * q_norm_col),
+            6,
+        ).alias("cos_sim"),
     )

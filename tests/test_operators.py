@@ -1375,3 +1375,45 @@ def test_dedup_keep_best_policy(spark):
         for r in dedup_keep_best(df, "cluster", "prio", "doc_id").collect()
     }
     assert got == {("a", 9, 2, 2), ("b", 3, 1, 2), ("c", 7, 9, 1)}
+
+
+def test_feature_similarity_tf_idf_closed_form(spark):
+    """use_tf_idf (SimilarityTableFunctions.hpp:165): cells weight by
+    idf(f) = ln((n_keys+1)/df(f)) + 1 before the cosine. Closed-form
+    fixture: 3 keys; feature 'common' appears for all (df=3), 'rare'
+    for one (df=1). With n=3: idf_common = ln(4/3)+1, idf_rare =
+    ln(4)+1. Keys A=(common:1), B=(common:1), C=(common:1, rare:1)."""
+    import math
+
+    from heavydb_spark.operators.similarity import feature_self_similarity
+
+    df = spark.createDataFrame(
+        [
+            ("A", "common", 1.0),
+            ("B", "common", 1.0),
+            ("C", "common", 1.0),
+            ("C", "rare", 1.0),
+        ],
+        "k STRING, f STRING, m DOUBLE",
+    )
+    got = {
+        (r["key_a"], r["key_b"]): r["cos_sim"]
+        for r in feature_self_similarity(
+            df, "k", "f", "m", use_tf_idf=True
+        ).collect()
+    }
+    wc = math.log(4.0 / 3.0) + 1.0
+    wr = math.log(4.0) + 1.0
+    # A.B: identical single-feature vectors -> 1.0
+    assert abs(got[("A", "B")] - 1.0) < 1e-6
+    # A.C: wc*wc / (wc * sqrt(wc^2 + wr^2))
+    want_ac = (wc * wc) / (wc * math.sqrt(wc * wc + wr * wr))
+    assert abs(got[("A", "C")] - round(want_ac, 6)) < 1e-6
+    # without idf: A.C = 1/sqrt(2)
+    got_plain = {
+        (r["key_a"], r["key_b"]): r["cos_sim"]
+        for r in feature_self_similarity(df, "k", "f", "m").collect()
+    }
+    assert abs(got_plain[("A", "C")] - round(1 / math.sqrt(2), 6)) < 1e-6
+    # idf shifts the similarity down (the rare feature dominates C)
+    assert got[("A", "C")] < got_plain[("A", "C")]
