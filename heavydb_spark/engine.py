@@ -71,6 +71,11 @@ _TF_CURSOR_RE = re.compile(
 
 _TF_ARG_RE = re.compile(r"^\s*(?:(\w+)\s*=>\s*)?(.+?)\s*$", re.DOTALL)
 
+# zero-arg system UDTFs (MLTableFunctions.hpp supported_ml_frameworks)
+_TF_NOARG_RE = re.compile(
+    r"\bTABLE\s*\(\s*supported_ml_frameworks\s*\(\s*\)\s*\)", re.IGNORECASE
+)
+
 
 def _arg(args: dict, name: str, pos: int, default):
     """Resolve a TF argument by name => value or by position — the
@@ -388,6 +393,15 @@ class Engine:
             return self._validate()
         if _TF_CURSOR_RE.search(query):
             query = self._expand_cursor_table_functions(query)
+        m = _TF_NOARG_RE.search(query)
+        if m:
+            from heavydb_spark.operators.ml import supported_ml_frameworks
+
+            import uuid as _uuid
+
+            view = f"__tf_noarg_{_uuid.uuid4().hex[:12]}"
+            supported_ml_frameworks(self.spark).createOrReplaceTempView(view)
+            query = query[: m.start()] + view + query[m.end() :]
         m = _DUMP_RE.match(query)
         if m:
             self.spark.table(m.group(1)).write.mode("errorifexists").parquet(

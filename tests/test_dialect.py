@@ -1107,3 +1107,12 @@ def test_cursor_two_cursor_feature_similarity(engine):
     ).collect()
     assert len(rows) == 5
     assert all(0.0 <= r["cos_sim"] <= 1.0 for r in rows)
+
+
+def test_supported_ml_frameworks_sql_form(engine):
+    """Zero-arg UDTF SQL form (MLTableFunctions.hpp)."""
+    rows = engine.sql(
+        "SELECT * FROM TABLE(supported_ml_frameworks()) ORDER BY ml_framework"
+    ).collect()
+    assert len(rows) >= 1
+    assert any(r["is_available"] for r in rows)
