@@ -1115,4 +1115,4 @@ def test_supported_ml_frameworks_sql_form(engine):
         "SELECT * FROM TABLE(supported_ml_frameworks()) ORDER BY ml_framework"
     ).collect()
     assert len(rows) >= 1
-    assert any(r["is_available"] for r in rows)
+    assert any(r["available"] for r in rows)
