@@ -221,8 +221,41 @@ def _tf_feature_similarity(cur: DataFrame, args: dict) -> DataFrame:
     return _sim.feature_similarity(cur, k, f_, m_, query, use_tf_idf=tf_idf)
 
 
+def _tf_torch_raster_obj_detect(cur: DataFrame, args: dict) -> DataFrame:
+    """tf_torch_raster_obj_detect(CURSOR(x, y, channels...),
+    x_input_units_per_pixel, y_input_units_per_pixel, max_color_val,
+    tile_boundary_halo_pixels, ..., min_confidence_threshold,
+    iou_threshold, ...) — Torch/TorchTableFunctions.h:26. The
+    TorchScript kernel is environment-stubbed; the deterministic blob
+    detector drives the tiling/halo/NMS plumbing."""
+    from heavydb_spark.operators import objdetect as _od
+
+    x, y = cur.columns[0], cur.columns[1]
+    chans = cur.columns[2:]
+    if not chans:
+        raise ValueError(
+            "tf_torch_raster_obj_detect needs at least one channel "
+            "column after (x, y) in the CURSOR"
+        )
+    return _od.raster_obj_detect(
+        cur,
+        x_col=x,
+        y_col=y,
+        channel_cols=chans,
+        x_units_per_pixel=float(_arg(args, "x_input_units_per_pixel", 0, 1.0)),
+        y_units_per_pixel=float(_arg(args, "y_input_units_per_pixel", 1, 1.0)),
+        max_color_value=float(_arg(args, "max_color_val", 2, 255.0)),
+        halo_pixels=int(_arg(args, "tile_boundary_halo_pixels", 3, 8)),
+        min_confidence_threshold=float(
+            _arg(args, "min_confidence_threshold", 6, 0.0)
+        ),
+        iou_threshold=float(_arg(args, "iou_threshold", 7, 0.5)),
+    )
+
+
 _SQL_TABLE_FUNCTIONS = {
     "tf_compute_dwell_times": _tf_dwell_times,
+    "tf_torch_raster_obj_detect": _tf_torch_raster_obj_detect,
     "tf_feature_similarity": _tf_feature_similarity,
     "tf_feature_self_similarity": _tf_feature_self_similarity,
     "tf_graph_shortest_paths_distances": _tf_graph_shortest_paths,

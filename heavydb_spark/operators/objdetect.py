@@ -1,0 +1,353 @@
+"""Raster object detection (SURVEY.md §2.10 — the Torch UDTF surface).
+
+Reference: tf_torch_raster_obj_detect
+(QueryEngine/TableFunctions/SystemFunctions/os/Torch/TorchTableFunctions.h:26;
+TorchWrapper.h:27-67): a raster cursor (x, y, channels...) is tiled into
+model-sized windows with a halo overlap, a detector emits per-window
+boxes, and the per-window results are merged into
+(detected_class, detected_class_id, x, y, detected_width,
+detected_height, detected_confidence) rows after confidence-ordered NMS
+(`detect_objects_in_tiled_raster`, TorchWrapper.cpp).
+
+Spark-first shape:
+- pixel -> tile assignment (core tile plus any neighbor whose halo
+  covers the pixel) is pure Catalyst arithmetic + explode — a narrow
+  stage; the only shuffle is the per-tile groupBy, keyed on
+  (tile_x, tile_y), which scales with raster extent, never with the
+  number of detections;
+- per-tile detection runs in `applyInPandas` (one Arrow batch per
+  tile window — the analogue of the reference's per-tile model
+  invocation);
+- cross-tile duplicate elimination is exact and shuffle-free at the
+  detector stage: a detection is emitted only by the tile that owns
+  its centroid (every world point has exactly one core tile), the
+  standard halo'd-tiling ownership rule — the halo guarantees an
+  object whose centroid a tile owns is fully visible in that tile's
+  window as long as objects are smaller than ~2x the halo;
+- intra-raster NMS (`suppress_overlaps`) is a grid-bucketed
+  bbox-cell join: each box explodes to the grid cells its bbox
+  touches, overlapping pairs necessarily share a cell, and a box is
+  suppressed when any strictly-better (higher score, deterministic
+  id tie-break) same-class box overlaps it past `iou_threshold`.
+  This is the parallel one-shot suppression rule (every box judged
+  against all better boxes) rather than the sequential greedy scan —
+  identical on the dominant duplicate-pair case and fully
+  distributed: no driver materialization, no all-pairs join.
+
+The TorchScript model kernel itself needs `torch`, which this
+container does not ship; `torch_detector` is an honestly-labelled
+NotImplementedError stub (the multimodal-decode pattern).  Everything
+AROUND the kernel — tiling, halo, Arrow batching, centroid ownership,
+NMS, world-coordinate mapping — is real and tested through
+`blob_detector`, a deterministic in-process detector (thresholded
+mean-intensity connected components) whose closed-form output makes
+the catalog query oracle-checkable in SQL.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "blob_detector",
+    "torch_detector",
+    "raster_obj_detect",
+    "suppress_overlaps",
+]
+
+
+def torch_detector(
+    model_path: str,
+    model_metadata_path: str | None = None,
+    use_gpu: bool = False,
+    device_num: int = 0,
+):
+    """TorchScript detection backend — requires torch (not shipped in
+    this container).  Mirrors TorchWrapper.cpp
+    `detect_objects_in_tiled_raster`: load the scripted model once per
+    executor, run it on each tile window, return
+    (tl_x, tl_y, br_x, br_y, score, class_idx) boxes in window-local
+    pixel coordinates."""
+    try:
+        import torch  # noqa: F401
+    except ImportError as exc:
+        raise NotImplementedError(
+            "TorchScript detection requires torch; use blob_detector "
+            "for the deterministic in-process kernel"
+        ) from exc
+    raise NotImplementedError(  # pragma: no cover - torch absent here
+        "TorchScript model loading is not wired in this environment"
+    )
+
+
+def blob_detector(threshold: float = 0.5):
+    """Deterministic detection kernel: 4-connected components of the
+    channel-mean intensity thresholded at `threshold` (inputs are
+    normalized to [0, 1] by max_color_value).  Each component becomes
+    one box: bbox corners in window-local continuous pixel coords
+    (br is max pixel + 1), score = mean normalized intensity over the
+    component, class_idx = 0.
+
+    Components are labelled by vectorized iterated min-propagation
+    (label = own flat index, repeatedly take the min over 4-neighbors
+    inside the mask until fixpoint) — O(component diameter) numpy
+    passes, no per-pixel Python loop."""
+
+    def _detect(tile: np.ndarray):
+        mean = tile.mean(axis=2)
+        mask = mean >= threshold
+        if not mask.any():
+            return []
+        h, w = mask.shape
+        inf = np.int64(h * w)
+        lab = np.where(
+            mask, np.arange(h * w, dtype=np.int64).reshape(h, w), inf
+        )
+        while True:
+            new = lab.copy()
+            new[1:, :] = np.minimum(new[1:, :], lab[:-1, :])
+            new[:-1, :] = np.minimum(new[:-1, :], lab[1:, :])
+            new[:, 1:] = np.minimum(new[:, 1:], lab[:, :-1])
+            new[:, :-1] = np.minimum(new[:, :-1], lab[:, 1:])
+            new = np.where(mask, new, inf)
+            if np.array_equal(new, lab):
+                break
+            lab = new
+        boxes = []
+        for lb in np.unique(lab[mask]):
+            ys, xs = np.nonzero(lab == lb)
+            boxes.append(
+                (
+                    float(xs.min()),
+                    float(ys.min()),
+                    float(xs.max() + 1),
+                    float(ys.max() + 1),
+                    float(mean[ys, xs].mean()),
+                    0,
+                )
+            )
+        return boxes
+
+    return _detect
+
+
+def _tile_candidates(p: Column, size: int, halo: int) -> Column:
+    """All tile indices along one axis whose halo'd window
+    [t*size - halo, (t+1)*size + halo) covers pixel `p`: the core tile
+    plus at most one neighbor per side when the pixel sits within
+    `halo` of a tile boundary."""
+    t0 = F.floor(p / size).cast("long")
+    off = p - t0 * size
+    cands = F.array(
+        t0,
+        F.when(off < halo, t0 - 1),
+        F.when(off >= size - halo, t0 + 1),
+    )
+    return F.filter(cands, lambda v: v.isNotNull())
+
+
+def suppress_overlaps(
+    det: DataFrame,
+    iou_threshold: float,
+    cell_size: float,
+) -> DataFrame:
+    """Distributed NMS over a detections relation with columns
+    (det_id, class_idx, score, tl_x, tl_y, br_x, br_y, ...): drop any
+    box overlapped past `iou_threshold` by a same-class box with a
+    strictly better (score, det_id) key.
+
+    Candidate pairs come from a grid-cell equi-join: each box explodes
+    to every `cell_size` grid cell its bbox touches; two intersecting
+    boxes both cover some point of their intersection, hence share
+    that point's cell — so the join on (cell, class) finds every
+    overlapping pair without an all-pairs comparison, and duplicated
+    pairs from multi-cell overlap are harmless (the suppression test
+    is idempotent)."""
+    cells = det.select(
+        "det_id",
+        "class_idx",
+        "score",
+        "tl_x",
+        "tl_y",
+        "br_x",
+        "br_y",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("tl_x") / cell_size).cast("long"),
+                F.floor(F.col("br_x") / cell_size).cast("long"),
+            )
+        ).alias("__cx"),
+    ).select(
+        "*",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("tl_y") / cell_size).cast("long"),
+                F.floor(F.col("br_y") / cell_size).cast("long"),
+            )
+        ).alias("__cy"),
+    )
+    a = cells.alias("a")
+    b = cells.select(
+        "det_id", "class_idx", "score", "tl_x", "tl_y", "br_x", "br_y",
+        "__cx", "__cy",
+    ).alias("b")
+    ix = F.greatest(
+        F.lit(0.0),
+        F.least(F.col("a.br_x"), F.col("b.br_x"))
+        - F.greatest(F.col("a.tl_x"), F.col("b.tl_x")),
+    )
+    iy = F.greatest(
+        F.lit(0.0),
+        F.least(F.col("a.br_y"), F.col("b.br_y"))
+        - F.greatest(F.col("a.tl_y"), F.col("b.tl_y")),
+    )
+    inter = ix * iy
+    area = lambda s: (  # noqa: E731
+        (F.col(f"{s}.br_x") - F.col(f"{s}.tl_x"))
+        * (F.col(f"{s}.br_y") - F.col(f"{s}.tl_y"))
+    )
+    iou = inter / (area("a") + area("b") - inter)
+    better = (F.col("b.score") > F.col("a.score")) | (
+        (F.col("b.score") == F.col("a.score"))
+        & (F.col("b.det_id") < F.col("a.det_id"))
+    )
+    suppressed = (
+        a.join(
+            b,
+            on=[
+                F.col("a.__cx") == F.col("b.__cx"),
+                F.col("a.__cy") == F.col("b.__cy"),
+                F.col("a.class_idx") == F.col("b.class_idx"),
+                F.col("a.det_id") != F.col("b.det_id"),
+            ],
+        )
+        .filter(better & (iou > iou_threshold))
+        .select(F.col("a.det_id").alias("det_id"))
+        .distinct()
+    )
+    return det.join(suppressed, on="det_id", how="left_anti")
+
+
+def raster_obj_detect(
+    df: DataFrame,
+    x_col: str = "x",
+    y_col: str = "y",
+    channel_cols=("ch0",),
+    x_units_per_pixel: float = 1.0,
+    y_units_per_pixel: float = 1.0,
+    max_color_value: float = 255.0,
+    tile_width: int = 64,
+    tile_height: int = 64,
+    halo_pixels: int = 8,
+    detector=None,
+    class_labels=("blob",),
+    min_confidence_threshold: float = 0.0,
+    iou_threshold: float = 0.5,
+) -> DataFrame:
+    """tf_torch_raster_obj_detect (TorchTableFunctions.h:26) on a
+    raster point relation: world (x, y) + one or more color channels
+    in [0, max_color_value].  Output matches the reference UDTF:
+    (detected_class, detected_class_id, x, y, detected_width,
+    detected_height, detected_confidence) with x/y the detection
+    centroid in input world units.
+
+    `detector` maps a (H, W, C) normalized window array to
+    (tl_x, tl_y, br_x, br_y, score, class_idx) boxes in window-local
+    pixel coords; defaults to `blob_detector()`.  A detection is
+    emitted only by the tile owning its centroid (exact cross-tile
+    dedup), then same-class overlaps past `iou_threshold` are removed
+    by `suppress_overlaps`."""
+    if detector is None:
+        detector = blob_detector()
+    ch = list(channel_cols)
+    labels = list(class_labels)
+    tw, th, halo = int(tile_width), int(tile_height), int(halo_pixels)
+    xu, yu = float(x_units_per_pixel), float(y_units_per_pixel)
+    n_ch = len(ch)
+    min_conf = float(min_confidence_threshold)
+
+    base = df.select(
+        F.floor(F.col(x_col) / xu).cast("long").alias("__px"),
+        F.floor(F.col(y_col) / yu).cast("long").alias("__py"),
+        *[
+            (F.col(c).cast("double") / float(max_color_value)).alias(
+                f"__c{i}"
+            )
+            for i, c in enumerate(ch)
+        ],
+    )
+    tiled = base.withColumn(
+        "__tx", F.explode(_tile_candidates(F.col("__px"), tw, halo))
+    ).withColumn(
+        "__ty", F.explode(_tile_candidates(F.col("__py"), th, halo))
+    )
+
+    out_schema = (
+        "class_idx int, score double, tl_x double, tl_y double, "
+        "br_x double, br_y double, cx double, cy double"
+    )
+
+    def _detect_tile(key, pdf):
+        tx, ty = int(key[0]), int(key[1])
+        ox, oy = tx * tw - halo, ty * th - halo
+        wd, hd = tw + 2 * halo, th + 2 * halo
+        tile = np.zeros((hd, wd, n_ch), dtype=np.float64)
+        lx = (pdf["__px"].to_numpy(dtype=np.int64)) - ox
+        ly = (pdf["__py"].to_numpy(dtype=np.int64)) - oy
+        for i in range(n_ch):
+            tile[ly, lx, i] = pdf[f"__c{i}"].to_numpy(dtype=np.float64)
+        rows = []
+        for bx0, by0, bx1, by1, score, cls in detector(tile):
+            if score < min_conf:
+                continue
+            pcx = (bx0 + bx1) / 2.0 + ox
+            pcy = (by0 + by1) / 2.0 + oy
+            if not (tx * tw <= pcx < (tx + 1) * tw):
+                continue
+            if not (ty * th <= pcy < (ty + 1) * th):
+                continue
+            rows.append(
+                (
+                    int(cls),
+                    float(score),
+                    (bx0 + ox) * xu,
+                    (by0 + oy) * yu,
+                    (bx1 + ox) * xu,
+                    (by1 + oy) * yu,
+                    pcx * xu,
+                    pcy * yu,
+                )
+            )
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "class_idx", "score", "tl_x", "tl_y",
+                "br_x", "br_y", "cx", "cy",
+            ],
+        )
+
+    det = (
+        tiled.groupBy("__tx", "__ty")
+        .applyInPandas(_detect_tile, out_schema)
+        .withColumn(
+            "det_id",
+            F.xxhash64("class_idx", "score", "tl_x", "tl_y", "br_x", "br_y"),
+        )
+    )
+    kept = suppress_overlaps(det, float(iou_threshold), cell_size=tw * xu)
+    label_arr = F.array(*[F.lit(s) for s in labels])
+    return kept.select(
+        F.coalesce(
+            F.element_at(label_arr, F.col("class_idx") + 1),
+            F.concat(F.lit("class_"), F.col("class_idx").cast("string")),
+        ).alias("detected_class"),
+        F.col("class_idx").alias("detected_class_id"),
+        F.col("cx").alias("x"),
+        F.col("cy").alias("y"),
+        (F.col("br_x") - F.col("tl_x")).alias("detected_width"),
+        (F.col("br_y") - F.col("tl_y")).alias("detected_height"),
+        F.col("score").cast("float").alias("detected_confidence"),
+    )

@@ -51,6 +51,7 @@ _PRIORITY = [
     "geo_transform_utm",
     "tf_point_cloud_metadata",
     "tf_load_point_cloud",
+    "tf_torch_obj_detect",
     "tpch_q2_min_cost_supplier",
     "tpch_q4_priority_exists",
     "tpch_q8_market_share",

@@ -1764,3 +1764,93 @@ def dml_update_correlated_postimage(spark, sf_dir):
         cond=F.col("s_nationkey") < 13,
     )
     return post.select("s_suppkey", "s_acctbal").orderBy("s_suppkey")
+
+
+# ----------------------------------------------- Torch obj-detect UDTF
+#
+# tf_torch_raster_obj_detect (Torch/TorchTableFunctions.h:26). The
+# TorchScript kernel is environment-stubbed; the deterministic blob
+# detector drives the full tiling / halo / centroid-ownership / NMS
+# plumbing, and the planted-rectangle raster (one rectangle per 24px
+# coarse cell, all rectangles clear of cell borders so 4-connectivity
+# separates them) makes every detection closed-form: the oracle
+# recovers each rectangle's bbox by grouping above-threshold pixels on
+# the coarse cell.
+
+
+@query(
+    "tf_torch_obj_detect",
+    oracle="""
+    WITH pix AS (
+        SELECT CAST(i % 96 AS BIGINT) AS px, CAST(i // 96 AS BIGINT) AS py
+        FROM range(0, 9216) AS t(i)
+    ), lit AS (
+        SELECT px, py, px // 24 AS cx, py // 24 AS cy,
+               (px // 24) * 24 + 4 + ((px // 24) * 5 + (py // 24) * 3) % 7 AS rx0,
+               (py // 24) * 24 + 4 + ((px // 24) * 3 + (py // 24) * 5) % 7 AS ry0,
+               4 + ((px // 24) + 2 * (py // 24)) % 7 AS rw,
+               4 + (2 * (px // 24) + (py // 24)) % 7 AS rh
+        FROM pix
+    ), on_pix AS (
+        SELECT px, py, cx, cy FROM lit
+        WHERE px >= rx0 AND px < rx0 + rw AND py >= ry0 AND py < ry0 + rh
+    ), boxes AS (
+        SELECT cx, cy, min(px) AS x0, max(px) AS x1,
+               min(py) AS y0, max(py) AS y1
+        FROM on_pix GROUP BY cx, cy
+    )
+    SELECT 'blob' AS detected_class, CAST(0 AS INTEGER) AS detected_class_id,
+           round((x0 + x1 + 1) / 2.0 * 0.5, 4) AS x,
+           round((y0 + y1 + 1) / 2.0 * 0.5, 4) AS y,
+           round((x1 - x0 + 1) * 0.5, 4) AS detected_width,
+           round((y1 - y0 + 1) * 0.5, 4) AS detected_height,
+           round(CAST(CAST(200.0 / 255.0 AS FLOAT) AS DOUBLE), 4)
+               AS detected_confidence
+    FROM boxes ORDER BY x, y
+    """,
+)
+def tf_torch_obj_detect(spark, sf_dir):
+    """tf_torch_raster_obj_detect (Torch/TorchTableFunctions.h:26):
+    object detection over a tiled 96x96 raster (0.5 world units per
+    pixel, tile 32, halo 8) with the deterministic blob-detector
+    kernel standing in for the TorchScript model
+    (operators/objdetect.py raster_obj_detect).  16 planted
+    rectangles, several crossing tile boundaries, each recovered
+    exactly once via halo'd centroid ownership."""
+    from heavydb_spark.operators.objdetect import raster_obj_detect
+
+    px = F.col("id") % 96
+    py = (F.col("id") / 96).cast("long")
+    cx, cy = px / F.lit(24), py / F.lit(24)
+    cx = F.floor(cx).cast("long")
+    cy = F.floor(cy).cast("long")
+    rx0 = cx * 24 + 4 + (cx * 5 + cy * 3) % 7
+    ry0 = cy * 24 + 4 + (cx * 3 + cy * 5) % 7
+    rw = 4 + (cx + 2 * cy) % 7
+    rh = 4 + (2 * cx + cy) % 7
+    inside = (px >= rx0) & (px < rx0 + rw) & (py >= ry0) & (py < ry0 + rh)
+    raster = spark.range(96 * 96).select(
+        (px * 0.5).alias("x"),
+        (py * 0.5).alias("y"),
+        F.when(inside, F.lit(200.0)).otherwise(F.lit(10.0)).alias("ch0"),
+    )
+    out = raster_obj_detect(
+        raster,
+        channel_cols=["ch0"],
+        x_units_per_pixel=0.5,
+        y_units_per_pixel=0.5,
+        tile_width=32,
+        tile_height=32,
+        halo_pixels=8,
+    )
+    return out.select(
+        "detected_class",
+        "detected_class_id",
+        F.round("x", 4).alias("x"),
+        F.round("y", 4).alias("y"),
+        F.round("detected_width", 4).alias("detected_width"),
+        F.round("detected_height", 4).alias("detected_height"),
+        F.round(F.col("detected_confidence").cast("double"), 4).alias(
+            "detected_confidence"
+        ),
+    ).orderBy("x", "y")

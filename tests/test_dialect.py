@@ -1116,3 +1116,26 @@ def test_supported_ml_frameworks_sql_form(engine):
     ).collect()
     assert len(rows) >= 1
     assert any(r["available"] for r in rows)
+
+
+def test_cursor_torch_obj_detect_sql_form(engine):
+    """tf_torch_raster_obj_detect through the CURSOR SQL form
+    (Torch/TorchTableFunctions.h:26): one planted block on a 30x30
+    raster detected by the blob kernel, with bbox size recovered."""
+    r = engine.sql(
+        "SELECT count(*) AS n, min(detected_class) AS cls, "
+        "min(detected_width) AS w FROM TABLE("
+        "tf_torch_raster_obj_detect(CURSOR("
+        "SELECT CAST(i % 30 AS DOUBLE) AS x, "
+        "CAST(FLOOR(i / 30) AS DOUBLE) AS y, "
+        "CASE WHEN i % 30 BETWEEN 5 AND 10 "
+        "AND FLOOR(i / 30) BETWEEN 6 AND 11 "
+        "THEN 200.0 ELSE 10.0 END AS ch0 "
+        "FROM (SELECT row_number() OVER (ORDER BY event_id) - 1 AS i "
+        "FROM events LIMIT 900)), "
+        "x_input_units_per_pixel => 1.0, y_input_units_per_pixel => 1.0, "
+        "max_color_val => 255.0, tile_boundary_halo_pixels => 8))"
+    ).first()
+    assert r["n"] == 1
+    assert r["cls"] == "blob"
+    assert r["w"] == 6.0
