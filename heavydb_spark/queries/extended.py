@@ -1802,8 +1802,8 @@ def dml_update_correlated_postimage(spark, sf_dir):
     SELECT 'blob' AS detected_class, CAST(0 AS INTEGER) AS detected_class_id,
            round((x0 + x1 + 1) / 2.0 * 0.5, 4) AS x,
            round((y0 + y1 + 1) / 2.0 * 0.5, 4) AS y,
-           round((x1 - x0 + 1) * 0.5, 4) AS detected_width,
-           round((y1 - y0 + 1) * 0.5, 4) AS detected_height,
+           round(CAST((x1 - x0 + 1) * 0.5 AS DOUBLE), 4) AS detected_width,
+           round(CAST((y1 - y0 + 1) * 0.5 AS DOUBLE), 4) AS detected_height,
            round(CAST(CAST(200.0 / 255.0 AS FLOAT) AS DOUBLE), 4)
                AS detected_confidence
     FROM boxes ORDER BY x, y
