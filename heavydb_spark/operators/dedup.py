@@ -293,17 +293,23 @@ def minhash_dedup_pairs(
 
 # -------------------------------------------------------------- simhash
 
-def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def simhash64(
+    df: DataFrame, id_col: str, text_col: str, token_hash=None
+) -> DataFrame:
     """64-bit SimHash per document, fully JVM-side.
 
     Token hashes vote per bit (+1/-1); the sign of each bit-sum forms the
     fingerprint. Implemented as explode → 64 conditional sums → bit
     reassembly with shiftleft/bitwise-or — one shuffle on doc id.
+
+    `token_hash` (Column -> Column) overrides the default xxhash64 —
+    pass `portable_token_hash62` for the cross-engine-checkable form.
     """
+    hash_fn = token_hash if token_hash is not None else F.xxhash64
     tok = _spread(df, id_col).select(
         F.col(id_col).alias("doc"),
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("t"),
-    ).withColumn("h", F.xxhash64("t"))
+    ).withColumn("h", hash_fn(F.col("t")))
     votes = [
         F.sum(
             F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
@@ -322,7 +328,11 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def simhash_neardup_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    token_hash=None,
 ) -> DataFrame:
     """SimHash near-dup pairs: block on 16-bit chunks (any chunk equal →
     candidate; by pigeonhole, hamming<=3 pairs share ≥1 of 4 chunks),
@@ -335,7 +345,7 @@ def simhash_neardup_pairs(
     near-dup flips concentrate. Exact recall at higher radii needs
     Manku-style multi-permutation tables (more blocking passes, same
     equi-join shape)."""
-    fps = simhash64(df, id_col, text_col)
+    fps = simhash64(df, id_col, text_col, token_hash=token_hash)
     chunked = fps.select(
         "doc",
         "simhash",
@@ -426,3 +436,159 @@ def connected_components(
         if changed == 0:
             break
     return labels.select("node", F.col("label").alias("component"))
+
+
+# ------------------------------------- portable (cross-engine) hashing
+#
+# xxhash64 is JVM-only, so the sketches above get rows-only driver
+# checks. These variants express the SAME sketch pipelines over a
+# 31-bit polynomial + mid-square + MINSTD hash built from +,*,% and
+# ascii() only — arithmetic any SQL engine reproduces exactly — which
+# turns SimHash and MinHash+LSH into oracle-checkable queries (the
+# SQLiteComparator idea extended to sketch algorithms). Production
+# paths keep xxhash64 (64-bit, whole-stage codegen); the portable
+# forms exist so the ALGORITHMS — votes, banding, blocking, hamming /
+# est-jaccard verification — are value-checked cross-engine.
+#
+# Same MINSTD constants as operators/pipeline.portable_hash (pipeline
+# imports this module, so they are re-declared here).
+
+_PM31 = 2_147_483_647  # 2^31 - 1
+_PA = 48_271  # MINSTD multiplier
+_POW31 = [pow(31, k, _PM31) for k in range(65)]
+
+
+def portable_token_hash(tok: Column, seed: int = 0) -> Column:
+    """31-bit portable hash of a short string (truncated to 64 chars):
+    polynomial-31 fold over the character codes, then mid-square
+    (h*h + h mod M — the polynomial alone is linear in the codes) and
+    one MINSTD round. Higher-order-function expressions — fine for the
+    oracle-checkable catalog variants, NOT the xxhash64 hot path."""
+    t = F.substring(tok, 1, 64)
+    ln = F.length(t)
+    pows = F.array(*[F.lit(p).cast("long") for p in _POW31])
+    terms = F.transform(
+        F.split(t, ""),
+        lambda c, i: F.ascii(c).cast("long")
+        * F.element_at(pows, (ln - i).cast("int")),
+    )
+    h0 = F.when(ln == 0, F.lit(0).cast("long")).otherwise(
+        F.pmod(
+            F.aggregate(terms, F.lit(0).cast("long"), lambda a, v: a + v),
+            F.lit(_PM31),
+        )
+    )
+    g = F.pmod(h0 * h0 + h0 + F.lit(seed), F.lit(_PM31))
+    r = F.pmod(g * _PA + 11, F.lit(_PM31))
+    return F.pmod(r * _PA, F.lit(_PM31))
+
+
+def portable_token_hash_sql(expr: str, seed: int = 0) -> str:
+    """The DuckDB-runnable SQL text of `portable_token_hash` over a
+    string expression (for oracles). `expr` should be cheap — ideally
+    a plain column — because it is referenced several times."""
+    pows = "[" + ", ".join(str(p) for p in _POW31) + "]"
+    t = f"substr({expr}, 1, 64)"
+    h0 = (
+        f"(coalesce(list_sum(list_transform(range(0, length({t})), "
+        f"k -> CAST(ascii(substr({t}, CAST(k + 1 AS INTEGER), 1)) AS BIGINT) "
+        f"* CAST(({pows})[length({t}) - k] AS BIGINT))), 0) % {_PM31})"
+    )
+    g = f"(({h0} * {h0} + {h0} + {seed}) % {_PM31})"
+    r = f"(({g} * {_PA} + 11) % {_PM31})"
+    return f"(({r} * {_PA}) % {_PM31})"
+
+
+def portable_token_hash62(tok: Column) -> Column:
+    """62-bit portable hash: two independently-seeded 31-bit hashes
+    packed as h1 * 2^31 + h2 (bits 62-63 are zero — the SimHash votes
+    on those bits are uniformly -1 on both engines)."""
+    return portable_token_hash(tok, 1) * F.lit(1 << 31).cast(
+        "long"
+    ) + portable_token_hash(tok, 2)
+
+
+def _affine_constants_m31(k: int, seed: int = 12_345) -> list[tuple[int, int]]:
+    """k deterministic (a, b) pairs in [1, M31) for affine minhash
+    permutations mod M31 — MINSTD stream, engine-independent."""
+    out, x = [], seed
+    for _ in range(k):
+        x = (x * _PA) % _PM31
+        a = x or 1
+        x = (x * _PA) % _PM31
+        out.append((a, x))
+    return out
+
+
+def minhash_dedup_pairs_portable(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """`minhash_dedup_pairs` on the portable hash with affine
+    permutations mod 2^31-1 (wrapping 64-bit arithmetic would error in
+    engines with checked overflow): same shingle → min-agg → band
+    equi-join → signature-agreement verify shape, every value
+    reproducible in ANSI SQL."""
+    base = _shingle_rows(df, id_col, text_col, n).select(
+        "doc", portable_token_hash(F.col("shingle"), 3).alias("h")
+    )
+    consts = _affine_constants_m31(num_perm)
+    aggs = [
+        F.min(F.pmod(F.col("h") * a + b, F.lit(_PM31))).alias(f"m{i}")
+        for i, (a, b) in enumerate(consts)
+    ]
+    wide = base.groupBy("doc").agg(*aggs).localCheckpoint(eager=False)
+    rpb = num_perm // bands
+    banded = wide.select(
+        "doc",
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        ":",
+                        *[
+                            F.col(f"m{b * rpb + j}").cast("string")
+                            for j in range(rpb)
+                        ],
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "band_key"),
+    )
+    a_, b_ = banded.alias("a"), banded.alias("b")
+    cands = (
+        a_.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+    sig = wide.select(
+        "doc", F.array(*[F.col(f"m{i}") for i in range(num_perm)]).alias("sig")
+    )
+    a2 = sig.withColumnRenamed("doc", "doc_a").withColumnRenamed("sig", "sig_a")
+    b2 = sig.withColumnRenamed("doc", "doc_b").withColumnRenamed("sig", "sig_b")
+    est = F.size(
+        F.filter(
+            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+            lambda eq: eq,
+        )
+    ) / F.lit(num_perm)
+    return (
+        cands.join(a2, "doc_a")
+        .join(b2, "doc_b")
+        .withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= threshold)
+        .select(
+            "doc_a", "doc_b", F.round("est_jaccard", 6).alias("est_jaccard")
+        )
+    )

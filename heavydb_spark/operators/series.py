@@ -54,6 +54,39 @@ def generate_random_strings(
     )
 
 
+_RAND_ALPHA = "abcdefghijklmnopqrstuvwxyz0123456789"
+
+
+def generate_random_strings_portable(
+    spark: SparkSession, n: int, length: int = 10, seed: int = 42
+) -> DataFrame:
+    """generate_random_strings on the portable 2-round LCG hash
+    (operators/pipeline.portable_hash) instead of xxhash64: character
+    j of row id indexes the 36-char alphabet by
+    midsquare(hash(id*length + j + seed*7919)) % 36, so ANY SQL engine
+    reproduces the exact strings — the oracle-checkable variant of the
+    seeded UDTF (reference UtilityTableFunctions.h:49 seeds a PRNG the
+    same way). The mid-square step (h*h + h mod M) matters: the LCG
+    alone is affine in its input, so consecutive positions would step
+    the alphabet by a constant stride — squaring breaks the linearity.
+    Still one narrow spark.range stage, all codegen."""
+    from heavydb_spark.operators.pipeline import _M31, portable_hash
+
+    def char_at(j):
+        h = portable_hash(F.col("id") * length + F.lit(j + seed * 7919))
+        g = F.pmod(h * h + h, F.lit(_M31))
+        return F.substring(
+            F.lit(_RAND_ALPHA),
+            (F.pmod(g, F.lit(36)) + 1).cast("int"),
+            F.lit(1),
+        )
+
+    chars = [char_at(j) for j in range(length)]
+    return spark.range(n).select(
+        F.col("id"), F.concat(*chars).alias("rand_str")
+    )
+
+
 def mandelbrot(
     spark,
     x_pixels: int,

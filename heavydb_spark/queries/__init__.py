@@ -52,6 +52,8 @@ _PRIORITY = [
     "tf_point_cloud_metadata",
     "tf_load_point_cloud",
     "tf_torch_obj_detect",
+    "dedup_simhash_portable",
+    "dedup_minhash_portable",
     "tpch_q2_min_cost_supplier",
     "tpch_q4_priority_exists",
     "tpch_q8_market_share",

@@ -158,10 +158,48 @@ def sim_cosine_topk(spark, sf_dir):
     )
 
 
-@query("sim_ann_lsh")  # LSH bucketing (seeded hyperplanes) → rows-only check
+def _lsh_oracle(n_planes: int = 4, dim: int = 64, seed: int = 42,
+                k: int = 10) -> str:
+    """Exact oracle for the LSH index: the hyperplanes are seeded
+    (similarity.hyperplanes), so their float64 values inline as SQL
+    literals (repr round-trips exactly) and DuckDB recomputes both the
+    query's bucket and every vector's bucket — the 'approximate' index
+    is deterministic given its planes, hence exactly checkable. The
+    fixture embeddings are 64-dim at every scale factor."""
+    planes = similarity.hyperplanes(dim, n_planes, seed)
+
+    def arr(p):
+        return "[" + ", ".join(repr(float(v)) for v in p) + "]"
+
+    def bucket(v):
+        return " + ".join(
+            f"{1 << i} * (CASE WHEN list_dot_product({v}, "
+            f"{arr(planes[i])}) >= 0 THEN 1 ELSE 0 END)"
+            for i in range(n_planes)
+        )
+
+    return f"""
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id = 0),
+    qb AS (SELECT ({bucket('qv')}) AS qbucket FROM q),
+    b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings WHERE vec_id <> 0)
+    SELECT vec_id,
+           round(list_dot_product(v, qv)
+                 / (sqrt(list_dot_product(v, v))
+                    * sqrt(list_dot_product(qv, qv))), 6) AS cos_sim
+    FROM b, q, qb
+    WHERE ({bucket('v')}) = qbucket
+    ORDER BY cos_sim DESC, vec_id LIMIT {k}
+    """
+
+
+@query("sim_ann_lsh", oracle=_lsh_oracle())
 def sim_ann_lsh(spark, sf_dir):
     """ANN top-k via random-hyperplane LSH bucket probe — the 100 TB
-    scale path (bucket column precomputable + partition-prunable)."""
+    scale path (bucket column precomputable + partition-prunable).
+    Oracle-exact: the seeded hyperplanes are inlined into the SQL, so
+    DuckDB reproduces the bucket assignment bit for bit."""
     e = T(spark, sf_dir, "embeddings")
     qvec = _query_vec(spark, sf_dir)
     return similarity.ann_topk_lsh(
@@ -796,3 +834,130 @@ def pipe_dedup_keep_best(spark, sf_dir):
         pipeline.dedup_keep_best(keyed, "cluster", "prio", "doc_id")
         .orderBy("cluster", "keep_id")
     )
+
+
+# ------------------------- portable-hash sketch variants (exact oracle)
+#
+# The xxhash64 sketches above get rows-only driver checks (xxhash64 is
+# JVM-only). These companion queries run the SAME sketch pipelines on
+# the portable 31-bit hash (operators/dedup.portable_token_hash), so
+# DuckDB replays every step — fingerprint votes, chunk blocking,
+# hamming verify, minhash permutations, banding, est-jaccard — and the
+# driver hash-checks the sketch algorithms end to end.
+
+
+def _simhash_portable_oracle(max_hamming: int = 12) -> str:
+    h1 = dedup.portable_token_hash_sql("t", 1)
+    h2 = dedup.portable_token_hash_sql("t", 2)
+    return f"""
+    WITH tok0 AS (
+        SELECT doc_id AS doc,
+               unnest(regexp_split_to_array(trim(text), '\\s+')) AS t0
+        FROM documents
+    ), tok AS (
+        SELECT doc, substr(t0, 1, 64) AS t FROM tok0 WHERE t0 <> ''
+    ), hh AS (
+        SELECT doc, ({h1}) * 2147483648 + ({h2}) AS h FROM tok
+    ), bits AS (
+        SELECT doc, b,
+               sum(CASE WHEN (h >> CAST(b AS INTEGER)) & 1 = 1
+                        THEN 1 ELSE -1 END) AS v
+        FROM hh CROSS JOIN range(0, 64) r(b) GROUP BY doc, b
+    ), fp AS (
+        SELECT doc,
+               sum(CASE WHEN v > 0
+                        THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER))
+                        ELSE 0 END) AS simhash
+        FROM bits GROUP BY doc
+    ), ch AS (
+        SELECT doc, simhash, c,
+               (simhash >> CAST(16 * c AS INTEGER)) & 65535 AS chunk
+        FROM fp CROSS JOIN range(0, 4) r(c)
+    ), pairs AS (
+        SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b,
+               a.simhash AS sa, b.simhash AS sb
+        FROM ch a JOIN ch b
+          ON a.c = b.c AND a.chunk = b.chunk AND a.doc < b.doc
+    )
+    SELECT doc_a, doc_b, bit_count(xor(sa, sb)) AS hamming
+    FROM pairs WHERE hamming <= {max_hamming}
+    ORDER BY doc_a, doc_b
+    """
+
+
+@query("dedup_simhash_portable", oracle=_simhash_portable_oracle())
+def dedup_simhash_portable(spark, sf_dir):
+    """SimHash near-dup pairs on the portable token hash: the full
+    fingerprint/blocking/hamming pipeline value-checked cross-engine
+    (the xxhash64 `dedup_simhash` stays the production path)."""
+    d = T(spark, sf_dir, "documents")
+    return dedup.simhash_neardup_pairs(
+        d,
+        "doc_id",
+        "text",
+        max_hamming=12,
+        token_hash=dedup.portable_token_hash62,
+    ).orderBy("doc_a", "doc_b")
+
+
+def _minhash_portable_oracle(
+    num_perm: int = 64, bands: int = 16, threshold: float = 0.5
+) -> str:
+    consts = dedup._affine_constants_m31(num_perm)
+    m31 = 2_147_483_647
+    hs = dedup.portable_token_hash_sql("s", 3)
+    rpb = num_perm // bands
+    mins = ", ".join(
+        f"min((h * {a} + {b}) % {m31}) AS m{i}"
+        for i, (a, b) in enumerate(consts)
+    )
+    band_or = " OR ".join(
+        "("
+        + " AND ".join(
+            f"a.m{b * rpb + j} = b.m{b * rpb + j}" for j in range(rpb)
+        )
+        + ")"
+        for b in range(bands)
+    )
+    eq_sum = " + ".join(
+        f"(CASE WHEN a.m{i} = b.m{i} THEN 1 ELSE 0 END)"
+        for i in range(num_perm)
+    )
+    return f"""
+    WITH tok AS (
+        SELECT doc_id AS doc,
+               regexp_split_to_array(trim(text), '\\s+') AS ts
+        FROM documents
+    ), sh AS (
+        SELECT doc,
+               unnest(list_transform(range(0, greatest(len(ts) - 2, 0)),
+                   i -> ts[CAST(i + 1 AS INTEGER)] || ' ' ||
+                        ts[CAST(i + 2 AS INTEGER)] || ' ' ||
+                        ts[CAST(i + 3 AS INTEGER)])) AS s
+        FROM tok
+    ), hh AS (
+        SELECT doc, ({hs}) AS h FROM sh
+    ), sig AS (
+        SELECT doc, {mins} FROM hh GROUP BY doc
+    ), cand AS (
+        SELECT a.doc AS doc_a, b.doc AS doc_b, ({eq_sum}) AS eq
+        FROM sig a JOIN sig b ON a.doc < b.doc AND ({band_or})
+    )
+    SELECT doc_a, doc_b,
+           round(eq / {num_perm}.0, 6) AS est_jaccard
+    FROM cand WHERE eq / {num_perm}.0 >= {threshold}
+    ORDER BY doc_a, doc_b
+    """
+
+
+@query("dedup_minhash_portable", oracle=_minhash_portable_oracle())
+def dedup_minhash_portable(spark, sf_dir):
+    """MinHash+LSH near-dup pairs on the portable hash with affine
+    permutations mod 2^31-1: shingle → min-agg → band equi-join →
+    signature-agreement verify, every value replayed by the oracle
+    (the xxhash64 `dedup_minhash_lsh` stays the production/bench
+    path)."""
+    d = T(spark, sf_dir, "documents")
+    return dedup.minhash_dedup_pairs_portable(
+        d, "doc_id", "text", threshold=0.5
+    ).orderBy("doc_a", "doc_b")

@@ -239,11 +239,44 @@ def dml_delete_postimage(spark, sf_dir):
     )
 
 
-@query("tf_generate_random_strings")  # xxhash64-derived → rows-only check
+def _rand_strings_oracle(n: int = 1000, length: int = 10,
+                         seed: int = 42) -> str:
+    """Replays generate_random_strings_portable character by
+    character: same alphabet, same portable 2-round LCG, same
+    position-mixing — so the 'random' strings hash-match exactly."""
+    from heavydb_spark.operators.pipeline import _M31, portable_hash_sql
+    from heavydb_spark.operators.series import _RAND_ALPHA
+
+    h = portable_hash_sql(f"i * {length} + j + {seed * 7919}")
+    return f"""
+    WITH hs AS (
+        SELECT i, j, ({h}) AS h
+        FROM range(0, {n}) t(i) CROSS JOIN range(0, {length}) s(j)
+    )
+    SELECT i AS id,
+           string_agg(substr('{_RAND_ALPHA}',
+                             CAST(((h * h + h) % {_M31}) % 36 AS INTEGER) + 1,
+                             1),
+                      '' ORDER BY j) AS rand_str
+    FROM hs GROUP BY i ORDER BY id
+    """
+
+
+@query("tf_generate_random_strings", oracle=_rand_strings_oracle())
 def tf_generate_random_strings(spark, sf_dir):
     """generate_random_strings (UtilityTableFunctions.h:49) —
-    deterministic seeded strings via spark.range + xxhash64."""
-    return generate_random_strings(spark, 1000, length=10, seed=42).orderBy("id")
+    deterministic seeded strings; the portable-LCG character chain
+    makes the output engine-independent, so the seeded PRNG surface is
+    value-checked exactly (operators/series.py
+    generate_random_strings_portable; the xxhash64 variant remains for
+    JVM-local use)."""
+    from heavydb_spark.operators.series import (
+        generate_random_strings_portable,
+    )
+
+    return generate_random_strings_portable(
+        spark, 1000, length=10, seed=42
+    ).orderBy("id")
 
 
 @query(
