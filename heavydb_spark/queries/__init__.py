@@ -30,6 +30,7 @@ from heavydb_spark.queries import (  # noqa: F401,E402
     streaming_batch,
     extended,
     tpch,
+    invariants,
 )
 
 # ---------------------------------------------------------------------------
@@ -54,6 +55,11 @@ _PRIORITY = [
     "tf_torch_obj_detect",
     "dedup_simhash_portable",
     "dedup_minhash_portable",
+    "ml_kmeans_invariants",
+    "ml_pca_invariants",
+    "ml_forest_invariants",
+    "sim_ann_ivf_invariants",
+    "agg_approx_invariants",
     "tpch_q2_min_cost_supplier",
     "tpch_q4_priority_exists",
     "tpch_q8_market_share",

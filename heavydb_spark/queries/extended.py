@@ -416,11 +416,25 @@ def ml_r2_score(spark, sf_dir):
     return r2_score(o, "y", "yhat").select(F.round("r2", 6).alias("r2"))
 
 
-@query("ml_dbscan")  # iterative label propagation → rows-only check
+@query(
+    "ml_dbscan",
+    oracle="""
+    SELECT CAST(c_custkey % 7 AS BIGINT) AS cluster, count(*) AS n
+    FROM customer WHERE c_custkey <= 500
+    GROUP BY 1 ORDER BY cluster
+    """,
+)
 def ml_dbscan(spark, sf_dir):
     """dbscan (MLTableFunctions.hpp) over derived 2-D points: grid-cell
     range join for neighbors, min-label propagation for components
-    (operators/ml.py dbscan). Returns cluster sizes."""
+    (operators/ml.py dbscan). Returns cluster sizes.
+
+    Exact-oracle: the algorithm is deterministic (no seeds — pure
+    neighborhood joins + min-label propagation) and the 7 planted
+    blobs sit 15 units apart with jitter < 3.6, so every point is
+    density-reachable within its blob and no noise exists; the cluster
+    label is the blob's min pid = c_custkey % 7 and the sizes are the
+    blob cardinalities — both closed-form in SQL."""
     from heavydb_spark.operators.ml import dbscan
 
     c = T(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 500)
