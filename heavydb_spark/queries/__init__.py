@@ -60,6 +60,10 @@ _PRIORITY = [
     "ml_forest_invariants",
     "sim_ann_ivf_invariants",
     "agg_approx_invariants",
+    "ml_pca_fit_invariants",
+    "ml_var_importance_invariants",
+    "ml_decision_trees_invariants",
+    "tf_raster_slope_path_invariants",
     "tpch_q2_min_cost_supplier",
     "tpch_q4_priority_exists",
     "tpch_q8_market_share",

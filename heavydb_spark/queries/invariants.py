@@ -261,3 +261,191 @@ def agg_approx_invariants(spark, sf_dir):
             "p95_within_bounds"
         ),
     )
+
+
+@query(
+    "ml_pca_fit_invariants",
+    oracle="""
+    SELECT true AS components_unit_norm, true AS components_orthogonal,
+           true AS ev_ordered_and_bounded
+    """,
+)
+def ml_pca_fit_invariants(spark, sf_dir):
+    """pca_fit loading-matrix invariants: each component has unit L2
+    norm, the two components are orthogonal, and explained variances
+    are ordered, non-negative, and sum to <= 1 — properties of ANY
+    valid eigendecomposition, independent of convergence details."""
+    from heavydb_spark.operators.ml import pca_fit
+
+    e = T(spark, sf_dir, "embeddings")
+    fit = pca_fit(e, "embedding", k=2).localCheckpoint(eager=False)
+    norms = fit.groupBy("component_idx").agg(
+        F.sum(F.col("loading") * F.col("loading")).alias("sq")
+    )
+    unit = norms.agg(
+        F.bool_and(F.abs(F.col("sq") - 1.0) < 1e-6).alias(
+            "components_unit_norm"
+        )
+    )
+    c0 = fit.filter(F.col("component_idx") == 0).select(
+        "feature_idx", F.col("loading").alias("l0")
+    )
+    c1 = fit.filter(F.col("component_idx") == 1).select(
+        "feature_idx", F.col("loading").alias("l1")
+    )
+    ortho = (
+        c0.join(c1, "feature_idx")
+        .agg(F.sum(F.col("l0") * F.col("l1")).alias("dot"))
+        .select(
+            (F.abs(F.col("dot")) < 1e-6).alias("components_orthogonal")
+        )
+    )
+    ev = fit.groupBy("component_idx").agg(
+        F.first("explained_variance").alias("ev")
+    )
+    evp = ev.groupBy().pivot("component_idx", [0, 1]).sum("ev")
+    ev_ok = evp.select(
+        (
+            (F.col("0") >= F.col("1"))
+            & (F.col("1") >= 0)
+            & (F.col("0") + F.col("1") <= 1.0 + 1e-9)
+        ).alias("ev_ordered_and_bounded")
+    )
+    return unit.crossJoin(ortho).crossJoin(ev_ok)
+
+
+@query(
+    "ml_var_importance_invariants",
+    oracle="""
+    SELECT true AS one_row_per_feature, true AS importances_nonneg,
+           true AS importances_sum_to_one
+    """,
+)
+def ml_var_importance_invariants(spark, sf_dir):
+    """random_forest var_importance invariants: one row per feature,
+    every importance >= 0, and MLlib's normalized importances sum to 1
+    (the forest always finds at least one informative split on this
+    fixture)."""
+    from heavydb_spark.operators.ml import forest_var_importance
+
+    o = (
+        T(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 2000)
+        .select(
+            F.col("o_custkey").cast("double").alias("f1"),
+            F.dayofyear("o_orderdate").cast("double").alias("f2"),
+            F.month("o_orderdate").cast("double").alias("f3"),
+            F.col("o_totalprice").alias("label"),
+        )
+    )
+    imp = forest_var_importance(o, ["f1", "f2", "f3"], "label")
+    return imp.agg(
+        (F.count(F.lit(1)) == 3).alias("one_row_per_feature"),
+        F.bool_and(F.col("importance") >= 0).alias("importances_nonneg"),
+        (F.abs(F.sum("importance") - 1.0) < 1e-6).alias(
+            "importances_sum_to_one"
+        ),
+    )
+
+
+@query(
+    "ml_decision_trees_invariants",
+    oracle="""
+    SELECT true AS tree_count, true AS binary_tree_shape,
+           true AS unit_weights
+    """,
+)
+def ml_decision_trees_invariants(spark, sf_dir):
+    """get_decision_trees invariants: the forest has exactly num_trees
+    members, every tree is a proper binary tree (odd node count,
+    num_nodes >= 2^depth... >= depth+1), and random-forest tree weights
+    are 1.0."""
+    from heavydb_spark.operators.ml import get_decision_trees
+
+    o = (
+        T(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 2000)
+        .select(
+            F.col("o_custkey").cast("double").alias("f1"),
+            F.dayofyear("o_orderdate").cast("double").alias("f2"),
+            F.col("o_totalprice").alias("label"),
+        )
+    )
+    trees = get_decision_trees(o, ["f1", "f2"], "label", num_trees=5)
+    return trees.agg(
+        (F.count(F.lit(1)) == 5).alias("tree_count"),
+        F.bool_and(
+            (F.col("num_nodes") % 2 == 1)
+            & (F.col("num_nodes") >= F.col("depth") + 1)
+        ).alias("binary_tree_shape"),
+        F.bool_and(F.col("weight") == 1.0).alias("unit_weights"),
+    )
+
+
+@query(
+    "tf_raster_slope_path_invariants",
+    oracle="""
+    SELECT true AS starts_at_origin, true AS ends_at_destination,
+           true AS steps_dense, true AS steps_adjacent
+    """,
+)
+def tf_raster_slope_path_invariants(spark, sf_dir):
+    """Slope-weighted shortest-path invariants (the Dijkstra itself is
+    deterministic but its cost values are float-order sensitive):
+    the path starts at the origin bin, ends at the destination bin,
+    path_step is dense 1..n, and consecutive cells are 8-neighbors
+    (one bin apart in each axis at bin_size 5)."""
+    from heavydb_spark.operators.spatial import (
+        raster_graph_shortest_slope_weighted_path,
+    )
+
+    ev = T(spark, sf_dir, "events")
+    pts = ev.select(
+        ((F.col("event_id") * 13 % 1000) / 10.0).alias("x"),
+        ((F.col("event_id") * 17 % 1000) / 10.0).alias("y"),
+        F.col("value").alias("z"),
+    )
+    path = raster_graph_shortest_slope_weighted_path(
+        pts,
+        bin_size=5.0,
+        origin=(2.5, 2.5),
+        destination=(97.5, 97.5),
+        slope_weight_exponent=2.0,
+        slope_pct_max=2000.0,
+    ).localCheckpoint(eager=False)
+    w = Window.orderBy("path_step")
+    stepped = path.select(
+        "path_step",
+        "x",
+        "y",
+        F.lag("x").over(w).alias("px"),
+        F.lag("y").over(w).alias("py"),
+        F.lag("path_step").over(w).alias("ps"),
+    )
+    adj = stepped.agg(
+        F.bool_and(
+            F.col("px").isNull()
+            | (
+                (F.abs(F.col("x") - F.col("px")) <= 5.0 + 1e-9)
+                & (F.abs(F.col("y") - F.col("py")) <= 5.0 + 1e-9)
+                & (F.col("path_step") == F.col("ps") + 1)
+            )
+        ).alias("steps_adjacent"),
+        (F.min("path_step") == 1).alias("steps_start_at_one"),
+        F.count(F.lit(1)).alias("n"),
+        F.max("path_step").alias("mx"),
+        F.min_by(F.struct("x", "y"), "path_step").alias("first_cell"),
+        F.max_by(F.struct("x", "y"), "path_step").alias("last_cell"),
+    )
+    return adj.select(
+        (
+            (F.col("first_cell.x") == 2.5) & (F.col("first_cell.y") == 2.5)
+        ).alias("starts_at_origin"),
+        (
+            (F.col("last_cell.x") == 97.5) & (F.col("last_cell.y") == 97.5)
+        ).alias("ends_at_destination"),
+        (
+            (F.col("mx") == F.col("n")) & F.col("steps_start_at_one")
+        ).alias("steps_dense"),
+        "steps_adjacent",
+    )
