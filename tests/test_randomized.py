@@ -284,3 +284,71 @@ def test_randomized_windows(engine, ddb, seed):
     assert len(s_c) == len(o_c), sql
     mism = [p for p in zip(s_c, o_c) if p[0] != p[1]]
     assert not mism, f"{sql}\nfirst mismatches: {mism[:3]}"
+
+
+# --------------------------------------- randomized set ops / subqueries
+#
+# §2.7 set-operation surface and the IN/EXISTS/scalar subquery shapes
+# (ExecuteTest.cpp Select.Unions / Select.Subqueries families) under the
+# same seeded differential scheme.
+
+
+def generate_setop_sql(seed: int) -> str:
+    rng = random.Random(20_000 + seed)
+    table = rng.choice(list(TABLES))
+    spec = TABLES[table]
+    scol, _ = rng.choice(spec["strs"])
+    ncol = rng.choice(spec["nums"])
+    cols = f"{scol} AS s, CAST(floor({ncol}) AS BIGINT) AS v"
+    pa, pb = _predicate(rng, spec), _predicate(rng, spec)
+    op = rng.choice(
+        ["UNION", "UNION ALL", "INTERSECT", "EXCEPT", "UNION", "INTERSECT"]
+    )
+    return (
+        f"SELECT {cols} FROM {table} WHERE {pa} "
+        f"{op} "
+        f"SELECT {cols} FROM {table} WHERE {pb}"
+    )
+
+
+@pytest.mark.parametrize("seed", range(20))
+def test_randomized_setops(engine, ddb, seed):
+    sql = generate_setop_sql(seed)
+    srows = [tuple(r) for r in engine.sql(sql).collect()]
+    orows = ddb.sql(sql).fetchall()
+    s_c, o_c = canonical(srows), canonical(orows)
+    assert s_c == o_c, f"seed={seed} sql={sql}"
+
+
+def generate_subquery_sql(seed: int) -> str:
+    rng = random.Random(30_000 + seed)
+    kind = rng.choice(["in", "not_in", "exists", "not_exists", "scalar"])
+    cpred = _predicate(rng, DIM_TABLES["customer"])
+    if kind in ("in", "not_in"):
+        neg = "NOT " if kind == "not_in" else ""
+        return (
+            f"SELECT count(*) AS c, sum(CAST(floor(o_totalprice) AS BIGINT)) AS s "
+            f"FROM orders WHERE o_custkey {neg}IN "
+            f"(SELECT c_custkey FROM customer WHERE {cpred})"
+        )
+    if kind in ("exists", "not_exists"):
+        neg = "NOT " if kind == "not_exists" else ""
+        return (
+            f"SELECT count(*) AS c FROM orders o WHERE {neg}EXISTS "
+            f"(SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey "
+            f"AND {cpred})"
+        )
+    frac = round(rng.uniform(0.5, 1.5), 3)
+    return (
+        f"SELECT count(*) AS c FROM orders WHERE o_totalprice > "
+        f"{frac} * (SELECT avg(o_totalprice) FROM orders)"
+    )
+
+
+@pytest.mark.parametrize("seed", range(20))
+def test_randomized_subqueries(engine, ddb, seed):
+    sql = generate_subquery_sql(seed)
+    srows = [tuple(r) for r in engine.sql(sql).collect()]
+    orows = ddb.sql(sql).fetchall()
+    s_c, o_c = canonical(srows), canonical(orows)
+    assert s_c == o_c, f"seed={seed} sql={sql}"
