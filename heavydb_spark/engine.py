@@ -266,6 +266,22 @@ _SQL_TABLE_FUNCTIONS = {
 }
 
 
+# COPY t FROM '<path>' [WITH (...)] — Parser/ParserNode.h:1464
+# CopyTableStmt (Tests/ImportExportTest.cpp:227): append file rows into
+# an EXISTING table; and COPY (SELECT ...) TO '<path>' [WITH (...)] —
+# ParserNode.h:1823 ExportQueryStmt (ImportExportTest.cpp:5090).
+_COPY_FROM_RE = re.compile(
+    r"^\s*COPY\s+([\w.]+)\s+FROM\s+'([^']+)'\s*"
+    r"(?:WITH\s*\((.*?)\))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_COPY_TO_RE = re.compile(
+    r"^\s*COPY\s*\((.+)\)\s*TO\s+'([^']+)'\s*"
+    r"(?:WITH\s*\((.*?)\))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
 # DUMP TABLE t TO 'path' / RESTORE TABLE t FROM 'path' —
 # Parser/ParserNode.h:1442,1453 (Tests/DumpRestoreTest.cpp). The
 # reference archives table data + schema into a tarball; the Spark
@@ -435,6 +451,12 @@ class Engine:
             view = f"__tf_noarg_{_uuid.uuid4().hex[:12]}"
             supported_ml_frameworks(self.spark).createOrReplaceTempView(view)
             query = query[: m.start()] + view + query[m.end() :]
+        m = _COPY_TO_RE.match(query)
+        if m:
+            return self._copy_to(m.group(1), m.group(2), m.group(3) or "")
+        m = _COPY_FROM_RE.match(query)
+        if m:
+            return self._copy_from(m.group(1), m.group(2), m.group(3) or "")
         m = _DUMP_RE.match(query)
         if m:
             self.spark.table(m.group(1)).write.mode("errorifexists").parquet(
@@ -741,6 +763,76 @@ class Engine:
         affected = df.filter(cond).count()
         delete_filter(df, cond).createOrReplaceTempView(table)
         return self.spark.range(1).select(F.lit(affected).alias("rows_affected"))
+
+    def _copy_from(self, table: str, path: str, options: str) -> DataFrame:
+        """COPY t FROM '<path>' WITH (...) (CopyTableStmt,
+        Tests/ImportExportTest.cpp:227): append the file's rows to an
+        existing table. The file parses against the TABLE's schema (the
+        reference binds import columns to the table definition, not to
+        inference). source_type/file extension picks the reader
+        (delimited default, parquet supported); delimited options
+        (delimiter/header/quoted/...) pass through the CopyParams map.
+        Managed tables append in place; attached temp views get the
+        copy-on-write union-and-replace treatment the DML path uses."""
+        from heavydb_spark.sources import copy_io
+
+        try:
+            target = self.spark.table(table)
+        except Exception as exc:
+            raise ValueError(f"COPY target table {table} not found") from exc
+        opts = {
+            k.lower(): v.strip().strip("'\"")
+            for k, v in _split_assignments(options).items()
+        }
+        source_type = opts.pop("source_type", "").lower().strip()
+        if source_type in ("parquet", "parquet_file") or (
+            not source_type and path.endswith(".parquet")
+        ):
+            loaded = copy_io.copy_from_parquet(self.spark, path).select(
+                *target.columns
+            )
+        else:
+            opts.setdefault("header", "true")
+            loaded = copy_io.copy_from_csv(
+                self.spark, path, schema=target.schema, **opts
+            )
+        n = loaded.count()
+        cat = self.spark.catalog
+        is_temp = any(
+            t.name == table.split(".")[-1] and t.tableType == "TEMPORARY"
+            for t in cat.listTables()
+        )
+        if is_temp:
+            target.unionByName(loaded).createOrReplaceTempView(table)
+        else:
+            loaded.write.insertInto(table)
+        return self.spark.createDataFrame(
+            [(table, n)], "table_name STRING, rows_loaded BIGINT"
+        )
+
+    def _copy_to(self, inner: str, path: str, options: str) -> DataFrame:
+        """COPY (query) TO '<path>' WITH (...) (ExportQueryStmt,
+        Tests/ImportExportTest.cpp:5090): run the query through the
+        full dialect surface and export. file_type='parquet' (or a
+        .parquet path) writes parquet; delimited otherwise, header on
+        by default like the reference exporter. Spark writes a
+        directory of part files — the distributed export layout."""
+        from heavydb_spark.sources import copy_io
+
+        opts = {
+            k.lower(): v.strip().strip("'\"")
+            for k, v in _split_assignments(options).items()
+        }
+        df = self.sql(inner.strip())
+        n = df.count()
+        ftype = opts.pop("file_type", "").lower().strip()
+        if ftype in ("parquet",) or (not ftype and path.endswith(".parquet")):
+            copy_io.copy_to_parquet(df, path)
+        else:
+            copy_io.copy_to_csv(df, path, **opts)
+        return self.spark.createDataFrame(
+            [(path, n)], "path STRING, rows_exported BIGINT"
+        )
 
     # -- entry point B analogue (sql_execute_df, DBHandler.cpp:1457) -----
     def sql_arrow(self, query: str):

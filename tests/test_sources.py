@@ -200,3 +200,49 @@ def test_point_cloud_partial_bbox_rejected(spark):
             spark, ["synth://0"], x_min=0.0, x_max=10.0,
             decoder=synthetic_decoder,
         )
+
+
+def test_copy_statement_roundtrip(engine, tmp_path):
+    """COPY (query) TO 'path' / COPY t FROM 'path' SQL statements
+    (ParserNode.h:1464,1823; ImportExportTest.cpp:227,5090): export a
+    query result, re-import it into an attached view, and check the
+    row counts the statements report."""
+    out = str(tmp_path / "nations_out")
+    r = engine.sql(
+        f"COPY (SELECT n_nationkey, n_name FROM nation "
+        f"WHERE n_nationkey < 10) TO '{out}' WITH (header='true')"
+    ).first()
+    assert r["rows_exported"] == 10
+
+    # re-import: target view gains the 10 rows (copy-on-write union)
+    before = engine.sql("SELECT count(*) AS c FROM nation").first()["c"]
+    engine.sql("CREATE OR REPLACE TEMPORARY VIEW nation_copy AS "
+               "SELECT n_nationkey, n_name FROM nation")
+    r2 = engine.sql(
+        f"COPY nation_copy FROM '{out}' WITH (header='true')"
+    ).first()
+    assert r2["rows_loaded"] == 10
+    after = engine.sql("SELECT count(*) AS c FROM nation_copy").first()["c"]
+    assert after == before + 10
+
+
+def test_copy_statement_parquet_and_errors(engine, tmp_path):
+    pq = str(tmp_path / "exp.parquet")
+    r = engine.sql(
+        f"COPY (SELECT r_regionkey, r_name FROM region) TO '{pq}' "
+        f"WITH (file_type='parquet')"
+    ).first()
+    assert r["rows_exported"] == 5
+
+    engine.sql("CREATE OR REPLACE TEMPORARY VIEW region_copy AS "
+               "SELECT r_regionkey, r_name FROM region")
+    r2 = engine.sql(f"COPY region_copy FROM '{pq}'").first()
+    assert r2["rows_loaded"] == 5
+    assert (
+        engine.sql("SELECT count(*) AS c FROM region_copy").first()["c"] == 10
+    )
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not found"):
+        engine.sql(f"COPY no_such_table FROM '{pq}'")
