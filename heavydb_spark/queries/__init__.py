@@ -81,6 +81,7 @@ _PRIORITY = [
     "tpch_q21_waiting_supplier",
     "tpch_q22_global_sales",
     "stream_interval_join_outer",
+    "stream_interval_join_full",
     "pipe_dedup_keep_best",
     "tpcds_q36_hierarchy_rank",
     "tpcds_cross_channel",

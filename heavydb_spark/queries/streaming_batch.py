@@ -213,3 +213,42 @@ def stream_interval_join_outer(spark, sf_dir):
         "user_id", "l_ts", r2(F.col("l_value")).alias("l_value"),
         "r_ts", "r_type", r2(F.col("r_value")).alias("r_value"),
     ).orderBy("user_id", "l_ts", "r_ts")
+
+
+@query(
+    "stream_interval_join_full",
+    oracle="""
+    SELECT coalesce(a.user_id, b.r_uid) AS user_id,
+           a.ts AS l_ts, round(a.value, 2) AS l_value,
+           b.r_ts, b.r_type, round(b.r_value, 2) AS r_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') a
+    FULL JOIN (
+        SELECT user_id AS r_uid, ts AS r_ts, event_type AS r_type,
+               value AS r_value
+        FROM events WHERE event_type = 'purchase'
+    ) b
+      ON a.user_id = b.r_uid
+     AND b.r_ts > a.ts
+     AND b.r_ts <= a.ts + INTERVAL 10 MINUTE
+    ORDER BY user_id, l_ts, r_ts
+    """,
+)
+def stream_interval_join_full(spark, sf_dir):
+    """FULL OUTER stream-stream interval join, batch-verifiable form:
+    every click appears (attributed or null-purchase) AND every
+    purchase appears (attributed or null-click — the orphan-conversion
+    audit). Streaming form emits the unmatched rows as the watermark
+    passes each side's bound; tests/test_streaming.py proves
+    stream==batch on chronological micro-batches."""
+    from heavydb_spark.streaming.events import interval_join_streams
+
+    ev = T(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click")
+    buys = ev.filter(F.col("event_type") == "purchase")
+    out = interval_join_streams(
+        clicks, buys, max_lag="10 minutes", how="full_outer"
+    )
+    return out.select(
+        "user_id", "l_ts", r2(F.col("l_value")).alias("l_value"),
+        "r_ts", "r_type", r2(F.col("r_value")).alias("r_value"),
+    ).orderBy("user_id", "l_ts", "r_ts")

@@ -351,15 +351,18 @@ def interval_join_streams(
     and the time-range predicate bounds the join state Spark must
     retain — the canonical Structured Streaming interval join.
 
-    `how`: "inner" or "left_outer". The outer form emits an unmatched
-    left row (null right columns) once the combined watermark passes
-    l_ts + max_lag — the attribution-with-timeout shape; state stays
-    watermark-bounded either way.
+    `how`: "inner", "left_outer", or "full_outer". The left-outer form
+    emits an unmatched left row (null right columns) once the combined
+    watermark passes l_ts + max_lag — the attribution-with-timeout
+    shape; full-outer additionally emits unmatched RIGHT rows (null
+    left columns) once the watermark passes r_ts — the
+    orphan-conversion audit shape. State stays watermark-bounded in
+    every mode.
 
     Works identically on batch DataFrames (the batch form is the
     oracle-checkable analogue the catalog query uses).
     """
-    if how not in ("inner", "left_outer"):
+    if how not in ("inner", "left_outer", "full_outer"):
         raise ValueError(f"unsupported join type {how!r}")
     l_ = left.select(
         F.col(key).alias("k"),
@@ -382,7 +385,9 @@ def interval_join_streams(
         & (F.col("r_ts") > F.col("l_ts"))
         & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {max_lag}"))
     )
+    # coalesce: full-outer right-unmatched rows carry a null left key
+    # (identical to k for inner/left_outer, where k is never null)
     return l_.join(r_, cond, how).select(
-        F.col("k").alias("user_id"),
+        F.coalesce(F.col("k"), F.col("r_k")).alias("user_id"),
         "l_ts", "l_type", "l_value", "r_ts", "r_type", "r_value",
     )

@@ -499,3 +499,46 @@ def test_streaming_interval_join_outer_equals_batch(
     assert got == want
     assert any(r_ts is None for (_, _, r_ts) in want)  # outer rows exist
     assert len(want) > 0
+
+
+def test_streaming_interval_join_full_outer_equals_batch(
+    spark, event_stream_ordered_dir
+):
+    """FULL OUTER stream-stream interval join: chronological
+    micro-batches + watermark sentinel emit exactly the batch full
+    join — matched rows, null-attributed clicks, AND orphan
+    purchases with null click columns."""
+    from pyspark.sql import functions as F
+
+    ev_stream = stream_ops.read_event_stream(spark, event_stream_ordered_dir)
+    clicks_s = ev_stream.filter(F.col("event_type") == "click")
+    buys_s = ev_stream.filter(F.col("event_type") == "purchase")
+    joined = stream_ops.interval_join_streams(
+        clicks_s, buys_s, max_lag="10 minutes", watermark="1 minute",
+        how="full_outer",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("t_ivjoin_full")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+    got = {
+        (r.user_id, r.l_ts, r.r_ts)
+        for r in spark.table("t_ivjoin_full").collect()
+        if r.user_id != -999
+    }
+
+    ev = load_table(spark, SF_DIR, "events")
+    batch = stream_ops.interval_join_streams(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+        max_lag="10 minutes",
+        how="full_outer",
+    )
+    want = {(r.user_id, r.l_ts, r.r_ts) for r in batch.collect()}
+    assert got == want
+    assert any(r_ts is None for (_, _, r_ts) in want)   # unmatched clicks
+    assert any(l_ts is None for (_, l_ts, _) in want)   # orphan purchases
