@@ -266,6 +266,41 @@ _SQL_TABLE_FUNCTIONS = {
 }
 
 
+# ALTER TABLE (Parser/ParserNode.h AddColumnStmt/DropColumnStmt/
+# RenameColumnStmt/AlterColumnTypeStmt; Tests/AlterTableDdlTest.cpp) and
+# the HeavyDB RENAME TABLE a TO b statement form.
+_ALTER_TABLE_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+([\w.]+)\s+(.+?);?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_RENAME_TABLE_RE = re.compile(
+    r"^\s*RENAME\s+TABLE\s+([\w.]+)\s+TO\s+([\w.]+)\s*;?\s*$",
+    re.IGNORECASE,
+)
+_ALTER_ADD_RE = re.compile(
+    r"^ADD\s+(?:COLUMN\s+)?(.+)$", re.IGNORECASE | re.DOTALL
+)
+_ALTER_DROP_RE = re.compile(
+    r"^DROP\s+(?:COLUMN\s+)?([\w]+)$", re.IGNORECASE
+)
+_ALTER_RENAME_COL_RE = re.compile(
+    r"^RENAME\s+COLUMN\s+([\w]+)\s+TO\s+([\w]+)$", re.IGNORECASE
+)
+_ALTER_RENAME_TO_RE = re.compile(
+    r"^RENAME\s+TO\s+([\w.]+)$", re.IGNORECASE
+)
+_ALTER_COL_TYPE_RE = re.compile(
+    r"^ALTER\s+(?:COLUMN\s+)?([\w]+)\s+TYPE\s+(.+?)"
+    r"(?:\s+NOT\s+NULL)?$",
+    re.IGNORECASE | re.DOTALL,
+)
+_COL_DEF_RE = re.compile(
+    r"^\s*([\w]+)\s+(.+?)(?:\s+NOT\s+NULL)?"
+    r"(?:\s+DEFAULT\s+(.+?))?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
 # COPY t FROM '<path>' [WITH (...)] — Parser/ParserNode.h:1464
 # CopyTableStmt (Tests/ImportExportTest.cpp:227): append file rows into
 # an EXISTING table; and COPY (SELECT ...) TO '<path>' [WITH (...)] —
@@ -451,6 +486,14 @@ class Engine:
             view = f"__tf_noarg_{_uuid.uuid4().hex[:12]}"
             supported_ml_frameworks(self.spark).createOrReplaceTempView(view)
             query = query[: m.start()] + view + query[m.end() :]
+        m = _RENAME_TABLE_RE.match(query)
+        if m:
+            return self._alter_table(m.group(1), f"RENAME TO {m.group(2)}")
+        m = _ALTER_TABLE_RE.match(query)
+        if m and not query.lstrip().upper().startswith("ALTER SYSTEM"):
+            res = self._alter_table(m.group(1), m.group(2))
+            if res is not None:  # unrecognized form → native spark.sql
+                return res
         m = _COPY_TO_RE.match(query)
         if m:
             return self._copy_to(m.group(1), m.group(2), m.group(3) or "")
@@ -763,6 +806,116 @@ class Engine:
         affected = df.filter(cond).count()
         delete_filter(df, cond).createOrReplaceTempView(table)
         return self.spark.range(1).select(F.lit(affected).alias("rows_affected"))
+
+    def _spark_type_text(self, heavy_type: str) -> str:
+        t = heavy_type.strip()
+        for pat, repl in _TYPE_REWRITES:
+            t = pat.sub(repl, t)
+        return t.strip()
+
+    def _alter_table(self, table: str, actions: str) -> DataFrame:
+        """ALTER TABLE t ADD/DROP/RENAME COLUMN / ALTER COLUMN TYPE /
+        RENAME TO (AlterTableDdlTest.cpp; HeavyDB also spells rename as
+        RENAME TABLE a TO b). Multiple comma-separated actions apply
+        left to right like the reference's multi-clause form.
+
+        Copy-on-write semantics, consistent with the DML path: attached
+        temp views are replaced with the projected relation; managed
+        tables are rewritten via overwrite-saveAsTable (Spark v1 tables
+        can't drop or retype columns in place — the rewrite is the
+        explicit cost, the analogue of the reference's variable-length
+        column rebuild).
+
+        Returns None when an action is not one of the recognized
+        HeavyDB forms, so Spark-native ALTER statements
+        (SET TBLPROPERTIES etc.) fall through to spark.sql untouched."""
+        parsed = [a.strip() for a in _split_top_level_defs(actions)]
+        recognized = (
+            _ALTER_RENAME_COL_RE, _ALTER_RENAME_TO_RE, _ALTER_COL_TYPE_RE,
+            _ALTER_DROP_RE, _ALTER_ADD_RE,
+        )
+        if not all(any(r.match(a) for r in recognized) for a in parsed):
+            return None
+        try:
+            df = self.spark.table(table)
+        except Exception as exc:
+            raise ValueError(f"ALTER TABLE target {table} not found") from exc
+        new_name: str | None = None
+        for action in parsed:
+            m = _ALTER_RENAME_COL_RE.match(action)
+            if m:
+                old, new = m.group(1), m.group(2)
+                if old not in df.columns:
+                    raise ValueError(f"column {old} does not exist")
+                if new in df.columns:
+                    raise ValueError(f"column {new} already exists")
+                df = df.withColumnRenamed(old, new)
+                continue
+            m = _ALTER_RENAME_TO_RE.match(action)
+            if m:
+                new_name = m.group(1)
+                continue
+            m = _ALTER_COL_TYPE_RE.match(action)
+            if m:
+                col, new_type = m.group(1), self._spark_type_text(m.group(2))
+                if col not in df.columns:
+                    raise ValueError(f"column {col} does not exist")
+                df = df.withColumn(col, F.col(col).cast(new_type))
+                continue
+            m = _ALTER_DROP_RE.match(action)
+            if m:
+                col = m.group(1)
+                if col not in df.columns:
+                    raise ValueError(f"column {col} does not exist")
+                if len(df.columns) == 1:
+                    raise ValueError("cannot drop the only column")
+                df = df.drop(col)
+                continue
+            m = _ALTER_ADD_RE.match(action)
+            if m:
+                defs = m.group(1).strip()
+                if defs.startswith("(") and defs.endswith(")"):
+                    defs = defs[1:-1]
+                for d in _split_top_level_defs(defs):
+                    dm = _COL_DEF_RE.match(d)
+                    if not dm:
+                        raise ValueError(f"bad column definition: {d!r}")
+                    col, typ, dflt = dm.group(1), dm.group(2), dm.group(3)
+                    if col in df.columns:
+                        raise ValueError(f"column {col} already exists")
+                    styp = self._spark_type_text(typ)
+                    base = (
+                        F.expr(dialect.rewrite(dflt))
+                        if dflt is not None
+                        else F.lit(None)
+                    )
+                    df = df.withColumn(col, base.cast(styp))
+                continue
+            raise AssertionError(f"unreachable: {action!r}")  # pre-scanned
+
+        cat = self.spark.catalog
+        is_temp = any(
+            t.name == table.split(".")[-1] and t.tableType == "TEMPORARY"
+            for t in cat.listTables()
+        )
+        target = new_name or table
+        if is_temp:
+            if new_name:
+                df.createOrReplaceTempView(new_name)
+                cat.dropTempView(table)
+            else:
+                df.createOrReplaceTempView(table)
+        else:
+            # stage-and-swap: Spark can't overwrite a table its plan
+            # reads, and collect() would materialize on the driver —
+            # write distributed to a staging table, then swap names.
+            staging = f"{target}__alter_staging"
+            df.write.mode("errorifexists").saveAsTable(staging)
+            self.spark.sql(f"DROP TABLE {table}")
+            self.spark.sql(f"ALTER TABLE {staging} RENAME TO {target}")
+        return self.spark.createDataFrame(
+            [(target, "altered")], "table_name STRING, status STRING"
+        )
 
     def _copy_from(self, table: str, path: str, options: str) -> DataFrame:
         """COPY t FROM '<path>' WITH (...) (CopyTableStmt,

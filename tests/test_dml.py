@@ -277,3 +277,54 @@ def test_optimize_preserves_bucketing(engine, spark):
         spark.sql("DROP TABLE IF EXISTS opt_b")
         spark.sql("DROP TABLE IF EXISTS opt_b__optimized_tmp")
         spark.sql("DROP TABLE IF EXISTS opt_b__optimized_old")
+
+
+def test_alter_table_views(engine):
+    """ALTER TABLE ADD/DROP/RENAME COLUMN + ALTER COLUMN TYPE on an
+    attached view (AlterTableDdlTest.cpp), copy-on-write like DML."""
+    engine.sql("CREATE OR REPLACE TEMPORARY VIEW alt_v AS "
+               "SELECT n_nationkey, n_name, n_regionkey FROM nation")
+    engine.sql("ALTER TABLE alt_v ADD COLUMN note TEXT")
+    engine.sql("ALTER TABLE alt_v ADD (score DOUBLE DEFAULT 1.5, tag TEXT)")
+    r = engine.sql("SELECT note, score, tag FROM alt_v LIMIT 1").first()
+    assert r["note"] is None and r["score"] == 1.5 and r["tag"] is None
+
+    engine.sql("ALTER TABLE alt_v DROP COLUMN n_regionkey")
+    assert "n_regionkey" not in engine.sql("SELECT * FROM alt_v").columns
+
+    engine.sql("ALTER TABLE alt_v RENAME COLUMN n_name TO nation_name")
+    assert "nation_name" in engine.sql("SELECT * FROM alt_v").columns
+
+    engine.sql("ALTER TABLE alt_v ALTER COLUMN n_nationkey TYPE BIGINT, "
+               "ALTER COLUMN score TYPE TEXT")
+    sch = dict(engine.sql("SELECT * FROM alt_v").dtypes)
+    assert sch["n_nationkey"] == "bigint" and sch["score"] == "string"
+
+    engine.sql("RENAME TABLE alt_v TO alt_v2")
+    assert engine.sql("SELECT count(*) AS c FROM alt_v2").first()["c"] == 25
+
+    import pytest as _pytest
+    with _pytest.raises(Exception):
+        engine.sql("SELECT * FROM alt_v")
+    with _pytest.raises(ValueError, match="does not exist"):
+        engine.sql("ALTER TABLE alt_v2 DROP COLUMN nope")
+    with _pytest.raises(ValueError, match="already exists"):
+        engine.sql("ALTER TABLE alt_v2 ADD COLUMN note TEXT")
+
+
+def test_alter_table_managed(engine, tmp_path):
+    """ALTER TABLE on a managed table: distributed stage-and-swap
+    rewrite (no driver materialization), then verify schema + data."""
+    engine.spark.sql("DROP TABLE IF EXISTS alt_m")
+    engine.spark.sql("DROP TABLE IF EXISTS alt_m2")
+    engine.sql("CREATE TABLE alt_m AS SELECT r_regionkey, r_name FROM region")
+    engine.sql("ALTER TABLE alt_m ADD COLUMN flag BOOLEAN DEFAULT true")
+    engine.sql("ALTER TABLE alt_m RENAME COLUMN r_name TO region_name")
+    out = engine.sql(
+        "SELECT r_regionkey, region_name, flag FROM alt_m "
+        "ORDER BY r_regionkey"
+    ).collect()
+    assert len(out) == 5 and all(r["flag"] for r in out)
+    engine.sql("RENAME TABLE alt_m TO alt_m2")
+    assert engine.sql("SELECT count(*) AS c FROM alt_m2").first()["c"] == 5
+    engine.spark.sql("DROP TABLE IF EXISTS alt_m2")
