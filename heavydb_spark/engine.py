@@ -77,6 +77,44 @@ _TF_NOARG_RE = re.compile(
 )
 
 
+# HeavyDB query hints /*+ name[(arg)] [, ...] */ — QueryHint.h:65-94.
+_HINT_BLOCK_RE = re.compile(r"/\*\+(.*?)\*/", re.DOTALL)
+_HINT_ITEM_RE = re.compile(r"^\s*([\w]+)\s*(?:\(\s*([^()]*?)\s*\))?\s*$")
+
+_KNOWN_HINTS = {
+    "cpu_mode", "columnar_output", "rowwise_output",
+    "bbox_intersect_bucket_threshold", "bbox_intersect_max_size",
+    "bbox_intersect_allow_gpu_build", "bbox_intersect_no_cache",
+    "bbox_intersect_keys_per_bin", "keep_result",
+    "keep_table_function_result", "aggregate_tree_fanout",
+    "cuda_block_size", "cuda_grid_size_multiplier",
+    "cuda_opt_block_and_grid_sizes", "watchdog", "dynamic_watchdog",
+    "watchdog_off", "dynamic_watchdog_off", "query_time_limit",
+    "allow_loop_join", "disable_loop_join",
+    "loop_join_inner_table_max_num_rows", "max_join_hashtable_size",
+    "force_baseline_hash_join", "force_one_to_many_hash_join",
+    "watchdog_max_projected_rows_per_device",
+    "preflight_count_query_threshold", "table_reordering_off",
+    "ndv_groups_estimator_multiplier",
+}
+
+
+def _extract_query_hints(query: str) -> tuple[str, dict[str, str | None]]:
+    """Strip the first /*+ ... */ block and parse `name` / `name(arg)`
+    items. Non-HeavyDB hint blocks (e.g. Spark's BROADCAST(t)) are
+    left in place for Catalyst."""
+    m = _HINT_BLOCK_RE.search(query)
+    if not m:
+        return query, {}
+    items = {}
+    for part in m.group(1).split(","):
+        im = _HINT_ITEM_RE.match(part)
+        if not im or im.group(1).lower() not in _KNOWN_HINTS:
+            return query, {}  # not a HeavyDB hint block — leave intact
+        items[im.group(1).lower()] = im.group(2)
+    return query[: m.start()] + query[m.end():], items
+
+
 def _arg(args: dict, name: str, pos: int, default):
     """Resolve a TF argument by name => value or by position — the
     reference's invocation syntax allows both."""
@@ -518,7 +556,68 @@ class Engine:
             return self.spark.createDataFrame(
                 [(m.group(1), m.group(2))], "table_name STRING, path STRING"
             )
-        return self.spark.sql(dialect.rewrite(query))
+        query, hints = _extract_query_hints(query)
+        df = self.spark.sql(dialect.rewrite(query))
+        return self._apply_query_hints(df, hints)
+
+    def _apply_query_hints(
+        self, df: DataFrame, hints: dict[str, str | None]
+    ) -> DataFrame:
+        """HeavyDB /*+ hint */ semantics (QueryEngine/QueryHint.h:65-94;
+        Tests/SQLHintTest.cpp). Device/layout/GPU/watchdog-tuning hints
+        are accepted no-ops (CPU Spark has one device and parquet is
+        already columnar); three have real Spark semantics:
+
+        - keep_result: pin the result relation (localCheckpoint — the
+          reference's resultset-recycler pin, freed by the
+          ContextCleaner rather than an explicit DROP);
+        - disable_loop_join: reject plans that chose a nested-loop /
+          cartesian strategy, like the reference's loop-join guard;
+        - query_time_limit(ms): execute eagerly under a watchdog that
+          cancels the job group on expiry (the reference's
+          per-query dynamic watchdog; its sql_execute is eager too).
+        """
+        if not hints:
+            return df
+        if "disable_loop_join" in hints:
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            if "BroadcastNestedLoopJoin" in plan or "CartesianProduct" in plan:
+                raise ValueError(
+                    "hint disable_loop_join: plan requires a loop join "
+                    "(no equi-join condition)"
+                )
+        if "keep_result" in hints or "keep_table_function_result" in hints:
+            df = df.localCheckpoint(eager=False)
+        if "query_time_limit" in hints:
+            import threading
+
+            limit_ms = int(hints["query_time_limit"] or 0)
+            group = f"hint_time_limit_{id(df)}"
+            sc = self.spark.sparkContext
+            state = {"rows": None, "err": None}
+
+            def _run():
+                try:
+                    sc.setJobGroup(group, "query_time_limit", True)
+                    state["rows"] = df.collect()
+                except Exception as exc:  # noqa: BLE001 - surfaced below
+                    state["err"] = exc
+                finally:
+                    sc.setJobGroup("", "")
+
+            t = threading.Thread(target=_run, daemon=True)
+            t.start()
+            t.join(limit_ms / 1000.0)
+            if t.is_alive():
+                sc.cancelJobGroup(group)
+                t.join(30)
+                raise TimeoutError(
+                    f"query exceeded query_time_limit({limit_ms})"
+                )
+            if state["err"] is not None:
+                raise state["err"]
+            return self.spark.createDataFrame(state["rows"], df.schema)
+        return df
 
     def _optimize_table(
         self, name: str, target_file_rows: int = 1_000_000

@@ -1139,3 +1139,59 @@ def test_cursor_torch_obj_detect_sql_form(engine):
     assert r["n"] == 1
     assert r["cls"] == "blob"
     assert r["w"] == 6.0
+
+
+def test_query_hints_accepted_and_semantic(engine):
+    """HeavyDB /*+ hint */ surface (QueryHint.h:65-94; SQLHintTest.cpp):
+    device/layout hints are accepted no-ops; disable_loop_join rejects
+    plans without an equi-join; query_time_limit enforces a watchdog;
+    Spark's own hints pass through untouched."""
+    import pytest as _pytest
+
+    r = engine.sql(
+        "SELECT /*+ cpu_mode, columnar_output */ count(*) AS c FROM nation"
+    ).first()
+    assert r["c"] == 25
+
+    r2 = engine.sql(
+        "SELECT /*+ watchdog, keep_result */ count(*) AS c FROM region"
+    ).first()
+    assert r2["c"] == 5
+
+    # generous limit passes and returns the materialized result
+    r3 = engine.sql(
+        "SELECT /*+ query_time_limit(60000) */ count(*) AS c FROM orders"
+    ).first()
+    assert r3["c"] > 0
+
+    # equi-join is fine under disable_loop_join...
+    ok = engine.sql(
+        "SELECT /*+ disable_loop_join */ count(*) AS c "
+        "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey"
+    ).first()
+    assert ok["c"] > 0
+    # ...a theta-only join is not
+    with _pytest.raises(ValueError, match="loop join"):
+        engine.sql(
+            "SELECT /*+ disable_loop_join */ count(*) AS c "
+            "FROM region a JOIN region b ON a.r_regionkey < b.r_regionkey"
+        )
+
+    # Spark-native hint blocks are preserved (not parsed as HeavyDB's)
+    rb = engine.sql(
+        "SELECT /*+ BROADCAST(customer) */ count(*) AS c "
+        "FROM orders o JOIN customer ON o.o_custkey = c_custkey"
+    ).first()
+    assert rb["c"] > 0
+
+
+def test_query_time_limit_fires(engine):
+    """query_time_limit cancels a runaway query (the reference's
+    dynamic-watchdog semantics, RuntimeInterruptTest.cpp shape)."""
+    import pytest as _pytest
+
+    with _pytest.raises(TimeoutError, match="query_time_limit"):
+        engine.sql(
+            "SELECT /*+ query_time_limit(300) */ count(*) AS c "
+            "FROM lineitem a, lineitem b, lineitem c"
+        )
