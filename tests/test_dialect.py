@@ -1195,3 +1195,29 @@ def test_query_time_limit_fires(engine):
             "SELECT /*+ query_time_limit(300) */ count(*) AS c "
             "FROM lineitem a, lineitem b, lineitem c"
         )
+
+
+def test_special_chars_in_strings(engine):
+    """Unicode control chars, escape sequences, quotes, and multibyte
+    strings survive INSERT + equality predicates through the dialect
+    (Tests/SpecialCharsTest.cpp)."""
+    vals = ["\u001e", "\u008d", "tab\there", "it''s",
+            "emoji \U0001f600", "acc\u00e9nt"]
+    engine.spark.sql("DROP TABLE IF EXISTS special_chars")
+    engine.sql("CREATE TABLE special_chars (x INT, str TEXT) WITH "
+               "(fragment_size=100)")
+    for i, v in enumerate(vals):
+        engine.sql(f"INSERT INTO special_chars VALUES ({i}, '{v}')")
+    try:
+        for i, v in enumerate(vals):
+            got = engine.sql(
+                f"SELECT x FROM special_chars WHERE str = '{v}'"
+            ).collect()
+            assert [r["x"] for r in got] == [i], repr(v)
+        r = engine.sql(
+            "SELECT count(*) AS c FROM special_chars "
+            "WHERE str LIKE '%\u00e9%'"
+        ).first()
+        assert r["c"] == 1
+    finally:
+        engine.spark.sql("DROP TABLE IF EXISTS special_chars")
