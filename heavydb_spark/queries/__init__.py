@@ -55,6 +55,9 @@ _PRIORITY = [
     "tf_torch_obj_detect",
     "dedup_simhash_portable",
     "dedup_minhash_portable",
+    "sim_ann_lsh",               # graduated: seeded-hyperplane exact oracle
+    "tf_generate_random_strings",  # graduated: portable-LCG exact oracle
+    "ml_dbscan",                 # graduated: closed-form blob oracle
     "ml_kmeans_invariants",
     "ml_pca_invariants",
     "ml_forest_invariants",
