@@ -472,6 +472,53 @@ class Engine:
     def table(self, name: str) -> DataFrame:
         return self.spark.table(name)
 
+    def load_table(self, name: str, rows, column_names=None) -> DataFrame:
+        """Thrift load_table / load_table_binary_arrow analogue
+        (DBHandler.cpp load_table*; Tests/LoadTableTest.cpp): bulk
+        append client-side data to an existing table. `rows` may be a
+        list of tuples, a pandas DataFrame, or a pyarrow Table (the
+        binary-Arrow path). Values bind to the table schema
+        positionally, or by `column_names` when given (omitted columns
+        load as NULL, like the reference's column_names form).
+
+        Managed tables append in place; attached temp views union
+        copy-on-write. Returns a (table_name, rows_loaded) row."""
+        target = self.spark.table(name)
+        cols = list(column_names) if column_names else list(target.columns)
+        unknown = [c for c in cols if c not in target.columns]
+        if unknown:
+            raise ValueError(f"unknown column(s) {unknown} in {name}")
+        sub_schema = [target.schema[c] for c in cols]
+        try:
+            import pyarrow as pa
+
+            if isinstance(rows, pa.Table):
+                rows = rows.to_pandas()
+        except ImportError:  # pragma: no cover - pyarrow is baked in
+            pass
+        from pyspark.sql.types import StructType
+
+        loaded = self.spark.createDataFrame(rows, StructType(sub_schema))
+        for c in target.columns:
+            if c not in cols:
+                loaded = loaded.withColumn(
+                    c, F.lit(None).cast(target.schema[c].dataType)
+                )
+        loaded = loaded.select(*target.columns)
+        n = loaded.count()
+        cat = self.spark.catalog
+        is_temp = any(
+            t.name == name.split(".")[-1] and t.tableType == "TEMPORARY"
+            for t in cat.listTables()
+        )
+        if is_temp:
+            target.unionByName(loaded).createOrReplaceTempView(name)
+        else:
+            loaded.write.insertInto(name)
+        return self.spark.createDataFrame(
+            [(name, n)], "table_name STRING, rows_loaded BIGINT"
+        )
+
     def register_model(
         self, name: str, intercept: float, coefs: list[float]
     ) -> "Engine":

@@ -328,3 +328,35 @@ def test_alter_table_managed(engine, tmp_path):
     engine.sql("RENAME TABLE alt_m TO alt_m2")
     assert engine.sql("SELECT count(*) AS c FROM alt_m2").first()["c"] == 5
     engine.spark.sql("DROP TABLE IF EXISTS alt_m2")
+
+
+def test_load_table_rows_pandas_arrow(engine):
+    """load_table / load_table_binary_arrow analogue
+    (Tests/LoadTableTest.cpp): tuples, pandas, and pyarrow inputs,
+    positional or named columns with NULL fill."""
+    import pandas as pd
+    import pyarrow as pa
+
+    engine.sql("CREATE OR REPLACE TEMPORARY VIEW lt_v AS "
+               "SELECT n_nationkey, n_name, n_regionkey FROM nation")
+    r = engine.load_table("lt_v", [(100, "ATLANTIS", 9)]).first()
+    assert r["rows_loaded"] == 1
+
+    pdf = pd.DataFrame({"n_nationkey": [101], "n_name": ["LEMURIA"],
+                        "n_regionkey": [9]})
+    engine.load_table("lt_v", pdf)
+
+    tbl = pa.table({"n_nationkey": [102], "n_name": ["MU"]})
+    engine.load_table("lt_v", tbl, column_names=["n_nationkey", "n_name"])
+
+    got = engine.sql(
+        "SELECT n_nationkey, n_name, n_regionkey FROM lt_v "
+        "WHERE n_nationkey >= 100 ORDER BY n_nationkey"
+    ).collect()
+    assert [(r[0], r[1], r[2]) for r in got] == [
+        (100, "ATLANTIS", 9), (101, "LEMURIA", 9), (102, "MU", None),
+    ]
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="unknown column"):
+        engine.load_table("lt_v", [(1,)], column_names=["nope"])
