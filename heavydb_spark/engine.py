@@ -316,7 +316,7 @@ _RENAME_TABLE_RE = re.compile(
     re.IGNORECASE,
 )
 _ALTER_ADD_RE = re.compile(
-    r"^ADD\s+(?:COLUMN\s+)?(.+)$", re.IGNORECASE | re.DOTALL
+    r"^ADD\s+(?:COLUMNS?\s+)?(.+)$", re.IGNORECASE | re.DOTALL
 )
 _ALTER_DROP_RE = re.compile(
     r"^DROP\s+(?:COLUMN\s+)?([\w]+)$", re.IGNORECASE
