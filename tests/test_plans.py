@@ -270,3 +270,32 @@ def test_q19_single_join_no_fact_shuffle(spark):
     # the scans — PushedFilters on l_quantity and p_brand/p_size)
     assert "Exchange hashpartitioning" not in s, s
     assert checks.has_pushed_filters(df), checks.plan_string(df)
+
+
+def test_obj_detect_plan_distributed(spark):
+    """Raster obj-detect (operators/objdetect.py): per-tile detection
+    runs as a grouped pandas stage keyed on the tile id (one shuffle
+    scaling with raster extent), and the NMS candidate join is an
+    equi-join on grid cells — never a cartesian/nested-loop pass over
+    detections."""
+    from heavydb_spark.queries import QUERIES
+
+    df = QUERIES["tf_torch_obj_detect"](spark, SF_DIR)
+    s = checks.plan_string(df, "simple")
+    assert "FlatMapGroupsInPandas" in s, s
+    assert "CartesianProduct" not in s, s
+    assert "BroadcastNestedLoopJoin" not in s, s
+
+
+def test_portable_minhash_plan_shape(spark):
+    """Portable MinHash (dedup.minhash_dedup_pairs_portable): the
+    candidate generator must stay a band-key equi-join (SortMergeJoin /
+    ShuffledHashJoin / BroadcastHashJoin), never an all-pairs product."""
+    from heavydb_spark.operators.dedup import minhash_dedup_pairs_portable
+    from heavydb_spark.queries.util import T
+
+    d = T(spark, SF_DIR, "documents")
+    df = minhash_dedup_pairs_portable(d, "doc_id", "text", threshold=0.5)
+    s = checks.plan_string(df, "simple")
+    assert "CartesianProduct" not in s, s
+    assert "BroadcastNestedLoopJoin" not in s, s
