@@ -67,6 +67,14 @@ _PRIORITY = [
     "ml_var_importance_invariants",
     "ml_decision_trees_invariants",
     "tf_raster_slope_path_invariants",
+    # --- code-touched in round 4 — re-verify ---
+    "pipe_mix_sources",          # now weights real fixture sources (non-vacuous)
+    "sim_embedding_neardup",     # planted duplicates + exact oracle (was rows-only)
+    "window_lag_lead_in_frame",  # collect_list emulation -> O(1) lag/lead
+    "join_multistep_tpch_q7",    # pre-pushed one-sided nation filters
+    "pipe_pack_sequences",       # group-column type derived from schema
+    "tf_raster_slope_path",      # driver-materialization cell cap
+    "sql_dialect_window_fill",   # dialect window-rewrite module touched
     "tpch_q2_min_cost_supplier",
     "tpch_q4_priority_exists",
     "tpch_q8_market_share",
@@ -92,14 +100,6 @@ _PRIORITY = [
     "subquery_correlated_scalar",
     "subquery_not_in_nulls",
     "dml_update_correlated_postimage",
-    # --- code-touched in round 4 — re-verify ---
-    "pipe_mix_sources",          # now weights real fixture sources (non-vacuous)
-    "sim_embedding_neardup",     # planted duplicates + exact oracle (was rows-only)
-    "window_lag_lead_in_frame",  # collect_list emulation -> O(1) lag/lead
-    "join_multistep_tpch_q7",    # pre-pushed one-sided nation filters
-    "pipe_pack_sequences",       # group-column type derived from schema
-    "tf_raster_slope_path",      # driver-materialization cell cap
-    "sql_dialect_window_fill",   # dialect window-rewrite module touched
     # --- rows-only rotation: every sketch/iterative query re-recorded
     # this round (invariant value-tests live in tests/test_operators.py:
     # kmeans cluster consistency, dbscan density, pca distances,
