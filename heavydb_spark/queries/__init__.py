@@ -53,6 +53,7 @@ _PRIORITY = [
     "tf_point_cloud_metadata",
     "tf_load_point_cloud",
     "tf_torch_obj_detect",
+    "pipe_end_to_end_corpus",
     "dedup_simhash_portable",
     "dedup_minhash_portable",
     "sim_ann_lsh",               # graduated: seeded-hyperplane exact oracle

@@ -961,3 +961,139 @@ def dedup_minhash_portable(spark, sf_dir):
     return dedup.minhash_dedup_pairs_portable(
         d, "doc_id", "text", threshold=0.5
     ).orderBy("doc_a", "doc_b")
+
+
+# ------------------------------------- end-to-end corpus curation chain
+#
+# The flagship composition: the stages a real pre-training corpus runs
+# through, chained as ONE dataflow and oracle-checked as one unit —
+# plant PII -> scrub -> quality filter -> exact dedup (normalization
+# fingerprint) -> near-dup collapse (3-gram Jaccard pairs + connected
+# components) -> deterministic hash sample. Every stage reuses a
+# kernel whose oracle is individually proven above; this query proves
+# the COMPOSITION (column flow, survivor joins, stage ordering).
+
+
+def _end_to_end_oracle() -> str:
+    planted = (
+        "concat(text, ' contact user', doc_id, "
+        "'@example.com for details')"
+    )
+    scrub = pipeline.pii_scrub_sql(planted)
+    cut = int(0.8 * 2_147_483_647)
+    phash = pipeline.portable_hash_sql("doc_id")
+    return f"""
+    WITH RECURSIVE raw AS (
+        SELECT doc_id, {scrub} AS text FROM documents
+    ), q AS (
+        SELECT doc_id, text,
+               len(string_split_regex(trim(text), '\\s+')) AS toks,
+               len(list_filter(string_split_regex(lower(text), '\\s+'),
+                   t -> t IN ('the', 'a', 'of', 'and'))) * 1.0
+                   / len(string_split_regex(trim(text), '\\s+')) AS stopr
+        FROM raw
+    ), kept AS (
+        SELECT doc_id, text FROM q WHERE toks >= 30 AND stopr >= 0.03
+    ), fps AS (
+        SELECT doc_id, text,
+               md5(trim(regexp_replace(regexp_replace(lower(text),
+                   '[^a-z0-9]+', ' ', 'g'), '\\s+', ' ', 'g'))) AS fp
+        FROM kept
+    ), keepers AS (
+        SELECT fp, min(doc_id) AS keeper FROM fps GROUP BY fp
+    ), exact_kept AS (
+        SELECT f.doc_id, f.text FROM fps f
+        JOIN keepers k ON f.fp = k.fp AND f.doc_id = k.keeper
+    ), sh AS (
+        SELECT DISTINCT doc_id AS doc, shingle
+        FROM (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       range(1, len(string_split_regex(trim(text), '\\s+')) - 1),
+                       i -> concat_ws(' ',
+                            string_split_regex(trim(text), '\\s+')[i],
+                            string_split_regex(trim(text), '\\s+')[i+1],
+                            string_split_regex(trim(text), '\\s+')[i+2])
+                   )) AS shingle
+            FROM exact_kept
+        )
+    ), sizes AS (
+        SELECT doc, count(*) AS n_sh FROM sh GROUP BY doc
+    ), inter AS (
+        SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+        GROUP BY a.doc, b.doc
+    ), prs AS (
+        SELECT doc_a, doc_b FROM inter
+        JOIN sizes sa ON sa.doc = doc_a
+        JOIN sizes sb ON sb.doc = doc_b
+        WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.2
+    ), und AS (
+        SELECT doc_a AS src, doc_b AS dst FROM prs
+        UNION SELECT doc_b, doc_a FROM prs
+    ), reach AS (
+        SELECT src AS node, src AS r FROM und
+        UNION
+        SELECT u.src, reach.r FROM und u JOIN reach ON u.dst = reach.node
+    ), comp AS (
+        SELECT node, min(r) AS canon FROM reach GROUP BY node
+    ), near_kept AS (
+        SELECT e.doc_id, e.text FROM exact_kept e
+        LEFT JOIN comp c ON e.doc_id = c.node
+        WHERE c.node IS NULL OR c.canon = e.doc_id
+    ), sampled AS (
+        SELECT doc_id, text FROM near_kept WHERE ({phash}) < {cut}
+    )
+    SELECT doc_id,
+           len(string_split_regex(trim(text), '\\s+')) AS tokens,
+           md5(text) AS text_hash
+    FROM sampled ORDER BY doc_id
+    """
+
+
+@query("pipe_end_to_end_corpus", oracle=_end_to_end_oracle())
+def pipe_end_to_end_corpus(spark, sf_dir):
+    """End-to-end corpus curation: PII scrub -> quality filter ->
+    exact dedup -> near-dup cluster collapse -> deterministic sample,
+    as one dataflow (each kernel individually oracled above; this
+    proves the composition). Scale shape: scrub/quality/sample are
+    scan-level codegen, exact dedup one fingerprint shuffle, near-dup
+    the shingle equi-join + bounded label propagation — no stage
+    materializes to the driver."""
+    d = T(spark, sf_dir, "documents")
+    planted = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com for details"),
+    )
+    raw = d.select("doc_id", pipeline.pii_scrub(planted).alias("text"))
+    q = text.quality_features(raw)
+    kept = q.filter(
+        (F.col("q_tokens") >= 30) & (F.col("q_stopword_ratio") >= 0.03)
+    ).select("doc_id", "text")
+    fps = kept.withColumn("fp", text.fingerprint(F.col("text")))
+    keepers = fps.groupBy("fp").agg(F.min("doc_id").alias("keeper"))
+    exact_kept = (
+        fps.join(keepers, "fp")
+        .filter(F.col("doc_id") == F.col("keeper"))
+        .select("doc_id", "text")
+        .localCheckpoint(eager=False)
+    )
+    pairs = dedup.ngram_jaccard_pairs(
+        exact_kept, "doc_id", "text", n=3, threshold=0.2
+    )
+    comp = dedup.connected_components(pairs).select(
+        F.col("node"), F.col("component").alias("canon")
+    )
+    near_kept = (
+        exact_kept.join(comp, exact_kept["doc_id"] == comp["node"], "left")
+        .filter(F.col("node").isNull() | (F.col("canon") == F.col("doc_id")))
+        .select("doc_id", "text")
+    )
+    sampled = pipeline.sample_hash(near_kept, "doc_id", 0.8)
+    return sampled.select(
+        "doc_id",
+        text.token_count(F.col("text")).alias("tokens"),
+        F.md5("text").alias("text_hash"),
+    ).orderBy("doc_id")
