@@ -98,7 +98,82 @@ _QUOTED_ARG_REWRITES: list[tuple[re.Pattern, str]] = [
         re.compile(r"\bDATEPART\s*\(\s*'(\w+)'\s*,\s*", re.IGNORECASE),
         lambda m: f"extract({m.group(1).upper()} FROM ",
     ),
+    # TIME 'HH:MM:SS' literal -> seconds-of-day int (the repo's TIME
+    # representation, Shared/sqltypes.h kTIME; tests/test_types.py)
+    (
+        re.compile(r"\bTIME\s+'(\d{1,2}):(\d{2}):(\d{2})'", re.IGNORECASE),
+        lambda m: str(
+            int(m.group(1)) * 3600 + int(m.group(2)) * 60 + int(m.group(3))
+        ),
+    ),
+    # CAST(x AS TIME) -> parse HH:mm:ss to seconds-of-day
+    (
+        re.compile(r"\bCAST\s*\(([^()]*?)\s+AS\s+TIME\s*\)", re.IGNORECASE),
+        lambda m: f"unix_timestamp({m.group(1)}, 'HH:mm:ss')",
+    ),
 ]
+
+_ARRAY_BRACKET = re.compile(r"\bARRAY\s*\[([^\[\]]*)\]", re.IGNORECASE)
+
+
+def _rewrite_array_index(sql: str) -> str:
+    """HeavyDB/Calcite array subscripts are 1-BASED (`arr_i16[1]` is
+    the first element, Tests/ExecuteTest.cpp:2983); Spark's `[ ]` is
+    0-based, so `expr[i]` rewrites to `element_at(expr, i)` (1-based).
+    Handles bare columns, qualified names, call results
+    (`array(...)[2]`), and chained subscripts inside-out."""
+    while True:
+        # innermost subscript: no '[' in the index expression
+        i = sql.find("[")
+        found = None
+        while i != -1:
+            j = sql.find("]", i + 1)
+            k = sql.find("[", i + 1)
+            if j == -1:
+                break
+            if k != -1 and k < j:
+                i = k
+                continue
+            found = (i, j)
+            break
+        if not found:
+            return sql
+        i, j = found
+        idx = sql[i + 1 : j].strip()
+        # locate the start of the indexed primary expression
+        p = i - 1
+        while p >= 0 and sql[p].isspace():
+            p -= 1
+        if p >= 0 and sql[p] == ")":
+            depth = 0
+            q = p
+            while q >= 0:
+                if sql[q] == ")":
+                    depth += 1
+                elif sql[q] == "(":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                q -= 1
+            # include the callee identifier before '('
+            r = q - 1
+            while r >= 0 and (sql[r].isalnum() or sql[r] in "_."):
+                r -= 1
+            start = r + 1
+        elif p >= 0 and (sql[p].isalnum() or sql[p] in "_."):
+            r = p
+            while r >= 0 and (sql[r].isalnum() or sql[r] in "_."):
+                r -= 1
+            start = r + 1
+        else:
+            # nothing indexable before '[' — leave untouched
+            return sql
+        expr = sql[start : i].rstrip()
+        sql = (
+            sql[:start]
+            + f"element_at({expr}, {idx})"
+            + sql[j + 1 :]
+        )
 
 # (pattern, replacement) applied in order, case-insensitive.
 _REWRITES: list[tuple[re.Pattern, str]] = [
@@ -137,6 +212,12 @@ _REWRITES: list[tuple[re.Pattern, str]] = [
     (re.compile(r"\bUNNEST\s*\(", re.IGNORECASE), "explode("),
     (re.compile(r"\bARRAY_LENGTH\s*\(", re.IGNORECASE), "cardinality("),
     (re.compile(r"\{([^{}]*)\}"), r"array(\1)"),
+    # GROUP BY () — the grand-total grouping (Calcite accepts it;
+    # Spark needs the explicit grouping-sets spelling)
+    (
+        re.compile(r"\bGROUP\s+BY\s*\(\s*\)", re.IGNORECASE),
+        "GROUP BY GROUPING SETS (())",
+    ),
     # Quantified array comparisons `expr op ANY|ALL array_col`
     # (ExecuteTest.cpp:11201-11243: `x - 5 = ANY arr_i16`). Rewritten
     # to higher-order exists/forall, which generalizes every operator.
@@ -853,6 +934,14 @@ def rewrite(sql: str) -> str:
     out = _LITERAL.sub(_mask, out)
     for pat, repl in _REWRITES:
         out = pat.sub(repl, out)
+    # bracket array constructor ARRAY[...] -> array(...); loop so
+    # nested constructors resolve inside-out
+    while True:
+        out2 = _ARRAY_BRACKET.sub(r"array(\1)", out)
+        if out2 == out:
+            break
+        out = out2
+    out = _rewrite_array_index(out)
     for fname, make in _CALL_REWRITES:
         out = _rewrite_call(out, fname, make)
     for fname, make in _WINDOW_REWRITES:

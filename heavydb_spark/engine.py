@@ -46,6 +46,14 @@ _CREATE_WITH_RE = re.compile(
 )
 _SHARD_KEY_RE = re.compile(r"^\s*SHARD\s+KEY\s*\(\s*(\w+)\s*\)\s*$", re.IGNORECASE)
 
+# plain CREATE TABLE t (col defs) — no WITH(...), not CTAS: the column
+# definitions still carry HeavyDB type names (TEXT, TIME, INT[])
+_CREATE_PLAIN_RE = re.compile(
+    r"^(\s*CREATE\s+(?:TEMPORARY\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+    r"[\w.]+\s*\()(.*)(\)\s*;?\s*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+
 # SHOW introspection commands (Parser/ParserNode.h ShowCreateTableStmt;
 # DdlCommandExecutor.cpp ShowTableDetailsCommand; exercised by
 # Tests/ShowCommandsDdlTest.cpp). Spark's native SHOW CREATE TABLE
@@ -420,6 +428,13 @@ def _heavy_type(spark_type: str) -> str:
 # clauses are storage hints with no Spark equivalent and are dropped
 # (dictionary/delta encoding happens inside parquet).
 _TYPE_REWRITES: list[tuple[re.Pattern, str]] = [
+    # postfix array types INT[] / TEXT[] / DECIMAL(10,2)[]
+    # (Shared/sqltypes.h kARRAY) -> ARRAY<...>; runs first so the
+    # element type falls through the scalar rewrites below
+    (
+        re.compile(r"\b([A-Za-z]\w*(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?)\s*\[\s*\]"),
+        r"ARRAY<\1>",
+    ),
     (re.compile(r"\bTEXT\b", re.IGNORECASE), "STRING"),
     (re.compile(r"\bTIMESTAMP\s*\(\s*\d\s*\)", re.IGNORECASE), "TIMESTAMP"),
     (re.compile(r"\bTIME\b(?!STAMP)", re.IGNORECASE), "INT"),
@@ -603,6 +618,15 @@ class Engine:
             return self.spark.createDataFrame(
                 [(m.group(1), m.group(2))], "table_name STRING, path STRING"
             )
+        m = _CREATE_PLAIN_RE.match(query)
+        if m:
+            # plain CREATE TABLE (cols): HeavyDB type names + postfix
+            # arrays -> Spark DDL types (the WITH(...) form above does
+            # the same per column def)
+            defs = m.group(2)
+            for pat, repl in _TYPE_REWRITES:
+                defs = pat.sub(repl, defs)
+            query = m.group(1) + defs + m.group(3)
         query, hints = _extract_query_hints(query)
         df = self.spark.sql(dialect.rewrite(query))
         return self._apply_query_hints(df, hints)

@@ -441,11 +441,11 @@ def test_geos_sql_functions(engine):
                          st_point(1.0,1.0)) AS pts
         )
         SELECT round(aggregate(transform(st_union(pa, pb),
-                   p -> abs(aggregate(transform(p[0], q -> 0.0), CAST(0.0 AS DOUBLE),
+                   p -> abs(aggregate(transform(p[1], q -> 0.0), CAST(0.0 AS DOUBLE),
                         (acc, v) -> acc))), CAST(0.0 AS DOUBLE), (acc, v) -> acc), 6) AS zero_probe,
                size(st_union(pa, pb)) AS n_union_polys,
                size(st_intersection(pa, pb)) AS n_inter_polys,
-               size(st_convexhull(pts)[0]) AS hull_pts
+               size(st_convexhull(pts)[1]) AS hull_pts
         FROM g
     """).first()
     assert row.n_union_polys >= 2 and row.n_inter_polys >= 1
@@ -1221,3 +1221,34 @@ def test_special_chars_in_strings(engine):
         assert r["c"] == 1
     finally:
         engine.spark.sql("DROP TABLE IF EXISTS special_chars")
+
+
+def test_array_types_literals_and_indexing(engine):
+    """HeavyDB array surface end to end: postfix array DDL types
+    (INT[]/TEXT[]), TIME literals as seconds-of-day, curly and
+    ARRAY[...] constructors, 1-based subscripts
+    (Tests/ExecuteTest.cpp:2983 arr_i16[1]), GROUP BY () grand total."""
+    spark = engine.spark
+    spark.sql("DROP TABLE IF EXISTS arr_ddl")
+    try:
+        engine.sql("CREATE TABLE arr_ddl (i TINYINT, tm TIME, "
+                   "dec DECIMAL(10,2), arr INT[], txts TEXT[])")
+        engine.sql("INSERT INTO arr_ddl VALUES (1, TIME '10:30:00', "
+                   "12.34, {1,2,3}, {'a','b'})")
+        r = engine.sql(
+            "SELECT tm, arr[2] AS a2, txts[1] AS t1, "
+            "ARRAY[10, 20, 30][2] AS lit2, "
+            "ARRAY[ARRAY[1,2], ARRAY[3,4]][1][2] AS nested, "
+            "CAST('12:34:56' AS TIME) AS t2 "
+            "FROM arr_ddl"
+        ).first()
+        assert r["tm"] == 10 * 3600 + 30 * 60
+        assert r["a2"] == 2 and r["t1"] == "a"      # 1-based
+        assert r["lit2"] == 20 and r["nested"] == 2
+        assert r["t2"] == 12 * 3600 + 34 * 60 + 56
+        g = engine.sql(
+            "SELECT count(*) AS c FROM nation GROUP BY ()"
+        ).collect()
+        assert [x["c"] for x in g] == [25]
+    finally:
+        spark.sql("DROP TABLE IF EXISTS arr_ddl")
