@@ -218,6 +218,37 @@ _REWRITES: list[tuple[re.Pattern, str]] = [
         re.compile(r"\bGROUP\s+BY\s*\(\s*\)", re.IGNORECASE),
         "GROUP BY GROUPING SETS (())",
     ),
+    # ANSI OFFSET n ROWS [FETCH FIRST|NEXT k ROWS ONLY] (Calcite) ->
+    # LIMIT/OFFSET; order swapped because Spark wants LIMIT first
+    (
+        re.compile(
+            r"\bOFFSET\s+(\d+)\s+ROWS?\s+FETCH\s+(?:FIRST|NEXT)\s+(\d+)"
+            r"\s+ROWS?\s+ONLY",
+            re.IGNORECASE,
+        ),
+        r"LIMIT \2 OFFSET \1",
+    ),
+    (
+        re.compile(
+            r"\bFETCH\s+(?:FIRST|NEXT)\s+(\d+)\s+ROWS?\s+ONLY",
+            re.IGNORECASE,
+        ),
+        r"LIMIT \1",
+    ),
+    (
+        re.compile(r"\bOFFSET\s+(\d+)\s+ROWS?\b(?!\s+FETCH)", re.IGNORECASE),
+        r"OFFSET \1",
+    ),
+    # BETWEEN SYMMETRIC a AND b (Calcite): bounds in either order.
+    # Supported operand subset: parenthesis-free expressions on the
+    # low side, single token on the high side.
+    (
+        re.compile(
+            r"\bBETWEEN\s+SYMMETRIC\s+([^()]+?)\s+AND\s+([^\s()]+)",
+            re.IGNORECASE,
+        ),
+        r"BETWEEN least(\1, \2) AND greatest(\1, \2)",
+    ),
     # Quantified array comparisons `expr op ANY|ALL array_col`
     # (ExecuteTest.cpp:11201-11243: `x - 5 = ANY arr_i16`). Rewritten
     # to higher-order exists/forall, which generalizes every operator.

@@ -1252,3 +1252,23 @@ def test_array_types_literals_and_indexing(engine):
         assert [x["c"] for x in g] == [25]
     finally:
         spark.sql("DROP TABLE IF EXISTS arr_ddl")
+
+
+def test_offset_fetch_and_between_symmetric(engine):
+    """ANSI OFFSET ... FETCH FIRST paging and BETWEEN SYMMETRIC
+    (Calcite-accepted forms) through the dialect."""
+    rows = engine.sql(
+        "SELECT n_nationkey FROM nation ORDER BY n_nationkey "
+        "OFFSET 3 ROWS FETCH FIRST 2 ROWS ONLY"
+    ).collect()
+    assert [r["n_nationkey"] for r in rows] == [3, 4]
+    rows2 = engine.sql(
+        "SELECT n_nationkey FROM nation ORDER BY n_nationkey "
+        "FETCH NEXT 2 ROWS ONLY"
+    ).collect()
+    assert [r["n_nationkey"] for r in rows2] == [0, 1]
+    r = engine.sql(
+        "SELECT 5 BETWEEN SYMMETRIC 10 AND 1 AS inside, "
+        "15 BETWEEN SYMMETRIC 10 AND 1 AS outside"
+    ).first()
+    assert r["inside"] is True and r["outside"] is False
