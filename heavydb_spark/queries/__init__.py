@@ -107,7 +107,6 @@ _PRIORITY = [
     # var_importance simplex, planted-dup recovery) ---
     "dedup_minhash_lsh",
     "dedup_simhash",
-    "sim_ann_lsh",
     "sim_ann_ivf",
     "ml_kmeans",
     "ml_pca_project",
@@ -115,8 +114,6 @@ _PRIORITY = [
     "ml_var_importance",
     "ml_decision_trees",
     "ml_forest_predict",
-    "ml_dbscan",
-    "tf_generate_random_strings",
     # --- regression slice: one green representative per family ---
     "pricing_summary",
     "scan_project_filter",
