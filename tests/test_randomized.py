@@ -352,3 +352,61 @@ def test_randomized_subqueries(engine, ddb, seed):
     orows = ddb.sql(sql).fetchall()
     s_c, o_c = canonical(srows), canonical(orows)
     assert s_c == o_c, f"seed={seed} sql={sql}"
+
+
+# --------------------------------------- randomized scalar compositions
+#
+# §2.8 scalar library under the differential scheme: random nested
+# compositions of ANSI functions BOTH engines implement identically,
+# evaluated over lineitem rows and compared at 6dp.
+
+
+def _num_expr(rng: random.Random, depth: int = 0) -> str:
+    col = rng.choice(["l_quantity", "l_extendedprice", "l_discount",
+                      "l_partkey", "l_linenumber"])
+    if depth >= 2 or rng.random() < 0.35:
+        return rng.choice([
+            col,
+            f"abs({col} - {rng.randint(1, 50)})",
+            f"mod(CAST(floor({col}) AS BIGINT), {rng.randint(2, 13)})",
+            str(rng.randint(1, 9)),
+        ])
+    inner = _num_expr(rng, depth + 1)
+    form = rng.choice([
+        "round({i} / {k}, 3)", "floor({i} / {k})", "ceil({i} / {k})",
+        "sqrt(abs({i}))", "ln(abs({i}) + 1)", "power(mod(CAST(floor({i}) AS BIGINT), 5), 2)",
+        "least({i}, {k})", "greatest({i}, {k})", "coalesce(nullif({i}, 0), {k})",
+        "abs({i}) + {k}", "abs({i}) * 2",
+    ])
+    return form.format(i=inner, k=rng.randint(1, 7))
+
+
+def _str_expr(rng: random.Random) -> str:
+    col = rng.choice(["l_returnflag", "l_linestatus"])
+    return rng.choice([
+        f"upper({col})", f"lower({col})", f"substr({col} || 'xyz', 2, 3)",
+        f"trim('  ' || {col} || ' ')", f"length({col} || 'ab')",
+        f"replace({col}, 'A', 'Z')", f"reverse({col} || 'pq')",
+    ])
+
+
+def generate_scalar_sql(seed: int) -> str:
+    rng = random.Random(40_000 + seed)
+    exprs = [f"round(CAST({_num_expr(rng)} AS DOUBLE), 6) AS n{i}"
+             for i in range(rng.randint(1, 3))]
+    exprs += [f"{_str_expr(rng)} AS s{i}" for i in range(rng.randint(0, 2))]
+    return (
+        f"SELECT l_orderkey, l_linenumber, {', '.join(exprs)} "
+        f"FROM lineitem WHERE l_orderkey < {rng.randint(200, 600)}"
+    )
+
+
+@pytest.mark.parametrize("seed", range(20))
+def test_randomized_scalar_compositions(engine, ddb, seed):
+    sql = generate_scalar_sql(seed)
+    srows = [tuple(r) for r in engine.sql(sql).collect()]
+    orows = ddb.sql(sql).fetchall()
+    s_c, o_c = canonical(srows), canonical(orows)
+    assert len(s_c) == len(o_c), sql
+    mism = [p for p in zip(s_c, o_c) if p[0] != p[1]]
+    assert not mism, f"seed={seed} sql={sql}\nfirst: {mism[:2]}"
