@@ -324,7 +324,8 @@ _RENAME_TABLE_RE = re.compile(
     re.IGNORECASE,
 )
 _ALTER_ADD_RE = re.compile(
-    r"^ADD\s+(?:COLUMNS?\s+)?(.+)$", re.IGNORECASE | re.DOTALL
+    r"^ADD\s+(?!PARTITION\b)(?:COLUMNS?\s+)?(.+)$",
+    re.IGNORECASE | re.DOTALL
 )
 _ALTER_DROP_RE = re.compile(
     r"^DROP\s+(?:COLUMN\s+)?([\w]+)$", re.IGNORECASE
@@ -442,6 +443,12 @@ _TYPE_REWRITES: list[tuple[re.Pattern, str]] = [
 ]
 
 
+def _projection_changed(actions: list[str]) -> bool:
+    """True if any ALTER action changes columns (i.e. is not a pure
+    RENAME TO) — pure renames take the metadata-only native path."""
+    return any(not _ALTER_RENAME_TO_RE.match(a) for a in actions)
+
+
 def _split_top_level_defs(clause: str) -> list[str]:
     """Split on top-level commas only (paren/bracket-depth aware)."""
     parts, depth, cur = [], 0, []
@@ -519,14 +526,10 @@ class Engine:
                 loaded = loaded.withColumn(
                     c, F.lit(None).cast(target.schema[c].dataType)
                 )
-        loaded = loaded.select(*target.columns)
+        # checkpoint: count + append run off ONE execution of the load
+        loaded = loaded.select(*target.columns).localCheckpoint(eager=True)
         n = loaded.count()
-        cat = self.spark.catalog
-        is_temp = any(
-            t.name == name.split(".")[-1] and t.tableType == "TEMPORARY"
-            for t in cat.listTables()
-        )
-        if is_temp:
+        if self._is_temp_view(name):
             target.unionByName(loaded).createOrReplaceTempView(name)
         else:
             loaded.write.insertInto(name)
@@ -662,7 +665,11 @@ class Engine:
         if "query_time_limit" in hints:
             import threading
 
-            limit_ms = int(hints["query_time_limit"] or 0)
+            if not hints["query_time_limit"]:
+                raise ValueError(
+                    "query_time_limit requires a millisecond argument"
+                )
+            limit_ms = int(hints["query_time_limit"])
             group = f"hint_time_limit_{id(df)}"
             sc = self.spark.sparkContext
             state = {"rows": None, "err": None}
@@ -690,32 +697,18 @@ class Engine:
             return self.spark.createDataFrame(state["rows"], df.schema)
         return df
 
-    def _optimize_table(
-        self, name: str, target_file_rows: int = 1_000_000
-    ) -> DataFrame:
-        """OPTIMIZE TABLE: compact a managed table's files toward
-        `target_file_rows` rows per file and recompute optimizer
-        statistics. At scale this is the small-file compaction pass a
-        lakehouse runs after streaming/DML appends; statistics feed
-        Catalyst's join-strategy and AQE decisions (the reference's
-        chunk-metadata recompute). Temp views error, matching the
-        reference's rejection of views (ShowCommandsDdlTest.cpp)."""
-        cat = self.spark.catalog
-        is_temp = any(
-            t.name == name.split(".")[-1] and t.tableType == "TEMPORARY"
-            for t in cat.listTables()
+    def _is_temp_view(self, name: str) -> bool:
+        short = name.split(".")[-1]
+        return any(
+            t.name == short and t.tableType == "TEMPORARY"
+            for t in self.spark.catalog.listTables()
         )
-        if is_temp:
-            raise ValueError(
-                f"OPTIMIZE TABLE is not supported for temporary views: {name}"
-            )
-        df = self.spark.table(name)
-        n = df.count()
-        parts = max(1, -(-n // target_file_rows))
-        # preserve the physical layout the table was created with —
-        # OPTIMIZE must not silently strip the CLUSTERED BY bucketing
-        # that CREATE TABLE WITH (shard_count=..) produced (the
-        # shuffle-free sharded-join property depends on it)
+
+    def _table_bucketing(self, name: str) -> tuple[int, list[str]]:
+        """(num_buckets, bucket_cols) of a managed table — the physical
+        layout CREATE TABLE WITH (shard_count=..) produced, which table
+        rewrites must preserve (the shuffle-free sharded-join property
+        depends on it)."""
         bucket_cols: list[str] = []
         n_buckets = 0
         for r in self.spark.sql(f"DESCRIBE FORMATTED {name}").collect():
@@ -728,6 +721,39 @@ class Engine:
                     for c in r["data_type"].strip("[]").split(",")
                     if c.strip()
                 ]
+        return n_buckets, bucket_cols
+
+    def _swap_tables(self, staging: str, target: str, park: str) -> None:
+        """Replace `target` with `staging`, keeping data reachable at
+        every step: the original parks under `park` (never dropped
+        first), so a failure between statements leaves both copies
+        findable by name; on rename failure the original is restored."""
+        self.spark.sql(f"ALTER TABLE {target} RENAME TO {park}")
+        try:
+            self.spark.sql(f"ALTER TABLE {staging} RENAME TO {target}")
+        except Exception:
+            self.spark.sql(f"ALTER TABLE {park} RENAME TO {target}")
+            raise
+        self.spark.sql(f"DROP TABLE {park}")
+
+    def _optimize_table(
+        self, name: str, target_file_rows: int = 1_000_000
+    ) -> DataFrame:
+        """OPTIMIZE TABLE: compact a managed table's files toward
+        `target_file_rows` rows per file and recompute optimizer
+        statistics. At scale this is the small-file compaction pass a
+        lakehouse runs after streaming/DML appends; statistics feed
+        Catalyst's join-strategy and AQE decisions (the reference's
+        chunk-metadata recompute). Temp views error, matching the
+        reference's rejection of views (ShowCommandsDdlTest.cpp)."""
+        if self._is_temp_view(name):
+            raise ValueError(
+                f"OPTIMIZE TABLE is not supported for temporary views: {name}"
+            )
+        df = self.spark.table(name)
+        n = df.count()
+        parts = max(1, -(-n // target_file_rows))
+        n_buckets, bucket_cols = self._table_bucketing(name)
         writer = df.repartition(parts).write.mode("overwrite").format("parquet")
         if n_buckets and bucket_cols:
             writer = writer.bucketBy(n_buckets, *bucket_cols).sortBy(
@@ -735,17 +761,7 @@ class Engine:
             )
         tmp = f"{name}__optimized_tmp"
         writer.saveAsTable(tmp)
-        # swap order keeps data reachable at every step: the original
-        # is parked under __old (not dropped first), so a failure
-        # between statements leaves both copies findable by name
-        old = f"{name}__optimized_old"
-        self.spark.sql(f"ALTER TABLE {name} RENAME TO {old}")
-        try:
-            self.spark.sql(f"ALTER TABLE {tmp} RENAME TO {name}")
-        except Exception:
-            self.spark.sql(f"ALTER TABLE {old} RENAME TO {name}")
-            raise
-        self.spark.sql(f"DROP TABLE {old}")
+        self._swap_tables(tmp, name, f"{name}__optimized_old")
         self.spark.sql(f"ANALYZE TABLE {name} COMPUTE STATISTICS")
         return self.spark.createDataFrame(
             [(name, n, parts)],
@@ -1063,26 +1079,34 @@ class Engine:
                 continue
             raise AssertionError(f"unreachable: {action!r}")  # pre-scanned
 
-        cat = self.spark.catalog
-        is_temp = any(
-            t.name == table.split(".")[-1] and t.tableType == "TEMPORARY"
-            for t in cat.listTables()
-        )
         target = new_name or table
-        if is_temp:
+        if self._is_temp_view(table):
             if new_name:
                 df.createOrReplaceTempView(new_name)
-                cat.dropTempView(table)
+                self.spark.catalog.dropTempView(table)
             else:
                 df.createOrReplaceTempView(table)
+        elif new_name and not _projection_changed(parsed):
+            # pure rename: metadata-only native DDL, no data rewrite
+            self.spark.sql(f"ALTER TABLE {table} RENAME TO {new_name}")
         else:
             # stage-and-swap: Spark can't overwrite a table its plan
             # reads, and collect() would materialize on the driver —
-            # write distributed to a staging table, then swap names.
+            # write distributed to a staging table, then swap names
+            # (original parked, never dropped first — see _swap_tables)
+            # preserving any CLUSTERED BY bucketing layout.
+            n_buckets, bucket_cols = self._table_bucketing(table)
+            bucket_cols = [c for c in bucket_cols if c in df.columns]
             staging = f"{target}__alter_staging"
-            df.write.mode("errorifexists").saveAsTable(staging)
-            self.spark.sql(f"DROP TABLE {table}")
-            self.spark.sql(f"ALTER TABLE {staging} RENAME TO {target}")
+            writer = df.write.mode("errorifexists").format("parquet")
+            if n_buckets and bucket_cols:
+                writer = writer.bucketBy(n_buckets, *bucket_cols).sortBy(
+                    *bucket_cols
+                )
+            writer.saveAsTable(staging)
+            self._swap_tables(staging, table, f"{table}__alter_old")
+            if new_name:
+                self.spark.sql(f"ALTER TABLE {table} RENAME TO {new_name}")
         return self.spark.createDataFrame(
             [(target, "altered")], "table_name STRING, status STRING"
         )
@@ -1119,13 +1143,10 @@ class Engine:
             loaded = copy_io.copy_from_csv(
                 self.spark, path, schema=target.schema, **opts
             )
+        # checkpoint: the file parses ONCE for both count and append
+        loaded = loaded.localCheckpoint(eager=True)
         n = loaded.count()
-        cat = self.spark.catalog
-        is_temp = any(
-            t.name == table.split(".")[-1] and t.tableType == "TEMPORARY"
-            for t in cat.listTables()
-        )
-        if is_temp:
+        if self._is_temp_view(table):
             target.unionByName(loaded).createOrReplaceTempView(table)
         else:
             loaded.write.insertInto(table)
@@ -1146,7 +1167,8 @@ class Engine:
             k.lower(): v.strip().strip("'\"")
             for k, v in _split_assignments(options).items()
         }
-        df = self.sql(inner.strip())
+        # checkpoint: the inner query runs ONCE for count + export
+        df = self.sql(inner.strip()).localCheckpoint(eager=True)
         n = df.count()
         ftype = opts.pop("file_type", "").lower().strip()
         if ftype in ("parquet",) or (not ftype and path.endswith(".parquet")):

@@ -306,10 +306,17 @@ def simhash64(
     pass `portable_token_hash62` for the cross-engine-checkable form.
     """
     hash_fn = token_hash if token_hash is not None else F.xxhash64
-    tok = _spread(df, id_col).select(
-        F.col(id_col).alias("doc"),
-        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("t"),
-    ).withColumn("h", hash_fn(F.col("t")))
+    tok = (
+        _spread(df, id_col)
+        .select(
+            F.col(id_col).alias("doc"),
+            F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("t"),
+        )
+        # empty/whitespace-only text splits to [''] — such documents
+        # carry no tokens (and the portable oracle filters t <> '')
+        .filter(F.col("t") != "")
+        .withColumn("h", hash_fn(F.col("t")))
+    )
     votes = [
         F.sum(
             F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)

@@ -1272,3 +1272,10 @@ def test_offset_fetch_and_between_symmetric(engine):
         "15 BETWEEN SYMMETRIC 10 AND 1 AS outside"
     ).first()
     assert r["inside"] is True and r["outside"] is False
+
+
+def test_query_time_limit_requires_argument(engine):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="millisecond argument"):
+        engine.sql("SELECT /*+ query_time_limit */ count(*) AS c FROM nation")

@@ -360,3 +360,58 @@ def test_load_table_rows_pandas_arrow(engine):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="unknown column"):
         engine.load_table("lt_v", [(1,)], column_names=["nope"])
+
+
+def test_alter_rename_collision_preserves_source(engine):
+    """A failed stage-swap/rename must never destroy the source table:
+    RENAME onto an existing name errors AND the source stays intact."""
+    import pytest as _pytest
+
+    spark = engine.spark
+    for t in ("rc_a", "rc_b", "rc_b__alter_staging"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    engine.sql("CREATE TABLE rc_a AS SELECT r_regionkey FROM region")
+    engine.sql("CREATE TABLE rc_b AS SELECT r_regionkey FROM region "
+               "WHERE r_regionkey < 2")
+    try:
+        with _pytest.raises(Exception):
+            engine.sql("RENAME TABLE rc_a TO rc_b")
+        assert spark.table("rc_a").count() == 5       # source survives
+        assert spark.table("rc_b").count() == 2       # target untouched
+    finally:
+        for t in ("rc_a", "rc_b", "rc_b__alter_staging"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_alter_preserves_bucketing(engine):
+    """Column ALTER on a sharded (bucketed) table keeps the CLUSTERED BY
+    layout — the shuffle-free sharded-join property must survive DDL."""
+    spark = engine.spark
+    spark.sql("DROP TABLE IF EXISTS bk_t")
+    try:
+        engine.sql("CREATE TABLE bk_t (k BIGINT, v DOUBLE, SHARD KEY (k)) "
+                   "WITH (shard_count=4)")
+        engine.sql("ALTER TABLE bk_t ADD COLUMN note TEXT")
+        desc = {
+            (r["col_name"] or "").strip(): (r["data_type"] or "")
+            for r in spark.sql("DESCRIBE FORMATTED bk_t").collect()
+        }
+        assert desc.get("Num Buckets", "").strip() == "4", desc
+        assert "k" in desc.get("Bucket Columns", "")
+        assert "note" in spark.table("bk_t").columns
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bk_t")
+
+
+def test_alter_add_partition_falls_through(engine):
+    """ALTER TABLE ... ADD PARTITION is Spark-native DDL, not a column
+    add — it must reach spark.sql untouched."""
+    spark = engine.spark
+    spark.sql("DROP TABLE IF EXISTS pt_t")
+    try:
+        spark.sql("CREATE TABLE pt_t (v INT) PARTITIONED BY (dt STRING)")
+        engine.sql("ALTER TABLE pt_t ADD PARTITION (dt='2020')")
+        parts = [r[0] for r in spark.sql("SHOW PARTITIONS pt_t").collect()]
+        assert parts == ["dt=2020"]
+    finally:
+        spark.sql("DROP TABLE IF EXISTS pt_t")

@@ -85,3 +85,16 @@ def test_minhash_portable_recovers_planted_neardups(spark):
     assert (1, 4) not in got and (2, 4) not in got and (3, 4) not in got
     if (1, 3) in got:                     # near-dup: high but < 1
         assert 0.3 <= got[(1, 3)] < 1.0
+
+
+def test_simhash_skips_empty_documents(spark):
+    """Empty/whitespace-only text yields no tokens — the doc gets no
+    fingerprint on either engine (the portable oracle filters t <> '')."""
+    df = spark.createDataFrame(
+        [(1, "real words here"), (2, "   "), (3, "")],
+        "doc_id long, text string",
+    )
+    fps = dedup.simhash64(
+        df, "doc_id", "text", token_hash=dedup.portable_token_hash62
+    ).collect()
+    assert [r["doc"] for r in fps] == [1]
