@@ -97,6 +97,8 @@ _PRIORITY = [
     "pipe_dedup_keep_best",
     "tpcds_q36_hierarchy_rank",
     "tpcds_cross_channel",
+    "tpcds_q51_cumulative_join",
+    "tpcds_q88_band_counts",
     "text_repetition",
     "subquery_correlated_scalar",
     "subquery_not_in_nulls",

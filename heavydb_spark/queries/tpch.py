@@ -29,6 +29,7 @@ value hash (conventions in queries/__init__.py).
 from __future__ import annotations
 
 from pyspark.sql import functions as F
+from pyspark.sql import Window
 from pyspark.sql.functions import broadcast
 
 from heavydb_spark.queries.registry import query
@@ -975,4 +976,118 @@ def tpcds_cross_channel(spark, sf_dir):
             F.count(F.lit(1)).alias("n_lines"),
         )
         .orderBy("channel", F.desc("revenue"), "p_brand")
+    )
+
+
+@query(
+    "tpcds_q51_cumulative_join",
+    oracle="""
+    WITH m AS (
+        SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 'urgent' ELSE 'standard' END AS channel,
+               CAST(date_trunc('month', o_orderdate) AS DATE) AS mon,
+               sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        FROM orders GROUP BY 1, 2
+    ), c AS (
+        SELECT channel, mon,
+               sum(rev) OVER (PARTITION BY channel ORDER BY mon) AS cum
+        FROM m
+    )
+    SELECT u.mon AS mon,
+           round(CAST(u.cum AS DOUBLE), 2) AS cum_urgent,
+           round(CAST(s.cum AS DOUBLE), 2) AS cum_standard
+    FROM (SELECT mon, cum FROM c WHERE channel = 'urgent') u
+    FULL JOIN (SELECT mon, cum FROM c WHERE channel = 'standard') s
+      ON u.mon = s.mon
+    WHERE u.cum > s.cum * 0.62
+    ORDER BY mon
+    """,
+)
+def tpcds_q51_cumulative_join(spark, sf_dir):
+    """TPC-DS Q51-family shape: two channel streams, each with a
+    cumulative-sum window, FULL OUTER joined on the date axis and
+    filtered on the cumulative comparison (the 0.62 share threshold
+    keeps the filter discriminating on the fixture's ~2/5 urgent
+    share). Windows are PARTITIONED by
+    channel (Q51 partitions by item_sk) — no global single-partition
+    window; the join key is the low-cardinality month axis, exactly
+    Q51's plan."""
+    o = T(spark, sf_dir, "orders")
+    m = (
+        o.withColumn(
+            "channel",
+            F.when(
+                F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
+                F.lit("urgent"),
+            ).otherwise(F.lit("standard")),
+        )
+        .groupBy(
+            "channel",
+            F.date_trunc("month", "o_orderdate").cast("date").alias("mon"),
+        )
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"))
+    )
+    w = Window.partitionBy("channel").orderBy("mon")
+    c = m.withColumn("cum", F.sum("rev").over(w))
+    u = c.filter(F.col("channel") == "urgent").select(
+        F.col("mon").alias("u_mon"), F.col("cum").alias("u_cum")
+    )
+    s = c.filter(F.col("channel") == "standard").select(
+        F.col("mon").alias("s_mon"), F.col("cum").alias("s_cum")
+    )
+    return (
+        u.join(s, u["u_mon"] == s["s_mon"], "full_outer")
+        .filter(F.col("u_cum") > F.col("s_cum") * 0.62)
+        .select(
+            F.col("u_mon").alias("mon"),
+            F.round(F.col("u_cum").cast("double"), 2).alias("cum_urgent"),
+            F.round(F.col("s_cum").cast("double"), 2).alias("cum_standard"),
+        )
+        .orderBy("mon")
+    )
+
+
+@query(
+    "tpcds_q88_band_counts",
+    oracle="""
+    SELECT s1.c AS band1, s2.c AS band2, s3.c AS band3, s4.c AS band4,
+           s5.c AS band5, s6.c AS band6, s7.c AS band7, s8.c AS band8
+    FROM
+      (SELECT count(*) c FROM lineitem WHERE l_quantity BETWEEN 1 AND 6
+         AND l_discount < 0.05) s1,
+      (SELECT count(*) c FROM lineitem WHERE l_quantity BETWEEN 7 AND 12
+         AND l_discount < 0.05) s2,
+      (SELECT count(*) c FROM lineitem WHERE l_quantity BETWEEN 13 AND 18
+         AND l_discount < 0.05) s3,
+      (SELECT count(*) c FROM lineitem WHERE l_quantity BETWEEN 19 AND 24
+         AND l_discount < 0.05) s4,
+      (SELECT count(*) c FROM lineitem WHERE l_quantity BETWEEN 25 AND 30
+         AND l_discount >= 0.05) s5,
+      (SELECT count(*) c FROM lineitem WHERE l_quantity BETWEEN 31 AND 36
+         AND l_discount >= 0.05) s6,
+      (SELECT count(*) c FROM lineitem WHERE l_quantity BETWEEN 37 AND 42
+         AND l_discount >= 0.05) s7,
+      (SELECT count(*) c FROM lineitem WHERE l_quantity BETWEEN 43 AND 50
+         AND l_discount >= 0.05) s8
+    """,
+)
+def tpcds_q88_band_counts(spark, sf_dir):
+    """TPC-DS Q88-family shape: eight independent filtered counts
+    emitted as one row. The reference (and the oracle) spell it as
+    eight scalar subqueries cross-joined — eight scans; the Spark
+    build computes all eight as conditional counts in ONE scan (the
+    plan Catalyst cannot derive from the subquery form), an 8x scan
+    reduction at 100 TB with identical values."""
+    li = T(spark, sf_dir, "lineitem")
+    lo = F.col("l_discount") < 0.05
+    hi = ~lo
+    q = F.col("l_quantity")
+
+    def band(i, a, b, cond):
+        return F.count_if(q.between(a, b) & cond).alias(f"band{i}")
+
+    return li.agg(
+        band(1, 1, 6, lo), band(2, 7, 12, lo), band(3, 13, 18, lo),
+        band(4, 19, 24, lo), band(5, 25, 30, hi), band(6, 31, 36, hi),
+        band(7, 37, 42, hi), band(8, 43, 50, hi),
     )
