@@ -61,10 +61,15 @@ def _spread(df: DataFrame, key_col: str) -> DataFrame:
 
 def token_shingles(text_col: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles of a text column (JVM higher-order
-    functions; no UDF)."""
+    functions; no UDF). Documents with fewer than n tokens yield NO
+    shingles — the same semantics as `_shingle_rows` and every SQL
+    oracle's range-based formulation (a doc that cannot form an n-gram
+    cannot match one)."""
     tokens = F.split(F.trim(text_col), r"\s+")
     k = F.size(tokens) - (n - 1)
-    return F.when(k <= 0, F.array(F.trim(text_col))).otherwise(
+    return F.when(
+        k <= 0, F.array().cast("array<string>")
+    ).otherwise(
         F.array_distinct(
             F.transform(
                 F.sequence(F.lit(0), k - 1),
@@ -92,7 +97,10 @@ def ngram_jaccard_pairs(
     At scale, hot shingles (stop-phrases) create join skew; mitigate by
     dropping shingles above a document-frequency cap (`max_df`).
     """
-    sh = _shingle_rows(df, id_col, text_col, n).distinct()
+    # sizes + both join sides read the shingle relation — one pass
+    sh = _shingle_rows(df, id_col, text_col, n).distinct().localCheckpoint(
+        eager=False
+    )
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -169,7 +177,9 @@ def _minhash_wide(
     """Per-doc minhash signature in wide form: columns doc, m0..m{k-1}.
 
     Each shingle is hashed ONCE (xxhash64); the num_perm permutations
-    are affine transforms a_i*h+b_i over the base hash, expressed as
+    are affine transforms a_i*h+b_i over the base hash (WRAPPING int64
+    arithmetic — requires spark.sql.ansi.enabled=false, which
+    session.py pins; ANSI mode would raise on the overflow), expressed as
     num_perm plain `min` aggregates — the whole pipeline is shuffle-on-
     doc + map-side partial aggregation, fully inside whole-stage
     codegen. Duplicate shingles need no dedup (min is idempotent).
@@ -229,12 +239,27 @@ def minhash_lsh_candidates(
     """LSH banding: docs agreeing on all rows of any band become a
     candidate pair. One explode (docs × bands) + equi-join on
     (band, band_hash) — the scale-safe candidate generator.
-    Accepts wide (m0..mk) or array (sig) signature form."""
+    Accepts wide (m0..mk) or array (sig) signature form. The
+    signature must carry exactly bands*rows_per_band values — a
+    shorter one would band over NULLs, collapsing every doc into one
+    bucket and degrading the equi-join to all-pairs."""
+    need = bands * rows_per_band
     if "sig" in sigs.columns:
-        num_perm = bands * rows_per_band
+        short = sigs.select(F.min(F.size("sig")).alias("n")).first()["n"]
+        if short is not None and short < need:
+            raise ValueError(
+                f"signature length {short} < bands*rows_per_band={need} "
+                "(num_perm mismatch)"
+            )
         sigs = sigs.select(
             "doc",
-            *[F.element_at("sig", i + 1).alias(f"m{i}") for i in range(num_perm)],
+            *[F.element_at("sig", i + 1).alias(f"m{i}") for i in range(need)],
+        )
+    missing = [i for i in range(need) if f"m{i}" not in sigs.columns]
+    if missing:
+        raise ValueError(
+            f"signature has no m{missing[0]}: bands*rows_per_band={need} "
+            "exceeds the signature length (num_perm mismatch)"
         )
     banded = _banded(sigs, bands, rows_per_band)
     a, b = banded.alias("a"), banded.alias("b")
@@ -353,6 +378,10 @@ def simhash_neardup_pairs(
     Manku-style multi-permutation tables (more blocking passes, same
     equi-join shape)."""
     fps = simhash64(df, id_col, text_col, token_hash=token_hash)
+    # both sides of the chunk self-join read this relation — compute
+    # the explode + 64-vote aggregation once (checkpoint, not persist:
+    # blocks freed by the ContextCleaner)
+    fps = fps.localCheckpoint(eager=False)
     chunked = fps.select(
         "doc",
         "simhash",
@@ -442,6 +471,11 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in max_iter={max_iter} "
+            "rounds (component diameter exceeds the cap); raise max_iter"
+        )
     return labels.select("node", F.col("label").alias("component"))
 
 

@@ -262,6 +262,12 @@ def raster_obj_detect(
     by `suppress_overlaps`."""
     if detector is None:
         detector = blob_detector()
+    if int(halo_pixels) >= min(int(tile_width), int(tile_height)):
+        raise ValueError(
+            "halo_pixels must be smaller than the tile dimensions: the "
+            "tiling only routes pixels to the +/-1 neighbor tiles, so a "
+            "larger halo would silently zero-fill window borders"
+        )
     ch = list(channel_cols)
     labels = list(class_labels)
     tw, th, halo = int(tile_width), int(tile_height), int(halo_pixels)
@@ -286,6 +292,7 @@ def raster_obj_detect(
     )
 
     out_schema = (
+        "__tx long, __ty long, __seq int, "
         "class_idx int, score double, tl_x double, tl_y double, "
         "br_x double, br_y double, cx double, cy double"
     )
@@ -311,6 +318,9 @@ def raster_obj_detect(
                 continue
             rows.append(
                 (
+                    tx,
+                    ty,
+                    len(rows),
                     int(cls),
                     float(score),
                     (bx0 + ox) * xu,
@@ -324,18 +334,25 @@ def raster_obj_detect(
         return pd.DataFrame(
             rows,
             columns=[
+                "__tx", "__ty", "__seq",
                 "class_idx", "score", "tl_x", "tl_y",
                 "br_x", "br_y", "cx", "cy",
             ],
         )
 
+    # det_id is POSITIONAL (tile + in-tile sequence), never a content
+    # hash: a detector emitting byte-identical boxes (common in raw
+    # anchor output) must still produce distinct ids, or NMS's
+    # a.det_id != b.det_id condition could never suppress the twin.
+    # The checkpoint matters: the NMS self-join and the final
+    # anti-join read this relation three times — the per-tile Python
+    # detection stage must run once.
     det = (
         tiled.groupBy("__tx", "__ty")
         .applyInPandas(_detect_tile, out_schema)
-        .withColumn(
-            "det_id",
-            F.xxhash64("class_idx", "score", "tl_x", "tl_y", "br_x", "br_y"),
-        )
+        .withColumn("det_id", F.xxhash64("__tx", "__ty", "__seq"))
+        .drop("__tx", "__ty", "__seq")
+        .localCheckpoint(eager=False)
     )
     kept = suppress_overlaps(det, float(iou_threshold), cell_size=tw * xu)
     label_arr = F.array(*[F.lit(s) for s in labels])

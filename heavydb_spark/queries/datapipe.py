@@ -988,9 +988,9 @@ def _end_to_end_oracle() -> str:
     ), q AS (
         SELECT doc_id, text,
                len(string_split_regex(trim(text), '\\s+')) AS toks,
-               len(list_filter(string_split_regex(lower(text), '\\s+'),
+               round(len(list_filter(string_split_regex(lower(text), '\\s+'),
                    t -> t IN ('the', 'a', 'of', 'and'))) * 1.0
-                   / len(string_split_regex(trim(text), '\\s+')) AS stopr
+                   / len(string_split_regex(trim(text), '\\s+')), 4) AS stopr
         FROM raw
     ), kept AS (
         SELECT doc_id, text FROM q WHERE toks >= 30 AND stopr >= 0.03

@@ -181,14 +181,19 @@ def ml_forest_invariants(spark, sf_dir):
 @query(
     "sim_ann_ivf_invariants",
     oracle="""
-    SELECT true AS k_rows, true AS scores_exact, true AS scores_sorted
+    SELECT true AS k_rows, true AS ids_distinct, true AS scores_exact,
+           true AS bounded_by_exact_best
     """,
 )
 def sim_ann_ivf_invariants(spark, sf_dir):
-    """IVF ANN invariants: exactly k results, every returned cosine
-    equals an independent exact recomputation for that vec_id (the
-    index may choose which vectors to score, but never their scores),
-    and results are emitted best-first."""
+    """IVF ANN invariants, each falsifiable against the operator's
+    contract (a sortedness check on the operator's own orderBy would
+    be a tautology): exactly k results with distinct ids; every
+    returned cosine equals an independent exact recomputation for that
+    vec_id (the index may choose WHICH vectors to score, never their
+    scores); and no returned score exceeds the exact global best —
+    the probe can miss the best list but can never invent a better
+    score."""
     from heavydb_spark.operators import similarity
     from heavydb_spark.queries.datapipe import _query_vec
 
@@ -198,7 +203,7 @@ def sim_ann_ivf_invariants(spark, sf_dir):
         e.filter(F.col("vec_id") != 0), "embedding", qvec, k=10,
         n_lists=8, nprobe=2,
     ).localCheckpoint(eager=False)
-    exact = e.select(
+    exact = e.filter(F.col("vec_id") != 0).select(
         "vec_id",
         F.round(
             similarity.cosine_similarity(
@@ -207,21 +212,22 @@ def sim_ann_ivf_invariants(spark, sf_dir):
             6,
         ).alias("exact_sim"),
     )
-    w = Window.orderBy(F.desc("cos_sim"), "vec_id")
-    ordered = res.withColumn("prev", F.lag("cos_sim").over(w))
-    sortedness = ordered.agg(
-        F.bool_and(
-            F.col("prev").isNull() | (F.col("prev") >= F.col("cos_sim"))
-        ).alias("scores_sorted")
-    )
+    best = exact.agg(F.max("exact_sim").alias("best_sim"))
     joined = res.join(exact, "vec_id").agg(
         F.count(F.lit(1)).alias("n"),
+        F.count_distinct("vec_id").alias("nd"),
         F.bool_and(F.col("cos_sim") == F.col("exact_sim")).alias(
             "scores_exact"
         ),
+        F.max("cos_sim").alias("ret_best"),
     )
-    return joined.crossJoin(sortedness).select(
-        (F.col("n") == 10).alias("k_rows"), "scores_exact", "scores_sorted"
+    return joined.crossJoin(best).select(
+        (F.col("n") == 10).alias("k_rows"),
+        (F.col("nd") == 10).alias("ids_distinct"),
+        "scores_exact",
+        (F.col("ret_best") <= F.col("best_sim")).alias(
+            "bounded_by_exact_best"
+        ),
     )
 
 

@@ -139,3 +139,29 @@ def test_suppress_overlaps_equal_score_tiebreak(spark):
 def test_torch_backend_is_honest_stub():
     with pytest.raises(NotImplementedError):
         torch_detector("/tmp/model.pt")
+
+
+def test_halo_must_be_smaller_than_tile(spark):
+    import pytest
+    r = _raster_with_rects(spark, 32, 32, [(4, 4, 5, 5)])
+    with pytest.raises(ValueError, match="halo_pixels"):
+        raster_obj_detect(
+            r, channel_cols=["ch0"], tile_width=16, tile_height=16,
+            halo_pixels=20,
+        )
+
+
+def test_identical_duplicate_boxes_get_distinct_ids(spark):
+    """A detector emitting byte-identical boxes must yield rows NMS can
+    suppress (positional det_id, not a content hash): exactly one of
+    the twins survives."""
+    def twin_detector(tile):
+        boxes = blob_detector(0.5)(tile)
+        return boxes + boxes  # every box twice, identical
+
+    r = _raster_with_rects(spark, 32, 32, [(4, 4, 6, 6)])
+    out = raster_obj_detect(
+        r, channel_cols=["ch0"], tile_width=32, tile_height=32,
+        halo_pixels=8, detector=twin_detector, iou_threshold=0.5,
+    ).collect()
+    assert len(out) == 1

@@ -1417,3 +1417,38 @@ def test_feature_similarity_tf_idf_closed_form(spark):
     assert abs(got_plain[("A", "C")] - round(1 / math.sqrt(2), 6)) < 1e-6
     # idf shifts the similarity down (the rare feature dominates C)
     assert got[("A", "C")] < got_plain[("A", "C")]
+
+
+def test_minhash_banding_rejects_short_signature(spark):
+    """bands*rows_per_band beyond the signature length must error, not
+    band over NULLs (which would collapse every doc into one bucket)."""
+    import pytest as _pytest
+    from heavydb_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        minhash_signatures,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d f")], "doc_id long, text string"
+    )
+    sigs = minhash_signatures(df, "doc_id", "text", num_perm=32)
+    with _pytest.raises(ValueError, match="num_perm mismatch"):
+        minhash_lsh_candidates(sigs, bands=16, rows_per_band=4)
+
+
+def test_connected_components_raises_on_nonconvergence(spark):
+    """A chain longer than max_iter rounds must raise, never return
+    silently-wrong labels."""
+    import pytest as _pytest
+    from heavydb_spark.operators.dedup import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "doc_a long, doc_b long"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=2)
+    ok = {
+        r["node"]: r["component"]
+        for r in connected_components(chain, max_iter=20).collect()
+    }
+    assert set(ok.values()) == {0}
