@@ -161,3 +161,22 @@ def copy_from_jdbc(
     for k, v in options.items():
         reader = reader.option(k, v)
     return reader.load()
+
+
+def copy_from_arrow(spark: SparkSession, path: str) -> DataFrame:
+    """Arrow IPC file/stream ingest (the load_table_binary_arrow file
+    form — DBHandler.cpp load_table_binary_arrow;
+    Tests/ArrowIpcIntegrationTest.cpp): read a .arrow / .feather IPC
+    file via pyarrow and hand the batches to Spark. The IPC decode is
+    driver-side (client-supplied payloads are client-sized, as in the
+    reference's Thrift path); large datasets belong in parquet."""
+    import pyarrow as pa
+    import pyarrow.ipc as ipc
+
+    try:
+        with pa.memory_map(path) as source:
+            table = ipc.open_file(source).read_all()
+    except pa.ArrowInvalid:
+        with open(path, "rb") as f:
+            table = ipc.open_stream(f).read_all()
+    return spark.createDataFrame(table.to_pandas())

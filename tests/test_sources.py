@@ -246,3 +246,28 @@ def test_copy_statement_parquet_and_errors(engine, tmp_path):
 
     with _pytest.raises(ValueError, match="not found"):
         engine.sql(f"COPY no_such_table FROM '{pq}'")
+
+
+def test_copy_from_arrow_roundtrip(engine, tmp_path):
+    """Arrow surface round trip: sql_arrow export -> IPC file ->
+    copy_from_arrow ingest (ArrowIpcIntegrationTest.cpp shape)."""
+    import pyarrow as pa
+    import pyarrow.ipc as ipc
+
+    from heavydb_spark.sources.copy_io import copy_from_arrow
+
+    tbl = engine.sql_arrow(
+        "SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey"
+    )
+    p = str(tmp_path / "nations.arrow")
+    with ipc.new_file(p, tbl.schema) as w:
+        w.write_table(tbl)
+    back = copy_from_arrow(engine.spark, p)
+    assert back.count() == 25
+    assert [r["n_nationkey"] for r in back.orderBy("n_nationkey").take(3)] == [0, 1, 2]
+
+    # stream-format files decode through the fallback path
+    ps = str(tmp_path / "nations_stream.arrow")
+    with ipc.new_stream(ps, tbl.schema) as w:
+        w.write_table(tbl)
+    assert copy_from_arrow(engine.spark, ps).count() == 25
