@@ -345,6 +345,13 @@ def _rewrite_call(sql: str, fname: str, make) -> str:
         if not m:
             out.append(sql[pos:])
             return "".join(out)
+        # function-looking text inside a string literal is DATA, not a
+        # call (these rewrites run pre-mask because they parse quoted
+        # args) — odd quote parity before the match means inside
+        if sql.count("'", 0, m.start()) % 2 == 1:
+            out.append(sql[pos : m.end()])
+            pos = m.end()
+            continue
         i = _scan_balanced(sql, m.end())
         args = _rewrite_call(sql[m.end() : i - 1], fname, make)
         repl = make(args)
@@ -809,6 +816,13 @@ def _rewrite_window_call(sql: str, fname: str, make) -> str:
         if not m:
             out.append(sql[pos:])
             return "".join(out)
+        # function-looking text inside a string literal is DATA, not a
+        # call (these rewrites run pre-mask because they parse quoted
+        # args) — odd quote parity before the match means inside
+        if sql.count("'", 0, m.start()) % 2 == 1:
+            out.append(sql[pos : m.end()])
+            pos = m.end()
+            continue
         i = _scan_balanced(sql, m.end())
         args = sql[m.end() : i - 1]
         mo = _OVER_RE.match(sql, i)
@@ -880,7 +894,9 @@ def _order_expr(base_win: str, fname: str) -> str:
         raise ValueError(f"{fname} window needs an ORDER BY: {base_win!r}")
     # first ORDER BY expression, stripped of a trailing ASC/DESC
     first = _split_top_level(m.group(1))[0]
-    return re.sub(r"\s+(ASC|DESC)\s*$", "", first, flags=re.IGNORECASE)
+    desc = bool(re.search(r"\s+DESC\s*$", first, flags=re.IGNORECASE))
+    expr = re.sub(r"\s+(ASC|DESC)\s*$", "", first, flags=re.IGNORECASE)
+    return expr, desc
 
 
 def _lag_in_frame(args: list[str], win: str) -> str:
@@ -902,7 +918,14 @@ def _lag_in_frame(args: list[str], win: str) -> str:
         return lag
     if mode == "ROWS":
         return f"(CASE WHEN ({k}) <= {bound} THEN {lag} END)"
-    ord_e = _order_expr(base, "LAG_IN_FRAME")
+    ord_e, desc = _order_expr(base, "LAG_IN_FRAME")
+    # preceding rows have SMALLER order values under ASC, LARGER under
+    # DESC — the RANGE bound test flips with the direction
+    if desc:
+        return (
+            f"(CASE WHEN lag(({ord_e}), ({k})) OVER ({base}) <= "
+            f"({ord_e}) + {bound} THEN {lag} END)"
+        )
     return (
         f"(CASE WHEN lag(({ord_e}), ({k})) OVER ({base}) >= "
         f"({ord_e}) - {bound} THEN {lag} END)"
@@ -928,7 +951,12 @@ def _lead_in_frame(args: list[str], win: str) -> str:
         return lead
     if mode == "ROWS":
         return f"(CASE WHEN ({k}) <= {bound} THEN {lead} END)"
-    ord_e = _order_expr(base, "LEAD_IN_FRAME")
+    ord_e, desc = _order_expr(base, "LEAD_IN_FRAME")
+    if desc:
+        return (
+            f"(CASE WHEN lead(({ord_e}), ({k})) OVER ({base}) >= "
+            f"({ord_e}) - {bound} THEN {lead} END)"
+        )
     return (
         f"(CASE WHEN lead(({ord_e}), ({k})) OVER ({base}) <= "
         f"({ord_e}) + {bound} THEN {lead} END)"

@@ -27,13 +27,43 @@ from heavydb_spark.session import apply_runtime_conf, get_spark
 # UPDATE/DELETE off the main SELECT path; ParserWrapper.h:91). The engine
 # applies them as copy-on-write view replacement (operators/mutation.py).
 _UPDATE_RE = re.compile(
-    r"^\s*UPDATE\s+(\w+)\s+SET\s+(.*?)(?:\s+WHERE\s+(.+?))?\s*;?\s*$",
+    r"^\s*UPDATE\s+(\w+)\s+SET\s+(.*?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 _DELETE_RE = re.compile(
-    r"^\s*DELETE\s+FROM\s+(\w+)(?:\s+WHERE\s+(.+?))?\s*;?\s*$",
+    r"^\s*DELETE\s+FROM\s+(\w+)(?:\s+(.*?))?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+
+
+def _split_where(clause: str) -> tuple[str, str | None]:
+    """Split `... WHERE cond` at the first WHERE token OUTSIDE string
+    literals and parentheses (a literal 'a WHERE b' or a subquery's
+    WHERE must not split the statement)."""
+    in_q, depth, i, n = False, 0, 0, len(clause)
+    while i < n:
+        ch = clause[i]
+        if ch == "'":
+            in_q = not in_q
+        elif not in_q:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif depth == 0 and clause[i : i + 5].upper() == "WHERE":
+                end_ok = (i + 5 == n) or not (
+                    clause[i + 5].isalnum() or clause[i + 5] == "_"
+                )
+                start_ok = i == 0 or not (
+                    clause[i - 1].isalnum() or clause[i - 1] == "_"
+                )
+                if end_ok and start_ok:
+                    return (
+                        clause[:i].rstrip(),
+                        clause[i + 5 :].strip() or None,
+                    )
+        i += 1
+    return clause.strip(), None
 
 # HeavyDB CREATE TABLE ... WITH (storage options) — Parser/ParserNode.h
 # CreateTableStmt. Options map to Spark physical layout: shard_count +
@@ -343,7 +373,7 @@ _ALTER_COL_TYPE_RE = re.compile(
 )
 _COL_DEF_RE = re.compile(
     r"^\s*([\w]+)\s+(.+?)(?:\s+NOT\s+NULL)?"
-    r"(?:\s+DEFAULT\s+(.+?))?\s*$",
+    r"(?:\s+DEFAULT\s+(.+?))?(?:\s+NOT\s+NULL)?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 
@@ -450,14 +480,18 @@ def _projection_changed(actions: list[str]) -> bool:
 
 
 def _split_top_level_defs(clause: str) -> list[str]:
-    """Split on top-level commas only (paren/bracket-depth aware)."""
-    parts, depth, cur = [], 0, []
+    """Split on top-level commas only (paren/bracket-depth AND
+    single-quote aware — commas inside string literals survive)."""
+    parts, depth, cur, in_q = [], 0, [], False
     for ch in clause:
-        if ch in "([":
-            depth += 1
-        elif ch in ")]":
-            depth -= 1
-        if ch == "," and depth == 0:
+        if ch == "'":
+            in_q = not in_q
+        elif not in_q:
+            if ch in "([":
+                depth += 1
+            elif ch in ")]":
+                depth -= 1
+        if ch == "," and depth == 0 and not in_q:
             parts.append("".join(cur))
             cur = []
         else:
@@ -466,11 +500,22 @@ def _split_top_level_defs(clause: str) -> list[str]:
     return [p for p in (s.strip() for s in parts) if p]
 
 
+def _split_eq(part: str) -> tuple[str, str]:
+    """Split `name = expr` at the first '=' OUTSIDE string literals."""
+    in_q = False
+    for i, ch in enumerate(part):
+        if ch == "'":
+            in_q = not in_q
+        elif ch == "=" and not in_q:
+            return part[:i], part[i + 1 :]
+    raise ValueError(f"expected name = value, got {part!r}")
+
+
 def _split_assignments(set_clause: str) -> dict[str, str]:
     """Split `a = e1, b = e2` on top-level commas only."""
     out = {}
     for p in _split_top_level_defs(set_clause):
-        name, expr = p.split("=", 1)
+        name, expr = _split_eq(p)
         out[name.strip()] = expr.strip()
     return out
 
@@ -558,10 +603,20 @@ class Engine:
         """
         m = _UPDATE_RE.match(query)
         if m:
-            return self._dml_update(m.group(1), m.group(2), m.group(3))
+            set_clause, where = _split_where(m.group(2))
+            return self._dml_update(m.group(1), set_clause, where)
         m = _DELETE_RE.match(query)
         if m:
-            return self._dml_delete(m.group(1), m.group(2))
+            rest = (m.group(2) or "").strip()
+            if rest:
+                before, where = _split_where(rest)
+                if before or where is None:
+                    raise ValueError(
+                        f"unsupported DELETE syntax after table name: {rest!r}"
+                    )
+            else:
+                where = None
+            return self._dml_delete(m.group(1), where)
         m = _CREATE_WITH_RE.match(query)
         if m:
             return self._ddl_create_with(
@@ -580,8 +635,10 @@ class Engine:
             return self._validate()
         if _TF_CURSOR_RE.search(query):
             query = self._expand_cursor_table_functions(query)
-        m = _TF_NOARG_RE.search(query)
-        if m:
+        while True:
+            m = _TF_NOARG_RE.search(query)
+            if not m:
+                break
             from heavydb_spark.operators.ml import supported_ml_frameworks
 
             import uuid as _uuid
@@ -809,11 +866,18 @@ class Engine:
             if rest.startswith(","):
                 rest = rest[1:]
             args: dict[str, object] = {}
-            for i, part in enumerate(
+            pos = 0  # positional index counts ONLY unnamed args — a
+            # named arg earlier in the list must not shift the
+            # positions of later positional ones
+            for part in (
                 p for p in _split_top_level_defs(rest) if p.strip()
             ):
                 am = _TF_ARG_RE.match(part)
-                key = (am.group(1) or str(i)).lower()
+                if am.group(1):
+                    key = am.group(1).lower()
+                else:
+                    key = str(pos)
+                    pos += 1
                 val = am.group(2).strip()
                 cm = re.match(r"^CURSOR\s*\((.*)\)\s*$", val, re.I | re.S)
                 if cm:
@@ -969,6 +1033,27 @@ class Engine:
             stmt.append(f"AS {ctas_select}")
         return self.spark.sql(" ".join(stmt))
 
+    def _dml_apply(self, table: str, post_image: DataFrame) -> None:
+        """Install a DML post-image: attached views are replaced (the
+        post-image plan binds to the underlying scan, not the view
+        name, so this is not self-referential); managed tables rewrite
+        through the bucketing-preserving stage-and-swap — native
+        INSERTs and DESCRIBEs keep seeing a real table, never a
+        shadowing view."""
+        if self._is_temp_view(table):
+            post_image.createOrReplaceTempView(table)
+            return
+        n_buckets, bucket_cols = self._table_bucketing(table)
+        bucket_cols = [c for c in bucket_cols if c in post_image.columns]
+        staging = f"{table}__dml_staging"
+        writer = post_image.write.mode("errorifexists").format("parquet")
+        if n_buckets and bucket_cols:
+            writer = writer.bucketBy(n_buckets, *bucket_cols).sortBy(
+                *bucket_cols
+            )
+        writer.saveAsTable(staging)
+        self._swap_tables(staging, table, f"{table}__dml_old")
+
     def _dml_update(self, table: str, set_clause: str, where: str | None) -> DataFrame:
         from heavydb_spark.operators.mutation import update_projection
 
@@ -979,9 +1064,7 @@ class Engine:
             for k, v in _split_assignments(set_clause).items()
         }
         affected = df.filter(cond).count()
-        # The post-image plan binds to the underlying scan (not the view
-        # name), so replacing the view is not self-referential.
-        update_projection(df, cond, assignments).createOrReplaceTempView(table)
+        self._dml_apply(table, update_projection(df, cond, assignments))
         return self.spark.range(1).select(F.lit(affected).alias("rows_affected"))
 
     def _dml_delete(self, table: str, where: str | None) -> DataFrame:
@@ -990,7 +1073,7 @@ class Engine:
         df = self.spark.table(table)
         cond = F.expr(dialect.rewrite(where)) if where else F.lit(True)
         affected = df.filter(cond).count()
-        delete_filter(df, cond).createOrReplaceTempView(table)
+        self._dml_apply(table, delete_filter(df, cond))
         return self.spark.range(1).select(F.lit(affected).alias("rows_affected"))
 
     def _spark_type_text(self, heavy_type: str) -> str:

@@ -1279,3 +1279,36 @@ def test_query_time_limit_requires_argument(engine):
 
     with _pytest.raises(ValueError, match="millisecond argument"):
         engine.sql("SELECT /*+ query_time_limit */ count(*) AS c FROM nation")
+
+
+def test_literals_protect_function_names_and_multi_noarg_tf(engine):
+    """Function-looking text inside string literals is data; multiple
+    zero-arg table functions in one statement all splice."""
+    r = engine.sql(
+        "SELECT count(*) AS c FROM nation "
+        "WHERE n_name NOT LIKE '%DATEADD(day%' AND n_nationkey >= 0"
+    ).first()
+    assert r["c"] == 25
+    r2 = engine.sql(
+        "SELECT (SELECT count(*) FROM TABLE(supported_ml_frameworks())) "
+        "+ (SELECT count(*) FROM TABLE(supported_ml_frameworks())) AS s"
+    ).first()
+    assert r2["s"] >= 2
+
+
+def test_lag_in_frame_desc_order(engine):
+    """RANGE-frame LAG_IN_FRAME under DESC ordering: the bound test
+    must flip direction (preceding rows carry larger order values)."""
+    engine.spark.createDataFrame(
+        [(1, 10.0, 1.0), (2, 20.0, 2.0), (3, 40.0, 3.0)],
+        "id long, ts double, v double",
+    ).createOrReplaceTempView("lifd")
+    rows = engine.sql(
+        "SELECT id, LAG_IN_FRAME(v, 1) OVER (ORDER BY ts DESC "
+        "RANGE BETWEEN 15 PRECEDING AND CURRENT ROW) AS w "
+        "FROM lifd ORDER BY id"
+    ).collect()
+    got = {r["id"]: r["w"] for r in rows}
+    # DESC order: 40, 20, 10. Preceding row of ts=20 is ts=40 (gap 20
+    # > 15 -> out of frame); preceding of ts=10 is ts=20 (gap 10 -> in).
+    assert got[3] is None and got[2] is None and got[1] == 2.0

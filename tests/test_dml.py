@@ -415,3 +415,56 @@ def test_alter_add_partition_falls_through(engine):
         assert parts == ["dt=2020"]
     finally:
         spark.sql("DROP TABLE IF EXISTS pt_t")
+
+
+def test_update_where_inside_literal_and_managed_table(engine):
+    """DML robustness: a literal containing ' WHERE ' must not split
+    the statement, and UPDATE on a MANAGED table must rewrite the
+    table (not shadow it with a temp view) so OPTIMIZE/INSERT keep
+    working afterward."""
+    spark = engine.spark
+    spark.sql("DROP TABLE IF EXISTS dmlm")
+    try:
+        engine.sql("CREATE TABLE dmlm AS SELECT n_nationkey, n_name "
+                   "FROM nation")
+        r = engine.sql(
+            "UPDATE dmlm SET n_name = 'a WHERE b' WHERE n_nationkey = 0"
+        ).first()
+        assert r["rows_affected"] == 1
+        got = engine.sql(
+            "SELECT n_name FROM dmlm WHERE n_nationkey = 0"
+        ).first()["n_name"]
+        assert got == "a WHERE b"
+        # still a real table: native INSERT and OPTIMIZE work
+        engine.sql("INSERT INTO dmlm VALUES (99, 'NEW')")
+        assert engine.sql("SELECT count(*) AS c FROM dmlm").first()["c"] == 26
+        engine.sql("OPTIMIZE TABLE dmlm")
+        engine.sql("DELETE FROM dmlm WHERE n_nationkey = 99")
+        assert engine.sql("SELECT count(*) AS c FROM dmlm").first()["c"] == 25
+    finally:
+        spark.sql("DROP TABLE IF EXISTS dmlm")
+
+
+def test_copy_with_quoted_comma_delimiter(engine, tmp_path):
+    """WITH (delimiter=',') — the quoted comma must survive the option
+    split (CopyParams, ImportExportTest.cpp)."""
+    out = str(tmp_path / "c")
+    engine.sql(
+        f"COPY (SELECT n_nationkey, n_name FROM nation) TO '{out}' "
+        f"WITH (delimiter=',', header='true')"
+    )
+    engine.sql("CREATE OR REPLACE TEMPORARY VIEW ncp AS "
+               "SELECT n_nationkey, n_name FROM nation")
+    r = engine.sql(
+        f"COPY ncp FROM '{out}' WITH (delimiter=',', header='true')"
+    ).first()
+    assert r["rows_loaded"] == 25
+
+
+def test_alter_default_not_null_order(engine):
+    """DEFAULT x NOT NULL (either clause order) parses as a column
+    definition with default 5."""
+    engine.sql("CREATE OR REPLACE TEMPORARY VIEW adn AS "
+               "SELECT r_regionkey FROM region")
+    engine.sql("ALTER TABLE adn ADD COLUMN x INT DEFAULT 5 NOT NULL")
+    assert engine.sql("SELECT min(x) AS m FROM adn").first()["m"] == 5
