@@ -353,6 +353,22 @@ _RENAME_TABLE_RE = re.compile(
     r"^\s*RENAME\s+TABLE\s+([\w.]+)\s+TO\s+([\w.]+)\s*;?\s*$",
     re.IGNORECASE,
 )
+# CREATE MODEL name OF TYPE <type> AS SELECT predicted, features... —
+# Parser/ParserNode.h:1950 CreateModelStmt (ShowCommandsDdlTest.cpp:3281
+# syntax); DROP MODEL / SHOW MODELS (DdlCommandExecutor).
+_CREATE_MODEL_RE = re.compile(
+    r"^\s*CREATE\s+(OR\s+REPLACE\s+)?MODEL\s+(IF\s+NOT\s+EXISTS\s+)?"
+    r"([\w.]+)\s+OF\s+TYPE\s+(\w+)\s+AS\s+(.*?)"
+    r"(?:\s+WITH\s*\((.*?)\))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DROP_MODEL_RE = re.compile(
+    r"^\s*DROP\s+MODEL\s+(IF\s+EXISTS\s+)?([\w.]+)\s*;?\s*$",
+    re.IGNORECASE,
+)
+_SHOW_MODELS_RE = re.compile(r"^\s*SHOW\s+MODELS\s*;?\s*$", re.IGNORECASE)
+
+
 _ALTER_ADD_RE = re.compile(
     r"^ADD\s+(?!PARTITION\b)(?:COLUMNS?\s+)?(.+)$",
     re.IGNORECASE | re.DOTALL
@@ -646,6 +662,28 @@ class Engine:
             view = f"__tf_noarg_{_uuid.uuid4().hex[:12]}"
             supported_ml_frameworks(self.spark).createOrReplaceTempView(view)
             query = query[: m.start()] + view + query[m.end() :]
+        m = _CREATE_MODEL_RE.match(query)
+        if m:
+            return self._create_model(
+                m.group(3), m.group(4), m.group(5),
+                replace=bool(m.group(1)), if_not_exists=bool(m.group(2)),
+            )
+        m = _DROP_MODEL_RE.match(query)
+        if m:
+            from heavydb_spark.dialect import MODELS
+
+            name = m.group(2).lower()
+            if name not in MODELS and not m.group(1):
+                raise ValueError(f"model {m.group(2)} does not exist")
+            MODELS.pop(name, None)
+            return self.spark.createDataFrame(
+                [(m.group(2),)], "model_name STRING"
+            )
+        if _SHOW_MODELS_RE.match(query):
+            from heavydb_spark.dialect import MODELS
+
+            rows = [(n,) for n in sorted(MODELS)] or []
+            return self.spark.createDataFrame(rows, "model_name STRING")
         m = _RENAME_TABLE_RE.match(query)
         if m:
             return self._alter_table(m.group(1), f"RENAME TO {m.group(2)}")
@@ -1192,6 +1230,76 @@ class Engine:
                 self.spark.sql(f"ALTER TABLE {table} RENAME TO {new_name}")
         return self.spark.createDataFrame(
             [(target, "altered")], "table_name STRING, status STRING"
+        )
+
+    def _create_model(
+        self,
+        name: str,
+        model_type: str,
+        select: str,
+        replace: bool = False,
+        if_not_exists: bool = False,
+    ) -> DataFrame:
+        """CREATE MODEL name OF TYPE LINEAR_REG AS SELECT predicted,
+        f1[, f2...] FROM ... (ParserNode.h:1950; the first projected
+        column is the predicted variable, the rest are features —
+        CreateModelStmt::model_predicted_var_/model_feature_vars_).
+        The fit is a single distributed moment aggregation (closed
+        form for 1-2 features, MLlib normal-equation solve beyond);
+        the model registers for ML_PREDICT('name', ...) inlining.
+        Tree/forest model types need the operators/ml DataFrame API —
+        their predictions are not expressible as one inlined
+        expression."""
+        from heavydb_spark.dialect import MODELS
+
+        if model_type.upper() != "LINEAR_REG":
+            raise NotImplementedError(
+                f"CREATE MODEL OF TYPE {model_type}: only LINEAR_REG has "
+                "the ML_PREDICT expression form; use operators/ml."
+                "tree_reg_fit_predict for tree ensembles"
+            )
+        if name.lower() in MODELS and not replace:
+            if if_not_exists:
+                return self.spark.createDataFrame(
+                    [(name, "exists")], "model_name STRING, status STRING"
+                )
+            raise ValueError(f"model {name} already exists")
+        df = self.sql(select.strip())
+        cols = df.columns
+        if len(cols) < 2:
+            raise ValueError(
+                "CREATE MODEL needs SELECT predicted, feature[, ...]"
+            )
+        label, feats = cols[0], cols[1:]
+        if len(feats) == 1:
+            from heavydb_spark.operators.ml import linear_reg_fit
+
+            fit = {
+                r["coef_idx"]: r["coef"]
+                for r in linear_reg_fit(df, feats[0], label).collect()
+            }
+            intercept, coefs = fit[0], [fit[1]]
+        elif len(feats) == 2:
+            from heavydb_spark.operators.ml import linear_reg_fit2
+
+            fit = {
+                r["coef_idx"]: r["coef"]
+                for r in linear_reg_fit2(df, feats[0], feats[1], label).collect()
+            }
+            intercept, coefs = fit[0], [fit[1], fit[2]]
+        else:
+            from pyspark.ml.feature import VectorAssembler
+            from pyspark.ml.regression import LinearRegression
+
+            va = VectorAssembler(inputCols=list(feats), outputCol="features")
+            model = LinearRegression(
+                labelCol=label, featuresCol="features", solver="normal"
+            ).fit(va.transform(df))
+            intercept = float(model.intercept)
+            coefs = [float(c) for c in model.coefficients]
+        dialect.register_model(name, float(intercept), coefs)
+        return self.spark.createDataFrame(
+            [(name, "created")], "model_name STRING, status STRING"
         )
 
     def _copy_from(self, table: str, path: str, options: str) -> DataFrame:

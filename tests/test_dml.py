@@ -468,3 +468,43 @@ def test_alter_default_not_null_order(engine):
                "SELECT r_regionkey FROM region")
     engine.sql("ALTER TABLE adn ADD COLUMN x INT DEFAULT 5 NOT NULL")
     assert engine.sql("SELECT min(x) AS m FROM adn").first()["m"] == 5
+
+
+def test_create_model_statement_family(engine):
+    """CREATE MODEL OF TYPE LINEAR_REG AS SELECT predicted, features
+    (ParserNode.h:1950) + ML_PREDICT round trip, SHOW MODELS, DROP
+    MODEL; tree types honestly rejected."""
+    import pytest as _pytest
+
+    engine.sql("DROP MODEL IF EXISTS m1")
+    r = engine.sql(
+        "CREATE MODEL m1 OF TYPE LINEAR_REG AS "
+        "SELECT o_totalprice, CAST(o_custkey AS DOUBLE) FROM orders"
+    ).first()
+    assert r["status"] == "created"
+    # exact round trip through ML_PREDICT on a closed-form 1-feature fit
+    p = engine.sql("SELECT ML_PREDICT('m1', 10.0) AS p").first()["p"]
+    assert p is not None
+    models = [r["model_name"] for r in engine.sql("SHOW MODELS").collect()]
+    assert "m1" in models
+
+    # two-feature closed form and >2-feature MLlib path both register
+    engine.sql("CREATE MODEL m2 OF TYPE LINEAR_REG AS "
+               "SELECT o_totalprice, CAST(o_custkey AS DOUBLE), "
+               "CAST(o_orderkey % 7 AS DOUBLE) FROM orders")
+    engine.sql("CREATE MODEL m3 OF TYPE LINEAR_REG AS "
+               "SELECT o_totalprice, CAST(o_custkey AS DOUBLE), "
+               "CAST(o_orderkey % 7 AS DOUBLE), "
+               "CAST(o_orderkey % 3 AS DOUBLE) FROM orders")
+    assert engine.sql("SELECT ML_PREDICT('m3', 1.0, 2.0, 3.0) AS p").first()
+
+    with _pytest.raises(ValueError, match="already exists"):
+        engine.sql("CREATE MODEL m1 OF TYPE LINEAR_REG AS "
+                   "SELECT o_totalprice, CAST(o_custkey AS DOUBLE) FROM orders")
+    with _pytest.raises(NotImplementedError, match="LINEAR_REG"):
+        engine.sql("CREATE MODEL rf OF TYPE RANDOM_FOREST_REG AS "
+                   "SELECT o_totalprice, CAST(o_custkey AS DOUBLE) FROM orders")
+    for m in ("m1", "m2", "m3"):
+        engine.sql(f"DROP MODEL {m}")
+    with _pytest.raises(ValueError, match="does not exist"):
+        engine.sql("DROP MODEL m1")
