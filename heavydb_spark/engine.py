@@ -367,6 +367,13 @@ _DROP_MODEL_RE = re.compile(
     re.IGNORECASE,
 )
 _SHOW_MODELS_RE = re.compile(r"^\s*SHOW\s+MODELS\s*;?\s*$", re.IGNORECASE)
+_EVALUATE_MODEL_RE = re.compile(
+    r"^\s*EVALUATE\s+MODEL\s+([\w.]+)(?:\s+ON\s+(.*?))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+# training selects by model name, for the ON-less EVALUATE form
+_MODEL_SOURCES: dict[str, str] = {}
 
 
 _ALTER_ADD_RE = re.compile(
@@ -679,6 +686,9 @@ class Engine:
             return self.spark.createDataFrame(
                 [(m.group(2),)], "model_name STRING"
             )
+        m = _EVALUATE_MODEL_RE.match(query)
+        if m:
+            return self._evaluate_model(m.group(1), m.group(2))
         if _SHOW_MODELS_RE.match(query):
             from heavydb_spark.dialect import MODELS
 
@@ -1298,8 +1308,42 @@ class Engine:
             intercept = float(model.intercept)
             coefs = [float(c) for c in model.coefficients]
         dialect.register_model(name, float(intercept), coefs)
+        _MODEL_SOURCES[name.lower()] = select.strip()
         return self.spark.createDataFrame(
             [(name, "created")], "model_name STRING, status STRING"
+        )
+
+    def _evaluate_model(self, name: str, on_select: str | None) -> DataFrame:
+        """EVALUATE MODEL name [ON SELECT predicted, features FROM ...]
+        (SqlEvaluateModel.java; ShowCommandsDdlTest.cpp:3996): r2 of the
+        registered model over the given relation, defaulting to its
+        training select — one distributed aggregate."""
+        from heavydb_spark.dialect import MODELS
+        from heavydb_spark.operators.ml import r2_score
+
+        model = MODELS.get(name.lower())
+        if model is None:
+            raise ValueError(f"model {name} does not exist")
+        select = on_select or _MODEL_SOURCES.get(name.lower())
+        if select is None:
+            raise ValueError(
+                f"EVALUATE MODEL {name}: no training query stored "
+                "(registered via the API) — use EVALUATE MODEL ... ON SELECT"
+            )
+        df = self.sql(select.strip())
+        cols = df.columns
+        label, feats = cols[0], cols[1:]
+        if len(feats) != len(model.coefs):
+            raise ValueError(
+                f"EVALUATE MODEL {name}: {len(feats)} features vs "
+                f"{len(model.coefs)} model coefficients"
+            )
+        pred = F.lit(float(model.intercept))
+        for c, f_ in zip(model.coefs, feats):
+            pred = pred + F.lit(float(c)) * F.col(f_).cast("double")
+        scored = df.withColumn("__pred", pred)
+        return r2_score(scored, label, "__pred").select(
+            F.round("r2", 6).alias("r2")
         )
 
     def _copy_from(self, table: str, path: str, options: str) -> DataFrame:

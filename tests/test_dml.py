@@ -508,3 +508,27 @@ def test_create_model_statement_family(engine):
         engine.sql(f"DROP MODEL {m}")
     with _pytest.raises(ValueError, match="does not exist"):
         engine.sql("DROP MODEL m1")
+
+
+def test_evaluate_model_statement(engine):
+    """EVALUATE MODEL [ON SELECT ...] returns the r2 of the registered
+    model (SqlEvaluateModel.java; single-aggregate evaluation)."""
+    import pytest as _pytest
+
+    engine.sql("DROP MODEL IF EXISTS ev1")
+    engine.sql("CREATE MODEL ev1 OF TYPE LINEAR_REG AS "
+               "SELECT o_totalprice, CAST(o_custkey AS DOUBLE) FROM orders")
+    r2_self = engine.sql("EVALUATE MODEL ev1").first()["r2"]
+    assert r2_self is not None and r2_self <= 1.0
+    r2_on = engine.sql(
+        "EVALUATE MODEL ev1 ON SELECT o_totalprice, "
+        "CAST(o_custkey AS DOUBLE) FROM orders WHERE o_orderkey < 500"
+    ).first()["r2"]
+    assert r2_on is not None and r2_on <= 1.0
+    with _pytest.raises(ValueError, match="does not exist"):
+        engine.sql("EVALUATE MODEL nope")
+    with _pytest.raises(ValueError, match="coefficients"):
+        engine.sql("EVALUATE MODEL ev1 ON SELECT o_totalprice, "
+                   "CAST(o_custkey AS DOUBLE), CAST(o_orderkey AS DOUBLE) "
+                   "FROM orders")
+    engine.sql("DROP MODEL ev1")
