@@ -149,7 +149,7 @@ def generate_sql(seed: int) -> str:
     return sql
 
 
-@pytest.mark.parametrize("seed", range(60))
+@pytest.mark.parametrize("seed", range(100))
 def test_randomized_filter_agg(engine, ddb, seed):
     sql = generate_sql(seed)
     sdf = engine.sql(sql)
@@ -216,7 +216,7 @@ def generate_join_sql(seed: int) -> str:
     )
 
 
-@pytest.mark.parametrize("seed", range(20))
+@pytest.mark.parametrize("seed", range(35))
 def test_randomized_join_agg(engine, ddb, seed):
     sql = generate_join_sql(seed)
     sdf = engine.sql(sql)
@@ -275,7 +275,7 @@ def generate_window_sql(seed: int) -> str:
     )
 
 
-@pytest.mark.parametrize("seed", range(25))
+@pytest.mark.parametrize("seed", range(40))
 def test_randomized_windows(engine, ddb, seed):
     sql = generate_window_sql(seed)
     srows = [tuple(r) for r in engine.sql(sql).collect()]
