@@ -19,8 +19,9 @@ from heavydb_spark.functions.geos import register_geos_functions
 def register_all(spark: SparkSession) -> None:
     register_string_functions(spark)
     register_array_functions(spark)
-    register_geo_functions(spark)
+    # geos first: geo's st_intersects SQL body calls st_intersection
     register_geos_functions(spark)
+    register_geo_functions(spark)
 
 
 def single_value(col):

@@ -1012,6 +1012,65 @@ _GEO_SQL_FUNCS = {
         CREATE OR REPLACE TEMPORARY FUNCTION conv_4326_900913_x(x DOUBLE)
         RETURNS DOUBLE RETURN x * 111319.490778
     """,
+    # ---- geometry-typed SQL surface (array-of-rings representation,
+    # ARRAY<ARRAY<STRUCT<x,y>>>; POINT/LINESTRING normalize into it via
+    # st_geomfromtext). Pure SQL bodies mirroring the Column helpers
+    # above formula for formula (shoelace area with holes, area-weighted
+    # centroid, even-odd ray cast, open-path length); st_intersects
+    # delegates to the GEOS overlay kernel (functions/geos.py), so it
+    # must register AFTER register_geos_functions (register_all order).
+    # SQL scalar functions cannot overload, so st_astext takes the
+    # POINT struct (the polygon spelling stays on the Column API).
+    "st_area": """
+        CREATE OR REPLACE TEMPORARY FUNCTION st_area(g ARRAY<ARRAY<STRUCT<x: DOUBLE, y: DOUBLE>>>) RETURNS DOUBLE RETURN element_at(transform(g, r -> abs((aggregate(transform(r, (a, i) -> CAST((a.x * element_at(r, ((i + 1) % size(r)) + 1).y - element_at(r, ((i + 1) % size(r)) + 1).x * a.y) AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) / 2.0))), 1) * 2 - aggregate(transform(g, r -> abs((aggregate(transform(r, (a, i) -> CAST((a.x * element_at(r, ((i + 1) % size(r)) + 1).y - element_at(r, ((i + 1) % size(r)) + 1).x * a.y) AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) / 2.0))), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)
+    """,
+    "st_perimeter": """
+        CREATE OR REPLACE TEMPORARY FUNCTION st_perimeter(g ARRAY<ARRAY<STRUCT<x: DOUBLE, y: DOUBLE>>>) RETURNS DOUBLE RETURN aggregate(transform(g, r -> aggregate(transform(r, (a, i) -> CAST((sqrt((a.x - element_at(r, ((i + 1) % size(r)) + 1).x) * (a.x - element_at(r, ((i + 1) % size(r)) + 1).x) + (a.y - element_at(r, ((i + 1) % size(r)) + 1).y) * (a.y - element_at(r, ((i + 1) % size(r)) + 1).y))) AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)
+    """,
+    "st_centroid": """
+        CREATE OR REPLACE TEMPORARY FUNCTION st_centroid(g ARRAY<ARRAY<STRUCT<x: DOUBLE, y: DOUBLE>>>) RETURNS STRUCT<x: DOUBLE, y: DOUBLE> RETURN named_struct('x', (aggregate(transform(g, (r, ri) -> (CASE WHEN ri = 0 THEN 1.0 ELSE -1.0 END) * (aggregate(transform(r, (a, i) -> CAST(((a.x + element_at(r, ((i + 1) % size(r)) + 1).x) * (a.x * element_at(r, ((i + 1) % size(r)) + 1).y - element_at(r, ((i + 1) % size(r)) + 1).x * a.y)) AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)) * signum((aggregate(transform(r, (a, i) -> CAST((a.x * element_at(r, ((i + 1) % size(r)) + 1).y - element_at(r, ((i + 1) % size(r)) + 1).x * a.y) AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) / 2.0)) / 6.0), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)) / st_area(g), 'y', (aggregate(transform(g, (r, ri) -> (CASE WHEN ri = 0 THEN 1.0 ELSE -1.0 END) * (aggregate(transform(r, (a, i) -> CAST(((a.y + element_at(r, ((i + 1) % size(r)) + 1).y) * (a.x * element_at(r, ((i + 1) % size(r)) + 1).y - element_at(r, ((i + 1) % size(r)) + 1).x * a.y)) AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)) * signum((aggregate(transform(r, (a, i) -> CAST((a.x * element_at(r, ((i + 1) % size(r)) + 1).y - element_at(r, ((i + 1) % size(r)) + 1).x * a.y) AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) / 2.0)) / 6.0), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)) / st_area(g))
+    """,
+    "st_contains": """
+        CREATE OR REPLACE TEMPORARY FUNCTION st_contains(g ARRAY<ARRAY<STRUCT<x: DOUBLE, y: DOUBLE>>>, p STRUCT<x: DOUBLE, y: DOUBLE>) RETURNS BOOLEAN RETURN CAST(aggregate(transform(g, r -> aggregate(transform(r, (a, i) -> CAST((CASE WHEN ((a.y > p.y) != (element_at(r, ((i + 1) % size(r)) + 1).y > p.y)) AND (p.x < a.x + (element_at(r, ((i + 1) % size(r)) + 1).x - a.x) * (p.y - a.y) / (element_at(r, ((i + 1) % size(r)) + 1).y - a.y)) THEN 1.0 ELSE 0.0 END) AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) AS BIGINT) % 2 = 1
+    """,
+    "st_numrings": """
+        CREATE OR REPLACE TEMPORARY FUNCTION st_numrings(g ARRAY<ARRAY<STRUCT<x: DOUBLE, y: DOUBLE>>>) RETURNS INT RETURN size(g)
+    """,
+    "st_npoints": """
+        CREATE OR REPLACE TEMPORARY FUNCTION st_npoints(g ARRAY<ARRAY<STRUCT<x: DOUBLE, y: DOUBLE>>>) RETURNS INT RETURN CAST(aggregate(transform(g, r -> size(r)), 0, (acc, v) -> acc + v) AS INT)
+    """,
+    "st_length": """
+        CREATE OR REPLACE TEMPORARY FUNCTION st_length(g ARRAY<ARRAY<STRUCT<x: DOUBLE, y: DOUBLE>>>) RETURNS DOUBLE RETURN aggregate(sequence(1, size(element_at(g, 1)) - 1), CAST(0.0 AS DOUBLE), (acc, i) -> acc + sqrt(pow(element_at(element_at(g, 1), i).x - element_at(element_at(g, 1), i + 1).x, 2) + pow(element_at(element_at(g, 1), i).y - element_at(element_at(g, 1), i + 1).y, 2)))
+    """,
+    "st_geomfromtext": r"""
+        CREATE OR REPLACE TEMPORARY FUNCTION st_geomfromtext(wkt STRING) RETURNS ARRAY<ARRAY<STRUCT<x: DOUBLE, y: DOUBLE>>> RETURN CASE
+        WHEN upper(trim(wkt)) RLIKE '^POINT' THEN array(array(named_struct('x', CAST(element_at(split(trim(regexp_extract(wkt, '\\((.*)\\)', 1)), '\\s+'), 1) AS DOUBLE), 'y', CAST(element_at(split(trim(regexp_extract(wkt, '\\((.*)\\)', 1)), '\\s+'), 2) AS DOUBLE))))
+        WHEN upper(trim(wkt)) RLIKE '^LINESTRING' THEN
+            array(transform(split(regexp_extract(wkt, '\\((.*)\\)', 1), ','), s -> named_struct('x', CAST(element_at(split(trim(s), '\\s+'), 1) AS DOUBLE), 'y', CAST(element_at(split(trim(s), '\\s+'), 2) AS DOUBLE))))
+        ELSE transform(
+            split(regexp_replace(regexp_extract(wkt, '\\((.*)\\)', 1), '^\\(|\\)$', ''), '\\)\\s*,\\s*\\('),
+            r -> transform(split(r, ','), s -> named_struct('x', CAST(element_at(split(trim(s), '\\s+'), 1) AS DOUBLE), 'y', CAST(element_at(split(trim(s), '\\s+'), 2) AS DOUBLE))))
+    END
+    """,
+    "st_astext": """
+        CREATE OR REPLACE TEMPORARY FUNCTION st_astext(p STRUCT<x: DOUBLE, y: DOUBLE>) RETURNS STRING RETURN concat('POINT (', CAST(p.x AS STRING), ' ', CAST(p.y AS STRING), ')')
+    """,
+    "st_transform": """
+        CREATE OR REPLACE TEMPORARY FUNCTION st_transform(p STRUCT<x: DOUBLE, y: DOUBLE>, srid INT) RETURNS STRUCT<x: DOUBLE, y: DOUBLE> RETURN CASE
+        WHEN srid = 900913 THEN named_struct(
+            'x', p.x * 111319.490778,
+            'y', 6378136.99911 * ln(tan(0.00872664626 * p.y + 0.785398163397)))
+        WHEN srid = 4326 THEN p
+        ELSE named_struct(
+            'x', CAST(raise_error(concat('ST_Transform: unsupported SRID ',
+                 CAST(srid AS STRING), ' in the SQL form; the DataFrame API ',
+                 'adds UTM zones')) AS DOUBLE),
+            'y', CAST(NULL AS DOUBLE))
+    END
+    """,
+    "st_intersects": """
+        CREATE OR REPLACE TEMPORARY FUNCTION st_intersects(a ARRAY<ARRAY<STRUCT<x: DOUBLE, y: DOUBLE>>>, b ARRAY<ARRAY<STRUCT<x: DOUBLE, y: DOUBLE>>>) RETURNS BOOLEAN RETURN size(st_intersection(a, b)) > 0
+    """,
     "conv_4326_900913_y": """
         CREATE OR REPLACE TEMPORARY FUNCTION conv_4326_900913_y(y DOUBLE)
         RETURNS DOUBLE

@@ -1312,3 +1312,54 @@ def test_lag_in_frame_desc_order(engine):
     # DESC order: 40, 20, 10. Preceding row of ts=20 is ts=40 (gap 20
     # > 15 -> out of frame); preceding of ts=10 is ts=20 (gap 10 -> in).
     assert got[3] is None and got[2] is None and got[1] == 2.0
+
+
+def test_geo_sql_geometry_surface(engine):
+    """Geometry-typed geo SQL functions (ExtensionFunctionsGeo.hpp
+    surface): WKT parse, area/perimeter/centroid with holes, even-odd
+    containment, length, ring/point counts, AsText, Transform,
+    GEOS-backed Intersects — all callable from SQL strings."""
+    checks = [
+        ("SELECT ST_Area(ST_GeomFromText("
+         "'POLYGON ((0 0, 4 0, 4 3, 0 3))')) AS a", 12.0),
+        ("SELECT ST_Perimeter(ST_GeomFromText("
+         "'POLYGON ((0 0, 4 0, 4 3, 0 3))')) AS a", 14.0),
+        ("SELECT ST_Contains(ST_GeomFromText("
+         "'POLYGON ((0 0, 4 0, 4 4, 0 4))'), st_point(2.0, 2.0)) AS a",
+         True),
+        ("SELECT ST_Contains(ST_GeomFromText("
+         "'POLYGON ((0 0, 4 0, 4 4, 0 4), (1 1, 2 1, 2 2, 1 2))'), "
+         "st_point(1.5, 1.5)) AS a", False),  # inside a hole = outside
+        ("SELECT ST_NPoints(ST_GeomFromText("
+         "'LINESTRING (0 0, 1 1, 2 0)')) AS a", 3),
+        ("SELECT ST_Length(ST_GeomFromText("
+         "'LINESTRING (0 0, 3 4)')) AS a", 5.0),
+        ("SELECT ST_NumRings(ST_GeomFromText("
+         "'POLYGON ((0 0, 4 0, 4 4, 0 4), (1 1, 2 1, 2 2, 1 2))')) AS a",
+         2),
+        ("SELECT ST_Area(ST_GeomFromText("
+         "'POLYGON ((0 0, 4 0, 4 4, 0 4), (1 1, 2 1, 2 2, 1 2))')) AS a",
+         15.0),
+        ("SELECT ST_AsText(st_point(1.5, 2.5)) AS a", "POINT (1.5 2.5)"),
+        ("SELECT round(ST_X(ST_Transform(st_point(1.0, 0.0), 900913)), 2)"
+         " AS a", 111319.49),
+        ("SELECT ST_Intersects(ST_GeomFromText("
+         "'POLYGON ((0 0, 4 0, 4 4, 0 4))'), ST_GeomFromText("
+         "'POLYGON ((2 2, 6 2, 6 6, 2 6))')) AS a", True),
+        ("SELECT ST_Intersects(ST_GeomFromText("
+         "'POLYGON ((0 0, 1 0, 1 1, 0 1))'), ST_GeomFromText("
+         "'POLYGON ((5 5, 6 5, 6 6, 5 6))')) AS a", False),
+        ("SELECT ST_Y(ST_Centroid(ST_GeomFromText("
+         "'POLYGON ((0 0, 2 0, 2 2, 0 2))'))) AS a", 1.0),
+    ]
+    import pytest as _pytest
+
+    for sql, want in checks:
+        got = engine.sql(sql).first()["a"]
+        if isinstance(want, float):
+            assert got == _pytest.approx(want), sql
+        else:
+            assert got == want, sql
+    with _pytest.raises(Exception, match="unsupported SRID"):
+        engine.sql("SELECT ST_Transform(st_point(1.0, 2.0), 32610) AS a"
+                   ).collect()
