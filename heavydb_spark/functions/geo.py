@@ -1071,6 +1071,30 @@ _GEO_SQL_FUNCS = {
     "st_intersects": """
         CREATE OR REPLACE TEMPORARY FUNCTION st_intersects(a ARRAY<ARRAY<STRUCT<x: DOUBLE, y: DOUBLE>>>, b ARRAY<ARRAY<STRUCT<x: DOUBLE, y: DOUBLE>>>) RETURNS BOOLEAN RETURN size(st_intersection(a, b)) > 0
     """,
+    "st_buffer": """
+        CREATE OR REPLACE TEMPORARY FUNCTION st_buffer(p STRUCT<x: DOUBLE, y: DOUBLE>, radius DOUBLE) RETURNS ARRAY<ARRAY<STRUCT<x: DOUBLE, y: DOUBLE>>> RETURN array(transform(sequence(0, 31), i -> named_struct('x', p.x + radius * cos(2 * pi() * i / 32), 'y', p.y + radius * sin(2 * pi() * i / 32))))
+    """,
+    "st_startpoint": """
+        CREATE OR REPLACE TEMPORARY FUNCTION st_startpoint(g ARRAY<ARRAY<STRUCT<x: DOUBLE, y: DOUBLE>>>) RETURNS STRUCT<x: DOUBLE, y: DOUBLE> RETURN element_at(element_at(g, 1), 1)
+    """,
+    "st_endpoint": """
+        CREATE OR REPLACE TEMPORARY FUNCTION st_endpoint(g ARRAY<ARRAY<STRUCT<x: DOUBLE, y: DOUBLE>>>) RETURNS STRUCT<x: DOUBLE, y: DOUBLE> RETURN element_at(element_at(g, 1), size(element_at(g, 1)))
+    """,
+    "st_pointn": """
+        CREATE OR REPLACE TEMPORARY FUNCTION st_pointn(g ARRAY<ARRAY<STRUCT<x: DOUBLE, y: DOUBLE>>>, n INT) RETURNS STRUCT<x: DOUBLE, y: DOUBLE> RETURN element_at(element_at(g, 1), n)
+    """,
+    "st_xmin": """
+        CREATE OR REPLACE TEMPORARY FUNCTION st_xmin(g ARRAY<ARRAY<STRUCT<x: DOUBLE, y: DOUBLE>>>) RETURNS DOUBLE RETURN array_min(flatten(transform(g, r -> transform(r, q -> q.x))))
+    """,
+    "st_xmax": """
+        CREATE OR REPLACE TEMPORARY FUNCTION st_xmax(g ARRAY<ARRAY<STRUCT<x: DOUBLE, y: DOUBLE>>>) RETURNS DOUBLE RETURN array_max(flatten(transform(g, r -> transform(r, q -> q.x))))
+    """,
+    "st_ymin": """
+        CREATE OR REPLACE TEMPORARY FUNCTION st_ymin(g ARRAY<ARRAY<STRUCT<x: DOUBLE, y: DOUBLE>>>) RETURNS DOUBLE RETURN array_min(flatten(transform(g, r -> transform(r, q -> q.y))))
+    """,
+    "st_ymax": """
+        CREATE OR REPLACE TEMPORARY FUNCTION st_ymax(g ARRAY<ARRAY<STRUCT<x: DOUBLE, y: DOUBLE>>>) RETURNS DOUBLE RETURN array_max(flatten(transform(g, r -> transform(r, q -> q.y))))
+    """,
     "conv_4326_900913_y": """
         CREATE OR REPLACE TEMPORARY FUNCTION conv_4326_900913_y(y DOUBLE)
         RETURNS DOUBLE

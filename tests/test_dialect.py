@@ -1363,3 +1363,29 @@ def test_geo_sql_geometry_surface(engine):
     with _pytest.raises(Exception, match="unsupported SRID"):
         engine.sql("SELECT ST_Transform(st_point(1.0, 2.0), 32610) AS a"
                    ).collect()
+
+
+def test_geo_sql_accessors(engine):
+    """Remaining geo SQL accessors: ST_Buffer (point n-gon),
+    Start/End/PointN, XMin/XMax/YMin/YMax bounds."""
+    import math
+
+    import pytest as _pytest
+
+    r = engine.sql(
+        "SELECT round(ST_Area(ST_Buffer(st_point(0.0, 0.0), 10.0)), 1) "
+        "AS buf_area, "
+        "ST_X(ST_StartPoint(ST_GeomFromText('LINESTRING (1 2, 3 4)'))) AS sx, "
+        "ST_Y(ST_EndPoint(ST_GeomFromText('LINESTRING (1 2, 3 4)'))) AS ey, "
+        "ST_X(ST_PointN(ST_GeomFromText('LINESTRING (1 2, 3 4, 5 6)'), 2)) "
+        "AS p2, "
+        "ST_XMin(ST_GeomFromText('POLYGON ((0 0, 4 0, 4 3, 0 3))')) AS x0, "
+        "ST_YMax(ST_GeomFromText('POLYGON ((0 0, 4 0, 4 3, 0 3))')) AS y1"
+    ).first()
+    # 32-gon area = 0.5 * n * r^2 * sin(2*pi/n)
+    assert r["buf_area"] == _pytest.approx(
+        0.5 * 32 * 100 * math.sin(2 * math.pi / 32), abs=0.2
+    )
+    assert (r["sx"], r["ey"], r["p2"], r["x0"], r["y1"]) == (
+        1.0, 4.0, 3.0, 0.0, 3.0,
+    )
