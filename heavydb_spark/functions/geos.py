@@ -479,6 +479,34 @@ def register_geos_functions(spark) -> None:
     # SQL form fixes k=3 (SQL scalar functions can't take a Python
     # int); the Column API exposes the full neighbor budget
     spark.udf.register("st_concavehull", _concave_udf(3))
+    @F.pandas_udf(MULTIPOLYGON_T)
+    def _buffer_line(sl: pd.Series, sr: pd.Series) -> pd.Series:
+        out = []
+        for line, rad in zip(sl, sr):
+            pts = [(float(q["x"]), float(q["y"])) for q in line]
+            shapes = _buffer_shapes(
+                [pts], float(rad), 8, closed=False, include_base=False
+            )
+            out.append(_to_arrow_mp(_boolean_trapezoids(shapes, any)))
+        return pd.Series(out)
+
+    @F.pandas_udf(MULTIPOLYGON_T)
+    def _buffer_poly(sp: pd.Series, sr: pd.Series) -> pd.Series:
+        out = []
+        for p, rad in zip(sp, sr):
+            rings = _norm_poly(p)
+            shapes = _buffer_shapes(
+                rings, float(rad), 8, closed=True, include_base=True
+            )
+            out.append(_to_arrow_mp(_boolean_trapezoids(shapes, any)))
+        return pd.Series(out)
+
+    # SQL spellings (scalar functions can't overload ST_Buffer by
+    # geometry type): st_buffer_line takes the bare point path
+    # (element_at(g, 1) of a normalized geometry), st_buffer_poly the
+    # ring array; radius binds per row.
+    spark.udf.register("st_buffer_line", _buffer_line)
+    spark.udf.register("st_buffer_poly", _buffer_poly)
     spark.udf.register("st_union", _overlay(lambda p: p[0] or p[1]))
     spark.udf.register("st_intersection", _overlay(lambda p: p[0] and p[1]))
     spark.udf.register("st_difference", _overlay(lambda p: p[0] and not p[1]))

@@ -1389,3 +1389,28 @@ def test_geo_sql_accessors(engine):
     assert (r["sx"], r["ey"], r["p2"], r["x0"], r["y1"]) == (
         1.0, 4.0, 3.0, 0.0, 3.0,
     )
+
+
+def test_geo_sql_buffer_line_and_poly(engine):
+    """ST_Buffer over linestrings and polygons from SQL (GEOS kernel;
+    named st_buffer_line / st_buffer_poly since SQL scalar functions
+    cannot overload by geometry type)."""
+    import pytest as _pytest
+
+    # buffers return MULTIPOLYGON (an array of polygons) — sum areas
+    # via explode (SQL scalar functions can't take lambda variables)
+    pa = engine.sql(
+        "SELECT sum(ST_Area(p)) AS a FROM (SELECT explode(mp) AS p FROM "
+        "(SELECT st_buffer_poly(ST_GeomFromText("
+        "'POLYGON ((0 0, 10 0, 10 10, 0 10))'), 2.0) AS mp))"
+    ).first()["a"]
+    la = engine.sql(
+        "SELECT sum(ST_Area(p)) AS a FROM (SELECT explode(mp) AS p FROM "
+        "(SELECT st_buffer_line(element_at(ST_GeomFromText("
+        "'LINESTRING (0 0, 10 0)'), 1), 1.0) AS mp))"
+    ).first()["a"]
+    r = {"pa": pa, "la": la}
+    # buffered square: >= original 100, <= (10+2r)^2 bounding square
+    assert 100.0 < r["pa"] <= 196.0
+    # buffered segment: ~ 2*r*len + pi*r^2 (n-gon under-approximates)
+    assert r["la"] == _pytest.approx(20 + 3.14159, rel=0.15)
