@@ -39,9 +39,11 @@ from heavydb_spark.queries import (  # noqa: F401,E402
 # The verify driver correctness-checks queries in registration order with a
 # bounded budget (~50 per round).  The union of the r1-r3 windows covered all
 # 135 pre-r4 queries with zero outstanding failures, so round 4 front-loads:
-# (1) the four new geo queries, (2) everything whose code changed this round,
-# (3) a full rotation of the rows-only sketch/iterative queries (their value
-# invariants are pytest-checked), then a per-family green regression slice.
+# (1) every query ADDED this round (geo/point-cloud/obj-detect/pipeline/
+# TPC-H+DS/stream/portable-sketch/invariant additions), (2) queries that
+# GRADUATED from rows-only to exact oracles, (3) everything whose code was
+# touched this round, then the remaining rows-only rotation and a per-family
+# green regression slice (those roll into the r5 window).
 # ---------------------------------------------------------------------------
 _PRIORITY = [
     # --- round-4 additions (never driver-verified) ---
