@@ -8,7 +8,6 @@ from pyspark.sql import functions as F
 
 from heavydb_spark.functions import geo
 from heavydb_spark.operators import graph, ml, mutation
-from heavydb_spark.operators.series import generate_random_strings
 from heavydb_spark.queries.registry import query
 from heavydb_spark.queries.util import T, r4
 

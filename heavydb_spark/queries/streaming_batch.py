@@ -29,16 +29,17 @@ from heavydb_spark.queries.util import T, r2
 )
 def stream_tumbling_window(spark, sf_dir):
     """B12: tumbling window agg — `window()` is epoch-aligned exactly
-    like DuckDB time_bucket."""
+    like DuckDB time_bucket. Calls the SHARED streaming builder
+    (streaming/events.tumbling_counts), so the oracle check covers the
+    exact code the streams run."""
+    from heavydb_spark.streaming.events import tumbling_counts
+
     ev = T(spark, sf_dir, "events")
     return (
-        ev.groupBy(F.window("ts", "10 minutes").alias("w"), F.col("event_type"))
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            r2(F.sum("value")).alias("total"),
-        )
+        tumbling_counts(ev)
         .select(
-            F.col("w.start").alias("window_start"), "event_type", "n", "total"
+            "window_start", "event_type", "n",
+            r2(F.col("total")).alias("total"),
         )
         .orderBy("window_start", "event_type")
     )
@@ -60,15 +61,14 @@ def stream_tumbling_window(spark, sf_dir):
 )
 def stream_sliding_window(spark, sf_dir):
     """Sliding window (10 min window, 5 min slide): each event lands in 2
-    windows — the oracle expands membership explicitly."""
+    windows — the oracle expands membership explicitly. Calls the
+    SHARED streaming builder (streaming/events.sliding_counts)."""
+    from heavydb_spark.streaming.events import sliding_counts
+
     ev = T(spark, sf_dir, "events")
     return (
-        ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            r2(F.sum("value")).alias("total"),
-        )
-        .select(F.col("w.start").alias("window_start"), "n", "total")
+        sliding_counts(ev)
+        .select("window_start", "n", r2(F.col("total")).alias("total"))
         .orderBy("window_start")
     )
 
@@ -97,18 +97,16 @@ def stream_sliding_window(spark, sf_dir):
 )
 def stream_session_window(spark, sf_dir):
     """session_window(ts, '30 minutes') — gap-based sessions; the oracle
-    reproduces the same gap semantics via lag+cumsum."""
+    reproduces the same gap semantics via lag+cumsum. Calls the SHARED
+    streaming builder (streaming/events.session_counts)."""
+    from heavydb_spark.streaming.events import session_counts
+
     ev = T(spark, sf_dir, "events")
     return (
-        ev.groupBy(
-            F.session_window("ts", "30 minutes").alias("w"), F.col("user_id")
-        )
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            r2(F.sum("value")).alias("total"),
-        )
+        session_counts(ev)
         .select(
-            "user_id", F.col("w.start").alias("session_start"), "n", "total"
+            "user_id", "session_start", "n",
+            r2(F.col("total")).alias("total"),
         )
         .orderBy("user_id", "session_start")
     )

@@ -150,12 +150,10 @@ def tpch_q4_priority_exists(spark, sf_dir):
     "tpch_q8_market_share",
     oracle="""
     SELECT CAST(extract(year FROM o_orderdate) AS BIGINT) AS o_year,
-           round(
-             round(sum(CASE WHEN n2.n_name = 'NATION_5'
-                            THEN l_extendedprice * (1 - l_discount)
-                            ELSE 0 END), 2)
-             / round(sum(l_extendedprice * (1 - l_discount)), 2), 6
-           ) AS mkt_share
+           round(sum(CASE WHEN n2.n_name = 'NATION_5'
+                          THEN l_extendedprice * (1 - l_discount)
+                          ELSE 0 END), 2)
+           / round(sum(l_extendedprice * (1 - l_discount)), 2) AS mkt_share
     FROM lineitem
     JOIN orders    ON o_orderkey = l_orderkey
     JOIN customer  ON c_custkey = o_custkey
@@ -202,7 +200,10 @@ def tpch_q8_market_share(spark, sf_dir):
     return (
         joined.groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
         .agg(
-            F.round(
+            # no final round() on the quotient: both engines divide the
+            # SAME 2dp-rounded doubles, and rounding a double quotient
+            # diverges at x.xx5 midpoints (the Q9 convention above)
+            (
                 r2(
                     F.sum(
                         F.when(F.col("supp_nation") == "NATION_5", _rev()).otherwise(
@@ -210,8 +211,7 @@ def tpch_q8_market_share(spark, sf_dir):
                         )
                     )
                 )
-                / r2(F.sum(_rev())),
-                6,
+                / r2(F.sum(_rev()))
             ).alias("mkt_share")
         )
         .orderBy("o_year")
@@ -407,12 +407,11 @@ def tpch_q13_order_distribution(spark, sf_dir):
 @query(
     "tpch_q14_promo_revenue",
     oracle="""
-    SELECT round(
-             100.0 * round(sum(CASE WHEN p_type = 'PROMO'
-                                    THEN l_extendedprice * (1 - l_discount)
-                                    ELSE 0 END), 2)
-             / round(sum(l_extendedprice * (1 - l_discount)), 2), 6
-           ) AS promo_revenue
+    SELECT 100.0 * round(sum(CASE WHEN p_type = 'PROMO'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0 END), 2)
+           / round(sum(l_extendedprice * (1 - l_discount)), 2)
+           AS promo_revenue
     FROM lineitem
     JOIN part ON p_partkey = l_partkey
     WHERE l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
@@ -431,15 +430,15 @@ def tpch_q14_promo_revenue(spark, sf_dir):
     return (
         li.join(broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
         .agg(
-            F.round(
+            # no final round() — see the Q8/Q9 cross-engine note
+            (
                 100.0
                 * r2(
                     F.sum(
                         F.when(F.col("p_type") == "PROMO", _rev()).otherwise(F.lit(0.0))
                     )
                 )
-                / r2(F.sum(_rev())),
-                6,
+                / r2(F.sum(_rev()))
             ).alias("promo_revenue")
         )
     )
@@ -902,8 +901,6 @@ def tpcds_q36_hierarchy_rank(spark, sf_dir):
     no global single-partition window."""
     li = T(spark, sf_dir, "lineitem")
     p = T(spark, sf_dir, "part").filter(F.col("p_size") <= 25)
-    from pyspark.sql import Window
-
     r = (
         li.join(broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
         .rollup("p_type", "p_brand")

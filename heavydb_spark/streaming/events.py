@@ -94,15 +94,17 @@ def ingest_stream_to_table(
     (KafkaImporter.cpp / StreamImporter.cpp append rows to a table):
     stream -> managed table with exactly-once file-sink semantics via
     the checkpoint. availableNow=True drains what's available and
-    stops (batch-incremental ingest); False runs continuously.
+    stops (batch-incremental ingest); False runs continuously in
+    default micro-batch mode (pyspark rejects availableNow=False, so
+    the trigger is simply omitted).
     Returns the StreamingQuery handle.
     """
-    return (
-        df.writeStream.format("parquet")
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=available_now)
-        .toTable(table)
+    writer = df.writeStream.format("parquet").option(
+        "checkpointLocation", checkpoint_dir
     )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.toTable(table)
 
 
 def with_watermark(events: DataFrame, delay: str = "30 minutes") -> DataFrame:
@@ -146,12 +148,18 @@ def dedup_stream(events: DataFrame, delay: str = "1 hour") -> DataFrame:
     )
 
 
-def run_to_memory(df: DataFrame, name: str, spark: SparkSession):
-    """Run a streaming DF to completion into an in-memory sink (tests)."""
+def run_to_memory(
+    df: DataFrame, name: str, spark: SparkSession,
+    output_mode: str = "append",
+):
+    """Run a streaming DF to completion into an in-memory sink (tests).
+    `output_mode`: "append" (joins, dedup, watermarked windows — the
+    ops in this module) or "complete" (unwatermarked aggregations
+    only; Spark rejects complete for non-aggregations)."""
     q = (
         df.writeStream.format("memory")
         .queryName(name)
-        .outputMode("complete" if df.isStreaming else "append")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )
@@ -174,7 +182,7 @@ def stateful_sessionize(
     so state size is O(users), not O(events).
 
     Assumes per-key event-time-ordered arrival ACROSS micro-batches
-    (within a batch, rows are sorted here) — the same contract as the
+    (within a batch, all Arrow chunks are concatenated and sorted here) — the same contract as the
     reference's sessionize table function (SessionizeTableFunctions.hpp
     operates on sorted cursors) and the usual shape of a Kafka topic
     partitioned by user. Disorder bounded by the watermark delay would
@@ -196,16 +204,24 @@ def stateful_sessionize(
         (user_id,) = key
         start, last, n = state.get if state.exists else (None, None, 0)
         closed = []
-        for pdf in pdf_iter:
-            for t in pdf["ts"].sort_values():
-                us = int(t.value // 1000)  # ns -> µs
-                if start is None:
-                    start, last, n = us, us, 1
-                elif us - last > gap_us:
-                    closed.append((user_id, start, last, n))
-                    start, last, n = us, us, 1
-                else:
-                    last, n = us, n + 1
+        # concat BEFORE sorting: a large group arrives as several Arrow
+        # chunks in arbitrary post-shuffle order — sorting per chunk
+        # would rewind `last` and corrupt session boundaries
+        chunks = [pdf for pdf in pdf_iter]
+        all_ts = (
+            pd.concat([c["ts"] for c in chunks])
+            if chunks
+            else pd.Series([], dtype="datetime64[ns]")
+        )
+        for t in all_ts.sort_values():
+            us = int(t.value // 1000)  # ns -> µs
+            if start is None:
+                start, last, n = us, us, 1
+            elif us - last > gap_us:
+                closed.append((user_id, start, last, n))
+                start, last, n = us, us, 1
+            else:
+                last, n = us, n + 1
         if state.hasTimedOut:
             if start is not None:
                 closed.append((user_id, start, last, n))
