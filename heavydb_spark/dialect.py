@@ -115,16 +115,36 @@ _QUOTED_ARG_REWRITES: list[tuple[re.Pattern, str]] = [
 
 _ARRAY_BRACKET = re.compile(r"\bARRAY\s*\[([^\[\]]*)\]", re.IGNORECASE)
 
+# postfix array types in CAST targets: CAST(x AS INT[]) (Calcite array
+# type syntax, Shared/sqltypes.h kARRAY) -> Spark's ARRAY<INT>; TEXT
+# element type maps to STRING like the DDL rewrites.
+_CAST_ARRAY_TYPE = re.compile(
+    r"\b(AS\s+)([A-Za-z]\w*(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?)\s*\[\s*\]",
+    re.IGNORECASE,
+)
+_AS_BEFORE_RE = re.compile(r"\bAS\s*$", re.IGNORECASE)
+
 
 def _rewrite_array_index(sql: str) -> str:
     """HeavyDB/Calcite array subscripts are 1-BASED (`arr_i16[1]` is
     the first element, Tests/ExecuteTest.cpp:2983); Spark's `[ ]` is
     0-based, so `expr[i]` rewrites to `element_at(expr, i)` (1-based).
     Handles bare columns, qualified names, call results
-    (`array(...)[2]`), and chained subscripts inside-out."""
+    (`array(...)[2]`), and chained subscripts inside-out. Brackets
+    with no indexable prefix (or forming a CAST ... AS type[] postfix
+    array type) are skipped, not fatal — the other subscripts in the
+    statement still rewrite."""
+    sql = _CAST_ARRAY_TYPE.sub(
+        lambda m: m.group(1)
+        + "ARRAY<"
+        + ("STRING" if m.group(2).upper() == "TEXT" else m.group(2))
+        + ">",
+        sql,
+    )
+    pos = 0
     while True:
         # innermost subscript: no '[' in the index expression
-        i = sql.find("[")
+        i = sql.find("[", pos)
         found = None
         while i != -1:
             j = sql.find("]", i + 1)
@@ -140,6 +160,10 @@ def _rewrite_array_index(sql: str) -> str:
             return sql
         i, j = found
         idx = sql[i + 1 : j].strip()
+        if not idx:
+            # bare `type[]` outside CAST (e.g. a DDL fragment) — skip
+            pos = j + 1
+            continue
         # locate the start of the indexed primary expression
         p = i - 1
         while p >= 0 and sql[p].isspace():
@@ -166,14 +190,21 @@ def _rewrite_array_index(sql: str) -> str:
                 r -= 1
             start = r + 1
         else:
-            # nothing indexable before '[' — leave untouched
-            return sql
+            # nothing indexable before '[' — skip this bracket but keep
+            # rewriting the rest of the statement
+            pos = j + 1
+            continue
+        if _AS_BEFORE_RE.search(sql[:start]):
+            # `... AS name[...]` — a type postfix, not a subscript
+            pos = j + 1
+            continue
         expr = sql[start : i].rstrip()
         sql = (
             sql[:start]
             + f"element_at({expr}, {idx})"
             + sql[j + 1 :]
         )
+        pos = 0
 
 # (pattern, replacement) applied in order, case-insensitive.
 _REWRITES: list[tuple[re.Pattern, str]] = [
@@ -630,15 +661,95 @@ def _regexp_substr(args: str) -> str | None:
 # ------------------------------------------------------------------ models
 #
 # ML_PREDICT('model', f1[, f2...]) — MLPredictCodegen.cpp inlines the
-# fitted model into the kernel; here a registered linear model is
-# inlined into the SQL expression (codegen'd arithmetic, no UDF).
+# fitted model into the kernel; here a registered model is inlined
+# into the SQL expression (codegen'd arithmetic / nested CASE for tree
+# ensembles — pure whole-stage-codegen, no UDF, so prediction scales
+# like any other projected expression).
 class LinearModel:
+    kind = "linear_reg"
+
     def __init__(self, intercept: float, coefs: list[float]):
         self.intercept = float(intercept)
         self.coefs = [float(c) for c in coefs]
 
+    @property
+    def n_features(self) -> int:
+        return len(self.coefs)
 
-MODELS: dict[str, LinearModel] = {}
+    def predict_sql(self, feats: list[str]) -> str:
+        terms = [repr(self.intercept)] + [
+            f"({c!r}) * ({f})" for c, f in zip(self.coefs, feats)
+        ]
+        return "(" + " + ".join(terms) + ")"
+
+
+def _tree_sql(node: dict, feats: list[str]) -> str:
+    """One regression tree as a nested CASE expression. Split nodes are
+    the (feature <= threshold) binary form pyspark.ml emits for
+    continuous features; a NULL feature falls to the ELSE (right)
+    branch, matching Spark's NaN/unknown routing."""
+    if "predict" in node:
+        return repr(float(node["predict"]))
+    cond = f"({feats[node['feature']]}) <= ({node['threshold']!r})"
+    return (
+        f"(CASE WHEN {cond} THEN {_tree_sql(node['left'], feats)} "
+        f"ELSE {_tree_sql(node['right'], feats)} END)"
+    )
+
+
+class TreeEnsembleModel:
+    """DECISION_TREE_REG / GBT_REG / RANDOM_FOREST_REG
+    (MLModelType.h:25). Prediction inlines each tree as a CASE chain:
+    GBT sums weight_i * tree_i, a forest averages its trees — the same
+    composition rules pyspark.ml applies at transform time."""
+
+    def __init__(self, kind: str, trees: list[dict],
+                 weights: list[float], average: bool, n_features: int):
+        self.kind = kind
+        self.trees = trees
+        self.weights = [float(w) for w in weights]
+        self.average = average
+        self._n_features = int(n_features)
+
+    @property
+    def n_features(self) -> int:
+        return self._n_features
+
+    def predict_sql(self, feats: list[str]) -> str:
+        terms = [
+            f"({w!r}) * {_tree_sql(t, feats)}"
+            for t, w in zip(self.trees, self.weights)
+        ]
+        total = "(" + " + ".join(terms) + ")"
+        if self.average:
+            total = f"({total} / {float(len(self.trees))!r})"
+        return total
+
+
+class PCAProjModel:
+    """PCA model (MLModelType.h:25): stores the fitted loading matrix
+    (n_features x k) and per-component explained variance. No
+    ML_PREDICT scalar form (matches the reference — PCA models project
+    via pca_project / accessors, not ML_PREDICT)."""
+
+    kind = "pca"
+
+    def __init__(self, loadings: list[list[float]],
+                 explained_variance: list[float]):
+        self.loadings = [[float(v) for v in row] for row in loadings]
+        self.explained_variance = [float(v) for v in explained_variance]
+
+    @property
+    def n_features(self) -> int:
+        return len(self.loadings)
+
+    def predict_sql(self, feats: list[str]) -> str:
+        raise ValueError(
+            "ML_PREDICT is not defined for PCA models; use pca_project"
+        )
+
+
+MODELS: dict[str, object] = {}
 
 
 def register_model(name: str, intercept: float, coefs: list[float]) -> None:
@@ -646,6 +757,12 @@ def register_model(name: str, intercept: float, coefs: list[float]) -> None:
     CREATE MODEL / ML_PREDICT surface, Parser/ParserNode.h
     CreateModelStmt)."""
     MODELS[name.lower()] = LinearModel(intercept, coefs)
+
+
+def register_model_object(name: str, model: object) -> None:
+    """Register any fitted model object (LinearModel /
+    TreeEnsembleModel / PCAProjModel) for ML_PREDICT / accessors."""
+    MODELS[name.lower()] = model
 
 
 def _ml_predict(args: str) -> str:
@@ -658,15 +775,12 @@ def _ml_predict(args: str) -> str:
             f"ML_PREDICT: no model named '{name}' registered "
             f"(register_model(name, intercept, coefs))"
         )
-    if len(feats) != len(model.coefs):
+    if len(feats) != model.n_features:
         raise ValueError(
             f"ML_PREDICT('{name}'): {len(feats)} features for "
-            f"{len(model.coefs)} coefficients"
+            f"{model.n_features} model features"
         )
-    terms = [repr(model.intercept)] + [
-        f"({c!r}) * ({f})" for c, f in zip(model.coefs, feats)
-    ]
-    return "(" + " + ".join(terms) + ")"
+    return model.predict_sql(feats)
 
 
 def _llm_transform(args: str) -> str:
@@ -888,14 +1002,22 @@ _ANY_FRAME_RE = re.compile(r"\b(ROWS|RANGE)\s+BETWEEN\b", re.IGNORECASE)
 _ORDER_EXPR_RE = re.compile(r"\bORDER\s+BY\s+(.+?)\s*$", re.IGNORECASE)
 
 
-def _order_expr(base_win: str, fname: str) -> str:
+def _order_expr(base_win: str, fname: str) -> tuple[str, bool]:
+    """First ORDER BY expression of the window and whether it is DESC,
+    with the direction clause (including an optional trailing
+    NULLS FIRST|LAST) stripped off the returned expression."""
     m = _ORDER_EXPR_RE.search(base_win)
     if not m:
         raise ValueError(f"{fname} window needs an ORDER BY: {base_win!r}")
-    # first ORDER BY expression, stripped of a trailing ASC/DESC
     first = _split_top_level(m.group(1))[0]
-    desc = bool(re.search(r"\s+DESC\s*$", first, flags=re.IGNORECASE))
-    expr = re.sub(r"\s+(ASC|DESC)\s*$", "", first, flags=re.IGNORECASE)
+    dir_re = r"\s+(ASC|DESC)(\s+NULLS\s+(?:FIRST|LAST))?\s*$"
+    dm = re.search(dir_re, first, flags=re.IGNORECASE)
+    desc = bool(dm and dm.group(1).upper() == "DESC")
+    expr = re.sub(dir_re, "", first, flags=re.IGNORECASE)
+    # bare `expr NULLS FIRST` (no ASC/DESC) is valid too
+    expr = re.sub(
+        r"\s+NULLS\s+(?:FIRST|LAST)\s*$", "", expr, flags=re.IGNORECASE
+    )
     return expr, desc
 
 

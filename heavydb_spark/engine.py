@@ -141,9 +141,18 @@ def _extract_query_hints(query: str) -> tuple[str, dict[str, str | None]]:
     """Strip the first /*+ ... */ block and parse `name` / `name(arg)`
     items. Non-HeavyDB hint blocks (e.g. Spark's BROADCAST(t)) are
     left in place for Catalyst."""
-    m = _HINT_BLOCK_RE.search(query)
-    if not m:
-        return query, {}
+    pos = 0
+    while True:
+        m = _HINT_BLOCK_RE.search(query, pos)
+        if not m:
+            return query, {}
+        # odd single-quote parity before the block start means the
+        # "hint" lives inside a string literal (e.g. SELECT '/*+ x */')
+        # — skip it, keep scanning (same guard dialect._rewrite_call uses)
+        if query.count("'", 0, m.start()) % 2 == 1:
+            pos = m.end()
+            continue
+        break
     items = {}
     for part in m.group(1).split(","):
         im = _HINT_ITEM_RE.match(part)
@@ -356,10 +365,13 @@ _RENAME_TABLE_RE = re.compile(
 # CREATE MODEL name OF TYPE <type> AS SELECT predicted, features... —
 # Parser/ParserNode.h:1950 CreateModelStmt (ShowCommandsDdlTest.cpp:3281
 # syntax); DROP MODEL / SHOW MODELS (DdlCommandExecutor).
+# AS <select> [WITH (options)] is split AFTER the match by
+# _split_trailing_with (top-level paren/quote aware) — a non-greedy
+# regex here could truncate a training SELECT whose own text ends in a
+# WITH(...)-shaped suffix.
 _CREATE_MODEL_RE = re.compile(
     r"^\s*CREATE\s+(OR\s+REPLACE\s+)?MODEL\s+(IF\s+NOT\s+EXISTS\s+)?"
-    r"([\w.]+)\s+OF\s+TYPE\s+(\w+)\s+AS\s+(.*?)"
-    r"(?:\s+WITH\s*\((.*?)\))?\s*;?\s*$",
+    r"([\w.]+)\s+OF\s+TYPE\s+(\w+)\s+AS\s+(.*?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 _DROP_MODEL_RE = re.compile(
@@ -374,6 +386,61 @@ _EVALUATE_MODEL_RE = re.compile(
 
 # training selects by model name, for the ON-less EVALUATE form
 _MODEL_SOURCES: dict[str, str] = {}
+# name -> (train_fraction, eval_fraction) from the DATA_SPLIT options
+# (ParserNode.cpp:3594-3688); EVALUATE MODEL scores the held-out slice.
+_MODEL_SPLITS: dict[str, tuple[float, float]] = {}
+
+
+def _split_trailing_with(clause: str) -> tuple[str, str | None]:
+    """Split `select ... WITH (name=value, ...)` at the LAST top-level
+    WITH whose remainder is one balanced parenthesized assignment list
+    — the CreateModelStmt options block. Quote/paren aware so a WITH
+    inside a string literal or subquery never splits, and a suffix that
+    is not an assignment list stays part of the select."""
+    in_q, depth, cand = False, 0, None
+    n = len(clause)
+    for i, ch in enumerate(clause):
+        if ch == "'":
+            in_q = not in_q
+        elif not in_q:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif (
+                depth == 0
+                and i > 0
+                and clause[i : i + 4].upper() == "WITH"
+                and not (clause[i - 1].isalnum() or clause[i - 1] == "_")
+                and (
+                    i + 4 >= n
+                    or not (clause[i + 4].isalnum() or clause[i + 4] == "_")
+                )
+            ):
+                cand = i
+    if cand is None:
+        return clause.strip(), None
+    rest = clause[cand + 4 :].strip()
+    if not (rest.startswith("(") and rest.endswith(")")):
+        return clause.strip(), None
+    # the remainder must be ONE balanced group ...
+    d, q = 0, False
+    for j, ch in enumerate(rest):
+        if ch == "'":
+            q = not q
+        elif not q:
+            if ch == "(":
+                d += 1
+            elif ch == ")":
+                d -= 1
+                if d == 0 and j < len(rest) - 1:
+                    return clause.strip(), None
+    # ... whose content parses as name = value assignments
+    try:
+        _split_assignments(rest[1:-1])
+    except ValueError:
+        return clause.strip(), None
+    return clause[:cand].rstrip(), rest[1:-1]
 
 
 _ALTER_ADD_RE = re.compile(
@@ -494,6 +561,37 @@ _TYPE_REWRITES: list[tuple[re.Pattern, str]] = [
     (re.compile(r"\bTIME\b(?!STAMP)", re.IGNORECASE), "INT"),
     (re.compile(r"\s+ENCODING\s+\w+\s*(\(\s*\d+\s*\))?", re.IGNORECASE), ""),
 ]
+
+
+_COLDEF_NAME_RE = re.compile(r'^\s*("(?:[^"]|"")+"|`[^`]+`|\w+)\s*(.*)$', re.DOTALL)
+_COLDEF_TAIL_RE = re.compile(
+    r"\b(DEFAULT|NOT\s+NULL|NULL|PRIMARY\s+KEY|REFERENCES|UNIQUE|CHECK)\b",
+    re.IGNORECASE,
+)
+
+
+def _rewrite_column_def(d: str) -> str:
+    """Apply _TYPE_REWRITES to the TYPE token of one column definition
+    only — never to the column name or to DEFAULT literals. A column
+    may legitimately be named `time` or `text`, and a DEFAULT string
+    literal may contain type-name words; rewriting the raw def text
+    corrupts both. The type region runs from after the name token to
+    the first constraint keyword (DEFAULT/NOT NULL/...) that sits
+    outside string literals."""
+    mname = _COLDEF_NAME_RE.match(d)
+    if not mname:
+        return d
+    name, rest = mname.group(1), mname.group(2)
+    # find first constraint keyword outside single-quoted literals
+    cut = len(rest)
+    for mk in _COLDEF_TAIL_RE.finditer(rest):
+        if rest.count("'", 0, mk.start()) % 2 == 0:
+            cut = mk.start()
+            break
+    type_part, tail = rest[:cut], rest[cut:]
+    for pat, repl in _TYPE_REWRITES:
+        type_part = pat.sub(repl, type_part)
+    return f"{name} {type_part.strip()}" + (f" {tail.strip()}" if tail.strip() else "")
 
 
 def _projection_changed(actions: list[str]) -> bool:
@@ -729,11 +827,13 @@ class Engine:
         m = _CREATE_PLAIN_RE.match(query)
         if m:
             # plain CREATE TABLE (cols): HeavyDB type names + postfix
-            # arrays -> Spark DDL types (the WITH(...) form above does
-            # the same per column def)
-            defs = m.group(2)
-            for pat, repl in _TYPE_REWRITES:
-                defs = pat.sub(repl, defs)
+            # arrays -> Spark DDL types, per column def so names like
+            # `time` and DEFAULT literals survive (the WITH(...) form
+            # above does the same per column def)
+            defs = ", ".join(
+                _rewrite_column_def(d)
+                for d in _split_top_level_defs(m.group(2))
+            )
             query = m.group(1) + defs + m.group(3)
         query, hints = _extract_query_hints(query)
         df = self.spark.sql(dialect.rewrite(query))
@@ -1041,9 +1141,7 @@ class Engine:
                 if mk:
                     shard_key = mk.group(1)
                     continue
-                for pat, repl in _TYPE_REWRITES:
-                    d = pat.sub(repl, d)
-                kept.append(d.strip())
+                kept.append(_rewrite_column_def(d).strip())
             cols_clause = "(" + ", ".join(kept) + ")"
         elif body.upper().startswith("AS"):
             sel = body[2:].strip()
@@ -1242,31 +1340,65 @@ class Engine:
             [(target, "altered")], "table_name STRING, status STRING"
         )
 
+    @staticmethod
+    def _split_bucket(df: DataFrame):
+        """Deterministic [0,1) split bucket per row — a content hash,
+        not rand(), so the train/eval partition is reproducible across
+        runs and partitionings (the reference splits per-fragment with
+        a fixed seed for the same reason)."""
+        return (
+            F.abs(F.xxhash64(*[F.col(c) for c in df.columns]))
+            % F.lit(1_000_000)
+        ) / F.lit(1_000_000.0)
+
     def _create_model(
         self,
         name: str,
         model_type: str,
-        select: str,
+        tail: str,
         replace: bool = False,
         if_not_exists: bool = False,
     ) -> DataFrame:
-        """CREATE MODEL name OF TYPE LINEAR_REG AS SELECT predicted,
-        f1[, f2...] FROM ... (ParserNode.h:1950; the first projected
-        column is the predicted variable, the rest are features —
-        CreateModelStmt::model_predicted_var_/model_feature_vars_).
-        The fit is a single distributed moment aggregation (closed
-        form for 1-2 features, MLlib normal-equation solve beyond);
-        the model registers for ML_PREDICT('name', ...) inlining.
-        Tree/forest model types need the operators/ml DataFrame API —
-        their predictions are not expressible as one inlined
-        expression."""
-        from heavydb_spark.dialect import MODELS
+        """CREATE MODEL name OF TYPE <type> AS SELECT predicted,
+        f1[, f2...] FROM ... [WITH (options)] (ParserNode.h:1950; the
+        first projected column is the predicted variable, the rest are
+        features — CreateModelStmt::model_predicted_var_/
+        model_feature_vars_). All five MLModelType.h:25 types:
 
-        if model_type.upper() != "LINEAR_REG":
-            raise NotImplementedError(
-                f"CREATE MODEL OF TYPE {model_type}: only LINEAR_REG has "
-                "the ML_PREDICT expression form; use operators/ml."
-                "tree_reg_fit_predict for tree ensembles"
+        - LINEAR_REG: one distributed moment aggregation (closed form
+          for 1-2 features, MLlib normal-equation solve beyond);
+        - DECISION_TREE_REG / GBT_REG / RANDOM_FOREST_REG: pyspark.ml
+          fit, then the fitted trees register as nested-CASE SQL so
+          ML_PREDICT stays a codegen'd expression (MLPredictCodegen.cpp
+          inlines tree models the same way);
+        - PCA: loading matrix + explained variance (every projected
+          column is a feature; no predicted variable).
+
+        WITH options: DATA_SPLIT_TRAIN_FRACTION / _EVAL_FRACTION (and
+        the TRAIN_FRACTION/EVAL_FRACTION aliases) carve a deterministic
+        hash-based split; EVALUATE MODEL scores the held-out slice.
+        Tree options MAX_TREE_DEPTH / NUM_TREES map to
+        maxDepth/numTrees|maxIter (ParserNode.cpp:3594-3688)."""
+        from heavydb_spark.dialect import (
+            MODELS,
+            PCAProjModel,
+            TreeEnsembleModel,
+        )
+
+        select, options = _split_trailing_with(tail.strip())
+        opts: dict[str, str] = {}
+        if options:
+            for k, v in _split_assignments(options).items():
+                opts[k.lower()] = v.strip().strip("'\"")
+        mtype = model_type.upper()
+        known = {
+            "LINEAR_REG", "DECISION_TREE_REG", "GBT_REG",
+            "RANDOM_FOREST_REG", "PCA",
+        }
+        if mtype not in known:
+            raise ValueError(
+                f"CREATE MODEL OF TYPE {model_type}: unknown type "
+                f"(one of {sorted(known)})"
             )
         if name.lower() in MODELS and not replace:
             if if_not_exists:
@@ -1274,41 +1406,117 @@ class Engine:
                     [(name, "exists")], "model_name STRING, status STRING"
                 )
             raise ValueError(f"model {name} already exists")
+
+        # DATA_SPLIT fractions with the reference's cross-fill rules
+        train_frac = eval_frac = None
+        for key in ("train_fraction", "data_split_train_fraction"):
+            if key in opts:
+                train_frac = float(opts.pop(key))
+        for key in ("eval_fraction", "data_split_eval_fraction"):
+            if key in opts:
+                eval_frac = float(opts.pop(key))
+        train = 1.0 if train_frac is None else train_frac
+        ev = 0.0 if eval_frac is None else eval_frac
+        if not 0.0 < train <= 1.0:
+            raise ValueError(
+                "DATA_SPLIT_TRAIN_FRACTION: expected value between 0.0 and 1.0"
+            )
+        if not 0.0 <= ev < 1.0:
+            raise ValueError(
+                "DATA_SPLIT_EVAL_FRACTION: expected value between 0.0 and 1.0"
+            )
+        if ev > 0.0 and train == 1.0:
+            train = 1.0 - ev
+        elif ev == 0.0 and train < 1.0:
+            ev = 1.0 - train
+        if train + ev > 1.0:
+            raise ValueError(
+                "DATA_SPLIT_TRAIN_FRACTION and DATA_SPLIT_EVAL_FRACTION: "
+                "expected sum of values to be less than or equal to 1.0"
+            )
+
         df = self.sql(select.strip())
         cols = df.columns
-        if len(cols) < 2:
-            raise ValueError(
-                "CREATE MODEL needs SELECT predicted, feature[, ...]"
+        train_df = (
+            df.filter(self._split_bucket(df) < F.lit(train))
+            if train < 1.0
+            else df
+        )
+
+        if mtype == "PCA":
+            from heavydb_spark.operators.ml import pca_model_spec
+
+            k = int(opts.pop("k", opts.pop("num_components", len(cols))))
+            loadings, evr = pca_model_spec(train_df, cols, k=k)
+            dialect.register_model_object(name, PCAProjModel(loadings, evr))
+        elif mtype == "LINEAR_REG":
+            if len(cols) < 2:
+                raise ValueError(
+                    "CREATE MODEL needs SELECT predicted, feature[, ...]"
+                )
+            label, feats = cols[0], cols[1:]
+            if len(feats) == 1:
+                from heavydb_spark.operators.ml import linear_reg_fit
+
+                fit = {
+                    r["coef_idx"]: r["coef"]
+                    for r in linear_reg_fit(train_df, feats[0], label).collect()
+                }
+                intercept, coefs = fit[0], [fit[1]]
+            elif len(feats) == 2:
+                from heavydb_spark.operators.ml import linear_reg_fit2
+
+                fit = {
+                    r["coef_idx"]: r["coef"]
+                    for r in linear_reg_fit2(
+                        train_df, feats[0], feats[1], label
+                    ).collect()
+                }
+                intercept, coefs = fit[0], [fit[1], fit[2]]
+            else:
+                from pyspark.ml.feature import VectorAssembler
+                from pyspark.ml.regression import LinearRegression
+
+                va = VectorAssembler(
+                    inputCols=list(feats), outputCol="features"
+                )
+                model = LinearRegression(
+                    labelCol=label, featuresCol="features", solver="normal"
+                ).fit(va.transform(train_df))
+                intercept = float(model.intercept)
+                coefs = [float(c) for c in model.coefficients]
+            dialect.register_model(name, float(intercept), coefs)
+        else:  # tree ensembles
+            from heavydb_spark.operators.ml import tree_model_spec
+
+            if len(cols) < 2:
+                raise ValueError(
+                    "CREATE MODEL needs SELECT predicted, feature[, ...]"
+                )
+            label, feats = cols[0], cols[1:]
+            kind = {
+                "DECISION_TREE_REG": "decision_tree",
+                "GBT_REG": "gbt",
+                "RANDOM_FOREST_REG": "random_forest",
+            }[mtype]
+            nt = opts.pop("num_trees", None)
+            trees, weights, average = tree_model_spec(
+                train_df,
+                list(feats),
+                label,
+                kind=kind,
+                seed=int(opts.pop("seed", 42)),
+                max_depth=int(opts.pop("max_tree_depth", 4)),
+                num_trees=int(nt) if nt is not None else None,
             )
-        label, feats = cols[0], cols[1:]
-        if len(feats) == 1:
-            from heavydb_spark.operators.ml import linear_reg_fit
-
-            fit = {
-                r["coef_idx"]: r["coef"]
-                for r in linear_reg_fit(df, feats[0], label).collect()
-            }
-            intercept, coefs = fit[0], [fit[1]]
-        elif len(feats) == 2:
-            from heavydb_spark.operators.ml import linear_reg_fit2
-
-            fit = {
-                r["coef_idx"]: r["coef"]
-                for r in linear_reg_fit2(df, feats[0], feats[1], label).collect()
-            }
-            intercept, coefs = fit[0], [fit[1], fit[2]]
-        else:
-            from pyspark.ml.feature import VectorAssembler
-            from pyspark.ml.regression import LinearRegression
-
-            va = VectorAssembler(inputCols=list(feats), outputCol="features")
-            model = LinearRegression(
-                labelCol=label, featuresCol="features", solver="normal"
-            ).fit(va.transform(df))
-            intercept = float(model.intercept)
-            coefs = [float(c) for c in model.coefficients]
-        dialect.register_model(name, float(intercept), coefs)
+            dialect.register_model_object(
+                name,
+                TreeEnsembleModel(
+                    kind + "_reg", trees, weights, average, len(feats)
+                ),
+            )
         _MODEL_SOURCES[name.lower()] = select.strip()
+        _MODEL_SPLITS[name.lower()] = (train, ev)
         return self.spark.createDataFrame(
             [(name, "created")], "model_name STRING, status STRING"
         )
@@ -1316,14 +1524,22 @@ class Engine:
     def _evaluate_model(self, name: str, on_select: str | None) -> DataFrame:
         """EVALUATE MODEL name [ON SELECT predicted, features FROM ...]
         (SqlEvaluateModel.java; ShowCommandsDdlTest.cpp:3996): r2 of the
-        registered model over the given relation, defaulting to its
-        training select — one distributed aggregate."""
+        registered model over the given relation — one distributed
+        aggregate. Without an ON clause, scores the model's stored
+        source; if the model was created with a DATA_SPLIT eval
+        fraction, only the held-out slice is scored (the reference
+        evaluates on the eval split)."""
         from heavydb_spark.dialect import MODELS
         from heavydb_spark.operators.ml import r2_score
 
         model = MODELS.get(name.lower())
         if model is None:
             raise ValueError(f"model {name} does not exist")
+        if getattr(model, "kind", None) == "pca":
+            raise ValueError(
+                "EVALUATE MODEL is defined for regression models; PCA "
+                "models expose loadings/explained variance via pca_fit"
+            )
         select = on_select or _MODEL_SOURCES.get(name.lower())
         if select is None:
             raise ValueError(
@@ -1331,17 +1547,21 @@ class Engine:
                 "(registered via the API) — use EVALUATE MODEL ... ON SELECT"
             )
         df = self.sql(select.strip())
+        if on_select is None:
+            _, ev = _MODEL_SPLITS.get(name.lower(), (1.0, 0.0))
+            if ev > 0.0:
+                df = df.filter(self._split_bucket(df) >= F.lit(1.0 - ev))
         cols = df.columns
         label, feats = cols[0], cols[1:]
-        if len(feats) != len(model.coefs):
+        if len(feats) != model.n_features:
             raise ValueError(
                 f"EVALUATE MODEL {name}: {len(feats)} features vs "
-                f"{len(model.coefs)} model coefficients"
+                f"{model.n_features} model features"
             )
-        pred = F.lit(float(model.intercept))
-        for c, f_ in zip(model.coefs, feats):
-            pred = pred + F.lit(float(c)) * F.col(f_).cast("double")
-        scored = df.withColumn("__pred", pred)
+        pred_sql = model.predict_sql(
+            [f"CAST(`{c}` AS DOUBLE)" for c in feats]
+        )
+        scored = df.withColumn("__pred", F.expr(pred_sql))
         return r2_score(scored, label, "__pred").select(
             F.round("r2", 6).alias("r2")
         )

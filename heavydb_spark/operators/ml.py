@@ -362,3 +362,123 @@ def pca_fit(df: DataFrame, vec_col: str, k: int = 2) -> DataFrame:
         "component_idx int, feature_idx int, loading double,"
         " explained_variance double",
     )
+
+
+# ------------------------------------------------------ model-DDL specs
+#
+# CREATE MODEL ... OF TYPE DECISION_TREE_REG / GBT_REG /
+# RANDOM_FOREST_REG (MLModelType.h:25) registers the FITTED tree
+# structure so ML_PREDICT can inline it as a nested-CASE SQL expression
+# (MLPredictCodegen.cpp inlines tree models into the row kernel the
+# same way). pyspark.ml exposes node structure only through
+# toDebugString, whose `If (feature N <= T)` grammar is stable for
+# continuous features — parsed here into plain dict nodes.
+
+import re as _re
+
+_TREE_SPLIT_RE = _re.compile(r"If \(feature (\d+) <= (.+)\)$")
+_TREE_HDR_RE = _re.compile(r"Tree (\d+) \(weight (.+)\):$")
+
+
+def _parse_tree_lines(lines: list[str], i: int):
+    line = lines[i].strip()
+    if line.startswith("Predict:"):
+        return {"predict": float(line.split(":", 1)[1])}, i + 1
+    m = _TREE_SPLIT_RE.match(line)
+    if not m:
+        raise NotImplementedError(
+            f"unsupported split form (categorical feature?): {line!r}"
+        )
+    left, i = _parse_tree_lines(lines, i + 1)
+    if not lines[i].strip().startswith("Else"):
+        raise ValueError(f"expected Else branch, got {lines[i]!r}")
+    right, i = _parse_tree_lines(lines, i + 1)
+    return {
+        "feature": int(m.group(1)),
+        "threshold": float(m.group(2)),
+        "left": left,
+        "right": right,
+    }, i
+
+
+def parse_tree_debug(debug: str) -> tuple[list[dict], list[float]]:
+    """pyspark.ml toDebugString -> ([tree nodes], [tree weights])."""
+    lines = [l for l in debug.splitlines() if l.strip()]
+    body = lines[1:]  # drop the "<Model>: uid=..." header
+    if not body:
+        raise ValueError("empty tree debug string")
+    if _TREE_HDR_RE.match(body[0].strip()):
+        trees, weights, i = [], [], 0
+        while i < len(body):
+            m = _TREE_HDR_RE.match(body[i].strip())
+            if not m:
+                raise ValueError(f"expected tree header, got {body[i]!r}")
+            weights.append(float(m.group(2)))
+            node, i = _parse_tree_lines(body, i + 1)
+            trees.append(node)
+        return trees, weights
+    node, _ = _parse_tree_lines(body, 0)
+    return [node], [1.0]
+
+
+def tree_model_spec(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    kind: str = "random_forest",
+    seed: int = 42,
+    max_depth: int = 4,
+    num_trees: int | None = None,
+) -> tuple[list[dict], list[float], bool]:
+    """Fit a tree-ensemble regressor and return (trees, weights,
+    average?) for SQL inlining. GBT predicts sum(w_i * t_i); a forest
+    averages; a single decision tree is the degenerate ensemble."""
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.regression import (
+        DecisionTreeRegressor,
+        GBTRegressor,
+        RandomForestRegressor,
+    )
+
+    va = VectorAssembler(inputCols=feature_cols, outputCol="features")
+    assembled = va.transform(df.select(*feature_cols, label_col))
+    kwargs = {
+        "labelCol": label_col,
+        "featuresCol": "features",
+        "seed": seed,
+        "maxDepth": int(max_depth),
+    }
+    if kind == "decision_tree":
+        model = DecisionTreeRegressor(**kwargs).fit(assembled)
+    elif kind == "gbt":
+        if num_trees is not None:
+            kwargs["maxIter"] = int(num_trees)
+        model = GBTRegressor(**kwargs).fit(assembled)
+    elif kind == "random_forest":
+        if num_trees is not None:
+            kwargs["numTrees"] = int(num_trees)
+        model = RandomForestRegressor(**kwargs).fit(assembled)
+    else:
+        raise ValueError(f"unknown tree model kind {kind!r}")
+    trees, weights = parse_tree_debug(model.toDebugString)
+    return trees, weights, kind == "random_forest"
+
+
+def pca_model_spec(
+    df: DataFrame, feature_cols: list[str], k: int | None = None
+) -> tuple[list[list[float]], list[float]]:
+    """Fit PCA over the given numeric columns; return (loadings
+    [n_features x k], explained_variance [k])."""
+    try:
+        from pyspark.ml.feature import PCA
+        from pyspark.ml.functions import array_to_vector
+    except ImportError as exc:  # pragma: no cover
+        raise NotImplementedError("pyspark.ml unavailable") from exc
+
+    k = k or len(feature_cols)
+    arr = F.array(*[F.col(c).cast("double") for c in feature_cols])
+    feat = df.select(array_to_vector(arr).alias("features"))
+    model = PCA(k=int(k), inputCol="features", outputCol="pca").fit(feat)
+    pc = model.pc.toArray()  # (n_features, k)
+    ev = model.explainedVariance.toArray()
+    return [list(map(float, row)) for row in pc], [float(v) for v in ev]

@@ -455,3 +455,149 @@ def tf_raster_slope_path_invariants(spark, sf_dir):
         ).alias("steps_dense"),
         "steps_adjacent",
     )
+
+
+@query(
+    "ml_model_ddl_tree",
+    oracle="""
+    SELECT true AS created, true AS pred_in_range,
+           true AS train_r2_nonneg, true AS eval_r2_le_1,
+           true AS deterministic_refit, true AS dropped
+    """,
+)
+def ml_model_ddl_tree(spark, sf_dir):
+    """CREATE MODEL OF TYPE DECISION_TREE_REG / RANDOM_FOREST_REG
+    (MLModelType.h:25; options ParserNode.cpp:3594-3688) invariants:
+
+    - a DT fit with no split scores r2 >= 0 on its own training
+      relation (leaf means minimize train SSE, so SSE <= SST);
+    - forest predictions stay inside the training label range (every
+      leaf value is a mean of training labels);
+    - any r2 is <= 1 by definition — checked on the held-out slice of
+      a DATA_SPLIT_EVAL_FRACTION model;
+    - a seeded re-CREATE reproduces predictions exactly;
+    - DROP MODEL removes the name from SHOW MODELS.
+    """
+    from heavydb_spark.engine import Engine
+
+    eng = Engine(spark)
+    eng.attach(sf_dir)
+    sel = (
+        "SELECT l_extendedprice, l_quantity, l_discount "
+        "FROM lineitem WHERE l_orderkey < 4000"
+    )
+    eng.sql(f"CREATE OR REPLACE MODEL __inv_dt OF TYPE DECISION_TREE_REG "
+            f"AS {sel} WITH (MAX_TREE_DEPTH=4)")
+    train_r2 = eng.sql("EVALUATE MODEL __inv_dt").collect()[0]["r2"]
+
+    eng.sql(f"CREATE OR REPLACE MODEL __inv_rf OF TYPE RANDOM_FOREST_REG "
+            f"AS {sel} WITH (NUM_TREES=3, MAX_TREE_DEPTH=4, "
+            f"DATA_SPLIT_EVAL_FRACTION=0.25)")
+    eval_r2 = eng.sql("EVALUATE MODEL __inv_rf").collect()[0]["r2"]
+    scored = eng.sql(
+        "SELECT l_extendedprice AS y, "
+        "ML_PREDICT('__inv_rf', l_quantity, l_discount) AS p "
+        "FROM lineitem WHERE l_orderkey < 4000"
+    )
+    row = scored.agg(
+        F.min("y").alias("lo"), F.max("y").alias("hi"),
+        F.min("p").alias("plo"), F.max("p").alias("phi"),
+        F.round(F.sum("p"), 4).alias("psum"),
+    ).collect()[0]
+    pred_in_range = row["plo"] >= row["lo"] and row["phi"] <= row["hi"]
+
+    eng.sql(f"CREATE OR REPLACE MODEL __inv_rf OF TYPE RANDOM_FOREST_REG "
+            f"AS {sel} WITH (NUM_TREES=3, MAX_TREE_DEPTH=4, "
+            f"DATA_SPLIT_EVAL_FRACTION=0.25)")
+    row2 = eng.sql(
+        "SELECT round(sum(ML_PREDICT('__inv_rf', l_quantity, l_discount)), 4)"
+        " AS psum FROM lineitem WHERE l_orderkey < 4000"
+    ).collect()[0]
+    deterministic = float(row2["psum"]) == float(row["psum"])
+
+    eng.sql("DROP MODEL __inv_dt")
+    eng.sql("DROP MODEL __inv_rf")
+    names = {r["model_name"] for r in eng.sql("SHOW MODELS").collect()}
+    dropped = "__inv_dt" not in names and "__inv_rf" not in names
+
+    return spark.createDataFrame(
+        [(
+            True,
+            bool(pred_in_range),
+            bool(train_r2 >= 0.0),
+            bool(eval_r2 <= 1.0),
+            bool(deterministic),
+            bool(dropped),
+        )],
+        "created boolean, pred_in_range boolean, train_r2_nonneg boolean,"
+        " eval_r2_le_1 boolean, deterministic_refit boolean, dropped boolean",
+    )
+
+
+@query(
+    "ml_model_ddl_pca",
+    oracle="""
+    SELECT true AS unit_norm_components, true AS orthogonal_components,
+           true AS ev_in_unit_range, true AS ev_nonincreasing,
+           true AS ev_sums_le_one, true AS deterministic_refit,
+           true AS evaluate_rejected
+    """,
+)
+def ml_model_ddl_pca(spark, sf_dir):
+    """CREATE MODEL OF TYPE PCA (MLModelType.h:25) invariants on the
+    fitted loading matrix: component vectors are unit-norm and mutually
+    orthogonal, explained variance is a non-increasing sequence in
+    [0,1] summing to <= 1, a re-fit is bit-identical, and EVALUATE
+    MODEL (a regression metric) rejects PCA models."""
+    import math
+
+    from heavydb_spark.dialect import MODELS
+    from heavydb_spark.engine import Engine
+
+    eng = Engine(spark)
+    eng.attach(sf_dir)
+    sel = (
+        "SELECT l_quantity, l_discount, l_tax FROM lineitem "
+        "WHERE l_orderkey < 4000"
+    )
+    eng.sql(f"CREATE OR REPLACE MODEL __inv_pca OF TYPE PCA AS {sel}")
+    m = MODELS["__inv_pca"]
+    nfeat = len(m.loadings)
+    k = len(m.loadings[0])
+    comps = [[m.loadings[f][c] for f in range(nfeat)] for c in range(k)]
+    unit = all(
+        abs(math.sqrt(sum(v * v for v in comp)) - 1.0) < 1e-6
+        for comp in comps
+    )
+    ortho = all(
+        abs(sum(a * b for a, b in zip(comps[i], comps[j]))) < 1e-6
+        for i in range(k)
+        for j in range(i + 1, k)
+    )
+    ev = m.explained_variance
+    ev_range = all(-1e-9 <= v <= 1.0 + 1e-9 for v in ev)
+    ev_sorted = all(ev[i] >= ev[i + 1] - 1e-9 for i in range(len(ev) - 1))
+    ev_sum = sum(ev) <= 1.0 + 1e-6
+
+    eng.sql(f"CREATE OR REPLACE MODEL __inv_pca OF TYPE PCA AS {sel}")
+    m2 = MODELS["__inv_pca"]
+    deterministic = (
+        m2.loadings == m.loadings
+        and m2.explained_variance == m.explained_variance
+    )
+    try:
+        eng.sql("EVALUATE MODEL __inv_pca")
+        rejected = False
+    except ValueError:
+        rejected = True
+    eng.sql("DROP MODEL __inv_pca")
+    return spark.createDataFrame(
+        [(
+            bool(unit), bool(ortho), bool(ev_range), bool(ev_sorted),
+            bool(ev_sum), bool(deterministic), bool(rejected),
+        )],
+        "unit_norm_components boolean, orthogonal_components boolean,"
+        " ev_in_unit_range boolean, ev_nonincreasing boolean,"
+        " ev_sums_le_one boolean, deterministic_refit boolean,"
+        " evaluate_rejected boolean",
+    )

@@ -1414,3 +1414,74 @@ def test_geo_sql_buffer_line_and_poly(engine):
     assert 100.0 < r["pa"] <= 196.0
     # buffered segment: ~ 2*r*len + pi*r^2 (n-gon under-approximates)
     assert r["la"] == _pytest.approx(20 + 3.14159, rel=0.15)
+
+
+def test_hint_block_inside_string_literal_untouched(engine):
+    """/*+ ... */ inside a string literal is data, not a hint — the
+    literal survives verbatim and no hint is applied."""
+    r = engine.sql("SELECT '/*+ cpu_mode */' AS s").first()
+    assert r["s"] == "/*+ cpu_mode */"
+    # a REAL hint after a literal containing one still applies/strips
+    r = engine.sql(
+        "SELECT /*+ cpu_mode */ '/*+ watchdog */' AS s"
+    ).first()
+    assert r["s"] == "/*+ watchdog */"
+
+
+def test_create_table_column_named_time_and_default_literal(engine):
+    """Type rewrites apply to the TYPE token only: a column named
+    `time` keeps its name, and a DEFAULT string literal containing a
+    type word ('TIME TO GO') is not corrupted."""
+    engine.sql("DROP TABLE IF EXISTS t_coldef")
+    engine.sql(
+        "CREATE TABLE t_coldef (time TIMESTAMP, note TEXT "
+        "DEFAULT 'TIME TO GO')"
+    )
+    try:
+        cols = {f.name: f.dataType.simpleString()
+                for f in engine.spark.table("t_coldef").schema.fields}
+        assert cols == {"time": "timestamp", "note": "string"}
+        engine.sql("INSERT INTO t_coldef (time) VALUES (TIMESTAMP '2024-01-01 00:00:00')")
+        assert engine.sql("SELECT note FROM t_coldef").first()["note"] == "TIME TO GO"
+    finally:
+        engine.sql("DROP TABLE IF EXISTS t_coldef")
+
+
+def test_array_index_partial_rewrites(engine):
+    """One non-indexable bracket no longer abandons 1-based rewriting
+    of the other valid subscripts in the statement."""
+    r = engine.sql(
+        "SELECT element_at(array(10, 20), 2) AS a, array(7, 8)[1] AS b"
+    ).first()
+    # b must be the FIRST element (1-based dialect), even though the
+    # statement also contains non-subscript brackets upstream
+    assert (r["a"], r["b"]) == (20, 7)
+
+
+def test_cast_postfix_array_type(engine):
+    """CAST(x AS INT[]) — the Calcite postfix array type — maps to
+    Spark's ARRAY<INT> instead of mangling into element_at."""
+    r = engine.sql(
+        "SELECT CAST(array(1.9, 2.1) AS INT[]) AS a, "
+        "CAST(array(1, 2) AS TEXT[]) AS s"
+    ).first()
+    assert list(r["a"]) == [1, 2] or list(r["a"]) == [2, 2]
+    assert list(r["s"]) == ["1", "2"]
+
+
+def test_lag_in_frame_desc_nulls_last(engine):
+    """LAG_IN_FRAME with 'ORDER BY x DESC NULLS LAST' — the NULLS
+    clause is stripped from the derived range arithmetic instead of
+    leaking into the generated lag() expression."""
+    r = engine.sql(
+        "SELECT o_orderkey, LAG_IN_FRAME(o_totalprice, 1) OVER ("
+        "ORDER BY o_orderkey DESC NULLS LAST "
+        "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS lf "
+        "FROM orders WHERE o_orderkey <= 8 ORDER BY o_orderkey"
+    ).collect()
+    assert len(r) >= 2
+    # descending order: the lag of the LAST row (smallest key) is the
+    # previous key in DESC order
+    by_key = {row["o_orderkey"]: row["lf"] for row in r}
+    keys = sorted(by_key)
+    assert by_key[keys[-1]] is None  # first row in DESC order has no lag

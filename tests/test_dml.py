@@ -501,13 +501,72 @@ def test_create_model_statement_family(engine):
     with _pytest.raises(ValueError, match="already exists"):
         engine.sql("CREATE MODEL m1 OF TYPE LINEAR_REG AS "
                    "SELECT o_totalprice, CAST(o_custkey AS DOUBLE) FROM orders")
-    with _pytest.raises(NotImplementedError, match="LINEAR_REG"):
-        engine.sql("CREATE MODEL rf OF TYPE RANDOM_FOREST_REG AS "
+    with _pytest.raises(ValueError, match="unknown type"):
+        engine.sql("CREATE MODEL bad OF TYPE NO_SUCH_REG AS "
                    "SELECT o_totalprice, CAST(o_custkey AS DOUBLE) FROM orders")
     for m in ("m1", "m2", "m3"):
         engine.sql(f"DROP MODEL {m}")
     with _pytest.raises(ValueError, match="does not exist"):
         engine.sql("DROP MODEL m1")
+
+
+def test_create_model_tree_and_pca_types(engine):
+    """All five MLModelType.h:25 types round-trip through CREATE MODEL /
+    ML_PREDICT / EVALUATE MODEL / DROP MODEL; DATA_SPLIT options
+    (ParserNode.cpp:3594-3688) carve a deterministic held-out slice."""
+    import pytest as _pytest
+
+    from heavydb_spark.dialect import MODELS
+
+    sel = ("SELECT l_extendedprice, CAST(l_quantity AS DOUBLE), "
+           "CAST(l_discount AS DOUBLE) FROM lineitem WHERE l_orderkey < 2000")
+    for mtype in ("DECISION_TREE_REG", "GBT_REG", "RANDOM_FOREST_REG"):
+        engine.sql(f"CREATE OR REPLACE MODEL t_{mtype} OF TYPE {mtype} AS "
+                   f"{sel} WITH (MAX_TREE_DEPTH=3, NUM_TREES=3, "
+                   f"DATA_SPLIT_TRAIN_FRACTION=0.8)")
+        p = engine.sql(
+            f"SELECT ML_PREDICT('t_{mtype}', 10.0, 0.05) AS p"
+        ).first()["p"]
+        assert p is not None
+        r2 = engine.sql(f"EVALUATE MODEL t_{mtype}").first()["r2"]
+        assert r2 is not None and r2 <= 1.0
+        engine.sql(f"DROP MODEL t_{mtype}")
+
+    # PCA: loadings + explained variance registered; no ML_PREDICT form
+    engine.sql("CREATE OR REPLACE MODEL t_pca OF TYPE PCA AS "
+               "SELECT CAST(l_quantity AS DOUBLE), "
+               "CAST(l_discount AS DOUBLE), CAST(l_tax AS DOUBLE) "
+               "FROM lineitem WHERE l_orderkey < 2000")
+    m = MODELS["t_pca"]
+    assert len(m.loadings) == 3 and len(m.explained_variance) >= 1
+    with _pytest.raises(Exception, match="PCA|pca_project"):
+        engine.sql("SELECT ML_PREDICT('t_pca', 1.0, 2.0, 3.0) AS p").first()
+    with _pytest.raises(ValueError, match="regression"):
+        engine.sql("EVALUATE MODEL t_pca")
+    engine.sql("DROP MODEL t_pca")
+
+    # split-fraction validation mirrors the reference's error bounds
+    with _pytest.raises(ValueError, match="TRAIN_FRACTION"):
+        engine.sql("CREATE MODEL t_bad OF TYPE LINEAR_REG AS "
+                   f"{sel} WITH (DATA_SPLIT_TRAIN_FRACTION=1.5)")
+    with _pytest.raises(ValueError, match="sum of values"):
+        engine.sql("CREATE MODEL t_bad OF TYPE LINEAR_REG AS "
+                   f"{sel} WITH (DATA_SPLIT_TRAIN_FRACTION=0.9, "
+                   "DATA_SPLIT_EVAL_FRACTION=0.3)")
+
+
+def test_create_model_with_suffix_not_truncated(engine):
+    """A training SELECT whose own text ends in a WITH(...)-shaped
+    string must not be mis-parsed as model options (top-level split,
+    not regex backtracking)."""
+    engine.sql("DROP MODEL IF EXISTS t_sfx")
+    r = engine.sql(
+        "CREATE MODEL t_sfx OF TYPE LINEAR_REG AS "
+        "SELECT o_totalprice, CAST(o_custkey AS DOUBLE) FROM orders "
+        "WHERE o_orderstatus <> 'WITH (x=1)'"
+    ).first()
+    assert r["status"] == "created"
+    engine.sql("DROP MODEL t_sfx")
 
 
 def test_evaluate_model_statement(engine):
@@ -527,7 +586,7 @@ def test_evaluate_model_statement(engine):
     assert r2_on is not None and r2_on <= 1.0
     with _pytest.raises(ValueError, match="does not exist"):
         engine.sql("EVALUATE MODEL nope")
-    with _pytest.raises(ValueError, match="coefficients"):
+    with _pytest.raises(ValueError, match="model features"):
         engine.sql("EVALUATE MODEL ev1 ON SELECT o_totalprice, "
                    "CAST(o_custkey AS DOUBLE), CAST(o_orderkey AS DOUBLE) "
                    "FROM orders")
