@@ -425,6 +425,44 @@ def _split_part_null_oob(args: str) -> str | None:
     )
 
 
+# Expressions that statically produce a bare point STRUCT — ST_Buffer
+# on these keeps the point n-gon form (the reference overloads one
+# ST_Buffer name by geometry type, RelAlgTranslatorGeo.cpp:810-819).
+_POINT_EXPR_RE = re.compile(
+    r"^(ST_POINT|ST_CENTROID|ST_STARTPOINT|ST_ENDPOINT|ST_POINTN"
+    r"|ST_TRANSFORM)\s*\(",
+    re.IGNORECASE,
+)
+_WKT_TAG_RE = re.compile(
+    r"^ST_GEOMFROMTEXT\s*\(\s*'\s*(\w+)", re.IGNORECASE
+)
+
+
+def _st_buffer_call(args: str) -> str | None:
+    """Single-name ST_Buffer(geom, r): resolve the geometry tag at
+    rewrite time — a literal ST_GeomFromText WKT names its tag, known
+    point-returning accessors keep the point form, anything else
+    dispatches at runtime on the normalized ring shape
+    (st_buffer_any)."""
+    parts = _split_top_level(args)
+    if len(parts) != 2:
+        return None
+    g, r = parts
+    m = _WKT_TAG_RE.match(g.strip())
+    if m:
+        tag = m.group(1).upper()
+        if tag == "POINT":
+            return f"st_buffer(st_startpoint({g}), {r})"
+        if tag == "LINESTRING":
+            return f"st_buffer_line(element_at({g}, 1), {r})"
+        if tag == "POLYGON":
+            return f"st_buffer_poly({g}, {r})"
+        return None
+    if _POINT_EXPR_RE.match(g.strip()):
+        return None  # registered st_buffer(point STRUCT, r) handles it
+    return f"st_buffer_any({g}, {r})"
+
+
 # Balanced-paren rewrites applied after _REWRITES (literals still masked).
 def _truncate_call(args: str) -> str | None:
     """TRUNCATE(x[, n]): numeric truncation toward zero at scale n
@@ -877,6 +915,8 @@ def _datetime_now(args: str) -> str | None:
 _PREMASK_CALL_REWRITES = [
     ("ML_PREDICT", _ml_predict),
     ("LLM_TRANSFORM", _llm_transform),
+    # the WKT literal IS the static geometry tag -> pre-mask
+    ("ST_BUFFER", _st_buffer_call),
     # quoted delimiter set IS a literal -> pre-mask
     ("STRTOK_TO_ARRAY", _strtok_to_array),
     # Postgres-form aliases: quoted field IS a literal -> pre-mask

@@ -877,12 +877,17 @@ class Engine:
             limit_ms = int(hints["query_time_limit"])
             group = f"hint_time_limit_{id(df)}"
             sc = self.spark.sparkContext
-            state = {"rows": None, "err": None}
+            state = {"df": None, "err": None}
 
             def _run():
+                # Materialize on the EXECUTORS (localCheckpoint pins
+                # the result partitions as cached blocks) — never a
+                # driver-side collect, so an arbitrarily large result
+                # under this hint cannot OOM the driver. The returned
+                # DataFrame then reads the pinned blocks lazily.
                 try:
                     sc.setJobGroup(group, "query_time_limit", True)
-                    state["rows"] = df.collect()
+                    state["df"] = df.localCheckpoint(eager=True)
                 except Exception as exc:  # noqa: BLE001 - surfaced below
                     state["err"] = exc
                 finally:
@@ -899,7 +904,7 @@ class Engine:
                 )
             if state["err"] is not None:
                 raise state["err"]
-            return self.spark.createDataFrame(state["rows"], df.schema)
+            return state["df"]
         return df
 
     def _is_temp_view(self, name: str) -> bool:

@@ -501,12 +501,45 @@ def register_geos_functions(spark) -> None:
             out.append(_to_arrow_mp(_boolean_trapezoids(shapes, any)))
         return pd.Series(out)
 
-    # SQL spellings (scalar functions can't overload ST_Buffer by
-    # geometry type): st_buffer_line takes the bare point path
-    # (element_at(g, 1) of a normalized geometry), st_buffer_poly the
-    # ring array; radius binds per row.
+    @F.pandas_udf(MULTIPOLYGON_T)
+    def _buffer_any(sg: pd.Series, sr: pd.Series) -> pd.Series:
+        # Runtime tag dispatch over the normalized ARRAY<ARRAY<point>>
+        # form: 1 ring of 1 point = POINT; 1 open ring = LINESTRING;
+        # anything closed or multi-ring = POLYGON. Used by the dialect's
+        # single-name ST_Buffer when the static tag is unknown.
+        out = []
+        for g, rad in zip(sg, sr):
+            raw0 = list(g[0]) if len(g) else []
+            wkt_closed = len(g) > 1 or (
+                len(raw0) > 1
+                and float(raw0[0]["x"]) == float(raw0[-1]["x"])
+                and float(raw0[0]["y"]) == float(raw0[-1]["y"])
+            )
+            rings = _norm_poly(g)
+            rad = float(rad)
+            if len(rings) == 1 and len(rings[0]) == 1:
+                x, y = rings[0][0]
+                shapes = [[_ngon(x, y, rad, 8)]]
+            elif not wkt_closed:
+                shapes = _buffer_shapes(
+                    rings, rad, 8, closed=False, include_base=False
+                )
+            else:
+                shapes = _buffer_shapes(
+                    rings, rad, 8, closed=True, include_base=True
+                )
+            out.append(_to_arrow_mp(_boolean_trapezoids(shapes, any)))
+        return pd.Series(out)
+
+    # SQL spellings: the dialect rewrites single-name ST_Buffer(g, r)
+    # to one of these by static geometry tag (RelAlgTranslatorGeo.cpp:
+    # 810-819 overloads by type); st_buffer_line takes the bare point
+    # path (element_at(g, 1) of a normalized geometry), st_buffer_poly
+    # the ring array, st_buffer_any dispatches at runtime when the tag
+    # is not statically known; radius binds per row.
     spark.udf.register("st_buffer_line", _buffer_line)
     spark.udf.register("st_buffer_poly", _buffer_poly)
+    spark.udf.register("st_buffer_any", _buffer_any)
     spark.udf.register("st_union", _overlay(lambda p: p[0] or p[1]))
     spark.udf.register("st_intersection", _overlay(lambda p: p[0] and p[1]))
     spark.udf.register("st_difference", _overlay(lambda p: p[0] and not p[1]))

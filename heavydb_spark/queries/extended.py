@@ -1900,3 +1900,67 @@ def tf_torch_obj_detect(spark, sf_dir):
             "detected_confidence"
         ),
     ).orderBy("x", "y")
+
+
+@query(
+    "geo_buffer_dispatch",
+    oracle="""
+    WITH p AS (
+        SELECT n_nationkey,
+               0.5 + (n_nationkey % 4) * 0.25 AS r,
+               n_nationkey % 3 AS tag,
+               CAST(4 + n_nationkey % 5 AS DOUBLE) AS len,
+               CAST(3 + n_nationkey % 4 AS DOUBLE) AS w,
+               CAST(2 + n_nationkey % 3 AS DOUBLE) AS h
+        FROM nation
+    )
+    SELECT n_nationkey,
+           round(CASE tag
+             WHEN 0 THEN 2 * sqrt(2) * r * r
+             WHEN 1 THEN 2 * r * len + 2 * sqrt(2) * r * r
+             ELSE w * h + 2 * r * (w + h) + 2 * sqrt(2) * r * r
+           END, 4) AS buf_area
+    FROM p ORDER BY n_nationkey
+    """,
+)
+def geo_buffer_dispatch(spark, sf_dir):
+    """Single-name ST_Buffer(geom, r) over mixed point / linestring /
+    polygon rows (the reference overloads one name by geometry type,
+    RelAlgTranslatorGeo.cpp:810-819): the dialect routes statically
+    tagged WKT at rewrite time and falls back to the runtime ring-shape
+    dispatcher (st_buffer_any) here, where the tag varies per row.
+    Oracle: exact closed forms of the 8-segment buffer union —
+    octagon 2*sqrt(2)*r^2 for points, 2*r*L + octagon for segments,
+    w*h + 2*r*(w+h) + octagon for rectangles (the four axis-symmetric
+    corner octagon quarters sum to one octagon)."""
+    from heavydb_spark.engine import Engine
+
+    eng = Engine(spark)
+    eng.attach(sf_dir)
+    buf = eng.sql(
+        """
+        WITH p AS (
+            SELECT n_nationkey,
+                   0.5 + (n_nationkey % 4) * 0.25 AS r,
+                   CASE n_nationkey % 3
+                     WHEN 0 THEN concat('POINT (', n_nationkey, ' ',
+                                        n_nationkey, ')')
+                     WHEN 1 THEN concat('LINESTRING (0 ', n_nationkey,
+                                        ', ', 4 + n_nationkey % 5, ' ',
+                                        n_nationkey, ')')
+                     ELSE concat('POLYGON ((0 0, ', 3 + n_nationkey % 4,
+                                 ' 0, ', 3 + n_nationkey % 4, ' ',
+                                 2 + n_nationkey % 3, ', 0 ',
+                                 2 + n_nationkey % 3, ', 0 0))')
+                   END AS wkt
+            FROM nation
+        ), g AS (
+            SELECT n_nationkey, r, st_geomfromtext(wkt) AS geom FROM p
+        )
+        SELECT n_nationkey, ST_Buffer(geom, r) AS mp FROM g
+        """
+    )
+    return buf.select(
+        "n_nationkey",
+        F.round(geo.st_area_multipolygon(F.col("mp")), 4).alias("buf_area"),
+    ).orderBy("n_nationkey")

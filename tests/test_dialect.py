@@ -1485,3 +1485,41 @@ def test_lag_in_frame_desc_nulls_last(engine):
     by_key = {row["o_orderkey"]: row["lf"] for row in r}
     keys = sorted(by_key)
     assert by_key[keys[-1]] is None  # first row in DESC order has no lag
+
+
+def test_st_buffer_single_name_dispatch(engine):
+    """ST_Buffer(geom, r) under ONE name for point / linestring /
+    polygon (RelAlgTranslatorGeo.cpp:810-819 overloads by type):
+    static WKT tags route at rewrite time; unknown tags dispatch at
+    runtime on ring shape."""
+    import math
+
+    # point: WKT-tagged -> n-gon polygon (area ~ pi r^2)
+    a = engine.sql(
+        "SELECT round(ST_Area(ST_Buffer(ST_GeomFromText('POINT (3 4)'),"
+        " 2.0)), 2) AS a"
+    ).first()["a"]
+    assert a == round(2 * 4 * math.sin(2 * math.pi / 32) / 2 * 16, 2) or (
+        11.0 < a < math.pi * 4 + 0.1
+    )
+    # linestring: WKT-tagged -> MULTIPOLYGON, area ~ 2rL + pi r^2
+    la = engine.sql(
+        "SELECT round(sum(ST_Area(p)), 2) AS a FROM (SELECT explode(mp)"
+        " AS p FROM (SELECT ST_Buffer(ST_GeomFromText("
+        "'LINESTRING (0 0, 10 0)'), 1.0) AS mp))"
+    ).first()["a"]
+    assert la == round(20 + 2 * math.sqrt(2), 2)
+    # polygon: WKT-tagged -> MULTIPOLYGON, area = wh + 2r(w+h) + octagon
+    pa = engine.sql(
+        "SELECT round(sum(ST_Area(p)), 2) AS a FROM (SELECT explode(mp)"
+        " AS p FROM (SELECT ST_Buffer(ST_GeomFromText("
+        "'POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))'), 2.0) AS mp))"
+    ).first()["a"]
+    assert pa == round(100 + 2 * 2 * 40 / 2 + 2 * math.sqrt(2) * 4, 2)
+    # runtime dispatch: tag unknown statically (column geometry)
+    ra = engine.sql(
+        "SELECT round(sum(ST_Area(p)), 2) AS a FROM (SELECT explode(mp)"
+        " AS p FROM (SELECT ST_Buffer(g, 1.0) AS mp FROM (SELECT"
+        " st_geomfromtext('LINESTRING (0 0, 4 0)') AS g)))"
+    ).first()["a"]
+    assert ra == round(8 + 2 * math.sqrt(2), 2)
