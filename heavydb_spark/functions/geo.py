@@ -788,17 +788,95 @@ class _ColOps:
     radians = staticmethod(F.radians)
 
 
-def _utm_formula(ops, lon, lat, zone: int):
-    """Transverse-Mercator forward series, written once over either
-    backend. sinh/cosh/atanh are spelled with exp/ln so Spark and
-    DuckDB run the exact same primitive calls."""
-    n = _WGS84_F / (2.0 - _WGS84_F)
-    big_a = (_WGS84_A / (1.0 + n)) * (1.0 + n * n / 4.0 + n**4 / 64.0)
+class _TMParams:
+    """One transverse-Mercator projected CRS: ellipsoid (a, f), natural
+    origin (lat0, lon0), scale k0, false easting/northing. Projection
+    only — datum shifts (e.g. OSGB36<->WGS84 for EPSG 27700) are proj's
+    job in the reference (Geospatial/ GDAL delegation) and out of scope
+    here; coordinates are treated as referenced to the same datum."""
+
+    def __init__(self, a, inv_f, lat0, lon0, k0, e0, n0):
+        self.a = float(a)
+        self.f = 1.0 / float(inv_f)
+        self.lat0 = float(lat0)
+        self.lon0 = float(lon0)
+        self.k0 = float(k0)
+        self.e0 = float(e0)
+        self.n0 = float(n0)
+
+
+_GRS80_INV_F = 298.257222101
+# EPSG transverse-Mercator parameter table (public EPSG registry
+# values): UTM north/south on WGS-84, ETRS89 UTM (GRS80), and national
+# TM grids — the reference accepts these via proj
+# (ExtensionFunctionsGeo.hpp ST_Transform overloads + Geospatial/).
+_EPSG_TM: dict[int, _TMParams] = {
+    # OSGB36 / British National Grid (Airy 1830)
+    27700: _TMParams(6377563.396, 299.3249646, 49.0, -2.0,
+                     0.9996012717, 400000.0, -100000.0),
+    # IRENET95 / Irish Transverse Mercator (GRS80)
+    2157: _TMParams(6378137.0, _GRS80_INV_F, 53.5, -8.0,
+                    0.99982, 600000.0, 750000.0),
+    # NZGD2000 / New Zealand Transverse Mercator (GRS80)
+    2193: _TMParams(6378137.0, _GRS80_INV_F, 0.0, 173.0,
+                    0.9996, 1600000.0, 10000000.0),
+    # ETRS89-extended / LAEA is NOT TM; ETRS89 UTM zones are:
+}
+for _z in range(1, 61):
+    _EPSG_TM[32600 + _z] = _TMParams(
+        _WGS84_A, 298.257223563, 0.0, _z * 6 - 183, 0.9996, 500000.0, 0.0
+    )
+    _EPSG_TM[32700 + _z] = _TMParams(
+        _WGS84_A, 298.257223563, 0.0, _z * 6 - 183, 0.9996, 500000.0,
+        10000000.0,
+    )
+for _z in range(28, 39):  # ETRS89 / UTM zones 28N-38N
+    _EPSG_TM[25800 + _z] = _TMParams(
+        6378137.0, _GRS80_INV_F, 0.0, _z * 6 - 183, 0.9996, 500000.0, 0.0
+    )
+
+
+def _tm_coeffs(prm: _TMParams):
+    n = prm.f / (2.0 - prm.f)
+    big_a = (prm.a / (1.0 + n)) * (1.0 + n * n / 4.0 + n**4 / 64.0)
+    return n, big_a
+
+
+def _tm_m0(prm: _TMParams) -> float:
+    """Meridian arc length (scaled by A) at the natural-origin latitude
+    — a plain-Python constant folded into the series so the SQL text
+    stays free of per-CRS branches."""
+    import math
+
+    if prm.lat0 == 0.0:
+        return 0.0
+    n, big_a = _tm_coeffs(prm)
+    a1 = n / 2.0 - 2.0 * n * n / 3.0 + 5.0 * n**3 / 16.0
+    a2 = 13.0 * n * n / 48.0 - 3.0 * n**3 / 5.0
+    a3 = 61.0 * n**3 / 240.0
+    c1 = 2.0 * math.sqrt(n) / (1.0 + n)
+    phi = math.radians(prm.lat0)
+    s = math.sin(phi)
+    t = math.sinh(math.atanh(s) - c1 * math.atanh(c1 * s))
+    xi = math.atan(t)
+    north = xi
+    for j, aj in ((1, a1), (2, a2), (3, a3)):
+        north += aj * math.sin(2.0 * j * xi)
+    return big_a * north
+
+
+def _tm_formula(ops, lon, lat, prm: _TMParams):
+    """Transverse-Mercator forward series (Krueger, 3rd order in n) for
+    any _TMParams CRS, written once over either backend. sinh/cosh/
+    atanh are spelled with exp/ln so Spark and DuckDB run the exact
+    same primitive calls."""
+    n, big_a = _tm_coeffs(prm)
     a1 = n / 2.0 - 2.0 * n * n / 3.0 + 5.0 * n**3 / 16.0
     a2 = 13.0 * n * n / 48.0 - 3.0 * n**3 / 5.0
     a3 = 61.0 * n**3 / 240.0
     c1 = 2.0 * (n ** 0.5) / (1.0 + n)
-    lam0 = float(zone * 6 - 183)
+    lam0 = prm.lon0
+    m0 = _tm_m0(prm)
 
     def atanh(x):
         return 0.5 * ops.ln((1.0 + x) / (1.0 - x))
@@ -821,9 +899,15 @@ def _utm_formula(ops, lon, lat, zone: int):
         east = east + aj * ops.cos(2.0 * j * xi) * sinh(2.0 * j * eta)
         north = north + aj * ops.sin(2.0 * j * xi) * cosh(2.0 * j * eta)
     return (
-        _UTM_E0 + _UTM_K0 * big_a * east,
-        _UTM_K0 * big_a * north,
+        prm.e0 + prm.k0 * big_a * east,
+        prm.n0 + prm.k0 * (big_a * north - m0),
     )
+
+
+def _utm_formula(ops, lon, lat, zone: int):
+    """UTM-north specialization of _tm_formula (kept for the existing
+    Column/SQL entry points)."""
+    return _tm_formula(ops, lon, lat, _EPSG_TM[32600 + zone])
 
 
 def utm_from_wgs84(lon: Column, lat: Column, zone: int) -> Column:
@@ -839,18 +923,19 @@ def utm_from_wgs84_sql(lon_expr: str, lat_expr: str, zone: int) -> tuple[str, st
     return e.s, nn.s
 
 
-def _utm_inverse_formula(ops, easting, northing, zone: int):
-    """Inverse transverse-Mercator series (3rd order in n) — the other
-    direction of ExtensionFunctionsGeo.hpp's ST_Transform overloads."""
-    n = _WGS84_F / (2.0 - _WGS84_F)
-    big_a = (_WGS84_A / (1.0 + n)) * (1.0 + n * n / 4.0 + n**4 / 64.0)
+def _tm_inverse_formula(ops, easting, northing, prm: _TMParams):
+    """Inverse transverse-Mercator series (3rd order in n) for any
+    _TMParams CRS — the other direction of ExtensionFunctionsGeo.hpp's
+    ST_Transform overloads."""
+    n, big_a = _tm_coeffs(prm)
     b1 = n / 2.0 - 2.0 * n * n / 3.0 + 37.0 * n**3 / 96.0
     b2 = n * n / 48.0 + n**3 / 15.0
     b3 = 17.0 * n**3 / 480.0
     d1 = 2.0 * n - 2.0 * n * n / 3.0 - 2.0 * n**3
     d2 = 7.0 * n * n / 3.0 - 8.0 * n**3 / 5.0
     d3 = 56.0 * n**3 / 15.0
-    lam0 = float(zone * 6 - 183)
+    lam0 = prm.lon0
+    m0 = _tm_m0(prm)
 
     def sinh(x):
         return (ops.exp(x) - ops.exp(-x)) / 2.0
@@ -858,8 +943,8 @@ def _utm_inverse_formula(ops, easting, northing, zone: int):
     def cosh(x):
         return (ops.exp(x) + ops.exp(-x)) / 2.0
 
-    xi = northing / (_UTM_K0 * big_a)
-    eta = (easting - _UTM_E0) / (_UTM_K0 * big_a)
+    xi = (northing - prm.n0 + prm.k0 * m0) / (prm.k0 * big_a)
+    eta = (easting - prm.e0) / (prm.k0 * big_a)
     xi_p = xi
     eta_p = eta
     for j, bj in ((1, b1), (2, b2), (3, b3)):
@@ -876,17 +961,55 @@ def _utm_inverse_formula(ops, easting, northing, zone: int):
     )
 
 
+def _utm_inverse_formula(ops, easting, northing, zone: int):
+    """UTM-north specialization of _tm_inverse_formula."""
+    return _tm_inverse_formula(ops, easting, northing, _EPSG_TM[32600 + zone])
+
+
+def tm_from_wgs84(lon: Column, lat: Column, srid: int) -> Column:
+    """ST_Transform(point, any EPSG TM code in _EPSG_TM): WGS-84
+    lon/lat -> projected easting/northing struct<x,y>."""
+    e, nn = _tm_formula(
+        _ColOps(), lon.cast("double"), lat.cast("double"), _EPSG_TM[srid]
+    )
+    return F.struct(e.alias("x"), nn.alias("y"))
+
+
+def tm_from_wgs84_sql(lon_expr: str, lat_expr: str, srid: int) -> tuple[str, str]:
+    """ANSI-SQL text of `tm_from_wgs84` (for DuckDB oracles)."""
+    e, nn = _tm_formula(
+        _SqlOps(), _SqlExpr(lon_expr), _SqlExpr(lat_expr), _EPSG_TM[srid]
+    )
+    return e.s, nn.s
+
+
+def tm_to_wgs84(easting: Column, northing: Column, srid: int) -> Column:
+    """Inverse of tm_from_wgs84 for any EPSG TM code in _EPSG_TM."""
+    ops = _ColOps()
+    ops.asin = F.asin
+    ops.degrees = F.degrees
+    lon, lat = _tm_inverse_formula(
+        ops, easting.cast("double"), northing.cast("double"), _EPSG_TM[srid]
+    )
+    return F.struct(lon.alias("x"), lat.alias("y"))
+
+
+def tm_to_wgs84_sql(e_expr: str, n_expr: str, srid: int) -> tuple[str, str]:
+    """ANSI-SQL text of `tm_to_wgs84` (for DuckDB oracles)."""
+    ops = _SqlOps()
+    ops.asin = _SqlOps.fn("asin")
+    ops.degrees = _SqlOps.fn("degrees")
+    lon, lat = _tm_inverse_formula(
+        ops, _SqlExpr(e_expr), _SqlExpr(n_expr), _EPSG_TM[srid]
+    )
+    return lon.s, lat.s
+
+
 def utm_to_wgs84(easting: Column, northing: Column, zone: int) -> Column:
     """ST_Transform(EPSG 326xx -> 4326): UTM easting/northing -> WGS-84
     lon/lat struct<x,y> (inverse Krueger series; round-trips with
     utm_from_wgs84 to ~1e-9 degrees)."""
-    ops = _ColOps()
-    ops.asin = F.asin
-    ops.degrees = F.degrees
-    lon, lat = _utm_inverse_formula(
-        ops, easting.cast("double"), northing.cast("double"), zone
-    )
-    return F.struct(lon.alias("x"), lat.alias("y"))
+    return tm_to_wgs84(easting, northing, 32600 + zone)
 
 
 def utm_to_wgs84_sql(e_expr: str, n_expr: str, zone: int) -> tuple[str, str]:
@@ -925,11 +1048,14 @@ def _bind_once(struct_col: Column, fn) -> Column:
 def st_transform(p: Column, from_srid: int, to_srid: int) -> Column:
     """SRID-dispatching ST_Transform (the reference's overload surface,
     QueryEngine/ExtensionFunctionsGeo.hpp): closed-form SRIDs are 4326,
-    900913, and EPSG 326xx (UTM north); any supported pair composes
+    900913, and every EPSG code in the _EPSG_TM transverse-Mercator
+    table (UTM north 326xx, UTM south 327xx, ETRS89 UTM 258xx, and the
+    27700/2157/2193 national grids); any supported pair composes
     through the 4326 pivot (proj pivots datum-sharing pairs the same
-    way). Other SRIDs raise (the reference delegates them to proj, an
-    out-of-container dependency). The input point is lambda-bound once
-    so chained transforms can't blow up the expression tree."""
+    way). Other projections raise (the reference delegates them to
+    proj, an out-of-container dependency); datum shifts are not
+    applied. The input point is lambda-bound once so chained transforms
+    can't blow up the expression tree."""
     if from_srid == to_srid:
         return p
     return _bind_once(p, lambda q: _st_transform_leaf(q, from_srid, to_srid))
@@ -942,25 +1068,27 @@ def _st_transform_leaf(p: Column, from_srid: int, to_srid: int) -> Column:
         return st_transform_4326_900913(p)
     if (from_srid, to_srid) == (900913, 4326):
         return st_transform_900913_4326(p)
-    if from_srid == 4326 and 32601 <= to_srid <= 32660:
-        return utm_from_wgs84(p["x"], p["y"], to_srid - 32600)
-    if to_srid == 4326 and 32601 <= from_srid <= 32660:
-        return utm_to_wgs84(p["x"], p["y"], from_srid - 32600)
-    if 32601 <= from_srid <= 32660 and (
-        32601 <= to_srid <= 32660 or to_srid == 900913
+    if from_srid == 4326 and to_srid in _EPSG_TM:
+        return tm_from_wgs84(p["x"], p["y"], to_srid)
+    if to_srid == 4326 and from_srid in _EPSG_TM:
+        return tm_to_wgs84(p["x"], p["y"], from_srid)
+    if from_srid in _EPSG_TM and (
+        to_srid in _EPSG_TM or to_srid == 900913
     ):
-        ll = utm_to_wgs84(p["x"], p["y"], from_srid - 32600)
+        ll = tm_to_wgs84(p["x"], p["y"], from_srid)
         return _bind_once(ll, lambda q: _st_transform_leaf(q, 4326, to_srid))
-    if from_srid == 900913 and 32601 <= to_srid <= 32660:
+    if from_srid == 900913 and to_srid in _EPSG_TM:
         ll = st_transform_900913_4326(p)
         return _bind_once(
-            ll, lambda q: utm_from_wgs84(q["x"], q["y"], to_srid - 32600)
+            ll, lambda q: tm_from_wgs84(q["x"], q["y"], to_srid)
         )
     raise ValueError(
         f"ST_Transform {from_srid}->{to_srid} unsupported; closed-form "
-        "SRIDs are 4326, 900913, and EPSG 326xx (UTM north), any pair "
-        "composed through 4326. Other SRIDs need proj (reference: "
-        "GDAL/proj delegation)."
+        "SRIDs are 4326, 900913, and the EPSG transverse-Mercator table "
+        "(UTM north/south 326xx/327xx, ETRS89 UTM 258xx, 27700, 2157, "
+        "2193), any pair composed through 4326. Other projections need "
+        "proj (reference: GDAL/proj delegation), and datum shifts are "
+        "not applied."
     )
 
 
@@ -1064,7 +1192,8 @@ _GEO_SQL_FUNCS = {
         ELSE named_struct(
             'x', CAST(raise_error(concat('ST_Transform: unsupported SRID ',
                  CAST(srid AS STRING), ' in the SQL form; the DataFrame API ',
-                 'adds UTM zones')) AS DOUBLE),
+                 'adds the EPSG transverse-Mercator table (UTM north/south, ',
+                 'ETRS89 UTM, 27700, 2157, 2193)')) AS DOUBLE),
             'y', CAST(NULL AS DOUBLE))
     END
     """,

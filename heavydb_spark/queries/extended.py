@@ -1964,3 +1964,50 @@ def geo_buffer_dispatch(spark, sf_dir):
         "n_nationkey",
         F.round(geo.st_area_multipolygon(F.col("mp")), 4).alias("buf_area"),
     ).orderBy("n_nationkey")
+
+
+# lon/lat over the OSGB domain (lon -7..1, lat 49..59); the same
+# generated series text runs on both engines.
+_BNG_LON_SQL = "-7.0 + CAST(c_custkey % 800 AS DOUBLE) / 100"
+_BNG_LAT_SQL = "49.0 + CAST((c_custkey*3) % 1000 AS DOUBLE) / 100"
+_BNG_E_SQL, _BNG_N_SQL = geo.tm_from_wgs84_sql(_BNG_LON_SQL, _BNG_LAT_SQL, 27700)
+_NZ_LON_SQL = "166.0 + CAST(c_custkey % 1200 AS DOUBLE) / 100"
+_NZ_LAT_SQL = "-47.0 + CAST((c_custkey*7) % 1300 AS DOUBLE) / 100"
+_NZ_E_SQL, _NZ_N_SQL = geo.tm_from_wgs84_sql(_NZ_LON_SQL, _NZ_LAT_SQL, 2193)
+
+
+@query(
+    "geo_transform_epsg",
+    oracle=f"""
+    SELECT c_custkey,
+           round({_BNG_E_SQL}, 4) + 0.0 AS bng_e,
+           round({_BNG_N_SQL}, 4) + 0.0 AS bng_n,
+           round({_NZ_E_SQL}, 4) + 0.0 AS nz_e,
+           round({_NZ_N_SQL}, 4) + 0.0 AS nz_n
+    FROM customer WHERE c_custkey < 400 ORDER BY c_custkey
+    """,
+)
+def geo_transform_epsg(spark, sf_dir):
+    """Arbitrary-SRID ST_Transform beyond UTM (ExtensionFunctionsGeo
+    .hpp overloads + Geospatial/ proj delegation): the EPSG
+    transverse-Mercator parameter table (functions/geo.py _EPSG_TM)
+    drives one shared Krueger series — here EPSG 27700 (OSGB British
+    National Grid, Airy 1830 ellipsoid, non-zero natural origin and
+    false northing) and EPSG 2193 (NZTM, GRS80). The oracle runs the
+    SAME generated SQL text, so both engines execute an identical
+    floating-point operation structure. Projection-only: datum shifts
+    are proj's job and documented out of scope."""
+    c = T(spark, sf_dir, "customer").filter(F.col("c_custkey") < 400)
+    bng_lon = F.lit(-7.0) + (F.col("c_custkey") % 800).cast("double") / 100
+    bng_lat = F.lit(49.0) + ((F.col("c_custkey") * 3) % 1000).cast("double") / 100
+    nz_lon = F.lit(166.0) + (F.col("c_custkey") % 1200).cast("double") / 100
+    nz_lat = F.lit(-47.0) + ((F.col("c_custkey") * 7) % 1300).cast("double") / 100
+    bng = geo.tm_from_wgs84(bng_lon, bng_lat, 27700)
+    nz = geo.tm_from_wgs84(nz_lon, nz_lat, 2193)
+    return c.select(
+        "c_custkey",
+        (F.round(bng["x"], 4) + 0.0).alias("bng_e"),
+        (F.round(bng["y"], 4) + 0.0).alias("bng_n"),
+        (F.round(nz["x"], 4) + 0.0).alias("nz_e"),
+        (F.round(nz["y"], 4) + 0.0).alias("nz_n"),
+    ).orderBy("c_custkey")

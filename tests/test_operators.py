@@ -1452,3 +1452,66 @@ def test_connected_components_raises_on_nonconvergence(spark):
         for r in connected_components(chain, max_iter=20).collect()
     }
     assert set(ok.values()) == {0}
+
+
+def test_tm_epsg_table_accuracy(spark):
+    """Arbitrary-SRID transverse Mercator (_EPSG_TM): natural-origin
+    identities, round-trips, and a cross-check against the
+    independently-validated UTM path for the shared WGS-84 zones."""
+    from pyspark.sql import functions as F
+
+    from heavydb_spark.functions import geo
+
+    df = spark.createDataFrame(
+        [(-2.0, 49.0), (-1.5, 52.5), (0.5, 57.25)], "lon double, lat double"
+    )
+    # EPSG 27700: natural origin maps exactly to the false origin
+    r = df.select(
+        geo.tm_from_wgs84(F.col("lon"), F.col("lat"), 27700).alias("p")
+    ).collect()
+    assert abs(r[0]["p"]["x"] - 400000.0) < 1e-6
+    assert abs(r[0]["p"]["y"] + 100000.0) < 1e-6
+    # round-trip through the inverse for every row / several CRSs
+    for srid in (27700, 2193, 2157, 32756, 25832):
+        pts = spark.createDataFrame(
+            [(lon, lat) for lon, lat in [
+                (geo._EPSG_TM[srid].lon0 + 1.2,
+                 geo._EPSG_TM[srid].lat0 + (3.0 if srid != 2193 else -40.0)),
+                (geo._EPSG_TM[srid].lon0 - 0.7,
+                 geo._EPSG_TM[srid].lat0 + (1.5 if srid != 2193 else -43.5)),
+            ]],
+            "lon double, lat double",
+        )
+        fwd = pts.select(
+            "lon", "lat",
+            geo.tm_from_wgs84(F.col("lon"), F.col("lat"), srid).alias("p"),
+        )
+        back = fwd.select(
+            "lon", "lat",
+            geo.tm_to_wgs84(
+                F.col("p")["x"], F.col("p")["y"], srid
+            ).alias("q"),
+        ).collect()
+        for row in back:
+            assert abs(row["q"]["x"] - row["lon"]) < 1e-6, (srid, row)
+            assert abs(row["q"]["y"] - row["lat"]) < 1e-6, (srid, row)
+    # WGS-84 UTM north through the table == the original UTM entry point
+    both = df.select(
+        geo.tm_from_wgs84(F.col("lon") + 8.0, F.col("lat"), 32632).alias("a"),
+        geo.utm_from_wgs84(F.col("lon") + 8.0, F.col("lat"), 32).alias("b"),
+    ).collect()
+    for row in both:
+        assert row["a"]["x"] == row["b"]["x"]
+        assert row["a"]["y"] == row["b"]["y"]
+    # st_transform dispatches table codes and composes TM->TM via 4326
+    p = spark.createDataFrame([(-1.0, 51.0)], "lon double, lat double")
+    out = p.select(
+        geo.st_transform(
+            geo.st_transform(
+                F.struct(F.col("lon").alias("x"), F.col("lat").alias("y")),
+                4326, 27700,
+            ),
+            27700, 4326,
+        ).alias("q")
+    ).first()
+    assert abs(out["q"]["x"] + 1.0) < 1e-6 and abs(out["q"]["y"] - 51.0) < 1e-6
