@@ -542,3 +542,53 @@ def test_streaming_interval_join_full_outer_equals_batch(
     assert got == want
     assert any(r_ts is None for (_, _, r_ts) in want)   # unmatched clicks
     assert any(l_ts is None for (_, l_ts, _) in want)   # orphan purchases
+
+
+def test_ingest_stream_continuous_microbatch(spark, tmp_path):
+    """ingest_stream_to_table(available_now=False): the continuous
+    default micro-batch trigger starts, ingests files appearing over
+    time across >= 2 micro-batches, and stops cleanly (the importer
+    daemon mode, KafkaImporter.cpp run loop)."""
+    import time
+
+    spark.sql("DROP TABLE IF EXISTS events_ingest_cont")
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    ev = load_table(spark, SF_DIR, "events").limit(200).localCheckpoint()
+    first = ev.limit(100)
+    second = ev.subtract(first)
+    first.coalesce(1).write.mode("overwrite").parquet(src)
+    q = None
+    try:
+        q = stream_ops.ingest_stream_to_table(
+            stream_ops.read_event_stream(spark, src, max_files_per_trigger=1),
+            "events_ingest_cont",
+            ckpt,
+            available_now=False,
+        )
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if (
+                spark.catalog.tableExists("events_ingest_cont")
+                and spark.table("events_ingest_cont").count() >= first.count()
+            ):
+                break
+            time.sleep(1)
+        # second wave lands while the query is live -> a later micro-batch
+        second.coalesce(1).write.mode("append").parquet(src)
+        total = ev.count()
+        while time.time() < deadline:
+            if spark.table("events_ingest_cont").count() >= total:
+                break
+            time.sleep(1)
+        assert spark.table("events_ingest_cont").count() == total
+        batches = [
+            p for p in q.recentProgress if p["numInputRows"] > 0
+        ]
+        assert len(batches) >= 2, "expected >= 2 non-empty micro-batches"
+        assert q.isActive
+    finally:
+        if q is not None:
+            q.stop()
+            q.awaitTermination(60)
+        spark.sql("DROP TABLE IF EXISTS events_ingest_cont")
