@@ -1,0 +1,126 @@
+#!/usr/bin/env python
+"""Scale-proof run: execute the heaviest bench heads at 10x bench scale.
+
+Builds a 10x blow-up of the sf0.1 fixture (fact tables replicated with
+shifted keys — the time-partitioned-growth shape: facts grow 10x, dims
+stay fixed) under .scale_sf1/, runs B13 (minhash dedup), B17 (bbox
+join) and B19 (TPC-H Q21) once each after a warm-up of the scan, and
+reports wall time plus total shuffle read/write bytes per query from
+the Spark status store. Evidence for BASELINE.md's 100x-design section;
+not part of the driver bench.
+
+Usage: python scripts/scale_proof.py [--keep]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                   ".scale_sf1")
+COPIES = int(os.environ.get("SCALE_COPIES", "10"))
+
+
+def build_scaled(spark) -> None:
+    from pyspark.sql import functions as F
+
+    from heavydb_spark.catalog import load_table
+
+    os.makedirs(OUT, exist_ok=True)
+
+    def explode_copies(df, shift_cols, text_col=None):
+        """Union COPIES shifted copies in ONE plan: cross join with a
+        copy-index range, shift keys by copy * (max+1)."""
+        mx = {c: df.agg(F.max(c)).first()[0] + 1 for c in shift_cols}
+        copies = spark.range(COPIES).withColumnRenamed("id", "__copy")
+        out = df.crossJoin(F.broadcast(copies))
+        for c in shift_cols:
+            out = out.withColumn(c, F.col(c) + F.col("__copy") * F.lit(mx[c]))
+        if text_col:
+            out = out.withColumn(
+                text_col,
+                F.concat(F.col(text_col), F.lit(" c"),
+                         F.col("__copy").cast("string")),
+            )
+        return out.drop("__copy")
+
+    plans = {
+        "documents": (["doc_id"], "text"),
+        "customer": (["c_custkey"], None),
+        "orders": (["o_orderkey"], None),
+        "lineitem": (["l_orderkey"], None),
+    }
+    for name, (shift, text_col) in plans.items():
+        df = load_table(spark, SRC, name)
+        explode_copies(df, shift, text_col).repartition(32).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(OUT, f"{name}.parquet"))
+    for name in ("nation", "region", "supplier", "part"):
+        shutil.copy(
+            os.path.join(SRC, f"{name}.parquet"),
+            os.path.join(OUT, f"{name}.parquet"),
+        )
+
+
+def shuffle_totals(spark) -> tuple[int, int]:
+    store = spark.sparkContext._jsc.sc().statusStore()
+    jvm = spark._jvm
+    gw = spark.sparkContext._gateway
+    stages = store.stageList(
+        jvm.java.util.ArrayList(), False, False,
+        gw.new_array(jvm.double, 0), jvm.java.util.ArrayList(),
+    )
+    rd = wr = 0
+    for i in range(stages.size()):
+        s = stages.apply(i)
+        rd += s.shuffleReadBytes()
+        wr += s.shuffleWriteBytes()
+    return rd, wr
+
+
+def main() -> None:
+    from heavydb_spark.queries import QUERIES
+    from heavydb_spark.session import get_spark
+
+    spark = get_spark(master="local[32]", shuffle_partitions=64)
+    t0 = time.time()
+    if not os.path.exists(os.path.join(OUT, "lineitem.parquet")):
+        build_scaled(spark)
+    print(f"# scaled data ready in {time.time() - t0:.1f}s", file=sys.stderr)
+
+    heads = {
+        "B13_dedup_minhash": "dedup_minhash_lsh",
+        "B17_bbox_join": "geo_bbox_join",
+        "B19_tpch_q21": "tpch_q21_waiting_supplier",
+    }
+    results = {}
+    for bid, qname in heads.items():
+        rd0, wr0 = shuffle_totals(spark)
+        t = time.time()
+        n = QUERIES[qname](spark, OUT).count()
+        dt = time.time() - t
+        rd1, wr1 = shuffle_totals(spark)
+        results[bid] = {
+            "sec": round(dt, 2),
+            "rows": n,
+            "shuffle_read_mb": round((rd1 - rd0) / 1e6, 1),
+            "shuffle_write_mb": round((wr1 - wr0) / 1e6, 1),
+        }
+        print(f"# {bid}: {dt:.2f}s rows={n} "
+              f"shW={results[bid]['shuffle_write_mb']}MB", file=sys.stderr)
+    print(json.dumps({"scale": "10x-bench (sf1-equivalent facts)",
+                      "copies": COPIES, "results": results}))
+    spark.stop()
+    if "--keep" not in sys.argv:
+        shutil.rmtree(OUT, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
