@@ -26,6 +26,19 @@ from heavydb_spark.session import apply_runtime_conf, get_spark
 # DML statement shapes (DBHandler.cpp:6626 sql_execute_impl dispatches
 # UPDATE/DELETE off the main SELECT path; ParserWrapper.h:91). The engine
 # applies them as copy-on-write view replacement (operators/mutation.py).
+# EXPLAIN [OPTIMIZED | CALCITE [DETAIL] | PLAN] <query> — the
+# reference's explain family (Parser/ParserWrapper.h:34-46 ExplainType:
+# IR / OptimizedIR / Calcite / CalciteDetail / ExecutionPlan). The
+# Spark analogues: IR -> formatted physical plan (the codegen'd kernel
+# text), OPTIMIZED -> the optimized logical plan, CALCITE -> the
+# analyzed logical plan (Calcite's relational algebra stage),
+# CALCITE DETAIL -> extended (all phases), PLAN -> simple physical.
+_EXPLAIN_RE = re.compile(
+    r"^\s*EXPLAIN\s+(OPTIMIZED|CALCITE\s+DETAIL|CALCITE|PLAN)?\s*"
+    r"(SELECT\b.*|WITH\b.*|VALUES\b.*|TABLE\b.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+
 _UPDATE_RE = re.compile(
     r"^\s*UPDATE\s+(\w+)\s+SET\s+(.*?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
@@ -379,6 +392,29 @@ _DROP_MODEL_RE = re.compile(
     re.IGNORECASE,
 )
 _SHOW_MODELS_RE = re.compile(r"^\s*SHOW\s+MODELS\s*;?\s*$", re.IGNORECASE)
+# SHOW [RUNTIME] FUNCTIONS [DETAILS f, ...] / SHOW [RUNTIME] TABLE
+# FUNCTIONS [DETAILS tf, ...] / SHOW MODEL DETAILS [m, ...] / SHOW
+# MODEL FEATURE DETAILS m (showCommandsParser.ftl:293-378;
+# DdlCommandExecutor.cpp ShowFunctionsCommand:1957,
+# ShowModelDetailsCommand:2232, ShowModelFeatureDetailsCommand:2467).
+_SHOW_FUNCTIONS_RE = re.compile(
+    r"^\s*SHOW\s+(RUNTIME\s+)?FUNCTIONS(?:\s+DETAILS\s+(.+?))?\s*;?\s*$",
+    re.IGNORECASE,
+)
+_SHOW_TABLE_FUNCS_RE = re.compile(
+    r"^\s*SHOW\s+(RUNTIME\s+)?TABLE\s+FUNCTIONS(?:\s+DETAILS\s+(.+?))?\s*;?\s*$",
+    re.IGNORECASE,
+)
+_SHOW_MODEL_DETAILS_RE = re.compile(
+    r"^\s*SHOW\s+MODEL\s+DETAILS(?:\s+(.+?))?\s*;?\s*$", re.IGNORECASE
+)
+_SHOW_MODEL_FEATURE_RE = re.compile(
+    r"^\s*SHOW\s+MODEL\s+FEATURE\s+DETAILS\s+([\w.]+)\s*;?\s*$",
+    re.IGNORECASE,
+)
+# dialect-level TABLE() rewrites that never reach _SQL_TABLE_FUNCTIONS
+_DIALECT_TABLE_FUNCS = ("generate_series", "generate_random_strings",
+                        "supported_ml_frameworks")
 _EVALUATE_MODEL_RE = re.compile(
     r"^\s*EVALUATE\s+MODEL\s+([\w.]+)(?:\s+ON\s+(.*?))?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
@@ -389,6 +425,9 @@ _MODEL_SOURCES: dict[str, str] = {}
 # name -> (train_fraction, eval_fraction) from the DATA_SPLIT options
 # (ParserNode.cpp:3594-3688); EVALUATE MODEL scores the held-out slice.
 _MODEL_SPLITS: dict[str, tuple[float, float]] = {}
+# name -> {type, predicted, features} (MLModelMetadata analogue) for
+# SHOW MODEL [FEATURE] DETAILS.
+_MODEL_META: dict[str, dict] = {}
 
 
 def _split_trailing_with(clause: str) -> tuple[str, str | None]:
@@ -722,6 +761,9 @@ class Engine:
         (executeUpdate/executeDelete, RelAlgExecutor.cpp:2163,:2327)
         and return a one-row `rows_affected` DataFrame.
         """
+        m = _EXPLAIN_RE.match(query)
+        if m:
+            return self._explain_statement(m.group(1), m.group(2))
         m = _UPDATE_RE.match(query)
         if m:
             set_clause, where = _split_where(m.group(2))
@@ -781,12 +823,26 @@ class Engine:
             if name not in MODELS and not m.group(1):
                 raise ValueError(f"model {m.group(2)} does not exist")
             MODELS.pop(name, None)
+            for reg in (_MODEL_SOURCES, _MODEL_SPLITS, _MODEL_META):
+                reg.pop(name, None)
             return self.spark.createDataFrame(
                 [(m.group(2),)], "model_name STRING"
             )
         m = _EVALUATE_MODEL_RE.match(query)
         if m:
             return self._evaluate_model(m.group(1), m.group(2))
+        m = _SHOW_MODEL_FEATURE_RE.match(query)
+        if m:
+            return self._show_model_feature_details(m.group(1))
+        m = _SHOW_MODEL_DETAILS_RE.match(query)
+        if m:
+            return self._show_model_details(m.group(1))
+        m = _SHOW_TABLE_FUNCS_RE.match(query)
+        if m:
+            return self._show_table_functions(m.group(2))
+        m = _SHOW_FUNCTIONS_RE.match(query)
+        if m:
+            return self._show_functions(m.group(2))
         if _SHOW_MODELS_RE.match(query):
             from heavydb_spark.dialect import MODELS
 
@@ -1522,6 +1578,11 @@ class Engine:
             )
         _MODEL_SOURCES[name.lower()] = select.strip()
         _MODEL_SPLITS[name.lower()] = (train, ev)
+        _MODEL_META[name.lower()] = {
+            "type": mtype,
+            "predicted": "" if mtype == "PCA" else cols[0],
+            "features": list(cols) if mtype == "PCA" else list(cols[1:]),
+        }
         return self.spark.createDataFrame(
             [(name, "created")], "model_name STRING, status STRING"
         )
@@ -1569,6 +1630,125 @@ class Engine:
         scored = df.withColumn("__pred", F.expr(pred_sql))
         return r2_score(scored, label, "__pred").select(
             F.round("r2", 6).alias("r2")
+        )
+
+    def _show_model_details(self, names: str | None) -> DataFrame:
+        """SHOW MODEL DETAILS [m, ...] (DdlCommandExecutor.cpp:2232):
+        the reference's MLModelMetadata columns. All features here are
+        numeric (categorical one-hot encoding is a reference-side
+        import concern), so logical == physical and categorical == 0."""
+        from heavydb_spark.dialect import MODELS
+
+        wanted = (
+            [n.strip().lower() for n in names.split(",")]
+            if names
+            else sorted(MODELS)
+        )
+        rows = []
+        for n in wanted:
+            if n not in MODELS:
+                raise ValueError(f"model {n} does not exist")
+            meta = _MODEL_META.get(n, {})
+            feats = meta.get("features", [])
+            train, ev = _MODEL_SPLITS.get(n, (1.0, 0.0))
+            rows.append((
+                n, meta.get("type", ""), meta.get("predicted", ""),
+                ", ".join(feats), _MODEL_SOURCES.get(n, ""),
+                len(feats), len(feats), 0, len(feats),
+                float(train), float(ev),
+            ))
+        return self.spark.createDataFrame(
+            rows,
+            "model_name STRING, model_type STRING, predicted STRING,"
+            " features STRING, training_query STRING,"
+            " num_logical_features BIGINT, num_physical_features BIGINT,"
+            " num_categorical_features BIGINT, num_numeric_features BIGINT,"
+            " train_fraction DOUBLE, eval_fraction DOUBLE",
+        )
+
+    def _show_model_feature_details(self, name: str) -> DataFrame:
+        """SHOW MODEL FEATURE DETAILS m (DdlCommandExecutor.cpp:2467):
+        per-feature coefficients (linear: feature_id 0 is the
+        intercept; tree/PCA models carry no per-feature scalar and
+        report NULL)."""
+        from heavydb_spark.dialect import LinearModel, MODELS
+
+        n = name.lower()
+        model = MODELS.get(n)
+        if model is None:
+            raise ValueError(f"model {name} does not exist")
+        feats = _MODEL_META.get(n, {}).get("features", [])
+        rows = [(0, "intercept",
+                 float(model.intercept) if isinstance(model, LinearModel)
+                 else None)]
+        for i, f_ in enumerate(feats, start=1):
+            coef = (
+                float(model.coefs[i - 1])
+                if isinstance(model, LinearModel) and i <= len(model.coefs)
+                else None
+            )
+            rows.append((i, f_, coef))
+        return self.spark.createDataFrame(
+            rows, "feature_id BIGINT, feature STRING, coefficient DOUBLE"
+        )
+
+    def _show_functions(self, details: str | None) -> DataFrame:
+        """SHOW [RUNTIME] FUNCTIONS [DETAILS f, ...]
+        (DdlCommandExecutor.cpp:1957): the engine's registered scalar
+        SQL functions (ST_ surface, string/sketch pandas UDFs, dialect
+        kernels). CPU true / GPU false — Spark executors are the only
+        device class here."""
+        fns = sorted(
+            r[0].split(".")[-1].lower()
+            for r in self.spark.sql("SHOW USER FUNCTIONS").collect()
+        )
+        if not details:
+            return self.spark.createDataFrame(
+                [(n,) for n in fns], "name STRING"
+            )
+        from heavydb_spark.functions.geo import _GEO_SQL_FUNCS
+
+        sig_re = re.compile(
+            r"FUNCTION\s+\w+\s*\((.*?)\)\s*RETURNS\s+([\w<>:,.\s]+?)\s+RETURN",
+            re.IGNORECASE | re.DOTALL,
+        )
+        sigs = {}
+        for fname, body in _GEO_SQL_FUNCS.items():
+            m = sig_re.search(body)
+            if m:
+                args = " ".join(m.group(1).split())
+                ret = " ".join(m.group(2).split())
+                sigs[fname] = f"{fname}({args}) -> {ret}"
+        wanted = [n.strip().lower() for n in details.split(",")]
+        rows = []
+        for n in wanted:
+            if n not in fns:
+                raise ValueError(f"function {n} is not registered")
+            rows.append((n, sigs.get(n, f"{n}(...)"), True, False))
+        return self.spark.createDataFrame(
+            rows, "name STRING, signature STRING, CPU BOOLEAN, GPU BOOLEAN"
+        )
+
+    def _show_table_functions(self, details: str | None) -> DataFrame:
+        """SHOW [RUNTIME] TABLE FUNCTIONS [DETAILS tf, ...]
+        (showCommandsParser.ftl:336-378): every name the TABLE(...)
+        dispatcher accepts — the CURSOR-form registry plus the
+        dialect-level rewrites."""
+        names = sorted(
+            set(_SQL_TABLE_FUNCTIONS) | set(_DIALECT_TABLE_FUNCS)
+        )
+        if not details:
+            return self.spark.createDataFrame(
+                [(n,) for n in names], "name STRING"
+            )
+        wanted = [n.strip().lower() for n in details.split(",")]
+        rows = []
+        for n in wanted:
+            if n not in names:
+                raise ValueError(f"table function {n} is not registered")
+            rows.append((n, f"TABLE({n}(...))", True, False))
+        return self.spark.createDataFrame(
+            rows, "name STRING, signature STRING, CPU BOOLEAN, GPU BOOLEAN"
         )
 
     def _copy_from(self, table: str, path: str, options: str) -> DataFrame:
@@ -1643,6 +1823,27 @@ class Engine:
     def sql_arrow(self, query: str):
         """Execute and return an Arrow table (Arrow IPC result surface)."""
         return self.sql(query).toArrow()
+
+    def _explain_statement(self, kind: str | None, inner: str) -> DataFrame:
+        """EXPLAIN ... as a SQL statement: one `Explanation` STRING row,
+        the shape the reference's sql_execute returns for explain
+        queries (DBHandler; Tests/ExecuteTest.cpp Explain section)."""
+        df = self.sql(inner.strip())
+        qe = df._jdf.queryExecution()
+        k = (kind or "").upper().split()
+        if not k:  # plain EXPLAIN = the generated-kernel view
+            text = self.explain(inner, mode="formatted")
+        elif k[0] == "OPTIMIZED":
+            text = qe.optimizedPlan().toString()
+        elif k[0] == "CALCITE" and len(k) > 1:  # CALCITE DETAIL
+            text = self.explain(inner, mode="extended")
+        elif k[0] == "CALCITE":
+            text = qe.analyzed().toString()
+        else:  # PLAN
+            text = self.explain(inner, mode="simple")
+        return self.spark.createDataFrame(
+            [(text,)], "Explanation STRING"
+        )
 
     def explain(self, query: str, mode: str = "formatted") -> str:
         """EXPLAIN surface (reference: EXPLAIN / EXPLAIN CALCITE

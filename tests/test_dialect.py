@@ -1523,3 +1523,31 @@ def test_st_buffer_single_name_dispatch(engine):
         " st_geomfromtext('LINESTRING (0 0, 4 0)') AS g)))"
     ).first()["a"]
     assert ra == round(8 + 2 * math.sqrt(2), 2)
+
+
+def test_explain_statement_family(engine):
+    """EXPLAIN [OPTIMIZED|CALCITE [DETAIL]|PLAN] <query> as SQL
+    statements (ParserWrapper.h:34-46 ExplainType family): each returns
+    one Explanation row with the corresponding plan stage."""
+    plain = engine.sql(
+        "EXPLAIN SELECT count(*) AS c FROM orders"
+    ).first()["Explanation"]
+    assert "Physical Plan" in plain
+    opt = engine.sql(
+        "EXPLAIN OPTIMIZED SELECT o_orderkey FROM orders "
+        "WHERE o_totalprice > 100"
+    ).first()["Explanation"]
+    assert "Filter" in opt or "Relation" in opt
+    calcite = engine.sql(
+        "EXPLAIN CALCITE SELECT SAMPLE(o_orderstatus) AS s FROM orders"
+    ).first()["Explanation"]
+    # the dialect rewrite is visible at the logical stage
+    assert "any_value" in calcite
+    detail = engine.sql(
+        "EXPLAIN CALCITE DETAIL SELECT 1 AS x"
+    ).first()["Explanation"]
+    assert "Parsed Logical Plan" in detail and "Physical Plan" in detail
+    simple = engine.sql(
+        "EXPLAIN PLAN SELECT count(*) AS c FROM orders"
+    ).first()["Explanation"]
+    assert "Physical Plan" in simple

@@ -591,3 +591,55 @@ def test_evaluate_model_statement(engine):
                    "CAST(o_custkey AS DOUBLE), CAST(o_orderkey AS DOUBLE) "
                    "FROM orders")
     engine.sql("DROP MODEL ev1")
+
+
+def test_show_functions_and_table_functions(engine):
+    """SHOW [RUNTIME] FUNCTIONS / SHOW TABLE FUNCTIONS [DETAILS ...]
+    (showCommandsParser.ftl:293-378; ShowFunctionsCommand
+    DdlCommandExecutor.cpp:1957): registered scalar surface + the
+    TABLE() dispatcher registry."""
+    import pytest as _pytest
+
+    fns = {r["name"] for r in engine.sql("SHOW FUNCTIONS").collect()}
+    assert {"st_area", "st_buffer", "st_geomfromtext"} <= fns
+    assert "!" not in fns  # builtins are not extension functions
+    det = engine.sql("SHOW FUNCTIONS DETAILS st_area").collect()
+    assert det[0]["CPU"] is True and det[0]["GPU"] is False
+    tfs = {r["name"] for r in engine.sql("SHOW TABLE FUNCTIONS").collect()}
+    assert {"generate_series", "tf_compute_dwell_times",
+            "tf_geo_rasterize"} <= tfs
+    d = engine.sql("SHOW TABLE FUNCTIONS DETAILS generate_series").first()
+    assert d["name"] == "generate_series"
+    with _pytest.raises(ValueError, match="not registered"):
+        engine.sql("SHOW TABLE FUNCTIONS DETAILS nope_tf")
+    assert engine.sql("SHOW RUNTIME FUNCTIONS").count() == len(fns)
+
+
+def test_show_model_details_family(engine):
+    """SHOW MODEL DETAILS / SHOW MODEL FEATURE DETAILS
+    (DdlCommandExecutor.cpp:2232,2467): MLModelMetadata columns,
+    per-feature coefficients for linear models, DROP cleans up."""
+    import pytest as _pytest
+
+    engine.sql("DROP MODEL IF EXISTS smd1")
+    engine.sql("CREATE MODEL smd1 OF TYPE LINEAR_REG AS "
+               "SELECT o_totalprice, CAST(o_custkey AS DOUBLE) AS ck "
+               "FROM orders WITH (EVAL_FRACTION=0.2)")
+    try:
+        d = engine.sql("SHOW MODEL DETAILS smd1").first()
+        assert d["model_type"] == "LINEAR_REG"
+        assert d["predicted"] == "o_totalprice" and d["features"] == "ck"
+        assert abs(d["train_fraction"] - 0.8) < 1e-12
+        assert abs(d["eval_fraction"] - 0.2) < 1e-12
+        assert "SELECT" in d["training_query"]
+        f = engine.sql("SHOW MODEL FEATURE DETAILS smd1").collect()
+        assert [r["feature"] for r in f] == ["intercept", "ck"]
+        assert all(r["coefficient"] is not None for r in f)
+        with _pytest.raises(ValueError, match="does not exist"):
+            engine.sql("SHOW MODEL DETAILS nope")
+    finally:
+        engine.sql("DROP MODEL smd1")
+    assert all(
+        r["model_name"] != "smd1"
+        for r in engine.sql("SHOW MODEL DETAILS").collect()
+    )
