@@ -742,12 +742,16 @@ class TreeEnsembleModel:
     composition rules pyspark.ml applies at transform time."""
 
     def __init__(self, kind: str, trees: list[dict],
-                 weights: list[float], average: bool, n_features: int):
+                 weights: list[float], average: bool, n_features: int,
+                 importances: list[float] | None = None):
         self.kind = kind
         self.trees = trees
         self.weights = [float(w) for w in weights]
         self.average = average
         self._n_features = int(n_features)
+        self.importances = (
+            [float(v) for v in importances] if importances else None
+        )
 
     @property
     def n_features(self) -> int:

@@ -1561,7 +1561,7 @@ class Engine:
                 "RANDOM_FOREST_REG": "random_forest",
             }[mtype]
             nt = opts.pop("num_trees", None)
-            trees, weights, average = tree_model_spec(
+            trees, weights, average, importances = tree_model_spec(
                 train_df,
                 list(feats),
                 label,
@@ -1573,7 +1573,8 @@ class Engine:
             dialect.register_model_object(
                 name,
                 TreeEnsembleModel(
-                    kind + "_reg", trees, weights, average, len(feats)
+                    kind + "_reg", trees, weights, average, len(feats),
+                    importances,
                 ),
             )
         _MODEL_SOURCES[name.lower()] = select.strip()
@@ -1667,18 +1668,59 @@ class Engine:
         )
 
     def _show_model_feature_details(self, name: str) -> DataFrame:
-        """SHOW MODEL FEATURE DETAILS m (DdlCommandExecutor.cpp:2467):
-        per-feature coefficients (linear: feature_id 0 is the
-        intercept; tree/PCA models carry no per-feature scalar and
-        report NULL)."""
-        from heavydb_spark.dialect import LinearModel, MODELS
+        """SHOW MODEL FEATURE DETAILS m (DdlCommandExecutor.cpp:2467,
+        2337-2386): base columns feature_id / feature / sub_feature_id
+        / sub_feature (sub-features are categorical one-hot keys — all
+        features here are numeric, so they are NULL), plus the
+        per-model-type extras the reference appends: `coefficient` for
+        LINEAR_REG (feature_id 0 = intercept), `feature_importance`
+        for tree ensembles (the reference emits it for RANDOM_FOREST;
+        pyspark.ml exposes impurity importances for all three kinds),
+        `eigenvalue`/`eigenvector` for PCA (eigenvalues reported as
+        explained-variance ratios — the scaled eigenvalues pyspark.ml
+        exposes)."""
+        from heavydb_spark.dialect import (
+            LinearModel,
+            MODELS,
+            PCAProjModel,
+            TreeEnsembleModel,
+        )
 
         n = name.lower()
         model = MODELS.get(n)
         if model is None:
             raise ValueError(f"model {name} does not exist")
         feats = _MODEL_META.get(n, {}).get("features", [])
-        rows = [(0, "intercept",
+        base = (
+            "feature_id BIGINT, feature STRING, sub_feature_id BIGINT,"
+            " sub_feature STRING"
+        )
+        if isinstance(model, PCAProjModel):
+            k = len(model.explained_variance)
+            rows = []
+            for c in range(k):
+                vec = [model.loadings[f][c] for f in range(model.n_features)]
+                rows.append((
+                    c + 1,
+                    feats[c] if c < len(feats) else f"component_{c + 1}",
+                    None, None,
+                    float(model.explained_variance[c]),
+                    "[" + ", ".join(f"{v:.6f}" for v in vec) + "]",
+                ))
+            return self.spark.createDataFrame(
+                rows, base + ", eigenvalue DOUBLE, eigenvector STRING"
+            )
+        if isinstance(model, TreeEnsembleModel):
+            imp = model.importances or [None] * len(feats)
+            rows = [
+                (i + 1, f_, None, None,
+                 float(imp[i]) if imp[i] is not None else None)
+                for i, f_ in enumerate(feats)
+            ]
+            return self.spark.createDataFrame(
+                rows, base + ", feature_importance DOUBLE"
+            )
+        rows = [(0, "intercept", None, None,
                  float(model.intercept) if isinstance(model, LinearModel)
                  else None)]
         for i, f_ in enumerate(feats, start=1):
@@ -1687,10 +1729,8 @@ class Engine:
                 if isinstance(model, LinearModel) and i <= len(model.coefs)
                 else None
             )
-            rows.append((i, f_, coef))
-        return self.spark.createDataFrame(
-            rows, "feature_id BIGINT, feature STRING, coefficient DOUBLE"
-        )
+            rows.append((i, f_, None, None, coef))
+        return self.spark.createDataFrame(rows, base + ", coefficient DOUBLE")
 
     def _show_functions(self, details: str | None) -> DataFrame:
         """SHOW [RUNTIME] FUNCTIONS [DETAILS f, ...]

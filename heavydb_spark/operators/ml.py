@@ -429,10 +429,12 @@ def tree_model_spec(
     seed: int = 42,
     max_depth: int = 4,
     num_trees: int | None = None,
-) -> tuple[list[dict], list[float], bool]:
+) -> tuple[list[dict], list[float], bool, list[float]]:
     """Fit a tree-ensemble regressor and return (trees, weights,
-    average?) for SQL inlining. GBT predicts sum(w_i * t_i); a forest
-    averages; a single decision tree is the degenerate ensemble."""
+    average?, feature_importances) for SQL inlining. GBT predicts
+    sum(w_i * t_i); a forest averages; a single decision tree is the
+    degenerate ensemble. Importances are the fitted model's
+    impurity-based scores (SHOW MODEL FEATURE DETAILS surface)."""
     from pyspark.ml.feature import VectorAssembler
     from pyspark.ml.regression import (
         DecisionTreeRegressor,
@@ -461,7 +463,8 @@ def tree_model_spec(
     else:
         raise ValueError(f"unknown tree model kind {kind!r}")
     trees, weights = parse_tree_debug(model.toDebugString)
-    return trees, weights, kind == "random_forest"
+    importances = [float(v) for v in model.featureImportances.toArray()]
+    return trees, weights, kind == "random_forest", importances
 
 
 def pca_model_spec(

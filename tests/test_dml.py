@@ -635,8 +635,28 @@ def test_show_model_details_family(engine):
         f = engine.sql("SHOW MODEL FEATURE DETAILS smd1").collect()
         assert [r["feature"] for r in f] == ["intercept", "ck"]
         assert all(r["coefficient"] is not None for r in f)
+        assert all(r["sub_feature"] is None for r in f)  # numeric features
         with _pytest.raises(ValueError, match="does not exist"):
             engine.sql("SHOW MODEL DETAILS nope")
+        # per-type extra columns (DdlCommandExecutor.cpp:2337-2386)
+        engine.sql("CREATE OR REPLACE MODEL smd_rf OF TYPE "
+                   "RANDOM_FOREST_REG AS SELECT l_extendedprice, "
+                   "CAST(l_quantity AS DOUBLE) AS q, "
+                   "CAST(l_discount AS DOUBLE) AS d FROM lineitem "
+                   "LIMIT 1000 WITH (NUM_TREES=2, MAX_TREE_DEPTH=3)")
+        fr = engine.sql("SHOW MODEL FEATURE DETAILS smd_rf").collect()
+        assert [r["feature"] for r in fr] == ["q", "d"]
+        total_imp = sum(r["feature_importance"] for r in fr)
+        assert abs(total_imp - 1.0) < 1e-9  # importances form a simplex
+        engine.sql("CREATE OR REPLACE MODEL smd_pca OF TYPE PCA AS "
+                   "SELECT CAST(l_quantity AS DOUBLE) AS q, "
+                   "CAST(l_discount AS DOUBLE) AS d FROM lineitem "
+                   "LIMIT 1000")
+        fp = engine.sql("SHOW MODEL FEATURE DETAILS smd_pca").collect()
+        assert all(r["eigenvalue"] is not None for r in fp)
+        assert all(r["eigenvector"].startswith("[") for r in fp)
+        engine.sql("DROP MODEL smd_rf")
+        engine.sql("DROP MODEL smd_pca")
     finally:
         engine.sql("DROP MODEL smd1")
     assert all(
