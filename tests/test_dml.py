@@ -663,3 +663,49 @@ def test_show_model_details_family(engine):
         r["model_name"] != "smd1"
         for r in engine.sql("SHOW MODEL DETAILS").collect()
     )
+
+
+def test_cross_database_queries(engine, spark):
+    """Cross-database qualified references (Tests/
+    CrossDatabaseQueryTest.cpp: ProjectTableFromAnotherDb,
+    JoinBetweenTableInCurrentDbAndAnotherDb,
+    SubqueryReferencingTableInAnotherDb, cross-db CTAS, view over
+    another db's table): db.table names resolve through the session
+    catalog in any clause position."""
+    spark.sql("DROP DATABASE IF EXISTS xdb1 CASCADE")
+    spark.sql("DROP DATABASE IF EXISTS xdb2 CASCADE")
+    try:
+        engine.sql("CREATE DATABASE xdb1")
+        engine.sql("CREATE DATABASE xdb2")
+        engine.sql("CREATE TABLE xdb1.t1 AS "
+                   "SELECT n_nationkey, n_name, n_regionkey FROM nation")
+        engine.sql("CREATE TABLE xdb2.t2 AS "
+                   "SELECT r_regionkey, r_name FROM region")
+        # projection from another db
+        assert engine.sql("SELECT count(*) AS c FROM xdb1.t1").first()["c"] == 25
+        # join between dbs
+        j = engine.sql(
+            "SELECT r.r_name, count(*) AS n FROM xdb1.t1 n "
+            "JOIN xdb2.t2 r ON n.n_regionkey = r.r_regionkey "
+            "GROUP BY r.r_name ORDER BY r.r_name"
+        ).collect()
+        assert len(j) == 5 and sum(r["n"] for r in j) == 25
+        # subquery referencing another db
+        s = engine.sql(
+            "SELECT count(*) AS c FROM xdb1.t1 WHERE n_regionkey IN "
+            "(SELECT r_regionkey FROM xdb2.t2 WHERE r_name = 'ASIA')"
+        ).first()["c"]
+        assert s == 5
+        # cross-db CTAS
+        engine.sql("CREATE TABLE xdb2.t1_copy AS SELECT * FROM xdb1.t1")
+        assert engine.sql(
+            "SELECT count(*) AS c FROM xdb2.t1_copy"
+        ).first()["c"] == 25
+        # view in the current db over another db's table
+        engine.sql("CREATE OR REPLACE TEMPORARY VIEW xview AS "
+                   "SELECT n_name FROM xdb1.t1 WHERE n_regionkey = 0")
+        assert engine.sql("SELECT count(*) AS c FROM xview").first()["c"] == 5
+    finally:
+        spark.catalog.dropTempView("xview")
+        spark.sql("DROP DATABASE IF EXISTS xdb1 CASCADE")
+        spark.sql("DROP DATABASE IF EXISTS xdb2 CASCADE")
