@@ -509,6 +509,9 @@ def register_geos_functions(spark) -> None:
         # single-name ST_Buffer when the static tag is unknown.
         out = []
         for g, rad in zip(sg, sr):
+            if g is None or len(g) == 0:
+                out.append([])
+                continue
             raw0 = list(g[0]) if len(g) else []
             wkt_closed = len(g) > 1 or (
                 len(raw0) > 1

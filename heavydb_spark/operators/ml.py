@@ -463,8 +463,21 @@ def tree_model_spec(
     else:
         raise ValueError(f"unknown tree model kind {kind!r}")
     trees, weights = parse_tree_debug(model.toDebugString)
+    n_nodes = sum(_count_nodes(t) for t in trees)
+    if n_nodes > 50_000:
+        raise ValueError(
+            f"tree ensemble has {n_nodes} nodes — too large to inline as "
+            "a SQL expression; lower MAX_TREE_DEPTH/NUM_TREES or use "
+            "operators/ml.tree_reg_fit_predict (model.transform path)"
+        )
     importances = [float(v) for v in model.featureImportances.toArray()]
     return trees, weights, kind == "random_forest", importances
+
+
+def _count_nodes(node: dict) -> int:
+    if "predict" in node:
+        return 1
+    return 1 + _count_nodes(node["left"]) + _count_nodes(node["right"])
 
 
 def pca_model_spec(
