@@ -1097,3 +1097,62 @@ def pipe_end_to_end_corpus(spark, sf_dir):
         text.token_count(F.col("text")).alias("tokens"),
         F.md5("text").alias("text_hash"),
     ).orderBy("doc_id")
+
+
+@query(
+    "pipe_corpus_report",
+    oracle=r"""
+    WITH d AS (
+        SELECT lang, source, n_chars,
+               len(string_split_regex(trim(text), '\s+')) AS toks,
+               length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0
+                   / length(text) AS alpha,
+               count(*) OVER (PARTITION BY md5(text)) AS copies
+        FROM documents
+    )
+    SELECT lang, source,
+           count(*) AS n_docs,
+           sum(toks) AS total_tokens,
+           sum(n_chars) AS total_chars,
+           round(avg(alpha), 4) AS avg_alpha_ratio,
+           round(sum(CASE WHEN copies > 1 THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 4) AS dup_ratio,
+           round(quantile_cont(n_chars, 0.5), 1) AS median_chars
+    FROM d GROUP BY lang, source ORDER BY lang, source
+    """,
+)
+def pipe_corpus_report(spark, sf_dir):
+    """Corpus statistics report — the per-(lang, source) summary a
+    training-data team reads before mixing: document/token/char
+    volumes, mean alpha-ratio quality, exact-duplicate ratio, and the
+    exact interpolated median length. One scan: the duplicate flag is
+    a count over the text-hash partition (the exact-dedup shuffle key,
+    so the plan scales like dedup_exact), then a single group-by.
+    100 TB shape: shuffle on md5(text) then on (lang, source) — both
+    hash-partitioned, no window over an unpartitioned frame, exact
+    `percentile` is a distributed sort-based aggregate."""
+    from pyspark.sql import Window
+
+    d = T(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5(F.col("text")))
+    scored = d.select(
+        "lang", "source", "n_chars",
+        text.token_count(F.col("text")).alias("toks"),
+        (
+            F.length(F.regexp_replace(F.col("text"), r"[^A-Za-z]", ""))
+            / F.length(F.col("text"))
+        ).alias("alpha"),
+        F.count(F.lit(1)).over(w).alias("copies"),
+    )
+    return scored.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("toks").alias("total_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+        F.round(F.avg("alpha"), 4).alias("avg_alpha_ratio"),
+        F.round(
+            F.sum(F.when(F.col("copies") > 1, 1).otherwise(0))
+            / F.count(F.lit(1)),
+            4,
+        ).alias("dup_ratio"),
+        F.round(F.expr("percentile(n_chars, 0.5)"), 1).alias("median_chars"),
+    ).orderBy("lang", "source")
