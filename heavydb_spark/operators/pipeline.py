@@ -356,3 +356,73 @@ def dedup_keep_best(
             F.count(F.lit(1)).alias("n_dups"),
         )
     )
+
+
+def mix_token_budget(
+    df: DataFrame,
+    source_col: str,
+    id_col: str,
+    token_col: str,
+    budgets: Mapping[str, int],
+) -> DataFrame:
+    """Token-budget source mixing — the data-recipe step that samples
+    each source UP TO a token budget instead of a row fraction: docs
+    are taken in deterministic portable-hash order until the source's
+    cumulative token count reaches `budgets[source]` (a doc is kept
+    while the running total BEFORE it is under budget, so the
+    boundary-crossing doc is included and every budget > 0 yields at
+    least one doc; sources absent from the mapping drop out).
+
+    Plan shape: one window per source partition ordered by
+    (portable_hash, id) — a per-source sort, the same cost class as
+    the reference's ORDER BY + LIMIT sampling. At extreme scale the
+    hash-order prefix can be approximated by a hash-threshold binary
+    search (two scans, no sort); the exact window form is kept here
+    because it is deterministic and oracle-checkable row-for-row."""
+    from pyspark.sql import Window
+
+    h = portable_hash(F.col(id_col))
+    budget = None
+    for src, b in budgets.items():
+        c = F.when(F.col(source_col) == src, F.lit(int(b)))
+        budget = c if budget is None else budget.when(
+            F.col(source_col) == src, F.lit(int(b))
+        )
+    budget = budget.otherwise(F.lit(0)) if budget is not None else F.lit(0)
+    w = (
+        Window.partitionBy(source_col)
+        .orderBy(h.asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prior = F.coalesce(F.sum(F.col(token_col)).over(w), F.lit(0))
+    return (
+        df.withColumn("__prior_tokens", prior)
+        .filter(F.col("__prior_tokens") < budget)
+        .drop("__prior_tokens")
+    )
+
+
+def mix_token_budget_sql(
+    source_expr: str, id_expr: str, token_expr: str,
+    budgets: Mapping[str, int], table: str = "documents",
+) -> str:
+    """ANSI-SQL text of `mix_token_budget` (DuckDB oracle): same
+    portable-hash order, same strict prior-sum-under-budget rule."""
+    cases = " ".join(
+        f"WHEN '{src}' THEN {int(b)}" for src, b in budgets.items()
+    )
+    h = portable_hash_sql(id_expr)
+    return f"""
+    WITH ordered AS (
+        SELECT *,
+               coalesce(sum({token_expr}) OVER (
+                   PARTITION BY {source_expr}
+                   ORDER BY {h} ASC, {id_expr} ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS __prior_tokens,
+               CASE {source_expr} {cases} ELSE 0 END AS __budget
+        FROM {table}
+    )
+    SELECT * EXCLUDE (__prior_tokens, __budget) FROM ordered
+    WHERE __prior_tokens < __budget
+    """

@@ -60,6 +60,7 @@ _PRIORITY = [
     "geo_buffer_dispatch",       # single-name ST_Buffer over point/line/poly
     "geo_transform_epsg",        # arbitrary-SRID TM transform (27700-style)
     "pipe_corpus_report",        # per-(lang, source) corpus statistics
+    "pipe_mix_token_budget",     # data-recipe mixing by token budget
     # --- code-touched in round 5 — re-verify (hint/DDL/dialect fixes) ---
     "sql_dialect_window_fill",
     "dml_update_postimage",

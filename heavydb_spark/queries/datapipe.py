@@ -1156,3 +1156,43 @@ def pipe_corpus_report(spark, sf_dir):
         ).alias("dup_ratio"),
         F.round(F.expr("percentile(n_chars, 0.5)"), 1).alias("median_chars"),
     ).orderBy("lang", "source")
+
+
+_MIX_BUDGETS = {"src0": 700, "src1": 400, "src2": 100000, "src3": 1}
+
+
+@query(
+    "pipe_mix_token_budget",
+    oracle="""
+    WITH kept AS (
+    """ + pipeline.mix_token_budget_sql(
+        "source", "doc_id",
+        r"len(string_split_regex(trim(text), '\s+'))",
+        _MIX_BUDGETS,
+    ) + """
+    )
+    SELECT source, count(*) AS n_docs,
+           sum(len(string_split_regex(trim(text), '\\s+'))) AS kept_tokens,
+           min(doc_id) AS min_doc, max(doc_id) AS max_doc
+    FROM kept GROUP BY source ORDER BY source
+    """,
+)
+def pipe_mix_token_budget(spark, sf_dir):
+    """Token-budget data-recipe mixing (operators/pipeline.py
+    mix_token_budget): src2's budget exceeds its volume (kept whole),
+    src0/src1 are cut mid-source at the token boundary, src3's budget
+    of 1 keeps exactly its first hash-ordered doc, and every other
+    source drops out. The oracle replays the identical portable-hash
+    window in DuckDB and aggregates the kept set per source."""
+    d = T(spark, sf_dir, "documents").withColumn(
+        "toks", text.token_count(F.col("text"))
+    )
+    kept = pipeline.mix_token_budget(
+        d, "source", "doc_id", "toks", _MIX_BUDGETS
+    )
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("toks").alias("kept_tokens"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    ).orderBy("source")

@@ -1515,3 +1515,40 @@ def test_tm_epsg_table_accuracy(spark):
         ).alias("q")
     ).first()
     assert abs(out["q"]["x"] + 1.0) < 1e-6 and abs(out["q"]["y"] - 51.0) < 1e-6
+
+
+def test_mix_token_budget_semantics(spark):
+    """mix_token_budget on a synthetic frame: kept docs are exactly
+    the hash-ordered prefix whose PRIOR cumulative tokens are under
+    budget (boundary doc included), budget 0 / missing source drop
+    out, and an over-volume budget keeps the source whole."""
+    from pyspark.sql import functions as F
+
+    from heavydb_spark.operators.pipeline import (
+        mix_token_budget,
+        portable_hash,
+    )
+
+    rows = [(i, "a" if i % 2 == 0 else "b", 10) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, toks int")
+    out = mix_token_budget(
+        df, "source", "doc_id", "toks", {"a": 25, "b": 10_000}
+    )
+    got = out.collect()
+    a = [r for r in got if r["source"] == "a"]
+    b = [r for r in got if r["source"] == "b"]
+    # budget 25 over 10-token docs: prior sums 0,10,20 < 25 -> 3 docs
+    assert len(a) == 3 and len(b) == 50
+    # the kept a-docs are the 3 smallest by (portable_hash, id)
+    order = (
+        df.filter(F.col("source") == "a")
+        .select("doc_id", portable_hash(F.col("doc_id")).alias("h"))
+        .orderBy("h", "doc_id")
+        .collect()
+    )
+    assert sorted(r["doc_id"] for r in a) == sorted(
+        r["doc_id"] for r in order[:3]
+    )
+    # absent source drops out entirely
+    none = mix_token_budget(df, "source", "doc_id", "toks", {"a": 25})
+    assert none.filter(F.col("source") == "b").count() == 0
