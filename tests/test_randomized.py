@@ -410,3 +410,68 @@ def test_randomized_scalar_compositions(engine, ddb, seed):
     assert len(s_c) == len(o_c), sql
     mism = [p for p in zip(s_c, o_c) if p[0] != p[1]]
     assert not mism, f"seed={seed} sql={sql}\nfirst: {mism[:2]}"
+
+
+# ---------------------------------------------------- DDL column defs
+#
+# The round-5 advisory showed raw-text type rewriting corrupted column
+# names that collide with type words and DEFAULT literals containing
+# them. Differentially round-trip randomized CREATE TABLE defs: the
+# declared HeavyDB types must land as the right Spark types and the
+# DEFAULT literals must survive byte-identical.
+
+_DDL_NAMES = ["time", "text", "date_col", "c1", "value", "timestamp_x",
+              "integer", "note"]
+_DDL_TYPES = [
+    ("INTEGER", "int"),
+    ("BIGINT", "bigint"),
+    ("TEXT", "string"),
+    ("TEXT ENCODING DICT(32)", "string"),
+    ("DOUBLE", "double"),
+    ("DECIMAL(10,2)", "decimal(10,2)"),
+    ("TIMESTAMP(0)", "timestamp"),
+    ("INT[]", "array<int>"),
+    ("TEXT[]", "array<string>"),
+]
+_DDL_DEFAULTS = ["'TIME TO GO'", "'TEXT ENCODING X'", "'a, b'", None]
+
+
+@pytest.mark.parametrize("seed", range(25))
+def test_randomized_create_table_defs(engine, seed):
+    rng = random.Random(seed + 7_000)
+    n = rng.randint(1, 5)
+    names = rng.sample(_DDL_NAMES, n)
+    cols, want = [], {}
+    for name in names:
+        heavy_t, spark_t = rng.choice(_DDL_TYPES)
+        d = None
+        if spark_t == "string" and rng.random() < 0.5:
+            d = rng.choice(_DDL_DEFAULTS)
+        cols.append(f"{name} {heavy_t}" + (f" DEFAULT {d}" if d else ""))
+        want[name] = (spark_t, d)
+    engine.sql("DROP TABLE IF EXISTS rddl_t")
+    try:
+        engine.sql(f"CREATE TABLE rddl_t ({', '.join(cols)})")
+        got = {
+            f.name: f.dataType.simpleString()
+            for f in engine.spark.table("rddl_t").schema.fields
+        }
+        assert got == {k: v[0] for k, v in want.items()}, (cols, got)
+        # DEFAULT literals survive: insert a row omitting defaulted cols
+        defaulted = [k for k, v in want.items() if v[1]]
+        plain = [k for k in want if k not in defaulted]
+        if defaulted and plain:
+            k = plain[0]
+            lit = {
+                "int": "1", "bigint": "1", "double": "1.5",
+                "decimal(10,2)": "1.50",
+                "timestamp": "TIMESTAMP '2024-01-01 00:00:00'",
+                "string": "'x'",
+                "array<int>": "array(1)", "array<string>": "array('x')",
+            }[want[k][0]]
+            engine.sql(f"INSERT INTO rddl_t ({k}) VALUES ({lit})")
+            row = engine.sql("SELECT * FROM rddl_t").first()
+            for dcol in defaulted:
+                assert row[dcol] == want[dcol][1].strip("'"), (cols, row)
+    finally:
+        engine.sql("DROP TABLE IF EXISTS rddl_t")
