@@ -415,6 +415,16 @@ _SHOW_MODEL_FEATURE_RE = re.compile(
 # dialect-level TABLE() rewrites that never reach _SQL_TABLE_FUNCTIONS
 _DIALECT_TABLE_FUNCS = ("generate_series", "generate_random_strings",
                         "supported_ml_frameworks")
+# SHOW SUPPORTED DATA SOURCES (showCommandsParser.ftl:449
+# SqlShowDataSources — parse surface; the C++ executor has no handler,
+# so the row set here is this engine's honest import-source list).
+_SHOW_DATA_SOURCES_RE = re.compile(
+    r"^\s*SHOW\s+SUPPORTED\s+DATA\s+SOURCES\s*;?\s*$", re.IGNORECASE
+)
+_SUPPORTED_DATA_SOURCES = (
+    "delimited_csv", "delimited_tsv", "parquet", "regex_parsed",
+    "geo_wkt_csv", "odbc_jdbc", "kafka", "arrow_ipc", "point_cloud_las",
+)
 _EVALUATE_MODEL_RE = re.compile(
     r"^\s*EVALUATE\s+MODEL\s+([\w.]+)(?:\s+ON\s+(.*?))?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
@@ -843,6 +853,11 @@ class Engine:
         m = _SHOW_FUNCTIONS_RE.match(query)
         if m:
             return self._show_functions(m.group(2))
+        if _SHOW_DATA_SOURCES_RE.match(query):
+            return self.spark.createDataFrame(
+                [(s,) for s in _SUPPORTED_DATA_SOURCES],
+                "data_source STRING",
+            )
         if _SHOW_MODELS_RE.match(query):
             from heavydb_spark.dialect import MODELS
 

@@ -709,3 +709,11 @@ def test_cross_database_queries(engine, spark):
         spark.catalog.dropTempView("xview")
         spark.sql("DROP DATABASE IF EXISTS xdb1 CASCADE")
         spark.sql("DROP DATABASE IF EXISTS xdb2 CASCADE")
+
+
+def test_show_supported_data_sources(engine):
+    """SHOW SUPPORTED DATA SOURCES (showCommandsParser.ftl:449): the
+    engine's import-source list."""
+    rows = {r["data_source"] for r in
+            engine.sql("SHOW SUPPORTED DATA SOURCES").collect()}
+    assert {"parquet", "delimited_csv", "kafka", "odbc_jdbc"} <= rows
