@@ -14,6 +14,7 @@ from heavydb_spark.functions.strings import register_string_functions
 from heavydb_spark.functions.arrays import register_array_functions
 from heavydb_spark.functions.geo import register_geo_functions
 from heavydb_spark.functions.geos import register_geos_functions
+from heavydb_spark.functions.render import register_render_functions
 
 
 def register_all(spark: SparkSession) -> None:
@@ -22,6 +23,7 @@ def register_all(spark: SparkSession) -> None:
     # geos first: geo's st_intersects SQL body calls st_intersection
     register_geos_functions(spark)
     register_geo_functions(spark)
+    register_render_functions(spark)
 
 
 def single_value(col):

@@ -61,6 +61,7 @@ _PRIORITY = [
     "geo_transform_epsg",        # arbitrary-SRID TM transform (27700-style)
     "pipe_corpus_report",        # per-(lang, source) corpus statistics
     "pipe_mix_token_budget",     # data-recipe mixing by token budget
+    "render_pixel_bins",         # backend-render rect/hex binning
     # --- code-touched in round 5 — re-verify (hint/DDL/dialect fixes) ---
     "sql_dialect_window_fill",
     "dml_update_postimage",

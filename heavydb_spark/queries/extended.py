@@ -2011,3 +2011,79 @@ def geo_transform_epsg(spark, sf_dir):
         (F.round(nz["x"], 4) + 0.0).alias("nz_e"),
         (F.round(nz["y"], 4) + 0.0).alias("nz_n"),
     ).orderBy("c_custkey")
+
+
+from heavydb_spark.functions import render as _render  # noqa: E402
+
+_RB_LON = "(-20.0 + CAST(c_custkey % 4000 AS DOUBLE) / 100)"
+_RB_LAT = "(20.0 + CAST((c_custkey*13) % 3000 AS DOUBLE) / 100)"
+_RECT_X_SQL = _render.rect_pixel_bin_x_sql(_RB_LON, -20.0, 20.0, 8.0, 3.0, 800)
+_RECT_Y_SQL = _render.rect_pixel_bin_y_sql(_RB_LAT, 20.0, 50.0, 8.0, 0.0, 600)
+_HEX_X_SQL = _render.reg_hex_horiz_pixel_bin_x_sql(
+    _RB_LON, -20.0, 20.0, _RB_LAT, 20.0, 50.0,
+    10.0 * _render.SQRT3 / 2.0, 10.0, 0.0, 0.0, 800, 600,
+)
+_HEX_Y_SQL = _render.reg_hex_horiz_pixel_bin_y_sql(
+    _RB_LON, -20.0, 20.0, _RB_LAT, 20.0, 50.0,
+    10.0 * _render.SQRT3 / 2.0, 10.0, 0.0, 0.0, 800, 600,
+)
+_INVIEW_SQL = _render.is_point_in_merc_view_sql(
+    _RB_LON, _RB_LAT, -10.0, 15.0, 25.0, 45.0
+)
+
+
+@query(
+    "render_pixel_bins",
+    oracle=f"""
+    WITH binned AS (
+        SELECT round({_RECT_X_SQL}, 4) AS rect_x,
+               round({_RECT_Y_SQL}, 4) AS rect_y,
+               round({_HEX_X_SQL}, 4) AS hex_x,
+               round({_HEX_Y_SQL}, 4) AS hex_y
+        FROM customer WHERE c_custkey < 2000 AND ({_INVIEW_SQL})
+    )
+    SELECT rect_x, rect_y, hex_x, hex_y, count(*) AS n
+    FROM binned GROUP BY rect_x, rect_y, hex_x, hex_y
+    ORDER BY rect_x, rect_y, hex_x, hex_y
+    """,
+)
+def render_pixel_bins(spark, sf_dir):
+    """Backend-render binned aggregation (ExtensionFunctions.hpp:
+    496-980 rect/hex pixel bins + :1112 is_point_in_merc_view): the
+    scatter/hex layer query shape — filter to the view, project the
+    bin-center pixels, group-by the bins. Pure codegen projections
+    plus one hash group-by; the oracle replays the identical generated
+    double formulas in DuckDB."""
+    c = T(spark, sf_dir, "customer").filter(F.col("c_custkey") < 2000)
+    lon = F.lit(-20.0) + (F.col("c_custkey") % 4000).cast("double") / 100
+    lat = F.lit(20.0) + ((F.col("c_custkey") * 13) % 3000).cast("double") / 100
+    hexw = 10.0 * _render.SQRT3 / 2.0
+    binned = c.filter(
+        _render.is_point_in_merc_view(lon, lat, -10.0, 15.0, 25.0, 45.0)
+    ).select(
+        F.round(
+            _render.rect_pixel_bin_x(lon, -20.0, 20.0, 8.0, 3.0, 800), 4
+        ).alias("rect_x"),
+        F.round(
+            _render.rect_pixel_bin_y(lat, 20.0, 50.0, 8.0, 0.0, 600), 4
+        ).alias("rect_y"),
+        F.round(
+            _render.reg_hex_horiz_pixel_bin_x(
+                lon, -20.0, 20.0, lat, 20.0, 50.0,
+                hexw, 10.0, 0.0, 0.0, 800, 600,
+            ),
+            4,
+        ).alias("hex_x"),
+        F.round(
+            _render.reg_hex_horiz_pixel_bin_y(
+                lon, -20.0, 20.0, lat, 20.0, 50.0,
+                hexw, 10.0, 0.0, 0.0, 800, 600,
+            ),
+            4,
+        ).alias("hex_y"),
+    )
+    return (
+        binned.groupBy("rect_x", "rect_y", "hex_x", "hex_y")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("rect_x", "rect_y", "hex_x", "hex_y")
+    )

@@ -1552,3 +1552,160 @@ def test_mix_token_budget_semantics(spark):
     # absent source drops out entirely
     none = mix_token_budget(df, "source", "doc_id", "toks", {"a": 25})
     assert none.filter(F.col("source") == "b").count() == 0
+
+
+def test_render_rect_pixel_bins(spark):
+    """rect_pixel_bin_x/_y (ExtensionFunctions.hpp:496-542): closed
+    form at offset 0 (floor(val/w)*w + w/2), reference offset math for
+    nonzero offsets, and Spark==DuckDB on the generated SQL."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from heavydb_spark.functions import render
+
+    vals = [0.0, 3.7, 9.99, 10.0, 37.0, 55.5, 99.9]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    got = df.select(
+        "v",
+        render.rect_pixel_bin_x(F.col("v"), 0.0, 100.0, 10.0, 0.0, 100.0)
+        .alias("b0"),
+        render.rect_pixel_bin_x(F.col("v"), 0.0, 100.0, 10.0, 13.0, 100.0)
+        .alias("b13"),
+    ).collect()
+    for r in got:
+        assert r["b0"] == (r["v"] // 10.0) * 10.0 + 5.0
+    # reference port for the offset case (double precision)
+    def ref(val, mn, mx, w, off, img):
+        o = off % w if off >= 0 else -((-off) % w)
+        if o > 0:
+            o -= w
+        mn = mn + o * (mx - mn) / img
+        idx = int((val - mn) / (mx - mn) * (img - o) / w)
+        return idx * w + o + w / 2.0
+
+    for r in got:
+        assert abs(r["b13"] - ref(r["v"], 0.0, 100.0, 10.0, 13.0, 100.0)) < 1e-9
+    # differential: SQL twin on DuckDB == Spark column
+    con = duckdb.connect()
+    for v in vals:
+        sql = render.rect_pixel_bin_x_sql(str(v), 0.0, 100.0, 10.0, 13.0, 100.0)
+        dd = con.execute(f"SELECT {sql}").fetchone()[0]
+        sp = [r["b13"] for r in got if r["v"] == v][0]
+        assert abs(dd - sp) < 1e-9, (v, dd, sp)
+
+
+def test_render_hex_pixel_bins(spark):
+    """reg_hex_{horiz,vert}_pixel_bin_{x,y}: returned centers lie on
+    the hexagonal lattice, every point maps to its NEAREST hex center
+    (cube-rounding correctness, checked against a brute-force lattice
+    scan), and the packed form packs the x/y results."""
+    import math
+
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from heavydb_spark.functions import render
+
+    hexw, hexh = 10.0 * render.SQRT3 / 2.0, 10.0  # hexsize 5, horiz
+    args = (0.0, 100.0, 0.0, 100.0, hexw, hexh, 0.0, 0.0, 100, 100)
+    pts = [(x + 0.37, y + 0.91) for x in range(5, 95, 13)
+           for y in range(5, 95, 17)]
+    df = spark.createDataFrame(pts, "px double, py double")
+    got = df.select(
+        "px", "py",
+        render.reg_hex_horiz_pixel_bin_x(
+            F.col("px"), args[0], args[1], F.col("py"), args[2], args[3],
+            *args[4:]
+        ).alias("hx"),
+        render.reg_hex_horiz_pixel_bin_y(
+            F.col("px"), args[0], args[1], F.col("py"), args[2], args[3],
+            *args[4:]
+        ).alias("hy"),
+    ).collect()
+    hexsize = hexh / 2.0
+    for r in got:
+        # lattice membership: hy is a multiple of 1.5*hexsize; hx is a
+        # multiple of hexsize*sqrt3/2 with parity tied to the row
+        row = r["hy"] / (1.5 * hexsize)
+        assert abs(row - round(row)) < 1e-6, r
+        colstep = r["hx"] / (hexsize * render.SQRT3 / 2.0)
+        assert abs(colstep - round(colstep)) < 1e-6, r
+        # nearest-center property: round the pixel to the chosen
+        # center vs every lattice center in range
+        px, py = round(r["px"]), round(r["py"])  # formula rounds pixels
+        best = min(
+            (
+                (math.hypot(px - cx, py - cy), (cx, cy))
+                for rr in range(-1, 12)
+                for cc in range(-1, 16)
+                for (cx, cy) in [(
+                    hexsize * render.SQRT3 * (cc + (rr % 2) * 0.5),
+                    1.5 * hexsize * rr,
+                )]
+            ),
+        )
+        d_chosen = math.hypot(px - r["hx"], py - r["hy"])
+        assert d_chosen <= best[0] + 1e-6, (r, best)
+    # vert orientation + packed + DuckDB differential on one point
+    con = duckdb.connect()
+    vx = render.reg_hex_vert_pixel_bin_x_sql(
+        "37.37", 0.0, 100.0, "55.91", 0.0, 100.0,
+        hexh, hexw, 0.0, 0.0, 100, 100,
+    )
+    vy = render.reg_hex_vert_pixel_bin_y_sql(
+        "37.37", 0.0, 100.0, "55.91", 0.0, 100.0,
+        hexh, hexw, 0.0, 0.0, 100, 100,
+    )
+    dd = con.execute(f"SELECT {vx} AS x, {vy} AS y").fetchone()
+    sp = spark.range(1).select(
+        render.reg_hex_vert_pixel_bin_x(
+            37.37, 0.0, 100.0, 55.91, 0.0, 100.0,
+            hexh, hexw, 0.0, 0.0, 100, 100,
+        ).alias("x"),
+        render.reg_hex_vert_pixel_bin_y(
+            37.37, 0.0, 100.0, 55.91, 0.0, 100.0,
+            hexh, hexw, 0.0, 0.0, 100, 100,
+        ).alias("y"),
+        render.reg_hex_vert_pixel_bin_packed(
+            37.37, 0.0, 100.0, 55.91, 0.0, 100.0,
+            hexh, hexw, 0.0, 0.0, 100, 100,
+        ).alias("p"),
+    ).first()
+    assert abs(dd[0] - sp["x"]) < 1e-9 and abs(dd[1] - sp["y"]) < 1e-9
+    assert sp["p"] == (int(sp["x"] * 4) & 0x7FFF) | ((int(sp["y"] * 4) & 0x7FFF) << 16)
+
+
+def test_render_merc_view_functions(spark):
+    """is_point[_size]_in_merc_view + convert_meters_to_merc_pixel_*
+    (ExtensionFunctions.hpp:1060-1135): rect containment, radius
+    spill-in, min-size clamping, and the latitude blow-up of Mercator
+    pixel width."""
+    from pyspark.sql import functions as F
+
+    from heavydb_spark.functions import render
+
+    r = spark.range(1).select(
+        render.is_point_in_merc_view(5.0, 5.0, 0.0, 10.0, 0.0, 10.0)
+        .alias("inside"),
+        render.is_point_in_merc_view(11.0, 5.0, 0.0, 10.0, 0.0, 10.0)
+        .alias("outside"),
+        render.is_point_size_in_merc_view(
+            11.0, 5.0, 200_000.0, 0.0, 10.0, 0.0, 10.0
+        ).alias("spills_in"),
+        render.convert_meters_to_merc_pixel_width(
+            1000.0, 5.0, 0.0, 0.0, 10.0, 1000, 0.0
+        ).alias("w_eq"),
+        render.convert_meters_to_merc_pixel_width(
+            1000.0, 5.0, 60.0, 0.0, 10.0, 1000, 0.0
+        ).alias("w_60"),
+        render.convert_meters_to_merc_pixel_width(
+            1.0, 5.0, 0.0, 0.0, 10.0, 1000, 3.0
+        ).alias("w_clamped"),
+    ).first()
+    assert r["inside"] and not r["outside"] and r["spills_in"]
+    # Mercator stretch: the same ground meters cover ~2x the pixels at
+    # 60 deg latitude (1/cos60)
+    assert 1.9 < r["w_60"] / r["w_eq"] < 2.1
+    assert r["w_clamped"] == 3.0
