@@ -15,6 +15,7 @@ from heavydb_spark.functions.arrays import register_array_functions
 from heavydb_spark.functions.geo import register_geo_functions
 from heavydb_spark.functions.geos import register_geos_functions
 from heavydb_spark.functions.render import register_render_functions
+from heavydb_spark.functions.h3 import register_h3_functions
 
 
 def register_all(spark: SparkSession) -> None:
@@ -24,6 +25,7 @@ def register_all(spark: SparkSession) -> None:
     register_geos_functions(spark)
     register_geo_functions(spark)
     register_render_functions(spark)
+    register_h3_functions(spark)
 
 
 def single_value(col):

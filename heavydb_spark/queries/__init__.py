@@ -62,6 +62,7 @@ _PRIORITY = [
     "pipe_corpus_report",        # per-(lang, source) corpus statistics
     "pipe_mix_token_budget",     # data-recipe mixing by token budget
     "render_pixel_bins",         # backend-render rect/hex binning
+    "geo_h3_binning",            # H3-style hex cell encode/decode/parent
     # --- code-touched in round 5 — re-verify (hint/DDL/dialect fixes) ---
     "sql_dialect_window_fill",
     "dml_update_postimage",

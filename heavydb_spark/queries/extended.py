@@ -2087,3 +2087,49 @@ def render_pixel_bins(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("rect_x", "rect_y", "hex_x", "hex_y")
     )
+
+
+from heavydb_spark.functions import h3 as _h3  # noqa: E402
+
+_H3_LON = "CAST(-30.0 + CAST(c_custkey % 6000 AS DOUBLE) / 100 AS DOUBLE)"
+_H3_LAT = "CAST(10.0 + CAST((c_custkey*17) % 5000 AS DOUBLE) / 100 AS DOUBLE)"
+_H3_CELL_SQL = _h3.h3_lonlat_to_cell_sql(_H3_LON, _H3_LAT, 4)
+
+
+@query(
+    "geo_h3_binning",
+    oracle=f"""
+    WITH cells AS (
+        SELECT {_H3_CELL_SQL} AS cell FROM customer WHERE c_custkey < 3000
+    ), agg AS (
+        SELECT cell, count(*) AS n FROM cells GROUP BY cell
+    )
+    SELECT cell,
+           n,
+           round({_h3.h3_cell_to_lon_sql('cell')}, 6) AS center_lon,
+           round({_h3.h3_cell_to_lat_sql('cell')}, 6) AS center_lat,
+           {_h3.h3_cell_to_parent_sql('cell', 1)} AS parent1
+    FROM agg ORDER BY cell
+    """,
+)
+def geo_h3_binning(spark, sf_dir):
+    """H3-style hex binning (ExtensionFunctionsH3.hpp H3_LonLatToCell /
+    H3_CellToLon/Lat / H3_CellToParent; engine-local ids — the
+    bit-compatibility delta vs h3lib is documented in functions/h3.py):
+    the standard hex-map aggregation — encode each point at resolution
+    4, count per cell, decode centers, and attach the resolution-1
+    parent for coarser rollups. One codegen'd projection + one hash
+    group-by; the oracle replays the identical shift/mask id math in
+    DuckDB (exact — the packing uses only powers of two)."""
+    c = T(spark, sf_dir, "customer").filter(F.col("c_custkey") < 3000)
+    lon = F.lit(-30.0) + (F.col("c_custkey") % 6000).cast("double") / 100
+    lat = F.lit(10.0) + ((F.col("c_custkey") * 17) % 5000).cast("double") / 100
+    cells = c.select(_h3.h3_lonlat_to_cell(lon, lat, 4).alias("cell"))
+    agg = cells.groupBy("cell").agg(F.count(F.lit(1)).alias("n"))
+    return agg.select(
+        "cell",
+        "n",
+        F.round(_h3.h3_cell_to_lon(F.col("cell")), 6).alias("center_lon"),
+        F.round(_h3.h3_cell_to_lat(F.col("cell")), 6).alias("center_lat"),
+        _h3.h3_cell_to_parent(F.col("cell"), 1).alias("parent1"),
+    ).orderBy("cell")

@@ -1709,3 +1709,109 @@ def test_render_merc_view_functions(spark):
     # 60 deg latitude (1/cos60)
     assert 1.9 < r["w_60"] / r["w_eq"] < 2.1
     assert r["w_clamped"] == 3.0
+
+
+def test_h3_cell_roundtrips_and_hierarchy(spark):
+    """H3_* family (ExtensionFunctionsH3.hpp; engine-local ids —
+    functions/h3.py documents the bit-compatibility delta): encode
+    determinism, center roundtrip at every resolution, nearest-center
+    property, center-containment parent hierarchy, string roundtrip,
+    Spark==DuckDB on the generated SQL, boundary WKT parses and has
+    the right hex area."""
+    import math
+
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from heavydb_spark.functions import h3 as H
+
+    pts = [(-179.9, -89.0), (-73.98, 40.75), (2.35, 48.85),
+           (139.69, 35.68), (151.2, -33.85), (0.0, 0.0), (179.9, 89.0)]
+    df = spark.createDataFrame(pts, "lon double, lat double")
+    for res in (0, 3, 9, 15):
+        enc = df.select(
+            "lon", "lat",
+            H.h3_lonlat_to_cell(F.col("lon"), F.col("lat"), res).alias("c"),
+        )
+        dec = enc.select(
+            "lon", "lat", "c",
+            H.h3_cell_to_lon(F.col("c")).alias("clon"),
+            H.h3_cell_to_lat(F.col("c")).alias("clat"),
+            H.h3_lonlat_to_cell(
+                H.h3_cell_to_lon(F.col("c")),
+                H.h3_cell_to_lat(F.col("c")), res
+            ).alias("rt"),
+            H.h3_is_valid_cell(F.col("c")).alias("ok"),
+        ).collect()
+        size = H._size(res)
+        for r in dec:
+            assert r["rt"] == r["c"], (res, r)  # center re-encodes
+            assert r["ok"]
+            # nearest-center: the input point lies within the hex
+            # circumradius of its cell center
+            d = math.hypot(r["lon"] - r["clon"], r["lat"] - r["clat"])
+            assert d <= size + 1e-9, (res, r, d, size)
+    # parent hierarchy: parent's re-encode of the child center matches
+    h = df.select(
+        H.h3_lonlat_to_cell(F.col("lon"), F.col("lat"), 9).alias("c9")
+    ).select(
+        "c9",
+        H.h3_cell_to_parent(F.col("c9"), 4).alias("p4"),
+        H.h3_lonlat_to_cell(
+            H.h3_cell_to_lon(F.col("c9")), H.h3_cell_to_lat(F.col("c9")), 4
+        ).alias("direct4"),
+    ).collect()
+    for r in h:
+        assert r["p4"] == r["direct4"]
+    # string roundtrip
+    s = df.select(
+        H.h3_string_to_cell(
+            H.h3_cell_to_string(
+                H.h3_lonlat_to_cell(F.col("lon"), F.col("lat"), 6)
+            )
+        ).alias("rt"),
+        H.h3_lonlat_to_cell(F.col("lon"), F.col("lat"), 6).alias("c"),
+    ).collect()
+    assert all(r["rt"] == r["c"] for r in s)
+    # differential: DuckDB runs the identical generated SQL
+    con = duckdb.connect()
+    for lon, lat in pts:
+        # CAST: bare decimal literals are DECIMAL in DuckDB and the
+        # axial scaling overflows DECIMAL(18) multiplication
+        sql = H.h3_lonlat_to_cell_sql(
+            f"CAST({lon!r} AS DOUBLE)", f"CAST({lat!r} AS DOUBLE)", 8
+        )
+        dd = con.execute(f"SELECT {sql}").fetchone()[0]
+        sp = spark.range(1).select(
+            H.h3_lonlat_to_cell(lon, lat, 8).alias("c")
+        ).first()["c"]
+        assert dd == sp, (lon, lat, dd, sp)
+        psql = H.h3_cell_to_parent_sql(str(sp), 2)
+        dd_p = con.execute(f"SELECT {psql}").fetchone()[0]
+        sp_p = spark.range(1).select(
+            H.h3_cell_to_parent(sp, 2).alias("p")
+        ).first()["p"]
+        assert dd_p == sp_p
+    # boundary WKT: well-formed closed hex ring with area
+    # (3*sqrt(3)/2) * size^2 (shoelace over the parsed vertices)
+    b = spark.range(1).select(
+        H.h3_cell_to_boundary_wkt(
+            H.h3_lonlat_to_cell(2.35, 48.85, 5)
+        ).alias("wkt")
+    ).first()
+    wkt = b["wkt"]
+    assert wkt.startswith("POLYGON ((") and wkt.endswith("))")
+    verts = [
+        tuple(map(float, p.split()))
+        for p in wkt[len("POLYGON (("):-2].split(", ")
+    ]
+    assert len(verts) == 7 and verts[0] == verts[-1]
+    ring = verts[:-1]
+    area = abs(sum(
+        ring[i][0] * ring[(i + 1) % 6][1]
+        - ring[(i + 1) % 6][0] * ring[i][1]
+        for i in range(6)
+    )) / 2.0
+    size5 = H._size(5)
+    assert abs(area - 3.0 * math.sqrt(3.0) / 2.0 * size5 * size5) < 1e-4
