@@ -496,6 +496,17 @@ _CALL_REWRITES = [
     # SAMPLE_RATIO(r) -> (rand() < r)
     ("SAMPLE_RATIO", lambda args: f"(rand() < {args})"),
     ("TRUNCATE", _truncate_call),
+    # ARRAY_EQUAL(a, b) (ExtensionFunctionsArray.hpp array_equal
+    # overload family) -> Spark's native array equality, generic over
+    # every element type the reference enumerates
+    (
+        "ARRAY_EQUAL",
+        lambda args: (
+            "(({}) = ({}))".format(*_split_top_level(args))
+            if len(_split_top_level(args)) == 2
+            else None
+        ),
+    ),
 ] + [
     (name, (lambda base: lambda args: f"CAST({base}({args}) AS FLOAT)")(base))
     for name, base in _FLOAT_AGGS

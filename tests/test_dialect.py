@@ -1551,3 +1551,15 @@ def test_explain_statement_family(engine):
         "EXPLAIN PLAN SELECT count(*) AS c FROM orders"
     ).first()["Explanation"]
     assert "Physical Plan" in simple
+
+
+def test_array_equal_rewrite(engine):
+    """ARRAY_EQUAL(a, b) (ExtensionFunctionsArray.hpp overload family)
+    -> native array equality, generic over element types."""
+    r = engine.sql(
+        "SELECT ARRAY_EQUAL(array(1, 2), array(1, 2)) AS eq_i, "
+        "ARRAY_EQUAL(array(1, 2), array(2, 1)) AS ne_i, "
+        "ARRAY_EQUAL(array('a'), array('a')) AS eq_s, "
+        "ARRAY_EQUAL(array(1.5), array(1.5, 2.5)) AS ne_len"
+    ).first()
+    assert r["eq_i"] and r["eq_s"] and not r["ne_i"] and not r["ne_len"]
