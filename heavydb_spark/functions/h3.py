@@ -320,3 +320,31 @@ def register_h3_functions(spark) -> None:
     ]
     for s in stmts:
         spark.sql(s)
+
+
+def h3_cell_to_point(cell) -> Column:
+    """H3_CellToPoint(cell) -> POINT (struct<x,y> center) — the
+    geometry-typed variant (H3Runtime.cpp)."""
+    c = _colwrap_cell(cell)
+    return F.struct(
+        h3_cell_to_lon(c).alias("x"), h3_cell_to_lat(c).alias("y")
+    )
+
+
+def h3_cell_to_boundary(cell) -> Column:
+    """H3_CellToBoundary(cell) -> POLYGON (single closed hex ring in
+    the engine's array-of-rings geometry type, H3Runtime.cpp)."""
+    c = _colwrap_cell(cell)
+    lon = h3_cell_to_lon(c)
+    lat = h3_cell_to_lat(c)
+    size = _cell_size_expr(_ColI, c)
+    verts = []
+    for i in range(6):
+        ang = math.pi / 180.0 * (60.0 * i + 30.0)
+        verts.append(
+            F.struct(
+                (lon + size * math.cos(ang)).alias("x"),
+                (lat + size * math.sin(ang)).alias("y"),
+            )
+        )
+    return F.array(F.array(*verts))

@@ -1815,3 +1815,32 @@ def test_h3_cell_roundtrips_and_hierarchy(spark):
     )) / 2.0
     size5 = H._size(5)
     assert abs(area - 3.0 * math.sqrt(3.0) / 2.0 * size5 * size5) < 1e-4
+
+
+def test_h3_geometry_typed_variants(spark):
+    """H3_CellToPoint / H3_CellToBoundary (H3Runtime.cpp geometry
+    variants): the point is the decoded center; the boundary polygon
+    has 6 vertices each one circumradius from the center, and its
+    centroid is the center."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from heavydb_spark.functions import h3 as H
+
+    r = spark.range(1).select(
+        H.h3_cell_to_point(H.h3_lonlat_to_cell(2.35, 48.85, 6)).alias("p"),
+        H.h3_cell_to_boundary(H.h3_lonlat_to_cell(2.35, 48.85, 6)).alias("g"),
+        H.h3_cell_to_lon(H.h3_lonlat_to_cell(2.35, 48.85, 6)).alias("lon"),
+        H.h3_cell_to_lat(H.h3_lonlat_to_cell(2.35, 48.85, 6)).alias("lat"),
+    ).first()
+    assert r["p"]["x"] == r["lon"] and r["p"]["y"] == r["lat"]
+    ring = r["g"][0]
+    size = H._size(6)
+    assert len(ring) == 6
+    for v in ring:
+        d = math.hypot(v["x"] - r["lon"], v["y"] - r["lat"])
+        assert abs(d - size) < 1e-9
+    cx = sum(v["x"] for v in ring) / 6.0
+    cy = sum(v["y"] for v in ring) / 6.0
+    assert abs(cx - r["lon"]) < 1e-9 and abs(cy - r["lat"]) < 1e-9
