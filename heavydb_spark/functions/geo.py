@@ -15,6 +15,7 @@ strings.
 
 from __future__ import annotations
 
+import pandas as pd  # noqa: F401 - resolves pandas_udf type hints
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -1232,6 +1233,128 @@ _GEO_SQL_FUNCS = {
 }
 
 
+# ST_MaxDistance(POINT, LINESTRING|POLYGON) — max cartesian distance
+# from the point to the geometry's vertex set (the maximum over a
+# segment is attained at one of its endpoints, so the vertex max IS
+# the geometry max; ExtensionFunctionsGeo.hpp:3847-3930).
+_GEO_SQL_FUNCS["st_maxdistance"] = """
+    CREATE OR REPLACE TEMPORARY FUNCTION st_maxdistance(
+        p STRUCT<x: DOUBLE, y: DOUBLE>,
+        g ARRAY<ARRAY<STRUCT<x: DOUBLE, y: DOUBLE>>>)
+    RETURNS DOUBLE
+    RETURN aggregate(flatten(g), CAST(0.0 AS DOUBLE),
+        (acc, q) -> greatest(acc,
+            sqrt((p.x - q.x) * (p.x - q.x) + (p.y - q.y) * (p.y - q.y))))
+"""
+
+
+def st_maxdistance(p: Column, g: Column) -> Column:
+    """ST_MaxDistance(POINT, geometry) — Column form of the SQL
+    function above."""
+    return F.aggregate(
+        F.flatten(g),
+        F.lit(0.0),
+        lambda acc, q: F.greatest(
+            acc,
+            F.sqrt(
+                (p["x"] - q["x"]) * (p["x"] - q["x"])
+                + (p["y"] - q["y"]) * (p["y"] - q["y"])
+            ),
+        ),
+    )
+
+
+def _wkb_le(geom_type: int, coords: list) -> bytes:
+    import struct
+
+    out = [b"\x01", struct.pack("<I", geom_type)]
+    out += [struct.pack("<d", v) for v in coords]
+    return b"".join(out)
+
+
+def _make_wkb_udfs():
+    """ST_AsBinary / ST_AsWkb exports (ExtensionFunctionsGeo.hpp
+    ST_AsBinary/ST_AsWkb): standard little-endian WKB. IEEE-754 byte
+    packing has no SQL builtin, so these are the one geo export family
+    that runs as Arrow-batched pandas kernels (geometry-local,
+    map-only)."""
+    import struct
+
+    import pandas as pd
+
+    @F.pandas_udf("binary")
+    def point_udf(s: pd.DataFrame) -> pd.Series:
+        # a struct argument arrives as a DataFrame with the fields as
+        # columns (Arrow struct -> pandas)
+        return pd.Series(
+            [
+                None
+                if pd.isna(x) or pd.isna(y)
+                else _wkb_le(1, [float(x), float(y)])
+                for x, y in zip(s["x"], s["y"])
+            ]
+        )
+
+    @F.pandas_udf("binary")
+    def line_udf(s: pd.Series) -> pd.Series:
+        out = []
+        for ring in s:
+            if ring is None:
+                out.append(None)
+                continue
+            pts = [(float(q["x"]), float(q["y"])) for q in ring]
+            body = b"\x01" + struct.pack("<II", 2, len(pts))
+            body += b"".join(struct.pack("<dd", x, y) for x, y in pts)
+            out.append(body)
+        return pd.Series(out)
+
+    @F.pandas_udf("binary")
+    def poly_udf(s: pd.Series) -> pd.Series:
+        out = []
+        for rings in s:
+            if rings is None:
+                out.append(None)
+                continue
+            body = b"\x01" + struct.pack("<II", 3, len(rings))
+            for ring in rings:
+                pts = [(float(q["x"]), float(q["y"])) for q in ring]
+                if pts and pts[0] != pts[-1]:
+                    pts.append(pts[0])
+                body += struct.pack("<I", len(pts))
+                body += b"".join(struct.pack("<dd", x, y) for x, y in pts)
+            out.append(body)
+        return pd.Series(out)
+
+    return point_udf, line_udf, poly_udf
+
+
+_WKB_UDFS: list = []
+
+
+def _wkb_udfs():
+    # created lazily: pandas_udf return-type parsing needs an active
+    # session, which does not exist at import time
+    if not _WKB_UDFS:
+        _WKB_UDFS.extend(_make_wkb_udfs())
+    return _WKB_UDFS
+
+
+def st_aswkb_point(p: Column) -> Column:
+    """WKB POINT (01 01000000 x y) — ST_AsBinary/ST_AsWkb."""
+    return _wkb_udfs()[0](p)
+
+
+def st_aswkb_linestring(line: Column) -> Column:
+    """WKB LINESTRING (type 2) from one ring of points."""
+    return _wkb_udfs()[1](line)
+
+
+def st_aswkb_polygon(g: Column) -> Column:
+    """WKB POLYGON (type 3); rings are closed on output as WKB
+    requires."""
+    return _wkb_udfs()[2](g)
+
+
 def register_geo_functions(spark) -> None:
     import logging
 
@@ -1245,3 +1368,11 @@ def register_geo_functions(spark) -> None:
             logging.getLogger(__name__).warning(
                 "geo SQL function %s not registered: %s", name, exc
             )
+    # WKB exports by name for SQL strings (ST_AsWkb is the reference's
+    # alias of ST_AsBinary; per-type names because SQL scalar functions
+    # cannot overload by geometry type)
+    point_udf, line_udf, poly_udf = _wkb_udfs()
+    spark.udf.register("st_asbinary", point_udf)
+    spark.udf.register("st_aswkb", point_udf)
+    spark.udf.register("st_asbinary_line", line_udf)
+    spark.udf.register("st_asbinary_poly", poly_udf)

@@ -1563,3 +1563,34 @@ def test_array_equal_rewrite(engine):
         "ARRAY_EQUAL(array(1.5), array(1.5, 2.5)) AS ne_len"
     ).first()
     assert r["eq_i"] and r["eq_s"] and not r["ne_i"] and not r["ne_len"]
+
+
+def test_st_maxdistance_and_wkb_exports(engine):
+    """ST_MaxDistance (ExtensionFunctionsGeo.hpp:3847-3930; vertex max
+    equals geometry max) and ST_AsBinary/ST_AsWkb little-endian WKB
+    exports checked byte-for-byte against struct.pack."""
+    import struct
+
+    r = engine.sql(
+        "SELECT st_maxdistance(st_point(0.0, 0.0), "
+        "ST_GeomFromText('LINESTRING (3 4, 6 8)')) AS md, "
+        "st_asbinary(st_point(1.5, -2.5)) AS wkb_p, "
+        "st_asbinary_line(element_at(ST_GeomFromText("
+        "'LINESTRING (0 0, 1 1)'), 1)) AS wkb_l, "
+        "st_asbinary_poly(ST_GeomFromText("
+        "'POLYGON ((0 0, 1 0, 1 1))')) AS wkb_g"
+    ).first()
+    assert r["md"] == 10.0  # farthest vertex (6, 8)
+    assert bytes(r["wkb_p"]) == (
+        b"\x01" + struct.pack("<I", 1) + struct.pack("<dd", 1.5, -2.5)
+    )
+    assert bytes(r["wkb_l"]) == (
+        b"\x01" + struct.pack("<II", 2, 2)
+        + struct.pack("<dddd", 0.0, 0.0, 1.0, 1.0)
+    )
+    # polygon ring gets closed on output (4 points incl. repeat)
+    expect = (
+        b"\x01" + struct.pack("<II", 3, 1) + struct.pack("<I", 4)
+        + struct.pack("<dddddddd", 0.0, 0.0, 1.0, 0.0, 1.0, 1.0, 0.0, 0.0)
+    )
+    assert bytes(r["wkb_g"]) == expect
