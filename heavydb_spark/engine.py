@@ -421,6 +421,23 @@ _DIALECT_TABLE_FUNCS = ("generate_series", "generate_random_strings",
 _SHOW_DATA_SOURCES_RE = re.compile(
     r"^\s*SHOW\s+SUPPORTED\s+DATA\s+SOURCES\s*;?\s*$", re.IGNORECASE
 )
+# TRUNCATE TABLE t (ddlParser.ftl:893 SqlTruncateTable)
+_TRUNCATE_RE = re.compile(
+    r"^\s*TRUNCATE\s+TABLE\s+([\w.]+)\s*;?\s*$", re.IGNORECASE
+)
+# COMMENT ON TABLE t IS 'x'|NULL / COMMENT ON COLUMN t.c IS ...
+# (ddlParser.ftl:1156 SqlComment)
+_COMMENT_RE = re.compile(
+    r"^\s*COMMENT\s+ON\s+(TABLE|COLUMN)\s+([\w.]+)\s+IS\s+"
+    r"('(?:[^']|'')*'|NULL)\s*;?\s*$",
+    re.IGNORECASE,
+)
+# ALTER SESSION SET param = 'value'|number (alterSessionSystem.ftl:95)
+_ALTER_SESSION_RE = re.compile(
+    r"^\s*ALTER\s+SESSION\s+SET\s+([\w.]+)\s*=\s*"
+    r"('(?:[^']|'')*'|[\w.+-]+)\s*;?\s*$",
+    re.IGNORECASE,
+)
 _SUPPORTED_DATA_SOURCES = (
     "delimited_csv", "delimited_tsv", "parquet", "regex_parsed",
     "geo_wkt_csv", "odbc_jdbc", "kafka", "arrow_ipc", "point_cloud_las",
@@ -858,6 +875,15 @@ class Engine:
                 [(s,) for s in _SUPPORTED_DATA_SOURCES],
                 "data_source STRING",
             )
+        m = _TRUNCATE_RE.match(query)
+        if m:
+            return self._truncate_table(m.group(1))
+        m = _COMMENT_RE.match(query)
+        if m:
+            return self._comment_on(m.group(1), m.group(2), m.group(3))
+        m = _ALTER_SESSION_RE.match(query)
+        if m:
+            return self._alter_session(m.group(1), m.group(2))
         if _SHOW_MODELS_RE.match(query):
             from heavydb_spark.dialect import MODELS
 
@@ -1646,6 +1672,96 @@ class Engine:
         scored = df.withColumn("__pred", F.expr(pred_sql))
         return r2_score(scored, label, "__pred").select(
             F.round("r2", 6).alias("r2")
+        )
+
+    def _truncate_table(self, table: str) -> DataFrame:
+        """TRUNCATE TABLE t (ddlParser.ftl:893; UpdelStorageTest.cpp
+        truncation cases): managed tables truncate natively; attached
+        temp views get the copy-on-write empty-replacement the DML
+        path uses."""
+        if self._is_temp_view(table):
+            self.spark.table(table).limit(0).createOrReplaceTempView(table)
+        else:
+            self.spark.sql(f"TRUNCATE TABLE {table}")
+        return self.spark.createDataFrame(
+            [(table, "truncated")], "table_name STRING, status STRING"
+        )
+
+    def _comment_on(self, kind: str, target: str, value: str) -> DataFrame:
+        """COMMENT ON TABLE t IS 'x'|NULL / COMMENT ON COLUMN t.c IS ...
+        (ddlParser.ftl:1156 SqlComment): mapped onto Spark's table
+        properties / column metadata; NULL clears. Temp views carry no
+        catalog metadata — rejected like the reference rejects views."""
+        comment = (
+            None
+            if value.upper() == "NULL"
+            else value[1:-1].replace("''", "'")
+        )
+        if kind.upper() == "TABLE":
+            if self._is_temp_view(target):
+                raise ValueError(
+                    f"COMMENT ON TABLE {target}: temporary views carry "
+                    "no catalog comment"
+                )
+            lit = "''" if comment is None else f"'{comment.replace(chr(39), chr(39)*2)}'"
+            self.spark.sql(
+                f"ALTER TABLE {target} SET TBLPROPERTIES('comment' = {lit})"
+            )
+            return self.spark.createDataFrame(
+                [(target, comment)], "object STRING, comment STRING"
+            )
+        table, _, column = target.rpartition(".")
+        if not table:
+            raise ValueError(
+                "COMMENT ON COLUMN needs a table.column target"
+            )
+        if self._is_temp_view(table):
+            raise ValueError(
+                f"COMMENT ON COLUMN {target}: temporary views carry no "
+                "catalog comment"
+            )
+        lit = "''" if comment is None else f"'{comment.replace(chr(39), chr(39)*2)}'"
+        self.spark.sql(
+            f"ALTER TABLE {table} ALTER COLUMN {column} COMMENT {lit}"
+        )
+        return self.spark.createDataFrame(
+            [(target, comment)], "object STRING, comment STRING"
+        )
+
+    def _alter_session(self, param: str, value: str) -> DataFrame:
+        """ALTER SESSION SET param = value (alterSessionSystem.ftl:95;
+        the reference's session parameters are EXECUTOR_DEVICE and
+        CURRENT_DATABASE). CPU is the only device class here, so
+        EXECUTOR_DEVICE accepts 'CPU' and rejects 'GPU' exactly like a
+        CPU-only reference build; CURRENT_DATABASE switches the session
+        catalog database; spark.*-prefixed keys pass through to the
+        session conf (the Spark-native escape hatch)."""
+        val = value[1:-1] if value.startswith("'") else value
+        key = param.lower()
+        if key == "executor_device":
+            dev = val.strip().upper()
+            if dev == "CPU":
+                pass  # the only device class in this engine
+            elif dev == "GPU":
+                raise ValueError(
+                    "ALTER SESSION SET EXECUTOR_DEVICE='GPU': this build "
+                    "has no GPU device (CPU-only reference builds reject "
+                    "this identically)"
+                )
+            else:
+                raise ValueError(
+                    f"EXECUTOR_DEVICE must be CPU or GPU, got {val!r}"
+                )
+        elif key == "current_database":
+            self.spark.catalog.setCurrentDatabase(val)
+        elif key.startswith("spark."):
+            self.spark.conf.set(param, val)
+        else:
+            raise ValueError(
+                f"ALTER SESSION SET: unknown session parameter {param!r}"
+            )
+        return self.spark.createDataFrame(
+            [(param, val)], "parameter STRING, value STRING"
         )
 
     def _show_model_details(self, names: str | None) -> DataFrame:

@@ -717,3 +717,74 @@ def test_show_supported_data_sources(engine):
     rows = {r["data_source"] for r in
             engine.sql("SHOW SUPPORTED DATA SOURCES").collect()}
     assert {"parquet", "delimited_csv", "kafka", "odbc_jdbc"} <= rows
+
+
+def test_truncate_comment_alter_session(engine, spark):
+    """TRUNCATE TABLE (ddlParser.ftl:893), COMMENT ON TABLE/COLUMN
+    (ddlParser.ftl:1156), ALTER SESSION SET
+    (alterSessionSystem.ftl:95)."""
+    import pytest as _pytest
+
+    spark.sql("DROP TABLE IF EXISTS tct")
+    try:
+        engine.sql("CREATE TABLE tct AS SELECT * FROM nation")
+        assert spark.table("tct").count() == 25
+        r = engine.sql("TRUNCATE TABLE tct").first()
+        assert r["status"] == "truncated"
+        assert spark.table("tct").count() == 0
+        # comments land in catalog metadata
+        engine.sql("COMMENT ON TABLE tct IS 'it''s a nation copy'")
+        props = {
+            r["col_name"]: r["data_type"]
+            for r in spark.sql("DESCRIBE EXTENDED tct").collect()
+        }
+        assert "it's a nation copy" in str(props.values())
+        engine.sql("COMMENT ON COLUMN tct.n_name IS 'nation name'")
+        cols = spark.sql("DESCRIBE tct").collect()
+        assert any(r["comment"] == "nation name" for r in cols)
+        engine.sql("COMMENT ON TABLE tct IS NULL")
+        # temp views carry no catalog comment
+        with _pytest.raises(ValueError, match="temporary views"):
+            engine.sql("COMMENT ON TABLE nation IS 'x'")
+        # truncate of an attached temp view: copy-on-write empty
+        engine.table("region").createOrReplaceTempView("tct_view")
+        engine.sql("TRUNCATE TABLE tct_view")
+        assert spark.table("tct_view").count() == 0
+        spark.catalog.dropTempView("tct_view")
+        # session parameters
+        assert engine.sql(
+            "ALTER SESSION SET EXECUTOR_DEVICE='CPU'"
+        ).first()["value"] == "CPU"
+        with _pytest.raises(ValueError, match="GPU"):
+            engine.sql("ALTER SESSION SET EXECUTOR_DEVICE='GPU'")
+        with _pytest.raises(ValueError, match="unknown session"):
+            engine.sql("ALTER SESSION SET nonsense_param=1")
+        engine.sql("ALTER SESSION SET spark.sql.shuffle.partitions=7")
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "7"
+        engine.sql("ALTER SESSION SET spark.sql.shuffle.partitions=8")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS tct")
+
+
+def test_create_drop_view_statements(engine, spark):
+    """CREATE VIEW / DROP VIEW (ParserNode.h:1858 CreateViewStmt)
+    through the engine with dialect features inside the body."""
+    spark.sql("DROP VIEW IF EXISTS v_stmt")
+    spark.sql("DROP TABLE IF EXISTS v_src")
+    try:
+        # persistent view over a managed table (a persistent view may
+        # not reference the attached TEMP fixture views)
+        engine.sql("CREATE TABLE v_src AS SELECT * FROM nation")
+        engine.sql("CREATE VIEW v_stmt AS SELECT SAMPLE(n_name) AS s, "
+                   "count(*) AS n FROM v_src GROUP BY n_regionkey")
+        assert engine.sql("SELECT count(*) AS c FROM v_stmt").first()["c"] == 5
+        engine.sql("DROP VIEW v_stmt")
+        assert not spark.catalog.tableExists("v_stmt")
+        # temp view over the attached fixtures, dialect body
+        engine.sql("CREATE OR REPLACE TEMPORARY VIEW v_tmp AS "
+                   "SELECT SAMPLE(n_name) AS s FROM nation")
+        assert engine.sql("SELECT count(*) AS c FROM v_tmp").first()["c"] == 1
+        spark.catalog.dropTempView("v_tmp")
+    finally:
+        spark.sql("DROP VIEW IF EXISTS v_stmt")
+        spark.sql("DROP TABLE IF EXISTS v_src")
