@@ -43,6 +43,10 @@ BENCH_QUERIES = {
     # r4 additions, self-baselined in BASELINE.md table C (no r1 number)
     "B18_tpch_q9": "tpch_q9_product_profit",
     "B19_tpch_q21": "tpch_q21_waiting_supplier",
+    # r5 additions, self-baselined (corpus-report scan+window+agg;
+    # render/hex binning pure-codegen projection+agg)
+    "B20_corpus_report": "pipe_corpus_report",
+    "B21_pixel_bins": "render_pixel_bins",
 }
 
 
