@@ -14,6 +14,15 @@ is unaffected because both engines run the identical double formula).
 
 Scale shape: pure scalar projections (no shuffle); a render aggregation
 is then an ordinary hash group-by on the bin value.
+
+Deliberate inline expansion: the hex formulas repeat their
+intermediates (pix/cube/rounded) many times in the generated tree.
+Binding them through higher-order-function lambdas (geo.py _bind_once)
+was measured SLOWER at runtime — Spark does not codegen higher-order
+functions, so the bind trades a one-time compile cost for interpreted
+per-row evaluation (0.87s -> 1.14s on the bench head). The inline
+blow-up is bounded (~10x a small formula) and compiles once per stage;
+keep it inline.
 """
 
 from __future__ import annotations
