@@ -432,6 +432,15 @@ _COMMENT_RE = re.compile(
     r"('(?:[^']|'')*'|NULL)\s*;?\s*$",
     re.IGNORECASE,
 )
+# CREATE DATAFRAME t (coldefs) FROM 'path' [WITH (...)] — the legacy
+# Arrow-over-file table (ddlParser.ftl:1613 SqlCreateDataframe): a
+# read-only table bound to a delimited file with a declared schema.
+_CREATE_DATAFRAME_RE = re.compile(
+    r"^\s*CREATE\s+DATAFRAME\s+([\w.]+)\s*\((.*)\)\s*FROM\s+"
+    r"'((?:[^']|'')*)'\s*(?:WITH\s*\((.*)\))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
 # ALTER SESSION SET param = 'value'|number (alterSessionSystem.ftl:95)
 _ALTER_SESSION_RE = re.compile(
     r"^\s*ALTER\s+SESSION\s+SET\s+([\w.]+)\s*=\s*"
@@ -884,6 +893,11 @@ class Engine:
         m = _ALTER_SESSION_RE.match(query)
         if m:
             return self._alter_session(m.group(1), m.group(2))
+        m = _CREATE_DATAFRAME_RE.match(query)
+        if m:
+            return self._create_dataframe(
+                m.group(1), m.group(2), m.group(3), m.group(4) or ""
+            )
         if _SHOW_MODELS_RE.match(query):
             from heavydb_spark.dialect import MODELS
 
@@ -1672,6 +1686,34 @@ class Engine:
         scored = df.withColumn("__pred", F.expr(pred_sql))
         return r2_score(scored, label, "__pred").select(
             F.round("r2", 6).alias("r2")
+        )
+
+    def _create_dataframe(
+        self, name: str, coldefs: str, path: str, options: str
+    ) -> DataFrame:
+        """CREATE DATAFRAME t (cols) FROM 'path' [WITH (...)]
+        (ddlParser.ftl:1613 SqlCreateDataframe): the legacy
+        Arrow-over-delimited-file read-only table — here a temp view
+        bound lazily to the file with the declared schema (reads
+        re-scan the file, exactly the reference's file-backed
+        semantics). Options pass through the CSV parser map
+        (DELIMITER, HEADER, ...)."""
+        from heavydb_spark.sources import copy_io
+
+        defs = [
+            _rewrite_column_def(d)
+            for d in _split_top_level_defs(coldefs)
+        ]
+        schema = ", ".join(defs)
+        opts = {}
+        if options.strip():
+            for k, v in _split_assignments(options).items():
+                opts[k.lower()] = v.strip().strip("'\"")
+        opts.setdefault("header", "false")
+        df = copy_io.copy_from_csv(self.spark, path, schema=schema, **opts)
+        df.createOrReplaceTempView(name)
+        return self.spark.createDataFrame(
+            [(name, path)], "table_name STRING, path STRING"
         )
 
     def _truncate_table(self, table: str) -> DataFrame:

@@ -271,3 +271,26 @@ def test_copy_from_arrow_roundtrip(engine, tmp_path):
     with ipc.new_stream(ps, tbl.schema) as w:
         w.write_table(tbl)
     assert copy_from_arrow(engine.spark, ps).count() == 25
+
+
+def test_create_dataframe_statement(engine, tmp_path):
+    """CREATE DATAFRAME t (cols) FROM 'path' (ddlParser.ftl:1613
+    SqlCreateDataframe): file-backed read-only table with a declared
+    HeavyDB-typed schema; re-reads see file changes (file-backed
+    semantics)."""
+    p = tmp_path / "df_src.csv"
+    p.write_text("1|alpha|2.5\n2|beta|3.5\n")
+    engine.sql(
+        f"CREATE DATAFRAME df_t (id BIGINT, name TEXT, v DOUBLE) "
+        f"FROM '{p}' WITH (DELIMITER='|')"
+    )
+    rows = engine.sql(
+        "SELECT id, name, v FROM df_t ORDER BY id"
+    ).collect()
+    assert [(r["id"], r["name"], r["v"]) for r in rows] == [
+        (1, "alpha", 2.5), (2, "beta", 3.5),
+    ]
+    # file-backed: appended rows appear on re-read
+    p.write_text("1|alpha|2.5\n2|beta|3.5\n3|gamma|4.5\n")
+    assert engine.sql("SELECT count(*) AS c FROM df_t").first()["c"] == 3
+    engine.spark.catalog.dropTempView("df_t")
