@@ -63,6 +63,8 @@ _PRIORITY = [
     "pipe_mix_token_budget",     # data-recipe mixing by token budget
     "render_pixel_bins",         # backend-render rect/hex binning
     "geo_h3_binning",            # H3-style hex cell encode/decode/parent
+    "tpcds_q47_monthly_deviation",  # lag/lead + windowed avg per brand
+    "tpcds_q74_yoy_growth",      # CTE self-join year-over-year
     # --- code-touched in round 5 — re-verify (hint/DDL/dialect fixes) ---
     "sql_dialect_window_fill",
     "dml_update_postimage",

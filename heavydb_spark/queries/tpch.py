@@ -1088,3 +1088,161 @@ def tpcds_q88_band_counts(spark, sf_dir):
         band(4, 19, 24, lo), band(5, 25, 30, hi), band(6, 31, 36, hi),
         band(7, 37, 42, hi), band(8, 43, 50, hi),
     )
+
+
+@query(
+    "tpcds_q47_monthly_deviation",
+    oracle="""
+    WITH m AS (
+        SELECT p_brand,
+               CAST(extract(year FROM o_orderdate) AS INT) AS yr,
+               CAST(extract(month FROM o_orderdate) AS INT) AS mon,
+               floor(sum(round(l_extendedprice * (1 - l_discount) * 10000))
+                     / 100 + 0.5) / 100.0 AS sum_rev
+        FROM lineitem
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN part ON p_partkey = l_partkey
+        WHERE p_size <= 8
+        GROUP BY p_brand, yr, mon
+    ), w AS (
+        SELECT p_brand, yr, mon, sum_rev,
+               floor(sum(round(sum_rev * 100)) OVER (PARTITION BY p_brand, yr)
+                     / count(*) OVER (PARTITION BY p_brand, yr) + 0.5) / 100.0
+                   AS brand_year_avg,
+               lag(sum_rev) OVER (PARTITION BY p_brand
+                                  ORDER BY yr, mon) AS prev_rev,
+               lead(sum_rev) OVER (PARTITION BY p_brand
+                                   ORDER BY yr, mon) AS next_rev
+        FROM m
+    )
+    SELECT p_brand, yr, mon, sum_rev, brand_year_avg, prev_rev, next_rev
+    FROM w
+    WHERE brand_year_avg > 0
+      AND abs(sum_rev - brand_year_avg) / brand_year_avg > 0.3
+      AND prev_rev IS NOT NULL AND next_rev IS NOT NULL
+    ORDER BY p_brand, yr, mon
+    """,
+)
+def tpcds_q47_monthly_deviation(spark, sf_dir):
+    """TPC-DS Q47 shape: per-brand monthly sales with the brand-year
+    average and the neighboring months (lag/lead over the brand's
+    month series), keeping months deviating >30% from the year
+    average. Two window families share ONE partition-by-brand shuffle
+    (year-avg partitions by (brand, yr) — a subset — and lag/lead by
+    brand); the monthly aggregate is the only other shuffle."""
+    li = T(spark, sf_dir, "lineitem")
+    o = T(spark, sf_dir, "orders")
+    p = T(spark, sf_dir, "part").filter(F.col("p_size") <= 8)
+    m = (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy(
+            "p_brand",
+            F.year("o_orderdate").alias("yr"),
+            F.month("o_orderdate").alias("mon"),
+        )
+        # revenue has exactly 4 decimals: sum it as exact 1e-4 integers
+        # and round half-up to cents explicitly — monthly groups land
+        # on .xx5 halves often enough that the r2() convention's
+        # engine-rounding divergence (Spark shortest-repr HALF_UP vs
+        # DuckDB raw-double) actually bites here
+        .agg(
+            (
+                F.floor(F.sum(F.round(_rev() * 10000)) / 100 + 0.5)
+                / 100.0
+            ).alias("sum_rev")
+        )
+    )
+    w_avg = Window.partitionBy("p_brand", "yr")
+    w_seq = Window.partitionBy("p_brand").orderBy("yr", "mon")
+    w = m.select(
+        "p_brand", "yr", "mon", "sum_rev",
+        # integer-cents half-up average: the cent sum is exact in
+        # double and floor(x + 0.5) rounds identically in both engines
+        # — Spark's round() goes through the shortest decimal repr
+        # (BigDecimal HALF_UP on "134260.205") while DuckDB rounds the
+        # raw double (...20499999), so an exact-half avg flips between
+        # them; explicit cents arithmetic sidesteps the divergence
+        (
+            F.floor(
+                F.sum(F.round(F.col("sum_rev") * 100)).over(w_avg)
+                / F.count(F.lit(1)).over(w_avg)
+                + 0.5
+            )
+            / 100.0
+        ).alias("brand_year_avg"),
+        F.lag("sum_rev").over(w_seq).alias("prev_rev"),
+        F.lead("sum_rev").over(w_seq).alias("next_rev"),
+    )
+    return w.filter(
+        (F.col("brand_year_avg") > 0)
+        & (
+            F.abs(F.col("sum_rev") - F.col("brand_year_avg"))
+            / F.col("brand_year_avg")
+            > 0.3
+        )
+        & F.col("prev_rev").isNotNull()
+        & F.col("next_rev").isNotNull()
+    ).orderBy("p_brand", "yr", "mon")
+
+
+@query(
+    "tpcds_q74_yoy_growth",
+    oracle="""
+    WITH totals AS (
+        SELECT o_custkey,
+               CAST(extract(year FROM o_orderdate) AS INT) AS yr,
+               round(sum(o_totalprice), 2) AS total
+        FROM orders GROUP BY o_custkey, yr
+    )
+    SELECT t1.o_custkey AS custkey,
+           t1.yr AS base_year,
+           t1.total AS base_total,
+           t2.total AS next_total,
+           round(t2.total / t1.total, 4) AS growth
+    FROM totals t1
+    JOIN totals t2
+      ON t1.o_custkey = t2.o_custkey AND t2.yr = t1.yr + 1
+    WHERE t1.total > 0 AND t2.total / t1.total > 2.0
+    ORDER BY custkey, base_year
+    """,
+)
+def tpcds_q74_yoy_growth(spark, sf_dir):
+    """TPC-DS Q74/Q11 shape: year-over-year growth — the per-customer
+    year totals CTE self-joined on (customer, year+1), keeping
+    customers whose sales more than doubled. The totals aggregate is
+    computed ONCE and localCheckpointed so the self-join reads cached
+    partitions (the reference materializes the CTE the same way);
+    the join is an equi-join on (custkey, yr) — hash-partitioned,
+    never broadcast (both sides are fact-sized)."""
+    o = T(spark, sf_dir, "orders")
+    totals = (
+        o.groupBy(
+            "o_custkey", F.year("o_orderdate").alias("yr")
+        )
+        .agg(r2(F.sum("o_totalprice")).alias("total"))
+        .localCheckpoint(eager=False)
+    )
+    t1 = totals.alias("t1")
+    t2 = totals.alias("t2")
+    j = t1.join(
+        t2,
+        (F.col("t1.o_custkey") == F.col("t2.o_custkey"))
+        & (F.col("t2.yr") == F.col("t1.yr") + 1),
+    )
+    return (
+        j.filter(
+            (F.col("t1.total") > 0)
+            & (F.col("t2.total") / F.col("t1.total") > 2.0)
+        )
+        .select(
+            F.col("t1.o_custkey").alias("custkey"),
+            F.col("t1.yr").alias("base_year"),
+            F.col("t1.total").alias("base_total"),
+            F.col("t2.total").alias("next_total"),
+            F.round(F.col("t2.total") / F.col("t1.total"), 4).alias(
+                "growth"
+            ),
+        )
+        .orderBy("custkey", "base_year")
+    )

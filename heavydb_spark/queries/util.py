@@ -14,8 +14,29 @@ def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def r2(col) -> "F.Column":
     """Round a floating aggregate to 2dp — applied identically in oracle
-    SQL so cross-engine FP summation order can't flip the value hash."""
+    SQL so cross-engine FP summation order can't flip the value hash.
+
+    KNOWN HAZARD: when the true sum lands exactly on a .xx5 half (easy
+    for 4-decimal revenue terms), Spark's round() goes through the
+    double's shortest decimal repr (BigDecimal HALF_UP on "…x.025")
+    while DuckDB rounds the raw double (…x.024999…): the two engines
+    disagree by one cent. The catalog's r2() greens have empirically
+    avoided the boundary, but aggregations with MANY small groups
+    (e.g. per-month sums) hit it — use `sum_half_up_cents` there."""
     return F.round(col, 2)
+
+
+def sum_half_up_cents(col, decimals: int = 4) -> "F.Column":
+    """Deterministic 2dp sum of a fixed-point expression: sum exact
+    1e-`decimals` integers (order-independent while < 2^53), then
+    round half-up to cents with floor(x + 0.5) — identical in Spark
+    and DuckDB even on exact halves. Oracle SQL twin:
+    floor(sum(round(expr * 10^d)) / 10^(d-2) + 0.5) / 100.0"""
+    scale = 10 ** decimals
+    down = 10 ** (decimals - 2)
+    return (
+        F.floor(F.sum(F.round(col * scale)) / down + 0.5) / 100.0
+    )
 
 
 def r4(col) -> "F.Column":
