@@ -407,3 +407,48 @@ def interval_join_streams(
         F.coalesce(F.col("k"), F.col("r_k")).alias("user_id"),
         "l_ts", "l_type", "l_value", "r_ts", "r_type", "r_value",
     )
+
+
+DOCUMENT_SCHEMA = (
+    "doc_id BIGINT, text STRING, lang STRING, source STRING, "
+    "n_chars BIGINT"
+)
+
+
+def read_document_stream(
+    spark, source_dir: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """Streaming corpus ingest: a parquet-file document stream with the
+    fixture schema — the training-data analogue of the event stream
+    (new corpus shards land as files; each micro-batch picks them up)."""
+    return (
+        spark.readStream.format("parquet")
+        .schema(DOCUMENT_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .load(source_dir)
+    )
+
+
+def streaming_corpus_clean(
+    docs: DataFrame,
+    min_chars: int = 40,
+    min_alpha_ratio: float = 0.5,
+) -> DataFrame:
+    """Streaming corpus cleaning — quality filter then exact
+    first-arrival dedup on the text hash, the incremental form of the
+    batch scrub→quality→dedup pipeline (operators/pipeline.py): only
+    the first document with a given text survives; later shards'
+    duplicates drop as they stream in.
+
+    State: one row per distinct text hash. At production scale bound
+    it with dropDuplicatesWithinWatermark over an ingest-time column
+    (duplicates in a corpus build arrive within a bounded window);
+    the unbounded form here keeps the stream==batch test exact."""
+    t = F.col("text")
+    alpha = F.length(F.regexp_replace(t, r"[^A-Za-z]", "")) / F.length(t)
+    filtered = docs.filter(
+        (F.length(t) >= min_chars) & (alpha >= min_alpha_ratio)
+    )
+    return filtered.withColumn("text_hash", F.md5(t)).dropDuplicates(
+        ["text_hash"]
+    )

@@ -592,3 +592,54 @@ def test_ingest_stream_continuous_microbatch(spark, tmp_path):
             q.stop()
             q.awaitTermination(60)
         spark.sql("DROP TABLE IF EXISTS events_ingest_cont")
+
+
+def test_streaming_corpus_clean_equals_batch(spark, tmp_path_factory):
+    """Streaming corpus cleaning (quality filter -> first-arrival text
+    dedup) produces exactly the batch pipeline's distinct kept set —
+    the incremental form of the scrub/quality/dedup chain, proven
+    stream==batch on the hash set and the per-language distinct
+    counts."""
+    from pyspark.sql import functions as F
+
+    d = str(tmp_path_factory.mktemp("docs_stream"))
+    docs = load_table(spark, SF_DIR, "documents")
+    # duplicate some docs into a second shard so the stream sees dups
+    docs.write.mode("overwrite").parquet(d)
+    docs.limit(40).write.mode("append").parquet(d)
+
+    stream = stream_ops.streaming_corpus_clean(
+        stream_ops.read_document_stream(spark, d, max_files_per_trigger=1)
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("t_corpus_clean")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("t_corpus_clean")
+
+    t = F.col("text")
+    alpha = F.length(F.regexp_replace(t, r"[^A-Za-z]", "")) / F.length(t)
+    batch = (
+        spark.read.parquet(d)
+        .filter((F.length(t) >= 40) & (alpha >= 0.5))
+        .select(F.md5(t).alias("text_hash"), "lang")
+        .distinct()
+    )
+    got_hashes = {r["text_hash"] for r in got.select("text_hash").collect()}
+    batch_hashes = {r["text_hash"] for r in batch.select("text_hash").distinct().collect()}
+    assert got_hashes == batch_hashes and len(got_hashes) > 0
+    got_lang = {
+        (r["lang"], r["n"])
+        for r in got.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    batch_lang = {
+        (r["lang"], r["n"])
+        for r in batch.groupBy("lang").agg(
+            F.count_distinct("text_hash").alias("n")
+        ).collect()
+    }
+    assert got_lang == batch_lang
