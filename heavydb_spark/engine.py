@@ -2032,6 +2032,17 @@ class Engine:
             [(path, n)], "path STRING, rows_exported BIGINT"
         )
 
+    def sql_validate(self, query: str) -> list[tuple[str, str]]:
+        """Thrift sql_validate analogue (DBHandler.cpp:1590): analyze
+        the query and return its row descriptor — (column, HeavyDB
+        type) pairs — WITHOUT executing. Analysis only: the DataFrame
+        is built through the dialect but no action runs."""
+        df = self.sql(query)
+        return [
+            (f.name, _heavy_type(f.dataType.simpleString()))
+            for f in df.schema.fields
+        ]
+
     # -- entry point B analogue (sql_execute_df, DBHandler.cpp:1457) -----
     def sql_arrow(self, query: str):
         """Execute and return an Arrow table (Arrow IPC result surface)."""

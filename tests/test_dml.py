@@ -788,3 +788,20 @@ def test_create_drop_view_statements(engine, spark):
     finally:
         spark.sql("DROP VIEW IF EXISTS v_stmt")
         spark.sql("DROP TABLE IF EXISTS v_src")
+
+
+def test_sql_validate_row_descriptor(engine):
+    """sql_validate (DBHandler.cpp:1590): the row descriptor of an
+    un-executed query in HeavyDB type names."""
+    import pytest as _pytest
+
+    desc = engine.sql_validate(
+        "SELECT o_orderkey, o_orderstatus, o_totalprice, "
+        "CAST(o_totalprice AS INT) AS p_int FROM orders"
+    )
+    assert desc[0] == ("o_orderkey", "BIGINT")
+    assert desc[1][1].startswith("TEXT")
+    assert desc[2] == ("o_totalprice", "DOUBLE")
+    assert desc[3] == ("p_int", "INTEGER")
+    with _pytest.raises(Exception):
+        engine.sql_validate("SELECT no_such_col FROM orders")

@@ -1844,3 +1844,49 @@ def test_h3_geometry_typed_variants(spark):
     cx = sum(v["x"] for v in ring) / 6.0
     cy = sum(v["y"] for v in ring) / 6.0
     assert abs(cx - r["lon"]) < 1e-9 and abs(cy - r["lat"]) < 1e-9
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_h3_randomized_cross_engine(spark, seed):
+    """Randomized differential: H3 encode/decode/parent and rect
+    pixel bins agree bit-for-bit between the Spark Column path and the
+    generated DuckDB SQL on random inputs."""
+    import random
+
+    import duckdb
+
+    from heavydb_spark.functions import h3 as H
+    from heavydb_spark.functions import render
+
+    rng = random.Random(seed + 31_000)
+    con = duckdb.connect()
+    pts = [
+        (round(rng.uniform(-180, 180), 6), round(rng.uniform(-89, 89), 6))
+        for _ in range(5)
+    ]
+    res = rng.randint(0, 15)
+    pres = rng.randint(0, res)
+    for lon, lat in pts:
+        sp = spark.range(1).select(
+            H.h3_lonlat_to_cell(lon, lat, res).alias("c"),
+            H.h3_cell_to_lon(H.h3_lonlat_to_cell(lon, lat, res)).alias("lo"),
+            H.h3_cell_to_parent(
+                H.h3_lonlat_to_cell(lon, lat, res), pres
+            ).alias("p"),
+            render.rect_pixel_bin_x(
+                lon, -180.0, 180.0, 7.0, float(seed), 720
+            ).alias("rb"),
+        ).first()
+        lon_s = f"CAST({lon!r} AS DOUBLE)"
+        lat_s = f"CAST({lat!r} AS DOUBLE)"
+        cell_sql = H.h3_lonlat_to_cell_sql(lon_s, lat_s, res)
+        dd = con.execute(
+            f"SELECT {cell_sql} AS c, "
+            f"{H.h3_cell_to_lon_sql(cell_sql)} AS lo, "
+            f"{H.h3_cell_to_parent_sql(cell_sql, pres)} AS p, "
+            f"{render.rect_pixel_bin_x_sql(lon_s, -180.0, 180.0, 7.0, float(seed), 720)} AS rb"
+        ).fetchone()
+        assert dd[0] == sp["c"], (lon, lat, res)
+        assert abs(dd[1] - sp["lo"]) < 1e-12
+        assert dd[2] == sp["p"]
+        assert abs(dd[3] - sp["rb"]) < 1e-9
