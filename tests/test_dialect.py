@@ -1594,3 +1594,22 @@ def test_st_maxdistance_and_wkb_exports(engine):
         + struct.pack("<dddddddd", 0.0, 0.0, 1.0, 0.0, 1.0, 1.0, 0.0, 0.0)
     )
     assert bytes(r["wkb_g"]) == expect
+
+
+def test_insert_values_with_heavydb_literals(engine, spark):
+    """INSERT INTO ... VALUES with HeavyDB literal forms: curly-brace
+    array literals {1, 2, 3} (Tests/ArrayTest.cpp) and TIME 'HH:MM:SS'
+    (seconds-of-day representation) round-trip through the dialect."""
+    spark.sql("DROP TABLE IF EXISTS ins_lit")
+    try:
+        engine.sql("CREATE TABLE ins_lit (id INT, arr INT[], t TIME)")
+        engine.sql("INSERT INTO ins_lit VALUES (1, {10, 20, 30}, "
+                   "TIME '01:02:03')")
+        r = engine.sql(
+            "SELECT id, arr[1] AS first_el, cardinality(arr) AS n, t "
+            "FROM ins_lit"
+        ).first()
+        assert (r["id"], r["first_el"], r["n"]) == (1, 10, 3)
+        assert r["t"] == 3723  # 1h2m3s as seconds-of-day
+    finally:
+        spark.sql("DROP TABLE IF EXISTS ins_lit")
