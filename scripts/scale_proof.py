@@ -99,6 +99,8 @@ def main() -> None:
         "B13_dedup_minhash": "dedup_minhash_lsh",
         "B17_bbox_join": "geo_bbox_join",
         "B19_tpch_q21": "tpch_q21_waiting_supplier",
+        "B20_corpus_report": "pipe_corpus_report",
+        "B21_pixel_bins": "render_pixel_bins",
     }
     results = {}
     for bid, qname in heads.items():
