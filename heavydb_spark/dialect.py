@@ -425,25 +425,30 @@ def _split_part_null_oob(args: str) -> str | None:
     )
 
 
-# Expressions that statically produce a bare point STRUCT — ST_Buffer
-# on these keeps the point n-gon form (the reference overloads one
-# ST_Buffer name by geometry type, RelAlgTranslatorGeo.cpp:810-819).
-_POINT_EXPR_RE = re.compile(
-    r"^(ST_POINT|ST_CENTROID|ST_STARTPOINT|ST_ENDPOINT|ST_POINTN"
-    r"|ST_TRANSFORM)\s*\(",
-    re.IGNORECASE,
-)
 _WKT_TAG_RE = re.compile(
     r"^ST_GEOMFROMTEXT\s*\(\s*'\s*(\w+)", re.IGNORECASE
+)
+# expressions that statically produce the ARRAY<ARRAY<point>> geometry
+# type — safe to hand to the runtime ring-shape dispatcher
+_GEOM_EXPR_RE = re.compile(
+    r"^(ST_GEOMFROMTEXT|ST_UNION|ST_INTERSECTION|ST_DIFFERENCE"
+    r"|ST_CONVEXHULL|ST_BUFFER_POLY|ST_BUFFER_ANY)\s*\(",
+    re.IGNORECASE,
 )
 
 
 def _st_buffer_call(args: str) -> str | None:
     """Single-name ST_Buffer(geom, r): resolve the geometry tag at
-    rewrite time — a literal ST_GeomFromText WKT names its tag, known
-    point-returning accessors keep the point form, anything else
-    dispatches at runtime on the normalized ring shape
-    (st_buffer_any)."""
+    rewrite time — a literal ST_GeomFromText WKT names its tag
+    statically; known array-geometry producers (non-literal
+    ST_GeomFromText, overlay ops) dispatch at runtime on the
+    normalized ring shape (st_buffer_any); everything ELSE — bare
+    columns included — keeps the registered st_buffer(point STRUCT, r)
+    form, the reference's most common overload and this engine's
+    pre-existing behavior (SQL functions are statically typed, so a
+    bare column's geometry tag cannot be resolved here; buffer an
+    array-typed geometry COLUMN with st_buffer_any/st_buffer_poly
+    explicitly)."""
     parts = _split_top_level(args)
     if len(parts) != 2:
         return None
@@ -458,9 +463,9 @@ def _st_buffer_call(args: str) -> str | None:
         if tag == "POLYGON":
             return f"st_buffer_poly({g}, {r})"
         return None
-    if _POINT_EXPR_RE.match(g.strip()):
-        return None  # registered st_buffer(point STRUCT, r) handles it
-    return f"st_buffer_any({g}, {r})"
+    if _GEOM_EXPR_RE.match(g.strip()):
+        return f"st_buffer_any({g}, {r})"
+    return None  # point form: registered st_buffer(point STRUCT, r)
 
 
 # Balanced-paren rewrites applied after _REWRITES (literals still masked).

@@ -1562,7 +1562,11 @@ class Engine:
         if mtype == "PCA":
             from heavydb_spark.operators.ml import pca_model_spec
 
-            k = int(opts.pop("k", opts.pop("num_components", len(cols))))
+            if "k" in opts:
+                k = int(opts.pop("k"))
+                opts.pop("num_components", None)
+            else:
+                k = int(opts.pop("num_components", len(cols)))
             loadings, evr = pca_model_spec(train_df, cols, k=k)
             dialect.register_model_object(name, PCAProjModel(loadings, evr))
         elif mtype == "LINEAR_REG":
@@ -1631,6 +1635,15 @@ class Engine:
                     kind + "_reg", trees, weights, average, len(feats),
                     importances,
                 ),
+            )
+        if opts:
+            # the reference rejects unrecognized model options
+            # (ParserNode.cpp parse_model_options error paths) — a
+            # typoed MAX_TREE_DEPTH silently training at the default
+            # is worse than an error
+            MODELS.pop(name.lower(), None)
+            raise ValueError(
+                f"CREATE MODEL: unknown option(s) {sorted(opts)}"
             )
         _MODEL_SOURCES[name.lower()] = select.strip()
         _MODEL_SPLITS[name.lower()] = (train, ev)
@@ -1869,16 +1882,26 @@ class Engine:
             " sub_feature STRING"
         )
         if isinstance(model, PCAProjModel):
+            # one row per FEATURE (the reference's row set); row i
+            # carries component i's eigenvalue/eigenvector while i < k
+            # and NULLs beyond (k < n_features drops trailing
+            # components, never features)
             k = len(model.explained_variance)
             rows = []
-            for c in range(k):
-                vec = [model.loadings[f][c] for f in range(model.n_features)]
+            for i in range(model.n_features):
+                if i < k:
+                    vec = [
+                        model.loadings[f][i]
+                        for f in range(model.n_features)
+                    ]
+                    ev = float(model.explained_variance[i])
+                    vs = "[" + ", ".join(f"{v:.6f}" for v in vec) + "]"
+                else:
+                    ev, vs = None, None
                 rows.append((
-                    c + 1,
-                    feats[c] if c < len(feats) else f"component_{c + 1}",
-                    None, None,
-                    float(model.explained_variance[c]),
-                    "[" + ", ".join(f"{v:.6f}" for v in vec) + "]",
+                    i + 1,
+                    feats[i] if i < len(feats) else f"f{i + 1}",
+                    None, None, ev, vs,
                 ))
             return self.spark.createDataFrame(
                 rows, base + ", eigenvalue DOUBLE, eigenvector STRING"
@@ -2035,9 +2058,21 @@ class Engine:
     def sql_validate(self, query: str) -> list[tuple[str, str]]:
         """Thrift sql_validate analogue (DBHandler.cpp:1590): analyze
         the query and return its row descriptor — (column, HeavyDB
-        type) pairs — WITHOUT executing. Analysis only: the DataFrame
-        is built through the dialect but no action runs."""
-        df = self.sql(query)
+        type) pairs — WITHOUT executing. Only read-only query shapes
+        are accepted and hints are stripped un-applied, so validation
+        can never run DML/DDL or materialize results (the reference's
+        sql_validate is likewise side-effect free)."""
+        if not re.match(
+            r"\s*(SELECT|WITH|VALUES|TABLE)\b", query, re.IGNORECASE
+        ):
+            raise ValueError(
+                "sql_validate accepts read-only queries "
+                "(SELECT/WITH/VALUES/TABLE)"
+            )
+        stripped, _hints = _extract_query_hints(query)
+        if _TF_CURSOR_RE.search(stripped):
+            stripped = self._expand_cursor_table_functions(stripped)
+        df = self.spark.sql(dialect.rewrite(stripped))
         return [
             (f.name, _heavy_type(f.dataType.simpleString()))
             for f in df.schema.fields
@@ -2054,17 +2089,18 @@ class Engine:
         queries (DBHandler; Tests/ExecuteTest.cpp Explain section)."""
         df = self.sql(inner.strip())
         qe = df._jdf.queryExecution()
+        jvm = df._sc._jvm  # noqa: SLF001 - same reach as Engine.explain
         k = (kind or "").upper().split()
         if not k:  # plain EXPLAIN = the generated-kernel view
-            text = self.explain(inner, mode="formatted")
+            text = jvm.PythonSQLUtils.explainString(qe, "formatted")
         elif k[0] == "OPTIMIZED":
             text = qe.optimizedPlan().toString()
         elif k[0] == "CALCITE" and len(k) > 1:  # CALCITE DETAIL
-            text = self.explain(inner, mode="extended")
+            text = jvm.PythonSQLUtils.explainString(qe, "extended")
         elif k[0] == "CALCITE":
             text = qe.analyzed().toString()
         else:  # PLAN
-            text = self.explain(inner, mode="simple")
+            text = jvm.PythonSQLUtils.explainString(qe, "simple")
         return self.spark.createDataFrame(
             [(text,)], "Explanation STRING"
         )

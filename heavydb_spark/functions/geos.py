@@ -521,8 +521,11 @@ def register_geos_functions(spark) -> None:
             rings = _norm_poly(g)
             rad = float(rad)
             if len(rings) == 1 and len(rings[0]) == 1:
+                # 32-gon, matching the registered ST_Buffer(point, r)
+                # SQL form — the same point must buffer identically on
+                # the static and runtime dispatch routes
                 x, y = rings[0][0]
-                shapes = [[_ngon(x, y, rad, 8)]]
+                shapes = [[_ngon(x, y, rad, 32)]]
             elif not wkt_closed:
                 shapes = _buffer_shapes(
                     rings, rad, 8, closed=False, include_base=False

@@ -1916,7 +1916,7 @@ def tf_torch_obj_detect(spark, sf_dir):
     )
     SELECT n_nationkey,
            round(CASE tag
-             WHEN 0 THEN 2 * sqrt(2) * r * r
+             WHEN 0 THEN 16 * r * r * sin(pi() / 16)
              WHEN 1 THEN 2 * r * len + 2 * sqrt(2) * r * r
              ELSE w * h + 2 * r * (w + h) + 2 * sqrt(2) * r * r
            END, 4) AS buf_area
@@ -1929,10 +1929,11 @@ def geo_buffer_dispatch(spark, sf_dir):
     RelAlgTranslatorGeo.cpp:810-819): the dialect routes statically
     tagged WKT at rewrite time and falls back to the runtime ring-shape
     dispatcher (st_buffer_any) here, where the tag varies per row.
-    Oracle: exact closed forms of the 8-segment buffer union —
-    octagon 2*sqrt(2)*r^2 for points, 2*r*L + octagon for segments,
-    w*h + 2*r*(w+h) + octagon for rectangles (the four axis-symmetric
-    corner octagon quarters sum to one octagon)."""
+    Oracle: exact closed forms — 32-gon 16*r^2*sin(pi/16) for points
+    (matching the registered ST_Buffer point form), 2*r*L + octagon
+    for segments, w*h + 2*r*(w+h) + octagon for rectangles (the four
+    axis-symmetric corner octagon quarters sum to one octagon; line
+    and polygon vertex discs are 8-segment like st_buffer_line/poly)."""
     from heavydb_spark.engine import Engine
 
     eng = Engine(spark)
@@ -1954,10 +1955,9 @@ def geo_buffer_dispatch(spark, sf_dir):
                                  2 + n_nationkey % 3, ', 0 0))')
                    END AS wkt
             FROM nation
-        ), g AS (
-            SELECT n_nationkey, r, st_geomfromtext(wkt) AS geom FROM p
         )
-        SELECT n_nationkey, ST_Buffer(geom, r) AS mp FROM g
+        SELECT n_nationkey, ST_Buffer(st_geomfromtext(wkt), r) AS mp
+        FROM p
         """
     )
     return buf.select(

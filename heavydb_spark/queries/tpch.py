@@ -33,7 +33,7 @@ from pyspark.sql import Window
 from pyspark.sql.functions import broadcast
 
 from heavydb_spark.queries.registry import query
-from heavydb_spark.queries.util import T, r2
+from heavydb_spark.queries.util import T, r2, sum_half_up_cents
 
 
 def _rev():
@@ -1141,17 +1141,11 @@ def tpcds_q47_monthly_deviation(spark, sf_dir):
             F.year("o_orderdate").alias("yr"),
             F.month("o_orderdate").alias("mon"),
         )
-        # revenue has exactly 4 decimals: sum it as exact 1e-4 integers
-        # and round half-up to cents explicitly — monthly groups land
-        # on .xx5 halves often enough that the r2() convention's
+        # revenue has exactly 4 decimals: monthly groups land on .xx5
+        # halves often enough that the r2() convention's
         # engine-rounding divergence (Spark shortest-repr HALF_UP vs
-        # DuckDB raw-double) actually bites here
-        .agg(
-            (
-                F.floor(F.sum(F.round(_rev() * 10000)) / 100 + 0.5)
-                / 100.0
-            ).alias("sum_rev")
-        )
+        # DuckDB raw-double) actually bites here — exact-cents helper
+        .agg(sum_half_up_cents(_rev()).alias("sum_rev"))
     )
     w_avg = Window.partitionBy("p_brand", "yr")
     w_seq = Window.partitionBy("p_brand").orderBy("yr", "mon")

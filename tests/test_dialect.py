@@ -1516,13 +1516,21 @@ def test_st_buffer_single_name_dispatch(engine):
         "'POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))'), 2.0) AS mp))"
     ).first()["a"]
     assert pa == round(100 + 2 * 2 * 40 / 2 + 2 * math.sqrt(2) * 4, 2)
-    # runtime dispatch: tag unknown statically (column geometry)
+    # runtime dispatch: an array-geometry producer whose TAG is only
+    # known at runtime (the WKT is a column, not a literal)
     ra = engine.sql(
         "SELECT round(sum(ST_Area(p)), 2) AS a FROM (SELECT explode(mp)"
-        " AS p FROM (SELECT ST_Buffer(g, 1.0) AS mp FROM (SELECT"
-        " st_geomfromtext('LINESTRING (0 0, 4 0)') AS g)))"
+        " AS p FROM (SELECT ST_Buffer(st_geomfromtext(w), 1.0) AS mp"
+        " FROM (SELECT 'LINESTRING (0 0, 4 0)' AS w)))"
     ).first()["a"]
     assert ra == round(8 + 2 * math.sqrt(2), 2)
+    # a bare column keeps the POINT form (pre-existing behavior —
+    # static SQL typing cannot resolve a column's geometry tag)
+    pa2 = engine.sql(
+        "SELECT round(ST_Area(ST_Buffer(p, 2.0)), 2) AS a FROM "
+        "(SELECT st_point(0.0, 0.0) AS p)"
+    ).first()["a"]
+    assert 11.0 < pa2 < math.pi * 4 + 0.1  # 32-gon ~ 12.49
 
 
 def test_explain_statement_family(engine):

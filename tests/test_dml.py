@@ -655,6 +655,24 @@ def test_show_model_details_family(engine):
         fp = engine.sql("SHOW MODEL FEATURE DETAILS smd_pca").collect()
         assert all(r["eigenvalue"] is not None for r in fp)
         assert all(r["eigenvector"].startswith("[") for r in fp)
+        # k < n_features: every FEATURE still has a row; trailing
+        # components are NULL
+        engine.sql("CREATE OR REPLACE MODEL smd_pca2 OF TYPE PCA AS "
+                   "SELECT CAST(l_quantity AS DOUBLE) AS q, "
+                   "CAST(l_discount AS DOUBLE) AS d, "
+                   "CAST(l_tax AS DOUBLE) AS t FROM lineitem "
+                   "LIMIT 1000 WITH (K=2)")
+        fp2 = engine.sql("SHOW MODEL FEATURE DETAILS smd_pca2").collect()
+        assert [r["feature"] for r in fp2] == ["q", "d", "t"]
+        assert fp2[0]["eigenvalue"] is not None
+        assert fp2[2]["eigenvalue"] is None  # beyond k components
+        engine.sql("DROP MODEL smd_pca2")
+        # unknown options are rejected, not silently ignored
+        with _pytest.raises(ValueError, match="unknown option"):
+            engine.sql("CREATE OR REPLACE MODEL smd_bad OF TYPE "
+                       "RANDOM_FOREST_REG AS SELECT l_extendedprice, "
+                       "CAST(l_quantity AS DOUBLE) AS q FROM lineitem "
+                       "LIMIT 500 WITH (MAX_DEPTH=10)")
         engine.sql("DROP MODEL smd_rf")
         engine.sql("DROP MODEL smd_pca")
     finally:
@@ -805,3 +823,8 @@ def test_sql_validate_row_descriptor(engine):
     assert desc[3] == ("p_int", "INTEGER")
     with _pytest.raises(Exception):
         engine.sql_validate("SELECT no_such_col FROM orders")
+    # read-only: DML/DDL must be rejected, not executed
+    with _pytest.raises(ValueError, match="read-only"):
+        engine.sql_validate("DELETE FROM orders WHERE o_orderkey > 0")
+    with _pytest.raises(ValueError, match="read-only"):
+        engine.sql_validate("DROP TABLE orders")
