@@ -1154,6 +1154,74 @@ _WINDOW_REWRITES = [
 ]
 
 
+# HeavyDB/Calcite sorts nulls HIGH by default (NULLS LAST on ASC,
+# NULLS FIRST on DESC — SqlToRelConverter.java:2185
+# defaultNullCollation().last(desc)); Spark's default is LOW. Every
+# ORDER BY item without an explicit NULLS clause gets the Calcite
+# placement appended so Engine.sql sorts like the reference.
+_ORDER_BY_TOKEN_RE = re.compile(r"\bORDER\s+BY\b", re.IGNORECASE)
+_ORDER_STOP_RE = re.compile(
+    r"(LIMIT|OFFSET|FETCH|WINDOW|ROWS|RANGE|UNION|INTERSECT|EXCEPT)\b",
+    re.IGNORECASE,
+)
+_ORDER_HAS_NULLS_RE = re.compile(r"\bNULLS\s+(FIRST|LAST)$", re.IGNORECASE)
+_ORDER_DESC_RE = re.compile(r"\bDESC$", re.IGNORECASE)
+
+
+def _apply_null_collation(sql: str) -> str:
+    out, pos = [], 0
+    while True:
+        m = _ORDER_BY_TOKEN_RE.search(sql, pos)
+        if not m:
+            out.append(sql[pos:])
+            return "".join(out)
+        out.append(sql[pos : m.end()])
+        i, depth, n = m.end(), 0, len(sql)
+        bounds, cur = [], m.end()
+        end = n
+        while i < n:
+            ch = sql[i]
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                if depth == 0:
+                    end = i
+                    break
+                depth -= 1
+            elif depth == 0:
+                if ch == ",":
+                    bounds.append((cur, i))
+                    cur = i + 1
+                elif ch == ";":
+                    end = i
+                    break
+                elif ch.isalpha():
+                    prev = sql[i - 1]
+                    if not (prev.isalnum() or prev == "_"):
+                        sm = _ORDER_STOP_RE.match(sql, i)
+                        if sm:
+                            end = i
+                            break
+            i += 1
+        bounds.append((cur, end))
+        rebuilt = []
+        for a, b in bounds:
+            item = sql[a:b]
+            stripped = item.rstrip()
+            if not stripped.strip() or _ORDER_HAS_NULLS_RE.search(stripped):
+                rebuilt.append(item)
+                continue
+            kw = (
+                " NULLS FIRST"
+                if _ORDER_DESC_RE.search(stripped)
+                else " NULLS LAST"
+            )
+            rebuilt.append(stripped + kw + item[len(stripped):])
+        out.append(",".join(rebuilt))
+        pos = end
+    return "".join(out)
+
+
 def rewrite(sql: str) -> str:
     """Rewrite a HeavyDB-dialect SQL string into Spark SQL.
 
@@ -1187,4 +1255,5 @@ def rewrite(sql: str) -> str:
         out = _rewrite_call(out, fname, make)
     for fname, make in _WINDOW_REWRITES:
         out = _rewrite_window_call(out, fname, make)
+    out = _apply_null_collation(out)
     return re.sub(r"\x00(\d+)\x00", lambda m: literals[int(m.group(1))], out)

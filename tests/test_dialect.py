@@ -28,8 +28,12 @@ def test_rewrite_rules(src, expected):
 
 
 def test_passthrough_untouched():
+    # plain SQL passes through except the Calcite null collation the
+    # dialect appends to ORDER BY items (NULLS LAST on ASC)
     q = "SELECT l_returnflag, count(*) FROM lineitem GROUP BY 1 ORDER BY 1"
-    assert dialect.rewrite(q) == q
+    assert dialect.rewrite(q) == q + " NULLS LAST"
+    q2 = "SELECT l_returnflag, count(*) FROM lineitem GROUP BY 1"
+    assert dialect.rewrite(q2) == q2
 
 
 def test_dialect_queries_execute(engine):
@@ -1621,3 +1625,35 @@ def test_insert_values_with_heavydb_literals(engine, spark):
         assert r["t"] == 3723  # 1h2m3s as seconds-of-day
     finally:
         spark.sql("DROP TABLE IF EXISTS ins_lit")
+
+
+def test_order_by_null_collation_matches_calcite(engine, spark):
+    """HeavyDB (Calcite) sorts nulls HIGH by default — NULLS LAST on
+    ASC, NULLS FIRST on DESC (SqlToRelConverter.java:2185) — while
+    Spark defaults LOW. The dialect appends the Calcite placement to
+    every ORDER BY item without an explicit NULLS clause, including
+    window ORDER BYs; explicit clauses pass through untouched."""
+    spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, 5.0), (4, None)], "id long, v double"
+    ).createOrReplaceTempView("null_sort_t")
+    try:
+        asc = [r["id"] for r in engine.sql(
+            "SELECT id FROM null_sort_t ORDER BY v"
+        ).collect()]
+        assert asc == [3, 1, 2, 4] or asc == [3, 1, 4, 2]  # nulls LAST
+        desc = [r["id"] for r in engine.sql(
+            "SELECT id FROM null_sort_t ORDER BY v DESC"
+        ).collect()]
+        assert desc[:2] in ([2, 4], [4, 2]) and desc[2:] == [1, 3]
+        # explicit clause wins
+        expl = [r["id"] for r in engine.sql(
+            "SELECT id FROM null_sort_t ORDER BY v NULLS FIRST"
+        ).collect()]
+        assert expl[2:] == [3, 1]
+        # window order: rank counts nulls as HIGH
+        rk = {r["id"]: r["rk"] for r in engine.sql(
+            "SELECT id, rank() OVER (ORDER BY v) AS rk FROM null_sort_t"
+        ).collect()}
+        assert rk[3] == 1 and rk[1] == 2 and rk[2] == 3 and rk[4] == 3
+    finally:
+        spark.catalog.dropTempView("null_sort_t")
