@@ -189,6 +189,20 @@ def _rewrite_array_index(sql: str) -> str:
             while r >= 0 and (sql[r].isalnum() or sql[r] in "_."):
                 r -= 1
             start = r + 1
+        elif p >= 0 and sql[p] == "`":
+            # backtick-quoted identifier (incl. ones the double-quote
+            # conversion above just produced): scan to the opener
+            r = p - 1
+            while r >= 0 and sql[r] != "`":
+                r -= 1
+            if r < 0:
+                pos = j + 1
+                continue
+            # include a qualifier prefix (tbl.`col`)
+            r -= 1
+            while r >= 0 and (sql[r].isalnum() or sql[r] in "_.`"):
+                r -= 1
+            start = r + 1
         else:
             # nothing indexable before '[' — skip this bracket but keep
             # rewriting the rest of the statement
@@ -321,6 +335,7 @@ _REWRITES: list[tuple[re.Pattern, str]] = [
 
 
 _LITERAL = re.compile(r"'(?:[^']|'')*'")
+_DQUOTE_IDENT_RE = re.compile(r'"((?:[^"]|"")*)"')
 
 
 def _split_top_level(args: str) -> list[str]:
@@ -1241,6 +1256,17 @@ def rewrite(sql: str) -> str:
         return f"\x00{len(literals) - 1}\x00"
 
     out = _LITERAL.sub(_mask, out)
+    # Double-quoted tokens are IDENTIFIERS in HeavyDB/Calcite (strings
+    # are single-quoted only); Spark reads them as string literals with
+    # ANSI off — silently wrong results, not an error. With the string
+    # literals masked, every remaining "..." is an identifier: convert
+    # to backticks ("" unescapes to ", embedded backticks double).
+    out = _DQUOTE_IDENT_RE.sub(
+        lambda m: "`"
+        + m.group(1).replace('""', '"').replace("`", "``")
+        + "`",
+        out,
+    )
     for pat, repl in _REWRITES:
         out = pat.sub(repl, out)
     # bracket array constructor ARRAY[...] -> array(...); loop so

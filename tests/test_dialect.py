@@ -1657,3 +1657,21 @@ def test_order_by_null_collation_matches_calcite(engine, spark):
         assert rk[3] == 1 and rk[1] == 2 and rk[2] == 3 and rk[4] == 3
     finally:
         spark.catalog.dropTempView("null_sort_t")
+
+
+def test_double_quoted_identifiers(engine):
+    """Double-quoted tokens are identifiers in HeavyDB/Calcite (single
+    quotes are the only string syntax); with ANSI off Spark would read
+    them as string LITERALS — silently wrong results. The dialect
+    converts them to backticks; double quotes inside string literals
+    stay data; the 1-based subscript rewrite follows quoted arrays."""
+    r = engine.sql('SELECT "n_name" FROM nation ORDER BY "n_nationkey" '
+                   "LIMIT 1").first()
+    assert r["n_name"] != "n_name"  # a real column value, not the literal
+    r2 = engine.sql("SELECT 'he said \"hi\"' AS s").first()
+    assert r2["s"] == 'he said "hi"'
+    r3 = engine.sql(
+        'SELECT "arr"[1] AS first_el FROM '
+        "(SELECT array(7, 8, 9) AS arr)"
+    ).first()
+    assert r3["first_el"] == 7  # 1-based through the quoted identifier
