@@ -475,3 +475,53 @@ def test_randomized_create_table_defs(engine, seed):
                 assert row[dcol] == want[dcol][1].strip("'"), (cols, row)
     finally:
         engine.sql("DROP TABLE IF EXISTS rddl_t")
+
+
+# ------------------------------------------- ORDER BY null collation
+#
+# The dialect appends Calcite's default null placement (nulls HIGH) to
+# un-annotated ORDER BY items; DuckDB's default is the same, so an
+# ORDER-SENSITIVE differential over randomized nullable sort keys
+# pins the whole rewrite (multi-item, mixed directions, explicit
+# NULLS clauses, expressions).
+
+@pytest.mark.parametrize("seed", range(20))
+def test_randomized_order_by_null_collation(engine, ddb, seed):
+    rng = random.Random(seed + 50_000)
+    rows = []
+    for i in range(40):
+        a = None if rng.random() < 0.3 else rng.randint(0, 5)
+        b = None if rng.random() < 0.3 else round(rng.uniform(0, 3), 2)
+        rows.append((i, a, b))
+    engine.spark.createDataFrame(
+        rows, "id long, a int, b double"
+    ).createOrReplaceTempView("rnd_null_sort")
+    ddb.sql("DROP TABLE IF EXISTS rnd_null_sort")
+    ddb.sql("CREATE TABLE rnd_null_sort (id BIGINT, a INT, b DOUBLE)")
+    ddb.executemany(
+        "INSERT INTO rnd_null_sort VALUES (?, ?, ?)", rows
+    )
+    items = []
+    for col in rng.sample(["a", "b", "a + coalesce(b, 0)"], rng.randint(1, 3)):
+        direction = rng.choice(["", " ASC", " DESC"])
+        nulls = rng.choice(["", "", " NULLS FIRST", " NULLS LAST"])
+        items.append(f"{col}{direction}{nulls}")
+    order = ", ".join(items) + ", id"  # id tiebreak -> total order
+    sql = f"SELECT id FROM rnd_null_sort ORDER BY {order}"
+    # DuckDB's own default is NULLS LAST on BOTH directions (unlike
+    # Calcite's HIGH, which flips on DESC) — so the oracle runs the
+    # dialect-REWRITTEN sql, whose every item carries an explicit
+    # NULLS clause; the assertion then pins (a) the rewrite emitting
+    # Calcite's placement and (b) Spark executing it.
+    from heavydb_spark import dialect as _dialect
+
+    rewritten = _dialect.rewrite(sql)
+    # every un-annotated item gained a clause: count NULLS >= items
+    assert rewritten.upper().count("NULLS") >= len(items) + 1, (
+        sql, rewritten,
+    )
+    got = [r["id"] for r in engine.sql(sql).collect()]
+    want = [r[0] for r in ddb.sql(rewritten).fetchall()]
+    assert got == want, (sql, rewritten, got[:10], want[:10])
+    engine.spark.catalog.dropTempView("rnd_null_sort")
+    ddb.sql("DROP TABLE rnd_null_sort")
