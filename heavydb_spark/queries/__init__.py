@@ -65,6 +65,7 @@ _PRIORITY = [
     "geo_h3_binning",            # H3-style hex cell encode/decode/parent
     "tpcds_q47_monthly_deviation",  # lag/lead + windowed avg per brand
     "tpcds_q74_yoy_growth",      # CTE self-join year-over-year
+    "sql_dialect_null_order",    # Calcite nulls-HIGH default collation
     # --- code-touched in round 5 — re-verify (hint/DDL/dialect fixes) ---
     "sql_dialect_window_fill",
     "dml_update_postimage",

@@ -375,3 +375,47 @@ def sql_dialect_window_fill(spark, sf_dir):
         FROM events WHERE user_id < 12
         ORDER BY user_id, _ts, event_id
     """).drop("_ts")
+
+
+@query(
+    "sql_dialect_null_order",
+    oracle="""
+    WITH k AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 3 = 0 THEN NULL
+                    ELSE o_totalprice END AS v
+        FROM orders WHERE o_orderkey < 120
+    )
+    SELECT o_orderkey,
+           row_number() OVER (ORDER BY v NULLS LAST,
+                              o_orderkey NULLS LAST) AS rn_asc,
+           row_number() OVER (ORDER BY v DESC NULLS FIRST,
+                              o_orderkey NULLS LAST) AS rn_desc
+    FROM k ORDER BY o_orderkey
+    """,
+)
+def sql_dialect_null_order(spark, sf_dir):
+    """Calcite default null collation through engine.sql
+    (SqlToRelConverter.java:2185 nulls HIGH: LAST on ASC, FIRST on
+    DESC): the Spark side writes NO NULLS clauses — the dialect
+    appends them — while the oracle spells Calcite's placement
+    explicitly (DuckDB's own default is LAST on both directions, so
+    an un-annotated oracle would NOT match on DESC). row_number makes
+    the ordering hash-comparable; the global window is a deliberate
+    part of the semantics probe over a 80-row slice, not a scale
+    pattern."""
+    from heavydb_spark.engine import Engine
+
+    eng = Engine(spark).attach(sf_dir)
+    return eng.sql("""
+        WITH k AS (
+            SELECT o_orderkey,
+                   CASE WHEN o_orderkey % 3 = 0 THEN NULL
+                        ELSE o_totalprice END AS v
+            FROM orders WHERE o_orderkey < 120
+        )
+        SELECT o_orderkey,
+               row_number() OVER (ORDER BY v, o_orderkey) AS rn_asc,
+               row_number() OVER (ORDER BY v DESC, o_orderkey) AS rn_desc
+        FROM k ORDER BY o_orderkey
+    """)
