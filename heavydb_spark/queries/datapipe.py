@@ -1112,8 +1112,8 @@ def pipe_end_to_end_corpus(spark, sf_dir):
     )
     SELECT lang, source,
            count(*) AS n_docs,
-           sum(toks) AS total_tokens,
-           sum(n_chars) AS total_chars,
+           CAST(sum(toks) AS BIGINT) AS total_tokens,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
            round(avg(alpha), 4) AS avg_alpha_ratio,
            round(sum(CASE WHEN copies > 1 THEN 1 ELSE 0 END) * 1.0
                  / count(*), 4) AS dup_ratio,
@@ -1172,7 +1172,8 @@ _MIX_BUDGETS = {"src0": 700, "src1": 400, "src2": 100000, "src3": 1}
     ) + """
     )
     SELECT source, count(*) AS n_docs,
-           sum(len(string_split_regex(trim(text), '\\s+'))) AS kept_tokens,
+           CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
+               AS kept_tokens,
            min(doc_id) AS min_doc, max(doc_id) AS max_doc
     FROM kept GROUP BY source ORDER BY source
     """,

@@ -74,6 +74,27 @@ def test_oracle_parity_config_loop(spark, ddb, conf, value, name):
         spark.conf.set(conf, old)
 
 
+@pytest.mark.parametrize("name", _oracle_names())
+def test_oracle_result_types_driver_safe(ddb, name):
+    """Guard against driver-fragile oracle result types (r5 verdict #2):
+    DuckDB promotes sum(INTEGER) to HUGEINT (INT128), which external
+    harnesses canonicalize differently than BIGINT (e.g. Arrow fetch
+    -> float64 -> "700.0" vs Spark's "700").  No oracle result column
+    may be HUGEINT — cast aggregate sums to BIGINT in the oracle SQL."""
+    from heavydb_spark.queries import ORACLES
+
+    rel = ddb.sql(ORACLES[name])
+    bad = [
+        (c, str(t))
+        for c, t in zip(rel.columns, rel.types)
+        if str(t).upper() in ("HUGEINT", "INT128", "UHUGEINT")
+    ]
+    assert not bad, (
+        f"{name}: oracle emits driver-fragile column types {bad}; "
+        "CAST(... AS BIGINT) in the oracle SQL"
+    )
+
+
 def test_priority_names_all_registered():
     """Every name in the registration-priority list must exist in the
     catalog — a rename would otherwise silently drop a family out of
