@@ -1237,12 +1237,290 @@ def _apply_null_collation(sql: str) -> str:
     return "".join(out)
 
 
-def rewrite(sql: str) -> str:
+# ---------------------------------------------------------------------------
+# C-style integer division (QueryEngine/ArithmeticIR.cpp kDIVIDE): the
+# reference compiles int/int `/` to truncating integer division; Spark's
+# `/` is always fractional.  Where BOTH operands of a `/` can be PROVEN
+# integer-typed — integer literals, columns whose resolved type is
+# integral (via the `type_of` callback the Engine supplies from the
+# attached schemas), and a small whitelist of integer-returning
+# functions — the `/` is rewritten to Spark's `DIV` (IntegralDivide,
+# which truncates toward zero exactly like C++ and like DuckDB's `//`).
+# Anything unprovable keeps fractional `/`: silently truncating typed
+# expressions would corrupt more queries than it fixes.
+# ---------------------------------------------------------------------------
+
+# integer-typed Spark simple strings / SQL type names
+_INT_TYPENAMES = {
+    "tinyint", "smallint", "int", "integer", "bigint", "long", "short",
+    "byte",
+}
+# functions that return an integral type in BOTH engines regardless of
+# argument type
+_INT_FUNCS_ALWAYS = {
+    "count", "length", "char_length", "character_length", "len",
+    "octet_length", "bit_length", "cardinality", "array_length",
+    "position", "instr", "ascii", "levenshtein", "sign",
+    "hour", "minute", "second", "year", "month", "day", "dayofmonth",
+    "dayofweek", "dayofyear", "weekofyear", "quarter", "datediff",
+    "unix_timestamp",
+}
+# functions whose result is integral iff their argument(s) are
+_INT_FUNCS_ARG = {"abs", "sum", "min", "max", "greatest", "least", "mod",
+                  "coalesce", "nullif", "if", "ifnull", "nvl"}
+# identifiers that must not be mistaken for a function name when a
+# parenthesized group follows them
+_NONFUNC_KEYWORDS = {
+    "select", "where", "when", "then", "else", "and", "or", "on", "by",
+    "as", "in", "not", "case", "end", "from", "join", "like", "between",
+    "is", "all", "any", "some", "distinct", "having", "union", "except",
+    "intersect", "over", "partition", "order", "group", "rows", "range",
+    "interval", "exists", "limit", "offset", "values", "set", "using",
+    "left", "right", "inner", "outer", "full", "cross", "escape",
+}
+
+_IDENT_FULL_RE = re.compile(r"[A-Za-z_][\w$]*(\.[A-Za-z_][\w$]*)*\Z")
+_FUNC_CALL_RE = re.compile(r"([A-Za-z_][\w$]*)\s*\((.*)\)\Z", re.S)
+_CAST_TYPE_RE = re.compile(r"\s+as\s+([A-Za-z]+)\s*\Z", re.I | re.S)
+_INT_LIT_RE = re.compile(r"\d+\Z")
+_NUM_LIT_RE = re.compile(r"(\d+(\.\d*)?|\.\d+)([eE][+-]?\d+)?\Z")
+_DIV_WORD_RE = re.compile(r"(?i)(?<![\w$])div(?![\w$])")
+
+
+def _factor_is_integral(text: str, type_of) -> bool:
+    t = text.strip()
+    while t[:1] in "+-":
+        t = t[1:].lstrip()
+    if not t:
+        return False
+    if t.startswith("(") and t.endswith(")"):
+        return _expr_is_integral(t[1:-1], type_of)
+    if "\x00" in t:  # masked string literal
+        return False
+    if _INT_LIT_RE.fullmatch(t):
+        return True
+    if _NUM_LIT_RE.fullmatch(t):  # fractional / exponent literal
+        return False
+    fm = _FUNC_CALL_RE.fullmatch(t)
+    if fm:
+        fname, args = fm.group(1).lower(), fm.group(2)
+        if fname in _INT_FUNCS_ALWAYS:
+            return True
+        if fname == "cast":
+            mm = _CAST_TYPE_RE.search(args)
+            return bool(mm) and mm.group(1).lower() in _INT_TYPENAMES
+        if fname in _INT_FUNCS_ARG:
+            parts = _split_top_level(args)
+            return bool(parts) and all(
+                _expr_is_integral(p, type_of) for p in parts
+            )
+        return False
+    if t.startswith("`") and t.endswith("`") and len(t) > 1:
+        col = t[1:-1].replace("``", "`").lower()
+        return type_of is not None and type_of(col) is True
+    if _IDENT_FULL_RE.fullmatch(t):
+        col = t.split(".")[-1].lower()
+        return type_of is not None and type_of(col) is True
+    return False
+
+
+def _expr_is_integral(text: str, type_of) -> bool:
+    """Whole arithmetic expression integral: every top-level +,-,*,/,%
+    term/factor integral; any non-arithmetic top-level construct bails."""
+    t = text.strip()
+    if not t:
+        return False
+    parts, start, depth, i, n = [], 0, 0, 0, len(t)
+    while i < n:
+        c = t[i]
+        if c == "\x00":
+            j = t.find("\x00", i + 1)
+            if j < 0:
+                return False
+            i = j + 1
+            continue
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif depth == 0:
+            if c in "+-*/%":
+                if c in "+-" and not t[start:i].strip():
+                    i += 1  # unary sign
+                    continue
+                parts.append(t[start:i].strip())
+                start = i + 1
+            elif c in ",<>=|&?:!'\"":
+                return False
+        i += 1
+    parts.append(t[start:].strip())
+    final: list[str] = []
+    for p in parts:
+        final.extend(x.strip() for x in _DIV_WORD_RE.split(p))
+    if any(not p for p in final):
+        return False
+    return all(_factor_is_integral(p, type_of) for p in final)
+
+
+def _parse_factor_fwd(s: str, i: int):
+    """Parse one multiplicative factor starting at/after index i going
+    forward; returns (start, end) bounds or None."""
+    n = len(s)
+    while i < n and s[i].isspace():
+        i += 1
+    start = i
+    while i < n and s[i] in "+-":
+        i += 1
+        while i < n and s[i].isspace():
+            i += 1
+    if i >= n:
+        return None
+    c = s[i]
+    if c == "(":
+        return (start, _scan_balanced(s, i + 1))
+    if c == "\x00":
+        j = s.find("\x00", i + 1)
+        return (start, j + 1) if j >= 0 else None
+    if c == "`":
+        j = s.find("`", i + 1)
+        return (start, j + 1) if j >= 0 else None
+    if c.isdigit() or (c == "." and i + 1 < n and s[i + 1].isdigit()):
+        m = re.compile(r"(\d+(\.\d*)?|\.\d+)([eE][+-]?\d+)?").match(s, i)
+        return (start, m.end()) if m else None
+    m = re.compile(r"[A-Za-z_][\w$]*").match(s, i)
+    if m:
+        j = m.end()
+        while j < n and s[j] == ".":
+            m2 = re.compile(r"[A-Za-z_][\w$]*").match(s, j + 1)
+            if not m2:
+                break
+            j = m2.end()
+        k = j
+        while k < n and s[k].isspace():
+            k += 1
+        if k < n and s[k] == "(" and \
+                s[m.start():j].lower() not in _NONFUNC_KEYWORDS:
+            return (start, _scan_balanced(s, k + 1))
+        return (start, j)
+    return None
+
+
+def _parse_factor_bwd(s: str, i: int):
+    """Parse one multiplicative factor ENDING just before index i going
+    backward; returns (start, end) bounds or None."""
+    j = i
+    while j > 0 and s[j - 1].isspace():
+        j -= 1
+    if j == 0:
+        return None
+    c = s[j - 1]
+    if c == ")":
+        depth, k = 0, j - 1
+        while k >= 0:
+            if s[k] == ")":
+                depth += 1
+            elif s[k] == "(":
+                depth -= 1
+                if depth == 0:
+                    break
+            k -= 1
+        if k < 0 or depth != 0:
+            return None
+        e = k
+        while e > 0 and s[e - 1].isspace():
+            e -= 1
+        a = e
+        while a > 0 and (s[a - 1].isalnum() or s[a - 1] in "_$"):
+            a -= 1
+        name = s[a:e]
+        if name and re.fullmatch(r"[A-Za-z_][\w$]*", name) \
+                and name.lower() not in _NONFUNC_KEYWORDS:
+            return (a, j)
+        return (k, j)
+    if c == "`":
+        k = s.rfind("`", 0, j - 1)
+        return (k, j) if k >= 0 else None
+    if c == "\x00":
+        k = s.rfind("\x00", 0, j - 1)
+        return (k, j) if k >= 0 else None
+    if c.isalnum() or c in "_$.":
+        a = j
+        while a > 0 and (s[a - 1].isalnum() or s[a - 1] in "_$."):
+            a -= 1
+        # scientific-notation literal: 1e-3 parses back to "3" — extend
+        # through the sign and mantissa so the float isn't mistaken for
+        # an integer factor
+        if a >= 2 and s[a - 1] in "+-" and s[a - 2] in "eE" and \
+                a >= 3 and (s[a - 3].isdigit() or s[a - 3] == "."):
+            a -= 2
+            while a > 0 and (s[a - 1].isdigit() or s[a - 1] == "."):
+                a -= 1
+        return (a, j)
+    return None
+
+
+def _rewrite_int_division(sql: str, type_of) -> str:
+    """Rewrite provably-int/int `a / b` to `a DIV b` (see block comment
+    above).  Left operand is the whole multiplicative chain to the left
+    (so `1.0 * a / b` stays fractional); right operand is the next
+    factor.  Runs on masked SQL: string literals are \\x00N\\x00 tokens
+    and never contain a slash."""
+    out = sql
+    i = 0
+    while True:
+        i = out.find("/", i)
+        if i < 0:
+            return out
+        # comment delimiters /* */ — and any // typo — pass through
+        if (i + 1 < len(out) and out[i + 1] in "*/") or \
+                (i > 0 and out[i - 1] in "*/"):
+            i += 2
+            continue
+        if out.count("`", 0, i) % 2 == 1:  # inside a backtick identifier
+            i += 1
+            continue
+        r = _parse_factor_fwd(out, i + 1)
+        if r is None or not _factor_is_integral(out[r[0]:r[1]], type_of):
+            i += 1
+            continue
+        ok, pos = True, i
+        while True:
+            f = _parse_factor_bwd(out, pos)
+            if f is None or not _factor_is_integral(
+                out[f[0]:f[1]], type_of
+            ):
+                ok = False
+                break
+            p = f[0]
+            while p > 0 and out[p - 1].isspace():
+                p -= 1
+            if p > 0 and out[p - 1] in "*%/":
+                pos = p - 1
+                continue
+            if p >= 3 and out[p - 3:p].lower() == "div" and (
+                p == 3 or not (out[p - 4].isalnum() or out[p - 4] in "_$")
+            ):
+                pos = p - 3
+                continue
+            break
+        if ok:
+            out = out[:i] + " DIV " + out[i + 1:]
+            i += 5
+        else:
+            i += 1
+
+
+def rewrite(sql: str, type_of=None) -> str:
     """Rewrite a HeavyDB-dialect SQL string into Spark SQL.
 
     Single-quoted string literals are masked before the textual rewrites
     run, so function-looking text inside a literal (e.g. a LIKE pattern
-    containing "SAMPLE(") passes through byte-identical."""
+    containing "SAMPLE(") passes through byte-identical.
+
+    `type_of(colname) -> True|False|None` (optional) reports whether a
+    lowercased unqualified column is integer-typed in the attached
+    schemas; it drives the reference-semantics int/int division rewrite
+    (ArithmeticIR.cpp kDIVIDE)."""
     out = sql
     for pat, repl in _QUOTED_ARG_REWRITES:
         out = pat.sub(repl, out)
@@ -1267,6 +1545,9 @@ def rewrite(sql: str) -> str:
         + "`",
         out,
     )
+    # int/int division runs on the user's expression text, before the
+    # function rewrites below can inject fractional `/` of their own
+    out = _rewrite_int_division(out, type_of)
     for pat, repl in _REWRITES:
         out = pat.sub(repl, out)
     # bracket array constructor ARRAY[...] -> array(...); loop so

@@ -49,6 +49,54 @@ _DELETE_RE = re.compile(
 )
 
 
+# Tests flip this to force the public-API plan-text path (the one Spark
+# Connect clients take, where DataFrame._jdf does not exist).
+_FORCE_PUBLIC_EXPLAIN = False
+
+
+def _explain_text(df: DataFrame, mode: str) -> str:
+    """Plan text for a DataFrame.  Prefers the JVM bridge (exact string
+    the reference-style EXPLAIN consumers expect) and degrades to
+    capturing the public `df.explain(mode=...)` output — the only path
+    available under Spark Connect, where `_jdf`/`_jvm` don't exist
+    (same degrade pattern as operators/similarity.py `_probe_dim`)."""
+    if not _FORCE_PUBLIC_EXPLAIN:
+        try:
+            return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+                df._jdf.queryExecution(), mode
+            )
+        except Exception:
+            pass
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode=mode)
+    return buf.getvalue()
+
+
+def _plan_section(df: DataFrame, header: str) -> str:
+    """One named section (e.g. 'Optimized Logical Plan') of the plan.
+    JVM path reads the QueryExecution object directly; the public
+    fallback slices the `== header ==`-delimited extended text."""
+    if not _FORCE_PUBLIC_EXPLAIN:
+        try:
+            qe = df._jdf.queryExecution()  # noqa: SLF001
+            if header.startswith("Optimized"):
+                return qe.optimizedPlan().toString()
+            return qe.analyzed().toString()
+        except Exception:
+            pass
+    text = _explain_text(df, "extended")
+    marker = f"== {header} =="
+    if marker in text:
+        body = text.split(marker, 1)[1]
+        nxt = body.find("\n== ")
+        return body[:nxt].strip("\n") if nxt >= 0 else body.strip("\n")
+    return text
+
+
 def _split_where(clause: str) -> tuple[str, str | None]:
     """Split `... WHERE cond` at the first WHERE token OUTSIDE string
     literals and parentheses (a literal 'a WHERE b' or a subquery's
@@ -947,8 +995,61 @@ class Engine:
             )
             query = m.group(1) + defs + m.group(3)
         query, hints = _extract_query_hints(query)
-        df = self.spark.sql(dialect.rewrite(query))
+        df = self.spark.sql(
+            dialect.rewrite(query, type_of=self._type_resolver(query))
+        )
         return self._apply_query_hints(df, hints)
+
+    def _type_resolver(self, context: str):
+        """Column-type callback for the dialect's reference-semantics
+        int/int division rewrite (ArithmeticIR.cpp kDIVIDE): resolves a
+        lowercased unqualified column name against the schemas of the
+        registered tables the statement text references.  Returns None
+        (no resolver — literal-only rewriting) when the statement has
+        no `/` at all.  Unknown columns resolve None and ambiguous
+        mixed-type names resolve False, so the rewrite stays
+        conservative: fractional `/` is kept unless integer-ness is
+        proven."""
+        if "/" not in context:
+            return None
+        schemas: list | None = None
+        memo: dict[str, bool | None] = {}
+        int_types = {"tinyint", "smallint", "int", "bigint"}
+
+        def type_of(col: str):
+            nonlocal schemas
+            if col in memo:
+                return memo[col]
+            if schemas is None:
+                toks = set(
+                    re.findall(r"[a-z_][a-z0-9_$]*", context.lower())
+                )
+                schemas = []
+                try:
+                    names = [
+                        t.name for t in self.spark.catalog.listTables()
+                    ]
+                except Exception:
+                    names = []
+                for nm in names:
+                    if nm.lower() in toks:
+                        try:
+                            schemas.append(self.spark.table(nm).schema)
+                        except Exception:
+                            pass
+            types = set()
+            for sch in schemas:
+                for fld in sch.fields:
+                    if fld.name.lower() == col:
+                        types.add(fld.dataType.simpleString())
+            res = (
+                None if not types
+                else all(t in int_types for t in types)
+            )
+            memo[col] = res
+            return res
+
+        return type_of
 
     def _apply_query_hints(
         self, df: DataFrame, hints: dict[str, str | None]
@@ -970,7 +1071,7 @@ class Engine:
         if not hints:
             return df
         if "disable_loop_join" in hints:
-            plan = df._jdf.queryExecution().executedPlan().toString()
+            plan = _explain_text(df, "simple")
             if "BroadcastNestedLoopJoin" in plan or "CartesianProduct" in plan:
                 raise ValueError(
                     "hint disable_loop_join: plan requires a loop join "
@@ -1263,7 +1364,9 @@ class Engine:
             sel = body[2:].strip()
             if sel.startswith("(") and sel.endswith(")"):
                 sel = sel[1:-1]
-            ctas_select = dialect.rewrite(sel)
+            ctas_select = dialect.rewrite(
+                sel, type_of=self._type_resolver(sel)
+            )
         else:
             raise ValueError(f"unsupported CREATE TABLE body: {body[:60]}")
 
@@ -1320,9 +1423,13 @@ class Engine:
         from heavydb_spark.operators.mutation import update_projection
 
         df = self.spark.table(table)
-        cond = F.expr(dialect.rewrite(where)) if where else F.lit(True)
+        tof = self._type_resolver(f"{table} {set_clause} {where or ''}")
+        cond = (
+            F.expr(dialect.rewrite(where, type_of=tof))
+            if where else F.lit(True)
+        )
         assignments = {
-            k: F.expr(dialect.rewrite(v))
+            k: F.expr(dialect.rewrite(v, type_of=tof))
             for k, v in _split_assignments(set_clause).items()
         }
         affected = df.filter(cond).count()
@@ -1333,7 +1440,13 @@ class Engine:
         from heavydb_spark.operators.mutation import delete_filter
 
         df = self.spark.table(table)
-        cond = F.expr(dialect.rewrite(where)) if where else F.lit(True)
+        cond = (
+            F.expr(dialect.rewrite(
+                where,
+                type_of=self._type_resolver(f"{table} {where}"),
+            ))
+            if where else F.lit(True)
+        )
         affected = df.filter(cond).count()
         self._dml_apply(table, delete_filter(df, cond))
         return self.spark.range(1).select(F.lit(affected).alias("rows_affected"))
@@ -2072,7 +2185,11 @@ class Engine:
         stripped, _hints = _extract_query_hints(query)
         if _TF_CURSOR_RE.search(stripped):
             stripped = self._expand_cursor_table_functions(stripped)
-        df = self.spark.sql(dialect.rewrite(stripped))
+        df = self.spark.sql(
+            dialect.rewrite(
+                stripped, type_of=self._type_resolver(stripped)
+            )
+        )
         return [
             (f.name, _heavy_type(f.dataType.simpleString()))
             for f in df.schema.fields
@@ -2088,19 +2205,17 @@ class Engine:
         the shape the reference's sql_execute returns for explain
         queries (DBHandler; Tests/ExecuteTest.cpp Explain section)."""
         df = self.sql(inner.strip())
-        qe = df._jdf.queryExecution()
-        jvm = df._sc._jvm  # noqa: SLF001 - same reach as Engine.explain
         k = (kind or "").upper().split()
         if not k:  # plain EXPLAIN = the generated-kernel view
-            text = jvm.PythonSQLUtils.explainString(qe, "formatted")
+            text = _explain_text(df, "formatted")
         elif k[0] == "OPTIMIZED":
-            text = qe.optimizedPlan().toString()
+            text = _plan_section(df, "Optimized Logical Plan")
         elif k[0] == "CALCITE" and len(k) > 1:  # CALCITE DETAIL
-            text = jvm.PythonSQLUtils.explainString(qe, "extended")
+            text = _explain_text(df, "extended")
         elif k[0] == "CALCITE":
-            text = qe.analyzed().toString()
+            text = _plan_section(df, "Analyzed Logical Plan")
         else:  # PLAN
-            text = jvm.PythonSQLUtils.explainString(qe, "simple")
+            text = _explain_text(df, "simple")
         return self.spark.createDataFrame(
             [(text,)], "Explanation STRING"
         )
@@ -2108,10 +2223,7 @@ class Engine:
     def explain(self, query: str, mode: str = "formatted") -> str:
         """EXPLAIN surface (reference: EXPLAIN / EXPLAIN CALCITE
         statements, ParserWrapper.h) — returns the physical plan."""
-        df = self.sql(query)
-        return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
-            df._jdf.queryExecution(), mode
-        )
+        return _explain_text(self.sql(query), mode)
 
     def stop(self) -> None:
         self.spark.stop()

@@ -237,3 +237,46 @@ def null_handling(spark, sf_dir):
         )
         .orderBy("o_orderstatus")
     )
+
+
+@query(
+    "sql_dialect_int_division",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_orderkey // l_linenumber AS int_div,
+           7 // 2 AS lit_div,
+           (0 - 7) // 2 AS neg_lit_div,
+           l_orderkey // 4 AS col_lit_div,
+           (l_partkey + l_suppkey) // 3 AS expr_div,
+           round(l_quantity / 2, 6) AS frac_div,
+           round(l_orderkey * 1.0 / l_linenumber, 6) AS guarded_div
+    FROM lineitem WHERE l_orderkey < 200
+    ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def sql_dialect_int_division(spark, sf_dir):
+    """Reference-semantics C-style integer division through engine.sql
+    (QueryEngine/ArithmeticIR.cpp kDIVIDE; Tests/ExecuteTest.cpp
+    division cases): `/` over two provably integer-typed operands
+    truncates toward zero — int columns, int literals, a negative
+    literal, and an additive int expression all integer-divide, while a
+    DOUBLE operand (l_quantity) or a float factor anywhere in the left
+    multiplicative chain (l_orderkey * 1.0) keeps Spark's fractional
+    division.  The dialect proves operand types via the Engine's
+    attached-schema resolver and emits Spark `DIV` (IntegralDivide —
+    the same trunc-toward-zero as C++ and DuckDB's `//`)."""
+    from heavydb_spark.engine import Engine
+
+    eng = Engine(spark).attach(sf_dir)
+    return eng.sql("""
+        SELECT l_orderkey, l_linenumber,
+               l_orderkey / l_linenumber AS int_div,
+               7 / 2 AS lit_div,
+               -7 / 2 AS neg_lit_div,
+               l_orderkey / 4 AS col_lit_div,
+               (l_partkey + l_suppkey) / 3 AS expr_div,
+               ROUND(l_quantity / 2, 6) AS frac_div,
+               ROUND(l_orderkey * 1.0 / l_linenumber, 6) AS guarded_div
+        FROM lineitem WHERE l_orderkey < 200
+        ORDER BY l_orderkey, l_linenumber
+    """)

@@ -56,6 +56,10 @@ def build_scaled(spark) -> None:
         "customer": (["c_custkey"], None),
         "orders": (["o_orderkey"], None),
         "lineitem": (["l_orderkey"], None),
+        # events grow as more USERS over the same time range (user_id
+        # shifted per copy) — so time-bucketed windows get 10x fatter
+        # buckets and per-supplier/user frames get probed for skew
+        "events": (["event_id", "user_id"], None),
     }
     for name, (shift, text_col) in plans.items():
         df = load_table(spark, SRC, name)
@@ -101,6 +105,12 @@ def main() -> None:
         "B19_tpch_q21": "tpch_q21_waiting_supplier",
         "B20_corpus_report": "pipe_corpus_report",
         "B21_pixel_bins": "render_pixel_bins",
+        # window-heavy heads (r5 verdict #6): the op class most likely
+        # to hide partition skew — B09's frame partitions on 20
+        # suppliers whose groups grow 10x; B12's tumbling buckets get
+        # 10x fatter over the same time range
+        "B09_window_moving_avg": "window_moving_avg",
+        "B12_stream_window": "stream_tumbling_window",
     }
     results = {}
     for bid, qname in heads.items():
