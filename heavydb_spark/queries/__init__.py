@@ -37,148 +37,145 @@ from heavydb_spark.queries import (  # noqa: F401,E402
 # Registration-order priority.
 #
 # The verify driver correctness-checks queries in registration order with a
-# bounded budget (~50 per round).  The union of the r1-r4 windows covered
-# 175/182 queries with zero outstanding failures; the round-4 verdict named
-# the 7 queries that landed at positions 51-57 (past the window) as the last
-# verification hole, so round 5 leads with exactly those, then queries
-# ADDED/TOUCHED this round, then the stale-green regression slice the
-# verdict listed (r1-green queries whose surrounding engine/dialect code was
-# touched in r3-r5), then the rows-only rotation.
+# bounded budget (~50 per round).  r1-r5 union: all 193 pre-r6 queries
+# driver-checked at least once, 2 reds (HUGEINT-fragile oracles, fixed in
+# r6).  Round-6 window composition, per the r5 verdict:
+#   1-2  the two r5 reds with their driver-robust (BIGINT-cast) oracles;
+#   3-5  the r6 additions (int-division dialect closeout, TPC-DS q67/q64);
+#   then every query whose last driver check was ROUND 1 — all 29 predate
+#        the r4/r5 global dialect changes (null collation, quoted
+#        identifiers, now int division) and several go through Engine.sql
+#        with un-annotated ORDER BYs (sort_topk, agg_groupby_*, subquery_*);
+#   then r2-checked queries up to the ~50 budget (dedup/fn_*/geo slice
+#        doubles as the rows-only rotation for dedup_simhash);
+#   past the window: remaining r2/r3-checked stale queries first so an
+#        over-budget driver keeps eating staleness, then the r4/r5 greens.
 # ---------------------------------------------------------------------------
 _PRIORITY = [
-    # --- the 7 never-driver-checked queries (VERDICT r4 item 1) ---
-    "text_repetition",
-    "subquery_correlated_scalar",
-    "subquery_not_in_nulls",
-    "dml_update_correlated_postimage",
-    "tpcds_cross_channel",
-    "tpcds_q51_cumulative_join",
-    "tpcds_q88_band_counts",
-    # --- round-5 additions / graduations ---
-    "ml_model_ddl_tree",         # CREATE MODEL tree/PCA types + data split
-    "ml_model_ddl_pca",
-    "geo_buffer_dispatch",       # single-name ST_Buffer over point/line/poly
-    "geo_transform_epsg",        # arbitrary-SRID TM transform (27700-style)
-    "pipe_corpus_report",        # per-(lang, source) corpus statistics
-    "pipe_mix_token_budget",     # data-recipe mixing by token budget
-    "render_pixel_bins",         # backend-render rect/hex binning
-    "geo_h3_binning",            # H3-style hex cell encode/decode/parent
-    "tpcds_q47_monthly_deviation",  # lag/lead + windowed avg per brand
-    "tpcds_q74_yoy_growth",      # CTE self-join year-over-year
-    "sql_dialect_null_order",    # Calcite nulls-HIGH default collation
-    # --- code-touched in round 5 — re-verify (hint/DDL/dialect fixes) ---
-    "sql_dialect_window_fill",
-    "dml_update_postimage",
-    "dml_delete_postimage",
-    # --- stale-green regression slice (VERDICT r4 item 5) ---
-    "null_handling",
-    "case_expr",
-    "in_list_filter",
-    "join_theta_loop",
-    "window_ranks",
-    "window_range_interval",
-    "sort_limit_offset",
-    "union_all",
-    "values_literal",
-    # --- round-4 greens: keep a representative subset in-window ---
-    "geo_geos_union_diff",
-    "geo_multipolygon_props",
-    "geo_transform_utm",
-    "tf_point_cloud_metadata",
-    "tf_load_point_cloud",
-    "tf_torch_obj_detect",
-    "pipe_end_to_end_corpus",
-    "dedup_simhash_portable",
-    "dedup_minhash_portable",
-    "sim_ann_lsh",
-    "tf_generate_random_strings",
-    "ml_dbscan",
-    "pipe_mix_sources",
-    "sim_embedding_neardup",
-    "window_lag_lead_in_frame",
-    "join_multistep_tpch_q7",
-    "pipe_pack_sequences",
-    "tf_raster_slope_path",
-    "tpch_q9_product_profit",
-    "tpch_q21_waiting_supplier",
-    "stream_interval_join_full",
-    "pipe_dedup_keep_best",
-    "tpcds_q36_hierarchy_rank",
-    "agg_approx_invariants",
-    "tf_raster_slope_path_invariants",
-    # --- remaining round-4 greens (rolled past the window, all green r4) ---
-    "geo_geos_convexhull",
-    "geo_geos_concavehull",
-    "ml_kmeans_invariants",
-    "ml_pca_invariants",
-    "ml_forest_invariants",
-    "sim_ann_ivf_invariants",
-    "ml_pca_fit_invariants",
-    "ml_var_importance_invariants",
-    "ml_decision_trees_invariants",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q4_priority_exists",
-    "tpch_q8_market_share",
-    "tpch_q11_important_value",
-    "tpch_q12_priority_class",
-    "tpch_q13_order_distribution",
-    "tpch_q14_promo_revenue",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_cnt",
-    "tpch_q17_small_qty_revenue",
-    "tpch_q18_large_orders",
-    "tpch_q19_disjunctive_join",
-    "tpch_q20_nested_in",
-    "tpch_q22_global_sales",
-    "stream_interval_join_outer",
-    # --- rows-only rotation: every sketch/iterative query re-recorded
-    # this round (invariant value-tests live in tests/test_operators.py:
-    # kmeans cluster consistency, dbscan density, pca distances,
-    # var_importance simplex, planted-dup recovery) ---
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "sim_ann_ivf",
-    "ml_kmeans",
-    "ml_pca_project",
-    "ml_pca_fit",
-    "ml_var_importance",
-    "ml_decision_trees",
-    "ml_forest_predict",
-    # --- regression slice: one green representative per family ---
-    "pricing_summary",
-    "scan_project_filter",
-    "join_star_agg",
-    "join_multistep_tpch_q3",
-    "join_multistep_tpch_q5",
-    "join_multistep_tpch_q10",
-    "agg_groupby_multicol",
-    "agg_count_if_sum_if",
-    "window_moving_avg",
-    "window_forward_fill",
+    # --- the two r5 reds, oracles now HUGEINT-free (verdict item 1) ---
+    "pipe_corpus_report",
+    "pipe_mix_token_budget",
+    # --- round-6 additions ---
+    "sql_dialect_int_division",   # C-style int/int division closeout
+    "tpcds_q67_rollup_rank",      # ROLLUP + rank over grouping levels
+    "tpcds_q64_cross_year_sales", # wide multi-CTE self-join
+    # --- last checked r1 (predates all global dialect changes) ---
+    "sort_topk",
+    "agg_groupby_avg",
+    "agg_groupby_count",
+    "agg_groupby_highcard",
+    "agg_having",
+    "agg_count_star",
+    "agg_count_distinct",
+    "agg_approx_count_distinct",
+    "agg_approx_percentile",
+    "agg_exact_median",
+    "agg_mode",
+    "agg_stats",
+    "agg_sample_any_value",
+    "agg_rollup",
+    "agg_cube",
+    "distinct_projection",
+    "subquery_scalar",
+    "subquery_in_select",
+    "subquery_correlated_exists",
+    "join_anti",
+    "join_semi",
+    "join_left_outer",
+    "join_multi_key",
+    "join_null_safe",
+    "join_range_qual",
+    "window_lag_lead",
+    "window_running_sum",
+    "window_ntile_firstlast",
+    "window_row_number_topn",
     "window_conditional_change_event",
-    "union_distinct",
+    # --- last checked r2, filling the ~50 budget ---
+    "fn_string_basic",
+    "fn_string_regex",
+    "fn_string_distance",
+    "fn_math",
+    "fn_cast_trycast",
+    "fn_datetime_week_variants",
+    "fn_array_ops",
+    "fn_unnest_explode",
+    "fn_json_value",
+    "fn_encode_hash",
+    "fn_udaf_geomean",
+    "like_regexp_filter",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "geo_bbox_join",
+    "geo_point_distance",
+    # --- past the window: remaining stale r2/r3 before any r4/r5 green ---
+    "geo_polygon_contains_join",
+    "geo_polygon_props",
+    "geo_range_join",
+    "intersect_keys",
+    "except_keys",
+    "llm_transform_template",
+    "ml_linear_reg",
+    "ml_r2_score",
+    "mm_media_features",
+    "sim_ann_ivf",
+    "sim_cosine_topk",
+    "stream_dedup_events",
+    "stream_session_window",
+    "stream_tumbling_window",
+    "text_lang_id",
+    "text_token_stats",
+    "tf_cross_section_1d",
+    "tf_dwell_times",
+    "tf_feature_similarity",
+    "tf_generate_series",
+    "tf_generate_series_ts",
+    "tf_geo_rasterize",
+    "tf_geo_rasterize_slope",
+    "tf_graph_shortest_paths",
+    "dedup_connected_components",
+    "agg_count_if_sum_if",
+    "agg_groupby_multicol",
+    "dedup_fingerprint",
+    "dedup_minhash_lsh",
     "fn_datetime",
     "fn_decimal",
     "fn_string_extra",
-    "sim_cosine_topk",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_connected_components",
-    "pipe_decontaminate",
-    "pipe_sample_stratified",
-    "pipe_pii_scrub",
-    "pipe_dictionary_encode",
-    "text_quality",
-    "text_lang_id",
-    "mm_frame_sample",
-    "geo_polygon_contains_join",
-    "geo_bbox_join",
     "geo_accessors_distance",
-    "tf_cross_section_2d",
-    "tf_mandelbrot",
+    "geo_grid_join",
+    "geo_linestring_props",
+    "geo_polygon_intersects",
+    "geo_transform_900913",
+    "geo_wkt_roundtrip",
+    "join_multistep_tpch_q10",
+    "join_multistep_tpch_q3",
+    "join_multistep_tpch_q5",
+    "join_star_agg",
+    "ml_decision_trees",
+    "ml_forest_predict",
+    "ml_kmeans",
     "ml_linear_reg2",
+    "ml_pca_fit",
+    "ml_pca_project",
+    "ml_var_importance",
+    "mm_frame_sample",
+    "pipe_decontaminate",
+    "pipe_dictionary_encode",
+    "pipe_pii_scrub",
+    "pipe_sample_stratified",
+    "pricing_summary",
+    "scan_project_filter",
     "stream_interval_join",
     "stream_sliding_window",
+    "text_quality",
+    "tf_cross_section_2d",
+    "tf_feature_query_similarity",
+    "tf_mandelbrot",
+    "tf_raster_contour",
+    "tf_raster_contour_bands",
+    "union_distinct",
+    "window_forward_fill",
+    "window_moving_avg",
 ]
 
 

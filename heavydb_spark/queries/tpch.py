@@ -1240,3 +1240,167 @@ def tpcds_q74_yoy_growth(spark, sf_dir):
         )
         .orderBy("custkey", "base_year")
     )
+
+
+@query(
+    "tpcds_q67_rollup_rank",
+    oracle="""
+    WITH s AS (
+        SELECT n_name, p_brand, o_orderpriority,
+               CAST(extract(year FROM o_orderdate) AS INT) AS yr,
+               CAST(sum(CAST(l_quantity AS INT)) AS BIGINT) AS qty
+        FROM lineitem
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation ON n_nationkey = c_nationkey
+        JOIN part ON p_partkey = l_partkey
+        WHERE p_size <= 5
+        GROUP BY CAST(extract(year FROM o_orderdate) AS INT),
+                 ROLLUP(n_name, p_brand, o_orderpriority)
+    )
+    SELECT yr, n_name, p_brand, o_orderpriority, qty, rk FROM (
+        SELECT yr, n_name, p_brand, o_orderpriority, qty,
+               rank() OVER (PARTITION BY yr
+                            ORDER BY qty DESC NULLS FIRST,
+                                     n_name NULLS LAST,
+                                     p_brand NULLS LAST,
+                                     o_orderpriority NULLS LAST) AS rk
+        FROM s
+    ) t WHERE rk <= 10
+    ORDER BY yr, rk
+    """,
+)
+def tpcds_q67_rollup_rank(spark, sf_dir):
+    """TPC-DS Q67 shape (reference rake harness runs all 99,
+    Benchmarks/rake/README.md:6-31): star join -> ROLLUP over three
+    hierarchy dims with the year as a plain grouping key -> rank()
+    per year across ALL rollup levels (subtotal rows compete with
+    detail rows, exactly Q67's sumsales ranking), keep the top 10.
+    Runs through engine.sql so the un-annotated window/statement ORDER
+    BYs exercise the r5 Calcite nulls-HIGH collation on the rollup's
+    NULL subtotal dims. 100 TB shape: one fact shuffle into the
+    grouping-sets aggregate (Spark expands rollup levels map-side),
+    one window shuffle on the low-cardinality year key, dims
+    broadcast."""
+    from heavydb_spark.engine import Engine
+
+    eng = Engine(spark).attach(sf_dir)
+    return eng.sql("""
+        WITH s AS (
+            SELECT n_name, p_brand, o_orderpriority,
+                   CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS yr,
+                   SUM(CAST(l_quantity AS INT)) AS qty
+            FROM lineitem
+            JOIN orders ON o_orderkey = l_orderkey
+            JOIN customer ON c_custkey = o_custkey
+            JOIN nation ON n_nationkey = c_nationkey
+            JOIN part ON p_partkey = l_partkey
+            WHERE p_size <= 5
+            GROUP BY CAST(EXTRACT(YEAR FROM o_orderdate) AS INT),
+                     ROLLUP(n_name, p_brand, o_orderpriority)
+        )
+        SELECT yr, n_name, p_brand, o_orderpriority, qty, rk FROM (
+            SELECT yr, n_name, p_brand, o_orderpriority, qty,
+                   RANK() OVER (PARTITION BY yr
+                                ORDER BY qty DESC, n_name, p_brand,
+                                         o_orderpriority) AS rk
+            FROM s
+        ) t WHERE rk <= 10
+        ORDER BY yr, rk
+    """)
+
+
+@query(
+    "tpcds_q64_cross_year_sales",
+    oracle="""
+    WITH cross_sales AS (
+        SELECT p_brand, c_custkey, c_name, n_name,
+               CAST(extract(year FROM o_orderdate) AS INT) AS yr,
+               floor(sum(round(l_extendedprice * (1 - l_discount)
+                               * 10000)) / 100 + 0.5) / 100.0 AS rev,
+               CAST(count(*) AS BIGINT) AS n_items
+        FROM lineitem
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation ON n_nationkey = c_nationkey
+        JOIN part ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        WHERE p_size <= 10
+        GROUP BY p_brand, c_custkey, c_name, n_name,
+                 CAST(extract(year FROM o_orderdate) AS INT)
+    )
+    SELECT cs1.p_brand, cs1.c_custkey, cs1.c_name, cs1.n_name,
+           cs1.yr AS base_year, cs1.rev AS base_rev,
+           cs1.n_items AS base_items,
+           cs2.yr AS next_year, cs2.rev AS next_rev,
+           round(cs2.rev / cs1.rev, 4) AS ratio
+    FROM cross_sales cs1
+    JOIN cross_sales cs2
+      ON cs1.p_brand = cs2.p_brand AND cs1.c_custkey = cs2.c_custkey
+     AND cs2.yr = cs1.yr + 1 AND cs2.rev <= cs1.rev * 0.5
+    WHERE cs1.rev > 0
+    ORDER BY cs1.p_brand, cs1.c_custkey, cs1.yr
+    """,
+)
+def tpcds_q64_cross_year_sales(spark, sf_dir):
+    """TPC-DS Q64 shape: one wide multi-table CTE (6-way join:
+    lineitem + orders + customer + nation + part + supplier)
+    aggregated per (brand, customer, year), then SELF-JOINED across
+    consecutive years keeping pairs whose revenue collapsed to <=50%
+    — Q64's cross_sales CTE reused twice with a cross-year equi-join.
+    The CTE is computed ONCE and localCheckpointed (the reference
+    materializes the CTE); revenue uses the exact-cents half-up sum
+    so the <=50% filter can't flip on cross-engine rounding. 100 TB
+    shape: dims broadcast into the fact scan, one shuffle into the
+    (brand, custkey, ...) aggregate, and the self-join re-shuffles on
+    the (brand, custkey) prefix — both sides fact-sized, never
+    broadcast."""
+    li = T(spark, sf_dir, "lineitem")
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    n = T(spark, sf_dir, "nation")
+    p = T(spark, sf_dir, "part").filter(F.col("p_size") <= 10)
+    s = T(spark, sf_dir, "supplier")
+    cross_sales = (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(broadcast(n), F.col("n_nationkey") == F.col("c_nationkey"))
+        .join(broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy(
+            "p_brand", "c_custkey", "c_name", "n_name",
+            F.year("o_orderdate").alias("yr"),
+        )
+        .agg(
+            sum_half_up_cents(_rev()).alias("rev"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    cs1 = cross_sales.alias("cs1")
+    cs2 = cross_sales.alias("cs2")
+    return (
+        cs1.join(
+            cs2,
+            (F.col("cs1.p_brand") == F.col("cs2.p_brand"))
+            & (F.col("cs1.c_custkey") == F.col("cs2.c_custkey"))
+            & (F.col("cs2.yr") == F.col("cs1.yr") + 1)
+            & (F.col("cs2.rev") <= F.col("cs1.rev") * 0.5),
+        )
+        .filter(F.col("cs1.rev") > 0)
+        .select(
+            F.col("cs1.p_brand").alias("p_brand"),
+            F.col("cs1.c_custkey").alias("c_custkey"),
+            F.col("cs1.c_name").alias("c_name"),
+            F.col("cs1.n_name").alias("n_name"),
+            F.col("cs1.yr").alias("base_year"),
+            F.col("cs1.rev").alias("base_rev"),
+            F.col("cs1.n_items").alias("base_items"),
+            F.col("cs2.yr").alias("next_year"),
+            F.col("cs2.rev").alias("next_rev"),
+            F.round(F.col("cs2.rev") / F.col("cs1.rev"), 4).alias(
+                "ratio"
+            ),
+        )
+        .orderBy("p_brand", "c_custkey", "base_year")
+    )

@@ -114,10 +114,22 @@ def main() -> None:
     }
     results = {}
     for bid, qname in heads.items():
+        time.sleep(1.0)  # let the async status listener settle
         rd0, wr0 = shuffle_totals(spark)
         t = time.time()
-        n = QUERIES[qname](spark, OUT).count()
+        # NOT .count(): for 1:1 operators (windows) Catalyst prunes the
+        # whole operator out of a count-only plan — hash every output
+        # column so the full query actually executes
+        out = QUERIES[qname](spark, OUT)
+        from pyspark.sql import functions as SF
+
+        row = out.agg(
+            SF.count(SF.lit(1)).alias("n"),
+            SF.sum(SF.hash(*out.columns).cast("long")).alias("h"),
+        ).first()
+        n = row["n"]
         dt = time.time() - t
+        time.sleep(1.0)
         rd1, wr1 = shuffle_totals(spark)
         results[bid] = {
             "sec": round(dt, 2),
