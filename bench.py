@@ -16,6 +16,8 @@ import statistics
 import sys
 import time
 
+from pyspark.sql import functions as F
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -77,8 +79,17 @@ def main() -> None:
         times = []
         for i in range(ITERATIONS + 1):
             t0 = time.perf_counter()
-            # count() forces full execution without driver-side collect
-            n = fn(spark, SF_DIR).count()
+            # NOT .count(): Catalyst prunes 1:1 operators (windows,
+            # projections, sorts) out of a count-only plan, so count()
+            # under-measures heads like B09/B15.  Hashing every output
+            # column forces the full query without driver-side collect
+            # (BASELINE.md table C documents the r6 re-baseline).
+            out = fn(spark, SF_DIR)
+            row = out.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.hash(*out.columns).cast("long")).alias("h"),
+            ).first()
+            n = row["n"]
             dt = time.perf_counter() - t0
             if i == 0:  # first run = cold (plan + shuffle files + JIT)
                 cold[bench_id] = round(dt, 4)
