@@ -765,6 +765,9 @@ class _SqlExpr:
     def __truediv__(self, o):
         return self._b("/", o)
 
+    def __rtruediv__(self, o):
+        return self._rb("/", o)
+
     def __neg__(self):
         return _SqlExpr(f"-{self.s}")
 
@@ -775,28 +778,66 @@ class _SqlOps:
         return lambda x: _SqlExpr(f"{name}({x.s})")
 
     def __init__(self):
-        for f in ("sin", "cos", "atan", "exp", "ln", "sqrt", "radians"):
+        for f in ("sin", "cos", "atan", "asin", "exp", "ln", "sqrt",
+                  "radians", "degrees"):
             setattr(self, f, self.fn(f))
+
+    @staticmethod
+    def atan2(y, x):
+        return _SqlExpr(f"atan2({y.s}, {x.s})")
 
 
 class _ColOps:
     sin = staticmethod(F.sin)
     cos = staticmethod(F.cos)
     atan = staticmethod(F.atan)
+    asin = staticmethod(F.asin)
+    atan2 = staticmethod(F.atan2)
     exp = staticmethod(F.exp)
     ln = staticmethod(F.log)
     sqrt = staticmethod(F.sqrt)
     radians = staticmethod(F.radians)
+    degrees = staticmethod(F.degrees)
+
+
+class _Datum:
+    """Helmert 7-parameter datum transformation, stored in the EPSG
+    'local datum -> WGS 84' position-vector convention (translation
+    metres, rotations arc-seconds, scale ppm) together with the local
+    ellipsoid. The reference reaches these through proj's +towgs84
+    pipeline (Geospatial/ GDAL delegation); the parameters themselves
+    are public EPSG registry values."""
+
+    def __init__(self, a, inv_f, tx, ty, tz, rx_s, ry_s, rz_s, ds_ppm):
+        import math
+
+        self.a = float(a)
+        self.f = 1.0 / float(inv_f)
+        self.tx, self.ty, self.tz = float(tx), float(ty), float(tz)
+        arc = math.pi / (180.0 * 3600.0)
+        self.rx, self.ry, self.rz = rx_s * arc, ry_s * arc, rz_s * arc
+        self.s = ds_ppm * 1e-6
+
+
+# OSGB36 -> WGS 84 (EPSG transformation 1314, ~2 m accuracy over GB;
+# the same 7 parameters proj ships as 27700's +towgs84). Airy 1830.
+_OSGB36 = _Datum(6377563.396, 299.3249646,
+                 446.448, -125.157, 542.060,
+                 0.1502, 0.2470, 0.8421, -20.4894)
+# ED50 -> WGS 84 (EPSG 1133 European mean, 3-parameter, ~10 m).
+# International 1924 (Hayford) ellipsoid.
+_ED50 = _Datum(6378388.0, 297.0, -87.0, -98.0, -121.0, 0.0, 0.0, 0.0, 0.0)
 
 
 class _TMParams:
     """One transverse-Mercator projected CRS: ellipsoid (a, f), natural
-    origin (lat0, lon0), scale k0, false easting/northing. Projection
-    only — datum shifts (e.g. OSGB36<->WGS84 for EPSG 27700) are proj's
-    job in the reference (Geospatial/ GDAL delegation) and out of scope
-    here; coordinates are treated as referenced to the same datum."""
+    origin (lat0, lon0), scale k0, false easting/northing, and an
+    optional Helmert datum (None = datum-matches-WGS84, e.g. GRS80
+    CRSs treated as coincident, like proj does without a grid). The
+    raw _tm_formula entry points are projection-only; `st_transform`
+    composes the datum step for CRSs that declare one."""
 
-    def __init__(self, a, inv_f, lat0, lon0, k0, e0, n0):
+    def __init__(self, a, inv_f, lat0, lon0, k0, e0, n0, datum=None):
         self.a = float(a)
         self.f = 1.0 / float(inv_f)
         self.lat0 = float(lat0)
@@ -804,6 +845,7 @@ class _TMParams:
         self.k0 = float(k0)
         self.e0 = float(e0)
         self.n0 = float(n0)
+        self.datum = datum
 
 
 _GRS80_INV_F = 298.257222101
@@ -812,9 +854,9 @@ _GRS80_INV_F = 298.257222101
 # TM grids — the reference accepts these via proj
 # (ExtensionFunctionsGeo.hpp ST_Transform overloads + Geospatial/).
 _EPSG_TM: dict[int, _TMParams] = {
-    # OSGB36 / British National Grid (Airy 1830)
+    # OSGB36 / British National Grid (Airy 1830, OSGB36 datum)
     27700: _TMParams(6377563.396, 299.3249646, 49.0, -2.0,
-                     0.9996012717, 400000.0, -100000.0),
+                     0.9996012717, 400000.0, -100000.0, datum=_OSGB36),
     # IRENET95 / Irish Transverse Mercator (GRS80)
     2157: _TMParams(6378137.0, _GRS80_INV_F, 53.5, -8.0,
                     0.99982, 600000.0, 750000.0),
@@ -834,6 +876,11 @@ for _z in range(1, 61):
 for _z in range(28, 39):  # ETRS89 / UTM zones 28N-38N
     _EPSG_TM[25800 + _z] = _TMParams(
         6378137.0, _GRS80_INV_F, 0.0, _z * 6 - 183, 0.9996, 500000.0, 0.0
+    )
+for _z in range(28, 39):  # ED50 / UTM zones 28N-38N (Hayford + datum)
+    _EPSG_TM[23000 + _z] = _TMParams(
+        6378388.0, 297.0, 0.0, _z * 6 - 183, 0.9996, 500000.0, 0.0,
+        datum=_ED50,
     )
 
 
@@ -1022,6 +1069,179 @@ def utm_to_wgs84_sql(e_expr: str, n_expr: str, zone: int) -> tuple[str, str]:
     return lon.s, lat.s
 
 
+# --------------------------------------------------------- datum shifts
+#
+# Helmert 7-parameter datum transformation for CRSs whose datum is not
+# WGS-84-coincident (27700/OSGB36, 230xx/ED50): geodetic (h=0) ->
+# geocentric XYZ -> position-vector Helmert -> geodetic on the other
+# ellipsoid (Bowring's closed single-step inverse, sub-mm at h=0).
+# The reference applies exactly this via proj's +towgs84 parameters;
+# here each step is written once over the two expression backends so
+# the oracle replays the identical floating-point structure. Each
+# stage must be leaf-bound (_bind_once / a SQL subquery column) before
+# feeding the next — the TM series references its inputs many times
+# and inlining a datum-shift expression there blows the tree up
+# multiplicatively.
+
+
+def _geodetic_to_xyz_formula(ops, lon, lat, a: float, f: float):
+    e2 = f * (2.0 - f)
+    phi = ops.radians(lat)
+    lam = ops.radians(lon)
+    s = ops.sin(phi)
+    big_n = a / ops.sqrt(1.0 - e2 * s * s)
+    return (
+        big_n * ops.cos(phi) * ops.cos(lam),
+        big_n * ops.cos(phi) * ops.sin(lam),
+        big_n * (1.0 - e2) * s,
+    )
+
+
+def _helmert_formula(x, y, z, d: _Datum, inverse: bool):
+    """Position-vector Helmert LOCAL->WGS84; inverse=True applies the
+    standard negated-parameter reverse (error << 1 mm at these
+    magnitudes). Pure arithmetic — backend-agnostic."""
+    sgn = -1.0 if inverse else 1.0
+    m = 1.0 + sgn * d.s
+    rx, ry, rz = sgn * d.rx, sgn * d.ry, sgn * d.rz
+    return (
+        sgn * d.tx + m * (x - rz * y + ry * z),
+        sgn * d.ty + m * (rz * x + y - rx * z),
+        sgn * d.tz + m * (-(ry * x) + rx * y + z),
+    )
+
+
+def _xyz_to_geodetic_formula(ops, x, y, z, a: float, f: float):
+    """Bowring's closed-form geocentric -> geodetic (lat, lon only —
+    height is discarded; input points are surface coordinates)."""
+    b = a * (1.0 - f)
+    e2 = f * (2.0 - f)
+    ep2 = e2 / (1.0 - e2)
+    p = ops.sqrt(x * x + y * y)
+    theta = ops.atan2(z * a, p * b)
+    st = ops.sin(theta)
+    ct = ops.cos(theta)
+    phi = ops.atan2(
+        z + ep2 * b * st * st * st, p - e2 * a * ct * ct * ct
+    )
+    return ops.degrees(ops.atan2(y, x)), ops.degrees(phi)
+
+
+def _wgs84_to_datum(ll: Column, d: _Datum) -> Column:
+    """WGS-84 lon/lat struct -> lon/lat struct on datum `d`, each stage
+    lambda-bound so no series ever inlines another."""
+    ops = _ColOps()
+
+    def to_xyz(q):
+        x, y, z = _geodetic_to_xyz_formula(
+            ops, q["x"], q["y"], _WGS84_A, _WGS84_F
+        )
+        return F.struct(x.alias("x"), y.alias("y"), z.alias("z"))
+
+    def shift(q):
+        x, y, z = _helmert_formula(q["x"], q["y"], q["z"], d, inverse=True)
+        return F.struct(x.alias("x"), y.alias("y"), z.alias("z"))
+
+    def to_geo(q):
+        lon, lat = _xyz_to_geodetic_formula(
+            ops, q["x"], q["y"], q["z"], d.a, d.f
+        )
+        return F.struct(lon.alias("x"), lat.alias("y"))
+
+    return _bind_once(_bind_once(_bind_once(ll, to_xyz), shift), to_geo)
+
+
+def _datum_to_wgs84(ll: Column, d: _Datum) -> Column:
+    """Inverse of _wgs84_to_datum: local-datum lon/lat -> WGS-84."""
+    ops = _ColOps()
+
+    def to_xyz(q):
+        x, y, z = _geodetic_to_xyz_formula(ops, q["x"], q["y"], d.a, d.f)
+        return F.struct(x.alias("x"), y.alias("y"), z.alias("z"))
+
+    def shift(q):
+        x, y, z = _helmert_formula(
+            q["x"], q["y"], q["z"], d, inverse=False
+        )
+        return F.struct(x.alias("x"), y.alias("y"), z.alias("z"))
+
+    def to_geo(q):
+        lon, lat = _xyz_to_geodetic_formula(
+            ops, q["x"], q["y"], q["z"], _WGS84_A, _WGS84_F
+        )
+        return F.struct(lon.alias("x"), lat.alias("y"))
+
+    return _bind_once(_bind_once(_bind_once(ll, to_xyz), shift), to_geo)
+
+
+def tm_from_wgs84_full(lon: Column, lat: Column, srid: int) -> Column:
+    """Reference-semantics ST_Transform(4326 -> srid): datum shift
+    (when the CRS declares one) THEN the TM projection — what proj
+    does for 27700/230xx. The raw tm_from_wgs84 stays projection-only."""
+    prm = _EPSG_TM[srid]
+    if prm.datum is None:
+        return tm_from_wgs84(lon, lat, srid)
+    ll = F.struct(
+        lon.cast("double").alias("x"), lat.cast("double").alias("y")
+    )
+    shifted = _wgs84_to_datum(ll, prm.datum)
+    return _bind_once(
+        shifted,
+        lambda q: F.struct(
+            *(
+                c.alias(n)
+                for c, n in zip(
+                    _tm_formula(_ColOps(), q["x"], q["y"], prm), ("x", "y")
+                )
+            )
+        ),
+    )
+
+
+def tm_to_wgs84_full(easting: Column, northing: Column, srid: int) -> Column:
+    """Reference-semantics ST_Transform(srid -> 4326): inverse TM THEN
+    the datum shift back to WGS-84."""
+    prm = _EPSG_TM[srid]
+    if prm.datum is None:
+        return tm_to_wgs84(easting, northing, srid)
+    local = tm_to_wgs84(easting, northing, srid)  # local-datum lon/lat
+    return _datum_to_wgs84(local, prm.datum)
+
+
+def datum_sql_stages(
+    lon_expr: str, lat_expr: str, srid: int, inverse: bool = False,
+    prefix: str = "",
+) -> list[list[tuple[str, str]]]:
+    """The ANSI-SQL text of the three datum-shift stages (for DuckDB
+    oracles), as [(alias, expr), ...] lists per stage; the caller lays
+    each stage in its own subquery/CTE so expressions stay leaf-fed,
+    mirroring the _bind_once chain. inverse=False: WGS84 -> local
+    datum (the forward-projection direction). `prefix` namespaces the
+    intermediate column aliases so several pipelines can share one
+    CTE chain."""
+    d = _EPSG_TM[srid].datum
+    ops = _SqlOps()
+    src = (_WGS84_A, _WGS84_F) if not inverse else (d.a, d.f)
+    dst = (d.a, d.f) if not inverse else (_WGS84_A, _WGS84_F)
+    g = [prefix + n for n in ("gx", "gy", "gz")]
+    h = [prefix + n for n in ("hx", "hy", "hz")]
+    o = [prefix + n for n in ("lon2", "lat2")]
+    x, y, z = _geodetic_to_xyz_formula(
+        ops, _SqlExpr(lon_expr), _SqlExpr(lat_expr), *src
+    )
+    stage1 = list(zip(g, (x.s, y.s, z.s)))
+    hx, hy, hz = _helmert_formula(
+        _SqlExpr(g[0]), _SqlExpr(g[1]), _SqlExpr(g[2]), d,
+        inverse=not inverse,
+    )
+    stage2 = list(zip(h, (hx.s, hy.s, hz.s)))
+    lon2, lat2 = _xyz_to_geodetic_formula(
+        ops, _SqlExpr(h[0]), _SqlExpr(h[1]), _SqlExpr(h[2]), *dst
+    )
+    stage3 = list(zip(o, (lon2.s, lat2.s)))
+    return [stage1, stage2, stage3]
+
+
 def st_transform_900913_4326(p: Column) -> Column:
     """ST_Transform(point, 900913 -> 4326): inverse Web Mercator with
     the reference's constants (ExtensionFunctions.hpp conv_900913_4326
@@ -1050,13 +1270,16 @@ def st_transform(p: Column, from_srid: int, to_srid: int) -> Column:
     """SRID-dispatching ST_Transform (the reference's overload surface,
     QueryEngine/ExtensionFunctionsGeo.hpp): closed-form SRIDs are 4326,
     900913, and every EPSG code in the _EPSG_TM transverse-Mercator
-    table (UTM north 326xx, UTM south 327xx, ETRS89 UTM 258xx, and the
-    27700/2157/2193 national grids); any supported pair composes
-    through the 4326 pivot (proj pivots datum-sharing pairs the same
-    way). Other projections raise (the reference delegates them to
-    proj, an out-of-container dependency); datum shifts are not
-    applied. The input point is lambda-bound once so chained transforms
-    can't blow up the expression tree."""
+    table (UTM north 326xx, UTM south 327xx, ETRS89 UTM 258xx, ED50
+    UTM 230xx, and the 27700/2157/2193 national grids); any supported
+    pair composes through the 4326 pivot (proj pivots the same way).
+    CRSs that declare a Helmert datum (27700/OSGB36, 230xx/ED50) get
+    the 7-parameter datum shift applied around the projection, exactly
+    like proj's +towgs84 path in the reference; grid-based datums
+    (NAD27/NADCON, OSTN) remain out of scope. Other projections raise
+    (the reference delegates them to proj, an out-of-container
+    dependency). The input point is lambda-bound once so chained
+    transforms can't blow up the expression tree."""
     if from_srid == to_srid:
         return p
     return _bind_once(p, lambda q: _st_transform_leaf(q, from_srid, to_srid))
@@ -1070,26 +1293,27 @@ def _st_transform_leaf(p: Column, from_srid: int, to_srid: int) -> Column:
     if (from_srid, to_srid) == (900913, 4326):
         return st_transform_900913_4326(p)
     if from_srid == 4326 and to_srid in _EPSG_TM:
-        return tm_from_wgs84(p["x"], p["y"], to_srid)
+        return tm_from_wgs84_full(p["x"], p["y"], to_srid)
     if to_srid == 4326 and from_srid in _EPSG_TM:
-        return tm_to_wgs84(p["x"], p["y"], from_srid)
+        return tm_to_wgs84_full(p["x"], p["y"], from_srid)
     if from_srid in _EPSG_TM and (
         to_srid in _EPSG_TM or to_srid == 900913
     ):
-        ll = tm_to_wgs84(p["x"], p["y"], from_srid)
+        ll = tm_to_wgs84_full(p["x"], p["y"], from_srid)
         return _bind_once(ll, lambda q: _st_transform_leaf(q, 4326, to_srid))
     if from_srid == 900913 and to_srid in _EPSG_TM:
         ll = st_transform_900913_4326(p)
         return _bind_once(
-            ll, lambda q: tm_from_wgs84(q["x"], q["y"], to_srid)
+            ll, lambda q: tm_from_wgs84_full(q["x"], q["y"], to_srid)
         )
     raise ValueError(
         f"ST_Transform {from_srid}->{to_srid} unsupported; closed-form "
         "SRIDs are 4326, 900913, and the EPSG transverse-Mercator table "
-        "(UTM north/south 326xx/327xx, ETRS89 UTM 258xx, 27700, 2157, "
-        "2193), any pair composed through 4326. Other projections need "
-        "proj (reference: GDAL/proj delegation), and datum shifts are "
-        "not applied."
+        "(UTM north/south 326xx/327xx, ETRS89 UTM 258xx, ED50 UTM "
+        "230xx, 27700, 2157, 2193), any pair composed through 4326. "
+        "Helmert datum shifts are applied for 27700/230xx; other "
+        "projections and grid-based datums need proj (reference: "
+        "GDAL/proj delegation)."
     )
 
 

@@ -59,6 +59,7 @@ _PRIORITY = [
     "sql_dialect_int_division",   # C-style int/int division closeout
     "tpcds_q67_rollup_rank",      # ROLLUP + rank over grouping levels
     "tpcds_q64_cross_year_sales", # wide multi-CTE self-join
+    "geo_transform_datum",        # Helmert datum shifts (OSGB36/ED50)
     # --- last checked r1 (predates all global dialect changes) ---
     "sort_topk",
     "agg_groupby_avg",

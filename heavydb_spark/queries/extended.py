@@ -2133,3 +2133,71 @@ def geo_h3_binning(spark, sf_dir):
         F.round(_h3.h3_cell_to_lat(F.col("cell")), 6).alias("center_lat"),
         _h3.h3_cell_to_parent(F.col("cell"), 1).alias("parent1"),
     ).orderBy("cell")
+
+
+_DT_LON = "(-6.0 + CAST(c_custkey % 700 AS DOUBLE) / 100)"
+_DT_LAT = "(50.0 + CAST((c_custkey*3) % 900 AS DOUBLE) / 100)"
+_DT_S1, _DT_S2, _DT_S3 = geo.datum_sql_stages("lon0", "lat0", 27700)
+_DT_BNG_E, _DT_BNG_N = geo.tm_from_wgs84_sql("lon2", "lat2", 27700)
+_ED_LON = "(0.0 + CAST(c_custkey % 500 AS DOUBLE) / 100)"
+_ED_LAT = "(44.0 + CAST((c_custkey*7) % 700 AS DOUBLE) / 100)"
+_ED_S1, _ED_S2, _ED_S3 = geo.datum_sql_stages(
+    "elon0", "elat0", 23031, prefix="e"
+)
+_ED_E, _ED_N = geo.tm_from_wgs84_sql("elon2", "elat2", 23031)
+
+
+def _stage_sql(stage):
+    return ", ".join(f"{sql} AS {name}" for name, sql in stage)
+
+
+@query(
+    "geo_transform_datum",
+    oracle=f"""
+    WITH s0 AS (
+        SELECT c_custkey, {_DT_LON} AS lon0, {_DT_LAT} AS lat0,
+               {_ED_LON} AS elon0, {_ED_LAT} AS elat0
+        FROM customer WHERE c_custkey < 300
+    ),
+    s1 AS (SELECT c_custkey, {_stage_sql(_DT_S1)}, {_stage_sql(_ED_S1)}
+           FROM s0),
+    s2 AS (SELECT c_custkey, {_stage_sql(_DT_S2)}, {_stage_sql(_ED_S2)}
+           FROM s1),
+    s3 AS (SELECT c_custkey, {_stage_sql(_DT_S3)}, {_stage_sql(_ED_S3)}
+           FROM s2)
+    SELECT c_custkey,
+           round({_DT_BNG_E}, 3) + 0.0 AS bng_e,
+           round({_DT_BNG_N}, 3) + 0.0 AS bng_n,
+           round({_ED_E}, 3) + 0.0 AS ed50_e,
+           round({_ED_N}, 3) + 0.0 AS ed50_n
+    FROM s3 ORDER BY c_custkey
+    """,
+)
+def geo_transform_datum(spark, sf_dir):
+    """Datum-shifted ST_Transform (closes the r5 'projection-only'
+    declared delta for the Helmert-parameter family): WGS-84 ->
+    EPSG 27700 applies the OSGB36 7-parameter position-vector Helmert
+    (EPSG transformation 1314 — the same +towgs84 proj uses in the
+    reference's GDAL path, ExtensionFunctionsGeo.hpp ST_Transform /
+    Geospatial delegation) around the Airy TM projection, and WGS-84
+    -> EPSG 23031 (ED50/UTM 31N) the 3-parameter European-mean shift
+    on Hayford. The oracle replays each pipeline stage (geodetic ->
+    geocentric XYZ -> Helmert -> Bowring inverse -> TM) as a chained
+    CTE with leaf-bound columns — the same staging the Column side
+    does with lambda binding, so both engines execute the identical
+    floating-point structure. Grid datums (NAD27, OSTN15) stay
+    documented out of scope."""
+    c = T(spark, sf_dir, "customer").filter(F.col("c_custkey") < 300)
+    lon = F.lit(-6.0) + (F.col("c_custkey") % 700).cast("double") / 100
+    lat = F.lit(50.0) + ((F.col("c_custkey") * 3) % 900).cast("double") / 100
+    elon = F.lit(0.0) + (F.col("c_custkey") % 500).cast("double") / 100
+    elat = F.lit(44.0) + ((F.col("c_custkey") * 7) % 700).cast("double") / 100
+    bng = geo.tm_from_wgs84_full(lon, lat, 27700)
+    ed = geo.tm_from_wgs84_full(elon, elat, 23031)
+    return c.select(
+        "c_custkey",
+        (F.round(bng["x"], 3) + 0.0).alias("bng_e"),
+        (F.round(bng["y"], 3) + 0.0).alias("bng_n"),
+        (F.round(ed["x"], 3) + 0.0).alias("ed50_e"),
+        (F.round(ed["y"], 3) + 0.0).alias("ed50_n"),
+    ).orderBy("c_custkey")

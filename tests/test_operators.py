@@ -1890,3 +1890,49 @@ def test_h3_randomized_cross_engine(spark, seed):
         assert abs(dd[1] - sp["lo"]) < 1e-12
         assert dd[2] == sp["p"]
         assert abs(dd[3] - sp["rb"]) < 1e-9
+
+
+def test_datum_shift_helmert(spark):
+    """Helmert datum transforms (st_transform 4326<->27700/230xx):
+    round-trips close to mm, the OSGB36 separation over London lands
+    in the surveyed ~125 m band with the right sign pattern (WGS84
+    grid-east positive, north negative), ED50 shows the textbook
+    ~(+90, +210) m European-mean offset, and the datum-aware London
+    answer lands on the real Trafalgar-Square grid square (TQ 3013
+    8042) — a pin against external survey truth, not just internal
+    consistency."""
+    import math
+
+    from heavydb_spark.functions import geo
+
+    df = spark.createDataFrame(
+        [(-0.1281, 51.5080)], "lon double, lat double"
+    )
+    full = geo.tm_from_wgs84_full(F.col("lon"), F.col("lat"), 27700)
+    proj = geo.tm_from_wgs84(F.col("lon"), F.col("lat"), 27700)
+    r = df.select(full.alias("f"), proj.alias("p")).first()
+    # Trafalgar Square: BNG ~ E 530000 N 180400 (100 m square TQ3080)
+    assert abs(r.f.x - 530000) < 300 and abs(r.f.y - 180420) < 300
+    dx, dy = r.f.x - r.p.x, r.f.y - r.p.y
+    assert 80 < dx < 140 and -90 < dy < -20  # OSGB36<-WGS84 over London
+    assert 100 < math.hypot(dx, dy) < 160
+    back = df.select(
+        geo.tm_to_wgs84_full(full["x"], full["y"], 27700).alias("b")
+    ).first().b
+    assert abs(back.x - -0.1281) < 1e-6 and abs(back.y - 51.5080) < 1e-6
+
+    # ED50 / UTM 31N vs WGS84 / UTM 31N over Paris: European mean shift
+    df2 = spark.createDataFrame([(2.3522, 48.8566)], "lon double, lat double")
+    ed = geo.tm_from_wgs84_full(F.col("lon"), F.col("lat"), 23031)
+    wgs = geo.tm_from_wgs84(F.col("lon"), F.col("lat"), 32631)
+    r2 = df2.select(ed.alias("e"), wgs.alias("w")).first()
+    assert 60 < r2.e.x - r2.w.x < 130 and 150 < r2.e.y - r2.w.y < 260
+    back2 = df2.select(
+        geo.tm_to_wgs84_full(ed["x"], ed["y"], 23031).alias("b")
+    ).first().b
+    assert abs(back2.x - 2.3522) < 1e-6 and abs(back2.y - 48.8566) < 1e-6
+
+    # st_transform dispatch composes the datum step for 27700/230xx
+    p = geo.st_point(F.col("lon"), F.col("lat"))
+    via = df.select(geo.st_transform(p, 4326, 27700).alias("v")).first().v
+    assert abs(via.x - r.f.x) < 1e-6 and abs(via.y - r.f.y) < 1e-6
