@@ -60,6 +60,7 @@ _PRIORITY = [
     "tpcds_q67_rollup_rank",      # ROLLUP + rank over grouping levels
     "tpcds_q64_cross_year_sales", # wide multi-CTE self-join
     "geo_transform_datum",        # Helmert datum shifts (OSGB36/ED50)
+    "agg_grouping_sets",          # explicit GROUPING SETS + GROUPING()
     # --- last checked r1 (predates all global dialect changes) ---
     "sort_topk",
     "agg_groupby_avg",

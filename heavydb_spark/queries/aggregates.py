@@ -382,3 +382,40 @@ def sort_limit_offset(spark, sf_dir):
         .offset(25)
         .limit(50)
     )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(grouping(l_returnflag) AS INT) AS g_rf,
+           CAST(grouping(l_linestatus) AS INT) AS g_ls,
+           CAST(sum(CAST(l_quantity AS INT)) AS BIGINT) AS sum_qty,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                            (l_returnflag), (l_linestatus), ())
+    ORDER BY g_rf, g_ls, l_returnflag NULLS LAST, l_linestatus NULLS LAST
+    """,
+)
+def agg_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS with GROUPING() flags through engine.sql
+    (the reference parses these via Calcite's SqlToRelConverter
+    grouping-sets lowering; Spark expands them map-side into one
+    aggregate — no per-set rescan). The GROUPING() bits disambiguate
+    real NULL keys from subtotal rows, and the un-annotated ORDER BY
+    exercises the Calcite nulls-HIGH collation on the subtotal NULLs."""
+    from heavydb_spark.engine import Engine
+
+    eng = Engine(spark).attach(sf_dir)
+    return eng.sql("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+               CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
+               SUM(CAST(l_quantity AS INT)) AS sum_qty,
+               COUNT(*) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                (l_returnflag), (l_linestatus), ())
+        ORDER BY g_rf, g_ls, l_returnflag, l_linestatus
+    """)
