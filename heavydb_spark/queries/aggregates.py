@@ -138,10 +138,16 @@ def agg_approx_count_distinct(spark, sf_dir):
 @query("agg_approx_percentile")  # approx: engine-specific → rows-only check
 def agg_approx_percentile(spark, sf_dir):
     """APPROX_QUANTILE/APPROX_MEDIAN — t-digest (Shared/quantile.h:184) →
-    Spark approx_percentile (B07)."""
+    Spark approx_percentile (B07). Both quantiles read ONE shared
+    sketch (the array form builds a single QuantileSummaries instead
+    of two — half the aggregation work; the reference's t-digest is
+    likewise built once and probed per quantile)."""
+    both = F.percentile_approx(
+        "l_extendedprice", F.array(F.lit(0.5), F.lit(0.95)), 10000
+    )
     return T(spark, sf_dir, "lineitem").agg(
-        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median"),
-        F.percentile_approx("l_extendedprice", 0.95, 10000).alias("approx_p95"),
+        both[0].alias("approx_median"),
+        both[1].alias("approx_p95"),
     )
 
 
