@@ -53,6 +53,34 @@ _DELETE_RE = re.compile(
 # Connect clients take, where DataFrame._jdf does not exist).
 _FORCE_PUBLIC_EXPLAIN = False
 
+_WITH_HEAD_RE = re.compile(r"^\s*WITH\s+", re.IGNORECASE)
+_CTE_HEAD_RE = re.compile(
+    r"\s*([A-Za-z_][\w$]*)\s*(\([^)]*\))?\s+AS\s*\(", re.IGNORECASE
+)
+
+
+def _extract_ctes(sql: str) -> list[tuple[str, str]]:
+    """Top-level CTE (name, body) pairs of a statement; [] when there
+    is no WITH clause or it doesn't parse (WITH RECURSIVE, etc. —
+    callers treat that as 'no CTE type information', conservative)."""
+    m = _WITH_HEAD_RE.match(sql)
+    if not m:
+        return []
+    out: list[tuple[str, str]] = []
+    i = m.end()
+    while True:
+        mh = _CTE_HEAD_RE.match(sql, i)
+        if not mh:
+            break
+        body_end = _scan_balanced(sql, mh.end())
+        out.append((mh.group(1), sql[mh.end():body_end - 1]))
+        i = body_end
+        mc = re.compile(r"\s*,").match(sql, i)
+        if not mc:
+            break
+        i = mc.end()
+    return out
+
 
 def _explain_text(df: DataFrame, mode: str) -> str:
     """Plan text for a DataFrame.  Prefers the JVM bridge (exact string
@@ -1003,51 +1031,64 @@ class Engine:
     def _type_resolver(self, context: str):
         """Column-type callback for the dialect's reference-semantics
         int/int division rewrite (ArithmeticIR.cpp kDIVIDE): resolves a
-        lowercased unqualified column name against the schemas of the
-        registered tables the statement text references.  Returns None
-        (no resolver — literal-only rewriting) when the statement has
-        no `/` at all.  Unknown columns resolve None and ambiguous
-        mixed-type names resolve False, so the rewrite stays
-        conservative: fractional `/` is kept unless integer-ness is
-        proven."""
+        lowercased unqualified column name against the schemas of (a)
+        the registered tables the statement text references and (b)
+        the statement's own top-level CTEs, each analyzed (not
+        executed) with the progressively-built resolver so a CTE
+        column defined as int/int division resolves integral exactly
+        as the reference would type it.  Returns None (no resolver —
+        literal-only rewriting) when the statement has no `/` at all.
+        Unknown columns resolve None and ambiguous mixed-type names
+        resolve False, so the rewrite stays conservative: fractional
+        `/` is kept unless integer-ness is proven."""
         if "/" not in context:
             return None
-        schemas: list | None = None
-        memo: dict[str, bool | None] = {}
         int_types = {"tinyint", "smallint", "int", "bigint"}
+        state: dict = {"built": False, "types": {}}
+
+        def _build() -> None:
+            state["built"] = True
+            types = state["types"]
+            toks = set(re.findall(r"[a-z_][a-z0-9_$]*", context.lower()))
+            try:
+                names = [t.name for t in self.spark.catalog.listTables()]
+            except Exception:
+                names = []
+            for nm in names:
+                if nm.lower() not in toks:
+                    continue
+                try:
+                    sch = self.spark.table(nm).schema
+                except Exception:
+                    continue
+                for fld in sch.fields:
+                    types.setdefault(fld.name.lower(), set()).add(
+                        fld.dataType.simpleString()
+                    )
+            ctes = _extract_ctes(context)
+            for k, (name, _body) in enumerate(ctes):
+                prefix = ", ".join(
+                    f"{n} AS ({b})" for n, b in ctes[: k + 1]
+                )
+                stmt = f"WITH {prefix} SELECT * FROM {name}"
+                try:
+                    sch = self.spark.sql(
+                        dialect.rewrite(stmt, type_of=type_of)
+                    ).schema
+                except Exception:
+                    continue
+                for fld in sch.fields:
+                    types.setdefault(fld.name.lower(), set()).add(
+                        fld.dataType.simpleString()
+                    )
 
         def type_of(col: str):
-            nonlocal schemas
-            if col in memo:
-                return memo[col]
-            if schemas is None:
-                toks = set(
-                    re.findall(r"[a-z_][a-z0-9_$]*", context.lower())
-                )
-                schemas = []
-                try:
-                    names = [
-                        t.name for t in self.spark.catalog.listTables()
-                    ]
-                except Exception:
-                    names = []
-                for nm in names:
-                    if nm.lower() in toks:
-                        try:
-                            schemas.append(self.spark.table(nm).schema)
-                        except Exception:
-                            pass
-            types = set()
-            for sch in schemas:
-                for fld in sch.fields:
-                    if fld.name.lower() == col:
-                        types.add(fld.dataType.simpleString())
-            res = (
-                None if not types
-                else all(t in int_types for t in types)
-            )
-            memo[col] = res
-            return res
+            if not state["built"]:
+                _build()
+            ts = state["types"].get(col)
+            if not ts:
+                return None
+            return all(t in int_types for t in ts)
 
         return type_of
 

@@ -61,6 +61,7 @@ _PRIORITY = [
     "tpcds_q64_cross_year_sales", # wide multi-CTE self-join
     "geo_transform_datum",        # Helmert datum shifts (OSGB36/ED50)
     "agg_grouping_sets",          # explicit GROUPING SETS + GROUPING()
+    "tpcds_q49_ranked_returns",   # dual-ranked worst-return items
     # --- last checked r1 (predates all global dialect changes) ---
     "sort_topk",
     "agg_groupby_avg",

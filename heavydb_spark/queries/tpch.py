@@ -1404,3 +1404,82 @@ def tpcds_q64_cross_year_sales(spark, sf_dir):
         )
         .orderBy("p_brand", "c_custkey", "base_year")
     )
+
+
+@query(
+    "tpcds_q49_ranked_returns",
+    oracle="""
+    WITH base AS (
+        SELECT l_linenumber % 3 AS channel, l_partkey,
+               CAST(sum(CASE WHEN l_returnflag = 'R'
+                        THEN CAST(l_quantity AS INT) ELSE 0 END)
+                    AS BIGINT) AS ret_qty,
+               CAST(sum(CAST(l_quantity AS INT)) AS BIGINT) AS tot_qty,
+               CAST(sum(CASE WHEN l_returnflag = 'R'
+                        THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+                        ELSE 0 END) AS BIGINT) AS ret_amt,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS tot_amt
+        FROM lineitem GROUP BY l_linenumber % 3, l_partkey
+    ), ranked AS (
+        SELECT channel, l_partkey, ret_qty, tot_qty,
+               rank() OVER (PARTITION BY channel
+                            ORDER BY CAST(ret_qty AS DOUBLE) / tot_qty
+                                     DESC NULLS FIRST,
+                                     l_partkey NULLS LAST) AS qty_rank,
+               rank() OVER (PARTITION BY channel
+                            ORDER BY CAST(ret_amt AS DOUBLE) / tot_amt
+                                     DESC NULLS FIRST,
+                                     l_partkey NULLS LAST) AS amt_rank
+        FROM base WHERE tot_qty > 0
+    )
+    SELECT channel, l_partkey, ret_qty, tot_qty, qty_rank, amt_rank
+    FROM ranked WHERE qty_rank <= 10 OR amt_rank <= 10
+    ORDER BY channel, qty_rank, amt_rank, l_partkey
+    """,
+)
+def tpcds_q49_ranked_returns(spark, sf_dir):
+    """TPC-DS Q49 shape: per-channel worst-return items ranked two
+    ways — by return-quantity ratio AND by return-currency ratio —
+    keeping items in either top-10. Amounts aggregate as exact integer
+    cents and quantities as integers, so the ratio doubles are
+    bit-identical across engines and the dual rank() pair (two window
+    functions over ONE (channel) shuffle) is deterministic with the
+    l_partkey tiebreak. 100 TB shape: one fact shuffle into the
+    (channel, part) aggregate, one low-cardinality window shuffle —
+    same class as ORDER BY+LIMIT, no all-rows sort materialized."""
+    li = T(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    qty = F.col("l_quantity").cast("int")
+    is_ret = F.col("l_returnflag") == "R"
+    base = (
+        li.groupBy(
+            (F.col("l_linenumber") % 3).alias("channel"), "l_partkey"
+        )
+        .agg(
+            F.sum(F.when(is_ret, qty).otherwise(0)).alias("ret_qty"),
+            F.sum(qty).alias("tot_qty"),
+            F.sum(F.when(is_ret, cents).otherwise(F.lit(0))).alias(
+                "ret_amt"
+            ),
+            F.sum(cents).alias("tot_amt"),
+        )
+        .filter(F.col("tot_qty") > 0)
+    )
+    w_qty = Window.partitionBy("channel").orderBy(
+        (F.col("ret_qty").cast("double") / F.col("tot_qty")).desc(),
+        "l_partkey",
+    )
+    w_amt = Window.partitionBy("channel").orderBy(
+        (F.col("ret_amt").cast("double") / F.col("tot_amt")).desc(),
+        "l_partkey",
+    )
+    return (
+        base.select(
+            "channel", "l_partkey", "ret_qty", "tot_qty",
+            F.rank().over(w_qty).alias("qty_rank"),
+            F.rank().over(w_amt).alias("amt_rank"),
+        )
+        .filter((F.col("qty_rank") <= 10) | (F.col("amt_rank") <= 10))
+        .orderBy("channel", "qty_rank", "amt_rank", "l_partkey")
+    )

@@ -1776,3 +1776,22 @@ def test_explain_family_public_api_fallback(engine):
             )
     finally:
         engmod._FORCE_PUBLIC_EXPLAIN = False
+
+
+def test_int_division_cte_columns(engine):
+    """CTE output columns resolve through progressive analysis: an
+    int-typed CTE column integer-divides, a CTE column DEFINED as
+    int/int division types integral (3/2 of 7/2 = 1, the reference's
+    chained-division typing), and a double CTE column stays
+    fractional."""
+    r = engine.sql(
+        "WITH t AS (SELECT max(l_orderkey) AS k, CAST(2 AS INT) AS n, "
+        "           max(l_quantity) AS q FROM lineitem) "
+        "SELECT k, k/n AS a, q/2 AS b FROM t"
+    ).first()
+    assert r["a"] == r["k"] // 2 and isinstance(r["a"], int)
+    assert isinstance(r["b"], float)
+    r2 = engine.sql(
+        "WITH h AS (SELECT 7/2 AS v) SELECT v/2 AS w FROM h"
+    ).first()
+    assert r2["w"] == 1  # (7 DIV 2)=3, 3 DIV 2=1 — not 1.75

@@ -405,7 +405,18 @@ def generate_scalar_sql(seed: int) -> str:
 def test_randomized_scalar_compositions(engine, ddb, seed):
     sql = generate_scalar_sql(seed)
     srows = [tuple(r) for r in engine.sql(sql).collect()]
-    orows = ddb.sql(sql).fetchall()
+    # The engine applies reference int/int division (ArithmeticIR.cpp
+    # kDIVIDE — `l_partkey / 3` truncates); mirror the same dialect
+    # contract on the oracle side by replaying the identical division
+    # rewrite and mapping Spark's DIV to DuckDB's `//` (also
+    # trunc-toward-zero). The generated SQL has no '/' inside string
+    # literals, so the targeted rewrite is safe on raw text.
+    from heavydb_spark import dialect
+
+    ddb_sql = dialect._rewrite_int_division(
+        sql, engine._type_resolver(sql)
+    ).replace(" DIV ", " // ")
+    orows = ddb.sql(ddb_sql).fetchall()
     s_c, o_c = canonical(srows), canonical(orows)
     assert len(s_c) == len(o_c), sql
     mism = [p for p in zip(s_c, o_c) if p[0] != p[1]]
