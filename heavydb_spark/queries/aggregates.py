@@ -405,12 +405,15 @@ def sort_limit_offset(spark, sf_dir):
     """,
 )
 def agg_grouping_sets(spark, sf_dir):
-    """Explicit GROUPING SETS with GROUPING() flags through engine.sql
-    (the reference parses these via Calcite's SqlToRelConverter
-    grouping-sets lowering; Spark expands them map-side into one
-    aggregate — no per-set rescan). The GROUPING() bits disambiguate
-    real NULL keys from subtotal rows, and the un-annotated ORDER BY
-    exercises the Calcite nulls-HIGH collation on the subtotal NULLs."""
+    """Explicit GROUPING SETS with GROUPING() flags through engine.sql.
+    The reference REJECTS GROUP BY extensions at plan build
+    (RelAlgDag.cpp:3305 "GROUP BY extensions not supported") even
+    though its Calcite front end parses them — SURVEY.md §2.4 includes
+    the family anyway because Spark provides it for free, so this is a
+    strict superset surface, not parity. The GROUPING() bits
+    disambiguate real NULL keys from subtotal rows, and the
+    un-annotated ORDER BY exercises the Calcite nulls-HIGH collation
+    on the subtotal NULLs."""
     from heavydb_spark.engine import Engine
 
     eng = Engine(spark).attach(sf_dir)
