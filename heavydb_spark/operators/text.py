@@ -67,12 +67,16 @@ def lang_id(text_col: Column) -> Column:
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Length/punctuation/digit/stopword-ratio quality features + a
     composite score — the classic pre-training quality filter shape."""
+    import string
+
     t = F.col(text_col)
     n_chars = F.length(t)
     n_tokens = token_count(t)
-    n_alpha = F.length(F.regexp_replace(t, r"[^A-Za-z]", ""))
-    n_digit = F.length(F.regexp_replace(t, r"[^0-9]", ""))
-    n_punct = F.length(F.regexp_replace(t, r"[^.,;:!?]", ""))
+    # counting by DELETING the class via translate (a char-table pass,
+    # ~3x cheaper than the regex engine) — n_class = len - len(without)
+    n_alpha = n_chars - F.length(F.translate(t, string.ascii_letters, ""))
+    n_digit = n_chars - F.length(F.translate(t, string.digits, ""))
+    n_punct = n_chars - F.length(F.translate(t, ".,;:!?", ""))
     n_stop = marker_count(t, LANG_MARKERS["en"])
     return df.select(
         "*",
