@@ -62,6 +62,7 @@ _PRIORITY = [
     "geo_transform_datum",        # Helmert datum shifts (OSGB36/ED50)
     "agg_grouping_sets",          # explicit GROUPING SETS + GROUPING()
     "tpcds_q49_ranked_returns",   # dual-ranked worst-return items
+    "tpcds_q38_triple_intersect", # INTERSECT-chain channel overlap
     # --- last checked r1 (predates all global dialect changes) ---
     "sort_topk",
     "agg_groupby_avg",

@@ -1483,3 +1483,51 @@ def tpcds_q49_ranked_returns(spark, sf_dir):
         .filter((F.col("qty_rank") <= 10) | (F.col("amt_rank") <= 10))
         .orderBy("channel", "qty_rank", "amt_rank", "l_partkey")
     )
+
+
+@query(
+    "tpcds_q38_triple_intersect",
+    oracle="""
+    WITH common AS (
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        INTERSECT
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        INTERSECT
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+    )
+    SELECT c_custkey, c_name,
+           CAST(n_orders AS BIGINT) AS n_orders
+    FROM common
+    JOIN customer ON c_custkey = o_custkey
+    JOIN (SELECT o_custkey AS k, count(*) AS n_orders
+          FROM orders GROUP BY o_custkey) USING_T
+      ON USING_T.k = c_custkey
+    ORDER BY c_custkey
+    """,
+)
+def tpcds_q38_triple_intersect(spark, sf_dir):
+    """TPC-DS Q38 shape: customers present in ALL THREE channels
+    (order-status bands stand in for store/catalog/web) via a chained
+    INTERSECT [DISTINCT], joined back to customer for names plus their
+    total order count. 100 TB shape: each INTERSECT leg is a
+    hash-partitioned distinct on the same o_custkey key — Spark reuses
+    the partitioning across the chain — and the small intersected set
+    then joins dim-side; no leg ever materializes non-distinct rows."""
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+
+    def leg(status):
+        return o.filter(F.col("o_orderstatus") == status).select(
+            "o_custkey"
+        )
+
+    common = leg("F").intersect(leg("O")).intersect(leg("P"))
+    counts = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    ).withColumnRenamed("o_custkey", "k")
+    return (
+        common.join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(counts, F.col("k") == F.col("c_custkey"))
+        .select("c_custkey", "c_name", "n_orders")
+        .orderBy("c_custkey")
+    )

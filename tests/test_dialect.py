@@ -1795,3 +1795,29 @@ def test_int_division_cte_columns(engine):
         "WITH h AS (SELECT 7/2 AS v) SELECT v/2 AS w FROM h"
     ).first()
     assert r2["w"] == 1  # (7 DIV 2)=3, 3 DIV 2=1 — not 1.75
+
+
+def test_int_division_adversarial_shapes():
+    """Edge shapes for the division rewriter: comments pass through
+    (content changes inside a comment are semantically inert), CASE
+    operands bail, spacing/unary-minus/function-arg positions rewrite,
+    scientific-notation literals never count as integers."""
+    from heavydb_spark.dialect import rewrite
+
+    tof = {"a": True, "b": True}.get
+    assert rewrite("SELECT 7/2 /* half */ FROM t") == \
+        "SELECT 7 DIV 2 /* half */ FROM t"
+    assert "CASE WHEN a > 0 THEN 1 ELSE 2 END / 2" in rewrite(
+        "SELECT CASE WHEN a > 0 THEN 1 ELSE 2 END / 2 FROM t",
+        type_of=tof,
+    )
+    assert rewrite("SELECT 8 /2") == "SELECT 8  DIV 2"
+    assert rewrite("SELECT round(a/b, 2) FROM t", type_of=tof) == \
+        "SELECT round(a DIV b, 2) FROM t"
+    assert rewrite("SELECT a / -b FROM t", type_of=tof) == \
+        "SELECT a  DIV  -b FROM t"
+    assert rewrite("SELECT 7/-2") == "SELECT 7 DIV -2"
+    assert "DIV" not in rewrite("SELECT 2e3/2")
+    assert "DIV" not in rewrite("SELECT 7/2e3")
+    assert rewrite("SELECT a % b / 2 FROM t", type_of=tof) == \
+        "SELECT a % b  DIV  2 FROM t"
