@@ -36,6 +36,18 @@ TABLES = (
 BROADCAST_TABLES = {"region", "nation"}
 
 
+# Loaded-DataFrame memo: spark.read.parquet costs ~0.3-0.5 s of
+# driver-side file listing + footer schema read PER TABLE, so a
+# repeated attach()/T() (every benchmark iteration, every catalog
+# query) paid seconds before any work ran. The fixture parquet under
+# sf_dir is immutable, and a DataFrame is an immutable plan, so the
+# (session, dir, table) triple can be reused forever; view
+# registration still happens per attach (cheap), which preserves the
+# re-attach-restores-pristine-views semantics DML tests rely on. The
+# stored session reference keeps id() collisions impossible.
+_LOAD_CACHE: dict[tuple[int, str, str], tuple[SparkSession, DataFrame]] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver table; normalizes events.ts (parquet TIMESTAMP NANOS).
 
@@ -46,12 +58,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     Integer `div` keeps the full int64 domain (a double round-trip would
     lose precision above 2^53).
     """
+    key = (id(spark), sf_dir, name)
+    hit = _LOAD_CACHE.get(key)
+    if hit is not None and hit[0] is spark:
+        return hit[1]
     apply_runtime_conf(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
         )
+    _LOAD_CACHE[key] = (spark, df)
     return df
 
 

@@ -18,7 +18,16 @@ from heavydb_spark.functions.render import register_render_functions
 from heavydb_spark.functions.h3 import register_h3_functions
 
 
+# Registration is idempotent but NOT free: ~80 CREATE FUNCTION
+# statements + pandas-UDF registrations cost several seconds, and every
+# Engine() construction calls register_all — memoize per live session
+# (the stored reference makes id() reuse impossible).
+_REGISTERED: dict[int, SparkSession] = {}
+
+
 def register_all(spark: SparkSession) -> None:
+    if _REGISTERED.get(id(spark)) is spark:
+        return
     register_string_functions(spark)
     register_array_functions(spark)
     # geos first: geo's st_intersects SQL body calls st_intersection
@@ -26,6 +35,7 @@ def register_all(spark: SparkSession) -> None:
     register_geo_functions(spark)
     register_render_functions(spark)
     register_h3_functions(spark)
+    _REGISTERED[id(spark)] = spark
 
 
 def single_value(col):
