@@ -63,6 +63,7 @@ _PRIORITY = [
     "agg_grouping_sets",          # explicit GROUPING SETS + GROUPING()
     "tpcds_q49_ranked_returns",   # dual-ranked worst-return items
     "tpcds_q38_triple_intersect", # INTERSECT-chain channel overlap
+    "agg_filter_clause",          # SQL:2003 FILTER (WHERE ...) aggregates
     # --- last checked r1 (predates all global dialect changes) ---
     "sort_topk",
     "agg_groupby_avg",

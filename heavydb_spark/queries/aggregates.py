@@ -428,3 +428,40 @@ def agg_grouping_sets(spark, sf_dir):
                                 (l_returnflag), (l_linestatus), ())
         ORDER BY g_rf, g_ls, l_returnflag, l_linestatus
     """)
+
+
+@query(
+    "agg_filter_clause",
+    oracle="""
+    SELECT o_orderstatus,
+           count(*) AS n,
+           count(*) FILTER (WHERE o_totalprice > 100000) AS n_big,
+           CAST(sum(CAST(o_custkey AS INT))
+                FILTER (WHERE o_orderpriority LIKE '1%') AS BIGINT)
+               AS cust_urgent,
+           round(avg(o_totalprice)
+                 FILTER (WHERE o_totalprice > 100000), 4) AS avg_big
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def agg_filter_clause(spark, sf_dir):
+    """Aggregate FILTER (WHERE ...) clause through engine.sql — the
+    SQL:2003 form Calcite parses for the reference (the executor
+    lowers it to conditional aggregation, same as the reference's
+    COUNT_IF family, Tests/ExecuteTest.cpp conditional-agg cases).
+    Spark and DuckDB both support it natively, so the dialect passes
+    it through untouched."""
+    from heavydb_spark.engine import Engine
+
+    eng = Engine(spark).attach(sf_dir)
+    return eng.sql("""
+        SELECT o_orderstatus,
+               COUNT(*) AS n,
+               COUNT(*) FILTER (WHERE o_totalprice > 100000) AS n_big,
+               SUM(CAST(o_custkey AS INT))
+                   FILTER (WHERE o_orderpriority LIKE '1%')
+                   AS cust_urgent,
+               ROUND(AVG(o_totalprice)
+                     FILTER (WHERE o_totalprice > 100000), 4) AS avg_big
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """)
