@@ -111,6 +111,9 @@ def main() -> None:
         # 10x fatter over the same time range
         "B09_window_moving_avg": "window_moving_avg",
         "B12_stream_window": "stream_tumbling_window",
+        # r6 heads: grouping-sets rollup + rank; wide-CTE self-join
+        "B22_rollup_rank": "tpcds_q67_rollup_rank",
+        "B23_cross_year": "tpcds_q64_cross_year_sales",
     }
     results = {}
     for bid, qname in heads.items():
