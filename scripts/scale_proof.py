@@ -66,7 +66,9 @@ def build_scaled(spark) -> None:
         explode_copies(df, shift, text_col).repartition(32).write.mode(
             "overwrite"
         ).parquet(os.path.join(OUT, f"{name}.parquet"))
-    for name in ("nation", "region", "supplier", "part"):
+    # embeddings copied unscaled: no scale head reads it, but SQL-path
+    # heads attach() the full fixture set
+    for name in ("nation", "region", "supplier", "part", "embeddings"):
         shutil.copy(
             os.path.join(SRC, f"{name}.parquet"),
             os.path.join(OUT, f"{name}.parquet"),
@@ -98,6 +100,13 @@ def main() -> None:
     if not os.path.exists(os.path.join(OUT, "lineitem.parquet")):
         build_scaled(spark)
     print(f"# scaled data ready in {time.time() - t0:.1f}s", file=sys.stderr)
+
+    # One-time session setup (SQL function registration + fixture
+    # attach) happens before any head is timed — otherwise the first
+    # SQL-path head absorbs ~10 s of setup that isn't query work.
+    from heavydb_spark.engine import Engine
+
+    Engine(spark).attach(OUT)
 
     heads = {
         "B13_dedup_minhash": "dedup_minhash_lsh",
