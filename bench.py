@@ -16,6 +16,7 @@ import statistics
 import sys
 import time
 
+from pyspark.sql import Observation
 from pyspark.sql import functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -49,6 +50,10 @@ BENCH_QUERIES = {
     # render/hex binning pure-codegen projection+agg)
     "B20_corpus_report": "pipe_corpus_report",
     "B21_pixel_bins": "render_pixel_bins",
+    # r6 additions, self-baselined: grouping-sets ROLLUP + rank through
+    # the SQL dialect path; wide multi-CTE self-join
+    "B22_rollup_rank": "tpcds_q67_rollup_rank",
+    "B23_cross_year": "tpcds_q64_cross_year_sales",
 }
 
 
@@ -80,16 +85,22 @@ def main() -> None:
         for i in range(ITERATIONS + 1):
             t0 = time.perf_counter()
             # NOT .count(): Catalyst prunes 1:1 operators (windows,
-            # projections, sorts) out of a count-only plan, so count()
-            # under-measures heads like B09/B15.  Hashing every output
-            # column forces the full query without driver-side collect
-            # (BASELINE.md table C documents the r6 re-baseline).
+            # projections) and aggregate value expressions out of a
+            # count-only plan.  NOT a top-level .agg() either: that
+            # eliminates a terminal global ORDER BY (EliminateSorts
+            # under an order-insensitive aggregate).  An Observation
+            # (count + hash of every output column) over a noop-sink
+            # write executes the COMPLETE plan — sort included — in
+            # one pass with no driver-side collect (BASELINE.md table
+            # C documents the r6 re-baseline).
             out = fn(spark, SF_DIR)
-            row = out.agg(
+            obs = Observation()
+            out.observe(
+                obs,
                 F.count(F.lit(1)).alias("n"),
                 F.sum(F.hash(*out.columns).cast("long")).alias("h"),
-            ).first()
-            n = row["n"]
+            ).write.format("noop").mode("overwrite").save()
+            n = obs.get["n"]
             dt = time.perf_counter() - t0
             if i == 0:  # first run = cold (plan + shuffle files + JIT)
                 cold[bench_id] = round(dt, 4)

@@ -14,6 +14,8 @@ column pruning / predicate pushdown is visible in `.explain`.
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -41,11 +43,15 @@ BROADCAST_TABLES = {"region", "nation"}
 # repeated attach()/T() (every benchmark iteration, every catalog
 # query) paid seconds before any work ran. The fixture parquet under
 # sf_dir is immutable, and a DataFrame is an immutable plan, so the
-# (session, dir, table) triple can be reused forever; view
-# registration still happens per attach (cheap), which preserves the
-# re-attach-restores-pristine-views semantics DML tests rely on. The
-# stored session reference keeps id() collisions impossible.
-_LOAD_CACHE: dict[tuple[int, str, str], tuple[SparkSession, DataFrame]] = {}
+# (session, dir, table) triple can be reused for the session's
+# lifetime; view registration still happens per attach (cheap), which
+# preserves the re-attach-restores-pristine-views semantics DML tests
+# rely on. Weak-keyed by session so dropped sessions (and their
+# cached plans) are garbage-collectable — a WeakKeyDictionary entry
+# dies with the session, which also makes id() reuse a non-issue.
+_LOAD_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -58,17 +64,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     Integer `div` keeps the full int64 domain (a double round-trip would
     lose precision above 2^53).
     """
-    key = (id(spark), sf_dir, name)
-    hit = _LOAD_CACHE.get(key)
-    if hit is not None and hit[0] is spark:
-        return hit[1]
+    try:
+        per_session = _LOAD_CACHE.setdefault(spark, {})
+    except TypeError:  # session not weak-referenceable: no caching
+        per_session = {}
+    hit = per_session.get((sf_dir, name))
+    if hit is not None:
+        return hit
     apply_runtime_conf(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
         )
-    _LOAD_CACHE[key] = (spark, df)
+    per_session[(sf_dir, name)] = df
     return df
 
 

@@ -1256,11 +1256,12 @@ _INT_TYPENAMES = {
     "byte",
 }
 # functions that return an integral type in BOTH engines regardless of
-# argument type
+# argument type. NOT sign(): Spark's sign() returns DOUBLE, so DIV on
+# it is a type error (review r6 finding).
 _INT_FUNCS_ALWAYS = {
-    "count", "length", "char_length", "character_length", "len",
+    "count", "length", "char_length", "character_length",
     "octet_length", "bit_length", "cardinality", "array_length",
-    "position", "instr", "ascii", "levenshtein", "sign",
+    "position", "instr", "ascii", "levenshtein",
     "hour", "minute", "second", "year", "month", "day", "dayofmonth",
     "dayofweek", "dayofyear", "weekofyear", "quarter", "datediff",
     "unix_timestamp",
@@ -1295,12 +1296,14 @@ def _factor_is_integral(text: str, type_of) -> bool:
         return False
     if t.startswith("(") and t.endswith(")"):
         return _expr_is_integral(t[1:-1], type_of)
-    if "\x00" in t:  # masked string literal
-        return False
     if _INT_LIT_RE.fullmatch(t):
         return True
     if _NUM_LIT_RE.fullmatch(t):  # fractional / exponent literal
         return False
+    # NOTE: the masked-string-literal check comes AFTER the function
+    # match — length('abc') is integral regardless of its literal arg
+    # (review r6 finding); a BARE masked literal still returns False
+    # below, and _INT_FUNCS_ARG recursion rejects literal args itself.
     fm = _FUNC_CALL_RE.fullmatch(t)
     if fm:
         fname, args = fm.group(1).lower(), fm.group(2)

@@ -1044,7 +1044,7 @@ class Engine:
         if "/" not in context:
             return None
         int_types = {"tinyint", "smallint", "int", "bigint"}
-        state: dict = {"built": False, "types": {}}
+        state: dict = {"built": False, "types": {}, "shadowed": set()}
 
         def _build() -> None:
             state["built"] = True
@@ -1066,6 +1066,26 @@ class Engine:
                         fld.dataType.simpleString()
                     )
             ctes = _extract_ctes(context)
+            # Scope guard (review r6 finding): a derived-table or
+            # select-list alias can SHADOW a base column with a
+            # different type (`SELECT l_orderkey*1.5 AS l_orderkey
+            # FROM ...`) — the flat name map would falsely prove it
+            # integral. Any name `AS`-aliased OUTSIDE the CTE bodies
+            # resolves None (conservative, keeps fractional /).
+            # CTE-internal aliases are exempt: their true output types
+            # come from the progressive analysis below. Computed
+            # BEFORE that analysis so the CTE rewrites and the final
+            # statement rewrite apply identical rules.
+            outer = context
+            for _n, body in ctes:
+                outer = outer.replace(body, " ")
+            state["shadowed"] = {
+                m.lower().strip('`"')
+                for m in re.findall(
+                    r"(?i)\bAS\s+([A-Za-z_][\w$]*|`[^`]+`|\"[^\"]+\")",
+                    outer,
+                )
+            }
             for k, (name, _body) in enumerate(ctes):
                 prefix = ", ".join(
                     f"{n} AS ({b})" for n, b in ctes[: k + 1]
@@ -1085,6 +1105,8 @@ class Engine:
         def type_of(col: str):
             if not state["built"]:
                 _build()
+            if col in state["shadowed"]:
+                return None
             ts = state["types"].get(col)
             if not ts:
                 return None

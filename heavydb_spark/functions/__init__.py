@@ -20,14 +20,20 @@ from heavydb_spark.functions.h3 import register_h3_functions
 
 # Registration is idempotent but NOT free: ~80 CREATE FUNCTION
 # statements + pandas-UDF registrations cost several seconds, and every
-# Engine() construction calls register_all — memoize per live session
-# (the stored reference makes id() reuse impossible).
-_REGISTERED: dict[int, SparkSession] = {}
+# Engine() construction calls register_all — memoize per live session.
+# Weak-keyed so stopped sessions stay garbage-collectable (id() reuse
+# is a non-issue: the entry dies with the session).
+import weakref  # noqa: E402
+
+_REGISTERED: "weakref.WeakSet[SparkSession]" = weakref.WeakSet()
 
 
 def register_all(spark: SparkSession) -> None:
-    if _REGISTERED.get(id(spark)) is spark:
-        return
+    try:
+        if spark in _REGISTERED:
+            return
+    except TypeError:  # not weak-referenceable: register every time
+        pass
     register_string_functions(spark)
     register_array_functions(spark)
     # geos first: geo's st_intersects SQL body calls st_intersection
@@ -35,7 +41,10 @@ def register_all(spark: SparkSession) -> None:
     register_geo_functions(spark)
     register_render_functions(spark)
     register_h3_functions(spark)
-    _REGISTERED[id(spark)] = spark
+    try:
+        _REGISTERED.add(spark)
+    except TypeError:
+        pass
 
 
 def single_value(col):

@@ -129,17 +129,21 @@ def main() -> None:
         time.sleep(1.0)  # let the async status listener settle
         rd0, wr0 = shuffle_totals(spark)
         t = time.time()
-        # NOT .count(): for 1:1 operators (windows) Catalyst prunes the
-        # whole operator out of a count-only plan — hash every output
-        # column so the full query actually executes
+        # Same forcing recipe as bench.py: Observation over a noop
+        # write executes the complete plan — count-only plans lose 1:1
+        # operators and aggregate values, and a top-level agg would
+        # eliminate a terminal global sort
         out = QUERIES[qname](spark, OUT)
+        from pyspark.sql import Observation
         from pyspark.sql import functions as SF
 
-        row = out.agg(
+        obs = Observation()
+        out.observe(
+            obs,
             SF.count(SF.lit(1)).alias("n"),
             SF.sum(SF.hash(*out.columns).cast("long")).alias("h"),
-        ).first()
-        n = row["n"]
+        ).write.format("noop").mode("overwrite").save()
+        n = obs.get["n"]
         dt = time.time() - t
         time.sleep(1.0)
         rd1, wr1 = shuffle_totals(spark)

@@ -1722,12 +1722,12 @@ def test_int_division_engine_semantics(engine):
     zero on int columns/literals, fractional retained on DOUBLE."""
     r = engine.sql(
         "SELECT 7/2 AS a, -7/2 AS b, o_orderkey/4 AS c, "
-        "o_totalprice/2 AS d FROM orders WHERE o_orderkey = 6"
+        "o_totalprice AS p, o_totalprice/2 AS d "
+        "FROM orders WHERE o_orderkey = 6"
     ).first()
     assert r["a"] == 3 and r["b"] == -3
     assert r["c"] == 6 // 4
-    assert abs(r["d"] * 2 - r["d"] - r["d"]) < 1e-9 and \
-        isinstance(r["d"], float)
+    assert isinstance(r["d"], float) and abs(r["d"] - r["p"] / 2) < 1e-9
     # sql_validate (row-descriptor path) agrees with sql on the type
     desc = engine.sql_validate("SELECT o_orderkey/2 AS h FROM orders")
     assert desc[0][1].upper().startswith("BIGINT")
@@ -1821,3 +1821,28 @@ def test_int_division_adversarial_shapes():
     assert "DIV" not in rewrite("SELECT 7/2e3")
     assert rewrite("SELECT a % b / 2 FROM t", type_of=tof) == \
         "SELECT a % b  DIV  2 FROM t"
+
+
+def test_int_division_review_regressions(engine):
+    """Round-6 review findings pinned: sign() returns DOUBLE in Spark
+    so it must NOT integer-divide (it previously produced an invalid
+    DIV); arg-independent integer functions rewrite even with string-
+    literal args; a derived-table alias shadowing a base column at a
+    different type keeps fractional division (the resolver refuses
+    AS-aliased names outside CTE bodies)."""
+    from heavydb_spark.dialect import rewrite
+
+    assert "DIV" not in rewrite("SELECT sign(x)/2 FROM t",
+                                type_of=lambda c: True)
+    r = engine.sql("SELECT sign(o_totalprice)/2 AS s FROM orders "
+                   "WHERE o_orderkey = 6").first()
+    assert isinstance(r["s"], float)
+    assert rewrite("SELECT length('abc')/2") == \
+        "SELECT length('abc') DIV 2"
+    assert engine.sql("SELECT length('abc')/2 AS h").first()["h"] == 1
+    r2 = engine.sql(
+        "SELECT t.l_orderkey / 2 AS v FROM "
+        "(SELECT l_orderkey * 1.5 AS l_orderkey FROM lineitem "
+        " WHERE l_orderkey = 6) t"
+    ).first()
+    assert abs(float(r2["v"]) - 4.5) < 1e-9  # fractional, not DIV's 4
