@@ -536,3 +536,55 @@ def test_randomized_order_by_null_collation(engine, ddb, seed):
     assert got == want, (sql, rewritten, got[:10], want[:10])
     engine.spark.catalog.dropTempView("rnd_null_sort")
     ddb.sql("DROP TABLE rnd_null_sort")
+
+
+# ---------------------------------------- grouping analytics (r6)
+#
+# ROLLUP / CUBE / GROUPING SETS pass through the dialect untouched
+# (the reference rejects them — documented strict superset); the
+# differential pins Spark's grouping-set expansion, GROUPING() bits,
+# and NULL subtotal keys against DuckDB across randomized shapes.
+
+def generate_grouping_sql(seed: int) -> str:
+    rng = random.Random(seed + 60_000)
+    dims = rng.sample(
+        ["l_returnflag", "l_linestatus", "(l_linenumber % 3)"],
+        rng.randint(2, 3),
+    )
+    form = rng.choice(["ROLLUP", "CUBE", "SETS"])
+    if form == "SETS":
+        import itertools
+
+        subsets = [
+            "(" + ", ".join(c) + ")"
+            for r in range(len(dims) + 1)
+            for c in itertools.combinations(dims, r)
+        ]
+        chosen = rng.sample(subsets, rng.randint(2, len(subsets)))
+        grouping = f"GROUPING SETS ({', '.join(chosen)})"
+    else:
+        grouping = f"{form}({', '.join(dims)})"
+    g_cols = ", ".join(
+        f"CAST(grouping({d}) AS INT) AS g{i}" for i, d in enumerate(dims)
+    )
+    dim_cols = ", ".join(
+        f"{d} AS d{i}" for i, d in enumerate(dims)
+    )
+    return (
+        f"SELECT {dim_cols}, {g_cols}, "
+        f"CAST(sum(CAST(l_quantity AS INT)) AS BIGINT) AS s, "
+        f"count(*) AS n "
+        f"FROM lineitem WHERE l_orderkey < {rng.randint(300, 900)} "
+        f"GROUP BY {grouping}"
+    )
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_randomized_grouping_analytics(engine, ddb, seed):
+    sql = generate_grouping_sql(seed)
+    srows = [tuple(r) for r in engine.sql(sql).collect()]
+    orows = ddb.sql(sql).fetchall()
+    s_c, o_c = canonical(srows), canonical(orows)
+    assert len(s_c) == len(o_c), sql
+    mism = [p for p in zip(s_c, o_c) if p[0] != p[1]]
+    assert not mism, f"seed={seed} sql={sql}\nfirst: {mism[:2]}"
