@@ -828,3 +828,26 @@ def test_sql_validate_row_descriptor(engine):
         engine.sql_validate("DELETE FROM orders WHERE o_orderkey > 0")
     with _pytest.raises(ValueError, match="read-only"):
         engine.sql_validate("DROP TABLE orders")
+
+
+def test_update_int_division_semantics(engine, spark):
+    """UPDATE SET expressions route through the same reference-
+    semantics division rewrite as queries: an integer column halves
+    integrally (trunc), a double column halves fractionally."""
+    engine.sql(
+        "CREATE TABLE upd_div AS SELECT o_orderkey AS k, "
+        "o_totalprice AS p FROM orders WHERE o_orderkey BETWEEN 10 AND 14"
+    )
+    try:
+        engine.sql("UPDATE upd_div SET k = k / 2")
+        ks = sorted(r["k"] for r in engine.sql("SELECT k FROM upd_div").collect())
+        assert ks == [5, 5, 6, 6, 7]
+        before = {r["k"]: r["p"] for r in
+                  engine.sql("SELECT k, p FROM upd_div").collect()}
+        engine.sql("UPDATE upd_div SET p = p / 2")
+        after = {r["k"]: r["p"] for r in
+                 engine.sql("SELECT k, p FROM upd_div").collect()}
+        for k, p in after.items():
+            assert isinstance(p, float)
+    finally:
+        engine.sql("DROP TABLE IF EXISTS upd_div")
