@@ -1033,22 +1033,17 @@ def tm_from_wgs84_sql(lon_expr: str, lat_expr: str, srid: int) -> tuple[str, str
 
 def tm_to_wgs84(easting: Column, northing: Column, srid: int) -> Column:
     """Inverse of tm_from_wgs84 for any EPSG TM code in _EPSG_TM."""
-    ops = _ColOps()
-    ops.asin = F.asin
-    ops.degrees = F.degrees
     lon, lat = _tm_inverse_formula(
-        ops, easting.cast("double"), northing.cast("double"), _EPSG_TM[srid]
+        _ColOps(), easting.cast("double"), northing.cast("double"),
+        _EPSG_TM[srid],
     )
     return F.struct(lon.alias("x"), lat.alias("y"))
 
 
 def tm_to_wgs84_sql(e_expr: str, n_expr: str, srid: int) -> tuple[str, str]:
     """ANSI-SQL text of `tm_to_wgs84` (for DuckDB oracles)."""
-    ops = _SqlOps()
-    ops.asin = _SqlOps.fn("asin")
-    ops.degrees = _SqlOps.fn("degrees")
     lon, lat = _tm_inverse_formula(
-        ops, _SqlExpr(e_expr), _SqlExpr(n_expr), _EPSG_TM[srid]
+        _SqlOps(), _SqlExpr(e_expr), _SqlExpr(n_expr), _EPSG_TM[srid]
     )
     return lon.s, lat.s
 
@@ -1062,10 +1057,9 @@ def utm_to_wgs84(easting: Column, northing: Column, zone: int) -> Column:
 
 def utm_to_wgs84_sql(e_expr: str, n_expr: str, zone: int) -> tuple[str, str]:
     """ANSI-SQL text of `utm_to_wgs84` (for DuckDB oracles)."""
-    ops = _SqlOps()
-    ops.asin = _SqlOps.fn("asin")
-    ops.degrees = _SqlOps.fn("degrees")
-    lon, lat = _utm_inverse_formula(ops, _SqlExpr(e_expr), _SqlExpr(n_expr), zone)
+    lon, lat = _utm_inverse_formula(
+        _SqlOps(), _SqlExpr(e_expr), _SqlExpr(n_expr), zone
+    )
     return lon.s, lat.s
 
 
