@@ -323,3 +323,41 @@ def test_portable_minhash_plan_shape(spark):
     s = checks.plan_string(df, "simple")
     assert "CartesianProduct" not in s, s
     assert "BroadcastNestedLoopJoin" not in s, s
+
+
+def test_q67_rollup_rank_plan_shape(spark):
+    """tpcds_q67_rollup_rank: the grouping-sets aggregate must run as
+    ONE Expand + hash aggregate (never one scan per rollup level), the
+    per-year top-10 must plan as WindowGroupLimit (partial + final —
+    no full sort of the rollup output materializes), and the fact side
+    must never broadcast."""
+    df = QUERIES["tpcds_q67_rollup_rank"](spark, SF_DIR)
+    s = checks.plan_string(df, "simple")
+    assert s.count("Expand") >= 1, s
+    assert "WindowGroupLimit" in s, s
+    assert "CartesianProduct" not in s and "BroadcastNestedLoopJoin" not in s
+
+
+def test_q64_cross_year_plan_shape(spark):
+    """tpcds_q64_cross_year_sales: the wide CTE is localCheckpointed so
+    the self-join reads ONE materialization (no double scan of the
+    6-way join), and the self-join is an equi-join, never a product."""
+    df = QUERIES["tpcds_q64_cross_year_sales"](spark, SF_DIR)
+    s = checks.plan_string(df, "simple")
+    # both join inputs come from the checkpointed relation, not from
+    # re-running the 6-way join: the plan scans the RDD materialization
+    # and contains NO parquet FileScan at all
+    assert s.count("ExistingRDD") >= 2, s
+    assert "FileScan" not in s, s
+    assert "CartesianProduct" not in s and "BroadcastNestedLoopJoin" not in s
+
+
+def test_q38_intersect_plan_shape(spark):
+    """tpcds_q38_triple_intersect: each INTERSECT leg plans as a
+    semi-join/aggregate over the same hash partitioning — no products,
+    no repeated full-orders scans beyond the three status legs + the
+    count aggregate."""
+    df = QUERIES["tpcds_q38_triple_intersect"](spark, SF_DIR)
+    s = checks.plan_string(df, "simple")
+    assert "CartesianProduct" not in s and "BroadcastNestedLoopJoin" not in s
+    assert "LeftSemi" in s or "Aggregate" in s, s
