@@ -120,6 +120,123 @@ def ngram_jaccard_pairs(
     )
 
 
+def shared_run_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 8,
+) -> DataFrame:
+    """Exact-substring near-duplicate pairs: documents sharing at least
+    one verbatim `window`-token run, with the length of the longest such
+    run — the distributed approximation of suffix-array exact-substring
+    dedup (Lee et al. 2022, arXiv:2107.06499; the suffix array itself
+    does not distribute, but its matches are exactly the runs of
+    matching fixed-width token windows).
+
+    Unlike `ngram_jaccard_pairs` (symmetric similarity) this detects
+    CONTAINMENT — a short document quoted inside a long one scores
+    jaccard ~0 but containment 1.0 here.
+
+    Plan shape: positional token windows → self equi-join on the window
+    text (shared-window blocking, never all-pairs) → per-ordered-pair
+    matched-position islands (one bounded window over (src, dst), rows
+    per pair bounded by document length) → symmetric max. At scale, hot
+    windows (boilerplate) create join skew; mitigate by dropping windows
+    above a document-frequency cap before the join, exactly as the
+    jaccard path's `max_df` note.
+
+    Output per unordered pair (doc_a < doc_b): `shared_windows` (distinct
+    windows in both), `longest_run_tokens` (longest token run whose every
+    `window`-gram appears verbatim in the other document), `containment`
+    (shared / min distinct windows).
+    """
+    from pyspark.sql.window import Window
+
+    tokens = F.split(F.trim(F.col(text_col)), r"\s+")
+    k = F.greatest(F.size(tokens) - (window - 1), F.lit(0))
+    zipped = F.arrays_zip(
+        *[F.slice(tokens, j + 1, k).alias(f"t{j}") for j in range(window)]
+    )
+    pos_rows = (
+        _spread(df, id_col)
+        .select(
+            F.col(id_col).alias("doc"),
+            F.posexplode(zipped).alias("pos", "s"),
+        )
+        .select(
+            "doc",
+            "pos",
+            F.concat_ws(
+                " ", *[F.col(f"s.t{j}") for j in range(window)]
+            ).alias("shingle"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    dist = pos_rows.select("doc", "shingle").distinct().localCheckpoint(
+        eager=False
+    )
+    sizes = dist.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = dist.alias("a"), dist.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("shared_windows"))
+    )
+    # matched source positions per ORDERED pair -> island lengths; the
+    # longest island of matched windows spans island + window - 1 tokens
+    p, q = pos_rows.alias("p"), dist.alias("q")
+    matched = (
+        p.join(
+            q,
+            (F.col("p.shingle") == F.col("q.shingle"))
+            & (F.col("p.doc") != F.col("q.doc")),
+        )
+        .select(
+            F.col("p.doc").alias("src"),
+            F.col("q.doc").alias("dst"),
+            F.col("p.pos").alias("pos"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("src", "dst").orderBy("pos")
+    streaks = (
+        matched.withColumn("grp", F.col("pos") - F.row_number().over(w))
+        .groupBy("src", "dst", "grp")
+        .agg(F.count(F.lit(1)).alias("run_len"))
+        .groupBy("src", "dst")
+        .agg(F.max("run_len").alias("max_streak"))
+    )
+    sym = (
+        streaks.select(
+            F.least("src", "dst").alias("doc_a"),
+            F.greatest("src", "dst").alias("doc_b"),
+            "max_streak",
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.max("max_streak").alias("streak"))
+    )
+    sa = sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("n_sh", "n_a")
+    sb = sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("n_sh", "n_b")
+    return (
+        inter.join(sym, ["doc_a", "doc_b"])
+        .join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "shared_windows",
+            (F.col("streak") + F.lit(window - 1)).alias("longest_run_tokens"),
+            F.round(
+                F.col("shared_windows") / F.least("n_a", "n_b"), 6
+            ).alias("containment"),
+        )
+    )
+
+
 # ---------------------------------------------------------- minhash/LSH
 
 def _shingle_rows(

@@ -183,6 +183,83 @@ def embedding_neardup_pairs(
     )
 
 
+def semantic_dedup(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.9,
+    n_planes: int = 6,
+    seed: int = 7,
+    dim: int | None = None,
+) -> DataFrame:
+    """SemDeDup-shaped semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): block embeddings into clusters, compute cosine
+    within a cluster only, and drop every row that sits above the
+    similarity threshold to a lower-id row in its cluster.
+
+    Deterministic stand-ins for the paper's free choices so the result
+    is exactly checkable cross-engine: seeded random-hyperplane LSH
+    buckets replace the k-means clusters (data-oblivious but
+    deterministic; identical vectors always share a bucket), and the
+    keep rule is one-pass — row j is dropped when ANY lower-id
+    same-bucket row i has cos(i, j) >= threshold, whether or not i
+    itself survived. (The paper's greedy sweep differs only on chains
+    where i was itself dropped by a third row; both rules remove every
+    exact duplicate and the one-pass form needs no iteration.)
+
+    Returns every input id with `kept`, `dup_of` (the LOWEST-id
+    same-bucket neighbor above threshold; NULL when kept) and `max_cos`
+    (the highest such cosine). Plan shape: normalize once per row,
+    bucket equi-join (never all-pairs), one groupBy(vid), one left join
+    back — at 100 TB the bucket column is precomputed and the join is
+    partition-pruned, the same path as `embedding_neardup_pairs`.
+    """
+    if dim is None:
+        dim = _probe_dim(df, vec_col)
+    planes = hyperplanes(dim, n_planes, seed)
+    norm = l2_norm(F.col(vec_col))
+    with_b = (
+        df.select(
+            F.col(id_col).alias("vid"),
+            F.transform(
+                F.col(vec_col), lambda x: x.cast("double") / norm
+            ).alias("vn"),
+            # bucket the RAW vector: hyperplane signs are scale-invariant,
+            # and the oracle then shares the exact dot-product expression
+            # with the ann_topk_lsh oracle (no normalize-then-sign drift)
+            lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    a, b = with_b.alias("a"), with_b.alias("b")
+    dup = (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vid") < F.col("b.vid")),
+        )
+        .select(
+            F.col("b.vid").alias("vid"),
+            F.col("a.vid").alias("lower_id"),
+            F.round(dot_product(F.col("a.vn"), F.col("b.vn")), 6).alias(
+                "cos_sim"
+            ),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .groupBy("vid")
+        .agg(
+            F.min("lower_id").alias("dup_of"),
+            F.max("cos_sim").alias("max_cos"),
+        )
+    )
+    return with_b.select("vid").join(dup, "vid", "left").select(
+        F.col("vid").alias(id_col),
+        F.col("dup_of").isNull().alias("kept"),
+        "dup_of",
+        "max_cos",
+    )
+
+
 def _idf_weights(
     v: DataFrame, key_col: str, feature_col: str
 ) -> DataFrame:

@@ -101,6 +101,68 @@ def fingerprint(text_col: Column) -> Column:
     return F.md5(norm)
 
 
+# --------------------------------------------- model-based quality score
+
+_PM31 = 2_147_483_647  # shared with operators/dedup portable hashing
+_PA = 48_271
+
+
+def classifier_weights(n_buckets: int = 64, seed: int = 9) -> list[float]:
+    """Deterministic per-bucket weights in [-1, 1): one MINSTD stream,
+    rounded to 9 dp so the literals round-trip exactly through both
+    engines' decimal parsers."""
+    out, x = [], seed
+    for _ in range(n_buckets):
+        x = (x * _PA) % _PM31
+        out.append(round(x / _PM31 * 2.0 - 1.0, 9))
+    return out
+
+
+def quality_classifier_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+    seed: int = 9,
+    bias: float = 0.05,
+) -> DataFrame:
+    """Hashed-bag-of-words linear quality classifier — the fastText /
+    CCNet pattern used to score pretraining documents against a
+    reference corpus, as pure JVM expressions.
+
+    The model is (weights, bias) over `n_buckets` hashed token features:
+    logit(doc) = bias + mean over tokens of w[h(token) mod n_buckets].
+    A trained model would supply `w` from its fit; here `w` is a seeded
+    MINSTD stream (`classifier_weights`) inlined as a literal array and
+    `h` is the portable 31-bit token hash, so scoring — the part that
+    runs over 100 TB — is exactly reproducible cross-engine. Left-fold
+    summation order is identical in Spark's `aggregate` and DuckDB's
+    `list_sum`, so the logit is bit-identical before rounding.
+
+    No Python anywhere: one map-side expression per row, no shuffle.
+    """
+    from heavydb_spark.operators.dedup import portable_token_hash
+
+    w = classifier_weights(n_buckets, seed)
+    warr = F.array(*[F.lit(v) for v in w])
+    toks = tokens(F.col(text_col))
+    term = lambda t: F.element_at(  # noqa: E731
+        warr,
+        (F.pmod(portable_token_hash(t, seed), F.lit(n_buckets)) + 1).cast(
+            "int"
+        ),
+    )
+    n = F.size(toks)
+    s = F.aggregate(toks, F.lit(0.0), lambda acc, t: acc + term(t))
+    logit = F.round(F.lit(bias) + s / n, 6)
+    return df.select(
+        F.col(id_col),
+        n.alias("n_tokens"),
+        logit.alias("quality_logit"),
+        (logit >= 0).alias("quality_label"),
+    )
+
+
 def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Repetition-based quality signals (the Gopher-rule family used to
     filter boilerplate/spam from pretraining corpora): fraction of

@@ -64,6 +64,9 @@ _PRIORITY = [
     "tpcds_q49_ranked_returns",   # dual-ranked worst-return items
     "tpcds_q38_triple_intersect", # INTERSECT-chain channel overlap
     "agg_filter_clause",          # SQL:2003 FILTER (WHERE ...) aggregates
+    "dedup_shared_run",           # exact-substring shared-run dedup
+    "sim_semantic_dedup",         # SemDeDup-shaped semantic dedup
+    "text_quality_classifier",    # hashed-linear quality classifier
     # --- last checked r1 (predates all global dialect changes) ---
     "sort_topk",
     "agg_groupby_avg",

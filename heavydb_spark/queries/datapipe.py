@@ -158,6 +158,21 @@ def sim_cosine_topk(spark, sf_dir):
     )
 
 
+def _sql_arr(p) -> str:
+    """A float64 vector as a SQL list literal (repr round-trips exactly)."""
+    return "[" + ", ".join(repr(float(v)) for v in p) + "]"
+
+
+def _sql_bucket(planes, v: str) -> str:
+    """The DuckDB text of similarity.lsh_bucket over expression `v`:
+    sign bit per (inlined, seeded) hyperplane packed into an integer."""
+    return " + ".join(
+        f"{1 << i} * (CASE WHEN list_dot_product({v}, "
+        f"{_sql_arr(planes[i])}) >= 0 THEN 1 ELSE 0 END)"
+        for i in range(len(planes))
+    )
+
+
 def _lsh_oracle(n_planes: int = 4, dim: int = 64, seed: int = 42,
                 k: int = 10) -> str:
     """Exact oracle for the LSH index: the hyperplanes are seeded
@@ -168,15 +183,8 @@ def _lsh_oracle(n_planes: int = 4, dim: int = 64, seed: int = 42,
     fixture embeddings are 64-dim at every scale factor."""
     planes = similarity.hyperplanes(dim, n_planes, seed)
 
-    def arr(p):
-        return "[" + ", ".join(repr(float(v)) for v in p) + "]"
-
     def bucket(v):
-        return " + ".join(
-            f"{1 << i} * (CASE WHEN list_dot_product({v}, "
-            f"{arr(planes[i])}) >= 0 THEN 1 ELSE 0 END)"
-            for i in range(n_planes)
-        )
+        return _sql_bucket(planes, v)
 
     return f"""
     WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
@@ -1197,3 +1205,166 @@ def pipe_mix_token_budget(spark, sf_dir):
         F.min("doc_id").alias("min_doc"),
         F.max("doc_id").alias("max_doc"),
     ).orderBy("source")
+
+
+# ------------------------------------------- round-6 pipeline additions
+
+
+@query(
+    "dedup_shared_run",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id AS doc, string_split_regex(trim(text), '\s+') AS t
+        FROM documents
+    ), pos AS (
+        SELECT doc, CAST(u.i AS INTEGER) AS pos,
+               array_to_string(list_slice(t, u.i + 1, u.i + 8), ' ') AS shingle
+        FROM toks, unnest(range(0, greatest(len(t) - 7, 0))) AS u(i)
+    ), dist AS (
+        SELECT DISTINCT doc, shingle FROM pos
+    ), sizes AS (
+        SELECT doc, count(*) AS n_sh FROM dist GROUP BY doc
+    ), inter AS (
+        SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS shared_windows
+        FROM dist a JOIN dist b ON a.shingle = b.shingle AND a.doc < b.doc
+        GROUP BY 1, 2
+    ), matched AS (
+        SELECT DISTINCT p.doc AS src, q.doc AS dst, p.pos
+        FROM pos p JOIN dist q ON p.shingle = q.shingle AND p.doc <> q.doc
+    ), streaks AS (
+        SELECT src, dst, max(run_len) AS max_streak
+        FROM (
+            SELECT src, dst, grp, count(*) AS run_len
+            FROM (
+                SELECT src, dst, pos,
+                       pos - row_number() OVER (
+                           PARTITION BY src, dst ORDER BY pos) AS grp
+                FROM matched
+            )
+            GROUP BY src, dst, grp
+        )
+        GROUP BY src, dst
+    ), sym AS (
+        SELECT least(src, dst) AS doc_a, greatest(src, dst) AS doc_b,
+               max(max_streak) AS streak
+        FROM streaks GROUP BY 1, 2
+    )
+    SELECT i.doc_a, i.doc_b, i.shared_windows,
+           s.streak + 7 AS longest_run_tokens,
+           round(CAST(i.shared_windows AS DOUBLE) / least(sa.n_sh, sb.n_sh),
+                 6) AS containment
+    FROM inter i
+    JOIN sym s ON s.doc_a = i.doc_a AND s.doc_b = i.doc_b
+    JOIN sizes sa ON sa.doc = i.doc_a
+    JOIN sizes sb ON sb.doc = i.doc_b
+    ORDER BY i.doc_a, i.doc_b
+    """,
+)
+def dedup_shared_run(spark, sf_dir):
+    """Exact-substring near-dup pairs: verbatim shared 8-token runs with
+    longest-run length and containment (operators/dedup.py
+    shared_run_pairs — the distributed stand-in for suffix-array
+    exact-substring dedup). Catches containment the symmetric Jaccard
+    score misses: a short doc quoted inside a long one."""
+    d = T(spark, sf_dir, "documents")
+    return dedup.shared_run_pairs(d, "doc_id", "text", window=8).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+def _semantic_dedup_oracle(
+    n_planes: int = 6, dim: int = 64, seed: int = 7,
+    threshold: float = 0.9,
+) -> str:
+    """Exact oracle for SemDeDup-shaped semantic dedup: the seeded
+    hyperplanes are inlined, the bucket expression is shared with the
+    LSH-ANN oracle, and — like sim_embedding_neardup — the only pairs
+    above threshold are the planted identical copies (natural max
+    cosine in the fixture ~0.51), so every surviving cosine is exactly
+    1.0 on both engines."""
+    planes = similarity.hyperplanes(dim, n_planes, seed)
+    return f"""
+    WITH base AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings WHERE vec_id < 50
+    ), cand AS (
+        SELECT vec_id, v FROM base
+        UNION ALL
+        SELECT vec_id + 1000 AS vec_id, v FROM base
+    ), bk AS (
+        SELECT vec_id,
+               list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS vn,
+               {_sql_bucket(planes, 'v')} AS bucket
+        FROM cand
+    ), dup AS (
+        SELECT hi.vec_id AS vid, min(lo.vec_id) AS dup_of,
+               max(round(list_dot_product(lo.vn, hi.vn), 6)) AS max_cos
+        FROM bk lo JOIN bk hi
+          ON lo.bucket = hi.bucket AND lo.vec_id < hi.vec_id
+        WHERE round(list_dot_product(lo.vn, hi.vn), 6) >= {threshold}
+        GROUP BY hi.vec_id
+    )
+    SELECT c.vec_id, dup.dup_of IS NULL AS kept, dup.dup_of, dup.max_cos
+    FROM cand c LEFT JOIN dup ON dup.vid = c.vec_id
+    ORDER BY c.vec_id
+    """
+
+
+@query("sim_semantic_dedup", oracle=_semantic_dedup_oracle())
+def sim_semantic_dedup(spark, sf_dir):
+    """SemDeDup-shaped semantic dedup (operators/similarity.py
+    semantic_dedup): LSH-bucket blocking, within-bucket cosine, drop
+    rows with a lower-id neighbor above threshold. Planted exact
+    copies (vec_id + 1000 of vec_id < 50) make the check non-vacuous,
+    exactly as sim_embedding_neardup."""
+    e = T(spark, sf_dir, "embeddings")
+    base = e.filter(F.col("vec_id") < 50).select("vec_id", "embedding")
+    dup = base.select(
+        (F.col("vec_id") + 1000).alias("vec_id"), F.col("embedding")
+    )
+    return similarity.semantic_dedup(
+        base.unionByName(dup), "embedding", "vec_id",
+        threshold=0.9, n_planes=6, seed=7,
+        dim=len(_query_vec(spark, sf_dir)),
+    ).orderBy("vec_id")
+
+
+def _quality_classifier_oracle(
+    n_buckets: int = 64, seed: int = 9, bias: float = 0.05,
+) -> str:
+    """Exact oracle for the hashed-linear quality classifier: the
+    seeded weight table is inlined (CAST to DOUBLE[] — the 9-dp decimal
+    literals convert exactly), the portable token hash is replayed via
+    portable_token_hash_sql, and list_reduce reproduces Spark
+    aggregate's left-fold summation order bit for bit."""
+    w = text.classifier_weights(n_buckets, seed)
+    warr = "CAST([" + ", ".join(repr(v) for v in w) + "] AS DOUBLE[])"
+    h = dedup.portable_token_hash_sql("t", seed)
+    return rf"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+        FROM documents
+    ), scored AS (
+        SELECT doc_id, len(tk) AS n_tokens,
+               round({bias} + list_reduce(
+                   list_transform(tk,
+                       t -> ({warr})[CAST(({h}) % {n_buckets} AS INTEGER) + 1]),
+                   (a, b) -> a + b) / len(tk), 6) AS quality_logit
+        FROM toks
+    )
+    SELECT doc_id, n_tokens, quality_logit,
+           quality_logit >= 0 AS quality_label
+    FROM scored ORDER BY doc_id
+    """
+
+
+@query("text_quality_classifier", oracle=_quality_classifier_oracle())
+def text_quality_classifier(spark, sf_dir):
+    """Model-based document quality scoring (operators/text.py
+    quality_classifier_score): hashed-bag-of-words linear classifier —
+    the fastText/CCNet pretraining-filter pattern — as one map-side JVM
+    expression per row."""
+    d = T(spark, sf_dir, "documents")
+    return text.quality_classifier_score(
+        d, "text", "doc_id", n_buckets=64, seed=9, bias=0.05
+    ).orderBy("doc_id")

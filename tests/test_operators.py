@@ -1936,3 +1936,88 @@ def test_datum_shift_helmert(spark):
     p = geo.st_point(F.col("lon"), F.col("lat"))
     via = df.select(geo.st_transform(p, 4326, 27700).alias("v")).first().v
     assert abs(via.x - r.f.x) < 1e-6 and abs(via.y - r.f.y) < 1e-6
+
+
+def test_shared_run_pairs_containment_and_longest_run(spark):
+    """shared_run_pairs on crafted docs: a 6-token verbatim quote is
+    reported with its exact token length; a fully-contained short doc
+    scores containment 1.0 (the case symmetric Jaccard misses); docs
+    sharing no window-length run produce no pair."""
+    from heavydb_spark.operators.dedup import shared_run_pairs
+
+    rows = [
+        (1, "a b c d e f g h i j"),      # base document
+        (2, "x y a b c d e f z w"),      # quotes run "a b c d e f"
+        (3, "c d e f g h"),              # fully contained in doc 1
+        (4, "p q r s t u"),              # disjoint
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_a, r.doc_b): (
+            r.shared_windows, r.longest_run_tokens, r.containment
+        )
+        for r in shared_run_pairs(df, "doc_id", "text", window=4).collect()
+    }
+    assert got == {
+        (1, 2): (3, 6, round(3 / 7, 6)),
+        (1, 3): (3, 6, 1.0),
+        (2, 3): (1, 4, round(1 / 3, 6)),
+    }
+
+
+def test_semantic_dedup_keep_rule_and_chain(spark):
+    """semantic_dedup one-pass keep rule: identical copies collapse to
+    the LOWEST id (a three-copy chain maps both later copies to the
+    first, not to each other); scaled copies (cosine 1) also collapse;
+    distinct vectors are kept with NULL dup_of."""
+    from heavydb_spark.operators.similarity import semantic_dedup
+
+    base = [
+        [1.0, 2.0, -1.0, 0.5, 3.0, -2.0, 1.5, 0.25],
+        [-3.0, 1.0, 2.0, -0.5, 0.0, 1.0, -1.0, 2.0],
+    ]
+    rows = [(0, base[0]), (1, base[1])]
+    rows.append((10, base[0]))                       # copy of 0
+    rows.append((30, base[0]))                       # second copy of 0
+    rows.append((11, [x * 2.5 for x in base[1]]))    # scaled copy of 1
+    rows.append((20, [0.0] * 7 + [1000.0]))          # unrelated
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        r.vec_id: (r.kept, r.dup_of)
+        for r in semantic_dedup(
+            df, "embedding", "vec_id", threshold=0.95, n_planes=4, dim=8
+        ).collect()
+    }
+    assert out[0] == (True, None)
+    assert out[1] == (True, None)
+    assert out[10] == (False, 0)
+    assert out[30] == (False, 0)      # chain collapses to the first id
+    assert out[11] == (False, 1)
+    assert out[20] == (True, None)
+
+
+def test_quality_classifier_score_contract(spark):
+    """quality_classifier_score: token counts are whitespace counts,
+    the label is exactly sign(logit), identical texts score identically,
+    and the seeded weight table is deterministic and bounded."""
+    from heavydb_spark.operators.text import (
+        classifier_weights,
+        quality_classifier_score,
+    )
+
+    w = classifier_weights(64, 9)
+    assert len(w) == 64
+    assert w == classifier_weights(64, 9)
+    assert all(-1.0 <= v < 1.0 for v in w)
+
+    rows = [
+        (1, "the quick brown fox jumps"),
+        (2, "the quick brown fox jumps"),
+        (3, "lorem"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in quality_classifier_score(df).collect()}
+    assert out[1].n_tokens == 5 and out[3].n_tokens == 1
+    assert out[1].quality_logit == out[2].quality_logit
+    for r in out.values():
+        assert r.quality_label == (r.quality_logit >= 0)
