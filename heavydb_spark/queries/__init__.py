@@ -67,6 +67,8 @@ _PRIORITY = [
     "dedup_shared_run",           # exact-substring shared-run dedup
     "sim_semantic_dedup",         # SemDeDup-shaped semantic dedup
     "text_quality_classifier",    # hashed-linear quality classifier
+    "tpcds_q1_returns_above_avg", # correlated group-average returns
+    "tpcds_q93_net_after_returns",# returns-adjusted net sales
     # --- last checked r1 (predates all global dialect changes) ---
     "sort_topk",
     "agg_groupby_avg",

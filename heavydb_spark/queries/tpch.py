@@ -1531,3 +1531,116 @@ def tpcds_q38_triple_intersect(spark, sf_dir):
         .select("c_custkey", "c_name", "n_orders")
         .orderBy("c_custkey")
     )
+
+
+@query(
+    "tpcds_q1_returns_above_avg",
+    oracle="""
+    WITH ctr AS (
+        SELECT c_custkey, c_name, c_nationkey,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS total_ret
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE l_returnflag = 'R'
+        GROUP BY c_custkey, c_name, c_nationkey
+    )
+    SELECT c_custkey, c_name, total_ret
+    FROM ctr c1
+    WHERE total_ret > (SELECT avg(total_ret) * 1.2 FROM ctr c2
+                       WHERE c2.c_nationkey = c1.c_nationkey)
+    ORDER BY c_custkey
+    """,
+)
+def tpcds_q1_returns_above_avg(spark, sf_dir):
+    """TPC-DS Q1 shape: customers whose total returns exceed 1.2x the
+    average customer-return total of their group (nation stands in for
+    store). The correlated scalar subquery against a GROUP-level
+    average is decorrelated the way the optimizer should: the
+    per-customer return totals aggregate once (exact integer cents, so
+    the avg double is bit-identical cross-engine), the 25-row
+    per-nation cutoff aggregates from that and broadcasts back — no
+    second fact scan, no window over nation-sized partitions (25
+    nations at 100 TB would make billion-row window partitions; the
+    tiny-agg + broadcast join shape is skew-immune)."""
+    li = T(spark, sf_dir, "lineitem")
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    ctr = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "c_name", "c_nationkey")
+        .agg(F.sum(cents).alias("total_ret"))
+    )
+    cut = ctr.groupBy("c_nationkey").agg(
+        (F.avg("total_ret") * F.lit(1.2)).alias("cut")
+    )
+    return (
+        ctr.join(broadcast(cut), "c_nationkey")
+        .filter(F.col("total_ret") > F.col("cut"))
+        .select("c_custkey", "c_name", "total_ret")
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "tpcds_q93_net_after_returns",
+    oracle="""
+    WITH ret AS (
+        SELECT l_orderkey,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS ret_cents
+        FROM lineitem
+        WHERE l_returnflag = 'R' AND l_discount >= 0.05
+        GROUP BY l_orderkey
+    )
+    SELECT o_custkey,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)
+                    - coalesce(ret_cents, 0)) AS BIGINT) AS net_cents,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders LEFT JOIN ret ON o_orderkey = l_orderkey
+    GROUP BY o_custkey
+    ORDER BY net_cents, o_custkey
+    LIMIT 100
+    """,
+)
+def tpcds_q93_net_after_returns(spark, sf_dir):
+    """TPC-DS Q93 shape: sales net of returns — order totals reduced by
+    the returned amount (returns = R-flag lines with a selective
+    "reason" filter, discount >= 0.05), customers ranked by lowest net.
+    The distinctive plan: a fact-to-fact LEFT join on the order key
+    where the right side pre-aggregates (never row-multiplies), a
+    per-row coalesce conditional, then a second aggregate on a
+    DIFFERENT key (customer) — two shuffles by necessity, both on
+    high-cardinality keys; the final ORDER BY+LIMIT is a TakeOrdered,
+    never a full sort. Exact integer cents end to end."""
+    li = T(spark, sf_dir, "lineitem")
+    o = T(spark, sf_dir, "orders")
+    l_cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    o_cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    ret = (
+        li.filter(
+            (F.col("l_returnflag") == "R") & (F.col("l_discount") >= 0.05)
+        )
+        .groupBy("l_orderkey")
+        .agg(F.sum(l_cents).alias("ret_cents"))
+    )
+    return (
+        o.join(ret, F.col("o_orderkey") == F.col("l_orderkey"), "left")
+        .select(
+            "o_custkey",
+            (o_cents - F.coalesce(F.col("ret_cents"), F.lit(0))).alias(
+                "net"
+            ),
+        )
+        .groupBy("o_custkey")
+        .agg(
+            F.sum("net").alias("net_cents"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("net_cents", "o_custkey")
+        .limit(100)
+    )

@@ -361,3 +361,62 @@ def test_q38_intersect_plan_shape(spark):
     s = checks.plan_string(df, "simple")
     assert "CartesianProduct" not in s and "BroadcastNestedLoopJoin" not in s
     assert "LeftSemi" in s or "Aggregate" in s, s
+
+
+def test_q1_returns_above_avg_plan_shape(spark):
+    """tpcds_q1_returns_above_avg: the per-nation cutoff (25 rows) must
+    join back via BroadcastHashJoin — the correlated subquery
+    decorrelates to a tiny-agg broadcast, never a shuffle of the
+    per-customer totals against a 25-key skewed partitioning and never
+    a product."""
+    df = QUERIES["tpcds_q1_returns_above_avg"](spark, SF_DIR)
+    s = checks.plan_string(df, "simple")
+    assert "BroadcastHashJoin" in s, s
+    assert "CartesianProduct" not in s and "BroadcastNestedLoopJoin" not in s
+
+
+def test_q93_net_after_returns_plan_shape(spark):
+    """tpcds_q93_net_after_returns: the returns side pre-aggregates
+    BEFORE the fact-to-fact left join (no row multiplication), the
+    final ORDER BY+LIMIT plans as TakeOrdered (no full sort), and no
+    product appears."""
+    df = QUERIES["tpcds_q93_net_after_returns"](spark, SF_DIR)
+    s = checks.plan_string(df, "simple")
+    assert "TakeOrderedAndProject" in s, s
+    assert "CartesianProduct" not in s and "BroadcastNestedLoopJoin" not in s
+    # the left join consumes an aggregated right side: an Aggregate on
+    # l_orderkey must appear below the join in the plan text
+    assert s.index("Join") < s.rindex("HashAggregate"), s
+
+
+def test_shared_run_pairs_plan_shape(spark):
+    """dedup_shared_run: every join is a shingle/pair equi-join —
+    shared-window blocking, never an all-pairs product — and the
+    island window partitions by (src, dst), never a global frame."""
+    df = QUERIES["dedup_shared_run"](spark, SF_DIR)
+    s = checks.plan_string(df, "simple")
+    assert "CartesianProduct" not in s, s
+    assert "BroadcastNestedLoopJoin" not in s, s
+
+
+def test_semantic_dedup_plan_shape(spark):
+    """sim_semantic_dedup: candidate pairs come from a bucket equi-join
+    (hyperplane-LSH blocking), never an all-pairs product."""
+    df = QUERIES["sim_semantic_dedup"](spark, SF_DIR)
+    s = checks.plan_string(df, "simple")
+    assert "CartesianProduct" not in s, s
+    assert "BroadcastNestedLoopJoin" not in s, s
+
+
+def test_quality_classifier_plan_shape(spark):
+    """text_quality_classifier: pure map-side expression — no shuffle
+    (Exchange) anywhere above the scan except the final orderBy, no
+    Python UDF in the plan."""
+    from heavydb_spark.operators.text import quality_classifier_score
+    from heavydb_spark.queries.util import T
+
+    d = T(spark, SF_DIR, "documents")
+    df = quality_classifier_score(d)          # no orderBy: raw operator
+    s = checks.plan_string(df, "simple")
+    assert "Exchange" not in s, s
+    assert "Python" not in s and "BatchEvalPython" not in s, s
