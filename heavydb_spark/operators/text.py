@@ -193,3 +193,98 @@ def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.round(top_count(bigrams) / F.size(bigrams), 4).alias("r_top_bigram"),
         F.round(F.size(F.array_distinct(words)) / n, 4).alias("r_distinct"),
     )
+
+
+# ------------------------------------------------ n-gram LM perplexity
+
+
+def lm_perplexity_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    train_df: DataFrame | None = None,
+) -> DataFrame:
+    """Bigram language-model perplexity per document — the CCNet/KenLM
+    quality signal (score a document against a reference-corpus LM;
+    high perplexity = unusual text) with a deterministic stand-in LM:
+    add-one-smoothed bigram MLE counts trained on `train_df` (default:
+    the scored corpus itself — self-perplexity outlier detection).
+
+    P(w2|w1) = (c(w1 w2) + 1) / (c(w1 ·) + V); per doc the mean log
+    probability over its bigrams and ppl = exp(-mean). Everything is
+    count arithmetic + one ln per distinct bigram — SQL-expressible,
+    so the oracle replays it exactly (log/exp rounded on both sides:
+    cross-engine libm ulp + double reassociation are absorbed, the
+    same convention as every rounded float aggregate in the catalog).
+
+    Plan shape at 100 TB: one shuffle of bigram rows to count c2, one
+    to count c1 (prefix totals), the vocabulary size V as a 1-row
+    broadcast scalar (the q88 threshold pattern), then bigram-keyed
+    co-partitioned joins back and one per-doc aggregate. No all-pairs,
+    no Python, no driver collect.
+    """
+    if train_df is None:
+        train_df = df
+
+    def toks(frame):
+        return frame.select(
+            F.col(id_col).alias("doc"),
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("t"),
+        )
+
+    def bigrams(frame):
+        m = F.greatest(F.size("t") - 1, F.lit(0))
+        return (
+            toks(frame)
+            .select(
+                "doc",
+                F.explode(
+                    F.arrays_zip(
+                        F.slice("t", 1, m).alias("w1"),
+                        F.slice("t", 2, m).alias("w2"),
+                    )
+                ).alias("b"),
+            )
+            .select("doc", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+        )
+
+    train_big = bigrams(train_df).localCheckpoint(eager=False)
+    c2 = train_big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = train_big.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = (
+        toks(train_df)
+        .select(F.explode("t").alias("tok"))
+        .agg(F.count_distinct("tok").alias("v"))
+    )
+    score_big = bigrams(df) if train_df is not df else train_big
+    from pyspark.sql.functions import broadcast
+
+    scored = (
+        score_big.join(c2, ["w1", "w2"], "left")
+        .join(c1, "w1", "left")
+        .crossJoin(broadcast(vocab))
+        .select(
+            "doc",
+            F.log(
+                (F.coalesce(F.col("c2"), F.lit(0)) + 1).cast("double")
+                / (F.coalesce(F.col("c1"), F.lit(0)) + F.col("v"))
+            ).alias("lp"),
+        )
+        .groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("lp").alias("sll"),
+        )
+    )
+    avg_ll = F.col("sll") / F.col("n_bigrams")
+    return (
+        toks(df)
+        .select("doc")
+        .join(scored, "doc", "left")
+        .select(
+            F.col("doc").alias(id_col),
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            F.round(avg_ll, 6).alias("avg_logprob"),
+            F.round(F.exp(-avg_ll), 4).alias("ppl"),
+        )
+    )

@@ -69,6 +69,7 @@ _PRIORITY = [
     "text_quality_classifier",    # hashed-linear quality classifier
     "tpcds_q1_returns_above_avg", # correlated group-average returns
     "tpcds_q93_net_after_returns",# returns-adjusted net sales
+    "text_lm_perplexity",         # bigram-LM perplexity filter
     # --- last checked r1 (predates all global dialect changes) ---
     "sort_topk",
     "agg_groupby_avg",

@@ -1368,3 +1368,47 @@ def text_quality_classifier(spark, sf_dir):
     return text.quality_classifier_score(
         d, "text", "doc_id", n_buckets=64, seed=9, bias=0.05
     ).orderBy("doc_id")
+
+
+@query(
+    "text_lm_perplexity",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+        FROM documents
+    ), big AS (
+        SELECT doc_id,
+               t[CAST(u.i AS INTEGER)] AS w1,
+               t[CAST(u.i AS INTEGER) + 1] AS w2
+        FROM toks, unnest(range(1, len(t))) AS u(i)
+    ), c2 AS (
+        SELECT w1, w2, count(*) AS c2 FROM big GROUP BY 1, 2
+    ), c1 AS (
+        SELECT w1, count(*) AS c1 FROM big GROUP BY 1
+    ), v AS (
+        SELECT count(DISTINCT tok) AS v
+        FROM (SELECT unnest(t) AS tok FROM toks)
+    ), scored AS (
+        SELECT b.doc_id, count(*) AS n_bigrams,
+               sum(ln(CAST(c2.c2 + 1 AS DOUBLE) / (c1.c1 + v.v))) AS sll
+        FROM big b
+        JOIN c2 ON c2.w1 = b.w1 AND c2.w2 = b.w2
+        JOIN c1 ON c1.w1 = b.w1
+        CROSS JOIN v
+        GROUP BY b.doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(s.n_bigrams, 0) AS n_bigrams,
+           round(s.sll / s.n_bigrams, 6) AS avg_logprob,
+           round(exp(-(s.sll / s.n_bigrams)), 4) AS ppl
+    FROM toks d LEFT JOIN scored s ON s.doc_id = d.doc_id
+    ORDER BY d.doc_id
+    """,
+)
+def text_lm_perplexity(spark, sf_dir):
+    """Bigram-LM perplexity per document (operators/text.py
+    lm_perplexity_score): add-one-smoothed counts trained on the corpus
+    itself — the CCNet/KenLM perplexity-filter pattern with a
+    deterministic stand-in LM."""
+    d = T(spark, sf_dir, "documents")
+    return text.lm_perplexity_score(d, "text", "doc_id").orderBy("doc_id")

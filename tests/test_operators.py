@@ -2021,3 +2021,34 @@ def test_quality_classifier_score_contract(spark):
     assert out[1].quality_logit == out[2].quality_logit
     for r in out.values():
         assert r.quality_label == (r.quality_logit >= 0)
+
+
+def test_lm_perplexity_score_exact_math(spark):
+    """lm_perplexity_score with an explicit train corpus: add-one
+    bigram probabilities verified by hand — a seen bigram scores
+    (c2+1)/(c1+V), an unseen prefix backs off to 1/V-smoothed mass,
+    and a one-token doc gets 0 bigrams with NULL score."""
+    from heavydb_spark.operators.text import lm_perplexity_score
+
+    train = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a c")], "doc_id long, text string"
+    )
+    # train counts: c2(a,b)=2 c2(b,a)=1 c2(a,c)=1; c1(a)=3 c1(b)=1; V=3
+    score = spark.createDataFrame(
+        [(10, "a b c"), (11, "z"), (12, "z q")],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in lm_perplexity_score(score, train_df=train).collect()
+    }
+    # doc 10: P(a,b)=(2+1)/(3+3)=1/2, P(b,c)=(0+1)/(1+3)=1/4
+    assert out[10].n_bigrams == 2
+    assert out[10].avg_logprob == -1.039721      # (ln .5 + ln .25)/2
+    assert out[10].ppl == 2.8284                 # 2*sqrt(2)
+    # doc 11: single token -> no bigrams, null scores
+    assert out[11].n_bigrams == 0
+    assert out[11].avg_logprob is None and out[11].ppl is None
+    # doc 12: unseen prefix z -> P=(0+1)/(0+3)=1/3
+    assert out[12].avg_logprob == -1.098612
+    assert out[12].ppl == 3.0
