@@ -54,6 +54,11 @@ BENCH_QUERIES = {
     # the SQL dialect path; wide multi-CTE self-join
     "B22_rollup_rank": "tpcds_q67_rollup_rank",
     "B23_cross_year": "tpcds_q64_cross_year_sales",
+    # r6 late additions, self-baselined: positional shared-run dedup
+    # (window self-joins + island window); bigram-LM perplexity
+    # (two count shuffles + co-partitioned joins back)
+    "B24_shared_run": "dedup_shared_run",
+    "B25_lm_perplexity": "text_lm_perplexity",
 }
 
 

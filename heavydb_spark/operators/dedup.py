@@ -83,24 +83,46 @@ def token_shingles(text_col: Column, n: int = 3) -> Column:
 
 # -------------------------------------------------------- exact jaccard
 
+def _drop_hot_shingles(sh: DataFrame, max_df: int) -> DataFrame:
+    """Drop shingles whose document frequency exceeds `max_df` — the
+    boilerplate/stop-phrase skew cap. A shingle in k docs contributes
+    O(k^2) join pairs; capping k bounds the worst shingle's cost while
+    near-dup recall survives on the rare shingles (boilerplate shared
+    by thousands of docs is exactly what should NOT make candidates).
+    One aggregate on the already-partitioned shingle key + an anti
+    join that Catalyst plans on the same partitioning."""
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df_cnt"))
+        .filter(F.col("df_cnt") > max_df)
+        .select("shingle")
+    )
+    return sh.join(hot, "shingle", "left_anti")
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
     text_col: str,
     n: int = 3,
     threshold: float = 0.8,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-duplicate pairs (id_a < id_b).
 
     Plan shape: explode shingles → self equi-join on shingle (bounded by
     shared-shingle co-occurrence, not |docs|^2) → group pair → jaccard.
-    At scale, hot shingles (stop-phrases) create join skew; mitigate by
-    dropping shingles above a document-frequency cap (`max_df`).
+    At scale, hot shingles (stop-phrases) create join skew; pass
+    `max_df` to drop shingles above a document-frequency cap before the
+    join (`_drop_hot_shingles`). Sizes then count KEPT shingles, so
+    jaccard stays a true ratio over the compared sets.
     """
     # sizes + both join sides read the shingle relation — one pass
     sh = _shingle_rows(df, id_col, text_col, n).distinct().localCheckpoint(
         eager=False
     )
+    if max_df is not None:
+        sh = _drop_hot_shingles(sh, max_df).localCheckpoint(eager=False)
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -125,6 +147,7 @@ def shared_run_pairs(
     id_col: str,
     text_col: str,
     window: int = 8,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact-substring near-duplicate pairs: documents sharing at least
     one verbatim `window`-token run, with the length of the longest such
@@ -141,9 +164,11 @@ def shared_run_pairs(
     text (shared-window blocking, never all-pairs) → per-ordered-pair
     matched-position islands (one bounded window over (src, dst), rows
     per pair bounded by document length) → symmetric max. At scale, hot
-    windows (boilerplate) create join skew; mitigate by dropping windows
-    above a document-frequency cap before the join, exactly as the
-    jaccard path's `max_df` note.
+    windows (boilerplate) create join skew AND quadratic candidate
+    growth (a window in k docs yields O(k^2) pairs); pass `max_df` to
+    drop windows above a document-frequency cap before the joins
+    (`_drop_hot_shingles`) — boilerplate shared by thousands of docs
+    should not make candidates, and rare windows carry the recall.
 
     Output per unordered pair (doc_a < doc_b): `shared_windows` (distinct
     windows in both), `longest_run_tokens` (longest token run whose every
@@ -175,6 +200,11 @@ def shared_run_pairs(
     dist = pos_rows.select("doc", "shingle").distinct().localCheckpoint(
         eager=False
     )
+    if max_df is not None:
+        dist = _drop_hot_shingles(dist, max_df).localCheckpoint(eager=False)
+        pos_rows = pos_rows.join(
+            dist.select("shingle").distinct(), "shingle", "left_semi"
+        )
     sizes = dist.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = dist.alias("a"), dist.alias("b")
     inter = (
@@ -200,7 +230,10 @@ def shared_run_pairs(
             F.col("q.doc").alias("dst"),
             F.col("p.pos").alias("pos"),
         )
-        .distinct()
+        # no distinct needed: p rows are unique per (doc, pos) and q is
+        # distinct per (doc, shingle), so each (src, dst, pos) appears
+        # exactly once — a dedup here would re-shuffle the largest
+        # intermediate for nothing
     )
     w = Window.partitionBy("src", "dst").orderBy("pos")
     streaks = (

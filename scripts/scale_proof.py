@@ -9,7 +9,9 @@ reports wall time plus total shuffle read/write bytes per query from
 the Spark status store. Evidence for BASELINE.md's 100x-design section;
 not part of the driver bench.
 
-Usage: python scripts/scale_proof.py [--keep]
+Usage: python scripts/scale_proof.py [--keep] [Bxx_head ...]
+(named heads restrict the run — e.g. a new head's first 10x row —
+default is every listed head)
 """
 
 from __future__ import annotations
@@ -123,7 +125,17 @@ def main() -> None:
         # r6 heads: grouping-sets rollup + rank; wide-CTE self-join
         "B22_rollup_rank": "tpcds_q67_rollup_rank",
         "B23_cross_year": "tpcds_q64_cross_year_sales",
+        # r6 late heads. B24's scaled input is adversarial BY
+        # CONSTRUCTION: the 10 shifted copies differ only in a trailing
+        # token, so every doc shares its full run with its 9 copies and
+        # the TRUE answer grows ~C(10,2)-fold — output-driven growth,
+        # the hot-shingle case the operator's max_df cap exists for.
+        "B24_shared_run": "dedup_shared_run",
+        "B25_lm_perplexity": "text_lm_perplexity",
     }
+    wanted = [a for a in sys.argv[1:] if not a.startswith("--")]
+    if wanted:
+        heads = {k: v for k, v in heads.items() if k in wanted}
     results = {}
     for bid, qname in heads.items():
         time.sleep(1.0)  # let the async status listener settle

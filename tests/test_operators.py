@@ -2052,3 +2052,41 @@ def test_lm_perplexity_score_exact_math(spark):
     # doc 12: unseen prefix z -> P=(0+1)/(0+3)=1/3
     assert out[12].avg_logprob == -1.098612
     assert out[12].ppl == 3.0
+
+
+def test_shared_run_and_jaccard_max_df_cap(spark):
+    """max_df skew cap: a boilerplate run shared by 4 docs exceeds the
+    cap and generates NO candidates; a rare run shared by 2 docs
+    survives. Jaccard sizes count kept shingles only (true ratio over
+    the compared sets)."""
+    from heavydb_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        shared_run_pairs,
+    )
+
+    hot = "every page has this exact same footer line here"
+    rows = [
+        (1, hot + " unique one alpha beta gamma delta epsilon"),
+        (2, hot + " unique one alpha beta gamma delta zeta"),
+        (3, hot),
+        (4, hot),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    uncapped = shared_run_pairs(df, "doc_id", "text", window=4)
+    assert uncapped.count() == 6          # all C(4,2) pairs via footer
+    capped = {
+        (r.doc_a, r.doc_b)
+        for r in shared_run_pairs(
+            df, "doc_id", "text", window=4, max_df=3
+        ).collect()
+    }
+    assert capped == {(1, 2)}             # only the rare shared run
+
+    jac = {
+        (r.doc_a, r.doc_b)
+        for r in ngram_jaccard_pairs(
+            df, "doc_id", "text", n=3, threshold=0.3, max_df=3
+        ).collect()
+    }
+    assert jac == {(1, 2)}
