@@ -70,6 +70,7 @@ _PRIORITY = [
     "tpcds_q1_returns_above_avg", # correlated group-average returns
     "tpcds_q93_net_after_returns",# returns-adjusted net sales
     "text_lm_perplexity",         # bigram-LM perplexity filter
+    "pipe_model_filter_chain",    # composed model-based curation chain
     # --- last checked r1 (predates all global dialect changes) ---
     "sort_topk",
     "agg_groupby_avg",

@@ -1412,3 +1412,129 @@ def text_lm_perplexity(spark, sf_dir):
     deterministic stand-in LM."""
     d = T(spark, sf_dir, "documents")
     return text.lm_perplexity_score(d, "text", "doc_id").orderBy("doc_id")
+
+
+def _model_filter_chain_oracle(
+    n_buckets: int = 64, seed: int = 9, bias: float = 0.05,
+    ppl_cut: float = 31.0, window: int = 8, cont: float = 0.8,
+) -> str:
+    """One recursive-CTE-free DuckDB statement replaying the whole
+    model-based curation chain: classifier gate -> self-trained bigram
+    perplexity band -> shared-run containment dedup. Stage formulas are
+    the same as the individually-oracled catalog queries; composing
+    them in one statement proves stage composition, exactly as
+    pipe_end_to_end_corpus does for the heuristic chain."""
+    w = text.classifier_weights(n_buckets, seed)
+    warr = "CAST([" + ", ".join(repr(v) for v in w) + "] AS DOUBLE[])"
+    h = dedup.portable_token_hash_sql("t", seed)
+    return rf"""
+    WITH cls AS (
+        SELECT doc_id, text,
+               round({bias} + list_reduce(list_transform(
+                   string_split_regex(trim(text), '\s+'),
+                   t -> ({warr})[CAST(({h}) % {n_buckets} AS INTEGER) + 1]),
+                   (a, b) -> a + b)
+                 / len(string_split_regex(trim(text), '\s+')), 6) AS logit
+        FROM documents
+    ), kept1 AS (
+        SELECT doc_id, text FROM cls WHERE logit >= 0
+    ), ptoks AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+        FROM kept1
+    ), big AS (
+        SELECT doc_id, t[CAST(u.i AS INTEGER)] AS w1,
+               t[CAST(u.i AS INTEGER) + 1] AS w2
+        FROM ptoks, unnest(range(1, len(t))) AS u(i)
+    ), c2 AS (
+        SELECT w1, w2, count(*) AS c2 FROM big GROUP BY 1, 2
+    ), c1 AS (
+        SELECT w1, count(*) AS c1 FROM big GROUP BY 1
+    ), v AS (
+        SELECT count(DISTINCT tok) AS v
+        FROM (SELECT unnest(t) AS tok FROM ptoks)
+    ), sc AS (
+        SELECT b.doc_id, count(*) AS nb,
+               sum(ln(CAST(c2.c2 + 1 AS DOUBLE) / (c1.c1 + v.v))) AS sll
+        FROM big b
+        JOIN c2 ON c2.w1 = b.w1 AND c2.w2 = b.w2
+        JOIN c1 ON c1.w1 = b.w1
+        CROSS JOIN v
+        GROUP BY b.doc_id
+    ), ppl AS (
+        SELECT doc_id, round(exp(-(sll / nb)), 4) AS ppl FROM sc
+    ), kept2 AS (
+        SELECT k.doc_id, k.text
+        FROM kept1 k LEFT JOIN ppl p ON p.doc_id = k.doc_id
+        WHERE p.ppl IS NULL OR p.ppl <= {ppl_cut}
+    ), toks2 AS (
+        SELECT doc_id AS doc, string_split_regex(trim(text), '\s+') AS t
+        FROM kept2
+    ), pos AS (
+        SELECT doc,
+               array_to_string(
+                   list_slice(t, u.i + 1, u.i + {window}), ' ') AS shingle
+        FROM toks2,
+             unnest(range(0, greatest(len(t) - {window - 1}, 0))) AS u(i)
+    ), dist AS (
+        SELECT DISTINCT doc, shingle FROM pos
+    ), sizes AS (
+        SELECT doc, count(*) AS n_sh FROM dist GROUP BY doc
+    ), inter AS (
+        SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS shared
+        FROM dist a JOIN dist b
+          ON a.shingle = b.shingle AND a.doc < b.doc
+        GROUP BY 1, 2
+    ), drops AS (
+        SELECT DISTINCT doc_b FROM inter
+        JOIN sizes sa ON sa.doc = doc_a
+        JOIN sizes sb ON sb.doc = doc_b
+        WHERE round(CAST(shared AS DOUBLE) / least(sa.n_sh, sb.n_sh), 6)
+              >= {cont}
+    )
+    SELECT k.doc_id,
+           len(string_split_regex(trim(k.text), '\s+')) AS tokens,
+           md5(k.text) AS text_hash
+    FROM kept2 k LEFT JOIN drops dr ON dr.doc_b = k.doc_id
+    WHERE dr.doc_b IS NULL
+    ORDER BY k.doc_id
+    """
+
+
+@query("pipe_model_filter_chain", oracle=_model_filter_chain_oracle())
+def pipe_model_filter_chain(spark, sf_dir):
+    """Model-based curation chain, composed end to end: hashed-linear
+    quality-classifier gate (logit >= 0) -> bigram-LM perplexity band
+    trained on the survivors themselves (ppl <= 31, no-bigram docs
+    pass) -> shared-run containment dedup (drop the higher-id doc of
+    any pair with containment >= 0.8). Each kernel is individually
+    oracled above; this proves their composition as ONE dataflow. At
+    100 TB: stage 1 is scan-level codegen, stage 2 two count shuffles
+    plus co-partitioned joins, stage 3 the shared-window blocking join
+    — no stage collects to the driver."""
+    d = T(spark, sf_dir, "documents")
+    scored = text.quality_classifier_score(d)
+    kept1 = d.join(
+        scored.filter(F.col("quality_label")).select("doc_id"), "doc_id"
+    ).select("doc_id", "text")
+    ppl = text.lm_perplexity_score(kept1)
+    kept2 = kept1.join(
+        ppl.filter(
+            F.col("ppl").isNull() | (F.col("ppl") <= 31.0)
+        ).select("doc_id"),
+        "doc_id",
+    ).localCheckpoint(eager=False)
+    drops = (
+        dedup.shared_run_pairs(kept2, "doc_id", "text", window=8)
+        .filter(F.col("containment") >= 0.8)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    return (
+        kept2.join(drops, "doc_id", "left_anti")
+        .select(
+            "doc_id",
+            text.token_count(F.col("text")).alias("tokens"),
+            F.md5("text").alias("text_hash"),
+        )
+        .orderBy("doc_id")
+    )
