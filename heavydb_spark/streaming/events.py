@@ -452,3 +452,27 @@ def streaming_corpus_clean(
     return filtered.withColumn("text_hash", F.md5(t)).dropDuplicates(
         ["text_hash"]
     )
+
+
+def streaming_model_score(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+    seed: int = 9,
+    bias: float = 0.05,
+    keep_only: bool = True,
+) -> DataFrame:
+    """Streaming model-based quality filtering: the hashed-linear
+    classifier (operators/text.py quality_classifier_score) over a
+    document stream — the production deployment shape for model
+    filters: the model is trained OFFLINE (its weights are literals in
+    the plan), scoring is a stateless per-row expression, so each
+    micro-batch scores independently with NO state store (unlike the
+    dedup stage's first-arrival state). stream==batch is exact by
+    construction and proven in tests/test_streaming.py."""
+    from heavydb_spark.operators.text import quality_classifier_score
+
+    scored = quality_classifier_score(
+        docs, "text", id_col, n_buckets=n_buckets, seed=seed, bias=bias
+    )
+    return scored.filter(F.col("quality_label")) if keep_only else scored

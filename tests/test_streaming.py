@@ -643,3 +643,42 @@ def test_streaming_corpus_clean_equals_batch(spark, tmp_path_factory):
         ).collect()
     }
     assert got_lang == batch_lang
+
+
+def test_streaming_model_score_equals_batch(spark, tmp_path_factory):
+    """Streaming model-based quality filtering scores each micro-batch
+    with the offline-trained (literal-weight) classifier and keeps
+    exactly the batch-kept set — stateless scoring, no state store, so
+    the per-doc logits are identical to the batch run."""
+    from pyspark.sql import functions as F
+
+    from heavydb_spark.operators.text import quality_classifier_score
+
+    d = str(tmp_path_factory.mktemp("docs_score_stream"))
+    docs = load_table(spark, SF_DIR, "documents")
+    half = docs.count() // 2
+    docs.filter(F.col("doc_id") < half).write.mode("overwrite").parquet(d)
+    docs.filter(F.col("doc_id") >= half).write.mode("append").parquet(d)
+
+    stream = stream_ops.streaming_model_score(
+        stream_ops.read_document_stream(spark, d, max_files_per_trigger=1)
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("t_model_score")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["doc_id"]: r["quality_logit"]
+        for r in spark.table("t_model_score").collect()
+    }
+    batch = {
+        r["doc_id"]: r["quality_logit"]
+        for r in quality_classifier_score(spark.read.parquet(d))
+        .filter(F.col("quality_label"))
+        .collect()
+    }
+    assert got == batch and len(got) > 0
