@@ -588,3 +588,82 @@ def test_randomized_grouping_analytics(engine, ddb, seed):
     assert len(s_c) == len(o_c), sql
     mism = [p for p in zip(s_c, o_c) if p[0] != p[1]]
     assert not mism, f"seed={seed} sql={sql}\nfirst: {mism[:2]}"
+
+
+# ---------------------------------------------------------------------------
+# Randomized corpora vs the pipeline-operator oracles.
+#
+# The catalog checks the text/dedup operators against ONE fixture corpus;
+# these seeds generate adversarial corpora (planted shared runs and exact
+# duplicates from a tiny vocabulary, empty/whitespace-only docs, irregular
+# whitespace) and replay the SAME oracle SQL the driver uses over a DuckDB
+# view of the identical rows — so the cross-engine contract holds on data
+# shaped to maximize collisions, not just on the fixture.
+# ---------------------------------------------------------------------------
+
+def _random_corpus(rng: random.Random, n_docs: int = 40):
+    vocab = [f"w{i}" for i in range(30)]
+    docs = []
+    for doc_id in range(n_docs):
+        roll = rng.random()
+        if roll < 0.05:
+            text = rng.choice(["", " ", "   "])
+        elif roll < 0.25 and docs:
+            # quote a slice of an earlier doc (shared runs / containment)
+            src = rng.choice(docs)[1].split()
+            if len(src) >= 10:
+                a = rng.randrange(0, len(src) - 9)
+                quoted = src[a : a + rng.randrange(8, min(20, len(src) - a) + 1)]
+                pre = [rng.choice(vocab) for _ in range(rng.randrange(0, 5))]
+                post = [rng.choice(vocab) for _ in range(rng.randrange(0, 5))]
+                text = " ".join(pre + quoted + post)
+            else:
+                text = " ".join(rng.choice(vocab) for _ in range(rng.randrange(1, 30)))
+        elif roll < 0.30 and docs:
+            text = docs[rng.randrange(len(docs))][1]     # exact duplicate
+        else:
+            sep = "  " if rng.random() < 0.1 else " "
+            text = sep.join(rng.choice(vocab) for _ in range(rng.randrange(1, 40)))
+        docs.append((doc_id, text))
+    return docs
+
+
+@pytest.mark.parametrize("seed", [101, 202, 303])
+def test_randomized_corpus_operator_oracles(spark, seed):
+    import duckdb
+    import pandas as pd
+
+    from heavydb_spark.operators.dedup import shared_run_pairs
+    from heavydb_spark.operators.text import (
+        lm_perplexity_score,
+        quality_classifier_score,
+    )
+    from heavydb_spark.queries import ORACLES
+
+    rng = random.Random(seed)
+    rows = _random_corpus(rng)
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+    cases = {
+        "dedup_shared_run": shared_run_pairs(
+            df, "doc_id", "text", window=8
+        ).orderBy("doc_a", "doc_b"),
+        "text_quality_classifier": quality_classifier_score(df).orderBy(
+            "doc_id"
+        ),
+        "text_lm_perplexity": lm_perplexity_score(df).orderBy("doc_id"),
+    }
+    for name, sdf in cases.items():
+        ores = con.sql(ORACLES[name])
+        ocols = [c.lower() for c in ores.columns]
+        scols = [c.lower() for c in sdf.columns]
+        assert sorted(scols) == sorted(ocols), name
+        sidx = [scols.index(c) for c in sorted(scols)]
+        oidx = [ocols.index(c) for c in sorted(ocols)]
+        s_c = canonical([[r[i] for i in sidx] for r in sdf.collect()])
+        o_c = canonical([[r[i] for i in oidx] for r in ores.fetchall()])
+        assert s_c == o_c, f"{name} seed={seed}: first diff " + str(
+            next((p for p in zip(s_c, o_c) if p[0] != p[1]), None)
+        )
