@@ -231,6 +231,17 @@ def semantic_dedup(
         )
         .localCheckpoint(eager=False)
     )
+    return _dedup_by_block(with_b, id_col, threshold)
+
+
+def _dedup_by_block(
+    with_b: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    """Shared dedup core over a blocked relation (vid, vn, bucket):
+    within-bucket cosine on pre-normalized vectors, one-pass lowest-id
+    keep rule. Callers supply the blocking (LSH buckets or k-means
+    lists) and localCheckpoint the input so the self-join reads one
+    materialization."""
     a, b = with_b.alias("a"), with_b.alias("b")
     dup = (
         a.join(
@@ -258,6 +269,41 @@ def semantic_dedup(
         "dup_of",
         "max_cos",
     )
+
+
+def semantic_dedup_kmeans(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.9,
+    n_lists: int = 8,
+    seed: int = 42,
+    max_iter: int = 5,
+) -> DataFrame:
+    """SemDeDup as published (Abbas et al. 2023, arXiv:2303.09540):
+    the clusters ARE k-means clusters — the IVF coarse quantizer
+    (`ivf_index`: MLlib KMeans training, pure-JVM argmin assignment)
+    supplies the blocking, then the same within-cluster cosine /
+    lowest-id keep rule as `semantic_dedup` (whose seeded-LSH blocking
+    is the exactly-oracle-checkable stand-in; this variant is the
+    data-adaptive production form). KMeans is iterative -> rows-only
+    driver check; `sim_semantic_kmeans_invariants` pins the contract
+    (identical vectors always share a cluster, so planted exact
+    duplicates are ALWAYS dropped toward the lowest id).
+
+    Same output contract and 100 TB shape as `semantic_dedup`; with
+    the table written partitionBy(list_id) the self-join is
+    partition-local."""
+    indexed, _ = ivf_index(df, vec_col, n_lists, seed, max_iter)
+    norm = l2_norm(F.col(vec_col))
+    with_b = indexed.select(
+        F.col(id_col).alias("vid"),
+        F.transform(
+            F.col(vec_col), lambda x: x.cast("double") / norm
+        ).alias("vn"),
+        F.col("list_id").alias("bucket"),
+    ).localCheckpoint(eager=False)
+    return _dedup_by_block(with_b, id_col, threshold)
 
 
 def _idf_weights(

@@ -41,7 +41,11 @@ from heavydb_spark.queries import (  # noqa: F401,E402
 # driver-checked at least once, 2 reds (HUGEINT-fragile oracles, fixed in
 # r6).  Round-6 window composition, per the r5 verdict:
 #   1-2  the two r5 reds with their driver-robust (BIGINT-cast) oracles;
-#   3-5  the r6 additions (int-division dialect closeout, TPC-DS q67/q64);
+#   3-10 the r6 additions (int-division dialect closeout, TPC-DS
+#        q67/q64/q49/q38, datum shifts, grouping sets, FILTER clause);
+#   11-18 the late-r6 additions (shared-run / semantic / classifier /
+#        perplexity pipeline ops, TPC-DS q1/q93, model-filter chain) —
+#        never driver-checked, so they must sit inside the window;
 #   then every query whose last driver check was ROUND 1 — all 29 predate
 #        the r4/r5 global dialect changes (null collation, quoted
 #        identifiers, now int division) and several go through Engine.sql
@@ -71,6 +75,8 @@ _PRIORITY = [
     "tpcds_q93_net_after_returns",# returns-adjusted net sales
     "text_lm_perplexity",         # bigram-LM perplexity filter
     "pipe_model_filter_chain",    # composed model-based curation chain
+    "sim_semantic_dedup_kmeans",  # paper-faithful SemDeDup (rows-only)
+    "sim_semantic_kmeans_invariants",  # its exact contract companion
     # --- last checked r1 (predates all global dialect changes) ---
     "sort_topk",
     "agg_groupby_avg",

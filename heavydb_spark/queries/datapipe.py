@@ -1538,3 +1538,21 @@ def pipe_model_filter_chain(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@query("sim_semantic_dedup_kmeans")  # KMeans-trained clusters -> rows-only
+def sim_semantic_dedup_kmeans(spark, sf_dir):
+    """SemDeDup with real k-means clusters (operators/similarity.py
+    semantic_dedup_kmeans) — the paper's data-adaptive form; the
+    seeded-LSH variant above is its exactly-oracled twin. Iterative
+    MLlib training -> rows-only driver check;
+    `sim_semantic_kmeans_invariants` pins the contract exactly."""
+    e = T(spark, sf_dir, "embeddings")
+    base = e.filter(F.col("vec_id") < 50).select("vec_id", "embedding")
+    dup = base.select(
+        (F.col("vec_id") + 1000).alias("vec_id"), F.col("embedding")
+    )
+    return similarity.semantic_dedup_kmeans(
+        base.unionByName(dup), "embedding", "vec_id",
+        threshold=0.9, n_lists=4,
+    ).orderBy("vec_id")

@@ -601,3 +601,56 @@ def ml_model_ddl_pca(spark, sf_dir):
         " ev_sums_le_one boolean, deterministic_refit boolean,"
         " evaluate_rejected boolean",
     )
+
+
+@query(
+    "sim_semantic_kmeans_invariants",
+    oracle="""
+    SELECT true AS all_ids_once, true AS originals_kept,
+           true AS planted_dropped_to_source, true AS dup_of_lower
+    """,
+)
+def sim_semantic_kmeans_invariants(spark, sf_dir):
+    """semantic_dedup_kmeans invariants, each falsifiable against the
+    operator's contract: every input id appears exactly once; no
+    original (vec_id < 1000) is dropped (natural max cosine in the
+    fixture ~0.51 < 0.9); every planted copy is dropped toward EXACTLY
+    its source (identical vectors share every centroid distance, hence
+    the cluster — and the only >=0.9 neighbor of v+1000 is v), with
+    max_cos >= 0.9; and every dup_of is a strictly lower id."""
+    from heavydb_spark.operators import similarity
+
+    e = T(spark, sf_dir, "embeddings")
+    base = e.filter(F.col("vec_id") < 50).select("vec_id", "embedding")
+    dup = base.select(
+        (F.col("vec_id") + 1000).alias("vec_id"), F.col("embedding")
+    )
+    res = similarity.semantic_dedup_kmeans(
+        base.unionByName(dup), "embedding", "vec_id",
+        threshold=0.9, n_lists=4,
+    ).localCheckpoint(eager=False)
+    planted = res.filter(F.col("vec_id") >= 1000)
+    return res.agg(
+        (
+            (F.count(F.lit(1)) == 100)
+            & (F.count_distinct("vec_id") == 100)
+        ).alias("all_ids_once"),
+        F.bool_and(
+            F.when(F.col("vec_id") < 1000,
+                   F.col("kept") & F.col("dup_of").isNull())
+            .otherwise(F.lit(True))
+        ).alias("originals_kept"),
+        F.bool_and(
+            F.when(
+                F.col("vec_id") >= 1000,
+                (~F.col("kept"))
+                & (F.col("dup_of") == F.col("vec_id") - 1000)
+                & (F.col("max_cos") >= 0.9),
+            ).otherwise(F.lit(True))
+        ).alias("planted_dropped_to_source"),
+        F.bool_and(
+            F.when(F.col("dup_of").isNotNull(),
+                   F.col("dup_of") < F.col("vec_id"))
+            .otherwise(F.lit(True))
+        ).alias("dup_of_lower"),
+    )

@@ -2090,3 +2090,30 @@ def test_shared_run_and_jaccard_max_df_cap(spark):
         ).collect()
     }
     assert jac == {(1, 2)}
+
+
+def test_semantic_dedup_kmeans_matches_contract(spark):
+    """semantic_dedup_kmeans (real k-means clusters) obeys the same
+    keep contract as the LSH-blocked variant on planted duplicates:
+    identical copies share every centroid distance, so they always
+    land in one cluster and collapse to the lowest id."""
+    pytest.importorskip("pyspark.ml")
+    from heavydb_spark.operators.similarity import semantic_dedup_kmeans
+
+    base = [
+        [1.0, 2.0, -1.0, 0.5, 3.0, -2.0, 1.5, 0.25],
+        [-3.0, 1.0, 2.0, -0.5, 0.0, 1.0, -1.0, 2.0],
+    ]
+    rows = [(0, base[0]), (1, base[1]), (10, base[0]), (30, base[0]),
+            (11, [x * 2.5 for x in base[1]]), (20, [0.0] * 7 + [1000.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        r.vec_id: (r.kept, r.dup_of)
+        for r in semantic_dedup_kmeans(
+            df, "embedding", "vec_id", threshold=0.95, n_lists=2
+        ).collect()
+    }
+    assert out[10] == (False, 0) and out[30] == (False, 0)
+    assert out[11] == (False, 1)
+    assert out[0] == (True, None) and out[1] == (True, None)
+    assert out[20] == (True, None)
