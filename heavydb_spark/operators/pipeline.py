@@ -426,3 +426,87 @@ def mix_token_budget_sql(
     SELECT * EXCLUDE (__prior_tokens, __budget) FROM ordered
     WHERE __prior_tokens < __budget
     """
+
+
+# ------------------------------------------- DSIR importance selection
+
+
+def dsir_importance(
+    df: DataFrame,
+    target_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 256,
+    seed: int = 11,
+) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, arXiv:2302.03169):
+    score every raw document by how much it resembles a TARGET corpus,
+    via hashed-feature importance ratios — the standard recipe for
+    "select pretraining data that looks like the high-quality domain".
+
+    Features are hashed unigrams (portable 31-bit hash mod `n_buckets`);
+    the target and raw bucket distributions are Laplace-smoothed
+    (alpha = 1), and each document scores the MEAN log importance ratio
+    of its tokens:
+
+        avg_log_ratio = mean_t ln( p_target(h(t)) / p_raw(h(t)) )
+
+    `selected` marks docs more target-like than raw-like (ratio >= 0).
+    (The paper resamples with Gumbel noise; the deterministic
+    threshold form keeps the whole operator exactly oracle-checkable —
+    a caller wanting sampled selection composes this with
+    `sample_hash` on the selected set.)
+
+    Scale shape: two bucket histograms (map-side-combined counts into
+    <= n_buckets rows), histogram + total broadcast back onto the
+    token stream, one per-doc aggregate. Never a driver collect; the
+    token stream is scanned twice (once per histogram side) only if
+    target is not a subset filter of raw — pass target_df as a filter
+    of df and Spark reuses the scan.
+    """
+    B = float(n_buckets)
+
+    def tok_rows(frame):
+        from heavydb_spark.operators.dedup import portable_token_hash
+        from heavydb_spark.operators.text import tokens
+
+        return frame.select(
+            F.col(id_col).alias("doc"),
+            F.explode(tokens(F.col(text_col))).alias("t"),
+        ).select(
+            "doc",
+            F.pmod(portable_token_hash(F.col("t"), seed), F.lit(n_buckets))
+            .cast("int")
+            .alias("b"),
+        )
+
+    raw = tok_rows(df).localCheckpoint(eager=False)
+    tgt = tok_rows(target_df)
+    th = tgt.groupBy("b").agg(F.count(F.lit(1)).alias("tc"))
+    rh = raw.groupBy("b").agg(F.count(F.lit(1)).alias("rc"))
+    tt = tgt.agg(F.count(F.lit(1)).alias("tn"))
+    rt = raw.agg(F.count(F.lit(1)).alias("rn"))
+    lr = F.log(
+        ((F.coalesce(F.col("tc"), F.lit(0)) + F.lit(1.0)) / (F.col("tn") + F.lit(B)))
+        / ((F.coalesce(F.col("rc"), F.lit(0)) + F.lit(1.0)) / (F.col("rn") + F.lit(B)))
+    )
+    scored = (
+        raw.join(F.broadcast(th), "b", "left")
+        .join(F.broadcast(rh), "b", "left")
+        .crossJoin(F.broadcast(tt))
+        .crossJoin(F.broadcast(rt))
+        .select("doc", lr.alias("lr"))
+        .groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.sum("lr") / F.count(F.lit(1)), 6).alias(
+                "avg_log_ratio"
+            ),
+        )
+    )
+    return scored.select(
+        F.col("doc").alias(id_col),
+        "n_tokens",
+        "avg_log_ratio",
+        (F.col("avg_log_ratio") >= 0).alias("selected"),
+    )

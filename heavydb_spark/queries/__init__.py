@@ -77,6 +77,7 @@ _PRIORITY = [
     "pipe_model_filter_chain",    # composed model-based curation chain
     "sim_semantic_dedup_kmeans",  # paper-faithful SemDeDup (rows-only)
     "sim_semantic_kmeans_invariants",  # its exact contract companion
+    "pipe_dsir_select",           # DSIR target-domain data selection
     # --- last checked r1 (predates all global dialect changes) ---
     "sort_topk",
     "agg_groupby_avg",

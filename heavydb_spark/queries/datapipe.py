@@ -1556,3 +1556,61 @@ def sim_semantic_dedup_kmeans(spark, sf_dir):
         base.unionByName(dup), "embedding", "vec_id",
         threshold=0.9, n_lists=4,
     ).orderBy("vec_id")
+
+
+def _dsir_oracle(n_buckets: int = 256, seed: int = 11) -> str:
+    """Exact oracle for DSIR importance selection: hashed-unigram
+    bucket histograms for target (lang = 'en') and raw corpora,
+    Laplace-smoothed ratio, per-doc mean log ratio. Double arithmetic
+    is forced with e-notation literals so DuckDB never falls into
+    exact DECIMAL division (Spark computes doubles)."""
+    h = dedup.portable_token_hash_sql("t", seed)
+    b = f"CAST(({h}) % {n_buckets} AS INTEGER)"
+    return rf"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS t
+        FROM documents
+    ), tb AS (
+        SELECT doc_id, {b} AS b FROM tok
+    ), ttok AS (
+        SELECT unnest(string_split_regex(trim(text), '\s+')) AS t
+        FROM documents WHERE lang = 'en'
+    ), ttb AS (
+        SELECT {b} AS b FROM ttok
+    ), th AS (
+        SELECT b, count(*) AS tc FROM ttb GROUP BY b
+    ), rh AS (
+        SELECT b, count(*) AS rc FROM tb GROUP BY b
+    ), tt AS (
+        SELECT count(*) AS tn FROM ttb
+    ), rt AS (
+        SELECT count(*) AS rn FROM tb
+    ), scored AS (
+        SELECT tb.doc_id, count(*) AS n_tokens,
+               round(sum(ln(
+                   ((coalesce(th.tc, 0) + 1.0e0) / (tt.tn + {n_buckets}.0e0))
+                   / ((coalesce(rh.rc, 0) + 1.0e0) / (rt.rn + {n_buckets}.0e0))
+               )) / count(*), 6) AS avg_log_ratio
+        FROM tb
+        LEFT JOIN th ON th.b = tb.b
+        LEFT JOIN rh ON rh.b = tb.b
+        CROSS JOIN tt CROSS JOIN rt
+        GROUP BY tb.doc_id
+    )
+    SELECT doc_id, n_tokens, avg_log_ratio,
+           avg_log_ratio >= 0 AS selected
+    FROM scored ORDER BY doc_id
+    """
+
+
+@query("pipe_dsir_select", oracle=_dsir_oracle())
+def pipe_dsir_select(spark, sf_dir):
+    """DSIR-style target-domain data selection (operators/pipeline.py
+    dsir_importance): score every document by the mean log importance
+    ratio of its hashed unigrams against the lang='en' target slice;
+    `selected` keeps docs more target-like than raw-like."""
+    d = T(spark, sf_dir, "documents")
+    return pipeline.dsir_importance(
+        d, d.filter(F.col("lang") == "en"), "text", "doc_id",
+        n_buckets=256, seed=11,
+    ).orderBy("doc_id")

@@ -2117,3 +2117,34 @@ def test_semantic_dedup_kmeans_matches_contract(spark):
     assert out[11] == (False, 1)
     assert out[0] == (True, None) and out[1] == (True, None)
     assert out[20] == (True, None)
+
+
+def test_dsir_importance_separates_domains(spark):
+    """dsir_importance on a corpus with disjoint domain vocabularies:
+    docs written in the target vocabulary get positive mean log ratio
+    and are selected; off-domain docs score negative; a mixed doc
+    lands between the two."""
+    from heavydb_spark.operators.pipeline import dsir_importance
+
+    # words chosen collision-free under the portable hash mod 64
+    # (kappa collides with gamma there — merged buckets would blur the
+    # domains and are the realistic failure mode, not a test target)
+    tgt_words = "alpha beta gamma delta"
+    off_words = "omega sigma theta zeta"
+    rows = [
+        (1, f"{tgt_words} {tgt_words}"),
+        (2, f"{tgt_words} alpha beta"),
+        (3, f"{off_words} {off_words}"),
+        (4, f"{off_words} sigma"),
+        (5, f"{tgt_words} {off_words}"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    target = df.filter(F.col("doc_id").isin(1, 2))
+    out = {
+        r.doc_id: r
+        for r in dsir_importance(df, target, n_buckets=64).collect()
+    }
+    assert out[1].selected and out[2].selected
+    assert not out[3].selected and not out[4].selected
+    assert out[1].avg_log_ratio > out[5].avg_log_ratio > out[3].avg_log_ratio
+    assert out[1].n_tokens == 8
