@@ -1513,9 +1513,16 @@ def pipe_model_filter_chain(spark, sf_dir):
     — no stage collects to the driver."""
     d = T(spark, sf_dir, "documents")
     scored = text.quality_classifier_score(d)
-    kept1 = d.join(
-        scored.filter(F.col("quality_label")).select("doc_id"), "doc_id"
-    ).select("doc_id", "text")
+    # checkpoint: kept1 feeds the LM's bigrams, its vocabulary scan,
+    # and the final projection — one materialization, not three scans
+    kept1 = (
+        d.join(
+            scored.filter(F.col("quality_label")).select("doc_id"),
+            "doc_id",
+        )
+        .select("doc_id", "text")
+        .localCheckpoint(eager=False)
+    )
     ppl = text.lm_perplexity_score(kept1)
     kept2 = kept1.join(
         ppl.filter(
