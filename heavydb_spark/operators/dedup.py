@@ -270,6 +270,94 @@ def shared_run_pairs(
     )
 
 
+# ------------------------------------------------- duplicated-span rewrite
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 8,
+) -> DataFrame:
+    """Corpus REWRITE that removes duplicated token spans: every token
+    covered by a `window`-token run whose text occurs more than once in
+    the corpus is deleted, except in the run's first occurrence (min
+    (id, position)) — the ExactSubstr dedup of Lee et al. 2022
+    (arXiv:2107.06499) / the RefinedWeb exact-span pass, restated over
+    fixed-width windows so it distributes (a suffix array does not).
+    `shared_run_pairs` *reports* duplicated runs; this operator applies
+    the edit and returns the cleaned corpus.
+
+    Output: one row per input document — `{id_col}`, `clean_text`
+    (surviving tokens, original order, space-joined), `n_tokens` kept,
+    `n_removed`. Documents shorter than `window` tokens pass through.
+
+    Plan shape / 100 TB: window occurrences are counted with one
+    hash-shuffle groupBy on the gram text (map-side partial agg); the
+    keeper occurrence is the min (id, wpos) struct in the same agg.
+    Duplicated occurrences join back (shuffle on gram), explode to at
+    most `window` covered positions each, and anti-join the token
+    table on (id, pos). Unlike pair detection there is NO occurrence ×
+    occurrence join anywhere — a gram appearing k times contributes
+    O(k·window) rows, never O(k²), so boilerplate cannot blow up the
+    plan; total cost stays linear in corpus tokens. Reassembly is one
+    shuffle on the doc id (sort of an O(doc-length) collected array).
+    """
+    tokens = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = _spread(df, id_col).select(
+        F.col(id_col).alias("doc"), tokens.alias("toks")
+    ).localCheckpoint(eager=False)
+    k = F.size("toks") - (window - 1)
+    # sequence(1, 0) DESCENDS in Spark — sub-window docs must yield an
+    # empty gram array, not a bogus [1, 0] index list.
+    grams = F.when(k <= 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice("toks", i, window)),
+        )
+    )
+    occ = base.select(
+        "doc", F.posexplode(grams).alias("wpos", "gram")
+    )
+    stats = occ.groupBy("gram").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.min(F.struct("doc", "wpos")).alias("keeper"),
+    )
+    dup_occ = (
+        occ.join(stats.filter(F.col("cnt") > 1), "gram")
+        .filter(F.struct("doc", "wpos") != F.col("keeper"))
+    )
+    covered = dup_occ.select(
+        "doc",
+        F.explode(
+            F.sequence(F.col("wpos"), F.col("wpos") + (window - 1))
+        ).alias("pos"),
+    ).distinct()
+    toks = base.select("doc", F.posexplode("toks").alias("pos", "tok"))
+    kept = toks.join(covered, ["doc", "pos"], "left_anti")
+    rebuilt = kept.groupBy("doc").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+        ).alias("clean_text"),
+    )
+    return (
+        base.select("doc", F.size("toks").alias("n_orig"))
+        .join(rebuilt, "doc", "left")
+        .select(
+            F.col("doc").alias(id_col),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            (F.col("n_orig") - F.coalesce("n_tokens", F.lit(0))).alias(
+                "n_removed"
+            ),
+        )
+    )
+
+
 # ---------------------------------------------------------- minhash/LSH
 
 def _shingle_rows(

@@ -78,6 +78,7 @@ _PRIORITY = [
     "sim_semantic_dedup_kmeans",  # paper-faithful SemDeDup (rows-only)
     "sim_semantic_kmeans_invariants",  # its exact contract companion
     "pipe_dsir_select",           # DSIR target-domain data selection
+    "dedup_span_rewrite",         # ExactSubstr span-removal corpus edit
     # --- last checked r1 (predates all global dialect changes) ---
     "sort_topk",
     "agg_groupby_avg",

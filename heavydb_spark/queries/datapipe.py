@@ -1621,3 +1621,60 @@ def pipe_dsir_select(spark, sf_dir):
         d, d.filter(F.col("lang") == "en"), "text", "doc_id",
         n_buckets=256, seed=11,
     ).orderBy("doc_id")
+
+
+@query(
+    "dedup_span_rewrite",
+    oracle=r"""
+    WITH base AS (
+        SELECT doc_id AS doc, string_split_regex(trim(text), '\s+') AS t
+        FROM documents
+    ), occ AS (
+        SELECT doc, CAST(u.i AS INTEGER) AS wpos,
+               array_to_string(list_slice(t, u.i + 1, u.i + 8), ' ') AS gram
+        FROM base, unnest(range(0, greatest(len(t) - 7, 0))) AS u(i)
+    ), marked AS (
+        SELECT doc, wpos,
+               count(*) OVER (PARTITION BY gram) AS cnt,
+               row_number() OVER (
+                   PARTITION BY gram ORDER BY doc, wpos) AS rn
+        FROM occ
+    ), covered AS (
+        SELECT DISTINCT doc, wpos + CAST(u.j AS INTEGER) AS pos
+        FROM marked, unnest(range(0, 8)) AS u(j)
+        WHERE cnt > 1 AND rn > 1
+    ), toks AS (
+        SELECT doc, unnest(t) AS tok,
+               CAST(unnest(range(len(t))) AS INTEGER) AS pos
+        FROM base
+    ), kept AS (
+        SELECT k.doc, k.tok, k.pos
+        FROM toks k ANTI JOIN covered c
+          ON c.doc = k.doc AND c.pos = k.pos
+    ), agg AS (
+        SELECT doc, count(*) AS n_tokens,
+               string_agg(tok, ' ' ORDER BY pos) AS clean_text
+        FROM kept GROUP BY doc
+    )
+    SELECT b.doc AS doc_id,
+           coalesce(a.clean_text, '') AS clean_text,
+           CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+           CAST(len(b.t) - coalesce(a.n_tokens, 0) AS BIGINT) AS n_removed
+    FROM base b LEFT JOIN agg a ON a.doc = b.doc
+    ORDER BY doc_id
+    """,
+)
+def dedup_span_rewrite(spark, sf_dir):
+    """Duplicated-span REMOVAL rewrite (operators/dedup.py
+    remove_duplicate_spans): every token covered by an 8-token run
+    whose text occurs more than once in the corpus is deleted except
+    in the run's first (min (doc, pos)) occurrence — the ExactSubstr
+    dedup of Lee et al. 2022 applied as a corpus edit, where
+    `dedup_shared_run` only reports the pairs. Returns the cleaned
+    corpus: one row per document with the surviving text and the
+    removed-token count. No occurrence-pair join anywhere — a gram
+    duplicated k times costs O(k·8) rows, never O(k²)."""
+    d = T(spark, sf_dir, "documents")
+    return dedup.remove_duplicate_spans(
+        d, "doc_id", "text", window=8
+    ).orderBy("doc_id")

@@ -1965,6 +1965,38 @@ def test_shared_run_pairs_containment_and_longest_run(spark):
     }
 
 
+def test_remove_duplicate_spans_edit_semantics(spark):
+    """remove_duplicate_spans on crafted docs (window=4): overlapping
+    duplicated windows union their covered positions (doc 2 keeps only
+    its non-quoted flanks); the first occurrence — min (doc, pos) — is
+    always kept verbatim (doc 1 unedited); a within-doc repeat
+    collapses to its first copy (doc 5); sub-window docs pass through
+    (doc 4)."""
+    from heavydb_spark.operators.dedup import remove_duplicate_spans
+
+    rows = [
+        (1, "a b c d e f"),          # first occurrence: kept whole
+        (2, "x a b c d e y"),        # quotes "a b c d e" from doc 1
+        (3, "p q r s"),              # unique window
+        (4, "m n"),                  # shorter than window
+        (5, "u v w z u v w z"),      # within-doc verbatim repeat
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.clean_text, r.n_tokens, r.n_removed)
+        for r in remove_duplicate_spans(
+            df, "doc_id", "text", window=4
+        ).collect()
+    }
+    assert got == {
+        1: ("a b c d e f", 6, 0),
+        2: ("x y", 2, 5),
+        3: ("p q r s", 4, 0),
+        4: ("m n", 2, 0),
+        5: ("u v w z", 4, 4),
+    }
+
+
 def test_semantic_dedup_keep_rule_and_chain(spark):
     """semantic_dedup one-pass keep rule: identical copies collapse to
     the LOWEST id (a three-copy chain maps both later copies to the
