@@ -510,3 +510,97 @@ def dsir_importance(
         "avg_log_ratio",
         (F.col("avg_log_ratio") >= 0).alias("selected"),
     )
+
+
+# ------------------------------------------------- temperature mixing
+
+
+def mix_temperature(
+    df: DataFrame,
+    source_col: str,
+    id_col: str,
+    alpha: float = 0.5,
+    target_fraction: float = 0.5,
+) -> DataFrame:
+    """Temperature-scaled multinomial source mixing — the q_s ∝ n_s^α
+    recipe of multilingual / multi-source pretraining (alpha < 1
+    up-samples small sources relative to their natural share). Each
+    source keeps a deterministic hash fraction
+
+        f_s = min(1, (n_s^α / Σ_t n_t^α) · T / n_s),
+
+    where T = floor(target_fraction · N + 0.5) is the token-free
+    row target; f_s is rounded to 6dp before the hash cut so the
+    boundary is reproducible across engines.
+
+    Plan shape / 100 TB: per-source counts are one tiny aggregate;
+    the rate table (|sources| rows) broadcast-joins back and the keep
+    rule is a single codegen'd filter on the portable hash — the
+    corpus itself is never shuffled.
+    """
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("__n_s"))
+    tot = counts.agg(
+        F.sum("__n_s").alias("__n_total"),
+        F.sum(F.pow(F.col("__n_s").cast("double"), F.lit(alpha))).alias(
+            "__z"
+        ),
+    )
+    target = F.floor(
+        F.lit(float(target_fraction)) * F.col("__n_total") + F.lit(0.5)
+    )
+    rate = F.round(
+        F.least(
+            F.lit(1.0),
+            F.pow(F.col("__n_s").cast("double"), F.lit(alpha))
+            / F.col("__z")
+            * target
+            / F.col("__n_s"),
+        ),
+        6,
+    )
+    rates = counts.crossJoin(F.broadcast(tot)).select(
+        source_col,
+        rate.alias("__rate"),
+        F.floor(rate * _M31).cast("long").alias("__cut"),
+    )
+    return (
+        df.join(F.broadcast(rates), source_col)
+        .filter(portable_hash(F.col(id_col)) < F.col("__cut"))
+        .withColumn("mix_rate", F.col("__rate"))
+        .drop("__rate", "__cut")
+    )
+
+
+def mix_temperature_sql(
+    source_expr: str,
+    id_expr: str,
+    alpha: float = 0.5,
+    target_fraction: float = 0.5,
+    table: str = "documents",
+) -> str:
+    """ANSI-SQL text of `mix_temperature` (DuckDB oracle): identical
+    count → rate → 6dp-round → hash-cut chain, double arithmetic
+    forced with e-notation literals."""
+    h = portable_hash_sql(id_expr)
+    rate = (
+        f"round(least(1.0e0, pow(CAST(__n_s AS DOUBLE), {alpha}e0) / __z"
+        f" * floor({target_fraction}e0 * __n_total + 0.5e0)"
+        f" / __n_s), 6)"
+    )
+    return f"""
+    WITH __c AS (
+        SELECT {source_expr} AS __src, count(*) AS __n_s
+        FROM {table} GROUP BY 1
+    ), __t AS (
+        SELECT sum(__n_s) AS __n_total,
+               sum(pow(CAST(__n_s AS DOUBLE), {alpha}e0)) AS __z
+        FROM __c
+    ), __r AS (
+        SELECT __src, {rate} AS __rate,
+               CAST(floor({rate} * {_M31}) AS BIGINT) AS __cut
+        FROM __c CROSS JOIN __t
+    )
+    SELECT d.*, r.__rate AS mix_rate
+    FROM {table} d JOIN __r r ON d.{source_expr} = r.__src
+    WHERE ({h}) < r.__cut
+    """

@@ -79,6 +79,7 @@ _PRIORITY = [
     "sim_semantic_kmeans_invariants",  # its exact contract companion
     "pipe_dsir_select",           # DSIR target-domain data selection
     "dedup_span_rewrite",         # ExactSubstr span-removal corpus edit
+    "pipe_mix_temperature",       # q_s ∝ n_s^alpha temperature mixing
     # --- last checked r1 (predates all global dialect changes) ---
     "sort_topk",
     "agg_groupby_avg",

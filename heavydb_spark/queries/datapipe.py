@@ -1678,3 +1678,48 @@ def dedup_span_rewrite(spark, sf_dir):
     return dedup.remove_duplicate_spans(
         d, "doc_id", "text", window=8
     ).orderBy("doc_id")
+
+
+# The fixture's sources are uniform-sized, which would degenerate every
+# temperature rate to the same value; this deterministic skew (sources
+# src2..src9 lose their upper id half) makes the alpha < 1 up-sampling
+# observable. An id-modulus predicate would NOT work: doc_id is assigned
+# round-robin, so doc_id % k is constant within a source.
+_SKEW_PRED = "doc_id < 250 OR source < 'src2'"
+
+
+@query(
+    "pipe_mix_temperature",
+    oracle="""
+    WITH kept AS (
+    """ + pipeline.mix_temperature_sql(
+        "source", "doc_id", alpha=0.5, target_fraction=0.5,
+        table=f"(SELECT * FROM documents WHERE {_SKEW_PRED})",
+    ) + """
+    )
+    SELECT source, mix_rate AS rate, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           min(doc_id) AS min_doc, max(doc_id) AS max_doc
+    FROM kept GROUP BY source, mix_rate ORDER BY source
+    """,
+)
+def pipe_mix_temperature(spark, sf_dir):
+    """Temperature-scaled source mixing (operators/pipeline.py
+    mix_temperature): keep rates q_s ∝ n_s^0.5 normalized to a 50%
+    row target — alpha < 1 up-samples small sources relative to their
+    natural share (the multilingual-pretraining mixing rule), made
+    observable by deterministically halving 8 of the 20 fixture
+    sources on both sides. Rates are 6dp-rounded before the hash cut
+    on BOTH engines so the boundary is reproducible; the corpus is
+    never shuffled — one tiny count aggregate, a broadcast rate join,
+    one codegen'd filter."""
+    d = T(spark, sf_dir, "documents").filter(F.expr(_SKEW_PRED))
+    kept = pipeline.mix_temperature(
+        d, "source", "doc_id", alpha=0.5, target_fraction=0.5
+    )
+    return kept.groupBy("source", F.col("mix_rate").alias("rate")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    ).orderBy("source")

@@ -1965,6 +1965,29 @@ def test_shared_run_pairs_containment_and_longest_run(spark):
     }
 
 
+def test_mix_temperature_upsamples_small_sources(spark):
+    """mix_temperature with alpha=0.5 on a 100-vs-4 row corpus: the
+    small source's rate clamps at 1.0 (kept whole), the big source
+    gets the exact normalized rate 10/12*52/100 = 0.433333, and the
+    realized keep fraction tracks it."""
+    from heavydb_spark.operators.pipeline import mix_temperature
+
+    rows = [(i, "A") for i in range(100)] + [
+        (1000 + i, "B") for i in range(4)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    kept = mix_temperature(
+        df, "source", "doc_id", alpha=0.5, target_fraction=0.5
+    ).collect()
+    by_src = {}
+    for r in kept:
+        by_src.setdefault(r.source, []).append(r)
+    assert len(by_src["B"]) == 4  # clamped at 1.0: kept whole
+    assert all(r.mix_rate == 1.0 for r in by_src["B"])
+    assert all(r.mix_rate == 0.433333 for r in by_src["A"])
+    assert 25 <= len(by_src["A"]) <= 60  # hash-realized ~43%
+
+
 def test_remove_duplicate_spans_edit_semantics(spark):
     """remove_duplicate_spans on crafted docs (window=4): overlapping
     duplicated windows union their covered positions (doc 2 keeps only
