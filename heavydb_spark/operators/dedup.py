@@ -871,3 +871,73 @@ def minhash_dedup_pairs_portable(
             "doc_a", "doc_b", F.round("est_jaccard", 6).alias("est_jaccard")
         )
     )
+
+
+# -------------------------------------------------- cross-group overlap
+
+
+def group_shingle_overlap(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+    n: int = 3,
+) -> DataFrame:
+    """Pairwise corpus-slice overlap: for every pair of groups (e.g.
+    sources or dumps) sharing at least one distinct word n-gram, the
+    exact shingle-set intersection, Jaccard, and containment — the
+    cross-dump leakage report a corpus build runs before deciding
+    which slices to keep (the exact form of the sketch-based overlap
+    matrices used on web-crawl dumps).
+
+    Plan shape / 100 TB: distinct (group, shingle) is one shuffle;
+    the pair counts come from a self equi-join on the shingle — keyed
+    blocking, never all-pairs over rows; |groups| is small so the
+    pair aggregate is tiny. Hot shingles shared by every group cost
+    O(groups²) per shingle, bounded by the group count, not the
+    corpus size."""
+    dist = (
+        df.select(
+            F.col(group_col).alias("grp"),
+            F.explode(token_shingles(F.col(text_col), n)).alias("shingle"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    sizes = dist.groupBy("grp").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = dist.alias("a"), dist.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.grp") < F.col("b.grp")),
+        )
+        .groupBy(
+            F.col("a.grp").alias("group_a"), F.col("b.grp").alias("group_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared_shingles"))
+    )
+    sa = sizes.select(
+        F.col("grp").alias("group_a"), F.col("n_sh").alias("n_a")
+    )
+    sb = sizes.select(
+        F.col("grp").alias("group_b"), F.col("n_sh").alias("n_b")
+    )
+    return (
+        inter.join(sa, "group_a")
+        .join(sb, "group_b")
+        .select(
+            "group_a",
+            "group_b",
+            "shared_shingles",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("shared_shingles")
+                / (F.col("n_a") + F.col("n_b") - F.col("shared_shingles")),
+                6,
+            ).alias("jaccard"),
+            F.round(
+                F.col("shared_shingles") / F.least("n_a", "n_b"), 6
+            ).alias("containment"),
+        )
+    )

@@ -288,3 +288,105 @@ def lm_perplexity_score(
             F.round(F.exp(-avg_ll), 4).alias("ppl"),
         )
     )
+
+
+# ------------------------------------------------ corpus vocabulary stats
+
+
+def ngram_list(text_col: Column, n: int = 2) -> Column:
+    """ALL word n-gram occurrences of a text column, position order,
+    duplicates preserved — the counting variant of
+    `operators/dedup.py token_shingles` (which distincts per doc for
+    set semantics). JVM higher-order functions, no UDF."""
+    toks = tokens(text_col)
+    k = F.size(toks) - (n - 1)
+    return F.when(
+        k <= 0, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), k - 1),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
+            ),
+        )
+    )
+
+
+def ngram_vocab(
+    df: DataFrame, id_col: str, text_col: str, n: int = 2, top_k: int = 25
+) -> DataFrame:
+    """Corpus n-gram vocabulary report: the `top_k` most frequent word
+    n-grams with occurrence and document frequencies — the Zipf-head
+    inspection a corpus build runs before tokenizer training.
+    Deterministic tiebreak: count desc, then gram asc.
+
+    Plan shape / 100 TB: explode → one hash-shuffle groupBy on the
+    gram (map-side partial agg) → TakeOrderedAndProject for the head.
+    Never materializes the full sorted vocabulary."""
+    g = df.select(
+        F.col(id_col).alias("__doc"),
+        F.explode(ngram_list(F.col(text_col), n)).alias("gram"),
+    )
+    return (
+        g.groupBy("gram")
+        .agg(
+            F.count(F.lit(1)).alias("occurrences"),
+            F.countDistinct("__doc").alias("doc_freq"),
+        )
+        .orderBy(F.col("occurrences").desc(), F.col("gram").asc())
+        .limit(top_k)
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame, id_col: str, text_col: str, top_k: int = 3
+) -> DataFrame:
+    """Per-document top-`top_k` terms by tf-idf (idf = ln(N/df), df =
+    documents containing the term) — the keyword-extraction pass of a
+    corpus indexing pipeline. Scores are 6dp-rounded BEFORE ranking so
+    the (score desc, term asc) order is reproducible across engines.
+
+    Plan shape / 100 TB: one explode → (doc, term) counts (shuffle on
+    (doc, term)); document frequencies aggregate from that same
+    relation (shuffle on term, then a broadcast-size corpus-count
+    scalar); the per-doc head is a bounded rank window partitioned by
+    the doc id."""
+    from pyspark.sql import Window
+
+    tf = (
+        df.select(
+            F.col(id_col).alias("doc"),
+            F.explode(tokens(F.col(text_col))).alias("term"),
+        )
+        .groupBy("doc", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.agg(F.countDistinct(id_col).alias("n"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("n").cast("double") / F.col("df")),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("doc").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= top_k)
+        .select(
+            F.col("doc").alias(id_col),
+            "term",
+            "tf",
+            "df",
+            "score",
+            F.col("rnk").alias("term_rank"),
+        )
+    )

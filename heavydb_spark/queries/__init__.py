@@ -80,6 +80,9 @@ _PRIORITY = [
     "pipe_dsir_select",           # DSIR target-domain data selection
     "dedup_span_rewrite",         # ExactSubstr span-removal corpus edit
     "pipe_mix_temperature",       # q_s ∝ n_s^alpha temperature mixing
+    "text_ngram_vocab",           # Zipf-head bigram vocabulary report
+    "text_tfidf_topterms",        # per-doc tf-idf keyword extraction
+    "pipe_source_overlap",        # cross-source shingle-overlap matrix
     # --- last checked r1 (predates all global dialect changes) ---
     "sort_topk",
     "agg_groupby_avg",

@@ -1723,3 +1723,118 @@ def pipe_mix_temperature(spark, sf_dir):
         F.min("doc_id").alias("min_doc"),
         F.max("doc_id").alias("max_doc"),
     ).orderBy("source")
+
+
+@query(
+    "text_ngram_vocab",
+    oracle=r"""
+    WITH b AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        FROM documents
+    ), g AS (
+        SELECT doc_id,
+               array_to_string(list_slice(t, u.i + 1, u.i + 2), ' ') AS gram
+        FROM b, unnest(range(0, greatest(len(t) - 1, 0))) AS u(i)
+    )
+    SELECT gram, count(*) AS occurrences,
+           count(DISTINCT doc_id) AS doc_freq
+    FROM g GROUP BY gram
+    ORDER BY occurrences DESC, gram ASC LIMIT 25
+    """,
+)
+def text_ngram_vocab(spark, sf_dir):
+    """Corpus bigram vocabulary head (operators/text.py ngram_vocab):
+    the 25 most frequent word bigrams with occurrence and document
+    frequencies — the Zipf-head report a corpus build inspects before
+    tokenizer training. Deterministic (count desc, gram asc) tiebreak;
+    one gram-keyed shuffle + TakeOrdered, the sorted vocabulary is
+    never materialized."""
+    d = T(spark, sf_dir, "documents")
+    return text.ngram_vocab(d, "doc_id", "text", n=2, top_k=25)
+
+
+@query(
+    "text_tfidf_topterms",
+    oracle=r"""
+    WITH tf AS (
+        SELECT doc_id, t.term, count(*) AS tf
+        FROM (
+            SELECT doc_id,
+                   unnest(string_split_regex(trim(text), '\s+')) AS term
+            FROM documents
+        ) t
+        GROUP BY doc_id, t.term
+    ), dfreq AS (
+        SELECT term, count(*) AS df FROM tf GROUP BY term
+    ), n AS (
+        SELECT count(DISTINCT doc_id) AS n FROM documents
+    ), scored AS (
+        SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+               round(tf.tf * ln(CAST(n.n AS DOUBLE) / dfreq.df), 6)
+                   AS score
+        FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    ), ranked AS (
+        SELECT *, row_number() OVER (
+                   PARTITION BY doc_id
+                   ORDER BY score DESC, term ASC) AS term_rank
+        FROM scored
+    )
+    SELECT doc_id, term, tf, df, score, term_rank
+    FROM ranked WHERE term_rank <= 3 AND doc_id < 100
+    ORDER BY doc_id, term_rank
+    """,
+)
+def text_tfidf_topterms(spark, sf_dir):
+    """Per-document tf-idf keyword extraction (operators/text.py
+    tfidf_top_terms): top-3 terms by tf·ln(N/df), scores 6dp-rounded
+    BEFORE ranking so the (score desc, term asc) order reproduces
+    across engines; idf statistics come from the full corpus, the
+    reported slice is doc_id < 100."""
+    d = T(spark, sf_dir, "documents")
+    out = text.tfidf_top_terms(d, "doc_id", "text", top_k=3)
+    return out.filter(F.col("doc_id") < 100).orderBy("doc_id", "term_rank")
+
+
+@query(
+    "pipe_source_overlap",
+    oracle=r"""
+    WITH b AS (
+        SELECT source, string_split_regex(trim(text), '\s+') AS t
+        FROM documents
+    ), dist AS (
+        SELECT DISTINCT source AS grp,
+               array_to_string(list_slice(t, u.i + 1, u.i + 3), ' ')
+                   AS shingle
+        FROM b, unnest(range(0, greatest(len(t) - 2, 0))) AS u(i)
+    ), sizes AS (
+        SELECT grp, count(*) AS n_sh FROM dist GROUP BY grp
+    ), inter AS (
+        SELECT a.grp AS group_a, b.grp AS group_b,
+               count(*) AS shared_shingles
+        FROM dist a JOIN dist b
+          ON a.shingle = b.shingle AND a.grp < b.grp
+        GROUP BY 1, 2
+    )
+    SELECT i.group_a, i.group_b, i.shared_shingles,
+           sa.n_sh AS n_a, sb.n_sh AS n_b,
+           round(CAST(i.shared_shingles AS DOUBLE)
+                 / (sa.n_sh + sb.n_sh - i.shared_shingles), 6) AS jaccard,
+           round(CAST(i.shared_shingles AS DOUBLE)
+                 / least(sa.n_sh, sb.n_sh), 6) AS containment
+    FROM inter i
+    JOIN sizes sa ON sa.grp = i.group_a
+    JOIN sizes sb ON sb.grp = i.group_b
+    ORDER BY i.group_a, i.group_b
+    """,
+)
+def pipe_source_overlap(spark, sf_dir):
+    """Cross-source content-overlap matrix (operators/dedup.py
+    group_shingle_overlap): exact 3-gram shingle-set intersection,
+    Jaccard, and containment for every source pair sharing content —
+    the cross-dump leakage report of a web-corpus build. Blocking is
+    the shingle equi-join (never all-pairs over rows); the pair
+    aggregate is bounded by the source count."""
+    d = T(spark, sf_dir, "documents")
+    return dedup.group_shingle_overlap(d, "source", "text", n=3).orderBy(
+        "group_a", "group_b"
+    )

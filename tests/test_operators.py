@@ -1965,6 +1965,60 @@ def test_shared_run_pairs_containment_and_longest_run(spark):
     }
 
 
+def test_ngram_vocab_counts_and_tiebreak(spark):
+    """ngram_vocab counts ALL occurrences (not per-doc distinct),
+    reports document frequency, and breaks count ties by gram asc."""
+    from heavydb_spark.operators.text import ngram_vocab
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c")], "doc_id long, text string"
+    )
+    got = [
+        (r.gram, r.occurrences, r.doc_freq)
+        for r in ngram_vocab(df, "doc_id", "text", n=2, top_k=2).collect()
+    ]
+    assert got == [("a b", 3, 2), ("b a", 1, 1)]
+
+
+def test_tfidf_top_terms_scores_and_ranks(spark):
+    """tfidf_top_terms: tf·ln(N/df) with 6dp rounding before the
+    (score desc, term asc) rank — a corpus-unique term dominates."""
+    import math
+
+    from heavydb_spark.operators.text import tfidf_top_terms
+
+    df = spark.createDataFrame(
+        [(1, "x x y"), (2, "y z"), (3, "z z z")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.term, r.tf, r.df, r.score)
+        for r in tfidf_top_terms(df, "doc_id", "text", top_k=1).collect()
+    }
+    assert got == {
+        1: ("x", 2, 1, round(2 * math.log(3), 6)),
+        2: ("y", 1, 2, round(math.log(1.5), 6)),  # y/z tie -> term asc
+        3: ("z", 3, 2, round(3 * math.log(1.5), 6)),
+    }
+
+
+def test_group_shingle_overlap_exact_matrix(spark):
+    """group_shingle_overlap: exact shingle intersection / jaccard /
+    containment per group pair; disjoint groups produce no row."""
+    from heavydb_spark.operators.dedup import group_shingle_overlap
+
+    df = spark.createDataFrame(
+        [("A", "a b c d"), ("B", "b c d e"), ("C", "x y z w")],
+        "source string, text string",
+    )
+    rows = group_shingle_overlap(df, "source", "text", n=3).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.group_a, r.group_b) == ("A", "B")
+    assert (r.shared_shingles, r.n_a, r.n_b) == (1, 2, 2)
+    assert (r.jaccard, r.containment) == (round(1 / 3, 6), 0.5)
+
+
 def test_mix_temperature_upsamples_small_sources(spark):
     """mix_temperature with alpha=0.5 on a 100-vs-4 row corpus: the
     small source's rate clamps at 1.0 (kept whole), the big source
