@@ -83,6 +83,8 @@ _PRIORITY = [
     "text_ngram_vocab",           # Zipf-head bigram vocabulary report
     "text_tfidf_topterms",        # per-doc tf-idf keyword extraction
     "pipe_source_overlap",        # cross-source shingle-overlap matrix
+    "tpcds_q23_frequent_best",    # frequent-items x best-customers CTEs
+    "tpcds_q95_returned_multi_supplier",  # double-EXISTS decorrelation
     # --- last checked r1 (predates all global dialect changes) ---
     "sort_topk",
     "agg_groupby_avg",

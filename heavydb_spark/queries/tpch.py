@@ -1644,3 +1644,135 @@ def tpcds_q93_net_after_returns(spark, sf_dir):
         .orderBy("net_cents", "o_custkey")
         .limit(100)
     )
+
+
+@query(
+    "tpcds_q23_frequent_best",
+    oracle="""
+    WITH freq AS (
+        SELECT l_partkey FROM lineitem
+        GROUP BY l_partkey HAVING count(DISTINCT l_orderkey) > 35
+    ), spend AS (
+        SELECT o_custkey,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS total_cents
+        FROM orders GROUP BY o_custkey
+    ), best AS (
+        SELECT o_custkey FROM spend, (SELECT max(total_cents) AS mx FROM spend)
+        WHERE total_cents > 0.8e0 * mx
+    )
+    SELECT orders.o_custkey AS c_custkey,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                AS BIGINT) AS qual_cents,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN freq ON freq.l_partkey = lineitem.l_partkey
+    JOIN best ON best.o_custkey = orders.o_custkey
+    GROUP BY orders.o_custkey
+    ORDER BY c_custkey
+    """,
+)
+def tpcds_q23_frequent_best(spark, sf_dir):
+    """TPC-DS Q23 shape: sales restricted to FREQUENT items (parts sold
+    in > 35 distinct orders — Q23's frequent_ss_items) bought by BEST
+    customers (total spend > 80% of the biggest spender —
+    best_ss_customer's max-fraction cutoff). The distinctive plan: two
+    independent CTE-derived filter sets from separate aggregations of
+    the same facts, both re-applied to the fact scan. The frequent-part
+    set (306 keys at sf0.01, ~15% of parts) and the best-customer set
+    (12 keys) are both dimension-bounded → broadcast semi-join shaped;
+    the max-spend cutoff is a 1-row broadcast. Exact integer cents;
+    the 0.8·max comparison is the same double formula on both engines."""
+    li = T(spark, sf_dir, "lineitem")
+    o = T(spark, sf_dir, "orders")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    o_cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    freq = (
+        li.groupBy("l_partkey")
+        .agg(F.countDistinct("l_orderkey").alias("n_ord"))
+        .filter(F.col("n_ord") > 35)
+        .select("l_partkey")
+    )
+    spend = o.groupBy("o_custkey").agg(F.sum(o_cents).alias("total_cents"))
+    mx = spend.agg(F.max("total_cents").alias("mx"))
+    best = (
+        spend.crossJoin(broadcast(mx))
+        .filter(F.col("total_cents") > F.lit(0.8) * F.col("mx"))
+        .select("o_custkey")
+    )
+    return (
+        li.join(broadcast(freq), "l_partkey")
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(broadcast(best), "o_custkey")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(cents).alias("qual_cents"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .select(
+            F.col("o_custkey").alias("c_custkey"), "qual_cents", "n_lines"
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "tpcds_q95_returned_multi_supplier",
+    oracle="""
+    WITH qual AS (
+        SELECT l_orderkey
+        FROM lineitem
+        GROUP BY l_orderkey
+        HAVING count(DISTINCT l_suppkey) >= 4
+           AND max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) = 1
+    )
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                AS BIGINT) AS tot_cents
+    FROM orders JOIN qual ON o_orderkey = l_orderkey
+    WHERE o_orderdate >= DATE '1996-01-01'
+      AND o_orderdate < DATE '1997-01-01'
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def tpcds_q95_returned_multi_supplier(spark, sf_dir):
+    """TPC-DS Q95 shape: 1996 orders shipped from many "warehouses"
+    (>= 4 distinct suppliers across the order's lines — Q95's
+    ws_wh two-warehouse self-join, generalized) that also had a
+    return (an R-flag line — Q95's web_returns EXISTS), counted and
+    summed per order priority. The reference plans this as two
+    EXISTS self-joins; the scale-correct decorrelation is a single
+    per-order aggregate producing both predicates in one pass over
+    lineitem (one shuffle on the already-clustered order key), then a
+    semi-shaped join into the filtered orders scan — the fact table
+    is never self-joined row-to-row."""
+    li = T(spark, sf_dir, "lineitem")
+    o = T(spark, sf_dir, "orders")
+    o_cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    qual = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.max(
+                F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+            ).alias("has_r"),
+        )
+        .filter((F.col("n_supp") >= 4) & (F.col("has_r") == 1))
+        .select("l_orderkey")
+    )
+    return (
+        o.filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("date"))
+        )
+        .join(qual, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(o_cents).alias("tot_cents"),
+        )
+        .orderBy("o_orderpriority")
+    )

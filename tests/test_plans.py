@@ -420,3 +420,27 @@ def test_quality_classifier_plan_shape(spark):
     s = checks.plan_string(df, "simple")
     assert "Exchange" not in s, s
     assert "Python" not in s and "BatchEvalPython" not in s, s
+
+
+def test_q23_frequent_best_plan_shape(spark):
+    """tpcds_q23_frequent_best: both CTE-derived filter sets (frequent
+    parts, best customers) and the 1-row max-spend cutoff must come
+    back as BroadcastHashJoins into the fact scan — the fact table
+    itself must never broadcast or product."""
+    df = QUERIES["tpcds_q23_frequent_best"](spark, SF_DIR)
+    s = checks.plan_string(df, "simple")
+    assert s.count("BroadcastHashJoin") >= 2, s
+    assert "CartesianProduct" not in s, s
+
+
+def test_q95_returned_multi_supplier_plan_shape(spark):
+    """tpcds_q95_returned_multi_supplier: the two EXISTS predicates
+    decorrelate into ONE per-order aggregate over a single lineitem
+    scan (no fact self-join), and the date filter reaches the orders
+    parquet scan."""
+    df = QUERIES["tpcds_q95_returned_multi_supplier"](spark, SF_DIR)
+    s = checks.plan_string(df, "simple")
+    assert s.count("FileScan parquet") == 2, s  # one lineitem + one orders
+    assert "CartesianProduct" not in s and "BroadcastNestedLoopJoin" not in s
+    fs = checks.plan_string(df, "formatted")
+    assert "1996-01-01" in fs, fs  # date predicate pushed into the scan
