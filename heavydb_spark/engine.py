@@ -82,6 +82,24 @@ def _extract_ctes(sql: str) -> list[tuple[str, str]]:
     return out
 
 
+def _subselect_spans(sql: str) -> list[tuple[int, int]]:
+    """(start, end) index pairs of every parenthesized SELECT/WITH body
+    in `sql`, innermost first (the close-paren scan order). The caller
+    must pass text whose string literals are length-preserving blanked
+    so quoted parens can't unbalance the scan; spans index into the
+    ORIGINAL text."""
+    out: list[tuple[int, int]] = []
+    stack: list[int] = []
+    for i, c in enumerate(sql):
+        if c == "(":
+            stack.append(i)
+        elif c == ")" and stack:
+            j = stack.pop()
+            if re.match(r"(?is)\s*(select|with)\b", sql[j + 1:i]):
+                out.append((j + 1, i))
+    return out
+
+
 def _explain_text(df: DataFrame, mode: str) -> str:
     """Plan text for a DataFrame.  Prefers the JVM bridge (exact string
     the reference-style EXPLAIN consumers expect) and degrades to
@@ -1076,16 +1094,20 @@ class Engine:
             # come from the progressive analysis below. Computed
             # BEFORE that analysis so the CTE rewrites and the final
             # statement rewrite apply identical rules.
+            def _shadow_from(outer: str) -> None:
+                state["shadowed"] = {
+                    m.lower().strip('`"')
+                    for m in re.findall(
+                        r"(?i)\bAS\s+([A-Za-z_][\w$]*|`[^`]+`|\"[^\"]+\")",
+                        outer,
+                    )
+                }
+
             outer = context
             for _n, body in ctes:
                 outer = outer.replace(body, " ")
-            state["shadowed"] = {
-                m.lower().strip('`"')
-                for m in re.findall(
-                    r"(?i)\bAS\s+([A-Za-z_][\w$]*|`[^`]+`|\"[^\"]+\")",
-                    outer,
-                )
-            }
+            _shadow_from(outer)
+            cte_prefix = ", ".join(f"{n} AS ({b})" for n, b in ctes)
             for k, (name, _body) in enumerate(ctes):
                 prefix = ", ".join(
                     f"{n} AS ({b})" for n, b in ctes[: k + 1]
@@ -1101,6 +1123,41 @@ class Engine:
                     types.setdefault(fld.name.lower(), set()).add(
                         fld.dataType.simpleString()
                     )
+            # Derived tables / subselects: each parenthesized SELECT
+            # body analyzes (never executes) like a CTE — innermost
+            # first, so outer bodies see inner output types. A body
+            # whose analysis succeeds contributes its true output
+            # types, and its `AS` aliases are then UN-shadowed exactly
+            # like CTE-internal ones (`SELECT v/2 FROM (SELECT 7/2 AS
+            # v FROM t) d` integer-divides end to end). Correlated
+            # bodies fail analysis standalone and stay conservative.
+            blanked = dialect._LITERAL.sub(  # noqa: SLF001
+                lambda m: "'" + " " * (len(m.group(0)) - 2) + "'",
+                context,
+            )
+            resolved_bodies: list[str] = []
+            for a, b in _subselect_spans(blanked):
+                body = context[a:b]
+                stmt = (
+                    f"WITH {cte_prefix} SELECT * FROM ({body}) __dt"
+                    if cte_prefix
+                    else f"SELECT * FROM ({body}) __dt"
+                )
+                try:
+                    sch = self.spark.sql(
+                        dialect.rewrite(stmt, type_of=type_of)
+                    ).schema
+                except Exception:
+                    continue
+                resolved_bodies.append(body)
+                for fld in sch.fields:
+                    types.setdefault(fld.name.lower(), set()).add(
+                        fld.dataType.simpleString()
+                    )
+            if resolved_bodies:
+                for body in resolved_bodies:
+                    outer = outer.replace(body, " ")
+                _shadow_from(outer)
 
         def type_of(col: str):
             if not state["built"]:

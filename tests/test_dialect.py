@@ -1797,6 +1797,37 @@ def test_int_division_cte_columns(engine):
     assert r2["w"] == 1  # (7 DIV 2)=3, 3 DIV 2=1 — not 1.75
 
 
+def test_int_division_derived_tables(engine):
+    """Derived-table output columns now resolve like CTE columns: an
+    alias DEFINED as int/int division chains integral through the
+    subselect boundary; a double-typed derived alias stays fractional;
+    a derived alias SHADOWING an int base column at double type is not
+    falsely proven (the outer division stays fractional)."""
+    r = engine.sql(
+        "SELECT v / 2 AS w FROM (SELECT 7 / 2 AS v FROM nation "
+        "LIMIT 1) t"
+    ).first()
+    assert r["w"] == 1  # (7 DIV 2)=3, 3 DIV 2=1 — not 1.75
+    r2 = engine.sql(
+        "SELECT k / 4 AS q FROM "
+        "(SELECT max(l_orderkey) AS k FROM lineitem) t"
+    ).first()
+    assert isinstance(r2["q"], int)
+    r3 = engine.sql(
+        "SELECT p / 2 AS f FROM "
+        "(SELECT max(l_extendedprice) AS p FROM lineitem) t"
+    ).first()
+    assert isinstance(r3["f"], float)
+    # shadowing: l_orderkey re-aliased at double type inside the
+    # derived table — the outer `/` must stay fractional
+    r4 = engine.sql(
+        "SELECT l_orderkey / 2 AS s FROM "
+        "(SELECT l_orderkey * 1.5 AS l_orderkey FROM lineitem "
+        " LIMIT 1) t"
+    ).first()
+    assert not isinstance(r4["s"], int)  # decimal/double — not truncated
+
+
 def test_int_division_adversarial_shapes():
     """Edge shapes for the division rewriter: comments pass through
     (content changes inside a comment are semantically inert), CASE
