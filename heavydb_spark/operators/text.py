@@ -390,3 +390,132 @@ def tfidf_top_terms(
             F.col("rnk").alias("term_rank"),
         )
     )
+
+
+# ------------------------------------------------------- BPE training
+
+
+def _bpe_symbols(word_col: Column) -> Column:
+    """Initial BPE symbol sequence of a word: its characters plus the
+    canonical end-of-word marker (Sennrich et al. 2016,
+    arXiv:1508.07909 — the marker lets merges distinguish suffixes
+    from infixes)."""
+    chars = F.filter(
+        F.split(word_col, r"(?!^)"), lambda c: c != F.lit("")
+    )
+    return F.concat(chars, F.array(F.lit("</w>")))
+
+
+def _bpe_pairs(words: DataFrame) -> DataFrame:
+    """Adjacent symbol-pair frequencies over a (symbols, freq)
+    word-type table — the argmax relation of one BPE round."""
+    z = F.arrays_zip(
+        F.slice(F.col("symbols"), 1, F.size("symbols") - 1).alias("l"),
+        F.slice(F.col("symbols"), 2, F.size("symbols") - 1).alias("r"),
+    )
+    return (
+        words.filter(F.size("symbols") >= 2)
+        .select(F.col("freq"), F.explode(z).alias("p"))
+        .groupBy(
+            F.col("p.l").alias("left"), F.col("p.r").alias("right")
+        )
+        .agg(F.sum("freq").alias("pair_count"))
+    )
+
+
+def bpe_pair_counts(
+    df: DataFrame, text_col: str, top_k: int = 5
+) -> DataFrame:
+    """The first BPE round's pair-count head: the `top_k` most frequent
+    adjacent initial-symbol pairs over the corpus word-type table —
+    SQL-expressible exactly (unlike the iterative trainer), so it
+    serves as the oracle-checkable contract for `bpe_train`'s first
+    merge. Tiebreak (count desc, left asc, right asc)."""
+    words = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(_bpe_symbols(F.col("word")).alias("symbols"), "freq")
+    )
+    return (
+        _bpe_pairs(words)
+        .orderBy(
+            F.col("pair_count").desc(),
+            F.col("left").asc(),
+            F.col("right").asc(),
+        )
+        .limit(top_k)
+    )
+
+
+def bpe_train(
+    df: DataFrame, text_col: str, n_merges: int = 10
+) -> DataFrame:
+    """Byte-pair-encoding tokenizer training, distributed (Sennrich et
+    al. 2016, arXiv:1508.07909): greedy merges over the corpus
+    WORD-TYPE table (the classic formulation — merges are computed on
+    distinct words weighted by frequency, so the iteration cost is
+    bounded by vocabulary size, not corpus size). Returns the learned
+    merge table: (step, left, right, merged, pair_count), the exact
+    artifact a tokenizer ships.
+
+    Per round: adjacent-pair frequencies over the symbol sequences
+    (one shuffle on the pair), a deterministic argmax (count desc,
+    left asc, right asc — a 1-row sanctioned collect), then the merge
+    applied to every word's symbols as a left-to-right greedy fold
+    (JVM higher-order `aggregate`, no UDF). `n_merges` rounds total.
+
+    Scale shape / 100 TB: the word-type table is one corpus shuffle,
+    then every round touches only the vocabulary relation (|types| ≪
+    corpus tokens); each round localCheckpoints eagerly so lineage
+    stays flat and the next round's pair count reads materialized
+    symbols. The trainer is inherently iterative — no SQL oracle; its
+    first round is pinned exactly by `bpe_pair_counts`, and the full
+    merge sequence by the Sennrich worked-example unit test."""
+    words = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(_bpe_symbols(F.col("word")).alias("symbols"), "freq")
+        .localCheckpoint(eager=True)
+    )
+    spark = df.sparkSession
+    merges: list[tuple[int, str, str, str, int]] = []
+    for step in range(1, n_merges + 1):
+        best = (
+            _bpe_pairs(words)
+            .orderBy(
+                F.col("pair_count").desc(),
+                F.col("left").asc(),
+                F.col("right").asc(),
+            )
+            .limit(1)
+            .collect()  # 1 row: the round's argmax — sanctioned O(1)
+        )
+        if not best:
+            break
+        left, right, cnt = (
+            best[0]["left"], best[0]["right"], best[0]["pair_count"]
+        )
+        merged = left + right
+        merges.append((step, left, right, merged, cnt))
+        fold = F.aggregate(
+            F.col("symbols"),
+            F.expr("cast(array() as array<string>)"),
+            lambda acc, x: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(left))
+                & (x == F.lit(right)),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1),
+                    F.array(F.lit(merged)),
+                ),
+            ).otherwise(F.concat(acc, F.array(x))),
+        )
+        words = words.select(
+            fold.alias("symbols"), "freq"
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        merges, "step int, left string, right string, merged string, "
+        "pair_count bigint",
+    )

@@ -85,6 +85,8 @@ _PRIORITY = [
     "pipe_source_overlap",        # cross-source shingle-overlap matrix
     "tpcds_q23_frequent_best",    # frequent-items x best-customers CTEs
     "tpcds_q95_returned_multi_supplier",  # double-EXISTS decorrelation
+    "text_bpe_first_merge",       # BPE round-1 contract (exact oracle)
+    "text_bpe_train",             # iterative BPE trainer (rows-only)
     # --- last checked r1 (predates all global dialect changes) ---
     "sort_topk",
     "agg_groupby_avg",

@@ -1838,3 +1838,49 @@ def pipe_source_overlap(spark, sf_dir):
     return dedup.group_shingle_overlap(d, "source", "text", n=3).orderBy(
         "group_a", "group_b"
     )
+
+
+@query(
+    "text_bpe_first_merge",
+    oracle=r"""
+    WITH w AS (
+        SELECT t.word, count(*) AS freq
+        FROM (
+            SELECT unnest(string_split_regex(trim(text), '\s+')) AS word
+            FROM documents
+        ) t GROUP BY t.word
+    ), s AS (
+        SELECT list_append(string_split_regex(word, ''), '</w>')
+                   AS symbols, freq
+        FROM w
+    ), p AS (
+        SELECT symbols[u.i + 1] AS left, symbols[u.i + 2] AS right, freq
+        FROM s, unnest(range(0, len(symbols) - 1)) AS u(i)
+    )
+    SELECT "left", "right", CAST(sum(freq) AS BIGINT) AS pair_count
+    FROM p GROUP BY 1, 2
+    ORDER BY pair_count DESC, "left" ASC, "right" ASC
+    LIMIT 5
+    """,
+)
+def text_bpe_first_merge(spark, sf_dir):
+    """The first BPE training round, exactly (operators/text.py
+    bpe_pair_counts): top-5 adjacent initial-symbol pairs over the
+    corpus word-type table with end-of-word markers — the
+    SQL-expressible contract for the iterative `text_bpe_train`
+    (its first merge must equal this head's top row)."""
+    d = T(spark, sf_dir, "documents")
+    return text.bpe_pair_counts(d, "text", top_k=5)
+
+
+@query("text_bpe_train")  # iterative greedy merges — no SQL oracle
+def text_bpe_train(spark, sf_dir):
+    """Distributed BPE tokenizer training (operators/text.py
+    bpe_train, Sennrich et al. 2016): 8 greedy merges over the corpus
+    word-type table, each round one pair-count shuffle bounded by
+    vocabulary size + a 1-row argmax + a JVM fold applying the merge.
+    Inherently iterative → rows-only driver check; the first round is
+    oracle-pinned by `text_bpe_first_merge` and the full greedy
+    sequence by the worked-example unit test."""
+    d = T(spark, sf_dir, "documents")
+    return text.bpe_train(d, "text", n_merges=8).orderBy("step")

@@ -2257,3 +2257,43 @@ def test_dsir_importance_separates_domains(spark):
     assert not out[3].selected and not out[4].selected
     assert out[1].avg_log_ratio > out[5].avg_log_ratio > out[3].avg_log_ratio
     assert out[1].n_tokens == 8
+
+
+def test_bpe_train_sennrich_worked_example(spark):
+    """bpe_train reproduces the greedy merge sequence of the BPE paper's
+    worked example (low/lower/newest/widest with end-of-word markers):
+    ties at count 9 resolve (left asc) to es -> est -> est</w>, then
+    the 7-count l/o chain, then (e,w) from the 6-count tie."""
+    from heavydb_spark.operators.text import bpe_train
+
+    corpus = " ".join(
+        ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+    )
+    df = spark.createDataFrame([(corpus,)], "text string")
+    got = [
+        (r.step, r.left, r.right, r.merged, r.pair_count)
+        for r in bpe_train(df, "text", n_merges=6).orderBy("step").collect()
+    ]
+    assert got == [
+        (1, "e", "s", "es", 9),
+        (2, "es", "t", "est", 9),
+        (3, "est", "</w>", "est</w>", 9),
+        (4, "l", "o", "lo", 7),
+        (5, "lo", "w", "low", 7),
+        (6, "e", "w", "ew", 6),
+    ]
+
+
+def test_bpe_pair_counts_matches_first_round(spark):
+    """bpe_pair_counts top-1 equals bpe_train's first merge on the same
+    corpus — the oracle-checkable contract for the iterative trainer."""
+    from heavydb_spark.operators.text import bpe_pair_counts, bpe_train
+
+    df = spark.createDataFrame(
+        [("aa ab aa",), ("ab aa ba",)], "text string"
+    )
+    top = bpe_pair_counts(df, "text", top_k=1).first()
+    first = bpe_train(df, "text", n_merges=1).first()
+    assert (top.left, top.right, top.pair_count) == (
+        first.left, first.right, first.pair_count
+    )
