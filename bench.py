@@ -59,6 +59,10 @@ BENCH_QUERIES = {
     # (two count shuffles + co-partitioned joins back)
     "B24_shared_run": "dedup_shared_run",
     "B25_lm_perplexity": "text_lm_perplexity",
+    # late-r6 addition, self-baselined: the ExactSubstr span-removal
+    # corpus rewrite (gram-count shuffle + covered-position anti-join +
+    # one reassembly shuffle — linear, no pair join anywhere)
+    "B26_span_rewrite": "dedup_span_rewrite",
 }
 
 

@@ -890,13 +890,19 @@ def group_shingle_overlap(
     matrices used on web-crawl dumps).
 
     Plan shape / 100 TB: distinct (group, shingle) is one shuffle;
-    the pair counts come from a self equi-join on the shingle — keyed
-    blocking, never all-pairs over rows; |groups| is small so the
-    pair aggregate is tiny. Hot shingles shared by every group cost
-    O(groups²) per shingle, bounded by the group count, not the
-    corpus size."""
+    pair counts come from ONE more shuffle on the shingle that
+    collects each shingle's sorted group set and expands its ordered
+    pairs map-side (a flatten of nested transforms — no self-join, so
+    the shingle relation is shuffled once, not twice-and-joined). A
+    shingle shared by k groups expands to O(k²) tiny pair rows,
+    bounded by the group count, not the corpus size; the pair
+    aggregate itself is |groups|² at most."""
+    # round-robin spread, not _spread(group_col): a handful of group
+    # values would cap the explode's parallelism at |groups| partitions,
+    # and the distinct reshuffles on (grp, shingle) regardless.
+    spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     dist = (
-        df.select(
+        spread.select(
             F.col(group_col).alias("grp"),
             F.explode(token_shingles(F.col(text_col), n)).alias("shingle"),
         )
@@ -904,15 +910,26 @@ def group_shingle_overlap(
         .localCheckpoint(eager=False)
     )
     sizes = dist.groupBy("grp").agg(F.count(F.lit(1)).alias("n_sh"))
-    a, b = dist.alias("a"), dist.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.grp") < F.col("b.grp")),
+    gs = F.col("gs")
+    pair_arr = F.flatten(
+        F.transform(
+            gs,
+            lambda g, i: F.transform(
+                F.slice(gs, i + 2, F.size(gs)),
+                lambda h: F.struct(
+                    g.alias("group_a"), h.alias("group_b")
+                ),
+            ),
         )
+    )
+    inter = (
+        dist.groupBy("shingle")
+        .agg(F.array_sort(F.collect_set("grp")).alias("gs"))
+        .filter(F.size("gs") > 1)
+        .select(F.explode(pair_arr).alias("p"))
         .groupBy(
-            F.col("a.grp").alias("group_a"), F.col("b.grp").alias("group_b")
+            F.col("p.group_a").alias("group_a"),
+            F.col("p.group_b").alias("group_b"),
         )
         .agg(F.count(F.lit(1)).alias("shared_shingles"))
     )

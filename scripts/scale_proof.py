@@ -132,6 +132,11 @@ def main() -> None:
         # the hot-shingle case the operator's max_df cap exists for.
         "B24_shared_run": "dedup_shared_run",
         "B25_lm_perplexity": "text_lm_perplexity",
+        # late-r6 head: the span-removal REWRITE under the same
+        # adversarial 10x copies — dup occurrences grow ~10x per gram
+        # but the plan stays linear (O(k·window) covered rows per
+        # gram, never an occurrence-pair join)
+        "B26_span_rewrite": "dedup_span_rewrite",
     }
     wanted = [a for a in sys.argv[1:] if not a.startswith("--")]
     if wanted:
