@@ -46,6 +46,11 @@ from heavydb_spark.queries import (  # noqa: F401,E402
 #   11-18 the late-r6 additions (shared-run / semantic / classifier /
 #        perplexity pipeline ops, TPC-DS q1/q93, model-filter chain) —
 #        never driver-checked, so they must sit inside the window;
+#   19-30 the end-of-r6 additions (span rewrite, temperature mixing,
+#        vocab/tf-idf/overlap analytics, TPC-DS q23/q95, BPE train +
+#        first-merge contract) — never driver-checked, same rule; they
+#        push the tail of the r1-stale block (~9 window_* entries,
+#        re-greened by family representatives in r5) out to round 7;
 #   then every query whose last driver check was ROUND 1 — all 29 predate
 #        the r4/r5 global dialect changes (null collation, quoted
 #        identifiers, now int division) and several go through Engine.sql

@@ -624,7 +624,7 @@ def _random_corpus(rng: random.Random, n_docs: int = 40):
         else:
             sep = "  " if rng.random() < 0.1 else " "
             text = sep.join(rng.choice(vocab) for _ in range(rng.randrange(1, 40)))
-        docs.append((doc_id, text))
+        docs.append((doc_id, text, f"s{rng.randrange(4)}", len(text)))
     return docs
 
 
@@ -640,11 +640,28 @@ def test_randomized_corpus_operator_oracles(spark, seed):
     )
     from heavydb_spark.queries import ORACLES
 
+    from heavydb_spark.operators.dedup import (
+        group_shingle_overlap,
+        remove_duplicate_spans,
+    )
+    from heavydb_spark.operators.text import (
+        bpe_pair_counts,
+        ngram_vocab,
+        tfidf_top_terms,
+    )
+
     rng = random.Random(seed)
     rows = _random_corpus(rng)
-    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, source string, n_chars long"
+    )
     con = duckdb.connect()
-    con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    con.register(
+        "documents",
+        pd.DataFrame(rows, columns=["doc_id", "text", "source", "n_chars"]),
+    )
+
+    import pyspark.sql.functions as F
 
     cases = {
         "dedup_shared_run": shared_run_pairs(
@@ -654,6 +671,22 @@ def test_randomized_corpus_operator_oracles(spark, seed):
             "doc_id"
         ),
         "text_lm_perplexity": lm_perplexity_score(df).orderBy("doc_id"),
+        # late-r6 corpus ops, same differential treatment: the random
+        # corpus plants exact copies, quoted runs, and whitespace
+        # edges, which exercise the span rewrite's keeper rule and the
+        # overlap matrix's shared-shingle sets far harder than the
+        # uniform fixture
+        "dedup_span_rewrite": remove_duplicate_spans(
+            df, "doc_id", "text", window=8
+        ).orderBy("doc_id"),
+        "text_ngram_vocab": ngram_vocab(df, "doc_id", "text", 2, 25),
+        "text_tfidf_topterms": tfidf_top_terms(df, "doc_id", "text", 3)
+        .filter(F.col("doc_id") < 100)
+        .orderBy("doc_id", "term_rank"),
+        "text_bpe_first_merge": bpe_pair_counts(df, "text", top_k=5),
+        "pipe_source_overlap": group_shingle_overlap(
+            df, "source", "text", n=3
+        ).orderBy("group_a", "group_b"),
     }
     for name, sdf in cases.items():
         ores = con.sql(ORACLES[name])
