@@ -604,3 +604,40 @@ def mix_temperature_sql(
     FROM {table} d JOIN __r r ON d.{source_expr} = r.__src
     WHERE ({h}) < r.__cut
     """
+
+
+# ------------------------------------------------- output sharding
+
+
+def shard_assign(
+    df: DataFrame,
+    id_col: str,
+    n_shards: int,
+) -> DataFrame:
+    """Deterministic global shuffle + shard assignment — the final
+    step of a training-data build, producing the (shard, position)
+    layout a data loader consumes. Shard membership is the portable
+    hash mod `n_shards` (balanced in expectation, reproducible across
+    engines and runs); position within a shard is the rank in
+    (hash, id) order.
+
+    Scale shape / 100 TB: NO global ordering anywhere — a corpus-wide
+    row_number would serialize into one window partition. Membership
+    is a map-side expression and the position window partitions BY
+    SHARD, so the sort parallelizes `n_shards` ways and each partition
+    holds one shard's rows (exactly the file a loader reads)."""
+    from pyspark.sql import Window
+
+    h = portable_hash(F.col(id_col))
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(F.col("__h").asc(), F.col(id_col).asc())
+    )
+    return (
+        df.withColumn("__h", h)
+        .withColumn(
+            "shard", F.pmod(F.col("__h"), F.lit(n_shards)).cast("int")
+        )
+        .withColumn("pos", F.row_number().over(w) - 1)
+        .drop("__h")
+    )

@@ -533,3 +533,71 @@ def feature_similarity(
             6,
         ).alias("cos_sim"),
     )
+
+
+# ------------------------------------------------ label-centroid report
+
+def label_centroids(
+    df: DataFrame,
+    vec_col: str,
+    label_col: str,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-label embedding centroid QA report — the class-coherence
+    check a labeled-embedding build (classification data, dedup
+    clusters) runs before training: each label's centroid norm, member
+    count, and the mean/min cosine of members to their centroid (low
+    mean = diffuse class; low min = outlier / mislabel).
+
+    Plan shape / 100 TB: the centroid is computed by exploding to
+    (label, dim, value) rows and aggregating on (label, dim) — a
+    balanced two-level key, never a per-label array fold on one
+    partition; reassembly collects dim-bounded arrays per label; the
+    per-row cosine pass broadcasts the tiny centroid table back. Two
+    shuffles total plus the broadcast."""
+    e = df.select(
+        F.col(id_col).alias("vid"),
+        F.col(label_col).alias("lbl"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    comp = (
+        e.select(
+            "lbl", F.posexplode("v").alias("pos", "val")
+        )
+        .groupBy("lbl", "pos")
+        # 9dp-round the component means: the sum's float order differs
+        # across engines/partitionings, and an un-rounded centroid lets
+        # that ulp noise reach the member cosines' 6dp boundary
+        .agg(F.round(F.sum("val") / F.count(F.lit(1)), 9).alias("m"))
+    )
+    cent = comp.groupBy("lbl").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))),
+            lambda s: s["m"],
+        ).alias("cv")
+    )
+    j = e.join(F.broadcast(cent), "lbl").select(
+        "lbl",
+        F.round(cosine_similarity(F.col("v"), F.col("cv")), 6).alias(
+            "cos"
+        ),
+        F.sqrt(dot_product(F.col("cv"), F.col("cv"))).alias("cnorm"),
+    )
+    return (
+        j.groupBy(F.col("lbl").alias(label_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            # floor-form half-up 4dp: Spark round() goes through the
+            # shortest decimal repr while DuckDB rounds the raw double
+            # (the r2() known hazard) — floor(x*1e4 + 0.5) is identical
+            # on both engines even on exact halves. min_cos stays at
+            # the members' 6dp rounding (already exact on both sides;
+            # a second rounding re-introduces the half hazard).
+            (F.floor(F.first("cnorm") * 1e4 + 0.5) / 1e4).alias(
+                "centroid_norm"
+            ),
+            (F.floor(F.avg("cos") * 1e4 + 0.5) / 1e4).alias("avg_cos"),
+            F.min("cos").alias("min_cos"),
+        )
+        .orderBy(label_col)
+    )

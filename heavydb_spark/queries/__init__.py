@@ -92,6 +92,8 @@ _PRIORITY = [
     "tpcds_q95_returned_multi_supplier",  # double-EXISTS decorrelation
     "text_bpe_first_merge",       # BPE round-1 contract (exact oracle)
     "text_bpe_train",             # iterative BPE trainer (rows-only)
+    "pipe_shard_assign",          # deterministic loader sharding
+    "sim_label_centroids",        # per-label embedding coherence QA
     # --- last checked r1 (predates all global dialect changes) ---
     "sort_topk",
     "agg_groupby_avg",

@@ -1884,3 +1884,78 @@ def text_bpe_train(spark, sf_dir):
     sequence by the worked-example unit test."""
     d = T(spark, sf_dir, "documents")
     return text.bpe_train(d, "text", n_merges=8).orderBy("step")
+
+
+@query(
+    "pipe_shard_assign",
+    oracle=f"""
+    WITH a AS (
+        SELECT doc_id, ({pipeline.portable_hash_sql('doc_id')}) AS h
+        FROM documents
+    ), s AS (
+        SELECT doc_id, h,
+               CAST(h % 8 AS INTEGER) AS shard,
+               row_number() OVER (
+                   PARTITION BY h % 8 ORDER BY h ASC, doc_id ASC
+               ) - 1 AS pos
+        FROM a
+    )
+    SELECT doc_id, shard, CAST(pos AS INTEGER) AS pos
+    FROM s WHERE doc_id < 100 ORDER BY doc_id
+    """,
+)
+def pipe_shard_assign(spark, sf_dir):
+    """Deterministic output sharding (operators/pipeline.py
+    shard_assign): portable-hash shard membership + within-shard
+    (hash, id) rank — the training-data loader layout. No global
+    ordering anywhere (a corpus-wide row_number would serialize); the
+    position window partitions by shard. Reported slice: doc_id < 100
+    of the full assignment."""
+    d = T(spark, sf_dir, "documents")
+    out = pipeline.shard_assign(d, "doc_id", n_shards=8)
+    return (
+        out.filter(F.col("doc_id") < 100)
+        .select("doc_id", "shard", F.col("pos").cast("int").alias("pos"))
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "sim_label_centroids",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings
+    ), d AS (
+        SELECT label, CAST(u.i AS INTEGER) AS pos, v[u.i + 1] AS val
+        FROM e, unnest(range(len(v))) AS u(i)
+    ), c AS (
+        SELECT label, pos, round(sum(val) / count(*), 9) AS m
+        FROM d GROUP BY 1, 2
+    ), cent AS (
+        SELECT label, list(m ORDER BY pos) AS cv FROM c GROUP BY label
+    ), j AS (
+        SELECT e.label,
+               round(list_dot_product(e.v, cent.cv)
+                     / (sqrt(list_dot_product(e.v, e.v))
+                        * sqrt(list_dot_product(cent.cv, cent.cv))),
+                     6) AS cos,
+               sqrt(list_dot_product(cent.cv, cent.cv)) AS cnorm
+        FROM e JOIN cent USING (label)
+    )
+    SELECT label, count(*) AS n_vecs,
+           floor(any_value(cnorm) * 1e4 + 0.5) / 1e4 AS centroid_norm,
+           floor(avg(cos) * 1e4 + 0.5) / 1e4 AS avg_cos,
+           min(cos) AS min_cos
+    FROM j GROUP BY label ORDER BY label
+    """,
+)
+def sim_label_centroids(spark, sf_dir):
+    """Per-label embedding centroid QA (operators/similarity.py
+    label_centroids): centroid norm, member count, mean/min member
+    cosine to the centroid — the class-coherence report of a labeled
+    embedding set. Centroids aggregate on the balanced (label, dim)
+    key (never a per-label fold on one partition) and broadcast back
+    for the member-cosine pass."""
+    e = T(spark, sf_dir, "embeddings")
+    return similarity.label_centroids(e, "embedding", "label", "vec_id")

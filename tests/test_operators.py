@@ -2297,3 +2297,51 @@ def test_bpe_pair_counts_matches_first_round(spark):
     assert (top.left, top.right, top.pair_count) == (
         first.left, first.right, first.pair_count
     )
+
+
+def test_shard_assign_balanced_and_deterministic(spark):
+    """shard_assign: every doc gets exactly one (shard, pos); positions
+    within a shard are dense 0..n-1 in (hash, id) order; assignment is
+    reproducible across runs (portable hash, no RNG)."""
+    from heavydb_spark.operators.pipeline import shard_assign
+
+    df = spark.createDataFrame(
+        [(i,) for i in range(200)], "doc_id long"
+    )
+    out = shard_assign(df, "doc_id", n_shards=4).collect()
+    assert len(out) == 200
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    assert set(by_shard) <= set(range(4))
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(len(poss)))  # dense ranks
+    again = {
+        (r.doc_id, r.shard, r.pos)
+        for r in shard_assign(df, "doc_id", n_shards=4).collect()
+    }
+    assert again == {(r.doc_id, r.shard, r.pos) for r in out}
+
+
+def test_label_centroids_coherent_vs_diffuse(spark):
+    """label_centroids: a label whose members all equal one vector has
+    avg_cos = min_cos = 1.0; a label with two opposite vectors has a
+    zero centroid-direction spread (avg_cos 0 against the orthogonal
+    residual is degenerate, so use near-opposite vectors: min_cos well
+    below the coherent label's)."""
+    from heavydb_spark.operators.similarity import label_centroids
+
+    rows = (
+        [(i, [1.0, 0.0, 0.0], 0) for i in range(4)]
+        + [(10, [1.0, 0.2, 0.0], 1), (11, [-1.0, 0.2, 0.0], 1)]
+    )
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    got = {
+        r.label: (r.n_vecs, r.avg_cos, r.min_cos)
+        for r in label_centroids(df, "embedding", "label").collect()
+    }
+    assert got[0] == (4, 1.0, 1.0)
+    assert got[1][0] == 2
+    assert got[1][2] < 1.0  # near-opposite members can't both align
