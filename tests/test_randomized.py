@@ -700,3 +700,71 @@ def test_randomized_corpus_operator_oracles(spark, seed):
         assert s_c == o_c, f"{name} seed={seed}: first diff " + str(
             next((p for p in zip(s_c, o_c) if p[0] != p[1]), None)
         )
+
+
+@pytest.mark.parametrize("seed", [11, 22, 33])
+def test_randomized_mixing_and_sharding_vs_reference(spark, seed):
+    """mix_temperature and shard_assign vs an independent pure-Python
+    reimplementation of the portable hash + rate/rank math, on random
+    id spaces and skewed source distributions (the DuckDB-oracle
+    catalog queries pin the fixture shape; this pins the math itself
+    on arbitrary inputs)."""
+    from heavydb_spark.operators.pipeline import (
+        mix_temperature,
+        shard_assign,
+    )
+
+    M31, A = 2_147_483_647, 48_271
+
+    def ph(i):
+        r = i % M31
+        r = (r * A + 11) % M31
+        return (r * A) % M31
+
+    rng = random.Random(seed)
+    ids = rng.sample(range(1, 10_000_000), 500)
+    srcs = ["a", "b", "c", "d"]
+    weights = [1, 3, 10, 36]
+    rows = [
+        (i, rng.choices(srcs, weights=weights)[0]) for i in ids
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+
+    # --- shard_assign ---
+    got = {
+        (r.doc_id, r.shard, r.pos)
+        for r in shard_assign(df, "doc_id", n_shards=5).collect()
+    }
+    by_shard = {}
+    for i, _s in rows:
+        by_shard.setdefault(ph(i) % 5, []).append(i)
+    want = set()
+    for shard, members in by_shard.items():
+        for pos, i in enumerate(sorted(members, key=lambda x: (ph(x), x))):
+            want.add((i, shard, pos))
+    assert got == want
+
+    # --- mix_temperature ---
+    alpha, tf = 0.5, 0.6
+    counts = {}
+    for _i, s in rows:
+        counts[s] = counts.get(s, 0) + 1
+    n_total = sum(counts.values())
+    z = sum(n ** alpha for n in counts.values())
+    target = int(n_total * tf + 0.5)
+    cut = {
+        s: int(
+            round(min(1.0, (n ** alpha) / z * target / n), 6) * M31
+        )
+        for s, n in counts.items()
+    }
+    want_kept = {
+        (i, s) for i, s in rows if ph(i) < cut[s]
+    }
+    got_kept = {
+        (r.doc_id, r.source)
+        for r in mix_temperature(
+            df, "source", "doc_id", alpha=alpha, target_fraction=tf
+        ).collect()
+    }
+    assert got_kept == want_kept
