@@ -519,3 +519,68 @@ def bpe_train(
         merges, "step int, left string, right string, merged string, "
         "pair_count bigint",
     )
+
+
+# ---------------------------------------------- Gopher composite filter
+
+
+def gopher_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 50,
+    max_tokens: int = 100_000,
+    min_avg_word_len: float = 3.0,
+    max_avg_word_len: float = 10.0,
+    max_top_word: float = 0.2,
+    min_distinct: float = 0.3,
+) -> DataFrame:
+    """The Gopher-rule composite document filter (Rae et al. 2021,
+    arXiv:2112.11446 §A1.1): the keep/drop decision plus one boolean
+    per rule, so a curation run can report WHICH rule rejected each
+    document — length band, mean-word-length band, top-word
+    repetition cap, and distinct-token floor. Ratios are 4dp-rounded
+    before the threshold compare on both engines, so boundary docs
+    resolve identically cross-engine.
+
+    One map-side pass of higher-order expressions — no shuffle, no
+    Python; compose before dedup in a pipeline (cheapest filter
+    first)."""
+    words = tokens(F.col(text_col))
+    n = F.size(words)
+    avg_wlen = F.round(
+        F.aggregate(
+            words, F.lit(0), lambda acc, w: acc + F.length(w)
+        )
+        / n,
+        4,
+    )
+    top_word = F.round(
+        F.array_max(
+            F.transform(
+                F.array_distinct(words),
+                lambda w: F.size(F.filter(words, lambda x: x == w)),
+            )
+        )
+        / n,
+        4,
+    )
+    distinct_ratio = F.round(F.size(F.array_distinct(words)) / n, 4)
+    ok_len = (n >= min_tokens) & (n <= max_tokens)
+    ok_wlen = (avg_wlen >= min_avg_word_len) & (
+        avg_wlen <= max_avg_word_len
+    )
+    ok_top = top_word <= max_top_word
+    ok_distinct = distinct_ratio >= min_distinct
+    return df.select(
+        F.col(id_col),
+        n.alias("n_tokens"),
+        avg_wlen.alias("avg_word_len"),
+        top_word.alias("r_top_word"),
+        distinct_ratio.alias("r_distinct"),
+        ok_len.alias("ok_len"),
+        ok_wlen.alias("ok_word_len"),
+        ok_top.alias("ok_top_word"),
+        ok_distinct.alias("ok_distinct"),
+        (ok_len & ok_wlen & ok_top & ok_distinct).alias("kept"),
+    )

@@ -94,6 +94,7 @@ _PRIORITY = [
     "text_bpe_train",             # iterative BPE trainer (rows-only)
     "pipe_shard_assign",          # deterministic loader sharding
     "sim_label_centroids",        # per-label embedding coherence QA
+    "text_gopher_filter",         # Gopher-rule composite doc filter
     # --- last checked r1 (predates all global dialect changes) ---
     "sort_topk",
     "agg_groupby_avg",

@@ -1959,3 +1959,56 @@ def sim_label_centroids(spark, sf_dir):
     for the member-cosine pass."""
     e = T(spark, sf_dir, "embeddings")
     return similarity.label_centroids(e, "embedding", "label", "vec_id")
+
+
+@query(
+    "text_gopher_filter",
+    oracle=r"""
+    WITH w AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS words
+        FROM documents
+    ), f AS (
+        SELECT doc_id,
+               len(words) AS n_tokens,
+               round(list_sum(list_transform(words, x -> len(x))) * 1.0
+                     / len(words), 4) AS avg_word_len,
+               round(list_max(list_transform(list_distinct(words),
+                         x -> len(list_filter(words, y -> y = x)))) * 1.0
+                     / len(words), 4) AS r_top_word,
+               round(len(list_distinct(words)) * 1.0 / len(words), 4)
+                   AS r_distinct
+        FROM w
+    ), r AS (
+        SELECT *,
+               n_tokens >= 25 AND n_tokens <= 90 AS ok_len,
+               avg_word_len >= 3.0 AND avg_word_len <= 10.0
+                   AS ok_word_len,
+               r_top_word <= 0.12 AS ok_top_word,
+               r_distinct >= 0.35 AS ok_distinct
+        FROM f
+    )
+    SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens, avg_word_len,
+           r_top_word, r_distinct, ok_len, ok_word_len, ok_top_word,
+           ok_distinct,
+           ok_len AND ok_word_len AND ok_top_word AND ok_distinct
+               AS kept
+    FROM r ORDER BY doc_id
+    """,
+)
+def text_gopher_filter(spark, sf_dir):
+    """Gopher-rule composite filter (operators/text.py gopher_filter,
+    Rae et al. 2021 §A1.1): per-document keep/drop with one boolean
+    per rule — length band 25..90, mean word length 3..10, top-word
+    repetition <= 0.12, distinct-token ratio >= 0.35 (thresholds set
+    so the fixture splits non-vacuously). Ratios 4dp-rounded before
+    the compare on both engines; one map-side pass, no shuffle."""
+    d = T(spark, sf_dir, "documents")
+    out = text.gopher_filter(
+        d, "text", "doc_id",
+        min_tokens=25, max_tokens=90,
+        min_avg_word_len=3.0, max_avg_word_len=10.0,
+        max_top_word=0.12, min_distinct=0.35,
+    )
+    return out.withColumn(
+        "n_tokens", F.col("n_tokens").cast("int")
+    ).orderBy("doc_id")

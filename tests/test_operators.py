@@ -2345,3 +2345,28 @@ def test_label_centroids_coherent_vs_diffuse(spark):
     assert got[0] == (4, 1.0, 1.0)
     assert got[1][0] == 2
     assert got[1][2] < 1.0  # near-opposite members can't both align
+
+
+def test_gopher_filter_rule_attribution(spark):
+    """gopher_filter reports WHICH rule rejected each doc: a too-short
+    doc fails only ok_len; a one-word-spam doc fails the repetition
+    cap and distinct floor; a clean doc passes all four."""
+    from heavydb_spark.operators.text import gopher_filter
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),  # clean
+        (2, "tiny doc"),                                        # short
+        (3, " ".join(["spam"] * 40)),                           # repeat
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.ok_len, r.ok_top_word, r.ok_distinct, r.kept)
+        for r in gopher_filter(
+            df, "text", "doc_id",
+            min_tokens=5, max_tokens=100,
+            max_top_word=0.3, min_distinct=0.3,
+        ).collect()
+    }
+    assert got[1] == (True, True, True, True)
+    assert got[2][0] is False and got[2][3] is False
+    assert got[3] == (True, False, False, False)
