@@ -444,3 +444,40 @@ def test_q95_returned_multi_supplier_plan_shape(spark):
     assert "CartesianProduct" not in s and "BroadcastNestedLoopJoin" not in s
     fs = checks.plan_string(df, "formatted")
     assert "1996-01-01" in fs, fs  # date predicate pushed into the scan
+
+
+def test_span_rewrite_plan_no_pair_join(spark):
+    """dedup_span_rewrite: the linearity claim in plan terms — no
+    cartesian/nested-loop anywhere, and the only self-referencing
+    relation is the checkpointed base (ExistingRDD), never a
+    occurrence-to-occurrence equi-join (the gram join's right side is
+    an AGGREGATE of occurrences, so no plan node joins the raw
+    occurrence relation to itself)."""
+    df = QUERIES["dedup_span_rewrite"](spark, SF_DIR)
+    s = checks.plan_string(df, "simple")
+    assert "CartesianProduct" not in s, s
+    assert "BroadcastNestedLoopJoin" not in s, s
+    # reassembly + stats: aggregates present; the base materializes once
+    assert "ExistingRDD" in s, s
+
+
+def test_source_overlap_plan_no_self_join(spark):
+    """pipe_source_overlap: the pair expansion is map-side (explode of
+    nested transforms over the collected group set) — the plan must
+    contain NO join at all before the final size joins, i.e. at most
+    the two tiny joins against the per-group size aggregate."""
+    df = QUERIES["pipe_source_overlap"](spark, SF_DIR)
+    s = checks.plan_string(df, "simple")
+    assert s.count("Join") <= 2, s  # only the n_a / n_b size joins
+    assert "CartesianProduct" not in s, s
+
+
+def test_shard_assign_plan_no_global_sort(spark):
+    """pipe_shard_assign: no corpus-wide ordering — the position
+    window must partition by shard (hashpartitioning), never collapse
+    to a single partition (rangepartitioning over the whole corpus,
+    or Exchange SinglePartition, would serialize at scale)."""
+    df = QUERIES["pipe_shard_assign"](spark, SF_DIR)
+    s = checks.plan_string(df, "formatted")
+    assert "SinglePartition" not in s, s
+    assert "hashpartitioning(shard" in s, s
