@@ -95,6 +95,7 @@ _PRIORITY = [
     "pipe_shard_assign",          # deterministic loader sharding
     "sim_label_centroids",        # per-label embedding coherence QA
     "text_gopher_filter",         # Gopher-rule composite doc filter
+    "pipe_curation_v2",           # gopher→span-rewrite→mix→shard chain
     # --- last checked r1 (predates all global dialect changes) ---
     "sort_topk",
     "agg_groupby_avg",

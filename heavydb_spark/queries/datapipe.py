@@ -2012,3 +2012,119 @@ def text_gopher_filter(spark, sf_dir):
     return out.withColumn(
         "n_tokens", F.col("n_tokens").cast("int")
     ).orderBy("doc_id")
+
+
+def _curation_v2_oracle() -> str:
+    """Single-statement DuckDB replay of the v2 curation chain:
+    Gopher-rule filter → duplicated-span rewrite over the kept set →
+    temperature mixing over the rewritten corpus → shard membership.
+    Each stage reuses the standalone oracle's formulas verbatim."""
+    mix = pipeline.mix_temperature_sql(
+        "source", "doc_id", alpha=0.5, target_fraction=0.5,
+        table="rewritten",
+    )
+    h = pipeline.portable_hash_sql("doc_id")
+    return rf"""
+    WITH g AS (
+        SELECT doc_id, text, source,
+               string_split_regex(trim(text), '\s+') AS words
+        FROM documents
+    ), kept0 AS (
+        SELECT doc_id, text, source FROM g
+        WHERE len(words) >= 25 AND len(words) <= 90
+          AND round(list_sum(list_transform(words, x -> len(x))) * 1.0
+                    / len(words), 4) BETWEEN 3.0 AND 10.0
+          AND round(list_max(list_transform(list_distinct(words),
+                        x -> len(list_filter(words, y -> y = x)))) * 1.0
+                    / len(words), 4) <= 0.12
+          AND round(len(list_distinct(words)) * 1.0 / len(words), 4)
+                  >= 0.35
+    ), base AS (
+        SELECT doc_id AS doc, source,
+               string_split_regex(trim(text), '\s+') AS t
+        FROM kept0
+    ), occ AS (
+        SELECT doc, CAST(u.i AS INTEGER) AS wpos,
+               array_to_string(list_slice(t, u.i + 1, u.i + 8), ' ')
+                   AS gram
+        FROM base, unnest(range(0, greatest(len(t) - 7, 0))) AS u(i)
+    ), marked AS (
+        SELECT doc, wpos,
+               count(*) OVER (PARTITION BY gram) AS cnt,
+               row_number() OVER (
+                   PARTITION BY gram ORDER BY doc, wpos) AS rn
+        FROM occ
+    ), covered AS (
+        SELECT DISTINCT doc, wpos + CAST(u.j AS INTEGER) AS pos
+        FROM marked, unnest(range(0, 8)) AS u(j)
+        WHERE cnt > 1 AND rn > 1
+    ), toks AS (
+        SELECT doc, CAST(unnest(range(len(t))) AS INTEGER) AS pos
+        FROM base
+    ), kept_tok AS (
+        SELECT k.doc, count(*) AS n_tokens
+        FROM (
+            SELECT t2.doc, t2.pos FROM toks t2
+            ANTI JOIN covered c ON c.doc = t2.doc AND c.pos = t2.pos
+        ) k GROUP BY k.doc
+    ), rewritten AS (
+        SELECT b.doc AS doc_id, b.source,
+               coalesce(kt.n_tokens, 0) AS n_tokens
+        FROM base b LEFT JOIN kept_tok kt ON kt.doc = b.doc
+    ), mixed AS (
+        {mix}
+    )
+    SELECT CAST(({h}) % 8 AS INTEGER) AS shard,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           count(DISTINCT source) AS n_sources,
+           min(doc_id) AS min_doc, max(doc_id) AS max_doc
+    FROM mixed GROUP BY 1 ORDER BY shard
+    """
+
+
+@query("pipe_curation_v2", oracle=_curation_v2_oracle())
+def pipe_curation_v2(spark, sf_dir):
+    """The v2 curation chain as ONE dataflow — Gopher-rule filter →
+    duplicated-span rewrite over the kept set → temperature-scaled
+    source mixing of the rewritten corpus → shard membership — with a
+    per-shard summary output. The composition proof for the
+    end-of-r6 operator family (the model-filter counterpart is
+    `pipe_model_filter_chain`): every stage's semantics are exactly
+    the standalone operator's, replayed by one DuckDB statement.
+    Scale: the chain inherits each stage's shape — map-side filter,
+    linear span edit, broadcast rate join, map-side shard hash; the
+    kept set materializes once (the span rewrite checkpoints its
+    base)."""
+    d = T(spark, sf_dir, "documents")
+    g = text.gopher_filter(
+        d, "text", "doc_id",
+        min_tokens=25, max_tokens=90,
+        min_avg_word_len=3.0, max_avg_word_len=10.0,
+        max_top_word=0.12, min_distinct=0.35,
+    ).filter(F.col("kept")).select("doc_id")
+    kept_docs = d.join(g, "doc_id").select("doc_id", "text", "source")
+    rw = dedup.remove_duplicate_spans(kept_docs, "doc_id", "text", 8)
+    rws = rw.select("doc_id", "n_tokens").join(
+        kept_docs.select("doc_id", "source"), "doc_id"
+    )
+    mixed = pipeline.mix_temperature(
+        rws, "source", "doc_id", alpha=0.5, target_fraction=0.5
+    )
+    return (
+        mixed.withColumn(
+            "shard",
+            F.pmod(
+                pipeline.portable_hash(F.col("doc_id")), F.lit(8)
+            ).cast("int"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.countDistinct("source").alias("n_sources"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("shard")
+    )
