@@ -358,6 +358,100 @@ def remove_duplicate_spans(
     )
 
 
+# ------------------------------------------- boilerplate-segment removal
+
+def remove_boilerplate_segments(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    seg: int = 6,
+    min_docs: int = 3,
+) -> DataFrame:
+    """Corpus REWRITE that strips boilerplate: split every document
+    into disjoint `seg`-token segments and delete EVERY occurrence of
+    any segment that appears in >= `min_docs` distinct documents — the
+    repeated-line/paragraph removal of CCNet (arXiv:1911.00359 §4.1,
+    hash-dedup of paragraphs across shards) and RefinedWeb's line-level
+    boilerplate pass (part of the training-data-pipeline extension
+    surface, not a reference-parity op). Complements
+    `remove_duplicate_spans` (ExactSubstr): spans keep their FIRST
+    occurrence and trigger on ANY re-occurrence, while boilerplate
+    segments are judged by distinct-document frequency and removed
+    everywhere — navbars and license headers should survive in no
+    document at all.
+
+    Output: one row per input document — `{id_col}`, `clean_text`
+    (surviving segments, original order, space-joined), `n_tokens`
+    kept, `n_removed_segments`.
+
+    Plan shape / 100 TB: disjoint segmentation explodes ~n_tokens/seg
+    rows per doc (a factor `seg` cheaper than the sliding-window
+    ExactSubstr explode); segment frequency is one hash-shuffle
+    groupBy on the segment text with a distinct-doc count; deletion is
+    a left-anti join of occurrences against the (typically tiny)
+    boilerplate set; reassembly is one shuffle on the doc id. No
+    occurrence-pair join anywhere — a segment repeated k times costs
+    O(k) rows, never O(k^2).
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = _spread(df, id_col).select(
+        F.col(id_col).alias("doc"), toks.alias("toks")
+    ).localCheckpoint(eager=False)
+    nseg = F.ceil(F.size("toks") / F.lit(seg)).cast("int")
+    segs = F.when(
+        F.size("toks") <= 0, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(nseg, F.lit(1))),
+            lambda i: F.concat_ws(
+                " ", F.slice("toks", (i - F.lit(1)) * seg + 1, seg)
+            ),
+        )
+    )
+    occ = base.select("doc", F.posexplode(segs).alias("spos", "seg"))
+    boiler = (
+        occ.groupBy("seg")
+        .agg(F.count_distinct("doc").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("seg")
+    )
+    kept = occ.join(boiler, "seg", "left_anti")
+    rebuilt = kept.groupBy("doc").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("spos", "seg"))),
+                lambda s: s["seg"],
+            ),
+        ).alias("clean_text"),
+    )
+    totals = base.select(
+        "doc",
+        F.size("toks").alias("n_orig_tokens"),
+        F.when(F.size("toks") <= 0, F.lit(0)).otherwise(nseg).alias(
+            "n_segs"
+        ),
+    )
+    return (
+        totals.join(rebuilt, "doc", "left")
+        .select(
+            F.col("doc").alias(id_col),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.when(
+                F.col("clean_text").isNull() | (F.col("clean_text") == ""),
+                F.lit(0),
+            )
+            .otherwise(F.size(F.split(F.col("clean_text"), r"\s+")))
+            .cast("long")
+            .alias("n_tokens"),
+            (F.col("n_segs") - F.coalesce("n_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_removed_segments"),
+        )
+    )
+
+
 # ---------------------------------------------------------- minhash/LSH
 
 def _shingle_rows(

@@ -96,6 +96,7 @@ _PRIORITY = [
     "sim_label_centroids",        # per-label embedding coherence QA
     "text_gopher_filter",         # Gopher-rule composite doc filter
     "pipe_curation_v2",           # gopher→span-rewrite→mix→shard chain
+    "dedup_boilerplate_segments", # CCNet repeated-segment removal edit
     # --- last checked r1 (predates all global dialect changes) ---
     "sort_topk",
     "agg_groupby_avg",

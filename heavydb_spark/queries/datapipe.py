@@ -1680,6 +1680,55 @@ def dedup_span_rewrite(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+@query(
+    "dedup_boilerplate_segments",
+    oracle=r"""
+    WITH base AS (
+        SELECT doc_id AS doc, string_split_regex(trim(text), '\s+') AS t
+        FROM documents
+    ), occ AS (
+        SELECT doc, CAST(u.i AS INTEGER) AS spos,
+               array_to_string(
+                   list_slice(t, u.i * 6 + 1, u.i * 6 + 6), ' ') AS seg
+        FROM base,
+             unnest(range(0, CAST(ceil(len(t) / 6.0e0) AS BIGINT))) AS u(i)
+    ), boiler AS (
+        SELECT seg FROM occ GROUP BY seg
+        HAVING count(DISTINCT doc) >= 3
+    ), kept AS (
+        SELECT o.doc, o.spos, o.seg
+        FROM occ o ANTI JOIN boiler b ON b.seg = o.seg
+    ), agg AS (
+        SELECT doc, count(*) AS n_kept,
+               string_agg(seg, ' ' ORDER BY spos) AS clean_text
+        FROM kept GROUP BY doc
+    )
+    SELECT b.doc AS doc_id,
+           coalesce(a.clean_text, '') AS clean_text,
+           CAST(CASE WHEN coalesce(a.clean_text, '') = '' THEN 0
+                ELSE len(string_split_regex(a.clean_text, '\s+'))
+                END AS BIGINT) AS n_tokens,
+           CAST(CAST(ceil(len(b.t) / 6.0e0) AS BIGINT)
+                - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed_segments
+    FROM base b LEFT JOIN agg a ON a.doc = b.doc
+    ORDER BY doc_id
+    """,
+)
+def dedup_boilerplate_segments(spark, sf_dir):
+    """Boilerplate-segment removal (operators/dedup.py
+    remove_boilerplate_segments): disjoint 6-token segments appearing
+    in >= 3 distinct documents are deleted from EVERY document — the
+    CCNet/RefinedWeb repeated-paragraph pass, complementing
+    `dedup_span_rewrite` (which keeps first occurrences and triggers
+    on any re-occurrence). At sf0.01 this strips 105 occurrences of 28
+    boilerplate segments across 68 of the 500 docs. The oracle replays
+    the identical disjoint segmentation with DuckDB list slices."""
+    d = T(spark, sf_dir, "documents")
+    return dedup.remove_boilerplate_segments(
+        d, "doc_id", "text", seg=6, min_docs=3
+    ).orderBy("doc_id")
+
+
 # The fixture's sources are uniform-sized, which would degenerate every
 # temperature rate to the same value; this deterministic skew (sources
 # src2..src9 lose their upper id half) makes the alpha < 1 up-sampling

@@ -2074,6 +2074,44 @@ def test_remove_duplicate_spans_edit_semantics(spark):
     }
 
 
+def test_remove_boilerplate_segments_semantics(spark):
+    """remove_boilerplate_segments on crafted docs (seg=2, min_docs=3):
+    a segment repeated in 3+ distinct docs is removed from EVERY doc
+    (no keeper — unlike remove_duplicate_spans); a segment in only 2
+    docs survives; within-doc repetition counts the doc once (doc 6's
+    double "hdr x" does not reach min_docs alone); segmentation is
+    disjoint, so doc 5's straddling "x hdr" is NOT a boilerplate hit;
+    a short tail segment is its own unit; fully-boilerplate docs come
+    back empty, not dropped."""
+    from heavydb_spark.operators.dedup import remove_boilerplate_segments
+
+    rows = [
+        (1, "hdr x a b"),       # "hdr x" boiler; "a b" only here
+        (2, "hdr x c d"),       # "hdr x" boiler
+        (3, "hdr x"),           # fully boilerplate -> empty
+        (4, "e f e f"),         # "e f" twice in ONE doc: 1 distinct doc
+        (5, "q x hdr"),         # segments "q x","hdr": "x hdr" straddles
+        (6, "hdr x hdr x g"),   # both "hdr x" segments removed; tail "g"
+        (7, "e f z"),           # "e f" now in 2 docs: still < 3
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.clean_text, r.n_tokens, r.n_removed_segments)
+        for r in remove_boilerplate_segments(
+            df, "doc_id", "text", seg=2, min_docs=3
+        ).collect()
+    }
+    assert got == {
+        1: ("a b", 2, 1),
+        2: ("c d", 2, 1),
+        3: ("", 0, 1),
+        4: ("e f e f", 4, 0),
+        5: ("q x hdr", 3, 0),
+        6: ("g", 1, 2),
+        7: ("e f z", 3, 0),
+    }
+
+
 def test_semantic_dedup_keep_rule_and_chain(spark):
     """semantic_dedup one-pass keep rule: identical copies collapse to
     the LOWEST id (a three-copy chain maps both later copies to the
