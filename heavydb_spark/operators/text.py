@@ -521,6 +521,115 @@ def bpe_train(
     )
 
 
+def _bpe_merge_fold(symbols: Column, left: str, right: str) -> Column:
+    """One BPE merge applied to a symbol array as the trainer's greedy
+    left-to-right fold (JVM higher-order `aggregate`, no UDF)."""
+    merged = left + right
+    return F.aggregate(
+        symbols,
+        F.expr("cast(array() as array<string>)"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(left))
+            & (x == F.lit(right)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(F.lit(merged)),
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def bpe_encode_words(
+    df: DataFrame, text_col: str, merges: list[tuple[str, str]]
+) -> DataFrame:
+    """BPE ENCODING of the corpus word-type table: apply a learned
+    merge list (priority order, e.g. `bpe_train`'s (left, right)
+    pairs) to every distinct word's initial symbol sequence. Each
+    merge is one greedy left-to-right fold — the exact operation the
+    trainer performed per round, so for any word that appeared in
+    training, `bpe_encode_words(corpus, merges) == the trainer's final
+    symbol table` (the differential unit test pins this).
+
+    Returns (word, symbols array<string>, n_subwords). Scale shape /
+    100 TB: encoding touches only the word-TYPE relation (|types| <<
+    corpus tokens — one distinct shuffle), and the merge chain is a
+    single codegen'd expression tree (no per-merge pass over data, no
+    UDF, no driver loop)."""
+    words = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("word"))
+        .distinct()
+    )
+    sym: Column = _bpe_symbols(F.col("word"))
+    for left, right in merges:
+        sym = _bpe_merge_fold(sym, left, right)
+    return words.select(
+        "word",
+        sym.alias("symbols"),
+        F.size(sym).alias("n_subwords"),
+    )
+
+
+def bpe_encode_docs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    merges: list[tuple[str, str]],
+) -> DataFrame:
+    """Per-document BPE token accounting under a learned merge list:
+    the deploy-side half of the tokenizer loop (`bpe_train` learns the
+    merges; this op applies them corpus-wide). Returns one row per doc
+    — (`{id_col}`, n_words, n_subwords, compression = words-per-
+    subword ratio rounded 4dp). `n_subwords` counts the canonical
+    `</w>` end-of-word markers, so n_subwords >= n_words always.
+
+    Plan shape / 100 TB: word-types are encoded ONCE (see
+    `bpe_encode_words` — |types| << corpus tokens), then a broadcast
+    join decorates the exploded corpus tokens with their subword
+    counts (vocabularies fit in memory by construction; drop the hint
+    and AQE falls back to a hash join if one ever does not), and one
+    hash-shuffle groupBy on the doc id aggregates. The document text
+    is never re-scanned per merge."""
+    enc = bpe_encode_words(df, text_col, merges).select(
+        "word", "n_subwords"
+    )
+    toks = _doc_spread(df, id_col).select(
+        F.col(id_col).alias("doc"),
+        F.explode(tokens(F.col(text_col))).alias("word"),
+    )
+    return (
+        toks.join(F.broadcast(enc), "word")
+        .groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_subwords").alias("n_subwords"),
+            # floor(x*1e4 + 0.5)/1e4, not round(): cross-engine-stable
+            # on exact .xxx5 halves (Spark HALF_UPs the shortest repr,
+            # DuckDB rounds the raw double).
+            (
+                F.floor(
+                    F.count(F.lit(1)) * 1.0e4 / F.sum("n_subwords")
+                    + 0.5
+                )
+                / 1.0e4
+            ).alias("compression"),
+        )
+        .select(
+            F.col("doc").alias(id_col),
+            "n_words",
+            F.col("n_subwords").cast("long").alias("n_subwords"),
+            "compression",
+        )
+    )
+
+
+def _doc_spread(df: DataFrame, key_col: str) -> DataFrame:
+    """Hash-repartition on the doc key before the explode (a small
+    single-file scan arrives as 1 partition; see dedup._spread)."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, F.col(key_col))
+
+
 # ---------------------------------------------- Gopher composite filter
 
 

@@ -97,6 +97,9 @@ _PRIORITY = [
     "text_gopher_filter",         # Gopher-rule composite doc filter
     "pipe_curation_v2",           # gopher→span-rewrite→mix→shard chain
     "dedup_boilerplate_segments", # CCNet repeated-segment removal edit
+    "text_bpe_encode_contract",   # BPE merge-application exact contract
+    "text_bpe_encode",            # trained-merge corpus encode (rows-only)
+    "text_bpe_encode_invariants", # its algebraic contract companion
     # --- last checked r1 (predates all global dialect changes) ---
     "sort_topk",
     "agg_groupby_avg",

@@ -1936,6 +1936,106 @@ def text_bpe_train(spark, sf_dir):
 
 
 @query(
+    "text_bpe_encode_contract",
+    oracle=r"""
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(text), '\s+')) AS w
+        FROM documents
+    ), enc AS (
+        SELECT doc_id, w,
+               len(w) + 1
+                 - (len(w) - len(replace(w, 'ta', '|'))) AS n_sub
+        FROM tok
+    )
+    SELECT doc_id,
+           count(*) AS n_words,
+           CAST(sum(n_sub) AS BIGINT) AS n_subwords,
+           floor(count(*) * 1.0e4 / sum(n_sub) + 0.5) / 1.0e4
+               AS compression
+    FROM enc GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def text_bpe_encode_contract(spark, sf_dir):
+    """BPE encoding APPLICATION contract, exactly (operators/text.py
+    bpe_encode_docs): one fixed literal merge ('t','a') applied to
+    every corpus word — per-doc subword counts. With a single merge of
+    distinct symbols the greedy fold's application count equals the
+    non-overlapping substring count of 'ta', which DuckDB replays as a
+    sentinel replace + length delta: n_subwords(word) = len+1 - apps.
+    `text_bpe_first_merge` pins the trainer's argmax; this pins the
+    encoder's merge application; `text_bpe_encode` runs the full
+    trained loop (rows-only) and `text_bpe_encode_invariants` holds
+    its algebraic contracts."""
+    d = T(spark, sf_dir, "documents")
+    return text.bpe_encode_docs(
+        d, "doc_id", "text", merges=[("t", "a")]
+    ).orderBy("doc_id")
+
+
+@query("text_bpe_encode")  # trained-merge loop is iterative — rows-only
+def text_bpe_encode(spark, sf_dir):
+    """The full tokenizer loop: train 8 BPE merges on the corpus
+    (text_bpe_train), then ENCODE the corpus under them
+    (operators/text.py bpe_encode_docs) — per-doc word/subword counts
+    and compression. The merge table is the model artifact (an O(8)
+    sanctioned collect); encoding itself is one codegen'd fold chain
+    over the word-TYPE table + a broadcast decorate join, never a
+    per-merge corpus pass. Trainer is iterative → rows-only; the
+    application semantics are oracle-pinned by
+    `text_bpe_encode_contract` and the invariants companion."""
+    d = T(spark, sf_dir, "documents")
+    merge_rows = text.bpe_train(d, "text", n_merges=8).collect()
+    merges = [(r["left"], r["right"]) for r in merge_rows]
+    return text.bpe_encode_docs(
+        d, "doc_id", "text", merges=merges
+    ).orderBy("doc_id")
+
+
+@query(
+    "text_bpe_encode_invariants",
+    oracle="""
+    SELECT true AS reconstructs, true AS symbols_in_vocab,
+           true AS bounds_hold, true AS marker_terminated
+    """,
+)
+def text_bpe_encode_invariants(spark, sf_dir):
+    """Driver-checked algebraic contracts of the trained BPE encode
+    (the rows-only `text_bpe_encode`'s exact companion): (1) the
+    symbol sequence of every word type concatenates back to
+    word || '</w>' — merging never loses or reorders characters;
+    (2) every emitted symbol is a single character, the end marker, or
+    one of the learned merge strings — nothing else can be produced;
+    (3) 1 <= n_subwords <= len(word) + 1; (4) the last symbol always
+    carries the end-of-word marker."""
+    d = T(spark, sf_dir, "documents")
+    merge_rows = text.bpe_train(d, "text", n_merges=8).collect()
+    merges = [(r["left"], r["right"]) for r in merge_rows]
+    vocab = [left + right for left, right in merges]
+    enc = text.bpe_encode_words(d, "text", merges)
+    in_vocab = F.forall(
+        "symbols",
+        lambda s: (F.length(s) == 1)
+        | (s == F.lit("</w>"))
+        | s.isin(*vocab),
+    )
+    return enc.agg(
+        F.bool_and(
+            F.concat_ws("", "symbols")
+            == F.concat(F.col("word"), F.lit("</w>"))
+        ).alias("reconstructs"),
+        F.bool_and(in_vocab).alias("symbols_in_vocab"),
+        F.bool_and(
+            (F.col("n_subwords") >= 1)
+            & (F.col("n_subwords") <= F.length("word") + 1)
+        ).alias("bounds_hold"),
+        F.bool_and(
+            F.element_at("symbols", -1).endswith("</w>")
+        ).alias("marker_terminated"),
+    )
+
+
+@query(
     "pipe_shard_assign",
     oracle=f"""
     WITH a AS (

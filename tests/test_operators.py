@@ -2112,6 +2112,85 @@ def test_remove_boilerplate_segments_semantics(spark):
     }
 
 
+def _py_bpe_encode(word, merges):
+    """Reference BPE encode: the trainer's greedy left-to-right fold,
+    one pass per merge in priority order."""
+    sym = list(word) + ["</w>"]
+    for left, right in merges:
+        out = []
+        for s in sym:
+            if out and out[-1] == left and s == right:
+                out[-1] = left + right
+            else:
+                out.append(s)
+        sym = out
+    return sym
+
+
+def test_bpe_encode_matches_python_replay(spark):
+    """bpe_encode_words against the pure-Python fold on a crafted
+    corpus: repeated-symbol merges stay greedy-non-overlapping
+    ('aaa' + (a,a) -> [aa, a]), chained merges consume earlier merge
+    outputs ((t,a) then (ta,ta) turns 'tata' into one symbol),
+    end-marker merges work, and doc-level counts aggregate the
+    word-type encodings."""
+    from heavydb_spark.operators.text import (
+        bpe_encode_docs, bpe_encode_words,
+    )
+
+    rows = [
+        (1, "tata data aaa"),
+        (2, "banana aaaa ta"),
+        (3, "t a tat tata"),
+    ]
+    merges = [("t", "a"), ("a", "a"), ("ta", "ta"), ("a", "</w>")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.word: list(r.symbols)
+        for r in bpe_encode_words(df, "text", merges).collect()
+    }
+    words = {w for _, t in rows for w in t.split()}
+    assert set(got) == words
+    for w in words:
+        assert got[w] == _py_bpe_encode(w, merges), w
+    # spot-check the interesting ones explicitly
+    assert got["tata"] == ["tata", "</w>"]
+    assert got["aaa"] == ["aa", "a</w>"]
+    assert got["aaaa"] == ["aa", "aa", "</w>"]
+    assert got["banana"] == ["b", "a", "n", "a", "n", "a</w>"]
+    docs = {
+        r.doc_id: (r.n_words, r.n_subwords)
+        for r in bpe_encode_docs(df, "doc_id", "text", merges).collect()
+    }
+    expect = {
+        d: (
+            len(t.split()),
+            sum(len(_py_bpe_encode(w, merges)) for w in t.split()),
+        )
+        for d, t in rows
+    }
+    assert docs == expect
+
+
+def test_bpe_train_encode_loop_closure(spark):
+    """Encoding the training corpus under the learned merges must
+    reproduce the trainer's own final word-type symbols (the encoder
+    replays the identical fold sequence)."""
+    from heavydb_spark.operators.text import bpe_encode_words, bpe_train
+
+    rows = [(1, "low lower lowest low low newer newest new")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    merges = [
+        (r["left"], r["right"])
+        for r in bpe_train(df, "text", n_merges=6).collect()
+    ]
+    assert len(merges) == 6
+    enc = bpe_encode_words(df, "text", merges).collect()
+    for r in enc:
+        assert list(r.symbols) == _py_bpe_encode(r.word, merges), r.word
+        assert "".join(r.symbols) == r.word + "</w>"
+
+
 def test_semantic_dedup_keep_rule_and_chain(spark):
     """semantic_dedup one-pass keep rule: identical copies collapse to
     the LOWEST id (a three-copy chain maps both later copies to the
