@@ -100,6 +100,8 @@ _PRIORITY = [
     "text_bpe_encode_contract",   # BPE merge-application exact contract
     "text_bpe_encode",            # trained-merge corpus encode (rows-only)
     "text_bpe_encode_invariants", # its algebraic contract companion
+    "tpcds_q17_quantity_variability",  # CV from exact moment sums
+    "tpcds_q34_frequent_buyer_band",   # HAVING-band then dim join-back
     # --- last checked r1 (predates all global dialect changes) ---
     "sort_topk",
     "agg_groupby_avg",

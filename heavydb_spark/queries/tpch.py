@@ -1776,3 +1776,114 @@ def tpcds_q95_returned_multi_supplier(spark, sf_dir):
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "tpcds_q17_quantity_variability",
+    oracle="""
+    WITH s AS (
+        SELECT l_partkey,
+               CAST(count(*) AS BIGINT) AS n_sales,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s1,
+               CAST(sum(CAST(l_quantity AS BIGINT)
+                        * CAST(l_quantity AS BIGINT)) AS BIGINT) AS s2
+        FROM lineitem
+        GROUP BY l_partkey
+        HAVING count(*) >= 10
+    ), cv AS (
+        SELECT l_partkey, n_sales,
+               floor(s1 * 1.0e4 / n_sales + 0.5) / 1.0e4 AS mean_qty,
+               floor(sqrt((n_sales * s2 - s1 * s1) * 1.0e0
+                          / (n_sales * (n_sales - 1)))
+                     / (s1 * 1.0e0 / n_sales) * 1.0e4 + 0.5) / 1.0e4
+                   AS qty_cov
+        FROM s
+    )
+    SELECT p_partkey, p_brand, n_sales, mean_qty, qty_cov
+    FROM cv JOIN part ON p_partkey = l_partkey
+    WHERE qty_cov > 0.65
+    ORDER BY qty_cov DESC, p_partkey
+    """,
+)
+def tpcds_q17_quantity_variability(spark, sf_dir):
+    """TPC-DS Q17 shape: items whose sold-quantity distribution is
+    erratic — the coefficient of variation (stddev_samp / mean) of
+    quantity per item, keeping high-variability items (Q17 computes
+    exactly this over store_sales/catalog_sales quarters). The
+    hazard Q17 exists to probe is the statistical aggregate inside a
+    join pipeline; the scale-correct (and cross-engine-exact) form
+    aggregates the integer moment sums (n, sum q, sum q^2) in ONE
+    fact pass — stddev is derived arithmetic, not a second
+    Welford-style pass, so both engines compute the identical
+    double from identical exact integers — then joins the 2000-row
+    part dim. Rounding is the stable floor(x*1e4+0.5) form on both
+    sides."""
+    li = T(spark, sf_dir, "lineitem")
+    p = T(spark, sf_dir, "part")
+    q = F.col("l_quantity").cast("bigint")
+    s = (
+        li.groupBy("l_partkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_sales"),
+            F.sum(q).alias("s1"),
+            F.sum(q * q).alias("s2"),
+        )
+        .filter(F.col("n_sales") >= 10)
+    )
+    n, s1, s2 = F.col("n_sales"), F.col("s1"), F.col("s2")
+    mean = s1 * 1.0 / n
+    sd = F.sqrt((n * s2 - s1 * s1) * 1.0 / (n * (n - 1)))
+    cv = (
+        s.select(
+            "l_partkey",
+            "n_sales",
+            (F.floor(mean * 1.0e4 + 0.5) / 1.0e4).alias("mean_qty"),
+            (F.floor(sd / mean * 1.0e4 + 0.5) / 1.0e4).alias("qty_cov"),
+        )
+        .filter(F.col("qty_cov") > 0.65)
+    )
+    return (
+        cv.join(broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .select("p_partkey", "p_brand", "n_sales", "mean_qty", "qty_cov")
+        .orderBy(F.col("qty_cov").desc(), "p_partkey")
+    )
+
+
+@query(
+    "tpcds_q34_frequent_buyer_band",
+    oracle="""
+    WITH cnt AS (
+        SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders
+        FROM orders
+        WHERE o_orderdate >= DATE '1996-01-01'
+        GROUP BY o_custkey
+        HAVING count(*) BETWEEN 8 AND 12
+    )
+    SELECT c_custkey, c_name, c_mktsegment, n_orders
+    FROM cnt JOIN customer ON c_custkey = o_custkey
+    ORDER BY n_orders DESC, c_custkey
+    """,
+)
+def tpcds_q34_frequent_buyer_band(spark, sf_dir):
+    """TPC-DS Q34 shape: customers whose order count in a period
+    falls in a band (Q34's "ticket with 15-20 items" HAVING-between,
+    joined back to the customer dim for identity). The plan Q34
+    probes: aggregate-then-band on the fact (the HAVING prunes
+    before the join — never join first), then a join to the dim
+    keyed on the band survivors; the date filter is pushed to the
+    fact scan. At 100 TB the band output is tiny relative to the
+    fact, so the dim join is effectively a broadcast of survivors —
+    the aggregate's shuffle is the only fact-sized movement."""
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    cnt = (
+        o.filter(F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders").between(8, 12))
+    )
+    return (
+        cnt.join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .select("c_custkey", "c_name", "c_mktsegment", "n_orders")
+        .orderBy(F.col("n_orders").desc(), "c_custkey")
+    )
