@@ -601,3 +601,90 @@ def label_centroids(
         )
         .orderBy(label_col)
     )
+
+
+# ------------------------------------------- scalar quantization (SQ8)
+
+def scalar_quantize(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str = "vec_id",
+    bits: int = 8,
+) -> DataFrame:
+    """Per-dimension min/max scalar quantization of an embedding
+    column — the SQ8 codec of FAISS's IndexScalarQuantizer / Milvus
+    SQ8 (4x memory cut at float32, the standard first lever before PQ
+    when an ANN corpus stops fitting executor memory). Codes are
+    code_d = floor((x_d - min_d) / (max_d - min_d) * (2^bits - 1)
+    + 0.5) (the cross-engine-stable half-up form); constant
+    dimensions (max == min) code to 0.
+
+    Returns one row per vector: (`{id_col}`, codes array<int>,
+    max_abs_err, mse, cos_dequant) where the metrics compare the
+    dequantized vector against the original — the quality report a
+    recall-vs-memory decision reads.
+
+    Plan shape / 100 TB: the per-dimension min/max pass explodes
+    (vec, dim) pairs but partial (map-side) aggregation collapses
+    each partition to d rows before the shuffle — the exchange moves
+    O(partitions x d) rows, never O(n x d). The d-row stats table
+    broadcasts back as two array literals in a 1-row cross join, and
+    quantization itself is a pure codegen'd expression over the scan
+    (zip_with/transform, no UDF, no second shuffle)."""
+    levels = (1 << bits) - 1
+    xd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    stats = (
+        df.select(F.posexplode(xd).alias("d", "x"))
+        .groupBy("d")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("d", "mn", "mx"))
+            ).alias("s")
+        )
+        .select(
+            F.transform("s", lambda t: t["mn"]).alias("mins"),
+            F.transform("s", lambda t: t["mx"]).alias("maxs"),
+        )
+    )
+    z = F.arrays_zip(xd.alias("x"), F.col("mins"), F.col("maxs"))
+    codes = F.transform(
+        z,
+        lambda t: F.when(
+            t["maxs"] > t["mins"],
+            F.floor(
+                (t["x"] - t["mins"])
+                / (t["maxs"] - t["mins"])
+                * levels
+                + 0.5
+            ).cast("int"),
+        ).otherwise(F.lit(0)),
+    )
+    deq = F.transform(
+        F.arrays_zip(F.col("codes").alias("c"), F.col("mins"), F.col("maxs")),
+        lambda t: t["mins"]
+        + t["c"].cast("double") / levels * (t["maxs"] - t["mins"]),
+    )
+    err = F.zip_with(xd, F.col("deq"), lambda a, b: F.abs(a - b))
+    mse = F.aggregate(
+        F.col("err"),
+        F.lit(0.0),
+        lambda acc, e: acc + e * e,
+    ) / F.size(F.col("err"))
+    return (
+        df.crossJoin(F.broadcast(stats))
+        .withColumn("codes", codes)
+        .withColumn("deq", deq)
+        .withColumn("err", err)
+        .select(
+            F.col(id_col),
+            "codes",
+            (F.floor(F.array_max("err") * 1.0e6 + 0.5) / 1.0e6).alias(
+                "max_abs_err"
+            ),
+            (F.floor(mse * 1.0e9 + 0.5) / 1.0e9).alias("mse"),
+            F.round(
+                cosine_similarity(xd, F.col("deq")), 6
+            ).alias("cos_dequant"),
+        )
+    )

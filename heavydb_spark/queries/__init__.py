@@ -102,6 +102,7 @@ _PRIORITY = [
     "text_bpe_encode_invariants", # its algebraic contract companion
     "tpcds_q17_quantity_variability",  # CV from exact moment sums
     "tpcds_q34_frequent_buyer_band",   # HAVING-band then dim join-back
+    "sim_scalar_quantize",        # SQ8 embedding codec + quality report
     # --- last checked r1 (predates all global dialect changes) ---
     "sort_topk",
     "agg_groupby_avg",

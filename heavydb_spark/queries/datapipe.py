@@ -215,6 +215,68 @@ def sim_ann_lsh(spark, sf_dir):
     )
 
 
+@query(
+    "sim_scalar_quantize",
+    oracle="""
+    WITH x AS (
+        SELECT vec_id,
+               list_transform(embedding, e -> CAST(e AS DOUBLE)) AS v
+        FROM embeddings
+    ), d AS (
+        SELECT u.i AS dim, min(v[u.i]) AS mn, max(v[u.i]) AS mx
+        FROM x, unnest(range(1, 65)) AS u(i)
+        GROUP BY u.i
+    ), s AS (
+        SELECT list(mn ORDER BY dim) AS mins,
+               list(mx ORDER BY dim) AS maxs
+        FROM d
+    ), q AS (
+        SELECT vec_id, v, mins, maxs,
+               list_transform(range(1, 65), i ->
+                   CASE WHEN maxs[i] > mins[i]
+                        THEN CAST(floor((v[i] - mins[i])
+                                        / (maxs[i] - mins[i]) * 255
+                                        + 0.5) AS INTEGER)
+                        ELSE 0 END) AS codes
+        FROM x, s
+    ), dq AS (
+        SELECT vec_id, v, codes,
+               list_transform(range(1, 65), i ->
+                   mins[i] + codes[i] * 1.0e0 / 255
+                             * (maxs[i] - mins[i])) AS deq
+        FROM q
+    ), e AS (
+        SELECT vec_id, codes, deq, v,
+               list_transform(range(1, 65), i ->
+                   abs(v[i] - deq[i])) AS err
+        FROM dq
+    )
+    SELECT vec_id, codes,
+           floor(list_aggregate(err, 'max') * 1.0e6 + 0.5) / 1.0e6
+               AS max_abs_err,
+           floor(list_sum(list_transform(err, x -> x * x)) / 64
+                 * 1.0e9 + 0.5) / 1.0e9 AS mse,
+           round(list_dot_product(v, deq)
+                 / (sqrt(list_dot_product(v, v))
+                    * sqrt(list_dot_product(deq, deq))), 6)
+               AS cos_dequant
+    FROM e ORDER BY vec_id
+    """,
+)
+def sim_scalar_quantize(spark, sf_dir):
+    """SQ8 scalar quantization of the embedding corpus
+    (operators/similarity.py scalar_quantize): per-dimension min/max
+    codes plus the per-vector quality report (max abs error, MSE,
+    cosine of dequantized vs original) a recall-vs-memory decision
+    reads. Exact oracle: the per-dim stats, half-up code rounding
+    (stable floor form), dequantization, and index-ordered error
+    folds replay identically in DuckDB list arithmetic."""
+    e = T(spark, sf_dir, "embeddings")
+    return similarity.scalar_quantize(
+        e, "embedding", "vec_id", bits=8
+    ).orderBy("vec_id")
+
+
 @query("sim_ann_ivf")  # KMeans-trained index (iterative MLlib) -> rows-only check
 def sim_ann_ivf(spark, sf_dir):
     """ANN top-k via IVF (KMeans coarse quantizer + nprobe list probe) —

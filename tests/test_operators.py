@@ -2112,6 +2112,38 @@ def test_remove_boilerplate_segments_semantics(spark):
     }
 
 
+def test_scalar_quantize_code_semantics(spark):
+    """scalar_quantize on crafted 3-dim vectors: per-dim min codes to
+    0 and max to 255 exactly; a constant dimension codes to 0 with
+    zero error; midpoints round half-up; dequantization error is
+    bounded by half a quantization step per dimension."""
+    from heavydb_spark.operators.similarity import scalar_quantize
+
+    rows = [
+        (1, [0.0, 5.0, -1.0]),
+        (2, [1.0, 5.0, 1.0]),
+        (3, [0.5, 5.0, 0.0]),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+    out = {
+        r.vec_id: r
+        for r in scalar_quantize(df, "embedding", "vec_id").collect()
+    }
+    assert list(out[1].codes) == [0, 0, 0]       # mins (dim2 constant)
+    assert list(out[2].codes) == [255, 0, 255]   # maxs; constant dim -> 0
+    # 0.5 of [0,1] -> 127.5 rounds half-up to 128
+    assert list(out[3].codes) == [128, 0, 128]
+    step = 1.0 / 255  # dim ranges are 1.0 and 2.0
+    assert out[1].max_abs_err == 0.0
+    assert out[2].max_abs_err == 0.0
+    for r in out.values():
+        # + 5e-7: the report rounds max_abs_err half-up at 6dp
+        assert r.max_abs_err <= 2.0 * step / 2 + 5e-7
+        assert r.mse <= (2.0 * step / 2) ** 2 + 1e-9
+
+
 def _py_bpe_encode(word, merges):
     """Reference BPE encode: the trainer's greedy left-to-right fold,
     one pass per merge in priority order."""
