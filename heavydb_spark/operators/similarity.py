@@ -688,3 +688,167 @@ def scalar_quantize(
             ).alias("cos_dequant"),
         )
     )
+
+
+# ---------------------------------------- product quantization (PQ)
+
+def pq_train(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 8,
+    ksub: int = 16,
+    seed: int = 42,
+    sample: int = 2048,
+    iters: int = 10,
+) -> np.ndarray:
+    """Train PQ codebooks (Jegou et al. 2011, "Product Quantization
+    for Nearest Neighbor Search"): the vector splits into `m`
+    subspaces and each subspace gets its own `ksub`-centroid
+    codebook, so a d-dim float vector compresses to m small codes
+    (m=8, ksub=16 -> 8 nibbles for a 64-dim float32 vector, 64x).
+
+    Training runs seeded Lloyd iterations on the driver over a
+    BOUNDED deterministic sample (first `sample` rows by `{id_col}`)
+    — the same regime FAISS uses (codebooks are tiny models trained
+    on a sample; the full corpus is only ever ENCODED, never
+    iterated). Returns codebooks[m, ksub, dsub]."""
+    rows = (
+        df.orderBy(F.col(id_col))
+        .limit(sample)
+        .select(F.col(vec_col).cast("array<double>").alias("v"))
+        .collect()  # bounded: `sample` rows — the training set
+    )
+    x = np.asarray([r["v"] for r in rows], dtype=np.float64)
+    n, d = x.shape
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    rng = np.random.RandomState(seed)
+    books = np.empty((m, ksub, dsub))
+    for s in range(m):
+        xs = x[:, s * dsub:(s + 1) * dsub]
+        cent = xs[rng.choice(n, size=ksub, replace=False)].copy()
+        for _ in range(iters):
+            d2 = ((xs[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for j in range(ksub):
+                mask = assign == j
+                if mask.any():  # empty cluster keeps its centroid
+                    cent[j] = xs[mask].mean(axis=0)
+        books[s] = cent
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    vec_col: str,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Encode vectors under trained PQ codebooks: per subspace, the
+    index of the nearest centroid (first index on ties). Assignment
+    is a pure JVM expression over literal centroid arrays — argmin
+    of squared L2 per subspace, the same inline-literal pattern as
+    `ivf_index` — so encoding is codegen over the scan: no Python,
+    no shuffle, no training data on executors."""
+    m, ksub, dsub = codebooks.shape
+
+    def sub_sq_dist(s: int, c) -> Column:
+        sub = F.slice(F.col(vec_col), s * dsub + 1, dsub)
+        return F.aggregate(
+            F.zip_with(sub, _vec_lit(c), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v.cast("double"),
+        )
+
+    code_cols = []
+    for s in range(m):
+        best_id, best_d = F.lit(0), sub_sq_dist(s, codebooks[s][0])
+        for j in range(1, ksub):
+            dj = sub_sq_dist(s, codebooks[s][j])
+            best_id = F.when(dj < best_d, F.lit(j)).otherwise(best_id)
+            best_d = F.least(best_d, dj)
+        code_cols.append(best_id)
+    return df.withColumn("codes", F.array(*code_cols))
+
+
+def pq_reconstruction(
+    df: DataFrame,
+    vec_col: str,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-vector PQ quality report: codes + squared reconstruction
+    error against the original (sum over subspaces of the distance to
+    the chosen centroid — exactly the ADC self-distance)."""
+    m, ksub, dsub = codebooks.shape
+    enc = pq_encode(df, vec_col, codebooks, id_col)
+    deq = F.flatten(
+        F.transform(
+            F.col("codes"),
+            lambda c, s: F.element_at(
+                F.array(*[
+                    _vec_lit(codebooks[si][ji])
+                    for si in range(m)
+                    for ji in range(ksub)
+                ]),
+                s * ksub + c + 1,
+            ),
+        )
+    )
+    xd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    err2 = F.aggregate(
+        F.zip_with(xd, F.col("deq"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        enc.withColumn("deq", deq)
+        .select(
+            F.col(id_col),
+            "codes",
+            (F.floor(err2 * 1.0e9 + 0.5) / 1.0e9).alias("recon_sq_err"),
+        )
+    )
+
+
+def pq_search_adc(
+    df: DataFrame,
+    vec_col: str,
+    query_vec,
+    codebooks: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k: the query stays exact; every
+    database vector is scored through its codes via a per-subspace
+    lookup table computed ONCE on the driver (m x ksub doubles) and
+    inlined as literals. Scoring a vector is m array lookups + adds —
+    no per-row distance arithmetic at all, the reason PQ scans
+    billions of codes cheaply. Ordering: (adc_dist asc, id)."""
+    m, ksub, dsub = codebooks.shape
+    q = np.asarray(query_vec, dtype=np.float64)
+    lut = np.array([
+        (((codebooks[s] - q[s * dsub:(s + 1) * dsub][None, :]) ** 2)
+         .sum(axis=1))
+        for s in range(m)
+    ])  # [m, ksub]
+    enc = pq_encode(df, vec_col, codebooks, id_col)
+    dist = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.array(*[_vec_lit(lut[s]) for s in range(m)]),
+            lambda c, tbl: F.element_at(tbl, c + 1),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        enc.select(
+            F.col(id_col),
+            (F.floor(dist * 1.0e6 + 0.5) / 1.0e6).alias("adc_dist"),
+        )
+        .orderBy(F.col("adc_dist").asc(), F.col(id_col))
+        .limit(k)
+    )

@@ -103,6 +103,8 @@ _PRIORITY = [
     "tpcds_q17_quantity_variability",  # CV from exact moment sums
     "tpcds_q34_frequent_buyer_band",   # HAVING-band then dim join-back
     "sim_scalar_quantize",        # SQ8 embedding codec + quality report
+    "sim_pq_encode",              # PQ codes + recon report (rows-only)
+    "sim_pq_invariants",          # PQ algebraic contract companion
     # --- last checked r1 (predates all global dialect changes) ---
     "sort_topk",
     "agg_groupby_avg",

@@ -277,6 +277,108 @@ def sim_scalar_quantize(spark, sf_dir):
     ).orderBy("vec_id")
 
 
+@query("sim_pq_encode")  # sampled-Lloyd codebooks — rows-only check
+def sim_pq_encode(spark, sf_dir):
+    """Product quantization of the embedding corpus
+    (operators/similarity.py pq_train/pq_encode/pq_reconstruction,
+    Jegou et al. 2011): 8 subspaces x 16 centroids -> 8 nibble codes
+    per 64-dim vector (64x vs float32) plus the per-vector squared
+    reconstruction error. Codebooks train on a bounded deterministic
+    driver sample (the FAISS regime); encoding is inline-literal JVM
+    argmin per subspace — codegen over the scan, no Python on
+    executors. Iterative trained model -> rows-only; the algebraic
+    contract lives in `sim_pq_invariants`."""
+    e = T(spark, sf_dir, "embeddings")
+    books = similarity.pq_train(e, "embedding", "vec_id")
+    return similarity.pq_reconstruction(
+        e, "embedding", books, "vec_id"
+    ).orderBy("vec_id")
+
+
+@query(
+    "sim_pq_invariants",
+    oracle="""
+    SELECT true AS codes_in_range, true AS deterministic_rerun,
+           true AS planted_copy_top2, true AS recon_beats_mean
+    """,
+)
+def sim_pq_invariants(spark, sf_dir):
+    """Driver-checked PQ contracts (the rows-only `sim_pq_encode`'s
+    exact companion): (1) every code is in [0, 16); (2) a re-train +
+    re-encode reproduces the codes exactly (seeded sample, seeded
+    Lloyd); (3) a planted exact copy of vec 0 shares vec 0's codes,
+    so ADC search with vec 0's embedding returns both in its top-2 at
+    equal distance; (4) mean squared reconstruction error beats the
+    rank-0 baseline (quantizing every vector to the corpus mean)."""
+    e = T(spark, sf_dir, "embeddings")
+    books = similarity.pq_train(e, "embedding", "vec_id")
+    books2 = similarity.pq_train(e, "embedding", "vec_id")
+    enc1 = similarity.pq_encode(e, "embedding", books, "vec_id").select(
+        "vec_id", "codes"
+    )
+    enc2 = (
+        similarity.pq_encode(e, "embedding", books2, "vec_id")
+        .select("vec_id", F.col("codes").alias("codes2"))
+    )
+    code_checks = enc1.join(enc2, "vec_id").agg(
+        F.bool_and(
+            F.forall("codes", lambda c: (c >= 0) & (c < 16))
+        ).alias("codes_in_range"),
+        F.bool_and(F.col("codes") == F.col("codes2")).alias(
+            "deterministic_rerun"
+        ),
+    )
+    qvec = _query_vec(spark, sf_dir)
+    planted = (
+        e.filter(F.col("vec_id") == 0)
+        .select(F.lit(900000).alias("vec_id"), "embedding", "label")
+        .select(e.columns)
+    )
+    top2 = similarity.pq_search_adc(
+        e.unionByName(planted), "embedding", qvec, books, k=2,
+    )
+    t2 = top2.agg(
+        (
+            (F.collect_set("vec_id") == F.array(F.lit(0), F.lit(900000)))
+            | (F.collect_set("vec_id") == F.array(F.lit(900000), F.lit(0)))
+        ).alias("ids_ok"),
+        (F.count_distinct("adc_dist") == 1).alias("dist_eq"),
+    ).select((F.col("ids_ok") & F.col("dist_eq")).alias(
+        "planted_copy_top2"
+    ))
+    xd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    mean_vec = (
+        e.select(F.posexplode(xd).alias("d", "x"))
+        .groupBy("d").agg(F.avg("x").alias("mu"))
+        .agg(F.array_sort(F.collect_list(F.struct("d", "mu"))).alias("s"))
+        .select(F.transform("s", lambda t: t["mu"]).alias("mu"))
+    )
+    base_err = (
+        e.crossJoin(F.broadcast(mean_vec))
+        .select(
+            F.aggregate(
+                F.zip_with(xd, F.col("mu"), lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ).alias("e0")
+        )
+        .agg(F.avg("e0").alias("mean_base"))
+    )
+    pq_err = (
+        similarity.pq_reconstruction(e, "embedding", books, "vec_id")
+        .agg(F.avg("recon_sq_err").alias("mean_pq"))
+    )
+    better = pq_err.crossJoin(base_err).select(
+        (F.col("mean_pq") < F.col("mean_base")).alias("recon_beats_mean")
+    )
+    return (
+        code_checks.crossJoin(t2).crossJoin(better).select(
+            "codes_in_range", "deterministic_rerun",
+            "planted_copy_top2", "recon_beats_mean",
+        )
+    )
+
+
 @query("sim_ann_ivf")  # KMeans-trained index (iterative MLlib) -> rows-only check
 def sim_ann_ivf(spark, sf_dir):
     """ANN top-k via IVF (KMeans coarse quantizer + nprobe list probe) —

@@ -2112,6 +2112,51 @@ def test_remove_boilerplate_segments_semantics(spark):
     }
 
 
+def test_pq_encode_separable_clusters(spark):
+    """PQ on crafted 4-dim data, m=2 subspaces x ksub=2 centroids:
+    Lloyd recovers the two well-separated clusters per subspace, so
+    vectors agreeing in a subspace share that code; codes land in
+    [0, ksub); ADC search ranks the exact duplicate of the query
+    first (its reconstruction is the closest attainable) and the
+    opposite-cluster vector last."""
+    import numpy as np
+
+    from heavydb_spark.operators.similarity import (
+        pq_encode, pq_search_adc, pq_train,
+    )
+
+    lo, hi = [0.0, 0.1], [10.0, 9.9]
+    rows = [
+        (0, lo + lo), (1, lo + lo), (2, lo + hi),
+        (3, hi + lo), (4, hi + hi), (5, hi + hi),
+    ]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>",
+    )
+    books = pq_train(
+        df, "embedding", "vec_id", m=2, ksub=2, sample=6, iters=5
+    )
+    assert books.shape == (2, 2, 2)
+    codes = {
+        r.vec_id: tuple(r.codes)
+        for r in pq_encode(df, "embedding", books, "vec_id").collect()
+    }
+    assert all(0 <= c < 2 for cs in codes.values() for c in cs)
+    assert codes[0] == codes[1]                    # identical vectors
+    assert codes[4] == codes[5]
+    assert codes[0][0] == codes[2][0]              # shared lo subspace 1
+    assert codes[0][1] == codes[3][1]              # shared lo subspace 2
+    assert codes[0][0] != codes[3][0]              # separated clusters
+    assert codes[0][1] != codes[2][1]
+    got = pq_search_adc(
+        df, "embedding", lo + lo, books, k=6
+    ).collect()
+    assert {r.vec_id for r in got[:2]} == {0, 1}   # exact copies first
+    assert got[-1].vec_id in (4, 5)                # opposite cluster last
+    assert got[0].adc_dist == got[1].adc_dist
+
+
 def test_scalar_quantize_code_semantics(spark):
     """scalar_quantize on crafted 3-dim vectors: per-dim min codes to
     0 and max to 255 exactly; a constant dimension codes to 0 with
