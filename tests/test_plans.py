@@ -481,3 +481,56 @@ def test_shard_assign_plan_no_global_sort(spark):
     s = checks.plan_string(df, "formatted")
     assert "SinglePartition" not in s, s
     assert "hashpartitioning(shard" in s, s
+
+
+def test_boilerplate_segments_plan_shape(spark):
+    """dedup_boilerplate_segments: frequency-judged removal stays
+    linear — no cartesian/nested-loop pair expansion; the boilerplate
+    filter joins occurrences against an AGGREGATE of segments (a
+    LeftAnti join), never occurrence-to-occurrence."""
+    df = QUERIES["dedup_boilerplate_segments"](spark, SF_DIR)
+    s = checks.plan_string(df, "simple")
+    assert "CartesianProduct" not in s, s
+    assert "BroadcastNestedLoopJoin" not in s, s
+    assert "LeftAnti" in s, s
+
+
+def test_bpe_encode_plan_broadcast_decorate(spark):
+    """text_bpe_encode_contract: the word-type encodings decorate the
+    exploded corpus through a BROADCAST join (vocabularies are small
+    by construction) — no shuffle join on the word, and no Python UDF
+    anywhere (the merge fold is a JVM higher-order expression)."""
+    df = QUERIES["text_bpe_encode_contract"](spark, SF_DIR)
+    s = checks.plan_string(df, "simple")
+    assert "BroadcastHashJoin" in s, s
+    assert "SortMergeJoin" not in s, s
+    assert "BatchEvalPython" not in s, s
+    assert "ArrowEvalPython" not in s, s
+
+
+def test_scalar_quantize_plan_partial_agg(spark):
+    """sim_scalar_quantize: the per-dimension stats pass must partial-
+    aggregate map-side (two HashAggregate levels around its exchange)
+    and the stats flow back as a BROADCAST 1-row join — quantization
+    itself adds no further exchange over the scan."""
+    df = QUERIES["sim_scalar_quantize"](spark, SF_DIR)
+    s = checks.plan_string(df, "formatted")
+    assert "BroadcastNestedLoopJoin" in s or "BroadcastExchange" in s, s
+    assert s.count("HashAggregate") >= 2, s
+    assert "BatchEvalPython" not in s, s
+
+
+def test_pq_encode_plan_pure_codegen(spark):
+    """sim_pq_encode: encoding under trained codebooks is inline-
+    literal expression work over the scan — no Python eval nodes, no
+    join, no exchange besides the final sort's."""
+    from heavydb_spark.operators import similarity
+    from heavydb_spark.queries.util import T
+
+    e = T(spark, SF_DIR, "embeddings")
+    books = similarity.pq_train(e, "embedding", "vec_id", sample=64)
+    enc = similarity.pq_encode(e, "embedding", books, "vec_id")
+    s = checks.plan_string(enc, "simple")
+    assert "BatchEvalPython" not in s, s
+    assert "ArrowEvalPython" not in s, s
+    assert "Join" not in s, s
