@@ -63,6 +63,10 @@ BENCH_QUERIES = {
     # corpus rewrite (gram-count shuffle + covered-position anti-join +
     # one reassembly shuffle — linear, no pair join anywhere)
     "B26_span_rewrite": "dedup_span_rewrite",
+    # end-of-r6 addition, self-baselined: CCNet boilerplate-segment
+    # removal (disjoint segmentation -> 1/seg the explode of B26,
+    # frequency groupBy + left-anti + one reassembly shuffle)
+    "B27_boilerplate": "dedup_boilerplate_segments",
 }
 
 

@@ -137,6 +137,13 @@ def main() -> None:
         # but the plan stays linear (O(k·window) covered rows per
         # gram, never an occurrence-pair join)
         "B26_span_rewrite": "dedup_span_rewrite",
+        # end-of-r6 head: boilerplate-segment removal under the same
+        # adversarial copies — every segment's distinct-doc count
+        # crosses the min_docs threshold via its 10 shifted copies'
+        # shared prefix segments, so removals GROW superlinearly while
+        # the plan stays linear (disjoint segments, left-anti, no
+        # occurrence-pair join)
+        "B27_boilerplate": "dedup_boilerplate_segments",
     }
     wanted = [a for a in sys.argv[1:] if not a.startswith("--")]
     if wanted:
