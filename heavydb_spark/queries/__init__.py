@@ -105,6 +105,7 @@ _PRIORITY = [
     "sim_scalar_quantize",        # SQ8 embedding codec + quality report
     "sim_pq_encode",              # PQ codes + recon report (rows-only)
     "sim_pq_invariants",          # PQ algebraic contract companion
+    "pipe_tokenize_pack",         # BPE-count packing chain (exact oracle)
     # --- last checked r1 (predates all global dialect changes) ---
     "sort_topk",
     "agg_groupby_avg",

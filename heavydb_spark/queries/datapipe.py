@@ -897,6 +897,80 @@ def pipe_pack_sequences(spark, sf_dir):
 
 
 @query(
+    "pipe_tokenize_pack",
+    oracle=r"""
+    WITH RECURSIVE tokc AS (
+        SELECT source, doc_id,
+               CAST(sum(len(w) + 1
+                        - (len(w) - len(replace(w, 'ta', '|'))))
+                    AS BIGINT) AS n_tokens
+        FROM (SELECT source, doc_id,
+                     unnest(string_split_regex(trim(text), '\s+')) AS w
+              FROM documents) t
+        GROUP BY source, doc_id
+    ), docs AS (
+        SELECT source, doc_id, n_tokens,
+               row_number() OVER (
+                   PARTITION BY source ORDER BY doc_id) AS rn
+        FROM tokc
+    ), pack AS (
+        SELECT source, doc_id, n_tokens, rn,
+               CAST(0 AS BIGINT) AS bin_id, n_tokens AS bin_fill
+        FROM docs WHERE rn = 1
+        UNION ALL
+        SELECT d.source, d.doc_id, d.n_tokens, d.rn,
+               CASE WHEN p.bin_fill + d.n_tokens > 500
+                    THEN p.bin_id + 1 ELSE p.bin_id END,
+               CASE WHEN p.bin_fill + d.n_tokens > 500
+                    THEN d.n_tokens ELSE p.bin_fill + d.n_tokens END
+        FROM docs d
+        JOIN pack p ON d.source = p.source AND d.rn = p.rn + 1
+    )
+    SELECT source, bin_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
+           min(doc_id) AS first_doc, max(doc_id) AS last_doc
+    FROM pack GROUP BY source, bin_id
+    ORDER BY source, bin_id
+    """,
+)
+def pipe_tokenize_pack(spark, sf_dir):
+    """Tokenizer-aware sequence packing as ONE dataflow: per-doc BPE
+    subword counts (the `text_bpe_encode_contract` merge, so the
+    token accounting is oracle-exact) feed the greedy 500-subword
+    packing recurrence, summarized per (source, bin): doc count,
+    token total, id span. Packing by the REAL tokenizer's counts —
+    not whitespace counts — is what the training loader actually
+    needs; whitespace packing overfills bins by the subword factor.
+    Plan: the encode is a broadcast decorate join + one doc groupBy,
+    packing shuffles once on the source, the summary re-aggregates
+    in place. The oracle composes the substring-count formula with
+    the packing recursive CTE."""
+    d = T(spark, sf_dir, "documents")
+    counts = text.bpe_encode_docs(
+        d, "doc_id", "text", merges=[("t", "a")]
+    ).select("doc_id", "n_subwords")
+    toks = (
+        d.select("source", "doc_id")
+        .join(counts, "doc_id")
+        .select("source", "doc_id", F.col("n_subwords").alias("n_tokens"))
+    )
+    packed = pipeline.pack_sequences(
+        toks, "source", "doc_id", "n_tokens", budget=500
+    )
+    return (
+        packed.groupBy("source", "bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("bin_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("source", "bin_id")
+    )
+
+
+@query(
     "pipe_dictionary_encode",
     oracle="""
     WITH dl AS (
