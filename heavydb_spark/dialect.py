@@ -233,6 +233,9 @@ _REWRITES: list[tuple[re.Pattern, str]] = [
     (re.compile(r"\bSAMPLE\s*\(", re.IGNORECASE), "any_value("),
     # HeavyDB CHAR_LENGTH on none-encoded text == Spark length
     (re.compile(r"\bCHAR_LENGTH\s*\(", re.IGNORECASE), "length("),
+    # LCASE/UCASE (HeavyDBSqlOperatorTable.java) — lower/upper aliases
+    (re.compile(r"\bLCASE\s*\(", re.IGNORECASE), "lower("),
+    (re.compile(r"\bUCASE\s*\(", re.IGNORECASE), "upper("),
     # Frame-aware window variants (sqldefs.h:166-173): Spark's
     # first/last/nth_value already respect the frame clause, so the
     # _IN_FRAME names are straight aliases (LAG/LEAD_IN_FRAME need the
@@ -550,6 +553,20 @@ _CALL_REWRITES = [
     ("REGEXP_REPLACE", lambda args: _regexp_replace_ext(args)),
     ("REGEXP_COUNT", lambda args: _regexp_count_ext(args)),
     ("EXTRACT", lambda args: _extract_ext(args)),
+    # LAST_SAMPLE (HeavyDBSqlOperatorTable.java:3563): SAMPLE's
+    # take-the-last twin — Spark's last() ignoring nulls
+    ("LAST_SAMPLE", lambda args: f"last({args}, true)"),
+    # Fragment introspection (HeavyDBSqlOperatorTable.java:3396-3430).
+    # Spark's storage unit analogous to a fragment is the partition:
+    # FRAGMENT_ID(col) -> spark_partition_id() (the operand only
+    # anchors the table in the reference; partition identity is
+    # row-scoped here), and FRAGMENT_ID_AND_OFFSET's packed id maps to
+    # monotonically_increasing_id(), whose layout IS
+    # (partition_id << 33) | row_offset_in_partition.
+    ("FRAGMENT_ID", lambda args: "spark_partition_id()"),
+    ("FRAGMENT_ID_AND_OFFSET", lambda args: "monotonically_increasing_id()"),
+    ("OFFSET_IN_FRAGMENT",
+     lambda args: "(monotonically_increasing_id() & 8589934591)"),
 ]
 
 

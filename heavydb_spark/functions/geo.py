@@ -1451,6 +1451,65 @@ _GEO_SQL_FUNCS = {
 }
 
 
+# Reference-parity predicate/accessor closeouts
+# (java/calcite .../HeavyDBSqlOperatorTable.java registered names):
+# ST_Within is argument-swapped ST_Contains; ST_Disjoint negates
+# ST_Intersects; ST_Equals is the reference's own lowering
+# "ST_Distance(g1, g2) <= 0.0" (RelAlgTranslatorGeo.cpp:1449, point
+# form); ST_DFullyWithin is the max-distance band
+# (ExtensionFunctionsGeo.hpp ST_DFullyWithin = ST_MaxDistance <= d);
+# ST_IsEmpty / ST_IsValid on the array-of-rings representation —
+# validity here is the basic structural check (nonempty, every ring
+# holds >= 3 distinct vertices); full GEOS self-intersection validity
+# is out of scope (COVERAGE.md); ST_NRings is the reference spelling
+# of st_numrings; ST_IntersectsBox is the raw bounds-overlap test
+# (ExtensionFunctionsGeo.hpp ST_IntersectsBox).
+_GEO_SQL_FUNCS["st_within"] = """
+    CREATE OR REPLACE TEMPORARY FUNCTION st_within(
+        p STRUCT<x: DOUBLE, y: DOUBLE>,
+        g ARRAY<ARRAY<STRUCT<x: DOUBLE, y: DOUBLE>>>)
+    RETURNS BOOLEAN RETURN st_contains(g, p)
+"""
+_GEO_SQL_FUNCS["st_disjoint"] = """
+    CREATE OR REPLACE TEMPORARY FUNCTION st_disjoint(
+        a ARRAY<ARRAY<STRUCT<x: DOUBLE, y: DOUBLE>>>,
+        b ARRAY<ARRAY<STRUCT<x: DOUBLE, y: DOUBLE>>>)
+    RETURNS BOOLEAN RETURN NOT st_intersects(a, b)
+"""
+_GEO_SQL_FUNCS["st_equals"] = """
+    CREATE OR REPLACE TEMPORARY FUNCTION st_equals(
+        a STRUCT<x: DOUBLE, y: DOUBLE>, b STRUCT<x: DOUBLE, y: DOUBLE>)
+    RETURNS BOOLEAN RETURN st_distance(a, b) <= 0.0
+"""
+_GEO_SQL_FUNCS["st_isempty"] = """
+    CREATE OR REPLACE TEMPORARY FUNCTION st_isempty(
+        g ARRAY<ARRAY<STRUCT<x: DOUBLE, y: DOUBLE>>>)
+    RETURNS BOOLEAN
+    RETURN g IS NULL OR aggregate(transform(g, r -> size(r)), 0,
+                                  (acc, v) -> acc + v) = 0
+"""
+_GEO_SQL_FUNCS["st_isvalid"] = """
+    CREATE OR REPLACE TEMPORARY FUNCTION st_isvalid(
+        g ARRAY<ARRAY<STRUCT<x: DOUBLE, y: DOUBLE>>>)
+    RETURNS BOOLEAN
+    RETURN g IS NOT NULL AND size(g) > 0
+           AND forall(g, r -> size(array_distinct(r)) >= 3)
+"""
+_GEO_SQL_FUNCS["st_nrings"] = """
+    CREATE OR REPLACE TEMPORARY FUNCTION st_nrings(
+        g ARRAY<ARRAY<STRUCT<x: DOUBLE, y: DOUBLE>>>)
+    RETURNS INT RETURN size(g)
+"""
+_GEO_SQL_FUNCS["st_intersectsbox"] = """
+    CREATE OR REPLACE TEMPORARY FUNCTION st_intersectsbox(
+        xmin1 DOUBLE, ymin1 DOUBLE, xmax1 DOUBLE, ymax1 DOUBLE,
+        xmin2 DOUBLE, ymin2 DOUBLE, xmax2 DOUBLE, ymax2 DOUBLE)
+    RETURNS BOOLEAN
+    RETURN xmin1 <= xmax2 AND xmax1 >= xmin2
+           AND ymin1 <= ymax2 AND ymax1 >= ymin2
+"""
+
+
 # ST_MaxDistance(POINT, LINESTRING|POLYGON) — max cartesian distance
 # from the point to the geometry's vertex set (the maximum over a
 # segment is attained at one of its endpoints, so the vertex max IS
@@ -1463,6 +1522,14 @@ _GEO_SQL_FUNCS["st_maxdistance"] = """
     RETURN aggregate(flatten(g), CAST(0.0 AS DOUBLE),
         (acc, q) -> greatest(acc,
             sqrt((p.x - q.x) * (p.x - q.x) + (p.y - q.y) * (p.y - q.y))))
+"""
+
+# Must register after st_maxdistance — the SQL body calls it.
+_GEO_SQL_FUNCS["st_dfullywithin"] = """
+    CREATE OR REPLACE TEMPORARY FUNCTION st_dfullywithin(
+        p STRUCT<x: DOUBLE, y: DOUBLE>,
+        g ARRAY<ARRAY<STRUCT<x: DOUBLE, y: DOUBLE>>>, d DOUBLE)
+    RETURNS BOOLEAN RETURN st_maxdistance(p, g) <= d
 """
 
 

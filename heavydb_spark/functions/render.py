@@ -613,6 +613,20 @@ _RENDER_PARAM_SETS = {
 }
 
 
+# The reference registers these under geometry-generic names
+# (HeavyDBSqlOperatorTable.java: is_point_in_view,
+# is_point_size_in_view, convert_meters_to_pixel_width/_height,
+# ExtensionFunctionsGeo.hpp:5406-5500) but the implementations are
+# lon/lat -> Web-Mercator-view specific — exactly what the _merc_
+# bodies here compute — so the reference names register as aliases.
+_VIEW_NAME_ALIASES = {
+    "is_point_in_view": "is_point_in_merc_view",
+    "is_point_size_in_view": "is_point_size_in_merc_view",
+    "convert_meters_to_pixel_width": "convert_meters_to_merc_pixel_width",
+    "convert_meters_to_pixel_height": "convert_meters_to_merc_pixel_height",
+}
+
+
 def register_render_functions(spark) -> None:
     for name, (params, body) in _RENDER_PARAM_SETS.items():
         ret = "BOOLEAN" if name.startswith("is_") else "DOUBLE"
@@ -620,4 +634,13 @@ def register_render_functions(spark) -> None:
         spark.sql(
             f"CREATE OR REPLACE TEMPORARY FUNCTION {name}({arglist}) "
             f"RETURNS {ret} RETURN {body(params)}"
+        )
+    for alias, target in _VIEW_NAME_ALIASES.items():
+        params, _ = _RENDER_PARAM_SETS[target]
+        ret = "BOOLEAN" if alias.startswith("is_") else "DOUBLE"
+        arglist = ", ".join(f"{p} DOUBLE" for p in params)
+        callargs = ", ".join(params)
+        spark.sql(
+            f"CREATE OR REPLACE TEMPORARY FUNCTION {alias}({arglist}) "
+            f"RETURNS {ret} RETURN {target}({callargs})"
         )

@@ -106,6 +106,7 @@ _PRIORITY = [
     "sim_pq_encode",              # PQ codes + recon report (rows-only)
     "sim_pq_invariants",          # PQ algebraic contract companion
     "pipe_tokenize_pack",         # BPE-count packing chain (exact oracle)
+    "sql_dialect_geo_predicates", # reference-name geo/render closeouts
     # --- last checked r1 (predates all global dialect changes) ---
     "sort_topk",
     "agg_groupby_avg",

@@ -2201,3 +2201,114 @@ def geo_transform_datum(spark, sf_dir):
         (F.round(ed["x"], 3) + 0.0).alias("ed50_e"),
         (F.round(ed["y"], 3) + 0.0).alias("ed50_n"),
     ).orderBy("c_custkey")
+
+
+def _geo_predicates_oracle() -> str:
+    """Oracle for sql_dialect_geo_predicates: each reference-named
+    predicate/helper replays as either its semantic simplification on
+    boundary-safe half-integer shapes (strict between for the
+    ray-cast, corner max for DFullyWithin) or — for the Mercator view
+    helpers — the package's own dual SQL text (functions/render.py
+    *_sql builders emit engine-neutral expressions DuckDB runs
+    verbatim, the render_pixel_bins pattern)."""
+    from heavydb_spark.functions import render as rnd
+
+    in_view = rnd.is_point_in_merc_view_sql(
+        "px", "py", 20.0, 90.0, 4.0, 26.0
+    )
+    size_in_view = rnd.is_point_size_in_merc_view_sql(
+        "px", "py", "50000.0", 20.0, 90.0, 4.0, 26.0
+    )
+    pix_w = rnd.convert_meters_to_merc_pixel_width_sql(
+        "50000.0", "px", "(py + 10.0)", 0.0, 251.0, 1024.0, 1.0
+    )
+    # lat bounds flow through ops.tan/ln (the Mercator y transform),
+    # so they must be expression-wrapped, not raw floats
+    pix_h = rnd.convert_meters_to_merc_pixel_height_sql(
+        "50000.0", "px", "(py + 10.0)",
+        rnd._E("0.0"), rnd._E("41.0"), 1024.0, 1.0
+    )
+    corners = ["(50.5, 10.5)", "(70.5, 10.5)", "(70.5, 20.5)", "(50.5, 20.5)"]
+    dists = ", ".join(
+        f"sqrt((px - {x}) * (px - {x}) + (py - {y}) * (py - {y}))"
+        for x, y in (c.strip("()").split(", ") for c in corners)
+    )
+    return f"""
+    WITH pts AS (
+        SELECT c_custkey,
+               CAST(c_custkey % 251 AS DOUBLE) AS px,
+               CAST((c_custkey * 7) % 31 AS DOUBLE) AS py
+        FROM customer WHERE c_custkey <= 200
+    )
+    SELECT c_custkey,
+           (px > 10.5 AND px < 110.5 AND py > 2.5 AND py < 28.5)
+               AS within_rect,
+           (c_custkey % 2 = 0) AS equals_parity,
+           (greatest({dists}) <= 80.0) AS dfully80,
+           2 AS two_rings,
+           true AS lit_valid,
+           false AS lit_empty,
+           (px - 1.0 <= 70.0 AND px + 1.0 >= 50.0
+            AND py - 1.0 <= 15.0 AND py + 1.0 >= 5.0) AS box_hit,
+           {in_view} AS in_view,
+           {size_in_view} AS size_in_view,
+           round({pix_w}, 6) AS pix_w,
+           round({pix_h}, 6) AS pix_h
+    FROM pts ORDER BY c_custkey
+    """
+
+
+@query("sql_dialect_geo_predicates", oracle=_geo_predicates_oracle())
+def sql_dialect_geo_predicates(spark, sf_dir):
+    """The round-6 reference-name closeouts of the geo/render SQL
+    surface, exercised through engine.sql exactly as HeavyDB SQL
+    would arrive (HeavyDBSqlOperatorTable.java registered names):
+    ST_Within / ST_Equals (the reference's distance<=0 lowering,
+    RelAlgTranslatorGeo.cpp:1449) / ST_DFullyWithin / ST_NRings /
+    ST_IsValid / ST_IsEmpty / ST_IntersectsBox, plus the renderer's
+    is_point_in_view, is_point_size_in_view and
+    convert_meters_to_pixel_width/height (ExtensionFunctionsGeo.hpp:
+    5406-5500, Mercator-view semantics — double precision here vs the
+    reference's float intrinsics, the documented render delta).
+    Half-integer shape bounds keep every integer-grid point off the
+    ray-cast edges, so the oracle's strict-between replay is exact."""
+    from heavydb_spark.engine import Engine
+
+    eng = Engine(spark).attach(sf_dir)
+    return eng.sql("""
+        WITH pts AS (
+            SELECT c_custkey,
+                   CAST(c_custkey % 251 AS DOUBLE) AS px,
+                   CAST((c_custkey * 7) % 31 AS DOUBLE) AS py
+            FROM customer WHERE c_custkey <= 200
+        )
+        SELECT c_custkey,
+               ST_Within(ST_Point(px, py), ST_GeomFromText(
+                   'POLYGON ((10.5 2.5, 110.5 2.5, 110.5 28.5, 10.5 28.5, 10.5 2.5))'
+               )) AS within_rect,
+               ST_Equals(ST_Point(px, py),
+                   ST_Point(px, py + CAST(c_custkey % 2 AS DOUBLE))
+               ) AS equals_parity,
+               ST_DFullyWithin(ST_Point(px, py), ST_GeomFromText(
+                   'POLYGON ((50.5 10.5, 70.5 10.5, 70.5 20.5, 50.5 20.5, 50.5 10.5))'
+               ), 80.0) AS dfully80,
+               ST_NRings(ST_GeomFromText(
+                   'POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), (1 1, 2 1, 2 2, 1 2, 1 1))'
+               )) AS two_rings,
+               ST_IsValid(ST_GeomFromText(
+                   'POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))')) AS lit_valid,
+               ST_IsEmpty(ST_GeomFromText(
+                   'POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))')) AS lit_empty,
+               ST_IntersectsBox(px - 1.0, py - 1.0, px + 1.0, py + 1.0,
+                                50.0, 5.0, 70.0, 15.0) AS box_hit,
+               is_point_in_view(px, py, 20.0, 90.0, 4.0, 26.0) AS in_view,
+               is_point_size_in_view(px, py, 50000.0, 20.0, 90.0,
+                                     4.0, 26.0) AS size_in_view,
+               ROUND(convert_meters_to_pixel_width(
+                   50000.0, px, py + 10.0, 0.0, 251.0, 1024.0, 1.0), 6)
+                   AS pix_w,
+               ROUND(convert_meters_to_pixel_height(
+                   50000.0, px, py + 10.0, 0.0, 41.0, 1024.0, 1.0), 6)
+                   AS pix_h
+        FROM pts ORDER BY c_custkey
+    """)

@@ -1877,3 +1877,67 @@ def test_int_division_review_regressions(engine):
         " WHERE l_orderkey = 6) t"
     ).first()
     assert abs(float(r2["v"]) - 4.5) < 1e-9  # fractional, not DIV's 4
+
+
+def test_reference_alias_closeouts(engine):
+    """Round-6 operator-table closeouts (HeavyDBSqlOperatorTable.java):
+    LCASE/UCASE lower/upper aliases, LAST_SAMPLE as null-ignoring
+    last(), and the fragment introspection family mapped to Spark's
+    partition identities — FRAGMENT_ID -> spark_partition_id(),
+    FRAGMENT_ID_AND_OFFSET -> monotonically_increasing_id() (whose
+    layout IS (partition << 33) | offset), OFFSET_IN_FRAGMENT -> the
+    low 33 bits."""
+    r = engine.sql(
+        "SELECT LCASE('AbC') AS lo, UCASE('AbC') AS up, "
+        "FRAGMENT_ID(o_orderkey) AS fid, "
+        "FRAGMENT_ID_AND_OFFSET(o_orderkey) AS fio, "
+        "OFFSET_IN_FRAGMENT() AS off "
+        "FROM orders WHERE o_orderkey = 6"
+    ).first()
+    assert r["lo"] == "abc" and r["up"] == "ABC"
+    assert r["fio"] == (r["fid"] << 33 | r["off"])
+    rows = engine.sql(
+        "SELECT o_orderpriority AS p, LAST_SAMPLE(o_orderkey) AS ls "
+        "FROM orders GROUP BY o_orderpriority"
+    ).collect()
+    assert all(row["ls"] is not None for row in rows)
+
+
+def test_geo_predicate_sql_functions(engine):
+    """Reference-named geo predicates through engine.sql: ST_Within is
+    argument-swapped ST_Contains; ST_Disjoint negates ST_Intersects;
+    ST_Equals is the reference's distance<=0 lowering; ST_DFullyWithin
+    is the ST_MaxDistance band; ST_IsValid rejects degenerate rings;
+    ST_IntersectsBox is the raw bounds-overlap test."""
+    r = engine.sql(
+        "SELECT "
+        "ST_Within(ST_Point(0.5, 0.5), ST_GeomFromText("
+        "'POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))')) AS w_in, "
+        "ST_Within(ST_Point(5.0, 5.0), ST_GeomFromText("
+        "'POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))')) AS w_out, "
+        "ST_Disjoint(ST_GeomFromText('POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))'), "
+        "ST_GeomFromText('POLYGON ((5 5, 6 5, 6 6, 5 6, 5 5))')) AS dj, "
+        "ST_Equals(ST_Point(1.0, 2.0), ST_Point(1.0, 2.0)) AS eq_t, "
+        "ST_Equals(ST_Point(1.0, 2.0), ST_Point(1.0, 2.5)) AS eq_f, "
+        "ST_DFullyWithin(ST_Point(0.0, 0.0), ST_GeomFromText("
+        "'POLYGON ((1 0, 2 0, 2 1, 1 1, 1 0))'), 3.0) AS dfw_t, "
+        "ST_DFullyWithin(ST_Point(0.0, 0.0), ST_GeomFromText("
+        "'POLYGON ((1 0, 2 0, 2 1, 1 1, 1 0))'), 2.0) AS dfw_f, "
+        "ST_IsValid(ST_GeomFromText("
+        "'POLYGON ((0 0, 1 0, 1 0, 0 0, 0 0))')) AS iv_f, "
+        "ST_IsEmpty(ST_GeomFromText("
+        "'POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))')) AS ie_f, "
+        "ST_NRings(ST_GeomFromText("
+        "'POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), (1 1, 2 1, 2 2, 1 2, 1 1))'"
+        ")) AS nr, "
+        "ST_IntersectsBox(0.0, 0.0, 2.0, 2.0, 1.0, 1.0, 3.0, 3.0) AS bx_t, "
+        "ST_IntersectsBox(0.0, 0.0, 2.0, 2.0, 5.0, 5.0, 6.0, 6.0) AS bx_f"
+    ).first()
+    assert r["w_in"] and not r["w_out"]
+    assert r["dj"]
+    assert r["eq_t"] and not r["eq_f"]
+    # max corner distance sqrt(5)~2.236: inside 3.0, outside 2.0
+    assert r["dfw_t"] and not r["dfw_f"]
+    assert not r["iv_f"] and not r["ie_f"]
+    assert r["nr"] == 2
+    assert r["bx_t"] and not r["bx_f"]
