@@ -630,6 +630,94 @@ def _doc_spread(df: DataFrame, key_col: str) -> DataFrame:
     return df.repartition(n, F.col(key_col))
 
 
+# ----------------------------------------------- heavy hitters (top-k)
+
+
+def heavy_hitters(
+    df: DataFrame,
+    text_col: str,
+    k: int = 20,
+    candidate_factor: int = 4,
+) -> DataFrame:
+    """EXACT corpus top-k tokens via the two-pass heavy-hitters plan
+    (Misra-Gries 1982 summaries + exact recount — the
+    candidate-then-verify scheme of MG/SpaceSaving deployments): each
+    partition folds its tokens into a Misra-Gries summary of capacity
+    `cap = k * candidate_factor` (when the summary overflows, the
+    batch decrement subtracts an equal mass from ALL tracked tokens
+    and drops the non-positive — every decrement event charges >= cap+1
+    tokens, so a token's total undercount is <= n_p / (cap+1) and any
+    token with partition frequency above that bound SURVIVES); the
+    union of summaries is a candidate superset of every token with
+    global frequency > N / (cap+1); candidates broadcast back for an
+    exact recount restricted to them, then the exact top-k.
+
+    The result carries a `certified` flag: true iff the k-th count
+    exceeds N / (cap+1), in which case the superset property makes
+    the answer PROVABLY equal to the exact top-k — the certificate a
+    pipeline checks before trusting the cheap plan.
+
+    100 TB shape: the full vocabulary never shuffles — pass 1 is
+    map-only (one Arrow-batched summary per partition, O(cap) rows
+    out per partition), pass 2's count groupBy shuffles only
+    candidate-token rows (the broadcast semi-join drops the long
+    tail at the scan), and the final top-k is a TakeOrdered."""
+    import pandas as pd
+
+    cap = k * candidate_factor
+
+    def summarize(it):
+        counters: dict[str, int] = {}
+        for pdf in it:
+            vc = (
+                pdf[text_col].str.strip().str.split().explode()
+                .value_counts()
+            )
+            for tok, c in vc.items():
+                counters[tok] = counters.get(tok, 0) + int(c)
+            if len(counters) > cap:
+                vals = sorted(counters.values())
+                d = vals[len(vals) - cap - 1]
+                counters = {
+                    t: c - d for t, c in counters.items() if c > d
+                }
+        yield pd.DataFrame({"token": list(counters)})
+
+    cands = (
+        df.select(text_col)
+        .mapInPandas(summarize, "token string")
+        .distinct()
+    )
+    toks = df.select(
+        F.explode(tokens(F.col(text_col))).alias("token")
+    )
+    total = toks.agg(F.count(F.lit(1)).alias("n"))
+    counted = (
+        toks.join(F.broadcast(cands), "token")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("token"))
+        .limit(k)
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("cnt").desc(), F.col("token"))
+    ranked = counted.select(
+        "token", "cnt", F.row_number().over(w).cast("int").alias("rank")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(total))
+        .withColumn(
+            "certified",
+            F.min("cnt").over(
+                Window.partitionBy()
+            ) > F.col("n") / F.lit(float(cap + 1)),
+        )
+        .select("token", "cnt", "rank", "certified")
+        .orderBy("rank")
+    )
+
+
 # ---------------------------------------------- Gopher composite filter
 
 

@@ -107,6 +107,7 @@ _PRIORITY = [
     "sim_pq_invariants",          # PQ algebraic contract companion
     "pipe_tokenize_pack",         # BPE-count packing chain (exact oracle)
     "sql_dialect_geo_predicates", # reference-name geo/render closeouts
+    "text_heavy_hitters",         # MG two-pass exact top-k + certificate
     # --- last checked r1 (predates all global dialect changes) ---
     "sort_topk",
     "agg_groupby_avg",

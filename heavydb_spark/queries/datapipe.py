@@ -2174,6 +2174,40 @@ def text_bpe_train(spark, sf_dir):
 
 
 @query(
+    "text_heavy_hitters",
+    oracle=r"""
+    WITH tok AS (
+        SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+        FROM documents
+    ), cnt AS (
+        SELECT token, CAST(count(*) AS BIGINT) AS cnt
+        FROM tok GROUP BY token
+    ), top AS (
+        SELECT token, cnt,
+               CAST(row_number() OVER (ORDER BY cnt DESC, token) AS INT)
+                   AS rank
+        FROM cnt ORDER BY cnt DESC, token LIMIT 20
+    ), tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tok)
+    SELECT token, cnt, rank,
+           (SELECT min(cnt) FROM top)
+               > (SELECT n FROM tot) / CAST(81 AS DOUBLE) AS certified
+    FROM top ORDER BY rank
+    """,
+)
+def text_heavy_hitters(spark, sf_dir):
+    """Exact corpus top-20 tokens via the two-pass heavy-hitters plan
+    (operators/text.py heavy_hitters): per-partition Misra-Gries
+    candidate summaries, broadcast semi-join, exact recount of
+    candidates only, and the N/(cap+1) exactness certificate — the
+    full vocabulary never shuffles. The oracle computes the exact
+    top-20 directly (identical tiebreak) plus the same certificate,
+    so a hash match proves both the answer and the certificate
+    algebra."""
+    d = T(spark, sf_dir, "documents")
+    return text.heavy_hitters(d, "text", k=20, candidate_factor=4)
+
+
+@query(
     "text_bpe_encode_contract",
     oracle=r"""
     WITH tok AS (

@@ -2112,6 +2112,37 @@ def test_remove_boilerplate_segments_semantics(spark):
     }
 
 
+def test_heavy_hitters_exact_with_certificate(spark):
+    """heavy_hitters under real Misra-Gries pressure: vocabulary far
+    above the summary capacity (cap=4) across multiple partitions, so
+    decrements genuinely fire — the two heavy tokens must still
+    surface with EXACT counts, ranked deterministically, and the
+    N/(cap+1) certificate must hold; a flat corpus (no token above
+    the bound) must come back uncertified."""
+    from heavydb_spark.operators.text import heavy_hitters
+
+    heavy = ["hot"] * 40 + ["warm"] * 25
+    tail = [f"t{i}" for i in range(30) for _ in range(2)]
+    words = heavy + tail   # N = 125, bound = 125/5 = 25
+    rows = [
+        (i, " ".join(words[i::8])) for i in range(8)  # deal round-robin
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string").repartition(4)
+    got = heavy_hitters(df, "text", k=2, candidate_factor=2).collect()
+    assert [(r.token, r.cnt, r.rank) for r in got] == [
+        ("hot", 40, 1), ("warm", 25, 2),
+    ]
+    # bound is N/(cap+1) = 25; min(top-k) = 25 is NOT strictly above it
+    assert all(not r.certified for r in got)
+    # a more skewed corpus certifies: warm grows past the bound
+    words2 = ["hot"] * 60 + ["warm"] * 40 + tail  # N=160, bound=32
+    rows2 = [(i, " ".join(words2[i::8])) for i in range(8)]
+    df2 = spark.createDataFrame(rows2, "doc_id long, text string").repartition(4)
+    got2 = heavy_hitters(df2, "text", k=2, candidate_factor=2).collect()
+    assert [(r.token, r.cnt) for r in got2] == [("hot", 60), ("warm", 40)]
+    assert all(r.certified for r in got2)
+
+
 def test_pq_encode_separable_clusters(spark):
     """PQ on crafted 4-dim data, m=2 subspaces x ksub=2 centroids:
     Lloyd recovers the two well-separated clusters per subspace, so
