@@ -852,3 +852,38 @@ def pq_search_adc(
         .orderBy(F.col("adc_dist").asc(), F.col(id_col))
         .limit(k)
     )
+
+
+def ann_topk_ivfpq(
+    df: DataFrame,
+    vec_col: str,
+    query_vec,
+    k: int = 10,
+    id_col: str = "vec_id",
+    n_lists: int = 8,
+    nprobe: int = 2,
+    m: int = 8,
+    ksub: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-PQ composite ANN (the FAISS IndexIVFPQ shape): the KMeans
+    coarse quantizer prunes the scan to the `nprobe` nearest inverted
+    lists (`ivf_index` — at scale the table is partitioned by
+    list_id, so non-probed lists are never read), and within the
+    probed lists vectors are scored through their PQ codes by ADC
+    lookup tables (`pq_search_adc` — m table reads per vector, no
+    per-row distance arithmetic). Codebooks here quantize RAW vectors
+    (IVF + global-PQ); FAISS's residual-PQ variant (quantize
+    x - centroid) is a documented refinement, not implemented.
+    Ordering: (adc_dist asc, id)."""
+    indexed, centroids = ivf_index(df, vec_col, n_lists, seed)
+    qv = np.asarray(query_vec, dtype=float)
+    order = np.argsort(((centroids - qv) ** 2).sum(axis=1))
+    probes = [int(i) for i in order[:nprobe]]
+    books = pq_train(
+        df, vec_col, id_col, m=m, ksub=ksub, seed=seed
+    )
+    return pq_search_adc(
+        indexed.filter(F.col("list_id").isin(probes)).drop("list_id"),
+        vec_col, query_vec, books, k=k, id_col=id_col,
+    )

@@ -108,6 +108,8 @@ _PRIORITY = [
     "pipe_tokenize_pack",         # BPE-count packing chain (exact oracle)
     "sql_dialect_geo_predicates", # reference-name geo/render closeouts
     "text_heavy_hitters",         # MG two-pass exact top-k + certificate
+    "sim_ann_ivfpq",              # IVF-PQ composite ANN (rows-only)
+    "sim_ann_ivfpq_invariants",   # its planted-copy/subset contract
     # --- last checked r1 (predates all global dialect changes) ---
     "sort_topk",
     "agg_groupby_avg",

@@ -379,6 +379,80 @@ def sim_pq_invariants(spark, sf_dir):
     )
 
 
+@query("sim_ann_ivfpq")  # KMeans + sampled-Lloyd models -> rows-only check
+def sim_ann_ivfpq(spark, sf_dir):
+    """IVF-PQ composite ANN (operators/similarity.py ann_topk_ivfpq,
+    the FAISS IndexIVFPQ shape): coarse-quantizer list pruning
+    (scan nprobe/n_lists of the data) + ADC code scoring inside the
+    probed lists (m lookup-table reads per vector) — the full
+    memory-AND-compute scale path. Trained models -> rows-only; the
+    planted-copy contract lives in `sim_ann_ivfpq_invariants`."""
+    e = T(spark, sf_dir, "embeddings")
+    qvec = _query_vec(spark, sf_dir)
+    return similarity.ann_topk_ivfpq(
+        e.filter(F.col("vec_id") != 0), "embedding", qvec, k=10,
+        n_lists=8, nprobe=2,
+    )
+
+
+@query(
+    "sim_ann_ivfpq_invariants",
+    oracle="""
+    SELECT true AS planted_copy_found, true AS probe_subset,
+           true AS deterministic_rerun
+    """,
+)
+def sim_ann_ivfpq_invariants(spark, sf_dir):
+    """Driver-checked IVF-PQ contracts: (1) an exact copy of the
+    query vector lands in the query's own coarse list with the
+    query's own codes, so it MUST appear in the top-k at the minimum
+    attainable ADC distance; (2) the probed result set is a subset of
+    the corpus scored by full-scan ADC with the same codebooks (list
+    pruning only removes rows, never rescores); (3) a re-run
+    reproduces the ranking exactly (seeded KMeans, seeded sampled
+    Lloyd)."""
+    e = T(spark, sf_dir, "embeddings")
+    qvec = _query_vec(spark, sf_dir)
+    with_copy = e.unionByName(
+        e.filter(F.col("vec_id") == 0)
+        .select(F.lit(900000).alias("vec_id"), "embedding", "label")
+        .select(e.columns)
+    )
+    top = similarity.ann_topk_ivfpq(
+        with_copy, "embedding", qvec, k=5, n_lists=8, nprobe=2
+    ).collect()
+    top2 = similarity.ann_topk_ivfpq(
+        with_copy, "embedding", qvec, k=5, n_lists=8, nprobe=2
+    ).collect()
+    ids = [r["vec_id"] for r in top]
+    dmin = min(r["adc_dist"] for r in top)
+    planted = (
+        0 in ids and 900000 in ids
+        and all(
+            r["adc_dist"] == dmin for r in top if r["vec_id"] in (0, 900000)
+        )
+    )
+    books = similarity.pq_train(with_copy, "embedding", "vec_id")
+    full = {
+        r["vec_id"]: r["adc_dist"]
+        for r in similarity.pq_search_adc(
+            with_copy, "embedding", qvec, books, k=1000
+        ).collect()
+    }
+    subset = all(
+        r["vec_id"] in full and full[r["vec_id"]] == r["adc_dist"]
+        for r in top
+    )
+    rerun = [(r["vec_id"], r["adc_dist"]) for r in top] == [
+        (r["vec_id"], r["adc_dist"]) for r in top2
+    ]
+    return spark.createDataFrame(
+        [(planted, subset, rerun)],
+        "planted_copy_found boolean, probe_subset boolean, "
+        "deterministic_rerun boolean",
+    )
+
+
 @query("sim_ann_ivf")  # KMeans-trained index (iterative MLlib) -> rows-only check
 def sim_ann_ivf(spark, sf_dir):
     """ANN top-k via IVF (KMeans coarse quantizer + nprobe list probe) —
