@@ -73,6 +73,47 @@ def sample_hash(df: DataFrame, id_col: str, fraction: float) -> DataFrame:
     return df.filter(portable_hash(F.col(id_col)) < cut)
 
 
+def epoch_oversample(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    epochs: dict[str, float],
+) -> DataFrame:
+    """Deterministic multi-epoch oversampling — the "N epochs of
+    source X" primitive of LLM data recipes (LLaMA/Gopher-style
+    mixtures state fractional epoch counts per source): every doc of
+    source s is replicated floor(epochs_s) times, plus one extra copy
+    for the deterministic portable-hash fraction of docs that realizes
+    the fractional part; sources absent from the recipe are dropped.
+    Output: one row per (doc, epoch) with the 1-based `epoch` index.
+
+    100 TB shape: a pure map-side explode — the recipe is a literal
+    map, the fractional pick is the `sample_hash` filter (no shuffle,
+    pushable), and replication happens at the scan, never through an
+    exchange. Expected output volume = sum_s epochs_s * |s|."""
+    mapping = F.create_map(
+        *[F.lit(x) for kv in epochs.items() for x in kv]
+    )
+    ep = mapping[F.col(group_col)]
+    whole = F.floor(ep).cast("int")
+    frac = ep - whole
+    extra = (
+        portable_hash(F.col(id_col)) < (frac * _M31).cast("long")
+    ).cast("int")
+    n = whole + extra
+    return (
+        df.withColumn("__n_copies", n)
+        # sequence(1, 0) DESCENDS in Spark — drop zero-copy rows first
+        .filter(F.col("__n_copies") > 0)
+        .select(
+            "*", F.explode(
+                F.sequence(F.lit(1), F.col("__n_copies"))
+            ).alias("epoch"),
+        )
+        .drop("__n_copies")
+    )
+
+
 def sample_stratified(
     df: DataFrame, group_col: str, id_col: str, n_per_group: int
 ) -> DataFrame:

@@ -110,6 +110,7 @@ _PRIORITY = [
     "text_heavy_hitters",         # MG two-pass exact top-k + certificate
     "sim_ann_ivfpq",              # IVF-PQ composite ANN (rows-only)
     "sim_ann_ivfpq_invariants",   # its planted-copy/subset contract
+    "pipe_epoch_oversample",      # fractional-epoch recipe replication
     # --- last checked r1 (predates all global dialect changes) ---
     "sort_topk",
     "agg_groupby_avg",

@@ -1478,6 +1478,58 @@ def pipe_corpus_report(spark, sf_dir):
     ).orderBy("lang", "source")
 
 
+_EPOCH_RECIPE = {"src0": 2.5, "src1": 1.0, "src2": 0.25}
+
+
+@query(
+    "pipe_epoch_oversample",
+    oracle=f"""
+    WITH cfg(source, ep) AS (
+        SELECT * FROM (VALUES ('src0', 2.5), ('src1', 1.0),
+                              ('src2', 0.25)) t
+    ), d AS (
+        SELECT doc_id, documents.source, ep
+        FROM documents JOIN cfg ON cfg.source = documents.source
+    ), n AS (
+        SELECT doc_id, source,
+               CAST(floor(ep) AS INT)
+               + CASE WHEN ({pipeline.portable_hash_sql('doc_id')})
+                        < CAST(floor((ep - floor(ep)) * 2147483647.0)
+                               AS BIGINT)
+                      THEN 1 ELSE 0 END AS nc
+        FROM d
+    ), x AS (
+        SELECT doc_id, source, CAST(u.e AS INT) AS epoch
+        FROM n, unnest(range(1, nc + 1)) AS u(e)
+        WHERE nc > 0
+    )
+    SELECT source, epoch,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           min(doc_id) AS min_doc, max(doc_id) AS max_doc
+    FROM x GROUP BY source, epoch ORDER BY source, epoch
+    """,
+)
+def pipe_epoch_oversample(spark, sf_dir):
+    """Deterministic multi-epoch oversampling (operators/pipeline.py
+    epoch_oversample): the "2.5 epochs of src0, 1 of src1, 0.25 of
+    src2, drop the rest" recipe primitive of LLM data mixtures —
+    whole epochs replicate every doc, the fractional epoch is the
+    portable-hash fraction of docs, all map-side (no shuffle before
+    the reporting aggregate). The oracle replays the hash pick and
+    the replication with a lateral range."""
+    d = T(spark, sf_dir, "documents")
+    out = pipeline.epoch_oversample(d, "source", "doc_id", _EPOCH_RECIPE)
+    return (
+        out.groupBy("source", "epoch")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("source", "epoch")
+    )
+
+
 _MIX_BUDGETS = {"src0": 700, "src1": 400, "src2": 100000, "src3": 1}
 
 

@@ -2112,6 +2112,40 @@ def test_remove_boilerplate_segments_semantics(spark):
     }
 
 
+def test_epoch_oversample_semantics(spark):
+    """epoch_oversample on a crafted recipe: whole epochs replicate
+    every doc with contiguous 1-based epoch indices, the fractional
+    epoch picks the portable-hash fraction (deterministic — rerun
+    identical), epochs=1.0 keeps exactly one copy, sub-1.0 recipes
+    keep a subset at epoch 1, and unmapped sources drop."""
+    from heavydb_spark.operators.pipeline import epoch_oversample
+
+    rows = [(i, "a" if i < 40 else "b" if i < 80 else "c", f"d{i}")
+            for i in range(120)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = epoch_oversample(
+        df, "source", "doc_id", {"a": 2.5, "b": 0.5}
+    ).collect()
+    assert all(r.source in ("a", "b") for r in out)   # 'c' dropped
+    by_doc: dict = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r.epoch)
+    a_counts = [len(v) for d, v in by_doc.items() if d < 40]
+    assert set(a_counts) <= {2, 3} and 2 in a_counts
+    assert 18 <= sum(1 for c in a_counts if c == 3) <= 22  # ~half of 40
+    for v in by_doc.values():
+        assert sorted(v) == list(range(1, len(v) + 1))    # contiguous
+    b_docs = [d for d in by_doc if d >= 40]
+    assert all(len(by_doc[d]) == 1 for d in b_docs)
+    assert 0 < len(b_docs) < 40                           # ~half kept
+    rerun = epoch_oversample(
+        df, "source", "doc_id", {"a": 2.5, "b": 0.5}
+    ).collect()
+    assert sorted((r.doc_id, r.epoch) for r in rerun) == sorted(
+        (r.doc_id, r.epoch) for r in out
+    )
+
+
 def test_heavy_hitters_exact_with_certificate(spark):
     """heavy_hitters under real Misra-Gries pressure: vocabulary far
     above the summary capacity (cap=4) across multiple partitions, so
