@@ -515,6 +515,88 @@ _DIALECT_TABLE_FUNCS = ("generate_series", "generate_random_strings",
 _SHOW_DATA_SOURCES_RE = re.compile(
     r"^\s*SHOW\s+SUPPORTED\s+DATA\s+SOURCES\s*;?\s*$", re.IGNORECASE
 )
+# --- session/system/FSI statement family (end-of-r6 closeouts) -------
+# Foreign servers (ddlParser.ftl SqlCreateServer/SqlDropServer/
+# SqlAlterServer/SqlShowForeignServers/SqlShowCreateServer;
+# Tests/ForeignServerDdlTest.cpp): an engine-local registry mapping
+# server -> (data wrapper, options). The reference pre-creates
+# default_local_{delimited,parquet,regex_parsed}; so does this engine.
+_CREATE_SERVER_RE = re.compile(
+    r"^\s*CREATE\s+SERVER\s+(IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s+"
+    r"FOREIGN\s+DATA\s+WRAPPER\s+([\w.]+)\s*"
+    r"(?:WITH\s*\((.*)\))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DROP_SERVER_RE = re.compile(
+    r"^\s*DROP\s+SERVER\s+(IF\s+EXISTS\s+)?([\w.]+)\s*;?\s*$",
+    re.IGNORECASE,
+)
+_ALTER_SERVER_RE = re.compile(
+    r"^\s*ALTER\s+SERVER\s+([\w.]+)\s+(.*?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_SHOW_SERVERS_RE = re.compile(
+    r"^\s*SHOW\s+FOREIGN\s+SERVERS\s*;?\s*$", re.IGNORECASE
+)
+_SHOW_CREATE_SERVER_RE = re.compile(
+    r"^\s*SHOW\s+CREATE\s+SERVER\s+([\w.]+)\s*;?\s*$", re.IGNORECASE
+)
+_CREATE_FOREIGN_TABLE_RE = re.compile(
+    r"^\s*CREATE\s+FOREIGN\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s*"
+    r"(?:\((.*?)\))?\s*SERVER\s+([\w.]+)\s*(?:WITH\s*\((.*)\))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DROP_FOREIGN_TABLE_RE = re.compile(
+    r"^\s*DROP\s+FOREIGN\s+TABLE\s+(IF\s+EXISTS\s+)?([\w.]+)\s*;?\s*$",
+    re.IGNORECASE,
+)
+_REFRESH_FOREIGN_RE = re.compile(
+    r"^\s*REFRESH\s+FOREIGN\s+TABLES\s+([\w.,\s]+?)"
+    r"(?:\s+WITH\s*\(.*\))?\s*;?\s*$",
+    re.IGNORECASE,
+)
+# Session/system introspection + control (showCommandsParser.ftl
+# SqlShowQueries/SqlShowUserSessions/SqlShowUserDetails;
+# ddlParser.ftl SqlKillQuery, SqlAlterSystemClear).
+_SHOW_QUERIES_RE = re.compile(r"^\s*SHOW\s+QUERIES\s*;?\s*$", re.IGNORECASE)
+_SHOW_USER_SESSIONS_RE = re.compile(
+    r"^\s*SHOW\s+USER\s+SESSIONS\s*;?\s*$", re.IGNORECASE
+)
+_SHOW_USER_DETAILS_RE = re.compile(
+    r"^\s*SHOW\s+(ALL\s+)?USER\s+DETAILS(?:\s+(.+?))?\s*;?\s*$",
+    re.IGNORECASE,
+)
+_SHOW_ROLES_RE = re.compile(r"^\s*SHOW\s+ROLES\s*;?\s*$", re.IGNORECASE)
+_SHOW_POLICIES_RE = re.compile(
+    r"^\s*SHOW\s+POLICIES(?:\s+.+?)?\s*;?\s*$", re.IGNORECASE
+)
+_KILL_QUERY_RE = re.compile(
+    r"^\s*KILL\s+QUERY\s+'([^']+)'\s*;?\s*$", re.IGNORECASE
+)
+_ALTER_SYSTEM_CLEAR_RE = re.compile(
+    r"^\s*ALTER\s+SYSTEM\s+CLEAR\s+(CPU|GPU|RENDER)\s+MEMORY\s*;?\s*$",
+    re.IGNORECASE,
+)
+_ALTER_SYSTEM_QUEUE_RE = re.compile(
+    r"^\s*ALTER\s+SYSTEM\s+(PAUSE|RESUME)\s+EXECUTOR\s+QUEUE\s*;?\s*$",
+    re.IGNORECASE,
+)
+_ALTER_DATABASE_RENAME_RE = re.compile(
+    r"^\s*ALTER\s+DATABASE\s+([\w.]+)\s+RENAME\s+TO\s+([\w.]+)\s*;?\s*$",
+    re.IGNORECASE,
+)
+# Access-control statements are recognized so the user gets the
+# engine's scope answer, not a Spark parse error. Single-user engine:
+# users/roles/policies/grants are declared out of scope (COVERAGE.md
+# "Declared out of scope" table — DBObject/Grantee/SysCatalog).
+_ACCESS_CONTROL_RE = re.compile(
+    r"^\s*(CREATE\s+USER|ALTER\s+USER|DROP\s+USER|RENAME\s+USER|"
+    r"CREATE\s+ROLE|DROP\s+ROLE|GRANT\s|REVOKE\s|CREATE\s+POLICY|"
+    r"DROP\s+POLICY|ALTER\s+DATABASE\s+[\w.]+\s+OWNER\s+TO|"
+    r"SHOW\s+DISK\s+CACHE\s+USAGE)",
+    re.IGNORECASE,
+)
+
 # TRUNCATE TABLE t (ddlParser.ftl:893 SqlTruncateTable)
 _TRUNCATE_RE = re.compile(
     r"^\s*TRUNCATE\s+TABLE\s+([\w.]+)\s*;?\s*$", re.IGNORECASE
@@ -810,10 +892,35 @@ def _split_assignments(set_clause: str) -> dict[str, str]:
     return out
 
 
+# The reference pre-creates these FSI servers per database
+# (Tests/ForeignServerDdlTest.cpp default_local_* fixtures).
+_DEFAULT_SERVERS: dict[str, tuple[str, dict]] = {
+    "default_local_delimited": (
+        "delimited_file", {"storage_type": "LOCAL_FILE", "base_path": "/"}
+    ),
+    "default_local_parquet": (
+        "parquet_file", {"storage_type": "LOCAL_FILE", "base_path": "/"}
+    ),
+    "default_local_regex_parsed": (
+        "regex_parsed_file", {"storage_type": "LOCAL_FILE", "base_path": "/"}
+    ),
+}
+
+# data wrapper -> Spark reader format for CREATE FOREIGN TABLE
+_WRAPPER_FORMATS = {
+    "delimited_file": "csv",
+    "parquet_file": "parquet",
+    "regex_parsed_file": "text",
+}
+
+
 class Engine:
     def __init__(self, spark: SparkSession):
         self.spark = apply_runtime_conf(spark)
         register_all(self.spark)
+        self._servers: dict[str, tuple[str, dict]] = {
+            k: (w, dict(o)) for k, (w, o) in _DEFAULT_SERVERS.items()
+        }
 
     @classmethod
     def local(cls, **kwargs) -> "Engine":
@@ -978,6 +1085,9 @@ class Engine:
                 [(s,) for s in _SUPPORTED_DATA_SOURCES],
                 "data_source STRING",
             )
+        res = self._fsi_or_session_statement(query)
+        if res is not None:
+            return res
         m = _TRUNCATE_RE.match(query)
         if m:
             return self._truncate_table(m.group(1))
@@ -1045,6 +1155,255 @@ class Engine:
             dialect.rewrite(query, type_of=self._type_resolver(query))
         )
         return self._apply_query_hints(df, hints)
+
+    def _fsi_or_session_statement(self, query: str):
+        """Foreign-server (FSI) registry, session/system introspection
+        and control statements (end-of-r6 sweep of the reference DDL
+        grammar, java/calcite .../extension/ddl/*.java). Returns None
+        when `query` is none of these. Access-control statements are
+        recognized and answered with the engine's scope position
+        (single-user — COVERAGE.md) instead of a Spark parse error."""
+        import os
+
+        spark = self.spark
+        m = _ACCESS_CONTROL_RE.match(query)
+        if m:
+            raise ValueError(
+                f"{m.group(1).upper().split()[0]}...: recognized HeavyDB "
+                "statement, but this engine is single-user by design — "
+                "users/roles/policies/grants and the disk-cache manager "
+                "are declared out of scope (COVERAGE.md 'Declared out of "
+                "scope'); there is no access control to administer"
+            )
+        m = _CREATE_SERVER_RE.match(query)
+        if m:
+            name, wrapper = m.group(2).lower(), m.group(3).lower()
+            if name in self._servers:
+                if m.group(1):
+                    return spark.createDataFrame(
+                        [(name, "exists")], "server STRING, status STRING"
+                    )
+                raise ValueError(f"server {name} already exists")
+            if wrapper not in _WRAPPER_FORMATS:
+                raise ValueError(
+                    f"unknown data wrapper {wrapper}; supported: "
+                    f"{sorted(_WRAPPER_FORMATS)}"
+                )
+            opts = {
+                k.lower(): v.strip().strip("'")
+                for k, v in _split_assignments(m.group(4) or "").items()
+            }
+            self._servers[name] = (wrapper, opts)
+            return spark.createDataFrame(
+                [(name, "created")], "server STRING, status STRING"
+            )
+        m = _DROP_SERVER_RE.match(query)
+        if m:
+            name = m.group(2).lower()
+            if name not in self._servers and not m.group(1):
+                raise ValueError(f"server {name} does not exist")
+            if name in _DEFAULT_SERVERS:
+                raise ValueError(f"default server {name} cannot be dropped")
+            self._servers.pop(name, None)
+            return spark.createDataFrame(
+                [(name, "dropped")], "server STRING, status STRING"
+            )
+        m = _ALTER_SERVER_RE.match(query)
+        if m:
+            name, action = m.group(1).lower(), m.group(2).strip()
+            if name not in self._servers:
+                raise ValueError(f"server {name} does not exist")
+            am = re.match(r"RENAME\s+TO\s+([\w.]+)$", action, re.IGNORECASE)
+            if am:
+                self._servers[am.group(1).lower()] = self._servers.pop(name)
+                return spark.createDataFrame(
+                    [(am.group(1).lower(), "renamed")],
+                    "server STRING, status STRING",
+                )
+            am = re.match(
+                r"SET\s+FOREIGN\s+DATA\s+WRAPPER\s+([\w.]+)$",
+                action, re.IGNORECASE,
+            )
+            if am:
+                _, opts = self._servers[name]
+                self._servers[name] = (am.group(1).lower(), opts)
+                return spark.createDataFrame(
+                    [(name, "altered")], "server STRING, status STRING"
+                )
+            am = re.match(r"SET\s*\((.*)\)$", action, re.IGNORECASE | re.DOTALL)
+            if am:
+                wrapper, opts = self._servers[name]
+                for k, v in _split_assignments(am.group(1)).items():
+                    opts[k.lower()] = v.strip().strip("'")
+                return spark.createDataFrame(
+                    [(name, "altered")], "server STRING, status STRING"
+                )
+            raise ValueError(
+                "ALTER SERVER supports RENAME TO / SET FOREIGN DATA "
+                "WRAPPER / SET (options); OWNER TO is access control "
+                "(out of scope — single-user engine)"
+            )
+        if _SHOW_SERVERS_RE.match(query):
+            rows = [
+                (n, w, ", ".join(f"{k}='{v}'" for k, v in sorted(o.items())))
+                for n, (w, o) in sorted(self._servers.items())
+            ]
+            return spark.createDataFrame(
+                rows, "server_name STRING, data_wrapper STRING, "
+                "options STRING",
+            )
+        m = _SHOW_CREATE_SERVER_RE.match(query)
+        if m:
+            name = m.group(1).lower()
+            if name not in self._servers:
+                raise ValueError(f"server {name} does not exist")
+            wrapper, opts = self._servers[name]
+            with_c = ", ".join(f"{k}='{v}'" for k, v in sorted(opts.items()))
+            ddl = (
+                f"CREATE SERVER {name} FOREIGN DATA WRAPPER {wrapper}"
+                + (f" WITH ({with_c})" if with_c else "")
+            )
+            return spark.createDataFrame(
+                [(ddl,)], "create_server_sql STRING"
+            )
+        m = _CREATE_FOREIGN_TABLE_RE.match(query)
+        if m:
+            name, cols, server = m.group(2), m.group(3), m.group(4).lower()
+            if server not in self._servers:
+                raise ValueError(f"server {server} does not exist")
+            wrapper, sopts = self._servers[server]
+            topts = {
+                k.lower(): v.strip().strip("'")
+                for k, v in _split_assignments(m.group(5) or "").items()
+            }
+            if "file_path" not in topts:
+                raise ValueError(
+                    "CREATE FOREIGN TABLE requires WITH (file_path='...')"
+                )
+            path = os.path.join(
+                sopts.get("base_path", "/"), topts["file_path"].lstrip("/")
+            )
+            reader = spark.read.format(_WRAPPER_FORMATS[wrapper])
+            if wrapper == "delimited_file":
+                reader = reader.option(
+                    "delimiter", topts.get("delimiter", ",")
+                ).option(
+                    "header", topts.get("header", "true")
+                ).option("inferSchema", "true")
+            if cols:
+                defs = ", ".join(
+                    _rewrite_column_def(d)
+                    for d in _split_top_level_defs(cols)
+                )
+                reader = reader.schema(defs)
+                if wrapper == "delimited_file":
+                    reader = reader.option("inferSchema", "false")
+            df = reader.load(path)
+            df.createOrReplaceTempView(name)
+            return spark.createDataFrame(
+                [(name, server, path)],
+                "table_name STRING, server STRING, path STRING",
+            )
+        m = _DROP_FOREIGN_TABLE_RE.match(query)
+        if m:
+            name = m.group(2)
+            dropped = spark.catalog.dropTempView(name)
+            if not dropped and not m.group(1):
+                raise ValueError(f"foreign table {name} does not exist")
+            return spark.createDataFrame(
+                [(name, "dropped" if dropped else "absent")],
+                "table_name STRING, status STRING",
+            )
+        m = _REFRESH_FOREIGN_RE.match(query)
+        if m:
+            names = [t.strip() for t in m.group(1).split(",") if t.strip()]
+            for t in names:
+                spark.catalog.refreshTable(t)
+            return spark.createDataFrame(
+                [(t, "refreshed") for t in names],
+                "table_name STRING, status STRING",
+            )
+        if _SHOW_QUERIES_RE.match(query):
+            tracker = spark.sparkContext.statusTracker()
+            rows = []
+            for jid in tracker.getActiveJobsIds():
+                info = tracker.getJobInfo(jid)
+                rows.append((str(jid), info.status if info else "UNKNOWN"))
+            return spark.createDataFrame(
+                rows, "query_session_id STRING, current_status STRING"
+            )
+        if _SHOW_USER_SESSIONS_RE.match(query):
+            return spark.createDataFrame(
+                [(
+                    spark.sparkContext.applicationId, "admin", "local",
+                    spark.catalog.currentDatabase(),
+                )],
+                "session_id STRING, login_name STRING, "
+                "client_address STRING, db_name STRING",
+            )
+        m = _SHOW_USER_DETAILS_RE.match(query)
+        if m:
+            # single-user engine: the one superuser, reference defaults
+            rows = [("admin", 0, True, spark.catalog.currentDatabase(), True)]
+            if m.group(2):
+                wanted = {
+                    u.strip().lower() for u in m.group(2).split(",")
+                }
+                rows = [r for r in rows if r[0] in wanted]
+            return spark.createDataFrame(
+                rows, "NAME STRING, ID INT, IS_SUPER BOOLEAN, "
+                "DEFAULT_DB STRING, CAN_LOGIN BOOLEAN",
+            )
+        if _SHOW_ROLES_RE.match(query):
+            return spark.createDataFrame([], "role_name STRING")
+        if _SHOW_POLICIES_RE.match(query):
+            return spark.createDataFrame(
+                [], "policy STRING, object_name STRING"
+            )
+        m = _KILL_QUERY_RE.match(query)
+        if m:
+            # query_time_limit / interrupt analogue: queries run under a
+            # job group (engine hint path); cancel it.
+            self.spark.sparkContext.cancelJobGroup(m.group(1))
+            return spark.createDataFrame(
+                [(m.group(1), "cancel_requested")],
+                "query_session_id STRING, status STRING",
+            )
+        m = _ALTER_SYSTEM_CLEAR_RE.match(query)
+        if m:
+            kind = m.group(1).upper()
+            if kind in ("CPU", "GPU"):
+                # one buffer hierarchy here: Spark's block-manager cache
+                spark.catalog.clearCache()
+            return spark.createDataFrame(
+                [(kind, "cleared")], "memory STRING, status STRING"
+            )
+        m = _ALTER_SYSTEM_QUEUE_RE.match(query)
+        if m:
+            raise ValueError(
+                "ALTER SYSTEM %s EXECUTOR QUEUE: recognized HeavyDB "
+                "statement; executor-queue admission control belongs to "
+                "the Spark scheduler (fair-scheduler pools / "
+                "spark.scheduler.* conf), not this library — configure "
+                "it on the SparkSession" % m.group(1).upper()
+            )
+        m = _ALTER_DATABASE_RENAME_RE.match(query)
+        if m:
+            old, new = m.group(1), m.group(2)
+            spark.sql(f"CREATE DATABASE {new}")
+            # Spark v1 catalog cannot rename across schemas: emulate by
+            # CTAS-moving each managed table, then dropping the old db.
+            for t in spark.catalog.listTables(old):
+                if (t.tableType or "").upper() != "TEMPORARY":
+                    spark.sql(
+                        f"CREATE TABLE {new}.{t.name} AS "
+                        f"SELECT * FROM {old}.{t.name}"
+                    )
+            spark.sql(f"DROP DATABASE {old} CASCADE")
+            return spark.createDataFrame(
+                [(old, new)], "old_name STRING, new_name STRING"
+            )
+        return None
 
     def _type_resolver(self, context: str):
         """Column-type callback for the dialect's reference-semantics

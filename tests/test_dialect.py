@@ -1941,3 +1941,104 @@ def test_geo_predicate_sql_functions(engine):
     assert not r["iv_f"] and not r["ie_f"]
     assert r["nr"] == 2
     assert r["bx_t"] and not r["bx_f"]
+
+
+def test_fsi_server_statement_family(engine, tmp_path):
+    """Foreign-server DDL (ForeignServerDdlTest.cpp shapes): the three
+    reference default servers pre-exist and cannot drop; CREATE/ALTER/
+    SHOW/SHOW CREATE/DROP SERVER round-trip the registry; CREATE
+    FOREIGN TABLE resolves server base_path + file_path into a live
+    queryable table; REFRESH and DROP FOREIGN TABLE complete the
+    lifecycle."""
+    import pytest as _pytest
+
+    servers = {
+        r["server_name"]
+        for r in engine.sql("SHOW FOREIGN SERVERS").collect()
+    }
+    assert {
+        "default_local_delimited", "default_local_parquet",
+        "default_local_regex_parsed",
+    } <= servers
+    engine.sql(
+        "CREATE SERVER ts FOREIGN DATA WRAPPER parquet_file "
+        "WITH (storage_type='LOCAL_FILE', base_path='/root/testdata')"
+    )
+    ddl = engine.sql("SHOW CREATE SERVER ts").first()[0]
+    assert "FOREIGN DATA WRAPPER parquet_file" in ddl
+    assert "base_path='/root/testdata'" in ddl
+    engine.sql("ALTER SERVER ts SET (base_path='/root/testdata/sf0.001')")
+    engine.sql(
+        "CREATE FOREIGN TABLE ft_region SERVER ts "
+        "WITH (file_path='region.parquet')"
+    )
+    assert engine.sql("SELECT count(*) AS n FROM ft_region").first()["n"] == 5
+    engine.sql("REFRESH FOREIGN TABLES ft_region")
+    engine.sql("DROP FOREIGN TABLE ft_region")
+    engine.sql("ALTER SERVER ts RENAME TO ts2")
+    engine.sql("DROP SERVER ts2")
+    with _pytest.raises(Exception, match="cannot be dropped"):
+        engine.sql("DROP SERVER default_local_parquet")
+    with _pytest.raises(Exception, match="does not exist"):
+        engine.sql("DROP SERVER ts2")
+    # delimited wrapper: write a CSV and read it through the default
+    # delimited server with an explicit column list
+    p = tmp_path / "t.csv"
+    p.write_text("a,b\n1,x\n2,y\n")
+    engine.sql(
+        f"CREATE FOREIGN TABLE ft_csv (a INTEGER, b TEXT) "
+        f"SERVER default_local_delimited WITH (file_path='{p}')"
+    )
+    rows = engine.sql(
+        "SELECT a, b FROM ft_csv ORDER BY a"
+    ).collect()
+    assert [(r["a"], r["b"]) for r in rows] == [(1, "x"), (2, "y")]
+    engine.sql("DROP FOREIGN TABLE ft_csv")
+
+
+def test_session_system_statement_family(engine):
+    """Session/system statements: SHOW QUERIES (status-tracker jobs,
+    empty at rest), SHOW USER SESSIONS / USER DETAILS (the single-user
+    engine's honest identity), SHOW ROLES / POLICIES (empty — no
+    access-control objects can exist), KILL QUERY (job-group cancel),
+    ALTER SYSTEM CLEAR (block-manager cache clear), and clean scope
+    errors — never Spark parse errors — for access-control DDL."""
+    import pytest as _pytest
+
+    assert engine.sql("SHOW QUERIES").collect() == []
+    sess = engine.sql("SHOW USER SESSIONS").first()
+    assert sess["login_name"] == "admin" and sess["session_id"]
+    det = engine.sql("SHOW USER DETAILS").first()
+    assert det["NAME"] == "admin" and det["IS_SUPER"]
+    assert engine.sql("SHOW USER DETAILS nobody").collect() == []
+    assert engine.sql("SHOW ROLES").collect() == []
+    assert engine.sql("SHOW POLICIES").collect() == []
+    k = engine.sql("KILL QUERY 'no-such-session'").first()
+    assert k["status"] == "cancel_requested"
+    c = engine.sql("ALTER SYSTEM CLEAR CPU MEMORY").first()
+    assert (c["memory"], c["status"]) == ("CPU", "cleared")
+    for stmt in (
+        "CREATE USER u (password='x')", "DROP ROLE r", "GRANT ALL ON x TO y",
+        "REVOKE SELECT ON x FROM y", "CREATE POLICY p ON COLUMN t.c",
+        "SHOW DISK CACHE USAGE",
+    ):
+        with _pytest.raises(ValueError, match="single-user"):
+            engine.sql(stmt)
+
+
+def test_alter_database_rename_emulation(engine):
+    """ALTER DATABASE ... RENAME TO: Spark's v1 catalog cannot rename a
+    schema, so the engine emulates by CTAS-moving managed tables into
+    the new database and dropping the old — contents survive."""
+    spark = engine.spark
+    spark.sql("DROP DATABASE IF EXISTS rn_a CASCADE")
+    spark.sql("DROP DATABASE IF EXISTS rn_b CASCADE")
+    spark.sql("CREATE DATABASE rn_a")
+    spark.sql("CREATE TABLE rn_a.t1 AS SELECT 41 AS v")
+    try:
+        engine.sql("ALTER DATABASE rn_a RENAME TO rn_b")
+        assert spark.sql("SELECT v FROM rn_b.t1").first()["v"] == 41
+        assert "rn_a" not in [d.name for d in spark.catalog.listDatabases()]
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS rn_b CASCADE")
+        spark.sql("DROP DATABASE IF EXISTS rn_a CASCADE")
