@@ -111,6 +111,7 @@ _PRIORITY = [
     "sim_ann_ivfpq",              # IVF-PQ composite ANN (rows-only)
     "sim_ann_ivfpq_invariants",   # its planted-copy/subset contract
     "pipe_epoch_oversample",      # fractional-epoch recipe replication
+    "text_bm25_topk",             # Okapi BM25 ranked retrieval
     # --- last checked r1 (predates all global dialect changes) ---
     "sort_topk",
     "agg_groupby_avg",

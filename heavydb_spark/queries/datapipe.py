@@ -2675,3 +2675,27 @@ def pipe_curation_v2(spark, sf_dir):
         )
         .orderBy("shard")
     )
+
+
+# ------------------------------------------------------- BM25 retrieval
+
+_BM25_TERMS = ("hash", "join", "vector")
+
+
+@query(
+    "text_bm25_topk",
+    oracle=__import__(
+        "heavydb_spark.operators.retrieval", fromlist=["bm25_oracle_sql"]
+    ).bm25_oracle_sql(_BM25_TERMS, k=25),
+)
+def text_bm25_topk(spark, sf_dir):
+    """Okapi BM25 ranked retrieval (operators/retrieval.py bm25_topk):
+    top-25 documents for the query {hash, join, vector}, Lucene idf
+    form, k1=1.2 b=0.75. Map-only per-term tfs (no explode), one
+    broadcast stats row, TakeOrdered top-k — zero wide shuffle. The
+    retrieval-based decontamination / quality-by-example lookup of a
+    training-data pipeline."""
+    from heavydb_spark.operators.retrieval import bm25_topk
+
+    d = T(spark, sf_dir, "documents")
+    return bm25_topk(d, _BM25_TERMS, k=25)

@@ -2629,3 +2629,55 @@ def test_gopher_filter_rule_attribution(spark):
     assert got[1] == (True, True, True, True)
     assert got[2][0] is False and got[2][3] is False
     assert got[3] == (True, False, False, False)
+
+
+def test_bm25_topk_crafted_corpus(spark):
+    """bm25_topk on a hand-built corpus vs a pure-Python Okapi BM25
+    (Lucene idf form) computed in the test: exact (doc, n_matched,
+    score) agreement after the 4dp half-up rounding, no-match docs
+    excluded, score-desc/doc-id ordering, and the k cut applied."""
+    import math
+
+    from heavydb_spark.operators.retrieval import bm25_topk
+
+    corpus = {
+        1: "cat cat cat dog",
+        2: "cat mouse mouse mouse mouse mouse",
+        3: "dog",
+        4: "mouse bird fish",          # matches nothing
+        5: "cat dog cat dog cat dog cat dog",
+    }
+    df = spark.createDataFrame(
+        list(corpus.items()), "doc_id long, text string"
+    )
+    k1, b = 1.2, 0.75
+    toks = {d: t.split() for d, t in corpus.items()}
+    n = len(toks)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    def score(d, terms):
+        s, matched = 0.0, 0
+        for t in terms:
+            tf = toks[d].count(t)
+            df_t = sum(1 for v in toks.values() if t in v)
+            if tf:
+                matched += 1
+            idf = math.log(1 + (n - df_t + 0.5) / (df_t + 0.5))
+            dl = len(toks[d])
+            s += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+        return matched, math.floor(s * 1e4 + 0.5) / 1e4
+
+    terms = ("cat", "dog")
+    exp = [(d,) + score(d, terms) for d in corpus if score(d, terms)[0]]
+    exp.sort(key=lambda r: (-r[2], r[0]))
+
+    got = [
+        (r.doc_id, r.n_matched, r.score)
+        for r in bm25_topk(df, terms, k=10).collect()
+    ]
+    assert got == exp
+    # the k cut keeps the best `k` of the same ordering
+    got2 = [
+        (r.doc_id, r.n_matched, r.score)
+        for r in bm25_topk(df, terms, k=2).collect()
+    ]
+    assert got2 == exp[:2]
