@@ -180,3 +180,80 @@ def bm25_oracle_sql(
     ORDER BY score DESC, doc_id
     LIMIT {k}
     """
+
+
+def hybrid_rerank(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    query_terms: Sequence[str],
+    query_vec,
+    m: int = 100,
+    k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hybrid retrieval: BM25 lexical candidates re-ranked by embedding
+    cosine — the two-stage recall/precision lookup of retrieval-based
+    decontamination and quality-by-example selection (cheap lexical
+    recall over the whole corpus, dense rerank of only m candidates).
+
+    Returns (id_col, bm25, cos_sim) — the top-k of the m BM25
+    candidates by (cos_sim DESC, id).
+
+    100 TB shape: stage 1 is bm25_topk (O(1) shuffle, O(m) result);
+    stage 2 BROADCASTS the m-row candidate set against the embedding
+    table — a broadcast hash join, never a shuffle of the embeddings —
+    then one O(d) cosine per candidate row and a k-row TakeOrdered.
+    """
+    from heavydb_spark.operators.similarity import (  # local: avoid cycle
+        _vec_lit,
+        cosine_similarity,
+    )
+
+    cand = bm25_topk(
+        docs, query_terms, k=m, text_col=text_col, id_col=id_col
+    ).select(F.col(id_col), F.col("score").alias("bm25"))
+    qv = _vec_lit(query_vec)
+    return (
+        embeddings.join(
+            F.broadcast(cand), F.col(vec_id_col) == F.col(id_col)
+        )
+        .select(
+            id_col,
+            "bm25",
+            F.round(cosine_similarity(F.col(vec_col), qv), 6).alias(
+                "cos_sim"
+            ),
+        )
+        .orderBy(F.desc("cos_sim"), id_col)
+        .limit(k)
+    )
+
+
+def hybrid_oracle_sql(
+    query_terms: Sequence[str],
+    m: int = 100,
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> str:
+    """DuckDB oracle for hybrid_rerank with query vector = vec_id 0's
+    embedding (the catalog convention, see queries/datapipe.py
+    _query_vec)."""
+    inner = bm25_oracle_sql(query_terms, k=m, k1=k1, b=b)
+    return f"""
+    WITH cand AS ({inner}),
+    q AS (
+        SELECT CAST(embedding AS DOUBLE[]) AS qv
+        FROM embeddings WHERE vec_id = 0
+    )
+    SELECT c.doc_id, c.score AS bm25,
+           round(list_dot_product(CAST(e.embedding AS DOUBLE[]), qv)
+                 / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                          CAST(e.embedding AS DOUBLE[])))
+                    * sqrt(list_dot_product(qv, qv))), 6) AS cos_sim
+    FROM cand c JOIN embeddings e ON e.vec_id = c.doc_id, q
+    ORDER BY cos_sim DESC, c.doc_id LIMIT {k}
+    """

@@ -781,3 +781,61 @@ def gopher_filter(
         ok_distinct.alias("ok_distinct"),
         (ok_len & ok_wlen & ok_top & ok_distinct).alias("kept"),
     )
+
+
+# ------------------------------------------- token-window chunking
+
+
+def chunk_windows(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    size: int = 32,
+    stride: int = 24,
+) -> DataFrame:
+    """Overlapping token-window chunking — the context-window splitter a
+    pretraining/RAG pipeline runs before tokenize-and-pack or embedding:
+    windows start at 0, stride, 2*stride, ... while start < n_tokens,
+    each covering tokens[start : start+size] (the last may be shorter),
+    so consecutive chunks overlap by `size - stride` tokens and every
+    token is covered.
+
+    Extends the reference's text surface (StringOps/StringOps.cpp
+    SPLIT_PART/REGEXP kernels operate per-string; the reference has no
+    chunk exploder — this is the training-pipeline addition).
+
+    100 TB shape: one map-side pass — tokenize, build the per-doc start
+    list with `sequence` (O(n/stride) entries), slice inside a
+    `transform`, then posexplode. No shuffle at all; the row explosion
+    factor is ~n/stride and output chunks are independent rows ready
+    for downstream hash-partitioned stages. Spread the input first
+    (`_doc_spread`) when it arrives as a single parquet partition.
+
+    Determinism: chunk boundaries are pure arithmetic on token
+    positions; `sequence(0, n-1, stride)` is guarded for n == 0
+    (Spark's sequence DESCENDS on an inverted range).
+    """
+    if size < 1 or stride < 1:
+        raise ValueError("chunk_windows: size and stride must be >= 1")
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    starts = F.when(
+        n > 0, F.sequence(F.lit(0), n - 1, F.lit(stride))
+    ).otherwise(F.array().cast("array<int>"))
+    chunks = F.transform(
+        starts,
+        lambda s: F.struct(
+            s.cast("int").alias("start_tok"),
+            F.slice(toks, s + 1, F.lit(size)).alias("ctoks"),
+        ),
+    )
+    ex = _doc_spread(df, id_col).select(
+        F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "c")
+    )
+    return ex.select(
+        id_col,
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.col("c.start_tok").alias("start_tok"),
+        F.size("c.ctoks").alias("n_chunk_tokens"),
+        F.md5(F.array_join("c.ctoks", " ")).alias("chunk_hash"),
+    )

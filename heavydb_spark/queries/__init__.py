@@ -112,6 +112,8 @@ _PRIORITY = [
     "sim_ann_ivfpq_invariants",   # its planted-copy/subset contract
     "pipe_epoch_oversample",      # fractional-epoch recipe replication
     "text_bm25_topk",             # Okapi BM25 ranked retrieval
+    "text_chunk_windows",         # overlapping token-window chunking
+    "sim_hybrid_retrieval",       # BM25 recall -> cosine rerank
     # --- last checked r1 (predates all global dialect changes) ---
     "sort_topk",
     "agg_groupby_avg",

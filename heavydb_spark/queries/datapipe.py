@@ -2699,3 +2699,59 @@ def text_bm25_topk(spark, sf_dir):
 
     d = T(spark, sf_dir, "documents")
     return bm25_topk(d, _BM25_TERMS, k=25)
+
+
+@query(
+    "text_chunk_windows",
+    oracle=r"""
+    WITH tok AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        FROM documents
+    ), c AS (
+        SELECT doc_id, CAST(u.i AS INT) AS chunk_idx,
+               CAST(u.i * 24 AS INT) AS start_tok,
+               list_slice(t, u.i * 24 + 1,
+                          least(u.i * 24 + 32, len(t))) AS ctoks
+        FROM tok,
+             unnest(range(0, CAST(floor((len(t) - 1) / 24) AS BIGINT) + 1))
+                 AS u(i)
+        WHERE len(t) > 0
+    )
+    SELECT doc_id, chunk_idx, start_tok,
+           CAST(len(ctoks) AS INT) AS n_chunk_tokens,
+           md5(array_to_string(ctoks, ' ')) AS chunk_hash
+    FROM c ORDER BY doc_id, chunk_idx
+    """,
+)
+def text_chunk_windows(spark, sf_dir):
+    """Overlapping token-window chunking (operators/text.py
+    chunk_windows): size-32 windows at stride 24 (8-token overlap), the
+    context-window splitter before tokenize-and-pack or embedding. One
+    map-side pass — sequence starts, slice in a transform, posexplode —
+    zero shuffle; the oracle replays the slicing with a lateral range."""
+    d = T(spark, sf_dir, "documents")
+    return text.chunk_windows(
+        d, "doc_id", "text", size=32, stride=24
+    ).orderBy("doc_id", "chunk_idx")
+
+
+@query(
+    "sim_hybrid_retrieval",
+    oracle=__import__(
+        "heavydb_spark.operators.retrieval", fromlist=["hybrid_oracle_sql"]
+    ).hybrid_oracle_sql(_BM25_TERMS, m=100, k=20),
+)
+def sim_hybrid_retrieval(spark, sf_dir):
+    """Hybrid retrieval (operators/retrieval.py hybrid_rerank): BM25
+    lexical top-100 for {hash, join, vector}, re-ranked by cosine to
+    vec_id 0's embedding, top-20 out. Stage 1 is the O(1)-shuffle BM25;
+    stage 2 broadcasts the 100-row candidate set against the embedding
+    table (never shuffles it) — the recall-then-precision lookup of
+    retrieval-based decontamination at corpus scale."""
+    from heavydb_spark.operators.retrieval import hybrid_rerank
+
+    d = T(spark, sf_dir, "documents")
+    e = T(spark, sf_dir, "embeddings")
+    return hybrid_rerank(
+        d, e, _BM25_TERMS, _query_vec(spark, sf_dir), m=100, k=20
+    )

@@ -2681,3 +2681,76 @@ def test_bm25_topk_crafted_corpus(spark):
         for r in bm25_topk(df, terms, k=2).collect()
     ]
     assert got2 == exp[:2]
+
+
+def test_chunk_windows_boundaries(spark):
+    """chunk_windows on crafted docs: stride-spaced starts, size-capped
+    slices, a short tail chunk, the single-chunk short doc, and full
+    token coverage with the declared overlap."""
+    from heavydb_spark.operators.text import chunk_windows
+
+    rows = [
+        (1, " ".join(f"w{i}" for i in range(10))),  # 10 toks: starts 0,3,6,9
+        (2, "a b"),                                  # 2 toks: one chunk
+        (3, "solo"),                                 # 1 tok: one chunk
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_id, r.chunk_idx): (r.start_tok, r.n_chunk_tokens)
+        for r in chunk_windows(df, size=4, stride=3).collect()
+    }
+    assert got == {
+        (1, 0): (0, 4), (1, 1): (3, 4), (1, 2): (6, 4), (1, 3): (9, 1),
+        (2, 0): (0, 2),
+        (3, 0): (0, 1),
+    }
+    # chunk hashes equal md5 of the joined token slice
+    import hashlib
+    one = {
+        r.chunk_idx: r.chunk_hash
+        for r in chunk_windows(df, size=4, stride=3)
+        .filter("doc_id = 1").collect()
+    }
+    toks = [f"w{i}" for i in range(10)]
+    for idx, start in enumerate((0, 3, 6, 9)):
+        exp = hashlib.md5(" ".join(toks[start:start + 4]).encode()).hexdigest()
+        assert one[idx] == exp
+
+
+def test_hybrid_rerank_two_stage(spark):
+    """hybrid_rerank on a crafted corpus: only BM25-matching docs are
+    candidates, the dense stage re-orders them by cosine to the query
+    vector (not by BM25), scores match a pure-Python computation, and
+    the stage-1 cut (m) bounds what stage 2 can return."""
+    import math
+
+    from heavydb_spark.operators.retrieval import hybrid_rerank
+
+    docs = [
+        (1, "cat cat cat"),      # strong lexical, opposite embedding
+        (2, "cat dog"),          # matches, aligned embedding
+        (3, "dog"),              # matches, orthogonal embedding
+        (4, "mouse bird"),       # no lexical match -> excluded
+    ]
+    embs = [
+        (1, [-1.0, 0.0]),
+        (2, [3.0, 0.0]),
+        (3, [0.0, 2.0]),
+        (4, [1.0, 0.0]),
+    ]
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    e = spark.createDataFrame(embs, "vec_id long, embedding array<float>")
+    qv = [1.0, 1.0]
+    got = [
+        (r.doc_id, r.cos_sim)
+        for r in hybrid_rerank(d, e, ("cat", "dog"), qv, m=10, k=10).collect()
+    ]
+    cos = lambda v: round(
+        (v[0] + v[1]) / (math.hypot(*v) * math.sqrt(2.0)), 6
+    )
+    assert got == [(2, cos([3.0, 0.0])), (3, cos([0.0, 2.0])),
+                   (1, cos([-1.0, 0.0]))]
+    # m=2 keeps only the two best BM25 docs before the dense stage
+    got2 = [r.doc_id for r in
+            hybrid_rerank(d, e, ("cat", "dog"), qv, m=2, k=10).collect()]
+    assert set(got2) <= {1, 2, 3} and len(got2) == 2
