@@ -114,6 +114,7 @@ _PRIORITY = [
     "text_bm25_topk",             # Okapi BM25 ranked retrieval
     "text_chunk_windows",         # overlapping token-window chunking
     "sim_hybrid_retrieval",       # BM25 recall -> cosine rerank
+    "agg_hll_sketch_merge",       # mergeable HLL sketch rollup
     # --- last checked r1 (predates all global dialect changes) ---
     "sort_topk",
     "agg_groupby_avg",

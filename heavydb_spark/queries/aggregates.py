@@ -465,3 +465,77 @@ def agg_filter_clause(spark, sf_dir):
                      FILTER (WHERE o_totalprice > 100000), 4) AS avg_big
         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
     """)
+
+
+@query(
+    "agg_hll_sketch_merge",
+    oracle="""
+    SELECT source,
+           CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_exact,
+           TRUE AS est_ok
+    FROM documents GROUP BY source
+    UNION ALL
+    SELECT '__ALL__' AS source,
+           CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_exact,
+           TRUE AS est_ok
+    FROM documents
+    ORDER BY source
+    """,
+)
+def agg_hll_sketch_merge(spark, sf_dir):
+    """Mergeable HLL count-distinct sketches — the fragment-merge
+    pattern of the reference's APPROX_COUNT_DISTINCT (per-fragment HLL
+    buffers unified across fragments, QueryEngine/HyperLogLog.h:88
+    hll_unify; CountDistinctDescriptor.h:39): per-source sketches
+    (`hll_sketch_agg`, lgK=12) are persisted as binary columns, UNIONED
+    (`hll_union_agg`) instead of rescanning, and estimated. At 100 TB
+    this is THE precompute shape — per-partition/day sketches stored
+    once, any source/time rollup answered by a k-byte sketch union,
+    never a re-scan of the corpus.
+
+    Driver-exact contract: per-source exact distinct counts (oracled),
+    plus `est_ok` — the sketch estimate within max(2, 5%) of exact
+    (3-sigma for lgK=12 is ~5%) per source AND for the union-of-parts
+    and whole-corpus sketches on the __ALL__ row. The estimates
+    themselves are engine-specific (Apache DataSketches), so the
+    tolerance flag is the portable claim."""
+    d = T(spark, sf_dir, "documents")
+    key = F.md5("text")
+    tol = lambda est, exact: (
+        F.abs(est - exact)
+        <= F.greatest(F.lit(2.0), F.lit(0.05) * exact)
+    )
+    parts = d.groupBy("source").agg(
+        F.hll_sketch_agg(key, F.lit(12)).alias("sk"),
+        F.countDistinct(key).alias("n_exact"),
+    )
+    per_source = parts.select(
+        "source",
+        "n_exact",
+        tol(F.hll_sketch_estimate("sk"), F.col("n_exact")).alias("est_ok"),
+    )
+    total = (
+        parts.agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk", F.lit(False))).alias(
+                "merged_est"
+            ),
+            F.sum("n_exact").alias("n_sum"),
+        )
+        .crossJoin(
+            d.agg(
+                F.hll_sketch_estimate(
+                    F.hll_sketch_agg(key, F.lit(12))
+                ).alias("whole_est"),
+                F.countDistinct(key).alias("n_exact"),
+            )
+        )
+        .select(
+            F.lit("__ALL__").alias("source"),
+            "n_exact",
+            (
+                tol(F.col("merged_est"), F.col("n_exact"))
+                & tol(F.col("whole_est"), F.col("n_exact"))
+            ).alias("est_ok"),
+        )
+    )
+    return per_source.unionByName(total).orderBy("source")

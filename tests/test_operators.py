@@ -2754,3 +2754,26 @@ def test_hybrid_rerank_two_stage(spark):
     got2 = [r.doc_id for r in
             hybrid_rerank(d, e, ("cat", "dog"), qv, m=2, k=10).collect()]
     assert set(got2) <= {1, 2, 3} and len(got2) == 2
+
+
+def test_hll_sketch_merge_rollup(spark, ddb):
+    """agg_hll_sketch_merge contract on the fixture corpus: per-source
+    exact NDVs, sketch estimates inside the max(2, 5%) tolerance, and
+    the __ALL__ row deduplicating across sources via sketch UNION (not
+    a rescan) — plus the catalog-level guarantee that the union row's
+    n_exact is the true global NDV, not the sum of parts."""
+    from heavydb_spark.queries import QUERIES
+    from tests.conftest import SF_DIR
+
+    rows = QUERIES["agg_hll_sketch_merge"](spark, SF_DIR).collect()
+    per = [r for r in rows if r.source != "__ALL__"]
+    total = [r for r in rows if r.source == "__ALL__"]
+    assert len(total) == 1 and per
+    assert all(r.est_ok for r in rows)
+    # cross-source duplicates (if any) make global <= sum of parts
+    assert total[0].n_exact <= sum(r.n_exact for r in per)
+    exact = ddb.sql(
+        f"SELECT count(DISTINCT md5(text)) FROM "
+        f"'{SF_DIR}/documents.parquet'"
+    ).fetchone()[0]
+    assert total[0].n_exact == exact
