@@ -1887,3 +1887,70 @@ def tpcds_q34_frequent_buyer_band(spark, sf_dir):
         .select("c_custkey", "c_name", "c_mktsegment", "n_orders")
         .orderBy(F.col("n_orders").desc(), "c_custkey")
     )
+
+
+@query(
+    "tpcds_q59_wow_ratio",
+    oracle="""
+    WITH weekly AS (
+        SELECT o_orderpriority AS priority,
+               CAST(extract(year FROM o_orderdate) AS INT) AS yr,
+               CAST(extract(week FROM o_orderdate) AS INT) AS wk,
+               floor(sum(round(o_totalprice * 10000)) / 100 + 0.5)
+                   / 100.0 AS sales
+        FROM orders GROUP BY 1, 2, 3
+    )
+    SELECT a.priority, a.yr AS base_year, a.wk,
+           a.sales AS base_sales, b.sales AS next_sales,
+           floor(b.sales / a.sales * 1.0e4 + 0.5e0) / 1.0e4 AS wow_ratio
+    FROM weekly a
+    JOIN weekly b
+      ON a.priority = b.priority AND a.wk = b.wk AND b.yr = a.yr + 1
+    WHERE a.sales > 0
+    ORDER BY a.priority, base_year, a.wk
+    """,
+)
+def tpcds_q59_wow_ratio(spark, sf_dir):
+    """TPC-DS Q59/Q2 shape: week-over-week sales ratio — weekly totals
+    per order priority, the CTE self-joined on (priority, ISO week,
+    year+1) so each week is compared with the same week a year later.
+    The weekly aggregate is computed ONCE and localCheckpointed; the
+    self-join is an equi-join on (priority, wk) — hash-partitioned,
+    both sides aggregate-sized. Weekly sums use the exact fixed-point
+    half-up form (many small groups hit the .xx5 boundary otherwise;
+    see util.sum_half_up_cents)."""
+    o = T(spark, sf_dir, "orders")
+    weekly = (
+        o.groupBy(
+            F.col("o_orderpriority").alias("priority"),
+            F.year("o_orderdate").alias("yr"),
+            F.weekofyear("o_orderdate").alias("wk"),
+        )
+        .agg(sum_half_up_cents(F.col("o_totalprice")).alias("sales"))
+        .localCheckpoint(eager=False)
+    )
+    a, b = weekly.alias("a"), weekly.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.priority") == F.col("b.priority"))
+            & (F.col("a.wk") == F.col("b.wk"))
+            & (F.col("b.yr") == F.col("a.yr") + 1),
+        )
+        .filter(F.col("a.sales") > 0)
+        .select(
+            F.col("a.priority").alias("priority"),
+            F.col("a.yr").alias("base_year"),
+            F.col("a.wk").alias("wk"),
+            F.col("a.sales").alias("base_sales"),
+            F.col("b.sales").alias("next_sales"),
+            (
+                F.floor(
+                    F.col("b.sales") / F.col("a.sales") * F.lit(1e4)
+                    + F.lit(0.5)
+                )
+                / F.lit(1e4)
+            ).alias("wow_ratio"),
+        )
+        .orderBy("priority", "base_year", "wk")
+    )
