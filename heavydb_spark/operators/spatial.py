@@ -670,3 +670,103 @@ def raster_contour_polygons(
             ),
         )
     )
+
+
+# ------------------------------------------- Z-order clustered layout
+
+
+def zorder_quantize(v: Column, lo: float, hi: float, bits: int) -> Column:
+    """Quantize a coordinate to a [0, 2^bits) cell index (clamped)."""
+    n = 1 << bits
+    q = F.floor((v - F.lit(lo)) / F.lit(hi - lo) * F.lit(float(n)))
+    return F.least(F.greatest(q, F.lit(0)), F.lit(n - 1)).cast("long")
+
+
+def zorder_key(qx: Column, qy: Column, bits: int) -> Column:
+    """Morton/Z-order interleave of two `bits`-bit cell indices — pure
+    shift/mask codegen (2*bits terms), no UDF. The layout key behind
+    spatially-clustered fragments: rows sorted by this key give each
+    fragment a compact bounding box, so chunk min/max metadata skips
+    fragments a spatial predicate can't touch (the reference's
+    fragment-skipping story, DataMgr/Chunk + fragmenter min/max;
+    applied to layout instead of scan)."""
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright(qx, i).bitwiseAND(F.lit(1)), 2 * i)
+        ).bitwiseOR(
+            F.shiftleft(
+                F.shiftright(qy, i).bitwiseAND(F.lit(1)), 2 * i + 1
+            )
+        )
+    return z
+
+
+def zorder_key_sql(qx: str, qy: str, bits: int) -> str:
+    """The DuckDB text of zorder_key over integer expressions qx/qy —
+    generated from the same loop so the bit layout matches exactly."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({qx} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({qy} >> {i}) & 1) << {2 * i + 1})")
+    return " | ".join(terms)
+
+
+def zorder_fragment_report(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    x_range: tuple[float, float],
+    y_range: tuple[float, float],
+    bits: int = 8,
+    frag_bits: int = 6,
+    query_window: tuple[float, float, float, float] | None = None,
+) -> DataFrame:
+    """Z-order clustered layout with explicit fragments + the
+    fragment-skipping evidence: quantize (x, y) onto a 2^bits grid,
+    Morton-interleave, assign each row to fragment = top `frag_bits`
+    bits of the z key (2^frag_bits fragments — the deterministic
+    analogue of range-partitioning by z key), and report per fragment
+    the row count, z range, bounding box, and — when `query_window`
+    is given — whether a scan for that window can SKIP the fragment
+    on its min/max metadata alone.
+
+    100 TB shape: the layout pass is `repartitionByRange(zkey) +
+    sortWithinPartitions(zkey)` before the parquet write (one range
+    shuffle, executed here so the plan is real); the report is one
+    hash aggregate on the fragment id. Z-clustering is what makes the
+    reference-style chunk min/max skipping EFFECTIVE for 2-D
+    predicates — without it every fragment's bbox spans the world and
+    nothing skips.
+    """
+    zq_x = zorder_quantize(F.col(x_col), *x_range, bits)
+    zq_y = zorder_quantize(F.col(y_col), *y_range, bits)
+    keyed = df.withColumn("zkey", zorder_key(zq_x, zq_y, bits))
+    n_frags = 1 << frag_bits
+    laid_out = (
+        keyed.repartitionByRange(n_frags, F.col("zkey"))
+        .sortWithinPartitions("zkey")
+        .withColumn(
+            "fragment",
+            F.shiftright(F.col("zkey"), 2 * bits - frag_bits).cast("int"),
+        )
+    )
+    rep = laid_out.groupBy("fragment").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("zkey").alias("zmin"),
+        F.max("zkey").alias("zmax"),
+        F.min(x_col).alias("xmin"),
+        F.max(x_col).alias("xmax"),
+        F.min(y_col).alias("ymin"),
+        F.max(y_col).alias("ymax"),
+    )
+    if query_window is not None:
+        qx0, qy0, qx1, qy1 = query_window
+        rep = rep.withColumn(
+            "scan_hits",
+            (F.col("xmin") <= F.lit(qx1))
+            & (F.col("xmax") >= F.lit(qx0))
+            & (F.col("ymin") <= F.lit(qy1))
+            & (F.col("ymax") >= F.lit(qy0)),
+        )
+    return rep.orderBy("fragment")

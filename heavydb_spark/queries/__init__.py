@@ -116,6 +116,7 @@ _PRIORITY = [
     "sim_hybrid_retrieval",       # BM25 recall -> cosine rerank
     "agg_hll_sketch_merge",       # mergeable HLL sketch rollup
     "tpcds_q59_wow_ratio",        # week-over-week CTE self-join
+    "geo_zorder_layout",          # Morton-clustered fragment layout
     # --- last checked r1 (predates all global dialect changes) ---
     "sort_topk",
     "agg_groupby_avg",

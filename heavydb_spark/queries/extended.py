@@ -2312,3 +2312,70 @@ def sql_dialect_geo_predicates(spark, sf_dir):
                    AS pix_h
         FROM pts ORDER BY c_custkey
     """)
+
+
+# ------------------------------------------- Z-order clustered layout
+
+from heavydb_spark.operators import spatial as _spatial  # noqa: E402
+
+_Z_BITS, _Z_FRAG_BITS = 8, 6
+
+
+def _zorder_oracle() -> str:
+    zexpr = _spatial.zorder_key_sql("qx", "qy", _Z_BITS)
+    return f"""
+    WITH pts AS (
+        SELECT c_custkey,
+               (c_custkey % 1000) / 10.0 AS x,
+               ((c_custkey * 7) % 1000) / 10.0 AS y
+        FROM customer
+    ), q AS (
+        SELECT c_custkey, x, y,
+               CAST(least(greatest(floor(x / 100.0 * 256.0), 0), 255)
+                    AS BIGINT) AS qx,
+               CAST(least(greatest(floor(y / 100.0 * 256.0), 0), 255)
+                    AS BIGINT) AS qy
+        FROM pts
+    ), z AS (
+        SELECT c_custkey, x, y, ({zexpr}) AS zkey FROM q
+    ), fr AS (
+        SELECT CAST(zkey >> {2 * _Z_BITS - _Z_FRAG_BITS} AS INT)
+                   AS fragment,
+               zkey, x, y
+        FROM z
+    )
+    SELECT fragment,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           min(zkey) AS zmin, max(zkey) AS zmax,
+           min(x) AS xmin, max(x) AS xmax,
+           min(y) AS ymin, max(y) AS ymax,
+           (min(x) <= 30.0 AND max(x) >= 10.0
+            AND min(y) <= 30.0 AND max(y) >= 10.0) AS scan_hits
+    FROM fr GROUP BY fragment ORDER BY fragment
+    """
+
+
+@query("geo_zorder_layout", oracle=_zorder_oracle())
+def geo_zorder_layout(spark, sf_dir):
+    """Z-order clustered layout + fragment-skipping report
+    (operators/spatial.py zorder_fragment_report): customer-derived
+    points quantized onto a 256x256 grid, Morton-interleaved (pure
+    shift/mask codegen), range-partitioned and sorted by the z key —
+    the layout pass that makes chunk min/max metadata (the
+    reference's fragment skipping, Fragmenter/ + synthetic metadata)
+    EFFECTIVE for 2-D predicates — then one aggregate per explicit
+    fragment: count, z range, bbox, and whether a (10,10)-(30,30)
+    window scan can skip it. The oracle replays the identical bit
+    arithmetic; the skip flag is the evidence a 100 TB spatial scan
+    touches a handful of fragments instead of all of them."""
+    c = T(spark, sf_dir, "customer")
+    pts = c.select(
+        "c_custkey",
+        ((F.col("c_custkey") % 1000) / 10.0).alias("x"),
+        (((F.col("c_custkey") * 7) % 1000) / 10.0).alias("y"),
+    )
+    return _spatial.zorder_fragment_report(
+        pts, "x", "y", (0.0, 100.0), (0.0, 100.0),
+        bits=_Z_BITS, frag_bits=_Z_FRAG_BITS,
+        query_window=(10.0, 10.0, 30.0, 30.0),
+    )

@@ -2777,3 +2777,43 @@ def test_hll_sketch_merge_rollup(spark, ddb):
         f"'{SF_DIR}/documents.parquet'"
     ).fetchone()[0]
     assert total[0].n_exact == exact
+
+
+def test_zorder_layout_bit_exact(spark):
+    """zorder_key against hand-interleaved bits; quantize clamping;
+    fragment = top bits; the skip flag from fragment bboxes."""
+    from heavydb_spark.operators.spatial import (
+        zorder_fragment_report, zorder_key, zorder_quantize,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.range(1).select(
+        zorder_key(F.lit(3).cast("long"), F.lit(5).cast("long"), 3)
+        .alias("z"),
+        zorder_key(F.lit(0).cast("long"), F.lit(7).cast("long"), 3)
+        .alias("z2"),
+        zorder_quantize(F.lit(-4.0), 0.0, 100.0, 8).alias("qlo"),
+        zorder_quantize(F.lit(250.0), 0.0, 100.0, 8).alias("qhi"),
+        zorder_quantize(F.lit(50.0), 0.0, 100.0, 8).alias("qmid"),
+    ).first()
+    # x=011, y=101 interleaved (y odd bits, x even) -> 100111b = 39
+    assert df.z == 39
+    # x=000, y=111 -> 101010b = 42
+    assert df.z2 == 42
+    assert df.qlo == 0 and df.qhi == 255 and df.qmid == 128
+
+    pts = spark.createDataFrame(
+        [(i, float(i % 10) * 10.0, float((i * 3) % 10) * 10.0)
+         for i in range(100)],
+        "pid long, x double, y double",
+    )
+    rep = zorder_fragment_report(
+        pts, "x", "y", (0.0, 100.0), (0.0, 100.0),
+        bits=4, frag_bits=2, query_window=(0.0, 0.0, 5.0, 5.0),
+    ).collect()
+    assert sum(r.n_rows for r in rep) == 100
+    for r in rep:
+        assert 0 <= r.fragment < 4
+        assert r.zmin >> 6 == r.fragment and r.zmax >> 6 == r.fragment
+    # the tiny corner window must skip at least one fragment
+    assert sum(1 for r in rep if not r.scan_hits) >= 1
