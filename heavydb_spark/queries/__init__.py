@@ -117,6 +117,7 @@ _PRIORITY = [
     "agg_hll_sketch_merge",       # mergeable HLL sketch rollup
     "tpcds_q59_wow_ratio",        # week-over-week CTE self-join
     "geo_zorder_layout",          # Morton-clustered fragment layout
+    "join_asof_backward",         # as-of join via union+window
     # --- last checked r1 (predates all global dialect changes) ---
     "sort_topk",
     "agg_groupby_avg",

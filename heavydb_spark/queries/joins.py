@@ -603,3 +603,60 @@ def subquery_not_in_nulls(spark, sf_dir):
         ORDER BY p_partkey
         """
     )
+
+
+@query(
+    "join_asof_backward",
+    oracle="""
+    WITH l AS (
+        SELECT event_id, user_id, ts, value
+        FROM events WHERE event_type = 'click'
+    ), r AS (
+        SELECT user_id, ts, value
+        FROM events WHERE event_type = 'purchase'
+    ), j AS (
+        SELECT l.event_id, l.user_id, l.ts AS click_ts, l.value,
+               r.ts AS m_ts, r.value AS m_value,
+               epoch_us(l.ts) - epoch_us(r.ts) AS gap_us
+        FROM l ASOF LEFT JOIN r
+          ON l.user_id = r.user_id AND l.ts >= r.ts
+    )
+    SELECT event_id, user_id, click_ts, value,
+           CASE WHEN gap_us <= 7200000000 THEN m_ts END AS r_match_ts,
+           CASE WHEN gap_us <= 7200000000 THEN m_value END AS r_value,
+           CASE WHEN gap_us <= 7200000000 THEN gap_us END AS gap_us
+    FROM j ORDER BY event_id
+    """,
+)
+def join_asof_backward(spark, sf_dir):
+    """As-of join (operators/temporal.py asof_join): every click joined
+    to the user's most recent purchase at-or-before it, within a
+    2-hour tolerance — the point-in-time lookup (trades-to-quotes,
+    features-to-snapshots) the reference serves with its range-join
+    machinery (QueryEngine/RangeTableFunctions.h). Implemented with NO
+    join at all: union both sides, one per-key window, running `last`
+    — a single hash shuffle, exact, parameter-free (vs a binned range
+    join's bin guess + row replication). Oracle = DuckDB's native
+    ASOF LEFT JOIN with the tolerance as an exact integer-microsecond
+    post-filter."""
+    from heavydb_spark.operators.temporal import asof_join
+
+    ev = T(spark, sf_dir, "events")
+    l = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", F.col("ts").alias("click_ts"), "value"
+    )
+    r = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    out = asof_join(
+        l, r, ["user_id"], left_ts="click_ts", right_ts="ts",
+        tolerance_seconds=7200,
+    )
+    return out.select(
+        "event_id", "user_id", "click_ts", "value",
+        "r_match_ts", "r_value",
+        (
+            F.unix_micros(F.col("click_ts").cast("timestamp"))
+            - F.unix_micros(F.col("r_match_ts").cast("timestamp"))
+        ).alias("gap_us"),
+    ).orderBy("event_id")

@@ -2817,3 +2817,55 @@ def test_zorder_layout_bit_exact(spark):
         assert r.zmin >> 6 == r.fragment and r.zmax >> 6 == r.fragment
     # the tiny corner window must skip at least one fragment
     assert sum(1 for r in rep if not r.scan_hits) >= 1
+
+
+def test_asof_join_semantics(spark):
+    """asof_join: backward picks the latest right at-or-before,
+    equal-ts matches (DuckDB/pandas >= semantics), tolerance nulls
+    distant matches, keys without right rows get nulls, and forward
+    mirrors the direction."""
+    from datetime import datetime as dt
+
+    from heavydb_spark.operators.temporal import asof_join
+
+    l = spark.createDataFrame(
+        [
+            (1, "u1", dt(2024, 1, 1, 10, 0, 0)),
+            (2, "u1", dt(2024, 1, 1, 12, 0, 0)),
+            (3, "u2", dt(2024, 1, 1, 9, 0, 0)),   # before any right
+            (4, "u3", dt(2024, 1, 1, 9, 0, 0)),   # key has no right rows
+        ],
+        "id long, k string, ts timestamp",
+    )
+    r = spark.createDataFrame(
+        [
+            ("u1", dt(2024, 1, 1, 10, 0, 0), 100.0),  # ties id=1 exactly
+            ("u1", dt(2024, 1, 1, 11, 30, 0), 200.0),
+            ("u2", dt(2024, 1, 1, 9, 30, 0), 300.0),
+        ],
+        "k string, ts timestamp, v double",
+    )
+    got = {
+        row.id: (row.r_match_ts, row.r_v)
+        for row in asof_join(l, r, ["k"], "ts", "ts").collect()
+    }
+    assert got[1] == (dt(2024, 1, 1, 10, 0, 0), 100.0)   # equal ts matches
+    assert got[2] == (dt(2024, 1, 1, 11, 30, 0), 200.0)  # latest before
+    assert got[3] == (None, None)                         # nothing before
+    assert got[4] == (None, None)                         # key absent
+    # tolerance: id=2's match is 30 min back -> survives 1h, dies at 10s
+    tight = {
+        row.id: row.r_v
+        for row in asof_join(
+            l, r, ["k"], "ts", "ts", tolerance_seconds=10
+        ).collect()
+    }
+    assert tight[1] == 100.0 and tight[2] is None
+    # forward: id=3 now matches u2's 9:30 row
+    fwd = {
+        row.id: row.r_v
+        for row in asof_join(
+            l, r, ["k"], "ts", "ts", direction="forward"
+        ).collect()
+    }
+    assert fwd[3] == 300.0 and fwd[2] is None  # nothing after 12:00
