@@ -1052,3 +1052,72 @@ def group_shingle_overlap(
             ).alias("containment"),
         )
     )
+
+
+# ------------------------------------- fuzzy string join (edit distance)
+
+
+def fuzzy_string_pairs(
+    df: DataFrame,
+    id_col: str,
+    s_col: str,
+    max_dist: int = 1,
+) -> DataFrame:
+    """All pairs of rows whose strings are within edit distance 1 —
+    SymSpell-style delete-neighborhood blocking, then exact verify.
+
+    Candidate generation: each string s yields the variant set
+    {s} ∪ {s with one character deleted}. Two strings at Levenshtein
+    distance <= 1 ALWAYS share a variant (substitution: the delete at
+    the differing position; insert/delete: the shorter string IS a
+    variant of the longer; equality: s itself) — so an EQUI-join on
+    the variant finds every true pair, and `levenshtein` verifies
+    exactly. Never an all-pairs comparison.
+
+    100 TB shape: the variant explode is map-side (len+1 rows per
+    string); the candidate join is a hash equi-join on the variant
+    string; dedup + verify touch only candidate pairs. Popular
+    strings make hot variant keys — exact duplicates should be
+    collapsed (exact_dedup) BEFORE fuzzy matching, which also bounds
+    the per-key fan-out. Mirrors the reference's similarity StringOps
+    (StringOpsIR.cpp LEVENSHTEIN-family kernels) as a scalable JOIN
+    rather than a per-row function.
+    """
+    if max_dist != 1:
+        raise NotImplementedError(
+            "fuzzy_string_pairs: only max_dist=1 (delete-1 "
+            "neighborhoods); chain with a wider verifier for k=2"
+        )
+    s = F.col(s_col)
+    # variants = {s} ∪ deletes1(s); substr with lambda-var bounds needs
+    # the expr form (F.substring takes int positions only)
+    variants = F.array_union(
+        F.array(s),
+        F.expr(
+            f"transform(sequence(1, length({s_col})), i -> "
+            f"concat(substr({s_col}, 1, i - 1), substr({s_col}, i + 1)))"
+        ),
+    )
+    v = _spread(
+        df.select(F.col(id_col), s.alias("__s"), variants.alias("__vars")),
+        id_col,
+    ).select(
+        id_col, "__s", F.explode("__vars").alias("__v")
+    )
+    a = v.select(
+        F.col(id_col).alias("id_a"), F.col("__s").alias("s_a"), "__v"
+    )
+    b = v.select(
+        F.col(id_col).alias("id_b"), F.col("__s").alias("s_b"), "__v"
+    )
+    cand = (
+        a.join(b, "__v")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "s_a", "s_b")
+        .distinct()
+    )
+    return cand.select(
+        "id_a",
+        "id_b",
+        F.levenshtein("s_a", "s_b").alias("dist"),
+    ).filter(F.col("dist") <= max_dist)

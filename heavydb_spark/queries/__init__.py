@@ -51,6 +51,11 @@ from heavydb_spark.queries import (  # noqa: F401,E402
 #        first-merge contract) — never driver-checked, same rule; they
 #        push the tail of the r1-stale block (~9 window_* entries,
 #        re-greened by family representatives in r5) out to round 7;
+#   then the final-session r6 additions (BM25 / chunking / hybrid
+#        retrieval, HLL sketch rollup, TPC-DS q59, Z-order layout,
+#        as-of join) — never driver-checked; with these the
+#        never-checked block slightly overflows a 50-query window, so
+#        its tail plus the whole r1-stale block rotate to round 7;
 #   then every query whose last driver check was ROUND 1 — all 29 predate
 #        the r4/r5 global dialect changes (null collation, quoted
 #        identifiers, now int division) and several go through Engine.sql
@@ -118,6 +123,7 @@ _PRIORITY = [
     "tpcds_q59_wow_ratio",        # week-over-week CTE self-join
     "geo_zorder_layout",          # Morton-clustered fragment layout
     "join_asof_backward",         # as-of join via union+window
+    "join_fuzzy_names",           # edit-distance join, delete-1 blocking
     # --- last checked r1 (predates all global dialect changes) ---
     "sort_topk",
     "agg_groupby_avg",

@@ -660,3 +660,30 @@ def join_asof_backward(spark, sf_dir):
             - F.unix_micros(F.col("r_match_ts").cast("timestamp"))
         ).alias("gap_us"),
     ).orderBy("event_id")
+
+
+@query(
+    "join_fuzzy_names",
+    oracle="""
+    SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+           levenshtein(a.c_name, b.c_name) AS dist
+    FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 1
+    ORDER BY id_a, id_b
+    """,
+)
+def join_fuzzy_names(spark, sf_dir):
+    """Fuzzy string join (operators/dedup.py fuzzy_string_pairs): all
+    customer-name pairs within edit distance 1 via SymSpell-style
+    delete-1 neighborhood blocking — an equi-join on generated
+    variants plus exact levenshtein verify, never an all-pairs
+    comparison (the oracle brute-forces the quadratic form DuckDB can
+    afford at sf0.01; the Spark plan is the one that survives 100 TB).
+    Mirrors the reference's LEVENSHTEIN string-op kernels
+    (StringOps/) lifted from a per-row function to a scalable join."""
+    from heavydb_spark.operators.dedup import fuzzy_string_pairs
+
+    c = T(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return fuzzy_string_pairs(c, "c_custkey", "c_name", max_dist=1).orderBy(
+        "id_a", "id_b"
+    )

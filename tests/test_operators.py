@@ -2869,3 +2869,37 @@ def test_asof_join_semantics(spark):
         ).collect()
     }
     assert fwd[3] == 300.0 and fwd[2] is None  # nothing after 12:00
+
+
+def test_fuzzy_string_pairs_completeness(spark):
+    """fuzzy_string_pairs vs a brute-force distance-1 ground truth on
+    adversarial strings: substitutions, inserts/deletes across
+    lengths, exact duplicates, empty strings, and far pairs that the
+    blocking must still exclude."""
+    from heavydb_spark.operators.dedup import fuzzy_string_pairs
+
+    vals = ["abc", "abd", "ab", "abcd", "xyz", "abc", "", "a", "zzzz"]
+    rows = [(i, s) for i, s in enumerate(vals)]
+    df = spark.createDataFrame(rows, "id long, s string")
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[len(b)]
+
+    expected = {
+        (i, j)
+        for i in range(len(vals))
+        for j in range(i + 1, len(vals))
+        if lev(vals[i], vals[j]) <= 1
+    }
+    got = {
+        (r.id_a, r.id_b)
+        for r in fuzzy_string_pairs(df, "id", "s").collect()
+    }
+    assert got == expected
