@@ -682,3 +682,76 @@ def shard_assign(
         .withColumn("pos", F.row_number().over(w) - 1)
         .drop("__h")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement, top-k
+    (Efraimidis–Spirakis A-ES): each row draws u in (0, 1] from the
+    portable hash of its id and ranks by ln(u) / w — the k largest
+    keys are an exact weighted sample without replacement. Inclusion
+    probability scales with weight; the 'sample by quality score /
+    length' primitive of corpus curation.
+
+    100 TB shape: the key is a map-side expression; selection is a
+    TakeOrderedAndProject top-k (per-partition heads, k-row driver
+    merge) — no shuffle, no global sort. Deterministic end-to-end:
+    the hash replays in any engine, so the oracle reproduces the
+    exact sample (ties are measure-zero; ordering falls back to id).
+
+    Rows with weight <= 0 are excluded (A-ES is undefined there)."""
+    u = (portable_hash(F.col(id_col)) + 1.0) / float(_M31)
+    key = F.log(u) / F.col(weight_col).cast("double")
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("es_key", key)
+        .orderBy(F.desc("es_key"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def weighted_sample_sql(
+    table: str, id_expr: str, weight_expr: str, k: int
+) -> str:
+    """DuckDB twin of weighted_sample over `table` (same hash, same
+    key arithmetic — bit-identical doubles, so the identical rows)."""
+    h = portable_hash_sql(id_expr)
+    return f"""
+    SELECT *, ln((({h}) + 1.0e0) / {float(_M31)!r})
+              / CAST({weight_expr} AS DOUBLE) AS es_key
+    FROM {table}
+    WHERE ({weight_expr}) > 0
+    ORDER BY es_key DESC, {id_expr}
+    LIMIT {k}
+    """
+
+
+def winsorize(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    lo: float = 0.05,
+    hi: float = 0.95,
+) -> DataFrame:
+    """Per-group winsorization: clamp `value_col` to the group's exact
+    [lo, hi] interpolated percentiles — the outlier-trimming cleanup a
+    pipeline runs before computing per-source statistics.
+
+    100 TB shape: one grouped aggregate computes the two exact
+    percentiles per group (distributed sort-based agg, same class as
+    the corpus report's median); the tiny bounds table broadcasts
+    back onto the scan (groups << rows), and the clamp is a map-side
+    `least/greatest`. Two passes over the data, zero wide joins."""
+    bounds = df.groupBy(group_col).agg(
+        F.expr(f"percentile({value_col}, {lo!r})").alias("p_lo"),
+        F.expr(f"percentile({value_col}, {hi!r})").alias("p_hi"),
+    )
+    clamped = df.join(F.broadcast(bounds), group_col).withColumn(
+        "value_w",
+        F.least(F.greatest(F.col(value_col), F.col("p_lo")), F.col("p_hi")),
+    )
+    return clamped

@@ -124,6 +124,8 @@ _PRIORITY = [
     "geo_zorder_layout",          # Morton-clustered fragment layout
     "join_asof_backward",         # as-of join via union+window
     "join_fuzzy_names",           # edit-distance join, delete-1 blocking
+    "pipe_weighted_sample",       # A-ES weighted sample w/o replacement
+    "pipe_winsorize",             # per-group exact-percentile clamp
     # --- last checked r1 (predates all global dialect changes) ---
     "sort_topk",
     "agg_groupby_avg",

@@ -2755,3 +2755,84 @@ def sim_hybrid_retrieval(spark, sf_dir):
     return hybrid_rerank(
         d, e, _BM25_TERMS, _query_vec(spark, sf_dir), m=100, k=20
     )
+
+
+@query(
+    "pipe_weighted_sample",
+    oracle="""
+    SELECT doc_id, source, n_chars, round(es_key, 6) + 0.0e0 AS es_key
+    FROM (
+    """ + pipeline.weighted_sample_sql(
+        "documents", "doc_id", "n_chars", 50
+    ) + """
+    ) ORDER BY doc_id
+    """,
+)
+def pipe_weighted_sample(spark, sf_dir):
+    """Deterministic weighted sampling without replacement
+    (operators/pipeline.py weighted_sample, Efraimidis–Spirakis):
+    top-50 documents by ln(u)/n_chars with u from the portable hash —
+    inclusion probability scales with length, the sample replays
+    bit-identically in any engine. Map-side key + TakeOrdered top-k:
+    no shuffle, no global sort."""
+    d = T(spark, sf_dir, "documents")
+    out = pipeline.weighted_sample(d, "doc_id", "n_chars", k=50)
+    return out.select(
+        "doc_id", "source", "n_chars",
+        (F.round("es_key", 6) + F.lit(0.0)).alias("es_key"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "pipe_winsorize",
+    oracle="""
+    WITH b AS (
+        SELECT event_type,
+               quantile_cont(value, 0.05) AS p_lo,
+               quantile_cont(value, 0.95) AS p_hi
+        FROM events GROUP BY event_type
+    ), c AS (
+        SELECT e.event_type, e.value, b.p_lo, b.p_hi,
+               least(greatest(e.value, b.p_lo), b.p_hi) AS value_w
+        FROM events e JOIN b USING (event_type)
+    )
+    SELECT event_type,
+           round(any_value(p_lo), 4) AS p_lo,
+           round(any_value(p_hi), 4) AS p_hi,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN value < p_lo THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_clamped_lo,
+           CAST(sum(CASE WHEN value > p_hi THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_clamped_hi,
+           round(avg(value), 4) AS mean_raw,
+           round(avg(value_w), 4) AS mean_w
+    FROM c GROUP BY event_type ORDER BY event_type
+    """,
+)
+def pipe_winsorize(spark, sf_dir):
+    """Per-group winsorization (operators/pipeline.py winsorize): clamp
+    event values to the group's exact interpolated [p05, p95] — the
+    outlier trim before per-source statistics. One grouped exact-
+    percentile aggregate (distributed sort-agg), the tiny bounds table
+    broadcast back, map-side clamp; the report re-aggregates per
+    group. Exact percentile interpolation is bit-identical between
+    Spark `percentile` and DuckDB `quantile_cont` (probed)."""
+    ev = T(spark, sf_dir, "events")
+    c = pipeline.winsorize(ev, "event_type", "value", 0.05, 0.95)
+    return (
+        c.groupBy("event_type")
+        .agg(
+            F.round(F.first("p_lo"), 4).alias("p_lo"),
+            F.round(F.first("p_hi"), 4).alias("p_hi"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col("value") < F.col("p_lo"), 1).otherwise(0)
+            ).alias("n_clamped_lo"),
+            F.sum(
+                F.when(F.col("value") > F.col("p_hi"), 1).otherwise(0)
+            ).alias("n_clamped_hi"),
+            F.round(F.avg("value"), 4).alias("mean_raw"),
+            F.round(F.avg("value_w"), 4).alias("mean_w"),
+        )
+        .orderBy("event_type")
+    )

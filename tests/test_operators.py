@@ -2903,3 +2903,44 @@ def test_fuzzy_string_pairs_completeness(spark):
         for r in fuzzy_string_pairs(df, "id", "s").collect()
     }
     assert got == expected
+
+
+def test_weighted_sample_aes(spark):
+    """weighted_sample: deterministic across reruns, excludes
+    non-positive weights, respects k, and a 100x weight dominates —
+    across many disjoint id blocks the heavy id is picked essentially
+    always (A-ES inclusion scales with weight)."""
+    from heavydb_spark.operators.pipeline import weighted_sample
+
+    rows = []
+    for blk in range(40):
+        base = blk * 100
+        rows.append((base, 10_000.0))            # heavy
+        rows += [(base + i, 1.0) for i in range(1, 10)]  # light
+    rows.append((9_999, 0.0))                     # excluded
+    df = spark.createDataFrame(rows, "id long, w double")
+    got = [r.id for r in weighted_sample(df, "id", "w", k=40).collect()]
+    assert len(got) == 40 and 9_999 not in got
+    heavy_hit = sum(1 for i in got if i % 100 == 0)
+    assert heavy_hit >= 30   # ~40 expected; light ids rarely outrank
+    rerun = [r.id for r in weighted_sample(df, "id", "w", k=40).collect()]
+    assert sorted(got) == sorted(rerun)
+
+
+def test_winsorize_clamps_exact_bounds(spark):
+    """winsorize on a crafted group: exact interpolated p05/p95 of
+    0..100 are 5.0/95.0; values clamp to them; inner values pass
+    through; a second group is bounded independently."""
+    from heavydb_spark.operators.pipeline import winsorize
+
+    rows = [("a", float(v)) for v in range(101)] + [
+        ("b", 0.0), ("b", 10.0), ("b", 20.0),
+    ]
+    df = spark.createDataFrame(rows, "g string, value double")
+    out = winsorize(df, "g", "value", 0.05, 0.95)
+    a = {r.value: r.value_w for r in out.filter("g = 'a'").collect()}
+    assert a[0.0] == 5.0 and a[3.0] == 5.0 and a[5.0] == 5.0
+    assert a[50.0] == 50.0
+    assert a[95.0] == 95.0 and a[99.0] == 95.0 and a[100.0] == 95.0
+    b = out.filter("g = 'b'").select("p_lo", "p_hi").first()
+    assert b.p_lo == 1.0 and b.p_hi == 19.0  # interpolated on 3 points
