@@ -126,6 +126,8 @@ _PRIORITY = [
     "join_fuzzy_names",           # edit-distance join, delete-1 blocking
     "pipe_weighted_sample",       # A-ES weighted sample w/o replacement
     "pipe_winsorize",             # per-group exact-percentile clamp
+    "agg_pivot_matrix",           # native PIVOT, explicit value list
+    "text_source_divergence",     # per-source unigram KL drift monitor
     # --- last checked r1 (predates all global dialect changes) ---
     "sort_topk",
     "agg_groupby_avg",

@@ -539,3 +539,48 @@ def agg_hll_sketch_merge(spark, sf_dir):
         )
     )
     return per_source.unionByName(total).orderBy("source")
+
+
+_PIVOT_LANGS = ("de", "en", "es", "fr", "zh")
+
+
+@query(
+    "agg_pivot_matrix",
+    oracle="""
+    SELECT source,
+    """ + ",\n    ".join(
+        f"CAST(sum(CASE WHEN lang = '{lg}' THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS {lg}_n,\n    "
+        f"round(avg(CASE WHEN lang = '{lg}' THEN n_chars END), 2)"
+        f" AS {lg}_chars"
+        for lg in _PIVOT_LANGS
+    ) + """
+    FROM documents GROUP BY source ORDER BY source
+    """,
+)
+def agg_pivot_matrix(spark, sf_dir):
+    """PIVOT: the (source x lang) matrix of document counts and mean
+    lengths via Spark's native `groupBy().pivot(values).agg()` — with
+    the value list EXPLICIT, the pivot compiles to one pass of
+    conditional aggregates (exactly the CASE expansion the oracle
+    writes out), no second scan, no distinct-values job. The
+    wide-matrix report every corpus dashboard starts from; a Spark
+    extension beyond the reference's surface (HeavyDB has no PIVOT —
+    users write the CASE form; both spellings work here)."""
+    d = T(spark, sf_dir, "documents")
+    p = (
+        d.groupBy("source")
+        .pivot("lang", list(_PIVOT_LANGS))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("n_chars"), 2).alias("chars"),
+        )
+    )
+    cols = [F.col("source")]
+    for lg in _PIVOT_LANGS:
+        # empty pivot cells: count is NULL, the oracle's CASE-sum is 0
+        cols.append(
+            F.coalesce(F.col(f"{lg}_n"), F.lit(0)).alias(f"{lg}_n")
+        )
+        cols.append(F.col(f"{lg}_chars"))
+    return p.select(*cols).orderBy("source")

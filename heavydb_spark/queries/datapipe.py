@@ -2836,3 +2836,75 @@ def pipe_winsorize(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "text_source_divergence",
+    oracle=r"""
+    WITH tok AS (
+        SELECT source, t.tkn AS token
+        FROM documents,
+             unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                x -> x <> '')) AS t(tkn)
+    ), st AS (
+        SELECT source, token, count(*) AS c_st FROM tok GROUP BY 1, 2
+    ), s AS (
+        SELECT source, CAST(sum(c_st) AS BIGINT) AS n_s,
+               CAST(count(*) AS BIGINT) AS v_s
+        FROM st GROUP BY source
+    ), t AS (
+        SELECT token, CAST(sum(c_st) AS BIGINT) AS c_t FROM st GROUP BY token
+    ), n AS (
+        SELECT CAST(sum(c_t) AS BIGINT) AS n_tot FROM t
+    )
+    SELECT st.source, any_value(s.n_s) AS n_tokens,
+           any_value(s.v_s) AS n_distinct,
+           round(sum((c_st * 1.0e0 / n_s)
+                     * ln((c_st * 1.0e0 / n_s) / (c_t * 1.0e0 / n_tot))),
+                 4) AS kl_vs_corpus
+    FROM st JOIN s USING (source) JOIN t USING (token) CROSS JOIN n
+    GROUP BY st.source ORDER BY st.source
+    """,
+)
+def text_source_divergence(spark, sf_dir):
+    """Per-source KL divergence of the unigram token distribution vs
+    the whole corpus — the drift/contamination monitor of corpus
+    mixing (a source whose KL spikes changed register or got
+    polluted). One explode, counts at (source, token), then an
+    equi-join on token to the corpus vocabulary counts (a keyed
+    shuffle join — the vocab table is NOT broadcast; at 100 TB it is
+    itself large) and one final per-source aggregate. Every
+    probability is a ratio of exact counts, so the only float work is
+    the final sum of p*ln terms, rounded at 4dp on both sides."""
+    d = T(spark, sf_dir, "documents")
+    tok = text._doc_spread(d, "doc_id").select(
+        "source",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), r"\s+"),
+                lambda x: x != F.lit(""),
+            )
+        ).alias("token"),
+    )
+    st = tok.groupBy("source", "token").agg(F.count(F.lit(1)).alias("c_st"))
+    s = st.groupBy("source").agg(
+        F.sum("c_st").alias("n_s"), F.count(F.lit(1)).alias("v_s")
+    )
+    t = st.groupBy("token").agg(F.sum("c_st").alias("c_t"))
+    n_tot = t.agg(F.sum("c_t").alias("n_tot"))
+    p_s = F.col("c_st") / F.col("n_s")
+    p_t = F.col("c_t") / F.col("n_tot")
+    return (
+        st.join(s, "source")
+        .join(t, "token")
+        .crossJoin(F.broadcast(n_tot))
+        .groupBy("source")
+        .agg(
+            F.first("n_s").alias("n_tokens"),
+            F.first("v_s").alias("n_distinct"),
+            F.round(F.sum(p_s * F.log(p_s / p_t)), 4).alias(
+                "kl_vs_corpus"
+            ),
+        )
+        .orderBy("source")
+    )

@@ -2944,3 +2944,29 @@ def test_winsorize_clamps_exact_bounds(spark):
     assert a[95.0] == 95.0 and a[99.0] == 95.0 and a[100.0] == 95.0
     b = out.filter("g = 'b'").select("p_lo", "p_hi").first()
     assert b.p_lo == 1.0 and b.p_hi == 19.0  # interpolated on 3 points
+
+
+def test_source_divergence_properties(spark):
+    """KL on a crafted corpus: a source identical to the corpus-wide
+    mix has KL ~0; a skewed source has strictly larger KL; all KLs
+    are non-negative (Gibbs)."""
+    from heavydb_spark.queries import QUERIES
+    import tempfile, os
+
+    rows = (
+        [(i, "a b c d", "en", "bal", 7) for i in range(20)]
+        + [(100 + i, "a a a a", "en", "skew", 7) for i in range(20)]
+        + [(200 + i, "a b c d", "en", "bal2", 7) for i in range(20)]
+    )
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    with tempfile.TemporaryDirectory() as td:
+        df.coalesce(1).write.parquet(os.path.join(td, "documents.parquet"))
+        out = {
+            r.source: r.kl_vs_corpus
+            for r in QUERIES["text_source_divergence"](spark, td).collect()
+        }
+    assert all(v >= 0 for v in out.values())
+    assert out["skew"] > out["bal"]
+    assert out["bal"] == out["bal2"] < 0.2
