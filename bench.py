@@ -67,6 +67,13 @@ BENCH_QUERIES = {
     # removal (disjoint segmentation -> 1/seg the explode of B26,
     # frequency groupBy + left-anti + one reassembly shuffle)
     "B27_boilerplate": "dedup_boilerplate_segments",
+    # final-r6 additions, self-baselined: as-of join (union + one
+    # per-key window, no join operator); fuzzy string join (delete-1
+    # variant explode + hash equi-join + levenshtein verify); per-source
+    # unigram KL (explode + token-keyed shuffle join to the vocab)
+    "B28_asof_join": "join_asof_backward",
+    "B29_fuzzy_join": "join_fuzzy_names",
+    "B30_source_divergence": "text_source_divergence",
 }
 
 

@@ -144,6 +144,19 @@ def main() -> None:
         # the plan stays linear (disjoint segments, left-anti, no
         # occurrence-pair join)
         "B27_boilerplate": "dedup_boilerplate_segments",
+        # final-r6 heads. B28: events scale as 10x USERS over the same
+        # time range — per-user as-of groups stay the same size, there
+        # are 10x more of them; the union+window must stay one shuffle.
+        # B29 is adversarial BY CONSTRUCTION (same class as B24): the
+        # 10 copies keep IDENTICAL c_names, so every name gains 9 exact
+        # twins and the TRUE pair count grows ~C(10,2)-fold — the
+        # hot-variant case the operator's collapse-exact-dups-first
+        # guidance exists for; growth here is output-driven, not plan
+        # waste. B30: 10x docs, same vocabulary shape — the token-keyed
+        # join and per-source agg must scale with corpus size.
+        "B28_asof_join": "join_asof_backward",
+        "B29_fuzzy_join": "join_fuzzy_names",
+        "B30_source_divergence": "text_source_divergence",
     }
     wanted = [a for a in sys.argv[1:] if not a.startswith("--")]
     if wanted:
