@@ -128,6 +128,7 @@ _PRIORITY = [
     "pipe_winsorize",             # per-group exact-percentile clamp
     "agg_pivot_matrix",           # native PIVOT, explicit value list
     "text_source_divergence",     # per-source unigram KL drift monitor
+    "pipe_split_no_leakage",      # cluster-routed train/val/test split
     # --- last checked r1 (predates all global dialect changes) ---
     "sort_topk",
     "agg_groupby_avg",

@@ -2908,3 +2908,55 @@ def text_source_divergence(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+@query(
+    "pipe_split_no_leakage",
+    oracle=f"""
+    WITH fp AS (
+        SELECT doc_id, md5(text) AS f FROM documents
+    ), rep AS (
+        SELECT f, min(doc_id) AS rep_id FROM fp GROUP BY f
+    ), assigned AS (
+        SELECT fp.doc_id, fp.f,
+               CASE WHEN ({pipeline.portable_hash_sql('rep_id')}) % 100 < 80
+                        THEN 'train'
+                    WHEN ({pipeline.portable_hash_sql('rep_id')}) % 100 < 90
+                        THEN 'val'
+                    ELSE 'test' END AS split
+        FROM fp JOIN rep USING (f)
+    )
+    SELECT split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT f) AS BIGINT) AS n_clusters,
+           min(doc_id) AS min_doc, max(doc_id) AS max_doc
+    FROM assigned GROUP BY split ORDER BY split
+    """,
+)
+def pipe_split_no_leakage(spark, sf_dir):
+    """Leakage-free train/val/test split: the split is decided by the
+    portable hash of each duplicate-cluster REPRESENTATIVE (min doc_id
+    per exact-text fingerprint), never the document itself — so
+    duplicates can never straddle train and eval, the failure mode
+    naive per-doc hashing has. 80/10/10, deterministic, replayed
+    exactly by the oracle. One fingerprint aggregate + an equi-join
+    back on the fingerprint (hash-partitioned both sides at 100 TB,
+    the exact-dedup shuffle key); the split expression is map-side."""
+    d = T(spark, sf_dir, "documents")
+    fp = d.select("doc_id", F.md5("text").alias("f"))
+    rep = fp.groupBy("f").agg(F.min("doc_id").alias("rep_id"))
+    h = pipeline.portable_hash(F.col("rep_id")) % 100
+    assigned = fp.join(rep, "f").withColumn(
+        "split",
+        F.when(h < 80, "train").when(h < 90, "val").otherwise("test"),
+    )
+    return (
+        assigned.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("f").alias("n_clusters"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("split")
+    )

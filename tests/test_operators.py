@@ -2970,3 +2970,28 @@ def test_source_divergence_properties(spark):
     assert all(v >= 0 for v in out.values())
     assert out["skew"] > out["bal"]
     assert out["bal"] == out["bal2"] < 0.2
+
+
+def test_split_no_leakage_clusters_stay_together(spark):
+    """pipe_split_no_leakage on a corpus with planted exact dups: every
+    duplicate cluster lands in exactly one split (the leakage guard),
+    all docs are assigned, and the assignment is deterministic."""
+    import tempfile, os
+
+    from heavydb_spark.queries import QUERIES
+    from pyspark.sql import functions as F
+    from heavydb_spark.operators import pipeline
+
+    rows = [(i, f"text {i % 30}", "en", "s", 7) for i in range(120)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    with tempfile.TemporaryDirectory() as td:
+        df.coalesce(1).write.parquet(os.path.join(td, "documents.parquet"))
+        out = QUERIES["pipe_split_no_leakage"](spark, td).collect()
+        # per-split cluster counts must sum to the global cluster count:
+        # a cluster straddling two splits would be counted twice
+        assert sum(r.n_clusters for r in out) == 30
+        assert sum(r.n_docs for r in out) == 120
+        rerun = QUERIES["pipe_split_no_leakage"](spark, td).collect()
+        assert sorted(map(tuple, out)) == sorted(map(tuple, rerun))
