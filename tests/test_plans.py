@@ -534,3 +534,55 @@ def test_pq_encode_plan_pure_codegen(spark):
     assert "BatchEvalPython" not in s, s
     assert "ArrowEvalPython" not in s, s
     assert "Join" not in s, s
+
+
+def test_asof_join_plan_single_shuffle_no_join(spark):
+    """join_asof_backward: the union+window as-of has NO join operator
+    at all and exactly one wide exchange (the per-key window
+    partitioning; the terminal order-by adds a range partition, never
+    a second hash of the data)."""
+    df = QUERIES["join_asof_backward"](spark, SF_DIR)
+    s = checks.plan_string(df, "simple")
+    assert "Join" not in s, s
+    assert "Window" in s, s
+    assert s.count("hashpartitioning") <= 1, s
+
+
+def test_fuzzy_join_plan_equi_join_only(spark):
+    """join_fuzzy_names: candidate generation must be a hash/sort-merge
+    EQUI-join on the variant — never a cartesian or broadcast
+    nested-loop over the inputs — and the explode is map-side."""
+    df = QUERIES["join_fuzzy_names"](spark, SF_DIR)
+    s = checks.plan_string(df, "simple")
+    assert "CartesianProduct" not in s, s
+    assert "BroadcastNestedLoopJoin" not in s, s
+    assert "Generate explode" in s or "Generate" in s, s
+
+
+def test_bm25_plan_broadcast_stats_topk(spark):
+    """text_bm25_topk: corpus stats reduce to ONE broadcast row and the
+    ranking is TakeOrderedAndProject — no global sort, no Python."""
+    df = QUERIES["text_bm25_topk"](spark, SF_DIR)
+    s = checks.plan_string(df, "simple")
+    assert "TakeOrderedAndProject" in s, s
+    assert "BroadcastExchange" in s or "BroadcastNestedLoopJoin" in s, s
+    assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s, s
+
+
+def test_zorder_layout_plan_range_partition(spark):
+    """geo_zorder_layout: the layout pass must RANGE-partition on the
+    z key (the clustered-write shape) and the z key itself is pure
+    codegen — no Python eval nodes."""
+    df = QUERIES["geo_zorder_layout"](spark, SF_DIR)
+    s = checks.plan_string(df, "simple")
+    assert "rangepartitioning" in s.lower(), s
+    assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s, s
+
+
+def test_weighted_sample_plan_take_ordered(spark):
+    """pipe_weighted_sample: selection is per-partition top-k + k-row
+    merge (TakeOrderedAndProject), never a global sort/shuffle."""
+    df = QUERIES["pipe_weighted_sample"](spark, SF_DIR)
+    s = checks.plan_string(df, "simple")
+    assert "TakeOrderedAndProject" in s, s
+    assert "Exchange" not in s.replace("BroadcastExchange", ""), s
