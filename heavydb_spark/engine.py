@@ -919,8 +919,17 @@ class Engine:
         self.spark = apply_runtime_conf(spark)
         register_all(self.spark)
         self._servers: dict[str, tuple[str, dict]] = {
-            k: (w, dict(o)) for k, (w, o) in _DEFAULT_SERVERS.items()
+            k: (w, dict(o)) for (k, (w, o)) in _DEFAULT_SERVERS.items()
         }
+        # Result-set recycling (ResultSetRecyclerHolder.cpp,
+        # QueryPlanDagCache.cpp): opt-in via ALTER SESSION SET
+        # RESULT_CACHE='on' or `engine.result_cache = True`. Keyed by
+        # the dialect-rewritten SQL text; entries are Spark-cached
+        # DataFrames, invalidated wholesale by any mutating statement
+        # through sql()/attach() (the reference invalidates by table
+        # epoch; wholesale is the conservative single-user equivalent).
+        self.result_cache: bool = False
+        self._result_cache_entries: dict[str, DataFrame] = {}
 
     @classmethod
     def local(cls, **kwargs) -> "Engine":
@@ -931,7 +940,16 @@ class Engine:
         """Register the driver fixture tables as temp views."""
         catalog.register_views(self.spark, sf_dir)
         self._attached_dir = sf_dir
+        self._invalidate_result_cache()
         return self
+
+    def _invalidate_result_cache(self) -> None:
+        for df in self._result_cache_entries.values():
+            try:
+                df.unpersist()
+            except Exception:  # session torn down mid-invalidation
+                pass
+        self._result_cache_entries.clear()
 
     def table(self, name: str) -> DataFrame:
         return self.spark.table(name)
@@ -998,6 +1016,19 @@ class Engine:
         (executeUpdate/executeDelete, RelAlgExecutor.cpp:2163,:2327)
         and return a one-row `rows_affected` DataFrame.
         """
+        if self._result_cache_entries:
+            # result-set recycling: any statement that can change data
+            # or catalog state drops every cached result (the reference
+            # invalidates per table epoch; wholesale is the safe
+            # single-user equivalent). Read-only leading keywords keep
+            # the cache warm.
+            head = query.lstrip().split(None, 1)
+            kw = head[0].upper() if head else ""
+            if kw not in (
+                "SELECT", "WITH", "SHOW", "EXPLAIN", "DESCRIBE",
+                "VALIDATE", "EVALUATE", "VALUES",
+            ):
+                self._invalidate_result_cache()
         m = _EXPLAIN_RE.match(query)
         if m:
             return self._explain_statement(m.group(1), m.group(2))
@@ -1151,9 +1182,15 @@ class Engine:
             )
             query = m.group(1) + defs + m.group(3)
         query, hints = _extract_query_hints(query)
-        df = self.spark.sql(
-            dialect.rewrite(query, type_of=self._type_resolver(query))
-        )
+        rewritten = dialect.rewrite(query, type_of=self._type_resolver(query))
+        if self.result_cache and not hints:
+            hit = self._result_cache_entries.get(rewritten)
+            if hit is not None:
+                return hit
+            df = self.spark.sql(rewritten).cache()
+            self._result_cache_entries[rewritten] = df
+            return df
+        df = self.spark.sql(rewritten)
         return self._apply_query_hints(df, hints)
 
     def _fsi_or_session_statement(self, query: str):
@@ -2401,6 +2438,15 @@ class Engine:
                 )
         elif key == "current_database":
             self.spark.catalog.setCurrentDatabase(val)
+        elif key == "result_cache":
+            on = val.strip().lower()
+            if on not in ("on", "off", "true", "false"):
+                raise ValueError(
+                    f"RESULT_CACHE must be on/off, got {val!r}"
+                )
+            self.result_cache = on in ("on", "true")
+            if not self.result_cache:
+                self._invalidate_result_cache()
         elif key.startswith("spark."):
             self.spark.conf.set(param, val)
         else:

@@ -2042,3 +2042,33 @@ def test_alter_database_rename_emulation(engine):
     finally:
         spark.sql("DROP DATABASE IF EXISTS rn_b CASCADE")
         spark.sql("DROP DATABASE IF EXISTS rn_a CASCADE")
+
+
+def test_result_cache_recycling(engine):
+    """Result-set recycling (ResultSetRecyclerHolder.cpp analogue):
+    with RESULT_CACHE on, an identical SELECT returns the SAME cached
+    DataFrame (InMemoryRelation in its plan); any mutating statement
+    invalidates; OFF clears and disables."""
+    engine.sql("ALTER SESSION SET RESULT_CACHE='on'")
+    try:
+        q = "SELECT count(*) AS n FROM nation"
+        a = engine.sql(q)
+        b = engine.sql(q)
+        assert a is b
+        assert a.storageLevel.useMemory
+        # a different statement caches separately
+        c = engine.sql("SELECT count(*) AS n FROM region")
+        assert c is not a
+        # any mutating statement drops the cache wholesale
+        engine.sql("CREATE TABLE __rc_probe AS SELECT 1 AS x")
+        try:
+            d = engine.sql(q)
+            assert d is not a
+        finally:
+            engine.sql("DROP TABLE IF EXISTS __rc_probe")
+        engine.sql("ALTER SESSION SET RESULT_CACHE='off'")
+        e = engine.sql(q)
+        f = engine.sql(q)
+        assert e is not f
+    finally:
+        engine.sql("ALTER SESSION SET RESULT_CACHE='off'")
