@@ -129,6 +129,7 @@ _PRIORITY = [
     "agg_pivot_matrix",           # native PIVOT, explicit value list
     "text_source_divergence",     # per-source unigram KL drift monitor
     "pipe_split_no_leakage",      # cluster-routed train/val/test split
+    "tpcds_q78_channel_ratio",    # returns-excluded FULL-JOIN ratio
     # --- last checked r1 (predates all global dialect changes) ---
     "sort_topk",
     "agg_groupby_avg",

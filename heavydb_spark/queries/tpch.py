@@ -1954,3 +1954,95 @@ def tpcds_q59_wow_ratio(spark, sf_dir):
         )
         .orderBy("priority", "base_year", "wk")
     )
+
+
+@query(
+    "tpcds_q78_channel_ratio",
+    oracle="""
+    WITH ret AS (
+        SELECT DISTINCT l_orderkey, l_partkey
+        FROM lineitem WHERE l_returnflag = 'R'
+    ), kept AS (
+        SELECT l.l_orderkey, l.l_partkey, l.l_linenumber,
+               CAST(extract(year FROM l.l_shipdate) AS INT) AS yr,
+               l.l_quantity
+        FROM lineitem l LEFT JOIN ret
+          ON l.l_orderkey = ret.l_orderkey
+         AND l.l_partkey = ret.l_partkey
+        WHERE ret.l_orderkey IS NULL
+    ), store AS (
+        SELECT yr, l_partkey, CAST(sum(l_quantity) AS BIGINT) AS qty
+        FROM kept WHERE l_linenumber % 2 = 1 GROUP BY 1, 2
+    ), web AS (
+        SELECT yr, l_partkey, CAST(sum(l_quantity) AS BIGINT) AS qty
+        FROM kept WHERE l_linenumber % 2 = 0 GROUP BY 1, 2
+    )
+    SELECT COALESCE(s.yr, w.yr) AS yr,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(count(CASE WHEN s.qty IS NOT NULL AND w.qty IS NOT NULL
+                           THEN 1 END) AS BIGINT) AS n_both,
+           CAST(sum(COALESCE(s.qty, 0)) AS BIGINT) AS store_qty,
+           CAST(sum(COALESCE(w.qty, 0)) AS BIGINT) AS web_qty,
+           round(avg(CASE WHEN s.qty IS NOT NULL AND w.qty IS NOT NULL
+                          THEN s.qty * 1.0e0 / w.qty END), 4)
+               AS avg_store_web_ratio
+    FROM store s FULL JOIN web w
+      ON s.yr = w.yr AND s.l_partkey = w.l_partkey
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def tpcds_q78_channel_ratio(spark, sf_dir):
+    """TPC-DS Q78 shape: returns-excluded cross-channel ratio — sales
+    LEFT JOINed to the returns set on (order, part) and kept only
+    where no return matched (the IS NULL anti pattern Q78 uses on
+    catalog/store returns), split into two channels, per-(year, part)
+    aggregates FULL OUTER joined across channels, and the store/web
+    quantity ratio averaged per year. The anti filter runs BEFORE
+    either channel aggregate (one pass over the fact); the FULL join
+    is aggregate-sized on both sides and hash-partitions on its join
+    prefix."""
+    l = T(spark, sf_dir, "lineitem")
+    ret = (
+        l.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    kept = (
+        l.join(ret, ["l_orderkey", "l_partkey"], "left_anti")
+        .select(
+            "l_orderkey", "l_partkey", "l_linenumber",
+            F.year("l_shipdate").alias("yr"),
+            "l_quantity",
+        )
+        .localCheckpoint(eager=False)
+    )
+    def chan(parity):
+        return (
+            kept.filter(F.col("l_linenumber") % 2 == parity)
+            .groupBy("yr", "l_partkey")
+            .agg(F.sum("l_quantity").cast("long").alias("qty"))
+        )
+    s, w = chan(1).alias("s"), chan(0).alias("w")
+    both = F.col("s.qty").isNotNull() & F.col("w.qty").isNotNull()
+    return (
+        s.join(
+            w,
+            (F.col("s.yr") == F.col("w.yr"))
+            & (F.col("s.l_partkey") == F.col("w.l_partkey")),
+            "full_outer",
+        )
+        .groupBy(F.coalesce(F.col("s.yr"), F.col("w.yr")).alias("yr"))
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.count(F.when(both, 1)).alias("n_both"),
+            F.sum(F.coalesce(F.col("s.qty"), F.lit(0))).alias("store_qty"),
+            F.sum(F.coalesce(F.col("w.qty"), F.lit(0))).alias("web_qty"),
+            F.round(
+                F.avg(
+                    F.when(both, F.col("s.qty") / F.col("w.qty"))
+                ),
+                4,
+            ).alias("avg_store_web_ratio"),
+        )
+        .orderBy("yr")
+    )
