@@ -2886,7 +2886,13 @@ def text_source_divergence(spark, sf_dir):
             )
         ).alias("token"),
     )
-    st = tok.groupBy("source", "token").agg(F.count(F.lit(1)).alias("c_st"))
+    st = (
+        tok.groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("c_st"))
+        # consumed three times (per-source totals, vocab totals, the
+        # final join) — checkpoint so the explode+count runs once
+        .localCheckpoint(eager=False)
+    )
     s = st.groupBy("source").agg(
         F.sum("c_st").alias("n_s"), F.count(F.lit(1)).alias("v_s")
     )
