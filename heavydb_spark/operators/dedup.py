@@ -1098,6 +1098,10 @@ def fuzzy_string_pairs(
             f"concat(substr({s_col}, 1, i - 1), substr({s_col}, i + 1)))"
         ),
     )
+    # both join sides recompute the variant explode — measured the
+    # same as localCheckpoint at sf0.1 (the explode is cheaper than
+    # materializing the variant table), and the visible Generate keeps
+    # the plan assertion (tests/test_plans.py) honest
     v = _spread(
         df.select(F.col(id_col), s.alias("__s"), variants.alias("__vars")),
         id_col,
