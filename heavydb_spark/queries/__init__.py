@@ -130,6 +130,7 @@ _PRIORITY = [
     "text_source_divergence",     # per-source unigram KL drift monitor
     "pipe_split_no_leakage",      # cluster-routed train/val/test split
     "tpcds_q78_channel_ratio",    # returns-excluded FULL-JOIN ratio
+    "tpcds_q72_followup_orders",  # date-band residual equi-join
     # --- last checked r1 (predates all global dialect changes) ---
     "sort_topk",
     "agg_groupby_avg",

@@ -2046,3 +2046,60 @@ def tpcds_q78_channel_ratio(spark, sf_dir):
         )
         .orderBy("yr")
     )
+
+
+@query(
+    "tpcds_q72_followup_orders",
+    oracle="""
+    WITH pairs AS (
+        SELECT a.o_orderkey AS base_key, a.o_orderpriority AS priority,
+               count(*) AS n_follow
+        FROM orders a JOIN orders b
+          ON a.o_custkey = b.o_custkey
+         AND b.o_orderdate > a.o_orderdate
+         AND b.o_orderdate <= a.o_orderdate + INTERVAL 30 DAY
+        GROUP BY 1, 2
+    )
+    SELECT priority,
+           CAST(count(*) AS BIGINT) AS n_base_orders,
+           CAST(sum(n_follow) AS BIGINT) AS n_followups,
+           round(avg(n_follow), 4) AS avg_followups
+    FROM pairs GROUP BY priority ORDER BY priority
+    """,
+)
+def tpcds_q72_followup_orders(spark, sf_dir):
+    """TPC-DS Q72-class date-offset join: for each order, the same
+    customer's follow-up orders within 30 days — an equi-join on the
+    customer key carrying a date-band inequality as the join residual
+    (the reference plans this the same way: hash on the equi key,
+    band as a post-probe qual — never a loop join; per-customer
+    groups are small, so the residual fan-out is bounded)."""
+    o = T(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
+    )
+    a, b = o.alias("a"), o.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.o_custkey") == F.col("b.o_custkey"))
+            & (F.col("b.o_orderdate") > F.col("a.o_orderdate"))
+            & (
+                F.col("b.o_orderdate")
+                <= F.date_add(F.col("a.o_orderdate"), 30)
+            ),
+        )
+        .groupBy(
+            F.col("a.o_orderkey").alias("base_key"),
+            F.col("a.o_orderpriority").alias("priority"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_follow"))
+    )
+    return (
+        pairs.groupBy("priority")
+        .agg(
+            F.count(F.lit(1)).alias("n_base_orders"),
+            F.sum("n_follow").alias("n_followups"),
+            F.round(F.avg("n_follow"), 4).alias("avg_followups"),
+        )
+        .orderBy("priority")
+    )
