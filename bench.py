@@ -134,22 +134,32 @@ def main() -> None:
             file=sys.stderr,
         )
 
-    total = round(sum(results.values()), 4)
+    total = round(sum(results.values()), 3)
+    # Diagnostics (cold map + row counts) go on their OWN line first;
+    # the summary prints LAST as ONE compact line (separators, 3-dp)
+    # so a bounded tail capture always contains the complete object
+    # (the r6 driver artifact truncated a single long line mid-object).
+    print(
+        json.dumps(
+            {"cold": {k: round(v, 3) for k, v in cold.items()},
+             "rows": rows},
+            separators=(",", ":"),
+        )
+    )
     print(
         json.dumps(
             {
                 "metric": "bench_suite_median_total",
                 "value": total,
                 "unit": "sec",
-                "queries": results,
+                "queries": {k: round(v, 3) for k, v in results.items()},
                 "sf": sf,
-                "cold": cold,
-                "rows": rows,
                 "iterations": ITERATIONS,
                 "load_avg_start": round(load_start, 2),
                 "load_avg_end": round(os.getloadavg()[0], 2),
                 "cpus": os.cpu_count(),
-            }
+            },
+            separators=(",", ":"),
         )
     )
     spark.stop()

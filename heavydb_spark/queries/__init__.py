@@ -37,87 +37,32 @@ from heavydb_spark.queries import (  # noqa: F401,E402
 # Registration-order priority.
 #
 # The verify driver correctness-checks queries in registration order with a
-# bounded budget (~50 per round).  r1-r5 union: all 193 pre-r6 queries
-# driver-checked at least once, 2 reds (HUGEINT-fragile oracles, fixed in
-# r6).  Round-6 window composition, per the r5 verdict:
-#   1-2  the two r5 reds with their driver-robust (BIGINT-cast) oracles;
-#   3-10 the r6 additions (int-division dialect closeout, TPC-DS
-#        q67/q64/q49/q38, datum shifts, grouping sets, FILTER clause);
-#   11-18 the late-r6 additions (shared-run / semantic / classifier /
-#        perplexity pipeline ops, TPC-DS q1/q93, model-filter chain) —
-#        never driver-checked, so they must sit inside the window;
-#   19-30 the end-of-r6 additions (span rewrite, temperature mixing,
-#        vocab/tf-idf/overlap analytics, TPC-DS q23/q95, BPE train +
-#        first-merge contract) — never driver-checked, same rule; they
-#        push the tail of the r1-stale block (~9 window_* entries,
-#        re-greened by family representatives in r5) out to round 7;
-#   then the final-session r6 additions (BM25 / chunking / hybrid
-#        retrieval, HLL sketch rollup, TPC-DS q59, Z-order layout,
-#        as-of join) — never driver-checked; with these the
-#        never-checked block slightly overflows a 50-query window, so
-#        its tail plus the whole r1-stale block rotate to round 7;
+# bounded budget (~50 per round).  Driver union r1-r6: 241/254 checked;
+# the 13 final-session r6 additions never sat in a window (judge-replayed
+# hash-green at sf0.01 in the r6 verdict, but the driver green is the
+# signal that counts).  Round-7 window composition, per the r6 verdict:
+#   1-3   the three r6 driver reds with their driver-robust result types
+#         (guarded_div now DOUBLE via 1.0e0; quantize/PQ codes projected
+#         as CSV strings instead of raw arrays);
+#   4-16  the 13 never-driver-checked r6 queries (registry positions
+#         50-62 last round — the window ended at 50);
+#   then any net-new r7 queries (capped: the §2 surface is closed, r7 is
+#         consolidation — verdict item #5);
 #   then every query whose last driver check was ROUND 1 — all 29 predate
 #        the r4/r5 global dialect changes (null collation, quoted
-#        identifiers, now int division) and several go through Engine.sql
+#        identifiers, int division) and several go through Engine.sql
 #        with un-annotated ORDER BYs (sort_topk, agg_groupby_*, subquery_*);
-#   then r2-checked queries up to the ~50 budget (dedup/fn_*/geo slice
-#        doubles as the rows-only rotation for dedup_simhash);
+#   then r2-checked queries filling the ~50 budget (fn_* slice);
 #   past the window: remaining r2/r3-checked stale queries first so an
-#        over-budget driver keeps eating staleness, then the r4/r5 greens.
+#        over-budget driver keeps eating staleness, then the r4-r6 greens
+#        (freshest last) in registration order.
 # ---------------------------------------------------------------------------
 _PRIORITY = [
-    # --- the two r5 reds, oracles now HUGEINT-free (verdict item 1) ---
-    "pipe_corpus_report",
-    "pipe_mix_token_budget",
-    # --- round-6 additions ---
-    "sql_dialect_int_division",   # C-style int/int division closeout
-    "tpcds_q67_rollup_rank",      # ROLLUP + rank over grouping levels
-    "tpcds_q64_cross_year_sales", # wide multi-CTE self-join
-    "geo_transform_datum",        # Helmert datum shifts (OSGB36/ED50)
-    "agg_grouping_sets",          # explicit GROUPING SETS + GROUPING()
-    "tpcds_q49_ranked_returns",   # dual-ranked worst-return items
-    "tpcds_q38_triple_intersect", # INTERSECT-chain channel overlap
-    "agg_filter_clause",          # SQL:2003 FILTER (WHERE ...) aggregates
-    "dedup_shared_run",           # exact-substring shared-run dedup
-    "sim_semantic_dedup",         # SemDeDup-shaped semantic dedup
-    "text_quality_classifier",    # hashed-linear quality classifier
-    "tpcds_q1_returns_above_avg", # correlated group-average returns
-    "tpcds_q93_net_after_returns",# returns-adjusted net sales
-    "text_lm_perplexity",         # bigram-LM perplexity filter
-    "pipe_model_filter_chain",    # composed model-based curation chain
-    "sim_semantic_dedup_kmeans",  # paper-faithful SemDeDup (rows-only)
-    "sim_semantic_kmeans_invariants",  # its exact contract companion
-    "pipe_dsir_select",           # DSIR target-domain data selection
-    "dedup_span_rewrite",         # ExactSubstr span-removal corpus edit
-    "pipe_mix_temperature",       # q_s ∝ n_s^alpha temperature mixing
-    "text_ngram_vocab",           # Zipf-head bigram vocabulary report
-    "text_tfidf_topterms",        # per-doc tf-idf keyword extraction
-    "pipe_source_overlap",        # cross-source shingle-overlap matrix
-    "tpcds_q23_frequent_best",    # frequent-items x best-customers CTEs
-    "tpcds_q95_returned_multi_supplier",  # double-EXISTS decorrelation
-    "text_bpe_first_merge",       # BPE round-1 contract (exact oracle)
-    "text_bpe_train",             # iterative BPE trainer (rows-only)
-    "pipe_shard_assign",          # deterministic loader sharding
-    "sim_label_centroids",        # per-label embedding coherence QA
-    "text_gopher_filter",         # Gopher-rule composite doc filter
-    "pipe_curation_v2",           # gopher→span-rewrite→mix→shard chain
-    "dedup_boilerplate_segments", # CCNet repeated-segment removal edit
-    "text_bpe_encode_contract",   # BPE merge-application exact contract
-    "text_bpe_encode",            # trained-merge corpus encode (rows-only)
-    "text_bpe_encode_invariants", # its algebraic contract companion
-    "tpcds_q17_quantity_variability",  # CV from exact moment sums
-    "tpcds_q34_frequent_buyer_band",   # HAVING-band then dim join-back
-    "sim_scalar_quantize",        # SQ8 embedding codec + quality report
-    "sim_pq_encode",              # PQ codes + recon report (rows-only)
-    "sim_pq_invariants",          # PQ algebraic contract companion
-    "pipe_tokenize_pack",         # BPE-count packing chain (exact oracle)
-    "sql_dialect_geo_predicates", # reference-name geo/render closeouts
-    "text_heavy_hitters",         # MG two-pass exact top-k + certificate
-    "sim_ann_ivfpq",              # IVF-PQ composite ANN (rows-only)
-    "sim_ann_ivfpq_invariants",   # its planted-copy/subset contract
-    "pipe_epoch_oversample",      # fractional-epoch recipe replication
-    "text_bm25_topk",             # Okapi BM25 ranked retrieval
-    "text_chunk_windows",         # overlapping token-window chunking
+    # --- the three r6 reds, result types now driver-robust ---
+    "sql_dialect_int_division",   # guarded_div DOUBLE on both engines
+    "sim_scalar_quantize",        # codes -> codes_csv string projection
+    "sim_pq_encode",              # codes -> codes_csv string projection
+    # --- the 13 never-driver-checked r6 queries ---
     "sim_hybrid_retrieval",       # BM25 recall -> cosine rerank
     "agg_hll_sketch_merge",       # mergeable HLL sketch rollup
     "tpcds_q59_wow_ratio",        # week-over-week CTE self-join
@@ -131,6 +76,7 @@ _PRIORITY = [
     "pipe_split_no_leakage",      # cluster-routed train/val/test split
     "tpcds_q78_channel_ratio",    # returns-excluded FULL-JOIN ratio
     "tpcds_q72_followup_orders",  # date-band residual equi-join
+    # --- net-new r7 queries (consolidation only) ---
     # --- last checked r1 (predates all global dialect changes) ---
     "sort_topk",
     "agg_groupby_avg",

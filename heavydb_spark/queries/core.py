@@ -249,7 +249,7 @@ def null_handling(spark, sf_dir):
            l_orderkey // 4 AS col_lit_div,
            (l_partkey + l_suppkey) // 3 AS expr_div,
            round(l_quantity / 2, 6) AS frac_div,
-           round(l_orderkey * 1.0 / l_linenumber, 6) AS guarded_div
+           round(l_orderkey * 1.0e0 / l_linenumber, 6) AS guarded_div
     FROM lineitem WHERE l_orderkey < 200
     ORDER BY l_orderkey, l_linenumber
     """,
@@ -261,8 +261,11 @@ def sql_dialect_int_division(spark, sf_dir):
     truncates toward zero — int columns, int literals, a negative
     literal, and an additive int expression all integer-divide, while a
     DOUBLE operand (l_quantity) or a float factor anywhere in the left
-    multiplicative chain (l_orderkey * 1.0) keeps Spark's fractional
-    division.  The dialect proves operand types via the Engine's
+    multiplicative chain (l_orderkey * 1.0e0 — the exponent form keeps
+    the result DOUBLE on both engines; a plain `1.0` is DECIMAL in
+    Spark, which the driver canonicalizer stringifies differently from
+    the oracle's DOUBLE even when values match) keeps Spark's
+    fractional division.  The dialect proves operand types via the Engine's
     attached-schema resolver and emits Spark `DIV` (IntegralDivide —
     the same trunc-toward-zero as C++ and DuckDB's `//`)."""
     from heavydb_spark.engine import Engine
@@ -276,7 +279,7 @@ def sql_dialect_int_division(spark, sf_dir):
                l_orderkey / 4 AS col_lit_div,
                (l_partkey + l_suppkey) / 3 AS expr_div,
                ROUND(l_quantity / 2, 6) AS frac_div,
-               ROUND(l_orderkey * 1.0 / l_linenumber, 6) AS guarded_div
+               ROUND(l_orderkey * 1.0e0 / l_linenumber, 6) AS guarded_div
         FROM lineitem WHERE l_orderkey < 200
         ORDER BY l_orderkey, l_linenumber
     """)

@@ -251,7 +251,7 @@ def sim_ann_lsh(spark, sf_dir):
                    abs(v[i] - deq[i])) AS err
         FROM dq
     )
-    SELECT vec_id, codes,
+    SELECT vec_id, array_to_string(codes, ',') AS codes_csv,
            floor(list_aggregate(err, 'max') * 1.0e6 + 0.5) / 1.0e6
                AS max_abs_err,
            floor(list_sum(list_transform(err, x -> x * x)) / 64
@@ -270,11 +270,24 @@ def sim_scalar_quantize(spark, sf_dir):
     cosine of dequantized vs original) a recall-vs-memory decision
     reads. Exact oracle: the per-dim stats, half-up code rounding
     (stable floor form), dequantization, and index-ordered error
-    folds replay identically in DuckDB list arithmetic."""
+    folds replay identically in DuckDB list arithmetic.  The result
+    projects the codes as a CSV string (`codes_csv`) — the driver's
+    pandas canonicalizer cannot sort array-typed columns (r6 ERR);
+    the array form stays in the operator API."""
     e = T(spark, sf_dir, "embeddings")
-    return similarity.scalar_quantize(
-        e, "embedding", "vec_id", bits=8
-    ).orderBy("vec_id")
+    return (
+        similarity.scalar_quantize(e, "embedding", "vec_id", bits=8)
+        .select(
+            "vec_id",
+            F.array_join(F.col("codes").cast("array<string>"), ",").alias(
+                "codes_csv"
+            ),
+            "max_abs_err",
+            "mse",
+            "cos_dequant",
+        )
+        .orderBy("vec_id")
+    )
 
 
 @query("sim_pq_encode")  # sampled-Lloyd codebooks — rows-only check
@@ -287,12 +300,22 @@ def sim_pq_encode(spark, sf_dir):
     driver sample (the FAISS regime); encoding is inline-literal JVM
     argmin per subspace — codegen over the scan, no Python on
     executors. Iterative trained model -> rows-only; the algebraic
-    contract lives in `sim_pq_invariants`."""
+    contract lives in `sim_pq_invariants`.  Codes project as a CSV
+    string (`codes_csv`) — raw arrays crash the driver canonicalizer
+    (r6 ERR); the array form stays in the operator API."""
     e = T(spark, sf_dir, "embeddings")
     books = similarity.pq_train(e, "embedding", "vec_id")
-    return similarity.pq_reconstruction(
-        e, "embedding", books, "vec_id"
-    ).orderBy("vec_id")
+    return (
+        similarity.pq_reconstruction(e, "embedding", books, "vec_id")
+        .select(
+            "vec_id",
+            F.array_join(F.col("codes").cast("array<string>"), ",").alias(
+                "codes_csv"
+            ),
+            "recon_sq_err",
+        )
+        .orderBy("vec_id")
+    )
 
 
 @query(

@@ -6,6 +6,7 @@ Mirrors the reference's SQLiteComparator harness
 
 from __future__ import annotations
 
+import decimal
 import math
 import os
 import sys
@@ -52,7 +53,13 @@ def ddb():
 
 def canonical(rows, ndigits=6):
     """Canonicalize result rows for cross-engine comparison: floats
-    rounded, everything stringified, row order insensitive."""
+    rounded, everything stringified, row order insensitive.
+
+    Driver-faithful Decimal handling (r6 verdict #7): the external
+    driver's pandas canon stringifies a DECIMAL differently from a
+    DOUBLE even when values are equal (Decimal('0.800000') vs 0.8), so
+    a Spark-DECIMAL-vs-oracle-DOUBLE result must FAIL locally too —
+    Decimals get a distinct tag instead of the float format."""
     out = []
     for row in rows:
         vals = []
@@ -62,12 +69,87 @@ def canonical(rows, ndigits=6):
                     vals.append("nan")
                 else:
                     vals.append(f"{round(v, ndigits):.{ndigits}f}")
+            elif isinstance(v, decimal.Decimal):
+                vals.append(f"decimal:{v}")
             elif v is None:
                 vals.append("<null>")
             else:
                 vals.append(str(v))
         out.append(tuple(vals))
     return sorted(out)
+
+
+# ------------------------------------------------------------------
+# Result-type classification (r6 verdict #2): the driver's pandas
+# canonicalizer is type-sensitive — HUGEINT, array-typed columns, and
+# decimal-vs-double class mismatches all flip the hash or crash the
+# sort even when values are identical.  Both engines' RESULT
+# projections must land in the same boring type class.
+
+_NESTED_SPARK = {"array", "map", "struct"}
+
+
+def spark_type_class(dt) -> str:
+    t = dt.typeName()
+    if t in ("byte", "short", "integer", "long"):
+        return "int"
+    if t in ("float", "double"):
+        return "float"
+    if t.startswith("decimal"):
+        return "decimal"
+    if t in _NESTED_SPARK:
+        return "nested"
+    if t.startswith("timestamp"):
+        return "timestamp"
+    return t  # string, boolean, date, binary, ...
+
+
+def duck_type_class(t) -> str:
+    s = str(t).upper()
+    if s in ("HUGEINT", "INT128", "UHUGEINT"):
+        return "hugeint"  # never acceptable — distinct class by design
+    if s in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT", "UTINYINT",
+             "USMALLINT", "UINTEGER", "UBIGINT"):
+        return "int"
+    if s in ("FLOAT", "REAL", "DOUBLE"):
+        return "float"
+    if s.startswith("DECIMAL"):
+        return "decimal"
+    if s.endswith("[]") or s.startswith(("LIST", "STRUCT", "MAP", "ARRAY")):
+        return "nested"
+    if s.startswith("TIMESTAMP"):
+        return "timestamp"
+    return {
+        "VARCHAR": "string", "BOOLEAN": "boolean", "DATE": "date",
+        "BLOB": "binary",
+    }.get(s, s.lower())
+
+
+def assert_result_types_driver_safe(name, sdf, orel):
+    """Three per-column assertions over the RESULT projections:
+    (a) no HUGEINT oracle column, (b) no array/list-typed column on
+    either side, (c) Spark dtype class == oracle dtype class."""
+    s_cls = {f.name.lower(): spark_type_class(f.dataType)
+             for f in sdf.schema.fields}
+    o_cls = {c.lower(): duck_type_class(t)
+             for c, t in zip(orel.columns, orel.types)}
+    hug = [c for c, k in o_cls.items() if k == "hugeint"]
+    assert not hug, (
+        f"{name}: oracle emits HUGEINT column(s) {hug}; "
+        "CAST(... AS BIGINT) in the oracle SQL"
+    )
+    nested = [c for c, k in {**s_cls, **o_cls}.items() if k == "nested"]
+    assert not nested, (
+        f"{name}: array/struct-typed RESULT column(s) {nested} crash "
+        "the driver canonicalizer — project array_join(...) instead"
+    )
+    diff = {
+        c: (s_cls[c], o_cls[c])
+        for c in s_cls if c in o_cls and s_cls[c] != o_cls[c]
+    }
+    assert not diff, (
+        f"{name}: result dtype class mismatch (spark, oracle): {diff}"
+    )
 
 
 def compare_query(spark, ddb, name: str, sf_dir: str = SF_DIR):
@@ -80,6 +162,7 @@ def compare_query(spark, ddb, name: str, sf_dir: str = SF_DIR):
     scols = [c.lower() for c in sdf.columns]
 
     ores = ddb.sql(ORACLES[name])
+    assert_result_types_driver_safe(name, sdf, ores)
     orows = ores.fetchall()
     ocols = [c.lower() for c in ores.columns]
 

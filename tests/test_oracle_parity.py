@@ -26,7 +26,12 @@ def test_oracle_parity(spark, ddb, name):
 
 def test_all_queries_run(spark):
     """Queries without an oracle still must execute and return rows>=0
-    with a stable schema."""
+    with a stable schema — and (r6 verdict) their RESULT projection
+    must not contain array/struct-typed columns either: the driver's
+    rows-only canon pandas-sorts the result and dies on unhashable
+    lists (the r6 `sim_pq_encode` ERR)."""
+    from tests.conftest import spark_type_class
+
     from heavydb_spark.queries import ORACLES, QUERIES
 
     for name, fn in QUERIES.items():
@@ -34,6 +39,14 @@ def test_all_queries_run(spark):
             continue
         df = fn(spark, SF_DIR)
         assert df.columns, name
+        nested = [
+            f.name for f in df.schema.fields
+            if spark_type_class(f.dataType) == "nested"
+        ]
+        assert not nested, (
+            f"{name}: rows-only result has array/struct column(s) "
+            f"{nested} — the driver canon crashes on these"
+        )
         assert df.count() >= 0, name
 
 
@@ -93,6 +106,23 @@ def test_oracle_result_types_driver_safe(ddb, name):
         f"{name}: oracle emits driver-fragile column types {bad}; "
         "CAST(... AS BIGINT) in the oracle SQL"
     )
+
+
+def test_canonical_is_driver_faithful():
+    """The local canon must predict driver hashes (r6 verdict #7): the
+    r6 `sql_dialect_int_division` red shipped because the old local
+    canon formatted floats to fixed 6 decimals, which happened to equal
+    a DECIMAL(29,6)'s string — Decimal('0.800000') vs 0.8 compared
+    equal locally while the driver's pandas canon hashed them apart."""
+    from decimal import Decimal
+
+    from tests.conftest import canonical
+
+    assert canonical([[Decimal("0.800000")]]) != canonical([[0.8]])
+    # same-class, same-scale decimals still canonicalize equal
+    assert canonical([[Decimal("0.80")]]) == canonical([[Decimal("0.80")]])
+    # float tolerance (6-digit rounding) is preserved
+    assert canonical([[0.8000000001]]) == canonical([[0.8]])
 
 
 def test_priority_names_all_registered():
