@@ -531,6 +531,15 @@ _DROP_SERVER_RE = re.compile(
     r"^\s*DROP\s+SERVER\s+(IF\s+EXISTS\s+)?([\w.]+)\s*;?\s*$",
     re.IGNORECASE,
 )
+# Functions whose results change between runs — queries containing one
+# are excluded from result-set recycling (the reference recycler skips
+# non-deterministic plans the same way).
+_NONDETERMINISTIC_FN_RE = re.compile(
+    r"\b(rand|randn|random|uuid|shuffle|current_timestamp|current_date|"
+    r"now|unix_timestamp|monotonically_increasing_id|spark_partition_id|"
+    r"input_file_name)\s*\(|\b(current_timestamp|current_date)\b",
+    re.IGNORECASE,
+)
 _ALTER_SERVER_RE = re.compile(
     r"^\s*ALTER\s+SERVER\s+([\w.]+)\s+(.*?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
@@ -1183,7 +1192,12 @@ class Engine:
             query = m.group(1) + defs + m.group(3)
         query, hints = _extract_query_hints(query)
         rewritten = dialect.rewrite(query, type_of=self._type_resolver(query))
-        if self.result_cache and not hints:
+        if self.result_cache and not hints \
+                and not _NONDETERMINISTIC_FN_RE.search(rewritten):
+            # non-deterministic queries never recycle — the reference
+            # recycler likewise excludes non-deterministic plans
+            # (ResultSetRecyclerHolder.cpp); a cached RANDOM() /
+            # CURRENT_TIMESTAMP result would replay stale rows.
             hit = self._result_cache_entries.get(rewritten)
             if hit is not None:
                 return hit
@@ -1252,9 +1266,16 @@ class Engine:
                 raise ValueError(f"server {name} does not exist")
             am = re.match(r"RENAME\s+TO\s+([\w.]+)$", action, re.IGNORECASE)
             if am:
-                self._servers[am.group(1).lower()] = self._servers.pop(name)
+                if name in _DEFAULT_SERVERS:
+                    raise ValueError(
+                        f"default server {name} cannot be renamed"
+                    )
+                new = am.group(1).lower()
+                if new in self._servers:
+                    raise ValueError(f"server {new} already exists")
+                self._servers[new] = self._servers.pop(name)
                 return spark.createDataFrame(
-                    [(am.group(1).lower(), "renamed")],
+                    [(new, "renamed")],
                     "server STRING, status STRING",
                 )
             am = re.match(
@@ -1262,8 +1283,14 @@ class Engine:
                 action, re.IGNORECASE,
             )
             if am:
+                wrapper = am.group(1).lower()
+                if wrapper not in _WRAPPER_FORMATS:
+                    raise ValueError(
+                        f"unknown data wrapper {wrapper}; supported: "
+                        f"{sorted(_WRAPPER_FORMATS)}"
+                    )
                 _, opts = self._servers[name]
-                self._servers[name] = (am.group(1).lower(), opts)
+                self._servers[name] = (wrapper, opts)
                 return spark.createDataFrame(
                     [(name, "altered")], "server STRING, status STRING"
                 )
@@ -1427,15 +1454,60 @@ class Engine:
         m = _ALTER_DATABASE_RENAME_RE.match(query)
         if m:
             old, new = m.group(1), m.group(2)
+            # Spark v1 catalog cannot rename across schemas: the rename
+            # is COPY-BASED — CTAS-move each managed table, re-create
+            # views from their stored definitions (so they stay views,
+            # not materialized copies), verify every object landed, and
+            # only then drop the old database; a mid-copy failure rolls
+            # the new database back and leaves the old one untouched.
             spark.sql(f"CREATE DATABASE {new}")
-            # Spark v1 catalog cannot rename across schemas: emulate by
-            # CTAS-moving each managed table, then dropping the old db.
-            for t in spark.catalog.listTables(old):
-                if (t.tableType or "").upper() != "TEMPORARY":
+            try:
+                rels = [
+                    t for t in spark.catalog.listTables(old)
+                    if (t.tableType or "").upper() != "TEMPORARY"
+                ]
+                # tables first so views over them resolve in the new db
+                for t in rels:
+                    if (t.tableType or "").upper() == "VIEW":
+                        continue
                     spark.sql(
                         f"CREATE TABLE {new}.{t.name} AS "
                         f"SELECT * FROM {old}.{t.name}"
                     )
+                cur = spark.catalog.currentDatabase()
+                for t in rels:
+                    if (t.tableType or "").upper() != "VIEW":
+                        continue
+                    ddl = spark.sql(
+                        f"SHOW CREATE TABLE {old}.{t.name}"
+                    ).collect()[0][0]
+                    # requalify the view's own name and any refs into
+                    # the old schema; unqualified refs resolve against
+                    # the current database, set to the new one below
+                    ddl = re.sub(
+                        rf"(?<![\w$])(`?){re.escape(old)}\1\.",
+                        rf"\g<1>{new}\g<1>.",
+                        ddl,
+                        flags=re.IGNORECASE,
+                    )
+                    spark.catalog.setCurrentDatabase(new)
+                    try:
+                        spark.sql(ddl)
+                    finally:
+                        spark.catalog.setCurrentDatabase(cur)
+                want = {t.name.lower() for t in rels}
+                got = {
+                    t.name.lower()
+                    for t in spark.catalog.listTables(new)
+                }
+                missing = want - got
+                if missing:
+                    raise RuntimeError(
+                        f"rename copy incomplete, missing: {sorted(missing)}"
+                    )
+            except Exception:
+                spark.sql(f"DROP DATABASE IF EXISTS {new} CASCADE")
+                raise
             spark.sql(f"DROP DATABASE {old} CASCADE")
             return spark.createDataFrame(
                 [(old, new)], "old_name STRING, new_name STRING"

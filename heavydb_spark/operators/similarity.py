@@ -854,6 +854,20 @@ def pq_search_adc(
     )
 
 
+def list_residual_col(
+    centroids: np.ndarray, vec_col: str, list_col: str = "list_id"
+) -> Column:
+    """Per-row coarse residual x - centroid[list_id]: the centroid
+    array is selected by list id via element_at over literal arrays —
+    pure codegen over the scan, no join, no Python."""
+    cent = F.element_at(
+        F.array(*[_vec_lit(c) for c in centroids]), F.col(list_col) + 1
+    )
+    return F.zip_with(
+        F.col(vec_col), cent, lambda x, y: x.cast("double") - y
+    )
+
+
 def ann_topk_ivfpq(
     df: DataFrame,
     vec_col: str,
@@ -865,6 +879,7 @@ def ann_topk_ivfpq(
     m: int = 8,
     ksub: int = 16,
     seed: int = 42,
+    residual: bool = False,
 ) -> DataFrame:
     """IVF-PQ composite ANN (the FAISS IndexIVFPQ shape): the KMeans
     coarse quantizer prunes the scan to the `nprobe` nearest inverted
@@ -872,18 +887,43 @@ def ann_topk_ivfpq(
     list_id, so non-probed lists are never read), and within the
     probed lists vectors are scored through their PQ codes by ADC
     lookup tables (`pq_search_adc` — m table reads per vector, no
-    per-row distance arithmetic). Codebooks here quantize RAW vectors
-    (IVF + global-PQ); FAISS's residual-PQ variant (quantize
-    x - centroid) is a documented refinement, not implemented.
-    Ordering: (adc_dist asc, id)."""
+    per-row distance arithmetic). Ordering: (adc_dist asc, id).
+
+    `residual=True` is the FAISS IndexIVFPQ DEFAULT encoding: PQ
+    quantizes the coarse residual x - centroid[list_id] instead of
+    the raw vector.  Residuals have far smaller per-subspace variance
+    than raw vectors, so the same m x ksub code budget spends its
+    centroids on the part of x the coarse quantizer did NOT explain —
+    materially better recall at identical memory.  The ADC tables
+    then differ per probed list (the query's residual against THAT
+    list's centroid), so each probe scores with its own inlined LUT
+    and the probes' top-k union reduces to the global top-k — still
+    zero per-row arithmetic and the scan still reads only
+    nprobe/n_lists partitions at scale."""
     indexed, centroids = ivf_index(df, vec_col, n_lists, seed)
     qv = np.asarray(query_vec, dtype=float)
     order = np.argsort(((centroids - qv) ** 2).sum(axis=1))
     probes = [int(i) for i in order[:nprobe]]
-    books = pq_train(
-        df, vec_col, id_col, m=m, ksub=ksub, seed=seed
+    if not residual:
+        books = pq_train(
+            df, vec_col, id_col, m=m, ksub=ksub, seed=seed
+        )
+        return pq_search_adc(
+            indexed.filter(F.col("list_id").isin(probes)).drop("list_id"),
+            vec_col, query_vec, books, k=k, id_col=id_col,
+        )
+    resid = indexed.withColumn(
+        "__resid", list_residual_col(centroids, vec_col)
     )
-    return pq_search_adc(
-        indexed.filter(F.col("list_id").isin(probes)).drop("list_id"),
-        vec_col, query_vec, books, k=k, id_col=id_col,
-    )
+    books = pq_train(resid, "__resid", id_col, m=m, ksub=ksub, seed=seed)
+    parts = [
+        pq_search_adc(
+            resid.filter(F.col("list_id") == p).drop("list_id"),
+            "__resid", qv - centroids[p], books, k=k, id_col=id_col,
+        )
+        for p in probes
+    ]
+    out = parts[0]
+    for part in parts[1:]:
+        out = out.unionByName(part)
+    return out.orderBy(F.col("adc_dist").asc(), F.col(id_col)).limit(k)

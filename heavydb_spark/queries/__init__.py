@@ -76,7 +76,8 @@ _PRIORITY = [
     "pipe_split_no_leakage",      # cluster-routed train/val/test split
     "tpcds_q78_channel_ratio",    # returns-excluded FULL-JOIN ratio
     "tpcds_q72_followup_orders",  # date-band residual equi-join
-    # --- net-new r7 queries (consolidation only) ---
+    # --- net-new / schema-changed r7 (consolidation only) ---
+    "sim_ann_ivfpq_invariants",   # +residual-PQ contracts (2 new cols)
     # --- last checked r1 (predates all global dialect changes) ---
     "sort_topk",
     "agg_groupby_avg",

@@ -1975,6 +1975,19 @@ def test_fsi_server_statement_family(engine, tmp_path):
     assert engine.sql("SELECT count(*) AS n FROM ft_region").first()["n"] == 5
     engine.sql("REFRESH FOREIGN TABLES ft_region")
     engine.sql("DROP FOREIGN TABLE ft_region")
+    # wrapper swaps validate against the supported set (advisor r6) —
+    # an unknown wrapper would otherwise KeyError at the next
+    # CREATE FOREIGN TABLE instead of erroring here
+    with _pytest.raises(Exception, match="unknown data wrapper"):
+        engine.sql("ALTER SERVER ts SET FOREIGN DATA WRAPPER bogus_fdw")
+    engine.sql("ALTER SERVER ts SET FOREIGN DATA WRAPPER delimited_file")
+    engine.sql("ALTER SERVER ts SET FOREIGN DATA WRAPPER parquet_file")
+    # default servers can't be renamed away (mirrors the DROP guard),
+    # and a rename can't clobber an existing server
+    with _pytest.raises(Exception, match="cannot be renamed"):
+        engine.sql("ALTER SERVER default_local_parquet RENAME TO np")
+    with _pytest.raises(Exception, match="already exists"):
+        engine.sql("ALTER SERVER ts RENAME TO default_local_parquet")
     engine.sql("ALTER SERVER ts RENAME TO ts2")
     engine.sql("DROP SERVER ts2")
     with _pytest.raises(Exception, match="cannot be dropped"):
@@ -2028,16 +2041,29 @@ def test_session_system_statement_family(engine):
 
 def test_alter_database_rename_emulation(engine):
     """ALTER DATABASE ... RENAME TO: Spark's v1 catalog cannot rename a
-    schema, so the engine emulates by CTAS-moving managed tables into
-    the new database and dropping the old — contents survive."""
+    schema, so the engine emulates by copy — CTAS-moving managed
+    tables, re-creating views from their definitions (advisor r6: a
+    view must stay a VIEW, not silently materialize), verifying the
+    copy, then dropping the old database."""
     spark = engine.spark
     spark.sql("DROP DATABASE IF EXISTS rn_a CASCADE")
     spark.sql("DROP DATABASE IF EXISTS rn_b CASCADE")
     spark.sql("CREATE DATABASE rn_a")
     spark.sql("CREATE TABLE rn_a.t1 AS SELECT 41 AS v")
+    spark.sql("CREATE VIEW rn_a.v1 AS SELECT v + 1 AS w FROM rn_a.t1")
     try:
         engine.sql("ALTER DATABASE rn_a RENAME TO rn_b")
         assert spark.sql("SELECT v FROM rn_b.t1").first()["v"] == 41
+        assert spark.sql("SELECT w FROM rn_b.v1").first()["w"] == 42
+        kinds = {
+            t.name: (t.tableType or "").upper()
+            for t in spark.catalog.listTables("rn_b")
+        }
+        assert kinds["v1"] == "VIEW", kinds
+        # the view tracks its base table, proving it wasn't materialized
+        spark.sql("INSERT INTO rn_b.t1 VALUES (100)")
+        assert {r["w"] for r in spark.sql("SELECT w FROM rn_b.v1").collect()} \
+            == {42, 101}
         assert "rn_a" not in [d.name for d in spark.catalog.listDatabases()]
     finally:
         spark.sql("DROP DATABASE IF EXISTS rn_b CASCADE")
@@ -2066,6 +2092,14 @@ def test_result_cache_recycling(engine):
             assert d is not a
         finally:
             engine.sql("DROP TABLE IF EXISTS __rc_probe")
+        # non-deterministic queries never recycle (advisor r6; the
+        # reference recycler excludes non-deterministic plans)
+        nd = "SELECT random() AS r, n_nationkey FROM nation"
+        x = engine.sql(nd)
+        y = engine.sql(nd)
+        assert x is not y
+        ts = engine.sql("SELECT CURRENT_TIMESTAMP AS t")
+        assert ts is not engine.sql("SELECT CURRENT_TIMESTAMP AS t")
         engine.sql("ALTER SESSION SET RESULT_CACHE='off'")
         e = engine.sql(q)
         f = engine.sql(q)

@@ -2222,6 +2222,63 @@ def test_pq_encode_separable_clusters(spark):
     assert got[0].adc_dist == got[1].adc_dist
 
 
+def test_ivfpq_residual_encoding_beats_raw(spark):
+    """Residual PQ (FAISS IndexIVFPQ default) on crafted two-cluster
+    data: raw PQ with ksub=2 must spend its centroids separating the
+    clusters (losing the intra-cluster jitter), while residual PQ
+    subtracts the coarse centroid first so the SAME code budget
+    encodes the jitter — mean reconstruction error strictly drops.
+    The residual-mode search still puts an exact duplicate of the
+    query at the minimum ADC distance inside its probed list."""
+    from pyspark.sql import functions as F
+
+    from heavydb_spark.operators.similarity import (
+        ann_topk_ivfpq, ivf_index, list_residual_col,
+        pq_reconstruction, pq_train,
+    )
+
+    jitters = [
+        (0, 0, 0, 0), (1, 0, 1, 0), (0, 1, 0, 1),
+        (1, 1, 1, 1), (2, 0, 0, 2), (0, 2, 2, 0),
+    ]
+    rows = [
+        (cl * 6 + i, [float(base + x) for x in j])
+        for cl, base in ((0, 0.0), (1, 100.0))
+        for i, j in enumerate(jitters)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+    books = pq_train(
+        df, "embedding", "vec_id", m=2, ksub=2, sample=12, iters=8
+    )
+    raw_mse = pq_reconstruction(df, "embedding", books, "vec_id").agg(
+        F.avg("recon_sq_err")
+    ).first()[0]
+    indexed, cents = ivf_index(df, "embedding", n_lists=2, max_iter=8)
+    resid = indexed.withColumn(
+        "__resid", list_residual_col(cents, "embedding")
+    )
+    rbooks = pq_train(
+        resid, "__resid", "vec_id", m=2, ksub=2, sample=12, iters=8
+    )
+    res_mse = pq_reconstruction(resid, "__resid", rbooks, "vec_id").agg(
+        F.avg("recon_sq_err")
+    ).first()[0]
+    assert res_mse < raw_mse
+    # exact duplicate of vec 1's embedding: minimum ADC distance in
+    # residual mode (ties with identical-code vectors allowed)
+    q = [1.0, 0.0, 1.0, 0.0]
+    top = ann_topk_ivfpq(
+        df, "embedding", q, k=3, n_lists=2, nprobe=1, m=2, ksub=2,
+        residual=True,
+    ).collect()
+    d = {r.vec_id: r.adc_dist for r in top}
+    assert 1 in d and d[1] == min(d.values())
+    # probed-list pruning: the far cluster (ids 6-11) never surfaces
+    assert all(r.vec_id < 6 for r in top)
+
+
 def test_scalar_quantize_code_semantics(spark):
     """scalar_quantize on crafted 3-dim vectors: per-dim min codes to
     0 and max to 255 exactly; a constant dimension codes to 0 with
