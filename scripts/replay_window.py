@@ -1,0 +1,79 @@
+"""Replay the driver's correctness recipe over the front of the
+priority window at sf0.01 — the exact scale and canonicalization the
+external driver uses — so window composition ships pre-verified.
+
+Run: python scripts/replay_window.py [n_queries] [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import traceback
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb  # noqa: E402
+
+N = int(sys.argv[1]) if len(sys.argv) > 1 else 50
+SF_DIR = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def main() -> None:
+    from tests.conftest import assert_result_types_driver_safe, canonical
+
+    from heavydb_spark.queries import ORACLES, QUERIES
+    from heavydb_spark.session import get_spark
+
+    spark = get_spark(app_name="window_replay", master="local[8]",
+                      shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+
+    names = list(QUERIES)[:N]
+    n_green = n_rows_only = n_fail = 0
+    for i, name in enumerate(names, 1):
+        try:
+            sdf = QUERIES[name](spark, SF_DIR)
+            srows = [tuple(r) for r in sdf.collect()]
+            scols = [c.lower() for c in sdf.columns]
+            if name not in ORACLES:
+                nested = [
+                    f.name for f in sdf.schema.fields
+                    if f.dataType.typeName() in ("array", "map", "struct")
+                ]
+                assert not nested, f"nested result cols {nested}"
+                print(f"[{i:2}] {name}: rows-only ok ({len(srows)} rows)")
+                n_rows_only += 1
+                continue
+            rel = con.sql(ORACLES[name])
+            assert_result_types_driver_safe(name, sdf, rel)
+            orows = rel.fetchall()
+            ocols = [c.lower() for c in rel.columns]
+            assert sorted(scols) == sorted(ocols), (scols, ocols)
+            sidx = [scols.index(c) for c in sorted(scols)]
+            oidx = [ocols.index(c) for c in sorted(ocols)]
+            sc = canonical([[r[j] for j in sidx] for r in srows])
+            oc = canonical([[r[j] for j in oidx] for r in orows])
+            assert len(sc) == len(oc), f"rows {len(sc)} != {len(oc)}"
+            mism = [(a, b) for a, b in zip(sc, oc) if a != b]
+            assert not mism, f"{len(mism)} mismatches; first {mism[:2]}"
+            print(f"[{i:2}] {name}: HASH GREEN ({len(sc)} rows)")
+            n_green += 1
+        except Exception as e:  # noqa: BLE001
+            n_fail += 1
+            print(f"[{i:2}] {name}: FAIL {e}")
+            traceback.print_exc(limit=2)
+    print(f"\n{n_green} green, {n_rows_only} rows-only, {n_fail} FAIL "
+          f"of {len(names)} at {SF_DIR}")
+    spark.stop()
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
