@@ -413,6 +413,65 @@ def test_rewrite_idempotent_and_literal_safe():
     prop()
 
 
+def test_rewrite_division_property():
+    """Property (hypothesis) for the int/int DIV rewrite: a `/` whose
+    operands are provably integral becomes DIV; any float factor in
+    the left multiplicative chain or a float divisor keeps `/`;
+    slashes inside string literals never rewrite; output has no
+    masking sentinels and the rewrite is idempotent."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from heavydb_spark.dialect import rewrite
+
+    type_of = {"a": True, "b": True, "f": False}.get
+
+    int_factor = st.sampled_from(["a", "b", "7", "(a + b)", "-3"])
+    float_factor = st.sampled_from(["f", "1.5", "1.0e0", "0.5"])
+    slash_lit = st.sampled_from(["'x/y'", "'7 / 2'", "'a/b/c'"])
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(
+            st.one_of(
+                st.tuples(int_factor, int_factor).map(
+                    lambda t: ("int", f"{t[0]} / {t[1]}")
+                ),
+                st.tuples(float_factor, int_factor).map(
+                    lambda t: ("float", f"{t[0]} * a / {t[1]}")
+                ),
+                st.tuples(int_factor, float_factor).map(
+                    lambda t: ("float", f"{t[0]} / {t[1]}")
+                ),
+                slash_lit.map(lambda s: ("lit", s)),
+            ),
+            min_size=1,
+            max_size=4,
+        )
+    )
+    def prop(pieces):
+        sql = "SELECT " + ", ".join(
+            f"{p} AS c{i}" for i, (_, p) in enumerate(pieces)
+        ) + " FROM t"
+        out = rewrite(sql, type_of=type_of)
+        assert rewrite(out, type_of=type_of) == out, (sql, out)
+        assert "\x00" not in out
+        # split the output back into its aliased projection pieces
+        body = out[len("SELECT "):out.rindex(" FROM t")]
+        for i, (kind, p) in enumerate(pieces):
+            seg = [o for o in body.split(",") if f"AS c{i}" in o]
+            assert seg, (out, i)
+            s = seg[0]
+            if kind == "int":
+                assert " DIV " in s and "/" not in s, (p, s)
+            elif kind == "float":
+                assert "/" in s and " DIV " not in s, (p, s)
+            else:  # literal: byte-identical, never rewritten
+                assert p in s, (p, s)
+
+    prop()
+
+
 def test_geo_sql_functions(engine):
     """HeavyDB geo SQL (ST_Point/ST_X/ST_Distance/ST_DWithin/
     distance_in_meters/conv_4326_900913, ExtensionFunctionsGeo.hpp)
