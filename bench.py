@@ -135,16 +135,18 @@ def main() -> None:
         )
 
     total = round(sum(results.values()), 3)
-    # Diagnostics (cold map + row counts) go on their OWN line first;
-    # the summary prints LAST as ONE compact line (separators, 3-dp)
-    # so a bounded tail capture always contains the complete object
-    # (the r6 driver artifact truncated a single long line mid-object).
+    # Diagnostics (cold map + row counts) go to STDERR with the
+    # per-head lines; STDOUT carries exactly ONE compact summary line
+    # (separators, 3-dp) so a bounded tail capture always contains
+    # the complete object (the r6 driver artifact truncated the old
+    # single long line mid-object).
     print(
         json.dumps(
             {"cold": {k: round(v, 3) for k, v in cold.items()},
              "rows": rows},
             separators=(",", ":"),
-        )
+        ),
+        file=sys.stderr,
     )
     print(
         json.dumps(
