@@ -70,6 +70,13 @@ CONFIG_SLICE = [
     "pricing_summary", "join_star_agg", "window_range_interval",
     "agg_mode", "fn_datetime", "union_distinct", "subquery_scalar",
     "dedup_exact", "text_quality", "geo_bbox_join",
+    # r7 widening: one representative per family added since the slice
+    # was drawn — physical plans for these differ most under AQE-off
+    # (static join/shuffle planning) and codegen-off (interpreted
+    # Expand/window/HOF paths)
+    "join_asof_backward", "join_fuzzy_names", "agg_grouping_sets",
+    "agg_pivot_matrix", "agg_hll_sketch_merge", "pipe_winsorize",
+    "pipe_weighted_sample", "dedup_span_rewrite",
 ]
 
 
