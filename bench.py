@@ -127,7 +127,7 @@ def main() -> None:
                 rows[bench_id] = n
             else:
                 times.append(dt)
-        results[bench_id] = round(statistics.median(times), 4)
+        results[bench_id] = round(statistics.median(times), 3)
         print(
             f"# {bench_id}: {results[bench_id]}s "
             f"(cold {cold[bench_id]}s, {rows[bench_id]} rows)",

@@ -536,7 +536,8 @@ _DROP_SERVER_RE = re.compile(
 # non-deterministic plans the same way).
 _NONDETERMINISTIC_FN_RE = re.compile(
     r"\b(rand|randn|random|uuid|shuffle|current_timestamp|current_date|"
-    r"now|unix_timestamp|monotonically_increasing_id|spark_partition_id|"
+    r"now|localtimestamp|curdate|unix_timestamp|"
+    r"monotonically_increasing_id|spark_partition_id|"
     r"input_file_name)\s*\(|\b(current_timestamp|current_date)\b",
     re.IGNORECASE,
 )
@@ -1475,26 +1476,60 @@ class Engine:
                         f"SELECT * FROM {old}.{t.name}"
                     )
                 cur = spark.catalog.currentDatabase()
-                for t in rels:
-                    if (t.tableType or "").upper() != "VIEW":
-                        continue
-                    ddl = spark.sql(
-                        f"SHOW CREATE TABLE {old}.{t.name}"
-                    ).collect()[0][0]
+                views = [
+                    t for t in rels if (t.tableType or "").upper() == "VIEW"
+                ]
+
+                def _requalify(ddl: str) -> str:
                     # requalify the view's own name and any refs into
-                    # the old schema; unqualified refs resolve against
-                    # the current database, set to the new one below
-                    ddl = re.sub(
+                    # the old schema — but never inside single-quoted
+                    # string literals (mask them first); unqualified
+                    # refs resolve against the current database, set
+                    # to the new one at create time
+                    lits: list[str] = []
+
+                    def _mask(m):
+                        lits.append(m.group(0))
+                        return f"\x00{len(lits) - 1}\x00"
+
+                    masked = re.sub(r"'(?:[^']|'')*'", _mask, ddl)
+                    masked = re.sub(
                         rf"(?<![\w$])(`?){re.escape(old)}\1\.",
                         rf"\g<1>{new}\g<1>.",
-                        ddl,
+                        masked,
                         flags=re.IGNORECASE,
                     )
-                    spark.catalog.setCurrentDatabase(new)
-                    try:
-                        spark.sql(ddl)
-                    finally:
-                        spark.catalog.setCurrentDatabase(cur)
+                    return re.sub(
+                        r"\x00(\d+)\x00",
+                        lambda m: lits[int(m.group(1))],
+                        masked,
+                    )
+
+                # views may reference other views: create in passes
+                # until a full pass makes no progress (topological
+                # order without computing the dependency graph)
+                pending = list(views)
+                spark.catalog.setCurrentDatabase(new)
+                try:
+                    while pending:
+                        errs = []
+                        next_pending = []
+                        for t in pending:
+                            ddl = _requalify(
+                                spark.sql(
+                                    f"SHOW CREATE TABLE {old}.{t.name}"
+                                ).collect()[0][0]
+                            )
+                            try:
+                                spark.sql(ddl)
+                            except Exception as e:  # noqa: BLE001
+                                next_pending.append(t)
+                                errs.append(e)
+                        if len(next_pending) == len(pending):
+                            raise errs[0]  # no progress: a real error
+                        pending = next_pending
+                finally:
+                    spark.catalog.setCurrentDatabase(cur)
                 want = {t.name.lower() for t in rels}
                 got = {
                     t.name.lower()

@@ -912,9 +912,12 @@ def ann_topk_ivfpq(
             indexed.filter(F.col("list_id").isin(probes)).drop("list_id"),
             vec_col, query_vec, books, k=k, id_col=id_col,
         )
+    # checkpoint: the residual lineage (scan + centroid-argmin +
+    # residual compute) feeds one pq_search_adc branch PER probe —
+    # without it each probe re-evaluates the whole chain
     resid = indexed.withColumn(
         "__resid", list_residual_col(centroids, vec_col)
-    )
+    ).localCheckpoint(eager=False)
     books = pq_train(resid, "__resid", id_col, m=m, ksub=ksub, seed=seed)
     parts = [
         pq_search_adc(

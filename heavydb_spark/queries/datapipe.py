@@ -489,15 +489,17 @@ def sim_ann_ivfpq_invariants(spark, sf_dir):
             if r["vec_id"] in (0, 900000)
         )
     )
-    # same-budget reconstruction: residual codebooks explain what the
-    # coarse quantizer didn't, so mean squared error must drop
+    # same-budget, same-data reconstruction A/B: both codebooks train
+    # on `e` (raw vs coarse residuals); residual codebooks explain
+    # what the coarse quantizer didn't, so mean squared error drops
     indexed, cents = similarity.ivf_index(e, "embedding", n_lists=8)
     resid_df = indexed.withColumn(
         "__resid", similarity.list_residual_col(cents, "embedding")
     )
     rbooks = similarity.pq_train(resid_df, "__resid", "vec_id")
+    books_e = similarity.pq_train(e, "embedding", "vec_id")
     raw_mse = (
-        similarity.pq_reconstruction(e, "embedding", books, "vec_id")
+        similarity.pq_reconstruction(e, "embedding", books_e, "vec_id")
         .agg(F.avg("recon_sq_err").alias("m")).first()["m"]
     )
     res_mse = (

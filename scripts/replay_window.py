@@ -24,7 +24,9 @@ TABLES = (
 
 
 def main() -> None:
-    from tests.conftest import assert_result_types_driver_safe, canonical
+    from tests.conftest import (
+        assert_result_types_driver_safe, canonical, spark_type_class,
+    )
 
     from heavydb_spark.queries import ORACLES, QUERIES
     from heavydb_spark.session import get_spark
@@ -45,7 +47,7 @@ def main() -> None:
             if name not in ORACLES:
                 nested = [
                     f.name for f in sdf.schema.fields
-                    if f.dataType.typeName() in ("array", "map", "struct")
+                    if spark_type_class(f.dataType) == "nested"
                 ]
                 assert not nested, f"nested result cols {nested}"
                 print(f"[{i:2}] {name}: rows-only ok ({len(srows)} rows)")
@@ -56,8 +58,10 @@ def main() -> None:
             orows = rel.fetchall()
             ocols = [c.lower() for c in rel.columns]
             assert sorted(scols) == sorted(ocols), (scols, ocols)
-            sidx = [scols.index(c) for c in sorted(scols)]
-            oidx = [ocols.index(c) for c in sorted(ocols)]
+            # position-stable sort handles duplicate lowercased names
+            # (list.index would compare the first duplicate twice)
+            sidx = sorted(range(len(scols)), key=lambda j: scols[j])
+            oidx = sorted(range(len(ocols)), key=lambda j: ocols[j])
             sc = canonical([[r[j] for j in sidx] for r in srows])
             oc = canonical([[r[j] for j in oidx] for r in orows])
             assert len(sc) == len(oc), f"rows {len(sc)} != {len(oc)}"

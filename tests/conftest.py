@@ -169,9 +169,11 @@ def compare_query(spark, ddb, name: str, sf_dir: str = SF_DIR):
     assert sorted(scols) == sorted(ocols), (
         f"{name}: column mismatch spark={scols} oracle={ocols}"
     )
-    # align column order by name before canonicalizing
-    sidx = [scols.index(c) for c in sorted(scols)]
-    oidx = [ocols.index(c) for c in sorted(ocols)]
+    # align column order by name before canonicalizing; position-
+    # stable sort handles duplicate lowercased names (list.index
+    # would compare the first duplicate twice and skip the second)
+    sidx = sorted(range(len(scols)), key=lambda j: scols[j])
+    oidx = sorted(range(len(ocols)), key=lambda j: ocols[j])
     s_c = canonical([[r[i] for i in sidx] for r in srows])
     o_c = canonical([[r[i] for i in oidx] for r in orows])
     assert len(s_c) == len(o_c), (

@@ -2110,15 +2110,28 @@ def test_alter_database_rename_emulation(engine):
     spark.sql("CREATE DATABASE rn_a")
     spark.sql("CREATE TABLE rn_a.t1 AS SELECT 41 AS v")
     spark.sql("CREATE VIEW rn_a.v1 AS SELECT v + 1 AS w FROM rn_a.t1")
+    # view over a view that sorts LATER alphabetically (exercises the
+    # until-no-progress create loop), carrying a string literal that
+    # contains the old database name (must NOT be requalified)
+    spark.sql(
+        "CREATE VIEW rn_a.a_outer AS "
+        "SELECT w + 1 AS u, 'rn_a.t1' AS src_tag FROM rn_a.v1"
+    )
     try:
         engine.sql("ALTER DATABASE rn_a RENAME TO rn_b")
         assert spark.sql("SELECT v FROM rn_b.t1").first()["v"] == 41
         assert spark.sql("SELECT w FROM rn_b.v1").first()["w"] == 42
+        outer = spark.sql("SELECT u, src_tag FROM rn_b.a_outer").first()
+        assert outer["u"] == 43
+        assert outer["src_tag"] == "rn_a.t1", (
+            "literal containing the old db name was requalified"
+        )
         kinds = {
             t.name: (t.tableType or "").upper()
             for t in spark.catalog.listTables("rn_b")
         }
         assert kinds["v1"] == "VIEW", kinds
+        assert kinds["a_outer"] == "VIEW", kinds
         # the view tracks its base table, proving it wasn't materialized
         spark.sql("INSERT INTO rn_b.t1 VALUES (100)")
         assert {r["w"] for r in spark.sql("SELECT w FROM rn_b.v1").collect()} \
