@@ -14,6 +14,7 @@ the session/catalog surface and the dialect delta — exactly this class.
 from __future__ import annotations
 
 import re
+import threading
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -531,6 +532,18 @@ _DROP_SERVER_RE = re.compile(
     r"^\s*DROP\s+SERVER\s+(IF\s+EXISTS\s+)?([\w.]+)\s*;?\s*$",
     re.IGNORECASE,
 )
+def _mask_literals_same_len(s: str) -> str:
+    """Blank the CONTENT of single-quoted literals, preserving string
+    length so regex match indexes map directly onto the raw text —
+    used before scanning for structural syntax (CURSOR table
+    functions) that must ignore literal text."""
+    return re.sub(
+        r"'(?:[^']|'')*'",
+        lambda m: "'" + " " * (len(m.group(0)) - 2) + "'",
+        s,
+    )
+
+
 # Functions whose results change between runs — queries containing one
 # are excluded from result-set recycling (the reference recycler skips
 # non-deterministic plans the same way).
@@ -931,6 +944,9 @@ class Engine:
         self._servers: dict[str, tuple[str, dict]] = {
             k: (w, dict(o)) for (k, (w, o)) in _DEFAULT_SERVERS.items()
         }
+        # names created via CREATE FOREIGN TABLE — DROP FOREIGN TABLE
+        # only ever drops these (never an attached fixture view)
+        self._foreign_tables: set[str] = set()
         # Result-set recycling (ResultSetRecyclerHolder.cpp,
         # QueryPlanDagCache.cpp): opt-in via ALTER SESSION SET
         # RESULT_CACHE='on' or `engine.result_cache = True`. Keyed by
@@ -940,6 +956,10 @@ class Engine:
         # epoch; wholesale is the conservative single-user equivalent).
         self.result_cache: bool = False
         self._result_cache_entries: dict[str, DataFrame] = {}
+        # Engine.sql is supported from concurrent threads
+        # (tests/test_concurrency.py); the cache dict needs a lock or
+        # an invalidating writer races a caching reader.
+        self._result_cache_lock = threading.Lock()
 
     @classmethod
     def local(cls, **kwargs) -> "Engine":
@@ -954,12 +974,38 @@ class Engine:
         return self
 
     def _invalidate_result_cache(self) -> None:
-        for df in self._result_cache_entries.values():
+        with self._result_cache_lock:
+            dropped = list(self._result_cache_entries.values())
+            self._result_cache_entries.clear()
+        for df in dropped:
             try:
                 df.unpersist()
             except Exception:  # session torn down mid-invalidation
                 pass
-        self._result_cache_entries.clear()
+
+    # Statements whose leading keyword can still mutate through an
+    # embedded body (WITH ... INSERT/UPDATE/DELETE/MERGE).
+    _MUTATING_BODY_RE = re.compile(
+        r"\b(INSERT|UPDATE|DELETE|MERGE)\b", re.IGNORECASE
+    )
+    _READ_ONLY_KWS = (
+        "SELECT", "WITH", "SHOW", "EXPLAIN", "DESCRIBE",
+        "VALIDATE", "EVALUATE", "VALUES",
+    )
+    _RESULT_CACHE_MAX = 128  # the reference recycler is size-bounded
+
+    @classmethod
+    def _is_read_only_statement(cls, query: str) -> bool:
+        head = query.lstrip().split(None, 1)
+        kw = head[0].upper() if head else ""
+        if kw not in cls._READ_ONLY_KWS:
+            return False
+        if kw == "WITH":
+            # a CTE-headed statement may wrap DML; mask string
+            # literals so keyword-looking literal text can't flag it
+            masked = re.sub(r"'(?:[^']|'')*'", "''", query)
+            return not cls._MUTATING_BODY_RE.search(masked)
+        return True
 
     def table(self, name: str) -> DataFrame:
         return self.spark.table(name)
@@ -1003,6 +1049,10 @@ class Engine:
             target.unionByName(loaded).createOrReplaceTempView(name)
         else:
             loaded.write.insertInto(name)
+        # load_table mutates table data exactly like INSERT — cached
+        # results over the table are stale (the reference invalidates
+        # by table epoch on any append)
+        self._invalidate_result_cache()
         return self.spark.createDataFrame(
             [(name, n)], "table_name STRING, rows_loaded BIGINT"
         )
@@ -1028,16 +1078,10 @@ class Engine:
         """
         if self._result_cache_entries:
             # result-set recycling: any statement that can change data
-            # or catalog state drops every cached result (the reference
-            # invalidates per table epoch; wholesale is the safe
-            # single-user equivalent). Read-only leading keywords keep
-            # the cache warm.
-            head = query.lstrip().split(None, 1)
-            kw = head[0].upper() if head else ""
-            if kw not in (
-                "SELECT", "WITH", "SHOW", "EXPLAIN", "DESCRIBE",
-                "VALIDATE", "EVALUATE", "VALUES",
-            ):
+            # or catalog state — including WITH-headed DML — drops
+            # every cached result (the reference invalidates per table
+            # epoch; wholesale is the safe single-user equivalent).
+            if not self._is_read_only_statement(query):
                 self._invalidate_result_cache()
         m = _EXPLAIN_RE.match(query)
         if m:
@@ -1074,7 +1118,7 @@ class Engine:
             return self._optimize_table(m.group(1))
         if _VALIDATE_RE.match(query):
             return self._validate()
-        if _TF_CURSOR_RE.search(query):
+        if _TF_CURSOR_RE.search(_mask_literals_same_len(query)):
             query = self._expand_cursor_table_functions(query)
         while True:
             m = _TF_NOARG_RE.search(query)
@@ -1194,16 +1238,34 @@ class Engine:
         query, hints = _extract_query_hints(query)
         rewritten = dialect.rewrite(query, type_of=self._type_resolver(query))
         if self.result_cache and not hints \
+                and self._is_read_only_statement(query) \
                 and not _NONDETERMINISTIC_FN_RE.search(rewritten):
             # non-deterministic queries never recycle — the reference
             # recycler likewise excludes non-deterministic plans
             # (ResultSetRecyclerHolder.cpp); a cached RANDOM() /
-            # CURRENT_TIMESTAMP result would replay stale rows.
-            hit = self._result_cache_entries.get(rewritten)
+            # CURRENT_TIMESTAMP result would replay stale rows. Only
+            # read-only statements cache at all (a cached WITH...INSERT
+            # would silently SKIP the re-insert on a repeat call).
+            with self._result_cache_lock:
+                hit = self._result_cache_entries.get(rewritten)
             if hit is not None:
                 return hit
             df = self.spark.sql(rewritten).cache()
-            self._result_cache_entries[rewritten] = df
+            evicted = None
+            with self._result_cache_lock:
+                if len(self._result_cache_entries) >= \
+                        self._RESULT_CACHE_MAX:
+                    # FIFO eviction keeps the pinned block-manager
+                    # footprint bounded (the reference recycler is
+                    # size-bounded too)
+                    oldest = next(iter(self._result_cache_entries))
+                    evicted = self._result_cache_entries.pop(oldest)
+                self._result_cache_entries[rewritten] = df
+            if evicted is not None:
+                try:
+                    evicted.unpersist()
+                except Exception:
+                    pass
             return df
         df = self.spark.sql(rewritten)
         return self._apply_query_hints(df, hints)
@@ -1365,6 +1427,7 @@ class Engine:
                     reader = reader.option("inferSchema", "false")
             df = reader.load(path)
             df.createOrReplaceTempView(name)
+            self._foreign_tables.add(name.lower())
             return spark.createDataFrame(
                 [(name, server, path)],
                 "table_name STRING, server STRING, path STRING",
@@ -1372,11 +1435,27 @@ class Engine:
         m = _DROP_FOREIGN_TABLE_RE.match(query)
         if m:
             name = m.group(2)
-            dropped = spark.catalog.dropTempView(name)
-            if not dropped and not m.group(1):
-                raise ValueError(f"foreign table {name} does not exist")
+            if name.lower() not in self._foreign_tables:
+                # the reference errors when the target exists but is
+                # not a foreign table — a bare dropTempView here would
+                # silently destroy an attached fixture view
+                if m.group(1):
+                    return spark.createDataFrame(
+                        [(name, "absent")],
+                        "table_name STRING, status STRING",
+                    )
+                raise ValueError(
+                    f"foreign table {name} does not exist"
+                    + (
+                        f" ({name} is a regular table/view)"
+                        if self.spark.catalog.tableExists(name)
+                        else ""
+                    )
+                )
+            spark.catalog.dropTempView(name)
+            self._foreign_tables.discard(name.lower())
             return spark.createDataFrame(
-                [(name, "dropped" if dropped else "absent")],
+                [(name, "dropped")],
                 "table_name STRING, status STRING",
             )
         m = _REFRESH_FOREIGN_RE.match(query)
@@ -1772,14 +1851,68 @@ class Engine:
         """Replace `target` with `staging`, keeping data reachable at
         every step: the original parks under `park` (never dropped
         first), so a failure between statements leaves both copies
-        findable by name; on rename failure the original is restored."""
+        findable by name; on rename failure the original is restored.
+        User-visible metadata (table comment, heavydb.* TBLPROPERTIES,
+        column comments) carries over from the original — a rewrite
+        must not silently shed it."""
         self.spark.sql(f"ALTER TABLE {target} RENAME TO {park}")
         try:
             self.spark.sql(f"ALTER TABLE {staging} RENAME TO {target}")
         except Exception:
             self.spark.sql(f"ALTER TABLE {park} RENAME TO {target}")
             raise
+        self._copy_table_metadata(park, target)
         self.spark.sql(f"DROP TABLE {park}")
+
+    def _copy_table_metadata(self, src: str, dst: str) -> None:
+        """Best-effort carry-over of user metadata across a
+        stage-and-swap: the table comment, heavydb.* properties (the
+        CREATE TABLE WITH(...) record), and column comments. Spark-
+        managed properties (provider/schema/statistics) must NOT copy
+        — they describe the old physical table."""
+        esc = lambda s: s.replace("'", "\\'")  # noqa: E731
+        try:
+            props = {
+                r["key"]: r["value"]
+                for r in self.spark.sql(
+                    f"SHOW TBLPROPERTIES {src}"
+                ).collect()
+            }
+            keep = {
+                k: v
+                for k, v in props.items()
+                if k == "comment" or k.startswith("heavydb.")
+            }
+            if keep:
+                kv = ", ".join(
+                    f"'{esc(k)}' = '{esc(v)}'" for k, v in sorted(keep.items())
+                )
+                self.spark.sql(
+                    f"ALTER TABLE {dst} SET TBLPROPERTIES ({kv})"
+                )
+        except Exception:  # metadata carry-over is best-effort
+            pass
+        try:
+            # the table comment lives in the catalog entry, not in
+            # SHOW TBLPROPERTIES
+            desc = self.spark.catalog.getTable(src).description
+            if desc:
+                self.spark.sql(
+                    f"COMMENT ON TABLE {dst} IS '{esc(desc)}'"
+                )
+        except Exception:
+            pass
+        try:
+            dst_cols = {c.lower() for c in self.spark.table(dst).columns}
+            for f in self.spark.table(src).schema.fields:
+                c = f.metadata.get("comment") if f.metadata else None
+                if c and f.name.lower() in dst_cols:
+                    self.spark.sql(
+                        f"ALTER TABLE {dst} ALTER COLUMN {f.name} "
+                        f"COMMENT '{esc(c)}'"
+                    )
+        except Exception:
+            pass
 
     def _optimize_table(
         self, name: str, target_file_rows: int = 1_000_000
@@ -1839,17 +1972,29 @@ class Engine:
         view holding the executed table function's output. The view
         must outlive this call (the returned DataFrame is lazy and may
         be collected much later), so views persist for the session
-        under collision-free uuid names."""
+        under collision-free uuid names.
+
+        Matching and paren-scanning run on a literal-masked copy
+        (same length, so indexes map onto the raw text): a string
+        literal containing `TABLE(f(CURSOR(` must never trigger
+        expansion. CURSOR bodies must be read-only queries — the
+        reference's CURSOR grammar takes a query, never DML."""
         while True:
-            m = _TF_CURSOR_RE.search(sql)
+            masked = _mask_literals_same_len(sql)
+            m = _TF_CURSOR_RE.search(masked)
             if not m:
                 return sql
             tf_name = m.group(1).lower()
-            cursor_end = _scan_balanced(sql, m.end())
+            cursor_end = _scan_balanced(masked, m.end())
             subquery = sql[m.end() : cursor_end - 1]
+            if not self._is_read_only_statement(subquery):
+                raise ValueError(
+                    "CURSOR(...) takes a read-only query "
+                    "(SELECT/WITH/VALUES), not DML/DDL"
+                )
             # we are now inside the tf call at depth 1: scanning on
             # consumes the remaining args and the tf's closing paren
-            tf_end = _scan_balanced(sql, cursor_end)
+            tf_end = _scan_balanced(masked, cursor_end)
             rest = sql[cursor_end : tf_end - 1].lstrip()
             if rest.startswith(","):
                 rest = rest[1:]
@@ -1870,11 +2015,17 @@ class Engine:
                 cm = re.match(r"^CURSOR\s*\((.*)\)\s*$", val, re.I | re.S)
                 if cm:
                     # secondary cursor argument (e.g. the query vector
-                    # of tf_feature_similarity) -> executed DataFrame
+                    # of tf_feature_similarity) -> executed DataFrame;
+                    # same read-only contract as the primary cursor
+                    if not self._is_read_only_statement(cm.group(1)):
+                        raise ValueError(
+                            "CURSOR(...) takes a read-only query "
+                            "(SELECT/WITH/VALUES), not DML/DDL"
+                        )
                     args[key] = self.sql(cm.group(1))
                 else:
                     args[key] = val.strip("'\"")
-            table_end = sql.index(")", tf_end)
+            table_end = masked.index(")", tf_end)
             builder = _SQL_TABLE_FUNCTIONS.get(tf_name)
             if builder is None:
                 raise ValueError(
@@ -2108,13 +2259,25 @@ class Engine:
         except Exception as exc:
             raise ValueError(f"ALTER TABLE target {table} not found") from exc
         new_name: str | None = None
+
+        def _resolve(col: str) -> str | None:
+            # Spark resolves column names case-insensitively by
+            # default (spark.sql.caseSensitive=false) — existence
+            # checks must match or a validly-cased reference is
+            # rejected / a case-variant duplicate slips through
+            return next(
+                (c for c in df.columns if c.lower() == col.lower()), None
+            )
+
         for action in parsed:
             m = _ALTER_RENAME_COL_RE.match(action)
             if m:
-                old, new = m.group(1), m.group(2)
-                if old not in df.columns:
-                    raise ValueError(f"column {old} does not exist")
-                if new in df.columns:
+                old, new = _resolve(m.group(1)), m.group(2)
+                if old is None:
+                    raise ValueError(
+                        f"column {m.group(1)} does not exist"
+                    )
+                if _resolve(new) is not None:
                     raise ValueError(f"column {new} already exists")
                 df = df.withColumnRenamed(old, new)
                 continue
@@ -2124,16 +2287,21 @@ class Engine:
                 continue
             m = _ALTER_COL_TYPE_RE.match(action)
             if m:
-                col, new_type = m.group(1), self._spark_type_text(m.group(2))
-                if col not in df.columns:
-                    raise ValueError(f"column {col} does not exist")
+                col = _resolve(m.group(1))
+                new_type = self._spark_type_text(m.group(2))
+                if col is None:
+                    raise ValueError(
+                        f"column {m.group(1)} does not exist"
+                    )
                 df = df.withColumn(col, F.col(col).cast(new_type))
                 continue
             m = _ALTER_DROP_RE.match(action)
             if m:
-                col = m.group(1)
-                if col not in df.columns:
-                    raise ValueError(f"column {col} does not exist")
+                col = _resolve(m.group(1))
+                if col is None:
+                    raise ValueError(
+                        f"column {m.group(1)} does not exist"
+                    )
                 if len(df.columns) == 1:
                     raise ValueError("cannot drop the only column")
                 df = df.drop(col)
@@ -2148,7 +2316,7 @@ class Engine:
                     if not dm:
                         raise ValueError(f"bad column definition: {d!r}")
                     col, typ, dflt = dm.group(1), dm.group(2), dm.group(3)
-                    if col in df.columns:
+                    if _resolve(col) is not None:
                         raise ValueError(f"column {col} already exists")
                     styp = self._spark_type_text(typ)
                     base = (
@@ -2287,6 +2455,24 @@ class Engine:
                 "expected sum of values to be less than or equal to 1.0"
             )
 
+        # Validate option names BEFORE any training or registration
+        # (the reference rejects unrecognized model options,
+        # ParserNode.cpp parse_model_options): a typoed option must
+        # not cost a full fit, and under OR REPLACE it must never
+        # destroy the pre-existing model.
+        _ALLOWED_OPTS = {
+            "PCA": {"k", "num_components"},
+            "LINEAR_REG": set(),
+            "DECISION_TREE_REG": {"seed", "max_tree_depth", "num_trees"},
+            "GBT_REG": {"seed", "max_tree_depth", "num_trees"},
+            "RANDOM_FOREST_REG": {"seed", "max_tree_depth", "num_trees"},
+        }
+        unknown_opts = sorted(set(opts) - _ALLOWED_OPTS[mtype])
+        if unknown_opts:
+            raise ValueError(
+                f"CREATE MODEL: unknown option(s) {unknown_opts}"
+            )
+
         df = self.sql(select.strip())
         cols = df.columns
         train_df = (
@@ -2373,11 +2559,8 @@ class Engine:
                 ),
             )
         if opts:
-            # the reference rejects unrecognized model options
-            # (ParserNode.cpp parse_model_options error paths) — a
-            # typoed MAX_TREE_DEPTH silently training at the default
-            # is worse than an error
-            MODELS.pop(name.lower(), None)
+            # unreachable: option names were validated before training;
+            # kept as a safety net that no longer destroys the model
             raise ValueError(
                 f"CREATE MODEL: unknown option(s) {sorted(opts)}"
             )
@@ -2815,8 +2998,15 @@ class Engine:
                 "(SELECT/WITH/VALUES/TABLE)"
             )
         stripped, _hints = _extract_query_hints(query)
-        if _TF_CURSOR_RE.search(stripped):
-            stripped = self._expand_cursor_table_functions(stripped)
+        if _TF_CURSOR_RE.search(_mask_literals_same_len(stripped)):
+            # expanding a CURSOR table function EXECUTES it (model
+            # fits, driver-side builders, temp-view side effects) —
+            # incompatible with validate's no-execution contract
+            raise ValueError(
+                "sql_validate cannot analyze TABLE(...CURSOR(...)) "
+                "table functions without executing them; run the "
+                "statement through sql() instead"
+            )
         df = self.spark.sql(
             dialect.rewrite(
                 stripped, type_of=self._type_resolver(stripped)

@@ -851,3 +851,136 @@ def test_update_int_division_semantics(engine, spark):
             assert isinstance(p, float)
     finally:
         engine.sql("DROP TABLE IF EXISTS upd_div")
+
+
+def test_result_cache_with_headed_dml_and_load_table(engine, spark):
+    """Review r7: (1) a WITH-headed INSERT both invalidates the cache
+    AND is never cached itself (a cached INSERT would silently skip
+    the re-insert); (2) load_table() invalidates like INSERT."""
+    spark.sql("DROP TABLE IF EXISTS rc_t")
+    engine.sql("CREATE TABLE rc_t AS SELECT 1 AS x")
+    engine.sql("ALTER SESSION SET RESULT_CACHE='on'")
+    try:
+        q = "SELECT count(*) AS n FROM rc_t"
+        assert engine.sql(q).first()["n"] == 1
+        ins = "WITH c AS (SELECT 2 AS x) INSERT INTO rc_t SELECT x FROM c"
+        engine.sql(ins)
+        assert engine.sql(q).first()["n"] == 2  # cache was invalidated
+        engine.sql(ins)  # identical text must INSERT again, not replay
+        assert engine.sql(q).first()["n"] == 3
+        engine.load_table("rc_t", [(9,)])
+        assert engine.sql(q).first()["n"] == 4  # load_table invalidated
+    finally:
+        engine.sql("ALTER SESSION SET RESULT_CACHE='off'")
+        spark.sql("DROP TABLE IF EXISTS rc_t")
+
+
+def test_cursor_table_function_guards(engine, spark):
+    """Review r7: CURSOR bodies must be read-only queries (the
+    reference's CURSOR grammar takes a query, never DML); a string
+    literal containing cursor-TF syntax passes through untouched; and
+    sql_validate refuses cursor TFs rather than executing them."""
+    import pytest as _pytest
+
+    spark.sql("DROP TABLE IF EXISTS cur_t")
+    engine.sql("CREATE TABLE cur_t AS SELECT 1 AS id, 2.0 AS x")
+    try:
+        with _pytest.raises(ValueError, match="read-only"):
+            engine.sql(
+                "SELECT * FROM TABLE(tf_compute_dwell_times("
+                "CURSOR(DELETE FROM cur_t)))"
+            )
+        assert engine.sql("SELECT count(*) AS n FROM cur_t").first()["n"] == 1
+        row = engine.sql(
+            "SELECT 'use TABLE(foo(CURSOR(x))) syntax' AS help_text"
+        ).first()
+        assert row["help_text"] == "use TABLE(foo(CURSOR(x))) syntax"
+        with _pytest.raises(ValueError, match="sql_validate"):
+            engine.sql_validate(
+                "SELECT * FROM TABLE(generate_series(CURSOR(SELECT 1), 1))"
+            )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS cur_t")
+
+
+def test_create_or_replace_model_bad_option_preserves_old(engine):
+    """Review r7: CREATE OR REPLACE MODEL with an unknown option is
+    rejected BEFORE training and must leave the pre-existing model
+    intact and predictable."""
+    import pytest as _pytest
+
+    engine.sql(
+        "CREATE MODEL keepm OF TYPE LINEAR_REG AS "
+        "SELECT o_totalprice, o_orderkey FROM orders LIMIT 200"
+    )
+    try:
+        before = engine.sql(
+            "SELECT ML_PREDICT('keepm', 5.0) AS p"
+        ).first()["p"]
+        with _pytest.raises(ValueError, match="unknown option"):
+            engine.sql(
+                "CREATE OR REPLACE MODEL keepm OF TYPE LINEAR_REG AS "
+                "SELECT o_totalprice, o_orderkey FROM orders "
+                "WITH (MAX_DEPTH='4')"
+            )
+        after = engine.sql(
+            "SELECT ML_PREDICT('keepm', 5.0) AS p"
+        ).first()["p"]
+        assert after == before  # original model survived the typo
+    finally:
+        engine.sql("DROP MODEL IF EXISTS keepm")
+
+
+def test_drop_foreign_table_only_drops_foreign_tables(engine):
+    """Review r7: DROP FOREIGN TABLE must never drop an attached
+    fixture view (the reference errors when the target is not a
+    foreign table)."""
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not a foreign table|does not exist"):
+        engine.sql("DROP FOREIGN TABLE nation")
+    assert engine.sql("SELECT count(*) AS n FROM nation").first()["n"] == 25
+
+
+def test_alter_table_case_insensitive_columns(engine, spark):
+    """Review r7: column existence checks in ALTER TABLE resolve
+    case-insensitively, matching Spark's default resolution."""
+    import pytest as _pytest
+
+    spark.sql("DROP TABLE IF EXISTS alt_ci")
+    engine.sql("CREATE TABLE alt_ci AS SELECT 1 AS low_col")
+    try:
+        engine.sql("ALTER TABLE alt_ci RENAME COLUMN LOW_COL TO q")
+        assert spark.table("alt_ci").columns == ["q"]
+        with _pytest.raises(ValueError, match="already exists"):
+            engine.sql("ALTER TABLE alt_ci ADD COLUMN Q INT")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS alt_ci")
+
+
+def test_stage_and_swap_preserves_table_metadata(engine, spark):
+    """Review r7: OPTIMIZE/DML rewrites carry the table comment,
+    heavydb.* properties, and column comments across the
+    stage-and-swap instead of silently shedding them."""
+    spark.sql("DROP TABLE IF EXISTS meta_t")
+    engine.sql(
+        "CREATE TABLE meta_t (a INTEGER, b TEXT) "
+        "WITH (max_rollback_epochs=5)"
+    )
+    engine.sql("INSERT INTO meta_t VALUES (1, 'x')")
+    spark.sql("COMMENT ON TABLE meta_t IS 'kept-comment'")
+    spark.sql("ALTER TABLE meta_t ALTER COLUMN a COMMENT 'col-note'")
+    try:
+        engine.sql("OPTIMIZE TABLE meta_t")
+        props = {
+            r["key"]: r["value"]
+            for r in spark.sql("SHOW TBLPROPERTIES meta_t").collect()
+        }
+        assert spark.catalog.getTable("meta_t").description == "kept-comment"
+        assert props.get("heavydb.max_rollback_epochs") == "5"
+        field = next(
+            f for f in spark.table("meta_t").schema.fields if f.name == "a"
+        )
+        assert (field.metadata or {}).get("comment") == "col-note"
+    finally:
+        spark.sql("DROP TABLE IF EXISTS meta_t")
