@@ -189,6 +189,12 @@ def _rewrite_array_index(sql: str) -> str:
             while r >= 0 and (sql[r].isalnum() or sql[r] in "_."):
                 r -= 1
             start = r + 1
+            if sql[start : p + 1].upper() == "ARRAY":
+                # an ARRAY[...] constructor whose elements contained a
+                # subscript (now rewritten) — not an indexed identifier;
+                # leave it for the constructor pass (review r7)
+                pos = j + 1
+                continue
         elif p >= 0 and sql[p] == "`":
             # backtick-quoted identifier (incl. ones the double-quote
             # conversion above just produced): scan to the opener
@@ -316,11 +322,26 @@ _REWRITES: list[tuple[re.Pattern, str]] = [
     # Table functions: FROM TABLE(generate_series(a, b[, step])) —
     # UtilityTableFunctions.h:28-30. sequence() is inclusive-stop like
     # the reference, JVM-native, and handles int and timestamp+interval.
+    # 2-arg form (implicit step +1): Spark's sequence(a, b) DESCENDS
+    # when a > b while the reference returns the empty set — guard
+    # with an empty array (review r7; same hazard as the gram
+    # builders' sequence(1, 0)).
     (
         re.compile(
             r"\bTABLE\s*\(\s*generate_series\s*\(([^)]*)\)\s*\)", re.IGNORECASE
         ),
-        lambda m: f"(SELECT explode(sequence({m.group(1)})) AS series)",
+        lambda m: (
+            (
+                lambda parts: (
+                    "(SELECT explode(CASE WHEN ({a}) > ({b}) THEN array() "
+                    "ELSE sequence({a}, {b}) END) AS series)".format(
+                        a=parts[0], b=parts[1]
+                    )
+                    if len(parts) == 2
+                    else f"(SELECT explode(sequence({m.group(1)})) AS series)"
+                )
+            )([p.strip() for p in m.group(1).split(",")])
+        ),
     ),
     # FROM TABLE(generate_random_strings(n, len)) — deterministic
     # xxhash64-derived strings over a parallel range source (:49).
@@ -339,6 +360,21 @@ _REWRITES: list[tuple[re.Pattern, str]] = [
 
 _LITERAL = re.compile(r"'(?:[^']|'')*'")
 _DQUOTE_IDENT_RE = re.compile(r'"((?:[^"]|"")*)"')
+
+
+def _sub_outside_literals(pat: re.Pattern, repl, s: str) -> str:
+    """pat.sub(repl, s), skipping matches that START inside a
+    single-quoted literal (odd quote parity before the match) — these
+    rewrites run pre-mask because they parse quoted args, so
+    function-looking text inside a literal must stay DATA (the same
+    guard _rewrite_call applies; review r7)."""
+
+    def guarded(m: re.Match) -> str:
+        if s.count("'", 0, m.start()) % 2 == 1:
+            return m.group(0)
+        return repl(m) if callable(repl) else m.expand(repl)
+
+    return pat.sub(guarded, s)
 
 
 def _split_top_level(args: str) -> list[str]:
@@ -518,6 +554,18 @@ _FLOAT_AGGS = [
 _CALL_REWRITES = [
     # SAMPLE_RATIO(r) -> (rand() < r)
     ("SAMPLE_RATIO", lambda args: f"(rand() < {args})"),
+    # SINGLE_VALUE(x) (sqldefs.h:85): the group's value, erroring if
+    # the group holds more than one distinct value — the SQL spelling
+    # of functions/__init__.single_value (review r7: the docstring
+    # claimed coverage but no SQL rewrite existed)
+    (
+        "SINGLE_VALUE",
+        lambda args: (
+            f"(CASE WHEN count(DISTINCT ({args})) > 1 THEN "
+            f"raise_error('more than one row returned by SINGLE_VALUE') "
+            f"ELSE first(({args}), true) END)"
+        ),
+    ),
     ("TRUNCATE", _truncate_call),
     # ARRAY_EQUAL(a, b) (ExtensionFunctionsArray.hpp array_equal
     # overload family) -> Spark's native array equality, generic over
@@ -683,6 +731,10 @@ def _extract_ext(args: str) -> str | None:
     field, d = m.group(1).upper(), m.group(2)
     sec = f"extract(SECOND FROM {d})"
     mapping = {
+        # Spark's native extract(SECOND) is a fractional DECIMAL(8,6);
+        # the reference's kSECOND is integral seconds-of-minute
+        # (ExtractFromTime.h) — truncate (review r7)
+        "SECOND": f"CAST(floor({sec}) AS BIGINT)",
         "MILLISECOND": f"CAST(floor({sec} * 1000) AS BIGINT)",
         "MICROSECOND": f"CAST(floor({sec} * 1000000) AS BIGINT)",
         "NANOSECOND": f"CAST(floor({sec} * 1000000) AS BIGINT) * 1000",
@@ -1081,8 +1133,12 @@ def _cce(args: list[str], win: str) -> str:
 # ORDER BY expression), and the implicit default frame (RANGE UNBOUNDED
 # PRECEDING .. CURRENT ROW).
 _LAG_FRAME_RE = re.compile(
-    r"\b(ROWS|RANGE)\s+BETWEEN\s+(UNBOUNDED|\d+(?:\.\d+)?)\s+PRECEDING"
-    r"\s+AND\s+CURRENT\s+ROW\s*$",
+    # BETWEEN form, or the standard shorthand `<frame> N PRECEDING`
+    # (start only, end defaults to CURRENT ROW) — the same frame
+    r"\b(ROWS|RANGE)\s+(?:BETWEEN\s+(UNBOUNDED|\d+(?:\.\d+)?)\s+PRECEDING"
+    r"\s+AND\s+CURRENT\s+ROW"
+    r"|(UNBOUNDED|\d+(?:\.\d+)?)\s+PRECEDING"
+    r"|(CURRENT\s+ROW))\s*$",
     re.IGNORECASE,
 )
 _LEAD_FRAME_RE = re.compile(
@@ -1090,7 +1146,20 @@ _LEAD_FRAME_RE = re.compile(
     r"\s+(UNBOUNDED|\d+(?:\.\d+)?)\s+FOLLOWING\s*$",
     re.IGNORECASE,
 )
-_ANY_FRAME_RE = re.compile(r"\b(ROWS|RANGE)\s+BETWEEN\b", re.IGNORECASE)
+# shorthand frames all end at CURRENT ROW — the LEAD target is never
+# in-frame under any of them
+_SHORTHAND_FRAME_RE = re.compile(
+    r"\b(ROWS|RANGE)\s+(UNBOUNDED\s+PRECEDING|\d+(?:\.\d+)?\s+PRECEDING"
+    r"|CURRENT\s+ROW)\s*$",
+    re.IGNORECASE,
+)
+# any frame spec, BETWEEN or shorthand — unhandled forms must error
+# loudly, never ship the frame through to Spark's lag/lead (which
+# rejects explicit frames) or silently drop the in-frame guard
+_ANY_FRAME_RE = re.compile(
+    r"\b(ROWS|RANGE)\s+(BETWEEN\b|UNBOUNDED\b|CURRENT\s+ROW|\d|INTERVAL\b)",
+    re.IGNORECASE,
+)
 _ORDER_EXPR_RE = re.compile(r"\bORDER\s+BY\s+(.+?)\s*$", re.IGNORECASE)
 
 
@@ -1127,7 +1196,10 @@ def _lag_in_frame(args: list[str], win: str) -> str:
         return f"lag(({x}), ({k})) OVER ({win})"
     base = win[: m.start()].rstrip()
     lag = f"lag(({x}), ({k})) OVER ({base})"
-    mode, bound = m.group(1).upper(), m.group(2)
+    if m.group(4):  # shorthand `CURRENT ROW` frame: lag target (a
+        # preceding row) is never in-frame — typed NULL
+        return f"(CASE WHEN FALSE THEN {lag} END)"
+    mode, bound = m.group(1).upper(), m.group(2) or m.group(3)
     if bound.upper() == "UNBOUNDED":
         return lag
     if mode == "ROWS":
@@ -1150,6 +1222,17 @@ def _lead_in_frame(args: list[str], win: str) -> str:
     x, k = args[0], args[1]
     m = _LEAD_FRAME_RE.search(win)
     if not m:
+        sm = _SHORTHAND_FRAME_RE.search(win)
+        if sm:
+            # every shorthand frame ends at CURRENT ROW: the lead
+            # target (a following row) is never in-frame — typed NULL
+            # over the frame-stripped window (Spark rejects explicit
+            # frames on lead)
+            base = win[: sm.start()].rstrip()
+            return (
+                f"(CASE WHEN FALSE THEN lead(({x}), ({k})) "
+                f"OVER ({base}) END)"
+            )
         if _ANY_FRAME_RE.search(win):
             raise ValueError(
                 "LEAD_IN_FRAME requires a '<ROWS|RANGE> BETWEEN CURRENT ROW "
@@ -1282,6 +1365,11 @@ _INT_FUNCS_ALWAYS = {
     "hour", "minute", "second", "year", "month", "day", "dayofmonth",
     "dayofweek", "dayofyear", "weekofyear", "quarter", "datediff",
     "unix_timestamp",
+    # the dialect's own DATEDIFF rewrite emits timestampdiff (BIGINT),
+    # and every EXTRACT field is integral in this dialect (the
+    # fractional-SECOND delta is rewritten to an integral form) — both
+    # sit in the text when the int-division pass runs (review r7)
+    "timestampdiff", "extract",
 }
 # functions whose result is integral iff their argument(s) are
 _INT_FUNCS_ARG = {"abs", "sum", "min", "max", "greatest", "least", "mod",
@@ -1514,6 +1602,11 @@ def _rewrite_int_division(sql: str, type_of) -> str:
             p = f[0]
             while p > 0 and out[p - 1].isspace():
                 p -= 1
+            if p > 1 and out[p - 1] == "/" and out[p - 2] == "*":
+                # `*/` comment close (e.g. a retained Spark hint
+                # block): the comment is not part of the multiplicative
+                # chain — the chain starts at this factor (review r7)
+                break
             if p > 0 and out[p - 1] in "*%/":
                 pos = p - 1
                 continue
@@ -1543,7 +1636,7 @@ def rewrite(sql: str, type_of=None) -> str:
     (ArithmeticIR.cpp kDIVIDE)."""
     out = sql
     for pat, repl in _QUOTED_ARG_REWRITES:
-        out = pat.sub(repl, out)
+        out = _sub_outside_literals(pat, repl, out)
     for fname, make in _PREMASK_CALL_REWRITES:
         out = _rewrite_call(out, fname, make)
 
@@ -1578,6 +1671,14 @@ def rewrite(sql: str, type_of=None) -> str:
             break
         out = out2
     out = _rewrite_array_index(out)
+    # a constructor whose elements held subscripts (ARRAY[a[1], 2])
+    # couldn't match above; with the subscripts now element_at'd its
+    # brackets are innermost — resolve it (review r7)
+    while True:
+        out2 = _ARRAY_BRACKET.sub(r"array(\1)", out)
+        if out2 == out:
+            break
+        out = out2
     for fname, make in _CALL_REWRITES:
         out = _rewrite_call(out, fname, make)
     for fname, make in _WINDOW_REWRITES:

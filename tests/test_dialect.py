@@ -2178,3 +2178,65 @@ def test_result_cache_recycling(engine):
         assert e is not f
     finally:
         engine.sql("ALTER SESSION SET RESULT_CACHE='off'")
+
+
+def test_dialect_review_r7_fixes(engine):
+    """Review r7 dialect fixes, each pinned by the reviewer's repro:
+    (1) int/int DIV applies to the dialect's own timestampdiff/EXTRACT
+    emissions; (2) EXTRACT(SECOND) is integral like the reference's
+    kSECOND; (3) TABLE(generate_series(a, b)) with a > b is empty, not
+    descending; (4) quoted-arg rewrites never fire inside string
+    literals; (5) SINGLE_VALUE(x) works in SQL; (6) LAG_IN_FRAME /
+    LEAD_IN_FRAME accept shorthand frames; (7) ARRAY[...] constructors
+    containing subscripts; (8) DIV still fires after a retained
+    comment/hint block."""
+    import pytest as _pytest
+
+    r = engine.sql(
+        "SELECT DATEDIFF('day', DATE '2020-01-01', DATE '2020-01-12') / 7 "
+        "AS wk"
+    ).first()
+    assert r["wk"] == 1  # C-style int division, not 1.571...
+    r = engine.sql(
+        "SELECT EXTRACT(SECOND FROM TIMESTAMP '2020-01-01 00:00:30') AS s"
+    ).first()
+    assert r["s"] == 30 and not isinstance(r["s"], float)
+    assert engine.sql(
+        "SELECT * FROM TABLE(generate_series(5, 1))"
+    ).count() == 0
+    assert engine.sql(
+        "SELECT * FROM TABLE(generate_series(1, 5))"
+    ).count() == 5
+    r = engine.sql("SELECT 'note: CAST(a AS TIME) here' AS t").first()
+    assert r["t"] == "note: CAST(a AS TIME) here"
+    r = engine.sql(
+        "SELECT SINGLE_VALUE(n_regionkey) AS v FROM nation "
+        "WHERE n_regionkey = 2"
+    ).first()
+    assert r["v"] == 2
+    with _pytest.raises(Exception, match="SINGLE_VALUE"):
+        engine.sql(
+            "SELECT SINGLE_VALUE(n_regionkey) AS v FROM nation"
+        ).collect()
+    rows = engine.sql(
+        "SELECT LAG_IN_FRAME(n_nationkey, 2) OVER "
+        "(ORDER BY n_nationkey ROWS 3 PRECEDING) AS l FROM nation "
+        "ORDER BY n_nationkey LIMIT 3"
+    ).collect()
+    assert [x["l"] for x in rows] == [None, None, 0]
+    rows = engine.sql(
+        "SELECT LEAD_IN_FRAME(n_nationkey, 1) OVER "
+        "(ORDER BY n_nationkey ROWS 3 PRECEDING) AS l FROM nation LIMIT 2"
+    ).collect()
+    assert all(x["l"] is None for x in rows)  # lead never in-frame
+    r = engine.sql(
+        "SELECT ARRAY[n_nationkey, 9][1] AS e FROM nation "
+        "WHERE n_nationkey = 4"
+    ).first()
+    assert r["e"] == 4
+    r = engine.sql(
+        "SELECT /*+ BROADCAST(region) */ n_nationkey / 2 AS h "
+        "FROM nation JOIN region ON n_regionkey = r_regionkey "
+        "WHERE n_nationkey = 7"
+    ).first()
+    assert r["h"] == 3  # DIV fires after the retained hint block
