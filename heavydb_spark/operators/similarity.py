@@ -48,7 +48,13 @@ def _probe_dim(df: DataFrame, vec_col: str) -> int:
         key = None
     if key is not None and key in _DIM_CACHE:
         return _DIM_CACHE[key]
-    dim = len(df.select(vec_col).first()[0])
+    head = df.select(vec_col).first()
+    if head is None or head[0] is None:
+        raise ValueError(
+            f"cannot probe the dimension of {vec_col!r}: the input is "
+            "empty or its first vector is NULL — pass dim explicitly"
+        )
+    dim = len(head[0])
     if key is not None:
         if len(_DIM_CACHE) >= _DIM_CACHE_MAX:
             _DIM_CACHE.clear()
@@ -205,7 +211,11 @@ def semantic_dedup(
     same-bucket row i has cos(i, j) >= threshold, whether or not i
     itself survived. (The paper's greedy sweep differs only on chains
     where i was itself dropped by a third row; both rules remove every
-    exact duplicate and the one-pass form needs no iteration.)
+    exact duplicate with a non-zero norm and the one-pass form needs
+    no iteration. Degenerate ALL-ZERO vectors have no direction, so
+    cosine-based rules — here and in the paper — cannot flag even
+    identical zero vectors; collapse them with `exact_dedup` first if
+    they can occur.)
 
     Returns every input id with `kept`, `dup_of` (the LOWEST-id
     same-bucket neighbor above threshold; NULL when kept) and `max_cos`
@@ -327,7 +337,15 @@ def _idf_weights(
         .join(F.broadcast(nk))
         .select(
             feature_col,
-            (F.log((F.col("nk") + 1.0) / F.col("df_cnt")) + 1.0).alias("idf"),
+            # explicit +inf at df = 0: Spark double division by zero
+            # is NULL with ANSI off (the session default), which would
+            # silently DROP the feature from norms/dots instead of
+            # inf-poisoning them like the C++ division (review r7)
+            F.when(F.col("df_cnt") == 0, F.lit(float("inf")))
+            .otherwise(
+                F.log((F.col("nk") + 1.0) / F.col("df_cnt")) + 1.0
+            )
+            .alias("idf"),
         )
     )
 
@@ -428,11 +446,23 @@ def ivf_index(
         )
 
     best_id, best_d = F.lit(0), sq_dist(centroids[0])
-    for i in range(1, n_lists):
+    # MLlib can return FEWER than k centers when the data has fewer
+    # distinct points — bound on the actual count (review r7)
+    for i in range(1, len(centroids)):
         d = sq_dist(centroids[i])
         best_id = F.when(d < best_d, F.lit(i)).otherwise(best_id)
         best_d = F.least(best_d, d)
     return df.withColumn("list_id", best_id), centroids
+
+
+def _nearest_lists(centroids: np.ndarray, query_vec, nprobe: int) -> list[int]:
+    """The nprobe inverted-list ids whose centroids are nearest the
+    query (squared L2, stable argsort order) — the probe selection
+    shared by every IVF entry point so tie-breaking can never diverge
+    between them."""
+    qv = np.asarray(query_vec, dtype=float)
+    order = np.argsort(((centroids - qv) ** 2).sum(axis=1))
+    return [int(i) for i in order[:nprobe]]
 
 
 def ann_topk_ivf(
@@ -450,9 +480,7 @@ def ann_topk_ivf(
     IVF adapts to the data distribution where hyperplane LSH is
     data-oblivious."""
     indexed, centroids = ivf_index(df, vec_col, n_lists, seed)
-    qv = np.asarray(query_vec, dtype=float)
-    order = np.argsort(((centroids - qv) ** 2).sum(axis=1))
-    probes = [int(i) for i in order[:nprobe]]
+    probes = _nearest_lists(centroids, query_vec, nprobe)
     q = _vec_lit(query_vec)
     return (
         indexed.filter(F.col("list_id").isin(probes))
@@ -484,9 +512,13 @@ def feature_similarity(
     from pyspark.sql.functions import broadcast
 
     spark = df.sparkSession
+    # bind the query relation to the CORPUS feature column's type —
+    # a hardcoded string schema crashes on int feature ids or forces
+    # a type-coercing join (review r7)
+    feat_type = df.schema[feature_col].dataType.simpleString()
     q = spark.createDataFrame(
         [(k, float(v)) for k, v in query_features.items()],
-        f"{feature_col} string, qval double",
+        f"{feature_col} {feat_type}, qval double",
     )
     v = df.groupBy(key_col, feature_col).agg(
         F.sum(metric_col).cast("double").alias("val")
@@ -719,8 +751,15 @@ def pq_train(
         .select(F.col(vec_col).cast("array<double>").alias("v"))
         .collect()  # bounded: `sample` rows — the training set
     )
+    if not rows:
+        raise ValueError("pq_train: empty training input")
     x = np.asarray([r["v"] for r in rows], dtype=np.float64)
     n, d = x.shape
+    if n < ksub:
+        raise ValueError(
+            f"pq_train: {n} training rows < ksub={ksub} centroids per "
+            "subspace — lower ksub or supply more data"
+        )
     if d % m:
         raise ValueError(f"dim {d} not divisible by m={m}")
     dsub = d // m
@@ -751,7 +790,9 @@ def pq_encode(
     is a pure JVM expression over literal centroid arrays — argmin
     of squared L2 per subspace, the same inline-literal pattern as
     `ivf_index` — so encoding is codegen over the scan: no Python,
-    no shuffle, no training data on executors."""
+    no shuffle, no training data on executors. `id_col` is accepted
+    for signature symmetry with the other PQ entry points but unused:
+    encoding appends `codes` to every input column."""
     m, ksub, dsub = codebooks.shape
 
     def sub_sq_dist(s: int, c) -> Column:
@@ -901,9 +942,7 @@ def ann_topk_ivfpq(
     zero per-row arithmetic and the scan still reads only
     nprobe/n_lists partitions at scale."""
     indexed, centroids = ivf_index(df, vec_col, n_lists, seed)
-    qv = np.asarray(query_vec, dtype=float)
-    order = np.argsort(((centroids - qv) ** 2).sum(axis=1))
-    probes = [int(i) for i in order[:nprobe]]
+    probes = _nearest_lists(centroids, query_vec, nprobe)
     if not residual:
         books = pq_train(
             df, vec_col, id_col, m=m, ksub=ksub, seed=seed
@@ -919,6 +958,7 @@ def ann_topk_ivfpq(
         "__resid", list_residual_col(centroids, vec_col)
     ).localCheckpoint(eager=False)
     books = pq_train(resid, "__resid", id_col, m=m, ksub=ksub, seed=seed)
+    qv = np.asarray(query_vec, dtype=float)
     parts = [
         pq_search_adc(
             resid.filter(F.col("list_id") == p).drop("list_id"),

@@ -3052,3 +3052,49 @@ def test_split_no_leakage_clusters_stay_together(spark):
         assert sum(r.n_docs for r in out) == 120
         rerun = QUERIES["pipe_split_no_leakage"](spark, td).collect()
         assert sorted(map(tuple, out)) == sorted(map(tuple, rerun))
+
+
+def test_similarity_degenerate_input_guards(spark):
+    """Review r7 robustness: small/degenerate inputs get clear errors
+    or correct behavior instead of IndexError/ValueError internals —
+    (1) ivf_index tolerates MLlib returning fewer centers than k;
+    (2) pq_train errors clearly on tiny/empty samples; (3) _probe_dim
+    errors clearly on empty input; (4) feature_similarity binds the
+    query relation to the corpus feature type."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from heavydb_spark.operators.similarity import (
+        ann_topk_ivf, feature_similarity, ivf_index, pq_train,
+        semantic_dedup,
+    )
+
+    # 2 distinct vectors, n_lists=8: KMeans returns < 8 centers
+    two = spark.createDataFrame(
+        [(i, [0.0, 0.0]) for i in range(3)]
+        + [(i, [9.0, 9.0]) for i in range(3, 6)],
+        "vec_id long, embedding array<float>",
+    )
+    indexed, cents = ivf_index(two, "embedding", n_lists=8)
+    assert len(cents) <= 8 and indexed.count() == 6
+    top = ann_topk_ivf(two, "embedding", [9.0, 9.0], k=2, n_lists=8,
+                       nprobe=1).collect()
+    assert {r.vec_id for r in top} <= {3, 4, 5}
+
+    with _pytest.raises(ValueError, match="training rows < ksub"):
+        pq_train(two, "embedding", "vec_id", m=2, ksub=16)
+    empty = two.filter(F.col("vec_id") < 0)
+    with _pytest.raises(ValueError, match="empty"):
+        pq_train(empty, "embedding", "vec_id", m=2, ksub=2)
+    with _pytest.raises(ValueError, match="empty|NULL"):
+        semantic_dedup(empty, "vec_id", "embedding")
+
+    # integer feature ids: query relation binds to the corpus type
+    feats = spark.createDataFrame(
+        [(1, 10, 2.0), (1, 11, 1.0), (2, 10, 2.0)],
+        "k long, feat int, metric double",
+    )
+    got = feature_similarity(
+        feats, "k", "feat", "metric", {10: 2.0}
+    ).collect()
+    assert len(got) == 2  # both keys score against the query
