@@ -1002,8 +1002,18 @@ class Engine:
             return False
         if kw == "WITH":
             # a CTE-headed statement may wrap DML; mask string
-            # literals so keyword-looking literal text can't flag it
+            # literals, SQL comments, and backtick identifiers so
+            # keyword-looking text in any of them can't flag it
+            # (advice r7: '-- delete stale rows' or a column named
+            # `update` misclassified a read-only CTE as mutating)
             masked = re.sub(r"'(?:[^']|'')*'", "''", query)
+            masked = re.sub(r"--[^\n]*", "", masked)
+            masked = re.sub(r"/\*.*?\*/", "", masked, flags=re.DOTALL)
+            # quoted identifiers: double quotes pre-rewrite (Calcite),
+            # backticks post-rewrite (the CURSOR path classifies raw
+            # dialect text; engine.sql classifies pre-rewrite too)
+            masked = re.sub(r'"(?:[^"]|"")*"', '""', masked)
+            masked = re.sub(r"`(?:[^`]|``)*`", "``", masked)
             return not cls._MUTATING_BODY_RE.search(masked)
         return True
 
@@ -1253,14 +1263,29 @@ class Engine:
             df = self.spark.sql(rewritten).cache()
             evicted = None
             with self._result_cache_lock:
-                if len(self._result_cache_entries) >= \
-                        self._RESULT_CACHE_MAX:
-                    # FIFO eviction keeps the pinned block-manager
-                    # footprint bounded (the reference recycler is
-                    # size-bounded too)
-                    oldest = next(iter(self._result_cache_entries))
-                    evicted = self._result_cache_entries.pop(oldest)
-                self._result_cache_entries[rewritten] = df
+                race_winner = self._result_cache_entries.get(rewritten)
+                if race_winner is not None:
+                    # two threads missed on the same key concurrently
+                    # (the build runs outside the lock by design — a
+                    # long plan must not serialize the cache): the
+                    # first insert wins and this thread returns it
+                    # WITHOUT unpersisting its own df — Spark's
+                    # CacheManager keys on the analyzed plan, so the
+                    # loser's .cache() was a no-op against the same
+                    # entry and unpersist() here would clobber the
+                    # winner's pinned data (advice r7; the no-leak
+                    # property is plan-level dedup, asserted by
+                    # tests/test_concurrency.py miss-storm)
+                    df = race_winner
+                else:
+                    if len(self._result_cache_entries) >= \
+                            self._RESULT_CACHE_MAX:
+                        # FIFO eviction keeps the pinned block-manager
+                        # footprint bounded (the reference recycler is
+                        # size-bounded too)
+                        oldest = next(iter(self._result_cache_entries))
+                        evicted = self._result_cache_entries.pop(oldest)
+                    self._result_cache_entries[rewritten] = df
             if evicted is not None:
                 try:
                     evicted.unpersist()

@@ -984,3 +984,33 @@ def test_stage_and_swap_preserves_table_metadata(engine, spark):
         assert (field.metadata or {}).get("comment") == "col-note"
     finally:
         spark.sql("DROP TABLE IF EXISTS meta_t")
+
+
+def test_read_only_classifier_masks_comments_and_backticks(engine, spark):
+    """Round-8 (advice r7, engine.py _is_read_only_statement): DML
+    keywords inside -- / block comments or backtick identifiers must
+    not flag a WITH-headed read-only statement as mutating (the old
+    classifier rejected CURSOR bodies like '-- delete stale rows' and
+    columns named `update`)."""
+    from heavydb_spark.engine import Engine
+
+    ro = Engine._is_read_only_statement
+    assert ro("WITH c AS (SELECT 1 AS x -- delete stale rows\n) "
+              "SELECT * FROM c")
+    assert ro("WITH c AS (SELECT 1 AS x /* insert audit note */) "
+              "SELECT * FROM c")
+    assert ro('WITH c AS (SELECT 1 AS "update") SELECT * FROM c')
+    # real WITH-headed DML still classifies as mutating
+    assert not ro("WITH c AS (SELECT 2 AS x) "
+                  "INSERT INTO t SELECT x FROM c")
+    # and a comment must not HIDE trailing DML text after it
+    assert not ro("WITH c AS (SELECT 1) /* note */ "
+                  "DELETE FROM t WHERE x IN (SELECT * FROM c)")
+    # end-to-end: a commented CURSOR body is accepted
+    rows = engine.sql(
+        "SELECT * FROM TABLE(tf_compute_dwell_times(CURSOR("
+        "WITH e AS (SELECT event_id AS entity_id, event_type AS "
+        "site_id, ts -- delete stale rows later\n"
+        " FROM events) SELECT entity_id, site_id, ts FROM e)))"
+    ).collect()
+    assert rows
