@@ -920,7 +920,7 @@ def ann_topk_ivfpq(
     m: int = 8,
     ksub: int = 16,
     seed: int = 42,
-    residual: bool = False,
+    residual: bool = True,
 ) -> DataFrame:
     """IVF-PQ composite ANN (the FAISS IndexIVFPQ shape): the KMeans
     coarse quantizer prunes the scan to the `nprobe` nearest inverted
@@ -930,9 +930,11 @@ def ann_topk_ivfpq(
     lookup tables (`pq_search_adc` — m table reads per vector, no
     per-row distance arithmetic). Ordering: (adc_dist asc, id).
 
-    `residual=True` is the FAISS IndexIVFPQ DEFAULT encoding: PQ
-    quantizes the coarse residual x - centroid[list_id] instead of
-    the raw vector.  Residuals have far smaller per-subspace variance
+    `residual=True` (the DEFAULT here since r8, matching FAISS
+    IndexIVFPQ — the invariants prove it beats raw at equal code
+    budget): PQ quantizes the coarse residual x - centroid[list_id]
+    instead of the raw vector; `residual=False` opts back into
+    raw-vector PQ. Residuals have far smaller per-subspace variance
     than raw vectors, so the same m x ksub code budget spends its
     centroids on the part of x the coarse quantizer did NOT explain —
     materially better recall at identical memory.  The ADC tables

@@ -408,9 +408,10 @@ def sim_ann_ivfpq(spark, sf_dir):
     the FAISS IndexIVFPQ shape): coarse-quantizer list pruning
     (scan nprobe/n_lists of the data) + ADC code scoring inside the
     probed lists (m lookup-table reads per vector) — the full
-    memory-AND-compute scale path.  A `residual=True` mode (the FAISS
-    default: PQ over x - centroid[list]) exists with its own
-    planted-copy + beats-raw-MSE contracts. Trained models ->
+    memory-AND-compute scale path.  Residual encoding (PQ over
+    x - centroid[list]) is the DEFAULT since r8, matching FAISS
+    IndexIVFPQ — this catalog query exercises it argument-free;
+    `residual=False` opts back into raw-vector PQ. Trained models ->
     rows-only; the contracts live in `sim_ann_ivfpq_invariants`."""
     e = T(spark, sf_dir, "embeddings")
     qvec = _query_vec(spark, sf_dir)
@@ -436,7 +437,11 @@ def sim_ann_ivfpq_invariants(spark, sf_dir):
     the corpus scored by full-scan ADC with the same codebooks (list
     pruning only removes rows, never rescores); (3) a re-run
     reproduces the ranking exactly (seeded KMeans, seeded sampled
-    Lloyd); (4) the planted copy survives in RESIDUAL mode too (the
+    Lloyd); (4) the planted copy survives in RESIDUAL mode — which
+    since r8 is the argument-free DEFAULT and must agree exactly with
+    an explicit residual=True call (contracts 1-3 pin residual=False,
+    the raw-PQ opt-out, whose subset check scores against raw
+    full-scan ADC) — (the
     copy shares the query's list, hence its residual and codes);
     (5) residual encoding (the FAISS IndexIVFPQ default, r6 verdict
     queue #6) beats raw-vector PQ on mean reconstruction error at the
@@ -449,10 +454,12 @@ def sim_ann_ivfpq_invariants(spark, sf_dir):
         .select(e.columns)
     )
     top = similarity.ann_topk_ivfpq(
-        with_copy, "embedding", qvec, k=5, n_lists=8, nprobe=2
+        with_copy, "embedding", qvec, k=5, n_lists=8, nprobe=2,
+        residual=False,  # raw-mode contracts (subset vs raw full-scan)
     ).collect()
     top2 = similarity.ann_topk_ivfpq(
-        with_copy, "embedding", qvec, k=5, n_lists=8, nprobe=2
+        with_copy, "embedding", qvec, k=5, n_lists=8, nprobe=2,
+        residual=False,
     ).collect()
     ids = [r["vec_id"] for r in top]
     dmin = min(r["adc_dist"] for r in top)
@@ -476,14 +483,24 @@ def sim_ann_ivfpq_invariants(spark, sf_dir):
     rerun = [(r["vec_id"], r["adc_dist"]) for r in top] == [
         (r["vec_id"], r["adc_dist"]) for r in top2
     ]
+    # the DEFAULT call is residual mode since r8 (FAISS IndexIVFPQ
+    # default; verdict r7 queue #7) — exercise it argument-free and
+    # require it to agree exactly with an explicit residual=True call
     rtop = similarity.ann_topk_ivfpq(
+        with_copy, "embedding", qvec, k=5, n_lists=8, nprobe=2,
+    ).collect()
+    rtop_explicit = similarity.ann_topk_ivfpq(
         with_copy, "embedding", qvec, k=5, n_lists=8, nprobe=2,
         residual=True,
     ).collect()
+    default_is_residual = [
+        (r["vec_id"], r["adc_dist"]) for r in rtop
+    ] == [(r["vec_id"], r["adc_dist"]) for r in rtop_explicit]
     rmin = min(r["adc_dist"] for r in rtop)
     r_ids = [r["vec_id"] for r in rtop]
     resid_planted = (
-        0 in r_ids and 900000 in r_ids
+        default_is_residual
+        and 0 in r_ids and 900000 in r_ids
         and all(
             r["adc_dist"] == rmin for r in rtop
             if r["vec_id"] in (0, 900000)
