@@ -1704,19 +1704,18 @@ def rewrite(sql: str, type_of=None) -> str:
     for pat, repl in _REWRITES:
         out = pat.sub(repl, out)
     out = _rewrite_table_generate_series(out)
-    # bracket array constructor ARRAY[...] -> array(...); loop so
-    # nested constructors resolve inside-out
+    # bracket array constructors ARRAY[...] -> array(...) and 1-based
+    # subscripts expr[i] -> element_at(expr, i), alternated to a
+    # FIXPOINT: each constructor pass resolves the innermost bracket
+    # pairs, each index pass element_at's the subscripts that exposes,
+    # which in turn makes enclosing constructors innermost.  A single
+    # constructor->index->constructor sequence (the r7 shape) missed
+    # the OUTER subscript of a subscript-bearing constructor —
+    # ARRAY[ARRAY[1,2][1], 7][1] left a raw Spark [1] (0-based!)
+    # behind, a silent off-by-one (found by the r8 generator).
     while True:
         out2 = _ARRAY_BRACKET.sub(r"array(\1)", out)
-        if out2 == out:
-            break
-        out = out2
-    out = _rewrite_array_index(out)
-    # a constructor whose elements held subscripts (ARRAY[a[1], 2])
-    # couldn't match above; with the subscripts now element_at'd its
-    # brackets are innermost — resolve it (review r7)
-    while True:
-        out2 = _ARRAY_BRACKET.sub(r"array(\1)", out)
+        out2 = _rewrite_array_index(out2)
         if out2 == out:
             break
         out = out2

@@ -768,3 +768,119 @@ def test_randomized_mixing_and_sharding_vs_reference(spark, seed):
         ).collect()
     }
     assert got_kept == want_kept
+
+
+# ------------------------------- r7-fix-family generators (r7 verdict #5)
+#
+# The three dialect bug classes the r7 review caught BY HAND, now under
+# seeded generators so the next regression in any of them is caught by
+# machine: (A) shorthand window frames on LAG_IN_FRAME/LEAD_IN_FRAME,
+# (B) ARRAY constructors wrapping subscripted elements (incl. the outer
+# subscript of such a constructor — the r8 fixpoint fix; the r7-shaped
+# single constructor->index->constructor pipeline returned a silent
+# 0-based [i] for ARRAY[ARRAY[1,2][1], 7][1]), (C) quoted-arg rewrites
+# that must NOT fire inside string literals. Each generated engine
+# statement pairs with a DuckDB-oracle statement expressing the same
+# semantics in ANSI SQL.
+
+
+def generate_shorthand_frame_pair(seed: int) -> tuple[str, str]:
+    """Engine SQL uses LAG_IN_FRAME/LEAD_IN_FRAME with a SHORTHAND
+    frame (`ROWS f PRECEDING` / `CURRENT ROW` — the r7 parser
+    extension); the oracle spells the in-frame semantics with ANSI
+    lag()/NULL. Frame `ROWS f PRECEDING` covers [cur-f, cur], so
+    LAG_IN_FRAME(x, n) is lag(x, n) iff n <= f; LEAD_IN_FRAME(x, n>=1)
+    is never in that frame; the CURRENT ROW frame holds only the
+    current row, so neither offset (n >= 1) is in frame."""
+    rng = random.Random(90_000 + seed)
+    n = rng.randint(1, 4)
+    fn = rng.choice(["LAG_IN_FRAME", "LEAD_IN_FRAME"])
+    frame = rng.choice([f"ROWS {rng.randint(0, 5)} PRECEDING",
+                        "ROWS CURRENT ROW"])
+    limit = rng.randint(300, 900)
+    order = "ORDER BY o_orderkey"
+    engine_sql = (
+        f"SELECT o_orderkey, {fn}(o_custkey, {n}) OVER "
+        f"({order} {frame}) AS w FROM orders "
+        f"WHERE o_orderkey < {limit}"
+    )
+    if fn == "LAG_IN_FRAME" and frame.startswith("ROWS ") \
+            and frame.endswith("PRECEDING"):
+        f_rows = int(frame.split()[1])
+        in_frame = "TRUE" if n <= f_rows else "FALSE"
+    else:  # LEAD never in a trailing frame; CURRENT ROW holds no offset
+        in_frame = "FALSE"
+    oracle_sql = (
+        f"SELECT o_orderkey, CASE WHEN {in_frame} THEN "
+        f"lag(o_custkey, {n}) OVER ({order}) END AS w FROM orders "
+        f"WHERE o_orderkey < {limit}"
+    )
+    return engine_sql, oracle_sql
+
+
+@pytest.mark.parametrize("seed", range(15))
+def test_randomized_shorthand_window_frames(engine, ddb, seed):
+    engine_sql, oracle_sql = generate_shorthand_frame_pair(seed)
+    srows = [tuple(r) for r in engine.sql(engine_sql).collect()]
+    orows = ddb.sql(oracle_sql).fetchall()
+    assert canonical(srows) == canonical(orows), (engine_sql, oracle_sql)
+
+
+def _array_expr(rng: random.Random, depth: int) -> tuple[str, int]:
+    """Random ARRAY[...] constructor tree over int literals where any
+    element (and the constructor itself) may carry a 1-based subscript;
+    returns (sql_expr, value). Subscripted elements are scalars;
+    unsubscripted nesting stays depth-bounded."""
+    if depth == 0 or rng.random() < 0.5:
+        v = rng.randint(1, 99)
+        return str(v), v
+    k = rng.randint(1, 3)
+    elems, vals = [], []
+    for _ in range(k):
+        e, v = _array_expr(rng, depth - 1)
+        elems.append(e)
+        vals.append(v)
+    expr = f"ARRAY[{', '.join(elems)}]"
+    i = rng.randint(1, k)
+    return f"{expr}[{i}]", vals[i - 1]
+
+
+@pytest.mark.parametrize("seed", range(15))
+def test_randomized_array_constructor_subscripts(engine, ddb, seed):
+    """Family B: the same text runs on the engine (dialect fixpoint
+    rewrite to array()/element_at) and on DuckDB (native ARRAY[...]
+    with 1-based subscripts); both must equal the Python-computed
+    value. Seeds with an outer subscript on a subscript-bearing
+    constructor FAIL on the pre-r8 dialect.py (raw 0-based [i])."""
+    rng = random.Random(91_000 + seed)
+    expr, expected = _array_expr(rng, 3)
+    if "[" not in expr:  # degenerate scalar draw — force one wrap
+        expr, expected = f"ARRAY[{expr}, {expected}][1]", expected
+    sql = f"SELECT {expr} AS e"
+    got = engine.sql(sql).first()["e"]
+    assert got == expected, (sql, got, expected)
+    assert ddb.sql(sql).fetchall()[0][0] == expected, sql
+
+
+@pytest.mark.parametrize("seed", range(15))
+def test_randomized_quoted_arg_rewrites_skip_literals(engine, seed):
+    """Family C: string literals containing quoted-arg-rewrite bait
+    (DATEPART('...', TIME 'hh:mm:ss', CAST(x AS TIME)) pass through
+    BYTE-IDENTICAL while a genuine DATEPART call in the same statement
+    still rewrites (expected value computed in Python)."""
+    rng = random.Random(92_000 + seed)
+    bait = rng.choice([
+        "use DATEPART(''year'', d) here",
+        "set TIME 12:30:00 now",
+        "try CAST(x AS TIME) maybe",
+        "DATEPART(''day'' and TIME 09:15:00 both",
+    ])
+    y, m, d = rng.randint(1992, 1998), rng.randint(1, 12), rng.randint(1, 28)
+    part = rng.choice(["year", "month", "day"])
+    expected_part = {"year": y, "month": m, "day": d}[part]
+    row = engine.sql(
+        f"SELECT '{bait}' AS t, "
+        f"DATEPART('{part}', DATE '{y}-{m:02d}-{d:02d}') AS p"
+    ).first()
+    assert row["t"] == bait.replace("''", "'"), (bait, row["t"])
+    assert row["p"] == expected_part
