@@ -1002,20 +1002,51 @@ class Engine:
             return False
         if kw == "WITH":
             # a CTE-headed statement may wrap DML; mask string
-            # literals, SQL comments, and backtick identifiers so
+            # literals, SQL comments, and quoted identifiers so
             # keyword-looking text in any of them can't flag it
             # (advice r7: '-- delete stale rows' or a column named
-            # `update` misclassified a read-only CTE as mutating)
-            masked = re.sub(r"'(?:[^']|'')*'", "''", query)
-            masked = re.sub(r"--[^\n]*", "", masked)
-            masked = re.sub(r"/\*.*?\*/", "", masked, flags=re.DOTALL)
-            # quoted identifiers: double quotes pre-rewrite (Calcite),
-            # backticks post-rewrite (the CURSOR path classifies raw
-            # dialect text; engine.sql classifies pre-rewrite too)
-            masked = re.sub(r'"(?:[^"]|"")*"', '""', masked)
-            masked = re.sub(r"`(?:[^`]|``)*`", "``", masked)
-            return not cls._MUTATING_BODY_RE.search(masked)
+            # `update` misclassified a read-only CTE as mutating).
+            # A single-pass lexer, not ordered regexes: any fixed
+            # regex order has a pathological interleaving (a quote
+            # inside a comment, a comment-open inside an identifier)
+            # that either hides real DML or eats past it.
+            return not cls._MUTATING_BODY_RE.search(
+                cls._strip_noncode(query)
+            )
         return True
+
+    @staticmethod
+    def _strip_noncode(s: str) -> str:
+        """Remove the content of string literals ('' escaping), quoted
+        identifiers (\"..\" pre-rewrite / `..` post-rewrite, doubled-
+        quote escaping), `--` line comments and /* */ block comments in
+        ONE left-to-right pass, so each region is classified by what
+        the SQL lexer would actually do at that position."""
+        out: list[str] = []
+        i, n = 0, len(s)
+        while i < n:
+            ch = s[i]
+            if ch in ("'", '"', "`"):
+                j = i + 1
+                while j < n:
+                    if s[j] == ch:
+                        if j + 1 < n and s[j + 1] == ch:  # doubled escape
+                            j += 2
+                            continue
+                        break
+                    j += 1
+                out.append(ch + ch)
+                i = j + 1
+            elif ch == "-" and s[i : i + 2] == "--":
+                j = s.find("\n", i)
+                i = n if j == -1 else j + 1
+            elif ch == "/" and s[i : i + 2] == "/*":
+                j = s.find("*/", i + 2)
+                i = n if j == -1 else j + 2
+            else:
+                out.append(ch)
+                i += 1
+        return "".join(out)
 
     def table(self, name: str) -> DataFrame:
         return self.spark.table(name)

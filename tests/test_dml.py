@@ -1014,3 +1014,26 @@ def test_read_only_classifier_masks_comments_and_backticks(engine, spark):
         " FROM events) SELECT entity_id, site_id, ts FROM e)))"
     ).collect()
     assert rows
+
+
+def test_read_only_classifier_lexer_interleavings(engine):
+    """Round-8 self-review: the classifier lexes left-to-right, so the
+    pathological interleavings ordered regexes get wrong — a quote
+    inside a comment hiding later DML, a comment-open inside a quoted
+    identifier eating a real DML keyword — classify correctly."""
+    from heavydb_spark.engine import Engine
+
+    ro = Engine._is_read_only_statement
+    # comment containing a lone quote must not pair with a later
+    # identifier quote and hide the INSERT
+    assert not ro('WITH c AS (SELECT 1 -- don"t\n) '
+                  'INSERT INTO t "col" SELECT * FROM c')
+    # comment-open inside a quoted identifier must not open a comment
+    # that eats the real INSERT
+    assert not ro('WITH c AS (SELECT "a/*b" FROM x) '
+                  'INSERT /* note */ INTO t SELECT * FROM c')
+    # apostrophe in a -- comment must not flip quote parity
+    assert ro("WITH c AS (SELECT 1 -- don't update this\n) "
+              "SELECT * FROM c")
+    # unterminated block comment swallows to EOF (lexer behavior)
+    assert ro("WITH c AS (SELECT 1) SELECT * FROM c /* trailing insert")
