@@ -561,6 +561,13 @@ def generate_grouping_sql(seed: int) -> str:
             for c in itertools.combinations(dims, r)
         ]
         chosen = rng.sample(subsets, rng.randint(2, len(subsets)))
+        # every dim must appear in >=1 chosen set, or the GROUPING(d)
+        # projections below are invalid on BOTH engines
+        # (GROUPING_COLUMN_MISMATCH — r8 extended-seed sweep). Adding
+        # the full tuple only when needed keeps every already-valid
+        # historical seed byte-identical.
+        if any(all(d not in c for c in chosen) for d in dims):
+            chosen.append("(" + ", ".join(dims) + ")")
         grouping = f"GROUPING SETS ({', '.join(chosen)})"
     else:
         grouping = f"{form}({', '.join(dims)})"
