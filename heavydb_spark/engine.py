@@ -1136,6 +1136,11 @@ class Engine:
             rest = (m.group(2) or "").strip()
             if rest:
                 before, where = _split_where(rest)
+                # comments between the table name and WHERE are legal
+                # (Calcite lexes them out); only reject if real tokens
+                # remain once comments are stripped (r8 probe)
+                if before and not self._strip_noncode(before).strip():
+                    before = ""
                 if before or where is None:
                     raise ValueError(
                         f"unsupported DELETE syntax after table name: {rest!r}"

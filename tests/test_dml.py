@@ -1037,3 +1037,22 @@ def test_read_only_classifier_lexer_interleavings(engine):
               "SELECT * FROM c")
     # unterminated block comment swallows to EOF (lexer behavior)
     assert ro("WITH c AS (SELECT 1) SELECT * FROM c /* trailing insert")
+
+
+def test_delete_with_comment_before_where(engine, spark):
+    """Round-8 probe: Calcite lexes comments out anywhere, so
+    `DELETE FROM t /* c */ WHERE ...` must delete, not raise
+    'unsupported DELETE syntax'; real stray tokens still raise."""
+    import pytest as _pytest
+
+    spark.sql("DROP TABLE IF EXISTS del_c")
+    engine.sql("CREATE TABLE del_c AS SELECT 1 AS x UNION ALL SELECT 2")
+    try:
+        engine.sql("DELETE FROM del_c /* cleanup */ WHERE x = 2")
+        assert engine.sql("SELECT count(*) AS n FROM del_c").first()["n"] == 1
+        engine.sql("DELETE FROM del_c -- drop the rest\n WHERE x = 1")
+        assert engine.sql("SELECT count(*) AS n FROM del_c").first()["n"] == 0
+        with _pytest.raises(ValueError, match="unsupported DELETE"):
+            engine.sql("DELETE FROM del_c USING other WHERE x = 1")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS del_c")
