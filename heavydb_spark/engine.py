@@ -41,7 +41,10 @@ _EXPLAIN_RE = re.compile(
 )
 
 _UPDATE_RE = re.compile(
-    r"^\s*UPDATE\s+(\w+)\s+SET\s+(.*?)\s*;?\s*$",
+    # comments are legal between the table name and SET (Calcite lexes
+    # them out; r8 probe — without this the statement falls through to
+    # spark.sql, which rejects UPDATE on parquet tables)
+    r"^\s*UPDATE\s+(\w+)\s+(?:(?:/\*.*?\*/|--[^\n]*\n)\s*)*SET\s+(.*?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 _DELETE_RE = re.compile(

@@ -1056,3 +1056,21 @@ def test_delete_with_comment_before_where(engine, spark):
             engine.sql("DELETE FROM del_c USING other WHERE x = 1")
     finally:
         spark.sql("DROP TABLE IF EXISTS del_c")
+
+
+def test_update_with_comment_before_set(engine, spark):
+    """Round-8 probe: comments between the table name and SET must not
+    knock UPDATE off the copy-on-write DML path (the fall-through is
+    spark.sql, which rejects UPDATE on parquet tables)."""
+    spark.sql("DROP TABLE IF EXISTS upd_c")
+    engine.sql("CREATE TABLE upd_c AS SELECT 1 AS x, 10 AS y")
+    try:
+        engine.sql("UPDATE upd_c /* audit */ SET y = 20 WHERE x = 1")
+        assert engine.sql("SELECT y FROM upd_c").first()["y"] == 20
+        engine.sql("UPDATE upd_c -- note\n SET y = 25 WHERE x = 1")
+        assert engine.sql("SELECT y FROM upd_c").first()["y"] == 25
+        # reference int division applies inside SET expressions too
+        engine.sql("UPDATE upd_c SET y = 7 / 2 WHERE x = 1")
+        assert engine.sql("SELECT y FROM upd_c").first()["y"] == 3
+    finally:
+        spark.sql("DROP TABLE IF EXISTS upd_c")
