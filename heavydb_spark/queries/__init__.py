@@ -50,7 +50,9 @@ from heavydb_spark.queries import (  # noqa: F401,E402
 #         balanced-paren rewrite of TABLE(generate_series(...)).
 #   40-50 the 11 first r3-checked entries in registration order.
 #   Pre-verified with scripts/replay_window.py 50 /root/testdata/sf0.01
-#   before round-end (the r7 pre-verification recipe).
+#   before round-end (the r7 pre-verification recipe): 47 hash-green +
+#   3 rows-only-by-design, 0 fails — re-run clean against the final
+#   r8 code after the dialect fixpoint change.
 #
 # ROUND-9 WINDOW (positions 51-100) — r7 verdict task #2:
 #   51-81  the remaining 31 r3-checked entries;
@@ -60,8 +62,11 @@ from heavydb_spark.queries import (  # noqa: F401,E402
 #          to already-green catalog queries; both pre-verified at
 #          sf0.01 in r8);
 #   84-100 the 17 oldest r4-checked entries in registration order.
-#   After r9 completes, no catalog entry's last driver check predates
-#   ROUND 4, and every r7/r8-touched query has a post-change check.
+#   ALSO pre-verified in r8 (replay_window.py 100 at sf0.01 came back
+#   90 green + 10 rows-only, 0 fails across the full first 100 — both
+#   windows ship pre-checked).  After r9 completes, no catalog entry's
+#   last driver check predates ROUND 4, and every r7/r8-touched query
+#   has a post-change check.
 #
 # Past position 100: the remaining r4-checked entries, then r5/r6/r7
 # greens freshest-last in registration order (an over-budget driver
