@@ -531,6 +531,86 @@ _GEOM_EXPR_RE = re.compile(
 )
 
 
+_WKT_POINT_LIT_RE = re.compile(
+    r"^\s*'\s*POINT\s*\(\s*(-?[\d.eE+]+)\s+(-?[\d.eE+]+)\s*\)\s*'\s*$",
+    re.IGNORECASE,
+)
+_WKT_MULTIPOINT_LIT_RE = re.compile(
+    r"^\s*'\s*MULTIPOINT\s*\((.*)\)\s*'\s*$", re.IGNORECASE | re.DOTALL
+)
+_GEOMFROMTEXT_CALL_RE = re.compile(
+    r"^\s*ST_GeomFromText\s*\((.*)\)\s*$", re.IGNORECASE | re.DOTALL
+)
+
+
+def _point_literal_structs(arg: str) -> list[str] | None:
+    """A WKT POINT literal — bare ('POINT(0 0)', the reference's
+    implicit string->geometry cast, GeospatialTest.cpp:474) or wrapped
+    in ST_GeomFromText(..., [srid]) — becomes its point-struct
+    spelling; a MULTIPOINT literal becomes one struct per member
+    point. Returns None when `arg` is not a literal point geometry."""
+    m = _GEOMFROMTEXT_CALL_RE.match(arg)
+    if m:
+        inner = _split_top_level(m.group(1))
+        if not inner:
+            return None
+        arg = inner[0]  # optional SRID arg carries no geometry
+    m = _WKT_POINT_LIT_RE.match(arg)
+    if m:
+        return [
+            f"named_struct('x', CAST({m.group(1)} AS DOUBLE), "
+            f"'y', CAST({m.group(2)} AS DOUBLE))"
+        ]
+    m = _WKT_MULTIPOINT_LIT_RE.match(arg)
+    if m:
+        pts = []
+        for p in m.group(1).split(","):
+            xy = p.strip().strip("()").split()
+            if len(xy) != 2:
+                return None
+            pts.append(
+                f"named_struct('x', CAST({xy[0]} AS DOUBLE), "
+                f"'y', CAST({xy[1]} AS DOUBLE))"
+            )
+        return pts or None
+    return None
+
+
+def _st_distance_literal_args(args: str) -> str | None:
+    """ST_Distance with literal point geometry on either side — the
+    reference's ubiquitous SQL test shape (`ST_Distance('POINT(0 0)',
+    p)`, `ST_Distance(ST_GeomFromText('POINT(0 0)'), p)`,
+    GeospatialTest.cpp:474-498) — normalizes literals to point structs
+    so the registered st_distance(STRUCT, STRUCT) applies. A
+    MULTIPOINT literal expands to the min of member-point distances
+    (the reference's multipoint distance semantics). Non-literal args
+    pass through untouched; non-point literal shapes stay loud."""
+    parts = _split_top_level(args)
+    if len(parts) != 2:
+        return None
+    la = _point_literal_structs(parts[0])
+    lb = _point_literal_structs(parts[1])
+    if la is None and lb is None:
+        return None
+    aa = la or [parts[0]]
+    bb = lb or [parts[1]]
+    calls = [f"st_distance({a}, {b})" for a in aa for b in bb]
+    return calls[0] if len(calls) == 1 else f"least({', '.join(calls)})"
+
+
+def _st_dwithin_literal_args(args: str) -> str | None:
+    """ST_DWithin(a, b, d) with literal point geometry: rewrite through
+    the distance normalizer (distance <= d is the definition,
+    Geospatial/Types.cpp)."""
+    parts = _split_top_level(args)
+    if len(parts) != 3:
+        return None
+    dist = _st_distance_literal_args(", ".join(parts[:2]))
+    if dist is None:
+        return None
+    return f"({dist} <= {parts[2]})"
+
+
 def _st_buffer_call(args: str) -> str | None:
     """Single-name ST_Buffer(geom, r): resolve the geometry tag at
     rewrite time — a literal ST_GeomFromText WKT names its tag
@@ -1061,6 +1141,9 @@ _PREMASK_CALL_REWRITES = [
     ("LLM_TRANSFORM", _llm_transform),
     # the WKT literal IS the static geometry tag -> pre-mask
     ("ST_BUFFER", _st_buffer_call),
+    # literal point geometry args normalize to point structs -> pre-mask
+    ("ST_DISTANCE", _st_distance_literal_args),
+    ("ST_DWITHIN", _st_dwithin_literal_args),
     # quoted delimiter set IS a literal -> pre-mask
     ("STRTOK_TO_ARRAY", _strtok_to_array),
     # Postgres-form aliases: quoted field IS a literal -> pre-mask

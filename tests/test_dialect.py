@@ -2304,3 +2304,39 @@ def test_generate_series_nested_args_and_direction(engine):
 
     out = rewrite("SELECT * FROM TABLE(generate_series(abs(-3), 5))")
     assert out.count("abs(-3)") == 1
+
+
+def test_st_distance_literal_geometry_args(engine):
+    """Round-8: the reference's ubiquitous SQL test shape — literal
+    point geometry in ST_Distance/ST_DWithin, bare ('POINT(0 0)', the
+    implicit string->geometry cast, GeospatialTest.cpp:474) or wrapped
+    in ST_GeomFromText (with or without SRID) — normalizes to point
+    structs at rewrite time; MULTIPOINT literals take the min member
+    distance; non-literal args keep the registered struct function."""
+    r = engine.sql(
+        "SELECT ST_Distance('POINT(0 0)', 'POINT(3 4)') AS r"
+    ).first()
+    assert r["r"] == 5.0
+    r = engine.sql(
+        "SELECT ST_Distance(ST_GeomFromText('POINT(0 0)'), "
+        "ST_GeomFromText('POINT(3 4)', 4326)) AS r"
+    ).first()
+    assert r["r"] == 5.0
+    r = engine.sql(
+        "SELECT ST_Distance('MULTIPOINT(-1 0, 0 1)', 'POINT(0 0)') AS r"
+    ).first()
+    assert r["r"] == 1.0
+    r = engine.sql(
+        "SELECT ST_DWithin('POINT(0 0)', 'POINT(3 4)', 5.5) AS r"
+    ).first()
+    assert r["r"] is True
+    # literal vs point-struct COLUMN (the GeospatialTest.cpp filter
+    # shape): count events within a radius of the origin point built
+    # from their own coordinates
+    n = engine.sql(
+        "SELECT count(*) AS n FROM ("
+        "SELECT named_struct('x', CAST(event_id % 10 AS DOUBLE), "
+        "'y', CAST(0.0e0 AS DOUBLE)) AS pt FROM events) "
+        "WHERE ST_Distance('POINT(0 0)', pt) < 3"
+    ).first()
+    assert n["n"] > 0

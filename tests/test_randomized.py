@@ -373,7 +373,13 @@ def _num_expr(rng: random.Random, depth: int = 0) -> str:
         ])
     inner = _num_expr(rng, depth + 1)
     form = rng.choice([
-        "round({i} / {k}, 3)", "floor({i} / {k})", "ceil({i} / {k})",
+        # NOT round(x, 3): an exact .xxx5 half rounds differently on
+        # Spark (shortest-repr HALF_UP) vs DuckDB (raw double) — the
+        # documented oracle hazard; floor(x*1000 + 0.5)*1e-3 is the
+        # same HALF_UP evaluated identically on both engines (found by
+        # the r8 extended-seed sweep at scalar:390)
+        "floor(({i} / {k}) * 1000 + 0.5) * 1e-3",
+        "floor({i} / {k})", "ceil({i} / {k})",
         "sqrt(abs({i}))", "ln(abs({i}) + 1)", "power(mod(CAST(floor({i}) AS BIGINT), 5), 2)",
         "least({i}, {k})", "greatest({i}, {k})", "coalesce(nullif({i}, 0), {k})",
         "abs({i}) + {k}", "abs({i}) * 2",
