@@ -611,6 +611,73 @@ def _st_dwithin_literal_args(args: str) -> str | None:
     return f"({dist} <= {parts[2]})"
 
 
+_WKT_ANY_LIT_RE = re.compile(
+    r"^\s*'\s*(POINT|MULTIPOINT|LINESTRING|MULTILINESTRING|POLYGON|"
+    r"MULTIPOLYGON)\b[^']*'\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _rings_arg(arg: str) -> str:
+    """A bare WKT string literal (the reference's implicit
+    string->geometry cast) wraps in st_geomfromtext so it lands as the
+    array-of-rings geometry type; anything else passes through."""
+    if _WKT_ANY_LIT_RE.match(arg):
+        return f"st_geomfromtext({arg})"
+    return arg
+
+
+def _st_contains_literal_args(args: str) -> str | None:
+    """ST_Contains(g, p) with literal geometry: the containee point
+    normalizes to a struct (st_contains takes STRUCT on the right);
+    a bare WKT literal container wraps in st_geomfromtext
+    (GeospatialTest.cpp literal-argument shapes)."""
+    parts = _split_top_level(args)
+    if len(parts) != 2:
+        return None
+    g, p = parts
+    pts = _point_literal_structs(p)
+    g2 = _rings_arg(g)
+    if pts is not None and len(pts) != 1:
+        return None  # multipoint containment: keep the loud path
+    if pts is None and g2 == g:
+        return None
+    return f"st_contains({g2}, {pts[0] if pts else p})"
+
+
+def _st_within_literal_args(args: str) -> str | None:
+    """ST_Within(p, g) — the argument-swapped st_contains."""
+    parts = _split_top_level(args)
+    if len(parts) != 2:
+        return None
+    p, g = parts
+    pts = _point_literal_structs(p)
+    g2 = _rings_arg(g)
+    if pts is not None and len(pts) != 1:
+        return None
+    if pts is None and g2 == g:
+        return None
+    return f"st_within({pts[0] if pts else p}, {g2})"
+
+
+def _st_rings_pair_literal_args(fname: str):
+    """ST_Intersects / ST_Disjoint take two array-of-rings geometries —
+    bare WKT literals on either side just need the st_geomfromtext
+    wrap (POINT literals land as a 1x1 ring set, which the overlay
+    kernel treats as the degenerate geometry it is)."""
+
+    def make(args: str) -> str | None:
+        parts = _split_top_level(args)
+        if len(parts) != 2:
+            return None
+        a2, b2 = _rings_arg(parts[0]), _rings_arg(parts[1])
+        if a2 == parts[0] and b2 == parts[1]:
+            return None
+        return f"{fname}({a2}, {b2})"
+
+    return make
+
+
 def _st_buffer_call(args: str) -> str | None:
     """Single-name ST_Buffer(geom, r): resolve the geometry tag at
     rewrite time — a literal ST_GeomFromText WKT names its tag
@@ -1144,6 +1211,10 @@ _PREMASK_CALL_REWRITES = [
     # literal point geometry args normalize to point structs -> pre-mask
     ("ST_DISTANCE", _st_distance_literal_args),
     ("ST_DWITHIN", _st_dwithin_literal_args),
+    ("ST_CONTAINS", _st_contains_literal_args),
+    ("ST_WITHIN", _st_within_literal_args),
+    ("ST_INTERSECTS", _st_rings_pair_literal_args("st_intersects")),
+    ("ST_DISJOINT", _st_rings_pair_literal_args("st_disjoint")),
     # quoted delimiter set IS a literal -> pre-mask
     ("STRTOK_TO_ARRAY", _strtok_to_array),
     # Postgres-form aliases: quoted field IS a literal -> pre-mask

@@ -2340,3 +2340,30 @@ def test_st_distance_literal_geometry_args(engine):
         "WHERE ST_Distance('POINT(0 0)', pt) < 3"
     ).first()
     assert n["n"] > 0
+
+
+def test_geo_predicate_literal_geometry_args(engine):
+    """Round-8 follow-up: literal geometry in ST_Contains / ST_Within /
+    ST_Intersects / ST_Disjoint — point literals normalize to structs,
+    polygon/linestring literals wrap in st_geomfromtext (the
+    reference's implicit string->geometry cast); column args keep the
+    registered typed functions untouched."""
+    sq = "'POLYGON((0 0, 4 0, 4 4, 0 4, 0 0))'"
+    assert engine.sql(
+        f"SELECT ST_Contains({sq}, 'POINT(1 1)') AS r"
+    ).first()["r"] is True
+    assert engine.sql(
+        f"SELECT ST_Contains(ST_GeomFromText({sq}), "
+        "ST_GeomFromText('POINT(5 5)')) AS r"
+    ).first()["r"] is False
+    assert engine.sql(
+        f"SELECT ST_Within('POINT(1 1)', {sq}) AS r"
+    ).first()["r"] is True
+    assert engine.sql(
+        f"SELECT ST_Intersects({sq}, "
+        "'POLYGON((2 2, 6 2, 6 6, 2 6, 2 2))') AS r"
+    ).first()["r"] is True
+    assert engine.sql(
+        "SELECT ST_Disjoint('POLYGON((0 0, 1 0, 1 1, 0 1, 0 0))', "
+        "'POLYGON((5 5, 6 5, 6 6, 5 6, 5 5))') AS r"
+    ).first()["r"] is True
