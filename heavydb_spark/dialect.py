@@ -627,53 +627,39 @@ def _rings_arg(arg: str) -> str:
     return arg
 
 
-def _st_contains_literal_args(args: str) -> str | None:
-    """ST_Contains(g, p) with literal geometry: the containee point
-    normalizes to a struct (st_contains takes STRUCT on the right);
-    a bare WKT literal container wraps in st_geomfromtext
-    (GeospatialTest.cpp literal-argument shapes)."""
-    parts = _split_top_level(args)
-    if len(parts) != 2:
-        return None
-    g, p = parts
-    pts = _point_literal_structs(p)
-    g2 = _rings_arg(g)
-    if pts is not None and len(pts) != 1:
-        return None  # multipoint containment: keep the loud path
-    if pts is None and g2 == g:
-        return None
-    return f"st_contains({g2}, {pts[0] if pts else p})"
-
-
-def _st_within_literal_args(args: str) -> str | None:
-    """ST_Within(p, g) — the argument-swapped st_contains."""
-    parts = _split_top_level(args)
-    if len(parts) != 2:
-        return None
-    p, g = parts
-    pts = _point_literal_structs(p)
-    g2 = _rings_arg(g)
-    if pts is not None and len(pts) != 1:
-        return None
-    if pts is None and g2 == g:
-        return None
-    return f"st_within({pts[0] if pts else p}, {g2})"
-
-
-def _st_rings_pair_literal_args(fname: str):
-    """ST_Intersects / ST_Disjoint take two array-of-rings geometries —
-    bare WKT literals on either side just need the st_geomfromtext
-    wrap (POINT literals land as a 1x1 ring set, which the overlay
-    kernel treats as the degenerate geometry it is)."""
+def _geo_literal_normalizer(fname: str, argspec: str):
+    """Literal-geometry normalizer for the typed geo SQL surface
+    (GeospatialTest.cpp literal-argument shapes — the reference's
+    implicit string->geometry cast). `argspec` has one char per
+    argument: 'p' is a point-struct position (a POINT literal, bare or
+    ST_GeomFromText-wrapped, becomes its named_struct spelling), 'g'
+    is an array-of-rings position (a bare WKT literal wraps in
+    st_geomfromtext; a POINT literal lands as the degenerate 1x1 ring
+    set), '.' passes through. Returns None — leaving the registered
+    typed function to resolve — when nothing literal was found."""
 
     def make(args: str) -> str | None:
         parts = _split_top_level(args)
-        if len(parts) != 2:
+        if len(parts) != len(argspec):
             return None
-        a2, b2 = _rings_arg(parts[0]), _rings_arg(parts[1])
-        if a2 == parts[0] and b2 == parts[1]:
+        out, changed = [], False
+        for a, kind in zip(parts, argspec):
+            if kind == "p":
+                pts = _point_literal_structs(a)
+                if pts is not None and len(pts) == 1:
+                    out.append(pts[0])
+                    changed = True
+                    continue
+            elif kind == "g":
+                a2 = _rings_arg(a)
+                if a2 != a:
+                    out.append(a2)
+                    changed = True
+                    continue
+            out.append(a)
+        if not changed:
             return None
-        return f"{fname}({a2}, {b2})"
+        return f"{fname}({', '.join(out)})"
 
     return make
 
@@ -1208,13 +1194,38 @@ _PREMASK_CALL_REWRITES = [
     ("LLM_TRANSFORM", _llm_transform),
     # the WKT literal IS the static geometry tag -> pre-mask
     ("ST_BUFFER", _st_buffer_call),
-    # literal point geometry args normalize to point structs -> pre-mask
+    # literal geometry args normalize to the typed SQL surface ->
+    # pre-mask (the WKT IS a literal). DISTANCE/DWITHIN stay bespoke
+    # for the MULTIPOINT min-member-distance expansion.
     ("ST_DISTANCE", _st_distance_literal_args),
     ("ST_DWITHIN", _st_dwithin_literal_args),
-    ("ST_CONTAINS", _st_contains_literal_args),
-    ("ST_WITHIN", _st_within_literal_args),
-    ("ST_INTERSECTS", _st_rings_pair_literal_args("st_intersects")),
-    ("ST_DISJOINT", _st_rings_pair_literal_args("st_disjoint")),
+    ("ST_CONTAINS", _geo_literal_normalizer("st_contains", "gp")),
+    ("ST_WITHIN", _geo_literal_normalizer("st_within", "pg")),
+    ("ST_INTERSECTS", _geo_literal_normalizer("st_intersects", "gg")),
+    ("ST_DISJOINT", _geo_literal_normalizer("st_disjoint", "gg")),
+    ("ST_AREA", _geo_literal_normalizer("st_area", "g")),
+    ("ST_PERIMETER", _geo_literal_normalizer("st_perimeter", "g")),
+    ("ST_CENTROID", _geo_literal_normalizer("st_centroid", "g")),
+    ("ST_NUMRINGS", _geo_literal_normalizer("st_numrings", "g")),
+    ("ST_NRINGS", _geo_literal_normalizer("st_nrings", "g")),
+    ("ST_NPOINTS", _geo_literal_normalizer("st_npoints", "g")),
+    ("ST_LENGTH", _geo_literal_normalizer("st_length", "g")),
+    ("ST_STARTPOINT", _geo_literal_normalizer("st_startpoint", "g")),
+    ("ST_ENDPOINT", _geo_literal_normalizer("st_endpoint", "g")),
+    ("ST_POINTN", _geo_literal_normalizer("st_pointn", "g.")),
+    ("ST_XMIN", _geo_literal_normalizer("st_xmin", "g")),
+    ("ST_XMAX", _geo_literal_normalizer("st_xmax", "g")),
+    ("ST_YMIN", _geo_literal_normalizer("st_ymin", "g")),
+    ("ST_YMAX", _geo_literal_normalizer("st_ymax", "g")),
+    ("ST_ISEMPTY", _geo_literal_normalizer("st_isempty", "g")),
+    ("ST_ISVALID", _geo_literal_normalizer("st_isvalid", "g")),
+    ("ST_X", _geo_literal_normalizer("st_x", "p")),
+    ("ST_Y", _geo_literal_normalizer("st_y", "p")),
+    ("ST_ASTEXT", _geo_literal_normalizer("st_astext", "p")),
+    ("ST_EQUALS", _geo_literal_normalizer("st_equals", "pp")),
+    ("ST_TRANSFORM", _geo_literal_normalizer("st_transform", "p.")),
+    ("ST_MAXDISTANCE", _geo_literal_normalizer("st_maxdistance", "pg")),
+    ("ST_DFULLYWITHIN", _geo_literal_normalizer("st_dfullywithin", "pg.")),
     # quoted delimiter set IS a literal -> pre-mask
     ("STRTOK_TO_ARRAY", _strtok_to_array),
     # Postgres-form aliases: quoted field IS a literal -> pre-mask

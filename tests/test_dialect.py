@@ -2367,3 +2367,34 @@ def test_geo_predicate_literal_geometry_args(engine):
         "SELECT ST_Disjoint('POLYGON((0 0, 1 0, 1 1, 0 1, 0 0))', "
         "'POLYGON((5 5, 6 5, 6 6, 5 6, 5 5))') AS r"
     ).first()["r"] is True
+
+
+def test_geo_accessor_literal_geometry_args(engine):
+    """Round-8 follow-up: the full geo accessor SQL surface accepts
+    literal geometry (bare WKT or ST_GeomFromText-wrapped) via the
+    argspec-driven normalizer — ST_Area/Length/Perimeter/NPoints/
+    NumRings/XMax/X/Y/AsText/Equals over literals resolve instead of
+    failing struct-vs-rings type checks."""
+    poly = "'POLYGON((0 0, 4 0, 4 4, 0 4, 0 0))'"
+    e = engine
+    assert e.sql(f"SELECT ST_Area({poly}) AS r").first()["r"] == 16.0
+    assert e.sql(f"SELECT ST_Perimeter({poly}) AS r").first()["r"] == 16.0
+    assert e.sql(
+        "SELECT ST_Length('LINESTRING(0 0, 3 4)') AS r"
+    ).first()["r"] == 5.0
+    assert e.sql(
+        "SELECT ST_NPoints('LINESTRING(0 0, 1 1, 2 2)') AS r"
+    ).first()["r"] == 3
+    assert e.sql(f"SELECT ST_NumRings({poly}) AS r").first()["r"] == 1
+    assert e.sql(f"SELECT ST_XMax({poly}) AS r").first()["r"] == 4.0
+    assert e.sql("SELECT ST_X('POINT(3 7)') AS r").first()["r"] == 3.0
+    assert e.sql(
+        "SELECT ST_Y(ST_GeomFromText('POINT(3 7)')) AS r"
+    ).first()["r"] == 7.0
+    assert e.sql(
+        "SELECT ST_AsText('POINT(1.5 2.5)') AS r"
+    ).first()["r"] == "POINT (1.5 2.5)"
+    assert e.sql(
+        "SELECT ST_Equals('POINT(1 2)', ST_GeomFromText('POINT(1 2)')) AS r"
+    ).first()["r"] is True
+    assert e.sql(f"SELECT ST_IsEmpty({poly}) AS r").first()["r"] is False
