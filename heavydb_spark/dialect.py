@@ -303,21 +303,39 @@ _REWRITES: list[tuple[re.Pattern, str]] = [
         ),
         r"BETWEEN least(\1, \2) AND greatest(\1, \2)",
     ),
-    # Quantified array comparisons `expr op ANY|ALL array_col`
-    # (ExecuteTest.cpp:11201-11243: `x - 5 = ANY arr_i16`). Rewritten
-    # to higher-order exists/forall, which generalizes every operator.
-    # The RHS must be a bare column (subquery ANY/ALL stays Spark's).
+    # Quantified array comparisons `expr op ANY|ALL array_col` or
+    # `... ANY|ALL ARRAY[...]` (ExecuteTest.cpp:11201-11243:
+    # `x - 5 = ANY arr_i16`). Rewritten to higher-order exists/forall,
+    # which generalizes every operator. The RHS is a bare column or an
+    # ARRAY[...] constructor (subquery ANY/ALL stays Spark's; the
+    # constructor's brackets resolve in the array fixpoint pass below).
     (
         re.compile(
             r"((?:(?<![\w.])\([^()]*\))|(?:[\w.\x00]+\s*[-+*/%]\s*)*[\w.\x00]+(?:\([^()]*\))?)"
             r"\s*(=|<>|<=|>=|<|>)\s*"
-            r"(ANY|ALL)\s+([A-Za-z_][\w.]*)\b(?!\s*\()",
+            r"(ANY|ALL)\s+(?:(ARRAY\s*\[[^\[\]]*\])|([A-Za-z_][\w.]*)\b(?!\s*\())",
             re.IGNORECASE,
         ),
         lambda m: (
             f"{'exists' if m.group(3).upper() == 'ANY' else 'forall'}"
-            f"({m.group(4)}, _qe -> {m.group(1)} {m.group(2)} _qe)"
+            f"({m.group(4) or m.group(5)}, _qe -> {m.group(1)} {m.group(2)} _qe)"
         ),
+    ),
+    # TIMESTAMP(0|3|6|9) 'literal' and CAST(... AS TIMESTAMP(n)) — the
+    # reference's dimensioned timestamp type (Shared/sqltypes.h kTIMESTAMP
+    # precision; ExecuteTest.cpp:6602 "TIMESTAMP(%d) '%s'"). Spark has
+    # one TIMESTAMP (microseconds): the precision tag drops; a 9-digit
+    # fraction TRUNCATES to micros (documented delta — Spark has no
+    # nanosecond timestamp type). The literal is masked at this stage,
+    # so \x00N\x00 placeholders stand for the quoted text.
+    (
+        re.compile(r"\bTIMESTAMP\s*\(\s*\d+\s*\)(\s*\x00\d+\x00)",
+                   re.IGNORECASE),
+        r"TIMESTAMP\1",
+    ),
+    (
+        re.compile(r"\bAS\s+TIMESTAMP\s*\(\s*\d+\s*\)", re.IGNORECASE),
+        "AS TIMESTAMP",
     ),
     # TABLE(generate_series(...)) handled by the balanced-paren
     # _rewrite_table_generate_series below (judge r7: the old [^)]*

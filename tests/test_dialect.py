@@ -2398,3 +2398,32 @@ def test_geo_accessor_literal_geometry_args(engine):
         "SELECT ST_Equals('POINT(1 2)', ST_GeomFromText('POINT(1 2)')) AS r"
     ).first()["r"] is True
     assert e.sql(f"SELECT ST_IsEmpty({poly}) AS r").first()["r"] is False
+
+
+def test_dimensioned_timestamp_literals_and_any_all_constructor(engine):
+    """Round-8 probes: (1) TIMESTAMP(0|3|6|9) 'literal' and
+    CAST(... AS TIMESTAMP(n)) — the reference's dimensioned timestamp
+    (ExecuteTest.cpp:6602 "TIMESTAMP(%d) '%s'") — parse with the
+    precision tag dropped (Spark is microsecond-only; a 9-digit
+    fraction truncates to micros, the documented delta); (2) quantified
+    ANY/ALL accepts an ARRAY[...] constructor RHS, not just a column."""
+    r = engine.sql(
+        "SELECT TIMESTAMP(3) '2020-01-01 00:00:00.123' AS t"
+    ).first()
+    assert r["t"].microsecond == 123000
+    r = engine.sql(
+        "SELECT TIMESTAMP(9) '2020-01-01 00:00:00.123456789' AS t"
+    ).first()
+    assert r["t"].microsecond == 123456  # nanos truncate to micros
+    r = engine.sql(
+        "SELECT CAST('2020-01-01 00:00:00.123' AS TIMESTAMP(3)) AS t"
+    ).first()
+    assert r["t"].microsecond == 123000
+    r = engine.sql(
+        "SELECT EXTRACT(MILLISECOND FROM "
+        "TIMESTAMP(3) '2020-01-01 00:00:00.123') AS ms"
+    ).first()
+    assert r["ms"] == 123
+    assert engine.sql("SELECT 3 <> ALL ARRAY[1, 2] AS q").first()["q"]
+    assert engine.sql("SELECT 2 = ANY ARRAY[1, 2] AS q").first()["q"]
+    assert not engine.sql("SELECT 5 = ANY ARRAY[1, 2] AS q").first()["q"]
