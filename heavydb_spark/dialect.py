@@ -337,6 +337,14 @@ _REWRITES: list[tuple[re.Pattern, str]] = [
         re.compile(r"\bAS\s+TIMESTAMP\s*\(\s*\d+\s*\)", re.IGNORECASE),
         "AS TIMESTAMP",
     ),
+    # CAST(x AS TEXT) — the reference's string type name in expression
+    # casts (ExecuteTest.cpp:5999 "CAST(x AS TEXT) = '8'"); Spark's
+    # type is STRING. Constrained to a cast-closing paren so a quoted
+    # alias named TEXT (illegal bare — reserved) can't be touched.
+    (
+        re.compile(r"\bAS\s+TEXT\s*\)", re.IGNORECASE),
+        "AS STRING)",
+    ),
     # TABLE(generate_series(...)) handled by the balanced-paren
     # _rewrite_table_generate_series below (judge r7: the old [^)]*
     # regex here dropped nested-call arguments).
@@ -645,6 +653,60 @@ def _rings_arg(arg: str) -> str:
     return arg
 
 
+def _find_top_level_keyword(s: str, kw: str) -> int:
+    """Index of the first occurrence of word `kw` at paren depth 0 and
+    outside single-quoted literals, or -1."""
+    pat = re.compile(r"\b" + kw + r"\b", re.IGNORECASE)
+    depth, in_q, i = 0, False, 0
+    while i < len(s):
+        ch = s[i]
+        if ch == "'":
+            in_q = not in_q
+        elif not in_q:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif depth == 0:
+                m = pat.match(s, i)
+                if m:
+                    return i
+        i += 1
+    return -1
+
+
+def _position_call(args: str) -> str | None:
+    """POSITION(needle IN hay [FROM start]) — StringOps.h:157 Position /
+    StringOps.cpp:116 numericEval: empty haystack -> NULL (not 0);
+    result is the 1-based index in the WHOLE string (0 = not found);
+    `start` is 1-based, 0 behaves as 1, and a NEGATIVE start wraps
+    from the end (len + start). Spark's native position() has no
+    start form and returns 0 for an empty haystack — emulate with
+    locate() + guards."""
+    i = _find_top_level_keyword(args, "IN")
+    if i < 0:
+        return None
+    needle = args[:i].strip()
+    rest = args[i + 2 :]
+    j = _find_top_level_keyword(rest, "FROM")
+    if j >= 0:
+        hay = rest[:j].strip()
+        k = rest[j + 4 :].strip()
+        pos = (
+            f"(CASE WHEN ({k}) > 0 THEN ({k}) WHEN ({k}) = 0 THEN 1 "
+            f"ELSE length({hay}) + ({k}) + 1 END)"
+        )
+    else:
+        hay = rest.strip()
+        pos = "1"
+    if not needle or not hay:
+        return None
+    return (
+        f"(CASE WHEN length({hay}) = 0 THEN CAST(NULL AS BIGINT) "
+        f"ELSE CAST(locate({needle}, {hay}, {pos}) AS BIGINT) END)"
+    )
+
+
 def _geo_literal_normalizer(fname: str, argspec: str):
     """Literal-geometry normalizer for the typed geo SQL surface
     (GeospatialTest.cpp literal-argument shapes — the reference's
@@ -745,6 +807,31 @@ _FLOAT_AGGS = [
 _CALL_REWRITES = [
     # SAMPLE_RATIO(r) -> (rand() < r)
     ("SAMPLE_RATIO", lambda args: f"(rand() < {args})"),
+    # POSITION(needle IN hay [FROM start]) — reference semantics
+    # (StringOps.h:157): empty hay -> NULL, negative start wraps
+    ("POSITION", _position_call),
+    # SUM_IF(x, cond) — sqldefs.h:88 kSUM_IF (ExecuteTest.cpp:4142
+    # "SELECT SUM_IF(col, col > k)"); Spark spells it as a
+    # conditional-NULL sum (count_if is native)
+    (
+        "SUM_IF",
+        lambda args: (
+            lambda p: (
+                f"sum(CASE WHEN ({p[1]}) THEN ({p[0]}) END)"
+                if len(p) == 2
+                else None
+            )
+        )(_split_top_level(args)),
+    ),
+    # BASE64_ENCODE / BASE64_DECODE (StringOps.h:668,678) — Spark's
+    # base64/unbase64 are binary-typed; bridge through CAST
+    ("BASE64_ENCODE", lambda args: f"base64(CAST({args} AS BINARY))"),
+    ("BASE64_DECODE", lambda args: f"CAST(unbase64({args}) AS STRING)"),
+    # TRY_STRTOD / TRY_STRTOL (StringOps.h:143 TryStringCast — string
+    # to numeric, NULL on parse failure): TRY_CAST has the same
+    # null-on-failure contract
+    ("TRY_STRTOD", lambda args: f"TRY_CAST({args} AS DOUBLE)"),
+    ("TRY_STRTOL", lambda args: f"TRY_CAST({args} AS BIGINT)"),
     # SINGLE_VALUE(x) (sqldefs.h:85): the group's value, erroring if
     # the group holds more than one distinct value — the SQL spelling
     # of functions/__init__.single_value (review r7: the docstring

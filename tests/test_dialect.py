@@ -2427,3 +2427,51 @@ def test_dimensioned_timestamp_literals_and_any_all_constructor(engine):
     assert engine.sql("SELECT 3 <> ALL ARRAY[1, 2] AS q").first()["q"]
     assert engine.sql("SELECT 2 = ANY ARRAY[1, 2] AS q").first()["q"]
     assert not engine.sql("SELECT 5 = ANY ARRAY[1, 2] AS q").first()["q"]
+
+
+def test_position_reference_semantics_and_cast_text(engine):
+    """Round-8 probes: (1) POSITION(needle IN hay [FROM start]) —
+    StringOps.h:157/StringOps.cpp:116: empty haystack -> NULL, result
+    1-based in the whole string (0 = miss), start 1-based with 0-as-1
+    and negative wrapping from the end; (2) CAST(x AS TEXT) — the
+    reference's string type in expression casts — maps to STRING."""
+    e = engine
+    assert e.sql("SELECT POSITION('c' IN 'abcabc') AS p").first()["p"] == 3
+    assert e.sql(
+        "SELECT POSITION('c' IN 'abcabc' FROM 4) AS p").first()["p"] == 6
+    assert e.sql(
+        "SELECT POSITION('c' IN 'abcabc' FROM -3) AS p").first()["p"] == 6
+    assert e.sql(
+        "SELECT POSITION('c' IN 'abcabc' FROM 0) AS p").first()["p"] == 3
+    assert e.sql("SELECT POSITION('z' IN 'abcabc') AS p").first()["p"] == 0
+    assert e.sql("SELECT POSITION('c' IN '') AS p").first()["p"] is None
+    assert e.sql("SELECT CAST(42 AS TEXT) AS s").first()["s"] == "42"
+    assert e.sql(
+        "SELECT TRY_CAST(n_nationkey AS TEXT) AS s FROM nation "
+        "WHERE n_nationkey = 7"
+    ).first()["s"] == "7"
+
+
+def test_sum_if_base64_try_strto(engine):
+    """Round-8 probes: SUM_IF (sqldefs.h:88, ExecuteTest.cpp:4142),
+    BASE64_ENCODE/DECODE (StringOps.h:668,678), TRY_STRTOD/TRY_STRTOL
+    (StringOps.h:143 TryStringCast — NULL on parse failure)."""
+    e = engine
+    assert e.sql(
+        "SELECT BASE64_ENCODE('hello') AS v").first()["v"] == "aGVsbG8="
+    assert e.sql(
+        "SELECT BASE64_DECODE(BASE64_ENCODE('hi!')) AS v"
+    ).first()["v"] == "hi!"
+    r = e.sql(
+        "SELECT TRY_STRTOD('1.5') AS a, TRY_STRTOD('abc') AS b, "
+        "TRY_STRTOL('42') AS c, TRY_STRTOL('x') AS d"
+    ).first()
+    assert (r["a"], r["b"], r["c"], r["d"]) == (1.5, None, 42, None)
+    got = e.sql(
+        "SELECT SUM_IF(o_totalprice, o_custkey % 2 = 0) AS s FROM orders"
+    ).first()["s"]
+    want = e.sql(
+        "SELECT sum(CASE WHEN o_custkey % 2 = 0 THEN o_totalprice END) "
+        "AS s FROM orders"
+    ).first()["s"]
+    assert got == want
