@@ -653,6 +653,32 @@ def _rings_arg(arg: str) -> str:
     return arg
 
 
+def _json_value_call(args: str) -> str | None:
+    """JSON_VALUE(json, path) — sqldefs.h:129; StringFunctionsTest.cpp
+    JsonValue/JsonValueParseMode: JSONPath with an optional
+    case-insensitive `lax ` prefix (the default, stripped), `strict `
+    rejected with the reference's exact error, and `."quoted key"`
+    accessors (Spark's get_json_object wants the bracket form —
+    converted). Runs pre-mask: the mode prefix and quoted accessors
+    live inside the path literal."""
+    parts = _split_top_level(args)
+    if len(parts) != 2:
+        return None
+    j, p = parts
+    m = re.match(r"^\s*'(lax|strict)\s+(.*)'\s*$", p.strip(),
+                 re.IGNORECASE | re.DOTALL)
+    if m:
+        if m.group(1).lower() == "strict":
+            raise ValueError(
+                "Strict parsing not currently supported for JSON_VALUE."
+            )
+        p = f"'{m.group(2)}'"
+    # ."quoted key" -> ['quoted key']; the bracket quotes are single
+    # quotes INSIDE the path literal, so they double ('' escaping)
+    p = re.sub(r'\."([^"]*)"', r"[''\1'']", p)
+    return f"get_json_object({j}, {p})"
+
+
 def _find_top_level_keyword(s: str, kw: str) -> int:
     """Index of the first occurrence of word `kw` at paren depth 0 and
     outside single-quoted literals, or -1."""
@@ -832,6 +858,19 @@ _CALL_REWRITES = [
     # null-on-failure contract
     ("TRY_STRTOD", lambda args: f"TRY_CAST({args} AS DOUBLE)"),
     ("TRY_STRTOL", lambda args: f"TRY_CAST({args} AS BIGINT)"),
+    # MID / RCONCAT / LEVENSHTEIN_DISTANCE (sqldefs.h SqlStringOpKind
+    # MID, RCONCAT, LEVENSHTEIN_DISTANCE): substring alias, reversed
+    # concat, and Spark's levenshtein respectively
+    ("MID", lambda args: f"substring({args})"),
+    (
+        "RCONCAT",
+        lambda args: (
+            lambda p: (
+                f"concat({p[1]}, {p[0]})" if len(p) == 2 else None
+            )
+        )(_split_top_level(args)),
+    ),
+    ("LEVENSHTEIN_DISTANCE", lambda args: f"levenshtein({args})"),
     # SINGLE_VALUE(x) (sqldefs.h:85): the group's value, erroring if
     # the group holds more than one distinct value — the SQL spelling
     # of functions/__init__.single_value (review r7: the docstring
@@ -1344,6 +1383,9 @@ _PREMASK_CALL_REWRITES = [
         "PG_DATE_TRUNC",
         lambda args: _date_trunc_ext(args) or f"date_trunc({args})",
     ),
+    # JSON_VALUE runs pre-mask: the lax/strict mode prefix and quoted
+    # accessors live inside the path literal
+    ("JSON_VALUE", _json_value_call),
     # DATEADD/DATEDIFF run pre-mask: the quoted unit IS a literal
     ("DATEADD", _dateadd_call),
     ("DATEDIFF", _datediff_call),

@@ -18,7 +18,7 @@ import pandas as pd
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import DoubleType, StringType
+from pyspark.sql.types import DoubleType, LongType, StringType
 
 
 def _jaro(s: str, t: str) -> float:
@@ -76,6 +76,27 @@ def jaro_winkler_similarity(s: pd.Series, t: pd.Series) -> pd.Series:
     )
 
 
+@pandas_udf(LongType())
+def jarowinkler_similarity_ref(s: pd.Series, t: pd.Series) -> pd.Series:
+    """The reference's SQL return convention (StringOps.cpp:222
+    JarowinklerSimilarity::numericEval): score scaled x100 and rounded
+    HALF-AWAY to BIGINT (std::round, not Python banker's round), NULL
+    when either input is NULL or EMPTY. The 0-1 double kernel above
+    stays the Column-API surface; this wrapper is what the SQL name
+    resolves to."""
+    import math
+
+    return pd.Series(
+        [
+            None
+            if a is None or b is None or a == "" or b == ""
+            else int(math.floor(_jaro_winkler(a, b) * 100 + 0.5))
+            for a, b in zip(s, t)
+        ],
+        dtype="object",
+    )
+
+
 @pandas_udf(StringType())
 def url_encode(s: pd.Series) -> pd.Series:
     from urllib.parse import quote
@@ -91,7 +112,9 @@ def url_decode(s: pd.Series) -> pd.Series:
 
 
 def register_string_functions(spark: SparkSession) -> None:
-    spark.udf.register("jarowinkler_similarity", jaro_winkler_similarity)
+    spark.udf.register(
+        "jarowinkler_similarity", jarowinkler_similarity_ref
+    )
     spark.udf.register("url_encode", url_encode)
     spark.udf.register("url_decode", url_decode)
     register_initcap_heavy(spark)

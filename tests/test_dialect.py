@@ -2475,3 +2475,33 @@ def test_sum_if_base64_try_strto(engine):
         "AS s FROM orders"
     ).first()["s"]
     assert got == want
+
+
+def test_string_op_kinds_round8_closeouts(engine):
+    """Round-8 enum diff vs sqldefs.h SqlStringOpKind: MID, RCONCAT,
+    LEVENSHTEIN_DISTANCE, JSON_VALUE (lax prefix, strict rejection,
+    quoted accessors), and JAROWINKLER_SIMILARITY's SQL return
+    convention (StringOps.cpp numericEval: round(score*100) BIGINT,
+    NULL on empty input — the 0-1 double stays on the Column API)."""
+    import pytest as _pytest
+
+    e = engine
+    assert e.sql("SELECT MID('abcdef', 2, 3) AS v").first()["v"] == "bcd"
+    assert e.sql(
+        "SELECT RCONCAT('world', 'hello ') AS v"
+    ).first()["v"] == "hello world"
+    assert e.sql(
+        "SELECT LEVENSHTEIN_DISTANCE('kitten', 'sitting') AS v"
+    ).first()["v"] == 3
+    r = e.sql("SELECT JAROWINKLER_SIMILARITY('martha', 'marhta') AS v").first()
+    assert r["v"] == 96 and isinstance(r["v"], int)
+    assert e.sql(
+        "SELECT JAROWINKLER_SIMILARITY('', 'x') AS v").first()["v"] is None
+    assert e.sql(
+        """SELECT JSON_VALUE('{"a": {"b c": [1, 2, 7]}}', '$.a."b c"[2]') AS v"""
+    ).first()["v"] == "7"
+    assert e.sql(
+        """SELECT JSON_VALUE('{"a": 5}', 'lax $.a') AS v"""
+    ).first()["v"] == "5"
+    with _pytest.raises(ValueError, match="Strict parsing"):
+        e.sql("""SELECT JSON_VALUE('{"a": 5}', 'strict $.a') AS v""")
