@@ -1281,6 +1281,11 @@ def _date_trunc_ext(args: str) -> str | None:
             f"(date_trunc('DAY', {d}) + make_interval(0, 0, 0, 0, "
             f"CAST(floor(hour({d}) / 6) * 6 AS INT), 0, 0))"
         )
+    if field == "nanosecond":
+        # DateTruncate.h dtNANOSECOND is identity at the stored
+        # precision; Spark's finest is MICROSECOND — 'NANOSECOND'
+        # passed through returns silent NULL (r8 probe)
+        return f"date_trunc('MICROSECOND', {d})"
     if field not in _TRUNC_ANCHOR:
         return None
     span, anchor = _TRUNC_ANCHOR[field]

@@ -2505,3 +2505,14 @@ def test_string_op_kinds_round8_closeouts(engine):
     ).first()["v"] == "5"
     with _pytest.raises(ValueError, match="Strict parsing"):
         e.sql("""SELECT JSON_VALUE('{"a": 5}', 'strict $.a') AS v""")
+
+
+def test_date_trunc_nanosecond_identity(engine):
+    """Round-8 probe: DATE_TRUNC('nanosecond', ts) is identity at the
+    stored precision (DateTruncate.h dtNANOSECOND); Spark's unknown
+    'NANOSECOND' unit returned silent NULL before the rewrite."""
+    r = engine.sql(
+        "SELECT DATE_TRUNC('nanosecond', "
+        "TIMESTAMP '2020-01-01 07:00:03.5') AS v"
+    ).first()
+    assert r["v"] is not None and r["v"].microsecond == 500000
