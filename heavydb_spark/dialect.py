@@ -61,12 +61,44 @@ _DATEADD_SCALED = {
     "DAYOFYEAR": ("DAY", 1),
 }
 
+# TSQL-style field abbreviations + Calcite SQL_TSI_* spellings, the
+# exact alias table of CalciteDeserializerUtils.cpp:59-160
+# to_datepart_field / to_dateadd_field / to_datediff_field
+# (ExecuteTest.cpp:28287+ "DATEPART('yy', ...)"). Shared by
+# DATEPART/PG_EXTRACT and DATEADD/DATEDIFF/TIMESTAMPADD/TIMESTAMPDIFF.
+# Without it 'yy' errored and — worse — 'm'/'s'/'y' silently took
+# Spark's own single-letter meanings (minute/fractional-second/year)
+# instead of the reference's month/second/dayofyear (r8 probe).
+_DT_FIELD_ALIASES = {
+    "YY": "YEAR", "YYYY": "YEAR", "SQL_TSI_YEAR": "YEAR",
+    "QQ": "QUARTER", "Q": "QUARTER", "SQL_TSI_QUARTER": "QUARTER",
+    "MM": "MONTH", "M": "MONTH", "SQL_TSI_MONTH": "MONTH",
+    "DY": "DAYOFYEAR", "Y": "DAYOFYEAR",
+    "DD": "DAY", "D": "DAY", "SQL_TSI_DAY": "DAY",
+    "WW": "WEEK", "W": "WEEK", "SQL_TSI_WEEK": "WEEK",
+    "HH": "HOUR", "SQL_TSI_HOUR": "HOUR",
+    "MI": "MINUTE", "N": "MINUTE", "SQL_TSI_MINUTE": "MINUTE",
+    "SS": "SECOND", "S": "SECOND", "SQL_TSI_SECOND": "SECOND",
+    "MS": "MILLISECOND",
+    "US": "MICROSECOND", "SQL_TSI_MICROSECOND": "MICROSECOND",
+    "FRAC_SECOND": "MICROSECOND",
+    "NS": "NANOSECOND", "SQL_TSI_FRAC_SECOND": "NANOSECOND",
+    "DW": "WEEKDAY",
+    "DQ": "QUARTERDAY",
+    "DC": "DECADE",
+}
+
+
+def _dt_field(unit: str) -> str:
+    u = unit.upper()
+    return _DT_FIELD_ALIASES.get(u, u)
+
 
 def _dateadd_call(args: str) -> str | None:
     parts = _split_top_level(args)
     if len(parts) != 3:
         return None
-    unit = parts[0].strip().strip("'\"").upper()
+    unit = _dt_field(parts[0].strip().strip("'\""))
     n, d = parts[1], parts[2]
     if unit == "NANOSECOND":
         return f"timestampadd(MICROSECOND, ({n}) div 1000, {d})"
@@ -81,7 +113,7 @@ def _datediff_call(args: str) -> str | None:
     parts = _split_top_level(args)
     if len(parts) != 3:
         return None
-    unit = parts[0].strip().strip("'\"").upper()
+    unit = _dt_field(parts[0].strip().strip("'\""))
     a, b = parts[1], parts[2]
     if unit == "NANOSECOND":
         return f"(timestampdiff(MICROSECOND, {a}, {b}) * 1000)"
@@ -93,10 +125,18 @@ def _datediff_call(args: str) -> str | None:
     return f"timestampdiff({unit}, {a}, {b})"
 
 
+def _extract_field(unit: str) -> str:
+    """DATEPART/PG_EXTRACT field -> EXTRACT keyword: alias-normalized
+    (to_datepart_field, CalciteDeserializerUtils.cpp:59), with the two
+    canonical names EXTRACT spells differently."""
+    f = _dt_field(unit)
+    return {"DAYOFYEAR": "DOY", "WEEKDAY": "ISODOW"}.get(f, f)
+
+
 _QUOTED_ARG_REWRITES: list[tuple[re.Pattern, str]] = [
     (
         re.compile(r"\bDATEPART\s*\(\s*'(\w+)'\s*,\s*", re.IGNORECASE),
-        lambda m: f"extract({m.group(1).upper()} FROM ",
+        lambda m: f"extract({_extract_field(m.group(1))} FROM ",
     ),
     # TIME 'HH:MM:SS' literal -> seconds-of-day int (the repo's TIME
     # representation, Shared/sqltypes.h kTIME; tests/test_types.py)
@@ -1328,7 +1368,7 @@ def _pg_extract(args: str) -> str | None:
     m = re.match(r"^\s*'(\w+)'\s*$", parts[0])
     if not m:
         return None
-    return f"EXTRACT({m.group(1).upper()} FROM {parts[1]})"
+    return f"EXTRACT({_extract_field(m.group(1))} FROM {parts[1]})"
 
 
 def _datetime_now(args: str) -> str | None:

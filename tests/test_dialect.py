@@ -2516,3 +2516,33 @@ def test_date_trunc_nanosecond_identity(engine):
         "TIMESTAMP '2020-01-01 07:00:03.5') AS v"
     ).first()
     assert r["v"] is not None and r["v"].microsecond == 500000
+
+
+def test_datepart_tsql_abbreviations(engine):
+    """Round-8 probe: the CalciteDeserializerUtils.cpp:59-160 field
+    alias table (TSQL abbreviations + SQL_TSI_* spellings) for
+    DATEPART/DATEADD/DATEDIFF/TIMESTAMPADD/TIMESTAMPDIFF. Before the
+    shared map, 'yy' errored and 'm'/'s'/'y' silently took Spark's own
+    single-letter EXTRACT meanings (minute/fractional-second/year)
+    instead of the reference's month/second/dayofyear."""
+    e = engine
+    ts = "TIMESTAMP '2007-10-30 12:15:32'"
+    exp = {"yy": 2007, "yyyy": 2007, "qq": 4, "q": 4, "mm": 10, "m": 10,
+           "dd": 30, "d": 30, "dy": 303, "y": 303, "hh": 12, "mi": 15,
+           "n": 15, "ss": 32, "s": 32, "dw": 2, "dq": 3, "ww": 44}
+    for u, want in exp.items():
+        got = e.sql(f"SELECT DATEPART('{u}', {ts}) AS v").first()["v"]
+        assert got == want, (u, got, want)
+    assert str(e.sql(
+        "SELECT DATEADD('mm', 1, DATE '2009-01-30') AS v").first()["v"]
+    ).startswith("2009-02-28")
+    assert e.sql(
+        "SELECT DATEDIFF('yy', DATE '2005-01-01', DATE '2007-06-01') AS v"
+    ).first()["v"] == 2
+    assert str(e.sql(
+        "SELECT TIMESTAMPADD(SQL_TSI_DAY, 2, DATE '2009-01-30') AS v"
+    ).first()["v"]).startswith("2009-02-01")
+    assert e.sql(
+        "SELECT TIMESTAMPDIFF(SQL_TSI_MONTH, DATE '2009-01-01', "
+        "DATE '2009-05-02') AS v"
+    ).first()["v"] == 4
