@@ -901,6 +901,21 @@ _CALL_REWRITES = [
     # MID / RCONCAT / LEVENSHTEIN_DISTANCE (sqldefs.h SqlStringOpKind
     # MID, RCONCAT, LEVENSHTEIN_DISTANCE): substring alias, reversed
     # concat, and Spark's levenshtein respectively
+    # ROUND_TO_DIGIT(x, y) = round(x*10^y)/10^y DOUBLE
+    # (ExtensionFunctions.hpp:295) — the exact formula, not round(x, y):
+    # half-rounding then happens on the scaled double the way the
+    # reference's C round() does
+    (
+        "ROUND_TO_DIGIT",
+        lambda args: (
+            lambda p: (
+                f"(CAST(round(({p[0]}) * power(10, {p[1]})) AS DOUBLE)"
+                f" / power(10, {p[1]}))"
+                if len(p) == 2
+                else None
+            )
+        )(_split_top_level(args)),
+    ),
     ("MID", lambda args: f"substring({args})"),
     (
         "RCONCAT",

@@ -2546,3 +2546,14 @@ def test_datepart_tsql_abbreviations(engine):
         "SELECT TIMESTAMPDIFF(SQL_TSI_MONTH, DATE '2009-01-01', "
         "DATE '2009-05-02') AS v"
     ).first()["v"] == 4
+
+
+def test_round_to_digit(engine):
+    """ROUND_TO_DIGIT(x, y) = round(x*10^y)/10^y DOUBLE
+    (ExtensionFunctions.hpp:295) — negative digits round to tens."""
+    r = engine.sql(
+        "SELECT ROUND_TO_DIGIT(123.456, 1) AS a, "
+        "ROUND_TO_DIGIT(123.456, -1) AS b, "
+        "ROUND_TO_DIGIT(2.5, 0) AS c, ROUND_TO_DIGIT(-2.5, 0) AS d"
+    ).first()
+    assert (r["a"], r["b"], r["c"], r["d"]) == (123.5, 120.0, 3.0, -3.0)
