@@ -916,6 +916,27 @@ _CALL_REWRITES = [
             )
         )(_split_top_level(args)),
     ),
+    # ROUND2_TO_DIGIT — byte-identical formula to round_to_digit
+    # (ExtensionFunctions.hpp Round2_to_digit)
+    (
+        "ROUND2_TO_DIGIT",
+        lambda args: (
+            lambda p: (
+                f"(CAST(round(({p[0]}) * power(10, {p[1]})) AS DOUBLE)"
+                f" / power(10, {p[1]}))"
+                if len(p) == 2
+                else None
+            )
+        )(_split_top_level(args)),
+    ),
+    # IS_NAN / IS_INF (ExtensionFunctions.hpp:382,392)
+    ("IS_NAN", lambda args: f"isnan({args})"),
+    (
+        "IS_INF",
+        lambda args: (
+            f"(abs(CAST(({args}) AS DOUBLE)) = CAST('Infinity' AS DOUBLE))"
+        ),
+    ),
     ("MID", lambda args: f"substring({args})"),
     (
         "RCONCAT",

@@ -2557,3 +2557,16 @@ def test_round_to_digit(engine):
         "ROUND_TO_DIGIT(2.5, 0) AS c, ROUND_TO_DIGIT(-2.5, 0) AS d"
     ).first()
     assert (r["a"], r["b"], r["c"], r["d"]) == (123.5, 120.0, 3.0, -3.0)
+
+
+def test_round2_isnan_isinf(engine):
+    """ROUND2_TO_DIGIT (byte-identical formula twin of round_to_digit),
+    IS_NAN, IS_INF (ExtensionFunctions.hpp:382,392)."""
+    r = engine.sql(
+        "SELECT ROUND2_TO_DIGIT(123.456, 1) AS a, "
+        "IS_NAN(CAST('NaN' AS DOUBLE)) AS b, IS_NAN(1.0) AS c, "
+        "IS_INF(CAST('Infinity' AS DOUBLE)) AS d, "
+        "IS_INF(CAST('-Infinity' AS DOUBLE)) AS e, IS_INF(5.0) AS f"
+    ).first()
+    assert (r["a"], r["b"], r["c"], r["d"], r["e"], r["f"]) == (
+        123.5, True, False, True, True, False)
