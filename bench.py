@@ -96,6 +96,23 @@ def main() -> None:
     # prove every timed run did the full work.
     load_start = os.getloadavg()[0]
 
+    def _cpu_jiffies():
+        # /proc/stat "cpu" line: user nice system idle iowait irq
+        # softirq steal ... — steal is hypervisor time taken FROM this
+        # VM, invisible to loadavg (r8: three same-code idle-start runs
+        # measured 21.4/25.3/28.1 s while vmstat showed 100% idle —
+        # host-level interference is the only remaining explanation,
+        # so the artifact now records it)
+        try:
+            with open("/proc/stat") as fh:
+                parts = fh.readline().split()[1:]
+            vals = [int(x) for x in parts[:8]]
+            return sum(vals), vals[7] if len(vals) > 7 else 0
+        except Exception:
+            return None, None
+
+    jif_start, steal_start = _cpu_jiffies()
+
     results: dict[str, float] = {}
     mins: dict[str, float] = {}
     cold: dict[str, float] = {}
@@ -169,6 +186,17 @@ def main() -> None:
                 "iterations": ITERATIONS,
                 "load_avg_start": round(load_start, 2),
                 "load_avg_end": round(os.getloadavg()[0], 2),
+                "steal_pct": (
+                    lambda je, se: (
+                        round(
+                            100.0 * (se - steal_start)
+                            / max(je - jif_start, 1),
+                            2,
+                        )
+                        if je is not None and jif_start is not None
+                        else None
+                    )
+                )(*_cpu_jiffies()),
                 "cpus": os.cpu_count(),
             },
             separators=(",", ":"),
