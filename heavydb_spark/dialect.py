@@ -802,6 +802,14 @@ def _geo_literal_normalizer(fname: str, argspec: str):
                     out.append(a2)
                     changed = True
                     continue
+            elif kind == "f":
+                # flat point-list position (hull kernels): the
+                # literal's FIRST RING is the vertex list
+                a2 = _rings_arg(a)
+                if a2 != a:
+                    out.append(f"element_at({a2}, 1)")
+                    changed = True
+                    continue
             out.append(a)
         if not changed:
             return None
@@ -1451,6 +1459,12 @@ _PREMASK_CALL_REWRITES = [
     ("ST_TRANSFORM", _geo_literal_normalizer("st_transform", "p.")),
     ("ST_MAXDISTANCE", _geo_literal_normalizer("st_maxdistance", "pg")),
     ("ST_DFULLYWITHIN", _geo_literal_normalizer("st_dfullywithin", "pg.")),
+    # GEOS overlay / hull UDFs take rings too (functions/geos.py)
+    ("ST_INTERSECTION", _geo_literal_normalizer("st_intersection", "gg")),
+    ("ST_UNION", _geo_literal_normalizer("st_union", "gg")),
+    ("ST_DIFFERENCE", _geo_literal_normalizer("st_difference", "gg")),
+    ("ST_CONVEXHULL", _geo_literal_normalizer("st_convexhull", "f")),
+    ("ST_CONCAVEHULL", _geo_literal_normalizer("st_concavehull", "f")),
     # quoted delimiter set IS a literal -> pre-mask
     ("STRTOK_TO_ARRAY", _strtok_to_array),
     # Postgres-form aliases: quoted field IS a literal -> pre-mask

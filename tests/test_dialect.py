@@ -2570,3 +2570,30 @@ def test_round2_isnan_isinf(engine):
     ).first()
     assert (r["a"], r["b"], r["c"], r["d"], r["e"], r["f"]) == (
         123.5, True, False, True, True, False)
+
+
+def test_geo_overlay_literal_geometry_args(engine):
+    """Round-8 follow-up: literal WKT through the GEOS overlay and
+    hull UDFs — overlays take rings pairs ('gg'), hulls take the flat
+    first-ring vertex list ('f'); results keep the overlay surface's
+    MULTIPOLYGON convention (area via element_at, as with columns)."""
+    poly = "'POLYGON((0 0, 4 0, 4 4, 0 4, 0 0))'"
+    poly2 = "'POLYGON((2 2, 6 2, 6 6, 2 6, 2 2))'"
+    e = engine
+    r = e.sql(
+        f"SELECT ST_Area(element_at(ST_Intersection({poly}, {poly2}), 1)) "
+        "AS a"
+    ).first()
+    assert abs(r["a"] - 4.0) < 1e-9
+    assert e.sql(
+        f"SELECT size(ST_Union({poly}, {poly2})) AS n"
+    ).first()["n"] >= 1
+    assert e.sql(
+        f"SELECT size(ST_Difference({poly}, {poly2})) AS n"
+    ).first()["n"] >= 1
+    assert e.sql(
+        f"SELECT size(ST_ConvexHull({poly})) AS n"
+    ).first()["n"] == 1
+    assert e.sql(
+        "SELECT size(ST_ConcaveHull('MULTIPOINT(0 0, 4 0, 4 4, 0 4)')) AS n"
+    ).first()["n"] == 1
