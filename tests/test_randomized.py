@@ -119,7 +119,15 @@ def _agg(rng: random.Random, spec: dict, alias: str) -> str:
         # decimal sum is order-insensitive on both engines
         return f"sum(CAST({col} AS DECIMAL(18, 3))) AS {alias}"
     if kind == "avg":
-        return f"round(avg(CAST({col} AS DOUBLE)), 4) AS {alias}"
+        # NOT round(x, 4): an avg landing on an exact .xxxx5 half
+        # rounds differently on Spark (shortest-repr HALF_UP) vs
+        # DuckDB (raw double) — seeds 686/891 hit 251578.86975 in the
+        # r8 extended sweep; floor(x*1e4 + 0.5)*1e-4 is the same
+        # HALF_UP applied identically to the same double on both
+        return (
+            f"floor(avg(CAST({col} AS DOUBLE)) * 1e4 + 0.5) * 1e-4 "
+            f"AS {alias}"
+        )
     return f"{kind}({col}) AS {alias}"
 
 
