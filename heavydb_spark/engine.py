@@ -959,6 +959,12 @@ class Engine:
         # epoch; wholesale is the conservative single-user equivalent).
         self.result_cache: bool = False
         self._result_cache_entries: dict[str, DataFrame] = {}
+        # Generation counter closing the stale-insert TOCTOU: a reader
+        # that builds its frame before a writer's invalidation must not
+        # insert that pre-mutation frame afterwards (advice r8). Bumped
+        # under the lock by _invalidate_result_cache(); readers snapshot
+        # it before building and skip the insert on mismatch.
+        self._result_cache_epoch: int = 0
         # Engine.sql is supported from concurrent threads
         # (tests/test_concurrency.py); the cache dict needs a lock or
         # an invalidating writer races a caching reader.
@@ -980,6 +986,7 @@ class Engine:
         with self._result_cache_lock:
             dropped = list(self._result_cache_entries.values())
             self._result_cache_entries.clear()
+            self._result_cache_epoch += 1
         for df in dropped:
             try:
                 df.unpersist()
@@ -1297,34 +1304,59 @@ class Engine:
             # would silently SKIP the re-insert on a repeat call).
             with self._result_cache_lock:
                 hit = self._result_cache_entries.get(rewritten)
+                epoch = self._result_cache_epoch
             if hit is not None:
                 return hit
             df = self.spark.sql(rewritten).cache()
             evicted = None
+            stale = None
             with self._result_cache_lock:
-                race_winner = self._result_cache_entries.get(rewritten)
-                if race_winner is not None:
-                    # two threads missed on the same key concurrently
-                    # (the build runs outside the lock by design — a
-                    # long plan must not serialize the cache): the
-                    # first insert wins and this thread returns it
-                    # WITHOUT unpersisting its own df — Spark's
-                    # CacheManager keys on the analyzed plan, so the
-                    # loser's .cache() was a no-op against the same
-                    # entry and unpersist() here would clobber the
-                    # winner's pinned data (advice r7; the no-leak
-                    # property is plan-level dedup, asserted by
-                    # tests/test_concurrency.py miss-storm)
-                    df = race_winner
+                if self._result_cache_epoch != epoch:
+                    # A mutating statement invalidated the cache while
+                    # this frame was building: it may capture
+                    # pre-mutation state, so it must never be inserted
+                    # (stale-insert TOCTOU, advice r8). Prefer a
+                    # post-invalidation winner if one landed; otherwise
+                    # return the frame uncached and drop its pin.
+                    # Unpersisting a truly stale frame clobbers nothing
+                    # (a changed file index means a distinct analyzed
+                    # plan, and CacheManager keys on the plan); if the
+                    # plan happens to be unchanged the data is too, and
+                    # the drop costs at most a re-pin.
+                    stale = df
+                    fresh_winner = self._result_cache_entries.get(rewritten)
                 else:
-                    if len(self._result_cache_entries) >= \
-                            self._RESULT_CACHE_MAX:
-                        # FIFO eviction keeps the pinned block-manager
-                        # footprint bounded (the reference recycler is
-                        # size-bounded too)
-                        oldest = next(iter(self._result_cache_entries))
-                        evicted = self._result_cache_entries.pop(oldest)
-                    self._result_cache_entries[rewritten] = df
+                    race_winner = self._result_cache_entries.get(rewritten)
+                    if race_winner is not None:
+                        # two threads missed on the same key concurrently
+                        # (the build runs outside the lock by design — a
+                        # long plan must not serialize the cache): the
+                        # first insert wins and this thread returns it
+                        # WITHOUT unpersisting its own df — Spark's
+                        # CacheManager keys on the analyzed plan, so the
+                        # loser's .cache() was a no-op against the same
+                        # entry and unpersist() here would clobber the
+                        # winner's pinned data (advice r7; the no-leak
+                        # property is plan-level dedup, asserted by
+                        # tests/test_concurrency.py miss-storm)
+                        df = race_winner
+                    else:
+                        if len(self._result_cache_entries) >= \
+                                self._RESULT_CACHE_MAX:
+                            # FIFO eviction keeps the pinned block-manager
+                            # footprint bounded (the reference recycler is
+                            # size-bounded too)
+                            oldest = next(iter(self._result_cache_entries))
+                            evicted = self._result_cache_entries.pop(oldest)
+                        self._result_cache_entries[rewritten] = df
+            if stale is not None:
+                if fresh_winner is not None:
+                    return fresh_winner
+                try:
+                    stale.unpersist()
+                except Exception:
+                    pass
+                return stale
             if evicted is not None:
                 try:
                     evicted.unpersist()

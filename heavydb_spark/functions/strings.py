@@ -49,9 +49,13 @@ def _jaro(s: str, t: str) -> float:
             if s[i] != t[k]:
                 transpositions += 1
             k += 1
-    transpositions //= 2
+    # Reference keeps the HALF-transposition count as a float
+    # (StringOps.cpp:191 `transpositions / 2.0`); flooring it diverges
+    # for odd raw counts (e.g. ('bcabcaa','abc') -> 64 vs 70).
     return (
-        matches / ls + matches / lt + (matches - transpositions) / matches
+        matches / ls
+        + matches / lt
+        + (matches - transpositions / 2.0) / matches
     ) / 3.0
 
 

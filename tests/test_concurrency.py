@@ -169,3 +169,92 @@ def test_result_recycler_reads_race_invalidating_insert(engine, spark):
         engine.sql("ALTER SESSION SET RESULT_CACHE='off'")
         engine._invalidate_result_cache()
         spark.sql("DROP TABLE IF EXISTS rc_race")
+
+
+def test_result_recycler_stale_insert_toctou(engine, spark):
+    """Round-9 (advice r8): a reader whose frame was BUILT before a
+    writer's invalidation must not insert that pre-mutation frame
+    afterwards. Deterministic repro: hook spark.sql so the
+    invalidation fires inside the reader's build window (after the
+    epoch snapshot, before the locked insert), then assert the stale
+    frame was not cached and a fresh read sees the post-insert state
+    from an uncorrupted cache."""
+    spark.sql("DROP TABLE IF EXISTS rc_toctou")
+    engine.sql("CREATE TABLE rc_toctou AS SELECT 1 AS x")
+    engine.sql("ALTER SESSION SET RESULT_CACHE='on'")
+    q = "SELECT count(*) AS n FROM rc_toctou"
+    real_spark = engine.spark
+    real_sql = real_spark.sql
+    state = {"armed": True}
+
+    class _HookedSpark:
+        def __getattr__(self, name):
+            return getattr(real_spark, name)
+
+        def sql(self, text, *a, **kw):
+            df = real_sql(text, *a, **kw)
+            if state["armed"] and "rc_toctou" in text and "count" in text:
+                state["armed"] = False
+                # the mutation lands while the reader holds its built
+                # frame but before the locked insert
+                real_sql("INSERT INTO rc_toctou VALUES (2)")
+                engine._invalidate_result_cache()
+            return df
+
+    try:
+        orig = engine.spark
+        engine.spark = _HookedSpark()
+        try:
+            first = engine.sql(q).first()["n"]
+        finally:
+            engine.spark = orig
+        # the reader's own frame is lazy — whether it observes the
+        # interleaved insert depends on file-index snapshot timing;
+        # either table state is legal for THAT read
+        assert first in (1, 2)
+        # the stale frame must NOT have been cached...
+        assert engine._result_cache_entries == {}
+        # ...so the next read recomputes and sees the insert
+        assert engine.sql(q).first()["n"] == 2
+        assert engine.sql(q).first()["n"] == 2  # replayed hit agrees
+    finally:
+        engine.sql("ALTER SESSION SET RESULT_CACHE='off'")
+        engine._invalidate_result_cache()
+        spark.sql("DROP TABLE IF EXISTS rc_toctou")
+
+
+def test_result_recycler_evicted_entry_recomputes(engine, spark):
+    """Round-9 (verdict queue #8): a FIFO-evicted entry is unpersisted
+    OUTSIDE the lock (engine.py); a subsequent re-query of that key
+    must recompute — fresh frame, correct rows, re-inserted into the
+    cache — never serve the unpersisted evicted handle."""
+    engine.sql("ALTER SESSION SET RESULT_CACHE='on'")
+    engine._invalidate_result_cache()
+    old_max = engine._RESULT_CACHE_MAX
+    engine.__class__._RESULT_CACHE_MAX = 3
+    try:
+        q0 = "SELECT count(*) AS n FROM nation WHERE n_nationkey >= 0"
+        expected = engine.sql(q0).first()["n"]
+        first_entry = next(iter(engine._result_cache_entries.values()))
+        # fill past the bound so q0 (oldest) is evicted
+        for k in range(1, 4):
+            engine.sql(
+                f"SELECT count(*) AS n FROM nation WHERE n_nationkey >= {k}"
+            ).collect()
+        assert len(engine._result_cache_entries) == 3
+        keys = list(engine._result_cache_entries)
+        assert not any("n_nationkey >= 0" in k for k in keys)  # evicted
+        assert not first_entry.storageLevel.useMemory  # unpersisted
+        # re-query: recomputes, correct, re-cached and pinned
+        again = engine.sql(q0)
+        assert again.first()["n"] == expected
+        assert any("n_nationkey >= 0" in k
+                   for k in engine._result_cache_entries)
+        cached = [v for k, v in engine._result_cache_entries.items()
+                  if "n_nationkey >= 0" in k][0]
+        assert cached.storageLevel.useMemory
+        assert cached.first()["n"] == expected
+    finally:
+        engine.__class__._RESULT_CACHE_MAX = old_max
+        engine.sql("ALTER SESSION SET RESULT_CACHE='off'")
+        engine._invalidate_result_cache()

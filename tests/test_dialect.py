@@ -2495,6 +2495,12 @@ def test_string_op_kinds_round8_closeouts(engine):
     ).first()["v"] == 3
     r = e.sql("SELECT JAROWINKLER_SIMILARITY('martha', 'marhta') AS v").first()
     assert r["v"] == 96 and isinstance(r["v"], int)
+    # Odd raw transposition count: the reference keeps the half-count as
+    # a FLOAT (StringOps.cpp:191 `transpositions / 2.0`); a floored
+    # integer half-count returns 70 here instead of 64 (r9 fix).
+    assert e.sql(
+        "SELECT JAROWINKLER_SIMILARITY('bcabcaa', 'abc') AS v"
+    ).first()["v"] == 64
     assert e.sql(
         "SELECT JAROWINKLER_SIMILARITY('', 'x') AS v").first()["v"] is None
     assert e.sql(
