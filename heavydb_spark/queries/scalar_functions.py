@@ -482,3 +482,107 @@ def fn_decimal(spark, sf_dir):
         )
         .orderBy("l_returnflag")
     )
+
+
+_PROBE_CLOSEOUT_SQL = """
+    SELECT o.o_orderkey AS ok,
+           DATEPART('yy', o.o_orderdate) AS yy_part,
+           DATEPART('y', o.o_orderdate) AS doy_part,
+           DATEPART('m', o.o_orderdate) AS m_part,
+           DATEPART('n', DATEADD('n', MOD(o.o_orderkey, 300),
+                    TIMESTAMP '2024-01-01 00:00:00')) AS n_part,
+           DATEPART('s', DATEADD('s', MOD(o.o_orderkey, 500),
+                    TIMESTAMP '2024-01-01 00:00:00')) AS s_part,
+           DATEADD('m', 2, o.o_orderdate) AS m_add,
+           DATEDIFF('s', TIMESTAMP '2024-01-01 00:00:00',
+                    DATEADD('s', MOD(o.o_orderkey, 86401),
+                            TIMESTAMP '2024-01-01 00:00:00')) AS s_diff,
+           DATEDIFF('d', TIMESTAMP '1995-01-01 00:00:00',
+                    o.o_orderdate) AS d_diff,
+           DATEDIFF('m', TIMESTAMP '1995-01-01 00:00:00',
+                    DATE_TRUNC('month', o.o_orderdate)) AS m_diff,
+           POSITION('E' IN o.o_orderpriority) AS pos_e,
+           POSITION('E' IN o.o_orderpriority FROM 4) AS pos_e_from4,
+           s.sumif_hi AS sumif_hi,
+           ROUND_TO_DIGIT(o.o_totalprice / 7, 2) AS rtd2,
+           ROUND2_TO_DIGIT(o.o_totalprice / 13, 1) AS rtd1,
+           TRY_STRTOD(RCONCAT('.25', CAST(o.o_orderkey AS TEXT))) AS strtod,
+           TRY_STRTOL(SUBSTRING(CAST(o.o_orderkey + 1000000 AS TEXT), 2, 7))
+               AS strtol,
+           JSON_VALUE(RCONCAT('}', RCONCAT(CAST(o.o_orderkey AS TEXT),
+                      '{"k": ')), 'lax $.k') AS jsonv,
+           MID(o.o_orderpriority, 3, 4) AS midv,
+           LEVENSHTEIN_DISTANCE(o.o_orderpriority, '1-URGENT') AS lev,
+           CAST(o.o_totalprice AS TEXT) IS NOT NULL AS txt_ok,
+           TIMESTAMP(3) '2024-01-01 00:00:00.123' AS ts3
+    FROM orders o,
+         (SELECT ROUND(SUM_IF(o_totalprice, o_totalprice > 150000.0e0),
+                       2) AS sumif_hi
+          FROM orders WHERE o_orderkey < 1200) s
+    WHERE o.o_orderkey < 1200
+    ORDER BY ok
+"""
+
+
+@query(
+    "fn_dialect_probe_closeout",
+    oracle="""
+    SELECT o.o_orderkey AS ok,
+           year(o.o_orderdate) AS yy_part,
+           dayofyear(o.o_orderdate) AS doy_part,
+           month(o.o_orderdate) AS m_part,
+           minute(TIMESTAMP '2024-01-01 00:00:00'
+                  + INTERVAL (o.o_orderkey % 300) MINUTE) AS n_part,
+           second(TIMESTAMP '2024-01-01 00:00:00'
+                  + INTERVAL (o.o_orderkey % 500) SECOND) AS s_part,
+           o.o_orderdate + INTERVAL 2 MONTH AS m_add,
+           CAST(o.o_orderkey % 86401 AS BIGINT) AS s_diff,
+           CAST(date_diff('day', TIMESTAMP '1995-01-01 00:00:00',
+                          o.o_orderdate) AS BIGINT) AS d_diff,
+           CAST(date_diff('month', TIMESTAMP '1995-01-01 00:00:00',
+                          date_trunc('month', o.o_orderdate)) AS BIGINT)
+               AS m_diff,
+           position('E' IN o.o_orderpriority) AS pos_e,
+           CASE WHEN position('E' IN substring(o.o_orderpriority, 4)) > 0
+                THEN position('E' IN substring(o.o_orderpriority, 4)) + 3
+                ELSE 0 END AS pos_e_from4,
+           s.sumif_hi AS sumif_hi,
+           round((o.o_totalprice / 7) * 100) / 100 AS rtd2,
+           round((o.o_totalprice / 13) * 10) / 10 AS rtd1,
+           TRY_CAST(concat(CAST(o.o_orderkey AS VARCHAR), '.25') AS DOUBLE)
+               AS strtod,
+           TRY_CAST(substring(CAST(o.o_orderkey + 1000000 AS VARCHAR), 2, 7)
+                    AS BIGINT) AS strtol,
+           json_extract_string(concat('{"k": ',
+               CAST(o.o_orderkey AS VARCHAR), '}'), '$.k') AS jsonv,
+           substring(o.o_orderpriority, 3, 4) AS midv,
+           levenshtein(o.o_orderpriority, '1-URGENT') AS lev,
+           CAST(o.o_totalprice AS VARCHAR) IS NOT NULL AS txt_ok,
+           TIMESTAMP '2024-01-01 00:00:00.123' AS ts3
+    FROM orders o,
+         (SELECT round(sum(CASE WHEN o_totalprice > 150000.0
+                               THEN o_totalprice END), 2) AS sumif_hi
+          FROM orders WHERE o_orderkey < 1200) s
+    WHERE o.o_orderkey < 1200
+    ORDER BY ok
+    """,
+)
+def fn_dialect_probe_closeout(spark, sf_dir):
+    """r9 consolidation of the r8 probe-sweep dialect surface under a
+    DRIVER oracle (verdict r8 queue #2) — every form below previously
+    had only pytest coverage. Routed through Engine.sql exactly as
+    HeavyDB SQL arrives: the TSQL/SQL_TSI datetime alias tables
+    ('yy'/'y'/'m'/'n'/'s' per-function routing,
+    CalciteDeserializerUtils.cpp:59-211 — 'm'/'s'/'y' silently took
+    Spark's own single-letter meanings before r8), DATEADD/DATEDIFF
+    alias scaling, POSITION...FROM (StringOps.h:157 1-based-in-whole-
+    string, 0 = miss), SUM_IF (sqldefs.h:88), ROUND_TO_DIGIT /
+    ROUND2_TO_DIGIT (ExtensionFunctions.hpp:289-298 exact formula),
+    TRY_STRTOD / TRY_STRTOL (StringOps.h:143), JSON_VALUE lax mode,
+    MID / RCONCAT / LEVENSHTEIN_DISTANCE (sqldefs.h SqlStringOpKind),
+    CAST AS TEXT, and the dimensioned TIMESTAMP(3) literal
+    (ExecuteTest.cpp:6602)."""
+    from heavydb_spark.engine import Engine
+
+    eng = Engine(spark).attach(sf_dir)
+    return eng.sql(_PROBE_CLOSEOUT_SQL)

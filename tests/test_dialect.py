@@ -748,12 +748,13 @@ def test_regexp_count_position_and_params(engine):
 
 def test_dateadd_datediff_extended_units(engine):
     """DATEADD/DATEDIFF units beyond Spark's list (DateAdd.h:42-61):
-    decade/century/millennium scale years, QUARTERDAY is 6 hours,
+    decade/century/millennium scale years, QUARTERDAY is 6 hours
+    (DATEDIFF only — no string maps to daQUARTERDAY in
+    to_dateadd_field, so the reference throws for DATEADD),
     NANOSECOND truncates into the microsecond domain."""
     row = engine.sql("""
         SELECT DATEADD('decade', 2, TIMESTAMP '1995-06-15 01:02:03') AS dec2,
                DATEADD('century', 1, TIMESTAMP '1995-06-15 01:02:03') AS cen1,
-               DATEADD('quarterday', 2, TIMESTAMP '1995-06-15 01:02:03') AS qd2,
                DATEADD('nanosecond', 2500, TIMESTAMP '1995-06-15 01:02:03') AS ns,
                DATEDIFF('decade', TIMESTAMP '1975-01-01 00:00:00',
                                   TIMESTAMP '1999-12-31 00:00:00') AS ddec,
@@ -763,10 +764,62 @@ def test_dateadd_datediff_extended_units(engine):
     """).first()
     assert str(row.dec2) == "2015-06-15 01:02:03"
     assert str(row.cen1) == "2095-06-15 01:02:03"
-    assert str(row.qd2) == "1995-06-15 13:02:03"
     assert str(row.ns) == "1995-06-15 01:02:03.000002"
     assert row.ddec == 2
     assert row.dqd == 4
+
+
+def test_dt_field_per_function_rejections(engine):
+    """r9 (advice r8): the reference keeps THREE alias tables
+    (CalciteDeserializerUtils.cpp:59-211) with different acceptance —
+    to_dateadd_field has no day-of-year/quarterday/week-anchored
+    spellings, to_datediff_field has no day-of-year/weekday and takes
+    quarterday only in full, to_datepart_field stops at the extract
+    surface. Each rejection raises the reference's own message instead
+    of silently computing."""
+    import pytest as _pytest
+
+    for bad, fn in [
+        ("SELECT DATEADD('y', 1, o_orderdate) FROM orders", "DATEADD"),
+        ("SELECT DATEADD('dy', 1, o_orderdate) FROM orders", "DATEADD"),
+        ("SELECT DATEADD('dayofyear', 1, o_orderdate) FROM orders",
+         "DATEADD"),
+        ("SELECT DATEADD('quarterday', 1, o_orderdate) FROM orders",
+         "DATEADD"),
+        ("SELECT DATEADD('dq', 1, o_orderdate) FROM orders", "DATEADD"),
+        ("SELECT DATEADD('week_sunday', 1, o_orderdate) FROM orders",
+         "DATEADD"),
+        ("SELECT DATEDIFF('dw', o_orderdate, o_orderdate) FROM orders",
+         "DATEDIFF"),
+        ("SELECT DATEDIFF('weekday', o_orderdate, o_orderdate) FROM orders",
+         "DATEDIFF"),
+        ("SELECT DATEDIFF('dq', o_orderdate, o_orderdate) FROM orders",
+         "DATEDIFF"),
+        ("SELECT DATEDIFF('y', o_orderdate, o_orderdate) FROM orders",
+         "DATEDIFF"),
+        ("SELECT DATEPART('decade', o_orderdate) FROM orders", "DATEPART"),
+        ("SELECT DATEPART('dc', o_orderdate) FROM orders", "DATEPART"),
+        ("SELECT DATEPART('century', o_orderdate) FROM orders", "DATEPART"),
+    ]:
+        with _pytest.raises(ValueError,
+                            match=f"Unsupported field in {fn} function"):
+            engine.sql(bad)
+    # boundary: accepted spellings right beside the rejected ones
+    assert engine.sql(
+        "SELECT DATEPART('dq', TIMESTAMP '1995-06-15 13:00:00') AS v"
+    ).first()["v"] == 3
+    assert engine.sql(
+        "SELECT DATEADD('dw', 2, DATE '1995-06-15') AS v"
+    ).first()["v"] is not None
+    assert engine.sql(
+        "SELECT DATEDIFF('quarterday', TIMESTAMP '1995-06-15 00:00:00',"
+        " TIMESTAMP '1995-06-16 00:00:00') AS v"
+    ).first()["v"] == 4
+    # TIMESTAMPADD keeps the permissive shared map (Calcite parses its
+    # interval qualifiers itself, not through the DATEADD table)
+    assert engine.sql(
+        "SELECT TIMESTAMPADD(DAY, 1, DATE '1995-06-15') AS v"
+    ).first()["v"] is not None
 
 
 def test_extract_reference_fields(engine):
@@ -2285,6 +2338,18 @@ def test_generate_series_nested_args_and_direction(engine):
         "SELECT series FROM TABLE(generate_series(5, 5, -3))"
     ).collect()
     assert [r.series for r in rows] == [5]
+    # r9 (advice r8): wrong-direction step LARGER than the range — the
+    # reference's truncating num_rows math gives exactly one row:
+    # (2-1)/(-5) + 1 = 1 -> [1] (UtilityTableFunctions.cpp:57-84);
+    # the int path now runs the same formula instead of a sign guard
+    rows = engine.sql(
+        "SELECT series FROM TABLE(generate_series(1, 2, -5))"
+    ).collect()
+    assert [r.series for r in rows] == [1]
+    rows = engine.sql(
+        "SELECT series FROM TABLE(generate_series(1, 0, 5))"
+    ).collect()
+    assert [r.series for r in rows] == [1]  # (0-1)/5 + 1 = 1
     # timestamp + interval step still routes through the guarded form
     rows = engine.sql(
         "SELECT series FROM TABLE(generate_series("
@@ -2427,6 +2492,18 @@ def test_dimensioned_timestamp_literals_and_any_all_constructor(engine):
     assert engine.sql("SELECT 3 <> ALL ARRAY[1, 2] AS q").first()["q"]
     assert engine.sql("SELECT 2 = ANY ARRAY[1, 2] AS q").first()["q"]
     assert not engine.sql("SELECT 5 = ANY ARRAY[1, 2] AS q").first()["q"]
+    # r9 (advice r8): NESTED constructor RHS — the old single-level
+    # regex matched the word ARRAY as a bare column and emitted
+    # exists(ARRAY, ...) plus orphaned bracket text. Balanced-bracket
+    # scan now takes the whole RHS, including a trailing subscript.
+    assert engine.sql(
+        "SELECT 1 = ANY ARRAY[ARRAY[1,2][1], 3] AS q").first()["q"]
+    assert not engine.sql(
+        "SELECT 2 = ANY ARRAY[ARRAY[1,2][1], 3] AS q").first()["q"]
+    assert engine.sql(
+        "SELECT 2 <= ALL ARRAY[ARRAY[2,3], ARRAY[4]][1] AS q").first()["q"]
+    assert not engine.sql(
+        "SELECT 3 <= ALL ARRAY[ARRAY[2,3], ARRAY[4]][1] AS q").first()["q"]
 
 
 def test_position_reference_semantics_and_cast_text(engine):
