@@ -37,43 +37,264 @@ from heavydb_spark.queries import (  # noqa: F401,E402
 # Registration-order priority.
 #
 # The verify driver correctness-checks queries in registration order
-# with a bounded budget (~50 per round).  Driver union r1-r7: 254/254
-# — every catalog entry has sat in a window at least once.  The r7
-# verdict orders rounds 8-9 as pure staleness-debt retirement (zero
-# net-new queries); this list commits BOTH window compositions:
+# with a bounded budget (~50 per round).  Driver union r1-r8: 255/255
+# minus the one r9 net-new entry below.  Round-9 executes the r7/r8
+# plan: the window committed in r8 as positions 51-100 rotates to the
+# front UNCHANGED (same 50 entries, same order — r8 verdict queue #1),
+# and the r10 window is composed and pre-verified behind it.
 #
-# ROUND-8 WINDOW (positions 1-50) — r7 verdict task #1:
-#   1-39  every entry whose last driver check was ROUND 2 — all
-#         predate the r4-r6 global dialect changes (null collation,
-#         quoted identifiers, int division).  tf_generate_series /
-#         tf_generate_series_ts also regression-cover the r8
-#         balanced-paren rewrite of TABLE(generate_series(...)).
-#   40-50 the 11 first r3-checked entries in registration order.
-#   Pre-verified with scripts/replay_window.py 50 /root/testdata/sf0.01
-#   before round-end (the r7 pre-verification recipe): 47 hash-green +
-#   3 rows-only-by-design, 0 fails — re-run clean against the final
-#   r8 code after the dialect fixpoint change.
-#
-# ROUND-9 WINDOW (positions 51-100) — r7 verdict task #2:
-#   51-81  the remaining 31 r3-checked entries;
-#   82-83  the r8 regression slice: sim_ann_ivfpq +
+# ROUND-9 WINDOW (positions 1-50) — committed in r8, run as-is:
+#   1-31   the remaining 31 r3-checked entries;
+#   32-33  the r8 regression slice: sim_ann_ivfpq +
 #          sim_ann_ivfpq_invariants (residual=True became the
-#          ann_topk_ivfpq default in r8 — the only r8 behavior change
-#          to already-green catalog queries; both pre-verified at
-#          sf0.01 in r8);
-#   84-100 the 17 oldest r4-checked entries in registration order.
-#   ALSO pre-verified in r8 (replay_window.py 100 at sf0.01 came back
-#   90 green + 10 rows-only, 0 fails across the full first 100 — both
-#   windows ship pre-checked).  After r9 completes, no catalog entry's
-#   last driver check predates ROUND 4, and every r7/r8-touched query
-#   has a post-change check.
+#          ann_topk_ivfpq default in r8);
+#   34-50  the 17 oldest r4-checked entries in registration order.
+#   Pre-verified twice in r8 (builder replay + judge replay of the
+#   full first 100 positions at sf0.01: 90 green + 10 rows-only,
+#   0 fails) and RE-VERIFIED against the final r9 code:
+#   scripts/replay_window.py 100 at sf0.01 came back 92 hash-green +
+#   8 rows-only, 0 fails across positions 1-100 (this window AND the
+#   r10 window below).  After r9 completes, no catalog entry's last
+#   driver check predates ROUND 4.
 #
-# Past position 100: the remaining r4-checked entries, then r5/r6/r7
-# greens freshest-last in registration order (an over-budget driver
+# ROUND-10 WINDOW (positions 51-100) — r8 verdict queue #2/#3/#7:
+#   51     fn_dialect_probe_closeout — the r9 net-new consolidation of
+#          the r8 probe-sweep dialect surface (TSQL datetime aliases,
+#          POSITION FROM, SUM_IF, ROUND_TO_DIGIT/ROUND2, TRY_STRTOD/L,
+#          JSON_VALUE lax, MID/RCONCAT/LEVENSHTEIN_DISTANCE, CAST AS
+#          TEXT, TIMESTAMP(3) literal) under a driver oracle;
+#   52-54  the r9 regression slice — catalog queries whose code paths
+#          r9 touched: tf_generate_series / tf_generate_series_ts (the
+#          integer path now runs the reference's truncating num_rows
+#          formula) and fn_string_distance (the jaro kernel keeps the
+#          half-transposition count as a float);
+#   55-66  the 12 remaining r4-checked entries (registration order);
+#   67-100 the 34 oldest r5-checked entries in registration order.
+#          The one rows-only entry here, tf_raster_slope_path (95),
+#          pairs with its exact companion
+#          tf_raster_slope_path_invariants checked in the immediately
+#          preceding r9 window (position 48) — listing the companion
+#          twice is impossible (the reorder dict dedupes) and swapping
+#          it forward would break the committed r9 window, so the pair
+#          spans adjacent windows with both checks ≤1 round apart.
+#
+# Past position 100: the remaining 14 r5-checked entries, then r6/r7/
+# r8 greens freshest-last in registration order (an over-budget driver
 # keeps eating staleness in age order).
 # ---------------------------------------------------------------------------
 _PRIORITY = [
-    # --- ROUND-8 WINDOW: the 39 r2-checked entries ---
+    # --- ROUND-9 WINDOW (run as-is; committed in r8) ---
+    "geo_transform_900913",
+    "geo_wkt_roundtrip",
+    "join_multistep_tpch_q10",
+    "join_multistep_tpch_q3",
+    "join_multistep_tpch_q5",
+    "join_star_agg",
+    "ml_decision_trees",
+    "ml_forest_predict",
+    "ml_kmeans",
+    "ml_linear_reg2",
+    "ml_pca_fit",
+    "ml_pca_project",
+    "ml_var_importance",
+    "mm_frame_sample",
+    "pipe_decontaminate",
+    "pipe_dictionary_encode",
+    "pipe_pii_scrub",
+    "pipe_sample_stratified",
+    "pricing_summary",
+    "scan_project_filter",
+    "stream_interval_join",
+    "stream_sliding_window",
+    "text_quality",
+    "tf_cross_section_2d",
+    "tf_feature_query_similarity",
+    "tf_mandelbrot",
+    "tf_raster_contour",
+    "tf_raster_contour_bands",
+    "union_distinct",
+    "window_forward_fill",
+    "window_moving_avg",
+    "sim_ann_ivfpq",
+    "sim_ann_ivfpq_invariants",
+    "agg_approx_invariants",
+    "geo_geos_concavehull",
+    "geo_geos_convexhull",
+    "ml_decision_trees_invariants",
+    "ml_forest_invariants",
+    "ml_kmeans_invariants",
+    "ml_pca_fit_invariants",
+    "ml_pca_invariants",
+    "ml_var_importance_invariants",
+    "pipe_dedup_keep_best",
+    "sim_ann_ivf_invariants",
+    "stream_interval_join_full",
+    "stream_interval_join_outer",
+    "tf_raster_slope_path_invariants",
+    "tpcds_q36_hierarchy_rank",
+    "tpch_q11_important_value",
+    "tpch_q12_priority_class",
+    # --- ROUND-10 WINDOW: probe closeout + r9 regression slice ---
+    "fn_dialect_probe_closeout",
+    "tf_generate_series",
+    "tf_generate_series_ts",
+    "fn_string_distance",
+    # --- ROUND-10 WINDOW: the 12 remaining r4-checked entries ---
+    "tpch_q13_order_distribution",
+    "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_cnt",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q4_priority_exists",
+    "tpch_q8_market_share",
+    "tpch_q18_large_orders",
+    "tpch_q19_disjunctive_join",
+    "tpch_q20_nested_in",
+    "tpch_q22_global_sales",
+    # --- ROUND-10 WINDOW: the 34 oldest r5-checked entries ---
+    "case_expr",
+    "in_list_filter",
+    "values_literal",
+    "null_handling",
+    "sort_limit_offset",
+    "join_theta_loop",
+    "join_multistep_tpch_q7",
+    "subquery_correlated_scalar",
+    "subquery_not_in_nulls",
+    "window_ranks",
+    "window_range_interval",
+    "window_lag_lead_in_frame",
+    "sql_dialect_window_fill",
+    "sql_dialect_null_order",
+    "union_all",
+    "sim_ann_lsh",
+    "sim_embedding_neardup",
+    "pipe_mix_sources",
+    "pipe_pack_sequences",
+    "text_repetition",
+    "dedup_simhash_portable",
+    "dedup_minhash_portable",
+    "pipe_end_to_end_corpus",
+    "dml_update_postimage",
+    "dml_delete_postimage",
+    "tf_generate_random_strings",
+    "ml_dbscan",
+    "tf_raster_slope_path",
+    "geo_geos_union_diff",
+    "geo_multipolygon_props",
+    "geo_transform_utm",
+    "tf_point_cloud_metadata",
+    "tf_load_point_cloud",
+    "dml_update_correlated_postimage",
+    # --- past the window: remaining r5, then r6-r8 freshest-last ---
+    "tf_torch_obj_detect",
+    "geo_buffer_dispatch",
+    "geo_transform_epsg",
+    "render_pixel_bins",
+    "geo_h3_binning",
+    "tpch_q9_product_profit",
+    "tpch_q21_waiting_supplier",
+    "tpcds_cross_channel",
+    "tpcds_q51_cumulative_join",
+    "tpcds_q88_band_counts",
+    "tpcds_q47_monthly_deviation",
+    "tpcds_q74_yoy_growth",
+    "ml_model_ddl_tree",
+    "ml_model_ddl_pca",
+    "agg_grouping_sets",
+    "agg_filter_clause",
+    "sim_pq_invariants",
+    "pipe_tokenize_pack",
+    "pipe_corpus_report",
+    "pipe_epoch_oversample",
+    "pipe_mix_token_budget",
+    "dedup_shared_run",
+    "sim_semantic_dedup",
+    "text_quality_classifier",
+    "text_lm_perplexity",
+    "pipe_model_filter_chain",
+    "sim_semantic_dedup_kmeans",
+    "pipe_dsir_select",
+    "dedup_span_rewrite",
+    "dedup_boilerplate_segments",
+    "pipe_mix_temperature",
+    "text_ngram_vocab",
+    "text_tfidf_topterms",
+    "pipe_source_overlap",
+    "text_bpe_first_merge",
+    "text_bpe_train",
+    "text_heavy_hitters",
+    "text_bpe_encode_contract",
+    "text_bpe_encode",
+    "text_bpe_encode_invariants",
+    "pipe_shard_assign",
+    "sim_label_centroids",
+    "text_gopher_filter",
+    "pipe_curation_v2",
+    "text_bm25_topk",
+    "text_chunk_windows",
+    "geo_transform_datum",
+    "sql_dialect_geo_predicates",
+    "tpcds_q67_rollup_rank",
+    "tpcds_q64_cross_year_sales",
+    "tpcds_q49_ranked_returns",
+    "tpcds_q38_triple_intersect",
+    "tpcds_q1_returns_above_avg",
+    "tpcds_q93_net_after_returns",
+    "tpcds_q23_frequent_best",
+    "tpcds_q95_returned_multi_supplier",
+    "tpcds_q17_quantity_variability",
+    "tpcds_q34_frequent_buyer_band",
+    "sim_semantic_kmeans_invariants",
+    "distinct_projection",
+    "sql_dialect_int_division",
+    "agg_count_star",
+    "agg_groupby_count",
+    "agg_groupby_avg",
+    "agg_groupby_highcard",
+    "agg_count_distinct",
+    "agg_approx_count_distinct",
+    "agg_approx_percentile",
+    "agg_exact_median",
+    "agg_mode",
+    "agg_sample_any_value",
+    "agg_having",
+    "agg_stats",
+    "agg_rollup",
+    "agg_cube",
+    "sort_topk",
+    "agg_hll_sketch_merge",
+    "agg_pivot_matrix",
+    "join_left_outer",
+    "join_semi",
+    "join_anti",
+    "join_multi_key",
+    "join_range_qual",
+    "join_null_safe",
+    "subquery_scalar",
+    "subquery_correlated_exists",
+    "subquery_in_select",
+    "join_asof_backward",
+    "join_fuzzy_names",
+    "window_row_number_topn",
+    "window_lag_lead",
+    "window_running_sum",
+    "window_ntile_firstlast",
+    "window_conditional_change_event",
+    "fn_string_basic",
+    "fn_string_regex",
+    "sim_scalar_quantize",
+    "sim_pq_encode",
+    "sim_hybrid_retrieval",
+    "pipe_weighted_sample",
+    "pipe_winsorize",
+    "text_source_divergence",
+    "pipe_split_no_leakage",
+    "geo_zorder_layout",
+    "tpcds_q59_wow_ratio",
+    "tpcds_q78_channel_ratio",
+    "tpcds_q72_followup_orders",
     "dedup_connected_components",
     "dedup_exact",
     "dedup_ngram_jaccard",
@@ -108,12 +329,9 @@ _PRIORITY = [
     "tf_cross_section_1d",
     "tf_dwell_times",
     "tf_feature_similarity",
-    "tf_generate_series",
-    "tf_generate_series_ts",
     "tf_geo_rasterize",
     "tf_geo_rasterize_slope",
     "tf_graph_shortest_paths",
-    # --- ROUND-8 WINDOW: the 11 first r3-checked entries ---
     "agg_count_if_sum_if",
     "agg_groupby_multicol",
     "dedup_fingerprint",
@@ -125,65 +343,6 @@ _PRIORITY = [
     "geo_grid_join",
     "geo_linestring_props",
     "geo_polygon_intersects",
-    # --- ROUND-9 WINDOW: the remaining 31 r3-checked entries ---
-    "geo_transform_900913",
-    "geo_wkt_roundtrip",
-    "join_multistep_tpch_q10",
-    "join_multistep_tpch_q3",
-    "join_multistep_tpch_q5",
-    "join_star_agg",
-    "ml_decision_trees",
-    "ml_forest_predict",
-    "ml_kmeans",
-    "ml_linear_reg2",
-    "ml_pca_fit",
-    "ml_pca_project",
-    "ml_var_importance",
-    "mm_frame_sample",
-    "pipe_decontaminate",
-    "pipe_dictionary_encode",
-    "pipe_pii_scrub",
-    "pipe_sample_stratified",
-    "pricing_summary",
-    "scan_project_filter",
-    "stream_interval_join",
-    "stream_sliding_window",
-    "text_quality",
-    "tf_cross_section_2d",
-    "tf_feature_query_similarity",
-    "tf_mandelbrot",
-    "tf_raster_contour",
-    "tf_raster_contour_bands",
-    "union_distinct",
-    "window_forward_fill",
-    "window_moving_avg",
-    # --- ROUND-9 WINDOW: r8 regression slice (residual default) ---
-    "sim_ann_ivfpq",
-    "sim_ann_ivfpq_invariants",
-    # --- ROUND-9 WINDOW: the 17 oldest r4-checked entries ---
-    "agg_approx_invariants",
-    "geo_geos_concavehull",
-    "geo_geos_convexhull",
-    "ml_decision_trees_invariants",
-    "ml_forest_invariants",
-    "ml_kmeans_invariants",
-    "ml_pca_fit_invariants",
-    "ml_pca_invariants",
-    "ml_var_importance_invariants",
-    "pipe_dedup_keep_best",
-    "sim_ann_ivf_invariants",
-    "stream_interval_join_full",
-    "stream_interval_join_outer",
-    "tf_raster_slope_path_invariants",
-    "tpcds_q36_hierarchy_rank",
-    "tpch_q11_important_value",
-    "tpch_q12_priority_class",
-    # --- past the window: remaining r4-checked (age order) ---
-    "tpch_q13_order_distribution",
-    "tpch_q14_promo_revenue",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_cnt",
-    "tpch_q17_small_qty_revenue",
 ]
 
 
