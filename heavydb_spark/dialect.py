@@ -156,6 +156,18 @@ def _extract_field(unit: str, func: str | None = None) -> str:
     return {"DAYOFYEAR": "DOY", "WEEKDAY": "ISODOW"}.get(f, f)
 
 
+# The LHS-expression and comparison-operator grammar shared by BOTH
+# quantified-comparison rewrites (the bare-column entry in _REWRITES
+# and the constructor-RHS balanced scan _rewrite_quantified_array_rhs)
+# — one definition so the two RHS forms can never drift apart in what
+# LHS shapes they accept.
+_QUANT_LHS = (
+    r"((?:(?<![\w.])\([^()]*\))"
+    r"|(?:[\w.\x00]+\s*[-+*/%]\s*)*[\w.\x00]+(?:\([^()]*\))?)"
+)
+_QUANT_OP = r"\s*(=|<>|<=|>=|<|>)\s*"
+
+
 _QUOTED_ARG_REWRITES: list[tuple[re.Pattern, str]] = [
     (
         re.compile(r"\bDATEPART\s*\(\s*'(\w+)'\s*,\s*", re.IGNORECASE),
@@ -377,9 +389,8 @@ _REWRITES: list[tuple[re.Pattern, str]] = [
     # emitting exists(ARRAY, ...) plus orphaned bracket text).
     (
         re.compile(
-            r"((?:(?<![\w.])\([^()]*\))|(?:[\w.\x00]+\s*[-+*/%]\s*)*[\w.\x00]+(?:\([^()]*\))?)"
-            r"\s*(=|<>|<=|>=|<|>)\s*"
-            r"(ANY|ALL)\s+([A-Za-z_][\w.]*)\b(?!\s*[(\[])",
+            _QUANT_LHS + _QUANT_OP
+            + r"(ANY|ALL)\s+([A-Za-z_][\w.]*)\b(?!\s*[(\[])",
             re.IGNORECASE,
         ),
         lambda m: (
@@ -469,29 +480,38 @@ def _split_top_level(args: str) -> list[str]:
     return parts
 
 
-def _scan_balanced(sql: str, start: int) -> int:
-    """Given `start` just past an opening paren, return the index just
-    past its matching close paren (quote-aware)."""
+def _scan_balanced(sql: str, start: int,
+                   open_ch: str = "(", close_ch: str = ")") -> int:
+    """Given `start` just past an opening delimiter, return the index
+    just past its matching close (quote-aware). Defaults to parens;
+    pass "[" / "]" to scan bracket constructors."""
     depth, i, in_q = 1, start, False
     while i < len(sql) and depth:
         ch = sql[i]
         if ch == "'":
             in_q = not in_q
         elif not in_q:
-            if ch == "(":
+            if ch == open_ch:
                 depth += 1
-            elif ch == ")":
+            elif ch == close_ch:
                 depth -= 1
         i += 1
     return i
 
 
 _QUANT_ARRAY_PREFIX_RE = re.compile(
-    r"((?:(?<![\w.])\([^()]*\))|(?:[\w.\x00]+\s*[-+*/%]\s*)*[\w.\x00]+(?:\([^()]*\))?)"
-    r"\s*(=|<>|<=|>=|<|>)\s*"
-    r"(ANY|ALL)\s+(ARRAY\s*\[)",
+    _QUANT_LHS + _QUANT_OP + r"(ANY|ALL)\s+(ARRAY\s*\[)",
     re.IGNORECASE,
 )
+
+
+def _scan_bracket_balanced(sql: str, start: int) -> int:
+    """`start` just past an opening `[`: index just past the matching
+    `]`, or -1 when the brackets never balance. Runs on masked text, so
+    bracket counts are literal (no quoted-string brackets exist)."""
+    i = _scan_balanced(sql, start, "[", "]")
+    span = sql[start:i]
+    return i if span.count("[") + 1 == span.count("]") else -1
 
 
 def _rewrite_quantified_array_rhs(sql: str) -> str:
@@ -507,14 +527,8 @@ def _rewrite_quantified_array_rhs(sql: str) -> str:
         m = _QUANT_ARRAY_PREFIX_RE.search(sql, pos)
         if m is None:
             return sql
-        depth, i = 1, m.end()
-        while i < len(sql) and depth:
-            if sql[i] == "[":
-                depth += 1
-            elif sql[i] == "]":
-                depth -= 1
-            i += 1
-        if depth:  # unbalanced brackets: leave for Spark to report
+        i = _scan_bracket_balanced(sql, m.end())
+        if i < 0:  # unbalanced brackets: leave for Spark to report
             return sql
         # trailing subscript chain stays part of the RHS:
         # `ANY ARRAY[ARRAY[2,3], ARRAY[4]][1]` quantifies over the
@@ -523,14 +537,8 @@ def _rewrite_quantified_array_rhs(sql: str) -> str:
             t = re.match(r"\s*\[", sql[i:])
             if not t:
                 break
-            depth, j = 1, i + t.end()
-            while j < len(sql) and depth:
-                if sql[j] == "[":
-                    depth += 1
-                elif sql[j] == "]":
-                    depth -= 1
-                j += 1
-            if depth:
+            j = _scan_bracket_balanced(sql, i + t.end())
+            if j < 0:
                 return sql
             i = j
         fn = "exists" if m.group(3).upper() == "ANY" else "forall"

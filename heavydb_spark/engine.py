@@ -1306,6 +1306,19 @@ class Engine:
                 hit = self._result_cache_entries.get(rewritten)
                 epoch = self._result_cache_epoch
             if hit is not None:
+                # Defensive re-pin: a stale-path unpersist below can,
+                # under one interleaving (unrelated-table invalidation
+                # bumps the epoch while this plan's data is unchanged,
+                # a fresh reader inserts the same plan, then the stale
+                # reader's unpersist drops the shared CacheManager
+                # entry), leave a tracked entry unpinned. cache() is a
+                # no-op when already cached and re-registers otherwise,
+                # so the worst case is one extra recompute instead of
+                # recomputing on every hit forever.
+                try:
+                    hit.cache()
+                except Exception:
+                    pass
                 return hit
             df = self.spark.sql(rewritten).cache()
             evicted = None
@@ -1322,7 +1335,9 @@ class Engine:
                     # (a changed file index means a distinct analyzed
                     # plan, and CacheManager keys on the plan); if the
                     # plan happens to be unchanged the data is too, and
-                    # the drop costs at most a re-pin.
+                    # the drop can at worst unpin a concurrent fresh
+                    # reader's identical-plan entry — which the hit
+                    # path's defensive cache() re-pins on next access.
                     stale = df
                     fresh_winner = self._result_cache_entries.get(rewritten)
                 else:

@@ -70,10 +70,10 @@ from heavydb_spark.queries import (  # noqa: F401,E402
 #          half-transposition count as a float);
 #   55-66  the 12 remaining r4-checked entries (registration order);
 #   67-100 the 34 oldest r5-checked entries in registration order.
-#          The one rows-only entry here, tf_raster_slope_path (95),
+#          The one rows-only entry here, tf_raster_slope_path (94),
 #          pairs with its exact companion
 #          tf_raster_slope_path_invariants checked in the immediately
-#          preceding r9 window (position 48) — listing the companion
+#          preceding r9 window (position 47) — listing the companion
 #          twice is impossible (the reorder dict dedupes) and swapping
 #          it forward would break the committed r9 window, so the pair
 #          spans adjacent windows with both checks ≤1 round apart.

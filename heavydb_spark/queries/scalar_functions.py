@@ -516,7 +516,8 @@ _PROBE_CLOSEOUT_SQL = """
            CAST(o.o_totalprice AS TEXT) IS NOT NULL AS txt_ok,
            TIMESTAMP(3) '2024-01-01 00:00:00.123' AS ts3
     FROM orders o,
-         (SELECT ROUND(SUM_IF(o_totalprice, o_totalprice > 150000.0e0),
+         (SELECT ROUND(CAST(SUM_IF(CAST(o_totalprice AS DECIMAL(18, 2)),
+                                   o_totalprice > 150000.0e0) AS DOUBLE),
                        2) AS sumif_hi
           FROM orders WHERE o_orderkey < 1200) s
     WHERE o.o_orderkey < 1200
@@ -560,8 +561,9 @@ _PROBE_CLOSEOUT_SQL = """
            CAST(o.o_totalprice AS VARCHAR) IS NOT NULL AS txt_ok,
            TIMESTAMP '2024-01-01 00:00:00.123' AS ts3
     FROM orders o,
-         (SELECT round(sum(CASE WHEN o_totalprice > 150000.0
-                               THEN o_totalprice END), 2) AS sumif_hi
+         (SELECT round(CAST(sum(CASE WHEN o_totalprice > 150000.0
+                                 THEN CAST(o_totalprice AS DECIMAL(18, 2))
+                                 END) AS DOUBLE), 2) AS sumif_hi
           FROM orders WHERE o_orderkey < 1200) s
     WHERE o.o_orderkey < 1200
     ORDER BY ok

@@ -119,14 +119,18 @@ def _agg(rng: random.Random, spec: dict, alias: str) -> str:
         # decimal sum is order-insensitive on both engines
         return f"sum(CAST({col} AS DECIMAL(18, 3))) AS {alias}"
     if kind == "avg":
-        # NOT round(x, 4): an avg landing on an exact .xxxx5 half
-        # rounds differently on Spark (shortest-repr HALF_UP) vs
-        # DuckDB (raw double) — seeds 686/891 hit 251578.86975 in the
-        # r8 extended sweep; floor(x*1e4 + 0.5)*1e-4 is the same
-        # HALF_UP applied identically to the same double on both
+        # NOT avg(CAST(col AS DOUBLE)): a double avg inherits each
+        # engine's partial-aggregation SUMMATION ORDER, so a group
+        # whose true mean sits on an exact .xxxx5 half can land on
+        # opposite sides of the boundary and flip ANY subsequent
+        # half-rounding form — the r8 floor(x*1e4 + 0.5) rewrite fixed
+        # only the identical-double case (r9 sweep seeds 1127/1171:
+        # 254123.73175 flipped). Deterministic form: order-insensitive
+        # exact DECIMAL sum, cast once to double, divided by the exact
+        # count — bit-identical on both engines — THEN half-rounded.
         return (
-            f"floor(avg(CAST({col} AS DOUBLE)) * 1e4 + 0.5) * 1e-4 "
-            f"AS {alias}"
+            f"floor(CAST(sum(CAST({col} AS DECIMAL(18, 3))) AS DOUBLE)"
+            f" / count({col}) * 1e4 + 0.5) * 1e-4 AS {alias}"
         )
     return f"{kind}({col}) AS {alias}"
 
@@ -157,7 +161,10 @@ def generate_sql(seed: int) -> str:
     return sql
 
 
-@pytest.mark.parametrize("seed", range(100))
+# 1127/1171: r9 sweep seeds whose avg groups sit on an exact .xxxx5
+# half — the double-avg form flipped on Spark-vs-DuckDB summation
+# order; the decimal-sum/count avg form must keep them green
+@pytest.mark.parametrize("seed", list(range(100)) + [1127, 1171])
 def test_randomized_filter_agg(engine, ddb, seed):
     sql = generate_sql(seed)
     sdf = engine.sql(sql)
