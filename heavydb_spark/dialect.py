@@ -134,6 +134,13 @@ def _datediff_call(args: str, func: str | None = "DATEDIFF") -> str | None:
     if len(parts) != 3:
         return None
     unit = _dt_field(parts[0].strip().strip("'\""), func)
+    if unit in ("WEEK_SUNDAY", "WEEK_SATURDAY"):
+        # to_datediff_field accepts the anchored week spellings, but
+        # DateDiff computes all three week fields identically as
+        # elapsed 7-day periods (DateTruncate.cpp:418-421: dtWEEK,
+        # dtWEEK_SUNDAY, dtWEEK_SATURDAY share one case) — the anchor
+        # only matters for EXTRACT/DATE_TRUNC, not for a difference
+        unit = "WEEK"
     a, b = parts[1], parts[2]
     if unit == "NANOSECOND":
         return f"(timestampdiff(MICROSECOND, {a}, {b}) * 1000)"
@@ -1466,6 +1473,15 @@ def _llm_transform(args: str) -> str:
 # Runs pre-mask so the quoted field literal is inspectable.
 _TRUNC_ANCHOR = {"decade": (10, 0), "century": (100, 1), "millennium": (1000, 1)}
 
+# The COMPLETE spelling set to_datetrunc_field accepts
+# (DateTimeTranslator.cpp:197-236) — the extended fields above plus
+# the Spark-native passthroughs; anything else throws there.
+_DATETRUNC_FIELDS = {
+    "year", "quarter", "month", "quarterday", "day", "hour", "minute",
+    "second", "millennium", "century", "decade", "millisecond",
+    "microsecond", "nanosecond", "week", "week_sunday", "week_saturday",
+}
+
 
 def _date_trunc_ext(args: str) -> str | None:
     parts = _split_top_level(args)
@@ -1492,6 +1508,13 @@ def _date_trunc_ext(args: str) -> str | None:
         # passed through returns silent NULL (r8 probe)
         return f"date_trunc('MICROSECOND', {d})"
     if field not in _TRUNC_ANCHOR:
+        if field not in _DATETRUNC_FIELDS and re.fullmatch(
+                r"[a-z_]+", field):
+            # to_datetrunc_field throws for any other spelling
+            # (DateTimeTranslator.cpp:197-236) — Spark instead returns
+            # SILENT NULL for an unknown date_trunc format ('dow',
+            # 'mon', 'yyyy', ...), the worst failure mode (r9 probe)
+            raise ValueError(f"Invalid field in DATE_TRUNC function {field}")
         return None
     span, anchor = _TRUNC_ANCHOR[field]
     if anchor == 0:

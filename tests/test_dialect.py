@@ -820,6 +820,14 @@ def test_dt_field_per_function_rejections(engine):
     assert engine.sql(
         "SELECT TIMESTAMPADD(DAY, 1, DATE '1995-06-15') AS v"
     ).first()["v"] is not None
+    # DATEDIFF takes the anchored week spellings and computes them as
+    # plain elapsed weeks — DateDiff's dtWEEK/dtWEEK_SUNDAY/
+    # dtWEEK_SATURDAY share one case (DateTruncate.cpp:418-421)
+    for wf in ("week", "week_sunday", "week_saturday"):
+        assert engine.sql(
+            f"SELECT DATEDIFF('{wf}', TIMESTAMP '2024-01-01 00:00:00',"
+            " TIMESTAMP '2024-01-20 00:00:00') AS v"
+        ).first()["v"] == 2
 
 
 def test_extract_reference_fields(engine):
@@ -2601,6 +2609,37 @@ def test_date_trunc_nanosecond_identity(engine):
     assert r["v"] is not None and r["v"].microsecond == 500000
 
 
+def test_date_trunc_field_validation(engine):
+    """r9 probe: to_datetrunc_field throws for any spelling outside
+    its 17-entry list (DateTimeTranslator.cpp:197-236) — Spark's
+    date_trunc instead returns SILENT NULL for unknown formats
+    ('dow', 'mon', 'yyyy'), the worst failure mode. The dialect now
+    raises the reference's message; every accepted spelling still
+    truncates (anchors: decade x0, century x01, millennium x001 —
+    DateTruncate.cpp:196-236)."""
+    import pytest as _pytest
+
+    ts = "TIMESTAMP '2024-08-15 13:47:31'"
+    for bad in ("dow", "isodow", "doy", "epoch", "dateepoch", "mon",
+                "yyyy", "sow"):
+        with _pytest.raises(ValueError,
+                            match="Invalid field in DATE_TRUNC"):
+            engine.sql(f"SELECT DATE_TRUNC('{bad}', {ts}) AS v")
+    vals = {
+        "decade": "2020-01-01 00:00:00",
+        "century": "2001-01-01 00:00:00",
+        "millennium": "2001-01-01 00:00:00",
+        "week": "2024-08-12 00:00:00",
+        "week_sunday": "2024-08-11 00:00:00",
+        "week_saturday": "2024-08-10 00:00:00",
+        "quarterday": "2024-08-15 12:00:00",
+    }
+    for f, want in vals.items():
+        got = engine.sql(
+            f"SELECT DATE_TRUNC('{f}', {ts}) AS v").first()["v"]
+        assert str(got) == want, (f, got)
+
+
 def test_datepart_tsql_abbreviations(engine):
     """Round-8 probe: the CalciteDeserializerUtils.cpp:59-160 field
     alias table (TSQL abbreviations + SQL_TSI_* spellings) for
@@ -2680,3 +2719,36 @@ def test_geo_overlay_literal_geometry_args(engine):
     assert e.sql(
         "SELECT size(ST_ConcaveHull('MULTIPOINT(0 0, 4 0, 4 4, 0 4)')) AS n"
     ).first()["n"] == 1
+
+
+def test_dateadd_month_end_clamping_reference_values(engine):
+    """r9 probe: the DATEADD clamping edges the reference pins in
+    ExecuteTest.cpp:28485-28522 — month-end clamp (Jan 30 + 1 month =
+    Feb 28/29), leap-day year-add clamp, negative month steps across
+    clamps — all match Spark's java.time arithmetic bit-for-bit. The
+    one intentional delta: sub-second DATEADD on a TIMESTAMP(0)
+    column truncates into the storage dimension in the reference
+    (+5123 ms = +5 s); this engine is µs-everywhere and keeps .123
+    (COVERAGE.md dimensioned-timestamp delta)."""
+    cases = [
+        ("DATEADD('month', 1, DATE '2017-01-10')", "2017-02-10 00:00:00"),
+        ("DATEADD('month', 1, DATE '2009-01-30')", "2009-02-28 00:00:00"),
+        ("DATEADD('month', 1, DATE '2008-01-30')", "2008-02-29 00:00:00"),
+        ("DATEADD('month', 1, TIMESTAMP '2009-01-30 01:11:11')",
+         "2009-02-28 01:11:11"),
+        ("DATEADD('month', -1, TIMESTAMP '2009-03-30 01:11:11')",
+         "2009-02-28 01:11:11"),
+        ("DATEADD('month', -4, TIMESTAMP '2009-03-30 01:11:11')",
+         "2008-11-30 01:11:11"),
+        ("DATEADD('month', 5, TIMESTAMP '2009-01-31 01:11:11')",
+         "2009-06-30 01:11:11"),
+        ("DATEADD('year', 1, TIMESTAMP '2008-02-29 01:11:11')",
+         "2009-02-28 01:11:11"),
+        ("TIMESTAMPADD(YEAR, 1, TIMESTAMP '2008-02-29 01:11:11')",
+         "2009-02-28 01:11:11"),
+        ("DATEADD('nanosecond', 1000000000, "
+         "TIMESTAMP '2014-12-13 22:23:15')", "2014-12-13 22:23:16"),
+    ]
+    for sql, want in cases:
+        got = str(engine.sql(f"SELECT {sql} AS v").first()["v"])
+        assert got == want, (sql, got, want)
