@@ -180,19 +180,8 @@ _QUOTED_ARG_REWRITES: list[tuple[re.Pattern, str]] = [
         re.compile(r"\bDATEPART\s*\(\s*'(\w+)'\s*,\s*", re.IGNORECASE),
         lambda m: f"extract({_extract_field(m.group(1), 'DATEPART')} FROM ",
     ),
-    # TIME 'HH:MM:SS' literal -> seconds-of-day int (the repo's TIME
-    # representation, Shared/sqltypes.h kTIME; tests/test_types.py)
-    (
-        re.compile(r"\bTIME\s+'(\d{1,2}):(\d{2}):(\d{2})'", re.IGNORECASE),
-        lambda m: str(
-            int(m.group(1)) * 3600 + int(m.group(2)) * 60 + int(m.group(3))
-        ),
-    ),
-    # CAST(x AS TIME) -> parse HH:mm:ss to seconds-of-day
-    (
-        re.compile(r"\bCAST\s*\(([^()]*?)\s+AS\s+TIME\s*\)", re.IGNORECASE),
-        lambda m: f"unix_timestamp({m.group(1)}, 'HH:mm:ss')",
-    ),
+    # TIME literals and CAST ... AS TIME are handled post-mask by
+    # _rewrite_datetime_casts (full DateTimeParser format family).
 ]
 
 _ARRAY_BRACKET = re.compile(r"\bARRAY\s*\[([^\[\]]*)\]", re.IGNORECASE)
@@ -405,22 +394,9 @@ _REWRITES: list[tuple[re.Pattern, str]] = [
             f"({m.group(4)}, _qe -> {m.group(1)} {m.group(2)} _qe)"
         ),
     ),
-    # TIMESTAMP(0|3|6|9) 'literal' and CAST(... AS TIMESTAMP(n)) — the
-    # reference's dimensioned timestamp type (Shared/sqltypes.h kTIMESTAMP
-    # precision; ExecuteTest.cpp:6602 "TIMESTAMP(%d) '%s'"). Spark has
-    # one TIMESTAMP (microseconds): the precision tag drops; a 9-digit
-    # fraction TRUNCATES to micros (documented delta — Spark has no
-    # nanosecond timestamp type). The literal is masked at this stage,
-    # so \x00N\x00 placeholders stand for the quoted text.
-    (
-        re.compile(r"\bTIMESTAMP\s*\(\s*\d+\s*\)(\s*\x00\d+\x00)",
-                   re.IGNORECASE),
-        r"TIMESTAMP\1",
-    ),
-    (
-        re.compile(r"\bAS\s+TIMESTAMP\s*\(\s*\d+\s*\)", re.IGNORECASE),
-        "AS TIMESTAMP",
-    ),
+    # TIMESTAMP(0|3|6|9) dimension strips moved to
+    # _strip_timestamp_dims, which runs AFTER _rewrite_datetime_casts
+    # so the datetime-cast pass still sees the declared dimension.
     # CAST(x AS TEXT) — the reference's string type name in expression
     # casts (ExecuteTest.cpp:5999 "CAST(x AS TEXT) = '8'"); Spark's
     # type is STRING. Constrained to a cast-closing paren so a quoted
@@ -2217,6 +2193,322 @@ def _rewrite_int_division(sql: str, type_of) -> str:
             i += 1
 
 
+# ---------------------------------------------------------------------------
+# String -> DATE/TIME/TIMESTAMP casts and typed datetime literals with the
+# reference's multi-format parser (Shared/DateTimeParser.cpp; probed via
+# Tests/ExecuteTest.cpp:27869-28010 DateAndTimeFunctionsTest CastLiteral*).
+#
+# Literal policy (gap-filling — never flips an already-correct form):
+# a Spark-native-parseable ISO literal is left untouched (keeping the
+# engine's documented keep-microseconds stance for dimensioned types);
+# otherwise the literal is parsed at rewrite time by the exact Python
+# port and replaced with a canonical literal.  A pure-integer string is
+# the reference's unixTime epoch-seconds fallback.  Unparseable text is
+# left to Spark (NULL under ANSI-off — the reference throws; TRY_CAST
+# agrees on NULL).
+#
+# Column policy: a syntactically string-yielding expression (bare
+# column resolved string by the attached schemas, a string-function
+# head, a || concat, or a masked literal) rewrites to the JVM-native
+# multi-format chain (functions/datetime_parse.sql_parse_*).  Other
+# expressions keep Spark's native cast.  CAST(x AS TIME) always
+# rewrites (TIME is not a Spark type): integer-typed columns pass
+# through bare (the engine's seconds-of-day TIME representation),
+# everything else takes the strict kTIME chain.
+# ---------------------------------------------------------------------------
+
+from heavydb_spark.functions import datetime_parse as _dtp  # noqa: E402
+
+_MASKED_LIT_RE = re.compile(r"^\s*\x00(\d+)\x00\s*$")
+_CAST_TARGET_RE = re.compile(
+    r"^(DATE|TIME|TIMESTAMP)\s*(?:\(\s*(\d+)\s*\))?\s*$", re.IGNORECASE)
+_ISO_DATE_PREFIX_RE = re.compile(r"^\s*\d{4}-\d{1,2}-\d{1,2}")
+_ISO_TS_RE = re.compile(
+    r"^\s*\d{4}-\d{1,2}-\d{1,2}(\s*$|[ T]\d{1,2}:\d{1,2}"
+    r"(:\d{1,2}(\.\d+)?)?(\s*[+-]\d\d:?\d\d|Z)?\s*$)")
+_UNIX_LIT_RE = re.compile(r"^-?\d+(\.\d*)?$")
+_BARE_COL_RE = re.compile(r"^[A-Za-z_]\w*(?:\.[A-Za-z_]\w*)?$")
+_HEAD_CALL_RE = re.compile(r"^([A-Za-z_]\w*)\s*\(")
+_TYPED_DT_LIT_RE = re.compile(
+    r"\b(DATE|TIME|TIMESTAMP)\s*(\(\s*\d+\s*\)\s*)?(\x00(\d+)\x00)",
+    re.IGNORECASE,
+)
+# String-returning function heads (post-rewrite spellings): an
+# expression headed by one of these casts through the parser chain.
+_STRING_FUNC_HEADS = frozenset("""
+    substring substr trim ltrim rtrim btrim upper lower ucase lcase
+    concat concat_ws replace regexp_replace regexp_extract split_part
+    get_json_object json_value lpad rpad repeat reverse initcap
+    initcap_heavy left right overlay translate chr char space
+    url_encode url_decode base64 unbase64 format_string printf
+    date_format regexp_substr
+""".split())
+
+
+def _unquote_lit(lit: str) -> str:
+    return lit[1:-1].replace("''", "'")
+
+
+def _mask_new_literals(snippet: str, literals: list) -> str:
+    """Mask quoted strings a generated snippet introduces so later
+    pipeline passes (and the final unmask) leave them intact."""
+    def _m(m):
+        literals.append(m.group(0))
+        return f"\x00{len(literals) - 1}\x00"
+    return _LITERAL.sub(_m, snippet)
+
+
+def _new_masked_lit(text: str, literals: list) -> str:
+    literals.append("'" + text.replace("'", "''") + "'")
+    return f"\x00{len(literals) - 1}\x00"
+
+
+def _expr_is_stringy(expr: str, type_of) -> bool:
+    e = expr.strip()
+    # top-level || is the reference's string concat
+    depth = 0
+    for i, ch in enumerate(e):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "|" and depth == 0 and e[i:i + 2] == "||":
+            return True
+    m = _HEAD_CALL_RE.match(e)
+    if m and m.group(1).lower() in _STRING_FUNC_HEADS:
+        # the call must span the whole expression
+        if _scan_balanced(e, m.end()) >= len(e.rstrip()):
+            return True
+        return False
+    if _BARE_COL_RE.match(e):
+        is_string = getattr(type_of, "is_string", None)
+        if is_string is not None:
+            return bool(is_string(e.split(".")[-1].lower()))
+    return False
+
+
+def _dt_literal_cast(content: str, target: str, dim, literals: list):
+    """Replacement SQL for CAST('<content>' AS <target>), or None to
+    leave the cast untouched."""
+    if target == "DATE":
+        if _ISO_DATE_PREFIX_RE.match(content):
+            return None  # Spark-native correct (incl. timestamp tails)
+        lit = _dtp.date_literal(content)
+        if lit is None:
+            return None
+        return f"DATE {_new_masked_lit(lit, literals)}"
+    if target == "TIME":
+        v = _dtp.time_seconds(content)
+        return str(v) if v is not None else "CAST(NULL AS BIGINT)"
+    # TIMESTAMP
+    if _ISO_TS_RE.match(content):
+        return None  # Spark-native correct, keeps micros
+    if _UNIX_LIT_RE.match(content):
+        lit = _dtp.timestamp_literal(content, 0)
+        if lit is None:
+            return None
+        return f"TIMESTAMP {_new_masked_lit(lit, literals)}"
+    lit = _dtp.timestamp_literal(content, 6)  # keep fraction at micros
+    if lit is None:
+        return None
+    return f"TIMESTAMP {_new_masked_lit(lit, literals)}"
+
+
+def _rewrite_datetime_casts(sql: str, literals: list, type_of=None) -> str:
+    """Masked-stage pass: typed datetime literals, then CAST/TRY_CAST
+    with DATE/TIME/TIMESTAMP targets."""
+    def _typed_lit(m):
+        kw = m.group(1).upper()
+        content = _unquote_lit(literals[int(m.group(4))])
+        dim = None
+        if m.group(2):
+            dim = int(re.search(r"\d+", m.group(2)).group(0))
+        repl = _dt_literal_cast(content, kw, dim, literals)
+        if repl is None:
+            return m.group(0)
+        # typed literal spelling: DATE/TIMESTAMP keep the keyword form,
+        # TIME becomes its seconds-of-day integer
+        return repl
+
+    sql = _TYPED_DT_LIT_RE.sub(_typed_lit, sql)
+
+    pat = re.compile(r"\b(CAST|TRY_CAST)\s*\(", re.IGNORECASE)
+    out, pos = [], 0
+    while True:
+        m = pat.search(sql, pos)
+        if not m:
+            out.append(sql[pos:])
+            return "".join(out)
+        close = _scan_balanced(sql, m.end())
+        inner = sql[m.end():close - 1]
+        # split on the LAST top-level AS keyword
+        as_idx, as_end = -1, -1
+        for am in re.finditer(r"\bAS\b", inner, re.IGNORECASE):
+            depth = (inner.count("(", 0, am.start())
+                     - inner.count(")", 0, am.start()))
+            if depth == 0:
+                as_idx, as_end = am.start(), am.end()
+        if as_idx < 0:
+            out.append(sql[pos:m.end()])
+            pos = m.end()
+            continue
+        expr, ttype = inner[:as_idx], inner[as_end:]
+        tm = _CAST_TARGET_RE.match(ttype.strip())
+        if not tm:
+            out.append(sql[pos:m.end()])
+            pos = m.end()
+            continue
+        target = tm.group(1).upper()
+        dim = int(tm.group(2)) if tm.group(2) else None
+        expr = _rewrite_datetime_casts(expr, literals, type_of)
+        lm = _MASKED_LIT_RE.match(expr)
+        repl = None
+        if lm:
+            repl = _dt_literal_cast(
+                _unquote_lit(literals[int(lm.group(1))]), target, dim,
+                literals)
+        elif _expr_is_stringy(expr, type_of):
+            if target == "DATE":
+                repl = _dtp.sql_parse_date(expr)
+            elif target == "TIME":
+                repl = _dtp.sql_parse_time(expr)
+            else:
+                repl = _dtp.sql_parse_timestamp(expr)
+            repl = _mask_new_literals(repl, literals)
+        elif target == "TIME":
+            bare = expr.strip()
+            if (_BARE_COL_RE.match(bare) and type_of is not None
+                    and type_of(bare.split(".")[-1].lower())):
+                repl = f"({bare})"  # already seconds-of-day
+            else:
+                repl = _mask_new_literals(
+                    _dtp.sql_parse_time(expr), literals)
+        if repl is None:
+            # native cast; reassemble with the (possibly) rewritten expr
+            out.append(sql[pos:m.start()])
+            out.append(f"{m.group(1)}({expr} AS {ttype.strip()})")
+        else:
+            out.append(sql[pos:m.start()])
+            out.append(repl)
+        pos = close
+
+
+_INT_CAST_TARGET_RE = re.compile(
+    r"^(TINYINT|SMALLINT|INT|INTEGER|BIGINT)\s*$", re.IGNORECASE)
+# function heads whose result is fractional-typed regardless of args
+_FRACTIONAL_FUNC_HEADS = frozenset(
+    "avg mean stddev stddev_pop stddev_samp variance var_pop var_samp "
+    "corr covar_pop covar_samp sqrt cbrt exp ln log log10 log2 power pow "
+    "sin cos tan asin acos atan atan2 radians degrees rand random".split())
+
+
+def _expr_is_fractional(expr: str, type_of) -> bool:
+    """True only when the expression PROVABLY yields a fractional
+    numeric (fp/decimal literal, fp/decimal-resolved bare column, a
+    fractional-returning function head, or a CAST to a fractional
+    type).  Conservative: unknown shapes return False and keep
+    Spark's native cast."""
+    e = expr.strip()
+    while e[:1] in "+-":
+        e = e[1:].lstrip()
+    if not e:
+        return False
+    if _NUM_LIT_RE.fullmatch(e) and not _INT_LIT_RE.fullmatch(e):
+        return True
+    m = _HEAD_CALL_RE.match(e)
+    if m and _scan_balanced(e, m.end()) >= len(e):
+        head = m.group(1).lower()
+        if head in _FRACTIONAL_FUNC_HEADS:
+            return True
+        if head in ("cast", "try_cast"):
+            mm = re.search(r"\bAS\s+(DOUBLE|FLOAT|REAL|DECIMAL|NUMERIC)",
+                           e, re.IGNORECASE)
+            return bool(mm)
+        return False
+    if _BARE_COL_RE.match(e):
+        is_fractional = getattr(type_of, "is_fractional", None)
+        if is_fractional is not None:
+            return bool(is_fractional(e.split(".")[-1].lower()))
+    return False
+
+
+_INT_STRING_PAT = r"^\s*-?\d+\s*$"
+
+
+def _rewrite_fp_int_casts(sql: str, literals: list, type_of=None) -> str:
+    """Fractional-numeric and numeric-string -> integer casts ROUND
+    half away from zero in the reference (CastIR.cpp
+    codegenCastFromFp:618-630 adds +-0.5 before fptosi;
+    scale_decimal_down RuntimeFunctions.cpp:209-229 adds scale/2;
+    string casts route through parseInteger -> parseFloatAsInteger's
+    std::round, Shared/Datum.cpp:238/:180 — the same path
+    TryStringCast/TRY_STRTOL take, StringOps.cpp:98), while Spark's
+    CAST truncates: CAST(2.7 AS INT) is 3 there, 2 here — silent
+    wrong values.
+
+    PROVABLY fractional operands wrap in round(x, 0) (Spark HALF_UP =
+    away from zero on both signs, matching both kernels).  PROVABLY
+    string operands dispatch at runtime: a pure-integer string casts
+    natively (exact beyond 2^53), anything else rounds through DOUBLE
+    (junk stays NULL — the engine's uniform NULL-where-the-reference-
+    throws stance).  Unknown-typed operands keep the native cast.
+    Masked stage, after _rewrite_datetime_casts."""
+    pat = re.compile(r"\b(CAST|TRY_CAST)\s*\(", re.IGNORECASE)
+    out, pos = [], 0
+    while True:
+        m = pat.search(sql, pos)
+        if not m:
+            out.append(sql[pos:])
+            return "".join(out)
+        close = _scan_balanced(sql, m.end())
+        inner = sql[m.end():close - 1]
+        as_idx, as_end = -1, -1
+        for am in re.finditer(r"\bAS\b", inner, re.IGNORECASE):
+            depth = (inner.count("(", 0, am.start())
+                     - inner.count(")", 0, am.start()))
+            if depth == 0:
+                as_idx, as_end = am.start(), am.end()
+        if as_idx < 0 or not _INT_CAST_TARGET_RE.match(inner[as_end:].strip()):
+            out.append(sql[pos:m.end()])
+            pos = m.end()
+            continue
+        expr = _rewrite_fp_int_casts(inner[:as_idx], literals, type_of)
+        target = inner[as_end:].strip()
+        kw = m.group(1)
+        out.append(sql[pos:m.start()])
+        if _expr_is_fractional(expr, type_of):
+            out.append(f"{kw}(round({expr}, 0) AS {target})")
+        elif (_MASKED_LIT_RE.match(expr.strip())
+              or _expr_is_stringy(expr, type_of)):
+            s = expr.strip()
+            rx = _new_masked_lit(_INT_STRING_PAT.replace("\\", "\\\\"),
+                                 literals)
+            out.append(
+                f"IF({s} RLIKE {rx}, {kw}({s} AS {target}), "
+                f"CAST(round(CAST({s} AS DOUBLE), 0) AS {target}))")
+        else:
+            out.append(f"{kw}({expr} AS {target})")
+        pos = close
+
+
+_TS_DIM_LIT_RE = re.compile(
+    r"\bTIMESTAMP\s*\(\s*\d+\s*\)(\s*\x00\d+\x00)", re.IGNORECASE)
+_TS_DIM_CAST_RE = re.compile(
+    r"\bAS\s+TIMESTAMP\s*\(\s*\d+\s*\)", re.IGNORECASE)
+
+
+def _strip_timestamp_dims(sql: str) -> str:
+    """TIMESTAMP(0|3|6|9) 'literal' and CAST(... AS TIMESTAMP(n)) — the
+    reference's dimensioned timestamp type (Shared/sqltypes.h kTIMESTAMP
+    precision; ExecuteTest.cpp:6602 "TIMESTAMP(%d) '%s'").  Spark has
+    one TIMESTAMP (microseconds): the precision tag drops; a 9-digit
+    fraction TRUNCATES to micros (documented delta — Spark has no
+    nanosecond timestamp type).  Runs AFTER _rewrite_datetime_casts so
+    that pass can read the dimension first."""
+    sql = _TS_DIM_LIT_RE.sub(r"TIMESTAMP\1", sql)
+    return _TS_DIM_CAST_RE.sub("AS TIMESTAMP", sql)
+
+
 def rewrite(sql: str, type_of=None) -> str:
     """Rewrite a HeavyDB-dialect SQL string into Spark SQL.
 
@@ -2278,5 +2570,11 @@ def rewrite(sql: str, type_of=None) -> str:
         out = _rewrite_call(out, fname, make)
     for fname, make in _WINDOW_REWRITES:
         out = _rewrite_window_call(out, fname, make)
+    # datetime literal/cast parsing runs after the call rewrites (its
+    # generated chains must not re-enter e.g. the REGEXP_REPLACE hook)
+    # and before the TIMESTAMP(n) strip (it reads the dimension).
+    out = _rewrite_datetime_casts(out, literals, type_of)
+    out = _rewrite_fp_int_casts(out, literals, type_of)
+    out = _strip_timestamp_dims(out)
     out = _apply_null_collation(out)
     return re.sub(r"\x00(\d+)\x00", lambda m: literals[int(m.group(1))], out)

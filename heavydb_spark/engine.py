@@ -1751,8 +1751,14 @@ class Engine:
         literal-only rewriting) when the statement has no `/` at all.
         Unknown columns resolve None and ambiguous mixed-type names
         resolve False, so the rewrite stays conservative: fractional
-        `/` is kept unless integer-ness is proven."""
-        if "/" not in context:
+        `/` is kept unless integer-ness is proven.
+
+        Also consulted (via the attached is_string) by the datetime
+        cast rewrite, so a statement casting to a datetime type builds
+        the resolver even without a `/`."""
+        if "/" not in context and not re.search(
+                r"(?i)\bCAST\s*\(|\bAS\s+(DATE|TIME|TIMESTAMP)\b",
+                context):
             return None
         int_types = {"tinyint", "smallint", "int", "bigint"}
         state: dict = {"built": False, "types": {}, "shadowed": set()}
@@ -1862,6 +1868,36 @@ class Engine:
                 return None
             return all(t in int_types for t in ts)
 
+        def is_string(col: str):
+            """String-typedness for the datetime-cast rewrite
+            (dialect._rewrite_datetime_casts): True only when every
+            resolution of the column is a string."""
+            if not state["built"]:
+                _build()
+            if col in state["shadowed"]:
+                return None
+            ts = state["types"].get(col)
+            if not ts:
+                return None
+            return all(t == "string" for t in ts)
+
+        def is_fractional(col: str):
+            """fp/decimal-typedness for the fractional->int cast
+            rounding rewrite (dialect._rewrite_fp_int_casts)."""
+            if not state["built"]:
+                _build()
+            if col in state["shadowed"]:
+                return None
+            ts = state["types"].get(col)
+            if not ts:
+                return None
+            return all(
+                t in ("float", "double") or t.startswith("decimal")
+                for t in ts
+            )
+
+        type_of.is_string = is_string
+        type_of.is_fractional = is_fractional
         return type_of
 
     def _apply_query_hints(

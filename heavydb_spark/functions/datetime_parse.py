@@ -401,3 +401,328 @@ def time_seconds(s: str):
     """Seconds-of-day int for a parseable TIME string (the engine's
     TIME representation), else None."""
     return parse_time(s, 0)
+
+
+# ---------------------------------------------------------------------------
+# JVM-native SQL chains for runtime string-column casts.
+#
+# Same semantics as the Python port above, expressed as Spark SQL
+# (regexp + arithmetic over built-ins — zero UDFs, fully codegen-able)
+# so CAST/TRY_CAST of a string COLUMN to DATE/TIME/TIMESTAMP matches
+# the reference at scale.  Differentially tested against the Python
+# port in tests/test_datetime_parse.py.
+#
+# Regex notes mirroring parseWithFormat: whitespace is eaten BEFORE
+# each %-field only (so '\\s*' appears after separators, never before
+# them); digit groups use possessive {1,n}+ where regex backtracking
+# could otherwise split digits differently from std::from_chars
+# (e.g. '1513' must NOT parse as 15:01:03).  The dt_-carryover quirk
+# is encoded as explicit carry branches (see _time_chain).
+# ---------------------------------------------------------------------------
+
+_TZ_PAT = r"[+-]\d\d:?\d\d"
+_AMPM_PAT = r"(?i:am|pm|a\.m\.|p\.m\.)"
+_MONTH_PAT = (r"(?i:jan(?:uary)?|feb(?:ruary)?|mar(?:ch)?|apr(?:il)?|may|"
+              r"jun(?:e)?|jul(?:y)?|aug(?:ust)?|sep(?:tember)?|"
+              r"oct(?:ober)?|nov(?:ember)?|dec(?:ember)?)")
+_UNIX_PAT = r"^-?\d+(?:\.\d*)?$"
+
+
+def _sq(rx: str) -> str:
+    """Embed a regex as a Spark SQL string literal."""
+    return "'" + rx.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def _rex(s: str, rx: str, g: int) -> str:
+    return f"regexp_extract({s}, {_sq(rx)}, {g})"
+
+
+def _int_g(s: str, rx: str, g: int) -> str:
+    return f"CAST({_rex(s, rx, g)} AS INT)"
+
+
+def _bind(val_sql: str, var: str, body: str) -> str:
+    """Bind val_sql to `var` inside body (single-element transform)."""
+    return f"element_at(transform(array({val_sql}), {var} -> {body}), 1)"
+
+
+def _tz_secs(g: str) -> str:
+    """Signed tz offset seconds from a '[+-]hh[:]mm' capture ('' -> 0).
+    getTime SUBTRACTS this (DateTimeParser.cpp:208)."""
+    return (f"IF({g} = '', 0, "
+            f"IF(substr({g}, 1, 1) = '-', -1, 1) * "
+            f"(CAST(substr({g}, 2, 2) AS INT) * 3600 "
+            f"+ CAST(right({g}, 2) AS INT) * 60))")
+
+
+def _p_adjust(ampm: str, h: str) -> str:
+    """12-hour adjustment (getTime :209-212)."""
+    return (f"CASE WHEN lower({ampm}) LIKE 'p%' AND {h} <> 12 THEN 43200 "
+            f"WHEN lower({ampm}) LIKE 'a%' AND {h} = 12 THEN -43200 "
+            f"ELSE 0 END")
+
+
+def _frac_us(g: str) -> str:
+    """Fraction-digits capture -> microseconds (truncating, n/1000)."""
+    return f"IF({g} = '', 0, CAST(substr(rpad({g}, 6, '0'), 1, 6) AS BIGINT))"
+
+
+def _year_ok(g: str) -> str:
+    """Guard %Y-format years to Spark's workable range: make_date /
+    unix_date overflow (even ANSI-off) outside it, while the reference
+    computes int64 epochs for any year.  Documented range delta (the
+    literal path's 1-9999 guard is the same stance)."""
+    return f"CAST({g} AS BIGINT) BETWEEN -9999 AND 9999"
+
+
+def _month_num(g: str) -> str:
+    parts = " ".join(
+        f"WHEN '{m[:3]}' THEN {i + 1}" for i, m in enumerate(_MONTH_FULL))
+    return f"(CASE lower(substr({g}, 1, 3)) {parts} END)"
+
+
+# Date formats: (regex-without-tz, builder(s) -> (cond_sql, date_sql)).
+# Group layout is fixed per entry; order mirrors formatViews().
+def _date_formats():
+    def mk(y, m, d):
+        # day overflow extrapolates like daysFromCivil: month anchor + d-1
+        return f"date_add(make_date({y}, {m}, 1), {d} - 1)"
+
+    def century(y):
+        return f"IF({y} < 69, 2000 + {y}, 1900 + {y})"
+
+    out = []
+    # %Y-%m-%d
+    rx = r"^\s*(-?\d+)-\s*(\d{1,2}+)-\s*(\d{1,2}+)"
+    out.append((rx, lambda s, rx=rx: (
+        f"{_rex(s, rx, 0)} <> '' AND {_int_g(s, rx, 2)} BETWEEN 1 AND 12 "
+        f"AND {_int_g(s, rx, 3)} BETWEEN 1 AND 31 "
+        f"AND {_year_ok(_rex(s, rx, 1))}",
+        mk(f"CAST({_rex(s, rx, 1)} AS BIGINT)", _int_g(s, rx, 2),
+           _int_g(s, rx, 3)))))
+    # %m/%d/%y
+    rx = r"^\s*(\d{1,2})/\s*(\d{1,2}+)/\s*(\d{1,2})(?!\d)"
+    out.append((rx, lambda s, rx=rx: (
+        f"{_rex(s, rx, 0)} <> '' AND {_int_g(s, rx, 1)} BETWEEN 1 AND 12 "
+        f"AND {_int_g(s, rx, 2)} BETWEEN 1 AND 31",
+        mk(century(_int_g(s, rx, 3)), _int_g(s, rx, 1), _int_g(s, rx, 2)))))
+    # %m/%d/%Y (3+-digit or negative year)
+    rx = r"^\s*(\d{1,2})/\s*(\d{1,2}+)/\s*(-\d+|\d{3,})"
+    out.append((rx, lambda s, rx=rx: (
+        f"{_rex(s, rx, 0)} <> '' AND {_int_g(s, rx, 1)} BETWEEN 1 AND 12 "
+        f"AND {_int_g(s, rx, 2)} BETWEEN 1 AND 31 "
+        f"AND {_year_ok(_rex(s, rx, 3))}",
+        mk(f"CAST({_rex(s, rx, 3)} AS BIGINT)", _int_g(s, rx, 1),
+           _int_g(s, rx, 2)))))
+    # %Y/%m/%d
+    rx = r"^\s*(-?\d+)/\s*(\d{1,2}+)/\s*(\d{1,2}+)"
+    out.append((rx, lambda s, rx=rx: (
+        f"{_rex(s, rx, 0)} <> '' AND {_int_g(s, rx, 2)} BETWEEN 1 AND 12 "
+        f"AND {_int_g(s, rx, 3)} BETWEEN 1 AND 31 "
+        f"AND {_year_ok(_rex(s, rx, 1))}",
+        mk(f"CAST({_rex(s, rx, 1)} AS BIGINT)", _int_g(s, rx, 2),
+           _int_g(s, rx, 3)))))
+    # %d-%b-%y
+    rx = r"^\s*(\d{1,2})-\s*(" + _MONTH_PAT + r")-\s*(\d{1,2})(?!\d)"
+    out.append((rx, lambda s, rx=rx: (
+        f"{_rex(s, rx, 0)} <> '' AND {_int_g(s, rx, 1)} BETWEEN 1 AND 31",
+        mk(century(_int_g(s, rx, 3)), _month_num(_rex(s, rx, 2)),
+           _int_g(s, rx, 1)))))
+    # %d/%b/%Y
+    rx = r"^\s*(\d{1,2})/\s*(" + _MONTH_PAT + r")/\s*(-?\d+)"
+    out.append((rx, lambda s, rx=rx: (
+        f"{_rex(s, rx, 0)} <> '' AND {_int_g(s, rx, 1)} BETWEEN 1 AND 31 "
+        f"AND {_year_ok(_rex(s, rx, 3))}",
+        mk(f"CAST({_rex(s, rx, 3)} AS BIGINT)", _month_num(_rex(s, rx, 2)),
+           _int_g(s, rx, 1)))))
+    return out
+
+
+def _time_chain(t: str, anchored: bool, unit: str) -> str:
+    """Ordered time-format CASE over bound string `t`.
+
+    unit='us' -> signed micros-of-day incl. frac/%p/-tz (timestamp
+    path: prefix match, trailing junk OK, tz-only fallback branch);
+    unit='s' -> seconds (kTIME path: anchored full-string match).
+    Carry branches encode the dt_-across-attempts quirk (timestamp
+    path only — with junk present the strict path already failed)."""
+    end = "$" if anchored else ""
+
+    def tail(with_ampm: bool) -> str:
+        p = ""
+        if with_ampm:
+            p += r"(?:\s*(" + _AMPM_PAT + r"))?"
+        p += r"(?:\s*(" + _TZ_PAT + r"))?"
+        return p + end
+
+    # every digit group is possessive ({1,2}+): std::from_chars grabs
+    # min(2, available) digits and never gives one back, so Java regex
+    # backtracking (e.g. splitting '14' into S='1' + junk '4' to save
+    # a match) would diverge from the reference
+    d2 = r"(\d{1,2}+)"
+    frac = r"(?:\.(\d{1,9}+)|(?!\.))"
+    colon3 = rf"^\s*{d2}:\s*{d2}:\s*{d2}" + frac + tail(True)
+    colon2 = rf"^\s*{d2}:\s*{d2}" + tail(True)
+    t5 = rf"^\s*{d2}\s*{d2}\s*{d2}" + frac + tail(False)
+    t6 = rf"^\s*{d2}\s*\.\s*{d2}\s*\.\s*{d2}" + frac + tail(True)
+    t7 = rf"^\s*{d2}" + tail(True)
+    # carry shapes (timestamp path): a failed earlier format leaves
+    # M/S assigned for a later format that succeeds without them
+    c_s = rf"^\s*{d2}:\s*{d2}:\s*{d2}\.(?!\d)"           # S into T3/T4
+    c2 = rf"^\s*{d2}\s*\.\s*{d2}\s*\.\s*{d2}\.(?!\d)"    # M,S -> T7
+    c1 = rf"^\s*{d2}\s*\.\s*{d2}"                        # M -> T7
+    c3 = rf"^\s*{d2}\s*{d2}(?!\s*\d)"                    # M -> T7
+
+    def g(rx, i):
+        return _int_g(t, rx, i)
+
+    def sg(rx, i):
+        return _rex(t, rx, i)
+
+    def val(h, m, s, padj, tz, fr):
+        secs = f"(CAST({h} AS BIGINT)*3600 + {m}*60 + {s} + {padj} - ({tz}))"
+        if unit == "s":
+            return secs
+        return f"{secs}*1000000 + {fr}"
+
+    zero_us = "CAST(0 AS BIGINT)"
+    branches = []
+    # T1 %I:%M:%S %p
+    branches.append((
+        f"{t} RLIKE {_sq(colon3)} AND {g(colon3, 1)} BETWEEN 1 AND 12 "
+        f"AND {g(colon3, 2)} <= 59 AND {g(colon3, 3)} <= 61",
+        val(g(colon3, 1), g(colon3, 2), g(colon3, 3),
+            _p_adjust(sg(colon3, 5), g(colon3, 1)),
+            _tz_secs(sg(colon3, 6)), _frac_us(sg(colon3, 4)))))
+    # T2 %H:%M:%S — no %p: an am/pm suffix is junk, and then blocks tz
+    branches.append((
+        f"{t} RLIKE {_sq(colon3)} AND {g(colon3, 1)} <= 23 "
+        f"AND {g(colon3, 2)} <= 59 AND {g(colon3, 3)} <= 61"
+        + (f" AND {sg(colon3, 5)} = ''" if anchored else ""),
+        val(g(colon3, 1), g(colon3, 2), g(colon3, 3), "0",
+            f"IF({sg(colon3, 5)} = '', {_tz_secs(sg(colon3, 6))}, 0)",
+            _frac_us(sg(colon3, 4)))))
+    # T3 %I:%M %p (with S carried from a bad-fraction colon3 attempt)
+    carry_s = (f"IF({t} RLIKE {_sq(c_s)} AND {g(c_s, 3)} <= 61, "
+               f"{g(c_s, 3)}, 0)") if not anchored else "0"
+    branches.append((
+        f"{t} RLIKE {_sq(colon2)} AND {g(colon2, 1)} BETWEEN 1 AND 12 "
+        f"AND {g(colon2, 2)} <= 59",
+        val(g(colon2, 1), g(colon2, 2), carry_s,
+            _p_adjust(sg(colon2, 3), g(colon2, 1)),
+            _tz_secs(sg(colon2, 4)), zero_us)))
+    # T4 %H:%M
+    branches.append((
+        f"{t} RLIKE {_sq(colon2)} AND {g(colon2, 1)} <= 23 "
+        f"AND {g(colon2, 2)} <= 59"
+        + (f" AND {sg(colon2, 3)} = ''" if anchored else ""),
+        val(g(colon2, 1), g(colon2, 2), carry_s, "0",
+            f"IF({sg(colon2, 3)} = '', {_tz_secs(sg(colon2, 4))}, 0)",
+            zero_us)))
+    # T5 %H%M%S
+    branches.append((
+        f"{t} RLIKE {_sq(t5)} AND {g(t5, 1)} <= 23 AND {g(t5, 2)} <= 59 "
+        f"AND {g(t5, 3)} <= 61",
+        val(g(t5, 1), g(t5, 2), g(t5, 3), "0", _tz_secs(sg(t5, 5)),
+            _frac_us(sg(t5, 4)))))
+    # T6 %I . %M . %S %p
+    branches.append((
+        f"{t} RLIKE {_sq(t6)} AND {g(t6, 1)} BETWEEN 1 AND 12 "
+        f"AND {g(t6, 2)} <= 59 AND {g(t6, 3)} <= 61",
+        val(g(t6, 1), g(t6, 2), g(t6, 3),
+            _p_adjust(sg(t6, 5), g(t6, 1)),
+            _tz_secs(sg(t6, 6)), _frac_us(sg(t6, 4)))))
+    # T7 %I %p (with M[,S] carried from failed T5/T6-shaped attempts)
+    if anchored:
+        carry_m, carry_s7 = "0", "0"
+    else:
+        carry_m = (
+            f"CASE WHEN {t} RLIKE {_sq(c2)} AND {g(c2, 2)} <= 59 "
+            f"AND {g(c2, 3)} <= 61 THEN {g(c2, 2)} "
+            f"WHEN {t} RLIKE {_sq(c1)} AND {g(c1, 2)} <= 59 "
+            f"THEN {g(c1, 2)} "
+            f"WHEN {t} RLIKE {_sq(c3)} AND {g(c3, 1)} <= 23 "
+            f"AND {g(c3, 2)} <= 59 THEN {g(c3, 2)} ELSE 0 END")
+        carry_s7 = (
+            f"IF({t} RLIKE {_sq(c2)} AND {g(c2, 2)} <= 59 "
+            f"AND {g(c2, 3)} <= 61, {g(c2, 3)}, 0)")
+    branches.append((
+        f"{t} RLIKE {_sq(t7)} AND {g(t7, 1)} BETWEEN 1 AND 12",
+        val(g(t7, 1), carry_m, carry_s7,
+            _p_adjust(sg(t7, 2), g(t7, 1)), _tz_secs(sg(t7, 3)), zero_us)))
+    # T8 (timestamp path only): time failed entirely, tz alone applies
+    if not anchored:
+        tzonly = r"^\s*(" + _TZ_PAT + r")"
+        branches.append((
+            f"{t} RLIKE {_sq(tzonly)}",
+            val("0", "0", "0", "0", _tz_secs(sg(tzonly, 1)), zero_us)))
+
+    whens = " ".join(f"WHEN {cond} THEN {v}" for cond, v in branches)
+    default = "NULL" if unit == "s" else zero_us
+    return f"(CASE {whens} ELSE {default} END)"
+
+
+def sql_parse_date(expr: str) -> str:
+    """DATE-or-NULL Spark SQL chain over a string expression —
+    dateTimeParseOptional<kDATE> semantics (trailing junk ignored,
+    optional adjacent tz shifts the epoch before day flooring,
+    integer fallback)."""
+    s = "_dtp_s"
+    tzg = r"(?:\s*(" + _TZ_PAT + r"))?"
+    whens = []
+    for rx, build in _date_formats():
+        cond, date_sql = build(s)
+        rxz = rx + tzg
+        ntz = rx.count("(") - rx.count("(?") + 1  # tz group index
+        tz = _rex(s, rxz, ntz)
+        whens.append(
+            f"WHEN {cond} THEN IF({tz} = '', {date_sql}, "
+            f"CAST(timestamp_seconds(CAST(unix_date({date_sql}) AS BIGINT)"
+            f"*86400 - ({_tz_secs(tz)})) AS DATE))")
+    unix = (f"WHEN {s} RLIKE {_sq(_UNIX_PAT)} THEN "
+            f"CAST(timestamp_seconds(CAST(regexp_extract({s}, "
+            f"{_sq(r'^(-?[0-9]+)')}, 1) AS BIGINT)) AS DATE)")
+    body = f"(CASE {' '.join(whens)} {unix} ELSE NULL END)"
+    return _bind(f"CAST({expr} AS STRING)", s, body)
+
+
+def sql_parse_time(expr: str) -> str:
+    """BIGINT seconds-of-day-or-NULL chain over a string expression —
+    dateTimeParseOptional<kTIME> semantics (strict full-string match,
+    result may be negative or >= 86400 via tz)."""
+    s = "_dtp_s"
+    strip = f"IF({s} LIKE 'T%', substr({s}, 2), {s})"
+    return _bind(f"CAST({expr} AS STRING)", s,
+                 _bind(strip, "_dtp_t", _time_chain("_dtp_t", True, "s")))
+
+
+def sql_parse_timestamp(expr: str) -> str:
+    """TIMESTAMP-or-NULL chain over a string expression —
+    dateTimeParseOptional<kTIMESTAMP> semantics (date then optional
+    [T:]-separated time then optional tz, trailing junk accepted,
+    bare-date-with-no-trailing-character rejected, integer fallback)."""
+    s = "_dtp_s"
+    d_whens, r_whens = [], []
+    for rx, build in _date_formats():
+        cond, date_sql = build(s)
+        d_whens.append(f"WHEN {cond} THEN {date_sql}")
+        r_whens.append(
+            f"WHEN {cond} THEN regexp_replace({s}, {_sq(rx)}, '')")
+    d_case = f"(CASE {' '.join(d_whens)} ELSE NULL END)"
+    r_case = f"(CASE {' '.join(r_whens)} ELSE NULL END)"
+    x = "_dtp_x"
+    strip = (f"IF({x}.r RLIKE {_sq(r'^[T:]')}, substr({x}.r, 2), {x}.r)")
+    tmicros = _bind(strip, "_dtp_t", _time_chain("_dtp_t", False, "us"))
+    combine = (
+        f"CASE WHEN {x}.d IS NOT NULL THEN "
+        f"IF({x}.r = '', NULL, "
+        f"timestamp_micros(CAST(unix_date({x}.d) AS BIGINT)*86400000000 "
+        f"+ {tmicros})) "
+        f"WHEN {s} RLIKE {_sq(_UNIX_PAT)} THEN "
+        f"timestamp_seconds(CAST(regexp_extract({s}, "
+        f"{_sq(r'^(-?[0-9]+)')}, 1) AS BIGINT)) "
+        f"ELSE NULL END")
+    body = _bind(f"named_struct('d', {d_case}, 'r', {r_case})", x, combine)
+    outer = "_dtp_o"
+    tstrip = f"IF({outer} LIKE 'T%', substr({outer}, 2), {outer})"
+    return _bind(f"CAST({expr} AS STRING)", outer, _bind(tstrip, s, body))

@@ -31,15 +31,81 @@ def copy_from_csv(
     schema: str | None = None,
     **copy_params,
 ) -> DataFrame:
-    """COPY <table> FROM '<path>' WITH (...) — CSV/TSV import."""
+    """COPY <table> FROM '<path>' WITH (...) — CSV/TSV import.
+
+    DATE/TIMESTAMP columns in an explicit schema parse with the
+    reference's multi-format DateTimeParser family (the importer
+    routes every datetime cell through StringToDatum -> dateTimeParse,
+    ImportExport/Importer.cpp:561-622): the cells read as strings and
+    convert through the JVM-native chains in
+    functions/datetime_parse.py — distributed, codegen-able, zero
+    UDFs — so '10/09/99', '21-Jun-15 2:15:16 PM', epoch-seconds
+    strings etc. load exactly as the reference loads them.  Pass
+    datetime_parse='spark' to keep Spark's CSV reader parsing
+    (ISO + dateFormat/timestampFormat options) instead."""
     reader = spark.read.format("csv")
     opts = {"header": "true", "inferSchema": "true"}
+    dt_mode = str(copy_params.pop("datetime_parse", "heavy")).lower()
     for k, v in copy_params.items():
         opts[_CSV_OPTION_MAP.get(k, k)] = str(v).lower() if isinstance(v, bool) else v
     if schema:
+        struct = _as_struct(schema)
+        dt_cols = (
+            {
+                f.name: f.dataType.simpleString()
+                for f in struct.fields
+                if f.dataType.simpleString() in ("date", "timestamp")
+            }
+            if struct is not None and dt_mode == "heavy"
+            else {}
+        )
+        if dt_cols:
+            from pyspark.sql import types as T
+
+            from heavydb_spark.functions import datetime_parse as dtp
+
+            read_schema = T.StructType(
+                [
+                    T.StructField(
+                        f.name,
+                        T.StringType() if f.name in dt_cols else f.dataType,
+                        True,
+                    )
+                    for f in struct.fields
+                ]
+            )
+            opts.pop("inferSchema", None)
+            df = reader.schema(read_schema).options(**opts).load(path)
+            cols = []
+            for f in struct.fields:
+                kind = dt_cols.get(f.name)
+                ref = f"`{f.name}`"
+                if kind == "date":
+                    cols.append(F.expr(dtp.sql_parse_date(ref)).alias(f.name))
+                elif kind == "timestamp":
+                    cols.append(
+                        F.expr(dtp.sql_parse_timestamp(ref)).alias(f.name)
+                    )
+                else:
+                    cols.append(F.col(f.name))
+            return df.select(*cols)
         reader = reader.schema(schema)
         opts.pop("inferSchema", None)
     return reader.options(**opts).load(path)
+
+
+def _as_struct(schema):
+    """Normalize a DDL string or StructType schema to StructType
+    (None when the DDL doesn't parse — caller falls back to handing
+    the schema to the reader untouched)."""
+    from pyspark.sql import types as T
+
+    if isinstance(schema, T.StructType):
+        return schema
+    try:
+        return T.StructType.fromDDL(schema)
+    except Exception:
+        return None
 
 
 def copy_from_parquet(spark: SparkSession, path: str) -> DataFrame:

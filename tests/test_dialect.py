@@ -1153,8 +1153,10 @@ def test_quantifier_rewrite_call_expression_lhs(engine):
         "WHERE abs(x) = ANY arr"
     ).first()
     assert r["c"] == 1
+    # 0.2 rounds to 0 (fractional->int casts round half away from
+    # zero since r9, CastIR.cpp:618-630 — 0.9 would round to 1)
     r2 = engine.sql(
-        "SELECT count(*) AS c FROM (SELECT 0.9 AS x, {1, 2, 3} AS arr) "
+        "SELECT count(*) AS c FROM (SELECT 0.2 AS x, {1, 2, 3} AS arr) "
         "WHERE CAST(x AS INT) < ALL arr"
     ).first()
     assert r2["c"] == 1
