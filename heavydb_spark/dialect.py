@@ -982,9 +982,55 @@ _FLOAT_AGGS = [
 ]
 
 
+_WB_NUM_RE = re.compile(r"[+-]?(\d+(\.\d*)?|\.\d+)([eE][+-]?\d+)?\Z")
+_WB_INT_RE = re.compile(r"[+-]?\d+\Z")
+
+
+def _width_bucket_guard(args: str):
+    """WIDTH_BUCKET literal-argument validation with the reference's
+    error surface (RelAlgTranslator::translateWidthBucket:1196-1241
+    type checks; IRCodegen.cpp codegenConstantWidthBucketExpr:386-414
+    constant checks; Tests/ExecuteTest.cpp ConstantWidthBucketExpr).
+    Value semantics need no rewrite — Spark's width_bucket matches
+    the reference's Postgres-derived math including reversed bounds
+    (probed: 91/95/26/101/11 on the reference's own pins).  Only
+    LITERAL arguments validate here; non-literal invalid arguments
+    yield NULL at runtime where the reference throws (documented
+    engine-wide stance)."""
+    parts = [p.strip() for p in _split_top_level(args)]
+    if len(parts) != 4:
+        return None
+    _tgt, lo, hi, n = parts
+    if n.upper() == "NULL" or (
+            _WB_NUM_RE.fullmatch(n) and not _WB_INT_RE.fullmatch(n)):
+        raise ValueError(
+            "PARTITION_COUNT expression of width_bucket function expects "
+            "an integer type.")
+    if _WB_INT_RE.fullmatch(n):
+        v = int(n)
+        if v < 1 or v > 2147483647:
+            raise ValueError(
+                "PARTITION_COUNT expression of width_bucket function "
+                "should be in a valid range: 0 < PARTITION_COUNT <= "
+                "2147483647")
+    for name, b in (("LOWER_BOUND", lo), ("UPPER_BOUND", hi)):
+        if b.upper() == "NULL":
+            raise ValueError(
+                f"{name} expression of width_bucket function expects "
+                f"non-null type.")
+    if (_WB_NUM_RE.fullmatch(lo) and _WB_NUM_RE.fullmatch(hi)
+            and float(lo) == float(hi)):
+        raise ValueError(
+            "LOWER_BOUND and UPPER_BOUND expressions of width_bucket "
+            "function cannot have the same constant value")
+    return None
+
+
 _CALL_REWRITES = [
     # SAMPLE_RATIO(r) -> (rand() < r)
     ("SAMPLE_RATIO", lambda args: f"(rand() < {args})"),
+    # WIDTH_BUCKET literal-argument validation (pass-through rewrite)
+    ("WIDTH_BUCKET", _width_bucket_guard),
     # POSITION(needle IN hay [FROM start]) — reference semantics
     # (StringOps.h:157): empty hay -> NULL, negative start wraps
     ("POSITION", _position_call),

@@ -2754,3 +2754,53 @@ def test_dateadd_month_end_clamping_reference_values(engine):
     for sql, want in cases:
         got = str(engine.sql(f"SELECT {sql} AS v").first()["v"])
         assert got == want, (sql, got, want)
+
+
+def test_width_bucket_reference_pins(engine):
+    """WIDTH_BUCKET value pins from Tests/ExecuteTest.cpp
+    ConstantWidthBucketExpr/WidthBucketExpr (Postgres 12.7-derived
+    expectations, incl. reversed bounds) — Spark's width_bucket
+    matches the reference's math natively."""
+    r = engine.sql(
+        "SELECT WIDTH_BUCKET(1, 2, 3, 100) AS a,"
+        " WIDTH_BUCKET(2, 2, 3, 100) AS b,"
+        " WIDTH_BUCKET(3, 2, 3, 100) AS c,"
+        " WIDTH_BUCKET(2.1, 2, 3, 100) AS d,"
+        " WIDTH_BUCKET(2.1105, 2.1, 2.2, 100) AS e,"
+        " WIDTH_BUCKET(2.095, 3, 2, 100) AS f,"
+        " WIDTH_BUCKET(2.156789, 3, 2.11, 100) AS g,"
+        " WIDTH_BUCKET(1, 2, -2, 100) AS h,"
+        " WIDTH_BUCKET(0.1, 2, -2, 100) AS i,"
+        " WIDTH_BUCKET(NULL, 2, 3, 100) AS z").first()
+    assert (r["a"], r["b"], r["c"], r["d"], r["e"]) == (0, 1, 101, 11, 11)
+    assert (r["f"], r["g"], r["h"], r["i"]) == (91, 95, 26, 48)
+    assert r["z"] is None
+
+
+def test_width_bucket_literal_arg_validation(engine):
+    """Literal-argument rejections with the reference's error text
+    (RelAlgTranslator::translateWidthBucket type checks; IRCodegen
+    codegenConstantWidthBucketExpr:386-414 constant checks)."""
+    import pytest as _pytest
+
+    bad = [
+        ("SELECT WIDTH_BUCKET(1, 2, 3, 0)", "valid range"),
+        ("SELECT WIDTH_BUCKET(1, 2, 3, -1)", "valid range"),
+        ("SELECT WIDTH_BUCKET(1, 2, 3, 2147483649)", "valid range"),
+        ("SELECT WIDTH_BUCKET(1, 2, 3, 9223372036854775800)",
+         "valid range"),
+        ("SELECT WIDTH_BUCKET(1, 2, 3, NULL)", "integer type"),
+        ("SELECT WIDTH_BUCKET(1, 2, 3, 1.11112)", "integer type"),
+        ("SELECT WIDTH_BUCKET(1, 2, 2, 3)", "same constant value"),
+        ("SELECT WIDTH_BUCKET(1, 2147483649, 2147483649, 3)",
+         "same constant value"),
+        ("SELECT WIDTH_BUCKET(1, NULL, 3, 5)", "non-null type"),
+    ]
+    for sql, frag in bad:
+        with _pytest.raises(ValueError, match=frag):
+            engine.sql(sql)
+    # non-literal arguments stay runtime-evaluated (no false raise)
+    ok = engine.sql(
+        "SELECT WIDTH_BUCKET(n_nationkey, 0, 30, 10) AS wb "
+        "FROM nation WHERE n_nationkey = 7").first()
+    assert ok["wb"] == 3
