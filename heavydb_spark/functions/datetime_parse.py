@@ -543,17 +543,15 @@ def _time_chain(t: str, anchored: bool, unit: str) -> str:
 
     unit='us' -> signed micros-of-day incl. frac/%p/-tz (timestamp
     path: prefix match, trailing junk OK, tz-only fallback branch);
-    unit='s' -> seconds (kTIME path: anchored full-string match).
-    Carry branches encode the dt_-across-attempts quirk (timestamp
-    path only — with junk present the strict path already failed)."""
+    unit='s' -> seconds (kTIME path: anchored full-string match,
+    where formats whose last token is ' %p' eat trailing spaces even
+    with no am/pm present — parseWithFormat's format-space branch —
+    while %p-less formats reject them).  Carry branches encode the
+    dt_-across-attempts quirk: a failed earlier format leaves M/S
+    assigned for a later format that succeeds without setting them
+    (timestamp path only — with junk present the strict path already
+    failed)."""
     end = "$" if anchored else ""
-
-    def tail(with_ampm: bool) -> str:
-        p = ""
-        if with_ampm:
-            p += r"(?:\s*(" + _AMPM_PAT + r"))?"
-        p += r"(?:\s*(" + _TZ_PAT + r"))?"
-        return p + end
 
     # every digit group is possessive ({1,2}+): std::from_chars grabs
     # min(2, available) digits and never gives one back, so Java regex
@@ -561,17 +559,26 @@ def _time_chain(t: str, anchored: bool, unit: str) -> str:
     # a match) would diverge from the reference
     d2 = r"(\d{1,2}+)"
     frac = r"(?:\.(\d{1,9}+)|(?!\.))"
-    colon3 = rf"^\s*{d2}:\s*{d2}:\s*{d2}" + frac + tail(True)
-    colon2 = rf"^\s*{d2}:\s*{d2}" + tail(True)
-    t5 = rf"^\s*{d2}\s*{d2}\s*{d2}" + frac + tail(False)
-    t6 = rf"^\s*{d2}\s*\.\s*{d2}\s*\.\s*{d2}" + frac + tail(True)
-    t7 = rf"^\s*{d2}" + tail(True)
-    # carry shapes (timestamp path): a failed earlier format leaves
-    # M/S assigned for a later format that succeeds without them
-    c_s = rf"^\s*{d2}:\s*{d2}:\s*{d2}\.(?!\d)"           # S into T3/T4
-    c2 = rf"^\s*{d2}\s*\.\s*{d2}\s*\.\s*{d2}\.(?!\d)"    # M,S -> T7
-    c1 = rf"^\s*{d2}\s*\.\s*{d2}"                        # M -> T7
-    c3 = rf"^\s*{d2}\s*{d2}(?!\s*\d)"                    # M -> T7
+    # ' %p'-ending formats: unconditional \s* (the format-space eats
+    # str spaces before the optional %p) then optional ampm
+    tail_p = (r"\s*(" + _AMPM_PAT + r")?(?:\s*(" + _TZ_PAT + r"))?" + end)
+    # %p-less formats: tz may follow (its own eatSpace), nothing else
+    tail_np = r"(?:\s*(" + _TZ_PAT + r"))?" + end
+
+    colon3_p = rf"^\s*{d2}:\s*{d2}:\s*{d2}" + frac + tail_p   # T1
+    colon3_np = rf"^\s*{d2}:\s*{d2}:\s*{d2}" + frac + tail_np  # T2
+    colon2_p = rf"^\s*{d2}:\s*{d2}" + tail_p                   # T3
+    colon2_np = rf"^\s*{d2}:\s*{d2}" + tail_np                 # T4
+    t5 = rf"^\s*{d2}\s*{d2}\s*{d2}" + frac + tail_np          # T5
+    t6 = rf"^\s*{d2}\s*\.\s*{d2}\s*\.\s*{d2}" + frac + tail_p  # T6
+    t7 = rf"^\s*{d2}" + tail_p                                  # T7
+    # carry shapes (timestamp path): the failed format's partially
+    # assigned fields leak into the next success
+    c_s = rf"^\s*{d2}:\s*{d2}:\s*{d2}\.(?!\d)"      # colon3 badfrac: S -> T3/T4
+    c2 = rf"^\s*{d2}\s*\.\s*{d2}\s*\.\s*{d2}\.(?!\d)"  # t6 badfrac: M,S -> T7
+    c4 = rf"^\s*{d2}\s*{d2}\s*{d2}\.(?!\d)"         # t5 badfrac: M,S -> T7
+    c1 = rf"^\s*{d2}\s*\.\s*{d2}"                    # t6 partial: M -> T7
+    c3 = rf"^\s*{d2}\s*{d2}"                           # t5 partial: M -> T7
 
     def g(rx, i):
         return _int_g(t, rx, i)
@@ -589,36 +596,32 @@ def _time_chain(t: str, anchored: bool, unit: str) -> str:
     branches = []
     # T1 %I:%M:%S %p
     branches.append((
-        f"{t} RLIKE {_sq(colon3)} AND {g(colon3, 1)} BETWEEN 1 AND 12 "
-        f"AND {g(colon3, 2)} <= 59 AND {g(colon3, 3)} <= 61",
-        val(g(colon3, 1), g(colon3, 2), g(colon3, 3),
-            _p_adjust(sg(colon3, 5), g(colon3, 1)),
-            _tz_secs(sg(colon3, 6)), _frac_us(sg(colon3, 4)))))
-    # T2 %H:%M:%S — no %p: an am/pm suffix is junk, and then blocks tz
+        f"{t} RLIKE {_sq(colon3_p)} AND {g(colon3_p, 1)} BETWEEN 1 AND 12 "
+        f"AND {g(colon3_p, 2)} <= 59 AND {g(colon3_p, 3)} <= 61",
+        val(g(colon3_p, 1), g(colon3_p, 2), g(colon3_p, 3),
+            _p_adjust(sg(colon3_p, 5), g(colon3_p, 1)),
+            _tz_secs(sg(colon3_p, 6)), _frac_us(sg(colon3_p, 4)))))
+    # T2 %H:%M:%S (no %p: an am/pm suffix is junk that also blocks tz)
     branches.append((
-        f"{t} RLIKE {_sq(colon3)} AND {g(colon3, 1)} <= 23 "
-        f"AND {g(colon3, 2)} <= 59 AND {g(colon3, 3)} <= 61"
-        + (f" AND {sg(colon3, 5)} = ''" if anchored else ""),
-        val(g(colon3, 1), g(colon3, 2), g(colon3, 3), "0",
-            f"IF({sg(colon3, 5)} = '', {_tz_secs(sg(colon3, 6))}, 0)",
-            _frac_us(sg(colon3, 4)))))
+        f"{t} RLIKE {_sq(colon3_np)} AND {g(colon3_np, 1)} <= 23 "
+        f"AND {g(colon3_np, 2)} <= 59 AND {g(colon3_np, 3)} <= 61",
+        val(g(colon3_np, 1), g(colon3_np, 2), g(colon3_np, 3), "0",
+            _tz_secs(sg(colon3_np, 5)), _frac_us(sg(colon3_np, 4)))))
     # T3 %I:%M %p (with S carried from a bad-fraction colon3 attempt)
     carry_s = (f"IF({t} RLIKE {_sq(c_s)} AND {g(c_s, 3)} <= 61, "
                f"{g(c_s, 3)}, 0)") if not anchored else "0"
     branches.append((
-        f"{t} RLIKE {_sq(colon2)} AND {g(colon2, 1)} BETWEEN 1 AND 12 "
-        f"AND {g(colon2, 2)} <= 59",
-        val(g(colon2, 1), g(colon2, 2), carry_s,
-            _p_adjust(sg(colon2, 3), g(colon2, 1)),
-            _tz_secs(sg(colon2, 4)), zero_us)))
+        f"{t} RLIKE {_sq(colon2_p)} AND {g(colon2_p, 1)} BETWEEN 1 AND 12 "
+        f"AND {g(colon2_p, 2)} <= 59",
+        val(g(colon2_p, 1), g(colon2_p, 2), carry_s,
+            _p_adjust(sg(colon2_p, 3), g(colon2_p, 1)),
+            _tz_secs(sg(colon2_p, 4)), zero_us)))
     # T4 %H:%M
     branches.append((
-        f"{t} RLIKE {_sq(colon2)} AND {g(colon2, 1)} <= 23 "
-        f"AND {g(colon2, 2)} <= 59"
-        + (f" AND {sg(colon2, 3)} = ''" if anchored else ""),
-        val(g(colon2, 1), g(colon2, 2), carry_s, "0",
-            f"IF({sg(colon2, 3)} = '', {_tz_secs(sg(colon2, 4))}, 0)",
-            zero_us)))
+        f"{t} RLIKE {_sq(colon2_np)} AND {g(colon2_np, 1)} <= 23 "
+        f"AND {g(colon2_np, 2)} <= 59",
+        val(g(colon2_np, 1), g(colon2_np, 2), carry_s, "0",
+            _tz_secs(sg(colon2_np, 3)), zero_us)))
     # T5 %H%M%S
     branches.append((
         f"{t} RLIKE {_sq(t5)} AND {g(t5, 1)} <= 23 AND {g(t5, 2)} <= 59 "
@@ -632,20 +635,28 @@ def _time_chain(t: str, anchored: bool, unit: str) -> str:
         val(g(t6, 1), g(t6, 2), g(t6, 3),
             _p_adjust(sg(t6, 5), g(t6, 1)),
             _tz_secs(sg(t6, 6)), _frac_us(sg(t6, 4)))))
-    # T7 %I %p (with M[,S] carried from failed T5/T6-shaped attempts)
+    # T7 %I %p (with M[,S] carried from failed T5/T6-shaped attempts:
+    # bad-fraction shapes carry M and S, otherwise-failed shapes with
+    # a parsed M carry M alone — T5/T6 branch order guarantees any
+    # fully-valid shape was already taken)
     if anchored:
         carry_m, carry_s7 = "0", "0"
     else:
         carry_m = (
             f"CASE WHEN {t} RLIKE {_sq(c2)} AND {g(c2, 2)} <= 59 "
             f"AND {g(c2, 3)} <= 61 THEN {g(c2, 2)} "
+            f"WHEN {t} RLIKE {_sq(c4)} AND {g(c4, 1)} <= 23 "
+            f"AND {g(c4, 2)} <= 59 AND {g(c4, 3)} <= 61 THEN {g(c4, 2)} "
             f"WHEN {t} RLIKE {_sq(c1)} AND {g(c1, 2)} <= 59 "
             f"THEN {g(c1, 2)} "
             f"WHEN {t} RLIKE {_sq(c3)} AND {g(c3, 1)} <= 23 "
             f"AND {g(c3, 2)} <= 59 THEN {g(c3, 2)} ELSE 0 END")
         carry_s7 = (
-            f"IF({t} RLIKE {_sq(c2)} AND {g(c2, 2)} <= 59 "
-            f"AND {g(c2, 3)} <= 61, {g(c2, 3)}, 0)")
+            f"CASE WHEN {t} RLIKE {_sq(c2)} AND {g(c2, 2)} <= 59 "
+            f"AND {g(c2, 3)} <= 61 THEN {g(c2, 3)} "
+            f"WHEN {t} RLIKE {_sq(c4)} AND {g(c4, 1)} <= 23 "
+            f"AND {g(c4, 2)} <= 59 AND {g(c4, 3)} <= 61 THEN {g(c4, 3)} "
+            f"ELSE 0 END")
     branches.append((
         f"{t} RLIKE {_sq(t7)} AND {g(t7, 1)} BETWEEN 1 AND 12",
         val(g(t7, 1), carry_m, carry_s7,

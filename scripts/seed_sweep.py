@@ -119,6 +119,18 @@ def main() -> None:
             print(f"ERR  array:{s}: {str(exc)[:150]}")
     print("# array: done")
 
+    # datetime-cast chains vs the exact DateTimeParser port (r9): the
+    # oracle is the port itself — DuckDB cannot parse the reference's
+    # format family. One 250-string corpus per sampled seed.
+    import tests.test_datetime_cast_sql as tdc
+
+    for s in range(START, START + max(1, min(8, END - START))):
+        bad = tdc.check_fuzz_corpus(spark, tdc._fuzz_corpus(s, 250))
+        if bad:
+            fails.append((f"dtcast:{s}", str(bad[:3])[:200]))
+            print(f"FAIL dtcast:{s}: {bad[:3]}")
+    print("# dtcast: done")
+
     print(f"\n{len(fails)} failures over seeds [{START}, {END}) at {SF_DIR}")
     spark.stop()
     sys.exit(1 if fails else 0)

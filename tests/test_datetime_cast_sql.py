@@ -65,6 +65,12 @@ CORPUS = [
     # spacing allowed before %-fields only
     " 2020- 1- 2", "2020 -01-02", "10/ 09/ 1999", "2020-01-01 9: 30: 15",
     "2020-01-01 9 :30",
+    # trailing-space eating by ' %p'-ending formats (sweep 5003/5004)
+    "T5 ", "T2 ", "9:30 ", "22:30 ", "2.15.16 ", "9 ", "22:28:48 ",
+    "9:30:15 pm ",
+    # M/S carry from failed %H%M%S attempts (sweep 5002)
+    "10/30/795T100578.x xm-8821", "2020-01-01 123456.x",
+    "2020-01-01 100578.x", "2020-01-01 12 34 99", "2020-01-01 1234.5",
 ]
 
 
@@ -165,9 +171,11 @@ def _fuzz_corpus(seed: int, n: int) -> list:
     return sorted(set(out))
 
 
-@pytest.mark.parametrize("seed", [1, 2, 3])
-def test_fuzz_chain_matches_port(spark, seed):
-    corpus = _fuzz_corpus(900 + seed, 250)
+def check_fuzz_corpus(spark, corpus) -> list:
+    """Evaluate the three SQL chains over `corpus` and compare each
+    result with the Python port.  Returns a list of mismatch tuples
+    (empty = clean).  Shared with scripts/seed_sweep.py's dtcast
+    family."""
     df = spark.createDataFrame([(s,) for s in corpus], ["s"])
     df.createOrReplaceTempView("_dt_fuzz")
     rows = spark.sql(
@@ -175,11 +183,11 @@ def test_fuzz_chain_matches_port(spark, seed):
         f"{dtp.sql_parse_time('s')} AS t, "
         f"CAST({dtp.sql_parse_timestamp('s')} AS STRING) AS ts "
         f"FROM _dt_fuzz").collect()
+    bad = []
     for r in rows:
         s = r["s"]
-        # TIME
-        assert r["t"] == dtp.parse_time(s), ("time", s, r["t"])
-        # DATE
+        if r["t"] != dtp.parse_time(s):
+            bad.append(("time", s, r["t"], dtp.parse_time(s)))
         want_secs = dtp.parse_date(s)
         if want_secs is None:
             want_d = None
@@ -190,8 +198,8 @@ def test_fuzz_chain_matches_port(spark, seed):
             else:
                 d = (UTC_EPOCH + datetime.timedelta(days=days)).date()
                 want_d = f"{d.year:04d}-{d.month:02d}-{d.day:02d}"
-        assert r["d"] == want_d, ("date", s, r["d"], want_d)
-        # TIMESTAMP
+        if r["d"] != want_d:
+            bad.append(("date", s, r["d"], want_d))
         v = dtp.parse_timestamp(s, 6)
         if v is not None:
             s2 = s[1:] if s.startswith("T") else s
@@ -208,7 +216,15 @@ def test_fuzz_chain_matches_port(spark, seed):
                        f"{ts.hour:02d}:{ts.minute:02d}:{ts.second:02d}")
             if ts.microsecond:
                 want_ts += f".{ts.microsecond:06d}".rstrip("0")
-        assert r["ts"] == want_ts, ("ts", s, r["ts"], want_ts)
+        if r["ts"] != want_ts:
+            bad.append(("ts", s, r["ts"], want_ts))
+    return bad
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_fuzz_chain_matches_port(spark, seed):
+    bad = check_fuzz_corpus(spark, _fuzz_corpus(900 + seed, 250))
+    assert not bad, bad[:5]
 
 
 class TestLiteralCasts:

@@ -586,3 +586,36 @@ def test_weighted_sample_plan_take_ordered(spark):
     s = checks.plan_string(df, "simple")
     assert "TakeOrderedAndProject" in s, s
     assert "Exchange" not in s.replace("BroadcastExchange", ""), s
+
+
+def test_datetime_cast_chain_stays_jvm_side(engine):
+    """The multi-format string->datetime cast chains
+    (functions/datetime_parse.sql_parse_*) must be pure JVM
+    expressions: no Python evaluation node may appear in the plan,
+    and the scan under the cast keeps its pushed filters."""
+    spark = engine.spark
+    spark.createDataFrame(
+        [("06/21/2015", 1)], ["dstr", "k"]
+    ).createOrReplaceTempView("_plan_dt")
+    df = engine.sql(
+        "SELECT CAST(dstr AS DATE) AS d, CAST(dstr AS TIMESTAMP) AS ts, "
+        "CAST(dstr AS TIME) AS t FROM _plan_dt WHERE k = 1")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "PythonUDF" not in plan
+    spark.catalog.dropTempView("_plan_dt")
+
+
+def test_fp_int_cast_rewrite_stays_jvm_side(engine):
+    """The fractional->int rounding rewrite is a round() wrap — no
+    Python nodes, and constant-folding still collapses literal
+    casts."""
+    df = engine.sql("SELECT CAST(2.7 AS INT) AS a, "
+                    "CAST(l_extendedprice AS BIGINT) AS p "
+                    "FROM lineitem WHERE l_orderkey = 1")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+    # literal cast folded to a constant by Catalyst
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "3 AS a" in opt or "3 as a" in opt.lower()
