@@ -180,6 +180,23 @@ _QUOTED_ARG_REWRITES: list[tuple[re.Pattern, str]] = [
         re.compile(r"\bDATEPART\s*\(\s*'(\w+)'\s*,\s*", re.IGNORECASE),
         lambda m: f"extract({_extract_field(m.group(1), 'DATEPART')} FROM ",
     ),
+    # DATEPART(YEAR, x) — bare-keyword spelling, interchangeable with
+    # the quoted form (Tests/ExecuteTest.cpp TimeSyntaxCheck); an
+    # unsupported field raises the reference's error via
+    # _extract_field exactly like the quoted path
+    (
+        re.compile(r"\bDATEPART\s*\(\s*([A-Za-z_]\w*)\s*,\s*",
+                   re.IGNORECASE),
+        lambda m: f"extract({_extract_field(m.group(1), 'DATEPART')} FROM ",
+    ),
+    # EXTRACT('year' FROM x) — the reference's Calcite accepts the
+    # quoted-field spelling interchangeably with the bare keyword
+    # (Tests/ExecuteTest.cpp TimeSyntaxCheck "extract('year' from");
+    # Spark's parser rejects a string literal there
+    (
+        re.compile(r"\bEXTRACT\s*\(\s*'(\w+)'\s+FROM\b", re.IGNORECASE),
+        lambda m: f"EXTRACT({_extract_field(m.group(1))} FROM",
+    ),
     # TIME literals and CAST ... AS TIME are handled post-mask by
     # _rewrite_datetime_casts (full DateTimeParser format family).
 ]
@@ -1569,16 +1586,19 @@ def _strtok_to_array(args: str) -> str | None:
 
 
 def _pg_extract(args: str) -> str | None:
-    """PG_EXTRACT('field', ts) — the Postgres-form two-arg extract
-    (ExtensionFunctionsDateTime alias). Normalized to EXTRACT(FIELD
-    FROM ts) so the extended-field handler downstream applies."""
+    """PG_EXTRACT('field', ts) / PG_EXTRACT(FIELD, ts) — the
+    Postgres-form two-arg extract (ExtensionFunctionsDateTime alias;
+    both spellings interchangeable, Tests/ExecuteTest.cpp
+    TimeSyntaxCheck). Normalized to EXTRACT(FIELD FROM ts) so the
+    extended-field handler downstream applies."""
     parts = _split_top_level(args)
     if len(parts) != 2:
         return None
-    m = re.match(r"^\s*'(\w+)'\s*$", parts[0])
+    m = re.match(r"^\s*'(\w+)'\s*$|^\s*([A-Za-z_]\w*)\s*$", parts[0])
     if not m:
         return None
-    return f"EXTRACT({_extract_field(m.group(1))} FROM {parts[1]})"
+    field = m.group(1) or m.group(2)
+    return f"EXTRACT({_extract_field(field)} FROM {parts[1]})"
 
 
 def _datetime_now(args: str) -> str | None:

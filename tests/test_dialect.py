@@ -2804,3 +2804,25 @@ def test_width_bucket_literal_arg_validation(engine):
         "SELECT WIDTH_BUCKET(n_nationkey, 0, 30, 10) AS wb "
         "FROM nation WHERE n_nationkey = 7").first()
     assert ok["wb"] == 3
+
+
+def test_time_syntax_check_field_spellings(engine):
+    """Quoted and bare field spellings interchange across
+    extract/PG_EXTRACT/DATE_TRUNC/PG_DATE_TRUNC
+    (Tests/ExecuteTest.cpp TimeSyntaxCheck): the reference's Calcite
+    accepts extract('year' from x) and PG_EXTRACT(YEAR, x) where
+    Spark's parser takes only the bare-keyword extract form."""
+    r = engine.sql(
+        "SELECT extract('year' from CAST('2007-10-30 12:15:32'"
+        " AS TIMESTAMP)) AS a,"
+        " PG_EXTRACT(YEAR, CAST('2007-10-30 12:15:32'"
+        " AS TIMESTAMP)) AS b,"
+        " PG_EXTRACT('month', CAST('2007-10-30 12:15:32'"
+        " AS TIMESTAMP)) AS c,"
+        " EXTRACT('isodow' FROM DATE '2007-10-30') AS d").first()
+    assert (r["a"], r["b"], r["c"]) == (2007, 2007, 10)
+    assert r["d"] == 2  # Tuesday, Monday=1
+    # a string literal containing the pattern stays data
+    bait = engine.sql(
+        "SELECT 'use extract(''year'' from x)' AS t").first()["t"]
+    assert bait == "use extract('year' from x)"
