@@ -175,6 +175,34 @@ _QUANT_LHS = (
 _QUANT_OP = r"\s*(=|<>|<=|>=|<|>)\s*"
 
 
+def _normalize_like_escape(like_kw: str, pat: str, esc_kw: str,
+                           esc: str) -> str:
+    """Drop the escape character before ordinary (non-wildcard,
+    non-escape) characters in a literal LIKE pattern — the
+    reference/SQLite semantics for e.g. '@f%' ESCAPE '@'; Spark
+    rejects such patterns outright."""
+    e = esc.replace("''", "'")
+    if len(e) != 1:
+        return f"{like_kw}'{pat}'{esc_kw}'{esc}'"
+    out = []
+    i = 0
+    raw = pat.replace("''", "\x01")  # protect quote pairs
+    while i < len(raw):
+        ch = raw[i]
+        if ch == e and i + 1 < len(raw) and raw[i + 1] not in ("%", "_", e):
+            i += 1  # drop the escape; keep the ordinary char
+            continue
+        out.append(ch)
+        if ch == e:
+            i += 2  # keep escape + escaped wildcard/escape pair
+            if i <= len(raw):
+                out.append(raw[i - 1])
+            continue
+        i += 1
+    new_pat = "".join(out).replace("\x01", "''")
+    return f"{like_kw}'{new_pat}'{esc_kw}'{esc}'"
+
+
 _QUOTED_ARG_REWRITES: list[tuple[re.Pattern, str]] = [
     (
         re.compile(r"\bDATEPART\s*\(\s*'(\w+)'\s*,\s*", re.IGNORECASE),
@@ -196,6 +224,20 @@ _QUOTED_ARG_REWRITES: list[tuple[re.Pattern, str]] = [
     (
         re.compile(r"\bEXTRACT\s*\(\s*'(\w+)'\s+FROM\b", re.IGNORECASE),
         lambda m: f"EXTRACT({_extract_field(m.group(1))} FROM",
+    ),
+    # LIKE '<pat>' ESCAPE '<e>' where the escape precedes an ORDINARY
+    # character: the reference (and SQLite) read '@f' as a literal
+    # 'f' (Tests/ExecuteTest.cpp Select.Strings "LIKE '@f%%' ESCAPE
+    # '@'"), while Spark raises INVALID_FORMAT.ESC_IN_THE_MIDDLE.
+    # Normalize the literal pattern by dropping the escape char
+    # before anything that isn't % _ or the escape char itself.
+    (
+        re.compile(
+            r"(\b(?:I?LIKE)\s+)'((?:[^']|'')*)'(\s+ESCAPE\s+)'((?:[^']|'')*)'",
+            re.IGNORECASE,
+        ),
+        lambda m: _normalize_like_escape(
+            m.group(1), m.group(2), m.group(3), m.group(4)),
     ),
     # TIME literals and CAST ... AS TIME are handled post-mask by
     # _rewrite_datetime_casts (full DateTimeParser format family).
@@ -414,6 +456,14 @@ _REWRITES: list[tuple[re.Pattern, str]] = [
     # TIMESTAMP(0|3|6|9) dimension strips moved to
     # _strip_timestamp_dims, which runs AFTER _rewrite_datetime_casts
     # so the datetime-cast pass still sees the declared dimension.
+    # CAST(x AS VARCHAR) — length-less VARCHAR is legal in the
+    # reference's Calcite (Tests/ExecuteTest.cpp UnsupportedCasts
+    # "CAST(x AS VARCHAR)"); Spark requires a length: map to STRING.
+    # VARCHAR(n) passes through (Spark accepts it).
+    (
+        re.compile(r"\bAS\s+VARCHAR\s*\)", re.IGNORECASE),
+        "AS STRING)",
+    ),
     # CAST(x AS TEXT) — the reference's string type name in expression
     # casts (ExecuteTest.cpp:5999 "CAST(x AS TEXT) = '8'"); Spark's
     # type is STRING. Constrained to a cast-closing paren so a quoted

@@ -1,0 +1,298 @@
+"""Replay the reference's own SQLiteComparator queries over a rebuilt
+`test` fixture — engine (Spark) vs DuckDB standing in for SQLite.
+
+The reference's ExecuteTest.cpp drives ~1,250 c("SELECT ...", dt)
+comparisons against SQLite over a 20-row `test` table (schema
+g_table_definitions :141-190, rows :30063-30115) plus small
+auxiliaries (test_inner :29719-29740, join_test :9785-9800, emptytab
+:30585-30592).  This script rebuilds those fixtures in BOTH engines,
+harvests every c() query that touches only them, and compares
+canonicalized result sets — the exact cross-engine recipe the
+reference itself uses for correctness.
+
+DuckDB-side normalizations mirror the committed oracle recipes:
+int/int `/` becomes `//` via the engine's own provable-int resolver
+(DuckDB's `/` is float), LIKELY/UNLIKELY hints are stripped (pure
+hints), and TIME values canonicalize to seconds-of-day (the engine's
+TIME representation).  The m_9 fixture value truncates its
+nanoseconds to micros on both sides (both engines are
+microsecond-precision; documented TIMESTAMP(9) delta).
+
+r9 standing result: 876 match / 0 mismatch of 885 harvested (3
+engine rejects are documented accept/reject-edge deltas: rowid,
+ambiguous star-join column, lag OVER () without ORDER BY; 6
+DuckDB-side errors are DuckDB limitations).
+
+Run: python scripts/reference_fixture_probe.py
+"""
+import datetime as dt
+import decimal
+import re
+import sys
+
+import os
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+from pyspark.sql import types as T
+
+from heavydb_spark.engine import Engine
+from heavydb_spark.session import get_spark
+
+D = decimal.Decimal
+
+def ts(s):
+    return dt.datetime.fromisoformat(s)
+
+ROW_A = dict(
+    x=7, w=-8, y=42, z=101, t=1001, b=True, f=1.1, ff=1.1, fn=None,
+    d=2.2, dn=None, str='foo', null_str=None, fixed_str='foo',
+    fixed_null_str=None, real_str='real_foo', shared_dict='foo',
+    m=ts('2014-12-13 22:23:15'), me=ts('2014-12-13 22:23:15'),
+    m_3=ts('2014-12-13 22:23:15.323'),
+    m_6=ts('1999-07-11 14:02:53.874533'),
+    m_9=ts('2006-04-26 03:49:04.607435'),
+    n=15*3600+13*60+14, ne=15*3600+13*60+14,
+    o=dt.date(1999, 9, 9), o1=dt.date(1999, 9, 9), o2=dt.date(1999, 9, 9),
+    fx=9, dd=D('111.10'), dd_notnull=D('111.10'), ss='fish', u=None,
+    ofd=2147483647, ufd=-2147483648, ofq=None, ufq=-1,
+    smallint_nulls=32767, bn=True, num_text='128')
+ROW_B = dict(
+    x=8, w=-7, y=43, z=-78, t=1002, b=False, f=1.2, ff=101.2, fn=-101.2,
+    d=2.4, dn=-2002.4, str='bar', null_str=None, fixed_str='bar',
+    fixed_null_str=None, real_str='real_bar', shared_dict=None,
+    m=ts('2014-12-13 22:23:15'), me=None,
+    m_3=ts('2014-12-13 22:23:15.323'),
+    m_6=ts('2014-12-13 22:23:15.874533'),
+    m_9=ts('2014-12-13 22:23:15.607435'),
+    n=15*3600+13*60+14, ne=None, o=None, o1=None, o2=None,
+    fx=None, dd=D('222.20'), dd_notnull=D('222.20'), ss=None, u=None,
+    ofd=None, ufd=-2147483647, ofq=9223372036854775807,
+    ufq=-9223372036854775808, smallint_nulls=None, bn=False, num_text='42')
+ROW_C = dict(
+    x=7, w=-7, y=43, z=102, t=1002, b=None, f=1.3, ff=1000.3, fn=-1000.3,
+    d=2.6, dn=-220.6, str='baz', null_str=None, fixed_str=None,
+    fixed_null_str=None, real_str='real_baz', shared_dict='baz',
+    m=ts('2014-12-14 22:23:15'), me=None,
+    m_3=ts('2014-12-14 22:23:15.750'),
+    m_6=ts('2014-12-14 22:23:15.437321'),
+    m_9=ts('2014-12-14 22:23:15.934567'),
+    n=15*3600+13*60+14, ne=None,
+    o=dt.date(1999, 9, 9), o1=dt.date(1999, 9, 9), o2=dt.date(1999, 9, 9),
+    fx=11, dd=D('333.30'), dd_notnull=D('333.30'), ss='boat', u=None,
+    ofd=1, ufd=-1, ofq=1, ufq=-9223372036854775808,
+    smallint_nulls=1, bn=True, num_text='2022-04-05 08:31:18')
+
+COLS = list(ROW_A)
+SCHEMA = T.StructType([
+    T.StructField('x', T.IntegerType()), T.StructField('w', T.ByteType()),
+    T.StructField('y', T.IntegerType()), T.StructField('z', T.ShortType()),
+    T.StructField('t', T.LongType()), T.StructField('b', T.BooleanType()),
+    T.StructField('f', T.FloatType()), T.StructField('ff', T.FloatType()),
+    T.StructField('fn', T.FloatType()), T.StructField('d', T.DoubleType()),
+    T.StructField('dn', T.DoubleType()), T.StructField('str', T.StringType()),
+    T.StructField('null_str', T.StringType()),
+    T.StructField('fixed_str', T.StringType()),
+    T.StructField('fixed_null_str', T.StringType()),
+    T.StructField('real_str', T.StringType()),
+    T.StructField('shared_dict', T.StringType()),
+    T.StructField('m', T.TimestampType()),
+    T.StructField('me', T.TimestampType()),
+    T.StructField('m_3', T.TimestampType()),
+    T.StructField('m_6', T.TimestampType()),
+    T.StructField('m_9', T.TimestampType()),
+    T.StructField('n', T.LongType()), T.StructField('ne', T.LongType()),
+    T.StructField('o', T.DateType()), T.StructField('o1', T.DateType()),
+    T.StructField('o2', T.DateType()), T.StructField('fx', T.IntegerType()),
+    T.StructField('dd', T.DecimalType(10, 2)),
+    T.StructField('dd_notnull', T.DecimalType(10, 2)),
+    T.StructField('ss', T.StringType()), T.StructField('u', T.IntegerType()),
+    T.StructField('ofd', T.IntegerType()),
+    T.StructField('ufd', T.IntegerType()),
+    T.StructField('ofq', T.LongType()), T.StructField('ufq', T.LongType()),
+    T.StructField('smallint_nulls', T.ShortType()),
+    T.StructField('bn', T.BooleanType()),
+    T.StructField('num_text', T.StringType()),
+])
+
+DUCK_DDL = """CREATE TABLE test(x int not null, w tinyint, y int,
+z smallint, t bigint, b boolean, f float, ff float, fn float, d double,
+dn double, str varchar(10), null_str text, fixed_str text,
+fixed_null_str text, real_str text, shared_dict text, m timestamp,
+me timestamp, m_3 timestamp, m_6 timestamp, m_9 timestamp, n time,
+ne time, o date, o1 date, o2 date, fx int, dd decimal(10,2),
+dd_notnull decimal(10,2) not null, ss text, u int, ofd int,
+ufd int not null, ofq bigint, ufq bigint not null,
+smallint_nulls smallint, bn boolean not null, num_text text)"""
+
+INS_A = ("INSERT INTO test VALUES(7, -8, 42, 101, 1001, 't', 1.1, 1.1, null, 2.2, null, "
+         "'foo', null, 'foo', null, 'real_foo', 'foo',"
+         "'2014-12-13 22:23:15', '2014-12-13 22:23:15', '2014-12-13 22:23:15.323', "
+         "'1999-07-11 14:02:53.874533', '2006-04-26 03:49:04.607435125', "
+         "'15:13:14', '15:13:14', '1999-09-09', '1999-09-09', '1999-09-09', 9, 111.1, 111.1, "
+         "'fish', null, 2147483647, -2147483648, null, -1, 32767, 't', '128')")
+INS_B = ("INSERT INTO test VALUES(8, -7, 43, -78, 1002, 'f', 1.2, 101.2, -101.2, 2.4, "
+         "-2002.4, 'bar', null, 'bar', null, 'real_bar', NULL, '2014-12-13 22:23:15', NULL, "
+         "'2014-12-13 22:23:15.323', '2014-12-13 22:23:15.874533', "
+         "'2014-12-13 22:23:15.607435763', '15:13:14', NULL, NULL, NULL, NULL, NULL, 222.2, "
+         "222.2, null, null, null, -2147483647, 9223372036854775807, -9223372036854775808, "
+         "null, 'f', '42')")
+INS_C = ("INSERT INTO test VALUES(7, -7, 43, 102, 1002, null, 1.3, 1000.3, -1000.3, 2.6, "
+         "-220.6, 'baz', null, null, null, 'real_baz', 'baz', '2014-12-14 22:23:15', NULL, "
+         "'2014-12-14 22:23:15.750', '2014-12-14 22:23:15.437321', "
+         "'2014-12-14 22:23:15.934567401', '15:13:14', NULL, '1999-09-09', '1999-09-09', "
+         "'1999-09-09', 11, 333.3, 333.3, 'boat', null, 1, -1, 1, -9223372036854775808, 1, "
+         "'t', '2022-04-05 08:31:18')")
+
+
+def canon_val(v):
+    if v is None:
+        return '<null>'
+    if isinstance(v, bool):
+        return str(int(v))
+    if isinstance(v, int):
+        return str(v)
+    if isinstance(v, (float, decimal.Decimal)):
+        f = float(v)
+        if f != f:
+            return 'nan'
+        return f"{f:.6g}"
+    if isinstance(v, dt.datetime):
+        return v.strftime('%Y-%m-%d %H:%M:%S') + (
+            f".{v.microsecond:06d}" if v.microsecond else "")
+    if isinstance(v, dt.date):
+        return str(v)
+    if isinstance(v, dt.time):
+        return str(v.hour * 3600 + v.minute * 60 + v.second)
+    if isinstance(v, dt.timedelta):
+        return f"{v.total_seconds():.6g}"
+    return str(v)
+
+
+def canon_rows(rows):
+    return sorted(tuple(canon_val(v) for v in r) for r in rows)
+
+
+def harvest():
+    src = open(os.environ.get('SPARK_GRAFT_REFERENCE',
+                        '/root/reference') + '/Tests/ExecuteTest.cpp').read()
+    pat = re.compile(r'\bc\(\s*((?:R?"(?:[^"\\]|\\.)*"\s*)+),\s*dt\s*\)',
+                     re.DOTALL)
+
+    def cstr(chunk):
+        return "".join(
+            m.group(1).replace('\\"', '"').replace("\\\\", "\\")
+            for m in re.finditer(r'R?"((?:[^"\\]|\\.)*)"', chunk))
+
+    seen, out = set(), []
+    for m in pat.finditer(src):
+        sql = cstr(m.group(1)).strip().rstrip(';')
+        if not sql.upper().startswith('SELECT'):
+            continue
+        tabs = set(t.lower() for t in re.findall(
+            r'\b(?:FROM|JOIN)\s+([A-Za-z_]\w*)', sql, re.IGNORECASE))
+        tabs |= set(t.lower() for t in re.findall(
+            r'\bFROM\s+\w+(?:\s+\w+)?\s*,\s*([A-Za-z_]\w*)', sql,
+            re.IGNORECASE))
+        if tabs - {'test', 'test_inner', 'join_test', 'emptytab'}:
+            continue
+        if sql in seen:
+            continue
+        seen.add(sql)
+        out.append(sql)
+    return out
+
+
+def main():
+    spark = get_spark(master='local[8]', shuffle_partitions=4)
+    eng = Engine(spark).attach('/root/testdata/sf0.001')
+    rows = [ROW_A] * 10 + [ROW_B] * 5 + [ROW_C] * 5
+    spark.createDataFrame(
+        [tuple(r[c] for c in COLS) for r in rows], SCHEMA
+    ).createOrReplaceTempView('test')
+
+    aux_specs = [
+        ("test_inner",
+         "CREATE TABLE test_inner(x int not null, y int, xx smallint, "
+         "str text, dt date, dt32 date, dt16 date, ts timestamp)",
+         "x INT, y INT, xx SMALLINT, str STRING, dt DATE, dt32 DATE, "
+         "dt16 DATE, ts TIMESTAMP",
+         [(7, 43, 7, 'foo', dt.date(1999, 9, 9), dt.date(1999, 9, 9),
+           dt.date(1999, 9, 9), ts('2014-12-13 22:23:15')),
+          (-9, 72, -9, 'bars', dt.date(2014, 12, 13),
+           dt.date(2014, 12, 13), dt.date(2014, 12, 13),
+           ts('1999-09-09 14:15:16'))]),
+        ("join_test",
+         "CREATE TABLE join_test(x int not null, y int, str text, "
+         "dup_str text)",
+         "x INT, y INT, str STRING, dup_str STRING",
+         [(7, 43, 'foo', 'foo'), (8, None, 'bar', 'foo'),
+          (9, None, 'baz', 'bar')]),
+        ("emptytab",
+         "CREATE TABLE emptytab(x int not null, y int, t bigint not null, "
+         "f float not null, d double not null, dd decimal(10,2) not null, "
+         "ts timestamp)",
+         "x INT, y INT, t BIGINT, f FLOAT, d DOUBLE, dd DECIMAL(10,2), "
+         "ts TIMESTAMP",
+         []),
+    ]
+    for name, ddl, spark_schema, rows_aux in aux_specs:
+        spark.createDataFrame(rows_aux, spark_schema).createOrReplaceTempView(name)
+
+    con = duckdb.connect()
+    con.execute(DUCK_DDL)
+    for name, ddl, _schema, rows_aux in aux_specs:
+        con.execute(ddl)
+        for r in rows_aux:
+            vals = ", ".join(
+                "NULL" if v is None
+                else f"'{v}'" if isinstance(v, (str, dt.date, dt.datetime))
+                else str(v) for v in r)
+            con.execute(f"INSERT INTO {name} VALUES({vals})")
+    for _ in range(10):
+        con.execute(INS_A)
+    for _ in range(5):
+        con.execute(INS_B)
+    for _ in range(5):
+        con.execute(INS_C)
+
+    queries = harvest()
+    print(len(queries), 'queries harvested', file=sys.stderr)
+    ok = mism = eng_err = duck_err = 0
+    mismatches, eng_errors, duck_errors = [], [], []
+    for i, q in enumerate(queries):
+        from heavydb_spark import dialect
+        dq = re.sub(r"\b(?:UN)?LIKELY\s*\(", "(", q)
+        dq = dialect._rewrite_int_division(
+            dq, eng._type_resolver(dq)).replace(" DIV ", " // ")
+        try:
+            drows = con.execute(dq).fetchall()
+        except Exception as e:
+            duck_err += 1
+            duck_errors.append((str(e).splitlines()[0][:120], q[:160]))
+            continue
+        try:
+            srows = [tuple(r) for r in eng.sql(q).collect()]
+        except Exception as e:
+            eng_err += 1
+            eng_errors.append((str(e).splitlines()[0][:160], q[:160]))
+            continue
+        if canon_rows(srows) == canon_rows(drows):
+            ok += 1
+        else:
+            mism += 1
+            mismatches.append((q, canon_rows(srows)[:2], canon_rows(drows)[:2]))
+    print(f"\n{ok} match, {mism} mismatch, {eng_err} engine-err, "
+          f"{duck_err} duck-err of {len(queries)}")
+    print("\n== MISMATCHES ==")
+    for q, s, d in mismatches:
+        print(f"Q: {q[:200]}\n  spark {s}\n  duck  {d}")
+    print("\n== ENGINE ERRORS ==")
+    for e, q in eng_errors:
+        print(f"{e} :: {q}")
+    spark.stop()
+    sys.exit(1 if mism else 0)
+
+
+if __name__ == '__main__':
+    main()

@@ -2826,3 +2826,24 @@ def test_time_syntax_check_field_spellings(engine):
     bait = engine.sql(
         "SELECT 'use extract(''year'' from x)' AS t").first()["t"]
     assert bait == "use extract('year' from x)"
+
+
+def test_varchar_and_like_escape_edges(engine):
+    """Reference-fixture-probe closeouts (ExecuteTest.cpp
+    UnsupportedCasts / Select.Strings): length-less CAST AS VARCHAR
+    and LIKE-ESCAPE with the escape before an ordinary character."""
+    r = engine.sql(
+        "SELECT CAST(7 AS VARCHAR) AS s, CAST(1.5 AS VARCHAR(8)) AS v"
+    ).first()
+    assert r["s"] == "7" and r["v"] == "1.5"
+    rows = engine.sql(
+        "SELECT n_name FROM nation "
+        "WHERE n_name LIKE '@NATION@_0' ESCAPE '@' ORDER BY n_name"
+    ).collect()
+    assert [x["n_name"] for x in rows] == ["NATION_0"]
+    # escaped wildcards and escaped escapes are preserved
+    r2 = engine.sql(
+        "SELECT 'a_b' LIKE 'a@_b' ESCAPE '@' AS w,"
+        " 'a@b' LIKE 'a@@b' ESCAPE '@' AS e,"
+        " 'axb' LIKE 'a@_b' ESCAPE '@' AS nope").first()
+    assert (r2["w"], r2["e"], r2["nope"]) == (True, True, False)
