@@ -5,7 +5,8 @@ The reference's ExecuteTest.cpp drives ~1,250 c("SELECT ...", dt)
 comparisons against SQLite over a 20-row `test` table (schema
 g_table_definitions :141-190, rows :30063-30115) plus small
 auxiliaries (test_inner :29719-29740, join_test :9785-9800, emptytab
-:30585-30592).  This script rebuilds those fixtures in BOTH engines,
+:30585-30592, union_all_a/b :10404-10460, hash_join_test :9834-9863,
+dept/emp :10085-10125).  This script rebuilds those fixtures in BOTH engines,
 harvests every c() query that touches only them, and compares
 canonicalized result sets — the exact cross-engine recipe the
 reference itself uses for correctness.
@@ -18,7 +19,7 @@ TIME representation).  The m_9 fixture value truncates its
 nanoseconds to micros on both sides (both engines are
 microsecond-precision; documented TIMESTAMP(9) delta).
 
-r9 standing result: 876 match / 0 mismatch of 885 harvested (3
+r9 standing result: 932 match / 0 mismatch of 941 harvested (3
 engine rejects are documented accept/reject-edge deltas: rowid,
 ambiguous star-join column, lag OVER () without ORDER BY; 6
 DuckDB-side errors are DuckDB limitations).
@@ -194,7 +195,9 @@ def harvest():
         tabs |= set(t.lower() for t in re.findall(
             r'\bFROM\s+\w+(?:\s+\w+)?\s*,\s*([A-Za-z_]\w*)', sql,
             re.IGNORECASE))
-        if tabs - {'test', 'test_inner', 'join_test', 'emptytab'}:
+        if tabs - {'test', 'test_inner', 'join_test', 'emptytab',
+                   'union_all_a', 'union_all_b', 'hash_join_test',
+                   'dept', 'emp'}:
             continue
         if sql in seen:
             continue
@@ -228,6 +231,34 @@ def main():
          "x INT, y INT, str STRING, dup_str STRING",
          [(7, 43, 'foo', 'foo'), (8, None, 'bar', 'foo'),
           (9, None, 'baz', 'bar')]),
+        ("union_all_a",
+         "CREATE TABLE union_all_a(a0 smallint, a1 int, a2 bigint, "
+         "a3 float, a4 text)",
+         "a0 SMALLINT, a1 INT, a2 BIGINT, a3 FLOAT, a4 STRING",
+         [(10, 20, 30, 40.0, '50')] + [
+             (110 + i, 120 + i, 130 + i, float(140 + i), str(150 + i))
+             for i in range(10)]),
+        ("union_all_b",
+         "CREATE TABLE union_all_b(b0 smallint, b1 int, b2 bigint, "
+         "b3 float, b4 text)",
+         "b0 SMALLINT, b1 INT, b2 BIGINT, b3 FLOAT, b4 STRING",
+         [(10, 20, 30, 40.0, '50')] + [
+             (210 + i, 220 + i, 230 + i, float(240 + i), str(250 + i))
+             for i in range(10)]),
+        ("hash_join_test",
+         "CREATE TABLE hash_join_test(x int not null, str text, t bigint)",
+         "x INT, str STRING, t BIGINT",
+         [(7, 'foo', 1001), (8, 'bar', 5000000000), (9, 'the', 1002)]),
+        ("dept",
+         "CREATE TABLE dept(deptno int, dname text)",
+         "deptno INT, dname STRING",
+         [(10, 'Sales'), (20, 'Dev'), (30, 'Marketing'), (40, 'HR'),
+          (50, 'QA')]),
+        ("emp",
+         "CREATE TABLE emp(empno int, ename text not null, deptno int)",
+         "empno INT, ename STRING, deptno INT",
+         [(1, 'Brock', 10), (2, 'Bill', 20), (3, 'Julia', 60),
+          (4, 'David', 10)]),
         ("emptytab",
          "CREATE TABLE emptytab(x int not null, y int, t bigint not null, "
          "f float not null, d double not null, dd decimal(10,2) not null, "
