@@ -6,7 +6,9 @@ comparisons against SQLite over a 20-row `test` table (schema
 g_table_definitions :141-190, rows :30063-30115) plus small
 auxiliaries (test_inner :29719-29740, join_test :9785-9800, emptytab
 :30585-30592, union_all_a/b :10404-10460, hash_join_test :9834-9863,
-dept/emp :10085-10125).  This script rebuilds those fixtures in BOTH engines,
+dept/emp :10085-10125, empty_test_table :10350-10358,
+big_decimal_range_test :9668-9694, test_x :30296-30356,
+test_inner_x :29944-29957).  This script rebuilds those fixtures in BOTH engines,
 harvests every c() query that touches only them, and compares
 canonicalized result sets — the exact cross-engine recipe the
 reference itself uses for correctness.
@@ -19,7 +21,7 @@ TIME representation).  The m_9 fixture value truncates its
 nanoseconds to micros on both sides (both engines are
 microsecond-precision; documented TIMESTAMP(9) delta).
 
-r9 standing result: 932 match / 0 mismatch of 941 harvested (3
+r9 standing result: 969 match / 0 mismatch of 977 harvested (3
 engine rejects are documented accept/reject-edge deltas: rowid,
 ambiguous star-join column, lag OVER () without ORDER BY; 6
 DuckDB-side errors are DuckDB limitations).
@@ -197,7 +199,9 @@ def harvest():
             re.IGNORECASE))
         if tabs - {'test', 'test_inner', 'join_test', 'emptytab',
                    'union_all_a', 'union_all_b', 'hash_join_test',
-                   'dept', 'emp'}:
+                   'dept', 'emp', 'empty_test_table',
+                   'big_decimal_range_test', 'test_x',
+                   'test_inner_x'}:
             continue
         if sql in seen:
             continue
@@ -213,6 +217,27 @@ def main():
     spark.createDataFrame(
         [tuple(r[c] for c in COLS) for r in rows], SCHEMA
     ).createOrReplaceTempView('test')
+
+    # test_x (ExecuteTest.cpp :30296-30356): the 28-column cousin of
+    # `test` — same row families minus the extended datetime/dict
+    # columns, with b non-null in row C and m/o fixed values
+    tx_cols = ("x y z t b f ff fn d dn str null_str fixed_str real_str "
+               "m n o o1 o2 fx dd dd_notnull ss u ofd ufd ofq ufq").split()
+    tx_schema = ("x INT, y INT, z SMALLINT, t BIGINT, b BOOLEAN, f FLOAT, "
+                 "ff FLOAT, fn FLOAT, d DOUBLE, dn DOUBLE, str STRING, "
+                 "null_str STRING, fixed_str STRING, real_str STRING, "
+                 "m TIMESTAMP, n BIGINT, o DATE, o1 DATE, o2 DATE, fx INT, "
+                 "dd DECIMAL(10,2), dd_notnull DECIMAL(10,2), ss STRING, "
+                 "u INT, ofd INT, ufd INT, ofq BIGINT, ufq BIGINT")
+    TXA = dict(ROW_A, y=42, z=101, b=True, m=ts('2014-12-13 22:23:15'))
+    TXB = dict(ROW_B, y=43, z=102, t=1002, b=False,
+               m=ts('2014-12-13 22:23:15'))
+    TXC = dict(ROW_C, y=43, z=102, b=True, m=ts('2014-12-13 22:23:15'),
+               fixed_str='baz')
+    tx_rows = [TXA] * 10 + [TXB] * 5 + [TXC] * 5
+    spark.createDataFrame(
+        [tuple(r[c] for c in tx_cols) for r in tx_rows], tx_schema
+    ).createOrReplaceTempView('test_x')
 
     aux_specs = [
         ("test_inner",
@@ -259,6 +284,22 @@ def main():
          "empno INT, ename STRING, deptno INT",
          [(1, 'Brock', 10), (2, 'Bill', 20), (3, 'Julia', 60),
           (4, 'David', 10)]),
+        ("empty_test_table",
+         "CREATE TABLE empty_test_table(id int, x bigint, y int, "
+         "z smallint, t tinyint, f float, d double, b boolean)",
+         "id INT, x BIGINT, y INT, z SMALLINT, t TINYINT, f FLOAT, "
+         "d DOUBLE, b BOOLEAN",
+         []),
+        ("big_decimal_range_test",
+         "CREATE TABLE big_decimal_range_test(d decimal(14,2), "
+         "d1 decimal(17,11))",
+         "d DECIMAL(14,2), d1 DECIMAL(17,11)",
+         [(D('-40840124.40'), D('1.3')), (D('59016609.30'), D('1.3')),
+          (D('-999999999999.99'), D('1.3'))]),
+        ("test_inner_x",
+         "CREATE TABLE test_inner_x(x int not null, y int, str text)",
+         "x INT, y INT, str STRING",
+         [(7, 43, 'foo')]),
         ("emptytab",
          "CREATE TABLE emptytab(x int not null, y int, t bigint not null, "
          "f float not null, d double not null, dd decimal(10,2) not null, "
@@ -272,6 +313,34 @@ def main():
 
     con = duckdb.connect()
     con.execute(DUCK_DDL)
+    con.execute(
+        "CREATE TABLE test_x(x int not null, y int, z smallint, t bigint, "
+        "b boolean, f float, ff float, fn float, d double, dn double, "
+        "str text, null_str text, fixed_str text, real_str text, "
+        "m timestamp, n time, o date, o1 date, o2 date, fx int, "
+        "dd decimal(10,2), dd_notnull decimal(10,2) not null, ss text, "
+        "u int, ofd int, ufd int not null, ofq bigint, ufq bigint not null)")
+    for _ in range(10):
+        con.execute(
+            "INSERT INTO test_x VALUES(7, 42, 101, 1001, 't', 1.1, 1.1, "
+            "null, 2.2, null, 'foo', null, 'foo', 'real_foo', "
+            "'2014-12-13 22:23:15', '15:13:14', '1999-09-09', '1999-09-09', "
+            "'1999-09-09', 9, 111.1, 111.1, 'fish', null, 2147483647, "
+            "-2147483648, null, -1)")
+    for _ in range(5):
+        con.execute(
+            "INSERT INTO test_x VALUES(8, 43, 102, 1002, 'f', 1.2, 101.2, "
+            "-101.2, 2.4, -2002.4, 'bar', null, 'bar', 'real_bar', "
+            "'2014-12-13 22:23:15', '15:13:14', NULL, NULL, NULL, NULL, "
+            "222.2, 222.2, null, null, null, -2147483647, "
+            "9223372036854775807, -9223372036854775808)")
+    for _ in range(5):
+        con.execute(
+            "INSERT INTO test_x VALUES(7, 43, 102, 1002, 't', 1.3, 1000.3, "
+            "-1000.3, 2.6, -220.6, 'baz', null, 'baz', 'real_baz', "
+            "'2014-12-13 22:23:15', '15:13:14', '1999-09-09', '1999-09-09', "
+            "'1999-09-09', 11, 333.3, 333.3, 'boat', null, 1, -1, 1, "
+            "-9223372036854775808)")
     for name, ddl, _schema, rows_aux in aux_specs:
         con.execute(ddl)
         for r in rows_aux:
