@@ -8,7 +8,8 @@ auxiliaries (test_inner :29719-29740, join_test :9785-9800, emptytab
 :30585-30592, union_all_a/b :10404-10460, hash_join_test :9834-9863,
 dept/emp :10085-10125, empty_test_table :10350-10358,
 big_decimal_range_test :9668-9694, test_x :30296-30356,
-test_inner_x :29944-29957).  This script rebuilds those fixtures in BOTH engines,
+test_inner_x :29944-29957, logical_size_test :10168-10229,
+coalesce_cols_test_0/1/2 :9977-10052).  This script rebuilds those fixtures in BOTH engines,
 harvests every c() query that touches only them, and compares
 canonicalized result sets — the exact cross-engine recipe the
 reference itself uses for correctness.
@@ -21,7 +22,7 @@ TIME representation).  The m_9 fixture value truncates its
 nanoseconds to micros on both sides (both engines are
 microsecond-precision; documented TIMESTAMP(9) delta).
 
-r9 standing result: 969 match / 0 mismatch of 977 harvested (3
+r9 standing result: 1003 match / 0 mismatch of 1011 harvested (3
 engine rejects are documented accept/reject-edge deltas: rowid,
 ambiguous star-join column, lag OVER () without ORDER BY; 6
 DuckDB-side errors are DuckDB limitations).
@@ -201,7 +202,9 @@ def harvest():
                    'union_all_a', 'union_all_b', 'hash_join_test',
                    'dept', 'emp', 'empty_test_table',
                    'big_decimal_range_test', 'test_x',
-                   'test_inner_x'}:
+                   'test_inner_x', 'logical_size_test',
+                   'coalesce_cols_test_0', 'coalesce_cols_test_1',
+                   'coalesce_cols_test_2'}:
             continue
         if sql in seen:
             continue
@@ -355,6 +358,82 @@ def main():
         con.execute(INS_B)
     for _ in range(5):
         con.execute(INS_C)
+
+    def coalesce_inserts(table, hi):
+        out = []
+        bands = [(0, 5, 'test', '2018-01-01', '12:34:56',
+                  '2018-01-01 12:34:56'),
+                 (5, 10, 'test1', '2017-01-01', '12:34:00',
+                  '2017-01-01 12:34:56'),
+                 (10, 15, 'test2', '2016-01-01', '12:00:56',
+                  '2016-01-01 12:34:56'),
+                 (15, 20, 'test3', '2015-01-01', '10:34:56',
+                  '2015-01-01 12:34:56')]
+        for lo, up, s, d_, t_, tz_ in bands:
+            if lo >= hi:
+                break
+            for i in range(lo, min(up, hi)):
+                out.append(
+                    f"INSERT INTO {table} VALUES({i}, {20 - i}, '{s}', "
+                    f"'{s}', '{d_}', '{t_}', '{tz_}', {i * 1.1})")
+        return out
+
+    # (name, duck_create, spark_schema, duck_insert_sqls) — rows copy
+    # duck -> spark after insert (ExecuteTest.cpp
+    # import_logical_size_test :10168-10229,
+    # import_coalesce_cols_join_test :9977-10052)
+    sql_specs = [
+        ("logical_size_test",
+         "CREATE TABLE logical_size_test(big_int bigint not null, "
+         "big_int_null bigint, id int not null, id_null int, "
+         "small_int smallint not null, small_int_null smallint, "
+         "tiny_int tinyint not null, tiny_int_null tinyint, "
+         "float_not_null float not null, float_null float, "
+         "double_not_null double not null, double_null double)",
+         "big_int BIGINT, big_int_null BIGINT, id INT, id_null INT, "
+         "small_int SMALLINT, small_int_null SMALLINT, tiny_int TINYINT, "
+         "tiny_int_null TINYINT, float_not_null FLOAT, float_null FLOAT, "
+         "double_not_null DOUBLE, double_null DOUBLE",
+         [f"INSERT INTO logical_size_test VALUES ({v})" for v in [
+             "2002, -57, 7, 0, 73, 32767, 22, 127, 1.5, NULL, 11.5, -21.6",
+             "1001, 63, 6, NULL, 77, -32767, 21, NULL, 1.6, 1.1, 11.6, NULL",
+             "3003, 63, 5, 2, 79, NULL, 23, 125, 1.5, -1.3, 11.5, 22.3",
+             "3003, NULL, 4, 6, 78, 0, 20, 126, 1.7, -1.5, 11.7, 22.5",
+             "2002, NULL, 4, NULL, 75, -112, -13, -125, 2.5, -2.3, 22.5, -23.5",
+             "1001, -57, 6, 2, 77, NULL, -14, -126, 2.6, NULL, 22.6, 23.7",
+             "1001, 63, 7, 0, 78, -32767, -15, NULL, 2.7, 2.7, 22.7, NULL",
+             "1001, -57, 5, 6, 79, 32767, -12, -127, 2.6, -2.4, 22.6, -23.4",
+             "3003, 63, 5, 2, 79, -32767, 4, NULL, 3.6, 3.3, 32.6, -33.3",
+             "2002, -57, 7, 4, 76, 32767, 2, -1, 3.5, -3.7, 32.5, 33.7",
+             "3003, NULL, 4, NULL, 77, NULL, 3, -2, 3.7, NULL, 32.7, -33.5",
+             "1001, -57, 6, 0, 73, 2345, 1, -3, 3.4, 32.4, 32.5, NULL",
+             "1001, 63, 6, 4, 77, 0, 12, -3, 4.5, 4.3, 11.6, NULL",
+             "3003, -57, 4, 2, 78, 32767, 16, -1, 4.6, 4.1, 11.5, 22.3",
+             "2002, 63, 7, 6, 75, -32767, 13, -2, 4.7, -4.1, 22.7, -33.3",
+             "2002, NULL, 5, NULL, 76, NULL, 15, NULL, 4.4, NULL, 22.5, -23.4",
+         ]]),
+    ] + [
+        (f"coalesce_cols_test_{i}",
+         f"CREATE TABLE coalesce_cols_test_{i}(x int not null, y int, "
+         "str text, dup_str text, d date, t time, tz timestamp, "
+         "dn decimal(5))",
+         "x INT, y INT, str STRING, dup_str STRING, d DATE, t BIGINT, "
+         "tz TIMESTAMP, dn DECIMAL(5,0)",
+         coalesce_inserts(f"coalesce_cols_test_{i}", (i + 1) * 5 + 5))
+        for i in range(3)
+    ]
+    for name, ddl, spark_schema, ins in sql_specs:
+        con.execute(ddl)
+        for s in ins:
+            con.execute(s)
+        raw = con.execute(f"SELECT * FROM {name}").fetchall()
+        conv = [tuple(
+            (v.hour * 3600 + v.minute * 60 + v.second)
+            if isinstance(v, dt.time) and not isinstance(v, dt.datetime)
+            else v
+            for v in r) for r in raw]
+        spark.createDataFrame(conv, spark_schema) \
+            .createOrReplaceTempView(name)
 
     queries = harvest()
     print(len(queries), 'queries harvested', file=sys.stderr)
