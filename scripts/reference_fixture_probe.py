@@ -9,7 +9,10 @@ auxiliaries (test_inner :29719-29740, join_test :9785-9800, emptytab
 dept/emp :10085-10125, empty_test_table :10350-10358,
 big_decimal_range_test :9668-9694, test_x :30296-30356,
 test_inner_x :29944-29957, logical_size_test :10168-10229,
-coalesce_cols_test_0/1/2 :9977-10052).  This script rebuilds those fixtures in BOTH engines,
+coalesce_cols_test_0/1/2 :9977-10052, gpu_sort_test :9588,
+random_test :9605-9627, query_rewrite_test :9648-9665,
+subquery_test :9736-9755, simple_filter :19925-19940,
+test_in_bitmap :30690-30706, hash_join_decimal_test :9939-9976).  This script rebuilds those fixtures in BOTH engines,
 harvests every c() query that touches only them, and compares
 canonicalized result sets — the exact cross-engine recipe the
 reference itself uses for correctness.
@@ -22,7 +25,7 @@ TIME representation).  The m_9 fixture value truncates its
 nanoseconds to micros on both sides (both engines are
 microsecond-precision; documented TIMESTAMP(9) delta).
 
-r9 standing result: 1003 match / 0 mismatch of 1011 harvested (3
+r9 standing result: 1039 match / 0 mismatch of 1047 harvested (3
 engine rejects are documented accept/reject-edge deltas: rowid,
 ambiguous star-join column, lag OVER () without ORDER BY; 6
 DuckDB-side errors are DuckDB limitations).
@@ -31,6 +34,7 @@ Run: python scripts/reference_fixture_probe.py
 """
 import datetime as dt
 import decimal
+import math as _math
 import re
 import sys
 
@@ -204,7 +208,10 @@ def harvest():
                    'big_decimal_range_test', 'test_x',
                    'test_inner_x', 'logical_size_test',
                    'coalesce_cols_test_0', 'coalesce_cols_test_1',
-                   'coalesce_cols_test_2'}:
+                   'coalesce_cols_test_2', 'gpu_sort_test',
+                   'random_test', 'query_rewrite_test', 'subquery_test',
+                   'simple_filter', 'test_in_bitmap',
+                   'hash_join_decimal_test'}:
             continue
         if sql in seen:
             continue
@@ -412,6 +419,57 @@ def main():
              "2002, 63, 7, 6, 75, -32767, 13, -2, 4.7, -4.1, 22.7, -33.3",
              "2002, NULL, 5, NULL, 76, NULL, 15, NULL, 4.4, NULL, 22.5, -23.4",
          ]]),
+    ] + [
+        ("gpu_sort_test",
+         "CREATE TABLE gpu_sort_test(x bigint, y int, z smallint, "
+         "t tinyint)",
+         "x BIGINT, y INT, z SMALLINT, t TINYINT",
+         ["INSERT INTO gpu_sort_test VALUES(2, 2, 2, 2)"] * 4
+         + ["INSERT INTO gpu_sort_test VALUES(16000, 16000, 16000, 127)"]
+         * 6),
+        ("random_test",
+         "CREATE TABLE random_test(x1 int, x2 int, x3 int, x4 int, "
+         "x5 int)",
+         "x1 INT, x2 INT, x3 INT, x4 INT, x5 INT",
+         [("INSERT INTO random_test VALUES({}, {}, {}, {}, {})".format(
+             (3 * i + 1) % 5,
+             int(_math.floor(10 * _math.sin(i * _math.pi / 64.0))),
+             int(_math.floor(10 * _math.cos(i * _math.pi / 45.0))),
+             int(100000000 * _math.floor(10 * _math.sin(i * _math.pi / 32.0))),
+             int(_math.floor(1000000000 * _math.cos(i * _math.pi / 32.0)))))
+          for i in range(512)]),
+        ("query_rewrite_test",
+         "CREATE TABLE query_rewrite_test(x int, str text)",
+         "x INT, str STRING",
+         [f"INSERT INTO query_rewrite_test VALUES({i}, 'str{i}')"
+          for i in range(1, 31) for _j in range(i % 2 + 1)]),
+        ("subquery_test",
+         "CREATE TABLE subquery_test(x int)",
+         "x INT",
+         ["INSERT INTO subquery_test VALUES(7)"] * 10
+         + ["INSERT INTO subquery_test VALUES(8)"] * 5
+         + ["INSERT INTO subquery_test VALUES(9)"] * 5),
+        ("simple_filter",
+         "CREATE TABLE simple_filter(x int, y double, z decimal(18,2))",
+         "x INT, y DOUBLE, z DECIMAL(18,2)",
+         [f"INSERT INTO simple_filter VALUES({i}, {i * 1.1}, {i * 1.01})"
+          for i in range(1, 6)]),
+        ("test_in_bitmap",
+         "CREATE TABLE test_in_bitmap(str text)",
+         "str STRING",
+         ["INSERT INTO test_in_bitmap VALUES('a')",
+          "INSERT INTO test_in_bitmap VALUES('b')",
+          "INSERT INTO test_in_bitmap VALUES('c')",
+          "INSERT INTO test_in_bitmap VALUES(NULL)"]),
+        ("hash_join_decimal_test",
+         "CREATE TABLE hash_join_decimal_test(x decimal(18,2), "
+         "y decimal(18,3))",
+         "x DECIMAL(18,2), y DECIMAL(18,3)",
+         ["INSERT INTO hash_join_decimal_test VALUES(1.00, 1.000)",
+          "INSERT INTO hash_join_decimal_test VALUES(2.00, 2.000)",
+          "INSERT INTO hash_join_decimal_test VALUES(3.00, 3.000)",
+          "INSERT INTO hash_join_decimal_test VALUES(4.00, 4.001)",
+          "INSERT INTO hash_join_decimal_test VALUES(10.00, 10.000)"]),
     ] + [
         (f"coalesce_cols_test_{i}",
          f"CREATE TABLE coalesce_cols_test_{i}(x int not null, y int, "
