@@ -2339,8 +2339,14 @@ _MASKED_LIT_RE = re.compile(r"^\s*\x00(\d+)\x00\s*$")
 _CAST_TARGET_RE = re.compile(
     r"^(DATE|TIME|TIMESTAMP)\s*(?:\(\s*(\d+)\s*\))?\s*$", re.IGNORECASE)
 _ISO_DATE_PREFIX_RE = re.compile(r"^\s*\d{4}-\d{1,2}-\d{1,2}")
+# ISO date + an actual time-of-day keeps Spark's native cast.  A BARE
+# iso date is NOT here: dateTimeParseOptional<kTIMESTAMP> returns
+# nullopt when nothing follows the date (DateTimeParser.cpp:173-176),
+# so CAST('2013-09-10' AS TIMESTAMP) is NULL — matching the string-
+# column chain's IF(r = '', NULL, ...) — while trailing junk (even a
+# single space) yields midnight via the failed-time value_or(0) path.
 _ISO_TS_RE = re.compile(
-    r"^\s*\d{4}-\d{1,2}-\d{1,2}(\s*$|[ T]\d{1,2}:\d{1,2}"
+    r"^\s*\d{4}-\d{1,2}-\d{1,2}([ T]\d{1,2}:\d{1,2}"
     r"(:\d{1,2}(\.\d+)?)?(\s*[+-]\d\d:?\d\d|Z)?\s*$)")
 _UNIX_LIT_RE = re.compile(r"^-?\d+(\.\d*)?$")
 _BARE_COL_RE = re.compile(r"^[A-Za-z_]\w*(?:\.[A-Za-z_]\w*)?$")
@@ -2426,6 +2432,11 @@ def _dt_literal_cast(content: str, target: str, dim, literals: list):
         return f"TIMESTAMP {_new_masked_lit(lit, literals)}"
     lit = _dtp.timestamp_literal(content, 6)  # keep fraction at micros
     if lit is None:
+        # date-parseable but timestamp-None == the bare-date reject
+        # (remainder empty -> nullopt): Spark native would give
+        # midnight, the reference and the column chain give NULL.
+        if _dtp.parse_date(content) is not None:
+            return "CAST(NULL AS TIMESTAMP)"
         return None
     return f"TIMESTAMP {_new_masked_lit(lit, literals)}"
 

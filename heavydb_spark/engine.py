@@ -1757,7 +1757,7 @@ class Engine:
         cast rewrite, so a statement casting to a datetime type builds
         the resolver even without a `/`."""
         if "/" not in context and not re.search(
-                r"(?i)\bCAST\s*\(|\bAS\s+(DATE|TIME|TIMESTAMP)\b",
+                r"(?i)\b(?:TRY_)?CAST\s*\(|\bAS\s+(DATE|TIME|TIMESTAMP)\b",
                 context):
             return None
         int_types = {"tinyint", "smallint", "int", "bigint"}

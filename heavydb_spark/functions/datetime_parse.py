@@ -11,7 +11,13 @@ eating (eatMonth :88-94).  Pinned by Tests/Shared/DateTimeUtilsTest.cpp
 and Tests/ExecuteTest.cpp:27869-28010 (DateAndTimeFunctionsTest
 CastLiteralToDate / CastLiteralToTime / CastLiteralToTimestamp_*).
 
-Two deliberately ported quirks (both observable in the reference):
+Three deliberately ported quirks (all observable in the reference):
+
+* eatMonth (:88-94) indexes a suffix table whose initializer is
+  missing a comma (:46, '"" "uary"'), shifting every suffix to the
+  NEXT month — see _MONTH_SUFFIX_SHIFTED below.  '15-March-21' fails
+  while '15-Janruary-21' parses; 'november' is the only full month
+  name accepted.
 
 * dt_ is reset per parse() call, NOT between format attempts inside
   one call — a failed attempt's partially-assigned fields leak into a
@@ -37,6 +43,17 @@ _MONTH_FULL = (
     "august", "september", "october", "november", "december",
 )
 _MONTH_PREFIX = {m[:3]: i + 1 for i, m in enumerate(_MONTH_FULL)}
+# month_suffixes as the reference ACTUALLY compiles them: the array
+# initializer at DateTimeParser.cpp:46-59 is missing a comma ('""
+# "uary"' concatenates), shifting every suffix to the NEXT month.
+# eatMonth(month, str) indexes month_suffixes[month] with 1-based
+# month, so jan tries to eat 'ruary', feb 'ch', ..., dec '' — of the
+# full English month names only 'november' (suffix 'ember' ==
+# shifted 'ember') parses; hybrids like 'janruary'/'maril' parse
+# while 'january'/'march' fail.  Ported bug-for-bug (same stance as
+# the dt_-carryover and unixTime quirks below); index with month-1.
+_MONTH_SUFFIX_SHIFTED = ("ruary", "ch", "il", "", "e", "y", "ust",
+                         "tember", "ober", "ember", "ember", "")
 
 # Order matters: first successful format wins (DateTimeParser.cpp:246).
 DATE_FORMATS = ("%Y-%m-%d", "%m/%d/%y", "%m/%d/%Y", "%Y/%m/%d",
@@ -153,8 +170,8 @@ def _update_field(field: str, s: str, i: int, dt: _DateTime):
             return None
         dt.m = month
         i += 3
-        # eatMonth (:88): eat the rest of the month name if it follows
-        suffix = _MONTH_FULL[month - 1][3:]
+        # eatMonth (:88): eat the (comma-bug-shifted) suffix if present
+        suffix = _MONTH_SUFFIX_SHIFTED[month - 1]
         if suffix and s[i:i + len(suffix)].lower() == suffix:
             i += len(suffix)
         return i
@@ -422,10 +439,20 @@ def time_seconds(s: str):
 
 _TZ_PAT = r"[+-]\d\d:?\d\d"
 _AMPM_PAT = r"(?i:am|pm|a\.m\.|p\.m\.)"
-_MONTH_PAT = (r"(?i:jan(?:uary)?|feb(?:ruary)?|mar(?:ch)?|apr(?:il)?|may|"
-              r"jun(?:e)?|jul(?:y)?|aug(?:ust)?|sep(?:tember)?|"
-              r"oct(?:ober)?|nov(?:ember)?|dec(?:ember)?)")
-_UNIX_PAT = r"^-?\d+(?:\.\d*)?$"
+# 3-letter prefix + the reference's comma-bug-shifted optional suffix
+# (_MONTH_SUFFIX_SHIFTED above): 'nov(ember)' is the only full month
+# name accepted; 'janruary' parses while 'january' leaves 'uary'
+# unmatched and the format fails.
+# suffix groups are possessive ((?:...)?+): eatMonth eats the suffix
+# whenever it is present and never reconsiders, so the regex must not
+# backtrack out of an eaten suffix either.
+_MONTH_PAT = (r"(?i:jan(?:ruary)?+|feb(?:ch)?+|mar(?:il)?+|apr|"
+              r"may(?:e)?+|jun(?:y)?+|jul(?:ust)?+|aug(?:tember)?+|"
+              r"sep(?:ober)?+|oct(?:ember)?+|nov(?:ember)?+|dec)")
+# \z, not $: Java's $ also matches before a trailing newline, but
+# unixTime (DateTimeParser.cpp:119-129) requires whole-string
+# consumption — '123\n' must NOT take the integer fallback.
+_UNIX_PAT = r"^-?\d+(?:\.\d*)?\z"
 
 
 def _sq(rx: str) -> str:
@@ -500,14 +527,21 @@ def _date_formats():
         f"AND {_year_ok(_rex(s, rx, 1))}",
         mk(f"CAST({_rex(s, rx, 1)} AS BIGINT)", _int_g(s, rx, 2),
            _int_g(s, rx, 3)))))
-    # %m/%d/%y
-    rx = r"^\s*(\d{1,2})/\s*(\d{1,2}+)/\s*(\d{1,2})(?!\d)"
+    # %m/%d/%y — %y is VALUE-based, not digit-count-based: fromChars
+    # (DateTimeParser.cpp:284) consumes ALL digits then checks the
+    # value, so zero-padded '012' -> 12 -> century rule -> 2012 while
+    # '123' (>= 100) fails over to %m/%d/%Y.  The CASE branch order
+    # (this entry first) implements the format-priority dispatch.
+    rx = r"^\s*(\d{1,2})/\s*(\d{1,2}+)/\s*(\d++)"
     out.append((rx, lambda s, rx=rx: (
         f"{_rex(s, rx, 0)} <> '' AND {_int_g(s, rx, 1)} BETWEEN 1 AND 12 "
-        f"AND {_int_g(s, rx, 2)} BETWEEN 1 AND 31",
-        mk(century(_int_g(s, rx, 3)), _int_g(s, rx, 1), _int_g(s, rx, 2)))))
-    # %m/%d/%Y (3+-digit or negative year)
-    rx = r"^\s*(\d{1,2})/\s*(\d{1,2}+)/\s*(-\d+|\d{3,})"
+        f"AND {_int_g(s, rx, 2)} BETWEEN 1 AND 31 "
+        f"AND CAST({_rex(s, rx, 3)} AS BIGINT) < 100",
+        mk(century(f"CAST({_rex(s, rx, 3)} AS BIGINT)"),
+           _int_g(s, rx, 1), _int_g(s, rx, 2)))))
+    # %m/%d/%Y (negative, or any year the %y branch's value check
+    # rejected — unreachable for values < 100 thanks to CASE order)
+    rx = r"^\s*(\d{1,2})/\s*(\d{1,2}+)/\s*(-?\d++)"
     out.append((rx, lambda s, rx=rx: (
         f"{_rex(s, rx, 0)} <> '' AND {_int_g(s, rx, 1)} BETWEEN 1 AND 12 "
         f"AND {_int_g(s, rx, 2)} BETWEEN 1 AND 31 "
@@ -522,12 +556,14 @@ def _date_formats():
         f"AND {_year_ok(_rex(s, rx, 1))}",
         mk(f"CAST({_rex(s, rx, 1)} AS BIGINT)", _int_g(s, rx, 2),
            _int_g(s, rx, 3)))))
-    # %d-%b-%y
-    rx = r"^\s*(\d{1,2})-\s*(" + _MONTH_PAT + r")-\s*(\d{1,2})(?!\d)"
+    # %d-%b-%y (same value-based %y; no -%Y fallback format exists,
+    # so a >= 100 year value fails the whole dash-%b family)
+    rx = r"^\s*(\d{1,2})-\s*(" + _MONTH_PAT + r")-\s*(\d++)"
     out.append((rx, lambda s, rx=rx: (
-        f"{_rex(s, rx, 0)} <> '' AND {_int_g(s, rx, 1)} BETWEEN 1 AND 31",
-        mk(century(_int_g(s, rx, 3)), _month_num(_rex(s, rx, 2)),
-           _int_g(s, rx, 1)))))
+        f"{_rex(s, rx, 0)} <> '' AND {_int_g(s, rx, 1)} BETWEEN 1 AND 31 "
+        f"AND CAST({_rex(s, rx, 3)} AS BIGINT) < 100",
+        mk(century(f"CAST({_rex(s, rx, 3)} AS BIGINT)"),
+           _month_num(_rex(s, rx, 2)), _int_g(s, rx, 1)))))
     # %d/%b/%Y
     rx = r"^\s*(\d{1,2})/\s*(" + _MONTH_PAT + r")/\s*(-?\d+)"
     out.append((rx, lambda s, rx=rx: (
@@ -551,7 +587,9 @@ def _time_chain(t: str, anchored: bool, unit: str) -> str:
     assigned for a later format that succeeds without setting them
     (timestamp path only — with junk present the strict path already
     failed)."""
-    end = "$" if anchored else ""
+    # \z, not $: parse_time demands full consumption and Java's $
+    # would accept a trailing newline ('22:30\n' must be NULL).
+    end = r"\z" if anchored else ""
 
     # every digit group is possessive ({1,2}+): std::from_chars grabs
     # min(2, available) digits and never gives one back, so Java regex

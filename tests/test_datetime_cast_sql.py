@@ -50,6 +50,15 @@ CORPUS = [
     "01/02/68", "01/02/69", "1/2/5", "2020/02/03", "13/05/06",
     "15-March-21", "15-Marx-21", "15-Janu-21", "15-Mar- 21",
     "1999-09-09 23:59:59", "01/02/-44",
+    # shifted month-suffix table (comma bug, DateTimeParser.cpp:46)
+    "15-November-21", "15-Janruary-21", "15-Maril-21", "15-Maye-21",
+    "15-Octember-21", "15-January-21", "21/December/2015",
+    "21/Nov. . wait/2015", "15-febch-21", "15-April-21",
+    # value-based %y/%Y split (zero-padded years)
+    "01/02/012", "1/2/0012", "15-Mar-012", "1/2/123", "1/2/0123",
+    "01/02/0068", "01/02/00691", "15-Mar-0500",
+    # \z anchoring (trailing newline must not sneak past $)
+    "22:30\n", "936835200\n", "2013-09-10 09:00:00\n",
     # unixTime fallback
     "936835200", "936835200.75", " 936835200", "2020", "-31496400",
     "-123", "5.",
@@ -133,12 +142,19 @@ def _fuzz_corpus(seed: int, n: int) -> list:
     import random
 
     rng = random.Random(seed)
-    months = ["Jan", "January", "mar", "MARCH", "Ju", "Janu", "xyz", "May"]
+    months = ["Jan", "January", "mar", "MARCH", "Ju", "Janu", "xyz", "May",
+              "November", "Janruary", "Maril", "maye", "Octember", "dec"]
+    # zero-padded 2-digit years exercise the VALUE-based %y/%Y split
+    # (fromChars parses '012' -> 12 -> century rule, not 0012)
+    years2 = lambda: rng.choice([
+        str(rng.randint(0, 120)),
+        f"0{rng.randint(0, 99)}", f"00{rng.randint(0, 99)}",
+        f"000{rng.randint(0, 9)}"])
     dates = lambda: rng.choice([
         f"{rng.randint(0, 3000)}-{rng.randint(0, 19)}-{rng.randint(0, 35)}",
-        f"{rng.randint(0, 19)}/{rng.randint(0, 35)}/{rng.randint(0, 120)}",
+        f"{rng.randint(0, 19)}/{rng.randint(0, 35)}/{years2()}",
         f"{rng.randint(0, 19)}/{rng.randint(0, 35)}/{rng.randint(100, 3000)}",
-        f"{rng.randint(0, 40)}-{rng.choice(months)}-{rng.randint(0, 99)}",
+        f"{rng.randint(0, 40)}-{rng.choice(months)}-{years2()}",
         f"{rng.randint(0, 40)}/{rng.choice(months)}/{rng.randint(0, 3000)}",
         str(rng.randint(-10**9, 10**9)),
     ])
@@ -167,6 +183,10 @@ def _fuzz_corpus(seed: int, n: int) -> list:
             s += rng.choice([" junk", "Z", "...", " 1999"])
         if rng.random() < 0.1:
             s = " " + s
+        if rng.random() < 0.1:
+            # trailing newline: Java's $ would sneak past it; the
+            # reference's full-consumption paths must reject
+            s += "\n"
         out.append(s)
     return sorted(set(out))
 
@@ -294,13 +314,18 @@ class TestLiteralCasts:
         assert r["a"] is None
 
     def test_iso_literals_untouched(self, engine):
-        # gap-filling only: Spark-native ISO handling (incl. micros
-        # and bare-date-to-midnight) is preserved
+        # ISO date+time literals keep Spark's native cast (micros
+        # preserved); a BARE iso date is the kTIMESTAMP empty-
+        # remainder reject (DateTimeParser.cpp:173-176) -> NULL,
+        # matching the string-column chain, while a trailing space
+        # makes the time parse fail over to midnight (value_or(0)).
         r = engine.sql(
             "SELECT CAST('2013-09-10' AS TIMESTAMP) AS bare,"
+            " CAST('2013-09-10 ' AS TIMESTAMP) AS sp,"
             " CAST('2013-09-10 09:00:00.123456' AS TIMESTAMP) AS fr"
         ).first()
-        assert r["bare"] == datetime.datetime(2013, 9, 10)
+        assert r["bare"] is None
+        assert r["sp"] == datetime.datetime(2013, 9, 10)
         assert r["fr"] == datetime.datetime(2013, 9, 10, 9, 0, 0, 123456)
 
 

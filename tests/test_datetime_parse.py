@@ -108,9 +108,19 @@ class TestDateParse:
         assert parse_date("13/05/06") == parse_date("0013-05-06")
 
     def test_month_name_prefix_rule(self):
-        # eatMonth: exactly 3 letters or the full name (:88-94)
-        assert date_literal("15-March-21") == "2021-03-15"
+        # eatMonth (:88-94) with the reference's comma-bug-shifted
+        # suffix table (DateTimeParser.cpp:46-59: '"" "uary"'
+        # concatenates, so each month eats the NEXT month's suffix):
+        # 3-letter abbreviations always parse; of the full names only
+        # 'november' survives; hybrids like 'janruary'/'maril' parse.
         assert date_literal("15-Mar-21") == "2021-03-15"
+        assert date_literal("15-March-21") is None
+        assert date_literal("15-January-21") is None
+        assert date_literal("15-November-21") == "2021-11-15"
+        assert date_literal("15-Janruary-21") == "2021-01-15"
+        assert date_literal("15-Maril-21") == "2021-03-15"
+        assert date_literal("15-Maye-21") == "2021-05-15"
+        assert date_literal("15-Octember-21") == "2021-10-15"
         assert date_literal("15-Marx-21") is None
         assert date_literal("15-Janu-21") is None
 
