@@ -938,8 +938,14 @@ def _position_call(args: str) -> str | None:
         pos = "1"
     if not needle or not hay:
         return None
+    # empty needle: std::string::find('', p) returns p when p <= len
+    # (result p+1), npos otherwise — Spark's locate('') is always 1
     return (
-        f"(CASE WHEN length({hay}) = 0 THEN CAST(NULL AS BIGINT) "
+        f"(CASE WHEN ({hay}) IS NULL OR length({hay}) = 0 "
+        f"THEN CAST(NULL AS BIGINT) "
+        f"WHEN length({needle}) = 0 THEN "
+        f"CAST(IF(({pos}) BETWEEN 1 AND length({hay}) + 1, ({pos}), 0) "
+        f"AS BIGINT) "
         f"ELSE CAST(locate({needle}, {hay}, {pos}) AS BIGINT) END)"
     )
 
@@ -1209,7 +1215,44 @@ _CALL_REWRITES = [
     # the reference too; the contract is injectivity (equal keys <=>
     # equal strings), supplied here by a 64-bit hash surrogate.
     ("KEY_FOR_STRING", lambda args: f"xxhash64({args})"),
-    ("APPROX_MEDIAN", lambda args: f"approx_percentile({args}, 0.5)"),
+    # APPROX_MEDIAN interpolates like the reference's t-digest quantile
+    # (Shared/quantile.h; ExecuteTest pairs it against SQLite MEDIAN,
+    # which is 7.5 on {7x5, 8x5} — Spark's approx_percentile would
+    # return the element 7).  median() is exact-interpolating; at
+    # 100 TB prefer APPROX_PERCENTILE/APPROX_QUANTILE for the sketch
+    # path (documented in COVERAGE.md).
+    ("APPROX_MEDIAN", lambda args: f"median({args})"),
+    # HASH(str[, seed]) — StringOps.cpp Hash::numericEval (cyrb53,
+    # 53-bit, front-end-compatible): exact port in functions/strings.py
+    (
+        "HASH",
+        lambda args: (
+            lambda p: (
+                f"hash_heavy({p[0]}, 0)" if len(p) == 1
+                else f"hash_heavy({p[0]}, {p[1]})" if len(p) == 2
+                else None
+            )
+        )(_split_top_level(args)),
+    ),
+    # LTRIM/RTRIM(str, chars): HeavyDB's arg order (StringOps.h LTrim/
+    # RTrim) is (str, trim_chars); Spark's two-parameter form is
+    # (trim_chars, str) — swap.  One-arg forms pass through.
+    (
+        "LTRIM",
+        lambda args: (
+            lambda p: (
+                f"ltrim({p[1]}, {p[0]})" if len(p) == 2 else None
+            )
+        )(_split_top_level(args)),
+    ),
+    (
+        "RTRIM",
+        lambda args: (
+            lambda p: (
+                f"rtrim({p[1]}, {p[0]})" if len(p) == 2 else None
+            )
+        )(_split_top_level(args)),
+    ),
     ("APPROX_COUNT_DISTINCT", _approx_count_distinct),
     ("SPLIT_PART", _split_part_null_oob),
     # HeavyDB INITCAP breaks words on punctuation too
@@ -1377,9 +1420,12 @@ def _regexp_count_ext(args: str) -> str | None:
     s, pat = parts[0], parts[1]
     pos = parts[2] if len(parts) > 2 else "1"
     prm = parts[3] if len(parts) > 3 else "''"
+    # NULL input -> NULL (numericEval's empty/null return), not
+    # size(NULL)'s legacy -1/0
     return (
-        f"size(regexp_extract_all(substr({s}, {pos}), "
-        f"{_java_pattern(pat, prm)}, 0))"
+        f"(CASE WHEN ({s}) IS NULL THEN CAST(NULL AS INT) "
+        f"ELSE size(regexp_extract_all(substr({s}, {pos}), "
+        f"{_java_pattern(pat, prm)}, 0)) END)"
     )
 
 
@@ -1954,6 +2000,72 @@ _WINDOW_REWRITES = [
     ("LEAD_IN_FRAME", _lead_in_frame),
 ]
 
+_OVER_OPEN_RE = re.compile(r"\bOVER\s*\(", re.IGNORECASE)
+_ORDER_BY_ANY_RE = re.compile(r"\bORDER\s+BY\b", re.IGNORECASE)
+_ROWS_TOKEN_RE = re.compile(r"\bROWS\b", re.IGNORECASE)
+
+
+def _rewrite_unordered_rows_frames(sql: str) -> str:
+    """A ROWS frame in an OVER clause with NO ORDER BY is IGNORED by
+    the reference (whole-partition frame; ExecuteTest.cpp 'frame
+    without ordering key(s): in row mode, we ignore user-given frame
+    bound if order-by clause is missing') — Spark would apply the
+    frame over an arbitrary row order.  Strip the frame.  The RANGE
+    twin needs no rewrite: the reference throws and Spark rejects a
+    value-bounded RANGE without ORDER BY too."""
+    out, pos = [], 0
+    while True:
+        m = _OVER_OPEN_RE.search(sql, pos)
+        if not m:
+            out.append(sql[pos:])
+            return "".join(out)
+        close = _scan_balanced(sql, m.end())
+        body = sql[m.end():close - 1]
+        out.append(sql[pos:m.start()])
+        if not _ORDER_BY_ANY_RE.search(body):
+            rm = _ROWS_TOKEN_RE.search(body)
+            if rm is not None:
+                depth = (body.count("(", 0, rm.start())
+                         - body.count(")", 0, rm.start()))
+                if depth == 0:
+                    body = body[:rm.start()].rstrip()
+        out.append(f"{sql[m.start():m.end()]}{body})")
+        pos = close
+
+
+# The reference's StringOps layer nullifies EMPTY string-op results:
+# NullableStrType(str) sets is_null = str.empty() (StringOps.h:42), so
+# e.g. lower(''), left(x, 0), substr('', 3, 5), space(0) and
+# trim-to-nothing are all NULL (pinned by StringFunctionsTest's lcase/
+# left/right/mid/space/substr/ucase Null expectations).  Every
+# USER-LEVEL string-op call is wrapped in nullif(..., '').  The pass
+# runs BEFORE _CALL_REWRITES/_WINDOW_REWRITES/datetime-cast chains, so
+# it sees only the user's spellings — machinery those rewrites
+# generate (regexp_extract sentinels, aggregate-concat accumulators,
+# '' CASE branches) stays bare.  The bare `||` concat operator is NOT
+# wrapped ('' || '' keeps Spark's '' — documented edge in COVERAGE.md).
+_EMPTY_NULL_FN_RE = re.compile(
+    r"\b(?:lower|upper|initcap|reverse|repeat|concat|"
+    r"lpad|rpad|trim|ltrim|rtrim|btrim|substring|substr|mid|left|right|"
+    r"overlay|replace|translate|split_part|regexp_replace|"
+    r"regexp_substr|get_json_object|base64_encode|base64_decode|"
+    r"url_encode|url_decode|space)\s*\(",
+    re.IGNORECASE)
+
+
+def _nullify_empty_stringops(sql: str) -> str:
+    out, pos = [], 0
+    while True:
+        m = _EMPTY_NULL_FN_RE.search(sql, pos)
+        if not m:
+            out.append(sql[pos:])
+            return "".join(out)
+        close = _scan_balanced(sql, m.end())
+        inner = _nullify_empty_stringops(sql[m.end():close - 1])
+        out.append(sql[pos:m.start()])
+        out.append(f"nullif({sql[m.start():m.end()]}{inner}), '')")
+        pos = close
+
 
 # HeavyDB/Calcite sorts nulls HIGH by default (NULLS LAST on ASC,
 # NULLS FIRST on DESC — SqlToRelConverter.java:2185
@@ -2397,6 +2509,14 @@ def _expr_is_stringy(expr: str, type_of) -> bool:
         elif ch == "|" and depth == 0 and e[i:i + 2] == "||":
             return True
     m = _HEAD_CALL_RE.match(e)
+    if m and m.group(1).lower() == "nullif":
+        # the empty-string-op wrapper (nullif(<string op>, '')) is
+        # exactly as stringy as its first argument
+        if _scan_balanced(e, m.end()) >= len(e.rstrip()):
+            first = _split_top_level(e[m.end():_scan_balanced(e, m.end()) - 1])
+            if first:
+                return _expr_is_stringy(first[0], type_of)
+        return False
     if m and m.group(1).lower() in _STRING_FUNC_HEADS:
         # the call must span the whole expression
         if _scan_balanced(e, m.end()) >= len(e.rstrip()):
@@ -2693,10 +2813,16 @@ def rewrite(sql: str, type_of=None) -> str:
         if out2 == out:
             break
         out = out2
+    # empty-string-op nullification runs on USER spellings, before the
+    # call rewrites below generate substr/regexp/concat machinery whose
+    # '' sentinels must stay bare; _expr_is_stringy sees through the
+    # nullif() wrapper for the later cast rewrites.
+    out = _nullify_empty_stringops(out)
     for fname, make in _CALL_REWRITES:
         out = _rewrite_call(out, fname, make)
     for fname, make in _WINDOW_REWRITES:
         out = _rewrite_window_call(out, fname, make)
+    out = _rewrite_unordered_rows_frames(out)
     # datetime literal/cast parsing runs after the call rewrites (its
     # generated chains must not re-enter e.g. the REGEXP_REPLACE hook)
     # and before the TIMESTAMP(n) strip (it reads the dimension).

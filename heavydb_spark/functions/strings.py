@@ -103,16 +103,53 @@ def jarowinkler_similarity_ref(s: pd.Series, t: pd.Series) -> pd.Series:
 
 @pandas_udf(StringType())
 def url_encode(s: pd.Series) -> pd.Series:
-    from urllib.parse import quote
+    """Form-encoding like the reference (StringOps.cpp:937 UrlEncode):
+    unreserved = alnum + '-._~' kept, space -> '+', everything else
+    %XX uppercase; quote_plus(safe='') is exactly this alphabet."""
+    from urllib.parse import quote_plus
 
-    return s.map(lambda v: None if v is None else quote(v, safe=""))
+    return s.map(lambda v: None if v is None else quote_plus(v, safe=""))
 
 
 @pandas_udf(StringType())
 def url_decode(s: pd.Series) -> pd.Series:
-    from urllib.parse import unquote
+    """Inverse (StringOps.cpp:958 UrlDecode): '+' -> space, %XX
+    triplets decoded; garbage-in tolerated like the reference."""
+    from urllib.parse import unquote_plus
 
-    return s.map(lambda v: None if v is None else unquote(v))
+    return s.map(lambda v: None if v is None else unquote_plus(v))
+
+
+def _cyrb53(data: bytes, seed: int) -> int:
+    """The reference's HASH string op (StringOps.cpp Hash::numericEval
+    — cyrb53, 'matches the one used by the front end', 53-bit result).
+    Bytes >= 0x80 sign-extend exactly as the C++ char -> uint32 cast."""
+    mask = 0xFFFFFFFF
+    h1 = (0xDEADBEEF ^ (seed & mask)) & mask
+    h2 = (0x41C6CE57 ^ (seed & mask)) & mask
+    for b in data:
+        u = b if b < 0x80 else (b - 0x100) & mask  # sign-extended char
+        h1 = ((h1 ^ u) * 2654435761) & mask
+        h2 = ((h2 ^ u) * 1597334677) & mask
+    h1 = ((h1 ^ (h1 >> 16)) * 2246822507) & mask
+    h1 = (h1 ^ ((h2 ^ (h2 >> 13)) * 3266489909)) & mask
+    h2 = ((h2 ^ (h2 >> 16)) * 2246822507) & mask
+    h2 = (h2 ^ ((h1 ^ (h1 >> 13)) * 3266489909)) & mask
+    return ((h2 & 0x1FFFFF) << 32) | h1
+
+
+@pandas_udf(LongType())
+def hash_heavy(s: pd.Series, seed: pd.Series) -> pd.Series:
+    """HASH(str[, seed]) — NULL/empty input -> NULL (the NullableStrType
+    empty rule + numericEval's str.empty() null return)."""
+    return pd.Series(
+        [
+            None if v is None or v == "" or sd is None
+            else _cyrb53(v.encode("utf-8"), int(sd))
+            for v, sd in zip(s, seed)
+        ],
+        dtype="object",
+    )
 
 
 def register_string_functions(spark: SparkSession) -> None:
@@ -121,6 +158,7 @@ def register_string_functions(spark: SparkSession) -> None:
     )
     spark.udf.register("url_encode", url_encode)
     spark.udf.register("url_decode", url_decode)
+    spark.udf.register("hash_heavy", hash_heavy)
     register_initcap_heavy(spark)
 
 

@@ -37,109 +37,64 @@ from heavydb_spark.queries import (  # noqa: F401,E402
 # Registration-order priority.
 #
 # The verify driver correctness-checks queries in registration order
-# with a bounded budget (~50 per round).  Driver union r1-r8: 255/255
-# minus the one r9 net-new entry below.  Round-9 executes the r7/r8
-# plan: the window committed in r8 as positions 51-100 rotates to the
-# front UNCHANGED (same 50 entries, same order — r8 verdict queue #1),
-# and the r10 window is composed and pre-verified behind it.
+# with a bounded budget (~50 per round).  Driver union r1-r9:
+# 255/255; after the r9 window ran, no catalog entry's last driver
+# check predates ROUND 4.  Round-10 executes the r9 verdict queue #1:
+# the window committed in r9 as positions 51-100 rotates to the front
+# UNCHANGED (same 50 entries, same order), and the r11 window is
+# composed and pre-verified behind it (queue #2).
 #
-# ROUND-9 WINDOW (positions 1-50) — committed in r8, run as-is:
-#   1-31   the remaining 31 r3-checked entries;
-#   32-33  the r8 regression slice: sim_ann_ivfpq +
-#          sim_ann_ivfpq_invariants (residual=True became the
-#          ann_topk_ivfpq default in r8);
-#   34-50  the 17 oldest r4-checked entries in registration order.
-#   Pre-verified twice in r8 (builder replay + judge replay of the
-#   full first 100 positions at sf0.01: 90 green + 10 rows-only,
-#   0 fails) and RE-VERIFIED against the final r9 code:
-#   scripts/replay_window.py 100 at sf0.01 came back 92 hash-green +
-#   8 rows-only, 0 fails across positions 1-100 (this window AND the
-#   r10 window below).  After r9 completes, no catalog entry's last
-#   driver check predates ROUND 4.
+# ROUND-10 WINDOW (positions 1-50) — committed in r9, run as-is:
+#   1      fn_dialect_probe_closeout — the r9 net-new consolidation of
+#          the r8 probe-sweep dialect surface under a driver oracle;
+#   2-4    the r9 regression slice: tf_generate_series /
+#          tf_generate_series_ts (reference num_rows formula) and
+#          fn_string_distance (float jaro half-transpositions);
+#   5-16   the 12 remaining r4-checked entries (registration order);
+#   17-50  the 34 oldest r5-checked entries in registration order.
+#          The one rows-only entry, tf_raster_slope_path (44), pairs
+#          with its exact companion tf_raster_slope_path_invariants
+#          checked in the adjacent r9 window.
+#   Pre-verified twice in r9 (builder replay + judge replay of the
+#   full first 100 positions at sf0.01, 0 fails) and RE-VERIFIED
+#   against the final r10 code with scripts/replay_window.py 100 at
+#   sf0.01 (see the r10 summary in SURVEY.md).  After r10 completes,
+#   no catalog entry's last driver check predates ROUND 5.
 #
-# ROUND-10 WINDOW (positions 51-100) — r8 verdict queue #2/#3/#7:
-#   51     fn_dialect_probe_closeout — the r9 net-new consolidation of
-#          the r8 probe-sweep dialect surface (TSQL datetime aliases,
-#          POSITION FROM, SUM_IF, ROUND_TO_DIGIT/ROUND2, TRY_STRTOD/L,
-#          JSON_VALUE lax, MID/RCONCAT/LEVENSHTEIN_DISTANCE, CAST AS
-#          TEXT, TIMESTAMP(3) literal) under a driver oracle;
-#   52-54  the r9 regression slice — catalog queries whose code paths
-#          r9 touched: tf_generate_series / tf_generate_series_ts (the
-#          integer path now runs the reference's truncating num_rows
-#          formula) and fn_string_distance (the jaro kernel keeps the
-#          half-transposition count as a float);
-#   55-66  the 12 remaining r4-checked entries (registration order);
-#   67-100 the 34 oldest r5-checked entries in registration order.
-#          The one rows-only entry here, tf_raster_slope_path (94),
-#          pairs with its exact companion
-#          tf_raster_slope_path_invariants checked in the immediately
-#          preceding r9 window (position 47) — listing the companion
-#          twice is impossible (the reorder dict dedupes) and swapping
-#          it forward would break the committed r9 window, so the pair
-#          spans adjacent windows with both checks ≤1 round apart.
+# ROUND-11 WINDOW (positions 51-100) — r9 verdict queue #2:
+#   51-56  the r10 regression slice — the five engine.sql-routed
+#          catalog queries NOT already in the r10 window, covering
+#          this round's dialect/rewrite changes (bare-ISO-date
+#          TIMESTAMP NULL, value-based %y/%Y chain split, shifted
+#          month-suffix table, \z anchoring, TRY_CAST resolver
+#          gating): sql_dialect_int_division first (the resolver
+#          gate feeds both the int-division and rounding rewrites),
+#          plus fn_string_extra (its url_encode pandas UDF switched
+#          to the reference's form encoding — space -> '+' — in r10);
+#   57-70  the 14 remaining r5-checked entries (registration order);
+#   71-100 the 30 oldest r6-checked entries in registration order,
+#          with one swap: sim_semantic_kmeans_invariants is pulled
+#          forward to sit beside its rows-only partner
+#          sim_semantic_dedup_kmeans (pairing rule: a rows-only slot
+#          ships with a green exact companion in the same window),
+#          displacing geo_transform_datum and text_chunk_windows
+#          past the window.  The
+#          other rows-only entries here pair in-window too:
+#          text_bpe_train with text_bpe_first_merge, text_bpe_encode
+#          with text_bpe_encode_contract / _invariants.
 #
-# Past position 100: the remaining 14 r5-checked entries, then r6/r7/
-# r8 greens freshest-last in registration order (an over-budget driver
-# keeps eating staleness in age order).
+# Past position 100: text_chunk_windows and geo_transform_datum (the
+# two r6 entries displaced by the slice/pairing swaps), then r6/r7/
+# r8/r9 greens freshest-last in registration order (an over-budget
+# driver keeps eating staleness in age order); the 50 entries the r9
+# driver just checked sit at the very end.
 # ---------------------------------------------------------------------------
 _PRIORITY = [
-    # --- ROUND-9 WINDOW (run as-is; committed in r8) ---
-    "geo_transform_900913",
-    "geo_wkt_roundtrip",
-    "join_multistep_tpch_q10",
-    "join_multistep_tpch_q3",
-    "join_multistep_tpch_q5",
-    "join_star_agg",
-    "ml_decision_trees",
-    "ml_forest_predict",
-    "ml_kmeans",
-    "ml_linear_reg2",
-    "ml_pca_fit",
-    "ml_pca_project",
-    "ml_var_importance",
-    "mm_frame_sample",
-    "pipe_decontaminate",
-    "pipe_dictionary_encode",
-    "pipe_pii_scrub",
-    "pipe_sample_stratified",
-    "pricing_summary",
-    "scan_project_filter",
-    "stream_interval_join",
-    "stream_sliding_window",
-    "text_quality",
-    "tf_cross_section_2d",
-    "tf_feature_query_similarity",
-    "tf_mandelbrot",
-    "tf_raster_contour",
-    "tf_raster_contour_bands",
-    "union_distinct",
-    "window_forward_fill",
-    "window_moving_avg",
-    "sim_ann_ivfpq",
-    "sim_ann_ivfpq_invariants",
-    "agg_approx_invariants",
-    "geo_geos_concavehull",
-    "geo_geos_convexhull",
-    "ml_decision_trees_invariants",
-    "ml_forest_invariants",
-    "ml_kmeans_invariants",
-    "ml_pca_fit_invariants",
-    "ml_pca_invariants",
-    "ml_var_importance_invariants",
-    "pipe_dedup_keep_best",
-    "sim_ann_ivf_invariants",
-    "stream_interval_join_full",
-    "stream_interval_join_outer",
-    "tf_raster_slope_path_invariants",
-    "tpcds_q36_hierarchy_rank",
-    "tpch_q11_important_value",
-    "tpch_q12_priority_class",
-    # --- ROUND-10 WINDOW: probe closeout + r9 regression slice ---
+    # --- ROUND-10 WINDOW (run as-is; committed in r9) ---
     "fn_dialect_probe_closeout",
     "tf_generate_series",
     "tf_generate_series_ts",
     "fn_string_distance",
-    # --- ROUND-10 WINDOW: the 12 remaining r4-checked entries ---
     "tpch_q13_order_distribution",
     "tpch_q14_promo_revenue",
     "tpch_q15_top_supplier",
@@ -152,7 +107,6 @@ _PRIORITY = [
     "tpch_q19_disjunctive_join",
     "tpch_q20_nested_in",
     "tpch_q22_global_sales",
-    # --- ROUND-10 WINDOW: the 34 oldest r5-checked entries ---
     "case_expr",
     "in_list_filter",
     "values_literal",
@@ -187,7 +141,16 @@ _PRIORITY = [
     "tf_point_cloud_metadata",
     "tf_load_point_cloud",
     "dml_update_correlated_postimage",
-    # --- past the window: remaining r5, then r6-r8 freshest-last ---
+    # --- ROUND-11 WINDOW: r10 regression slice (engine.sql-routed,
+    # plus fn_string_extra whose url_encode UDF switched to the
+    # reference's form encoding in r10) ---
+    "sql_dialect_int_division",
+    "agg_grouping_sets",
+    "agg_filter_clause",
+    "sql_dialect_geo_predicates",
+    "tpcds_q67_rollup_rank",
+    "fn_string_extra",
+    # --- ROUND-11 WINDOW: the 14 remaining r5-checked entries ---
     "tf_torch_obj_detect",
     "geo_buffer_dispatch",
     "geo_transform_epsg",
@@ -202,8 +165,7 @@ _PRIORITY = [
     "tpcds_q74_yoy_growth",
     "ml_model_ddl_tree",
     "ml_model_ddl_pca",
-    "agg_grouping_sets",
-    "agg_filter_clause",
+    # --- ROUND-11 WINDOW: the 31 oldest r6-checked entries ---
     "sim_pq_invariants",
     "pipe_tokenize_pack",
     "pipe_corpus_report",
@@ -215,6 +177,7 @@ _PRIORITY = [
     "text_lm_perplexity",
     "pipe_model_filter_chain",
     "sim_semantic_dedup_kmeans",
+    "sim_semantic_kmeans_invariants",
     "pipe_dsir_select",
     "dedup_span_rewrite",
     "dedup_boilerplate_segments",
@@ -233,10 +196,9 @@ _PRIORITY = [
     "text_gopher_filter",
     "pipe_curation_v2",
     "text_bm25_topk",
+    # --- past the window: r6-r9 greens freshest-last ---
     "text_chunk_windows",
     "geo_transform_datum",
-    "sql_dialect_geo_predicates",
-    "tpcds_q67_rollup_rank",
     "tpcds_q64_cross_year_sales",
     "tpcds_q49_ranked_returns",
     "tpcds_q38_triple_intersect",
@@ -246,9 +208,7 @@ _PRIORITY = [
     "tpcds_q95_returned_multi_supplier",
     "tpcds_q17_quantity_variability",
     "tpcds_q34_frequent_buyer_band",
-    "sim_semantic_kmeans_invariants",
     "distinct_projection",
-    "sql_dialect_int_division",
     "agg_count_star",
     "agg_groupby_count",
     "agg_groupby_avg",
@@ -338,11 +298,60 @@ _PRIORITY = [
     "dedup_minhash_lsh",
     "fn_datetime",
     "fn_decimal",
-    "fn_string_extra",
     "geo_accessors_distance",
     "geo_grid_join",
     "geo_linestring_props",
     "geo_polygon_intersects",
+    "geo_transform_900913",
+    "geo_wkt_roundtrip",
+    "join_multistep_tpch_q10",
+    "join_multistep_tpch_q3",
+    "join_multistep_tpch_q5",
+    "join_star_agg",
+    "ml_decision_trees",
+    "ml_forest_predict",
+    "ml_kmeans",
+    "ml_linear_reg2",
+    "ml_pca_fit",
+    "ml_pca_project",
+    "ml_var_importance",
+    "mm_frame_sample",
+    "pipe_decontaminate",
+    "pipe_dictionary_encode",
+    "pipe_pii_scrub",
+    "pipe_sample_stratified",
+    "pricing_summary",
+    "scan_project_filter",
+    "stream_interval_join",
+    "stream_sliding_window",
+    "text_quality",
+    "tf_cross_section_2d",
+    "tf_feature_query_similarity",
+    "tf_mandelbrot",
+    "tf_raster_contour",
+    "tf_raster_contour_bands",
+    "union_distinct",
+    "window_forward_fill",
+    "window_moving_avg",
+    "sim_ann_ivfpq",
+    "sim_ann_ivfpq_invariants",
+    "agg_approx_invariants",
+    "geo_geos_concavehull",
+    "geo_geos_convexhull",
+    "ml_decision_trees_invariants",
+    "ml_forest_invariants",
+    "ml_kmeans_invariants",
+    "ml_pca_fit_invariants",
+    "ml_pca_invariants",
+    "ml_var_importance_invariants",
+    "pipe_dedup_keep_best",
+    "sim_ann_ivf_invariants",
+    "stream_interval_join_full",
+    "stream_interval_join_outer",
+    "tf_raster_slope_path_invariants",
+    "tpcds_q36_hierarchy_rank",
+    "tpch_q11_important_value",
+    "tpch_q12_priority_class",
 ]
 
 

@@ -350,7 +350,7 @@ def fn_unnest_explode(spark, sf_dir):
            ltrim('  ' || p_brand) AS lt,
            rtrim(p_brand || '  ') AS rt,
            base64(encode(p_brand)) AS b64,
-           replace(p_name, ' ', '%20') AS urlenc,
+           replace(p_name, ' ', '+') AS urlenc,
            translate(p_brand, '#', '_') AS trans
     FROM part WHERE p_partkey < 200 ORDER BY p_partkey
     """,
@@ -359,11 +359,13 @@ def fn_string_extra(spark, sf_dir):
     """INITCAP/OVERLAY/SPACE/LTRIM/RTRIM/BASE64_ENCODE/URL_ENCODE
     (Shared/sqldefs.h:92-141; StringOps/StringOps.cpp kernels). p_brand is
     single-token and p_name is [a-z ]+, so the DuckDB oracle can emulate
-    INITCAP and percent-style URL_ENCODE (space -> '%20') exactly.
+    INITCAP and form-style URL_ENCODE (space -> '+') exactly.
     URL_ENCODE uses the engine's registered pandas UDF (functions/
-    strings.py, percent-encoding like the reference's StringOps kernel)
-    called as a function object so it cannot be shadowed by - or lose
-    to - the differently-spelled Spark builtin (form-encoding)."""
+    strings.py) — r10 aligned it with the reference's FORM encoding
+    (StringOps.cpp:937 UrlEncode: space -> '+', unreserved alnum+'-._~'
+    kept, uppercase %XX otherwise; pinned by UrlEncodeTest
+    'Hello+World%21') — called as a function object so it cannot be
+    shadowed by the differently-spelled Spark builtin."""
     from heavydb_spark.functions.strings import url_encode
 
     p = T(spark, sf_dir, "part").filter(F.col("p_partkey") < 200)

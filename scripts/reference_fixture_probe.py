@@ -25,10 +25,14 @@ TIME representation).  The m_9 fixture value truncates its
 nanoseconds to micros on both sides (both engines are
 microsecond-precision; documented TIMESTAMP(9) delta).
 
-r9 standing result: 1039 match / 0 mismatch of 1047 harvested (3
+r10 standing result: 1214 match / 0 mismatch of 1225 harvested (4
 engine rejects are documented accept/reject-edge deltas: rowid,
-ambiguous star-join column, lag OVER () without ORDER BY; 6
-DuckDB-side errors are DuckDB limitations).
+ambiguous star-join column, lag OVER () without ORDER BY, the
+duplicate-column view_test view; 7 DuckDB-side errors are DuckDB
+limitations).  The r10 extension added 26 fixture tables/views and
+the two-string c(sql, sqlite_sql, dt) overload (122 paired
+comparisons); only the five `#if 0`-disabled Select.Deleted queries
+remain un-harvested.
 
 Run: python scripts/reference_fixture_probe.py
 """
@@ -181,37 +185,67 @@ def canon_rows(rows):
     return sorted(tuple(canon_val(v) for v in r) for r in rows)
 
 
+# Every fixture table (or view) rebuilt by this script.  A harvested
+# query is runnable iff it touches only these.  test_inner_deleted is
+# deliberately absent: its creation AND its Select.Deleted queries are
+# `#if 0`-disabled in the reference (ExecuteTest.cpp:22636,29905).
+ALLOWED = frozenset("""
+    test test_inner join_test emptytab union_all_a union_all_b
+    hash_join_test dept emp empty_test_table big_decimal_range_test
+    test_x test_inner_x logical_size_test coalesce_cols_test_0
+    coalesce_cols_test_1 coalesce_cols_test_2 gpu_sort_test random_test
+    query_rewrite_test subquery_test simple_filter test_in_bitmap
+    hash_join_decimal_test
+    st1 st2 st3 test_inner_y outer_join_foo outer_join_bar corr_in_lookup
+    corr_in_facts test_ranges test_one_row test_empty single_row_test
+    proj_top bar bweq_test emptytab2 blank_test union_all_c
+    decimal_compression_test test_lots_cols left_join_varlen_proj1
+    left_join_varlen_proj2 t1 t2 test_frame_nav test_window_framing
+    view_test join_view_test view_self_join_v1 view_self_join_v2
+    view_self_join_v3
+""".split())
+
+_CSTR_RE = re.compile(r'R?"((?:[^"\\]|\\.)*)"')
+_C1_RE = re.compile(r'\bc\(\s*((?:R?"(?:[^"\\]|\\.)*"\s*)+),\s*dt\s*\)',
+                    re.DOTALL)
+# c(query, sqlite_query, dt): HeavyDB-dialect left, SQLite-dialect
+# right (ExecuteTest.cpp c() overload).  We run the left on the engine
+# and the right on DuckDB — the exact cross-engine split the
+# reference's comparator uses for SQLite-incompatible spellings
+# (outer-join shorthands, window framing defaults, etc.).
+_C2_RE = re.compile(
+    r'\bc\(\s*((?:R?"(?:[^"\\]|\\.)*"\s*)+),'
+    r'\s*((?:R?"(?:[^"\\]|\\.)*"\s*)+),\s*dt\s*\)', re.DOTALL)
+
+
+def _cstr(chunk):
+    return "".join(
+        m.group(1).replace('\\"', '"').replace("\\\\", "\\")
+        for m in _CSTR_RE.finditer(chunk))
+
+
+def _tables(sql):
+    tabs = set(t.lower() for t in re.findall(
+        r'\b(?:FROM|JOIN)\s+([A-Za-z_]\w*)', sql, re.IGNORECASE))
+    tabs |= set(t.lower() for t in re.findall(
+        r'\bFROM\s+\w+(?:\s+\w+)?\s*,\s*([A-Za-z_]\w*)', sql,
+        re.IGNORECASE))
+    return tabs
+
+
+def _ref_src():
+    return open(os.environ.get('SPARK_GRAFT_REFERENCE',
+                '/root/reference') + '/Tests/ExecuteTest.cpp').read()
+
+
 def harvest():
-    src = open(os.environ.get('SPARK_GRAFT_REFERENCE',
-                        '/root/reference') + '/Tests/ExecuteTest.cpp').read()
-    pat = re.compile(r'\bc\(\s*((?:R?"(?:[^"\\]|\\.)*"\s*)+),\s*dt\s*\)',
-                     re.DOTALL)
-
-    def cstr(chunk):
-        return "".join(
-            m.group(1).replace('\\"', '"').replace("\\\\", "\\")
-            for m in re.finditer(r'R?"((?:[^"\\]|\\.)*)"', chunk))
-
+    """Single-string c(sql, dt) comparisons: same SQL on both engines."""
     seen, out = set(), []
-    for m in pat.finditer(src):
-        sql = cstr(m.group(1)).strip().rstrip(';')
+    for m in _C1_RE.finditer(_ref_src()):
+        sql = _cstr(m.group(1)).strip().rstrip(';')
         if not sql.upper().startswith('SELECT'):
             continue
-        tabs = set(t.lower() for t in re.findall(
-            r'\b(?:FROM|JOIN)\s+([A-Za-z_]\w*)', sql, re.IGNORECASE))
-        tabs |= set(t.lower() for t in re.findall(
-            r'\bFROM\s+\w+(?:\s+\w+)?\s*,\s*([A-Za-z_]\w*)', sql,
-            re.IGNORECASE))
-        if tabs - {'test', 'test_inner', 'join_test', 'emptytab',
-                   'union_all_a', 'union_all_b', 'hash_join_test',
-                   'dept', 'emp', 'empty_test_table',
-                   'big_decimal_range_test', 'test_x',
-                   'test_inner_x', 'logical_size_test',
-                   'coalesce_cols_test_0', 'coalesce_cols_test_1',
-                   'coalesce_cols_test_2', 'gpu_sort_test',
-                   'random_test', 'query_rewrite_test', 'subquery_test',
-                   'simple_filter', 'test_in_bitmap',
-                   'hash_join_decimal_test'}:
+        if _tables(sql) - ALLOWED:
             continue
         if sql in seen:
             continue
@@ -220,8 +254,268 @@ def harvest():
     return out
 
 
+def harvest_pairs():
+    """Two-string c(sql, sqlite_sql, dt) comparisons."""
+    seen, out = set(), []
+    for m in _C2_RE.finditer(_ref_src()):
+        sql = _cstr(m.group(1)).strip().rstrip(';')
+        dsql = _cstr(m.group(2)).strip().rstrip(';')
+        if not sql.upper().startswith('SELECT'):
+            continue
+        if (_tables(sql) | _tables(dsql)) - ALLOWED:
+            continue
+        if sql in seen:
+            continue
+        seen.add(sql)
+        out.append((sql, dsql))
+    return out
+
+
+# 31-column schema shared by test_one_row / test_empty
+# (ExecuteTest.cpp:30141-30216): the `test` layout minus me/m_3/m_6/
+# m_9/smallint_nulls/bn/num_text.
+_T31_COLS = ("x w y z t b f ff fn d dn str null_str fixed_str "
+             "fixed_null_str real_str shared_dict m n o o1 o2 fx dd "
+             "dd_notnull ss u ofd ufd ofq ufq").split()
+_T31_DUCK = ("x int not null, w tinyint, y int, z smallint, t bigint, "
+             "b boolean, f float, ff float, fn float, d double, "
+             "dn double, str varchar(10), null_str text, "
+             "fixed_str text, fixed_null_str text, real_str text, "
+             "shared_dict text, m timestamp, n time, o date, o1 date, "
+             "o2 date, fx int, dd decimal(10,2), "
+             "dd_notnull decimal(10,2) not null, ss text, u int, "
+             "ofd int, ufd int not null, ofq bigint, "
+             "ufq bigint not null")
+_T31_SPARK = ("x INT, w TINYINT, y INT, z SMALLINT, t BIGINT, "
+              "b BOOLEAN, f FLOAT, ff FLOAT, fn FLOAT, d DOUBLE, "
+              "dn DOUBLE, str STRING, null_str STRING, "
+              "fixed_str STRING, fixed_null_str STRING, "
+              "real_str STRING, shared_dict STRING, m TIMESTAMP, "
+              "n BIGINT, o DATE, o1 DATE, o2 DATE, fx INT, "
+              "dd DECIMAL(10,2), dd_notnull DECIMAL(10,2), ss STRING, "
+              "u INT, ofd INT, ufd INT, ofq BIGINT, ufq BIGINT")
+
+
+def _sharded_join_rows(num_rows):
+    """create_sharded_join_table (ExecuteTest.cpp:29296-29343):
+    i ascending from 0, j descending from num_rows, s = alphabet[i%26].
+    choose_shard_count()==1 on a CPU single node (:106-111), so
+    st1/st2/st3 get 10/2/8 rows (:30409-30420)."""
+    alphabet = "abcdefghijklmnopqrstuvwxyz"
+    return [(i, num_rows - i, alphabet[i % 26]) for i in range(num_rows)]
+
+
+def _frame_nav_rows():
+    """import_window_function_frame_navigation_table
+    (ExecuteTest.cpp:10732-10871): 21 rows, rid 1..21, pc advancing
+    every 7 rows, oc cycling 1..7; value columns carry oc except rows
+    with oc in (2,5) which are all-NULL.  The reference shuffles only
+    the INSERT order (row-set identical)."""
+    out = []
+    pc = 1
+    for i in range(1, 22):
+        val = i % 7
+        cur_pc = pc
+        if val == 0:
+            pc += 1
+            val = 7
+        if val in (2, 5):
+            out.append((i, cur_pc, val) + (None,) * 26)
+            continue
+        iv = val
+        fv = float(f"{val}.{val}")
+        dcv = D(f"{val}.{val}")
+        sv = str(val)
+        dv = dt.date(2022, 8, val)
+        tmv = dt.time(12, 0, val)
+        tsv = ts(f"2022-08-0{val} 12:00:0{val}")
+        out.append((i, cur_pc, val) + (iv,) * 10 + (fv, fv)
+                   + (dcv, dcv, dcv) + (sv,) + (dv,) * 3 + (tmv,) * 2
+                   + (tsv,) * 5)
+    return out
+
+
+_FRAME_NAV_SPARK = (
+    "rid INT, pc INT, oc INT, ti TINYINT, si SMALLINT, si8 SMALLINT, "
+    "i INT, i8 INT, i16 INT, bi BIGINT, bi8 BIGINT, bi16 BIGINT, "
+    "bi32 BIGINT, f FLOAT, d DOUBLE, dc5 DECIMAL(5,4), "
+    "dc9 DECIMAL(9,8), dc15 DECIMAL(15,14), str STRING, dt DATE, "
+    "dt16 DATE, dt32 DATE, tm BIGINT, tme BIGINT, t0 TIMESTAMP, "
+    "t0e TIMESTAMP, t3 TIMESTAMP, t6 TIMESTAMP, t9 TIMESTAMP")
+_FRAME_NAV_DUCK = (
+    "rid INT, pc INT, oc INT, ti TINYINT, si SMALLINT, si8 SMALLINT, "
+    "i INT, i8 INT, i16 INT, bi BIGINT, bi8 BIGINT, bi16 BIGINT, "
+    "bi32 BIGINT, f FLOAT, d DOUBLE, dc5 DECIMAL(5,4), "
+    "dc9 DECIMAL(9,8), dc15 DECIMAL(15,14), str TEXT, dt DATE, "
+    "dt16 DATE, dt32 DATE, tm TIME, tme TIME, t0 TIMESTAMP, "
+    "t0e TIMESTAMP, t3 TIMESTAMP, t6 TIMESTAMP, t9 TIMESTAMP")
+
+
+def _window_framing_rows():
+    """import_window_function_framing_test (ExecuteTest.cpp:10650-
+    10705): 12 rows.  ts9 literals like '01:00:010000000' parse as
+    01:00:0X + trailing junk (fromChars eats 2 seconds digits, kTIMESTAMP
+    accepts the rest as junk), i.e. nanos 0.  Insert order is shuffled
+    in the reference; the row set is deterministic."""
+    spec = [  # (pc, oc, int_val, f, d, dc) — int None => null band
+        (1, 1, -1, -1.11, -1.1111, "1.11"),
+        (1, 2, -8, -8.88, -8.8888, "1.12"),
+        (1, 3, None, None, None, "1.13"),
+        (1, 4, -1, -1.11, -1.1111, "1.14"),
+        (1, 5, 1, 1.11, 1.1111, "1.15"),
+        (1, 6, -2, -2.22, -2.2222, "1.16"),
+        (2, 7, -1, -1.11, -1.1111, "1.17"),
+        (2, 8, 4, 4.4, 4.4444, "1.18"),
+        (2, 9, 1, 1.11, 1.1111, "1.19"),
+        (2, 10, -1, -1.11, -1.1111, "1.2"),
+        (2, 11, 2, 2.22, 2.2222, "1.21"),
+        (2, 12, 5, 5.55, 5.5555, "1.22"),
+    ]
+    out = []
+    for pc, oc, iv, fv, dv, dc in spec:
+        out.append((pc, oc, oc, iv, iv, iv, iv, fv, dv,
+                    D(dc), D(f"{oc}.111111"),
+                    float(dc), float(f"{oc}.111111"),
+                    ts(f"2022-05-17 01:00:{oc:02d}"),
+                    dt.time(20, 0, oc), dt.date(2022, 5, oc)))
+    return out
+
+
+_WINDOW_FRAMING_SPARK = (
+    "pc INT, oc INT, oc2 INT, ti TINYINT, si SMALLINT, i INT, "
+    "bi BIGINT, f FLOAT, d DOUBLE, dc DECIMAL(15,8), n DECIMAL(15,8), "
+    "f2 FLOAT, d2 DOUBLE, ts9 TIMESTAMP, tm BIGINT, d32 DATE")
+_WINDOW_FRAMING_DUCK = (
+    "pc INT, oc INT, oc2 INT, ti TINYINT, si SMALLINT, i INT, "
+    "bi BIGINT, f FLOAT, d DOUBLE, dc DECIMAL(15,8), n DECIMAL(15,8), "
+    "f2 FLOAT, d2 DOUBLE, ts9 TIMESTAMP, tm TIME, d32 DATE")
+
+
+def extended_aux_specs():
+    """Fixtures added in r10 toward full ExecuteTest coverage, each
+    rebuilt from its import_* routine (cited per entry)."""
+    lots_n = 49  # test_lots_cols: num_columns=50 incl. real_str (:10361)
+    lots_cols = ", ".join(f"x{i} INT" for i in range(lots_n))
+    lots_rows = [tuple(range(lots_n)) + ("real_foo",),
+                 tuple(10000 + i for i in range(lots_n)) + ("real_bar",)]
+    return [
+        # Joins_InnerJoin_Sharded st1/st2/st3 (:30409-30420)
+        ("st1", "CREATE TABLE st1(i int, j int, s text)",
+         "i INT, j INT, s STRING", _sharded_join_rows(10)),
+        ("st2", "CREATE TABLE st2(i int, j int, s text)",
+         "i INT, j INT, s STRING", _sharded_join_rows(2)),
+        ("st3", "CREATE TABLE st3(i int, j int, s text)",
+         "i INT, j INT, s STRING", _sharded_join_rows(8)),
+        ("test_inner_y",  # :29963-29988
+         "CREATE TABLE test_inner_y(x int not null, y int, str text)",
+         "x INT, y INT, str STRING", [(8, 43, 'bar'), (7, 43, 'foo')]),
+        # outer join pair (:29787-29835)
+        ("outer_join_foo",
+         "CREATE TABLE outer_join_foo(a int, b int, c int)",
+         "a INT, b INT, c INT",
+         [(1, 3, 2), (2, 3, 4), (None, 6, 7), (7, None, 8),
+          (None, None, 10)]),
+        ("outer_join_bar",
+         "CREATE TABLE outer_join_bar(d int, e int, f int)",
+         "d INT, e INT, f INT",
+         [(1, 3, 4), (4, 3, 5), (None, 9, 7), (9, None, 8),
+          (None, None, 11)]),
+        # correlated-IN pair (:10120-10167)
+        ("corr_in_lookup",
+         "CREATE TABLE corr_in_lookup(id int, val int)",
+         "id INT, val INT", [(1, 1), (2, 2), (3, 3), (4, 4)]),
+        ("corr_in_facts",
+         "CREATE TABLE corr_in_facts(id int, val int)",
+         "id INT, val INT",
+         [(1, 1), (1, 2), (1, 3), (1, 4), (2, 1), (2, 2), (2, 3),
+          (2, 4)]),
+        # range metadata probes (:30258-30276)
+        ("test_ranges", "CREATE TABLE test_ranges(i int, b bigint)",
+         "i INT, b BIGINT",
+         [(2147483647, 9223372036854775806),
+          (-2147483647, -9223372036854775807)]),
+        # single ROW_B-shaped row (:30187-30216)
+        ("test_one_row", f"CREATE TABLE test_one_row({_T31_DUCK})",
+         _T31_SPARK,
+         [tuple(dt.time(15, 13, 14) if c == 'n' else ROW_B[c]
+                for c in _T31_COLS)]),
+        # empty wide table (:30141-30155)
+        ("test_empty", f"CREATE TABLE test_empty({_T31_DUCK})",
+         _T31_SPARK, []),
+        ("single_row_test",  # :30445-30465
+         "CREATE TABLE single_row_test(x int)", "x INT", [(None,)]),
+        ("proj_top",  # :30017-30035
+         "CREATE TABLE proj_top(str text, x int)", "str STRING, x INT",
+         [("a", 7), ("b", 6), ("c", 5)]),
+        ("bar",  # :29990-30011
+         "CREATE TABLE bar(str text)", "str STRING", [("bar",)]),
+        ("bweq_test",  # :29742-29781: 15 x 7 + 5 x NULL
+         "CREATE TABLE bweq_test(x int)", "x INT",
+         [(7,)] * 15 + [(None,)] * 5),
+        ("emptytab2",  # :30596-30602
+         "CREATE TABLE emptytab2(x int)", "x INT", []),
+        ("blank_test",  # Select.GroupEmptyBlank :25940-25967
+         "CREATE TABLE blank_test(t1 text, i1 int)",
+         "t1 STRING, i1 INT", [("", 1), ("a", 2)]),
+        ("union_all_c",  # import_union_all_tests (:10416-10466)
+         "CREATE TABLE union_all_c(c0 smallint, c1 int, c2 bigint, "
+         "c3 float, c4 text)",
+         "c0 SMALLINT, c1 INT, c2 BIGINT, c3 FLOAT, c4 STRING",
+         [(10, 20, 30, 40.0, '50')] + [
+             (310 + i, 320 + i, 330 + i, float(340 + i), str(350 + i))
+             for i in range(10)]),
+        ("decimal_compression_test",  # :9696-9729 (sqlite gets 12.24)
+         "CREATE TABLE decimal_compression_test(big_dec decimal(17,2), "
+         "med_dec decimal(9,2), small_dec decimal(4,2))",
+         "big_dec DECIMAL(17,2), med_dec DECIMAL(9,2), "
+         "small_dec DECIMAL(4,2)",
+         [(D('999999999999999.99'), D('9999999.99'), D('99.99')),
+          (D('-999999999999999.99'), D('-9999999.99'), D('-99.99')),
+          (D('12.24'), D('12.24'), D('12.24'))]),
+        ("test_lots_cols",  # :10360-10385: 49 ints + real_str, 10 rows
+         f"CREATE TABLE test_lots_cols({lots_cols}, real_str text)",
+         ", ".join(f"x{i} INT" for i in range(lots_n))
+         + ", real_str STRING",
+         [lots_rows[i % 2] for i in range(10)]),
+        ("left_join_varlen_proj1",  # :9814-9831
+         "CREATE TABLE left_join_varlen_proj1(v int, t text)",
+         "v INT, t STRING", [(1, None), (2, "a"), (3, "b")]),
+        ("left_join_varlen_proj2",
+         "CREATE TABLE left_join_varlen_proj2(v int, t text)",
+         "v INT, t STRING", [(1, None), (2, "b")]),
+        ("t1",  # InnerJoinOrderByNoneEncodedTextColumn :26522-26536
+         "CREATE TABLE t1(t1_none_encoded text, t1_encoded text)",
+         "t1_none_encoded STRING, t1_encoded STRING", [("b", "a")]),
+        ("t2", "CREATE TABLE t2(t2_none_encoded text)",
+         "t2_none_encoded STRING", [("a",)] * 4),
+        ("test_frame_nav",
+         f"CREATE TABLE test_frame_nav({_FRAME_NAV_DUCK})",
+         _FRAME_NAV_SPARK, _frame_nav_rows()),
+        ("test_window_framing",
+         f"CREATE TABLE test_window_framing({_WINDOW_FRAMING_DUCK})",
+         _WINDOW_FRAMING_SPARK, _window_framing_rows()),
+    ]
+
+
+# create_views (ExecuteTest.cpp:30757-30781), applied to both engines.
+VIEW_DDLS = [
+    ("view_test",
+     "SELECT test.*, test_inner.* FROM test, test_inner "
+     "WHERE test.str = test_inner.str"),
+    ("join_view_test",
+     "SELECT a.x AS x FROM test a JOIN test_inner b ON a.str = b.str"),
+    ("view_self_join_v1",
+     "SELECT count(1) FROM test r1, test r2 where r1.x = r2.x"),
+    ("view_self_join_v2",
+     "SELECT count(1) FROM test r1 INNER JOIN test r2 on (r1.x = r2.x)"),
+    ("view_self_join_v3",
+     "SELECT count(1) FROM test r1 LEFT JOIN test r2 on (r1.x = r2.x)"),
+]
+
+
 def main():
-    spark = get_spark(master='local[8]', shuffle_partitions=4)
+    spark = get_spark(master='local[8]', shuffle_partitions=4,
+                      extra_conf={'spark.ui.showConsoleProgress': 'false'})
     eng = Engine(spark).attach('/root/testdata/sf0.001')
     rows = [ROW_A] * 10 + [ROW_B] * 5 + [ROW_C] * 5
     spark.createDataFrame(
@@ -318,8 +612,13 @@ def main():
          "ts TIMESTAMP",
          []),
     ]
+    aux_specs = aux_specs + extended_aux_specs()
     for name, ddl, spark_schema, rows_aux in aux_specs:
-        spark.createDataFrame(rows_aux, spark_schema).createOrReplaceTempView(name)
+        conv = [tuple(
+            (v.hour * 3600 + v.minute * 60 + v.second)
+            if isinstance(v, dt.time) and not isinstance(v, dt.datetime)
+            else v for v in r) for r in rows_aux]
+        spark.createDataFrame(conv, spark_schema).createOrReplaceTempView(name)
 
     con = duckdb.connect()
     con.execute(DUCK_DDL)
@@ -356,7 +655,8 @@ def main():
         for r in rows_aux:
             vals = ", ".join(
                 "NULL" if v is None
-                else f"'{v}'" if isinstance(v, (str, dt.date, dt.datetime))
+                else f"'{v}'" if isinstance(
+                    v, (str, dt.date, dt.datetime, dt.time))
                 else str(v) for v in r)
             con.execute(f"INSERT INTO {name} VALUES({vals})")
     for _ in range(10):
@@ -493,21 +793,48 @@ def main():
         spark.createDataFrame(conv, spark_schema) \
             .createOrReplaceTempView(name)
 
+    # create_views in both engines (duplicate-column view_test may be
+    # rejected by either engine — counted as the documented
+    # ambiguous-star reject when its query runs)
+    for vname, vsql in VIEW_DDLS:
+        try:
+            spark.sql(f"CREATE OR REPLACE TEMPORARY VIEW {vname} AS {vsql}")
+        except Exception as e:
+            print(f"spark view {vname}: {e}", file=sys.stderr)
+        try:
+            con.execute(f"CREATE VIEW {vname} AS {vsql}")
+        except Exception as e:
+            print(f"duck view {vname}: {e}", file=sys.stderr)
+
     queries = harvest()
-    print(len(queries), 'queries harvested', file=sys.stderr)
+    pairs = harvest_pairs()
+    print(f"{len(queries)} single + {len(pairs)} paired queries "
+          "harvested", file=sys.stderr)
     ok = mism = eng_err = duck_err = 0
     mismatches, eng_errors, duck_errors = [], [], []
-    for i, q in enumerate(queries):
-        from heavydb_spark import dialect
-        dq = re.sub(r"\b(?:UN)?LIKELY\s*\(", "(", q)
-        dq = dialect._rewrite_int_division(
+    from heavydb_spark import dialect
+
+    def duckify(sql):
+        dq = re.sub(r"\b(?:UN)?LIKELY\s*\(", "(", sql)
+        dq = re.sub(r"\bSAMPLE\s*\(", "any_value(", dq)
+        return dialect._rewrite_int_division(
             dq, eng._type_resolver(dq)).replace(" DIV ", " // ")
+
+    for q, dq0 in [(q, q) for q in queries] + pairs:
+        dq = duckify(dq0)
+        paired = dq0 is not q
         try:
+            if paired:
+                # SQLite sorts nulls LOW (first on ASC) by default
+                con.execute("SET default_null_order='nulls_first'")
             drows = con.execute(dq).fetchall()
         except Exception as e:
             duck_err += 1
             duck_errors.append((str(e).splitlines()[0][:120], q[:160]))
             continue
+        finally:
+            if paired:
+                con.execute("SET default_null_order='nulls_last'")
         try:
             srows = [tuple(r) for r in eng.sql(q).collect()]
         except Exception as e:
@@ -520,12 +847,15 @@ def main():
             mism += 1
             mismatches.append((q, canon_rows(srows)[:2], canon_rows(drows)[:2]))
     print(f"\n{ok} match, {mism} mismatch, {eng_err} engine-err, "
-          f"{duck_err} duck-err of {len(queries)}")
+          f"{duck_err} duck-err of {len(queries) + len(pairs)}")
     print("\n== MISMATCHES ==")
     for q, s, d in mismatches:
         print(f"Q: {q[:200]}\n  spark {s}\n  duck  {d}")
     print("\n== ENGINE ERRORS ==")
     for e, q in eng_errors:
+        print(f"{e} :: {q}")
+    print("\n== DUCKDB ERRORS ==")
+    for e, q in duck_errors:
         print(f"{e} :: {q}")
     spark.stop()
     sys.exit(1 if mism else 0)

@@ -97,7 +97,8 @@ def main() -> None:
     from heavydb_spark.queries import QUERIES
     from heavydb_spark.session import get_spark
 
-    spark = get_spark(master="local[32]", shuffle_partitions=64)
+    spark = get_spark(master="local[32]", shuffle_partitions=64,
+                      extra_conf={"spark.ui.showConsoleProgress": "false"})
     t0 = time.time()
     if not os.path.exists(os.path.join(OUT, "lineitem.parquet")):
         build_scaled(spark)

@@ -48,7 +48,8 @@ def main() -> None:
     from heavydb_spark.session import get_spark
 
     spark = get_spark(app_name="seed_sweep", master="local[8]",
-                      shuffle_partitions=8)
+                      shuffle_partitions=8,
+                      extra_conf={"spark.ui.showConsoleProgress": "false"})
     engine = Engine(spark).attach(SF_DIR)
     ddb = duckdb.connect()
     for t in TABLES:

@@ -19,7 +19,9 @@ from heavydb_spark import dialect
         ("UNLIKELY(x > 1)", "(x > 1)"),
         ("SAMPLE(x)", "any_value(x)"),
         ("SAMPLE_RATIO(0.1)", "(rand() < 0.1)"),
-        ("APPROX_MEDIAN(x)", "approx_percentile(x, 0.5)"),
+        # r10: interpolating like the reference t-digest (quantile.h) —
+        # ExecuteTest pairs APPROX_MEDIAN against SQLite MEDIAN
+        ("APPROX_MEDIAN(x)", "median(x)"),
         ("CHAR_LENGTH(s)", "length(s)"),
     ],
 )
@@ -141,7 +143,7 @@ def test_nested_paren_rewrites():
     from heavydb_spark.dialect import rewrite
 
     out = rewrite("SELECT APPROX_MEDIAN(abs(x - nvl(y, 0))) AS m FROM t")
-    assert "approx_percentile(abs(x - nvl(y, 0)), 0.5)" in out
+    assert "median(abs(x - nvl(y, 0)))" in out
     out2 = rewrite("SELECT SAMPLE_RATIO(least(r, 0.5)) FROM t")
     assert "(rand() < least(r, 0.5))" in out2
     out3 = rewrite(
@@ -560,8 +562,9 @@ def test_lag_lead_in_frame_default_and_range_frames(engine):
 def test_split_part_reference_semantics(engine):
     """Reference SPLIT_PART expectations (StringFunctionsTest.cpp:631-639):
     in-range parts, negative from-the-end indexing, and NULL (not '')
-    when the index exceeds the part count; a legitimately empty part is
-    still ''."""
+    when the index exceeds the part count.  An empty part is NULL too:
+    every StringOps result that is '' nullifies (StringOps.h:42
+    NullableStrType — the r10 empty-string-op rule)."""
     row = engine.sql("""
         SELECT SPLIT_PART('192.168.0.1', '.', 2) AS a,
                SPLIT_PART('192.168.0.1', '.', -1) AS b,
@@ -572,7 +575,7 @@ def test_split_part_reference_semantics(engine):
     assert row.a == "168"
     assert row.b == "1"
     assert row.c is None
-    assert row.d == ""
+    assert row.d is None
 
 
 def test_initcap_reference_delimiters(engine):
