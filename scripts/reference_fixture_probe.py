@@ -25,14 +25,16 @@ TIME representation).  The m_9 fixture value truncates its
 nanoseconds to micros on both sides (both engines are
 microsecond-precision; documented TIMESTAMP(9) delta).
 
-r10 standing result: 1214 match / 0 mismatch of 1225 harvested (4
+r10 standing result: 1303 match / 0 mismatch of 1314 harvested (4
 engine rejects are documented accept/reject-edge deltas: rowid,
 ambiguous star-join column, lag OVER () without ORDER BY, the
 duplicate-column view_test view; 7 DuckDB-side errors are DuckDB
-limitations).  The r10 extension added 26 fixture tables/views and
-the two-string c(sql, sqlite_sql, dt) overload (122 paired
-comparisons); only the five `#if 0`-disabled Select.Deleted queries
-remain un-harvested.
+limitations).  The r10 extension added 27 fixture tables/views and
+the two-string c(sql, sqlite_sql, dt) overload — 211 paired
+comparisons from ExecuteTest AND TopKTest (whose 90 LIMIT/ORDER BY
+suites run over the 10-row tdata fixture); only the five `#if
+0`-disabled Select.Deleted queries remain un-harvested from
+ExecuteTest.
 
 Run: python scripts/reference_fixture_probe.py
 """
@@ -196,7 +198,7 @@ ALLOWED = frozenset("""
     coalesce_cols_test_1 coalesce_cols_test_2 gpu_sort_test random_test
     query_rewrite_test subquery_test simple_filter test_in_bitmap
     hash_join_decimal_test
-    st1 st2 st3 test_inner_y outer_join_foo outer_join_bar corr_in_lookup
+    st1 st2 st3 test_inner_y tdata outer_join_foo outer_join_bar corr_in_lookup
     corr_in_facts test_ranges test_one_row test_empty single_row_test
     proj_top bar bweq_test emptytab2 blank_test union_all_c
     decimal_compression_test test_lots_cols left_join_varlen_proj1
@@ -233,9 +235,9 @@ def _tables(sql):
     return tabs
 
 
-def _ref_src():
+def _ref_src(fname='ExecuteTest.cpp'):
     return open(os.environ.get('SPARK_GRAFT_REFERENCE',
-                '/root/reference') + '/Tests/ExecuteTest.cpp').read()
+                '/root/reference') + '/Tests/' + fname).read()
 
 
 def harvest():
@@ -255,11 +257,17 @@ def harvest():
 
 
 def harvest_pairs():
-    """Two-string c(sql, sqlite_sql, dt) comparisons."""
+    """Two-string c(sql, sqlite_sql, dt) comparisons — harvested from
+    ExecuteTest.cpp AND TopKTest.cpp (TopKTest:322 uses the same c()
+    overload; its 90 comparisons drive LIMIT/ORDER BY + NULLS
+    placement over the 10-row tdata fixture, :339-392)."""
     seen, out = set(), []
-    for m in _C2_RE.finditer(_ref_src()):
+    src = _ref_src() + _ref_src('TopKTest.cpp')
+    for m in _C2_RE.finditer(src):
         sql = _cstr(m.group(1)).strip().rstrip(';')
-        dsql = _cstr(m.group(2)).strip().rstrip(';')
+        # first statement only: TopKTest.cpp:578 carries a ';xxx' typo
+        # that SQLite's single-statement exec silently tolerates
+        dsql = _cstr(m.group(2)).strip().split(';', 1)[0]
         if not sql.upper().startswith('SELECT'):
             continue
         if (_tables(sql) | _tables(dsql)) - ALLOWED:
@@ -406,6 +414,41 @@ def extended_aux_specs():
          "i INT, j INT, s STRING", _sharded_join_rows(2)),
         ("st3", "CREATE TABLE st3(i int, j int, s text)",
          "i INT, j INT, s STRING", _sharded_join_rows(8)),
+        ("tdata",  # TopKTest.cpp:339-392 (10 rows, 11 cols)
+         "CREATE TABLE tdata(id smallint, b boolean, i int, bi bigint, "
+         "n decimal(10,2), f float, t text, tt time, d date, "
+         "ts timestamp, vc text)",
+         "id SMALLINT, b BOOLEAN, i INT, bi BIGINT, n DECIMAL(10,2), "
+         "f FLOAT, t STRING, tt BIGINT, d DATE, ts TIMESTAMP, "
+         "vc STRING",
+         [(1, True, 23, 2349923, D('111.10'), 1.1, 'SFO',
+           dt.time(15, 13, 14), dt.date(1999, 9, 9),
+           ts('2014-12-13 22:23:15'), 'paris'),
+          (2, False, None, -973273, D('7263.11'), 87.1, None,
+           dt.time(20, 5, 0), dt.date(2017, 12, 12),
+           ts('2017-12-12 20:05:00'), 'toronto'),
+          (3, False, 702, 87395, D('333.50'), None, 'YVR',
+           dt.time(11, 11, 11), dt.date(2010, 1, 1),
+           ts('2010-01-02 04:11:45'), 'vancouver'),
+          (4, None, 864, 100001, None, 9.9, 'SJC', None,
+           dt.date(2015, 5, 5), ts('2010-05-05 05:15:55'), 'london'),
+          (5, False, 333, 112233, D('99.90'), 9.9, 'ABQ',
+           dt.time(22, 22, 22), dt.date(2015, 5, 5),
+           ts('2010-05-05 05:15:55'), 'new york'),
+          (6, True, -3, 18, D('765.80'), 2.2, 'YYZ',
+           dt.time(0, 0, 1), None, ts('2009-01-08 12:13:14'), None),
+          (7, False, -9873, 3789, D('789.30'), 4.7, 'DCA',
+           dt.time(11, 22, 33), dt.date(2001, 2, 3),
+           ts('2005-04-03 15:16:17'), 'rio de janerio'),
+          (8, True, 12, 4321, D('83.90'), 1.2, 'DXB',
+           dt.time(21, 20, 10), None, ts('2007-12-01 23:22:21'),
+           'dubai'),
+          (9, True, 48, None, D('83.90'), 1.2, 'BWI',
+           dt.time(9, 8, 7), dt.date(2001, 9, 11), None,
+           'washington'),
+          (10, False, 99, 777, D('77.70'), 7.7, 'LLBG',
+           dt.time(7, 7, 7), dt.date(2017, 7, 7),
+           ts('2017-07-07 07:07:07'), 'Tel Aviv')]),
         ("test_inner_y",  # :29963-29988
          "CREATE TABLE test_inner_y(x int not null, y int, str text)",
          "x INT, y INT, str STRING", [(8, 43, 'bar'), (7, 43, 'foo')]),
@@ -825,8 +868,9 @@ def main():
         paired = dq0 is not q
         try:
             if paired:
-                # SQLite sorts nulls LOW (first on ASC) by default
-                con.execute("SET default_null_order='nulls_first'")
+                # SQLite sorts nulls LOW (smallest: first on
+                # ASC, last on DESC)
+                con.execute("SET default_null_order='nulls_first_on_asc_last_on_desc'")
             drows = con.execute(dq).fetchall()
         except Exception as e:
             duck_err += 1
