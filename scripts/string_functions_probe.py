@@ -116,8 +116,13 @@ def harvest():
             if not sql.lower().startswith('select'):
                 skipped += 1
                 continue
+            # TRIM's '<chars>' FROM <expr> is an intra-call FROM,
+            # not a table reference — neutralize before extraction
+            tsql = re.sub(
+                r"(?i)\b(trim\s*\(\s*(?:both\s+|leading\s+|"
+                r"trailing\s+)?'[^']*'\s+)from\b", r"\1", sql)
             tabs = set(t.lower() for t in re.findall(
-                r'\b(?:FROM|JOIN)\s+([A-Za-z_]\w*)', sql, re.IGNORECASE))
+                r'\b(?:FROM|JOIN)\s+([A-Za-z_]\w*)', tsql, re.IGNORECASE))
             if (tabs - set(FIXTURES) or tabs & local_tables or mutates
                     or test_udfs.search(sql)):
                 skipped += 1
