@@ -711,6 +711,28 @@ def _time_chain(t: str, anchored: bool, unit: str) -> str:
     return f"(CASE {whens} ELSE {default} END)"
 
 
+# Epoch-seconds window for the unixTime fallback: the literal path's
+# 0001-01-01..9999-12-31 bounds TIGHTENED by one day on each side —
+# pyspark's collect layer converts timestamps through the OS-local
+# datetime.fromtimestamp, which under/overflows (year 0 / year 10000)
+# at the exact boundary days for any non-UTC host offset.
+_EPOCH_S_MIN = -62135596800 + 86400
+_EPOCH_S_MAX = 253402300799 - 86400
+
+
+def _guarded_ts_seconds(s: str) -> str:
+    """timestamp_seconds over the unixTime integer fallback, NULL
+    outside Spark's representable window — an unguarded call THROWS
+    java.lang.ArithmeticException (long overflow in the seconds->
+    micros multiply) for |epoch| > ~9.2e12, e.g. the 15-digit string
+    a date+time concatenation can form (sweep seed range [9300,9600)
+    found it).  The reference computes int64 epochs for any value —
+    same documented range delta as the %Y ±9999 guard."""
+    v = f"CAST(regexp_extract({s}, {_sq(r'^(-?[0-9]+)')}, 1) AS BIGINT)"
+    return (f"timestamp_seconds(IF({v} BETWEEN {_EPOCH_S_MIN} "
+            f"AND {_EPOCH_S_MAX}, {v}, CAST(NULL AS BIGINT)))")
+
+
 def sql_parse_date(expr: str) -> str:
     """DATE-or-NULL Spark SQL chain over a string expression —
     dateTimeParseOptional<kDATE> semantics (trailing junk ignored,
@@ -729,8 +751,7 @@ def sql_parse_date(expr: str) -> str:
             f"CAST(timestamp_seconds(CAST(unix_date({date_sql}) AS BIGINT)"
             f"*86400 - ({_tz_secs(tz)})) AS DATE))")
     unix = (f"WHEN {s} RLIKE {_sq(_UNIX_PAT)} THEN "
-            f"CAST(timestamp_seconds(CAST(regexp_extract({s}, "
-            f"{_sq(r'^(-?[0-9]+)')}, 1) AS BIGINT)) AS DATE)")
+            f"CAST({_guarded_ts_seconds(s)} AS DATE)")
     body = f"(CASE {' '.join(whens)} {unix} ELSE NULL END)"
     return _bind(f"CAST({expr} AS STRING)", s, body)
 
@@ -768,8 +789,7 @@ def sql_parse_timestamp(expr: str) -> str:
         f"timestamp_micros(CAST(unix_date({x}.d) AS BIGINT)*86400000000 "
         f"+ {tmicros})) "
         f"WHEN {s} RLIKE {_sq(_UNIX_PAT)} THEN "
-        f"timestamp_seconds(CAST(regexp_extract({s}, "
-        f"{_sq(r'^(-?[0-9]+)')}, 1) AS BIGINT)) "
+        f"{_guarded_ts_seconds(s)} "
         f"ELSE NULL END")
     body = _bind(f"named_struct('d', {d_case}, 'r', {r_case})", x, combine)
     outer = "_dtp_o"

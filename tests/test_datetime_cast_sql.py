@@ -62,6 +62,10 @@ CORPUS = [
     # unixTime fallback
     "936835200", "936835200.75", " 936835200", "2020", "-31496400",
     "-123", "5.",
+    # unixTime overflow guard (sweep [9300,9600): a date+time concat
+    # can form a 15-digit epoch; unguarded timestamp_seconds THROWS)
+    "936835200999999", "9223372036854775807", "-9223372036854775808",
+    "253402300799", "253402300800", "-62135596800", "-62135596801",
     # garbage
     "garbage", "", "2020-13-40", "05/60/07", "40/50/60",
     "2020-01-01x", "x2020-01-01", "20-20-01-02",
@@ -104,6 +108,11 @@ class TestChainMatchesPort:
             want_secs = dtp.parse_date(s)
             if want_secs is None:
                 want = None
+            elif (dtp._try_formats(dtp.DATE_FORMATS, s)[0] is None
+                    and not (dtp._EPOCH_S_MIN <= want_secs
+                             <= dtp._EPOCH_S_MAX)):
+                # unixTime fallback outside the chain's guarded window
+                want = None
             else:
                 days = want_secs // 86400
                 if not (-719162 <= days <= 2932896):  # years 1..9999
@@ -130,8 +139,13 @@ class TestChainMatchesPort:
                 s_stripped = s[1:] if s.startswith("T") else s
                 if (dtp._try_formats(dtp.DATE_FORMATS, s_stripped)[0]
                         is None and dtp._unix_time(s_stripped) is not None):
-                    # unixTime fallback: chain uses epoch SECONDS
-                    v = dtp.parse_timestamp(s, 0) * 10 ** 6
+                    # unixTime fallback: chain uses epoch SECONDS and
+                    # NULLs outside its guarded window
+                    secs = dtp.parse_timestamp(s, 0)
+                    if not (dtp._EPOCH_S_MIN <= secs <= dtp._EPOCH_S_MAX):
+                        assert got is None, (s, got)
+                        continue
+                    v = secs * 10 ** 6
                 if not (dtp._MIN_US <= v <= dtp._MAX_US):
                     continue
                 want = UTC_EPOCH + datetime.timedelta(microseconds=v)
@@ -211,6 +225,10 @@ def check_fuzz_corpus(spark, corpus) -> list:
         want_secs = dtp.parse_date(s)
         if want_secs is None:
             want_d = None
+        elif (dtp._try_formats(dtp.DATE_FORMATS, s)[0] is None
+                and not (dtp._EPOCH_S_MIN <= want_secs
+                         <= dtp._EPOCH_S_MAX)):
+            want_d = None  # guarded unixTime fallback
         else:
             days = want_secs // 86400
             if not (-719162 <= days <= 2932896):
@@ -225,7 +243,10 @@ def check_fuzz_corpus(spark, corpus) -> list:
             s2 = s[1:] if s.startswith("T") else s
             if (dtp._try_formats(dtp.DATE_FORMATS, s2)[0] is None
                     and dtp._unix_time(s2) is not None):
-                v = dtp.parse_timestamp(s, 0) * 10 ** 6
+                secs = dtp.parse_timestamp(s, 0)
+                v = (secs * 10 ** 6
+                     if dtp._EPOCH_S_MIN <= secs <= dtp._EPOCH_S_MAX
+                     else None)
         if v is None:
             want_ts = None
         elif not (dtp._MIN_US <= v <= dtp._MAX_US):
