@@ -31,7 +31,7 @@ Covered HeavyDB-isms (SURVEY.md §2.8, Shared/sqldefs.h):
                                            (first + runtime assert)
 - LIKELY(p) / UNLIKELY(p)               -> p        (pure hints)
 - SAMPLE_RATIO(r)                       -> rand() < r
-- APPROX_MEDIAN(x)                      -> approx_percentile(x, 0.5)
+- APPROX_MEDIAN(x)                      -> median(x) (t-digest interpolates)
 - FORWARD_FILL / BACKWARD_FILL / CONDITIONAL_CHANGE_EVENT /
   LAG_IN_FRAME / LEAD_IN_FRAME window SQL (sqldefs.h:154-173)
                                         -> ignore-nulls last/first and
