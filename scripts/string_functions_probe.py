@@ -26,6 +26,12 @@ does not define).  TIME columns compare as seconds-of-day (the
 engine's TIME representation).  Floats compare at 1e-6 relative
 tolerance, mirroring sqlAndCompareResult's EXPECT_FLOAT_EQ.
 
+r10 standing result: 291 match / 0 mismatch of 294 harvested (1
+engine reject: ORDER BY rowid — the documented rowid class; 2
+documented deltas: LEN(NULL)'s int32-sentinel leak, timestamp/int
+COALESCE).  The tool's first run surfaced the seven StringOps parity
+classes fixed in r10 (COVERAGE.md).
+
 Run: python scripts/string_functions_probe.py
 """
 import datetime as _dt
