@@ -26,7 +26,7 @@ does not define).  TIME columns compare as seconds-of-day (the
 engine's TIME representation).  Floats compare at 1e-6 relative
 tolerance, mirroring sqlAndCompareResult's EXPECT_FLOAT_EQ.
 
-r10 standing result: 291 match / 0 mismatch of 294 harvested (1
+r10 standing result: 292 match / 0 mismatch of 295 harvested (1
 engine reject: ORDER BY rowid — the documented rowid class; 2
 documented deltas: LEN(NULL)'s int32-sentinel leak, timestamp/int
 COALESCE).  The tool's first run surfaced the seven StringOps parity
@@ -207,9 +207,11 @@ def _parse_cell(c):
     m = re.match(r'^(?:double|float)\(\s*(-?[\d.eE+]+)\s*\)$', c)
     if m:
         return float(m.group(1))
-    m = re.match(r'^"((?:[^"\\]|\\.)*)"$', c, re.DOTALL)
+    # one or more ADJACENT C++ string literals (source-level
+    # concatenation, possibly split across lines)
+    m = re.match(r'^(?:"(?:[^"\\]|\\.)*"\s*)+$', c, re.DOTALL)
     if m:
-        return m.group(1).replace('\\"', '"').replace('\\\\', '\\')
+        return _cstr(c)
     m = re.match(r'^array\(\s*(.*)\s*\)$', c, re.DOTALL)
     if m:
         elems = []
