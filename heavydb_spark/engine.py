@@ -958,6 +958,11 @@ class Engine:
         # through sql()/attach() (the reference invalidates by table
         # epoch; wholesale is the conservative single-user equivalent).
         self.result_cache: bool = False
+        # APPROX_MEDIAN maps to exact interpolating median() by default
+        # (reference t-digest parity); ALTER SESSION SET
+        # APPROX_MEDIAN_SKETCH='on' switches it to the bounded-memory
+        # approx_percentile sketch for 100 TB deployments.
+        self.approx_median_sketch: bool = False
         self._result_cache_entries: dict[str, DataFrame] = {}
         # Generation counter closing the stale-insert TOCTOU: a reader
         # that builds its frame before a writer's invalidation must not
@@ -1292,6 +1297,16 @@ class Engine:
             )
             query = m.group(1) + defs + m.group(3)
         query, hints = _extract_query_hints(query)
+        if self.approx_median_sketch:
+            # 100 TB escape hatch (ALTER SESSION SET
+            # APPROX_MEDIAN_SKETCH='on'): APPROX_MEDIAN runs as the
+            # bounded-memory approx_percentile sketch instead of the
+            # parity-default exact interpolating median() (which buys
+            # bit-parity with the reference's t-digest tests at an
+            # O(n)-per-group value buffer — COVERAGE.md).
+            query = dialect._rewrite_call(
+                query, "APPROX_MEDIAN",
+                lambda args: f"APPROX_PERCENTILE({args}, 0.5)")
         rewritten = dialect.rewrite(query, type_of=self._type_resolver(query))
         if self.result_cache and not hints \
                 and self._is_read_only_statement(query) \
@@ -1896,8 +1911,22 @@ class Engine:
                 for t in ts
             )
 
+        def is_array(col: str):
+            """Array-typedness for the empty-string-op nullify gate
+            (dialect._expr_is_arrayish): Spark's concat over arrays
+            must not be wrapped in nullif(..., '')."""
+            if not state["built"]:
+                _build()
+            if col in state["shadowed"]:
+                return None
+            ts = state["types"].get(col)
+            if not ts:
+                return None
+            return all(t.startswith("array") for t in ts)
+
         type_of.is_string = is_string
         type_of.is_fractional = is_fractional
+        type_of.is_array = is_array
         return type_of
 
     def _apply_query_hints(
@@ -2884,6 +2913,13 @@ class Engine:
             self.result_cache = on in ("on", "true")
             if not self.result_cache:
                 self._invalidate_result_cache()
+        elif key == "approx_median_sketch":
+            on = val.strip().lower()
+            if on not in ("on", "off", "true", "false"):
+                raise ValueError(
+                    f"APPROX_MEDIAN_SKETCH must be on/off, got {val!r}"
+                )
+            self.approx_median_sketch = on in ("on", "true")
         elif key.startswith("spark."):
             self.spark.conf.set(param, val)
         else:

@@ -2850,3 +2850,24 @@ def test_varchar_and_like_escape_edges(engine):
         " 'a@b' LIKE 'a@@b' ESCAPE '@' AS e,"
         " 'axb' LIKE 'a@_b' ESCAPE '@' AS nope").first()
     assert (r2["w"], r2["e"], r2["nope"]) == (True, True, False)
+
+
+def test_approx_median_sketch_session_option(engine):
+    """ALTER SESSION SET APPROX_MEDIAN_SKETCH='on' (the r10 verdict's
+    100 TB escape hatch): APPROX_MEDIAN switches from the
+    parity-default exact interpolating median() (O(n)-per-group
+    buffer) to Spark's bounded-memory approx_percentile sketch —
+    element semantics, so the even split {7x5, 8x5} yields an element
+    (7 or 8), not the interpolated 7.5.  'off' restores parity."""
+    q = ("SELECT APPROX_MEDIAN(v) AS m FROM "
+         "(VALUES (7), (7), (7), (7), (7), (8), (8), (8), (8), (8)) "
+         "AS t(v)")
+    try:
+        engine.sql("ALTER SESSION SET APPROX_MEDIAN_SKETCH='on'")
+        assert float(engine.sql(q).first()["m"]) in (7.0, 8.0)
+    finally:
+        engine.sql("ALTER SESSION SET APPROX_MEDIAN_SKETCH='off'")
+    assert float(engine.sql(q).first()["m"]) == 7.5
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="APPROX_MEDIAN_SKETCH"):
+        engine.sql("ALTER SESSION SET APPROX_MEDIAN_SKETCH='maybe'")
