@@ -37,120 +37,62 @@ from heavydb_spark.queries import (  # noqa: F401,E402
 # Registration-order priority.
 #
 # The verify driver correctness-checks queries in registration order
-# with a bounded budget (~50 per round).  Driver union r1-r9:
-# 255/255; after the r9 window ran, no catalog entry's last driver
-# check predates ROUND 4.  Round-10 executes the r9 verdict queue #1:
-# the window committed in r9 as positions 51-100 rotates to the front
-# UNCHANGED (same 50 entries, same order), and the r11 window is
+# with a bounded budget (~50 per round).  Driver union r1-r10:
+# 255/255; after the r10 window ran, no catalog entry's last driver
+# check predates ROUND 5.  Round-11 executes the r10 verdict queue #1:
+# the window committed in r10 as positions 51-100 rotates to the front
+# UNCHANGED (same 50 entries, same order), and the r12 window is
 # composed and pre-verified behind it (queue #2).
 #
-# ROUND-10 WINDOW (positions 1-50) — committed in r9, run as-is:
-#   1      fn_dialect_probe_closeout — the r9 net-new consolidation of
-#          the r8 probe-sweep dialect surface under a driver oracle;
-#   2-4    the r9 regression slice: tf_generate_series /
-#          tf_generate_series_ts (reference num_rows formula) and
-#          fn_string_distance (float jaro half-transpositions);
-#   5-16   the 12 remaining r4-checked entries (registration order);
-#   17-50  the 34 oldest r5-checked entries in registration order.
-#          The one rows-only entry, tf_raster_slope_path (44), pairs
-#          with its exact companion tf_raster_slope_path_invariants
-#          checked in the adjacent r9 window.
-#   Pre-verified twice in r9 (builder replay + judge replay of the
-#   full first 100 positions at sf0.01, 0 fails) and RE-VERIFIED
-#   against the final r10 code with scripts/replay_window.py 100 at
-#   sf0.01 (see the r10 summary in SURVEY.md).  After r10 completes,
-#   no catalog entry's last driver check predates ROUND 5.
+# ROUND-11 WINDOW (positions 1-50) — committed in r10, run as-is:
+#   1-6    the r10 regression slice — the five engine.sql-routed
+#          catalog queries not already in the r10 window
+#          (sql_dialect_int_division first: the resolver gate feeds
+#          both the int-division and rounding rewrites), plus
+#          fn_string_extra (its url_encode pandas UDF switched to
+#          the reference's form encoding in r10);
+#   7-20   the 14 remaining r5-checked entries (registration order);
+#   21-50  the 30 oldest r6-checked entries, with
+#          sim_semantic_kmeans_invariants pulled forward beside its
+#          rows-only partner sim_semantic_dedup_kmeans (pairing
+#          rule); text_bpe_train pairs with text_bpe_first_merge,
+#          text_bpe_encode with text_bpe_encode_contract/_invariants,
+#          all in-window.  sim_pq_invariants (pos 19) doubles as the
+#          adjacent-window companion for the r12 window's rows-only
+#          sim_pq_encode (pos 100) — the r10 precedent
+#          (tf_raster_slope_path / _invariants across r9/r10).
+#   Pre-verified three times builder-side in r10 (replay 100 twice +
+#   the full-255 catalog replay, all 0 fails) and re-verified against
+#   the final r11 code with scripts/replay_window.py 100 at sf0.01
+#   (see the r11 summary in SURVEY.md).  After r11 completes, no
+#   catalog entry's last driver check predates ROUND 6.
 #
-# ROUND-11 WINDOW (positions 51-100) — r9 verdict queue #2:
-#   51-56  the r10 regression slice — the five engine.sql-routed
-#          catalog queries NOT already in the r10 window, covering
-#          this round's dialect/rewrite changes (bare-ISO-date
-#          TIMESTAMP NULL, value-based %y/%Y chain split, shifted
-#          month-suffix table, \z anchoring, TRY_CAST resolver
-#          gating): sql_dialect_int_division first (the resolver
-#          gate feeds both the int-division and rounding rewrites),
-#          plus fn_string_extra (its url_encode pandas UDF switched
-#          to the reference's form encoding — space -> '+' — in r10);
-#   57-70  the 14 remaining r5-checked entries (registration order);
-#   71-100 the 30 oldest r6-checked entries in registration order,
-#          with one swap: sim_semantic_kmeans_invariants is pulled
-#          forward to sit beside its rows-only partner
-#          sim_semantic_dedup_kmeans (pairing rule: a rows-only slot
-#          ships with a green exact companion in the same window),
-#          displacing geo_transform_datum and text_chunk_windows
-#          past the window.  The
-#          other rows-only entries here pair in-window too:
-#          text_bpe_train with text_bpe_first_merge, text_bpe_encode
-#          with text_bpe_encode_contract / _invariants.
+# ROUND-12 WINDOW (positions 51-100) — r10 verdict queue #2:
+#   51-52  the two r6 entries the r11 composition displaced past the
+#          window (text_chunk_windows, geo_transform_datum) — the
+#          oldest remaining staleness;
+#   53-100 the next r6/r7-checked entries in age order (the exact
+#          candidate list pre-validated in r10's 150-position
+#          replay), with ONE swap: agg_approx_invariants (the
+#          error-bound exact companion, r9-green) is pulled forward
+#          to position 70, directly beside the two rows-only approx
+#          sketches it certifies (agg_approx_count_distinct 68,
+#          agg_approx_percentile 69 — pairing rule), displacing
+#          sim_hybrid_retrieval (r7-green) to position 101.
 #
-# Past position 100: text_chunk_windows and geo_transform_datum (the
-# two r6 entries displaced by the slice/pairing swaps), then r6/r7/
-# r8/r9 greens freshest-last in registration order (an over-budget
-# driver keeps eating staleness in age order); the 50 entries the r9
+# Past position 100: sim_hybrid_retrieval (displaced), then r6-r9
+# greens freshest-last in registration order (an over-budget driver
+# keeps eating staleness in age order); the 50 entries the r10
 # driver just checked sit at the very end.
 # ---------------------------------------------------------------------------
 _PRIORITY = [
-    # --- ROUND-10 WINDOW (run as-is; committed in r9) ---
-    "fn_dialect_probe_closeout",
-    "tf_generate_series",
-    "tf_generate_series_ts",
-    "fn_string_distance",
-    "tpch_q13_order_distribution",
-    "tpch_q14_promo_revenue",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_cnt",
-    "tpch_q17_small_qty_revenue",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q4_priority_exists",
-    "tpch_q8_market_share",
-    "tpch_q18_large_orders",
-    "tpch_q19_disjunctive_join",
-    "tpch_q20_nested_in",
-    "tpch_q22_global_sales",
-    "case_expr",
-    "in_list_filter",
-    "values_literal",
-    "null_handling",
-    "sort_limit_offset",
-    "join_theta_loop",
-    "join_multistep_tpch_q7",
-    "subquery_correlated_scalar",
-    "subquery_not_in_nulls",
-    "window_ranks",
-    "window_range_interval",
-    "window_lag_lead_in_frame",
-    "sql_dialect_window_fill",
-    "sql_dialect_null_order",
-    "union_all",
-    "sim_ann_lsh",
-    "sim_embedding_neardup",
-    "pipe_mix_sources",
-    "pipe_pack_sequences",
-    "text_repetition",
-    "dedup_simhash_portable",
-    "dedup_minhash_portable",
-    "pipe_end_to_end_corpus",
-    "dml_update_postimage",
-    "dml_delete_postimage",
-    "tf_generate_random_strings",
-    "ml_dbscan",
-    "tf_raster_slope_path",
-    "geo_geos_union_diff",
-    "geo_multipolygon_props",
-    "geo_transform_utm",
-    "tf_point_cloud_metadata",
-    "tf_load_point_cloud",
-    "dml_update_correlated_postimage",
-    # --- ROUND-11 WINDOW: r10 regression slice (engine.sql-routed,
-    # plus fn_string_extra whose url_encode UDF switched to the
-    # reference's form encoding in r10) ---
+    # --- ROUND-11 WINDOW (run as-is; committed in r10) ---
     "sql_dialect_int_division",
     "agg_grouping_sets",
     "agg_filter_clause",
     "sql_dialect_geo_predicates",
     "tpcds_q67_rollup_rank",
     "fn_string_extra",
-    # --- ROUND-11 WINDOW: the 14 remaining r5-checked entries ---
     "tf_torch_obj_detect",
     "geo_buffer_dispatch",
     "geo_transform_epsg",
@@ -165,7 +107,6 @@ _PRIORITY = [
     "tpcds_q74_yoy_growth",
     "ml_model_ddl_tree",
     "ml_model_ddl_pca",
-    # --- ROUND-11 WINDOW: the 31 oldest r6-checked entries ---
     "sim_pq_invariants",
     "pipe_tokenize_pack",
     "pipe_corpus_report",
@@ -196,7 +137,8 @@ _PRIORITY = [
     "text_gopher_filter",
     "pipe_curation_v2",
     "text_bm25_topk",
-    # --- past the window: r6-r9 greens freshest-last ---
+    # --- ROUND-12 WINDOW: displaced-r6 head + r6/r7 staleness in age
+    # order, agg_approx_invariants pulled beside its rows-only partners ---
     "text_chunk_windows",
     "geo_transform_datum",
     "tpcds_q64_cross_year_sales",
@@ -216,6 +158,7 @@ _PRIORITY = [
     "agg_count_distinct",
     "agg_approx_count_distinct",
     "agg_approx_percentile",
+    "agg_approx_invariants",
     "agg_exact_median",
     "agg_mode",
     "agg_sample_any_value",
@@ -246,6 +189,8 @@ _PRIORITY = [
     "fn_string_regex",
     "sim_scalar_quantize",
     "sim_pq_encode",
+    # --- past the window: displaced r7 entry, then r6-r9 greens
+    # freshest-last ---
     "sim_hybrid_retrieval",
     "pipe_weighted_sample",
     "pipe_winsorize",
@@ -335,7 +280,6 @@ _PRIORITY = [
     "window_moving_avg",
     "sim_ann_ivfpq",
     "sim_ann_ivfpq_invariants",
-    "agg_approx_invariants",
     "geo_geos_concavehull",
     "geo_geos_convexhull",
     "ml_decision_trees_invariants",
@@ -352,6 +296,57 @@ _PRIORITY = [
     "tpcds_q36_hierarchy_rank",
     "tpch_q11_important_value",
     "tpch_q12_priority_class",
+    # --- the 50 entries the r10 driver just checked (freshest) ---
+    "fn_dialect_probe_closeout",
+    "tf_generate_series",
+    "tf_generate_series_ts",
+    "fn_string_distance",
+    "tpch_q13_order_distribution",
+    "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_cnt",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q4_priority_exists",
+    "tpch_q8_market_share",
+    "tpch_q18_large_orders",
+    "tpch_q19_disjunctive_join",
+    "tpch_q20_nested_in",
+    "tpch_q22_global_sales",
+    "case_expr",
+    "in_list_filter",
+    "values_literal",
+    "null_handling",
+    "sort_limit_offset",
+    "join_theta_loop",
+    "join_multistep_tpch_q7",
+    "subquery_correlated_scalar",
+    "subquery_not_in_nulls",
+    "window_ranks",
+    "window_range_interval",
+    "window_lag_lead_in_frame",
+    "sql_dialect_window_fill",
+    "sql_dialect_null_order",
+    "union_all",
+    "sim_ann_lsh",
+    "sim_embedding_neardup",
+    "pipe_mix_sources",
+    "pipe_pack_sequences",
+    "text_repetition",
+    "dedup_simhash_portable",
+    "dedup_minhash_portable",
+    "pipe_end_to_end_corpus",
+    "dml_update_postimage",
+    "dml_delete_postimage",
+    "tf_generate_random_strings",
+    "ml_dbscan",
+    "tf_raster_slope_path",
+    "geo_geos_union_diff",
+    "geo_multipolygon_props",
+    "geo_transform_utm",
+    "tf_point_cloud_metadata",
+    "tf_load_point_cloud",
+    "dml_update_correlated_postimage",
 ]
 
 
