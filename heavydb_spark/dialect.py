@@ -601,14 +601,16 @@ def _rewrite_quantified_array_rhs(sql: str) -> str:
     return sql
 
 
-def _rewrite_call(sql: str, fname: str, make) -> str:
+def _rewrite_call(sql: str, fname: str, make, type_of=None) -> str:
     """Replace every call `fname(args)` with `make(args)` — the argument
     span is found by balanced-paren scan, so nested calls like
     APPROX_MEDIAN(abs(x - 1)) rewrite correctly (a bare [^)]* regex
     cannot). Arguments are rewritten recursively FIRST, so a same-name
     call nested inside another's arguments (DATEADD of a DATEADD) gets
     reference semantics too. `make` returns the replacement text or
-    None to leave the call untouched."""
+    None to leave the call untouched; a make with `wants_type_of` set
+    also receives the Engine's column-type resolver (the geo
+    normalizers dispatch WKT string columns with it)."""
     pat = re.compile(r"\b" + fname + r"\s*\(", re.IGNORECASE)
     out, pos = [], 0
     while True:
@@ -624,8 +626,9 @@ def _rewrite_call(sql: str, fname: str, make) -> str:
             pos = m.end()
             continue
         i = _scan_balanced(sql, m.end())
-        args = _rewrite_call(sql[m.end() : i - 1], fname, make)
-        repl = make(args)
+        args = _rewrite_call(sql[m.end() : i - 1], fname, make, type_of)
+        repl = (make(args, type_of) if getattr(make, "wants_type_of", False)
+                else make(args))
         out.append(sql[pos : m.start()])
         out.append(repl if repl is not None else f"{sql[m.start():m.end()]}{args})")
         pos = i
@@ -958,10 +961,15 @@ def _geo_literal_normalizer(fname: str, argspec: str):
     ST_GeomFromText-wrapped, becomes its named_struct spelling), 'g'
     is an array-of-rings position (a bare WKT literal wraps in
     st_geomfromtext; a POINT literal lands as the degenerate 1x1 ring
-    set), '.' passes through. Returns None — leaving the registered
-    typed function to resolve — when nothing literal was found."""
+    set), '.' passes through. A NON-literal argument that resolves as
+    a STRING column (WKT storage — the engine's geo column
+    representation) parses through st_geomfromtext at the same
+    positions, mirroring the reference's implicit geo column decode
+    (found by the CorrelatedSubqueryTest comparator,
+    Update.CorrelatedWithGeo:918). Returns None — leaving the
+    registered typed function to resolve — when nothing rewrote."""
 
-    def make(args: str) -> str | None:
+    def make(args: str, type_of=None) -> str | None:
         parts = _split_top_level(args)
         if len(parts) != len(argspec):
             return None
@@ -973,10 +981,19 @@ def _geo_literal_normalizer(fname: str, argspec: str):
                     out.append(pts[0])
                     changed = True
                     continue
+                if _expr_is_stringy(a, type_of):
+                    out.append("element_at(element_at("
+                               f"st_geomfromtext({a}), 1), 1)")
+                    changed = True
+                    continue
             elif kind == "g":
                 a2 = _rings_arg(a)
                 if a2 != a:
                     out.append(a2)
+                    changed = True
+                    continue
+                if _expr_is_stringy(a, type_of):
+                    out.append(f"st_geomfromtext({a})")
                     changed = True
                     continue
             elif kind == "f":
@@ -987,11 +1004,16 @@ def _geo_literal_normalizer(fname: str, argspec: str):
                     out.append(f"element_at({a2}, 1)")
                     changed = True
                     continue
+                if _expr_is_stringy(a, type_of):
+                    out.append(f"element_at(st_geomfromtext({a}), 1)")
+                    changed = True
+                    continue
             out.append(a)
         if not changed:
             return None
         return f"{fname}({', '.join(out)})"
 
+    make.wants_type_of = True
     return make
 
 
@@ -2797,7 +2819,7 @@ def rewrite(sql: str, type_of=None) -> str:
     for pat, repl in _QUOTED_ARG_REWRITES:
         out = _sub_outside_literals(pat, repl, out)
     for fname, make in _PREMASK_CALL_REWRITES:
-        out = _rewrite_call(out, fname, make)
+        out = _rewrite_call(out, fname, make, type_of)
 
     literals: list[str] = []
 
@@ -2845,7 +2867,7 @@ def rewrite(sql: str, type_of=None) -> str:
     # nullif() wrapper for the later cast rewrites.
     out = _nullify_empty_stringops(out, type_of)
     for fname, make in _CALL_REWRITES:
-        out = _rewrite_call(out, fname, make)
+        out = _rewrite_call(out, fname, make, type_of)
     for fname, make in _WINDOW_REWRITES:
         out = _rewrite_window_call(out, fname, make)
     out = _rewrite_unordered_rows_frames(out)

@@ -836,6 +836,25 @@ _TYPE_REWRITES: list[tuple[re.Pattern, str]] = [
     (re.compile(r"\bTEXT\b", re.IGNORECASE), "STRING"),
     (re.compile(r"\bTIMESTAMP\s*\(\s*\d\s*\)", re.IGNORECASE), "TIMESTAMP"),
     (re.compile(r"\bTIME\b(?!STAMP)", re.IGNORECASE), "INT"),
+    # geo column types (Shared/sqltypes.h kPOINT..kMULTIPOLYGON; the
+    # dimensioned GEOMETRY(POINT, 4326) spelling from ddl grammar) ->
+    # STRING: geometry is stored as WKT, the representation every
+    # engine ST_ function accepts (functions/geo.py). Found by the
+    # CorrelatedSubqueryTest comparator (Update.CorrelatedWithGeo:918).
+    (
+        re.compile(
+            r"\bGEOMETRY\s*\(\s*\w+\s*(?:,\s*\d+\s*)?\)", re.IGNORECASE
+        ),
+        "STRING",
+    ),
+    (
+        re.compile(
+            r"\b(?:MULTIPOINT|MULTILINESTRING|MULTIPOLYGON|POINT|"
+            r"LINESTRING|POLYGON)\b",
+            re.IGNORECASE,
+        ),
+        "STRING",
+    ),
     (re.compile(r"\s+ENCODING\s+\w+\s*(\(\s*\d+\s*\))?", re.IGNORECASE), ""),
 ]
 
@@ -1772,7 +1791,12 @@ class Engine:
         cast rewrite, so a statement casting to a datetime type builds
         the resolver even without a `/`."""
         if "/" not in context and not re.search(
-                r"(?i)\b(?:TRY_)?CAST\s*\(|\bAS\s+(DATE|TIME|TIMESTAMP)\b",
+                r"(?i)\b(?:TRY_)?CAST\s*\(|\bAS\s+(DATE|TIME|TIMESTAMP)\b"
+                # typed geo functions dispatch WKT string columns via
+                # the resolver (dialect._geo_literal_normalizer), and
+                # CONCAT/REVERSE consult is_array for the empty-string
+                # nullify gate — both need the schema map built
+                r"|\bST_\w+\s*\(|\bCONCAT\s*\(|\bREVERSE\s*\(",
                 context):
             return None
         int_types = {"tinyint", "smallint", "int", "bigint"}

@@ -2871,3 +2871,45 @@ def test_approx_median_sketch_session_option(engine):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="APPROX_MEDIAN_SKETCH"):
         engine.sql("ALTER SESSION SET APPROX_MEDIAN_SKETCH='maybe'")
+
+
+def test_geo_column_ddl_and_wkt_dispatch(engine, spark):
+    """r11 CorrelatedSubqueryTest comparator finds (Update.
+    CorrelatedWithGeo:918): (a) HeavyDB geo column types in CREATE
+    TABLE (POINT/POLYGON/... and dimensioned GEOMETRY(POINT, 4326))
+    map to STRING/WKT storage; (b) typed geo SQL predicates dispatch
+    WKT string COLUMNS through st_geomfromtext — including inside a
+    correlated UPDATE subquery."""
+    import shutil
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    wh = wh.replace("file:", "")
+    for t in ("geo_ddl_facts", "geo_ddl_lookup"):
+        engine.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
+    try:
+        engine.sql("CREATE TABLE geo_ddl_facts (id int, pt POINT, "
+                   "lookup_id int)")
+        engine.sql("CREATE TABLE geo_ddl_lookup (id int, poly "
+                   "GEOMETRY(POLYGON, 4326))")
+        engine.sql("INSERT INTO geo_ddl_facts VALUES " + ", ".join(
+            f"({i}, 'POINT ({i + 0.5} {i + 0.5})', NULL)"
+            for i in range(7)))
+        engine.sql("INSERT INTO geo_ddl_lookup VALUES " + ", ".join(
+            f"({i}, 'POLYGON(({i} {i}, {i} {i + 1}, {i + 1} {i + 1}, "
+            f"{i + 1} {i}))')" for i in range(3)))
+        # WKT column dispatch in a plain SELECT predicate
+        n = engine.sql(
+            "SELECT count(*) AS n FROM geo_ddl_facts f, geo_ddl_lookup l "
+            "WHERE ST_CONTAINS(l.poly, f.pt)").first()["n"]
+        assert n == 3
+        # ... and inside a correlated UPDATE subquery
+        engine.sql("UPDATE geo_ddl_facts SET lookup_id = (SELECT "
+                   "geo_ddl_lookup.id FROM geo_ddl_lookup WHERE "
+                   "ST_CONTAINS(poly, pt))")
+        rows = engine.sql("SELECT id, lookup_id FROM geo_ddl_facts "
+                          "ORDER BY id").collect()
+        assert [(r["id"], r["lookup_id"]) for r in rows] == [
+            (i, i if i < 3 else None) for i in range(7)]
+    finally:
+        engine.sql("DROP TABLE IF EXISTS geo_ddl_facts")
+        engine.sql("DROP TABLE IF EXISTS geo_ddl_lookup")
