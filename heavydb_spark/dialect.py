@@ -395,7 +395,7 @@ _REWRITES: list[tuple[re.Pattern, str]] = [
     # by now, so braces inside strings pass through untouched).
     (re.compile(r"\bUNNEST\s*\(", re.IGNORECASE), "explode("),
     (re.compile(r"\bARRAY_LENGTH\s*\(", re.IGNORECASE), "cardinality("),
-    (re.compile(r"\{([^{}]*)\}"), r"array(\1)"),
+    (re.compile(r"\{([^{}]*)\}"), lambda m: _brace_array(m)),
     # GROUP BY () — the grand-total grouping (Calcite accepts it;
     # Spark needs the explicit grouping-sets spelling)
     (
@@ -528,6 +528,29 @@ def _split_top_level(args: str) -> list[str]:
             cur.append(ch)
     parts.append("".join(cur).strip())
     return parts
+
+
+_DEC_LIT_RE = re.compile(r"^[+-]?(\d+)(?:\.(\d*))?$")
+
+
+def _brace_array(m: re.Match) -> str:
+    """{...} array literal -> array(...) (Tests/ArrayTest.cpp).  The
+    reference's decimals are 64-bit (precision <= 19): when the common
+    decimal type of an all-literal array would exceed that, its
+    elements are cast to DOUBLE instead (ArrayTest.cpp
+    Select.LiteralDecimals — {576460752303423488.0,
+    0.00000095367431640625} compares equal to the double spelling).
+    Spark's decimals go to 38 digits, so the rule is applied here."""
+    body = m.group(1)
+    parts = _split_top_level(body) if body.strip() else []
+    lits = [_DEC_LIT_RE.match(p) for p in parts]
+    if parts and all(lits) and any("." in p for p in parts):
+        int_digits = max(len(lm.group(1).lstrip("0")) for lm in lits)
+        scale = max(len(lm.group(2) or "") for lm in lits)
+        if int_digits + scale > 19:
+            return ("array(" + ", ".join(
+                f"CAST({p} AS DOUBLE)" for p in parts) + ")")
+    return f"array({body})"
 
 
 def _scan_balanced(sql: str, start: int,
@@ -1213,13 +1236,29 @@ _CALL_REWRITES = [
         ),
     ),
     ("TRUNCATE", _truncate_call),
+    # ARRAY_APPEND family (ExtensionFunctionsArray.hpp array_append +
+    # the typed tarray_append/barray_append spellings): a NULL array
+    # appends as if EMPTY — ArrayTest.cpp ArrayAppend* expects {elem}
+    # on NULL-array rows and {NULL} when both sides are NULL — where
+    # Spark's native array_append returns NULL for a NULL array.
+] + [
+    (name, (lambda args: (
+        "array_append(coalesce(({}), array()), ({}))".format(
+            *_split_top_level(args))
+        if len(_split_top_level(args)) == 2
+        else None
+    )))
+    for name in ("ARRAY_APPEND", "TARRAY_APPEND", "BARRAY_APPEND")
+] + [
     # ARRAY_EQUAL(a, b) (ExtensionFunctionsArray.hpp array_equal
     # overload family) -> Spark's native array equality, generic over
-    # every element type the reference enumerates
+    # every element type the reference enumerates.  A NULL array
+    # compares FALSE, not NULL (ArrayTest.cpp ArrayEqual expects 0 on
+    # the NULL-array rows even for col = col).
     (
         "ARRAY_EQUAL",
         lambda args: (
-            "(({}) = ({}))".format(*_split_top_level(args))
+            "coalesce(({}) = ({}), false)".format(*_split_top_level(args))
             if len(_split_top_level(args)) == 2
             else None
         ),

@@ -826,11 +826,17 @@ def _heavy_type(spark_type: str) -> str:
 # clauses are storage hints with no Spark equivalent and are dropped
 # (dictionary/delta encoding happens inside parquet).
 _TYPE_REWRITES: list[tuple[re.Pattern, str]] = [
-    # postfix array types INT[] / TEXT[] / DECIMAL(10,2)[]
-    # (Shared/sqltypes.h kARRAY) -> ARRAY<...>; runs first so the
-    # element type falls through the scalar rewrites below
+    # postfix array types INT[] / TEXT[] / DECIMAL(10,2)[] and the
+    # fixed-length forms BIGINT[2] / TINYINT[3] (Shared/sqltypes.h
+    # kARRAY; fixed size is a storage bound with no Spark analogue,
+    # dropped like ENCODING — ArrayTest.cpp farri64/fixlen fixtures)
+    # -> ARRAY<...>; runs first so the element type falls through the
+    # scalar rewrites below
     (
-        re.compile(r"\b([A-Za-z]\w*(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?)\s*\[\s*\]"),
+        re.compile(
+            r"\b([A-Za-z]\w*(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?)"
+            r"\s*\[\s*\d*\s*\]"
+        ),
         r"ARRAY<\1>",
     ),
     (re.compile(r"\bTEXT\b", re.IGNORECASE), "STRING"),
@@ -864,6 +870,34 @@ _COLDEF_TAIL_RE = re.compile(
     r"\b(DEFAULT|NOT\s+NULL|NULL|PRIMARY\s+KEY|REFERENCES|UNIQUE|CHECK)\b",
     re.IGNORECASE,
 )
+
+
+_INSERT_VALUES_RE = re.compile(
+    r"^\s*INSERT\s+INTO\s+([\w.]+)\s*(?:\(([^()]*)\))?\s*VALUES\s*(.+?)"
+    r";?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _split_cells_braced(s: str) -> list[str]:
+    """Split at top-level commas, aware of (), [], {} and '...' — the
+    brace array literals in HeavyDB INSERT rows contain commas."""
+    parts, depth, cur, in_q = [], 0, [], False
+    for ch in s:
+        if ch == "'":
+            in_q = not in_q
+        elif not in_q:
+            if ch in "([{":
+                depth += 1
+            elif ch in ")]}":
+                depth -= 1
+        if ch == "," and depth == 0 and not in_q:
+            parts.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    parts.append("".join(cur).strip())
+    return parts
 
 
 def _rewrite_column_def(d: str) -> str:
@@ -1315,6 +1349,15 @@ class Engine:
                 for d in _split_top_level_defs(m.group(2))
             )
             query = m.group(1) + defs + m.group(3)
+        m = _INSERT_VALUES_RE.match(query)
+        if m:
+            # INSERT ... VALUES coerces every cell to its target column type
+            # like the reference importer (Importer.cpp parses every
+            # cell against the column's SQLTypeInfo): quoted booleans
+            # ('true'), numeric strings, and brace array literals all
+            # land typed — ArrayTest.cpp's fixtures INSERT '{…}' rows
+            # with quoted boolean cells.
+            query = self._cast_insert_values(m) or query
         query, hints = _extract_query_hints(query)
         if self.approx_median_sketch:
             # 100 TB escape hatch (ALTER SESSION SET
@@ -1772,6 +1815,48 @@ class Engine:
                 [(old, new)], "old_name STRING, new_name STRING"
             )
         return None
+
+    def _cast_insert_values(self, m: re.Match) -> str | None:
+        """Wrap every INSERT ... VALUES cell in CAST(cell AS <column
+        type>) — the reference importer parses each cell against the
+        column's SQLTypeInfo (ImportExport/Importer.cpp), so quoted
+        booleans, numeric strings, datetime strings (which then route
+        through the DateTimeParser chains in the dialect) and brace
+        array literals all coerce. Returns None (statement unchanged)
+        when the target schema or the row shape can't be resolved —
+        Spark then reports its own analysis error."""
+        name, collist, body = m.group(1), m.group(2), m.group(3)
+        try:
+            sch = self.spark.table(name).schema
+        except Exception:
+            return None
+        by_name = {f.name.lower(): f.dataType for f in sch.fields}
+        if collist:
+            try:
+                types = [
+                    by_name[c.strip().strip('`"').lower()]
+                    for c in collist.split(",")
+                ]
+            except KeyError:
+                return None
+        else:
+            types = [f.dataType for f in sch.fields]
+        out_rows = []
+        for row in _split_cells_braced(body):
+            row = row.strip()
+            if not (row.startswith("(") and row.endswith(")")):
+                return None
+            cells = _split_cells_braced(row[1:-1])
+            if len(cells) != len(types):
+                return None
+            out_rows.append("(" + ", ".join(
+                c if c.upper() == "DEFAULT"
+                else f"CAST(({c}) AS {t.simpleString()})"
+                for c, t in zip(cells, types)) + ")")
+        head = f"INSERT INTO {name} "
+        if collist:
+            head += f"({collist}) "
+        return head + "VALUES " + ", ".join(out_rows)
 
     def _type_resolver(self, context: str):
         """Column-type callback for the dialect's reference-semantics
