@@ -804,6 +804,9 @@ _WKT_MULTIPOINT_LIT_RE = re.compile(
 _GEOMFROMTEXT_CALL_RE = re.compile(
     r"^\s*ST_GeomFromText\s*\((.*)\)\s*$", re.IGNORECASE | re.DOTALL
 )
+_SETSRID_CALL_RE = re.compile(
+    r"^\s*ST_SetSRID\s*\((.*)\)\s*$", re.IGNORECASE | re.DOTALL
+)
 
 
 def _point_literal_structs(arg: str) -> list[str] | None:
@@ -812,6 +815,11 @@ def _point_literal_structs(arg: str) -> list[str] | None:
     in ST_GeomFromText(..., [srid]) — becomes its point-struct
     spelling; a MULTIPOINT literal becomes one struct per member
     point. Returns None when `arg` is not a literal point geometry."""
+    m = _SETSRID_CALL_RE.match(arg)
+    if m:
+        inner = _split_top_level(m.group(1))
+        if inner:
+            arg = inner[0]  # the SRID is a tag, not a transform
     m = _GEOMFROMTEXT_CALL_RE.match(arg)
     if m:
         inner = _split_top_level(m.group(1))
@@ -861,17 +869,297 @@ def _st_distance_literal_args(args: str) -> str | None:
     return calls[0] if len(calls) == 1 else f"least({', '.join(calls)})"
 
 
-def _st_dwithin_literal_args(args: str) -> str | None:
-    """ST_DWithin(a, b, d) with literal point geometry: rewrite through
-    the distance normalizer (distance <= d is the definition,
-    Geospatial/Types.cpp)."""
+_WKT_TAG_KIND = {
+    "POINT": 1, "MULTIPOINT": 2, "LINESTRING": 3,
+    "MULTILINESTRING": 4, "POLYGON": 5, "MULTIPOLYGON": 6,
+}
+
+_GEOGFROMTEXT_CALL_RE = re.compile(
+    r"^\s*(?:ST_GeogFromText|CastToGeography)\s*\((.*)\)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_CAST_GEOG_RE = re.compile(
+    r"^\s*CAST\s*\((.*)\s+AS\s+GEOGRAPHY\s*\)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _strip_geog(arg: str) -> str | None:
+    """The geography wrappers (ST_GeogFromText / CastToGeography /
+    CAST(x AS GEOGRAPHY), RelAlgTranslatorGeo.cpp) -> the wrapped
+    geometry expression, or None when `arg` is not a geography."""
+    m = _GEOGFROMTEXT_CALL_RE.match(arg)
+    if m and _scan_balanced(arg, arg.index("(") + 1) >= len(arg.rstrip()):
+        inner = _split_top_level(m.group(1))
+        return inner[0] if inner else None
+    m = _CAST_GEOG_RE.match(arg)
+    if m:
+        return m.group(1)
+    return None
+
+
+def _geo_arg(arg: str, type_of=None) -> tuple[str, str] | None:
+    """Resolve one geometry argument to (rings_expr, kind_expr) for
+    the kind-tagged dispatch kernels (st_distance_any family): a WKT
+    literal — bare or ST_GeomFromText-wrapped — tags statically; a
+    string-resolved expression tags at runtime via geo_kind."""
+    s = arg.strip()
+    m = _SETSRID_CALL_RE.match(s)
+    if m and _scan_balanced(s, s.index("(") + 1) >= len(s.rstrip()):
+        inner = _split_top_level(m.group(1))
+        if inner:
+            return _geo_arg(inner[0], type_of)  # SRID is a tag
+    m = _GEOMFROMTEXT_CALL_RE.match(s)
+    if m and _scan_balanced(s, s.index("(") + 1) >= len(s.rstrip()):
+        inner = _split_top_level(m.group(1))
+        if not inner:
+            return None
+        return _geo_arg(inner[0], type_of)  # SRID carries no geometry
+    m = _WKT_ANY_LIT_RE.match(s)
+    if m:
+        return (f"st_geomfromtext({s})",
+                str(_WKT_TAG_KIND[m.group(1).upper()]))
+    if _expr_is_stringy(s, type_of):
+        return (f"st_geomfromtext({s})", f"geo_kind({s})")
+    return None
+
+
+def _as_point_rings(arg: str) -> tuple[str, str]:
+    """A point-producing argument (POINT/MULTIPOINT literal or a
+    point-struct expression like ST_Centroid/ST_Point output) as a
+    ring set + kind for the dispatch kernels."""
+    pts = _point_literal_structs(arg)
+    if pts:
+        rings = ", ".join(f"array({p})" for p in pts)
+        return (f"array({rings})", "1" if len(pts) == 1 else "2")
+    return (f"array(array({arg}))", "1")
+
+
+def _geog_point_struct(inner: str, type_of=None) -> str | None:
+    """The point struct of a geography's wrapped geometry; None when
+    it is provably not a point."""
+    pts = _point_literal_structs(inner)
+    if pts and len(pts) == 1:
+        return pts[0]
+    if pts:
+        return None
+    g = _geo_arg(inner, type_of)
+    if g is not None and g[1] not in ("1", "2"):
+        return None
+    if g is not None:
+        return f"element_at(element_at({g[0]}, 1), 1)"
+    return inner  # assume a point-struct expression
+
+
+def _geo_pair(args: str, type_of=None):
+    """Resolve a two-geometry argument list for the kind-dispatch
+    kernels, or None to leave the legacy point-struct paths alone.
+    The general path engages only when a side is a provable NON-point
+    geometry (shape literal, geomfromtext call, or WKT string
+    column) — point-struct expressions keep the fast st_distance
+    (STRUCT, STRUCT) spelling."""
+    parts = _split_top_level(args)
+    if len(parts) != 2:
+        return None
+    a = _geo_arg(parts[0], type_of)
+    b = _geo_arg(parts[1], type_of)
+    nonpoint = (a is not None and a[1] not in ("1", "2")) or (
+        b is not None and b[1] not in ("1", "2"))
+    if not nonpoint:
+        return None
+    ra = a or _as_point_rings(parts[0])
+    rb = b or _as_point_rings(parts[1])
+    return ra, rb
+
+
+def _st_distance_args(args: str, type_of=None) -> str | None:
+    """ST_Distance over the full geometry-tag matrix (GeoSpatial.Math,
+    GeospatialTest.cpp:1906; ST_Distance_* kernels,
+    ExtensionFunctionsGeo.hpp): GEOGRAPHY point pairs run the
+    reference's haversine (meters); any provable non-point geometry
+    routes through the kind-tagged st_distance_any kernel; point-only
+    shapes keep the legacy struct fast path."""
+    parts = _split_top_level(args)
+    if len(parts) != 2:
+        return None
+    ga, gb = _strip_geog(parts[0]), _strip_geog(parts[1])
+    if ga is not None or gb is not None:
+        if ga is None or gb is None:
+            raise ValueError(
+                "ST_Distance: cannot mix GEOGRAPHY and GEOMETRY "
+                "arguments (RelAlgTranslatorGeo.cpp)")
+        pa = _geog_point_struct(ga, type_of)
+        pb = _geog_point_struct(gb, type_of)
+        if pa is None or pb is None:
+            raise ValueError(
+                "Geodesic ST_Distance supports POINT geographies "
+                "(ST_Distance_Point_Point_Geodesic, "
+                "ExtensionFunctionsGeo.hpp)")
+        return f"st_distance_geog({pa}, {pb})"
+    pair = _geo_pair(args, type_of)
+    if pair is not None:
+        (ra, ka), (rb, kb) = pair
+        return f"st_distance_any({ra}, {ka}, {rb}, {kb})"
+    return _st_distance_literal_args(args)
+
+
+_st_distance_args.wants_type_of = True
+
+
+def _st_dwithin_literal_args(args: str, type_of=None) -> str | None:
+    """ST_DWithin(a, b, d): distance <= d is the definition
+    (Geospatial/Types.cpp); geography point pairs compare haversine
+    meters, and the geodesic form rejects non-POINT geographies like
+    the reference (GeospatialTest.cpp:2464)."""
     parts = _split_top_level(args)
     if len(parts) != 3:
         return None
-    dist = _st_distance_literal_args(", ".join(parts[:2]))
+    dist = _st_distance_args(", ".join(parts[:2]), type_of)
     if dist is None:
         return None
     return f"({dist} <= {parts[2]})"
+
+
+_st_dwithin_literal_args.wants_type_of = True
+
+
+def _st_intersects_args(args: str, type_of=None) -> str | None:
+    """Boundary-INCLUSIVE intersects (GeoSpatial.Math corner/vertex
+    touch expectations): a provable geometry pair dispatches through
+    st_intersects_any (distance == 0); other shapes keep the legacy
+    literal normalizer (GEOS overlay for ring-typed expressions)."""
+    pair = _geo_pair(args, type_of)
+    if pair is not None:
+        (ra, ka), (rb, kb) = pair
+        return f"st_intersects_any({ra}, {ka}, {rb}, {kb})"
+    return _geo_literal_normalizer("st_intersects", "gg")(args, type_of)
+
+
+_st_intersects_args.wants_type_of = True
+
+
+def _st_disjoint_args(args: str, type_of=None) -> str | None:
+    pair = _geo_pair(args, type_of)
+    if pair is not None:
+        (ra, ka), (rb, kb) = pair
+        return f"(NOT st_intersects_any({ra}, {ka}, {rb}, {kb}))"
+    return _geo_literal_normalizer("st_disjoint", "gg")(args, type_of)
+
+
+_st_disjoint_args.wants_type_of = True
+
+
+def _geomfromtext_strip_srid(args: str, force: bool = False) -> str | None:
+    """ST_GeomFromText(wkt, <srid>) -> st_geomfromtext(wkt): the SRID
+    is a coordinate-system TAG (Geospatial/Types.cpp), not a
+    transform — planar math is unchanged; ST_Transform and the
+    geodesic handlers consume their SRIDs before this runs.  With
+    `force` (the ST_GeogFromText spelling) the 1-arg form rewrites
+    too."""
+    parts = _split_top_level(args)
+    if len(parts) == 2 and re.match(r"^\d+$", parts[1].strip()):
+        return f"st_geomfromtext({parts[0]})"
+    if force and len(parts) == 1:
+        return f"st_geomfromtext({parts[0]})"
+    return None
+
+
+def _st_equals_args(args: str, type_of=None) -> str | None:
+    """GEOS-backed ST_Equals for non-point geometries
+    (GeospatialTest.cpp:2961) via st_equals_any; point pairs keep the
+    reference's own distance<=0 lowering through the registered
+    st_equals(STRUCT, STRUCT)."""
+    pair = _geo_pair(args, type_of)
+    if pair is not None:
+        (ra, ka), (rb, kb) = pair
+        return f"st_equals_any({ra}, {ka}, {rb}, {kb})"
+    return _geo_literal_normalizer("st_equals", "pp")(args, type_of)
+
+
+_st_equals_args.wants_type_of = True
+
+
+def _st_dfullywithin_args(args: str, type_of=None) -> str | None:
+    """ST_DFullyWithin(point, geom, d) in EITHER argument order
+    (GeospatialTest.cpp:2449 asserts both spellings) — max distance is
+    symmetric, so the swapped form reuses the same kernel.  The point
+    side must resolve as a single POINT; the other side lands as
+    rings."""
+    parts = _split_top_level(args)
+    if len(parts) != 3:
+        return None
+    a, b, d = parts
+    pa = _point_literal_structs(a)
+    pb = _point_literal_structs(b)
+
+    def rings(arg):
+        g = _geo_arg(arg, type_of)
+        if g is not None:
+            return g[0]
+        return _rings_arg(arg)
+
+    if pa is not None and len(pa) == 1 and (pb is None):
+        return f"st_dfullywithin({pa[0]}, {rings(b)}, {d})"
+    if pb is not None and len(pb) == 1 and (pa is None):
+        return f"st_dfullywithin({pb[0]}, {rings(a)}, {d})"
+    return _geo_literal_normalizer("st_dfullywithin", "pg.")(args, type_of)
+
+
+_st_dfullywithin_args.wants_type_of = True
+
+
+def _st_setsrid_strip(args: str) -> str | None:
+    """ST_SetSRID(g, srid) -> (g): the SRID is a coordinate-system tag
+    (Geospatial/Types.cpp); geometry math here is tag-independent and
+    ST_Transform's SQL form reads its SRIDs from its own arguments."""
+    parts = _split_top_level(args)
+    if len(parts) == 2 and re.match(r"^\d+$", parts[1].strip()):
+        return f"({parts[0]})"
+    return None
+
+
+def _st_transform_args(args: str, type_of=None) -> str | None:
+    """ST_Transform over ring geometries (LINESTRING/POLYGON literals
+    or WKT columns) maps vertex-wise via st_transform_rings; point
+    shapes keep the registered st_transform(STRUCT, srid)."""
+    parts = _split_top_level(args)
+    if len(parts) != 2:
+        return None
+    g = _geo_arg(parts[0], type_of)
+    if g is not None and g[1] not in ("1",):
+        return f"st_transform_rings({g[0]}, {parts[1]})"
+    return _geo_literal_normalizer("st_transform", "p.")(args, type_of)
+
+
+_st_transform_args.wants_type_of = True
+
+
+def _geo_unary_dispatch(any_fn: str, fallback, geodesic: str | None = None):
+    """One-geometry function dispatch: a provable tagged geometry
+    (literal of any WKT tag / geomfromtext call / WKT string column)
+    routes to the kind-tagged `any_fn`; a GEOGRAPHY wrapper routes to
+    the geodesic kernel when one exists; anything else falls back to
+    the legacy literal normalizer."""
+
+    def make(args: str, type_of=None) -> str | None:
+        parts = _split_top_level(args)
+        if len(parts) != 1:
+            return fallback(args, type_of)
+        gg = _strip_geog(parts[0])
+        if gg is not None and geodesic is not None:
+            g = _geo_arg(gg, type_of)
+            if g is None:
+                g = _as_point_rings(gg)
+            if geodesic.endswith("_geog") and "perimeter" in geodesic:
+                return f"{geodesic}({g[0]}, {g[1]})"
+            return f"{geodesic}({g[0]})"
+        g = _geo_arg(parts[0], type_of)
+        if g is not None:
+            return f"{any_fn}({g[0]}, {g[1]})"
+        return fallback(args, type_of)
+
+    make.wants_type_of = True
+    return make
 
 
 _WKT_ANY_LIT_RE = re.compile(
@@ -1020,15 +1308,15 @@ def _geo_literal_normalizer(fname: str, argspec: str):
                     changed = True
                     continue
             elif kind == "f":
-                # flat point-list position (hull kernels): the
-                # literal's FIRST RING is the vertex list
-                a2 = _rings_arg(a)
-                if a2 != a:
-                    out.append(f"element_at({a2}, 1)")
-                    changed = True
-                    continue
-                if _expr_is_stringy(a, type_of):
-                    out.append(f"element_at(st_geomfromtext({a}), 1)")
+                # flat point-list position (hull kernels): ALL vertices
+                # of the geometry (GeospatialTest hulls MULTILINESTRING
+                # / MULTIPOINT inputs — the former first-ring-only read
+                # dropped every ring past the first; _geo_arg also
+                # reaches ST_GeomFromText-wrapped literals and WKT
+                # string columns)
+                ga = _geo_arg(a, type_of)
+                if ga is not None:
+                    out.append(f"flatten({ga[0]})")
                     changed = True
                     continue
             out.append(a)
@@ -1056,6 +1344,17 @@ def _st_buffer_call(args: str) -> str | None:
     if len(parts) != 2:
         return None
     g, r = parts
+    ms = _SETSRID_CALL_RE.match(g.strip())
+    if ms:
+        inner = _split_top_level(ms.group(1))
+        if len(inner) == 2 and inner[1].strip() == "4326":
+            # an explicitly 4326-tagged buffer takes its radius in
+            # METERS in the reference (GeoSpatial.Math: a 10 m buffer
+            # around POINT(0 0) must NOT contain POINT(1 0));
+            # approximated as equatorial degrees here
+            scaled = f"{inner[0]}, ({r}) / 111319.490778"
+            return (_st_buffer_call(scaled)
+                    or f"st_buffer({inner[0]}, ({r}) / 111319.490778)")
     m = _WKT_TAG_RE.match(g.strip())
     if m:
         tag = m.group(1).upper()
@@ -1145,8 +1444,9 @@ def _width_bucket_guard(args: str):
 
 
 _CALL_REWRITES = [
-    # SAMPLE_RATIO(r) -> (rand() < r)
-    ("SAMPLE_RATIO", lambda args: f"(rand() < {args})"),
+    # SAMPLE_RATIO(r) -> (rand() < r); NULL ratio samples FALSE, not
+    # NULL (ExecuteTest Select.SampleRatio: sample_ratio(null) = 0)
+    ("SAMPLE_RATIO", lambda args: f"coalesce(rand() < ({args}), false)"),
     # WIDTH_BUCKET literal-argument validation (pass-through rewrite)
     ("WIDTH_BUCKET", _width_bucket_guard),
     # POSITION(needle IN hay [FROM start]) — reference semantics
@@ -1773,19 +2073,26 @@ _PREMASK_CALL_REWRITES = [
     # literal geometry args normalize to the typed SQL surface ->
     # pre-mask (the WKT IS a literal). DISTANCE/DWITHIN stay bespoke
     # for the MULTIPOINT min-member-distance expansion.
-    ("ST_DISTANCE", _st_distance_literal_args),
+    ("ST_DISTANCE", _st_distance_args),
     ("ST_DWITHIN", _st_dwithin_literal_args),
     ("ST_CONTAINS", _geo_literal_normalizer("st_contains", "gp")),
     ("ST_WITHIN", _geo_literal_normalizer("st_within", "pg")),
-    ("ST_INTERSECTS", _geo_literal_normalizer("st_intersects", "gg")),
-    ("ST_DISJOINT", _geo_literal_normalizer("st_disjoint", "gg")),
-    ("ST_AREA", _geo_literal_normalizer("st_area", "g")),
-    ("ST_PERIMETER", _geo_literal_normalizer("st_perimeter", "g")),
-    ("ST_CENTROID", _geo_literal_normalizer("st_centroid", "g")),
+    ("ST_INTERSECTS", _st_intersects_args),
+    ("ST_DISJOINT", _st_disjoint_args),
+    ("ST_AREA", _geo_unary_dispatch(
+        "st_area_any", _geo_literal_normalizer("st_area", "g"))),
+    ("ST_PERIMETER", _geo_unary_dispatch(
+        "st_perimeter_any",
+        _geo_literal_normalizer("st_perimeter", "g"),
+        geodesic="st_perimeter_geog")),
+    ("ST_CENTROID", _geo_unary_dispatch(
+        "st_centroid_any", _geo_literal_normalizer("st_centroid", "g"))),
     ("ST_NUMRINGS", _geo_literal_normalizer("st_numrings", "g")),
     ("ST_NRINGS", _geo_literal_normalizer("st_nrings", "g")),
     ("ST_NPOINTS", _geo_literal_normalizer("st_npoints", "g")),
-    ("ST_LENGTH", _geo_literal_normalizer("st_length", "g")),
+    ("ST_LENGTH", _geo_unary_dispatch(
+        "st_length_any", _geo_literal_normalizer("st_length", "g"),
+        geodesic="st_length_geog")),
     ("ST_STARTPOINT", _geo_literal_normalizer("st_startpoint", "g")),
     ("ST_ENDPOINT", _geo_literal_normalizer("st_endpoint", "g")),
     ("ST_POINTN", _geo_literal_normalizer("st_pointn", "g.")),
@@ -1798,10 +2105,10 @@ _PREMASK_CALL_REWRITES = [
     ("ST_X", _geo_literal_normalizer("st_x", "p")),
     ("ST_Y", _geo_literal_normalizer("st_y", "p")),
     ("ST_ASTEXT", _geo_literal_normalizer("st_astext", "p")),
-    ("ST_EQUALS", _geo_literal_normalizer("st_equals", "pp")),
-    ("ST_TRANSFORM", _geo_literal_normalizer("st_transform", "p.")),
+    ("ST_EQUALS", _st_equals_args),
+    ("ST_TRANSFORM", _st_transform_args),
     ("ST_MAXDISTANCE", _geo_literal_normalizer("st_maxdistance", "pg")),
-    ("ST_DFULLYWITHIN", _geo_literal_normalizer("st_dfullywithin", "pg.")),
+    ("ST_DFULLYWITHIN", _st_dfullywithin_args),
     # GEOS overlay / hull UDFs take rings too (functions/geos.py)
     ("ST_INTERSECTION", _geo_literal_normalizer("st_intersection", "gg")),
     ("ST_UNION", _geo_literal_normalizer("st_union", "gg")),
@@ -1832,6 +2139,18 @@ _PREMASK_CALL_REWRITES = [
     # they keep the permissive shared alias map
     ("TIMESTAMPADD", lambda a: _dateadd_call(a, func=None)),
     ("TIMESTAMPDIFF", lambda a: _datediff_call(a, func=None)),
+    # LAST in the list: SRID tags surviving outside the geodesic /
+    # transform consumers above are planar no-ops — strip them so the
+    # single-arg st_geomfromtext resolves (GeospatialTest 2-arg form).
+    # Un-consumed ST_GeogFromText likewise degrades to its geometry
+    # (the geography-ness only changes distance/length/perimeter,
+    # which the handlers above already routed).
+    ("ST_SETSRID", _st_setsrid_strip),
+    ("ST_GEOMFROMTEXT", _geomfromtext_strip_srid),
+    ("ST_GEOGFROMTEXT", lambda args: _geomfromtext_strip_srid(
+        args, force=True)),
+    ("CASTTOGEOGRAPHY", lambda args: f"({args})"
+        if len(_split_top_level(args)) == 1 else None),
 ]
 
 

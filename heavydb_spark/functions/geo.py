@@ -19,7 +19,8 @@ import pandas as pd  # noqa: F401 - resolves pandas_udf type hints
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-EARTH_RADIUS_M = 6371008.8  # mean radius, as in distance_in_meters
+EARTH_RADIUS_M = 6372797.560856  # the reference's exact haversine
+# radius (ExtensionFunctions.hpp distance_in_meters:445)
 
 
 def st_point(x: Column, y: Column) -> Column:
@@ -1323,7 +1324,9 @@ _GEO_SQL_FUNCS = {
     "st_point": """
         CREATE OR REPLACE TEMPORARY FUNCTION st_point(x DOUBLE, y DOUBLE)
         RETURNS STRUCT<x: DOUBLE, y: DOUBLE>
-        RETURN named_struct('x', x, 'y', y)
+        RETURN CASE WHEN x IS NULL OR y IS NULL
+                    THEN CAST(NULL AS STRUCT<x: DOUBLE, y: DOUBLE>)
+                    ELSE named_struct('x', x, 'y', y) END
     """,
     "st_x": """
         CREATE OR REPLACE TEMPORARY FUNCTION st_x(p STRUCT<x: DOUBLE, y: DOUBLE>)
@@ -1350,7 +1353,7 @@ _GEO_SQL_FUNCS = {
         CREATE OR REPLACE TEMPORARY FUNCTION distance_in_meters(
             lon1 DOUBLE, lat1 DOUBLE, lon2 DOUBLE, lat2 DOUBLE)
         RETURNS DOUBLE
-        RETURN 2 * 6371008.8 * asin(sqrt(
+        RETURN 2 * 6372797.560856 * asin(sqrt(
             pow(sin((radians(lat2) - radians(lat1)) / 2), 2)
             + cos(radians(lat1)) * cos(radians(lat2))
               * pow(sin((radians(lon2) - radians(lon1)) / 2), 2)))
@@ -1390,14 +1393,9 @@ _GEO_SQL_FUNCS = {
         CREATE OR REPLACE TEMPORARY FUNCTION st_length(g ARRAY<ARRAY<STRUCT<x: DOUBLE, y: DOUBLE>>>) RETURNS DOUBLE RETURN aggregate(sequence(1, size(element_at(g, 1)) - 1), CAST(0.0 AS DOUBLE), (acc, i) -> acc + sqrt(pow(element_at(element_at(g, 1), i).x - element_at(element_at(g, 1), i + 1).x, 2) + pow(element_at(element_at(g, 1), i).y - element_at(element_at(g, 1), i + 1).y, 2)))
     """,
     "st_geomfromtext": r"""
-        CREATE OR REPLACE TEMPORARY FUNCTION st_geomfromtext(wkt STRING) RETURNS ARRAY<ARRAY<STRUCT<x: DOUBLE, y: DOUBLE>>> RETURN CASE
-        WHEN upper(trim(wkt)) RLIKE '^POINT' THEN array(array(named_struct('x', CAST(element_at(split(trim(regexp_extract(wkt, '\\((.*)\\)', 1)), '\\s+'), 1) AS DOUBLE), 'y', CAST(element_at(split(trim(regexp_extract(wkt, '\\((.*)\\)', 1)), '\\s+'), 2) AS DOUBLE))))
-        WHEN upper(trim(wkt)) RLIKE '^LINESTRING' THEN
-            array(transform(split(regexp_extract(wkt, '\\((.*)\\)', 1), ','), s -> named_struct('x', CAST(element_at(split(trim(s), '\\s+'), 1) AS DOUBLE), 'y', CAST(element_at(split(trim(s), '\\s+'), 2) AS DOUBLE))))
-        ELSE transform(
-            split(regexp_replace(regexp_extract(wkt, '\\((.*)\\)', 1), '^\\(|\\)$', ''), '\\)\\s*,\\s*\\('),
+        CREATE OR REPLACE TEMPORARY FUNCTION st_geomfromtext(wkt STRING) RETURNS ARRAY<ARRAY<STRUCT<x: DOUBLE, y: DOUBLE>>> RETURN
+        transform(regexp_extract_all(wkt, '\\(([^()]+)\\)', 1),
             r -> transform(split(r, ','), s -> named_struct('x', CAST(element_at(split(trim(s), '\\s+'), 1) AS DOUBLE), 'y', CAST(element_at(split(trim(s), '\\s+'), 2) AS DOUBLE))))
-    END
     """,
     "st_astext": """
         CREATE OR REPLACE TEMPORARY FUNCTION st_astext(p STRUCT<x: DOUBLE, y: DOUBLE>) RETURNS STRING RETURN concat('POINT (', CAST(p.x AS STRING), ' ', CAST(p.y AS STRING), ')')
@@ -1530,6 +1528,368 @@ _GEO_SQL_FUNCS["st_dfullywithin"] = """
         p STRUCT<x: DOUBLE, y: DOUBLE>,
         g ARRAY<ARRAY<STRUCT<x: DOUBLE, y: DOUBLE>>>, d DOUBLE)
     RETURNS BOOLEAN RETURN st_maxdistance(p, g) <= d
+"""
+
+# ---------------------------------------------------------------------
+# r11: full typed geometry dispatch (GeospatialTest.cpp GeoSpatial.Math
+# — the reference's closed-form geo kernels over every geometry tag
+# pair, ExtensionFunctionsGeo.hpp).  Each geometry rides as its
+# array-of-rings form PLUS a kind tag (1 POINT, 2 MULTIPOINT,
+# 3 LINESTRING, 4 MULTILINESTRING, 5 POLYGON, 6 MULTIPOLYGON); the
+# dialect resolves the tag statically for literals and at runtime
+# (geo_kind) for WKT string columns.
+#
+# Spark SQL scalar functions cannot be CALLED with lambda variables
+# (the inliner loses the enclosing lambda scope), so every kernel that
+# iterates segment/ring lambdas is built as ONE fully-inlined
+# expression; the Python helpers below assemble those expressions so
+# each geometric formula is written once.
+
+def _pt_seg_sql(px, py, ax, ay, bx, by):
+    """Point-(px,py) to segment-(a,b) distance (clamped projection)."""
+    t = (f"greatest(CAST(0.0 AS DOUBLE), least(CAST(1.0 AS DOUBLE), "
+         f"(({px}-{ax})*({bx}-{ax}) + ({py}-{ay})*({by}-{ay})) / "
+         f"(({bx}-{ax})*({bx}-{ax}) + ({by}-{ay})*({by}-{ay}))))")
+    gen = (f"sqrt(({px} - ({ax} + {t} * ({bx}-{ax})))"
+           f" * ({px} - ({ax} + {t} * ({bx}-{ax})))"
+           f" + ({py} - ({ay} + {t} * ({by}-{ay})))"
+           f" * ({py} - ({ay} + {t} * ({by}-{ay}))))")
+    degen = f"sqrt(({px}-{ax})*({px}-{ax}) + ({py}-{ay})*({py}-{ay}))"
+    return (f"(CASE WHEN {ax} = {bx} AND {ay} = {by} THEN {degen} "
+            f"ELSE {gen} END)")
+
+
+def _orient_sql(px, py, qx, qy, rx, ry):
+    return f"(({qx}-{px})*({ry}-{py}) - ({qy}-{py})*({rx}-{px}))"
+
+
+def _seg_seg_sql(ax, ay, bx, by, cx, cy, dx, dy):
+    """Segment-segment distance: 0 on proper interior crossing (strict
+    orientation products); touches/collinear overlaps fall out of the
+    four endpoint point-segment minima."""
+    o1 = _orient_sql(ax, ay, bx, by, cx, cy)
+    o2 = _orient_sql(ax, ay, bx, by, dx, dy)
+    o3 = _orient_sql(cx, cy, dx, dy, ax, ay)
+    o4 = _orient_sql(cx, cy, dx, dy, bx, by)
+    return (f"(CASE WHEN {o1} * {o2} < 0 AND {o3} * {o4} < 0 "
+            f"THEN CAST(0.0 AS DOUBLE) ELSE least("
+            f"{_pt_seg_sql(cx, cy, ax, ay, bx, by)}, "
+            f"{_pt_seg_sql(dx, dy, ax, ay, bx, by)}, "
+            f"{_pt_seg_sql(ax, ay, cx, cy, dx, dy)}, "
+            f"{_pt_seg_sql(bx, by, cx, cy, dx, dy)}) END)")
+
+
+def _raycast_sql(g, px, py):
+    """Even-odd point-in-ring-set (the st_contains formula inlined so
+    it can sit under a lambda)."""
+    nxt = "element_at(r9, ((i9 + 1) % size(r9)) + 1)"
+    return (f"(CAST(aggregate(transform({g}, r9 -> aggregate(transform("
+            f"r9, (a9, i9) -> CAST((CASE WHEN ((a9.y > {py}) != "
+            f"({nxt}.y > {py})) AND ({px} < a9.x + ({nxt}.x - a9.x) * "
+            f"({py} - a9.y) / ({nxt}.y - a9.y)) THEN 1.0 ELSE 0.0 END) "
+            f"AS DOUBLE)), CAST(0.0 AS DOUBLE), (c9, v9) -> c9 + v9)), "
+            f"CAST(0.0 AS DOUBLE), (c8, v8) -> c8 + v8) AS BIGINT) "
+            f"% 2 = 1)")
+
+
+def _ring_fan2_sql(r):
+    """Signed double-area of ring `r` by fan decomposition from its
+    first vertex (centroid_add_triangle, ExtensionFunctionsGeo.hpp
+    :1654)."""
+    return (f"(CASE WHEN size({r}) < 3 THEN CAST(0.0 AS DOUBLE) ELSE "
+            f"aggregate(sequence(2, size({r}) - 1), CAST(0.0 AS DOUBLE),"
+            f" (f2, i2) -> f2 + ((element_at({r}, i2).x - "
+            f"element_at({r}, 1).x) * (element_at({r}, i2 + 1).y - "
+            f"element_at({r}, 1).y) - (element_at({r}, i2 + 1).x - "
+            f"element_at({r}, 1).x) * (element_at({r}, i2).y - "
+            f"element_at({r}, 1).y))) END)")
+
+
+def _ring_fancg_sql(r, c):
+    """Fan-decomposition centroid numerator for coordinate `c`."""
+    return (f"(CASE WHEN size({r}) < 3 THEN CAST(0.0 AS DOUBLE) ELSE "
+            f"aggregate(sequence(2, size({r}) - 1), CAST(0.0 AS DOUBLE),"
+            f" (f3, i3) -> f3 + ((element_at({r}, i3).x - "
+            f"element_at({r}, 1).x) * (element_at({r}, i3 + 1).y - "
+            f"element_at({r}, 1).y) - (element_at({r}, i3 + 1).x - "
+            f"element_at({r}, 1).x) * (element_at({r}, i3).y - "
+            f"element_at({r}, 1).y)) * (element_at({r}, 1).{c} + "
+            f"element_at({r}, i3).{c} + element_at({r}, i3 + 1).{c})) "
+            f"END)")
+
+
+def _ring_area2_sql(r):
+    """Signed shoelace double-area (wraparound form handles closed and
+    unclosed WKT rings alike)."""
+    nxt = f"element_at({r}, ((i4 + 1) % size({r})) + 1)"
+    return (f"(aggregate(transform({r}, (a4, i4) -> CAST(a4.x * {nxt}.y"
+            f" - {nxt}.x * a4.y AS DOUBLE)), CAST(0.0 AS DOUBLE), "
+            f"(c4, v4) -> c4 + v4))")
+
+
+_SEG_LEN = ("sqrt((s.bx-s.ax)*(s.bx-s.ax) + (s.by-s.ay)*(s.by-s.ay))")
+_HAVERSINE_SEG = (
+    "(2 * 6372797.560856 * asin(sqrt("
+    "pow(sin((radians(s.by) - radians(s.ay)) / 2), 2)"
+    " + cos(radians(s.ay)) * cos(radians(s.by))"
+    "   * pow(sin((radians(s.bx) - radians(s.ax)) / 2), 2))))")
+
+_GEO_SQL_FUNCS["geo_kind"] = """
+    CREATE OR REPLACE TEMPORARY FUNCTION geo_kind(wkt STRING)
+    RETURNS INT RETURN CASE
+        WHEN upper(trim(wkt)) LIKE 'MULTIPOINT%' THEN 2
+        WHEN upper(trim(wkt)) LIKE 'MULTILINESTRING%' THEN 4
+        WHEN upper(trim(wkt)) LIKE 'MULTIPOLYGON%' THEN 6
+        WHEN upper(trim(wkt)) LIKE 'POINT%' THEN 1
+        WHEN upper(trim(wkt)) LIKE 'LINESTRING%' THEN 3
+        WHEN upper(trim(wkt)) LIKE 'POLYGON%' THEN 5
+        ELSE 0 END
+"""
+
+# flatten a ring set into segments; `closed` appends the wrap edge
+# (degenerate when the WKT ring already repeats its first point); the
+# open form appends a degenerate first-vertex segment to keep the
+# branch types aligned (zero length, on-path — harmless everywhere)
+_GEO_SQL_FUNCS["geo_segments"] = """
+    CREATE OR REPLACE TEMPORARY FUNCTION geo_segments(
+        g ARRAY<ARRAY<STRUCT<x: DOUBLE, y: DOUBLE>>>, closed BOOLEAN)
+    RETURNS ARRAY<STRUCT<ax: DOUBLE, ay: DOUBLE, bx: DOUBLE, by: DOUBLE>>
+    RETURN flatten(transform(g, r -> CASE
+        WHEN size(r) < 2 THEN array(named_struct(
+            'ax', element_at(r, 1).x, 'ay', element_at(r, 1).y,
+            'bx', element_at(r, 1).x, 'by', element_at(r, 1).y))
+        ELSE concat(
+            transform(sequence(1, size(r) - 1), i -> named_struct(
+                'ax', element_at(r, i).x, 'ay', element_at(r, i).y,
+                'bx', element_at(r, i + 1).x, 'by',
+                element_at(r, i + 1).y)),
+            CASE WHEN closed THEN array(named_struct(
+                'ax', element_at(r, size(r)).x,
+                'ay', element_at(r, size(r)).y,
+                'bx', element_at(r, 1).x, 'by', element_at(r, 1).y))
+            ELSE array(named_struct(
+                'ax', element_at(r, 1).x, 'ay', element_at(r, 1).y,
+                'bx', element_at(r, 1).x, 'by', element_at(r, 1).y))
+            END)
+        END))
+"""
+
+# typed distance over any kind pair (ST_Distance_* matrix,
+# ExtensionFunctionsGeo.hpp): 0 when an areal side contains a vertex
+# of the other (even-odd over ALL rings — a point inside a hole is
+# NOT contained and measures to the hole boundary); otherwise the
+# minimum over the segment-pair cross product.  Boundary touches and
+# edge crossings surface as 0 through the segment distance.
+_GEO_SQL_FUNCS["st_distance_any"] = f"""
+    CREATE OR REPLACE TEMPORARY FUNCTION st_distance_any(
+        a ARRAY<ARRAY<STRUCT<x: DOUBLE, y: DOUBLE>>>, ka INT,
+        b ARRAY<ARRAY<STRUCT<x: DOUBLE, y: DOUBLE>>>, kb INT)
+    RETURNS DOUBLE RETURN CASE
+        WHEN a IS NULL OR b IS NULL THEN CAST(NULL AS DOUBLE)
+        WHEN ka >= 5 AND exists(flatten(b),
+            v -> {_raycast_sql('a', 'v.x', 'v.y')})
+            THEN CAST(0.0 AS DOUBLE)
+        WHEN kb >= 5 AND exists(flatten(a),
+            v -> {_raycast_sql('b', 'v.x', 'v.y')})
+            THEN CAST(0.0 AS DOUBLE)
+        ELSE aggregate(geo_segments(a, ka >= 5),
+            CAST('Infinity' AS DOUBLE),
+            (ac1, s) -> least(ac1, aggregate(geo_segments(b, kb >= 5),
+                CAST('Infinity' AS DOUBLE),
+                (ac2, t) -> least(ac2, {_seg_seg_sql(
+                    's.ax', 's.ay', 's.bx', 's.by',
+                    't.ax', 't.ay', 't.bx', 't.by')}))))
+        END
+"""
+
+# boundary-inclusive intersects (the reference's ST_Intersects counts
+# vertex/edge touches — GeoSpatial.Math corner-touch expectations)
+_GEO_SQL_FUNCS["st_intersects_any"] = """
+    CREATE OR REPLACE TEMPORARY FUNCTION st_intersects_any(
+        a ARRAY<ARRAY<STRUCT<x: DOUBLE, y: DOUBLE>>>, ka INT,
+        b ARRAY<ARRAY<STRUCT<x: DOUBLE, y: DOUBLE>>>, kb INT)
+    RETURNS BOOLEAN RETURN st_distance_any(a, ka, b, kb) <= 0.0
+"""
+
+# ST_Length sums ALL member linestrings (ST_Length_MultiLineString,
+# ExtensionFunctionsGeo.hpp:1211); non-linear kinds are 0
+_GEO_SQL_FUNCS["st_length_any"] = f"""
+    CREATE OR REPLACE TEMPORARY FUNCTION st_length_any(
+        g ARRAY<ARRAY<STRUCT<x: DOUBLE, y: DOUBLE>>>, k INT)
+    RETURNS DOUBLE RETURN CASE
+        WHEN g IS NULL THEN CAST(NULL AS DOUBLE)
+        WHEN k IN (3, 4) THEN aggregate(geo_segments(g, false),
+            CAST(0.0 AS DOUBLE), (acc, s) -> acc + {_SEG_LEN})
+        ELSE CAST(0.0 AS DOUBLE) END
+"""
+
+# ST_Perimeter counts ONLY exterior rings: ring 1 for POLYGON
+# (ST_Perimeter_Polygon:1245), every ring for the engine's flat
+# no-hole MULTIPOLYGON representation (perimeter_multipolygon sums
+# each polygon's exterior)
+_GEO_SQL_FUNCS["st_perimeter_any"] = f"""
+    CREATE OR REPLACE TEMPORARY FUNCTION st_perimeter_any(
+        g ARRAY<ARRAY<STRUCT<x: DOUBLE, y: DOUBLE>>>, k INT)
+    RETURNS DOUBLE RETURN CASE
+        WHEN g IS NULL THEN CAST(NULL AS DOUBLE)
+        WHEN k = 5 THEN aggregate(geo_segments(slice(g, 1, 1), true),
+            CAST(0.0 AS DOUBLE), (acc, s) -> acc + {_SEG_LEN})
+        WHEN k = 6 THEN aggregate(geo_segments(g, true),
+            CAST(0.0 AS DOUBLE), (acc, s) -> acc + {_SEG_LEN})
+        ELSE CAST(0.0 AS DOUBLE) END
+"""
+
+_GEO_SQL_FUNCS["st_area_any"] = f"""
+    CREATE OR REPLACE TEMPORARY FUNCTION st_area_any(
+        g ARRAY<ARRAY<STRUCT<x: DOUBLE, y: DOUBLE>>>, k INT)
+    RETURNS DOUBLE RETURN CASE
+        WHEN g IS NULL THEN CAST(NULL AS DOUBLE)
+        WHEN k = 5 THEN abs({_ring_area2_sql('element_at(g, 1)')}) / 2.0
+            - aggregate(slice(g, 2, greatest(0, size(g) - 1)),
+                CAST(0.0 AS DOUBLE),
+                (c5, r) -> c5 + abs({_ring_area2_sql('r')}) / 2.0)
+        WHEN k = 6 THEN aggregate(g, CAST(0.0 AS DOUBLE),
+            (c5, r) -> c5 + abs({_ring_area2_sql('r')}) / 2.0)
+        ELSE CAST(0.0 AS DOUBLE) END
+"""
+
+
+def _len_centroid_sql(closed):
+    """Segment-length-weighted midpoint centroid over geo_segments."""
+    segs = f"geo_segments(g, {closed})"
+    L = (f"aggregate({segs}, CAST(0.0 AS DOUBLE), "
+         f"(acc, s) -> acc + {_SEG_LEN})")
+    def w(c1, c2):
+        return (f"aggregate({segs}, CAST(0.0 AS DOUBLE), (acc, s) -> "
+                f"acc + {_SEG_LEN} * (s.{c1} + s.{c2}) / 2.0) / {L}")
+    return L, (f"named_struct('x', {w('ax', 'bx')}, "
+               f"'y', {w('ay', 'by')})")
+
+
+def _fan_sign(k='k'):
+    return (f"(CASE WHEN {k} = 5 AND ri > 0 THEN CAST(-1.0 AS DOUBLE) "
+            f"ELSE CAST(1.0 AS DOUBLE) END)")
+
+
+def _centroid_any_sql():
+    """ST_Centroid dispatch (ExtensionFunctionsGeo.hpp:1490-1860):
+    point/multipoint -> mean of all vertices; line kinds ->
+    length-weighted midpoints with first-point fallback; areal kinds ->
+    winding-normalized fan decomposition (ring 1 positive, POLYGON
+    holes negative — the reference's importer canonicalizes winding,
+    its kernel then signs by ring index), zero-area falls back to the
+    CLOSED length centroid, then to ring first points."""
+    a2 = (f"aggregate(transform(g, (r, ri) -> {_fan_sign()} * "
+          f"abs({_ring_fan2_sql('r')})), CAST(0.0 AS DOUBLE), "
+          f"(c6, v6) -> c6 + v6)")
+    def cg(c):
+        return (f"aggregate(transform(g, (r, ri) -> {_fan_sign()} * "
+                f"signum({_ring_fan2_sql('r')}) * "
+                f"{_ring_fancg_sql('r', c)}), CAST(0.0 AS DOUBLE), "
+                f"(c7, v7) -> c7 + v7) / 3.0 / {a2}")
+    l_open, c_open = _len_centroid_sql('false')
+    l_closed, c_closed = _len_centroid_sql('true')
+    first_pts = (
+        "named_struct('x', aggregate(g, CAST(0.0 AS DOUBLE), "
+        "(cp, r) -> cp + element_at(r, 1).x) / size(g), "
+        "'y', aggregate(g, CAST(0.0 AS DOUBLE), "
+        "(cp, r) -> cp + element_at(r, 1).y) / size(g))")
+    mean_pts = (
+        "named_struct('x', aggregate(flatten(g), CAST(0.0 AS DOUBLE), "
+        "(cm, v) -> cm + v.x) / size(flatten(g)), "
+        "'y', aggregate(flatten(g), CAST(0.0 AS DOUBLE), "
+        "(cm, v) -> cm + v.y) / size(flatten(g)))")
+    return f"""
+    CREATE OR REPLACE TEMPORARY FUNCTION st_centroid_any(
+        g ARRAY<ARRAY<STRUCT<x: DOUBLE, y: DOUBLE>>>, k INT)
+    RETURNS STRUCT<x: DOUBLE, y: DOUBLE> RETURN CASE
+        WHEN g IS NULL THEN CAST(NULL AS STRUCT<x: DOUBLE, y: DOUBLE>)
+        WHEN k <= 2 THEN {mean_pts}
+        WHEN k <= 4 THEN CASE WHEN {l_open} > 0 THEN {c_open}
+                              ELSE {first_pts} END
+        ELSE CASE WHEN {a2} != 0 THEN named_struct(
+                      'x', {cg('x')}, 'y', {cg('y')})
+                  WHEN {l_closed} > 0 THEN {c_closed}
+                  ELSE {first_pts} END
+        END
+"""
+
+
+_GEO_SQL_FUNCS["st_centroid_any"] = _centroid_any_sql()
+
+# geos-backed ST_Equals for non-point geometries (GeospatialTest.cpp
+# :2961): true geometric equality, decided here as mutual
+# boundary-membership (every vertex of each side at distance 0 from
+# the other side's segment set) plus equal area and equal boundary
+# length — vertex-set reorderings, reversals, and collinear vertex
+# insertions (the square-vs-pentagon pin) all compare equal, mirror
+# shapes and subset shapes do not.  Point pairs keep the reference's
+# own distance<=0 lowering (RelAlgTranslatorGeo.cpp:1449).
+def _equals_any_sql():
+    def on_boundary(side, segs_other):
+        d = _pt_seg_sql('v.x', 'v.y', 's.ax', 's.ay', 's.bx', 's.by')
+        return (f"forall(flatten({side}), v -> aggregate({segs_other}, "
+                f"CAST('Infinity' AS DOUBLE), (ac, s) -> least(ac, {d}))"
+                f" <= 0.0)")
+    return f"""
+    CREATE OR REPLACE TEMPORARY FUNCTION st_equals_any(
+        a ARRAY<ARRAY<STRUCT<x: DOUBLE, y: DOUBLE>>>, ka INT,
+        b ARRAY<ARRAY<STRUCT<x: DOUBLE, y: DOUBLE>>>, kb INT)
+    RETURNS BOOLEAN RETURN CASE
+        WHEN a IS NULL OR b IS NULL THEN CAST(NULL AS BOOLEAN)
+        ELSE {on_boundary('a', 'geo_segments(b, kb >= 5)')}
+         AND {on_boundary('b', 'geo_segments(a, ka >= 5)')}
+         AND abs(st_area_any(a, ka) - st_area_any(b, kb)) < 1e-9
+         AND abs(aggregate(geo_segments(a, ka >= 5),
+                 CAST(0.0 AS DOUBLE), (acc, s) -> acc + {_SEG_LEN})
+               - aggregate(geo_segments(b, kb >= 5),
+                 CAST(0.0 AS DOUBLE), (acc, s) -> acc + {_SEG_LEN}))
+             < 1e-9
+        END
+"""
+
+
+_GEO_SQL_FUNCS["st_equals_any"] = _equals_any_sql()
+
+# vertex-wise ring-set transform to web mercator (the SQL form's one
+# supported target; the DataFrame API carries the EPSG table)
+_GEO_SQL_FUNCS["st_transform_rings"] = """
+    CREATE OR REPLACE TEMPORARY FUNCTION st_transform_rings(
+        g ARRAY<ARRAY<STRUCT<x: DOUBLE, y: DOUBLE>>>, srid INT)
+    RETURNS ARRAY<ARRAY<STRUCT<x: DOUBLE, y: DOUBLE>>> RETURN CASE
+        WHEN srid = 4326 THEN g
+        WHEN srid = 900913 THEN transform(g, r -> transform(r,
+            p -> named_struct(
+                'x', p.x * 111319.490778,
+                'y', 6378136.99911
+                     * ln(tan(0.00872664626 * p.y + 0.785398163397)))))
+        ELSE NULL END
+"""
+
+# geodesic kernels (GEOGRAPHY surface): the reference's haversine with
+# its exact 6372797.560856 m radius (ExtensionFunctions.hpp:433-446)
+_GEO_SQL_FUNCS["st_distance_geog"] = """
+    CREATE OR REPLACE TEMPORARY FUNCTION st_distance_geog(
+        a STRUCT<x: DOUBLE, y: DOUBLE>, b STRUCT<x: DOUBLE, y: DOUBLE>)
+    RETURNS DOUBLE RETURN distance_in_meters(a.x, a.y, b.x, b.y)
+"""
+
+_GEO_SQL_FUNCS["st_length_geog"] = f"""
+    CREATE OR REPLACE TEMPORARY FUNCTION st_length_geog(
+        g ARRAY<ARRAY<STRUCT<x: DOUBLE, y: DOUBLE>>>)
+    RETURNS DOUBLE RETURN aggregate(geo_segments(g, false),
+        CAST(0.0 AS DOUBLE), (acc, s) -> acc + {_HAVERSINE_SEG})
+"""
+
+_GEO_SQL_FUNCS["st_perimeter_geog"] = f"""
+    CREATE OR REPLACE TEMPORARY FUNCTION st_perimeter_geog(
+        g ARRAY<ARRAY<STRUCT<x: DOUBLE, y: DOUBLE>>>, k INT)
+    RETURNS DOUBLE RETURN CASE
+        WHEN k = 5 THEN aggregate(geo_segments(slice(g, 1, 1), true),
+            CAST(0.0 AS DOUBLE), (acc, s) -> acc + {_HAVERSINE_SEG})
+        ELSE aggregate(geo_segments(g, true), CAST(0.0 AS DOUBLE),
+            (acc, s) -> acc + {_HAVERSINE_SEG})
+        END
 """
 
 

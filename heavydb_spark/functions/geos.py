@@ -55,12 +55,22 @@ _EPS = 1e-12
 # ----------------------------------------------------------- plain-python core
 
 
+def _xy(q) -> tuple[float, float]:
+    """One Arrow point: a {'x','y'} mapping on the usual batch path,
+    or a positional (x, y) row when Catalyst constant-folds the input
+    (literal-geometry SQL shapes reach the UDF as numpy records)."""
+    try:
+        return (float(q["x"]), float(q["y"]))
+    except (TypeError, IndexError, KeyError):
+        return (float(q[0]), float(q[1]))
+
+
 def _norm_poly(p) -> list[list[tuple[float, float]]]:
     """Arrow polygon (sequence of sequences of {'x','y'}) -> list of
     open rings [(x, y), ...] (drop a repeated closing vertex)."""
     rings = []
     for ring in p:
-        pts = [(float(q["x"]), float(q["y"])) for q in ring]
+        pts = [_xy(q) for q in ring]
         if len(pts) > 1 and pts[0] == pts[-1]:
             pts = pts[:-1]
         rings.append(pts)
@@ -332,7 +342,7 @@ def st_convexhull(pts: Column) -> Column:
     def _hull_udf(s: pd.Series) -> pd.Series:
         out = []
         for p in s:
-            hull = _hull_points([(float(q["x"]), float(q["y"])) for q in p])
+            hull = _hull_points([_xy(q) for q in p])
             out.append([[{"x": x, "y": y} for (x, y) in hull]])
         return pd.Series(out)
 
@@ -348,7 +358,7 @@ def _concave_udf(k: int):
         out = []
         for p in s:
             ring = _concave_hull_points(
-                [(float(q["x"]), float(q["y"])) for q in p], k
+                [_xy(q) for q in p], k
             )
             out.append([[{"x": x, "y": y} for (x, y) in ring]])
         return pd.Series(out)
@@ -410,7 +420,7 @@ def st_buffer_linestring(
     def _udf(s: pd.Series) -> pd.Series:
         out = []
         for line in s:
-            pts = [(float(q["x"]), float(q["y"])) for q in line]
+            pts = [_xy(q) for q in line]
             shapes = _buffer_shapes(
                 [pts], radius, n_segments, closed=False, include_base=False
             )
@@ -457,7 +467,7 @@ def register_geos_functions(spark) -> None:
     def _hull(s: pd.Series) -> pd.Series:
         out = []
         for p in s:
-            hull = _hull_points([(float(q["x"]), float(q["y"])) for q in p])
+            hull = _hull_points([_xy(q) for q in p])
             out.append([[{"x": x, "y": y} for (x, y) in hull]])
         return pd.Series(out)
 
@@ -483,7 +493,7 @@ def register_geos_functions(spark) -> None:
     def _buffer_line(sl: pd.Series, sr: pd.Series) -> pd.Series:
         out = []
         for line, rad in zip(sl, sr):
-            pts = [(float(q["x"]), float(q["y"])) for q in line]
+            pts = [_xy(q) for q in line]
             shapes = _buffer_shapes(
                 [pts], float(rad), 8, closed=False, include_base=False
             )
@@ -515,8 +525,7 @@ def register_geos_functions(spark) -> None:
             raw0 = list(g[0]) if len(g) else []
             wkt_closed = len(g) > 1 or (
                 len(raw0) > 1
-                and float(raw0[0]["x"]) == float(raw0[-1]["x"])
-                and float(raw0[0]["y"]) == float(raw0[-1]["y"])
+                and _xy(raw0[0]) == _xy(raw0[-1])
             )
             rings = _norm_poly(g)
             rad = float(rad)

@@ -114,7 +114,7 @@ def ml_pca_project(spark, sf_dir):
     )
     SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b,
            round(sqrt((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)), 6) AS eucl,
-           round(2 * 6371008.8 * asin(sqrt(
+           round(2 * 6372797.560856 * asin(sqrt(
                pow(sin((radians(b.y) - radians(a.y)) / 2), 2)
                + cos(radians(a.y)) * cos(radians(b.y))
                  * pow(sin((radians(b.x) - radians(a.x)) / 2), 2))), 4) AS meters,

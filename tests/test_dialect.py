@@ -18,7 +18,8 @@ from heavydb_spark import dialect
         ("LIKELY(x > 1)", "(x > 1)"),
         ("UNLIKELY(x > 1)", "(x > 1)"),
         ("SAMPLE(x)", "any_value(x)"),
-        ("SAMPLE_RATIO(0.1)", "(rand() < 0.1)"),
+        # r11: NULL ratio samples FALSE (ExecuteTest Select.SampleRatio)
+        ("SAMPLE_RATIO(0.1)", "coalesce(rand() < (0.1), false)"),
         # r10: interpolating like the reference t-digest (quantile.h) —
         # ExecuteTest pairs APPROX_MEDIAN against SQLite MEDIAN
         ("APPROX_MEDIAN(x)", "median(x)"),
@@ -145,7 +146,7 @@ def test_nested_paren_rewrites():
     out = rewrite("SELECT APPROX_MEDIAN(abs(x - nvl(y, 0))) AS m FROM t")
     assert "median(abs(x - nvl(y, 0)))" in out
     out2 = rewrite("SELECT SAMPLE_RATIO(least(r, 0.5)) FROM t")
-    assert "(rand() < least(r, 0.5))" in out2
+    assert "coalesce(rand() < (least(r, 0.5)), false)" in out2
     out3 = rewrite(
         "SELECT APPROX_COUNT_DISTINCT(coalesce(a, b), 10) AS c FROM t"
     )
