@@ -2379,3 +2379,76 @@ def geo_zorder_layout(spark, sf_dir):
         bits=_Z_BITS, frag_bits=_Z_FRAG_BITS,
         query_window=(10.0, 10.0, 30.0, 30.0),
     )
+
+
+_GEO_TYPED_MATH_ORACLE = """
+    SELECT tag, CAST(v AS DOUBLE) AS val FROM (VALUES
+        ('centroid_mpoly_x', 0.166667),
+        ('dist_hole_pt',     0.5),
+        ('dist_line_line',   2.0),
+        ('dist_poly_poly',   2.0),
+        ('dist_pt_poly',     3.0),
+        ('geog_km',          9106.0),
+        ('isect_corner',     1.0),
+        ('len_mls',          6.656854),
+        ('peri_holes',       5.656854),
+        ('pt_null',          1.0),
+        ('sample_null',      0.0)
+    ) AS t(tag, v) ORDER BY tag
+"""
+
+
+@query("sql_dialect_geo_typed_math", oracle=_GEO_TYPED_MATH_ORACLE)
+def sql_dialect_geo_typed_math(spark, sf_dir):
+    """The r11 typed geo math surface through engine.sql, pinned to
+    the REFERENCE'S OWN expected values (Tests/GeospatialTest.cpp
+    GeoSpatial.Math; kernels: ExtensionFunctionsGeo.hpp ST_Distance_*
+    matrix, ST_Length_MultiLineString:1211, exterior-only
+    ST_Perimeter_Polygon:1245, ST_Centroid:1490,
+    ExtensionFunctions.hpp:433 haversine; ExecuteTest
+    Select.SampleRatio) — the oracle is those constants verbatim.
+    Candidate head for the r13 window (the committed r12 window runs
+    as-is first)."""
+    from heavydb_spark.engine import Engine
+
+    eng = Engine(spark).attach(sf_dir)
+    return eng.sql("""
+        SELECT tag, val FROM (
+            SELECT 'dist_line_line' AS tag, round(ST_Distance(
+                'LINESTRING(-2 2, 2 2)', 'LINESTRING(4 2, 4 3)'), 6)
+                AS val
+            UNION ALL SELECT 'dist_pt_poly', round(ST_Distance(
+                ST_GeomFromText('POINT(5 -1)'), ST_GeomFromText(
+                'POLYGON((2 2, -2 2, -2 -2, 2 -2, 2 2))')), 6)
+            UNION ALL SELECT 'dist_hole_pt', round(ST_Distance(
+                ST_GeomFromText('POLYGON((2 2, -2 2, -2 -2, 2 -2, 2 2),
+                (1 1, -1 1, -1 -1, 1 -1, 1 1))'),
+                ST_GeomFromText('POINT(0.5 0.5)')), 6)
+            UNION ALL SELECT 'dist_poly_poly', round(ST_Distance(
+                'POLYGON((2 2, -2 2, -2 -2, 2 -2, 2 2), (1 1, -1 1,
+                -1 -1, 1 -1, 1 1))',
+                'POLYGON((4 2, 5 2, 5 3, 4 3, 4 2))'), 6)
+            UNION ALL SELECT 'len_mls', round(ST_Length(
+                'MULTILINESTRING((1 0, 0 1, -1 0, 0 -1, 1 0),
+                (2 2,2 3))'), 6)
+            UNION ALL SELECT 'peri_holes', round(ST_Perimeter(
+                'POLYGON((1 0, 0 1, -1 0, 0 -1, 1 0),(0.1 0, 0 0.1,
+                -0.1 0, 0 -0.1, 0.1 0))'), 6)
+            UNION ALL SELECT 'isect_corner', CAST(ST_Intersects(
+                ST_GeomFromText('POLYGON((2 2, 0 1, -2 2, -2 0, 2 0,
+                2 2))'),
+                ST_GeomFromText('LINESTRING(3 3, 3 2, 2 2)'))
+                AS DOUBLE)
+            UNION ALL SELECT 'centroid_mpoly_x', round(ST_X(
+                ST_Centroid('MULTIPOLYGON(((1 0,2 1,2 0,1 0)),
+                ((-1 -1,2 2,-1 2,-1 -1)))')), 6)
+            UNION ALL SELECT 'geog_km', round(ST_Distance(
+                ST_GeogFromText('POINT(-118.4079 33.9434)', 4326),
+                ST_GeogFromText('POINT(2.5559 49.0083)', 4326))
+                / 1000.0, 0)
+            UNION ALL SELECT 'sample_null',
+                CAST(sample_ratio(null) AS DOUBLE)
+            UNION ALL SELECT 'pt_null', CAST(ST_Point(1.0,
+                CAST(NULL AS DOUBLE)) IS NULL AS DOUBLE)
+        ) ORDER BY tag
+    """)
