@@ -1389,6 +1389,10 @@ def _truncate_call(args: str) -> str | None:
 # Float32-returning aggregate variants (ExtensionFunctions *_FLOAT
 # overload family): same math, result cast to FLOAT.
 _FLOAT_AGGS = [
+    # bare sample-variance shorthands (ExecuteTest
+    # Select.FilterAndSimpleAggregation: stddev_FLOAT + VARIANCE_float)
+    ("STDDEV_FLOAT", "stddev_samp"),
+    ("VARIANCE_FLOAT", "var_samp"),
     ("STDDEV_POP_FLOAT", "stddev_pop"),
     ("STDDEV_SAMP_FLOAT", "stddev_samp"),
     ("VAR_POP_FLOAT", "var_pop"),

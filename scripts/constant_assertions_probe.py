@@ -152,8 +152,11 @@ _TEST_UDF_RE = re.compile(
 _DELTAS = [
     # TIMESTAMP(n) column/literal dimension truncation artifacts — the
     # engine keeps true fractional precision (r9 documented delta)
+    # SOFT deltas (prefixed ~) are attempted first and only count
+    # as deltas when the replay genuinely diverges — many
+    # TIMESTAMP(n)-mentioning assertions are value-identical here
     (re.compile(r"(?i)timestamp\s*\(\s*\d\s*\)"),
-     "TIMESTAMP(n) dimension-truncation artifact (COVERAGE.md r9)"),
+     "~TIMESTAMP(n) dimension-truncation artifact (COVERAGE.md r9)"),
     # the GEOS overlay kernel here is polygon boolean algebra
     # (trapezoid decomposition, functions/geos.py) — unions of POINT /
     # LINESTRING collections and buffer->transform->area chains over
@@ -172,6 +175,29 @@ _DELTAS = [
     # class, different knob (COVERAGE.md r11)
     (re.compile(r"(?i)ST_ConcaveHull\s*\([^;]*,\s*0?\.\d+\s*\)"),
      "GEOS area-target ConcaveHull parameterization"),
+    # mixed-DIMENSION timestamp comparison: the reference compares at
+    # the lower declared dimension (m = m_3 matches all rows); the
+    # engine has no column dimensions — the standing TIMESTAMP(n)
+    # storage-precision delta (COVERAGE.md r9)
+    (re.compile(r"(?i)\bm\s*(?:=|<>|!=|<|>)\s*m_[369]\b|"
+                r"\bm_[369]\s*(?:=|<>|!=|<|>)\s*m\b"),
+     "~mixed-dimension timestamp comparison (TIMESTAMP(n) delta)"),
+    # physical fragment layout introspection: fragment ids/offsets are
+    # storage-layout values (the rowid class); the engine's partitions
+    # are not the reference's fragments
+    (re.compile(r"(?i)\b(?:offset_in_fragment|fragment_id"
+                r"(?:_and_offset)?)\s*\("),
+     "fragment layout introspection (rowid class)"),
+    # physical row ids have no Spark analogue — the standing engine
+    # reject shared by every comparator
+    (re.compile(r"(?i)\browid\b"), "rowid pseudo-column (engine reject)"),
+    # ORDER BY mixing a select alias with a FRESH aggregate over a
+    # non-selected column (ORDER BY n + VARIANCE(y)): Spark's analyzer
+    # resolves ORDER BY by alias or by expression, not a mix —
+    # documented reject-edge (COVERAGE.md r11)
+    (re.compile(r"(?i)ORDER\s+BY\s+\w+\s*[+*/-]\s*"
+                r"(?:VARIANCE|STDDEV|AVG|SUM|MIN|MAX|COUNT)\s*\("),
+     "ORDER BY mixes select alias with fresh aggregate"),
 ]
 
 
@@ -182,7 +208,11 @@ def _documented_delta(sql):
     return None
 
 
-def harvest(files):
+def harvest(files, allowed_tables=None):
+    """allowed_tables None -> table-free assertions only (default
+    mode); a set -> assertions whose referenced tables ALL sit in the
+    rebuilt fixture set (and at least one does — the table-free set is
+    phase 1's)."""
     cases, skipped = [], 0
     for path in files:
         src = open(path, errors='replace').read()
@@ -198,6 +228,23 @@ def harvest(files):
                     break
                 name = f"{fname}:{nm}"
             return name
+
+        # a test body that CREATEs its own table may SHADOW a fixture
+        # name (ExecuteTest's local t1 vs TopKTest's t1) — its
+        # assertions replay against state this harvest doesn't build
+        seg_locals = []
+        for idx, (off, _nm) in enumerate(tests):
+            end = tests[idx + 1][0] if idx + 1 < len(tests) else len(src)
+            locs = set(t.lower() for t in re.findall(
+                r"(?i)create\s+(?:temporary\s+)?table\s+"
+                r"(?:if\s+not\s+exists\s+)?(\w+)", src[off:end]))
+            seg_locals.append((off, end, locs))
+
+        def locals_at(pos):
+            for off, end, locs in seg_locals:
+                if off <= pos < end:
+                    return locs
+            return set()
 
         for m in _ASSERT_RE.finditer(src):
             kind = m.group(2)
@@ -236,9 +283,23 @@ def harvest(files):
                        r"\1", t)
             t = re.sub(r"(?i)\b(substring\s*\([^()]*\s)from\b", r"\1", t)
             t = re.sub(r"(?i)\b(position\s*\([^()]*\s)from\b", r"\1", t)
-            if re.search(r"(?i)\bFROM\b", t):
-                skipped += 1
-                continue
+            tabs = set()
+            for m2 in re.finditer(
+                    r"(?i)\b(?:FROM|JOIN)\s+([A-Za-z_]\w*"
+                    r"(?:\s*,\s*[A-Za-z_]\w*)*)", t):
+                tabs.update(w.strip().lower()
+                            for w in m2.group(1).split(","))
+            tabs -= {"select"}  # FROM (subquery) artifacts
+            if allowed_tables is None:
+                if re.search(r"(?i)\bFROM\b", t):
+                    skipped += 1
+                    continue
+            else:
+                if not tabs or (tabs - allowed_tables) \
+                        or (tabs & locals_at(m.start())) \
+                        or re.search(r"(?i)\bFROM\s*\(", t):
+                    skipped += 1
+                    continue
             if _TEST_UDF_RE.search(q):
                 skipped += 1
                 continue
@@ -264,12 +325,25 @@ def harvest(files):
 
 
 def _matches(kind, got, exp, tol, vtype):
+    import datetime as _dt
     if got is None:
         return exp is None
     if isinstance(got, bool):
         got = int(got)
     if isinstance(exp, bool):
         exp = int(exp)
+    if isinstance(got, (_dt.datetime, _dt.date)) and isinstance(
+            exp, (int, float)):
+        # the reference returns datetime results as int64 epochs at
+        # the column's dimension; accept any of s/ms/us scales
+        if isinstance(got, _dt.datetime):
+            epoch = got.replace(tzinfo=_dt.timezone.utc).timestamp()
+        else:
+            epoch = _dt.datetime(
+                got.year, got.month, got.day,
+                tzinfo=_dt.timezone.utc).timestamp()
+        return any(abs(epoch * k - float(exp)) < 0.5
+                   for k in (1, 1e3, 1e6, 1e9))
     if isinstance(exp, str):
         return str(got) == exp
     try:
@@ -301,26 +375,58 @@ def main():
     spark = get_spark(master='local[8]', shuffle_partitions=4,
                       extra_conf={'spark.ui.showConsoleProgress': 'false'})
     eng = Engine(spark)
+
+    # phase 2: assertions over the ExecuteTest/TopKTest fixtures the
+    # sibling comparator rebuilds (scripts/reference_fixture_probe.py
+    # build_fixtures) — the run_simple_agg ASSERT family the c()
+    # harvest does not see
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import reference_fixture_probe as rfp
+    rfp.build_fixtures(spark, eng)
+    fixture_tables = {
+        t.name.lower() for t in spark.catalog.listTables()
+        if t.isTemporary
+    }
+    fcases, fskipped = harvest(
+        [os.path.join(REF, 'Tests/ExecuteTest.cpp'),
+         os.path.join(REF, 'Tests/TopKTest.cpp')],
+        allowed_tables=fixture_tables)
+    print(f"{len(fcases)} fixture-scoped constant assertions harvested "
+          f"({fskipped} skipped)", file=sys.stderr)
+    cases = cases + fcases
+
     ok = mism = err = delta = 0
     mismatches, errors = [], []
+    reasons: dict = {}
     for tname, kind, q, exp, tol, vtype in cases:
         reason = _documented_delta(q)
-        if reason:
+        soft = reason is not None and reason.startswith("~")
+        if reason and not soft:
             delta += 1
+            reasons[reason] = reasons.get(reason, 0) + 1
             continue
         try:
             got = eng.sql(q).first()[0]
         except Exception as e:
+            if soft:
+                delta += 1
+                reasons[reason] = reasons.get(reason, 0) + 1
+                continue
             err += 1
             errors.append((tname, str(e).splitlines()[0][:140], q[:160]))
             continue
         if _matches(kind, got, exp, tol, vtype):
             ok += 1
+        elif soft:
+            delta += 1
+            reasons[reason] = reasons.get(reason, 0) + 1
         else:
             mism += 1
             mismatches.append((tname, kind, q, got, exp, tol))
     print(f"\n{ok} match, {mism} mismatch, {err} engine-err, "
           f"{delta} documented-delta of {len(cases)}")
+    for reason, n in sorted(reasons.items(), key=lambda kv: -kv[1]):
+        print(f"  delta x{n}: {reason}", file=sys.stderr)
     print("\n== MISMATCHES ==")
     for tname, kind, q, got, exp, tol in mismatches:
         print(f"[{tname}] {kind} got={got!r} want={exp!r} tol={tol!r}\n"

@@ -558,10 +558,11 @@ VIEW_DDLS = [
 ]
 
 
-def main():
-    spark = get_spark(master='local[8]', shuffle_partitions=4,
-                      extra_conf={'spark.ui.showConsoleProgress': 'false'})
-    eng = Engine(spark).attach('/root/testdata/sf0.001')
+def build_fixtures(spark, eng):
+    """Rebuild every ExecuteTest/TopKTest fixture in Spark temp
+    views AND in a DuckDB connection (returned) — the shared
+    setup for this probe and for the fixture mode of
+    scripts/constant_assertions_probe.py."""
     rows = [ROW_A] * 10 + [ROW_B] * 5 + [ROW_C] * 5
     spark.createDataFrame(
         [tuple(r[c] for c in COLS) for r in rows], SCHEMA
@@ -851,6 +852,14 @@ def main():
         except Exception as e:
             print(f"duck view {vname}: {e}", file=sys.stderr)
 
+    return con
+
+
+def main():
+    spark = get_spark(master='local[8]', shuffle_partitions=4,
+                      extra_conf={'spark.ui.showConsoleProgress': 'false'})
+    eng = Engine(spark).attach('/root/testdata/sf0.001')
+    con = build_fixtures(spark, eng)
     queries = harvest()
     pairs = harvest_pairs()
     print(f"{len(queries)} single + {len(pairs)} paired queries "

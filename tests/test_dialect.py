@@ -2914,3 +2914,14 @@ def test_geo_column_ddl_and_wkt_dispatch(engine, spark):
     finally:
         engine.sql("DROP TABLE IF EXISTS geo_ddl_facts")
         engine.sql("DROP TABLE IF EXISTS geo_ddl_lookup")
+
+
+def test_float_agg_shorthand_spellings(engine):
+    """r11 constant-assertion comparator find (ExecuteTest
+    Select.FilterAndSimpleAggregation): the bare sample-variance
+    shorthands stddev_FLOAT / VARIANCE_float resolve (case-insensitive
+    alias table, _FLOAT_AGGS)."""
+    r = engine.sql(
+        "SELECT round(stddev_FLOAT(v) + VARIANCE_float(v), 4) AS s "
+        "FROM (VALUES (1.0), (2.0), (3.0)) AS t(v)").first()
+    assert float(r["s"]) == 2.0  # stddev_samp 1.0 + var_samp 1.0
