@@ -84,6 +84,14 @@ from heavydb_spark.queries import (  # noqa: F401,E402
 # greens freshest-last in registration order (an over-budget driver
 # keeps eating staleness in age order); the 50 entries the r10
 # driver just checked sit at the very end.
+#
+# R13-WINDOW PLAN (compose next round): head with the r11 net-new
+# sql_dialect_geo_typed_math (registered past the window — the
+# _reorder appends unknown names at the END) plus an r11 regression
+# slice over the engine.sql-routed entries the r11 dialect changes
+# touch, then positions 101-150 of THIS order in age order — those
+# candidates were pre-validated by this round's 150-position replay
+# and the full catalog replay.
 # ---------------------------------------------------------------------------
 _PRIORITY = [
     # --- ROUND-11 WINDOW (run as-is; committed in r10) ---
