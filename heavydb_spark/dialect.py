@@ -3233,7 +3233,12 @@ def rewrite(sql: str, type_of=None) -> str:
     # ARRAY[ARRAY[1,2][1], 7][1] left a raw Spark [1] (0-based!)
     # behind, a silent off-by-one (found by the r8 generator).
     while True:
-        out2 = _ARRAY_BRACKET.sub(r"array(\1)", out)
+        # _brace_array applies the reference's 64-bit-decimal domain to
+        # BOTH constructor spellings: an all-literal ARRAY[...] whose
+        # common decimal type would exceed precision 19 goes to DOUBLE
+        # exactly like the {...} form (r11 verdict What's-wrong #3 —
+        # the reference's ARRAY[] binds the same kDECIMAL domain).
+        out2 = _ARRAY_BRACKET.sub(_brace_array, out)
         out2 = _rewrite_array_index(out2)
         if out2 == out:
             break

@@ -939,16 +939,18 @@ def _projection_changed(actions: list[str]) -> bool:
 
 
 def _split_top_level_defs(clause: str) -> list[str]:
-    """Split on top-level commas only (paren/bracket-depth AND
-    single-quote aware — commas inside string literals survive)."""
+    """Split on top-level commas only (paren/bracket/brace-depth AND
+    single-quote aware — commas inside string literals and inside
+    HeavyDB {…} array literals survive; found by the r12 DML-coercion
+    generator: UPDATE t SET arr = {1,2,3} split mid-brace)."""
     parts, depth, cur, in_q = [], 0, [], False
     for ch in clause:
         if ch == "'":
             in_q = not in_q
         elif not in_q:
-            if ch in "([":
+            if ch in "([{":
                 depth += 1
-            elif ch in ")]":
+            elif ch in ")]}":
                 depth -= 1
         if ch == "," and depth == 0 and not in_q:
             parts.append("".join(cur))

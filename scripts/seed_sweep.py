@@ -132,6 +132,16 @@ def main() -> None:
             print(f"FAIL dtcast:{s}: {bad[:3]}")
     print("# dtcast: done")
 
+    # DML cell coercion (r12): INSERT VALUES / UPDATE SET cells through
+    # the cast-coercion corpus; Python-model oracle with schema-class
+    # assertions (the class every reference-test comparator missed).
+    for s in range(START, START + max(1, min(40, END - START))):
+        bad = tr.run_dml_coercion_case(engine, s)
+        if bad:
+            fails.append((f"dmlcoerce:{s}", str(bad[:3])[:200]))
+            print(f"FAIL dmlcoerce:{s}: {bad[:3]}")
+    print("# dmlcoerce: done")
+
     print(f"\n{len(fails)} failures over seeds [{START}, {END}) at {SF_DIR}")
     spark.stop()
     sys.exit(1 if fails else 0)

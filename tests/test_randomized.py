@@ -912,3 +912,120 @@ def test_randomized_quoted_arg_rewrites_skip_literals(engine, seed):
     ).first()
     assert row["t"] == bait.replace("''", "'"), (bait, row["t"])
     assert row["p"] == expected_part
+
+
+# ------------------------- r12 DML cell-coercion family (r11 verdict item 3)
+# All five reference-test comparators missed the r11 DML coercion
+# defects because the reference's own DML tests spell datetimes in ISO.
+# This family drives INSERT ... VALUES cells and UPDATE ... SET
+# assignments through the cast-coercion corpus (non-ISO datetimes,
+# quoted booleans, numeric strings, fractionals, brace arrays) and
+# checks post-image VALUES and SCHEMA CLASS against a Python model —
+# the importer-parity contract (ImportExport/Importer.cpp parses each
+# cell against the column's SQLTypeInfo; StorageIOFacility.h:105 casts
+# each update value to the column type).
+
+import datetime as _dt
+
+_DML_COERCE_TYPES = [
+    # (heavy DDL type, spark simpleString, [(cell_sql, expected_py)])
+    ("DATE", "date", [
+        ("'10/09/99'", _dt.date(1999, 10, 9)),
+        ("'31/Oct/2013'", _dt.date(2013, 10, 31)),
+        ("'1999-10-09'", _dt.date(1999, 10, 9)),
+        ("NULL", None),
+    ]),
+    ("TIMESTAMP", "timestamp", [
+        # timestamps are compared via CAST(.. AS STRING) under UTC
+        ("'21-JUN-15 2.15.16 PM'", "2015-06-21 14:15:16"),
+        ("'2015-06-21 14:15:16'", "2015-06-21 14:15:16"),
+        ("'1434896116'", "2015-06-21 14:15:16"),  # unix-epoch string
+        ("NULL", None),
+    ]),
+    ("INT", "int", [
+        ("2.7", 3), ("'2.7'", 3), ("-2.5", -3),  # round half away
+        ("'11'", 11), ("7", 7), ("NULL", None),
+    ]),
+    ("BIGINT", "bigint", [
+        ("'-3.5'", -4), ("123456789012", 123456789012),
+        ("2.4", 2), ("NULL", None),
+    ]),
+    ("DOUBLE", "double", [
+        ("'2.5'", 2.5), ("7", 7.0), ("-0.125", -0.125), ("NULL", None),
+    ]),
+    ("TEXT", "string", [
+        ("'foo'", "foo"), ("'it''s'", "it's"), ("NULL", None),
+    ]),
+    ("BOOLEAN", "boolean", [
+        ("'t'", True), ("'false'", False), ("TRUE", True),
+        ("'1'", True), ("NULL", None),
+    ]),
+    ("INT[]", "array<int>", [
+        ("{1,2,3}", [1, 2, 3]), ("{7}", [7]), ("NULL", None),
+    ]),
+]
+
+
+def run_dml_coercion_case(engine, seed: int) -> list[str]:
+    """One randomized DDL+INSERT+UPDATE round trip; returns mismatch
+    descriptions (empty == green). Shared by the committed range and
+    scripts/seed_sweep.py."""
+    rng = random.Random(2_120_000 + seed)
+    spark = engine.spark
+    n_cols = rng.randint(2, 5)
+    chosen = rng.sample(_DML_COERCE_TYPES, k=n_cols)
+    tbl = f"dml_coerce_{seed}"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    cols_sql = ", ".join(f"c{i} {t[0]}" for i, t in enumerate(chosen))
+    engine.sql(f"CREATE TABLE {tbl} (k INT, {cols_sql})")
+    mismatches: list[str] = []
+    try:
+        model: dict[int, list] = {}
+        n_rows = rng.randint(1, 3)
+        for r in range(n_rows):
+            cells = [rng.choice(t[2]) for t in chosen]
+            engine.sql(
+                f"INSERT INTO {tbl} VALUES ({r}, "
+                + ", ".join(c[0] for c in cells) + ")"
+            )
+            model[r] = [c[1] for c in cells]
+        for _ in range(rng.randint(1, 3)):
+            r = rng.randrange(n_rows)
+            idxs = rng.sample(range(n_cols), k=rng.randint(1, min(2, n_cols)))
+            sets, newvals = [], {}
+            for i in idxs:
+                cell = rng.choice(chosen[i][2])
+                sets.append(f"c{i} = {cell[0]}")
+                newvals[i] = cell[1]
+            engine.sql(f"UPDATE {tbl} SET {', '.join(sets)} WHERE k = {r}")
+            for i, v in newvals.items():
+                model[r][i] = v
+        # schema-class stability: the defect signature was a DATE
+        # column mutating to STRING in the post-image
+        sch = {f.name: f.dataType.simpleString()
+               for f in spark.table(tbl).schema.fields}
+        for i, t in enumerate(chosen):
+            if sch[f"c{i}"] != t[1]:
+                mismatches.append(
+                    f"schema c{i}: {sch[f'c{i}']} != {t[1]}")
+        proj = ["k"] + [
+            f"CAST(c{i} AS STRING) AS c{i}" if t[1] == "timestamp"
+            else f"c{i}"
+            for i, t in enumerate(chosen)]
+        got = {
+            row["k"]: [row[f"c{i}"] for i in range(n_cols)]
+            for row in engine.sql(
+                f"SELECT {', '.join(proj)} FROM {tbl}").collect()
+        }
+        for r, vals in model.items():
+            if got.get(r) != vals:
+                mismatches.append(f"row {r}: {got.get(r)} != {vals}")
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    return mismatches
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_randomized_dml_cell_coercion(engine, seed):
+    bad = run_dml_coercion_case(engine, seed)
+    assert not bad, bad
