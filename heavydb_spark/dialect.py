@@ -893,7 +893,11 @@ def _strip_geog(arg: str) -> str | None:
         inner = _split_top_level(m.group(1))
         return inner[0] if inner else None
     m = _CAST_GEOG_RE.match(arg)
-    if m:
+    if m and _scan_balanced(arg, arg.index("(") + 1) >= len(arg.rstrip()):
+        # same balanced-paren guard as the ST_GeogFromText branch: a
+        # compound argument containing two CAST(.. AS GEOGRAPHY) sub-
+        # expressions must not match (the greedy .* would splice a
+        # garbled inner geometry — r11 advice)
         return m.group(1)
     return None
 
@@ -1264,6 +1268,9 @@ def _position_call(args: str) -> str | None:
     )
 
 
+_ST_TRANSFORM_HEAD_RE = re.compile(r"^\s*ST_TRANSFORM\s*\(", re.IGNORECASE)
+
+
 def _geo_literal_normalizer(fname: str, argspec: str):
     """Literal-geometry normalizer for the typed geo SQL surface
     (GeospatialTest.cpp literal-argument shapes — the reference's
@@ -1297,6 +1304,21 @@ def _geo_literal_normalizer(fname: str, argspec: str):
                                f"st_geomfromtext({a}), 1), 1)")
                     changed = True
                     continue
+                # ST_Transform of a runtime WKT column dispatches to
+                # the rings form; a point-struct consumer position
+                # (ST_X/ST_Y and friends) takes its first vertex back
+                # out (r11 advice: the raw rings hit a Spark analysis
+                # type error)
+                tm = _ST_TRANSFORM_HEAD_RE.match(a)
+                if tm and _scan_balanced(
+                        a, a.index("(") + 1) >= len(a.rstrip()):
+                    inner = a[a.index("(") + 1:a.rstrip().rindex(")")]
+                    tr = _st_transform_args(inner, type_of)
+                    if (tr is not None and tr.lstrip().lower()
+                            .startswith("st_transform_rings")):
+                        out.append(f"element_at(element_at({tr}, 1), 1)")
+                        changed = True
+                        continue
             elif kind == "g":
                 a2 = _rings_arg(a)
                 if a2 != a:

@@ -1628,6 +1628,35 @@ def _ring_area2_sql(r):
 
 
 _SEG_LEN = ("sqrt((s.bx-s.ax)*(s.bx-s.ax) + (s.by-s.ay)*(s.by-s.ay))")
+
+
+def _is_hole_sql(g: str, r: str, ri: str) -> str:
+    """Even-odd hole classification for the flat MULTIPOLYGON ring set
+    (the WKT parse keeps rings in order but loses polygon grouping):
+    ring `r` (0-based index `ri`) is an interior ring iff an ODD number
+    of OTHER rings contain its first vertex — disjoint exteriors nest
+    in nothing (0), holes nest in their exterior (1), island-in-lake
+    exteriors nest in two (even). Matches ST_Area_MultiPolygon's
+    hole subtraction / exterior-only perimeter
+    (ExtensionFunctionsGeo.hpp) without the reference's per-polygon
+    ring counts (r11 advice: every ring was treated as exterior)."""
+    inside = _raycast_sql(
+        "array(q0)", f"element_at({r}, 1).x", f"element_at({r}, 1).y")
+    return (f"((aggregate(transform({g}, (q0, q1) -> CAST(CASE WHEN "
+            f"q1 != {ri} AND {inside} THEN 1 ELSE 0 END AS BIGINT)), "
+            f"CAST(0 AS BIGINT), (h0, h1) -> h0 + h1) % 2) = 1)")
+
+
+def _ring_perim_sql(r: str) -> str:
+    """Closed perimeter of one ring, inlined (a SQL scalar function
+    like geo_segments cannot take a lambda variable): wraparound
+    consecutive-vertex distances — the wrap edge is degenerate when
+    the WKT ring already repeats its first point."""
+    nxt = f"element_at({r}, ((i6 + 1) % size({r})) + 1)"
+    return (f"(aggregate(transform({r}, (p6, i6) -> sqrt("
+            f"({nxt}.x - p6.x) * ({nxt}.x - p6.x) + "
+            f"({nxt}.y - p6.y) * ({nxt}.y - p6.y))), "
+            f"CAST(0.0 AS DOUBLE), (c6, v6) -> c6 + v6))")
 _HAVERSINE_SEG = (
     "(2 * 6372797.560856 * asin(sqrt("
     "pow(sin((radians(s.by) - radians(s.ay)) / 2), 2)"
@@ -1686,6 +1715,8 @@ _GEO_SQL_FUNCS["st_distance_any"] = f"""
         b ARRAY<ARRAY<STRUCT<x: DOUBLE, y: DOUBLE>>>, kb INT)
     RETURNS DOUBLE RETURN CASE
         WHEN a IS NULL OR b IS NULL THEN CAST(NULL AS DOUBLE)
+        WHEN ka = 0 OR kb = 0 OR size(flatten(a)) = 0
+             OR size(flatten(b)) = 0 THEN CAST(NULL AS DOUBLE)
         WHEN ka >= 5 AND exists(flatten(b),
             v -> {_raycast_sql('a', 'v.x', 'v.y')})
             THEN CAST(0.0 AS DOUBLE)
@@ -1724,9 +1755,9 @@ _GEO_SQL_FUNCS["st_length_any"] = f"""
 """
 
 # ST_Perimeter counts ONLY exterior rings: ring 1 for POLYGON
-# (ST_Perimeter_Polygon:1245), every ring for the engine's flat
-# no-hole MULTIPOLYGON representation (perimeter_multipolygon sums
-# each polygon's exterior)
+# (ST_Perimeter_Polygon:1245); for MULTIPOLYGON every NON-HOLE ring
+# (perimeter_multipolygon sums each polygon's exterior — hole rings
+# classified even-odd, see _is_hole_sql)
 _GEO_SQL_FUNCS["st_perimeter_any"] = f"""
     CREATE OR REPLACE TEMPORARY FUNCTION st_perimeter_any(
         g ARRAY<ARRAY<STRUCT<x: DOUBLE, y: DOUBLE>>>, k INT)
@@ -1734,11 +1765,16 @@ _GEO_SQL_FUNCS["st_perimeter_any"] = f"""
         WHEN g IS NULL THEN CAST(NULL AS DOUBLE)
         WHEN k = 5 THEN aggregate(geo_segments(slice(g, 1, 1), true),
             CAST(0.0 AS DOUBLE), (acc, s) -> acc + {_SEG_LEN})
-        WHEN k = 6 THEN aggregate(geo_segments(g, true),
-            CAST(0.0 AS DOUBLE), (acc, s) -> acc + {_SEG_LEN})
+        WHEN k = 6 THEN aggregate(transform(g, (r, ri) -> CASE
+            WHEN {_is_hole_sql('g', 'r', 'ri')} THEN CAST(0.0 AS DOUBLE)
+            ELSE {_ring_perim_sql('r')} END),
+            CAST(0.0 AS DOUBLE), (c5, v5) -> c5 + v5)
         ELSE CAST(0.0 AS DOUBLE) END
 """
 
+# ST_Area subtracts hole rings: ring 1 positive + holes negative for
+# POLYGON (ST_Area_Polygon); per-ring even-odd sign for MULTIPOLYGON
+# (ST_Area_MultiPolygon sums polygon areas, each exterior minus holes)
 _GEO_SQL_FUNCS["st_area_any"] = f"""
     CREATE OR REPLACE TEMPORARY FUNCTION st_area_any(
         g ARRAY<ARRAY<STRUCT<x: DOUBLE, y: DOUBLE>>>, k INT)
@@ -1748,8 +1784,12 @@ _GEO_SQL_FUNCS["st_area_any"] = f"""
             - aggregate(slice(g, 2, greatest(0, size(g) - 1)),
                 CAST(0.0 AS DOUBLE),
                 (c5, r) -> c5 + abs({_ring_area2_sql('r')}) / 2.0)
-        WHEN k = 6 THEN aggregate(g, CAST(0.0 AS DOUBLE),
-            (c5, r) -> c5 + abs({_ring_area2_sql('r')}) / 2.0)
+        WHEN k = 6 THEN aggregate(transform(g, (r, ri) ->
+            (CASE WHEN {_is_hole_sql('g', 'r', 'ri')}
+                  THEN CAST(-1.0 AS DOUBLE)
+                  ELSE CAST(1.0 AS DOUBLE) END)
+            * abs({_ring_area2_sql('r')}) / 2.0),
+            CAST(0.0 AS DOUBLE), (c5, v5) -> c5 + v5)
         ELSE CAST(0.0 AS DOUBLE) END
 """
 
@@ -1863,7 +1903,14 @@ _GEO_SQL_FUNCS["st_transform_rings"] = """
                 'x', p.x * 111319.490778,
                 'y', 6378136.99911
                      * ln(tan(0.00872664626 * p.y + 0.785398163397)))))
-        ELSE NULL END
+        ELSE array(array(named_struct(
+            'x', CAST(raise_error(concat(
+                'ST_Transform: unsupported SRID ',
+                CAST(srid AS STRING), ' in the SQL form; the DataFrame ',
+                'API adds the EPSG transverse-Mercator table (UTM ',
+                'north/south, ETRS89 UTM, 27700, 2157, 2193)'))
+                AS DOUBLE),
+            'y', CAST(NULL AS DOUBLE)))) END
 """
 
 # geodesic kernels (GEOGRAPHY surface): the reference's haversine with

@@ -140,13 +140,20 @@ def update_from(
         )
     )
     out_cols = []
-    for name in df.columns:
+    for field in df.schema.fields:
+        name = field.name
         if name in set_map:
             new_val = F.when(F.col("__n") > 1, dup_err).otherwise(
                 F.col(set_map[name])
             )
             out_cols.append(
-                F.when(hit, new_val).otherwise(F.col(name)).alias(name)
+                # cast to the target column's type — same writeback
+                # coercion as update_projection (StorageIOFacility.h
+                # :105); without it a differently-typed source column
+                # widens the post-image schema
+                F.when(hit, new_val.cast(field.dataType))
+                .otherwise(F.col(name))
+                .alias(name)
             )
         else:
             out_cols.append(F.col(name))

@@ -37,116 +37,58 @@ from heavydb_spark.queries import (  # noqa: F401,E402
 # Registration-order priority.
 #
 # The verify driver correctness-checks queries in registration order
-# with a bounded budget (~50 per round).  Driver union r1-r10:
-# 255/255; after the r10 window ran, no catalog entry's last driver
-# check predates ROUND 5.  Round-11 executes the r10 verdict queue #1:
-# the window committed in r10 as positions 51-100 rotates to the front
-# UNCHANGED (same 50 entries, same order), and the r12 window is
-# composed and pre-verified behind it (queue #2).
+# with a bounded budget (~50 per round).  Driver union r1-r11:
+# 255/256 (the one gap, sql_dialect_geo_typed_math, heads the r13
+# window below); after the r11 window ran, no catalog entry's last
+# driver check predates ROUND 6.  Round-12 executes the r11 verdict
+# queue #4: the window committed in r11 as positions 51-100 rotates to
+# the front UNCHANGED (same 50 entries, same order), and the r13
+# window is composed and pre-verified behind it (queue #5).
 #
-# ROUND-11 WINDOW (positions 1-50) — committed in r10, run as-is:
-#   1-6    the r10 regression slice — the five engine.sql-routed
-#          catalog queries not already in the r10 window
-#          (sql_dialect_int_division first: the resolver gate feeds
-#          both the int-division and rounding rewrites), plus
-#          fn_string_extra (its url_encode pandas UDF switched to
-#          the reference's form encoding in r10);
-#   7-20   the 14 remaining r5-checked entries (registration order);
-#   21-50  the 30 oldest r6-checked entries, with
-#          sim_semantic_kmeans_invariants pulled forward beside its
-#          rows-only partner sim_semantic_dedup_kmeans (pairing
-#          rule); text_bpe_train pairs with text_bpe_first_merge,
-#          text_bpe_encode with text_bpe_encode_contract/_invariants,
-#          all in-window.  sim_pq_invariants (pos 19) doubles as the
-#          adjacent-window companion for the r12 window's rows-only
-#          sim_pq_encode (pos 100) — the r10 precedent
-#          (tf_raster_slope_path / _invariants across r9/r10).
-#   Pre-verified three times builder-side in r10 (replay 100 twice +
-#   the full-255 catalog replay, all 0 fails) and re-verified against
-#   the final r11 code with scripts/replay_window.py 100 at sf0.01
-#   (see the r11 summary in SURVEY.md).  After r11 completes, no
-#   catalog entry's last driver check predates ROUND 6.
+# ROUND-12 WINDOW (positions 1-50) — committed in r11, run as-is:
+#   1-2    the two r6 entries the r11 composition displaced past the
+#          window (text_chunk_windows, geo_transform_datum);
+#   3-50   the next r6/r7-checked entries in age order, with ONE swap:
+#          agg_approx_invariants (the error-bound exact companion,
+#          r9-green) sits directly beside the two rows-only approx
+#          sketches it certifies (pairing rule), displacing
+#          sim_hybrid_retrieval to the r13 window.
+#   Pre-verified twice builder-side in r11 and re-verified against the
+#   final r12 code with scripts/replay_window.py 100 at sf0.01.  After
+#   r12 completes, no catalog entry's last driver check predates r7.
 #
-# ROUND-12 WINDOW (positions 51-100) — r10 verdict queue #2:
-#   51-52  the two r6 entries the r11 composition displaced past the
-#          window (text_chunk_windows, geo_transform_datum) — the
-#          oldest remaining staleness;
-#   53-100 the next r6/r7-checked entries in age order (the exact
-#          candidate list pre-validated in r10's 150-position
-#          replay), with ONE swap: agg_approx_invariants (the
-#          error-bound exact companion, r9-green) is pulled forward
-#          to position 70, directly beside the two rows-only approx
-#          sketches it certifies (agg_approx_count_distinct 68,
-#          agg_approx_percentile 69 — pairing rule), displacing
-#          sim_hybrid_retrieval (r7-green) to position 101.
+# ROUND-13 WINDOW (positions 51-100) — composed this round (r12):
+#   51     sql_dialect_geo_typed_math — the only catalog entry never
+#          driver-checked (registered net-new in r11 past the window;
+#          judge tail sample already greens it);
+#   52-60  the r12 regression slice — dml_coercion_postimage (net-new:
+#          pins the UPDATE type-coercion fix with a schema-class
+#          check), the three DML post-images, fn_cast_trycast +
+#          fn_array_ops (the r12 paren-unwrap / ARRAY[] decimal-domain
+#          dialect changes), geo_multipolygon_props +
+#          geo_polygon_props + geo_accessors_distance (the r12
+#          hole-ring / junk-WKT kernel changes);
+#   61-100 old positions 101-150 in age order (sim_hybrid_retrieval
+#          first — displaced in r11), with the rows-only entries'
+#          companions pulled in-window per the pairing rule:
+#          dedup_simhash beside dedup_simhash_portable, sim_ann_ivf
+#          beside sim_ann_ivf_invariants.  (dedup_minhash_lsh fell
+#          past the 50-budget cut and stays in the remainder with its
+#          portable companion adjacent for a future window.)
 #
-# Past position 100: sim_hybrid_retrieval (displaced), then r6-r9
-# greens freshest-last in registration order (an over-budget driver
-# keeps eating staleness in age order); the 50 entries the r10
-# driver just checked sit at the very end.
+# Past position 100: the r6-r9 greens not yet rotated, freshest-last
+# in unchanged relative order; the 50 entries the r11 driver just
+# checked sit at the very end.
 #
-# R13-WINDOW PLAN (compose next round): head with the r11 net-new
-# sql_dialect_geo_typed_math (registered past the window — the
-# _reorder appends unknown names at the END) plus an r11 regression
-# slice over the engine.sql-routed entries the r11 dialect changes
-# touch, then positions 101-150 of THIS order in age order — those
-# candidates were pre-validated by this round's 150-position replay
-# and the full catalog replay.
+# R14-WINDOW PLAN (compose next round): an r13 regression slice over
+# whatever r13 changes, then the remainder block (old positions
+# 151-190, starting dedup_minhash_lsh + dedup_minhash_portable as the
+# standing rows-only pairing) in age order.
 # ---------------------------------------------------------------------------
 _PRIORITY = [
-    # --- ROUND-11 WINDOW (run as-is; committed in r10) ---
-    "sql_dialect_int_division",
-    "agg_grouping_sets",
-    "agg_filter_clause",
-    "sql_dialect_geo_predicates",
-    "tpcds_q67_rollup_rank",
-    "fn_string_extra",
-    "tf_torch_obj_detect",
-    "geo_buffer_dispatch",
-    "geo_transform_epsg",
-    "render_pixel_bins",
-    "geo_h3_binning",
-    "tpch_q9_product_profit",
-    "tpch_q21_waiting_supplier",
-    "tpcds_cross_channel",
-    "tpcds_q51_cumulative_join",
-    "tpcds_q88_band_counts",
-    "tpcds_q47_monthly_deviation",
-    "tpcds_q74_yoy_growth",
-    "ml_model_ddl_tree",
-    "ml_model_ddl_pca",
-    "sim_pq_invariants",
-    "pipe_tokenize_pack",
-    "pipe_corpus_report",
-    "pipe_epoch_oversample",
-    "pipe_mix_token_budget",
-    "dedup_shared_run",
-    "sim_semantic_dedup",
-    "text_quality_classifier",
-    "text_lm_perplexity",
-    "pipe_model_filter_chain",
-    "sim_semantic_dedup_kmeans",
-    "sim_semantic_kmeans_invariants",
-    "pipe_dsir_select",
-    "dedup_span_rewrite",
-    "dedup_boilerplate_segments",
-    "pipe_mix_temperature",
-    "text_ngram_vocab",
-    "text_tfidf_topterms",
-    "pipe_source_overlap",
-    "text_bpe_first_merge",
-    "text_bpe_train",
-    "text_heavy_hitters",
-    "text_bpe_encode_contract",
-    "text_bpe_encode",
-    "text_bpe_encode_invariants",
-    "pipe_shard_assign",
-    "sim_label_centroids",
-    "text_gopher_filter",
-    "pipe_curation_v2",
-    "text_bm25_topk",
-    # --- ROUND-12 WINDOW: displaced-r6 head + r6/r7 staleness in age
-    # order, agg_approx_invariants pulled beside its rows-only partners ---
+    # --- ROUND-12 WINDOW (run as-is; committed in r11): displaced-r6
+    # head + r6/r7 staleness in age order, agg_approx_invariants beside
+    # its rows-only partners (pairing rule) ---
     "text_chunk_windows",
     "geo_transform_datum",
     "tpcds_q64_cross_year_sales",
@@ -197,8 +139,21 @@ _PRIORITY = [
     "fn_string_regex",
     "sim_scalar_quantize",
     "sim_pq_encode",
-    # --- past the window: displaced r7 entry, then r6-r9 greens
-    # freshest-last ---
+    # --- ROUND-13 WINDOW (composed+pre-verified in r12): never-checked
+    # head + r12 regression slice (DML coercion, cast rewrites, array
+    # constructors, geo kernels), then old positions 101-150 in age
+    # order with rows-only companions pulled in-window (pairing rule:
+    # dedup_simhash/_portable, sim_ann_ivf/_invariants) ---
+    "sql_dialect_geo_typed_math",
+    "dml_coercion_postimage",
+    "dml_update_postimage",
+    "dml_update_correlated_postimage",
+    "dml_delete_postimage",
+    "fn_cast_trycast",
+    "fn_array_ops",
+    "geo_multipolygon_props",
+    "geo_polygon_props",
+    "geo_accessors_distance",
     "sim_hybrid_retrieval",
     "pipe_weighted_sample",
     "pipe_winsorize",
@@ -212,9 +167,8 @@ _PRIORITY = [
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_simhash",
+    "dedup_simhash_portable",
     "except_keys",
-    "fn_array_ops",
-    "fn_cast_trycast",
     "fn_datetime_week_variants",
     "fn_encode_hash",
     "fn_json_value",
@@ -224,7 +178,6 @@ _PRIORITY = [
     "geo_bbox_join",
     "geo_point_distance",
     "geo_polygon_contains_join",
-    "geo_polygon_props",
     "geo_range_join",
     "intersect_keys",
     "like_regexp_filter",
@@ -233,6 +186,7 @@ _PRIORITY = [
     "ml_r2_score",
     "mm_media_features",
     "sim_ann_ivf",
+    "sim_ann_ivf_invariants",
     "sim_cosine_topk",
     "stream_dedup_events",
     "stream_session_window",
@@ -240,6 +194,8 @@ _PRIORITY = [
     "text_lang_id",
     "text_token_stats",
     "tf_cross_section_1d",
+    # --- past the window: r6-r9 greens freshest-last (unchanged
+    # relative order) ---
     "tf_dwell_times",
     "tf_feature_similarity",
     "tf_geo_rasterize",
@@ -251,7 +207,6 @@ _PRIORITY = [
     "dedup_minhash_lsh",
     "fn_datetime",
     "fn_decimal",
-    "geo_accessors_distance",
     "geo_grid_join",
     "geo_linestring_props",
     "geo_polygon_intersects",
@@ -297,14 +252,12 @@ _PRIORITY = [
     "ml_pca_invariants",
     "ml_var_importance_invariants",
     "pipe_dedup_keep_best",
-    "sim_ann_ivf_invariants",
     "stream_interval_join_full",
     "stream_interval_join_outer",
     "tf_raster_slope_path_invariants",
     "tpcds_q36_hierarchy_rank",
     "tpch_q11_important_value",
     "tpch_q12_priority_class",
-    # --- the 50 entries the r10 driver just checked (freshest) ---
     "fn_dialect_probe_closeout",
     "tf_generate_series",
     "tf_generate_series_ts",
@@ -341,20 +294,66 @@ _PRIORITY = [
     "pipe_mix_sources",
     "pipe_pack_sequences",
     "text_repetition",
-    "dedup_simhash_portable",
     "dedup_minhash_portable",
     "pipe_end_to_end_corpus",
-    "dml_update_postimage",
-    "dml_delete_postimage",
     "tf_generate_random_strings",
     "ml_dbscan",
     "tf_raster_slope_path",
     "geo_geos_union_diff",
-    "geo_multipolygon_props",
     "geo_transform_utm",
     "tf_point_cloud_metadata",
     "tf_load_point_cloud",
-    "dml_update_correlated_postimage",
+    # --- the 50 entries the r11 driver just checked (freshest) ---
+    "sql_dialect_int_division",
+    "agg_grouping_sets",
+    "agg_filter_clause",
+    "sql_dialect_geo_predicates",
+    "tpcds_q67_rollup_rank",
+    "fn_string_extra",
+    "tf_torch_obj_detect",
+    "geo_buffer_dispatch",
+    "geo_transform_epsg",
+    "render_pixel_bins",
+    "geo_h3_binning",
+    "tpch_q9_product_profit",
+    "tpch_q21_waiting_supplier",
+    "tpcds_cross_channel",
+    "tpcds_q51_cumulative_join",
+    "tpcds_q88_band_counts",
+    "tpcds_q47_monthly_deviation",
+    "tpcds_q74_yoy_growth",
+    "ml_model_ddl_tree",
+    "ml_model_ddl_pca",
+    "sim_pq_invariants",
+    "pipe_tokenize_pack",
+    "pipe_corpus_report",
+    "pipe_epoch_oversample",
+    "pipe_mix_token_budget",
+    "dedup_shared_run",
+    "sim_semantic_dedup",
+    "text_quality_classifier",
+    "text_lm_perplexity",
+    "pipe_model_filter_chain",
+    "sim_semantic_dedup_kmeans",
+    "sim_semantic_kmeans_invariants",
+    "pipe_dsir_select",
+    "dedup_span_rewrite",
+    "dedup_boilerplate_segments",
+    "pipe_mix_temperature",
+    "text_ngram_vocab",
+    "text_tfidf_topterms",
+    "pipe_source_overlap",
+    "text_bpe_first_merge",
+    "text_bpe_train",
+    "text_heavy_hitters",
+    "text_bpe_encode_contract",
+    "text_bpe_encode",
+    "text_bpe_encode_invariants",
+    "pipe_shard_assign",
+    "sim_label_centroids",
+    "text_gopher_filter",
+    "pipe_curation_v2",
+    "text_bm25_topk",
 ]
 
 

@@ -219,6 +219,45 @@ def dml_update_postimage(spark, sf_dir):
 
 
 @query(
+    "dml_coercion_postimage",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 7 = 0 THEN DATE '1999-10-09'
+                ELSE o_orderdate END AS o_orderdate,
+           round(CASE WHEN o_orderkey % 7 = 0 THEN 2.5
+                      ELSE CAST(o_totalprice AS DOUBLE) END, 2)
+               AS o_totalprice
+    FROM orders
+    WHERE o_orderkey < 1000
+    ORDER BY o_orderkey
+    """,
+)
+def dml_coercion_postimage(spark, sf_dir):
+    """UPDATE post-image TYPE COERCION (r12 fix; StorageIOFacility.h
+    :105 casts every update value to the column's SQLTypeInfo):
+    string assignments to a DATE and a DOUBLE column keep the
+    post-image schema — the r11 defect mutated the DATE column to
+    STRING, which this query's schema-class driver check now pins.
+    Non-ISO datetime spellings are pinned in tests/test_dml.py and the
+    dml-coercion generator family (the driver canonicalizer needs
+    cross-engine-stable values, so the catalog entry uses ISO)."""
+    o = T(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 1000)
+    post = mutation.update_projection(
+        o,
+        F.col("o_orderkey") % 7 == 0,
+        {
+            "o_orderdate": F.lit("1999-10-09"),
+            "o_totalprice": F.lit("2.5"),
+        },
+    )
+    return post.select(
+        "o_orderkey",
+        "o_orderdate",
+        F.round(F.col("o_totalprice").cast("double"), 2).alias("o_totalprice"),
+    ).orderBy("o_orderkey")
+
+
+@query(
     "dml_delete_postimage",
     oracle="""
     SELECT o_orderstatus, count(*) AS n

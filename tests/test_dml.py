@@ -1182,3 +1182,28 @@ def test_update_projection_casts_and_case_insensitive_keys(spark):
     post2 = mutation.update_projection(df, F.lit(True), {"I": F.lit(5)})
     assert post2.first().i == 5
     assert post2.schema["i"].dataType.simpleString() == "int"
+
+
+def test_update_from_casts_to_target_type(spark):
+    """update_from coerces the source column to the target column's
+    type (same StorageIOFacility writeback rule as update_projection):
+    a string source assigned to a DATE target keeps the post-image
+    schema DATE."""
+    import datetime
+
+    from heavydb_spark.operators.mutation import update_from
+
+    t = spark.createDataFrame(
+        [(1, datetime.date(2000, 1, 1)), (2, datetime.date(2000, 1, 2))],
+        "id int, d date",
+    )
+    src = spark.createDataFrame([(1, "2001-03-03")], "id int, nd string")
+    post = update_from(
+        t, ["id"], src, {"d": "nd"}, cond=F.col("id") == 1
+    )
+    assert post.schema["d"].dataType.simpleString() == "date"
+    vals = {r.id: r.d for r in post.collect()}
+    assert vals[1] == datetime.date(2001, 3, 3)
+    # row outside the WHERE set keeps its value (a targeted row with
+    # no source match would correctly become NULL — empty subquery)
+    assert vals[2] == datetime.date(2000, 1, 2)

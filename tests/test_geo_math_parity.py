@@ -160,3 +160,62 @@ def test_transform_rings_and_buffer_meters(engine):
         "ST_Contains(ST_Buffer(ST_SetSRID(ST_Point(0, 0), 4326), 10.0),"
         " ST_SetSRID(ST_Point(1, 0), 4326)) AS b").first()
     assert r["a"] is True and r["b"] is False
+
+
+def test_multipolygon_hole_rings_area_perimeter(engine):
+    """r11 advice: MULTIPOLYGON interior rings must subtract from
+    ST_Area and be excluded from ST_Perimeter (ST_Area_MultiPolygon /
+    perimeter_multipolygon sum per-polygon exterior-minus-holes) —
+    rings classify even-odd, so island-in-lake nests stay correct."""
+    mp = ("MULTIPOLYGON(((0 0,10 0,10 10,0 10,0 0),(2 2,4 2,4 4,2 4,"
+          "2 2)),((20 0,21 0,21 1,20 1,20 0)))")
+    assert float(_f(engine,
+        f"SELECT ST_Area(ST_GeomFromText('{mp}'))")) == 97.0
+    assert float(_f(engine,
+        f"SELECT ST_Perimeter(ST_GeomFromText('{mp}'))")) == 44.0
+    # disjoint no-hole multipolygon unchanged
+    mp2 = "MULTIPOLYGON(((0 0,2 0,2 2,0 2,0 0)),((5 5,6 5,6 6,5 6,5 5)))"
+    assert float(_f(engine,
+        f"SELECT ST_Area(ST_GeomFromText('{mp2}'))")) == 5.0
+    assert float(_f(engine,
+        f"SELECT ST_Perimeter(ST_GeomFromText('{mp2}'))")) == 12.0
+    # island-in-lake: the island's exterior nests in TWO rings (even)
+    mp3 = ("MULTIPOLYGON(((0 0,10 0,10 10,0 10,0 0),(2 2,8 2,8 8,2 8,"
+           "2 2)),((4 4,6 4,6 6,4 6,4 4)))")
+    assert float(_f(engine,
+        f"SELECT ST_Area(ST_GeomFromText('{mp3}'))")) == 68.0
+
+
+def test_geo_junk_and_transform_guards(engine):
+    """r11 advice: a non-geometry string column value yields NULL (not
+    Infinity) from the distance kernels; ST_Transform raises on an
+    unsupported SRID instead of silently returning NULL; a point-struct
+    consumer reads through ST_Transform of a WKT point column."""
+    spark = engine.spark
+    spark.sql("DROP TABLE IF EXISTS geo_guard_pin")
+    engine.sql("CREATE TABLE geo_guard_pin (w POINT, junk TEXT)")
+    try:
+        engine.sql("INSERT INTO geo_guard_pin VALUES ('POINT(1 0)', 'notgeo')")
+        r = engine.sql(
+            "SELECT ST_Distance(junk, 'POINT(0 0)') AS d, "
+            "ST_X(ST_Transform(w, 900913)) AS x FROM geo_guard_pin"
+        ).first()
+        assert r["d"] is None
+        assert abs(r["x"] - 111319.490778) < 1e-6
+        with pytest.raises(Exception, match="unsupported SRID"):
+            engine.sql(
+                "SELECT ST_X(ST_Transform(w, 12345)) FROM geo_guard_pin"
+            ).collect()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS geo_guard_pin")
+
+
+def test_geography_cast_pair_not_spliced(engine):
+    """r11 advice: _strip_geog's CAST branch takes the same balanced-
+    paren guard as ST_GeogFromText — a compound argument holding two
+    CAST(.. AS GEOGRAPHY) sub-expressions must not splice a garbled
+    inner geometry."""
+    got = float(_f(engine,
+        "SELECT ST_Distance(CAST('POINT(0 0)' AS GEOGRAPHY), "
+        "CAST('POINT(0 1)' AS GEOGRAPHY))"))
+    assert abs(got - 111226.3) < 0.5
