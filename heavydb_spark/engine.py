@@ -886,6 +886,13 @@ _BARE_CELL_RE = re.compile(
     re.IGNORECASE,
 )
 
+_INSERT_SELECT_RE = re.compile(
+    r"^\s*INSERT\s+INTO\s+([\w.]+)\s*(?:\(([^()]*)\))?\s*"
+    r"((?:SELECT|WITH)\b.*?);?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_SAFE_IDENT_RE = re.compile(r"^[A-Za-z_]\w*$")
+
 
 def _split_cells_braced(s: str) -> list[str]:
     """Split at top-level commas, aware of (), [], {} and '...' — the
@@ -1368,6 +1375,13 @@ class Engine:
             # land typed — ArrayTest.cpp's fixtures INSERT '{…}' rows
             # with quoted boolean cells.
             query = self._cast_insert_values(m) or query
+        else:
+            m = _INSERT_SELECT_RE.match(query)
+            if m:
+                # INSERT ... SELECT coerces the source projection to the
+                # target column types (reference ITAS cast semantics;
+                # Spark's store-assignment would reject string->date)
+                query = self._coerce_insert_select(m) or query
         query, hints = _extract_query_hints(query)
         if self.approx_median_sketch:
             # 100 TB escape hatch (ALTER SESSION SET
@@ -1826,6 +1840,72 @@ class Engine:
             )
         return None
 
+    def _coerce_insert_select(self, m: re.Match) -> str | None:
+        """INSERT INTO t [cols] SELECT/WITH ... — coerce the source
+        projection to the target column types, as the reference's ITAS
+        path casts every source column to the table's SQLTypeInfo
+        (string->datetime through dateTimeParse, fractional->int with
+        rounding).  Spark's store-assignment policy instead REJECTS
+        string->date outright, so without this wrapper a statement the
+        reference runs errors here.  The rewrite wraps the original
+        body as a derived table and CASTs each output column — the
+        dialect's cast rewrites (with the derived-table-aware type
+        resolver) then route provably-string columns through the
+        DateTimeParser chains.  Returns None (native behavior) when the
+        target or source shape can't be resolved conservatively:
+        unknown table, column-count mismatch, duplicate or non-
+        identifier source column names, or no type difference."""
+        name, collist, body = m.group(1), m.group(2), m.group(3)
+        try:
+            sch = self.spark.table(name).schema
+        except Exception:
+            return None
+        by_name = {f.name.lower(): f.dataType for f in sch.fields}
+        if collist:
+            try:
+                types = [
+                    by_name[c.strip().strip('`"').lower()]
+                    for c in collist.split(",")
+                ]
+            except KeyError:
+                return None
+        else:
+            types = [f.dataType for f in sch.fields]
+        try:
+            inner = self.sql(body)  # dialect path; analysis only
+        except Exception:
+            return None
+        fields = inner.schema.fields
+        if len(fields) != len(types):
+            return None
+        names = [f.name for f in fields]
+        if len({n.lower() for n in names}) != len(names):
+            return None
+        if not all(_SAFE_IDENT_RE.match(n) for n in names):
+            return None
+        if all(f.dataType == t for f, t in zip(fields, types)):
+            return None
+        outs, inner_proj = [], []
+        for i, (f, t) in enumerate(zip(fields, types)):
+            tgt = t.simpleString()
+            if tgt == "timestamp_ntz":
+                tgt = "timestamp"  # dialect target; store cast refines
+            # re-project to fresh collision-free names on BOTH levels:
+            # INSERT maps positionally, and a source name that matches
+            # a target-table column of a different type would resolve
+            # ambiguous in the flat type map (is_string False),
+            # downgrading string->datetime casts to Spark-native
+            # (silent NULL for non-ISO — found by the dml-coercion
+            # generator's ITAS form)
+            inner_proj.append(f"{f.name} AS __itas_c{i}")
+            outs.append(f"CAST(__itas.__itas_c{i} AS {tgt}) AS __c{i}")
+        head = f"INSERT INTO {name} "
+        if collist:
+            head += f"({collist}) "
+        return (head + "SELECT " + ", ".join(outs)
+                + " FROM (SELECT " + ", ".join(inner_proj)
+                + f" FROM ({body.rstrip().rstrip(';')}) __itas0) __itas")
+
     def _cast_insert_values(self, m: re.Match) -> str | None:
         """Wrap every INSERT ... VALUES cell in CAST(cell AS <column
         type>) — the reference importer parses each cell against the
@@ -1980,7 +2060,7 @@ class Engine:
                 lambda m: "'" + " " * (len(m.group(0)) - 2) + "'",
                 context,
             )
-            resolved_bodies: list[str] = []
+            resolved_spans: list[tuple[int, int]] = []
             for a, b in _subselect_spans(blanked):
                 body = context[a:b]
                 stmt = (
@@ -1994,15 +2074,24 @@ class Engine:
                     ).schema
                 except Exception:
                     continue
-                resolved_bodies.append(body)
+                resolved_spans.append((a, b))
                 for fld in sch.fields:
                     types.setdefault(fld.name.lower(), set()).add(
                         fld.dataType.simpleString()
                     )
-            if resolved_bodies:
-                for body in resolved_bodies:
-                    outer = outer.replace(body, " ")
-                _shadow_from(outer)
+            if resolved_spans:
+                # blank resolved bodies by SPAN (equal-length spaces),
+                # not str.replace: an outer body containing an already-
+                # replaced inner body would never match, leaving its
+                # aliases shadowed forever (found by the dml-coercion
+                # generator's nested ITAS projection)
+                chars = list(context)
+                for a, b in resolved_spans:
+                    chars[a:b] = [" "] * (b - a)
+                outer2 = "".join(chars)
+                for _n, cbody in ctes:
+                    outer2 = outer2.replace(cbody, " ")
+                _shadow_from(outer2)
 
         def type_of(col: str):
             if not state["built"]:

@@ -1207,3 +1207,49 @@ def test_update_from_casts_to_target_type(spark):
     # row outside the WHERE set keeps its value (a targeted row with
     # no source match would correctly become NULL — empty subquery)
     assert vals[2] == datetime.date(2000, 1, 2)
+
+
+def test_insert_select_coerces_to_target_types(engine, spark):
+    """INSERT INTO ... SELECT coerces the source projection to the
+    target column types (the reference ITAS path casts every source
+    column to the table's SQLTypeInfo; Spark's store-assignment policy
+    would instead REJECT string->date): non-ISO datetime strings parse
+    through the DateTimeParser chains, numeric strings round into INT."""
+    for t in ("itas_pin_t", "itas_pin_src"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    engine.sql("CREATE TABLE itas_pin_src (s TEXT, n TEXT)")
+    engine.sql("CREATE TABLE itas_pin_t (d DATE, i INT)")
+    try:
+        engine.sql("INSERT INTO itas_pin_src VALUES "
+                   "('10/09/99', '2.7'), ('1999-10-09', '11')")
+        engine.sql("INSERT INTO itas_pin_t SELECT s, n FROM itas_pin_src")
+        rows = sorted(
+            engine.sql(
+                "SELECT CAST(d AS STRING) AS d, i FROM itas_pin_t"
+            ).collect(),
+            key=lambda r: r.i,
+        )
+        assert [(r.d, r.i) for r in rows] == [
+            ("1999-10-09", 3), ("1999-10-09", 11)]
+        # schema unchanged
+        sch = {f.name: f.dataType.simpleString()
+               for f in spark.table("itas_pin_t").schema.fields}
+        assert sch == {"d": "date", "i": "int"}
+        # WITH-headed source body coerces too
+        engine.sql(
+            "INSERT INTO itas_pin_t WITH c AS "
+            "(SELECT s FROM itas_pin_src WHERE s = '10/09/99') "
+            "SELECT s, '7' AS n7 FROM c"
+        )
+        got = engine.sql(
+            "SELECT count(*) AS c FROM itas_pin_t "
+            "WHERE d = DATE '1999-10-09' AND i = 7"
+        ).first()["c"]
+        assert got == 1
+        # type-consistent ITAS stays on the native path
+        engine.sql("INSERT INTO itas_pin_src SELECT s, n FROM itas_pin_src")
+        assert engine.sql(
+            "SELECT count(*) AS c FROM itas_pin_src").first()["c"] == 4
+    finally:
+        for t in ("itas_pin_t", "itas_pin_src"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")

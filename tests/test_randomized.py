@@ -984,10 +984,20 @@ def run_dml_coercion_case(engine, seed: int) -> list[str]:
         n_rows = rng.randint(1, 3)
         for r in range(n_rows):
             cells = [rng.choice(t[2]) for t in chosen]
-            engine.sql(
-                f"INSERT INTO {tbl} VALUES ({r}, "
-                + ", ".join(c[0] for c in cells) + ")"
-            )
+            if rng.random() < 0.3:
+                # INSERT ... SELECT form: the r12 ITAS coercion path
+                # (aliased literal projection — the source-column case
+                # is pinned in tests/test_dml.py)
+                proj = ", ".join(
+                    [f"{r} AS k"]
+                    + [f"{c[0]} AS c{i}" for i, c in enumerate(cells)]
+                )
+                engine.sql(f"INSERT INTO {tbl} SELECT {proj}")
+            else:
+                engine.sql(
+                    f"INSERT INTO {tbl} VALUES ({r}, "
+                    + ", ".join(c[0] for c in cells) + ")"
+                )
             model[r] = [c[1] for c in cells]
         for _ in range(rng.randint(1, 3)):
             r = rng.randrange(n_rows)
