@@ -2593,35 +2593,73 @@ class Engine:
         from heavydb_spark.operators.mutation import update_projection
 
         df = self.spark.table(table)
-        # Coerce every assignment to the target column's type BEFORE the
-        # dialect rewrite, exactly as the reference writeback casts each
-        # update value to the column's SQLTypeInfo (StorageIOFacility.h
-        # :105) — the wrapping CAST routes string values to datetime
-        # columns through the DateTimeParser chains and fractional /
-        # numeric-string values to int columns through the rounding
-        # rules, instead of Spark's common-type resolution silently
-        # widening the column (r11 verdict What's-wrong #2).
+        # Coerce every assignment to the target column's type, exactly
+        # as the reference writeback casts each update value to the
+        # column's SQLTypeInfo (StorageIOFacility.h:105) — instead of
+        # Spark's common-type resolution silently widening the column
+        # (r11 verdict What's-wrong #2).  Coercion is ANALYSIS-driven:
+        # the rewritten value's actual Spark type decides, so string
+        # literals, string columns, string expressions AND string-
+        # yielding correlated scalar subqueries all route to datetime
+        # targets through the DateTimeParser chains and to int targets
+        # through the reference rounding rules; everything else takes
+        # the plain cast in update_projection.
         col_types = {f.name.lower(): f.dataType.simpleString()
                      for f in df.schema.fields}
+        int_targets = ("tinyint", "smallint", "int", "bigint")
         raw = _split_assignments(set_clause)
-        wrapped: dict[str, str] = {}
-        for k, v in raw.items():
-            t = col_types.get(k.strip('`"').lower())
-            if t == "timestamp_ntz":
-                t = "timestamp"  # dialect target; projection re-casts
-            wrapped[k] = f"CAST(({v}) AS {t})" if t else v
-        ctx = f"{table} {' '.join(wrapped.values())} {where or ''}"
-        tof = self._type_resolver(ctx)
+        tof = self._type_resolver(
+            f"{table} {set_clause} {where or ''} CAST(x AS DATE)")
         cond = (
             F.expr(dialect.rewrite(where, type_of=tof))
             if where else F.lit(True)
         )
-        assignments = {
-            k: F.expr(dialect.rewrite(v, type_of=tof))
-            for k, v in wrapped.items()
-        }
+        from heavydb_spark.functions import datetime_parse as _dtp
+
+        # Each value stages into a temp column first (a correlated
+        # scalar subquery cannot sit inside the chains' higher-order
+        # binding), then the coercion expression reads the staged
+        # column; temps drop from the final projection.
+        work = df
+        assignments: dict[str, Column] = {}
+        for i, (k, v) in enumerate(raw.items()):
+            rv = dialect.rewrite(v, type_of=tof)
+            tmp = f"__dml_v{i}"
+            work = work.withColumn(tmp, F.expr(rv))
+            col = F.col(tmp)
+            tgt = col_types.get(k.strip('`"').lower())
+            if tgt is not None:
+                try:
+                    vtype = work.select(tmp) \
+                        .schema[0].dataType.simpleString()
+                except Exception:
+                    vtype = None
+                if vtype == "string" and tgt == "date":
+                    col = F.expr(_dtp.sql_parse_date(tmp))
+                elif vtype == "string" and tgt in (
+                        "timestamp", "timestamp_ntz"):
+                    col = F.expr(_dtp.sql_parse_timestamp(tmp))
+                elif vtype == "string" and tgt in int_targets:
+                    # pure-integer strings cast natively (exact beyond
+                    # 2^53), everything else rounds through DOUBLE —
+                    # the same dispatch as the dialect's string->int
+                    # cast rewrite (Shared/Datum.cpp parseInteger)
+                    col = F.expr(
+                        f"IF({tmp} RLIKE '^\\\\s*-?[0-9]+\\\\s*$', "
+                        f"CAST({tmp} AS {tgt}), "
+                        f"CAST(round(CAST({tmp} AS DOUBLE), 0) AS {tgt}))")
+                elif tgt in int_targets and vtype is not None and (
+                        vtype in ("float", "double")
+                        or vtype.startswith("decimal")):
+                    # fractional -> int rounds half away from zero
+                    # (CastIR.cpp codegenCastFromFp)
+                    col = F.expr(f"CAST(round({tmp}, 0) AS {tgt})")
+            assignments[k] = col
         affected = df.filter(cond).count()
-        self._dml_apply(table, update_projection(df, cond, assignments))
+        self._dml_apply(
+            table,
+            update_projection(work, cond, assignments).select(*df.columns),
+        )
         return self.spark.range(1).select(F.lit(affected).alias("rows_affected"))
 
     def _dml_delete(self, table: str, where: str | None) -> DataFrame:

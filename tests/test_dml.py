@@ -1253,3 +1253,36 @@ def test_insert_select_coerces_to_target_types(engine, spark):
     finally:
         for t in ("itas_pin_t", "itas_pin_src"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_sql_update_correlated_subquery_coerces(engine, spark):
+    """Correlated scalar-subquery UPDATE values coerce to the target
+    column type through the DateTimeParser chains (the value stages
+    into a temp column first — Spark forbids subqueries inside the
+    chains' higher-order binding)."""
+    for t in ("cupd_pin_t", "cupd_pin_src"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    engine.sql("CREATE TABLE cupd_pin_t (k INT, d DATE)")
+    engine.sql("CREATE TABLE cupd_pin_src (k INT, s TEXT)")
+    try:
+        engine.sql(
+            "INSERT INTO cupd_pin_t VALUES (1, '2000-01-01'), (2, '2000-01-02')"
+        )
+        engine.sql("INSERT INTO cupd_pin_src VALUES (1, '10/09/99')")
+        engine.sql(
+            "UPDATE cupd_pin_t SET d = (SELECT s FROM cupd_pin_src "
+            "WHERE cupd_pin_src.k = cupd_pin_t.k) WHERE k = 1"
+        )
+        rows = sorted(
+            (r.k, r.d)
+            for r in engine.sql(
+                "SELECT k, CAST(d AS STRING) AS d FROM cupd_pin_t"
+            ).collect()
+        )
+        assert rows == [(1, "1999-10-09"), (2, "2000-01-02")]
+        sch = {f.name: f.dataType.simpleString()
+               for f in spark.table("cupd_pin_t").schema.fields}
+        assert sch == {"k": "int", "d": "date"}
+    finally:
+        for t in ("cupd_pin_t", "cupd_pin_src"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
