@@ -979,6 +979,28 @@ def _split_eq(part: str) -> tuple[str, str]:
     raise ValueError(f"expected name = value, got {part!r}")
 
 
+def _string_coercion_expr(col: str, tgt: str) -> str:
+    """Spark SQL text coercing string expression `col` to scalar type
+    `tgt` with the reference's parse semantics (Importer.cpp /
+    Shared/Datum.cpp): datetime targets take the DateTimeParser
+    chains, int targets the pure-integer/round dispatch, everything
+    else a plain CAST. Shared by UPDATE assignment coercion and
+    load_table's string-row form."""
+    from heavydb_spark.functions import datetime_parse as _dtp
+
+    if tgt == "date":
+        return _dtp.sql_parse_date(col)
+    if tgt in ("timestamp", "timestamp_ntz"):
+        return _dtp.sql_parse_timestamp(col)
+    if tgt in ("tinyint", "smallint", "int", "bigint"):
+        return (
+            f"IF({col} RLIKE '^\\\\s*-?[0-9]+\\\\s*$', "
+            f"CAST({col} AS {tgt}), "
+            f"CAST(round(CAST({col} AS DOUBLE), 0) AS {tgt}))"
+        )
+    return f"CAST({col} AS {tgt})"
+
+
 def _split_assignments(set_clause: str) -> dict[str, str]:
     """Split `a = e1, b = e2` on top-level commas only."""
     out = {}
@@ -1136,6 +1158,45 @@ class Engine:
     def table(self, name: str) -> DataFrame:
         return self.spark.table(name)
 
+    def _load_table_string_rows(self, rows, sub_schema) -> DataFrame:
+        """load_table's TStringRow analogue: cells as text, parsed
+        against each column's type with importer semantics."""
+        from pyspark.sql.types import StringType, StructField, StructType
+
+        scalar = {
+            "tinyint", "smallint", "int", "bigint", "float", "double",
+            "boolean", "string", "date", "timestamp", "timestamp_ntz",
+        }
+        simple = [f.dataType.simpleString() for f in sub_schema]
+        if not all(s in scalar or s.startswith("decimal") for s in simple):
+            raise TypeError(
+                "load_table string-row parsing supports scalar columns "
+                "only; pass typed values for array columns"
+            )
+        try:
+            import pandas as pd
+
+            if isinstance(rows, pd.DataFrame):
+                rows = [tuple(r) for r in rows.itertuples(index=False)]
+        except ImportError:  # pragma: no cover - pandas is baked in
+            pass
+        conv = [
+            tuple(None if c is None else str(c) for c in r) for r in rows
+        ]
+        raw = self.spark.createDataFrame(
+            conv,
+            StructType(
+                [StructField(f.name, StringType()) for f in sub_schema]
+            ),
+        )
+        return raw.select(*[
+            F.expr(
+                _string_coercion_expr(f"`{f.name}`",
+                                      f.dataType.simpleString())
+            ).cast(f.dataType).alias(f.name)
+            for f in sub_schema
+        ])
+
     def load_table(self, name: str, rows, column_names=None) -> DataFrame:
         """Thrift load_table / load_table_binary_arrow analogue
         (DBHandler.cpp load_table*; Tests/LoadTableTest.cpp): bulk
@@ -1162,7 +1223,16 @@ class Engine:
             pass
         from pyspark.sql.types import StructType
 
-        loaded = self.spark.createDataFrame(rows, StructType(sub_schema))
+        try:
+            loaded = self.spark.createDataFrame(rows, StructType(sub_schema))
+        except Exception:
+            # TStringRow form (DBHandler.cpp load_table, vs the typed
+            # load_table_binary): every cell arrives as text and the
+            # importer parses it against the column's SQLTypeInfo —
+            # datetime spellings through the DateTimeParser chains,
+            # numeric strings with reference rounding. Scalar targets
+            # only; anything else re-raises the typed-path error.
+            loaded = self._load_table_string_rows(rows, sub_schema)
         for c in target.columns:
             if c not in cols:
                 loaded = loaded.withColumn(
@@ -2614,8 +2684,6 @@ class Engine:
             F.expr(dialect.rewrite(where, type_of=tof))
             if where else F.lit(True)
         )
-        from heavydb_spark.functions import datetime_parse as _dtp
-
         # Each value stages into a temp column first (a correlated
         # scalar subquery cannot sit inside the chains' higher-order
         # binding), then the coercion expression reads the staged
@@ -2634,20 +2702,10 @@ class Engine:
                         .schema[0].dataType.simpleString()
                 except Exception:
                     vtype = None
-                if vtype == "string" and tgt == "date":
-                    col = F.expr(_dtp.sql_parse_date(tmp))
-                elif vtype == "string" and tgt in (
-                        "timestamp", "timestamp_ntz"):
-                    col = F.expr(_dtp.sql_parse_timestamp(tmp))
-                elif vtype == "string" and tgt in int_targets:
-                    # pure-integer strings cast natively (exact beyond
-                    # 2^53), everything else rounds through DOUBLE —
-                    # the same dispatch as the dialect's string->int
-                    # cast rewrite (Shared/Datum.cpp parseInteger)
-                    col = F.expr(
-                        f"IF({tmp} RLIKE '^\\\\s*-?[0-9]+\\\\s*$', "
-                        f"CAST({tmp} AS {tgt}), "
-                        f"CAST(round(CAST({tmp} AS DOUBLE), 0) AS {tgt}))")
+                if vtype == "string" and (
+                        tgt in int_targets
+                        or tgt in ("date", "timestamp", "timestamp_ntz")):
+                    col = F.expr(_string_coercion_expr(tmp, tgt))
                 elif tgt in int_targets and vtype is not None and (
                         vtype in ("float", "double")
                         or vtype.startswith("decimal")):

@@ -1286,3 +1286,35 @@ def test_sql_update_correlated_subquery_coerces(engine, spark):
     finally:
         for t in ("cupd_pin_t", "cupd_pin_src"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_load_table_string_rows_parse_like_importer(engine, spark):
+    """load_table's string-row form (Thrift TStringRow,
+    DBHandler.cpp load_table vs the typed load_table_binary): cells
+    arrive as text and parse against each column's type with importer
+    semantics — non-ISO datetimes through the chains, numeric strings
+    with reference rounding, quoted booleans."""
+    spark.sql("DROP TABLE IF EXISTS load_str_pin")
+    engine.sql("CREATE TABLE load_str_pin (d DATE, i INT, b BOOLEAN)")
+    try:
+        res = engine.load_table(
+            "load_str_pin", [("10/09/99", "2.7", "true"), (None, 5, None)]
+        ).first()
+        assert res["rows_loaded"] == 2
+        rows = sorted(
+            ((str(r.d), r.i, r.b) for r in
+             engine.sql("SELECT * FROM load_str_pin").collect()),
+            key=str,
+        )
+        assert rows == [("1999-10-09", 3, True), ("None", 5, None)]
+        # array columns stay typed-only (string parsing is scalar)
+        spark.sql("DROP TABLE IF EXISTS load_str_arr")
+        engine.sql("CREATE TABLE load_str_arr (a INT[])")
+        try:
+            import pytest as _pt
+            with _pt.raises(Exception):
+                engine.load_table("load_str_arr", [("{1,2}",)])
+        finally:
+            spark.sql("DROP TABLE IF EXISTS load_str_arr")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS load_str_pin")
