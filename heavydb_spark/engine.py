@@ -936,7 +936,59 @@ def _rewrite_column_def(d: str) -> str:
     type_part, tail = rest[:cut], rest[cut:]
     for pat, repl in _TYPE_REWRITES:
         type_part = pat.sub(repl, type_part)
+    tail = _coerce_default_literal(type_part.strip(), tail)
     return f"{name} {type_part.strip()}" + (f" {tail.strip()}" if tail.strip() else "")
+
+
+_DEFAULT_LIT_RE = re.compile(
+    r"^(\s*DEFAULT\s+)('(?:[^']|'')*')(.*)$", re.IGNORECASE | re.DOTALL)
+
+
+def _coerce_default_literal(spark_type: str, tail: str) -> str:
+    """DEFAULT '<string literal>' on a non-string column: the
+    reference parses the default against the column's SQLTypeInfo
+    (importer semantics), while Spark's INVALID_DEFAULT_VALUE check
+    rejects the type mismatch outright. Rewrite parseable datetime /
+    boolean / numeric string defaults to typed literals; anything
+    unparseable stays as-is (Spark then reports its own error)."""
+    m = _DEFAULT_LIT_RE.match(tail)
+    if not m:
+        return tail
+    t = spark_type.upper()
+    lit = m.group(2)[1:-1].replace("''", "'")
+    repl = None
+    if t == "DATE":
+        from heavydb_spark.functions import datetime_parse as _dtp
+
+        c = _dtp.date_literal(lit)
+        repl = f"DATE '{c}'" if c else None
+    elif t.startswith("TIMESTAMP"):
+        from heavydb_spark.functions import datetime_parse as _dtp
+
+        c = _dtp.timestamp_literal(lit, 6)
+        repl = f"TIMESTAMP '{c}'" if c else None
+    elif t == "BOOLEAN":
+        v = lit.strip().lower()
+        if v in ("t", "true", "1"):
+            repl = "TRUE"
+        elif v in ("f", "false", "0"):
+            repl = "FALSE"
+    elif t in ("TINYINT", "SMALLINT", "INT", "INTEGER", "BIGINT"):
+        if re.fullmatch(r"\s*[-+]?\d+\s*", lit):
+            repl = lit.strip()  # pure integer: exact beyond 2^53
+        elif re.fullmatch(r"\s*[-+]?\d+(\.\d*)?([eE][-+]?\d+)?\s*", lit):
+            import math
+
+            v = float(lit)
+            # string->int rounds half away from zero (Datum.cpp)
+            repl = str(int(math.floor(v + 0.5) if v >= 0
+                           else math.ceil(v - 0.5)))
+    elif t in ("FLOAT", "DOUBLE") or t.startswith("DECIMAL"):
+        if re.fullmatch(r"\s*[-+]?\d+(\.\d*)?([eE][-+]?\d+)?\s*", lit):
+            repl = lit.strip()
+    if repl is None:
+        return tail
+    return f"{m.group(1)}{repl}{m.group(3)}"
 
 
 def _projection_changed(actions: list[str]) -> bool:
@@ -2829,11 +2881,16 @@ class Engine:
                     if _resolve(col) is not None:
                         raise ValueError(f"column {col} already exists")
                     styp = self._spark_type_text(typ)
-                    base = (
-                        F.expr(dialect.rewrite(dflt))
-                        if dflt is not None
-                        else F.lit(None)
-                    )
+                    if dflt is not None:
+                        # string defaults on typed columns parse with
+                        # importer semantics, like CREATE TABLE
+                        # defaults (_coerce_default_literal)
+                        coerced = _coerce_default_literal(
+                            styp, f"DEFAULT {dflt}")
+                        base = F.expr(dialect.rewrite(
+                            coerced[len("DEFAULT "):]))
+                    else:
+                        base = F.lit(None)
                     df = df.withColumn(col, base.cast(styp))
                 continue
             raise AssertionError(f"unreachable: {action!r}")  # pre-scanned

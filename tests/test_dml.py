@@ -1318,3 +1318,32 @@ def test_load_table_string_rows_parse_like_importer(engine, spark):
             spark.sql("DROP TABLE IF EXISTS load_str_arr")
     finally:
         spark.sql("DROP TABLE IF EXISTS load_str_pin")
+
+
+def test_ddl_default_string_literals_parse(engine, spark):
+    """DEFAULT '<string>' on typed columns parses with importer
+    semantics (the reference validates defaults against the column's
+    SQLTypeInfo; Spark's INVALID_DEFAULT_VALUE check would reject the
+    type mismatch): non-ISO datetime, quoted boolean, and numeric
+    string defaults all land typed, in CREATE TABLE and in ALTER
+    TABLE ADD COLUMN."""
+    spark.sql("DROP TABLE IF EXISTS ddl_dflt_pin")
+    engine.sql(
+        "CREATE TABLE ddl_dflt_pin (i INT, d DATE DEFAULT '10/09/99', "
+        "b BOOLEAN DEFAULT 'true', n INT DEFAULT '2.7')"
+    )
+    try:
+        engine.sql("INSERT INTO ddl_dflt_pin (i) VALUES (1)")
+        r = engine.sql(
+            "SELECT i, CAST(d AS STRING) AS d, b, n FROM ddl_dflt_pin"
+        ).first()
+        assert (r.i, r.d, r.b, r.n) == (1, "1999-10-09", True, 3)
+        engine.sql(
+            "ALTER TABLE ddl_dflt_pin ADD COLUMN d2 DATE DEFAULT '31/Oct/2013'"
+        )
+        r2 = engine.sql(
+            "SELECT CAST(d2 AS STRING) AS d2 FROM ddl_dflt_pin"
+        ).first()
+        assert r2.d2 == "2013-10-31"
+    finally:
+        spark.sql("DROP TABLE IF EXISTS ddl_dflt_pin")
