@@ -942,6 +942,9 @@ def _rewrite_column_def(d: str) -> str:
 
 _DEFAULT_LIT_RE = re.compile(
     r"^(\s*DEFAULT\s+)('(?:[^']|'')*')(.*)$", re.IGNORECASE | re.DOTALL)
+_DEFAULT_NUM_RE = re.compile(
+    r"^(\s*DEFAULT\s+)([-+]?\d+\.\d*(?:[eE][-+]?\d+)?)(\s.*|)$",
+    re.IGNORECASE | re.DOTALL)
 
 
 def _coerce_default_literal(spark_type: str, tail: str) -> str:
@@ -951,10 +954,21 @@ def _coerce_default_literal(spark_type: str, tail: str) -> str:
     rejects the type mismatch outright. Rewrite parseable datetime /
     boolean / numeric string defaults to typed literals; anything
     unparseable stays as-is (Spark then reports its own error)."""
+    t = spark_type.upper()
     m = _DEFAULT_LIT_RE.match(tail)
     if not m:
+        # bare fractional numeric default into an int column: the
+        # reference rounds half away from zero where Spark's cast
+        # truncates (sweep find, seed 14928)
+        mn = _DEFAULT_NUM_RE.match(tail)
+        if mn and t in ("TINYINT", "SMALLINT", "INT", "INTEGER",
+                        "BIGINT"):
+            import math
+
+            v = float(mn.group(2))
+            r = int(math.floor(v + 0.5) if v >= 0 else math.ceil(v - 0.5))
+            return f"{mn.group(1)}{r}{mn.group(3)}"
         return tail
-    t = spark_type.upper()
     lit = m.group(2)[1:-1].replace("''", "'")
     repl = None
     if t == "DATE":
@@ -965,7 +979,11 @@ def _coerce_default_literal(spark_type: str, tail: str) -> str:
     elif t.startswith("TIMESTAMP"):
         from heavydb_spark.functions import datetime_parse as _dtp
 
-        c = _dtp.timestamp_literal(lit, 6)
+        # pure-integer strings are epoch SECONDS (the unixTime
+        # fallback, dim 0); everything else parses at micros
+        # (sweep find, seed 14908: dim 6 read epoch strings as micros)
+        dim = 0 if re.fullmatch(r"\s*-?\d+\s*", lit) else 6
+        c = _dtp.timestamp_literal(lit, dim)
         repl = f"TIMESTAMP '{c}'" if c else None
     elif t == "BOOLEAN":
         v = lit.strip().lower()

@@ -1345,5 +1345,17 @@ def test_ddl_default_string_literals_parse(engine, spark):
             "SELECT CAST(d2 AS STRING) AS d2 FROM ddl_dflt_pin"
         ).first()
         assert r2.d2 == "2013-10-31"
+        # sweep finds (seeds 14908/14928): a pure-integer string
+        # TIMESTAMP default is epoch SECONDS (not micros), and a bare
+        # fractional numeric default into INT rounds half away
+        engine.sql(
+            "ALTER TABLE ddl_dflt_pin ADD COLUMN ts TIMESTAMP "
+            "DEFAULT '1434896116', ADD COLUMN r INT DEFAULT -2.5"
+        )
+        r3 = engine.sql(
+            "SELECT CAST(ts AS STRING) AS ts, r FROM ddl_dflt_pin"
+        ).first()
+        assert r3.ts == "2015-06-21 14:15:16"
+        assert r3.r == -3
     finally:
         spark.sql("DROP TABLE IF EXISTS ddl_dflt_pin")

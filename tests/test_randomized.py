@@ -976,12 +976,29 @@ def run_dml_coercion_case(engine, seed: int) -> list[str]:
     chosen = rng.sample(_DML_COERCE_TYPES, k=n_cols)
     tbl = f"dml_coerce_{seed}"
     spark.sql(f"DROP TABLE IF EXISTS {tbl}")
-    cols_sql = ", ".join(f"c{i} {t[0]}" for i, t in enumerate(chosen))
-    engine.sql(f"CREATE TABLE {tbl} (k INT, {cols_sql})")
+    # some columns carry a DEFAULT drawn from the coercion corpus
+    # (r12: string defaults on typed columns parse with importer
+    # semantics); rows inserted as (k) only take the defaults
+    defaults: dict[int, object] = {}
+    col_defs = []
+    for i, t in enumerate(chosen):
+        d = ""
+        if t[0] != "INT[]" and rng.random() < 0.3:
+            cell = rng.choice([c for c in t[2] if c[0] != "NULL"])
+            d = f" DEFAULT {cell[0]}"
+            defaults[i] = cell[1]
+        col_defs.append(f"c{i} {t[0]}{d}")
+    engine.sql(f"CREATE TABLE {tbl} (k INT, {', '.join(col_defs)})")
     mismatches: list[str] = []
     try:
         model: dict[int, list] = {}
         n_rows = rng.randint(1, 3)
+        if defaults:
+            # one defaults-only row: INSERT (k) VALUES takes every
+            # column's DEFAULT (NULL where none declared)
+            r = n_rows
+            engine.sql(f"INSERT INTO {tbl} (k) VALUES ({r})")
+            model[r] = [defaults.get(i) for i in range(n_cols)]
         for r in range(n_rows):
             cells = [rng.choice(t[2]) for t in chosen]
             if rng.random() < 0.3:
