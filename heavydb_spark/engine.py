@@ -934,9 +934,11 @@ def _rewrite_column_def(d: str) -> str:
             cut = mk.start()
             break
     type_part, tail = rest[:cut], rest[cut:]
+    is_time = bool(_TIME_TYPE_RE.search(type_part)) and "[" not in type_part
     for pat, repl in _TYPE_REWRITES:
         type_part = pat.sub(repl, type_part)
-    tail = _coerce_default_literal(type_part.strip(), tail)
+    tail = _coerce_default_literal(
+        "TIME" if is_time else type_part.strip(), tail)
     return f"{name} {type_part.strip()}" + (f" {tail.strip()}" if tail.strip() else "")
 
 
@@ -985,6 +987,11 @@ def _coerce_default_literal(spark_type: str, tail: str) -> str:
         dim = 0 if re.fullmatch(r"\s*-?\d+\s*", lit) else 6
         c = _dtp.timestamp_literal(lit, dim)
         repl = f"TIMESTAMP '{c}'" if c else None
+    elif t == "TIME":
+        from heavydb_spark.functions import datetime_parse as _dtp
+
+        v = _dtp.time_seconds(lit)
+        repl = str(v) if v is not None else None
     elif t == "BOOLEAN":
         v = lit.strip().lower()
         if v in ("t", "true", "1"):
@@ -1049,6 +1056,30 @@ def _split_eq(part: str) -> tuple[str, str]:
     raise ValueError(f"expected name = value, got {part!r}")
 
 
+_TIME_TYPE_RE = re.compile(r"\bTIME\b(?!STAMP)", re.IGNORECASE)
+
+
+def _time_cols_of_defs(defs: str) -> frozenset:
+    """Lowercased names of scalar TIME-typed columns in a pre-rewrite
+    column-definition list (TIME maps to INT in Spark — the TIME-ness
+    itself must be carried separately)."""
+    out = set()
+    for d in _split_top_level_defs(defs):
+        mname = _COLDEF_NAME_RE.match(d)
+        if not mname:
+            continue
+        name, rest = mname.group(1), mname.group(2)
+        cut = len(rest)
+        for mk in _COLDEF_TAIL_RE.finditer(rest):
+            if rest.count("'", 0, mk.start()) % 2 == 0:
+                cut = mk.start()
+                break
+        tp = rest[:cut]
+        if _TIME_TYPE_RE.search(tp) and "[" not in tp:
+            out.add(name.strip('`"').lower())
+    return frozenset(out)
+
+
 def _string_coercion_expr(col: str, tgt: str) -> str:
     """Spark SQL text coercing string expression `col` to scalar type
     `tgt` with the reference's parse semantics (Importer.cpp /
@@ -1062,6 +1093,10 @@ def _string_coercion_expr(col: str, tgt: str) -> str:
         return _dtp.sql_parse_date(col)
     if tgt in ("timestamp", "timestamp_ntz"):
         return _dtp.sql_parse_timestamp(col)
+    if tgt == "time":
+        # seconds-of-day BIGINT (strict kTIME chain); caller casts to
+        # the storage int type
+        return _dtp.sql_parse_time(col)
     if tgt in ("tinyint", "smallint", "int", "bigint"):
         return (
             f"IF({col} RLIKE '^\\\\s*-?[0-9]+\\\\s*$', "
@@ -1112,6 +1147,12 @@ class Engine:
         # names created via CREATE FOREIGN TABLE — DROP FOREIGN TABLE
         # only ever drops these (never an attached fixture view)
         self._foreign_tables: set[str] = set()
+        # TIME-typed columns per table (lowercased): TIME stores as a
+        # seconds-of-day integer (Spark has no TIME type), so the
+        # declared TIME-ness must be remembered for the write-path
+        # coercions (INSERT/UPDATE/load_table string cells parse via
+        # the kTIME chain) and SHOW CREATE TABLE round-trips.
+        self._time_columns: dict[str, frozenset] = {}
         # Result-set recycling (ResultSetRecyclerHolder.cpp,
         # QueryPlanDagCache.cpp): opt-in via ALTER SESSION SET
         # RESULT_CACHE='on' or `engine.result_cache = True`. Keyed by
@@ -1228,7 +1269,8 @@ class Engine:
     def table(self, name: str) -> DataFrame:
         return self.spark.table(name)
 
-    def _load_table_string_rows(self, rows, sub_schema) -> DataFrame:
+    def _load_table_string_rows(self, rows, sub_schema,
+                                time_cols=frozenset()) -> DataFrame:
         """load_table's TStringRow analogue: cells as text, parsed
         against each column's type with importer semantics."""
         from pyspark.sql.types import StringType, StructField, StructType
@@ -1261,8 +1303,10 @@ class Engine:
         )
         return raw.select(*[
             F.expr(
-                _string_coercion_expr(f"`{f.name}`",
-                                      f.dataType.simpleString())
+                _string_coercion_expr(
+                    f"`{f.name}`",
+                    "time" if f.name.lower() in time_cols
+                    else f.dataType.simpleString())
             ).cast(f.dataType).alias(f.name)
             for f in sub_schema
         ])
@@ -1302,7 +1346,8 @@ class Engine:
             # datetime spellings through the DateTimeParser chains,
             # numeric strings with reference rounding. Scalar targets
             # only; anything else re-raises the typed-path error.
-            loaded = self._load_table_string_rows(rows, sub_schema)
+            loaded = self._load_table_string_rows(
+                rows, sub_schema, self._time_cols(name))
         for c in target.columns:
             if c not in cols:
                 loaded = loaded.withColumn(
@@ -1501,6 +1546,13 @@ class Engine:
             # arrays -> Spark DDL types, per column def so names like
             # `time` and DEFAULT literals survive (the WITH(...) form
             # above does the same per column def)
+            tcols = _time_cols_of_defs(m.group(2))
+            if tcols:
+                nm = re.search(
+                    r"(?i)TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.]+)",
+                    m.group(1),
+                ).group(1)
+                self._time_columns[nm.split(".")[-1].lower()] = tcols
             defs = ", ".join(
                 _rewrite_column_def(d)
                 for d in _split_top_level_defs(m.group(2))
@@ -1980,6 +2032,13 @@ class Engine:
             )
         return None
 
+    def _time_cols(self, table: str) -> frozenset:
+        """Declared-TIME columns (lowercased) of a table created
+        through the engine this session; empty when unknown."""
+        return self._time_columns.get(
+            table.split(".")[-1].lower(), frozenset()
+        )
+
     def _coerce_insert_select(self, m: re.Match) -> str | None:
         """INSERT INTO t [cols] SELECT/WITH ... — coerce the source
         projection to the target column types, as the reference's ITAS
@@ -2002,15 +2061,16 @@ class Engine:
             return None
         by_name = {f.name.lower(): f.dataType for f in sch.fields}
         if collist:
+            tnames = [c.strip().strip('`"').lower()
+                      for c in collist.split(",")]
             try:
-                types = [
-                    by_name[c.strip().strip('`"').lower()]
-                    for c in collist.split(",")
-                ]
+                types = [by_name[c] for c in tnames]
             except KeyError:
                 return None
         else:
+            tnames = [f.name.lower() for f in sch.fields]
             types = [f.dataType for f in sch.fields]
+        tcols = self._time_cols(name)
         try:
             inner = self.sql(body)  # dialect path; analysis only
         except Exception:
@@ -2038,7 +2098,14 @@ class Engine:
             # (silent NULL for non-ISO — found by the dml-coercion
             # generator's ITAS form)
             inner_proj.append(f"{f.name} AS __itas_c{i}")
-            outs.append(f"CAST(__itas.__itas_c{i} AS {tgt}) AS __c{i}")
+            src = f"__itas.__itas_c{i}"
+            if (tnames[i] in tcols
+                    and f.dataType.simpleString() == "string"):
+                # declared-TIME target: kTIME parse, then storage int
+                outs.append(
+                    f"CAST(CAST({src} AS TIME) AS {tgt}) AS __c{i}")
+            else:
+                outs.append(f"CAST({src} AS {tgt}) AS __c{i}")
         head = f"INSERT INTO {name} "
         if collist:
             head += f"({collist}) "
@@ -2062,17 +2129,18 @@ class Engine:
             return None
         by_name = {f.name.lower(): f.dataType for f in sch.fields}
         if collist:
+            names = [c.strip().strip('`"').lower()
+                     for c in collist.split(",")]
             try:
-                types = [
-                    by_name[c.strip().strip('`"').lower()]
-                    for c in collist.split(",")
-                ]
+                types = [by_name[c] for c in names]
             except KeyError:
                 return None
         else:
+            names = [f.name.lower() for f in sch.fields]
             types = [f.dataType for f in sch.fields]
+        tcols = self._time_cols(name)
 
-        def _cell(c: str, t) -> str:
+        def _cell(c: str, t, is_time: bool) -> str:
             if c.upper() == "DEFAULT":
                 return c
             # single-token cells (literals, numbers, NULL) stay bare
@@ -2082,6 +2150,15 @@ class Engine:
             # non-ISO datetime cells silently stored NULL)
             bare = _BARE_CELL_RE.match(c.strip())
             inner = c.strip() if bare else f"({c})"
+            if is_time and c.strip().startswith("'"):
+                # declared-TIME column, quoted cell: the kTIME literal
+                # parse (dialect CAST ... AS TIME) folds to seconds-of-
+                # day at REWRITE time; outer cast lands it in the
+                # storage int type. Non-literal cells keep the plain
+                # int cast — the runtime kTIME chain is a higher-order
+                # function, which Spark rejects inside VALUES inline
+                # tables.
+                return f"CAST(CAST({inner} AS TIME) AS {t.simpleString()})"
             return f"CAST({inner} AS {t.simpleString()})"
 
         out_rows = []
@@ -2093,7 +2170,9 @@ class Engine:
             if len(cells) != len(types):
                 return None
             out_rows.append(
-                "(" + ", ".join(_cell(c, t) for c, t in zip(cells, types))
+                "(" + ", ".join(
+                    _cell(c, t, n in tcols)
+                    for c, t, n in zip(cells, types, names))
                 + ")")
         head = f"INSERT INTO {name} "
         if collist:
@@ -2586,8 +2665,11 @@ class Engine:
         schema with Spark types mapped back to HeavyDB names; works for
         temp views (Spark's native command rejects those)."""
         schema = self.spark.table(name).schema
+        tcols = self._time_cols(name)
         cols = ",\n  ".join(
-            f"{f.name} {_heavy_type(f.dataType.simpleString())}"
+            f"{f.name} "
+            + ("TIME" if f.name.lower() in tcols
+               else _heavy_type(f.dataType.simpleString()))
             + ("" if f.nullable else " NOT NULL")
             for f in schema.fields
         )
@@ -2670,6 +2752,9 @@ class Engine:
                     continue
                 kept.append(_rewrite_column_def(d).strip())
             cols_clause = "(" + ", ".join(kept) + ")"
+            tcols = _time_cols_of_defs(body[1:-1])
+            if tcols:
+                self._time_columns[name.split(".")[-1].lower()] = tcols
         elif body.upper().startswith("AS"):
             sel = body[2:].strip()
             if sel.startswith("(") and sel.endswith(")"):
@@ -2758,6 +2843,7 @@ class Engine:
         # scalar subquery cannot sit inside the chains' higher-order
         # binding), then the coercion expression reads the staged
         # column; temps drop from the final projection.
+        tcols = self._time_cols(table)
         work = df
         assignments: dict[str, Column] = {}
         for i, (k, v) in enumerate(raw.items()):
@@ -2765,14 +2851,18 @@ class Engine:
             tmp = f"__dml_v{i}"
             work = work.withColumn(tmp, F.expr(rv))
             col = F.col(tmp)
-            tgt = col_types.get(k.strip('`"').lower())
+            kl = k.strip('`"').lower()
+            tgt = col_types.get(kl)
             if tgt is not None:
                 try:
                     vtype = work.select(tmp) \
                         .schema[0].dataType.simpleString()
                 except Exception:
                     vtype = None
-                if vtype == "string" and (
+                if vtype == "string" and kl in tcols:
+                    # declared-TIME column: kTIME seconds-of-day parse
+                    col = F.expr(_string_coercion_expr(tmp, "time"))
+                elif vtype == "string" and (
                         tgt in int_targets
                         or tgt in ("date", "timestamp", "timestamp_ntz")):
                     col = F.expr(_string_coercion_expr(tmp, tgt))

@@ -1359,3 +1359,37 @@ def test_ddl_default_string_literals_parse(engine, spark):
         assert r3.r == -3
     finally:
         spark.sql("DROP TABLE IF EXISTS ddl_dflt_pin")
+
+
+def test_time_column_write_coercion(engine, spark):
+    """Declared-TIME columns (stored as seconds-of-day ints — Spark
+    has no TIME type) parse string cells on every write path, via the
+    session TIME-column registry: INSERT VALUES literals fold at
+    rewrite time, UPDATE assignments and load_table string rows take
+    the kTIME chain, DEFAULTs parse at DDL rewrite, and SHOW CREATE
+    TABLE round-trips the declared type."""
+    spark.sql("DROP TABLE IF EXISTS time_pin")
+    engine.sql("CREATE TABLE time_pin (t TIME, i INT, td TIME DEFAULT '01:02:03')")
+    try:
+        engine.sql("INSERT INTO time_pin VALUES ('15:13:14', 1, '04:05:06'), "
+                   "(NULL, 2, NULL)")
+        engine.sql("INSERT INTO time_pin (i) VALUES (3)")
+        rows = {r.i: (r.t, r.td) for r in
+                engine.sql("SELECT * FROM time_pin").collect()}
+        assert rows[1] == (54794, 14706)
+        assert rows[2] == (None, None)
+        assert rows[3] == (None, 3723)  # DEFAULT '01:02:03'
+        engine.sql("UPDATE time_pin SET t = '20:05:00' WHERE i = 2")
+        assert engine.sql(
+            "SELECT t FROM time_pin WHERE i = 2").first()["t"] == 72300
+        engine.load_table("time_pin", [("07:08:09", 4, None)])
+        assert engine.sql(
+            "SELECT t FROM time_pin WHERE i = 4").first()["t"] == 25689
+        ddl = engine.sql("SHOW CREATE TABLE time_pin").first()[0]
+        assert "t TIME" in ddl and "td TIME" in ddl
+        # schema stays the storage int type underneath
+        sch = {f.name: f.dataType.simpleString()
+               for f in spark.table("time_pin").schema.fields}
+        assert sch["t"] == "int" and sch["i"] == "int"
+    finally:
+        spark.sql("DROP TABLE IF EXISTS time_pin")

@@ -963,6 +963,10 @@ _DML_COERCE_TYPES = [
     ("INT[]", "array<int>", [
         ("{1,2,3}", [1, 2, 3]), ("{7}", [7]), ("NULL", None),
     ]),
+    # declared-TIME columns store seconds-of-day ints (r12 registry)
+    ("TIME", "int", [
+        ("'15:13:14'", 54794), ("'04:05:06'", 14706), ("NULL", None),
+    ]),
 ]
 
 
