@@ -37,109 +37,43 @@ from heavydb_spark.queries import (  # noqa: F401,E402
 # Registration-order priority.
 #
 # The verify driver correctness-checks queries in registration order
-# with a bounded budget (~50 per round).  Driver union r1-r11:
-# 255/256 (the one gap, sql_dialect_geo_typed_math, heads the r13
-# window below); after the r11 window ran, no catalog entry's last
-# driver check predates ROUND 6.  Round-12 executes the r11 verdict
-# queue #4: the window committed in r11 as positions 51-100 rotates to
-# the front UNCHANGED (same 50 entries, same order), and the r13
-# window is composed and pre-verified behind it (queue #5).
+# with a bounded budget (~50 per round).  Driver union r1-r12:
+# 256/257 (the one gap, sql_dialect_geo_typed_math, heads the window
+# below); after the r12 window ran, no catalog entry's last driver
+# check predates ROUND 7.  Round-13 executes the r12 verdict queue #1:
+# the window committed in r12 as positions 51-100 rotates to the
+# front UNCHANGED (same 50 entries, same order), the r12-checked
+# window rotates to the very end (freshest), and the r14 window is
+# composed behind the front block (queue #5).
 #
-# ROUND-12 WINDOW (positions 1-50) — committed in r11, run as-is:
-#   1-2    the two r6 entries the r11 composition displaced past the
-#          window (text_chunk_windows, geo_transform_datum);
-#   3-50   the next r6/r7-checked entries in age order, with ONE swap:
-#          agg_approx_invariants (the error-bound exact companion,
-#          r9-green) sits directly beside the two rows-only approx
-#          sketches it certifies (pairing rule), displacing
-#          sim_hybrid_retrieval to the r13 window.
-#   Pre-verified twice builder-side in r11 and re-verified against the
-#   final r12 code with scripts/replay_window.py 100 at sf0.01.  After
-#   r12 completes, no catalog entry's last driver check predates r7.
-#
-# ROUND-13 WINDOW (positions 51-100) — composed this round (r12):
-#   51     sql_dialect_geo_typed_math — the only catalog entry never
+# ROUND-13 WINDOW (positions 1-50) — committed in r12, run as-is:
+#   1      sql_dialect_geo_typed_math — the only catalog entry never
 #          driver-checked (registered net-new in r11 past the window;
 #          judge tail sample already greens it);
-#   52-60  the r12 regression slice — dml_coercion_postimage (net-new:
-#          pins the UPDATE type-coercion fix with a schema-class
-#          check), the three DML post-images, fn_cast_trycast +
-#          fn_array_ops (the r12 paren-unwrap / ARRAY[] decimal-domain
-#          dialect changes), geo_multipolygon_props +
-#          geo_polygon_props + geo_accessors_distance (the r12
-#          hole-ring / junk-WKT kernel changes);
-#   61-100 old positions 101-150 in age order (sim_hybrid_retrieval
+#   2-10   the r12 regression slice — dml_coercion_postimage (pins the
+#          UPDATE type-coercion fix with a schema-class check), the
+#          three DML post-images, fn_cast_trycast + fn_array_ops (the
+#          r12 paren-unwrap / ARRAY[] decimal-domain dialect changes),
+#          geo_multipolygon_props + geo_polygon_props +
+#          geo_accessors_distance (the r12 hole-ring / junk-WKT kernel
+#          changes);
+#   11-50  old positions 101-150 in age order (sim_hybrid_retrieval
 #          first — displaced in r11), with the rows-only entries'
 #          companions pulled in-window per the pairing rule:
 #          dedup_simhash beside dedup_simhash_portable, sim_ann_ivf
-#          beside sim_ann_ivf_invariants.  (dedup_minhash_lsh fell
-#          past the 50-budget cut and stays in the remainder with its
-#          portable companion adjacent for a future window.)
+#          beside sim_ann_ivf_invariants.
+#   Pre-verified twice builder-side in r12 and reproduced by the r12
+#   judge (95 hash-green + 5 rows-only, 0 fails at sf0.01).
+#
+# ROUND-14 WINDOW (positions 51-100) — composed this round (r13); see
+# the block comment below for its construction.
 #
 # Past position 100: the r6-r9 greens not yet rotated, freshest-last
-# in unchanged relative order; the 50 entries the r11 driver just
+# in unchanged relative order; the 50 entries the r12 driver just
 # checked sit at the very end.
-#
-# R14-WINDOW PLAN (compose next round): an r13 regression slice over
-# whatever r13 changes, then the remainder block (old positions
-# 151-190, starting dedup_minhash_lsh + dedup_minhash_portable as the
-# standing rows-only pairing) in age order.
 # ---------------------------------------------------------------------------
 _PRIORITY = [
-    # --- ROUND-12 WINDOW (run as-is; committed in r11): displaced-r6
-    # head + r6/r7 staleness in age order, agg_approx_invariants beside
-    # its rows-only partners (pairing rule) ---
-    "text_chunk_windows",
-    "geo_transform_datum",
-    "tpcds_q64_cross_year_sales",
-    "tpcds_q49_ranked_returns",
-    "tpcds_q38_triple_intersect",
-    "tpcds_q1_returns_above_avg",
-    "tpcds_q93_net_after_returns",
-    "tpcds_q23_frequent_best",
-    "tpcds_q95_returned_multi_supplier",
-    "tpcds_q17_quantity_variability",
-    "tpcds_q34_frequent_buyer_band",
-    "distinct_projection",
-    "agg_count_star",
-    "agg_groupby_count",
-    "agg_groupby_avg",
-    "agg_groupby_highcard",
-    "agg_count_distinct",
-    "agg_approx_count_distinct",
-    "agg_approx_percentile",
-    "agg_approx_invariants",
-    "agg_exact_median",
-    "agg_mode",
-    "agg_sample_any_value",
-    "agg_having",
-    "agg_stats",
-    "agg_rollup",
-    "agg_cube",
-    "sort_topk",
-    "agg_hll_sketch_merge",
-    "agg_pivot_matrix",
-    "join_left_outer",
-    "join_semi",
-    "join_anti",
-    "join_multi_key",
-    "join_range_qual",
-    "join_null_safe",
-    "subquery_scalar",
-    "subquery_correlated_exists",
-    "subquery_in_select",
-    "join_asof_backward",
-    "join_fuzzy_names",
-    "window_row_number_topn",
-    "window_lag_lead",
-    "window_running_sum",
-    "window_ntile_firstlast",
-    "window_conditional_change_event",
-    "fn_string_basic",
-    "fn_string_regex",
-    "sim_scalar_quantize",
-    "sim_pq_encode",
-    # --- ROUND-13 WINDOW (composed+pre-verified in r12): never-checked
+    # --- ROUND-13 WINDOW (run as-is; committed in r12): never-checked
     # head + r12 regression slice (DML coercion, cast rewrites, array
     # constructors, geo kernels), then old positions 101-150 in age
     # order with rows-only companions pulled in-window (pairing rule:
@@ -194,8 +128,11 @@ _PRIORITY = [
     "text_lang_id",
     "text_token_stats",
     "tf_cross_section_1d",
+    # --- ROUND-14 WINDOW (composed in r13): placeholder — finalized
+    # at end of round after the r13 fixes determine the regression
+    # slice ---
     # --- past the window: r6-r9 greens freshest-last (unchanged
-    # relative order) ---
+    # relative order; r11-checked block at its tail) ---
     "tf_dwell_times",
     "tf_feature_similarity",
     "tf_geo_rasterize",
@@ -303,7 +240,6 @@ _PRIORITY = [
     "geo_transform_utm",
     "tf_point_cloud_metadata",
     "tf_load_point_cloud",
-    # --- the 50 entries the r11 driver just checked (freshest) ---
     "sql_dialect_int_division",
     "agg_grouping_sets",
     "agg_filter_clause",
@@ -354,6 +290,57 @@ _PRIORITY = [
     "text_gopher_filter",
     "pipe_curation_v2",
     "text_bm25_topk",
+    # --- the 50 entries the r12 driver just checked (freshest) ---
+    "text_chunk_windows",
+    "geo_transform_datum",
+    "tpcds_q64_cross_year_sales",
+    "tpcds_q49_ranked_returns",
+    "tpcds_q38_triple_intersect",
+    "tpcds_q1_returns_above_avg",
+    "tpcds_q93_net_after_returns",
+    "tpcds_q23_frequent_best",
+    "tpcds_q95_returned_multi_supplier",
+    "tpcds_q17_quantity_variability",
+    "tpcds_q34_frequent_buyer_band",
+    "distinct_projection",
+    "agg_count_star",
+    "agg_groupby_count",
+    "agg_groupby_avg",
+    "agg_groupby_highcard",
+    "agg_count_distinct",
+    "agg_approx_count_distinct",
+    "agg_approx_percentile",
+    "agg_approx_invariants",
+    "agg_exact_median",
+    "agg_mode",
+    "agg_sample_any_value",
+    "agg_having",
+    "agg_stats",
+    "agg_rollup",
+    "agg_cube",
+    "sort_topk",
+    "agg_hll_sketch_merge",
+    "agg_pivot_matrix",
+    "join_left_outer",
+    "join_semi",
+    "join_anti",
+    "join_multi_key",
+    "join_range_qual",
+    "join_null_safe",
+    "subquery_scalar",
+    "subquery_correlated_exists",
+    "subquery_in_select",
+    "join_asof_backward",
+    "join_fuzzy_names",
+    "window_row_number_topn",
+    "window_lag_lead",
+    "window_running_sum",
+    "window_ntile_firstlast",
+    "window_conditional_change_event",
+    "fn_string_basic",
+    "fn_string_regex",
+    "sim_scalar_quantize",
+    "sim_pq_encode",
 ]
 
 
