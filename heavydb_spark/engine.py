@@ -893,6 +893,43 @@ _INSERT_SELECT_RE = re.compile(
 )
 _SAFE_IDENT_RE = re.compile(r"^[A-Za-z_]\w*$")
 
+# TIME-registry lifecycle sync (r12 advice): matched AFTER a statement
+# succeeds, never speculatively
+_DROP_TABLE_SYNC_RE = re.compile(
+    r"^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?([`\"\w.]+)", re.IGNORECASE
+)
+_CREATE_TABLE_SYNC_RE = re.compile(
+    r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?(?:TEMPORARY\s+)?TABLE\s+"
+    r"(IF\s+NOT\s+EXISTS\s+)?([`\"\w.]+)",
+    re.IGNORECASE,
+)
+
+
+def _rows_have_strings(rows) -> bool:
+    """True when at least one non-null cell of a load_table row batch
+    is text — the gate for the TStringRow re-parse fallback (r12
+    advice: PURELY typed rows failing createDataFrame for unrelated
+    reasons, e.g. a float supplied for an int column, must re-raise
+    the typed-path error, not silently stringify and re-parse with
+    rounding semantics). Rows that carry any text cell take the
+    string path: the reference's load_table is the all-text API, and
+    the engine additionally accepts mixed rows by stringifying the
+    typed cells (pinned by the TIME write tests)."""
+    try:
+        import pandas as pd
+
+        if isinstance(rows, pd.DataFrame):
+            cells = rows.values.ravel().tolist()
+        else:
+            cells = [
+                c
+                for r in rows
+                for c in (r if isinstance(r, (list, tuple)) else [r])
+            ]
+    except Exception:
+        return True  # uninspectable shape — keep the legacy fallback
+    return any(isinstance(c, str) for c in cells)
+
 
 def _split_cells_braced(s: str) -> list[str]:
     """Split at top-level commas, aware of (), [], {} and '...' — the
@@ -1345,7 +1382,13 @@ class Engine:
             # importer parses it against the column's SQLTypeInfo —
             # datetime spellings through the DateTimeParser chains,
             # numeric strings with reference rounding. Scalar targets
-            # only; anything else re-raises the typed-path error.
+            # only — and ONLY when the rows carry text cells: purely
+            # typed rows that fail for unrelated reasons (a float
+            # supplied for an int column) must surface the typed-path
+            # error, not silently stringify and re-parse with rounding
+            # semantics (r12 advice).
+            if not _rows_have_strings(rows):
+                raise
             loaded = self._load_table_string_rows(
                 rows, sub_schema, self._time_cols(name))
         for c in target.columns:
@@ -1387,6 +1430,54 @@ class Engine:
         (executeUpdate/executeDelete, RelAlgExecutor.cpp:2163,:2327)
         and return a one-row `rows_affected` DataFrame.
         """
+        # CREATE IF NOT EXISTS over a pre-existing table no-ops — the
+        # live registry entry (if any) must survive, so existence is
+        # captured BEFORE execution (r12 advice: registry lifecycle)
+        skip_sync = False
+        m = _CREATE_TABLE_SYNC_RE.match(query)
+        if m and m.group(1):
+            try:
+                skip_sync = self.spark.catalog.tableExists(
+                    m.group(2).strip('`"'))
+            except Exception:
+                skip_sync = False
+        out = self._sql_impl(query)
+        if not skip_sync:
+            self._time_registry_sync(query)
+        return out
+
+    def _time_registry_sync(self, query: str) -> None:
+        """Post-success maintenance of the declared-TIME column
+        registry (r12 advice: the registry was only ever written when
+        a CREATE had TIME columns and never invalidated, so DROP +
+        re-CREATE of the same name inherited stale TIME parsing).
+        Every successful CREATE TABLE (re)assigns its entry — an EMPTY
+        frozenset when no TIME columns, including CTAS forms — and
+        DROP TABLE clears it.  RENAME TO / column rename / drop /
+        retype / ADD COLUMN move entries inside _alter_table, which
+        has the resolved names.  Runs only after _sql_impl returned,
+        so a failed statement never mutates the registry."""
+        m = _DROP_TABLE_SYNC_RE.match(query)
+        if m:
+            self._time_columns.pop(self._time_key(m.group(1)), None)
+            return
+        m = _CREATE_TABLE_SYNC_RE.match(query)
+        if not m:
+            return
+        key = self._time_key(m.group(2))
+        tcols = frozenset()
+        mw = _CREATE_WITH_RE.match(query)
+        if mw:
+            body = mw.group(3).strip()
+            if body.startswith("(") and body.endswith(")"):
+                tcols = _time_cols_of_defs(body[1:-1])
+        else:
+            mp = _CREATE_PLAIN_RE.match(query)
+            if mp:
+                tcols = _time_cols_of_defs(mp.group(2))
+        self._time_columns[key] = tcols
+
+    def _sql_impl(self, query: str) -> DataFrame:
         if self._result_cache_entries:
             # result-set recycling: any statement that can change data
             # or catalog state — including WITH-headed DML — drops
@@ -1546,13 +1637,9 @@ class Engine:
             # arrays -> Spark DDL types, per column def so names like
             # `time` and DEFAULT literals survive (the WITH(...) form
             # above does the same per column def)
-            tcols = _time_cols_of_defs(m.group(2))
-            if tcols:
-                nm = re.search(
-                    r"(?i)TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.]+)",
-                    m.group(1),
-                ).group(1)
-                self._time_columns[nm.split(".")[-1].lower()] = tcols
+            # declared-TIME columns register AFTER the statement
+            # succeeds (_time_registry_sync) so a failed CREATE can't
+            # leave a registry entry for a table that never existed
             defs = ", ".join(
                 _rewrite_column_def(d)
                 for d in _split_top_level_defs(m.group(2))
@@ -2032,12 +2119,25 @@ class Engine:
             )
         return None
 
+    def _time_key(self, table: str) -> str:
+        """Registry key for the declared-TIME column map: the
+        database-qualified lowercased table name (r12 advice — a bare
+        name collides across databases; unqualified names resolve
+        against the CURRENT database at both write and lookup, which
+        is exactly how Spark resolves the table itself)."""
+        t = table.strip().strip('`"').lower()
+        if "." not in t:
+            try:
+                db = self.spark.catalog.currentDatabase().lower()
+            except Exception:
+                db = "default"
+            t = f"{db}.{t}"
+        return t
+
     def _time_cols(self, table: str) -> frozenset:
         """Declared-TIME columns (lowercased) of a table created
         through the engine this session; empty when unknown."""
-        return self._time_columns.get(
-            table.split(".")[-1].lower(), frozenset()
-        )
+        return self._time_columns.get(self._time_key(table), frozenset())
 
     def _coerce_insert_select(self, m: re.Match) -> str | None:
         """INSERT INTO t [cols] SELECT/WITH ... — coerce the source
@@ -2184,7 +2284,7 @@ class Engine:
             head += f"({collist}) "
         return head + "VALUES " + ", ".join(out_rows)
 
-    def _type_resolver(self, context: str):
+    def _type_resolver(self, context: str, force: bool = False):
         """Column-type callback for the dialect's reference-semantics
         int/int division rewrite (ArithmeticIR.cpp kDIVIDE): resolves a
         lowercased unqualified column name against the schemas of (a)
@@ -2200,8 +2300,15 @@ class Engine:
 
         Also consulted (via the attached is_string) by the datetime
         cast rewrite, so a statement casting to a datetime type builds
-        the resolver even without a `/`."""
-        if "/" not in context and not re.search(
+        the resolver even without a `/`.  `force=True` builds
+        unconditionally — the DML paths need the resolver for
+        assignment-type analysis regardless of the statement text (r12
+        advice: smuggling trigger text like ' CAST(x AS DATE)' into
+        the context made _shadow_from treat a real column named `date`
+        as shadowed)."""
+        if force:
+            pass
+        elif "/" not in context and not re.search(
                 r"(?i)\b(?:TRY_)?CAST\s*\(|\bAS\s+(DATE|TIME|TIMESTAMP)\b"
                 # typed geo functions dispatch WKT string columns via
                 # the resolver (dialect._geo_literal_normalizer), and
@@ -2800,9 +2907,8 @@ class Engine:
                     continue
                 kept.append(_rewrite_column_def(d).strip())
             cols_clause = "(" + ", ".join(kept) + ")"
-            tcols = _time_cols_of_defs(body[1:-1])
-            if tcols:
-                self._time_columns[name.split(".")[-1].lower()] = tcols
+            # TIME registry assignment happens post-success in
+            # _time_registry_sync
         elif body.upper().startswith("AS"):
             sel = body[2:].strip()
             if sel.startswith("(") and sel.endswith(")"):
@@ -2883,7 +2989,7 @@ class Engine:
         int_targets = ("tinyint", "smallint", "int", "bigint")
         raw = _split_assignments(set_clause)
         tof = self._type_resolver(
-            f"{table} {set_clause} {where or ''} CAST(x AS DATE)")
+            f"{table} {set_clause} {where or ''}", force=True)
         cond = (
             F.expr(dialect.rewrite(where, type_of=tof))
             if where else F.lit(True)
@@ -2978,6 +3084,10 @@ class Engine:
         except Exception as exc:
             raise ValueError(f"ALTER TABLE target {table} not found") from exc
         new_name: str | None = None
+        # declared-TIME registry mutations collect here and apply only
+        # after the rewrite succeeds (r12 advice: renames/drops/retypes
+        # silently lost or leaked TIME coercion)
+        registry_ops: list[tuple] = []
 
         def _resolve(col: str) -> str | None:
             # Spark resolves column names case-insensitively by
@@ -2999,6 +3109,8 @@ class Engine:
                 if _resolve(new) is not None:
                     raise ValueError(f"column {new} already exists")
                 df = df.withColumnRenamed(old, new)
+                registry_ops.append(
+                    ("rencol", old.lower(), new.strip('`"').lower()))
                 continue
             m = _ALTER_RENAME_TO_RE.match(action)
             if m:
@@ -3013,6 +3125,11 @@ class Engine:
                         f"column {m.group(1)} does not exist"
                     )
                 df = df.withColumn(col, F.col(col).cast(new_type))
+                registry_ops.append((
+                    "retype", col.lower(),
+                    bool(_TIME_TYPE_RE.search(m.group(2)))
+                    and "[" not in m.group(2),
+                ))
                 continue
             m = _ALTER_DROP_RE.match(action)
             if m:
@@ -3024,6 +3141,7 @@ class Engine:
                 if len(df.columns) == 1:
                     raise ValueError("cannot drop the only column")
                 df = df.drop(col)
+                registry_ops.append(("dropcol", col.lower()))
                 continue
             m = _ALTER_ADD_RE.match(action)
             if m:
@@ -3037,18 +3155,29 @@ class Engine:
                     col, typ, dflt = dm.group(1), dm.group(2), dm.group(3)
                     if _resolve(col) is not None:
                         raise ValueError(f"column {col} already exists")
+                    # TIME is detected in the RAW declared type —
+                    # _spark_type_text maps it to INT, so the DEFAULT
+                    # must parse through the kTIME chain and the
+                    # column must join the session TIME registry or
+                    # later string writes skip the seconds-of-day
+                    # parse CREATE TABLE columns get (r12 advice)
+                    is_time = (bool(_TIME_TYPE_RE.search(typ))
+                               and "[" not in typ)
                     styp = self._spark_type_text(typ)
                     if dflt is not None:
                         # string defaults on typed columns parse with
                         # importer semantics, like CREATE TABLE
                         # defaults (_coerce_default_literal)
                         coerced = _coerce_default_literal(
-                            styp, f"DEFAULT {dflt}")
+                            "TIME" if is_time else styp,
+                            f"DEFAULT {dflt}")
                         base = F.expr(dialect.rewrite(
                             coerced[len("DEFAULT "):]))
                     else:
                         base = F.lit(None)
                     df = df.withColumn(col, base.cast(styp))
+                    registry_ops.append(
+                        ("addcol", col.strip('`"').lower(), is_time))
                 continue
             raise AssertionError(f"unreachable: {action!r}")  # pre-scanned
 
@@ -3081,6 +3210,19 @@ class Engine:
             self._swap_tables(staging, table, f"{table}__alter_old")
             if new_name:
                 self.spark.sql(f"ALTER TABLE {table} RENAME TO {new_name}")
+        # apply the TIME-registry mutations only now that the rewrite
+        # (and any RENAME TO) committed; the pop+reassign also MOVES
+        # the entry when the table was renamed
+        tset = set(self._time_columns.pop(self._time_key(table), frozenset()))
+        for op in registry_ops:
+            if op[0] == "rencol" and op[1] in tset:
+                tset.discard(op[1])
+                tset.add(op[2])
+            elif op[0] == "dropcol":
+                tset.discard(op[1])
+            elif op[0] in ("retype", "addcol"):
+                (tset.add if op[2] else tset.discard)(op[1])
+        self._time_columns[self._time_key(target)] = frozenset(tset)
         return self.spark.createDataFrame(
             [(target, "altered")], "table_name STRING, status STRING"
         )

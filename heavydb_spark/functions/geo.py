@@ -1634,17 +1634,32 @@ def _is_hole_sql(g: str, r: str, ri: str) -> str:
     """Even-odd hole classification for the flat MULTIPOLYGON ring set
     (the WKT parse keeps rings in order but loses polygon grouping):
     ring `r` (0-based index `ri`) is an interior ring iff an ODD number
-    of OTHER rings contain its first vertex — disjoint exteriors nest
+    of OTHER rings contain a probe vertex — disjoint exteriors nest
     in nothing (0), holes nest in their exterior (1), island-in-lake
     exteriors nest in two (even). Matches ST_Area_MultiPolygon's
     hole subtraction / exterior-only perimeter
     (ExtensionFunctionsGeo.hpp) without the reference's per-polygon
-    ring counts (r11 advice: every ring was treated as exterior)."""
-    inside = _raycast_sql(
-        "array(q0)", f"element_at({r}, 1).x", f"element_at({r}, 1).y")
-    return (f"((aggregate(transform({g}, (q0, q1) -> CAST(CASE WHEN "
-            f"q1 != {ri} AND {inside} THEN 1 ELSE 0 END AS BIGINT)), "
-            f"CAST(0 AS BIGINT), (h0, h1) -> h0 + h1) % 2) = 1)")
+    ring counts (r11 advice: every ring was treated as exterior).
+
+    Probes by MAJORITY VOTE over three spread vertices (1, 1+n/3,
+    1+2n/3), not the first vertex alone: in tessellations a ring's
+    first vertex often lies exactly ON a neighboring ring's boundary,
+    where the raycast parity is arbitrary (r12 advice). A ring whose
+    probe vertices ALL sit on other rings' boundaries (fully shared
+    edges) remains arbitrary — documented as a semantic delta in
+    COVERAGE.md."""
+    def _vote(idx: str) -> str:
+        inside = _raycast_sql(
+            "array(q0)",
+            f"element_at({r}, {idx}).x", f"element_at({r}, {idx}).y")
+        return (f"(aggregate(transform({g}, (q0, q1) -> CAST(CASE WHEN "
+                f"q1 != {ri} AND {inside} THEN 1 ELSE 0 END AS BIGINT)), "
+                f"CAST(0 AS BIGINT), (h0, h1) -> h0 + h1) % 2)")
+
+    v1 = _vote("1")
+    v2 = _vote(f"(1 + CAST(size({r}) / 3 AS INT))")
+    v3 = _vote(f"(1 + CAST(2 * size({r}) / 3 AS INT))")
+    return f"((({v1}) + ({v2}) + ({v3})) >= 2)"
 
 
 def _ring_perim_sql(r: str) -> str:

@@ -1447,3 +1447,101 @@ def test_stale_dml_staging_dir_cleared(spark, engine):
     finally:
         spark.sql("DROP TABLE IF EXISTS stale_stage")
         spark.sql("DROP TABLE IF EXISTS stale_stage__dml_staging")
+
+
+def test_time_registry_lifecycle(spark, engine):
+    """r12 advice: the TIME-column registry must be invalidated on
+    DROP + re-CREATE and must FOLLOW renames — stale entries made
+    string cells to a same-named non-TIME column parse as
+    seconds-of-day, and renamed tables/columns silently lost TIME
+    coercion."""
+    for t in ("time_reg", "time_reg2"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    engine.sql("CREATE TABLE time_reg (t TIME, i INT)")
+    try:
+        engine.sql("INSERT INTO time_reg VALUES ('01:00:00', 1)")
+        assert engine.sql(
+            "SELECT t FROM time_reg").first().t == 3600
+        # DROP + re-CREATE same name WITHOUT TIME: the string cell
+        # must now parse as the new column's type, not via kTIME —
+        # a stale registry entry would store 3723 here
+        engine.sql("DROP TABLE time_reg")
+        engine.sql("CREATE TABLE time_reg (t INT, i INT)")
+        engine.sql("INSERT INTO time_reg VALUES ('42', 1), ('01:02:03', 2)")
+        vals = {r.i: r.t for r in
+                engine.sql("SELECT t, i FROM time_reg").collect()}
+        assert vals[1] == 42
+        assert vals[2] is None  # malformed int cell -> NULL, not 3723
+        # re-CREATE WITH time again, then RENAME TO: coercion follows
+        engine.sql("DROP TABLE time_reg")
+        engine.sql("CREATE TABLE time_reg (t TIME, i INT)")
+        engine.sql("ALTER TABLE time_reg RENAME TO time_reg2")
+        engine.sql("INSERT INTO time_reg2 VALUES ('02:00:00', 1)")
+        assert engine.sql(
+            "SELECT t FROM time_reg2").first().t == 7200
+        # RENAME COLUMN keeps TIME coercion on the new name
+        engine.sql("ALTER TABLE time_reg2 RENAME COLUMN t TO tt")
+        engine.sql("UPDATE time_reg2 SET tt = '03:00:00' WHERE i = 1")
+        assert engine.sql(
+            "SELECT tt FROM time_reg2").first().tt == 10800
+    finally:
+        for t in ("time_reg", "time_reg2"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_alter_add_column_time_default(spark, engine):
+    """r12 advice: ADD COLUMN t TIME DEFAULT '01:02:03' must store
+    3723 (kTIME parse), and the new column must join the session TIME
+    registry so later string writes parse as seconds-of-day."""
+    spark.sql("DROP TABLE IF EXISTS add_time")
+    engine.sql("CREATE TABLE add_time (i INT)")
+    try:
+        engine.sql("INSERT INTO add_time VALUES (1), (2)")
+        engine.sql("ALTER TABLE add_time ADD COLUMN t TIME DEFAULT '01:02:03'")
+        vals = {r.i: r.t for r in
+                engine.sql("SELECT i, t FROM add_time").collect()}
+        assert vals == {1: 3723, 2: 3723}
+        engine.sql("UPDATE add_time SET t = '10:00:00' WHERE i = 2")
+        assert engine.sql(
+            "SELECT t FROM add_time WHERE i = 2").first().t == 36000
+        engine.sql("INSERT INTO add_time VALUES (3, '00:00:30')")
+        assert engine.sql(
+            "SELECT t FROM add_time WHERE i = 3").first().t == 30
+    finally:
+        spark.sql("DROP TABLE IF EXISTS add_time")
+
+
+def test_load_table_typed_error_surfaces(spark, engine):
+    """r12 advice: purely typed rows that fail createDataFrame (a
+    float supplied for an int column) must RE-RAISE the typed-path
+    error instead of silently stringifying and re-parsing with
+    rounding semantics. Rows carrying text cells keep the TStringRow
+    path."""
+    spark.sql("DROP TABLE IF EXISTS lt_gate")
+    engine.sql("CREATE TABLE lt_gate (a INT, b INT)")
+    try:
+        with pytest.raises(Exception):
+            engine.load_table("lt_gate", [(1.5, 2)])
+        assert engine.sql(
+            "SELECT count(*) AS c FROM lt_gate").first().c == 0
+        engine.load_table("lt_gate", [("7", "8")])  # all-text: parses
+        assert engine.sql(
+            "SELECT a, b FROM lt_gate").first() == (7, 8)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS lt_gate")
+
+
+def test_update_column_named_date_coerces(spark, engine):
+    """r12 advice: the DML resolver used to smuggle ' CAST(x AS DATE)'
+    into the scanned context, which shadowed a real column named
+    `date` and downgraded its coercion to a Spark-native cast (silent
+    NULL for non-ISO strings)."""
+    spark.sql("DROP TABLE IF EXISTS named_date")
+    engine.sql("CREATE TABLE named_date (date DATE, i INT)")
+    try:
+        engine.sql("INSERT INTO named_date VALUES ('2001-01-01', 1)")
+        engine.sql("UPDATE named_date SET date = '10/09/99' WHERE i = 1")
+        row = engine.sql("SELECT date FROM named_date").first()
+        assert str(row.date) == "1999-10-09"
+    finally:
+        spark.sql("DROP TABLE IF EXISTS named_date")

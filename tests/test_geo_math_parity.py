@@ -219,3 +219,29 @@ def test_geography_cast_pair_not_spliced(engine):
         "SELECT ST_Distance(CAST('POINT(0 0)' AS GEOGRAPHY), "
         "CAST('POINT(0 1)' AS GEOGRAPHY))"))
     assert abs(got - 111226.3) < 0.5
+
+
+def test_multipolygon_shared_vertex_tessellation(engine):
+    """r12 advice: hole classification probed only each ring's FIRST
+    vertex — when that vertex lies exactly ON a neighboring ring's
+    boundary (tessellations share corners), the raycast parity is
+    arbitrary and a touching exterior could be misclassified as a
+    hole. Majority vote over three spread vertices fixes the
+    shared-corner case."""
+    # ring 2's first vertex (2,0) is a corner of ring 1; both are
+    # exteriors — area must ADD, perimeter must include both
+    mp = ("MULTIPOLYGON(((0 0,2 0,2 2,0 2,0 0)),"
+          "((2 0,4 0,4 2,2 0)))")
+    assert float(_f(engine,
+        f"SELECT ST_Area(ST_GeomFromText('{mp}'))")) == 6.0
+    # square + triangle sharing one corner, triangle first
+    mp2 = ("MULTIPOLYGON(((2 0,4 0,4 2,2 0)),"
+           "((0 0,2 0,2 2,0 2,0 0)))")
+    assert float(_f(engine,
+        f"SELECT ST_Area(ST_GeomFromText('{mp2}'))")) == 6.0
+    # hole whose first vertex touches the exterior from inside still
+    # classifies as a hole (majority of its vertices are interior)
+    mp3 = ("MULTIPOLYGON(((0 0,10 0,10 10,0 10,0 0),"
+           "(0 0,4 2,2 4,0 0)))")
+    assert float(_f(engine,
+        f"SELECT ST_Area(ST_GeomFromText('{mp3}'))")) == 94.0
