@@ -181,8 +181,13 @@ def _split_where(clause: str) -> tuple[str, str | None]:
 # SHARD KEY -> CLUSTERED BY ... INTO n BUCKETS (co-located shard joins),
 # fragment_size -> maxRecordsPerFile (fragment = file row group target).
 _CREATE_WITH_RE = re.compile(
+    # (?<![\w$]) keeps a table NAME ending in _WITH from donating its
+    # suffix to the options clause: CREATE TABLE CTAS_SOURCE_WITH
+    # (id int) is a plain create, not name=CTAS_SOURCE with
+    # WITH(id int) (found by the CtasUpdateTest comparator,
+    # Ctas.SyntaxCheck:1302)
     r"^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?(\w+)\s*(.*?)\s*"
-    r"WITH\s*\((.*)\)\s*;?\s*$",
+    r"(?<![\w$])WITH\s*\((.*)\)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 _SHARD_KEY_RE = re.compile(r"^\s*SHARD\s+KEY\s*\(\s*(\w+)\s*\)\s*$", re.IGNORECASE)
@@ -840,6 +845,13 @@ _TYPE_REWRITES: list[tuple[re.Pattern, str]] = [
         r"ARRAY<\1>",
     ),
     (re.compile(r"\bTEXT\b", re.IGNORECASE), "STRING"),
+    # CHAR(n) columns are kCHAR dict-encoded text in the reference —
+    # values read back UNPADDED (CtasUpdateTest.cpp:224
+    # StringColumnDescriptor accepts kCHAR as plain text), while a
+    # Spark CHAR(n) column space-pads to n. Map to STRING; CAST(x AS
+    # CHAR(n)) expressions are untouched (dialect handles casts).
+    # Found by the CtasUpdateTest comparator (r13).
+    (re.compile(r"\bCHAR\s*\(\s*\d+\s*\)", re.IGNORECASE), "STRING"),
     (re.compile(r"\bTIMESTAMP\s*\(\s*\d\s*\)", re.IGNORECASE), "TIMESTAMP"),
     (re.compile(r"\bTIME\b(?!STAMP)", re.IGNORECASE), "INT"),
     # geo column types (Shared/sqltypes.h kPOINT..kMULTIPOLYGON; the
@@ -902,6 +914,14 @@ _CREATE_TABLE_SYNC_RE = re.compile(
     r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?(?:TEMPORARY\s+)?TABLE\s+"
     r"(IF\s+NOT\s+EXISTS\s+)?([`\"\w.]+)",
     re.IGNORECASE,
+)
+
+# CREATE TEMPORARY TABLE t AS SELECT (Parser/ParserNode.h temporary
+# tables; CtasUpdateTest.cpp:1317): session-scoped materialized CTAS
+_CREATE_TEMP_CTAS_RE = re.compile(
+    r"^\s*CREATE\s+TEMPORARY\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?"
+    r"([\w.]+)\s+AS\s+(.*?);?\s*$",
+    re.IGNORECASE | re.DOTALL,
 )
 
 
@@ -1096,10 +1116,12 @@ def _split_eq(part: str) -> tuple[str, str]:
 _TIME_TYPE_RE = re.compile(r"\bTIME\b(?!STAMP)", re.IGNORECASE)
 
 
-def _time_cols_of_defs(defs: str) -> frozenset:
-    """Lowercased names of scalar TIME-typed columns in a pre-rewrite
+def _time_cols_of_defs(defs: str, arrays: bool = False) -> frozenset:
+    """Lowercased names of TIME-typed columns in a pre-rewrite
     column-definition list (TIME maps to INT in Spark — the TIME-ness
-    itself must be carried separately)."""
+    itself must be carried separately). `arrays=False` returns the
+    scalar TIME columns, `arrays=True` the TIME[] / TIME[n] array
+    columns (stored as ARRAY<INT> of seconds-of-day)."""
     out = set()
     for d in _split_top_level_defs(defs):
         mname = _COLDEF_NAME_RE.match(d)
@@ -1112,9 +1134,45 @@ def _time_cols_of_defs(defs: str) -> frozenset:
                 cut = mk.start()
                 break
         tp = rest[:cut]
-        if _TIME_TYPE_RE.search(tp) and "[" not in tp:
+        if _TIME_TYPE_RE.search(tp) and ("[" in tp) == arrays:
             out.add(name.strip('`"').lower())
     return frozenset(out)
+
+
+def _fold_time_array_cell(cell: str) -> str | None:
+    """Rewrite-time kTIME folding for an array cell targeted at a
+    declared TIME[] column: each quoted element parses to its
+    seconds-of-day int exactly like a scalar TIME literal
+    (DateTimeParser kTIME chain), unparseable or non-literal elements
+    to NULL — Spark's string->int element cast would silently NULL
+    EVERY element ('00:00:01' is not an int literal).  Found by the
+    CtasUpdateTest comparator (TIME_ARRAY / TIME_FIXED_LEN_ARRAY
+    ingestion, r13).  Returns None when the cell is not a brace /
+    ARRAY[] literal (caller keeps the plain cast)."""
+    from heavydb_spark.functions import datetime_parse as _dtp
+
+    s = cell.strip()
+    if s.startswith("{") and s.endswith("}"):
+        body = s[1:-1]
+    else:
+        m = re.match(r"(?is)^ARRAY\s*\[(.*)\]\s*$", s)
+        if not m:
+            return None
+        body = m.group(1)
+    if not body.strip():
+        return "array()"
+    elems = []
+    for e in _split_cells_braced(body):
+        e = e.strip()
+        if not e or e.upper() == "NULL":
+            elems.append("NULL")
+            continue
+        if e.startswith("'") and e.endswith("'"):
+            v = _dtp.time_seconds(e[1:-1].replace("''", "'"))
+            elems.append("NULL" if v is None else str(v))
+        else:
+            elems.append(e)  # numeric seconds pass through the cast
+    return "array(" + ", ".join(elems) + ")"
 
 
 def _string_coercion_expr(col: str, tgt: str) -> str:
@@ -1190,6 +1248,7 @@ class Engine:
         # coercions (INSERT/UPDATE/load_table string cells parse via
         # the kTIME chain) and SHOW CREATE TABLE round-trips.
         self._time_columns: dict[str, frozenset] = {}
+        self._time_array_columns: dict[str, frozenset] = {}
         # Result-set recycling (ResultSetRecyclerHolder.cpp,
         # QueryPlanDagCache.cpp): opt-in via ALTER SESSION SET
         # RESULT_CACHE='on' or `engine.result_cache = True`. Keyed by
@@ -1459,23 +1518,28 @@ class Engine:
         so a failed statement never mutates the registry."""
         m = _DROP_TABLE_SYNC_RE.match(query)
         if m:
-            self._time_columns.pop(self._time_key(m.group(1)), None)
+            key = self._time_key(m.group(1))
+            self._time_columns.pop(key, None)
+            self._time_array_columns.pop(key, None)
             return
         m = _CREATE_TABLE_SYNC_RE.match(query)
         if not m:
             return
         key = self._time_key(m.group(2))
-        tcols = frozenset()
+        defs = None
         mw = _CREATE_WITH_RE.match(query)
         if mw:
             body = mw.group(3).strip()
             if body.startswith("(") and body.endswith(")"):
-                tcols = _time_cols_of_defs(body[1:-1])
+                defs = body[1:-1]
         else:
             mp = _CREATE_PLAIN_RE.match(query)
             if mp:
-                tcols = _time_cols_of_defs(mp.group(2))
-        self._time_columns[key] = tcols
+                defs = mp.group(2)
+        self._time_columns[key] = (
+            _time_cols_of_defs(defs) if defs else frozenset())
+        self._time_array_columns[key] = (
+            _time_cols_of_defs(defs, arrays=True) if defs else frozenset())
 
     def _sql_impl(self, query: str) -> DataFrame:
         if self._result_cache_entries:
@@ -1509,6 +1573,11 @@ class Engine:
             else:
                 where = None
             return self._dml_delete(m.group(1), where)
+        m = _CREATE_TEMP_CTAS_RE.match(query)
+        if m:
+            return self._create_temp_table_as(
+                bool(m.group(1)), m.group(2), m.group(3)
+            )
         m = _CREATE_WITH_RE.match(query)
         if m:
             return self._ddl_create_with(
@@ -2139,6 +2208,11 @@ class Engine:
         through the engine this session; empty when unknown."""
         return self._time_columns.get(self._time_key(table), frozenset())
 
+    def _time_array_cols(self, table: str) -> frozenset:
+        """Declared TIME[] array columns (lowercased)."""
+        return self._time_array_columns.get(
+            self._time_key(table), frozenset())
+
     def _coerce_insert_select(self, m: re.Match) -> str | None:
         """INSERT INTO t [cols] SELECT/WITH ... — coerce the source
         projection to the target column types, as the reference's ITAS
@@ -2244,10 +2318,15 @@ class Engine:
             names = [f.name.lower() for f in sch.fields]
             types = [f.dataType for f in sch.fields]
         tcols = self._time_cols(name)
+        tacols = self._time_array_cols(name)
 
-        def _cell(c: str, t, is_time: bool) -> str:
+        def _cell(c: str, t, is_time: bool, is_time_arr: bool = False) -> str:
             if c.upper() == "DEFAULT":
                 return c
+            if is_time_arr:
+                folded = _fold_time_array_cell(c)
+                if folded is not None:
+                    return f"CAST({folded} AS {t.simpleString()})"
             # single-token cells (literals, numbers, NULL) stay bare
             # inside the CAST: the dialect's datetime/rounding cast
             # rewrites dispatch on the literal itself, and a wrapping
@@ -2276,7 +2355,7 @@ class Engine:
                 return None
             out_rows.append(
                 "(" + ", ".join(
-                    _cell(c, t, n in tcols)
+                    _cell(c, t, n in tcols, n in tacols)
                     for c, t, n in zip(cells, types, names))
                 + ")")
         head = f"INSERT INTO {name} "
@@ -2573,6 +2652,34 @@ class Engine:
                     if c.strip()
                 ]
         return n_buckets, bucket_cols
+
+    def _create_temp_table_as(self, if_not_exists: bool, name: str,
+                              select: str) -> DataFrame:
+        """CREATE TEMPORARY TABLE t AS SELECT — the reference's
+        session-scoped MATERIALIZED temp table (CtasUpdateTest.cpp
+        :1317 runs the same duplicate/drop progression as the managed
+        CTAS form). Spark analogue: an eagerly checkpointed temp view,
+        so the data freezes at creation and later source mutations
+        don't leak through a lazy view plan; Spark's native DROP TABLE
+        drops temp views, so the DROP path needs no special casing.
+        A duplicate name raises like the reference ('already exists
+        and no data was loaded'); found by the CtasUpdateTest
+        comparator (r13)."""
+        exists = self._is_temp_view(name) or self.spark.catalog.tableExists(
+            name)
+        if exists:
+            if if_not_exists:
+                return self.spark.createDataFrame(
+                    [(name, "exists")], "table_name STRING, status STRING")
+            raise ValueError(
+                f"Table {name} already exists and no data was loaded")
+        sel = select.strip()
+        if sel.startswith("(") and sel.endswith(")"):
+            sel = sel[1:-1]
+        df = self.sql(sel).localCheckpoint(eager=True)
+        df.createOrReplaceTempView(name)
+        return self.spark.createDataFrame(
+            [(name, "created")], "table_name STRING, status STRING")
 
     def _clear_stale_staging(self, staging: str) -> None:
         """A run killed between stage and swap leaves the staging
@@ -3125,10 +3232,11 @@ class Engine:
                         f"column {m.group(1)} does not exist"
                     )
                 df = df.withColumn(col, F.col(col).cast(new_type))
+                _rt_time = bool(_TIME_TYPE_RE.search(m.group(2)))
                 registry_ops.append((
                     "retype", col.lower(),
-                    bool(_TIME_TYPE_RE.search(m.group(2)))
-                    and "[" not in m.group(2),
+                    _rt_time and "[" not in m.group(2),
+                    _rt_time and "[" in m.group(2),
                 ))
                 continue
             m = _ALTER_DROP_RE.match(action)
@@ -3161,8 +3269,9 @@ class Engine:
                     # column must join the session TIME registry or
                     # later string writes skip the seconds-of-day
                     # parse CREATE TABLE columns get (r12 advice)
-                    is_time = (bool(_TIME_TYPE_RE.search(typ))
-                               and "[" not in typ)
+                    has_time = bool(_TIME_TYPE_RE.search(typ))
+                    is_time = has_time and "[" not in typ
+                    is_time_arr = has_time and "[" in typ
                     styp = self._spark_type_text(typ)
                     if dflt is not None:
                         # string defaults on typed columns parse with
@@ -3177,7 +3286,8 @@ class Engine:
                         base = F.lit(None)
                     df = df.withColumn(col, base.cast(styp))
                     registry_ops.append(
-                        ("addcol", col.strip('`"').lower(), is_time))
+                        ("addcol", col.strip('`"').lower(), is_time,
+                         is_time_arr))
                 continue
             raise AssertionError(f"unreachable: {action!r}")  # pre-scanned
 
@@ -3212,17 +3322,20 @@ class Engine:
                 self.spark.sql(f"ALTER TABLE {table} RENAME TO {new_name}")
         # apply the TIME-registry mutations only now that the rewrite
         # (and any RENAME TO) committed; the pop+reassign also MOVES
-        # the entry when the table was renamed
-        tset = set(self._time_columns.pop(self._time_key(table), frozenset()))
-        for op in registry_ops:
-            if op[0] == "rencol" and op[1] in tset:
-                tset.discard(op[1])
-                tset.add(op[2])
-            elif op[0] == "dropcol":
-                tset.discard(op[1])
-            elif op[0] in ("retype", "addcol"):
-                (tset.add if op[2] else tset.discard)(op[1])
-        self._time_columns[self._time_key(target)] = frozenset(tset)
+        # the entries when the table was renamed
+        key_old, key_new = self._time_key(table), self._time_key(target)
+        for reg, flag_idx in ((self._time_columns, 2),
+                              (self._time_array_columns, 3)):
+            tset = set(reg.pop(key_old, frozenset()))
+            for op in registry_ops:
+                if op[0] == "rencol" and op[1] in tset:
+                    tset.discard(op[1])
+                    tset.add(op[2])
+                elif op[0] == "dropcol":
+                    tset.discard(op[1])
+                elif op[0] in ("retype", "addcol"):
+                    (tset.add if op[flag_idx] else tset.discard)(op[1])
+            reg[key_new] = frozenset(tset)
         return self.spark.createDataFrame(
             [(target, "altered")], "table_name STRING, status STRING"
         )

@@ -1545,3 +1545,45 @@ def test_update_column_named_date_coerces(spark, engine):
         assert str(row.date) == "1999-10-09"
     finally:
         spark.sql("DROP TABLE IF EXISTS named_date")
+
+
+def test_ctas_update_comparator_pins(spark, engine):
+    """Engine fixes found by the CtasUpdateTest comparator
+    (scripts/ctas_update_probe.py, r13): CHAR(n) columns store
+    unpadded text (kCHAR reads back plain, CtasUpdateTest.cpp:224);
+    TIME[] array elements parse seconds-of-day at rewrite time
+    (TIME_ARRAY ingestion); a table NAME ending in _WITH is not an
+    options clause (Ctas.SyntaxCheck:1302); CREATE TEMPORARY TABLE AS
+    SELECT materializes a session temp table with reference duplicate
+    semantics (:1317)."""
+    for t in ("cu_pins", "cu_pins_with", "cu_tmp"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    engine.sql("CREATE TABLE cu_pins (c CHAR(100), ta TIME[], tf TIME[3])")
+    try:
+        engine.sql("INSERT INTO cu_pins VALUES ('CHAR_1', "
+                   "{'00:00:01','00:00:02'}, {null,'00:00:03','10:00:00'})")
+        r = engine.sql("SELECT * FROM cu_pins").first()
+        assert r.c == "CHAR_1"  # no space padding
+        assert r.ta == [1, 2]
+        assert r.tf == [None, 3, 36000]
+        # table name ending in _WITH parses as a plain create
+        engine.sql("CREATE TABLE cu_pins_with (id int)")
+        engine.sql("INSERT INTO cu_pins_with VALUES (7)")
+        assert engine.sql(
+            "SELECT id FROM cu_pins_with").first().id == 7
+        # temporary CTAS: materialized, duplicate raises, DROP works
+        engine.sql("CREATE TEMPORARY TABLE cu_tmp AS "
+                   "SELECT id FROM cu_pins_with")
+        assert engine.sql("SELECT * FROM cu_tmp").first().id == 7
+        with pytest.raises(Exception):
+            engine.sql("CREATE TEMPORARY TABLE cu_tmp AS "
+                       "SELECT id FROM cu_pins_with")
+        engine.sql("INSERT INTO cu_pins_with VALUES (8)")
+        # materialized at creation: the source mutation doesn't leak
+        assert engine.sql(
+            "SELECT count(*) AS c FROM cu_tmp").first().c == 1
+        engine.sql("DROP TABLE cu_tmp")
+        assert not spark.catalog.tableExists("cu_tmp")
+    finally:
+        for t in ("cu_pins", "cu_pins_with", "cu_tmp"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
