@@ -329,50 +329,67 @@ def remove_duplicate_spans(
     base = _spread(df, id_col).select(
         F.col(id_col).alias("doc"), tokens.alias("toks")
     ).localCheckpoint(eager=False)
-    k = F.size("toks") - (window - 1)
-    # sequence(1, 0) DESCENDS in Spark — sub-window docs must yield an
-    # empty gram array, not a bogus [1, 0] index list.
-    grams = F.when(k <= 0, F.array().cast("array<string>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
-            lambda i: F.concat_ws(" ", F.slice("toks", i, window)),
-        )
+    # r13 optimization (guide §4.1-adjacent, same rationale as
+    # _shingle_rows): grams via arrays_zip of `window` shifted slices +
+    # one posexplode — plain codegen expressions; the previous
+    # transform(sequence, i -> concat_ws(slice)) lambda is interpreted
+    # per element (HOF bodies neither codegen nor CSE).  Sub-window
+    # docs: k <= 0 makes every slice empty, so the zip is empty — same
+    # no-gram semantics as the old sequence guard.
+    k = F.greatest(F.size("toks") - (window - 1), F.lit(0))
+    zipped = F.arrays_zip(
+        *[F.slice("toks", j + 1, k).alias(f"t{j}") for j in range(window)]
     )
+    gram_text = F.concat_ws(" ", *[F.col(f"s.t{j}") for j in range(window)])
     occ = base.select(
-        "doc", F.posexplode(grams).alias("wpos", "gram")
-    )
+        "doc", F.posexplode(zipped).alias("wpos", "s")
+    ).select("doc", "wpos", gram_text.alias("gram"))
+    # plain (h1, h2) key COLUMNS, not a struct — struct grouping/join
+    # keys hash and compare through the generic struct path; two flat
+    # columns stay in the primitive fast path (r13)
     if hash_key:
         occ = occ.select(
             "doc", "wpos",
-            F.struct(
-                F.xxhash64("gram").alias("h1"),
-                F.crc32("gram").alias("h2"),
-            ).alias("gram"),
+            F.xxhash64("gram").alias("h1"),
+            F.crc32("gram").alias("h2"),
         )
-    stats = occ.groupBy("gram").agg(
+        key_cols = ["h1", "h2"]
+    else:
+        key_cols = ["gram"]
+    stats = occ.groupBy(*key_cols).agg(
         F.count(F.lit(1)).alias("cnt"),
         F.min(F.struct("doc", "wpos")).alias("keeper"),
     )
     dup_occ = (
-        occ.join(stats.filter(F.col("cnt") > 1), "gram")
+        occ.join(stats.filter(F.col("cnt") > 1), key_cols)
         .filter(F.struct("doc", "wpos") != F.col("keeper"))
     )
+    # no .distinct() on the covered positions (r13): LEFT ANTI ignores
+    # right-side duplicates, and the dedup was one more full exchange +
+    # aggregate of the largest post-explode relation for nothing.
+    # Both anti-join sides are repartitioned on doc alone: that
+    # satisfies the (doc, pos) join's ClusteredDistribution AND the
+    # reassembly groupBy(doc) downstream, so the kept-token relation
+    # flows join -> aggregate with no further exchange (guide §2.4).
+    n_part = df.sparkSession.sparkContext.defaultParallelism
     covered = dup_occ.select(
         "doc",
         F.explode(
             F.sequence(F.col("wpos"), F.col("wpos") + (window - 1))
         ).alias("pos"),
-    ).distinct()
-    toks = base.select("doc", F.posexplode("toks").alias("pos", "tok"))
+    ).repartition(n_part, F.col("doc"))
+    toks = base.select("doc", F.posexplode("toks").alias("pos", "tok")) \
+        .repartition(n_part, F.col("doc"))
     kept = toks.join(covered, ["doc", "pos"], "left_anti")
+    # getField over the sorted struct array (GetArrayStructFields,
+    # codegen) instead of transform(..., s -> s["tok"]) (interpreted)
     rebuilt = kept.groupBy("doc").agg(
         F.count(F.lit(1)).alias("n_tokens"),
         F.concat_ws(
             " ",
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
-                lambda s: s["tok"],
-            ),
+            F.array_sort(
+                F.collect_list(F.struct("pos", "tok"))
+            ).getField("tok"),
         ).alias("clean_text"),
     )
     return (
@@ -446,15 +463,22 @@ def remove_boilerplate_segments(
         .filter(F.col("n_docs") >= min_docs)
         .select("seg")
     )
-    kept = occ.join(boiler, "seg", "left_anti")
+    # r13: repartition the occurrence side on doc before the anti join —
+    # HashPartitioning(doc) satisfies the join AND the reassembly
+    # groupBy(doc), so kept flows join -> aggregate with no further
+    # exchange (guide §2.4; the boilerplate set stays broadcast-sized
+    # by construction, AQE plans it as the build side).
+    kept = occ.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, F.col("doc")
+    ).join(boiler, "seg", "left_anti")
+    # getField (codegen) instead of an interpreted transform lambda
     rebuilt = kept.groupBy("doc").agg(
         F.count(F.lit(1)).alias("n_kept"),
         F.concat_ws(
             " ",
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("spos", "seg"))),
-                lambda s: s["seg"],
-            ),
+            F.array_sort(
+                F.collect_list(F.struct("spos", "seg"))
+            ).getField("seg"),
         ).alias("clean_text"),
     )
     totals = base.select(
@@ -1119,25 +1143,34 @@ def fuzzy_string_pairs(
             "fuzzy_string_pairs: only max_dist=1 (delete-1 "
             "neighborhoods); chain with a wider verifier for k=2"
         )
-    s = F.col(s_col)
     # variants = {s} ∪ deletes1(s); substr with lambda-var bounds needs
-    # the expr form (F.substring takes int positions only)
-    variants = F.array_union(
-        F.array(s),
-        F.expr(
-            f"transform(sequence(1, length({s_col})), i -> "
-            f"concat(substr({s_col}, 1, i - 1), substr({s_col}, i + 1)))"
-        ),
-    )
+    # the expr form (F.substring takes int positions only).
+    # r13 optimization (guide §2.3/§4-adjacent): (a) spread the RAW rows
+    # first so the delete-neighborhood transform runs after the
+    # exchange on every core (projected before the repartition, the
+    # single-partition scan computed it on one core — and the explode's
+    # pushed-down emptiness filter re-evaluated it twice more); (b)
+    # explode_outer, which carries no emptiness filter, keeps the
+    # transform evaluated exactly once per row; (c) block on the 8-byte
+    # xxhash64 of each variant, not the variant string — the candidate
+    # join shuffles/broadcasts fixed-width longs instead of names, and
+    # a hash collision can only add a candidate pair that the exact
+    # levenshtein verify below already rejects.
     # both join sides recompute the variant explode — measured the
     # same as localCheckpoint at sf0.1 (the explode is cheaper than
     # materializing the variant table), and the visible Generate keeps
     # the plan assertion (tests/test_plans.py) honest
-    v = _spread(
-        df.select(F.col(id_col), s.alias("__s"), variants.alias("__vars")),
-        id_col,
-    ).select(
-        id_col, "__s", F.explode("__vars").alias("__v")
+    variants = F.array_union(
+        F.array(F.col("__s")),
+        F.expr(
+            "transform(sequence(1, length(__s)), i -> "
+            "concat(substr(__s, 1, i - 1), substr(__s, i + 1)))"
+        ),
+    )
+    v = (
+        _spread(df.select(F.col(id_col), F.col(s_col).alias("__s")), id_col)
+        .select(id_col, "__s", F.explode_outer(variants).alias("__v0"))
+        .select(id_col, "__s", F.xxhash64("__v0").alias("__v"))
     )
     a = v.select(
         F.col(id_col).alias("id_a"), F.col("__s").alias("s_a"), "__v"

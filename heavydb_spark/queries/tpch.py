@@ -772,32 +772,43 @@ def tpch_q21_waiting_supplier(spark, sf_dir):
     o = T(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     li = T(spark, sf_dir, "lineitem")
     l1 = li.select("l_orderkey", "l_suppkey", "l_shipdate")
-    l2 = li.select(
-        F.col("l_orderkey").alias("l2_ok"), F.col("l_suppkey").alias("l2_sk")
-    )
-    l3 = li.select(
-        F.col("l_orderkey").alias("l3_ok"),
-        F.col("l_suppkey").alias("l3_sk"),
-        F.col("l_shipdate").alias("l3_ship"),
-    )
+    # r13 optimization (guide §2.4/§2.3): the EXISTS/NOT EXISTS pair is
+    # two more passes over lineitem keyed on the SAME l_orderkey the
+    # first join already shuffled on.  Both correlates are per-order
+    # facts — "some other supplier on the order" and "no other supplier
+    # shipped late" — so one window over the joined relation computes
+    # them in place: EXISTS l2  ⟺ count(distinct suppkey) > 1, and
+    # NOT EXISTS l3 on a late row ⟺ the order's late-supplier set is
+    # exactly {this supplier} ⟺ its size is 1 (COUNT DISTINCT is not a
+    # window aggregate; size(collect_set) is, with identical null-free
+    # semantics here).  The window's ClusteredDistribution(l_orderkey)
+    # is satisfied by the join's own partitioning, so the fact table is
+    # shuffled ONCE instead of three times.  Oracle text unchanged;
+    # equivalence proven against it at sf0.001/0.01.
     late_cut = F.col("o_orderdate") + F.expr("INTERVAL 365 DAYS")
-    base = (
-        l1.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
-        .filter(F.col("l_shipdate") > late_cut)
-        .select("l_orderkey", "l_suppkey", "o_orderdate")
+    w = Window.partitionBy("l_orderkey")
+    marked = (
+        l1.join(
+            o.select("o_orderkey", "o_orderdate"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (F.col("l_shipdate") > late_cut).alias("is_late"),
+        )
+        .withColumn("n_supp", F.size(F.collect_set("l_suppkey").over(w)))
+        .withColumn(
+            "n_late_supp",
+            F.size(
+                F.collect_set(
+                    F.when(F.col("is_late"), F.col("l_suppkey"))
+                ).over(w)
+            ),
+        )
     )
-    multi = base.join(
-        l2,
-        (F.col("l2_ok") == F.col("l_orderkey"))
-        & (F.col("l2_sk") != F.col("l_suppkey")),
-        "left_semi",
-    )
-    only_late = multi.join(
-        l3,
-        (F.col("l3_ok") == F.col("l_orderkey"))
-        & (F.col("l3_sk") != F.col("l_suppkey"))
-        & (F.col("l3_ship") > F.col("o_orderdate") + F.expr("INTERVAL 365 DAYS")),
-        "left_anti",
+    only_late = marked.filter(
+        F.col("is_late") & (F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)
     )
     return (
         only_late.join(broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
@@ -1375,30 +1386,36 @@ def tpcds_q64_cross_year_sales(spark, sf_dir):
             sum_half_up_cents(_rev()).alias("rev"),
             F.count(F.lit(1)).alias("n_items"),
         )
-        .localCheckpoint(eager=False)
     )
-    cs1 = cross_sales.alias("cs1")
-    cs2 = cross_sales.alias("cs2")
+    # r13 optimization (guide §2.4): the consecutive-year self-join is
+    # an adjacency lookup WITHIN each (p_brand, c_custkey) group — yr
+    # is unique per group (c_name/n_name are functions of c_custkey),
+    # so cs2 at yr+1 is exactly lead(·) ORDER BY yr when (and only
+    # when) the next year present is yr+1.  One window over the
+    # aggregate replaces the CTE checkpoint + two-sided self-join
+    # shuffle: the aggregated relation shuffles once on (brand,
+    # custkey) instead of materializing and shuffling twice.  Oracle
+    # text unchanged; equivalence proven against it at sf0.001/0.01.
+    wn = Window.partitionBy("p_brand", "c_custkey").orderBy("yr")
     return (
-        cs1.join(
-            cs2,
-            (F.col("cs1.p_brand") == F.col("cs2.p_brand"))
-            & (F.col("cs1.c_custkey") == F.col("cs2.c_custkey"))
-            & (F.col("cs2.yr") == F.col("cs1.yr") + 1)
-            & (F.col("cs2.rev") <= F.col("cs1.rev") * 0.5),
+        cross_sales.select(
+            "p_brand", "c_custkey", "c_name", "n_name",
+            F.col("yr").alias("base_year"),
+            F.col("rev").alias("base_rev"),
+            F.col("n_items").alias("base_items"),
+            F.lead("yr").over(wn).alias("next_year"),
+            F.lead("rev").over(wn).alias("next_rev"),
         )
-        .filter(F.col("cs1.rev") > 0)
+        .filter(
+            (F.col("base_rev") > 0)
+            & (F.col("next_year") == F.col("base_year") + 1)
+            & (F.col("next_rev") <= F.col("base_rev") * 0.5)
+        )
         .select(
-            F.col("cs1.p_brand").alias("p_brand"),
-            F.col("cs1.c_custkey").alias("c_custkey"),
-            F.col("cs1.c_name").alias("c_name"),
-            F.col("cs1.n_name").alias("n_name"),
-            F.col("cs1.yr").alias("base_year"),
-            F.col("cs1.rev").alias("base_rev"),
-            F.col("cs1.n_items").alias("base_items"),
-            F.col("cs2.yr").alias("next_year"),
-            F.col("cs2.rev").alias("next_rev"),
-            F.round(F.col("cs2.rev") / F.col("cs1.rev"), 4).alias(
+            "p_brand", "c_custkey", "c_name", "n_name",
+            "base_year", "base_rev", "base_items",
+            "next_year", "next_rev",
+            F.round(F.col("next_rev") / F.col("base_rev"), 4).alias(
                 "ratio"
             ),
         )

@@ -252,10 +252,17 @@ def test_q4_exists_is_semi_join(spark):
     assert "LeftSemi" in s, s
 
 
-def test_q21_anti_join_planned(spark):
+def test_q21_single_fact_pass_window(spark):
+    """r13: the EXISTS/NOT EXISTS pair is computed by ONE window over
+    the lineitem-orders join's own l_orderkey partitioning — no
+    semi/anti join re-shuffles the fact table, and at most one hash
+    exchange of fact-sized data appears in the plan."""
     df = QUERIES["tpch_q21_waiting_supplier"](spark, SF_DIR)
     s = checks.plan_string(df, "simple")
-    assert "LeftSemi" in s and "LeftAnti" in s, s
+    assert "Window" in s, s
+    assert "LeftSemi" not in s and "LeftAnti" not in s, s
+    # lineitem appears once, not three times
+    assert s.count("lineitem.parquet") == 1, s
 
 
 def test_q19_single_join_no_fact_shuffle(spark):
@@ -339,16 +346,16 @@ def test_q67_rollup_rank_plan_shape(spark):
 
 
 def test_q64_cross_year_plan_shape(spark):
-    """tpcds_q64_cross_year_sales: the wide CTE is localCheckpointed so
-    the self-join reads ONE materialization (no double scan of the
-    6-way join), and the self-join is an equi-join, never a product."""
+    """tpcds_q64_cross_year_sales (r13): the consecutive-year self-join
+    is replaced by lead() over (p_brand, c_custkey) ORDER BY yr — the
+    wide CTE is computed ONCE (each fact/dim parquet scanned once), no
+    checkpoint materialization, no self-join, never a product."""
     df = QUERIES["tpcds_q64_cross_year_sales"](spark, SF_DIR)
     s = checks.plan_string(df, "simple")
-    # both join inputs come from the checkpointed relation, not from
-    # re-running the 6-way join: the plan scans the RDD materialization
-    # and contains NO parquet FileScan at all
-    assert s.count("ExistingRDD") >= 2, s
-    assert "FileScan" not in s, s
+    assert "Window" in s, s
+    # the CTE feeds the window directly: every table scanned exactly once
+    assert s.count("lineitem.parquet") == 1, s
+    assert s.count("orders.parquet") == 1, s
     assert "CartesianProduct" not in s and "BroadcastNestedLoopJoin" not in s
 
 
