@@ -193,50 +193,67 @@ def shared_run_pairs(
     shingle_text = F.concat_ws(
         " ", *[F.col(f"s.t{j}") for j in range(window)]
     )
-    shingle = (
-        F.struct(
+    # plain (h1, h2) key COLUMNS, not a struct — flat keys stay in the
+    # primitive hash/compare fast path through every join and
+    # aggregation below (r13)
+    if hash_key:
+        key_exprs = [
             F.xxhash64(shingle_text).alias("h1"),
             F.crc32(shingle_text).alias("h2"),
-        )
-        if hash_key
-        else shingle_text
-    )
+        ]
+        key_cols = ["h1", "h2"]
+    else:
+        key_exprs = [shingle_text.alias("shingle")]
+        key_cols = ["shingle"]
     pos_rows = (
         _spread(df, id_col)
         .select(
             F.col(id_col).alias("doc"),
             F.posexplode(zipped).alias("pos", "s"),
         )
-        .select("doc", "pos", shingle.alias("shingle"))
+        .select("doc", "pos", *key_exprs)
         .localCheckpoint(eager=False)
     )
-    dist = pos_rows.select("doc", "shingle").distinct().localCheckpoint(
+    dist = pos_rows.select("doc", *key_cols).distinct().localCheckpoint(
         eager=False
     )
     if max_df is not None:
-        dist = _drop_hot_shingles(dist, max_df).localCheckpoint(eager=False)
+        hot = (
+            dist.groupBy(*key_cols)
+            .agg(F.count(F.lit(1)).alias("df_cnt"))
+            .filter(F.col("df_cnt") > max_df)
+            .select(*key_cols)
+        )
+        dist = dist.join(hot, key_cols, "left_anti").localCheckpoint(
+            eager=False
+        )
         pos_rows = pos_rows.join(
-            dist.select("shingle").distinct(), "shingle", "left_semi"
+            dist.select(*key_cols).distinct(), key_cols, "left_semi"
         )
     sizes = dist.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = dist.alias("a"), dist.alias("b")
     inter = (
         a.join(
             b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc") < F.col("b.doc")),
+            [F.col(f"a.{c}") == F.col(f"b.{c}") for c in key_cols]
+            + [F.col("a.doc") < F.col("b.doc")],
         )
         .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("shared_windows"))
     )
     # matched source positions per ORDERED pair -> island lengths; the
-    # longest island of matched windows spans island + window - 1 tokens
+    # longest island of matched windows spans island + window - 1 tokens.
+    # (An r13 experiment derived shared_windows from this relation via
+    # count_distinct over the window partitioning to drop the dist×dist
+    # join above — measured SLOWER: the distinct aggregate re-expands
+    # matched on (src, dst, h1, h2) while the self-join stays broadcast-
+    # sized.  Kept the join.)
     p, q = pos_rows.alias("p"), dist.alias("q")
     matched = (
         p.join(
             q,
-            (F.col("p.shingle") == F.col("q.shingle"))
-            & (F.col("p.doc") != F.col("q.doc")),
+            [F.col(f"p.{c}") == F.col(f"q.{c}") for c in key_cols]
+            + [F.col("p.doc") != F.col("q.doc")],
         )
         .select(
             F.col("p.doc").alias("src"),

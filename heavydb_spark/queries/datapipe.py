@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 
 from heavydb_spark.operators import dedup, pipeline, similarity, text
 from heavydb_spark.queries.registry import query
-from heavydb_spark.queries.util import T
+from heavydb_spark.queries.util import T, range_spread
 
 # --------------------------------------------------------------- dedup
 
@@ -608,13 +608,13 @@ def sim_embedding_neardup(spark, sf_dir):
 def text_token_stats(spark, sf_dir):
     """Token counting: whitespace tokens + BPE-ish subword estimate
     (operators/text.py)."""
-    d = T(spark, sf_dir, "documents")
+    d = range_spread(T(spark, sf_dir, "documents"), "doc_id")
     return d.select(
         "doc_id",
         F.length("text").alias("n_chars_m"),
         text.token_count(F.col("text")).alias("n_tokens"),
         text.bpe_ish_token_count(F.col("text")).cast("int").alias("n_bpe_ish"),
-    ).orderBy("doc_id")
+    ).sortWithinPartitions("doc_id")
 
 
 @query(
@@ -635,7 +635,7 @@ def text_token_stats(spark, sf_dir):
 )
 def text_quality(spark, sf_dir):
     """Quality scoring: length/alpha/digit/punct/stopword ratios."""
-    d = T(spark, sf_dir, "documents")
+    d = range_spread(T(spark, sf_dir, "documents"), "doc_id")
     return text.quality_features(d).select(
         "doc_id",
         "q_chars",
@@ -645,7 +645,7 @@ def text_quality(spark, sf_dir):
         "q_digit_ratio",
         "q_punct_ratio",
         "q_stopword_ratio",
-    ).orderBy("doc_id")
+    ).sortWithinPartitions("doc_id")
 
 
 @query(
@@ -681,10 +681,10 @@ def text_lang_id(spark, sf_dir):
     """Language-ID heuristic: argmax of per-language marker-token counts,
     first-in-code-order tie-break ('de' < 'en' < 'es' < 'fr' < 'zh') —
     mirrored exactly in the oracle CASE chain."""
-    d = T(spark, sf_dir, "documents")
+    d = range_spread(T(spark, sf_dir, "documents"), "doc_id")
     return d.select(
         "doc_id", "lang", text.lang_id(F.col("text")).alias("pred_lang")
-    ).orderBy("doc_id")
+    ).sortWithinPartitions("doc_id")
 
 
 @query(

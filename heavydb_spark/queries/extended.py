@@ -2093,9 +2093,26 @@ def render_pixel_bins(spark, sf_dir):
     bin-center pixels, group-by the bins. Pure codegen projections
     plus one hash group-by; the oracle replays the identical generated
     double formulas in DuckDB."""
-    c = T(spark, sf_dir, "customer").filter(F.col("c_custkey") < 2000)
-    lon = F.lit(-20.0) + (F.col("c_custkey") % 4000).cast("double") / 100
-    lat = F.lit(20.0) + ((F.col("c_custkey") * 13) % 3000).cast("double") / 100
+    # r13: project lon/lat ONCE as named columns before the bin
+    # formulas — inlined, the coordinate arithmetic is re-substituted
+    # at every valx/valy reference inside the generated hex kernels
+    # (a ~25 KB expression tree per bin column), and the driver
+    # re-analyzes/optimizes that tree on every execution.
+    # CollapseProject keeps the split (it never duplicates non-cheap
+    # expressions used more than once), so the values are bit-identical
+    # while the plan tree shrinks ~30x.
+    c = (
+        T(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < 2000)
+        .select(
+            (F.lit(-20.0) + (F.col("c_custkey") % 4000).cast("double") / 100)
+            .alias("__lon"),
+            (F.lit(20.0) + ((F.col("c_custkey") * 13) % 3000).cast("double") / 100)
+            .alias("__lat"),
+        )
+    )
+    lon = F.col("__lon")
+    lat = F.col("__lat")
     hexw = 10.0 * _render.SQRT3 / 2.0
     binned = c.filter(
         _render.is_point_in_merc_view(lon, lat, -10.0, 15.0, 25.0, 45.0)

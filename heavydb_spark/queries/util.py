@@ -39,6 +39,24 @@ def sum_half_up_cents(col, decimals: int = 4) -> "F.Column":
     )
 
 
+def range_spread(df: DataFrame, *key_cols: str) -> DataFrame:
+    """RANGE-partition the (cheap, narrow) INPUT by the final sort key.
+
+    r13 optimization for map-heavy queries that end in
+    `.orderBy(key)`: a terminal global sort samples range boundaries
+    by EXECUTING ITS CHILD — when the child is an expensive projection
+    with no exchange below it (regex/split feature maps over a scan),
+    the whole map runs twice and on the scan's partitioning (a single
+    partition for a one-file fixture).  Range-partitioning the RAW
+    input by the key first and finishing with
+    `.sortWithinPartitions(key)` yields the identical total order
+    while (a) sampling only the cheap scan, (b) computing the map
+    once, (c) spreading it across every core (guide §1.2/§2.5).
+    """
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartitionByRange(n, *[F.col(c) for c in key_cols])
+
+
 def r4(col) -> "F.Column":
     return F.round(col, 4)
 
