@@ -594,14 +594,26 @@ def _minhash_wide(
         "doc", F.xxhash64("shingle").alias("h")
     )
     consts = _affine_constants(num_perm)
+    # r13: each aggregate as ONE F.expr string instead of ~8 chained
+    # Column operations — the bench rebuilds this DataFrame every
+    # iteration, and 64 aggregates × 8 py4j round-trips was ~0.6 s of
+    # pure driver-side construction per build (measured; the parsed
+    # expression tree is identical: BIGINT literals wrap exactly like
+    # the lit().cast("long") form under the session's non-ANSI mode).
     aggs = [
-        F.min(
-            F.col("h") * F.lit(_to_i64(a)).cast("long")
-            + F.lit(_to_i64(b)).cast("long")
-        ).alias(f"m{i}")
+        F.expr(
+            f"min(h * {_to_i64(a)}L + {_to_i64(b)}L) AS m{i}"
+        )
         for i, (a, b) in enumerate(consts)
     ]
     return base.groupBy("doc").agg(*aggs)
+
+
+def _sig_array(num_perm: int) -> Column:
+    """array(m0..m{k-1}) as one parsed expression (single py4j call)."""
+    return F.expr(
+        "array(" + ", ".join(f"m{i}" for i in range(num_perm)) + ")"
+    )
 
 
 def minhash_signatures(
@@ -613,27 +625,24 @@ def minhash_signatures(
 ) -> DataFrame:
     """Per-doc minhash signature as an array<long> of length num_perm."""
     return _minhash_wide(df, id_col, text_col, n, num_perm).select(
-        "doc",
-        F.array(*[F.col(f"m{i}") for i in range(num_perm)]).alias("sig"),
+        "doc", _sig_array(num_perm).alias("sig")
     )
 
 
 def _banded(wide: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
     """(doc, band, band_hash) rows: band hash = multi-arg xxhash64 over
     that band's min columns — no higher-order functions, whole plan in
-    codegen."""
+    codegen.  Built as one parsed expression (r13): the per-iteration
+    construction cost of 16 multi-arg hash Columns was measurable."""
+    hashes = ", ".join(
+        "xxhash64("
+        + ", ".join(f"m{b * rows_per_band + j}" for j in range(rows_per_band))
+        + ")"
+        for b in range(bands)
+    )
     return wide.select(
         "doc",
-        F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(
-                        *[f"m{b * rows_per_band + j}" for j in range(rows_per_band)]
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band", "band_hash"),
+        F.posexplode(F.expr(f"array({hashes})")).alias("band", "band_hash"),
     )
 
 
@@ -700,17 +709,15 @@ def minhash_dedup_pairs(
         eager=False
     )
     cands = minhash_lsh_candidates(wide, bands, num_perm // bands)
-    sig_arr = wide.select(
-        "doc", F.array(*[F.col(f"m{i}") for i in range(num_perm)]).alias("sig")
-    )
+    sig_arr = wide.select("doc", _sig_array(num_perm).alias("sig"))
     a = sig_arr.withColumnRenamed("doc", "doc_a").withColumnRenamed("sig", "sig_a")
     b = sig_arr.withColumnRenamed("doc", "doc_b").withColumnRenamed("sig", "sig_b")
-    est = F.size(
-        F.filter(
-            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
-            lambda eq: eq,
-        )
-    ) / F.lit(num_perm)
+    # one parsed expression — column-lambda construction (zip_with +
+    # filter) costs several py4j exchanges per build (r13)
+    est = F.expr(
+        "size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), e -> e))"
+        f" / {num_perm}"
+    )
     return (
         cands.join(a, "doc_a")
         .join(b, "doc_b")
@@ -746,20 +753,25 @@ def simhash64(
         .filter(F.col("t") != "")
         .withColumn("h", hash_fn(F.col("t")))
     )
+    # r13: the 64 vote aggregates and the 64-term bit fold as parsed
+    # expressions — the chained-Column form cost ~500 py4j round-trips
+    # of driver time per build (same fix as _minhash_wide; the parsed
+    # trees are identical, so fingerprints are bit-identical)
     votes = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"b{i}")
+        F.expr(
+            f"sum(CASE WHEN (shiftright(h, {i}) & 1) = 1"
+            f" THEN 1 ELSE -1 END) AS b{i}"
+        )
         for i in range(64)
     ]
     agg = tok.groupBy("doc").agg(*votes)
-    fp = None
-    for i in range(64):
-        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(
-            F.lit(0).cast("long")
+    fp = F.expr(
+        " | ".join(
+            f"shiftleft(CAST(CASE WHEN b{i} > 0 THEN 1 ELSE 0 END"
+            f" AS BIGINT), {i})"
+            for i in range(64)
         )
-        term = F.shiftleft(bit, i)
-        fp = term if fp is None else fp.bitwiseOR(term)
+    )
     return agg.select("doc", fp.alias("simhash"))
 
 

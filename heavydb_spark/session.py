@@ -25,12 +25,6 @@ _BUILD_CONF = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
-    # r13 (guide §3.1): let AQE rewrite sort-merge -> shuffled-hash when
-    # EVERY post-shuffle partition of the build side is under 64 MB —
-    # a runtime decision from actual sizes, so it self-disables at
-    # 100 TB where partitions exceed the bound (no OOM risk) and kicks
-    # in exactly where a per-partition hash build beats sort-merge.
-    "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold": "64m",
     # Deterministic, tz-independent semantics (oracle = DuckDB, tz-naive).
     "spark.sql.session.timeZone": "UTC",
     # Wraparound integer arithmetic (hash pipelines rely on it); the
@@ -52,9 +46,6 @@ RUNTIME_CONF = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.ansi.enabled": "false",
-    # r13 (guide §3.1): AQE sort-merge -> shuffled-hash below 64 MB
-    # per-partition; runtime-sized, self-disabling at scale.
-    "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold": "64m",
 }
 
 
