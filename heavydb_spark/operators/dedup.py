@@ -381,20 +381,27 @@ def remove_duplicate_spans(
         occ.join(stats.filter(F.col("cnt") > 1), key_cols)
         .filter(F.struct("doc", "wpos") != F.col("keeper"))
     )
-    # no .distinct() on the covered positions (r13): LEFT ANTI ignores
-    # right-side duplicates, and the dedup was one more full exchange +
-    # aggregate of the largest post-explode relation for nothing.
-    # Both anti-join sides are repartitioned on doc alone: that
+    # r13: both anti-join sides are repartitioned on doc alone — that
     # satisfies the (doc, pos) join's ClusteredDistribution AND the
     # reassembly groupBy(doc) downstream, so the kept-token relation
     # flows join -> aggregate with no further exchange (guide §2.4).
+    # The covered-position dedup moves AFTER that repartition: a
+    # doc-partitioned child already satisfies the distinct's clustering
+    # (subset rule), so the dedup costs no exchange of its own, and
+    # under heavy duplication (the §D adversarial 10x: every position
+    # covered by up to `window` overlapping duplicated grams) it
+    # shrinks the anti-join's build input up to window-fold.
     n_part = df.sparkSession.sparkContext.defaultParallelism
-    covered = dup_occ.select(
-        "doc",
-        F.explode(
-            F.sequence(F.col("wpos"), F.col("wpos") + (window - 1))
-        ).alias("pos"),
-    ).repartition(n_part, F.col("doc"))
+    covered = (
+        dup_occ.select(
+            "doc",
+            F.explode(
+                F.sequence(F.col("wpos"), F.col("wpos") + (window - 1))
+            ).alias("pos"),
+        )
+        .repartition(n_part, F.col("doc"))
+        .distinct()
+    )
     toks = base.select("doc", F.posexplode("toks").alias("pos", "tok")) \
         .repartition(n_part, F.col("doc"))
     kept = toks.join(covered, ["doc", "pos"], "left_anti")
