@@ -83,21 +83,25 @@ def token_shingles(text_col: Column, n: int = 3) -> Column:
 
 # -------------------------------------------------------- exact jaccard
 
-def _drop_hot_shingles(sh: DataFrame, max_df: int) -> DataFrame:
+def _drop_hot_shingles(
+    sh: DataFrame, max_df: int, key_cols: tuple[str, ...] = ("shingle",)
+) -> DataFrame:
     """Drop shingles whose document frequency exceeds `max_df` — the
     boilerplate/stop-phrase skew cap. A shingle in k docs contributes
     O(k^2) join pairs; capping k bounds the worst shingle's cost while
     near-dup recall survives on the rare shingles (boilerplate shared
     by thousands of docs is exactly what should NOT make candidates).
     One aggregate on the already-partitioned shingle key + an anti
-    join that Catalyst plans on the same partitioning."""
+    join that Catalyst plans on the same partitioning. `key_cols`
+    names the shingle key columns (raw text, or the compact hashed
+    pair)."""
     hot = (
-        sh.groupBy("shingle")
+        sh.groupBy(*key_cols)
         .agg(F.count(F.lit(1)).alias("df_cnt"))
         .filter(F.col("df_cnt") > max_df)
-        .select("shingle")
+        .select(*key_cols)
     )
-    return sh.join(hot, "shingle", "left_anti")
+    return sh.join(hot, list(key_cols), "left_anti")
 
 
 def ngram_jaccard_pairs(
@@ -107,6 +111,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.8,
     max_df: int | None = None,
+    hash_key: bool = True,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-duplicate pairs (id_a < id_b).
 
@@ -116,17 +121,41 @@ def ngram_jaccard_pairs(
     `max_df` to drop shingles above a document-frequency cap before the
     join (`_drop_hot_shingles`). Sizes then count KEPT shingles, so
     jaccard stays a true ratio over the compared sets.
+
+    `hash_key=True` (default, r13) replaces the raw ~n-token shingle
+    text with compact (xxhash64, crc32) key COLUMNS before anything
+    shuffles — the distinct, the df-cap and the self-join all key on
+    12 bytes instead of 20-50-byte strings (the same collision
+    analysis as `remove_duplicate_spans` / `shared_run_pairs`:
+    ~n²/2^97 for n distinct shingles — at a trillion shingles ≈6e-6,
+    a collision at worst merging two shingles inside one doc's set,
+    perturbing a single jaccard denominator by 1). `hash_key=False`
+    restores exact raw-text keying.
     """
+    sh0 = _shingle_rows(df, id_col, text_col, n)
+    if hash_key:
+        key_cols: tuple[str, ...] = ("h1", "h2")
+        sh0 = sh0.select(
+            "doc",
+            F.xxhash64("shingle").alias("h1"),
+            F.crc32("shingle").alias("h2"),
+        )
+    else:
+        key_cols = ("shingle",)
     # sizes + both join sides read the shingle relation — one pass
-    sh = _shingle_rows(df, id_col, text_col, n).distinct().localCheckpoint(
-        eager=False
-    )
+    sh = sh0.distinct().localCheckpoint(eager=False)
     if max_df is not None:
-        sh = _drop_hot_shingles(sh, max_df).localCheckpoint(eager=False)
+        sh = _drop_hot_shingles(sh, max_df, key_cols).localCheckpoint(
+            eager=False
+        )
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")))
+        a.join(
+            b,
+            [F.col(f"a.{c}") == F.col(f"b.{c}") for c in key_cols]
+            + [F.col("a.doc") < F.col("b.doc")],
+        )
         .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("inter"))
     )
@@ -308,6 +337,7 @@ def remove_duplicate_spans(
     text_col: str,
     window: int = 8,
     hash_key: bool = True,
+    ordered: bool = False,
 ) -> DataFrame:
     """Corpus REWRITE that removes duplicated token spans: every token
     covered by a `window`-token run whose text occurs more than once in
@@ -335,12 +365,18 @@ def remove_duplicate_spans(
     hash-shuffle groupBy on the gram text (map-side partial agg); the
     keeper occurrence is the min (id, wpos) struct in the same agg.
     Duplicated occurrences join back (shuffle on gram), explode to at
-    most `window` covered positions each, and anti-join the token
-    table on (id, pos). Unlike pair detection there is NO occurrence ×
-    occurrence join anywhere — a gram appearing k times contributes
-    O(k·window) rows, never O(k²), so boilerplate cannot blow up the
-    plan; total cost stays linear in corpus tokens. Reassembly is one
-    shuffle on the doc id (sort of an O(doc-length) collected array).
+    most `window` covered positions each, and aggregate into per-doc
+    covered-position sets (collect_set partial-aggregates map-side —
+    one exchange of partially-dedup'd int sets).  The checkpointed
+    (doc, toks) base joins the sets on the doc id and the cleaned text
+    is rebuilt map-side — array_except(sequence, covered) is hash-set
+    based (linear, order-preserving) — so the token payload crosses
+    exactly one exchange, packed as arrays, and no per-doc sort or
+    token-row explode exists in the reassembly. Unlike pair detection
+    there is NO occurrence × occurrence join anywhere — a gram
+    appearing k times contributes O(k·window) rows, never O(k²), so
+    boilerplate cannot blow up the plan; total cost stays linear in
+    corpus tokens.
     """
     tokens = F.split(F.trim(F.col(text_col)), r"\s+")
     base = _spread(df, id_col).select(
@@ -381,49 +417,58 @@ def remove_duplicate_spans(
         occ.join(stats.filter(F.col("cnt") > 1), key_cols)
         .filter(F.struct("doc", "wpos") != F.col("keeper"))
     )
-    # r13: both anti-join sides are repartitioned on doc alone — that
-    # satisfies the (doc, pos) join's ClusteredDistribution AND the
-    # reassembly groupBy(doc) downstream, so the kept-token relation
-    # flows join -> aggregate with no further exchange (guide §2.4).
-    # The covered-position dedup moves AFTER that repartition: a
-    # doc-partitioned child already satisfies the distinct's clustering
-    # (subset rule), so the dedup costs no exchange of its own, and
-    # under heavy duplication (the §D adversarial 10x: every position
-    # covered by up to `window` overlapping duplicated grams) it
-    # shrinks the anti-join's build input up to window-fold.
-    n_part = df.sparkSession.sparkContext.defaultParallelism
-    covered = (
+    # r13 (second pass, guide §2.3/§2.4): reassembly via per-doc covered
+    # POSITION SETS, not token rows.  The previous form exploded every
+    # token (doc, pos, tok), shuffled that row-per-token relation on doc,
+    # anti-joined it against the covered positions, and re-collected +
+    # array_sort'ed the survivors per doc — the token payload crossed an
+    # exchange as exploded rows and paid an O(n log n) sort to restore an
+    # order the base array already had.  Now only the covered POSITIONS
+    # aggregate (collect_set partial-aggregates map-side, so the shuffle
+    # carries per-partition-dedup'd int sets — the same dedup the old
+    # distinct did, one exchange earlier), the checkpointed (doc, toks)
+    # base joins the sets on doc, and the surviving text is rebuilt
+    # map-side: array_except(sequence, covered) is hash-set based
+    # (linear, order-preserving), so no per-doc sort and no token-row
+    # explode anywhere in the reassembly.
+    covered_sets = (
         dup_occ.select(
             "doc",
             F.explode(
                 F.sequence(F.col("wpos"), F.col("wpos") + (window - 1))
             ).alias("pos"),
         )
-        .repartition(n_part, F.col("doc"))
-        .distinct()
+        .groupBy("doc")
+        .agg(F.collect_set("pos").alias("covered"))
     )
-    toks = base.select("doc", F.posexplode("toks").alias("pos", "tok")) \
-        .repartition(n_part, F.col("doc"))
-    kept = toks.join(covered, ["doc", "pos"], "left_anti")
-    # getField over the sorted struct array (GetArrayStructFields,
-    # codegen) instead of transform(..., s -> s["tok"]) (interpreted)
-    rebuilt = kept.groupBy("doc").agg(
-        F.count(F.lit(1)).alias("n_tokens"),
-        F.concat_ws(
-            " ",
-            F.array_sort(
-                F.collect_list(F.struct("pos", "tok"))
-            ).getField("tok"),
-        ).alias("clean_text"),
+    kept_pos = F.array_except(
+        F.sequence(F.lit(0), F.size("toks") - 1),
+        F.coalesce("covered", F.array().cast("array<int>")),
     )
+    joined = base.join(covered_sets, "doc", "left")
+    if ordered:
+        # `ordered=True` range-partitions the JOIN output on the doc id
+        # so a caller's terminal ORDER BY id is satisfied by this
+        # partitioning (alias-aware) with a within-partition sort only —
+        # the global sort's range sampling then executes the cheap join
+        # child, never the rebuild projection below (which a sampling
+        # pass above it would otherwise compute TWICE).
+        joined = joined.repartitionByRange(
+            df.sparkSession.sparkContext.defaultParallelism, F.col("doc")
+        )
     return (
-        base.select("doc", F.size("toks").alias("n_orig"))
-        .join(rebuilt, "doc", "left")
+        joined
+        .select("doc", "toks", kept_pos.alias("kept_pos"))
         .select(
             F.col("doc").alias(id_col),
-            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
-            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
-            (F.col("n_orig") - F.coalesce("n_tokens", F.lit(0))).alias(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    "kept_pos", lambda i: F.element_at("toks", i + 1)
+                ),
+            ).alias("clean_text"),
+            F.size("kept_pos").cast("long").alias("n_tokens"),
+            (F.size("toks") - F.size("kept_pos")).cast("long").alias(
                 "n_removed"
             ),
         )
@@ -461,9 +506,11 @@ def remove_boilerplate_segments(
     ExactSubstr explode); segment frequency is one hash-shuffle
     groupBy on the segment text with a distinct-doc count; deletion is
     a left-anti join of occurrences against the (typically tiny)
-    boilerplate set; reassembly is one shuffle on the doc id. No
-    occurrence-pair join anywhere — a segment repeated k times costs
-    O(k) rows, never O(k^2).
+    boilerplate set; reassembly is one shuffle of the SURVIVING
+    segment rows on the doc id — the shuffle adapts to the removal
+    rate, which the set-rebuild alternative (see the in-body note)
+    does not. No occurrence-pair join anywhere — a segment repeated k
+    times costs O(k) rows, never O(k^2).
     """
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     base = _spread(df, id_col).select(
@@ -492,6 +539,14 @@ def remove_boilerplate_segments(
     # groupBy(doc), so kept flows join -> aggregate with no further
     # exchange (guide §2.4; the boilerplate set stays broadcast-sized
     # by construction, AQE plans it as the build side).
+    # (A second-pass r13 experiment rebuilt from per-doc BAD-position
+    # sets + array_except over the checkpointed base, like
+    # remove_duplicate_spans — measured a LOCAL wash and 25% slower /
+    # +66% shuffle bytes at the §D adversarial 10x: this form ships
+    # only the SURVIVING segment rows, which the superlinear-removal
+    # fixture makes tiny, while the set form ships the full packed
+    # corpus regardless of removal rate.  Kept the survivor-row form —
+    # its shuffle adapts to the removal rate.)
     kept = occ.repartition(
         df.sparkSession.sparkContext.defaultParallelism, F.col("doc")
     ).join(boiler, "seg", "left_anti")

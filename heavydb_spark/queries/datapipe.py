@@ -2118,8 +2118,11 @@ def dedup_span_rewrite(spark, sf_dir):
     removed-token count. No occurrence-pair join anywhere — a gram
     duplicated k times costs O(k·8) rows, never O(k²)."""
     d = T(spark, sf_dir, "documents")
+    # ordered=True: the operator range-partitions its output on the doc
+    # id, so this global ORDER BY sorts within partitions without
+    # sampling (re-executing) the reassembly projection (r13).
     return dedup.remove_duplicate_spans(
-        d, "doc_id", "text", window=8
+        d, "doc_id", "text", window=8, ordered=True
     ).orderBy("doc_id")
 
 
