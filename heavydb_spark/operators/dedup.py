@@ -1057,28 +1057,30 @@ def minhash_dedup_pairs_portable(
         "doc", portable_token_hash(F.col("shingle"), 3).alias("h")
     )
     consts = _affine_constants_m31(num_perm)
+    # r13: parsed expression strings, one py4j round-trip per aggregate
+    # (same fix as _minhash_wide; h and the m31 constants stay below
+    # 2^31 so h*a+b fits int64 with no wrap — the parsed tree is the
+    # Column tree; this variant is exact-oracled, and the oracle ran
+    # green at sf0.001/sf0.01 after the change)
     aggs = [
-        F.min(F.pmod(F.col("h") * a + b, F.lit(_PM31))).alias(f"m{i}")
+        F.expr(f"min(pmod(h * {a} + {b}, {_PM31})) AS m{i}")
         for i, (a, b) in enumerate(consts)
     ]
     wide = base.groupBy("doc").agg(*aggs).localCheckpoint(eager=False)
     rpb = num_perm // bands
+    band_keys = ", ".join(
+        "concat_ws(':', "
+        + ", ".join(
+            f"CAST(m{b * rpb + j} AS STRING)" for j in range(rpb)
+        )
+        + ")"
+        for b in range(bands)
+    )
     banded = wide.select(
         "doc",
-        F.posexplode(
-            F.array(
-                *[
-                    F.concat_ws(
-                        ":",
-                        *[
-                            F.col(f"m{b * rpb + j}").cast("string")
-                            for j in range(rpb)
-                        ],
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band", "band_key"),
+        F.posexplode(F.expr(f"array({band_keys})")).alias(
+            "band", "band_key"
+        ),
     )
     a_, b_ = banded.alias("a"), banded.alias("b")
     cands = (
@@ -1091,17 +1093,13 @@ def minhash_dedup_pairs_portable(
         .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
         .distinct()
     )
-    sig = wide.select(
-        "doc", F.array(*[F.col(f"m{i}") for i in range(num_perm)]).alias("sig")
-    )
+    sig = wide.select("doc", _sig_array(num_perm).alias("sig"))
     a2 = sig.withColumnRenamed("doc", "doc_a").withColumnRenamed("sig", "sig_a")
     b2 = sig.withColumnRenamed("doc", "doc_b").withColumnRenamed("sig", "sig_b")
-    est = F.size(
-        F.filter(
-            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
-            lambda eq: eq,
-        )
-    ) / F.lit(num_perm)
+    est = F.expr(
+        "size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), e -> e))"
+        f" / {num_perm}"
+    )
     return (
         cands.join(a2, "doc_a")
         .join(b2, "doc_b")

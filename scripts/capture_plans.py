@@ -34,9 +34,15 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     os.makedirs(OUT_DIR, exist_ok=True)
 
-    for bench_id, qname in BENCH_QUERIES.items():
-        if only and qname not in only and bench_id not in only:
-            continue
+    targets = [(bid, q) for bid, q in BENCH_QUERIES.items()
+               if not only or q in only or bid in only]
+    bench_names = set(BENCH_QUERIES.values())
+    # catalog queries named explicitly but not in the bench map — the
+    # optimization evidence covers every touched query, not just heads
+    targets += [("--", q) for q in sorted(only)
+                if q in QUERIES and q not in bench_names
+                and q not in BENCH_QUERIES]
+    for bench_id, qname in targets:
         df = QUERIES[qname](spark, SF_DIR)
         plan = df._sc._jvm.PythonSQLUtils.explainString(
             df._jdf.queryExecution(), "formatted"
