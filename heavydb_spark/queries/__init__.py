@@ -37,102 +37,53 @@ from heavydb_spark.queries import (  # noqa: F401,E402
 # Registration-order priority.
 #
 # The verify driver correctness-checks queries in registration order
-# with a bounded budget (~50 per round).  Driver union r1-r12:
-# 256/257 (the one gap, sql_dialect_geo_typed_math, heads the window
-# below); after the r12 window ran, no catalog entry's last driver
-# check predates ROUND 7.  Round-13 executes the r12 verdict queue #1:
-# the window committed in r12 as positions 51-100 rotates to the
-# front UNCHANGED (same 50 entries, same order), the r12-checked
-# window rotates to the very end (freshest), and the r14 window is
-# composed behind the front block (queue #5).
+# with a bounded budget (~50 per round).  Driver union r1-r13: 257/257
+# per the committed rotation plan (VERDICT r13 gate).  Round-14
+# executes the r13 verdict queue #1: the window below pins every r13
+# rewrite (and the r14 optimization targets) for window-grade sf0.01
+# hash verification.
 #
-# ROUND-13 WINDOW (positions 1-50) — committed in r12, run as-is:
-#   1      sql_dialect_geo_typed_math — the only catalog entry never
-#          driver-checked (registered net-new in r11 past the window;
-#          judge tail sample already greens it);
-#   2-10   the r12 regression slice — dml_coercion_postimage (pins the
-#          UPDATE type-coercion fix with a schema-class check), the
-#          three DML post-images, fn_cast_trycast + fn_array_ops (the
-#          r12 paren-unwrap / ARRAY[] decimal-domain dialect changes),
-#          geo_multipolygon_props + geo_polygon_props +
-#          geo_accessors_distance (the r12 hole-ring / junk-WKT kernel
-#          changes);
-#   11-50  old positions 101-150 in age order (sim_hybrid_retrieval
-#          first — displaced in r11), with the rows-only entries'
-#          companions pulled in-window per the pairing rule:
-#          dedup_simhash beside dedup_simhash_portable, sim_ann_ivf
-#          beside sim_ann_ivf_invariants.
-#   Pre-verified twice builder-side in r12 and reproduced by the r12
-#   judge (95 hash-green + 5 rows-only, 0 fails at sf0.01).
+# ROUND-14 WINDOW (positions 1-50) — composed this round (r14):
+#   1-15   the r13/r14 regression slice — tpch_q21 + tpcds_q64 (the
+#          r13 window/lead rewrites, never driver-window-verified in
+#          their new form), dedup_span_rewrite + dedup_boilerplate_
+#          segments + dedup_shared_run + join_fuzzy_names (r13
+#          set-rebuild / doc-alignment / flat-key / hashed-variant
+#          changes), pipe_curation_v2 + pipe_end_to_end_corpus (chain
+#          the changed dedup operators), dedup_minhash_lsh (rows-only)
+#          paired in-window with its exact companions
+#          dedup_minhash_portable + dedup_simhash_portable (the
+#          portable sketch pair, r13 F.expr builders), text_quality +
+#          render_pixel_bins (r13 range_spread / named-column
+#          changes past the r13 window), tpcds_q67_rollup_rank +
+#          text_lm_perplexity (r14 optimization targets);
+#   16-50  the oldest-checked entries (r6-r9 greens) in age order —
+#          tf_dwell_times .. stream_sliding_window.
 #
-# ROUND-14 WINDOW (positions 51-100) — composed this round (r13); see
-# the block comment below for its construction.
-#
-# Past position 100: the r6-r9 greens not yet rotated, freshest-last
-# in unchanged relative order; the 50 entries the r12 driver just
-# checked sit at the very end.
+# Past position 100: the remaining r6-r9 greens freshest-last in
+# unchanged relative order; then the 50 entries the r12 driver
+# checked; the 50 entries the r13 driver just checked sit at the very
+# end (freshest).
 # ---------------------------------------------------------------------------
 _PRIORITY = [
-    # --- ROUND-13 WINDOW (run as-is; committed in r12): never-checked
-    # head + r12 regression slice (DML coercion, cast rewrites, array
-    # constructors, geo kernels), then old positions 101-150 in age
-    # order with rows-only companions pulled in-window (pairing rule:
-    # dedup_simhash/_portable, sim_ann_ivf/_invariants) ---
-    "sql_dialect_geo_typed_math",
-    "dml_coercion_postimage",
-    "dml_update_postimage",
-    "dml_update_correlated_postimage",
-    "dml_delete_postimage",
-    "fn_cast_trycast",
-    "fn_array_ops",
-    "geo_multipolygon_props",
-    "geo_polygon_props",
-    "geo_accessors_distance",
-    "sim_hybrid_retrieval",
-    "pipe_weighted_sample",
-    "pipe_winsorize",
-    "text_source_divergence",
-    "pipe_split_no_leakage",
-    "geo_zorder_layout",
-    "tpcds_q59_wow_ratio",
-    "tpcds_q78_channel_ratio",
-    "tpcds_q72_followup_orders",
-    "dedup_connected_components",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
+    # --- ROUND-14 WINDOW (positions 1-50): r13/r14 regression
+    # slice + oldest-checked entries in age order ---
+    "tpch_q21_waiting_supplier",
+    "tpcds_q64_cross_year_sales",
+    "dedup_span_rewrite",
+    "dedup_boilerplate_segments",
+    "dedup_shared_run",
+    "join_fuzzy_names",
+    "pipe_curation_v2",
+    "pipe_end_to_end_corpus",
+    "dedup_minhash_lsh",
+    "dedup_minhash_portable",
     "dedup_simhash_portable",
-    "except_keys",
-    "fn_datetime_week_variants",
-    "fn_encode_hash",
-    "fn_json_value",
-    "fn_math",
-    "fn_udaf_geomean",
-    "fn_unnest_explode",
-    "geo_bbox_join",
-    "geo_point_distance",
-    "geo_polygon_contains_join",
-    "geo_range_join",
-    "intersect_keys",
-    "like_regexp_filter",
-    "llm_transform_template",
-    "ml_linear_reg",
-    "ml_r2_score",
-    "mm_media_features",
-    "sim_ann_ivf",
-    "sim_ann_ivf_invariants",
-    "sim_cosine_topk",
-    "stream_dedup_events",
-    "stream_session_window",
-    "stream_tumbling_window",
-    "text_lang_id",
-    "text_token_stats",
-    "tf_cross_section_1d",
-    # --- ROUND-14 WINDOW (composed in r13): placeholder — finalized
-    # at end of round after the r13 fixes determine the regression
-    # slice ---
-    # --- past the window: r6-r9 greens freshest-last (unchanged
-    # relative order; r11-checked block at its tail) ---
+    "text_quality",
+    "render_pixel_bins",
+    "tpcds_q67_rollup_rank",
+    "text_lm_perplexity",
+    # (oldest-checked fill, age order)
     "tf_dwell_times",
     "tf_feature_similarity",
     "tf_geo_rasterize",
@@ -141,7 +92,6 @@ _PRIORITY = [
     "agg_count_if_sum_if",
     "agg_groupby_multicol",
     "dedup_fingerprint",
-    "dedup_minhash_lsh",
     "fn_datetime",
     "fn_decimal",
     "geo_grid_join",
@@ -169,7 +119,7 @@ _PRIORITY = [
     "scan_project_filter",
     "stream_interval_join",
     "stream_sliding_window",
-    "text_quality",
+    # --- past the window: remaining r6-r9 greens freshest-last ---
     "tf_cross_section_2d",
     "tf_feature_query_similarity",
     "tf_mandelbrot",
@@ -231,8 +181,6 @@ _PRIORITY = [
     "pipe_mix_sources",
     "pipe_pack_sequences",
     "text_repetition",
-    "dedup_minhash_portable",
-    "pipe_end_to_end_corpus",
     "tf_generate_random_strings",
     "ml_dbscan",
     "tf_raster_slope_path",
@@ -244,15 +192,12 @@ _PRIORITY = [
     "agg_grouping_sets",
     "agg_filter_clause",
     "sql_dialect_geo_predicates",
-    "tpcds_q67_rollup_rank",
     "fn_string_extra",
     "tf_torch_obj_detect",
     "geo_buffer_dispatch",
     "geo_transform_epsg",
-    "render_pixel_bins",
     "geo_h3_binning",
     "tpch_q9_product_profit",
-    "tpch_q21_waiting_supplier",
     "tpcds_cross_channel",
     "tpcds_q51_cumulative_join",
     "tpcds_q88_band_counts",
@@ -265,16 +210,12 @@ _PRIORITY = [
     "pipe_corpus_report",
     "pipe_epoch_oversample",
     "pipe_mix_token_budget",
-    "dedup_shared_run",
     "sim_semantic_dedup",
     "text_quality_classifier",
-    "text_lm_perplexity",
     "pipe_model_filter_chain",
     "sim_semantic_dedup_kmeans",
     "sim_semantic_kmeans_invariants",
     "pipe_dsir_select",
-    "dedup_span_rewrite",
-    "dedup_boilerplate_segments",
     "pipe_mix_temperature",
     "text_ngram_vocab",
     "text_tfidf_topterms",
@@ -288,12 +229,10 @@ _PRIORITY = [
     "pipe_shard_assign",
     "sim_label_centroids",
     "text_gopher_filter",
-    "pipe_curation_v2",
     "text_bm25_topk",
-    # --- the 50 entries the r12 driver just checked (freshest) ---
+    # --- the 50 entries the r12 driver checked ---
     "text_chunk_windows",
     "geo_transform_datum",
-    "tpcds_q64_cross_year_sales",
     "tpcds_q49_ranked_returns",
     "tpcds_q38_triple_intersect",
     "tpcds_q1_returns_above_avg",
@@ -331,7 +270,6 @@ _PRIORITY = [
     "subquery_correlated_exists",
     "subquery_in_select",
     "join_asof_backward",
-    "join_fuzzy_names",
     "window_row_number_topn",
     "window_lag_lead",
     "window_running_sum",
@@ -341,6 +279,56 @@ _PRIORITY = [
     "fn_string_regex",
     "sim_scalar_quantize",
     "sim_pq_encode",
+    # --- the 50 entries the r13 driver just checked (freshest) ---
+    "sql_dialect_geo_typed_math",
+    "dml_coercion_postimage",
+    "dml_update_postimage",
+    "dml_update_correlated_postimage",
+    "dml_delete_postimage",
+    "fn_cast_trycast",
+    "fn_array_ops",
+    "geo_multipolygon_props",
+    "geo_polygon_props",
+    "geo_accessors_distance",
+    "sim_hybrid_retrieval",
+    "pipe_weighted_sample",
+    "pipe_winsorize",
+    "text_source_divergence",
+    "pipe_split_no_leakage",
+    "geo_zorder_layout",
+    "tpcds_q59_wow_ratio",
+    "tpcds_q78_channel_ratio",
+    "tpcds_q72_followup_orders",
+    "dedup_connected_components",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "except_keys",
+    "fn_datetime_week_variants",
+    "fn_encode_hash",
+    "fn_json_value",
+    "fn_math",
+    "fn_udaf_geomean",
+    "fn_unnest_explode",
+    "geo_bbox_join",
+    "geo_point_distance",
+    "geo_polygon_contains_join",
+    "geo_range_join",
+    "intersect_keys",
+    "like_regexp_filter",
+    "llm_transform_template",
+    "ml_linear_reg",
+    "ml_r2_score",
+    "mm_media_features",
+    "sim_ann_ivf",
+    "sim_ann_ivf_invariants",
+    "sim_cosine_topk",
+    "stream_dedup_events",
+    "stream_session_window",
+    "stream_tumbling_window",
+    "text_lang_id",
+    "text_token_stats",
+    "tf_cross_section_1d",
 ]
 
 
