@@ -55,9 +55,19 @@ def _spread(df: DataFrame, key_col: str) -> DataFrame:
     then run on one core. Partitioning by the key also pre-aligns the
     data with the downstream groupBy(key), so Catalyst elides the second
     shuffle — net cost is one small shuffle of raw rows.
+
+    Partition count = max(cores, shuffle.partitions), EXPLICIT on
+    purpose: see session.spread_partition_count — a count-less
+    repartition lets AQE coalesce this exchange by bytes, and its
+    downstream stages are exactly the CPU-per-byte-heavy narrow work
+    a byte heuristic misjudges (measured: fuzzy-join variant explode
+    collapsed to 1 task, 2 s -> 10 s).
     """
-    n = df.sparkSession.sparkContext.defaultParallelism
-    return df.repartition(n, F.col(key_col))
+    from heavydb_spark.session import spread_partition_count
+
+    return df.repartition(
+        spread_partition_count(df.sparkSession), F.col(key_col)
+    )
 
 def token_shingles(text_col: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles of a text column (JVM higher-order
@@ -113,7 +123,11 @@ def ngram_jaccard_pairs(
     max_df: int | None = None,
     hash_key: bool = True,
 ) -> DataFrame:
-    """Exact n-gram Jaccard near-duplicate pairs (id_a < id_b).
+    """N-gram Jaccard near-duplicate pairs (id_a < id_b). With the
+    default `hash_key=True` the join keys are 96-bit hashes of the
+    shingles — Jaccard over hashed shingle sets, exact up to a
+    ~n²/2^97 collision bound (see below); pass `hash_key=False` for
+    literally exact raw-text keying.
 
     Plan shape: explode shingles → self equi-join on shingle (bounded by
     shared-shingle co-occurrence, not |docs|^2) → group pair → jaccard.
@@ -441,10 +455,16 @@ def remove_duplicate_spans(
         .groupBy("doc")
         .agg(F.collect_set("pos").alias("covered"))
     )
-    kept_pos = F.array_except(
-        F.sequence(F.lit(0), F.size("toks") - 1),
-        F.coalesce("covered", F.array().cast("array<int>")),
-    )
+    # Guard the sequence end (r14, advice): for a NULL text size(toks)
+    # is -1 under the session's non-ANSI mode and sequence(0, negative)
+    # DESCENDS ([0, -1, ...]); null/empty docs must keep zero tokens.
+    kept_pos = F.when(
+        F.size("toks") > 0,
+        F.array_except(
+            F.sequence(F.lit(0), F.size("toks") - 1),
+            F.coalesce("covered", F.array().cast("array<int>")),
+        ),
+    ).otherwise(F.array().cast("array<int>"))
     joined = base.join(covered_sets, "doc", "left")
     if ordered:
         # `ordered=True` range-partitions the JOIN output on the doc id
@@ -453,8 +473,10 @@ def remove_duplicate_spans(
         # the global sort's range sampling then executes the cheap join
         # child, never the rebuild projection below (which a sampling
         # pass above it would otherwise compute TWICE).
+        from heavydb_spark.session import spread_partition_count
+
         joined = joined.repartitionByRange(
-            df.sparkSession.sparkContext.defaultParallelism, F.col("doc")
+            spread_partition_count(df.sparkSession), F.col("doc")
         )
     return (
         joined
@@ -468,9 +490,11 @@ def remove_duplicate_spans(
                 ),
             ).alias("clean_text"),
             F.size("kept_pos").cast("long").alias("n_tokens"),
-            (F.size("toks") - F.size("kept_pos")).cast("long").alias(
-                "n_removed"
-            ),
+            # greatest(size, 0): a NULL text has size(toks) = -1, and
+            # removed-count must be 0 for a doc that kept 0 of 0 tokens
+            (
+                F.greatest(F.size("toks"), F.lit(0)) - F.size("kept_pos")
+            ).cast("long").alias("n_removed"),
         )
     )
 
@@ -537,8 +561,13 @@ def remove_boilerplate_segments(
     # r13: repartition the occurrence side on doc before the anti join —
     # HashPartitioning(doc) satisfies the join AND the reassembly
     # groupBy(doc), so kept flows join -> aggregate with no further
-    # exchange (guide §2.4; the boilerplate set stays broadcast-sized
-    # by construction, AQE plans it as the build side).
+    # exchange (guide §2.4).  r14 (advice): the boilerplate set is
+    # broadcast EXPLICITLY — the shared-exchange plan is only right
+    # when the anti join builds on `boiler`, and min_docs does not
+    # bound the set's size, so the assumption is now visible in the
+    # plan rather than left to the size estimator.  On a corpus where
+    # the boilerplate set outgrows executor memory, drop the hint and
+    # accept the extra seg-keyed exchange (documented fallback).
     # (A second-pass r13 experiment rebuilt from per-doc BAD-position
     # sets + array_except over the checkpointed base, like
     # remove_duplicate_spans — measured a LOCAL wash and 25% slower /
@@ -547,9 +576,11 @@ def remove_boilerplate_segments(
     # fixture makes tiny, while the set form ships the full packed
     # corpus regardless of removal rate.  Kept the survivor-row form —
     # its shuffle adapts to the removal rate.)
+    from heavydb_spark.session import spread_partition_count
+
     kept = occ.repartition(
-        df.sparkSession.sparkContext.defaultParallelism, F.col("doc")
-    ).join(boiler, "seg", "left_anti")
+        spread_partition_count(df.sparkSession), F.col("doc")
+    ).join(F.broadcast(boiler), "seg", "left_anti")
     # getField (codegen) instead of an interpreted transform lambda
     rebuilt = kept.groupBy("doc").agg(
         F.count(F.lit(1)).alias("n_kept"),
@@ -1138,7 +1169,9 @@ def group_shingle_overlap(
     # round-robin spread, not _spread(group_col): a handful of group
     # values would cap the explode's parallelism at |groups| partitions,
     # and the distinct reshuffles on (grp, shingle) regardless.
-    spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    from heavydb_spark.session import spread_partition_count
+
+    spread = df.repartition(spread_partition_count(df.sparkSession))
     dist = (
         spread.select(
             F.col(group_col).alias("grp"),
@@ -1256,8 +1289,18 @@ def fuzzy_string_pairs(
             "concat(substr(__s, 1, i - 1), substr(__s, i + 1)))"
         ),
     )
+    # r14 (advice): drop null strings BEFORE the variant explode — a
+    # null name can never match (levenshtein returns null), but
+    # explode_outer emits a null-variant row whose xxhash64 is the
+    # non-null seed hash, so all null rows would share one block key
+    # and form O(k²) candidate pairs that only die at the verify.
     v = (
-        _spread(df.select(F.col(id_col), F.col(s_col).alias("__s")), id_col)
+        _spread(
+            df.select(F.col(id_col), F.col(s_col).alias("__s")).filter(
+                F.col(s_col).isNotNull()
+            ),
+            id_col,
+        )
         .select(id_col, "__s", F.explode_outer(variants).alias("__v0"))
         .select(id_col, "__s", F.xxhash64("__v0").alias("__v"))
     )

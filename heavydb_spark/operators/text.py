@@ -625,9 +625,13 @@ def bpe_encode_docs(
 
 def _doc_spread(df: DataFrame, key_col: str) -> DataFrame:
     """Hash-repartition on the doc key before the explode (a small
-    single-file scan arrives as 1 partition; see dedup._spread)."""
-    n = df.sparkSession.sparkContext.defaultParallelism
-    return df.repartition(n, F.col(key_col))
+    single-file scan arrives as 1 partition; see dedup._spread and
+    session.spread_partition_count for why the count is explicit)."""
+    from heavydb_spark.session import spread_partition_count
+
+    return df.repartition(
+        spread_partition_count(df.sparkSession), F.col(key_col)
+    )
 
 
 # ----------------------------------------------- heavy hitters (top-k)

@@ -52,9 +52,16 @@ def range_spread(df: DataFrame, *key_cols: str) -> DataFrame:
     `.sortWithinPartitions(key)` yields the identical total order
     while (a) sampling only the cheap scan, (b) computing the map
     once, (c) spreading it across every core (guide §1.2/§2.5).
+
+    Partition count = max(cores, shuffle.partitions), explicit on
+    purpose — see session.spread_partition_count (AQE would coalesce a
+    count-less exchange by bytes and serialize the expensive map).
     """
-    n = df.sparkSession.sparkContext.defaultParallelism
-    return df.repartitionByRange(n, *[F.col(c) for c in key_cols])
+    from heavydb_spark.session import spread_partition_count
+
+    return df.repartitionByRange(
+        spread_partition_count(df.sparkSession), *[F.col(c) for c in key_cols]
+    )
 
 
 def r4(col) -> "F.Column":

@@ -53,6 +53,33 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
+def spread_partition_count(spark: SparkSession) -> int:
+    """Partition count for CPU-spreading repartitions (dedup._spread,
+    text._doc_spread, queries.util.range_spread): the larger of core
+    count and the configured shuffle partitions.
+
+    Why an EXPLICIT count at all (r14, measured): these exchanges feed
+    narrow stages whose per-byte CPU is enormous relative to their
+    input bytes (delete-1 variant explodes, shingle grams, regex
+    feature maps).  A count-less repartition lets AQE coalesce by
+    BYTES — on the sf0.1 fixture it collapsed join_fuzzy_names'
+    153 KB variant-explode exchange to ONE partition (stage metrics:
+    1 task, 4.6-6.5 s serial vs 32 tasks at ~1.3 s wall), tripling
+    the head (2 -> 10 s).  Byte-size heuristics cannot see downstream
+    CPU, so these exchanges must stay opted out of coalescing.
+
+    Why max(cores, shuffle.partitions) and not cores alone: pinning to
+    defaultParallelism makes partition SIZE scale with data/cores — a
+    spill hazard at 100 TB.  Production sizes shuffle.partitions for
+    the data (guide §2.2), and this count follows it; locally both are
+    the core count, so the plan is unchanged from the pinned form.
+    """
+    return max(
+        spark.sparkContext.defaultParallelism,
+        int(spark.conf.get("spark.sql.shuffle.partitions", "200")),
+    )
+
+
 def get_spark(
     app_name: str = "heavydb_spark",
     master: str | None = None,

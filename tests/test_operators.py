@@ -2074,6 +2074,41 @@ def test_remove_duplicate_spans_edit_semantics(spark):
     }
 
 
+def test_remove_duplicate_spans_null_text(spark):
+    """A NULL text keeps zero tokens and removes zero — under the
+    session's non-ANSI mode size(NULL) is -1 and an unguarded
+    sequence(0, size-1) DESCENDS, which once yielded kept_pos
+    [0, -1, -2] (n_tokens=3, n_removed=-4) for a null doc."""
+    from heavydb_spark.operators.dedup import remove_duplicate_spans
+
+    rows = [(1, "a b c d e f"), (2, None), (3, "a b c d e f")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.clean_text, r.n_tokens, r.n_removed)
+        for r in remove_duplicate_spans(
+            df, "doc_id", "text", window=4
+        ).collect()
+    }
+    assert got[2] == ("", 0, 0)
+    assert got[1] == ("a b c d e f", 6, 0)  # doc 3 quotes doc 1
+    assert got[3] == ("", 0, 6)
+
+
+def test_fuzzy_string_pairs_null_strings(spark):
+    """NULL strings never pair (levenshtein is null) and are dropped
+    BEFORE the variant explode — many null rows must not block on one
+    shared null-hash key (the O(k^2) dead-candidate hazard)."""
+    from heavydb_spark.operators.dedup import fuzzy_string_pairs
+
+    rows = [(1, "abc"), (2, "abd"), (3, None), (4, None), (5, None)]
+    df = spark.createDataFrame(rows, "id long, s string")
+    got = {
+        (r.id_a, r.id_b): r.dist
+        for r in fuzzy_string_pairs(df, "id", "s").collect()
+    }
+    assert got == {(1, 2): 1}
+
+
 def test_remove_boilerplate_segments_semantics(spark):
     """remove_boilerplate_segments on crafted docs (seg=2, min_docs=3):
     a segment repeated in 3+ distinct docs is removed from EVERY doc
