@@ -261,11 +261,22 @@ def _pack_14_2(ops, rx, ry):
 
 
 def _hex_bin(ops, orient, axis, valx, minx, maxx, valy, miny, maxy,
-             hexwidth, hexheight, offsetx, offsety, imgwidth, imgheight):
+             hexwidth, hexheight, offsetx, offsety, imgwidth, imgheight,
+             cse=None):
     """reg_hex_{horiz,vert}_pixel_bin_{x,y}
     (ExtensionFunctions.hpp:596-980): pixel position -> hex cube
     coordinates -> nearest-hex rounding (largest-diff reprojection) ->
-    hex-center pixel coordinate."""
+    hex-center pixel coordinate.
+
+    `cse(name, expr)` optionally materialises a shared subexpression
+    under a name and returns a reference to it (r14: the staged SQL
+    path uses this to keep the generated text linear — the plain text
+    backend re-inlines every reuse, exploding the hex formulas to tens
+    of KB per axis). Default is identity, which leaves the existing
+    Column/text output byte-for-byte unchanged. With a cse, axis "xy"
+    returns both axes from one shared set of intermediates."""
+    if cse is None:
+        cse = lambda _n, e: e  # noqa: E731
     if orient == "horiz":
         xo = _norm_offset(ops, offsetx, hexwidth)
         yo = _norm_offset(ops, offsety, 1.5 * hexheight)
@@ -276,27 +287,32 @@ def _hex_bin(ops, orient, axis, valx, minx, maxx, valy, miny, maxy,
         hexsize = hexwidth / 2.0
     xmin = minx + xo * (maxx - minx) / imgwidth
     ymin = miny + yo * (maxy - miny) / imgheight
-    pix_x = ops.round((imgwidth - xo) * ((valx - xmin) / (maxx - xmin)))
-    pix_y = ops.round((imgheight - yo) * ((valy - ymin) / (maxy - ymin)))
+    pix_x = cse("pix_x", ops.round(
+        (imgwidth - xo) * ((valx - xmin) / (maxx - xmin))))
+    pix_y = cse("pix_y", ops.round(
+        (imgheight - yo) * ((valy - ymin) / (maxy - ymin))))
     if orient == "horiz":
         cube_x = (pix_x / SQRT3 - pix_y / 3.0) / hexsize
         cube_z = (pix_y * (2.0 / 3.0)) / hexsize
     else:
         cube_x = (pix_x * (2.0 / 3.0)) / hexsize
         cube_z = (pix_y / SQRT3 - pix_x / 3.0) / hexsize
-    cube_y = -cube_x - cube_z
-    rx, ry, rz = ops.round(cube_x), ops.round(cube_y), ops.round(cube_z)
-    xd = ops.abs(rx - cube_x)
-    yd = ops.abs(ry - cube_y)
-    zd = ops.abs(rz - cube_z)
+    cube_x = cse("cube_x", cube_x)
+    cube_z = cse("cube_z", cube_z)
+    cube_y = cse("cube_y", -cube_x - cube_z)
+    rx, ry, rz = (cse("rx", ops.round(cube_x)),
+                  cse("ry", ops.round(cube_y)),
+                  cse("rz", ops.round(cube_z)))
+    xd = cse("xd", ops.abs(rx - cube_x))
+    yd = cse("yd", ops.abs(ry - cube_y))
+    zd = cse("zd", ops.abs(rz - cube_z))
     cond_x = ops.and_(ops.gt(xd, yd), ops.gt(xd, zd))
-    rx_f = ops.where(cond_x, -ry - rz, rx)
-    rz_f = ops.where(
+    rx_f = cse("rx_f", ops.where(cond_x, -ry - rz, rx))
+    rz_f = cse("rz_f", ops.where(
         cond_x, rz, ops.where(ops.gt(yd, zd), rz, -rx - ry)
-    )
-    if orient == "horiz" and axis == "x":
-        return hexsize * SQRT3 * (rx_f + rz_f / 2.0) + xo
-    if orient == "horiz" and axis == "y":
+    ))
+
+    def _y_horiz():
         # only the final else-branch of the 3-way rounding affects rz
         # (ExtensionFunctions.hpp:738-741)
         rz_y = ops.where(
@@ -307,6 +323,13 @@ def _hex_bin(ops, orient, axis, valx, minx, maxx, valy, miny, maxy,
             rz,
         )
         return hexsize * 1.5 * rz_y + yo
+
+    if orient == "horiz" and axis == "x":
+        return hexsize * SQRT3 * (rx_f + rz_f / 2.0) + xo
+    if orient == "horiz" and axis == "y":
+        return _y_horiz()
+    if orient == "horiz" and axis == "xy":
+        return (hexsize * SQRT3 * (rx_f + rz_f / 2.0) + xo, _y_horiz())
     if orient == "vert" and axis == "x":
         # only the first branch affects rx (ExtensionFunctions.hpp:894)
         rx_v = ops.where(cond_x, -ry - rz, rx)
@@ -471,6 +494,38 @@ def _hex_sql(orient, axis):
                         imgwidth, imgheight).s
 
     return fn
+
+
+def reg_hex_pixel_bin_xy_staged_sql(orient, valx, minx, maxx, valy, miny,
+                                    maxy, hexwidth, hexheight, offsetx,
+                                    offsety, imgwidth, imgheight,
+                                    prefix="__hx_"):
+    """Both hex-bin axes as STAGED SQL: returns (stages, x_sql, y_sql)
+    where `stages` is an ordered list of (name, sql) intermediate
+    definitions, each referencing only input columns and earlier names,
+    and x_sql / y_sql reference the staged names.
+
+    Why (r14): the flat `_sql` twins re-inline every shared
+    subexpression (text has no reference semantics), so one hex axis
+    serialises to ~24 KB and the parser/analyzer pays for the blow-up
+    on every build. Chaining the stages as withColumn projections keeps
+    each parsed string small and — because CollapseProject never
+    duplicates non-cheap expressions referenced more than once — the
+    analyzed tree keeps the sharing. Identical arithmetic per value
+    (same _hex_bin formula, same op order), so results are
+    bit-identical to the flat/Column forms."""
+    stages = []
+
+    def cse(name, expr):
+        n = prefix + name
+        stages.append((n, expr.s))
+        return _E(n)
+
+    x, y = _hex_bin(_SqlB, orient, "xy", _E(valx), minx, maxx,
+                    _E(valy), miny, maxy, hexwidth, hexheight,
+                    _E(str(offsetx)), _E(str(offsety)),
+                    imgwidth, imgheight, cse=cse)
+    return stages, x.s, y.s
 
 
 reg_hex_horiz_pixel_bin_x = _hex_col("horiz", "x")

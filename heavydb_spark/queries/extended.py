@@ -2070,6 +2070,29 @@ _INVIEW_SQL = _render.is_point_in_merc_view_sql(
     _RB_LON, _RB_LAT, -10.0, 15.0, 25.0, 45.0
 )
 
+# r14: the Spark-side bin expressions, generated by the same formula
+# code as the oracle strings above but over the pre-projected __lon /
+# __lat columns. Built once at import as SQL text and handed to the
+# parser whole — the Column-backend equivalents chained ~2,300 py4j
+# round-trips per build (the B13 F.expr lesson; guide §1/§7.3
+# plan-construction cost). The hex pair is STAGED (shared
+# intermediates become named withColumn steps) because the flat text
+# form re-inlines every reuse into a ~24 KB string per axis and the
+# parse/analyze cost of that exceeds the py4j saving. Both backends
+# drive the identical _rect_bin / _hex_bin arithmetic, so the trees
+# are value-identical.
+_PB_RECT_X_SQL = _render.rect_pixel_bin_x_sql("__lon", -20.0, 20.0, 8.0, 3.0, 800)
+_PB_RECT_Y_SQL = _render.rect_pixel_bin_y_sql("__lat", 20.0, 50.0, 8.0, 0.0, 600)
+_PB_HEX_STAGES, _PB_HEX_X_SQL, _PB_HEX_Y_SQL = (
+    _render.reg_hex_pixel_bin_xy_staged_sql(
+        "horiz", "__lon", -20.0, 20.0, "__lat", 20.0, 50.0,
+        10.0 * _render.SQRT3 / 2.0, 10.0, 0.0, 0.0, 800, 600,
+    )
+)
+_PB_INVIEW_SQL = _render.is_point_in_merc_view_sql(
+    "__lon", "__lat", -10.0, 15.0, 25.0, 45.0
+)
+
 
 @query(
     "render_pixel_bins",
@@ -2111,32 +2134,18 @@ def render_pixel_bins(spark, sf_dir):
             .alias("__lat"),
         )
     )
-    lon = F.col("__lon")
-    lat = F.col("__lat")
-    hexw = 10.0 * _render.SQRT3 / 2.0
-    binned = c.filter(
-        _render.is_point_in_merc_view(lon, lat, -10.0, 15.0, 25.0, 45.0)
-    ).select(
-        F.round(
-            _render.rect_pixel_bin_x(lon, -20.0, 20.0, 8.0, 3.0, 800), 4
-        ).alias("rect_x"),
-        F.round(
-            _render.rect_pixel_bin_y(lat, 20.0, 50.0, 8.0, 0.0, 600), 4
-        ).alias("rect_y"),
-        F.round(
-            _render.reg_hex_horiz_pixel_bin_x(
-                lon, -20.0, 20.0, lat, 20.0, 50.0,
-                hexw, 10.0, 0.0, 0.0, 800, 600,
-            ),
-            4,
-        ).alias("hex_x"),
-        F.round(
-            _render.reg_hex_horiz_pixel_bin_y(
-                lon, -20.0, 20.0, lat, 20.0, 50.0,
-                hexw, 10.0, 0.0, 0.0, 800, 600,
-            ),
-            4,
-        ).alias("hex_y"),
+    # r14: each bin expression arrives as parsed SQL text (see the
+    # _PB_*_SQL block above) instead of a chain of py4j Column calls;
+    # the hex kernels' shared intermediates are staged withColumn
+    # steps so no string re-inlines them.
+    binned = c.filter(F.expr(_PB_INVIEW_SQL))
+    for _n, _sql in _PB_HEX_STAGES:
+        binned = binned.withColumn(_n, F.expr(_sql))
+    binned = binned.select(
+        F.expr(f"round({_PB_RECT_X_SQL}, 4)").alias("rect_x"),
+        F.expr(f"round({_PB_RECT_Y_SQL}, 4)").alias("rect_y"),
+        F.expr(f"round({_PB_HEX_X_SQL}, 4)").alias("hex_x"),
+        F.expr(f"round({_PB_HEX_Y_SQL}, 4)").alias("hex_y"),
     )
     return (
         binned.groupBy("rect_x", "rect_y", "hex_x", "hex_y")
