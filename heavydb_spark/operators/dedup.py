@@ -137,7 +137,7 @@ def ngram_jaccard_pairs(
     jaccard stays a true ratio over the compared sets.
 
     `hash_key=True` (default, r13) replaces the raw ~n-token shingle
-    text with compact (xxhash64, crc32) key COLUMNS before anything
+    text with compact (xxhash64, murmur3) key COLUMNS before anything
     shuffles — the distinct, the df-cap and the self-join all key on
     12 bytes instead of 20-50-byte strings (the same collision
     analysis as `remove_duplicate_spans` / `shared_run_pairs`:
@@ -146,16 +146,14 @@ def ngram_jaccard_pairs(
     perturbing a single jaccard denominator by 1). `hash_key=False`
     restores exact raw-text keying.
     """
-    sh0 = _shingle_rows(df, id_col, text_col, n)
+    # r14: hashed keys come straight off the zipped token struct
+    # (no concat_ws string copy) — see _shingle_rows(hashed=True)
     if hash_key:
         key_cols: tuple[str, ...] = ("h1", "h2")
-        sh0 = sh0.select(
-            "doc",
-            F.xxhash64("shingle").alias("h1"),
-            F.crc32("shingle").alias("h2"),
-        )
+        sh0 = _shingle_rows(df, id_col, text_col, n, hashed=True)
     else:
         key_cols = ("shingle",)
+        sh0 = _shingle_rows(df, id_col, text_col, n)
     # sizes + both join sides read the shingle relation — one pass
     sh = sh0.distinct().localCheckpoint(eager=False)
     if max_df is not None:
@@ -220,7 +218,7 @@ def shared_run_pairs(
     (shared / min distinct windows).
 
     `hash_key=True` (default) replaces the raw ~window-token shingle
-    text with a compact (xxhash64, crc32) struct before anything
+    text with a compact (xxhash64, murmur3) pair before anything
     shuffles — the self-joins, df-cap and distinct all key on 12
     bytes instead of 50-100-byte strings (same collision analysis as
     `remove_duplicate_spans`: ~n²/2^97). `hash_key=False` keys on the
@@ -233,19 +231,23 @@ def shared_run_pairs(
     zipped = F.arrays_zip(
         *[F.slice(tokens, j + 1, k).alias(f"t{j}") for j in range(window)]
     )
-    shingle_text = F.concat_ws(
-        " ", *[F.col(f"s.t{j}") for j in range(window)]
-    )
     # plain (h1, h2) key COLUMNS, not a struct — flat keys stay in the
     # primitive hash/compare fast path through every join and
     # aggregation below (r13)
     if hash_key:
+        # r14: hash the zipped token struct directly instead of the
+        # concat_ws-joined window text (see remove_duplicate_spans —
+        # same equality relation, same 96-bit collision bound, no
+        # per-window string copy)
         key_exprs = [
-            F.xxhash64(shingle_text).alias("h1"),
-            F.crc32(shingle_text).alias("h2"),
+            F.xxhash64(F.col("s")).alias("h1"),
+            F.hash(F.col("s")).alias("h2"),
         ]
         key_cols = ["h1", "h2"]
     else:
+        shingle_text = F.concat_ws(
+            " ", *[F.col(f"s.t{j}") for j in range(window)]
+        )
         key_exprs = [shingle_text.alias("shingle")]
         key_cols = ["shingle"]
     pos_rows = (
@@ -362,7 +364,7 @@ def remove_duplicate_spans(
     `shared_run_pairs` *reports* duplicated runs; this operator applies
     the edit and returns the cleaned corpus.
 
-    `hash_key=True` (default) shuffles a compact (xxhash64, crc32)
+    `hash_key=True` (default) shuffles a compact (xxhash64, murmur3)
     struct of each gram instead of its raw ~window-token text — the
     standard production choice (Lee et al. dedup via hashes): the
     count/keeper exchange moves 12-byte keys, not 50-100-byte strings
@@ -407,21 +409,30 @@ def remove_duplicate_spans(
     zipped = F.arrays_zip(
         *[F.slice("toks", j + 1, k).alias(f"t{j}") for j in range(window)]
     )
-    gram_text = F.concat_ws(" ", *[F.col(f"s.t{j}") for j in range(window)])
-    occ = base.select(
-        "doc", F.posexplode(zipped).alias("wpos", "s")
-    ).select("doc", "wpos", gram_text.alias("gram"))
+    occ = base.select("doc", F.posexplode(zipped).alias("wpos", "s"))
     # plain (h1, h2) key COLUMNS, not a struct — struct grouping/join
     # keys hash and compare through the generic struct path; two flat
     # columns stay in the primitive fast path (r13)
     if hash_key:
+        # r14: hash the zipped token struct DIRECTLY (xxhash64 +
+        # murmur3 `hash`, both multi-type codegen hashes) instead of
+        # materialising the space-joined gram string and hashing that
+        # — the concat_ws copy was ~25% of the gram stage's CPU
+        # (micro A/B 0.256 -> 0.170 s on the projection).  Gram
+        # equality is unchanged (tokens from a \s+ split contain no
+        # spaces, so both keyings are injective on the same relation);
+        # the 64+32-bit collision bound and its analysis carry over.
         occ = occ.select(
             "doc", "wpos",
-            F.xxhash64("gram").alias("h1"),
-            F.crc32("gram").alias("h2"),
+            F.xxhash64("s").alias("h1"),
+            F.hash("s").alias("h2"),
         )
         key_cols = ["h1", "h2"]
     else:
+        gram_text = F.concat_ws(
+            " ", *[F.col(f"s.t{j}") for j in range(window)]
+        )
+        occ = occ.select("doc", "wpos", gram_text.alias("gram"))
         key_cols = ["gram"]
     stats = occ.groupBy(*key_cols).agg(
         F.count(F.lit(1)).alias("cnt"),
@@ -537,21 +548,31 @@ def remove_boilerplate_segments(
     times costs O(k) rows, never O(k^2).
     """
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    base = _spread(df, id_col).select(
-        F.col(id_col).alias("doc"), toks.alias("toks")
-    ).localCheckpoint(eager=False)
-    nseg = F.ceil(F.size("toks") / F.lit(seg)).cast("int")
+    # r14: the checkpointed base stores the SEGMENT array, not the
+    # token array.  The segmentation transform is an interpreted HOF
+    # (lambda bodies neither codegen nor CSE) and `occ` is consumed
+    # twice (frequency count + anti-join side) — deriving segs from a
+    # checkpointed toks re-ran the whole transform per consumer
+    # (measured: the two seg-generating stages were 12.5 s + 12.6 s of
+    # the head's CPU).  Same text bytes stored (fewer array elements);
+    # n_segs and the empty/null-text cases are byte-identical:
+    # size<=0 stores [], so size(segs) is 0 there and ceil(n/seg)
+    # elsewhere, exactly the old when(...)-guarded nseg.
+    nseg = F.ceil(F.size(toks) / F.lit(seg)).cast("int")
     segs = F.when(
-        F.size("toks") <= 0, F.array().cast("array<string>")
+        F.size(toks) <= 0, F.array().cast("array<string>")
     ).otherwise(
         F.transform(
             F.sequence(F.lit(1), F.greatest(nseg, F.lit(1))),
             lambda i: F.concat_ws(
-                " ", F.slice("toks", (i - F.lit(1)) * seg + 1, seg)
+                " ", F.slice(toks, (i - F.lit(1)) * seg + 1, seg)
             ),
         )
     )
-    occ = base.select("doc", F.posexplode(segs).alias("spos", "seg"))
+    base = _spread(df, id_col).select(
+        F.col(id_col).alias("doc"), segs.alias("segs")
+    ).localCheckpoint(eager=False)
+    occ = base.select("doc", F.posexplode("segs").alias("spos", "seg"))
     boiler = (
         occ.groupBy("seg")
         .agg(F.count_distinct("doc").alias("n_docs"))
@@ -595,13 +616,7 @@ def remove_boilerplate_segments(
             ).getField("seg"),
         ).alias("clean_text"),
     )
-    totals = base.select(
-        "doc",
-        F.size("toks").alias("n_orig_tokens"),
-        F.when(F.size("toks") <= 0, F.lit(0)).otherwise(nseg).alias(
-            "n_segs"
-        ),
-    )
+    totals = base.select("doc", F.size("segs").alias("n_segs"))
     return (
         totals.join(rebuilt, "doc", "left")
         .select(
@@ -624,7 +639,8 @@ def remove_boilerplate_segments(
 # ---------------------------------------------------------- minhash/LSH
 
 def _shingle_rows(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3
+    df: DataFrame, id_col: str, text_col: str, n: int = 3,
+    hashed: bool = False,
 ) -> DataFrame:
     """(doc, shingle) rows via slice + arrays_zip + one explode.
 
@@ -632,21 +648,30 @@ def _shingle_rows(
     lambda), and unlike the window-lead formulation there is no
     per-partition sort — measured ~40% faster at sf0.1. The lambda
     (`transform`) formulation is ~10x slower still: HOF bodies neither
-    codegen nor CSE."""
+    codegen nor CSE.
+
+    `hashed=True` returns (doc, h1, h2) — xxhash64 + murmur3 of the
+    zipped token struct itself, skipping the concat_ws string copy
+    (r14; for callers that only need shingle-identity join keys, never
+    the text — same equality relation, \\s+ tokens contain no spaces).
+    """
     tokens = F.split(F.trim(F.col(text_col)), r"\s+")
     k = F.greatest(F.size(tokens) - (n - 1), F.lit(0))
     zipped = F.arrays_zip(
         *[F.slice(tokens, j + 1, k).alias(f"t{j}") for j in range(n)]
     )
-    return (
-        _spread(df, id_col)
-        .select(F.col(id_col).alias("doc"), F.explode(zipped).alias("s"))
-        .select(
-            "doc",
-            F.concat_ws(" ", *[F.col(f"s.t{j}") for j in range(n)]).alias(
-                "shingle"
-            ),
+    ex = _spread(df, id_col).select(
+        F.col(id_col).alias("doc"), F.explode(zipped).alias("s")
+    )
+    if hashed:
+        return ex.select(
+            "doc", F.xxhash64("s").alias("h1"), F.hash("s").alias("h2")
         )
+    return ex.select(
+        "doc",
+        F.concat_ws(" ", *[F.col(f"s.t{j}") for j in range(n)]).alias(
+            "shingle"
+        ),
     )
 
 
