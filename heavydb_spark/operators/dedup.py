@@ -259,9 +259,7 @@ def shared_run_pairs(
         .select("doc", "pos", *key_exprs)
         .localCheckpoint(eager=False)
     )
-    dist = pos_rows.select("doc", *key_cols).distinct().localCheckpoint(
-        eager=False
-    )
+    dist = pos_rows.select("doc", *key_cols).distinct()
     if max_df is not None:
         hot = (
             dist.groupBy(*key_cols)
