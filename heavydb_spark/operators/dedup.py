@@ -257,7 +257,6 @@ def shared_run_pairs(
             F.posexplode(zipped).alias("pos", "s"),
         )
         .select("doc", "pos", *key_exprs)
-        .localCheckpoint(eager=False)
     )
     dist = pos_rows.select("doc", *key_cols).distinct()
     if max_df is not None:
