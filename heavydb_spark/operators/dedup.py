@@ -154,8 +154,13 @@ def ngram_jaccard_pairs(
     else:
         key_cols = ("shingle",)
         sh0 = _shingle_rows(df, id_col, text_col, n)
-    # sizes + both join sides read the shingle relation — one pass
-    sh = sh0.distinct().localCheckpoint(eager=False)
+    # sizes + both join sides read the shingle relation above ONE
+    # distinct exchange — AQE's query-stage cache runs that stage once
+    # and shares it across all three consumers, so no checkpoint is
+    # needed (r14: removing it keeps lineage visible to the planner and
+    # lets the gram stage overlap the action instead of stalling the
+    # build; same reasoning as shared_run_pairs).
+    sh = sh0.distinct()
     if max_df is not None:
         sh = _drop_hot_shingles(sh, max_df, key_cols).localCheckpoint(
             eager=False
