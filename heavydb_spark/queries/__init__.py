@@ -44,7 +44,7 @@ from heavydb_spark.queries import (  # noqa: F401,E402
 # hash verification.
 #
 # ROUND-14 WINDOW (positions 1-50) — composed this round (r14):
-#   1-15   the r13/r14 regression slice — tpch_q21 + tpcds_q64 (the
+#   1-19   the r13/r14 regression slice — tpch_q21 + tpcds_q64 (the
 #          r13 window/lead rewrites, never driver-window-verified in
 #          their new form), dedup_span_rewrite + dedup_boilerplate_
 #          segments + dedup_shared_run + join_fuzzy_names (r13
@@ -56,9 +56,14 @@ from heavydb_spark.queries import (  # noqa: F401,E402
 #          portable sketch pair, r13 F.expr builders), text_quality +
 #          render_pixel_bins (r13 range_spread / named-column
 #          changes past the r13 window), tpcds_q67_rollup_rank +
-#          text_lm_perplexity (r14 optimization targets);
-#   16-50  the oldest-checked entries (r6-r9 greens) in age order —
-#          tf_dwell_times .. stream_sliding_window.
+#          text_lm_perplexity (r14 optimization targets), plus the
+#          four operators whose code changed after the window was
+#          first composed (jaccard, connected_components,
+#          model_filter_chain, source_divergence — see the in-list
+#          note);
+#   20-50  the oldest-checked entries (r6-r9 greens) in age order —
+#          tf_dwell_times onward (the last four fills slide to
+#          positions 51-54, next in line for r15).
 #
 # Past position 100: the remaining r6-r9 greens freshest-last in
 # unchanged relative order; then the 50 entries the r12 driver
@@ -76,6 +81,15 @@ _PRIORITY = [
     "join_fuzzy_names",
     "pipe_curation_v2",
     "pipe_end_to_end_corpus",
+    # r14 additions to the slice: these four changed AFTER the window
+    # was first composed this round (jaccard/CC: hashed gram-struct
+    # keys + the distinct-checkpoint drop; model_filter_chain chains
+    # the re-shaped shared_run; source_divergence: spread-count
+    # change) — window-grade verification of the new forms
+    "dedup_ngram_jaccard",
+    "dedup_connected_components",
+    "pipe_model_filter_chain",
+    "text_source_divergence",
     "dedup_minhash_lsh",
     "dedup_minhash_portable",
     "dedup_simhash_portable",
@@ -212,7 +226,6 @@ _PRIORITY = [
     "pipe_mix_token_budget",
     "sim_semantic_dedup",
     "text_quality_classifier",
-    "pipe_model_filter_chain",
     "sim_semantic_dedup_kmeans",
     "sim_semantic_kmeans_invariants",
     "pipe_dsir_select",
@@ -293,15 +306,12 @@ _PRIORITY = [
     "sim_hybrid_retrieval",
     "pipe_weighted_sample",
     "pipe_winsorize",
-    "text_source_divergence",
     "pipe_split_no_leakage",
     "geo_zorder_layout",
     "tpcds_q59_wow_ratio",
     "tpcds_q78_channel_ratio",
     "tpcds_q72_followup_orders",
-    "dedup_connected_components",
     "dedup_exact",
-    "dedup_ngram_jaccard",
     "dedup_simhash",
     "except_keys",
     "fn_datetime_week_variants",
